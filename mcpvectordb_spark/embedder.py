@@ -1,0 +1,122 @@
+"""Embedding contract + deterministic test embedder.
+
+Reference contract (/root/reference/src/mcpvectordb/embedder.py:14-15,41-83):
+documents are embedded with prefix ``"search_document: "``, queries with
+``"search_query: "`` (asymmetric-prefix requirement of nomic models —
+SURVEY.md §2.9 D4); batch inference over 32-text batches; vectors are
+L2-normalised so dot product == cosine similarity.
+
+Spark shape: embedding is an Arrow-batched ``mapInPandas`` stage with the
+model held in an executor-process singleton (the Spark analog of the
+reference's singleton, embedder.py:86-94).  Query embedding is a single
+driver-side call whose result is inlined as a literal array into the scoring
+expression (broadcast with the plan).
+
+The default implementation is the *deterministic seeded hash embedder* from
+FIXTURES.md rule 1 — mirroring the reference's mock embedder that replaces
+the real model in every correctness test (tests/conftest.py:26-39):
+
+    embed(text)[i] = (sha256(text + ":" + str(i)) mod 10^6) / 10^6,  L2-normed
+
+A real ONNX/fastembed model can be slotted in behind the same protocol; it is
+gated behind an import-try since the model libs aren't in this container.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Protocol
+
+import numpy as np
+
+from mcpvectordb_spark.config import DEFAULT, EngineConfig
+
+if TYPE_CHECKING:
+    import pandas as pd
+    from pyspark.sql import DataFrame
+
+
+class Embedder(Protocol):
+    dim: int
+
+    def embed_documents(self, texts: list[str]) -> np.ndarray: ...
+    def embed_query(self, text: str) -> np.ndarray: ...
+
+
+def _hash_unit(value: str) -> float:
+    digest = hashlib.sha256(value.encode("utf-8")).hexdigest()
+    return (int(digest, 16) % 1_000_000) / 1_000_000.0
+
+
+class HashEmbedder:
+    """Deterministic, dimension-agnostic embedder (FIXTURES.md rule 1)."""
+
+    def __init__(self, dim: int = DEFAULT.embedding_dim, config: EngineConfig = DEFAULT):
+        self.dim = dim
+        self.doc_prefix = config.doc_prefix
+        self.query_prefix = config.query_prefix
+
+    def _embed_one(self, text: str) -> np.ndarray:
+        vec = np.array([_hash_unit(f"{text}:{i}") for i in range(self.dim)], dtype=np.float64)
+        norm = float(np.linalg.norm(vec))
+        if norm > 0:
+            vec = vec / norm
+        return vec.astype(np.float32)
+
+    def embed_documents(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        return np.stack([self._embed_one(self.doc_prefix + t) for t in texts])
+
+    def embed_query(self, text: str) -> np.ndarray:
+        return self._embed_one(self.query_prefix + text)
+
+
+def get_real_embedder(dim: int = 768) -> Embedder:
+    """Real model path (reference embedder.py:41-62). The ONNX/fastembed
+    stack is not installed in this container, so this raises with a clear
+    message; the interface is the integration point."""
+    try:
+        import fastembed  # type: ignore  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "fastembed/onnxruntime not available in this environment; "
+            "use HashEmbedder (deterministic) or install the model stack."
+        ) from exc
+    raise NotImplementedError("wire fastembed TextEmbedding here")  # pragma: no cover
+
+
+def embed_documents_stage(
+    df: "DataFrame",
+    content_col: str = "content",
+    out_col: str = "embedding",
+    dim: int = DEFAULT.embedding_dim,
+    config: EngineConfig = DEFAULT,
+    embedder_factory=None,
+) -> "DataFrame":
+    """Append an ``array<float>`` embedding column via mapInPandas.
+
+    ``embedder_factory`` is called once per executor process (singleton
+    pattern); defaults to the deterministic HashEmbedder.
+    """
+    batch = config.embedding_batch_size
+    factory = embedder_factory or (lambda: HashEmbedder(dim=dim, config=config))
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema]
+        + [f"`{out_col}` array<float>"]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        emb = factory()  # one model instance per executor task stream
+        for pdf in batches:
+            texts = pdf[content_col].fillna("").tolist()
+            vecs: list[list[float]] = []
+            for start in range(0, len(texts), batch):
+                arr = emb.embed_documents(texts[start : start + batch])
+                vecs.extend(arr.tolist())
+            pdf = pdf.copy()
+            pdf[out_col] = vecs
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

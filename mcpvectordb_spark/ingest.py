@@ -1,0 +1,177 @@
+"""Batch ingestion pipeline: validate → title → hash → dedup-gate → chunk →
+embed → write.
+
+Mirrors the reference's ingest flow (/root/reference/src/mcpvectordb/
+ingestor.py:133-290 for files, 293-414 for content) as ONE batch DAG
+(SURVEY.md §3.2): the asyncio fan-out/semaphore disappears — parallelism is
+the scheduler's job — and per-file exceptions become a status/error column so
+one bad document never stops the batch (ingestor.py:104-118 semantics).
+
+Dedup gate (reference ingestor.py:181-209, contract docs/mcp-tool-spec.md:52-55):
+    same (source, library) + same content hash   → skipped   (no write)
+    same (source, library) + different hash      → replaced  (delete+append)
+    absent                                       → indexed   (append)
+The gate is a broadcast left join of the incoming batch against the store's
+per-document hashes — the distributed form of the reference's point lookup
+(store.py:206-235).
+
+Determinism (FIXTURES.md rules 3-4): doc_id = sha2(source:library)[:16],
+chunk id = doc_id-chunk_index, created_at injectable (defaults to now).
+"""
+
+from __future__ import annotations
+
+from datetime import UTC, datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.chunker import chunk_documents
+from mcpvectordb_spark.config import DEFAULT, EngineConfig
+from mcpvectordb_spark.embedder import embed_documents_stage
+from mcpvectordb_spark.store import ChunkStore
+from mcpvectordb_spark.tokenizer import ws_token_count
+
+
+def extract_title(content, source):
+    """First Markdown '#' heading (≤200 chars), else last path component
+    (reference _extract_title, ingestor.py:482-497)."""
+    heading = F.regexp_extract(content, r"(?m)^#+[ \t]*(.+)$", 1)
+    heading = F.substring(F.trim(heading), 1, 200)
+    fallback = F.element_at(F.split(source, "/"), -1)
+    return F.when(heading != "", heading).otherwise(fallback)
+
+
+def file_type_of(source):
+    """Extension → file_type (reference ingestor.py:174,354): lowercase
+    suffix, 'url' for http(s) sources, 'unknown' when there is none."""
+    ext = F.lower(F.regexp_extract(source, r"\.([A-Za-z0-9]+)$", 1))
+    return (
+        F.when(source.rlike("^https?://"), F.lit("url"))
+        .when(ext != "", ext)
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def prepare_batch(raw_docs: DataFrame, created_at: str | None = None) -> DataFrame:
+    """Normalize a raw-docs batch: deterministic doc_id, title, hash, type."""
+    ts = created_at or datetime.now(UTC).isoformat(timespec="seconds")
+    c = F.col("content")
+    return (
+        raw_docs.withColumn("content_hash", F.sha2(c.cast("string"), 256))
+        .withColumn("doc_id", F.substring(F.sha2(F.concat_ws(":", "source", "library"), 256), 1, 16))
+        .withColumn("title", extract_title(c, F.col("source")))
+        .withColumn("file_type", file_type_of(F.col("source")))
+        .withColumn("created_at", F.lit(ts))
+        .withColumn("last_modified", F.lit(""))
+        .withColumn("page", F.lit(0))
+        .withColumn("metadata", F.coalesce(F.col("metadata"), F.lit("{}")))
+        .withColumn("valid", c.isNotNull() & (F.trim(c) != ""))
+    )
+
+
+def dedup_gate(batch: DataFrame, store: ChunkStore) -> DataFrame:
+    """Attach ingest status by joining against the store's document hashes."""
+    existing = (
+        store.read()
+        .groupBy("source", "library")
+        .agg(
+            F.first("doc_id").alias("_old_doc_id"),
+            F.first("content_hash").alias("_old_hash"),
+        )
+    )
+    return batch.join(F.broadcast(existing), ["source", "library"], "left").withColumn(
+        "status",
+        F.when(~F.col("valid"), F.lit("failed"))
+        .when(F.col("_old_hash") == F.col("content_hash"), F.lit("skipped"))
+        .when(F.col("_old_doc_id").isNotNull(), F.lit("replaced"))
+        .otherwise(F.lit("indexed")),
+    )
+
+
+def ingest_batch(
+    raw_docs: DataFrame,
+    store: ChunkStore,
+    config: EngineConfig = DEFAULT,
+    created_at: str | None = None,
+    token_counter=ws_token_count,
+    embedder_factory=None,
+) -> DataFrame:
+    """Run the full pipeline; writes to the store and returns the per-doc
+    result DataFrame (INGEST_RESULT_SCHEMA shape).
+
+    Two write-safety rules learned the hard way:
+    - the gate result is ``localCheckpoint``-ed (lineage cut) BEFORE any
+      write: the gate's plan reads the store path, and Spark's
+      recacheByPath would otherwise silently recompute cached statuses
+      against the post-write files;
+    - duplicate (source, library) keys within one batch are rejected as
+      failed rows — the pair is the document identity (reference
+      store.py:206-235), so two batch rows with the same key would collide
+      on doc_id/chunk ids.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source", "library").orderBy("content_hash")
+    prepared = (
+        prepare_batch(raw_docs, created_at)
+        .withColumn("_dup_rank", F.row_number().over(w))
+        .withColumn("valid", F.col("valid") & (F.col("_dup_rank") == 1))
+    )
+    gated = dedup_gate(prepared, store).localCheckpoint(eager=True)
+
+    to_write = gated.filter(F.col("status").isin("indexed", "replaced"))
+    chunked = chunk_documents(to_write, "content", config, token_counter)
+    embedded = embed_documents_stage(
+        chunked, "content", "embedding", config.embedding_dim, config, embedder_factory
+    )
+    chunks = embedded.select(
+        F.concat_ws("-", F.col("doc_id"), F.col("chunk_index").cast("string")).alias("id"),
+        "doc_id",
+        "library",
+        "source",
+        "content_hash",
+        "title",
+        "content",
+        "embedding",
+        "chunk_index",
+        "created_at",
+        "metadata",
+        "file_type",
+        "last_modified",
+        "page",
+    )
+
+    # Cache the chunk pipeline output: it is consumed twice (append + counts)
+    # and re-running it would re-chunk/re-embed the batch.
+    chunks = chunks.cache()
+    counts = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("chunk_count")).localCheckpoint(eager=True)
+
+    # Replace = delete-then-append (reference ingestor.py:199-209). Old doc
+    # ids are collected once (bounded by batch size, not corpus size).
+    old_ids = [
+        r["_old_doc_id"]
+        for r in gated.filter(F.col("status") == "replaced").select("_old_doc_id").distinct().collect()
+    ]
+    for old in old_ids:
+        store.delete_document(old)
+    store.append(chunks)
+    chunks.unpersist()
+    results = (
+        gated.join(counts, "doc_id", "left")
+        .withColumn(
+            "error",
+            F.when(F.col("status") == "failed",
+                   F.when(F.col("_dup_rank") > 1, F.lit("duplicate (source, library) in batch"))
+                    .otherwise(F.lit("empty content"))
+            ).otherwise(F.lit(None).cast("string")),
+        )
+        .withColumn("chunk_count", F.coalesce(F.col("chunk_count"), F.lit(0)))
+        .select("status", "doc_id", "source", "library", "chunk_count", "error")
+    )
+    return results
+
+
+def rollup_results(results: DataFrame) -> DataFrame:
+    """Bulk-ingest status rollup (reference ingestor.py:120-130)."""
+    return results.groupBy("status").agg(F.count(F.lit(1)).cast("int").alias("n"))

@@ -1,0 +1,110 @@
+"""BM25 full-text scoring as pure DataFrame ops.
+
+The reference's FTS leg lives inside LanceDB's Tantivy index, rebuilt after
+every upsert (/root/reference/src/mcpvectordb/store.py:197-202) — an
+O(corpus) cost per ingest that must NOT be replicated (SURVEY.md §7 risk d).
+Here the "index" is a pair of derived DataFrames (term→df, doc→length)
+computed lazily from the corpus — cacheable between queries, incrementally
+refreshable after appends, and shuffle-partitioned by term so scoring joins
+co-locate.
+
+Formula (declared spec, SURVEY.md §7 risk b — the reference's exact constants
+are invisible inside LanceDB):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))          # Lucene BM25+
+    s(d,q)  = Σ_t∈q idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len_d/avgdl))
+
+Tokenization: lowercase, split on whitespace — deliberately simple and
+mirrored 1:1 in the DuckDB oracle SQL.
+
+Scale: one explode of the corpus (map-side), two hash aggregations on
+(doc,term) and (term); query terms are a tiny broadcast; no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: Column) -> Column:
+    """lowercase whitespace tokens, empties removed (matches oracle
+    ``regexp_split_to_array(lower(x), '\\s+')`` after trim)."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+
+
+def doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, term, tf) — the posting list."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def corpus_stats(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame, int]:
+    """Derived 'index': (doc_len df, term df counts, corpus size N)."""
+    lens = df.select(
+        F.col(id_col).alias("doc"), F.size(tokens_col(F.col(text_col))).alias("dl")
+    )
+    dfreq = (
+        doc_terms(df, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = df.count()
+    return lens, dfreq, n
+
+
+def bm25_score(
+    df: DataFrame,
+    query: str,
+    id_col: str,
+    text_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "score",
+) -> DataFrame:
+    """Score every document containing ≥1 query term; returns (id, score).
+
+    Distinct query terms (duplicate terms in the query count once).
+    """
+    q_terms = sorted({t for t in query.lower().split() if t})
+    if not q_terms:
+        return df.sparkSession.createDataFrame([], f"doc string, {score_col} double")
+
+    posting = doc_terms(df, id_col, text_col)
+    lens, dfreq, n = corpus_stats(df, id_col, text_col)
+    avgdl = lens.agg(F.avg("dl")).collect()[0][0] or 1.0
+
+    hits = posting.filter(F.col("term").isin(q_terms))
+    scored = (
+        hits.join(F.broadcast(dfreq.filter(F.col("term").isin(q_terms))), "term")
+        .join(lens, "doc")
+        .withColumn(
+            "idf", F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+        )
+        .groupBy("doc")
+        .agg(F.sum("w").alias(score_col))
+    )
+    return scored
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int,
+    id_col: str,
+    text_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "score",
+) -> DataFrame:
+    scored = bm25_score(df, query, id_col, text_col, k1, b, score_col)
+    return scored.orderBy(F.desc(score_col), F.asc("doc")).limit(k)

@@ -1,0 +1,165 @@
+"""Vector similarity search.
+
+Reference behavior (/root/reference/src/mcpvectordb/store.py:292-325): exact
+(flat) KNN with metadata pre-filters applied *before* ranking, top-k bounded
+to [1,100]; vectors are L2-normalised so dot == cosine; the reference itself
+stays exact below ~50k rows (store.py:274) and recommends IVF beyond — here
+``knn_topk`` is the exact path and ``ivf_topk`` the scale path.
+
+Scale notes:
+- scoring is a pure JVM expression (``zip_with`` + ``aggregate``) — stays in
+  whole-stage codegen, no Python in the hot path;
+- the query vector is a literal folded into the plan (≈ broadcast);
+- the pre-filter sits below the scoring projection, so Catalyst pushes it
+  into the Parquet scan (partition pruning on ``library``);
+- global top-k compiles to TakeOrderedAndProject — each partition keeps k
+  rows, one tiny final merge, no full sort;
+- IVF: centroid assignment is a small broadcast cross-join; probing prunes
+  the scan to nprobe/nlist of the corpus before exact re-scoring, which is
+  exactly the reference's refine_factor semantics (store.py:302,317).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]*b[i] in double precision (matches DuckDB list arithmetic)."""
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def query_vec_lit(vec: Sequence[float]) -> Column:
+    """Inline a query vector as a literal array (plan-side broadcast —
+    the Spark analog of the reference passing the numpy query vector into
+    the LanceDB search builder, store.py:298)."""
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def knn_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int,
+    vec_col: str = "embedding",
+    pre_filter: Column | None = None,
+    metric: str = "cosine",
+    tie_col: str | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact KNN: filter → score → top-k (reference search path §3.1).
+
+    Ordering is score DESC with an explicit id tiebreak so results are total
+    and deterministic (FIXTURES.md table 3 contract).
+    """
+    if pre_filter is not None:
+        df = df.filter(pre_filter)
+    q = query_vec_lit(query)
+    v = F.col(vec_col)
+    score = cosine(v, q) if metric == "cosine" else dot(v, q)
+    scored = df.withColumn(score_col, score)
+    order = [F.desc(score_col)] + ([F.asc(tie_col)] if tie_col else [])
+    return scored.orderBy(*order).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Batch KNN: top-k corpus neighbors for every query row.
+
+    The (small) query set is broadcast against the corpus — a map-side
+    cross product; per-query top-k via a window. At 100 TB the corpus side
+    streams through executors once, queries stay in memory.
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id), F.col(query_vec).alias("__qv"))
+    )
+    scored = corpus.crossJoin(q).withColumn(
+        score_col, cosine(F.col(vec_col), F.col("__qv"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(corpus_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__qv")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (IVF build step —
+    the Spark analog of LanceDB's IVF-PQ coarse quantizer, store.py:274).
+    Centroids are broadcast; output adds a ``centroid_id`` column that a
+    real deployment would use as a partition/bucket key for the corpus."""
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id).alias("__cid"), F.col(centroid_vec).alias("__cv")
+        )
+    )
+    scored = corpus.crossJoin(c).withColumn("__sim", cosine(F.col(vec_col), F.col("__cv")))
+    w = Window.partitionBy(corpus_id).orderBy(F.desc("__sim"), F.asc("__cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .withColumn(centroid_id, F.col("__cid"))
+        .drop("__rn", "__cid", "__cv", "__sim")
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query: Sequence[float],
+    k: int,
+    nprobe: int = 3,
+    corpus_id: str = "id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    score_col: str = "score",
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` centroids nearest to the query, then
+    exact-rescore only their members (refine semantics, reference
+    store.py:302,317). ``assigned`` is the output of :func:`ivf_assign` —
+    at scale it is bucketed/partitioned by ``centroid_id`` so the probe
+    filter is partition pruning, touching nprobe/nlist of the data."""
+    q = query_vec_lit(query)
+    probe = (
+        centroids.withColumn("__sim", cosine(F.col(centroid_vec), q))
+        .orderBy(F.desc("__sim"), F.asc(centroid_id))
+        .limit(nprobe)
+        .select(centroid_id)
+    )
+    candidates = assigned.join(F.broadcast(probe), centroid_id, "left_semi")
+    return (
+        candidates.withColumn(score_col, cosine(F.col(vec_col), q))
+        .orderBy(F.desc(score_col), F.asc(corpus_id))
+        .limit(k)
+    )

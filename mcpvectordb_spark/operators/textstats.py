@@ -1,0 +1,139 @@
+"""Text-analysis operators for training-data curation.
+
+All pure column expressions (JVM-side, codegen'd, oracle-mirrorable):
+language-ID (stopword-marker heuristic), quality scoring (length/punct/
+stopword ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (md5 canonical + polynomial rolling hash).
+
+The reference has none of these (it is a retrieval server); they extend its
+ingest gate (SURVEY.md §2.10 R5) into a curation pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.operators.dedup import normalize_text
+
+# Marker stopwords per language for the heuristic classifier.  Deterministic
+# and tiny on purpose — a plan literal, not a model.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "zh": ("的", "是", "了", "和", "在"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+# BPE-ish lexer: words | digit runs | single punctuation (tokenizer.py has
+# the python twin used inside chunking).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def ws_tokens(text: Column) -> Column:
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def bpe_ish_token_count(text: Column, piece: int = 4) -> Column:
+    """Lexer tokens, with alpha words longer than ``piece`` split into
+    ceil(len/piece) subword pieces — approximates subword inflation."""
+    toks = F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)
+    per = F.transform(
+        toks,
+        lambda t: F.when(
+            t.rlike("^[A-Za-z]+$") & (F.length(t) > piece),
+            F.ceil(F.length(t) / F.lit(float(piece))).cast("long"),
+        ).otherwise(F.lit(1).cast("long")),
+    )
+    return F.aggregate(per, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(list(words))))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = F.split(normalize_text(text), " ")
+    return {lang: _count_in(toks, markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over marker-word counts; ties and all-zero → 'und'.
+    Deterministic tie policy: a language wins only with a strictly greater
+    count than every other (checked in fixed key order)."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    expr = F.lit("und")
+    # build reversed so earlier langs take precedence on construction order
+    for lang in reversed(langs):
+        others = [scores[o] for o in langs if o != lang]
+        strictly_max = (scores[lang] > 0)
+        for o in others:
+            strictly_max = strictly_max & (scores[lang] > o)
+        expr = F.when(strictly_max, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality features + composite score.
+
+    score = 0.4·len_score + 0.3·(1−punct_ratio) + 0.3·stop_score, where
+    len_score saturates at 200 words and stop_score at a 5% stopword rate —
+    a simple, fully-SQL-portable heuristic in the C4/Gopher-rules spirit.
+    """
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    n_words = F.size(toks)
+    n_chars = F.length(t)
+    punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    stop = _count_in(F.transform(toks, F.lower), STOPWORDS)
+    len_score = F.least(n_words / F.lit(200.0), F.lit(1.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, stop / n_words).otherwise(F.lit(0.0))
+    stop_score = F.least(stop_ratio / F.lit(0.05), F.lit(1.0))
+    score = 0.4 * len_score + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_score
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Canonical-form md5 (exact-dedup key)."""
+    return F.md5(normalize_text(text))
+
+
+def rolling_fingerprint(text: Column, mod: int = 2_147_483_647, base: int = 31) -> Column:
+    """Polynomial rolling hash over the characters of the normalized text:
+    h = fold(chars, h·base + code(c) mod p).  Portable: DuckDB mirrors it
+    with list_reduce + ord()."""
+    chars = F.split(normalize_text(text), "")
+    return F.aggregate(
+        F.filter(chars, lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-stop per-document profile used by the curation pipeline."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        ws_token_count(t).alias("ws_tokens"),
+        bpe_ish_token_count(t).alias("bpe_tokens"),
+        lang_id(t).alias("lang_pred"),
+        md5_fingerprint(t).alias("md5_fp"),
+        rolling_fingerprint(t).alias("rolling_fp"),
+    )

@@ -1,0 +1,213 @@
+"""The ``chunks`` table store.
+
+Re-expresses /root/reference/src/mcpvectordb/store.py (LanceDB table driver,
+442 LoC) as a partitioned Parquet table + DataFrame operators:
+
+- layout: one table partitioned by ``library`` → the reference's scalar
+  index on ``library`` (store.py:82-88) becomes Catalyst partition pruning;
+  ``doc_id``/``source`` predicates ride Parquet min/max pushdown.
+- append is always batch (reference store.py:193-194 "never row-by-row").
+- delete is a partition-scoped anti-filter rewrite (Delta-less MERGE:
+  only partitions that contain the doc are rewritten).
+- the FTS/vector "indexes" have no physical counterpart: BM25 term stats are
+  computed at query time (or cached) and KNN is an exact scan+score+top-k —
+  the correct physical choice at the reference's own <50k-chunk regime
+  (store.py:274); see operators/ for the scale path (IVF / LSH).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from operator import and_
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.config import DEFAULT, EngineConfig
+from mcpvectordb_spark.schema import CHUNKS_SCHEMA
+
+# Filter keys must be plain identifiers (reference store.py:119) — kept as an
+# API guard even though Spark Columns are parameterised (no SQL injection).
+_IDENT_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+_FILTERABLE = {f.name for f in CHUNKS_SCHEMA if f.name != "embedding"}
+
+
+class InvalidFilterError(ValueError):
+    pass
+
+
+def build_filter(library: str | None = None, filters: dict | None = None):
+    """Conjunctive equality predicate (reference _build_where_clause,
+    store.py:122-153): optional library scope AND user filter dict with
+    string/int values only."""
+    preds = []
+    if library is not None:
+        preds.append(F.col("library") == library)
+    for key, value in (filters or {}).items():
+        if not _IDENT_RE.match(key):
+            raise InvalidFilterError(f"invalid filter key: {key!r}")
+        if key not in _FILTERABLE:
+            raise InvalidFilterError(f"unknown filter column: {key!r}")
+        if not isinstance(value, (str, int)) or isinstance(value, bool):
+            raise InvalidFilterError(f"filter values must be str or int, got {type(value).__name__}")
+        preds.append(F.col(key) == F.lit(value))
+    return reduce(and_, preds) if preds else F.lit(True)
+
+
+class ChunkStore:
+    """Path-backed chunks table. Cheap to construct (the reference opens a
+    LanceDB connection per call, store.py:156-160; here the SparkSession is
+    the long-lived context and the table is re-read lazily per query)."""
+
+    def __init__(self, spark: SparkSession, path: str, config: EngineConfig = DEFAULT):
+        self.spark = spark
+        self.path = path
+        self.config = config
+
+    # -- read ---------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        import os
+
+        # Missing/empty table → empty DataFrame with the right schema
+        # (searching an empty store returns empty, never errors — TC-17).
+        if not os.path.isdir(self.path.removeprefix("file://")):
+            return self.spark.createDataFrame([], CHUNKS_SCHEMA)
+        return self.spark.read.schema(CHUNKS_SCHEMA).parquet(self.path)
+
+    def count(self) -> int:
+        return self.read().count()
+
+    # -- write --------------------------------------------------------------
+
+    def append(self, chunks: DataFrame) -> None:
+        """Batch append (reference upsert_chunks, store.py:180-204, minus the
+        per-upsert FTS rebuild — term stats are derived at query time)."""
+        (
+            chunks.select([f.name for f in CHUNKS_SCHEMA])
+            .write.mode("append")
+            .partitionBy("library")
+            .parquet(self.path)
+        )
+
+    def delete_document(self, doc_id: str) -> int:
+        """Delete all chunks of a document (reference store.py:237-259).
+        Rewrites only the partitions that contain the doc (dynamic partition
+        overwrite) — the Parquet-era MERGE. Returns deleted row count."""
+        df = self.read()
+        hits = df.filter(F.col("doc_id") == doc_id)
+        libs = [r["library"] for r in hits.select("library").distinct().collect()]
+        if not libs:
+            return 0
+        deleted = hits.count()
+        keep = df.filter(F.col("library").isin(libs) & (F.col("doc_id") != doc_id))
+        with _partition_overwrite(self.spark):
+            (
+                keep.select([f.name for f in CHUNKS_SCHEMA])
+                .write.mode("overwrite")
+                .partitionBy("library")
+                .parquet(self.path)
+            )
+        return deleted
+
+    def replace_document(self, doc_id: str, new_chunks: DataFrame) -> None:
+        """Delete-then-append replace cycle (reference ingestor.py:199-209)."""
+        self.delete_document(doc_id)
+        self.append(new_chunks)
+
+    # -- point lookups / listings --------------------------------------------
+
+    def find_existing(self, source: str, library: str) -> tuple[str, str] | None:
+        """Dedup point-lookup (reference store.py:206-235): first row
+        matching (source, library) → (doc_id, content_hash)."""
+        row = (
+            self.read()
+            .filter((F.col("source") == source) & (F.col("library") == library))
+            .select("doc_id", "content_hash")
+            .limit(1)
+            .collect()
+        )
+        return (row[0]["doc_id"], row[0]["content_hash"]) if row else None
+
+    def documents_df(self, library: str | None = None) -> DataFrame:
+        """One row per document with first-seen metadata + chunk count
+        (reference list_documents grouping loop, store.py:382-397).
+        first-seen == the chunk_index-0 row, made explicit with min_by."""
+        df = self.read()
+        if library is not None:
+            df = df.filter(F.col("library") == library)
+        return df.groupBy("doc_id").agg(
+            F.min_by("source", "chunk_index").alias("source"),
+            F.min_by("title", "chunk_index").alias("title"),
+            F.min_by("library", "chunk_index").alias("library"),
+            F.min_by("content_hash", "chunk_index").alias("content_hash"),
+            F.min_by("created_at", "chunk_index").alias("created_at"),
+            F.min_by("metadata", "chunk_index").alias("metadata"),
+            F.count(F.lit(1)).cast("int").alias("chunk_count"),
+        )
+
+    def list_documents(self, library: str | None = None, limit: int | None = None, offset: int = 0) -> list[dict]:
+        limit = self.config.list_limit_default if limit is None else limit
+        if not (1 <= limit <= self.config.list_limit_max) or offset < 0:
+            raise ValueError("limit must be in [1, %d], offset >= 0" % self.config.list_limit_max)
+        # Recency sort + pagination (reference store.py:399-401): the window
+        # row_number idiom is exact OFFSET/LIMIT and shuffles once.
+        w = Window.orderBy(F.desc("created_at"), F.asc("doc_id"))
+        page = (
+            self.documents_df(library)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+            .drop("_rn")
+        )
+        return [r.asDict() for r in page.collect()]
+
+    def libraries_df(self) -> DataFrame:
+        """Per-library rollup (reference store.py:405-442)."""
+        return self.read().groupBy("library").agg(
+            F.countDistinct("doc_id").cast("int").alias("document_count"),
+            F.count(F.lit(1)).cast("int").alias("chunk_count"),
+        )
+
+    def list_libraries(self) -> list[dict]:
+        return [r.asDict() for r in self.libraries_df().orderBy("library").collect()]
+
+    def get_document(self, doc_id: str) -> dict | None:
+        """Reconstruct a document: chunks ordered by chunk_index, contents
+        joined with blank lines (reference store.py:329-352, server.py:382)."""
+        rows = (
+            self.read()
+            .filter(F.col("doc_id") == doc_id)
+            .groupBy("doc_id")
+            .agg(
+                F.min_by("source", "chunk_index").alias("source"),
+                F.min_by("title", "chunk_index").alias("title"),
+                F.min_by("library", "chunk_index").alias("library"),
+                F.min_by("metadata", "chunk_index").alias("metadata"),
+                F.count(F.lit(1)).cast("int").alias("chunk_count"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("chunk_index", "content"))),
+                        lambda s: s["content"],
+                    ),
+                    "\n\n",
+                ).alias("content"),
+            )
+            .collect()
+        )
+        return rows[0].asDict() if rows else None
+
+
+class _partition_overwrite:
+    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
+        return False

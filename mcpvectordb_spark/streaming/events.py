@@ -1,0 +1,87 @@
+"""Event-stream analytics: tumbling-window aggregation and sessionization.
+
+Each operator has a *batch* form (pure DataFrame, DuckDB-oracle-checkable)
+and a *streaming* form (same logic over readStream with watermarks). The
+batch form uses ``date_trunc`` so the window boundary arithmetic is identical
+in the oracle; the streaming form uses ``F.window``/``F.session_window``
+(equivalent tumbling/session semantics, plus late-data handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def windowed_counts_batch(events: DataFrame, unit: str = "hour") -> DataFrame:
+    """Tumbling window per event_type: count + sum(value) + distinct users."""
+    return (
+        events.groupBy(
+            F.date_trunc(unit, F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def windowed_counts_stream(spark: SparkSession, path: str, schema, window: str = "1 hour", watermark: str = "2 hours"):
+    """Streaming twin: file-source stream with watermarked tumbling windows.
+    Late rows beyond the watermark are dropped; output mode append."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessions: a session breaks when the gap from the previous
+    event exceeds ``gap_minutes``. Classic lag + cumulative-sum windowing;
+    returns one row per session with bounds and counts.
+
+    Scale: both windows partition by user_id — a single shuffle on the
+    natural key; no driver-side state."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    with_breaks = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > gap_s, 1
+        ).otherwise(0),
+    ).withColumn("session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        with_breaks.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def sessionize_stream(spark: SparkSession, path: str, schema, gap: str = "30 minutes", watermark: str = "2 hours"):
+    """Streaming sessionization via the built-in session_window — state is
+    managed by the engine, merged across micro-batches."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+
+
+def run_stream_to_memory(query_df, name: str, spark: SparkSession) -> DataFrame:
+    """Drive a streaming query to completion over the available files and
+    return the materialised result (test/bench helper)."""
+    q = query_df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
