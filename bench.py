@@ -1,0 +1,77 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from mcpvectordb_spark.catalog import QUERIES
+from mcpvectordb_spark.session import get_spark
+
+# Headline set: scan-heavy agg, join pipeline, vector search (point + batch),
+# FTS + hybrid, dedup at corpus scale, event-stream analytics, curation stats.
+BENCH_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "top_orders_per_priority",
+    "knn_topk",
+    "knn_batch",
+    "ivf_topk",
+    "bm25_topk",
+    "hybrid_rrf",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_quality",
+    "text_fingerprint",
+    "events_hourly",
+    "events_sessions",
+    "events_json",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    # Warm the JVM/codegen/parquet-footer paths once so timings measure the
+    # queries, not session bring-up (cold-start is a fixed ~4s local-mode
+    # cost that a long-lived cluster session never pays per query).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+
+    # Steady-state timing: every query runs twice — the first run pays
+    # one-time plan analysis + whole-stage codegen compilation (a cost a
+    # long-lived engine amortizes to zero), the second run is timed.
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).count()  # warm: codegen + page cache
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()  # timed: materialize the full result
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1048 @@
+"""Query catalog: every implemented operator as a (Spark query, DuckDB
+oracle SQL) pair over the driver's testdata tables.
+
+This is the correctness surface consumed by ``__spark_entry__.py``: the
+driver runs each Spark query and its oracle side-by-side at sf=0.01 and
+compares row counts, schemas and order-insensitive value hashes.
+
+Parity rules (learned empirically, see .claude/skills/verify/SKILL.md):
+- embeddings are float32 in parquet; BOTH sides compute in float64
+  (Spark casts to array<double>; oracles ``CAST(... AS DOUBLE[])``);
+- every float output is ``round(x, k)`` with the same k on both sides;
+- every integer aggregate in the oracle is CAST to BIGINT (DuckDB sums
+  integers into HUGEINT, which would hash differently);
+- timestamps are emitted as formatted strings on both sides;
+- portable 48-bit hash: Spark ``conv(substr(md5(x),1,12),16,10)`` ==
+  DuckDB hex fold — verified bit-for-bit;
+- all rankings carry an explicit id tiebreak so top-k cutoffs are total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.io import load_table
+from mcpvectordb_spark.operators import dedup as dd
+from mcpvectordb_spark.operators import textstats as ts
+from mcpvectordb_spark.operators.bm25 import bm25_score, bm25_topk
+from mcpvectordb_spark.operators.hybrid import rrf_topk
+from mcpvectordb_spark.operators.knn import cosine, ivf_assign, ivf_topk, knn_join, knn_topk, query_vec_lit
+
+# ---------------------------------------------------------------------------
+# shared constants
+
+SEARCH_QUERY = "window join spark batch"
+QUERY_VEC_ID = 0
+RRF_K0 = 60
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragment builders (mirrors of the Spark column expressions)
+
+def _sql_hex48(expr: str) -> str:
+    """int(md5(x)[:12], 16) — parity-tested against Spark conv()."""
+    return (
+        "list_reduce(list_transform(string_split(substr(md5(" + expr + "),1,12),''),"
+        " c -> CAST(strpos('0123456789abcdef', c)-1 AS BIGINT)), (a,b) -> a*16+b)"
+    )
+
+
+def _sql_norm(expr: str) -> str:
+    return rf"trim(regexp_replace(lower({expr}), '\s+', ' ', 'g'))"
+
+
+def _sql_words(expr: str) -> str:
+    return f"string_split({_sql_norm(expr)}, ' ')"
+
+
+def _sql_shingles(words: str, n: int) -> str:
+    return (
+        f"list_distinct(CASE WHEN len({words}) >= {n} THEN "
+        f"list_transform(range(1, len({words})-{n}+2), i -> array_to_string({words}[i:i+{n-1}], ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END)"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    """dot/(|a|·|b|) with the same operation structure as operators.knn."""
+    return (
+        f"(list_inner_product({a},{b}) / "
+        f"(sqrt(list_inner_product({a},{a})) * sqrt(list_inner_product({b},{b}))))"
+    )
+
+
+def _q_vec(spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == vec_id).first()["embedding"])
+
+
+# planted-duplicate corpora (the raw synthetic corpus has no near-dups, so
+# dedup demos plant them deterministically — identically in Spark and SQL)
+_NEARDUP_SUFFIX = " zz9 qq8 extra suffix tokens"
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").alias("id"), "text").unionByName(
+        docs.filter(F.col("doc_id") < 50).select((F.col("doc_id") + 10000).alias("id"), "text")
+    )
+
+
+_SQL_EXACT_CORPUS = (
+    "SELECT doc_id AS id, text FROM documents "
+    "UNION ALL SELECT doc_id+10000 AS id, text FROM documents WHERE doc_id < 50"
+)
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").alias("id"), "text").unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10000).alias("id"),
+            F.concat(F.col("text"), F.lit(_NEARDUP_SUFFIX)).alias("text"),
+        )
+    )
+
+
+_SQL_NEAR_CORPUS = (
+    "SELECT doc_id AS id, text FROM documents "
+    f"UNION ALL SELECT doc_id+10000 AS id, text || '{_NEARDUP_SUFFIX}' AS text "
+    "FROM documents WHERE doc_id < 50"
+)
+
+_SQL_JACCARD_ON = """
+jsh AS (SELECT id, unnest({shingles}) AS shingle FROM corpus),
+sizes AS (SELECT id, count(*) AS set_size FROM jsh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM jsh a JOIN jsh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2)
+"""
+
+
+def _sql_jaccard_cte() -> str:
+    return _SQL_JACCARD_ON.format(shingles=_sql_shingles(_sql_words("text"), 3))
+
+
+# ===========================================================================
+# 1. Vector search
+# ===========================================================================
+
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine KNN top-10 (SURVEY §2.10 R1 + §2.6 T1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _q_vec(spark, sf_dir)
+    hits = knn_topk(emb.filter(F.col("vec_id") != QUERY_VEC_ID), qv, 10, tie_col="vec_id")
+    return hits.select("vec_id", F.round("score", 6).alias("score"))
+
+
+SQL_KNN_TOPK = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> {QUERY_VEC_ID})
+SELECT vec_id, round({_sql_cos('v', 'qv')}, 6) AS score
+FROM c, q ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 10
+"""
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN: top-3 neighbors for each of 5 query vectors (broadcast
+    query set × corpus, per-query window top-k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_join(
+        queries, emb, 3, corpus_id="vec_id",
+        pair_filter=F.col("vec_id") != F.col("query_id"),
+    )
+    return out.select("query_id", "vec_id", F.round("score", 6).alias("score"))
+
+
+SQL_KNN_BATCH = f"""
+WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT query_id, vec_id, {_sql_cos('v', 'qv')} AS cos_s,
+         row_number() OVER (PARTITION BY query_id ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id) AS rn
+  FROM c, qs WHERE vec_id <> query_id)
+SELECT query_id, vec_id, round(cos_s, 6) AS score FROM scored WHERE rn <= 3
+"""
+
+
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered KNN (metadata filter BEFORE ranking — SURVEY §2.2 P3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _q_vec(spark, sf_dir)
+    hits = knn_topk(
+        emb, qv, 5,
+        pre_filter=(F.col("label") == 2) & (F.col("vec_id") != QUERY_VEC_ID),
+        tie_col="vec_id",
+    )
+    return hits.select("vec_id", F.col("label").cast("int").alias("label"), F.round("score", 6).alias("score"))
+
+
+SQL_KNN_FILTERED = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE label = 2 AND vec_id <> {QUERY_VEC_ID})
+SELECT vec_id, CAST(label AS INT) AS label, round({_sql_cos('v', 'qv')}, 6) AS score
+FROM c, q ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 5
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse centroids (vectors 0..9), nprobe=3,
+    exact re-score within probed cells (reference refine semantics)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    assigned = ivf_assign(emb, centroids, corpus_id="vec_id")
+    qv = _q_vec(spark, sf_dir)
+    hits = ivf_topk(assigned, centroids, qv, 5, nprobe=3, corpus_id="vec_id")
+    return hits.select("vec_id", F.round("score", 6).alias("score"))
+
+
+SQL_IVF_TOPK = f"""
+WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 10),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY {_sql_cos('v', 'cv')} DESC, cid) AS rn
+    FROM corpus, cents) WHERE rn = 1),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (SELECT cid FROM cents, q ORDER BY {_sql_cos('cv', 'qv')} DESC, cid LIMIT 3)
+SELECT c.vec_id, round({_sql_cos('c.v', 'qv')}, 6) AS score
+FROM corpus c JOIN assign a ON a.vec_id = c.vec_id, q
+WHERE a.cid IN (SELECT cid FROM probe)
+ORDER BY {_sql_cos('c.v', 'qv')} DESC, c.vec_id LIMIT 5
+"""
+
+
+# ===========================================================================
+# 2. Full-text + hybrid search
+# ===========================================================================
+
+_SQL_BM25_CTES = rf"""
+toks AS (
+  SELECT doc_id AS doc, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS term
+  FROM documents),
+posting AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+lens AS (SELECT doc, count(*) AS dl FROM toks GROUP BY 1),
+dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM lens) AS avgdl),
+qterms AS (SELECT unnest(['batch','join','spark','window']) AS term),
+bm AS (
+  SELECT doc, sum( ln(1 + (n - df + 0.5)/(df + 0.5))
+                   * tf*(1.2+1)/(tf + 1.2*(1-0.75+0.75*dl/avgdl)) ) AS score
+  FROM posting JOIN qterms USING(term) JOIN dfreq USING(term) JOIN lens USING(doc), stats
+  GROUP BY doc)
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 (the custom FTS leg — SURVEY §2.10 R2 / §4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_topk(docs, SEARCH_QUERY, 10, "doc_id", "text")
+    return hits.select("doc", F.round("score", 6).alias("score"))
+
+
+SQL_BM25_TOPK = f"""
+WITH {_SQL_BM25_CTES}
+SELECT doc, round(score, 6) AS score FROM bm ORDER BY score DESC, doc LIMIT 10
+"""
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 leg + vector leg fused with RRF (k0=60) —
+    the reference's hybrid query (SURVEY §2.10 R2), fully re-expressed."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _q_vec(spark, sf_dir)
+    bm_leg = bm25_topk(docs, SEARCH_QUERY, 50, "doc_id", "text")
+    vec_leg = knn_topk(emb, qv, 50, tie_col="vec_id").select(
+        F.col("vec_id").alias("doc"), "score"
+    )
+    fused = rrf_topk([(bm_leg, "doc", "score"), (vec_leg, "doc", "score")], 10, k0=RRF_K0)
+    return fused.select("doc", F.round("rrf_score", 6).alias("rrf_score"))
+
+
+SQL_HYBRID_RRF = f"""
+WITH {_SQL_BM25_CTES},
+bmtop AS (SELECT doc, score FROM bm ORDER BY score DESC, doc LIMIT 50),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+vstop AS (
+  SELECT vec_id AS doc, {_sql_cos('CAST(embedding AS DOUBLE[])', 'qv')} AS score
+  FROM embeddings, q
+  ORDER BY score DESC, doc LIMIT 50),
+br AS (SELECT doc, row_number() OVER (ORDER BY score DESC, doc) AS r FROM bmtop),
+vr AS (SELECT doc, row_number() OVER (ORDER BY score DESC, doc) AS r FROM vstop)
+SELECT COALESCE(br.doc, vr.doc) AS doc,
+       round(COALESCE(1.0/({RRF_K0}+br.r), 0) + COALESCE(1.0/({RRF_K0}+vr.r), 0), 6) AS rrf_score
+FROM br FULL OUTER JOIN vr ON br.doc = vr.doc
+ORDER BY COALESCE(1.0/({RRF_K0}+br.r), 0) + COALESCE(1.0/({RRF_K0}+vr.r), 0) DESC,
+         COALESCE(br.doc, vr.doc) LIMIT 10
+"""
+
+
+# ===========================================================================
+# 3. Store / metadata operators (documents table as the corpus)
+# ===========================================================================
+
+def q_list_libraries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-library rollup (reference list_libraries, SURVEY §2.4 A2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.col("lang").alias("library")).agg(
+        F.countDistinct("source").alias("document_count"),
+        F.count(F.lit(1)).alias("chunk_count"),
+    )
+
+
+SQL_LIST_LIBRARIES = """
+SELECT lang AS library,
+       CAST(count(DISTINCT source) AS BIGINT) AS document_count,
+       CAST(count(*) AS BIGINT) AS chunk_count
+FROM documents GROUP BY lang
+"""
+
+
+def q_list_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped listing + window pagination (reference list_documents,
+    SURVEY §2.4 A1 + §2.6 T2): rows 6..15 ordered by size desc."""
+    docs = load_table(spark, sf_dir, "documents")
+    grouped = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    w = Window.orderBy(F.desc("total_chars"), F.asc("source"))
+    return (
+        grouped.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") > 5) & (F.col("rank") <= 15))
+        .select("source", "doc_count", "total_chars", "rank")
+    )
+
+
+SQL_LIST_DOCUMENTS = """
+SELECT source, doc_count, total_chars, rank FROM (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(row_number() OVER (ORDER BY sum(n_chars) DESC, source) AS INT) AS rank
+  FROM documents GROUP BY source)
+WHERE rank > 5 AND rank <= 15
+"""
+
+
+def q_get_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document reconstruction: ordered concat of chunk texts (reference
+    get_document, SURVEY §2.4 A5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("source") == "src3")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n\n",
+            ).alias("content"),
+        )
+    )
+
+
+SQL_GET_DOCUMENT = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       string_agg(text, chr(10)||chr(10) ORDER BY doc_id) AS content
+FROM documents WHERE source = 'src3' GROUP BY source
+"""
+
+
+def q_semi_join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch find_existing: broadcast left-semi join of a probe set against
+    the corpus on (source, library) (reference store.py:206-235 → J1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = spark.createDataFrame(
+        [("src1", "en"), ("src5", "en"), ("src7", "en")], "source string, lang string"
+    )
+    return (
+        docs.join(F.broadcast(probe), ["source", "lang"], "left_semi")
+        .groupBy("source", F.col("lang").alias("library"))
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+    )
+
+
+SQL_SEMI_JOIN_LOOKUP = """
+SELECT source, lang AS library, CAST(count(*) AS BIGINT) AS n_chunks
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM (VALUES ('src1','en'),('src5','en'),('src7','en')) p(s, l)
+              WHERE p.s = d.source AND p.l = d.lang)
+GROUP BY source, lang
+"""
+
+
+def q_delete_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete as anti-join (reference delete_document → K2/J2): remaining
+    per-library counts after removing all docs with source='src3'."""
+    docs = load_table(spark, sf_dir, "documents")
+    victims = docs.filter(F.col("source") == "src3").select("doc_id")
+    return (
+        docs.join(victims, "doc_id", "left_anti")
+        .groupBy(F.col("lang").alias("library"))
+        .agg(F.count(F.lit(1)).alias("n_remaining"))
+    )
+
+
+SQL_DELETE_ANTIJOIN = """
+SELECT lang AS library, CAST(count(*) AS BIGINT) AS n_remaining
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM documents x WHERE x.source = 'src3' AND x.doc_id = d.doc_id)
+GROUP BY lang
+"""
+
+
+# ===========================================================================
+# 4. Deduplication family
+# ===========================================================================
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with 50 planted duplicates."""
+    corpus = _exact_corpus(spark, sf_dir)
+    groups = dd.exact_duplicates(corpus, "id", "text")
+    return groups.select(
+        "content_hash",
+        "dup_count",
+        F.element_at("ids", 1).alias("min_id"),
+        F.element_at("ids", -1).alias("max_id"),
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+WITH corpus AS ({_SQL_EXACT_CORPUS})
+SELECT md5({_sql_norm('text')}) AS content_hash,
+       CAST(count(*) AS BIGINT) AS dup_count,
+       min(id) AS min_id, max(id) AS max_id
+FROM corpus GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs ≥ 0.5 via shingle inverted index."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH corpus AS ({_SQL_NEAR_CORPUS}),
+{_sql_jaccard_cte()}
+SELECT id_a, id_b, round(common/(sa.set_size + sb.set_size - common), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE common/(sa.set_size + sb.set_size - common) >= 0.5
+"""
+
+
+def _sql_minhash_sig(corpus_sql: str, num_hashes: int) -> str:
+    from mcpvectordb_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    mins = []
+    for i in range(num_hashes):
+        a, b = minhash_params(i)
+        mins.append(f"min((hh * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}")
+    return f"""
+corpus AS ({corpus_sql}),
+sh AS (SELECT id, {_sql_hex48('shingle')} AS hh
+       FROM (SELECT id, unnest({_sql_shingles(_sql_words('text'), 3)}) AS shingle FROM corpus)),
+sigs AS (SELECT id, {", ".join(mins)} FROM sh GROUP BY id)
+"""
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 8-hash MinHash signatures over the documents table."""
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
+    return dd.minhash_signatures(docs, "id", "text", num_hashes=8, shingle_n=3)
+
+
+SQL_DEDUP_MINHASH_SIG = f"""
+WITH {_sql_minhash_sig("SELECT doc_id AS id, text FROM documents", 8)}
+SELECT * FROM sigs
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH banding→verify pipeline (8 hashes, 2 bands)."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(corpus, "id", "text", num_hashes=8, bands=2, shingle_n=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {_sql_minhash_sig(_SQL_NEAR_CORPUS, 8)},
+banded AS (
+  SELECT id, 0 AS band, concat_ws('_', mh0, mh1, mh2, mh3) AS bucket FROM sigs
+  UNION ALL
+  SELECT id, 1 AS band, concat_ws('_', mh4, mh5, mh6, mh7) AS bucket FROM sigs),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+{_sql_jaccard_cte()}
+SELECT c.id_a, c.id_b, round(common/(sa.set_size + sb.set_size - common), 6) AS jaccard
+FROM cand c
+JOIN common ON common.id_a = c.id_a AND common.id_b = c.id_b
+JOIN sizes sa ON sa.id = c.id_a JOIN sizes sb ON sb.id = c.id_b
+WHERE common/(sa.set_size + sb.set_size - common) >= 0.5
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit tf-weighted SimHash fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
+    return dd.simhash(docs, "id", "text", bits=32)
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    sums = ", ".join(f"sum(tf * (((hh >> {b}) & 1)*2 - 1)) AS s{b}" for b in range(bits))
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH terms AS (
+  SELECT id, term, count(*) AS tf FROM (
+    SELECT doc_id AS id, unnest({_sql_words('text')}) AS term FROM documents)
+  GROUP BY 1, 2),
+h AS (SELECT id, tf, {_sql_hex48('term')} AS hh FROM terms),
+sums AS (SELECT id, {sums} FROM h GROUP BY id)
+SELECT id, {fp} AS simhash FROM sums
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash(32)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force exact baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_sql_cos('a.v', 'b.v')}, 6) AS cos_sim
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE {_sql_cos('a.v', 'b.v')} >= 0.35
+"""
+
+
+# ===========================================================================
+# 5. Text analysis
+# ===========================================================================
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex subword estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ts.ws_token_count(t).cast("long").alias("ws_tokens"),
+        ts.bpe_ish_token_count(t).alias("bpe_tokens"),
+    )
+
+
+SQL_TEXT_TOKENS = r"""
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+  CAST(list_sum(list_transform(
+        regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'),
+        t -> CASE WHEN regexp_full_match(t, '[A-Za-z]+') AND len(t) > 4
+                  THEN CAST(ceil(len(t)/4.0) AS BIGINT) ELSE 1 END)) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.quality_features(docs, "doc_id", "text").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "punct_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_words,
+    CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS punct,
+    CAST(len(list_filter(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''), t -> lower(t)),
+             t -> t IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS stop
+  FROM documents),
+r AS (
+  SELECT doc_id, n_chars, n_words,
+    CASE WHEN n_chars > 0 THEN punct/n_chars ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_words > 0 THEN stop/n_words ELSE 0.0 END AS stop_ratio,
+    least(n_words/200.0, 1.0) AS len_score
+  FROM f)
+SELECT doc_id, n_chars, n_words,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stop_ratio, 6) AS stopword_ratio,
+  round(0.4*len_score + 0.3*(1.0 - punct_ratio) + 0.3*least(stop_ratio/0.05, 1.0), 6) AS quality_score
+FROM r
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID, tallied against the true label."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_pred", ts.lang_id(F.col("text")))
+        .groupBy(F.col("lang").alias("lang_true"), "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_langid() -> str:
+    words = _sql_words("text")
+    scores = {
+        lang: f"len(list_filter({words}, t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in ts.LANG_MARKERS.items()
+    }
+    cases = []
+    for lang in ts.LANG_MARKERS:
+        others = " AND ".join(f"s_{lang} > s_{o}" for o in ts.LANG_MARKERS if o != lang)
+        cases.append(f"WHEN s_{lang} > 0 AND {others} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    selects = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    return f"""
+WITH scored AS (SELECT lang, {selects} FROM documents)
+SELECT lang AS lang_true, {case_sql} AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM scored GROUP BY 1, 2
+"""
+
+
+SQL_TEXT_LANGID = _sql_langid()
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: canonical md5 + polynomial rolling hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ts.md5_fingerprint(t).alias("md5_fp"),
+        ts.rolling_fingerprint(t).alias("rolling_fp"),
+    )
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+  md5({_sql_norm('text')}) AS md5_fp,
+  list_reduce(
+    list_concat([CAST(0 AS BIGINT)],
+                list_transform(string_split({_sql_norm('text')}, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (a, b) -> (a*31 + b) % 2147483647) AS rolling_fp
+FROM documents
+"""
+
+
+# ===========================================================================
+# 6. Event analytics (batch forms of the streaming operators)
+# ===========================================================================
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type (streaming twin exists in
+    streaming.events.windowed_counts_stream)."""
+    from mcpvectordb_spark.streaming.events import windowed_counts_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_counts_batch(ev, "hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "sum_value", "n_users",
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min) via lag + cumulative-sum windows."""
+    from mcpvectordb_spark.streaming.events import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize_batch(ev, gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events", "sum_value",
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH l AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM l)
+SELECT user_id, session_seq,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation (metadata-in-a-string,
+    reference store.py:31 pattern — SURVEY §2.8 F6)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# ===========================================================================
+# 7. Relational analytics (TPC-H-shaped: agg / join / window / top-k)
+# ===========================================================================
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): wide hash aggregate with
+    map-side partial aggregation — the canonical scan-heavy scaling query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority (TPC-H Q3 shape): selective dimension broadcast
+    join → fact join → agg → top-10."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.desc("_rev"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            F.round("_rev", 2).alias("revenue"),
+        )
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(l_extendedprice*(1-l_discount)) DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume (TPC-H Q5 shape): 6-table join with small
+    dimensions broadcast; revenue per nation in one region/year."""
+    sf = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+    region = sf("region").filter(F.col("r_name") == "ASIA")
+    nation, cust, supp = sf("nation"), sf("customer"), sf("supplier")
+    orders = sf("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = sf("lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price within each priority (window top-k per group)."""
+    from mcpvectordb_spark.operators.topk import top_k_per_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = top_k_per_group(orders, ["o_orderpriority"], "o_totalprice", 3, tie_cols=["o_orderkey"])
+    return out.select(
+        "o_orderpriority", "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_TOP_ORDERS_PER_PRIORITY = """
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+# ===========================================================================
+# 8. Non-SQL-expressible operators (rows-only driver check)
+# ===========================================================================
+
+def q_ingest_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ingest pipeline (convert→chunk→embed→store) over the documents
+    table; returns per-library doc/chunk counts.  The recursive chunker is
+    not SQL-expressible → rows-only check."""
+    import tempfile
+
+    from mcpvectordb_spark.config import TEST
+    from mcpvectordb_spark.ingest import ingest_batch
+    from mcpvectordb_spark.store import ChunkStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias("source"),
+        F.col("lang").alias("library"),
+        F.col("text").alias("content"),
+        F.lit(None).cast("string").alias("metadata"),
+    )
+    store = ChunkStore(spark, tempfile.mkdtemp(prefix="chunks_"), TEST)
+    ingest_batch(raw, store, TEST, created_at="2026-01-01T00:00:00+00:00")
+    return store.read().groupBy("library").agg(
+        F.countDistinct("doc_id").alias("document_count"),
+        F.count(F.lit(1)).alias("chunk_count"),
+    )
+
+
+def q_search_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end search over freshly-ingested chunks with the deterministic
+    hash embedder (the reference's §3.1 hot path)."""
+    import tempfile
+
+    from mcpvectordb_spark.config import TEST
+    from mcpvectordb_spark.embedder import HashEmbedder
+    from mcpvectordb_spark.ingest import ingest_batch
+    from mcpvectordb_spark.store import ChunkStore
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    raw = docs.select(
+        F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias("source"),
+        F.col("lang").alias("library"),
+        F.col("text").alias("content"),
+        F.lit(None).cast("string").alias("metadata"),
+    )
+    store = ChunkStore(spark, tempfile.mkdtemp(prefix="chunks_"), TEST)
+    ingest_batch(raw, store, TEST, created_at="2026-01-01T00:00:00+00:00")
+    qv = HashEmbedder(dim=TEST.embedding_dim, config=TEST).embed_query(SEARCH_QUERY)
+    hits = knn_topk(store.read(), list(map(float, qv)), 10, tie_col="id")
+    return hits.select("id", "library", F.round("score", 6).alias("score"))
+
+
+def q_neardup_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed cosine near-dup (scale path; hyperplanes are
+    seeded literals — verified against the brute-force oracle in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # moderate-similarity regime → shallow planes + more tables for recall
+    pairs = dd.embedding_neardup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.35, num_planes=4, num_tables=8
+    )
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation driven to completion
+    over the events file (real readStream → memory sink)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from mcpvectordb_spark.streaming.events import run_stream_to_memory
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="stream_in_")
+    ev.write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(d)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    name = "stream_hourly_out"
+    out = run_stream_to_memory(stream, name, spark)
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+QUERIES = {
+    # vector search
+    "knn_topk": q_knn_topk,
+    "knn_batch": q_knn_batch,
+    "knn_filtered": q_knn_filtered,
+    "ivf_topk": q_ivf_topk,
+    # text + hybrid search
+    "bm25_topk": q_bm25_topk,
+    "hybrid_rrf": q_hybrid_rrf,
+    # store / metadata ops
+    "list_libraries": q_list_libraries,
+    "list_documents": q_list_documents,
+    "get_document": q_get_document,
+    "semi_join_lookup": q_semi_join_lookup,
+    "delete_antijoin": q_delete_antijoin,
+    # dedup family
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    # text analysis
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    # events
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "events_json": q_events_json,
+    # relational analytics
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "top_orders_per_priority": q_top_orders_per_priority,
+    # rows-only (non-SQL-expressible)
+    "ingest_chunks": q_ingest_chunks,
+    "search_ingested": q_search_ingested,
+    "neardup_lsh_embeddings": q_neardup_lsh_embeddings,
+    "stream_hourly": q_stream_hourly,
+}
+
+ORACLES = {
+    "knn_topk": SQL_KNN_TOPK,
+    "knn_batch": SQL_KNN_BATCH,
+    "knn_filtered": SQL_KNN_FILTERED,
+    "ivf_topk": SQL_IVF_TOPK,
+    "bm25_topk": SQL_BM25_TOPK,
+    "hybrid_rrf": SQL_HYBRID_RRF,
+    "list_libraries": SQL_LIST_LIBRARIES,
+    "list_documents": SQL_LIST_DOCUMENTS,
+    "get_document": SQL_GET_DOCUMENT,
+    "semi_join_lookup": SQL_SEMI_JOIN_LOOKUP,
+    "delete_antijoin": SQL_DELETE_ANTIJOIN,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+    "text_tokens": SQL_TEXT_TOKENS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_langid": SQL_TEXT_LANGID,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+    "events_json": SQL_EVENTS_JSON,
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5": SQL_TPCH_Q5,
+    "top_orders_per_priority": SQL_TOP_ORDERS_PER_PRIORITY,
+    # ingest_chunks / search_ingested / neardup_lsh_embeddings / stream_hourly:
+    # intentionally no oracle (chunker recursion, seeded hyperplanes and
+    # streaming execution are not ANSI-SQL-expressible) → rows-only check.
+}

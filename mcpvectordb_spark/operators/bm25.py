@@ -34,9 +34,14 @@ def tokens_col(text: Column) -> Column:
 
 
 def doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc, term, tf) — the posting list."""
+    """(doc, term, tf) — the posting list.  Fanned out across cores first:
+    small-file scans arrive in 1-2 partitions and would serialize the
+    tokenize/explode stage."""
+    from mcpvectordb_spark.operators.dedup import fan_out
+
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(tokens_col(F.col(text_col))).alias("term"))
+        fan_out(df)
+        .select(F.col(id_col).alias("doc"), F.explode(tokens_col(F.col(text_col))).alias("term"))
         .groupBy("doc", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -73,8 +78,16 @@ def bm25_score(
     if not q_terms:
         return df.sparkSession.createDataFrame([], f"doc string, {score_col} double")
 
-    posting = doc_terms(df, id_col, text_col)
-    lens, dfreq, n = corpus_stats(df, id_col, text_col)
+    # The posting list feeds both the hit scan and the df counts; doc
+    # lengths feed avgdl and the scoring join — cache both (the reference
+    # instead maintains a persistent FTS index; a warm deployment would
+    # persist these stats tables and refresh incrementally on append).
+    posting = doc_terms(df, id_col, text_col).cache()
+    lens = df.select(
+        F.col(id_col).alias("doc"), F.size(tokens_col(F.col(text_col))).alias("dl")
+    ).cache()
+    dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.count()
     avgdl = lens.agg(F.avg("dl")).collect()[0][0] or 1.0
 
     hits = posting.filter(F.col("term").isin(q_terms))

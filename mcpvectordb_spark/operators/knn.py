@@ -85,19 +85,22 @@ def knn_join(
     corpus_id: str = "id",
     vec_col: str = "embedding",
     score_col: str = "score",
+    pair_filter: Column | None = None,
 ) -> DataFrame:
     """Batch KNN: top-k corpus neighbors for every query row.
 
     The (small) query set is broadcast against the corpus — a map-side
     cross product; per-query top-k via a window. At 100 TB the corpus side
     streams through executors once, queries stay in memory.
+    ``pair_filter`` (e.g. excluding self-matches) is applied before ranking.
     """
     q = F.broadcast(
         queries.select(F.col(query_id), F.col(query_vec).alias("__qv"))
     )
-    scored = corpus.crossJoin(q).withColumn(
-        score_col, cosine(F.col(vec_col), F.col("__qv"))
-    )
+    paired = corpus.crossJoin(q)
+    if pair_filter is not None:
+        paired = paired.filter(pair_filter)
+    scored = paired.withColumn(score_col, cosine(F.col(vec_col), F.col("__qv")))
     w = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(corpus_id))
     return (
         scored.withColumn("__rn", F.row_number().over(w))

@@ -36,7 +36,7 @@ MEDIA_SCHEMA = T.StructType(
 
 IMAGE_FEATURE_SCHEMA = "media_id string, width int, height int, n_bytes long, features array<float>"
 AUDIO_FEATURE_SCHEMA = "media_id string, duration_s double, n_bytes long, features array<float>"
-FRAME_SAMPLE_SCHEMA = "media_id string, frame_index int, frame_ts_s double, frame bytes"
+FRAME_SAMPLE_SCHEMA = "media_id string, frame_index int, frame_ts_s double, frame binary"
 
 
 def _fake_features(payload: bytes, dim: int) -> list[float]:

@@ -47,11 +47,13 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     Scale: both windows partition by user_id — a single shuffle on the
     natural key; no driver-side state."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = gap_minutes * 60
+    # microsecond precision: casting timestamp→long truncates sub-second
+    # parts and would disagree with fractional-second gap math at boundaries
+    gap_us = gap_minutes * 60 * 1_000_000
     with_breaks = events.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > gap_s, 1
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w) > gap_us, 1
         ).otherwise(0),
     ).withColumn("session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     return (

@@ -1,0 +1,110 @@
+"""Dedup family: exact groups, Jaccard math, MinHash-LSH recall on planted
+near-dups, SimHash stability, embedding LSH vs brute-force recall."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    embedding_neardup_pairs_lsh,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+    word_shingles,
+)
+
+
+def corpus(spark, rows):
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_duplicates_normalization(spark):
+    df = corpus(spark, [
+        (1, "Hello   World"),
+        (2, "hello world"),        # same after normalization
+        (3, "HELLO\tWORLD  "),     # same after normalization
+        (4, "something else"),
+    ])
+    groups = exact_duplicates(df, "id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 3
+    assert groups[0]["ids"] == [1, 2, 3]
+
+
+def test_jaccard_known_value(spark):
+    # shingle sets: {a b c, b c d} vs {a b c, b c x} → intersection 1, union 3
+    df = corpus(spark, [(1, "a b c d"), (2, "a b c x")])
+    pairs = ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.0).collect()
+    assert len(pairs) == 1
+    assert math.isclose(pairs[0]["jaccard"], 1 / 3, rel_tol=1e-9)
+
+
+def test_short_doc_has_no_shingles(spark):
+    df = spark.createDataFrame([("x y",)], "text string")
+    assert df.select(word_shingles(F.col("text"), 3).alias("s")).first()["s"] == []
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, mini_docs):
+    base = mini_docs.select(F.monotonically_increasing_id().alias("id"), F.col("content").alias("text"))
+    mutated = base.select((F.col("id") + 1000).alias("id"), F.concat("text", F.lit(" tail word")).alias("text"))
+    both = base.unionByName(mutated)
+    pairs = minhash_lsh_pairs(both, "id", "text", num_hashes=8, bands=2, threshold=0.5)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(r["id"], r["id"] + 1000) for r in base.collect()}
+    # high-similarity planted pairs must be recovered (tiny docs may fall
+    # below threshold after mutation; require ≥ the 3 long docs)
+    assert len(found & planted) >= 3
+
+
+def test_minhash_signature_is_similarity_preserving(spark):
+    df = corpus(spark, [
+        (1, " ".join(f"w{i}" for i in range(100))),
+        (2, " ".join(f"w{i}" for i in range(100)) + " extra"),
+        (3, " ".join(f"z{i}" for i in range(100))),
+    ])
+    sigs = {r["id"]: [r[f"mh{i}"] for i in range(16)] for r in minhash_signatures(df, "id", "text", 16).collect()}
+    agree_12 = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert agree_12 > agree_13
+    assert agree_13 == 0
+
+
+def test_simhash_stable_and_near_for_neardups(spark):
+    df = corpus(spark, [
+        (1, " ".join(f"w{i}" for i in range(200))),
+        (2, " ".join(f"w{i}" for i in range(200))),
+    ])
+    fps = {r["id"]: r["simhash"] for r in simhash(df, "id", "text").collect()}
+    assert fps[1] == fps[2]
+    pairs = simhash_pairs(df, "id", "text", max_hamming=0).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def test_embedding_lsh_never_fabricates(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(emb, "vec_id", threshold=0.35).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           embedding_neardup_pairs_lsh(emb, "vec_id", threshold=0.35, num_planes=8, num_tables=6).collect()}
+    assert lsh <= brute, "LSH must never fabricate pairs (it verifies exactly)"
+
+
+def test_embedding_lsh_recall_on_true_neardups(spark):
+    """Sign-LSH is built for high-similarity pairs: plant near-identical
+    copies (tiny deterministic perturbation → cos ≈ 0.999) and require
+    ≳90% recall.  (At cos 0.35 the expected collision rate is ~11% by the
+    (1−θ/π)^planes formula — that regime is the brute operator's job.)"""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001) + F.lit(1e-4)).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(copies)
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           embedding_neardup_pairs_lsh(both, "vec_id", threshold=0.99, num_planes=8, num_tables=6).collect()}
+    planted = {(r["vec_id"], r["vec_id"] + 100000) for r in emb.collect()}
+    recall = len(lsh & planted) / len(planted)
+    assert recall >= 0.9, f"LSH recall on true near-dups: {recall}"

@@ -1,0 +1,45 @@
+"""Driver-contract smoke: entry() runs, queries()/oracle_sql() are consistent,
+and a sample of oracle pairs hash-match via DuckDB at sf0.001 (the full
+sweep lives in tools/check_parity.py)."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"doc", "rrf_score"}
+
+
+def test_queries_and_oracles_consistent():
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    # every oracle-less query is one of the documented non-SQL-expressible ops
+    rows_only = set(qs) - set(os_)
+    assert rows_only == {"ingest_chunks", "search_ingested", "neardup_lsh_embeddings", "stream_hourly"}
+
+
+def test_sample_parity_at_sf0001(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("knn_topk", "bm25_topk", "list_libraries", "tpch_q1"):
+        sdf = qs[name](spark, SF)
+        cols = sorted(sdf.columns)
+        srows = sorted(tuple(r[c] for c in cols) for r in sdf.collect())
+        res = con.execute(os_[name])
+        ocols = [d[0] for d in res.description]
+        orows = sorted(tuple(r[ocols.index(c)] for c in cols) for r in res.fetchall())
+        assert srows == orows, name

@@ -1,0 +1,104 @@
+"""Search operator tests: exact KNN semantics, pre-filtering, BM25 exact-term
+retrieval, hybrid RRF, IVF vs exact agreement (FIXTURES.md tables 3-4)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.config import TEST
+from mcpvectordb_spark.embedder import HashEmbedder
+from mcpvectordb_spark.ingest import ingest_batch
+from mcpvectordb_spark.operators.bm25 import bm25_topk
+from mcpvectordb_spark.operators.hybrid import rrf_topk
+from mcpvectordb_spark.operators.knn import cosine, ivf_assign, ivf_topk, knn_topk
+from mcpvectordb_spark.store import build_filter
+
+EMB = HashEmbedder(dim=TEST.embedding_dim, config=TEST)
+
+
+@pytest.fixture()
+def filled(spark, store, mini_docs):
+    ingest_batch(mini_docs, store, TEST, created_at="2026-01-01T00:00:00+00:00")
+    return store
+
+
+def test_knn_topk_bound_and_order(spark, filled):
+    qv = EMB.embed_query("alpha beta gamma")
+    hits = knn_topk(filled.read(), qv, 3, tie_col="id").collect()
+    assert len(hits) == 3
+    scores = [h["score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+    # k larger than corpus → whole corpus, no error
+    all_hits = knn_topk(filled.read(), qv, 1000, tie_col="id").collect()
+    assert len(all_hits) == filled.count()
+
+
+def test_knn_scores_match_numpy(spark, filled):
+    import numpy as np
+
+    qv = EMB.embed_query("alpha beta gamma").astype(np.float64)
+    row = knn_topk(filled.read(), qv, 1, tie_col="id").first()
+    ev = np.array(row["embedding"], dtype=np.float64)
+    expected = float(np.dot(ev, qv) / (np.linalg.norm(ev) * np.linalg.norm(qv)))
+    assert math.isclose(row["score"], expected, rel_tol=1e-9)
+
+
+def test_knn_library_isolation(spark, filled):
+    qv = EMB.embed_query("anything")
+    hits = knn_topk(filled.read(), qv, 100, pre_filter=build_filter(library="lib_b"), tie_col="id")
+    assert {r["library"] for r in hits.collect()} == {"lib_b"}
+    none = knn_topk(filled.read(), qv, 5, pre_filter=build_filter(library="ghost"), tie_col="id")
+    assert none.count() == 0
+
+
+def test_knn_prefilter_applied_before_ranking(spark, filled):
+    """Filter must restrict the candidate set, not trim the result; with a
+    filter matching few rows, all of them surface even if globally low-ranked."""
+    qv = EMB.embed_query("x")
+    lib_b_total = filled.read().filter(F.col("library") == "lib_b").count()
+    hits = knn_topk(filled.read(), qv, 100, pre_filter=build_filter(library="lib_b"), tie_col="id")
+    assert hits.count() == lib_b_total
+
+
+def test_bm25_exact_term_retrieval(spark, filled):
+    """The reference's hybrid guarantee: an exact rare token must retrieve
+    its chunk (reference test_store.py:690-708, token 'E-4021')."""
+    hits = bm25_topk(filled.read(), "e-4021", 5, "id", "content").collect()
+    assert hits, "rare exact token must match"
+    top = filled.read().filter(F.col("id") == hits[0]["doc"]).first()
+    assert "E-4021" in top["content"]
+
+
+def test_bm25_absent_term_empty(spark, filled):
+    assert bm25_topk(filled.read(), "zzzmissingterm", 5, "id", "content").count() == 0
+    assert bm25_topk(filled.read(), "", 5, "id", "content").count() == 0
+
+
+def test_rrf_fusion_rewards_presence_in_both_legs(spark):
+    a = spark.createDataFrame([("d1", 10.0), ("d2", 5.0)], "doc string, score double")
+    b = spark.createDataFrame([("d2", 0.9), ("d3", 0.8)], "doc string, score double")
+    fused = {r["doc"]: r["rrf_score"] for r in rrf_topk([(a, "doc", "score"), (b, "doc", "score")], 10).collect()}
+    # d2 appears in both legs → beats d1 and d3 (rank 1+2 vs single rank 1)
+    assert fused["d2"] > fused["d1"] > 0
+    assert fused["d2"] > fused["d3"] > 0
+    assert math.isclose(fused["d2"], 1 / 62 + 1 / 61, rel_tol=1e-9)
+
+
+def test_ivf_agrees_with_exact_when_probing_all(spark, filled):
+    corpus = filled.read().select("id", "embedding")
+    centroids = corpus.limit(3).select(
+        F.col("id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    assigned = ivf_assign(corpus, centroids, corpus_id="id")
+    qv = EMB.embed_query("alpha beta gamma")
+    # probing ALL centroids makes IVF exhaustive → must equal exact KNN
+    ivf_ids = [r["id"] for r in ivf_topk(assigned, centroids, qv, 5, nprobe=3, corpus_id="id").collect()]
+    exact_ids = [r["id"] for r in knn_topk(corpus, qv, 5, tie_col="id").collect()]
+    assert ivf_ids == exact_ids
+
+
+def test_doc_and_query_prefixes_differ():
+    d = EMB.embed_documents(["same text"])[0]
+    q = EMB.embed_query("same text")
+    assert not math.isclose(float(d @ q), 1.0, abs_tol=1e-6)

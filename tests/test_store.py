@@ -1,0 +1,135 @@
+"""Store + ingest behavioral matrix (reference test_store.py / test_ingestor.py
+scenarios listed in FIXTURES.md)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.config import TEST
+from mcpvectordb_spark.ingest import ingest_batch, rollup_results
+from mcpvectordb_spark.store import InvalidFilterError, build_filter
+
+
+def counts(results):
+    return {r["status"]: r["n"] for r in rollup_results(results).collect()}
+
+
+def ingest(df, store, ts="2026-01-01T00:00:00+00:00"):
+    return ingest_batch(df, store, TEST, created_at=ts)
+
+
+def test_ingest_roundtrip_and_ordering(spark, store, mini_docs):
+    res = ingest(mini_docs, store)
+    assert counts(res) == {"indexed": 5}
+    docs = store.list_documents(limit=100)
+    assert len(docs) == 5
+    # chunk ordering: get_document joins chunks by ascending chunk_index
+    big = next(d for d in docs if d["source"] == "file:///a.md")
+    full = store.get_document(big["doc_id"])
+    assert full["chunk_count"] >= 2
+    assert full["content"].startswith("# Alpha")
+    assert full["title"] == "Alpha"
+
+
+def test_dedup_skip_replace_and_cross_library(spark, store, mini_docs):
+    ingest(mini_docs, store)
+    # same content → all skipped
+    assert counts(ingest(mini_docs, store, "2026-01-02T00:00:00+00:00")) == {"skipped": 5}
+    # one modified doc → replaced, store swaps content
+    mod = mini_docs.filter(F.col("source") == "file:///c.txt").withColumn(
+        "content", F.lit("changed tiny doc")
+    )
+    assert counts(ingest(mod, store, "2026-01-03T00:00:00+00:00")) == {"replaced": 1}
+    doc = next(d for d in store.list_documents(limit=100) if d["source"] == "file:///c.txt")
+    assert store.get_document(doc["doc_id"])["content"] == "changed tiny doc"
+    # same source in a DIFFERENT library is independent (reference
+    # test_store.py:287-315)
+    other_lib = mini_docs.filter(F.col("source") == "file:///a.md").withColumn(
+        "library", F.lit("lib_z")
+    )
+    assert counts(ingest(other_lib, store, "2026-01-04T00:00:00+00:00")) == {"indexed": 1}
+    libs = {d["library"] for d in store.list_documents(limit=100)}
+    assert "lib_z" in libs
+
+
+def test_delete_document_isolation(spark, store, mini_docs):
+    ingest(mini_docs, store)
+    before = store.count()
+    victim = next(d for d in store.list_documents(limit=100) if d["source"] == "file:///a.md")
+    deleted = store.delete_document(victim["doc_id"])
+    assert deleted == victim["chunk_count"]
+    assert store.count() == before - deleted
+    # other docs untouched; deleting again is a no-op returning 0
+    assert store.get_document(victim["doc_id"]) is None
+    assert store.delete_document(victim["doc_id"]) == 0
+
+
+def test_list_libraries_counts(spark, store, mini_docs):
+    ingest(mini_docs, store)
+    libs = {r["library"]: r for r in store.libraries_df().collect()}
+    assert libs["lib_a"]["document_count"] == 3
+    assert libs["lib_b"]["document_count"] == 2
+    total_chunks = sum(r["chunk_count"] for r in libs.values())
+    assert total_chunks == store.count()
+
+
+def test_pagination_bounds(spark, store, mini_docs):
+    ingest(mini_docs, store)
+    page1 = store.list_documents(limit=2, offset=0)
+    page2 = store.list_documents(limit=2, offset=2)
+    assert len(page1) == 2 and len(page2) == 2
+    assert {d["doc_id"] for d in page1}.isdisjoint({d["doc_id"] for d in page2})
+    with pytest.raises(ValueError):
+        store.list_documents(limit=0)
+    with pytest.raises(ValueError):
+        store.list_documents(limit=10, offset=-1)
+
+
+def test_find_existing(spark, store, mini_docs):
+    ingest(mini_docs, store)
+    hit = store.find_existing("file:///a.md", "lib_a")
+    assert hit is not None and len(hit) == 2
+    assert store.find_existing("file:///a.md", "nope") is None
+    assert store.find_existing("ghost", "lib_a") is None
+
+
+def test_filter_validation():
+    with pytest.raises(InvalidFilterError):
+        build_filter(filters={"bad-key": "x"})
+    with pytest.raises(InvalidFilterError):
+        build_filter(filters={"1leading": "x"})
+    with pytest.raises(InvalidFilterError):
+        build_filter(filters={"page'; DROP TABLE": 1})
+    with pytest.raises(InvalidFilterError):
+        build_filter(filters={"nonexistent_col": "x"})
+    with pytest.raises(InvalidFilterError):
+        build_filter(filters={"page": 1.5})
+    # valid: string and int equality on real columns
+    assert build_filter(library="a", filters={"file_type": "pdf", "page": 2}) is not None
+
+
+def test_empty_store_reads(spark, store):
+    assert store.count() == 0
+    assert store.list_documents() == []
+    assert store.list_libraries() == []
+    assert store.get_document("nope") is None
+
+
+def test_failed_rows_do_not_stop_batch(spark, store):
+    df = spark.createDataFrame(
+        [("s1", "lib", "   ", None), ("s2", "lib", "# Ok\n\nreal content here", None), ("s2", "lib", "dup key", None)],
+        "source string, library string, content string, metadata string",
+    )
+    res = ingest(df, store)
+    by_status = counts(res)
+    assert by_status["indexed"] == 1
+    assert by_status["failed"] == 2
+    errors = {r["error"] for r in res.filter(F.col("status") == "failed").collect()}
+    assert "empty content" in errors
+    assert "duplicate (source, library) in batch" in errors
+
+
+def test_metadata_roundtrip(spark, store, mini_docs):
+    ingest(mini_docs, store)
+    doc = next(d for d in store.list_documents(limit=100) if d["source"] == "https://x.io/d")
+    assert doc["metadata"] == '{"author":"Alice"}'
+    assert doc["library"] == "lib_b"

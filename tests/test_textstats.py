@@ -1,0 +1,78 @@
+"""Text-analysis operators: counts vs the pure-python tokenizer twin,
+quality score bounds, lang-id markers, fingerprint invariance."""
+
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.operators.textstats import (
+    lang_id,
+    md5_fingerprint,
+    quality_features,
+    rolling_fingerprint,
+    text_profile,
+)
+from mcpvectordb_spark.tokenizer import bpe_ish_token_count, ws_token_count
+
+
+def one(spark, text):
+    return spark.createDataFrame([(1, text)], "id long, text string")
+
+
+def test_token_counts_match_python_twin(spark):
+    samples = [
+        "hello world",
+        "  leading and trailing  ",
+        "punctuation, here! and-also (parens).",
+        "supercalifragilisticexpialidocious antidisestablishmentarianism",
+        "numbers 12345 and 99",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "id long, text string")
+    rows = {r["id"]: r for r in text_profile(df, "id", "text").collect()}
+    for i, s in enumerate(samples):
+        assert rows[i]["ws_tokens"] == ws_token_count(s), s
+        assert rows[i]["bpe_tokens"] == bpe_ish_token_count(s), s
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox is in a hurry to get over the lazy dog " * 10),
+         (2, "!!! ??? ... ;;;"),
+         (3, "")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in quality_features(df, "id", "text").collect()}
+    for r in rows.values():
+        assert 0.0 <= r["quality_score"] <= 1.0
+    assert rows[1]["quality_score"] > rows[2]["quality_score"]
+    assert rows[3]["n_words"] == 0
+
+
+def test_lang_id_markers(spark):
+    cases = [
+        ("the cat is on a mat and the dog", "en"),
+        ("le chat et la porte est belle les amis", "fr"),
+        ("el perro y los gatos es bueno y las casas", "es"),
+        ("der hund und die katze ist das haus", "de"),
+        ("xyzzy plugh", "und"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)], "id long, text string")
+    preds = {r["id"]: r["pred"] for r in df.select("id", lang_id(F.col("text")).alias("pred")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert preds[i] == want, cases[i]
+
+
+def test_fingerprints_whitespace_invariant(spark):
+    a = one(spark, "Hello   World  again")
+    b = one(spark, "hello world AGAIN".lower())
+    fa = a.select(md5_fingerprint(F.col("text")).alias("m"), rolling_fingerprint(F.col("text")).alias("r")).first()
+    fb = b.select(md5_fingerprint(F.col("text")).alias("m"), rolling_fingerprint(F.col("text")).alias("r")).first()
+    assert fa["m"] == fb["m"]
+    assert fa["r"] == fb["r"]
+
+
+def test_rolling_fingerprint_matches_python(spark):
+    text = "some sample text 123"
+    row = one(spark, text).select(rolling_fingerprint(F.col("text")).alias("r")).first()
+    h = 0
+    for ch in text:  # already normalized (lowercase, single spaces)
+        h = (h * 31 + ord(ch)) % 2147483647
+    assert row["r"] == h
