@@ -1,0 +1,252 @@
+"""Public API facade — the reference's complete tool surface, re-expressed.
+
+One function per MCP tool of the reference (/root/reference/src/mcpvectordb/
+server.py:64-420: ingest_file, ingest_url, ingest_content, ingest_folder,
+search, list_documents, list_libraries, delete_document, get_document,
+server_info), with the same parameter names, validation bounds and result
+dict shapes (the behavioral contract of docs/mcp-tool-spec.md).  A user of
+the reference can switch to this engine and call the same operations.
+
+Error envelope: like the reference, API calls return
+``{"status": "error", "error": ...}`` instead of raising
+(docs/mcp-tool-spec.md:287-296); programming errors still raise.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.config import DEFAULT, EngineConfig
+from mcpvectordb_spark.embedder import Embedder, HashEmbedder
+from mcpvectordb_spark.ingest import ingest_batch
+from mcpvectordb_spark.operators.bm25 import bm25_topk
+from mcpvectordb_spark.operators.hybrid import rrf_topk
+from mcpvectordb_spark.operators.knn import knn_topk
+from mcpvectordb_spark.store import ChunkStore, InvalidFilterError, build_filter
+
+
+def _err(msg: str) -> dict:
+    return {"status": "error", "error": msg}
+
+
+class VectorDB:
+    """Session-scoped engine handle: SparkSession + store path + embedder.
+
+    The reference opens a cheap LanceDB connection per call
+    (store.py:156-160); here the SparkSession is the long-lived context and
+    this object is a thin façade over it.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        config: EngineConfig = DEFAULT,
+        embedder: Embedder | None = None,
+    ):
+        self.spark = spark
+        self.config = config
+        self.store = ChunkStore(spark, path, config)
+        self.embedder = embedder or HashEmbedder(dim=config.embedding_dim, config=config)
+
+    def _embedder_factory(self):
+        """Closure shipping ONLY the embedder to executors — capturing
+        ``self`` would drag the SparkSession into the UDF pickle."""
+        emb = self.embedder
+        return lambda: emb
+
+    # -- ingestion ----------------------------------------------------------
+
+    def ingest_content(self, content: str, source: str, library: str = "default",
+                       metadata: dict | None = None) -> dict:
+        """Reference server.py:138-177 — index already-extracted text."""
+        if not content or not content.strip():
+            return _err("content must be non-empty")
+        if not source:
+            return _err("source must be non-empty")
+        raw = self.spark.createDataFrame(
+            [(source, library, content, json.dumps(metadata or {}))],
+            "source string, library string, content string, metadata string",
+        )
+        res = ingest_batch(raw, self.store, self.config,
+                           embedder_factory=self._embedder_factory()).collect()[0]
+        return {
+            "status": res["status"], "doc_id": res["doc_id"], "source": res["source"],
+            "library": res["library"], "chunk_count": res["chunk_count"],
+            **({"error": res["error"]} if res["error"] else {}),
+        }
+
+    def ingest_file(self, path: str, library: str = "default", metadata: dict | None = None) -> dict:
+        """Reference server.py:64-99 — read, convert, index one local file."""
+        import os
+
+        from mcpvectordb_spark.converter import convert_bytes
+
+        p = os.path.expanduser(path)
+        if not os.path.isfile(p):
+            return _err(f"file not found: {path}")
+        ext = os.path.splitext(p)[1].lstrip(".").lower() or "unknown"
+        try:
+            text = convert_bytes(open(p, "rb").read(), ext)
+        except Exception as exc:
+            return _err(f"conversion failed: {exc}")
+        return self.ingest_content(text, source=p, library=library, metadata=metadata)
+
+    def ingest_url(self, url: str, library: str = "default", metadata: dict | None = None) -> dict:
+        """Reference server.py:101-136 — fetch a URL and index it."""
+        if not url.startswith(("http://", "https://")):
+            return _err("url must be http(s)")
+        from mcpvectordb_spark.converter import convert_bytes
+        from mcpvectordb_spark.sources.files import fetch_urls
+
+        row = fetch_urls(self.spark, [url], self.config).collect()[0]
+        if row["fetch_error"]:
+            return _err(f"fetch failed: {row['fetch_error']}")
+        try:
+            text = convert_bytes(bytes(row["raw_bytes"]), "html")
+        except Exception as exc:
+            return _err(f"conversion failed: {exc}")
+        return self.ingest_content(text, source=url, library=library, metadata=metadata)
+
+    def ingest_folder(self, folder: str, library: str = "default", metadata: dict | None = None,
+                      recursive: bool = True) -> dict:
+        """Reference server.py:180-226 — bulk-ingest a folder as ONE batch
+        DAG (the asyncio fan-out becomes scheduler parallelism; per-file
+        failures become status rows, SURVEY §3.3)."""
+        import os
+
+        from mcpvectordb_spark.converter import convert_stage
+        from mcpvectordb_spark.sources.files import read_folder
+
+        if not os.path.isdir(os.path.expanduser(folder)):
+            return _err(f"folder not found: {folder}")
+        files = read_folder(self.spark, os.path.expanduser(folder), recursive, self.config)
+        converted = convert_stage(files)
+        raw = converted.select(
+            "source",
+            F.lit(library).alias("library"),
+            F.col("content"),
+            F.lit(json.dumps(metadata or {})).alias("metadata"),
+        )
+        results = ingest_batch(raw, self.store, self.config,
+                               embedder_factory=self._embedder_factory()).collect()
+        # conversion failures surface as empty-content rows; report the
+        # converter's actual error for them
+        convert_errors = {
+            r["source"]: r["convert_error"]
+            for r in converted.select("source", "convert_error").filter("convert_error IS NOT NULL").collect()
+        }
+        by = {}
+        for r in results:
+            by[r["status"]] = by.get(r["status"], 0) + 1
+        return {
+            "status": "completed",
+            "total": len(results),
+            "indexed": by.get("indexed", 0),
+            "replaced": by.get("replaced", 0),
+            "skipped": by.get("skipped", 0),
+            "failed": by.get("failed", 0),
+            "errors": [
+                {"source": r["source"], "error": convert_errors.get(r["source"], r["error"])}
+                for r in results if r["status"] == "failed"
+            ],
+        }
+
+    # -- query --------------------------------------------------------------
+
+    def search(self, query: str, top_k: int | None = None, library: str | None = None,
+               filter: dict | None = None) -> dict:  # noqa: A002 - reference param name
+        """Reference server.py:228-289 — hybrid BM25+vector search with RRF,
+        falling back to vector-only when hybrid is disabled (config.py:59).
+        Filters are applied BEFORE ranking (mcp-tool-spec.md:110-111)."""
+        top_k = self.config.top_k_default if top_k is None else top_k
+        if not query or not query.strip():
+            return _err("query must be non-empty")
+        if not (1 <= top_k <= self.config.top_k_max):
+            return _err(f"top_k must be in [1, {self.config.top_k_max}]")
+        try:
+            pred = build_filter(library, filter)
+        except InvalidFilterError as exc:
+            return _err(str(exc))
+
+        chunks = self.store.read().filter(pred)
+        qv = [float(x) for x in self.embedder.embed_query(query)]
+        candidates = max(top_k, top_k * self.config.refine_factor)
+        vec_leg = knn_topk(chunks, qv, candidates, tie_col="id")
+        if self.config.hybrid_search_enabled:
+            bm_leg = bm25_topk(chunks, query, candidates, "id", "content")
+            fused = rrf_topk(
+                [(bm_leg, "doc", "score"), (vec_leg.select(F.col("id").alias("doc"), "score"), "doc", "score")],
+                top_k, k0=self.config.rrf_k0, id_col="id", score_col="score",
+            )
+            ranked = fused.join(chunks, "id")
+        else:
+            ranked = vec_leg.limit(top_k)
+        rows = ranked.orderBy(F.desc("score"), F.asc("id")).collect()
+        return {
+            "status": "ok",
+            "results": [
+                {
+                    "id": r["id"], "doc_id": r["doc_id"], "source": r["source"],
+                    "title": r["title"], "library": r["library"],
+                    "content": r["content"], "chunk_index": r["chunk_index"],
+                    "score": float(r["score"]),
+                    "metadata": json.loads(r["metadata"] or "{}"),
+                    "file_type": r["file_type"], "page": r["page"],
+                }
+                for r in rows
+            ],
+        }
+
+    def list_documents(self, library: str | None = None, limit: int = 20, offset: int = 0) -> dict:
+        """Reference server.py:291-320."""
+        try:
+            docs = self.store.list_documents(library, limit, offset)
+        except ValueError as exc:
+            return _err(str(exc))
+        for d in docs:
+            d["metadata"] = json.loads(d.get("metadata") or "{}")
+        return {"status": "ok", "documents": docs, "count": len(docs)}
+
+    def list_libraries(self) -> dict:
+        """Reference server.py:322-338."""
+        return {"status": "ok", "libraries": self.store.list_libraries()}
+
+    def delete_document(self, doc_id: str) -> dict:
+        """Reference server.py:340-361."""
+        if not doc_id:
+            return _err("doc_id must be non-empty")
+        deleted = self.store.delete_document(doc_id)
+        if deleted == 0:
+            return _err(f"document not found: {doc_id}")
+        return {"status": "ok", "doc_id": doc_id, "deleted_chunks": deleted}
+
+    def get_document(self, doc_id: str) -> dict:
+        """Reference server.py:363-398."""
+        if not doc_id:
+            return _err("doc_id must be non-empty")
+        doc = self.store.get_document(doc_id)
+        if doc is None:
+            return _err(f"document not found: {doc_id}")
+        doc["metadata"] = json.loads(doc.get("metadata") or "{}")
+        return {"status": "ok", **doc}
+
+    def server_info(self) -> dict:
+        """Reference server.py:400-420."""
+        libs = self.store.list_libraries()
+        return {
+            "status": "ok",
+            "engine": "mcpvectordb_spark",
+            "spark_version": self.spark.version,
+            "store_path": self.store.path,
+            "embedding_dim": self.config.embedding_dim,
+            "hybrid_search_enabled": self.config.hybrid_search_enabled,
+            "chunk_size_tokens": self.config.chunk_size_tokens,
+            "libraries": len(libs),
+            "documents": sum(l["document_count"] for l in libs),
+            "chunks": sum(l["chunk_count"] for l in libs),
+        }

@@ -37,9 +37,12 @@ def read_folder(
         .load(folder)
     )
     ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    # strip the file: scheme so sources match plain-path ingests (the
+    # (source, library) pair is the dedup identity — store.py:206-235)
+    plain = F.regexp_replace(F.col("path"), "^file:", "")
     return (
         df.select(
-            F.col("path").alias("source"),
+            plain.alias("source"),
             ext.alias("file_type"),
             F.date_format(F.col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ssXXX").alias("last_modified"),
             F.col("length").alias("size"),

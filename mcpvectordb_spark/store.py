@@ -93,22 +93,25 @@ class ChunkStore:
 
     def delete_document(self, doc_id: str) -> int:
         """Delete all chunks of a document (reference store.py:237-259).
-        Rewrites only the partitions that contain the doc (dynamic partition
-        overwrite) — the Parquet-era MERGE. Returns deleted row count."""
+        Rewrites only the partitions that contain the doc — the Parquet-era
+        MERGE. Each affected library partition is overwritten statically at
+        its own path: dynamic overwrite would silently SKIP a partition
+        whose remaining row set is empty (nothing to write → old files
+        survive). Returns deleted row count."""
         df = self.read()
         hits = df.filter(F.col("doc_id") == doc_id)
         libs = [r["library"] for r in hits.select("library").distinct().collect()]
         if not libs:
             return 0
         deleted = hits.count()
-        keep = df.filter(F.col("library").isin(libs) & (F.col("doc_id") != doc_id))
-        with _partition_overwrite(self.spark):
-            (
-                keep.select([f.name for f in CHUNKS_SCHEMA])
-                .write.mode("overwrite")
-                .partitionBy("library")
-                .parquet(self.path)
+        data_cols = [f.name for f in CHUNKS_SCHEMA if f.name != "library"]
+        for lib in libs:
+            keep = (
+                df.filter((F.col("library") == lib) & (F.col("doc_id") != doc_id))
+                .select(data_cols)
+                .localCheckpoint(eager=True)  # cut lineage before overwriting what it reads
             )
+            keep.write.mode("overwrite").parquet(f"{self.path}/library={lib}")
         return deleted
 
     def replace_document(self, doc_id: str, new_chunks: DataFrame) -> None:
@@ -198,16 +201,3 @@ class ChunkStore:
         return rows[0].asDict() if rows else None
 
 
-class _partition_overwrite:
-    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic."""
-
-    def __init__(self, spark: SparkSession):
-        self.spark = spark
-
-    def __enter__(self):
-        self.prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
-        return False

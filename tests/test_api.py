@@ -1,0 +1,87 @@
+"""API facade: the reference's 9-tool surface — parameter validation bounds,
+error envelopes, result dict shapes (docs/mcp-tool-spec.md contract)."""
+
+import pytest
+
+from mcpvectordb_spark.api import VectorDB
+from mcpvectordb_spark.config import TEST
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return VectorDB(spark, str(tmp_path / "store"), TEST)
+
+
+def test_ingest_content_and_search_roundtrip(db):
+    r = db.ingest_content("# Guide\n\n" + "the search term xylophone appears here " * 10,
+                          source="g.md", library="music")
+    assert r["status"] == "indexed" and r["chunk_count"] >= 1
+    hits = db.search("xylophone", top_k=3)
+    assert hits["status"] == "ok" and hits["results"]
+    top = hits["results"][0]
+    assert top["library"] == "music" and "xylophone" in top["content"]
+    assert set(top) >= {"id", "doc_id", "source", "title", "score", "metadata", "chunk_index"}
+
+
+def test_search_validation_and_fallback(db):
+    db.ingest_content("some indexed text here for the corpus", source="a", library="l")
+    assert db.search("")["status"] == "error"
+    assert db.search("x", top_k=0)["status"] == "error"
+    assert db.search("x", top_k=101)["status"] == "error"
+    assert db.search("x", filter={"bad key": 1})["status"] == "error"
+    # vector-only fallback flag (reference config.py:59 / store.py:306-320)
+    from dataclasses import replace
+
+    db.config = replace(TEST, hybrid_search_enabled=False)
+    assert db.search("some text", top_k=2)["status"] == "ok"
+
+
+def test_search_library_scope_and_filter(db):
+    db.ingest_content("alpha content words " * 10, source="a.pdf", library="lib1")
+    db.ingest_content("alpha content words " * 10, source="b.txt", library="lib2")
+    only1 = db.search("alpha", top_k=10, library="lib1")
+    assert {r["library"] for r in only1["results"]} == {"lib1"}
+    pdf_only = db.search("alpha", top_k=10, filter={"file_type": "pdf"})
+    assert {r["file_type"] for r in pdf_only["results"]} == {"pdf"}
+
+
+def test_document_lifecycle(db):
+    r = db.ingest_content("# Doc\n\ncontent body here", source="d.md", library="default")
+    doc_id = r["doc_id"]
+    got = db.get_document(doc_id)
+    assert got["status"] == "ok" and got["content"].startswith("# Doc")
+    listed = db.list_documents()
+    assert listed["count"] == 1 and listed["documents"][0]["doc_id"] == doc_id
+    libs = db.list_libraries()
+    assert libs["libraries"][0]["library"] == "default"
+    info = db.server_info()
+    assert info["documents"] == 1 and info["chunks"] >= 1
+    deleted = db.delete_document(doc_id)
+    assert deleted["status"] == "ok" and deleted["deleted_chunks"] >= 1
+    assert db.get_document(doc_id)["status"] == "error"
+    assert db.delete_document(doc_id)["status"] == "error"
+    # post-delete search is empty, not an error (TC-14)
+    assert db.search("content body")["results"] == []
+
+
+def test_ingest_file_and_folder(db, tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "one.md").write_text("# One\n\n" + "first document words " * 20)
+    (d / "two.txt").write_text("second document words " * 20)
+    (d / "bad.pdf").write_bytes(b"%PDF-fake")
+    single = db.ingest_file(str(d / "one.md"), library="files")
+    assert single["status"] == "indexed"
+    bulk = db.ingest_folder(str(d), library="files")
+    assert bulk["status"] == "completed"
+    assert bulk["skipped"] == 1      # one.md already ingested, identical
+    assert bulk["indexed"] == 1      # two.txt
+    assert bulk["failed"] == 1       # bad.pdf → converter stub error
+    assert bulk["errors"][0]["source"].endswith("bad.pdf")
+    assert db.ingest_file(str(d / "ghost.md"))["status"] == "error"
+    assert db.ingest_folder(str(d / "ghost"))["status"] == "error"
+
+
+def test_ingest_url_validation(db):
+    assert db.ingest_url("ftp://nope")["status"] == "error"
+    assert db.ingest_url("http://127.0.0.1:1/unreachable")["status"] == "error"

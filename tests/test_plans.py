@@ -1,0 +1,76 @@
+"""Plan-hygiene regression tests: pushdown, pruning, broadcast, top-k
+physical operators — the properties that keep these queries viable at
+100 TB (SURVEY.md §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.catalog import QUERIES
+from mcpvectordb_spark.config import TEST
+from mcpvectordb_spark.embedder import HashEmbedder
+from mcpvectordb_spark.ingest import ingest_batch
+from mcpvectordb_spark.operators.knn import knn_topk
+from mcpvectordb_spark.plans.explain import (
+    count_exchanges,
+    pushed_filters,
+    read_schema,
+    uses_broadcast_join,
+    uses_take_ordered,
+)
+from mcpvectordb_spark.store import build_filter
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity")
+    pf = pushed_filters(q)
+    assert "l_orderkey" in pf, pf
+
+
+def test_column_pruning_skips_embedding(spark, store, mini_docs):
+    """Metadata-only queries must not read the fat embedding column
+    (SURVEY §4: 'critical: skip reading 768-float embedding')."""
+    ingest_batch(mini_docs, store, TEST, created_at="2026-01-01T00:00:00+00:00")
+    q = store.libraries_df()
+    rs = read_schema(q)
+    assert "embedding" not in rs, rs
+
+
+def test_library_scope_is_partition_pruning(spark, store, mini_docs):
+    ingest_batch(mini_docs, store, TEST, created_at="2026-01-01T00:00:00+00:00")
+    q = store.read().filter(build_filter(library="lib_a")).select("id")
+    # partition column filter → PartitionFilters, not a post-scan Filter
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q)
+    assert "PartitionFilters: [isnotnull(library" in plan or "library" in pushed_filters(q), plan
+
+
+def test_knn_topk_compiles_to_take_ordered(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [0.1] * 64
+    q = knn_topk(emb, qv, 10, tie_col="vec_id")
+    assert uses_take_ordered(q), "global top-k must be TakeOrderedAndProject, not Sort+Limit"
+
+
+def test_tpch_q3_broadcasts_dimension(spark):
+    q = QUERIES["tpch_q3"](spark, SF)
+    assert uses_broadcast_join(q)
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    q = QUERIES["tpch_q5"](spark, SF)
+    assert uses_broadcast_join(q)
+
+
+def test_tpch_q1_single_shuffle(spark):
+    """Q1 is one hash aggregate: exactly one exchange (partial→final)."""
+    q = QUERIES["tpch_q1"](spark, SF)
+    assert count_exchanges(q) <= 1, count_exchanges(q)
+
+
+def test_knn_join_is_broadcast_no_shuffle_of_corpus(spark):
+    q = QUERIES["knn_batch"](spark, SF)
+    assert uses_broadcast_join(q)
