@@ -53,13 +53,23 @@ def file_type_of(source):
     )
 
 
-def prepare_batch(raw_docs: DataFrame, created_at: str | None = None) -> DataFrame:
-    """Normalize a raw-docs batch: deterministic doc_id, title, hash, type."""
+def prepare_batch(
+    raw_docs: DataFrame, created_at: str | None = None, config: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Normalize a raw-docs batch: doc_id, title, hash, type.
+
+    doc_id is sha2(source:library)[:16] in deterministic mode (FIXTURES.md
+    rule 3) or uuid4 like the reference (ingestor.py:248) otherwise."""
     ts = created_at or datetime.now(UTC).isoformat(timespec="seconds")
     c = F.col("content")
+    doc_id = (
+        F.substring(F.sha2(F.concat_ws(":", "source", "library"), 256), 1, 16)
+        if config.deterministic_ids
+        else F.expr("uuid()")
+    )
     return (
         raw_docs.withColumn("content_hash", F.sha2(c.cast("string"), 256))
-        .withColumn("doc_id", F.substring(F.sha2(F.concat_ws(":", "source", "library"), 256), 1, 16))
+        .withColumn("doc_id", doc_id)
         .withColumn("title", extract_title(c, F.col("source")))
         .withColumn("file_type", file_type_of(F.col("source")))
         .withColumn("created_at", F.lit(ts))
@@ -114,7 +124,7 @@ def ingest_batch(
 
     w = Window.partitionBy("source", "library").orderBy("content_hash")
     prepared = (
-        prepare_batch(raw_docs, created_at)
+        prepare_batch(raw_docs, created_at, config)
         .withColumn("_dup_rank", F.row_number().over(w))
         .withColumn("valid", F.col("valid") & (F.col("_dup_rank") == 1))
     )
