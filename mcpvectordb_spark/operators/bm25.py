@@ -87,8 +87,9 @@ def bm25_score(
         F.col(id_col).alias("doc"), F.size(tokens_col(F.col(text_col))).alias("dl")
     ).cache()
     dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = df.count()
-    avgdl = lens.agg(F.avg("dl")).collect()[0][0] or 1.0
+    # one driver action for both corpus stats (N docs, average doc length)
+    n, avgdl = lens.agg(F.count(F.lit(1)), F.avg("dl")).first()
+    avgdl = avgdl or 1.0
 
     hits = posting.filter(F.col("term").isin(q_terms))
     scored = (
