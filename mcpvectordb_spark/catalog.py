@@ -732,6 +732,132 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event enriched with the user's latest
+    prior click (operators/asof.py — union + carry-forward window; the
+    DuckDB oracle uses its native ASOF JOIN)."""
+    from mcpvectordb_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(purchases, clicks, ["user_id"], right_value_cols=["value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("value", 4).alias("purchase_value"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round("asof_value", 4).alias("click_value"),
+        # second granularity: DuckDB ROUNDS the file's nanosecond timestamps
+        # to micros while Spark truncates — µs-level gaps differ by ±1
+        (F.unix_seconds(F.date_trunc("second", F.col("ts")))
+         - F.unix_seconds(F.date_trunc("second", F.col("asof_ts")))).alias("gap_s"),
+    )
+
+
+SQL_EVENTS_ASOF_JOIN = """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       round(p.value, 4) AS purchase_value,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       round(c.value, 4) AS click_value,
+       CAST(epoch(date_trunc('second', p.ts)) - epoch(date_trunc('second', c.ts)) AS BIGINT) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets class): order counts and value by
+    (priority, status) with subtotals and a grand total."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_value
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority, one column per order status."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+SQL_ORDERS_PIVOT = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_open,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_filled,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_partial
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (the approx variant —
+    percentile_approx / t-digest — is the 100TB path; exact is used here
+    so the oracle can hash-match)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+
+
+SQL_EVENTS_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       round(avg(value), 4) AS mean_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: per-user running total and 5-row moving average
+    over the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias("running_total"),
+        F.round(F.avg("value").over(w.rowsBetween(-4, 0)), 4).alias("moving_avg_5"),
+    )
+
+
+SQL_EVENTS_RUNNING = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w_run, 4) AS running_total,
+       round(avg(value) OVER w_avg, 4) AS moving_avg_5
+FROM events
+WINDOW w_run AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
+       w_avg AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ===========================================================================
 # 7. Relational analytics (TPC-H-shaped: agg / join / window / top-k)
 # ===========================================================================
@@ -1001,6 +1127,12 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_json": q_events_json,
+    "events_asof_join": q_events_asof_join,
+    "events_percentiles": q_events_percentiles,
+    "events_running": q_events_running,
+    # grouping sets / pivot
+    "orders_rollup": q_orders_rollup,
+    "orders_pivot": q_orders_pivot,
     # relational analytics
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -1038,6 +1170,11 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_json": SQL_EVENTS_JSON,
+    "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+    "events_percentiles": SQL_EVENTS_PERCENTILES,
+    "events_running": SQL_EVENTS_RUNNING,
+    "orders_rollup": SQL_ORDERS_ROLLUP,
+    "orders_pivot": SQL_ORDERS_PIVOT,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,

@@ -1,0 +1,67 @@
+"""As-of (most-recent-prior) join — an operator Spark lacks natively.
+
+For each left row, attach the latest right row with ``right_ts <= left_ts``
+within the same key — the canonical time-series enrichment (trade↔quote,
+event↔last-login).  Implemented as composition of built-in ops (preference
+(a) of the custom-operator ladder): tag both sides, union, and carry the
+last-seen right values forward with a window — ONE shuffle on the key,
+no range explosion, no per-group Python.
+
+Scale: the union shuffles once on (key); the window is a linear pass per
+key partition.  Skewed keys behave like any window partition (AQE handles
+residual skew); memory is O(carried columns), not O(window frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row + latest right row at-or-before it.
+
+    Right columns arrive as ``{prefix}{col}`` (plus ``{prefix}ts``); rows
+    with no prior right match keep them NULL (left-join semantics).
+    """
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in key_cols and c != right_ts
+    ]
+    carried = [f"{prefix}ts"] + [f"{prefix}{c}" for c in right_value_cols]
+
+    r = right.select(
+        *key_cols,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),  # right sorts before left at equal ts → "<="
+        F.col(right_ts).alias(f"{prefix}ts"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_value_cols],
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns if c not in key_cols],
+    )
+    l = left.select(
+        *key_cols,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(r.dtypes)[c]).alias(c) for c in carried],
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns if c not in key_cols],
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = r.unionByName(l)
+    for c in carried:
+        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = merged.filter(F.col("__side") == 1).drop("__side", "__t")
+    for c in left.columns:
+        if c not in key_cols:
+            out = out.withColumnRenamed(f"__l_{c}", c)
+    return out

@@ -30,7 +30,9 @@ def norm_cell(v):
 
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+    normed = [tuple(norm_cell(r[i]) for i in idx) for r in rows]
+    # NULL-safe ordering: None sorts before any value of the column's type
+    return sorted(normed, key=lambda row: tuple((c is not None, c if c is not None else 0) for c in row))
 
 
 def main():
