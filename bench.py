@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessions",
     "events_json",
+    "events_asof_join",
+    "events_running",
+    "orders_rollup",
 ]
 
 

@@ -87,22 +87,25 @@ def bm25_score(
         F.col(id_col).alias("doc"), F.size(tokens_col(F.col(text_col))).alias("dl")
     ).cache()
     dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # one driver action for both corpus stats (N docs, average doc length)
-    n, avgdl = lens.agg(F.count(F.lit(1)), F.avg("dl")).first()
-    avgdl = avgdl or 1.0
+    # corpus stats stay a (1-row, broadcast) DataFrame — no driver collect,
+    # the whole scorer is one lazy plan
+    stats = F.broadcast(lens.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"), F.avg("dl").alias("__avgdl")
+    ))
 
     hits = posting.filter(F.col("term").isin(q_terms))
     scored = (
         hits.join(F.broadcast(dfreq.filter(F.col("term").isin(q_terms))), "term")
         .join(lens, "doc")
+        .crossJoin(stats)
         .withColumn(
-            "idf", F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            "idf", F.log(F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
         )
         .withColumn(
             "w",
             F.col("idf")
             * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))),
         )
         .groupBy("doc")
         .agg(F.sum("w").alias(score_col))
