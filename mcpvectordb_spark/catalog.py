@@ -981,6 +981,80 @@ GROUP BY n_name
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): EXISTS decorrelated by
+    Catalyst into a left-semi join on the fact table."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    # the synthetic schema has no commitdate; shipped-after-orderdate is
+    # the equivalent correlated EXISTS predicate
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    probe = orders.join(li, (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate), "left_semi")
+    return probe.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change (TPC-H Q6 shape): pure filter + agg —
+    everything pushes into the scan, no shuffle beyond the 1-row agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): correlated scalar
+    aggregate subquery — re-expressed as an aggregate + self-join, which
+    is exactly Catalyst's decorrelation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.8).alias("__thr"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+SQL_TPCH_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.8 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
 def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by price within each priority (window top-k per group)."""
     from mcpvectordb_spark.operators.topk import top_k_per_group
@@ -1136,7 +1210,10 @@ QUERIES = {
     # relational analytics
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q17": q_tpch_q17,
     "top_orders_per_priority": q_top_orders_per_priority,
     # rows-only (non-SQL-expressible)
     "ingest_chunks": q_ingest_chunks,
@@ -1177,7 +1254,10 @@ ORACLES = {
     "orders_pivot": SQL_ORDERS_PIVOT,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q4": SQL_TPCH_Q4,
     "tpch_q5": SQL_TPCH_Q5,
+    "tpch_q6": SQL_TPCH_Q6,
+    "tpch_q17": SQL_TPCH_Q17,
     "top_orders_per_priority": SQL_TOP_ORDERS_PER_PRIORITY,
     # ingest_chunks / search_ingested / neardup_lsh_embeddings / stream_hourly:
     # intentionally no oracle (chunker recursion, seeded hyperplanes and
