@@ -102,3 +102,15 @@ def test_doc_and_query_prefixes_differ():
     d = EMB.embed_documents(["same text"])[0]
     q = EMB.embed_query("same text")
     assert not math.isclose(float(d @ q), 1.0, abs_tol=1e-6)
+
+
+def test_knn_pandas_impl_matches_expr(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.first()["embedding"]]
+    a = {r["vec_id"]: r["score"] for r in
+         knn_topk(emb, qv, 20, tie_col="vec_id", impl="expr").collect()}
+    b = {r["vec_id"]: r["score"] for r in
+         knn_topk(emb, qv, 20, tie_col="vec_id", impl="pandas").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-12), (k, a[k], b[k])
