@@ -147,6 +147,34 @@ def knn_join(
     )
 
 
+def build_centroids_kmeans(
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Train IVF coarse centroids with MLlib KMeans (deterministic seed).
+
+    At 100 TB you fit on a sample (``sample_fraction``) — KMeans quality
+    saturates long before the full corpus — then :func:`ivf_assign` labels
+    everything.  Returns (centroid_id int, centroid_vec array<float>).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = corpus
+    if sample_fraction:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    train = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(train)
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "centroid_id int, centroid_vec array<float>")
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -30,6 +30,14 @@ from mcpvectordb_spark.schema import CHUNKS_SCHEMA
 # Filter keys must be plain identifiers (reference store.py:119) — kept as an
 # API guard even though Spark Columns are parameterised (no SQL injection).
 _IDENT_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+
+# Hive/Spark partition-path escaping (ExternalCatalogUtils.escapePathName):
+# these characters appear %XX-encoded in partition directory names.
+_PATH_ESCAPE = set('"#%\'*/:=?\\\x7f{}[]^') | {chr(c) for c in range(0x20)}
+
+
+def escape_partition_value(value: str) -> str:
+    return "".join(f"%{ord(c):02X}" if c in _PATH_ESCAPE else c for c in value)
 _FILTERABLE = {f.name for f in CHUNKS_SCHEMA if f.name != "embedding"}
 
 
@@ -83,9 +91,14 @@ class ChunkStore:
 
     def append(self, chunks: DataFrame) -> None:
         """Batch append (reference upsert_chunks, store.py:180-204, minus the
-        per-upsert FTS rebuild — term stats are derived at query time)."""
+        per-upsert FTS rebuild — term stats are derived at query time).
+
+        Rows are sorted by (doc_id, chunk_index) within partitions so
+        Parquet row-group min/max statistics stay selective for the
+        doc-scoped point lookups (get/delete/find_existing)."""
         (
             chunks.select([f.name for f in CHUNKS_SCHEMA])
+            .sortWithinPartitions("doc_id", "chunk_index")
             .write.mode("append")
             .partitionBy("library")
             .parquet(self.path)
@@ -111,7 +124,9 @@ class ChunkStore:
                 .select(data_cols)
                 .localCheckpoint(eager=True)  # cut lineage before overwriting what it reads
             )
-            keep.write.mode("overwrite").parquet(f"{self.path}/library={lib}")
+            keep.write.mode("overwrite").parquet(
+                f"{self.path}/library={escape_partition_value(lib)}"
+            )
         return deleted
 
     def replace_document(self, doc_id: str, new_chunks: DataFrame) -> None:

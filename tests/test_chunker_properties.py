@@ -35,16 +35,23 @@ def test_chunks_respect_bounds(text):
 
 @settings(max_examples=200, deadline=None)
 @given(texts_with_paras)
-def test_every_word_is_preserved_somewhere(text):
-    """Chunking never invents or loses vocabulary (word multiset of the
-    chunks ⊆ original; every original word appears in some chunk)."""
+def test_vocabulary_lost_only_to_min_floor(text):
+    """Chunking never invents words, and vocabulary can only be lost to the
+    min-token floor (the reference deliberately drops sub-minimum tail
+    chunks when other chunks survive, chunker.py:122-125 — found by an
+    earlier, too-strong version of this property).  With the floor at 1,
+    coverage must be complete."""
     out = chunk_text(text, CFG)
     original = set(text.split())
-    covered = set()
     for c in out:
         for w in c.split():
             assert w in original, f"invented word {w!r}"
-            covered.add(w)
+    no_floor = EngineConfig(
+        chunk_size_tokens=CFG.chunk_size_tokens,
+        chunk_overlap_tokens=CFG.chunk_overlap_tokens,
+        chunk_min_tokens=1,
+    )
+    covered = {w for c in chunk_text(text, no_floor) for w in c.split()}
     if text.strip():
         assert covered == original
 

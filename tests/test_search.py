@@ -114,3 +114,24 @@ def test_knn_pandas_impl_matches_expr(spark):
     assert set(a) == set(b)
     for k in a:
         assert math.isclose(a[k], b[k], rel_tol=1e-12), (k, a[k], b[k])
+
+
+def test_kmeans_ivf_end_to_end(spark):
+    from mcpvectordb_spark.operators.knn import build_centroids_kmeans
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = build_centroids_kmeans(emb, k=8, vec_col="embedding")
+    assert centroids.count() == 8
+    assigned = ivf_assign(emb, centroids, corpus_id="vec_id")
+    # every vector lands in exactly one cell
+    assert assigned.count() == emb.count()
+    qv = [float(x) for x in emb.first()["embedding"]]
+    exact = [r["vec_id"] for r in knn_topk(emb, qv, 5, tie_col="vec_id").collect()]
+    # probing every cell is exhaustive → identical to exact KNN
+    full = [r["vec_id"] for r in
+            ivf_topk(assigned, centroids, qv, 5, nprobe=8, corpus_id="vec_id").collect()]
+    assert full == exact
+    # probing 3/8 cells keeps the query's own cell → top-1 preserved
+    probed = [r["vec_id"] for r in
+              ivf_topk(assigned, centroids, qv, 5, nprobe=3, corpus_id="vec_id").collect()]
+    assert probed[0] == exact[0]

@@ -133,3 +133,17 @@ def test_metadata_roundtrip(spark, store, mini_docs):
     doc = next(d for d in store.list_documents(limit=100) if d["source"] == "https://x.io/d")
     assert doc["metadata"] == '{"author":"Alice"}'
     assert doc["library"] == "lib_b"
+
+
+def test_delete_with_special_char_library(spark, store):
+    """Partition values with path-special characters must round-trip through
+    the Hive-escaped partition directory on delete (a/b → a%2Fb etc.)."""
+    rows = [(f"s{i}", lib, f"# T\n\ncontent for {lib} " + "words " * 10, None)
+            for i, lib in enumerate(["a/b", "a:b", "eq=x", "with space", "hash#1"])]
+    df = spark.createDataFrame(rows, "source string, library string, content string, metadata string")
+    ingest(df, store)
+    docs = store.list_documents(limit=50)
+    assert len(docs) == 5
+    for d in docs:
+        assert store.delete_document(d["doc_id"]) >= 1
+    assert store.count() == 0
