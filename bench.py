@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_running",
     "orders_rollup",
+    "ingest_chunks",   # write path: chunk → embed → dedup gate → partitioned write
 ]
 
 

@@ -58,7 +58,16 @@ class HashEmbedder:
         self.query_prefix = config.query_prefix
 
     def _embed_one(self, text: str) -> np.ndarray:
-        vec = np.array([_hash_unit(f"{text}:{i}") for i in range(self.dim)], dtype=np.float64)
+        # sha256(text + ":" + str(i)) per dim (FIXTURES.md rule 1), computed
+        # via one base digest over `text + ":"` cloned per dimension —
+        # identical output, O(len(text)) hashing instead of O(dim·len(text))
+        base = hashlib.sha256((text + ":").encode("utf-8"))
+        vals = []
+        for i in range(self.dim):
+            h = base.copy()
+            h.update(str(i).encode("ascii"))
+            vals.append((int(h.hexdigest(), 16) % 1_000_000) / 1_000_000.0)
+        vec = np.array(vals, dtype=np.float64)
         norm = float(np.linalg.norm(vec))
         if norm > 0:
             vec = vec / norm
