@@ -1,0 +1,119 @@
+"""Scale stress test: replicate the sf0.1 tables ~20× (100k documents, 40k
+vectors, 2M events) and run the heavy operators.  Evidence that the
+partition/blocking strategies hold beyond bench scale — results recorded in
+STRESS.md.
+
+Usage: python tools/stress.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.io import load_table
+from mcpvectordb_spark.operators.bm25 import bm25_topk
+from mcpvectordb_spark.operators.dedup import exact_duplicates, minhash_lsh_pairs
+from mcpvectordb_spark.operators.knn import knn_topk
+from mcpvectordb_spark.session import get_spark
+from mcpvectordb_spark.streaming.events import sessionize_batch, windowed_counts_batch
+
+SF = "/root/testdata/sf0.1"
+REPLICAS = 20
+
+
+def main() -> None:
+    spark = get_spark("stress")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    r = spark.range(REPLICAS).select(F.col("id").alias("r"))
+
+    # 100k documents, mostly UNIQUE (random 40-token texts derived from
+    # md5(doc,replica,position)) with controlled plants: for every 10th
+    # base doc, replica 1 = replica 0's real text + one word (near-dup)
+    # and replica 2 = replica 0's text verbatim (exact dup).
+    docs = load_table(spark, SF, "documents")
+    synth = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("r"), i)), 1, 8
+            ),
+        ),
+        " ",
+    )
+    big_docs = (
+        docs.crossJoin(F.broadcast(r))
+        .select(
+            (F.col("doc_id") * 100 + F.col("r")).alias("id"),
+            F.when(F.col("r") == 0, F.col("text"))
+            .when((F.col("r") == 1) & (F.col("doc_id") % 10 == 0), F.concat("text", F.lit(" nearly")))
+            .when((F.col("r") == 2) & (F.col("doc_id") % 10 == 0), F.col("text"))
+            .otherwise(synth)
+            .alias("text"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_docs = big_docs.count()
+
+    # 40k vectors: deterministic per-replica perturbation (direction shifts)
+    emb = load_table(spark, SF, "embeddings")
+    big_emb = (
+        emb.crossJoin(F.broadcast(r))
+        .select(
+            (F.col("vec_id") * 100 + F.col("r")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x + (F.col("r") * 0.01) * F.cos(i.cast("double") + F.col("r")),
+            ).alias("embedding"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_vec = big_emb.count()
+
+    # 2M events: replicas shifted by r days
+    ev = load_table(spark, SF, "events")
+    big_ev = (
+        ev.crossJoin(F.broadcast(r))
+        .select(
+            (F.col("event_id") * 100 + F.col("r")).alias("event_id"),
+            (F.col("ts") + F.make_dt_interval(F.col("r"))).alias("ts"),
+            (F.col("user_id") * 100 + F.col("r") % 4).alias("user_id"),
+            "event_type", "value",
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_ev = big_ev.count()
+    print(f"# corpus: {n_docs} docs, {n_vec} vectors, {n_ev} events", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s → {counts[name]}", file=sys.stderr)
+
+    run("exact_dedup_100k", lambda: exact_duplicates(big_docs, "id", "text").count())
+    run("minhash_lsh_100k", lambda: minhash_lsh_pairs(big_docs, "id", "text", 8, 2, 3, 0.5).count())
+    run("bm25_100k", lambda: bm25_topk(big_docs, "window join spark batch", 10, "id", "text").count())
+    qv = [float(x) for x in emb.first()["embedding"]]
+    run("knn_40k", lambda: knn_topk(big_emb, qv, 10, tie_col="vec_id").count())
+    run("windows_2m", lambda: windowed_counts_batch(big_ev).count())
+    run("sessions_2m", lambda: sessionize_batch(big_ev).count())
+
+    print(json.dumps({"replicas": REPLICAS, "docs": n_docs, "vectors": n_vec,
+                      "events": n_ev, "timings_sec": timings, "result_counts": counts}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
