@@ -19,6 +19,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get((sf_dir, name))
     if cached is not None:
         return cached
+    # The driver may hand us its own session: pin the two runtime confs that
+    # correctness depends on (UTC formatting vs the TZ-naive oracle; nanos
+    # parquet readability).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
