@@ -648,6 +648,86 @@ FROM documents
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdicts over the exact-dup-planted corpus:
+    quality + length + dedup gates with per-doc drop reasons (pipeline.py —
+    the composition query for the training-data use case)."""
+    from mcpvectordb_spark.pipeline import curate_corpus
+
+    corpus = _exact_corpus(spark, sf_dir)
+    out = curate_corpus(corpus, "id", "text", min_quality=0.5, min_words=10)
+    return out.select("id", "n_words", "quality_score", "lang_pred", "drop_reason")
+
+
+SQL_CURATION_PIPELINE = rf"""
+WITH corpus AS ({_SQL_EXACT_CORPUS}),
+f AS (
+  SELECT id, text,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_words,
+    CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS punct,
+    CAST(len(list_filter(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''), t -> lower(t)),
+             t -> t IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS stop
+  FROM corpus),
+q AS (
+  SELECT id, text, n_words,
+    round(0.4*least(n_words/200.0, 1.0)
+        + 0.3*(1.0 - CASE WHEN n_chars > 0 THEN punct/n_chars ELSE 0.0 END)
+        + 0.3*least((CASE WHEN n_words > 0 THEN stop/n_words ELSE 0.0 END)/0.05, 1.0), 6) AS quality_score
+  FROM f),
+l AS (SELECT id, {{langcase}} AS lang_pred FROM (SELECT id, {{langselects}} FROM corpus)),
+d AS (SELECT id, row_number() OVER (PARTITION BY md5({_sql_norm('text')}) ORDER BY id) AS dup_rank FROM corpus)
+SELECT q.id, q.n_words, q.quality_score, l.lang_pred,
+       CASE WHEN q.n_words < 10 THEN 'too_short'
+            WHEN q.quality_score < 0.5 THEN 'low_quality'
+            WHEN d.dup_rank > 1 THEN 'duplicate'
+            ELSE NULL END AS drop_reason
+FROM q JOIN l ON l.id = q.id JOIN d ON d.id = q.id
+"""
+
+
+def _sql_curation() -> str:
+    words = _sql_words("text")
+    selects = ", ".join(
+        f"len(list_filter({words}, t -> t IN ({', '.join(repr(m) for m in ts.LANG_MARKERS[lang])}))) AS s_{lang}"
+        for lang in ts.LANG_MARKERS
+    )
+    cases = []
+    for lang in ts.LANG_MARKERS:
+        others = " AND ".join(f"s_{lang} > s_{o}" for o in ts.LANG_MARKERS if o != lang)
+        cases.append(f"WHEN s_{lang} > 0 AND {others} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return SQL_CURATION_PIPELINE.format(langcase=case_sql, langselects=selects)
+
+
+def q_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting per language (training-data planning numbers)."""
+    from mcpvectordb_spark.pipeline import corpus_token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_token_stats(docs, "text", "lang")
+    return out.select(
+        F.col("lang").alias("library"),
+        "n_docs",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "avg_tokens",
+        F.col("max_tokens").cast("long").alias("max_tokens"),
+    )
+
+
+SQL_CORPUS_TOKEN_STATS = r"""
+WITH t AS (
+  SELECT lang, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n
+  FROM documents)
+SELECT lang AS library,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       round(avg(n), 4) AS avg_tokens,
+       CAST(max(n) AS BIGINT) AS max_tokens
+FROM t GROUP BY lang
+"""
+
+
 # ===========================================================================
 # 6. Event analytics (batch forms of the streaming operators)
 # ===========================================================================
@@ -1197,6 +1277,8 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "curation_pipeline": q_curation_pipeline,
+    "corpus_token_stats": q_corpus_token_stats,
     # events
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -1244,6 +1326,8 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "curation_pipeline": _sql_curation(),
+    "corpus_token_stats": SQL_CORPUS_TOKEN_STATS,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_json": SQL_EVENTS_JSON,

@@ -1,0 +1,48 @@
+"""Curation pipeline: gate ordering, deterministic dedup survivor,
+auditable drop reasons, summary rollup."""
+
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.pipeline import curate_corpus, curation_summary, corpus_token_stats
+
+
+def test_curation_gates_and_reasons(spark):
+    rows = [
+        (1, "the quick brown fox is in the yard and it is happy to be here today " * 5),
+        (2, "tiny"),                                             # too_short
+        (3, "!!! ??? " * 30),                                    # low_quality (punct)
+        (4, "the quick brown fox is in the yard and it is happy to be here today " * 5),  # dup of 1
+        (5, "le chat et la porte est belle les amis vraiment tres bien aujourdhui " * 5),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    # min_quality 0.4: the stopword leg of the score is English-biased, so
+    # the French doc sits just under 0.5 (known C4-style heuristic bias)
+    out = {r["id"]: r for r in curate_corpus(df, "id", "text", min_quality=0.4, min_words=10).collect()}
+    assert out[1]["drop_reason"] is None
+    assert out[2]["drop_reason"] == "too_short"
+    assert out[3]["drop_reason"] == "low_quality"
+    assert out[4]["drop_reason"] == "duplicate"   # id 1 is the canonical survivor
+    assert out[5]["drop_reason"] is None
+    assert out[5]["lang_pred"] == "fr"
+    summary = {r["outcome"]: r["n_docs"] for r in
+               curation_summary(curate_corpus(df, "id", "text", min_quality=0.4, min_words=10)).collect()}
+    assert summary == {"kept": 2, "too_short": 1, "low_quality": 1, "duplicate": 1}
+
+
+def test_curation_lang_filter(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on a mat and the dog is here with all of us " * 3),
+         (2, "le chat et la porte est belle les amis et le chien aussi " * 3)],
+        "id long, text string",
+    )
+    out = {r["id"]: r["drop_reason"] for r in
+           curate_corpus(df, "id", "text", min_quality=0.0, min_words=1, keep_langs=("en",)).collect()}
+    assert out[1] is None and out[2] == "wrong_lang"
+
+
+def test_corpus_token_stats(spark):
+    df = spark.createDataFrame([("a", "one two three"), ("a", "four five"), ("b", "six")],
+                               "g string, text string")
+    out = {r["g"]: r for r in corpus_token_stats(df, "text", "g").collect()}
+    assert out["a"]["n_docs"] == 2 and out["a"]["total_tokens"] == 5 and out["a"]["max_tokens"] == 3
+    assert out["b"]["total_tokens"] == 1
