@@ -71,6 +71,47 @@ def _sql_cos(a: str, b: str) -> str:
     )
 
 
+def _sql_lang_fragments() -> tuple[str, str]:
+    """(marker-score SELECT list, argmax CASE) — the SQL twin of
+    textstats.lang_id, shared by every oracle that classifies language."""
+    words = _sql_words("text")
+    selects = ", ".join(
+        f"len(list_filter({words}, t -> t IN ({', '.join(repr(m) for m in markers)}))) AS s_{lang}"
+        for lang, markers in ts.LANG_MARKERS.items()
+    )
+    cases = []
+    for lang in ts.LANG_MARKERS:
+        others = " AND ".join(f"s_{lang} > s_{o}" for o in ts.LANG_MARKERS if o != lang)
+        cases.append(f"WHEN s_{lang} > 0 AND {others} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return selects, case_sql
+
+
+def _sql_quality_cte(source: str) -> str:
+    """CTEs (f, q) computing the quality features/score of textstats
+    .quality_columns over ``source`` — shared by the quality and curation
+    oracles so the heuristic's constants live in exactly two places
+    (the Column expressions and this one SQL twin)."""
+    return rf"""
+f AS (
+  SELECT *,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_words,
+    CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS punct,
+    CAST(len(list_filter(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''), t -> lower(t)),
+             t -> t IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS stop
+  FROM {source}),
+q AS (
+  SELECT *,
+    round(CASE WHEN n_chars > 0 THEN punct/n_chars ELSE 0.0 END, 6) AS punct_ratio,
+    round(CASE WHEN n_words > 0 THEN stop/n_words ELSE 0.0 END, 6) AS stop_ratio,
+    round(0.4*least(n_words/200.0, 1.0)
+        + 0.3*(1.0 - CASE WHEN n_chars > 0 THEN punct/n_chars ELSE 0.0 END)
+        + 0.3*least((CASE WHEN n_words > 0 THEN stop/n_words ELSE 0.0 END)/0.05, 1.0), 6) AS quality_score
+  FROM f)
+"""
+
+
 def _q_vec(spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     return list(emb.filter(F.col("vec_id") == vec_id).first()["embedding"])
@@ -571,26 +612,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TEXT_QUALITY = r"""
-WITH f AS (
-  SELECT doc_id,
-    CAST(length(text) AS BIGINT) AS n_chars,
-    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_words,
-    CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS punct,
-    CAST(len(list_filter(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''), t -> lower(t)),
-             t -> t IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS stop
-  FROM documents),
-r AS (
-  SELECT doc_id, n_chars, n_words,
-    CASE WHEN n_chars > 0 THEN punct/n_chars ELSE 0.0 END AS punct_ratio,
-    CASE WHEN n_words > 0 THEN stop/n_words ELSE 0.0 END AS stop_ratio,
-    least(n_words/200.0, 1.0) AS len_score
-  FROM f)
+SQL_TEXT_QUALITY = f"""
+WITH {_sql_quality_cte('documents')}
 SELECT doc_id, n_chars, n_words,
-  round(punct_ratio, 6) AS punct_ratio,
-  round(stop_ratio, 6) AS stopword_ratio,
-  round(0.4*len_score + 0.3*(1.0 - punct_ratio) + 0.3*least(stop_ratio/0.05, 1.0), 6) AS quality_score
-FROM r
+       punct_ratio, stop_ratio AS stopword_ratio, quality_score
+FROM q
 """
 
 
@@ -605,17 +631,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_langid() -> str:
-    words = _sql_words("text")
-    scores = {
-        lang: f"len(list_filter({words}, t -> t IN ({', '.join(repr(m) for m in markers)})))"
-        for lang, markers in ts.LANG_MARKERS.items()
-    }
-    cases = []
-    for lang in ts.LANG_MARKERS:
-        others = " AND ".join(f"s_{lang} > s_{o}" for o in ts.LANG_MARKERS if o != lang)
-        cases.append(f"WHEN s_{lang} > 0 AND {others} THEN '{lang}'")
-    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
-    selects = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    selects, case_sql = _sql_lang_fragments()
     return f"""
 WITH scored AS (SELECT lang, {selects} FROM documents)
 SELECT lang AS lang_true, {case_sql} AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
@@ -659,45 +675,33 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "n_words", "quality_score", "lang_pred", "drop_reason")
 
 
-SQL_CURATION_PIPELINE = rf"""
+def _sql_curation() -> str:
+    """Oracle twin of pipeline.curate_corpus over the exact-dup corpus:
+    empty gate first, then length/quality, then survivors-first duplicate
+    ranking (passing copies rank before failing ones within a group)."""
+    selects, case_sql = _sql_lang_fragments()
+    return rf"""
 WITH corpus AS ({_SQL_EXACT_CORPUS}),
-f AS (
-  SELECT id, text,
-    CAST(length(text) AS BIGINT) AS n_chars,
-    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_words,
-    CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS punct,
-    CAST(len(list_filter(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''), t -> lower(t)),
-             t -> t IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS stop
-  FROM corpus),
-q AS (
-  SELECT id, text, n_words,
-    round(0.4*least(n_words/200.0, 1.0)
-        + 0.3*(1.0 - CASE WHEN n_chars > 0 THEN punct/n_chars ELSE 0.0 END)
-        + 0.3*least((CASE WHEN n_words > 0 THEN stop/n_words ELSE 0.0 END)/0.05, 1.0), 6) AS quality_score
-  FROM f),
-l AS (SELECT id, {{langcase}} AS lang_pred FROM (SELECT id, {{langselects}} FROM corpus)),
-d AS (SELECT id, row_number() OVER (PARTITION BY md5({_sql_norm('text')}) ORDER BY id) AS dup_rank FROM corpus)
-SELECT q.id, q.n_words, q.quality_score, l.lang_pred,
-       CASE WHEN q.n_words < 10 THEN 'too_short'
-            WHEN q.quality_score < 0.5 THEN 'low_quality'
+{_sql_quality_cte('corpus')},
+l AS (SELECT id, {case_sql} AS lang_pred FROM (SELECT id, {selects} FROM corpus)),
+g AS (
+  SELECT q.id, q.text, q.n_words, q.quality_score,
+         (text IS NULL OR trim(text) = '') AS is_empty,
+         (text IS NOT NULL AND trim(text) <> '' AND n_words >= 10 AND quality_score >= 0.5) AS pass
+  FROM q),
+d AS (
+  SELECT id, row_number() OVER (
+           PARTITION BY CASE WHEN is_empty THEN NULL ELSE md5({_sql_norm('text')}) END
+           ORDER BY (CASE WHEN pass THEN 0 ELSE 1 END), id) AS dup_rank
+  FROM g)
+SELECT g.id, g.n_words, g.quality_score, l.lang_pred,
+       CASE WHEN g.is_empty THEN 'empty'
+            WHEN g.n_words < 10 THEN 'too_short'
+            WHEN g.quality_score < 0.5 THEN 'low_quality'
             WHEN d.dup_rank > 1 THEN 'duplicate'
             ELSE NULL END AS drop_reason
-FROM q JOIN l ON l.id = q.id JOIN d ON d.id = q.id
+FROM g JOIN l ON l.id = g.id JOIN d ON d.id = g.id
 """
-
-
-def _sql_curation() -> str:
-    words = _sql_words("text")
-    selects = ", ".join(
-        f"len(list_filter({words}, t -> t IN ({', '.join(repr(m) for m in ts.LANG_MARKERS[lang])}))) AS s_{lang}"
-        for lang in ts.LANG_MARKERS
-    )
-    cases = []
-    for lang in ts.LANG_MARKERS:
-        others = " AND ".join(f"s_{lang} > s_{o}" for o in ts.LANG_MARKERS if o != lang)
-        cases.append(f"WHEN s_{lang} > 0 AND {others} THEN '{lang}'")
-    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
-    return SQL_CURATION_PIPELINE.format(langcase=case_sql, langselects=selects)
 
 
 def q_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

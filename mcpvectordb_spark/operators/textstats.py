@@ -81,8 +81,9 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
-def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc quality features + composite score.
+def quality_columns(text_col: str) -> dict[str, Column]:
+    """The quality feature expressions, reusable via withColumn (no join
+    needed to attach them to an existing frame).
 
     score = 0.4·len_score + 0.3·(1−punct_ratio) + 0.3·stop_score, where
     len_score saturates at 200 words and stop_score at a 5% stopword rate —
@@ -99,14 +100,19 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stop_ratio = F.when(n_words > 0, stop / n_words).otherwise(F.lit(0.0))
     stop_score = F.least(stop_ratio / F.lit(0.05), F.lit(1.0))
     score = 0.4 * len_score + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_score
-    return df.select(
-        F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"),
-    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality features + composite score (see quality_columns)."""
+    cols = quality_columns(text_col)
+    return df.select(F.col(id_col), *[expr.alias(name) for name, expr in cols.items()])
 
 
 def md5_fingerprint(text: Column) -> Column:
