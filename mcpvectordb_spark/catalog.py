@@ -486,15 +486,19 @@ WHERE common/(sa.set_size + sb.set_size - common) >= 0.5
 
 
 def _sql_minhash_sig(corpus_sql: str, num_hashes: int) -> str:
-    from mcpvectordb_spark.operators.dedup import MINHASH_PRIME, minhash_params
-
-    mins = []
-    for i in range(num_hashes):
-        a, b = minhash_params(i)
-        mins.append(f"min((hh * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}")
+    """Kirsch–Mitzenmacher double hashing, mirroring operators.dedup:
+    h1/h2 = independent md5 hex slices, mh_i = min(h1 + i·h2)."""
+    hex_fold = (
+        "list_reduce(list_transform(string_split({sl},''),"
+        " c -> CAST(strpos('0123456789abcdef', c)-1 AS BIGINT)), (a,b) -> a*16+b)"
+    )
+    h1 = hex_fold.format(sl="substr(md5(shingle),1,12)")
+    h2 = hex_fold.format(sl="substr(md5(shingle),13,12)")
+    rng = 1 << 48
+    mins = [f"min((h1 + {i}*h2) % {rng}) AS mh{i}" for i in range(num_hashes)]
     return f"""
 corpus AS ({corpus_sql}),
-sh AS (SELECT id, {_sql_hex48('shingle')} AS hh
+sh AS (SELECT id, {h1} AS h1, {h2} AS h2
        FROM (SELECT id, unnest({_sql_shingles(_sql_words('text'), 3)}) AS shingle FROM corpus)),
 sigs AS (SELECT id, {", ".join(mins)} FROM sh GROUP BY id)
 """
@@ -513,18 +517,20 @@ SELECT * FROM sigs
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash→LSH banding→verify pipeline (8 hashes, 2 bands)."""
+    """Full MinHash→LSH banding→verify pipeline (8 hashes, 4 bands of 2 —
+    P(candidate) = 1−(1−J²)⁴ ≈ 0.999 at J 0.9)."""
     corpus = _near_corpus(spark, sf_dir)
-    pairs = dd.minhash_lsh_pairs(corpus, "id", "text", num_hashes=8, bands=2, shingle_n=3, threshold=0.5)
+    pairs = dd.minhash_lsh_pairs(corpus, "id", "text", num_hashes=8, bands=4, shingle_n=3, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH {_sql_minhash_sig(_SQL_NEAR_CORPUS, 8)},
 banded AS (
-  SELECT id, 0 AS band, concat_ws('_', mh0, mh1, mh2, mh3) AS bucket FROM sigs
-  UNION ALL
-  SELECT id, 1 AS band, concat_ws('_', mh4, mh5, mh6, mh7) AS bucket FROM sigs),
+  SELECT id, 0 AS band, concat_ws('_', mh0, mh1) AS bucket FROM sigs
+  UNION ALL SELECT id, 1 AS band, concat_ws('_', mh2, mh3) AS bucket FROM sigs
+  UNION ALL SELECT id, 2 AS band, concat_ws('_', mh4, mh5) AS bucket FROM sigs
+  UNION ALL SELECT id, 3 AS band, concat_ws('_', mh6, mh7) AS bucket FROM sigs),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
@@ -686,8 +692,9 @@ WITH corpus AS ({_SQL_EXACT_CORPUS}),
 l AS (SELECT id, {case_sql} AS lang_pred FROM (SELECT id, {selects} FROM corpus)),
 g AS (
   SELECT q.id, q.text, q.n_words, q.quality_score,
-         (text IS NULL OR trim(text) = '') AS is_empty,
-         (text IS NOT NULL AND trim(text) <> '' AND n_words >= 10 AND quality_score >= 0.5) AS pass
+         (text IS NULL OR regexp_replace(text, '\s+', '', 'g') = '') AS is_empty,
+         (text IS NOT NULL AND regexp_replace(text, '\s+', '', 'g') <> ''
+          AND n_words >= 10 AND quality_score >= 0.5) AS pass
   FROM q),
 d AS (
   SELECT id, row_number() OVER (

@@ -62,8 +62,14 @@ def prepare_batch(
     rule 3) or uuid4 like the reference (ingestor.py:248) otherwise."""
     ts = created_at or datetime.now(UTC).isoformat(timespec="seconds")
     c = F.col("content")
+    # hash-of-hashes: concat_ws(':') would be ambiguous at the separator —
+    # ('a:b','c') and ('a','b:c') must NOT share a doc_id (sources are
+    # URLs, ':' is routine)
     doc_id = (
-        F.substring(F.sha2(F.concat_ws(":", "source", "library"), 256), 1, 16)
+        F.substring(
+            F.sha2(F.concat(F.sha2(F.col("source"), 256), F.sha2(F.col("library"), 256)), 256),
+            1, 16,
+        )
         if config.deterministic_ids
         else F.expr("uuid()")
     )
@@ -76,7 +82,10 @@ def prepare_batch(
         .withColumn("last_modified", F.lit(""))
         .withColumn("page", F.lit(0))
         .withColumn("metadata", F.coalesce(F.col("metadata"), F.lit("{}")))
-        .withColumn("valid", c.isNotNull() & (F.trim(c) != ""))
+        # \s-aware emptiness: F.trim strips spaces only, but the chunker
+        # does Python str.strip() — a '\n\n' doc must be invalid here, not
+        # a phantom 'indexed' with zero chunks
+        .withColumn("valid", c.isNotNull() & (F.regexp_replace(c, r"\s+", "") != ""))
     )
 
 

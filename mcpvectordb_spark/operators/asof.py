@@ -35,21 +35,27 @@ def asof_join(
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in key_cols and c != right_ts
     ]
-    carried = [f"{prefix}ts"] + [f"{prefix}{c}" for c in right_value_cols]
 
+    # The matched right row is carried as ONE struct: carrying columns
+    # independently with last(ignorenulls) would stitch together values
+    # from DIFFERENT right rows whenever a right column contains NULL
+    # (the as-of match must attach the latest row wholesale).
+    packed = F.struct(
+        F.col(right_ts).alias("ts"),
+        *[F.col(c).alias(c) for c in right_value_cols],
+    )
     r = right.select(
         *key_cols,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),  # right sorts before left at equal ts → "<="
-        F.col(right_ts).alias(f"{prefix}ts"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_value_cols],
+        packed.alias("__match"),
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns if c not in key_cols],
     )
     l = left.select(
         *key_cols,
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(dict(r.dtypes)[c]).alias(c) for c in carried],
+        F.lit(None).cast(dict(r.dtypes)["__match"]).alias("__match"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns if c not in key_cols],
     )
     w = (
@@ -57,10 +63,14 @@ def asof_join(
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    merged = r.unionByName(l)
-    for c in carried:
-        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    merged = r.unionByName(l).withColumn(
+        "__match", F.last("__match", ignorenulls=True).over(w)
+    )
     out = merged.filter(F.col("__side") == 1).drop("__side", "__t")
+    out = out.withColumn(f"{prefix}ts", F.col("__match.ts"))
+    for c in right_value_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col(f"__match.{c}"))
+    out = out.drop("__match")
     for c in left.columns:
         if c not in key_cols:
             out = out.withColumnRenamed(f"__l_{c}", c)

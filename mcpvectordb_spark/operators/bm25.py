@@ -61,6 +61,33 @@ def corpus_stats(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, 
     return lens, dfreq, n
 
 
+class Bm25Index:
+    """Materialized BM25 corpus statistics — the engine's replacement for
+    the reference's persistent FTS index (store.py:197-202), built once and
+    reused across queries.  Call :meth:`unpersist` when done; per-query
+    scoring without an index builds the stats lazily and uncached (correct,
+    one extra scan, NO cache leak in a long-lived serving session)."""
+
+    def __init__(self, posting: DataFrame, lens: DataFrame, cached: bool):
+        self.posting = posting
+        self.lens = lens
+        self._cached = cached
+
+    @classmethod
+    def build(cls, df: DataFrame, id_col: str, text_col: str) -> "Bm25Index":
+        posting = doc_terms(df, id_col, text_col).cache()
+        lens = df.select(
+            F.col(id_col).alias("doc"), F.size(tokens_col(F.col(text_col))).alias("dl")
+        ).cache()
+        return cls(posting, lens, cached=True)
+
+    def unpersist(self) -> None:
+        if self._cached:
+            self.posting.unpersist()
+            self.lens.unpersist()
+            self._cached = False
+
+
 def bm25_score(
     df: DataFrame,
     query: str,
@@ -69,23 +96,25 @@ def bm25_score(
     k1: float = 1.2,
     b: float = 0.75,
     score_col: str = "score",
+    index: Bm25Index | None = None,
 ) -> DataFrame:
     """Score every document containing ≥1 query term; returns (id, score).
 
     Distinct query terms (duplicate terms in the query count once).
+    Pass a prebuilt :class:`Bm25Index` for serving workloads; without one
+    the stats derive lazily from ``df`` (uncached — no leak).
     """
     q_terms = sorted({t for t in query.lower().split() if t})
     if not q_terms:
         return df.sparkSession.createDataFrame([], f"doc string, {score_col} double")
 
-    # The posting list feeds both the hit scan and the df counts; doc
-    # lengths feed avgdl and the scoring join — cache both (the reference
-    # instead maintains a persistent FTS index; a warm deployment would
-    # persist these stats tables and refresh incrementally on append).
-    posting = doc_terms(df, id_col, text_col).cache()
-    lens = df.select(
-        F.col(id_col).alias("doc"), F.size(tokens_col(F.col(text_col))).alias("dl")
-    ).cache()
+    if index is None:
+        posting = doc_terms(df, id_col, text_col)
+        lens = df.select(
+            F.col(id_col).alias("doc"), F.size(tokens_col(F.col(text_col))).alias("dl")
+        )
+    else:
+        posting, lens = index.posting, index.lens
     dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # corpus stats stay a (1-row, broadcast) DataFrame — no driver collect,
     # the whole scorer is one lazy plan
@@ -122,6 +151,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     score_col: str = "score",
+    index: Bm25Index | None = None,
 ) -> DataFrame:
-    scored = bm25_score(df, query, id_col, text_col, k1, b, score_col)
+    scored = bm25_score(df, query, id_col, text_col, k1, b, score_col, index)
     return scored.orderBy(F.desc(score_col), F.asc("doc")).limit(k)

@@ -41,7 +41,9 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero vector yields NULL (sorts last under desc) instead
+    # of throwing DIVIDE_BY_ZERO under ANSI mode; NULL vectors yield NULL
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def query_vec_lit(vec: Sequence[float]) -> Column:
@@ -64,14 +66,22 @@ def cosine_pandas(query: Sequence[float]):
 
     q = np.asarray(list(query), dtype=np.float64)
     qn = np.linalg.norm(q)
+    dim = len(q)
 
     def cos(s):
-        m = np.array(s.tolist(), dtype=np.float64)
-        if m.size == 0:
-            return pd.Series([], dtype="float64")
-        norms = np.linalg.norm(m, axis=1) * qn
-        norms[norms == 0] = np.inf
-        return pd.Series(m @ q / norms)
+        # Semantics mirror the expression path exactly: NULL embedding,
+        # wrong-dimension embedding, or zero vector → NULL score (which
+        # sorts LAST under desc — NaN would sort FIRST in Spark).
+        vals = s.tolist()
+        ok = np.array([v is not None and len(v) == dim for v in vals])
+        out = np.full(len(vals), np.nan)
+        if ok.any():
+            m = np.array([vals[i] for i in np.nonzero(ok)[0]], dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1) * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.where(norms > 0, (m @ q) / norms, np.nan)
+            out[np.nonzero(ok)[0]] = scores
+        return pd.Series(pd.array(out, dtype="Float64"))  # nullable: NaN→NULL in Spark
 
     # annotations set as real objects: the module's postponed-annotations
     # mode would leave pandas_udf with unresolvable string hints

@@ -45,7 +45,7 @@ def curate_corpus(
     """
     feats = quality_columns(text_col)
     t = F.col(text_col)
-    is_empty = t.isNull() | (F.trim(t) == "")
+    is_empty = t.isNull() | (F.regexp_replace(t, r"\s+", "") == "")
     lang_ok = F.lit(True) if keep_langs is None else F.col("lang_pred").isin(list(keep_langs))
 
     annotated = (

@@ -31,9 +31,11 @@ from mcpvectordb_spark.schema import CHUNKS_SCHEMA
 # API guard even though Spark Columns are parameterised (no SQL injection).
 _IDENT_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
 
-# Hive/Spark partition-path escaping (ExternalCatalogUtils.escapePathName):
-# these characters appear %XX-encoded in partition directory names.
-_PATH_ESCAPE = set('"#%\'*/:=?\\\x7f{}[]^') | {chr(c) for c in range(0x20)}
+# Hive/Spark partition-path escaping (ExternalCatalogUtils.charToEscape):
+# exactly these characters appear %XX-encoded in partition directory names.
+# NOTE: '{' is in the set but '}' is NOT — matching Spark's writer exactly
+# is load-bearing (a mismatch makes delete rewrite the wrong directory).
+_PATH_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
 
 
 def escape_partition_value(value: str) -> str:
@@ -77,10 +79,21 @@ class ChunkStore:
 
     def read(self) -> DataFrame:
         import os
+        import re as _re
 
         # Missing/empty table → empty DataFrame with the right schema
         # (searching an empty store returns empty, never errors — TC-17).
-        if not os.path.isdir(self.path.removeprefix("file://")):
+        # The cheap isdir probe only applies to local paths; URI stores
+        # (hdfs://, s3a://, ...) must NOT be silently treated as empty —
+        # attempt the read and map only path-not-found to empty.
+        if _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", self.path) or self.path.startswith("file:"):
+            try:
+                return self.spark.read.schema(CHUNKS_SCHEMA).parquet(self.path)
+            except Exception as exc:
+                if "PATH_NOT_FOUND" in str(exc):
+                    return self.spark.createDataFrame([], CHUNKS_SCHEMA)
+                raise
+        if not os.path.isdir(self.path):
             return self.spark.createDataFrame([], CHUNKS_SCHEMA)
         return self.spark.read.schema(CHUNKS_SCHEMA).parquet(self.path)
 

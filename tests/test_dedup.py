@@ -52,7 +52,9 @@ def test_minhash_lsh_finds_planted_neardups(spark, mini_docs):
     base = mini_docs.select(F.monotonically_increasing_id().alias("id"), F.col("content").alias("text"))
     mutated = base.select((F.col("id") + 1000).alias("id"), F.concat("text", F.lit(" tail word")).alias("text"))
     both = base.unionByName(mutated)
-    pairs = minhash_lsh_pairs(both, "id", "text", num_hashes=8, bands=2, threshold=0.5)
+    # r=2 band geometry: P(candidate) = 1-(1-J²)^8 ≈ 1 at J≥0.9 (with
+    # honest independent hashes; wider bands would miss ~10% of J=0.9 pairs)
+    pairs = minhash_lsh_pairs(both, "id", "text", num_hashes=16, bands=8, threshold=0.5)
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     planted = {(r["id"], r["id"] + 1000) for r in base.collect()}
     # high-similarity planted pairs must be recovered (tiny docs may fall

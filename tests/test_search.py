@@ -135,3 +135,17 @@ def test_kmeans_ivf_end_to_end(spark):
     probed = [r["vec_id"] for r in
               ivf_topk(assigned, centroids, qv, 5, nprobe=3, corpus_id="vec_id").collect()]
     assert probed[0] == exact[0]
+
+
+def test_knn_edge_vectors_null_not_crash(spark):
+    """Zero, NULL, and wrong-dimension vectors must score NULL (sorting
+    last) in BOTH impls — the expr path used to throw DIVIDE_BY_ZERO under
+    ANSI and the pandas path crashed on ragged input (code-review finds)."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 2.0]), (3, None), (4, [3.0])],
+        "id int, v array<float>",
+    )
+    for impl in ("expr", "pandas"):
+        rows = knn_topk(df, [1.0, 0.0], 4, vec_col="v", tie_col="id", impl=impl).collect()
+        assert rows[0]["id"] == 2 and rows[0]["score"] is not None, impl
+        assert all(r["score"] is None for r in rows[1:]), impl
