@@ -106,8 +106,23 @@ class VectorDB:
         row = fetch_urls(self.spark, [url], self.config).collect()[0]
         if row["fetch_error"]:
             return _err(f"fetch failed: {row['fetch_error']}")
+        # pick the converter from the Content-Type header, falling back to
+        # the URL extension, then html — blindly tag-stripping e.g. a
+        # markdown or JSON response would mangle legitimate text
+        ctype_map = {
+            "text/html": "html", "application/xhtml+xml": "html",
+            "text/markdown": "md", "text/plain": "txt", "text/csv": "csv",
+            "application/json": "json", "text/xml": "xml", "application/xml": "xml",
+        }
+        ftype = ctype_map.get(row["content_type"] or "")
+        if ftype is None:
+            import re as _re
+
+            m = _re.search(r"\.([A-Za-z0-9]+)(?:[?#].*)?$", url)
+            ext = (m.group(1).lower() if m else "")
+            ftype = ext if ext in ("md", "markdown", "txt", "csv", "json", "xml", "html", "htm") else "html"
         try:
-            text = convert_bytes(bytes(row["raw_bytes"]), "html")
+            text = convert_bytes(bytes(row["raw_bytes"]), ftype)
         except Exception as exc:
             return _err(f"conversion failed: {exc}")
         return self.ingest_content(text, source=url, library=library, metadata=metadata)
@@ -125,12 +140,15 @@ class VectorDB:
         if not os.path.isdir(os.path.expanduser(folder)):
             return _err(f"folder not found: {folder}")
         files = read_folder(self.spark, os.path.expanduser(folder), recursive, self.config)
-        converted = convert_stage(files)
+        # cache: the conversion output feeds both the ingest run and the
+        # error report — without it the folder is scanned+converted twice
+        converted = convert_stage(files).cache()
         raw = converted.select(
             "source",
             F.lit(library).alias("library"),
             F.col("content"),
             F.lit(json.dumps(metadata or {})).alias("metadata"),
+            "last_modified",
         )
         results = ingest_batch(raw, self.store, self.config,
                                embedder_factory=self._embedder_factory()).collect()
@@ -140,6 +158,7 @@ class VectorDB:
             r["source"]: r["convert_error"]
             for r in converted.select("source", "convert_error").filter("convert_error IS NOT NULL").collect()
         }
+        converted.unpersist()
         by = {}
         for r in results:
             by[r["status"]] = by.get(r["status"], 0) + 1
@@ -178,7 +197,10 @@ class VectorDB:
         candidates = max(top_k, top_k * self.config.refine_factor)
         vec_leg = knn_topk(chunks, qv, candidates, tie_col="id")
         if self.config.hybrid_search_enabled:
-            bm_leg = bm25_topk(chunks, query, candidates, "id", "content")
+            bm_leg = bm25_topk(
+                chunks, query, candidates, "id", "content",
+                k1=self.config.bm25_k1, b=self.config.bm25_b,
+            )
             fused = rrf_topk(
                 [(bm_leg, "doc", "score"), (vec_leg.select(F.col("id").alias("doc"), "score"), "doc", "score")],
                 top_k, k0=self.config.rrf_k0, id_col="id", score_col="score",
@@ -197,6 +219,7 @@ class VectorDB:
                     "score": float(r["score"]),
                     "metadata": json.loads(r["metadata"] or "{}"),
                     "file_type": r["file_type"], "page": r["page"],
+                    "last_modified": r["last_modified"],
                 }
                 for r in rows
             ],

@@ -47,6 +47,10 @@ class _Chunker:
         return n
 
     def run(self, text: str) -> list[str]:
+        # memoization only pays within one document; clearing per call keeps
+        # the speedup with bounded memory (a partition-lived memo would grow
+        # with the total text of the task — an OOM hazard on large ingests)
+        self._memo.clear()
         if not text.strip():
             return []
         raw = self._descend(text, 0)

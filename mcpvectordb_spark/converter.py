@@ -24,7 +24,6 @@ if TYPE_CHECKING:
     import pandas as pd
     from pyspark.sql import DataFrame
 
-_TEXT_EXTS = {"txt", "md", "markdown", "csv", "json", "xml", "html", "htm"}
 _TAG_RE = re.compile(r"<script.*?</script>|<style.*?</style>|<[^>]+>", re.S | re.I)
 
 

@@ -44,11 +44,6 @@ class Embedder(Protocol):
     def embed_query(self, text: str) -> np.ndarray: ...
 
 
-def _hash_unit(value: str) -> float:
-    digest = hashlib.sha256(value.encode("utf-8")).hexdigest()
-    return (int(digest, 16) % 1_000_000) / 1_000_000.0
-
-
 class HashEmbedder:
     """Deterministic, dimension-agnostic embedder (FIXTURES.md rule 1)."""
 

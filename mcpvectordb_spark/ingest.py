@@ -79,7 +79,14 @@ def prepare_batch(
         .withColumn("title", extract_title(c, F.col("source")))
         .withColumn("file_type", file_type_of(F.col("source")))
         .withColumn("created_at", F.lit(ts))
-        .withColumn("last_modified", F.lit(""))
+        # sources that know their mtime (folder scan, URL Last-Modified)
+        # pass a last_modified column through; otherwise "" (store.py:33)
+        .withColumn(
+            "last_modified",
+            F.coalesce(F.col("last_modified"), F.lit(""))
+            if "last_modified" in raw_docs.columns
+            else F.lit(""),
+        )
         .withColumn("page", F.lit(0))
         .withColumn("metadata", F.coalesce(F.col("metadata"), F.lit("{}")))
         # \s-aware emptiness: F.trim strips spaces only, but the chunker

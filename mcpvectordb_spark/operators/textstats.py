@@ -88,8 +88,12 @@ def quality_columns(text_col: str) -> dict[str, Column]:
     score = 0.4·len_score + 0.3·(1−punct_ratio) + 0.3·stop_score, where
     len_score saturates at 200 words and stop_score at a 5% stopword rate —
     a simple, fully-SQL-portable heuristic in the C4/Gopher-rules spirit.
+
+    NULL text scores like empty text (0.3): without the coalesce, NULL
+    features would slip through F.least (which skips NULLs) and score 0.7,
+    ranking NULL docs above real ones.
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     toks = ws_tokens(t)
     n_words = F.size(toks)
     n_chars = F.length(t)

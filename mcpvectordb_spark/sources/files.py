@@ -64,6 +64,7 @@ def fetch_urls(spark: SparkSession, urls: list[str], config: EngineConfig = DEFA
         [
             T.StructField("source", T.StringType()),
             T.StructField("file_type", T.StringType()),
+            T.StructField("content_type", T.StringType()),
             T.StructField("last_modified", T.StringType()),
             T.StructField("size", T.LongType()),
             T.StructField("raw_bytes", T.BinaryType()),
@@ -85,9 +86,10 @@ def fetch_urls(spark: SparkSession, urls: list[str], config: EngineConfig = DEFA
                     with urllib.request.urlopen(req, timeout=timeout) as resp:  # nosec B310
                         raw = resp.read()
                         lm = resp.headers.get("Last-Modified", "")
-                    rows.append((url, "url", lm, len(raw), raw, None))
+                        ctype = resp.headers.get_content_type()
+                    rows.append((url, "url", ctype, lm, len(raw), raw, None))
                 except Exception as exc:
-                    rows.append((url, "url", "", 0, None, f"{type(exc).__name__}: {exc}"))
+                    rows.append((url, "url", "", "", 0, None, f"{type(exc).__name__}: {exc}"))
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     urls_df = spark.createDataFrame([(u,) for u in urls], "url string")

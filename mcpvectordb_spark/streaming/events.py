@@ -29,13 +29,20 @@ def windowed_counts_batch(events: DataFrame, unit: str = "hour") -> DataFrame:
 
 
 def windowed_counts_stream(spark: SparkSession, path: str, schema, window: str = "1 hour", watermark: str = "2 hours"):
-    """Streaming twin: file-source stream with watermarked tumbling windows.
+    """Streaming twin of :func:`windowed_counts_batch`: same output columns
+    (n_events, sum_value rounded, n_users) so the two can be unioned or
+    compared directly; distinct users via approx_count_distinct (exact
+    distinct isn't available in streaming append mode).
     Late rows beyond the watermark are dropped; output mode append."""
     stream = spark.readStream.schema(schema).parquet(path)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("n_users"),
+        )
     )
 
 

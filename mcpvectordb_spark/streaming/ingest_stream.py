@@ -43,7 +43,11 @@ def start_folder_ingest_stream(
         .option("wholetext", "true")
         .load(watch_dir)
     )
-    with_path = files.withColumn("source", F.col("_metadata.file_path"))
+    # strip the file: scheme so streaming and batch ingests agree on the
+    # (source, library) dedup identity (sources/files.py does the same)
+    with_path = files.withColumn(
+        "source", F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
+    )
 
     def process_batch(batch_df, epoch_id: int) -> None:
         raw = batch_df.select(

@@ -21,21 +21,32 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 
-def dedup_stream(stream: DataFrame, hash_col: str = "content_hash") -> DataFrame:
+def dedup_stream(
+    stream: DataFrame,
+    hash_col: str = "content_hash",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
     """Emit only the first-ever row per ``hash_col`` across ALL micro-batches.
 
-    Within a batch, the earliest row (by the group's arrival order) wins —
-    consistent with the batch gate's duplicate-in-batch policy.
+    Within a micro-batch, ``order_cols`` picks the deterministic winner
+    (smallest tuple) — post-shuffle group order is NOT arrival order, so
+    without it the surviving row of a same-batch collision is arbitrary.
     """
     out_schema = stream.schema
     state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
 
     def first_only(key, pdfs, state):
-        seen = state.exists
-        for pdf in pdfs:
-            if not seen and len(pdf) > 0:
-                seen = True
-                yield pdf.head(1)
+        import pandas as pd
+
+        if not state.exists:
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            if len(batch) > 0:
+                if order_cols:
+                    batch = batch.sort_values(order_cols, kind="mergesort")
+                yield batch.head(1)
+        else:
+            for _ in pdfs:  # drain the iterator; everything is a known dup
+                pass
         state.update((True,))
 
     return stream.groupBy(hash_col).applyInPandasWithState(
