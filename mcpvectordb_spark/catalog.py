@@ -543,6 +543,35 @@ WHERE common/(sa.set_size + sb.set_size - common) >= 0.5
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the Jaccard≥0.5 pair
+    graph of the planted corpus — every doc mapped to its canonical
+    representative (min reachable id).  Spark: iterative min-label
+    propagation; oracle: recursive CTE."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.5)
+    clusters = dd.dedup_clusters(corpus.select("id"), pairs, "id")
+    return clusters
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE corpus AS ({_SQL_NEAR_CORPUS}),
+{_sql_jaccard_cte()}
+, jpairs AS (
+  SELECT id_a, id_b
+  FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE common/(sa.set_size + sb.set_size - common) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jpairs
+  UNION SELECT id_b, id_a FROM jpairs),
+reach(id, label) AS (
+  SELECT id, id FROM corpus
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+SELECT id, CAST(min(label) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit tf-weighted SimHash fingerprint per document."""
     docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
@@ -1282,6 +1311,7 @@ QUERIES = {
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     # text analysis
     "text_tokens": q_text_tokens,
@@ -1332,6 +1362,7 @@ ORACLES = {
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "text_tokens": SQL_TEXT_TOKENS,
     "text_quality": SQL_TEXT_QUALITY,

@@ -110,3 +110,17 @@ def test_embedding_lsh_recall_on_true_neardups(spark):
     planted = {(r["vec_id"], r["vec_id"] + 100000) for r in emb.collect()}
     recall = len(lsh & planted) / len(planted)
     assert recall >= 0.9, f"LSH recall on true near-dups: {recall}"
+
+
+def test_dedup_clusters_transitive_chains(spark):
+    """Connected components: a~b and b~c must land a, b, c in ONE cluster
+    even if a and c are not directly similar (transitive closure)."""
+    from mcpvectordb_spark.operators.dedup import dedup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (4, 5, 0.8)],  # chain {1,2,3}, pair {4,5}, singleton {6}
+        "id_a long, id_b long, jaccard double",
+    )
+    out = {r["id"]: r["cluster_id"] for r in dedup_clusters(ids, pairs, "id").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
