@@ -46,11 +46,15 @@ class _Chunker:
             self._memo[piece] = n
         return n
 
+    # cross-document memo cap: shared vocabulary makes word-level token
+    # counts highly reusable across docs, but an unbounded partition-lived
+    # memo would grow with the task's total text (OOM hazard) — reset when
+    # it exceeds the cap
+    MEMO_CAP = 200_000
+
     def run(self, text: str) -> list[str]:
-        # memoization only pays within one document; clearing per call keeps
-        # the speedup with bounded memory (a partition-lived memo would grow
-        # with the total text of the task — an OOM hazard on large ingests)
-        self._memo.clear()
+        if len(self._memo) > self.MEMO_CAP:
+            self._memo.clear()
         if not text.strip():
             return []
         raw = self._descend(text, 0)

@@ -109,7 +109,11 @@ def bm25_score(
         return df.sparkSession.createDataFrame([], f"doc string, {score_col} double")
 
     if index is None:
-        posting = doc_terms(df, id_col, text_col)
+        # ephemeral stats: localCheckpoint materializes the posting list
+        # once (it feeds both the hit scan and the df counts) and its
+        # blocks are GC-cleaned with the result plan — unlike .cache(),
+        # which leaked a persistent entry per query in serving sessions
+        posting = doc_terms(df, id_col, text_col).localCheckpoint(eager=False)
         lens = df.select(
             F.col(id_col).alias("doc"), F.size(tokens_col(F.col(text_col))).alias("dl")
         )
