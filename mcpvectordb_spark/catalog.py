@@ -92,13 +92,15 @@ def _sql_quality_cte(source: str) -> str:
     .quality_columns over ``source`` — shared by the quality and curation
     oracles so the heuristic's constants live in exactly two places
     (the Column expressions and this one SQL twin)."""
+    # COALESCE mirrors textstats.quality_columns: NULL text must score like
+    # empty text (without it DuckDB's least() skips the NULL and scores 0.7)
     return rf"""
 f AS (
   SELECT *,
-    CAST(length(text) AS BIGINT) AS n_chars,
-    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_words,
-    CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS punct,
-    CAST(len(list_filter(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''), t -> lower(t)),
+    CAST(length(COALESCE(text,'')) AS BIGINT) AS n_chars,
+    CAST(len(list_filter(regexp_split_to_array(trim(COALESCE(text,'')), '\s+'), t -> t <> '')) AS BIGINT) AS n_words,
+    CAST(length(COALESCE(text,'')) - length(regexp_replace(COALESCE(text,''), '[^\w\s]', '', 'g')) AS BIGINT) AS punct,
+    CAST(len(list_filter(list_transform(list_filter(regexp_split_to_array(trim(COALESCE(text,'')), '\s+'), t -> t <> ''), t -> lower(t)),
              t -> t IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS stop
   FROM {source}),
 q AS (
@@ -118,20 +120,23 @@ def _q_vec(spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID) -> list
 
 
 # planted-duplicate corpora (the raw synthetic corpus has no near-dups, so
-# dedup demos plant them deterministically — identically in Spark and SQL)
+# dedup demos plant them deterministically — identically in Spark and SQL).
+# Plant-id offset is far beyond any scale factor's doc_id range (+10k would
+# collide with genuine ids at sf >= 0.2 and silently corrupt the corpus).
 _NEARDUP_SUFFIX = " zz9 qq8 extra suffix tokens"
+_PLANT_OFFSET = 10_000_000
 
 
 def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(F.col("doc_id").alias("id"), "text").unionByName(
-        docs.filter(F.col("doc_id") < 50).select((F.col("doc_id") + 10000).alias("id"), "text")
+        docs.filter(F.col("doc_id") < 50).select((F.col("doc_id") + _PLANT_OFFSET).alias("id"), "text")
     )
 
 
 _SQL_EXACT_CORPUS = (
     "SELECT doc_id AS id, text FROM documents "
-    "UNION ALL SELECT doc_id+10000 AS id, text FROM documents WHERE doc_id < 50"
+    f"UNION ALL SELECT doc_id+{_PLANT_OFFSET} AS id, text FROM documents WHERE doc_id < 50"
 )
 
 
@@ -139,7 +144,7 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(F.col("doc_id").alias("id"), "text").unionByName(
         docs.filter(F.col("doc_id") < 50).select(
-            (F.col("doc_id") + 10000).alias("id"),
+            (F.col("doc_id") + _PLANT_OFFSET).alias("id"),
             F.concat(F.col("text"), F.lit(_NEARDUP_SUFFIX)).alias("text"),
         )
     )
@@ -147,7 +152,7 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_NEAR_CORPUS = (
     "SELECT doc_id AS id, text FROM documents "
-    f"UNION ALL SELECT doc_id+10000 AS id, text || '{_NEARDUP_SUFFIX}' AS text "
+    f"UNION ALL SELECT doc_id+{_PLANT_OFFSET} AS id, text || '{_NEARDUP_SUFFIX}' AS text "
     "FROM documents WHERE doc_id < 50"
 )
 
@@ -269,7 +274,12 @@ toks AS (
   SELECT doc_id AS doc, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS term
   FROM documents),
 posting AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-lens AS (SELECT doc, count(*) AS dl FROM toks GROUP BY 1),
+-- lens over ALL docs (zero-token docs contribute dl=0 to avgdl), exactly
+-- like bm25.py building lens from the corpus rather than the posting list
+lens AS (
+  SELECT doc_id AS doc,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT) AS dl
+  FROM documents),
 dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY 1),
 stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM lens) AS avgdl),
 qterms AS (SELECT unnest(['batch','join','spark','window']) AS term),
@@ -296,9 +306,18 @@ SELECT doc, round(score, 6) AS score FROM bm ORDER BY score DESC, doc LIMIT 10
 
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search: BM25 leg + vector leg fused with RRF (k0=60) —
-    the reference's hybrid query (SURVEY §2.10 R2), fully re-expressed."""
+    the reference's hybrid query (SURVEY §2.10 R2), fully re-expressed.
+
+    The vector leg is restricted to embeddings whose vec_id has a matching
+    document (semi-join): doc_id and vec_id are one id space only when the
+    tables are row-aligned — at sf0.1 there are 5000 docs but 2000
+    embeddings, so fusing unrestricted would mix id domains."""
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").join(
+        load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+        "left_semi",
+    )
     qv = _q_vec(spark, sf_dir)
     bm_leg = bm25_topk(docs, SEARCH_QUERY, 50, "doc_id", "text")
     vec_leg = knn_topk(emb, qv, 50, tie_col="vec_id").select(
@@ -315,6 +334,7 @@ q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {Q
 vstop AS (
   SELECT vec_id AS doc, {_sql_cos('CAST(embedding AS DOUBLE[])', 'qv')} AS score
   FROM embeddings, q
+  WHERE vec_id IN (SELECT doc_id FROM documents)
   ORDER BY score DESC, doc LIMIT 50),
 br AS (SELECT doc, row_number() OVER (ORDER BY score DESC, doc) AS r FROM bmtop),
 vr AS (SELECT doc, row_number() OVER (ORDER BY score DESC, doc) AS r FROM vstop)
@@ -691,10 +711,12 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_FINGERPRINT = f"""
 SELECT doc_id,
   md5({_sql_norm('text')}) AS md5_fp,
-  list_reduce(
-    list_concat([CAST(0 AS BIGINT)],
-                list_transform(string_split({_sql_norm('text')}, ''), c -> CAST(ascii(c) AS BIGINT))),
-    (a, b) -> (a*31 + b) % 2147483647) AS rolling_fp
+  CASE WHEN text IS NULL THEN NULL ELSE
+    list_reduce(
+      list_concat([CAST(0 AS BIGINT)],
+                  list_transform(string_split({_sql_norm('text')}, ''), c -> CAST(ascii(c) AS BIGINT))),
+      (a, b) -> (a*31 + b) % 2147483647)
+  END AS rolling_fp
 FROM documents
 """
 

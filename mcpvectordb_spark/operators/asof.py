@@ -58,9 +58,12 @@ def asof_join(
         F.lit(None).cast(dict(r.dtypes)["__match"]).alias("__match"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns if c not in key_cols],
     )
+    # __match in the ordering breaks ties among right rows sharing
+    # (key, ts) deterministically (struct compare is lexicographic);
+    # left rows have NULL __match and need no disambiguation
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy("__t", "__side")
+        .orderBy("__t", "__side", "__match")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = r.unionByName(l).withColumn(

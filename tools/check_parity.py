@@ -38,6 +38,11 @@ def norm_rows(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    unknown = only - set(QUERIES)
+    if unknown:
+        # a typo'd name must not produce a vacuous '0 passed, 0 failed' green
+        print(f"unknown queries: {sorted(unknown)}; valid: {sorted(QUERIES)}")
+        sys.exit(2)
     spark = get_spark("parity")
     con = duckdb.connect()
     for t in TABLES:
