@@ -240,13 +240,14 @@ class VectorDB:
         return {"status": "ok", "libraries": self.store.list_libraries()}
 
     def delete_document(self, doc_id: str) -> dict:
-        """Reference server.py:340-361."""
+        """Reference server.py:340-361 (spec: status 'deleted',
+        docs/mcp-tool-spec.md:224)."""
         if not doc_id:
             return _err("doc_id must be non-empty")
         deleted = self.store.delete_document(doc_id)
         if deleted == 0:
             return _err(f"document not found: {doc_id}")
-        return {"status": "ok", "doc_id": doc_id, "deleted_chunks": deleted}
+        return {"status": "deleted", "doc_id": doc_id, "deleted_chunks": deleted}
 
     def get_document(self, doc_id: str) -> dict:
         """Reference server.py:363-398."""
@@ -258,13 +259,20 @@ class VectorDB:
         doc["metadata"] = json.loads(doc.get("metadata") or "{}")
         return {"status": "ok", **doc}
 
-    def server_info(self) -> dict:
-        """Reference server.py:400-420."""
+    def server_info(self, check_path: str | None = None) -> dict:
+        """Reference server.py:400-420 (spec docs/mcp-tool-spec.md:253-285):
+        diagnostics + optional ``check_path`` readability probe."""
+        import os
+        import sys as _sys
+
         libs = self.store.list_libraries()
-        return {
+        info = {
             "status": "ok",
             "engine": "mcpvectordb_spark",
+            "platform": _sys.platform,
+            "python_version": _sys.version.split()[0],
             "spark_version": self.spark.version,
+            "cwd": os.getcwd(),
             "store_path": self.store.path,
             "embedding_dim": self.config.embedding_dim,
             "hybrid_search_enabled": self.config.hybrid_search_enabled,
@@ -273,3 +281,17 @@ class VectorDB:
             "documents": sum(l["document_count"] for l in libs),
             "chunks": sum(l["chunk_count"] for l in libs),
         }
+        if check_path is not None:
+            p = os.path.expanduser(check_path)
+            probe: dict = {"path": check_path}
+            try:
+                probe["readable"] = os.path.isfile(p) and os.access(p, os.R_OK)
+                if probe["readable"]:
+                    probe["size_bytes"] = os.path.getsize(p)
+                else:
+                    probe["error"] = "not a readable file"
+            except OSError as exc:
+                probe["readable"] = False
+                probe["error"] = str(exc)
+            info["path_check"] = probe
+        return info

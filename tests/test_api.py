@@ -57,7 +57,7 @@ def test_document_lifecycle(db):
     info = db.server_info()
     assert info["documents"] == 1 and info["chunks"] >= 1
     deleted = db.delete_document(doc_id)
-    assert deleted["status"] == "ok" and deleted["deleted_chunks"] >= 1
+    assert deleted["status"] == "deleted" and deleted["deleted_chunks"] >= 1  # spec status value
     assert db.get_document(doc_id)["status"] == "error"
     assert db.delete_document(doc_id)["status"] == "error"
     # post-delete search is empty, not an error (TC-14)
@@ -85,3 +85,23 @@ def test_ingest_file_and_folder(db, tmp_path):
 def test_ingest_url_validation(db):
     assert db.ingest_url("ftp://nope")["status"] == "error"
     assert db.ingest_url("http://127.0.0.1:1/unreachable")["status"] == "error"
+
+
+def test_server_info_path_check(db, tmp_path):
+    f = tmp_path / "probe.txt"
+    f.write_text("hello")
+    ok = db.server_info(check_path=str(f))["path_check"]
+    assert ok["readable"] is True and ok["size_bytes"] == 5
+    bad = db.server_info(check_path=str(tmp_path / "ghost"))["path_check"]
+    assert bad["readable"] is False and "error" in bad
+    assert "path_check" not in db.server_info()
+
+
+def test_search_result_spec_fields(db):
+    """Every field of the reference's search result contract
+    (docs/mcp-tool-spec.md:121-143) must be present."""
+    db.ingest_content("# T\n\nspec contract check text " * 10, source="s.md", library="l")
+    r = db.search("contract", top_k=1)["results"][0]
+    spec_fields = {"doc_id", "source", "title", "library", "file_type",
+                   "last_modified", "page", "content", "chunk_index", "metadata"}
+    assert spec_fields <= set(r)
