@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mcpvectordb_spark.io import load_table
+from mcpvectordb_spark.operators import curation as cu
 from mcpvectordb_spark.operators import dedup as dd
 from mcpvectordb_spark.operators import textstats as ts
 from mcpvectordb_spark.operators.bm25 import bm25_score, bm25_topk
@@ -791,6 +792,178 @@ FROM t GROUP BY lang
 
 
 # ===========================================================================
+# 5b. Corpus curation at training-pipeline scale (operators/curation.py)
+# ===========================================================================
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: training docs sharing ≥50% of their
+    3-gram shingles with a benchmark doc.  Eval = docs 0-49; train = the
+    rest plus planted mutated copies of the eval docs (which the operator
+    must flag).  Broadcast eval index → map-side overlap join."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") < 50).select(F.col("doc_id").alias("id"), "text")
+    train = docs.filter(F.col("doc_id") >= 50).select(
+        F.col("doc_id").alias("id"), "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + _PLANT_OFFSET).alias("id"),
+            F.concat(F.col("text"), F.lit(_NEARDUP_SUFFIX)).alias("text"),
+        )
+    )
+    out = cu.decontaminate(train, eval_df, "id", "text", n=3, threshold=0.5)
+    return out.select(
+        "id",
+        F.col("matched_evals").cast("long").alias("matched_evals"),
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+    )
+
+
+def _sql_decontaminate() -> str:
+    shingles = _sql_shingles(_sql_words("text"), 3)
+    return rf"""
+WITH eval_set AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 50),
+train AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id >= 50
+  UNION ALL
+  SELECT doc_id+{_PLANT_OFFSET} AS id, text || '{_NEARDUP_SUFFIX}' AS text
+  FROM documents WHERE doc_id < 50),
+tsh AS (SELECT id, unnest({shingles}) AS shingle FROM train),
+esh AS (SELECT DISTINCT shingle, id AS eval_id
+        FROM (SELECT id, unnest({shingles}) AS shingle FROM eval_set)),
+sizes AS (SELECT id, count(*) AS set_size FROM tsh GROUP BY id),
+common AS (
+  SELECT t.id, e.eval_id, count(*) AS common
+  FROM tsh t JOIN esh e ON t.shingle = e.shingle
+  GROUP BY 1, 2),
+per_doc AS (
+  SELECT id, max(common) AS max_common, CAST(count(*) AS BIGINT) AS matched_evals
+  FROM common GROUP BY id)
+SELECT p.id, p.matched_evals, round(p.max_common / s.set_size, 6) AS overlap_frac
+FROM per_doc p JOIN sizes s ON p.id = s.id
+WHERE p.max_common / s.set_size >= 0.5
+"""
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution caps (source balancing): keep the 20 longest
+    docs per pseudo-domain, explicit doc_id tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = cu.domain_quota(
+        docs, "doc_id", cu.domain_of(F.col("source"), 8), 20,
+        [F.desc("n_chars"), F.asc("doc_id")],
+    )
+    return out.select("doc_id", "domain", F.col("rk").cast("long").alias("rk"))
+
+
+def _sql_domain_quota() -> str:
+    return rf"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         'd' || CAST({_sql_hex48('source')} % 8 AS VARCHAR) AS domain
+  FROM documents),
+r AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
+  FROM d)
+SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20
+"""
+
+
+# per-language sampling rates in basis points (10000 = keep all)
+_SAMPLE_RATES_BP = {"en": 5000, "es": 2500, "zh": 1000}
+_SAMPLE_DEFAULT_BP = 500
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: hash-gated Bernoulli with
+    per-language rates — a pure filter (no RNG, no shuffle), identical
+    verdicts on any cluster layout or engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = cu.stratified_sample(
+        docs, "doc_id", "lang", _SAMPLE_RATES_BP, default_bp=_SAMPLE_DEFAULT_BP
+    )
+    return out.select("doc_id", "lang")
+
+
+def _sql_sample_stratified() -> str:
+    gate = _sql_hex48("'sample:' || CAST(doc_id AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_SAMPLE_RATES_BP.items())
+    )
+    return (
+        f"SELECT doc_id, lang FROM documents "
+        f"WHERE {gate} % 10000 < (CASE {cases} ELSE {_SAMPLE_DEFAULT_BP} END)"
+    )
+
+
+def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards; per-shard stats
+    plus an order-sensitive checksum proving the in-shard positions match."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = cu.assign_shards(docs, "doc_id", 8)
+    return out.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.col("shard_pos") * (F.col("shard_ord") % 100003)).alias("order_checksum"),
+    )
+
+
+def _sql_train_shards() -> str:
+    shard = _sql_hex48("'shard:' || CAST(doc_id AS VARCHAR)")
+    ordh = _sql_hex48("'shard-ord:' || CAST(doc_id AS VARCHAR)")
+    return rf"""
+WITH s AS (
+  SELECT doc_id, n_chars, {shard} % 8 AS shard, {ordh} AS shard_ord
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY shard_ord, doc_id) AS shard_pos
+  FROM s)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(shard_pos * (shard_ord % 100003)) AS BIGINT) AS order_checksum
+FROM r GROUP BY shard
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a corpus with planted emails/phone numbers in
+    docs 0-49 (the raw synthetic corpus contains none): per-doc audit
+    counters + md5 of the scrubbed text.  Pure JVM regex — codegen'd,
+    no Python in the loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    idc = F.col("doc_id").cast("string")
+    planted = F.when(
+        F.col("doc_id") < 50,
+        F.concat(
+            F.col("text"), F.lit(" contact user"), idc, F.lit("@example.com or call 555-0"),
+            idc, F.lit("00 now"),
+        ),
+    ).otherwise(F.col("text"))
+    out = cu.scrub_pii(docs.withColumn("text", planted), "text")
+    return out.select("doc_id", "n_emails", "n_phones", F.md5("clean_text").alias("clean_md5"))
+
+
+def _sql_pii_scrub() -> str:
+    email, phone = cu.EMAIL_RE, cu.PHONE_RE
+    return rf"""
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id < 50 THEN
+      text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-0'
+           || CAST(doc_id AS VARCHAR) || '00 now'
+    ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(text, '{email}', '{cu.EMAIL_TOKEN}', 'g'),
+                     '{phone}', '{cu.PHONE_TOKEN}', 'g')) AS clean_md5
+FROM planted
+"""
+
+
+# ===========================================================================
 # 6. Event analytics (batch forms of the streaming operators)
 # ===========================================================================
 
@@ -1342,6 +1515,12 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "curation_pipeline": q_curation_pipeline,
     "corpus_token_stats": q_corpus_token_stats,
+    # corpus curation at scale
+    "decontaminate": q_decontaminate,
+    "domain_quota": q_domain_quota,
+    "sample_stratified": q_sample_stratified,
+    "train_shards": q_train_shards,
+    "pii_scrub": q_pii_scrub,
     # events
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -1392,6 +1571,11 @@ ORACLES = {
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "curation_pipeline": _sql_curation(),
     "corpus_token_stats": SQL_CORPUS_TOKEN_STATS,
+    "decontaminate": _sql_decontaminate(),
+    "domain_quota": _sql_domain_quota(),
+    "sample_stratified": _sql_sample_stratified(),
+    "train_shards": _sql_train_shards(),
+    "pii_scrub": _sql_pii_scrub(),
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_json": SQL_EVENTS_JSON,

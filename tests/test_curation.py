@@ -1,0 +1,89 @@
+"""Corpus-curation operators: decontamination flags planted eval copies,
+quotas cap per-domain counts, sampling/sharding are deterministic pure
+column math, PII scrub redacts exactly what it counts."""
+
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.operators import curation as cu
+
+
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank", "siteA"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today", "siteA"),
+        (3, "completely unrelated text about cooking pasta with garlic and olive oil", "siteB"),
+        (4, "another unrelated doc discussing spark shuffle partitions and joins", "siteB"),
+        (5, "short one", "siteC"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string, src string")
+
+
+def test_decontaminate_flags_planted_copy(spark):
+    docs = docs_df(spark)
+    eval_df = docs.filter(F.col("id") == 1).select("id", "text")
+    train = docs.filter(F.col("id") > 1).select("id", "text")
+    out = {r["id"]: r for r in
+           cu.decontaminate(train, eval_df, "id", "text", n=3, threshold=0.5).collect()}
+    # doc 2 is doc 1 plus one word: almost all of its 3-shingles are shared
+    assert set(out) == {2}
+    assert out[2]["matched_evals"] == 1
+    assert out[2]["overlap_frac"] >= 0.8
+
+
+def test_domain_quota_caps_and_orders(spark):
+    df = spark.createDataFrame(
+        [(i, f"dom{i % 2}", i * 10) for i in range(10)], "id long, dom string, score long"
+    )
+    out = cu.domain_quota(df, "id", F.col("dom"), 3, [F.desc("score"), F.asc("id")])
+    rows = out.collect()
+    assert len(rows) == 6
+    per = {}
+    for r in rows:
+        per.setdefault(r["domain"], []).append(r["id"])
+    # best-first: highest scores survive in each domain
+    assert sorted(per["dom0"]) == [4, 6, 8]
+    assert sorted(per["dom1"]) == [5, 7, 9]
+    assert all(1 <= r["rk"] <= 3 for r in rows)
+
+
+def test_stratified_sample_deterministic_and_gated(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(2000)], "id long, lang string"
+    )
+    kept1 = sorted(r["id"] for r in cu.stratified_sample(df, "id", "lang", {"en": 5000}).collect())
+    kept2 = sorted(r["id"] for r in cu.stratified_sample(df, "id", "lang", {"en": 5000}).collect())
+    assert kept1 == kept2  # no RNG anywhere
+    langs = {r["id"]: r["lang"] for r in df.collect()}
+    assert all(langs[i] == "en" for i in kept1)  # default_bp=0 drops fr entirely
+    assert 350 < len(kept1) < 650  # ~50% of the 1000 en docs
+
+
+def test_assign_shards_partitions_and_positions(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    out = cu.assign_shards(df, "id", 4).collect()
+    assert len(out) == 500 and len({r["id"] for r in out}) == 500
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic: same ids → same shards on a re-run
+    again = {r["id"]: r["shard"] for r in cu.assign_shards(df, "id", 4).collect()}
+    first = {r["id"]: r["shard"] for r in out}
+    assert first == again
+
+
+def test_scrub_pii_counts_match_redactions(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com and alice@test.org or call 555-0199 ok"),
+         (2, "no pii here at all")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in cu.scrub_pii(df, "text").collect()}
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_phones"] == 1
+    clean = rows[1]["clean_text"]
+    assert clean.count(cu.EMAIL_TOKEN) == 2 and clean.count(cu.PHONE_TOKEN) == 1
+    assert "@" not in clean and "555-" not in clean
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
+    assert rows[2]["clean_text"] == "no pii here at all"
