@@ -846,11 +846,13 @@ WHERE p.max_common / s.set_size >= 0.5
 
 def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain contribution caps (source balancing): keep the 20 longest
-    docs per pseudo-domain, explicit doc_id tiebreak."""
+    docs per pseudo-domain, explicit doc_id tiebreak.  Runs the skew-safe
+    ``presalt`` pre-prune path — the oracle is the plain global window, so
+    the gate proves the mega-domain mitigation is lossless."""
     docs = load_table(spark, sf_dir, "documents")
     out = cu.domain_quota(
         docs, "doc_id", cu.domain_of(F.col("source"), 8), 20,
-        [F.desc("n_chars"), F.asc("doc_id")],
+        [F.desc("n_chars"), F.asc("doc_id")], presalt=4,
     )
     return out.select("doc_id", "domain", F.col("rk").cast("long").alias("rk"))
 
@@ -923,6 +925,54 @@ SELECT CAST(shard AS BIGINT) AS shard,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        CAST(sum(shard_pos * (shard_ord % 100003)) AS BIGINT) AS order_checksum
 FROM r GROUP BY shard
+"""
+
+
+_PACK_BUDGET = 1024
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing over the 8 training shards
+    (budget {_PACK_BUDGET} whitespace tokens): per packed sequence, how many
+    docs start in it, their token mass, and how many straddle into the next
+    sequence — the stats a dataloader manifest carries."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = cu.pack_sequences(
+        docs, "doc_id", ts.ws_token_count(F.col("text")), _PACK_BUDGET, 8
+    )
+    return out.groupBy(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("seq_first").alias("seq"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum((F.col("seq_last") > F.col("seq_first")).cast("long")).alias("n_straddle"),
+    )
+
+
+def _sql_pack_sequences() -> str:
+    shard = _sql_hex48("'shard:' || CAST(doc_id AS VARCHAR)")
+    ordh = _sql_hex48("'shard-ord:' || CAST(doc_id AS VARCHAR)")
+    ntok = f"CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS BIGINT)"
+    b = _PACK_BUDGET
+    return rf"""
+WITH s AS (
+  SELECT doc_id, {ntok} AS n_tokens, {shard} % 8 AS shard, {ordh} AS shard_ord
+  FROM documents),
+o AS (
+  SELECT *, sum(n_tokens) OVER (
+      PARTITION BY shard ORDER BY shard_ord, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tok_off
+  FROM s),
+p AS (
+  SELECT shard, n_tokens, tok_off // {b} AS seq_first,
+         greatest(tok_off // {b}, (tok_off + n_tokens - 1) // {b}) AS seq_last
+  FROM o)
+SELECT CAST(shard AS BIGINT) AS shard, seq_first AS seq,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN seq_last > seq_first THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+FROM p GROUP BY shard, seq_first
 """
 
 
@@ -1520,6 +1570,7 @@ QUERIES = {
     "domain_quota": q_domain_quota,
     "sample_stratified": q_sample_stratified,
     "train_shards": q_train_shards,
+    "pack_sequences": q_pack_sequences,
     "pii_scrub": q_pii_scrub,
     # events
     "events_hourly": q_events_hourly,
@@ -1575,6 +1626,7 @@ ORACLES = {
     "domain_quota": _sql_domain_quota(),
     "sample_stratified": _sql_sample_stratified(),
     "train_shards": _sql_train_shards(),
+    "pack_sequences": _sql_pack_sequences(),
     "pii_scrub": _sql_pii_scrub(),
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,

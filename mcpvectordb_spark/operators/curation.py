@@ -104,21 +104,29 @@ def domain_quota(
     domain: Column,
     quota: int,
     order_by: list[Column],
+    presalt: int | None = None,
 ) -> DataFrame:
     """Keep at most ``quota`` docs per domain, best-first by ``order_by``
     (callers append the id tiebreak so the cutoff is total).
 
     One shuffle on the domain key; rank inside each domain via row_number.
-    At 100 TB a handful of mega-domains would skew this window — the standard
-    mitigation is a pre-aggregation pass that drops rows beyond ``quota`` per
-    (domain, salt) first (any per-salt survivor set is a superset of the
-    global top-``quota``), then the exact window over the survivors; at
-    testdata scale the plain window is the right plan.
+    At 100 TB a handful of mega-domains skew this window: pass ``presalt=S``
+    to first rank within (domain, hash(id) % S) subgroups and drop rows
+    beyond ``quota`` per subgroup.  Every global top-``quota`` survivor is
+    also a top-``quota`` survivor of its subgroup (a subgroup ranks a subset,
+    so ranks can only shrink), so the pre-prune is lossless; the exact window
+    then runs over ≤ quota·S rows per domain instead of the full domain.
     """
-    w = Window.partitionBy(domain).orderBy(*order_by)
+    salted = df.withColumn("domain", domain)
+    if presalt:
+        salt = hexint48(F.concat(F.lit("quota:"), F.col(id_col).cast("string"))) % presalt
+        wp = Window.partitionBy(F.col("domain"), salt).orderBy(*order_by)
+        salted = salted.withColumn("_prk", F.row_number().over(wp)).filter(
+            F.col("_prk") <= quota
+        ).drop("_prk")
+    w = Window.partitionBy("domain").orderBy(*order_by)
     return (
-        df.withColumn("domain", domain)
-        .withColumn("rk", F.row_number().over(w))
+        salted.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= quota)
     )
 
@@ -180,6 +188,76 @@ def assign_shards(
         df.withColumn("shard", shard)
         .withColumn("shard_ord", ord_h)
         .withColumn("shard_pos", F.row_number().over(w))
+    )
+
+
+def write_shards(
+    df: DataFrame, path: str, id_col: str, num_shards: int, salt: str = "shard"
+) -> None:
+    """Materialise the deterministic shards of :func:`assign_shards` as
+    ``shard=N/`` parquet partitions whose physical row order IS the shard
+    order (``shard_pos`` ascending).
+
+    ``repartition(num_shards, shard)`` gives each task whole shards (the
+    window's exchange is reused — AQE sees matching partitioning, no second
+    shuffle) and ``sortWithinPartitions`` makes the in-file order the read
+    order.  A training loader that streams shard files sequentially replays
+    the same global shuffle on every run.
+    """
+    (
+        assign_shards(df, id_col, num_shards, salt)
+        .repartition(num_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shard_ord", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens: Column,
+    budget: int,
+    num_shards: int,
+    salt: str = "shard",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the shard-ordered token stream
+    end to end and cut it every ``budget`` tokens (the GPT-2/3-style packing
+    a training dataloader does, minus the actual token ids).
+
+    Per doc: ``tok_off`` = tokens preceding it in its shard's stream,
+    ``seq_first``/``seq_last`` = the packed sequences its span [tok_off,
+    tok_off+n_tokens) touches.  A doc straddles a boundary iff
+    ``seq_last > seq_first``.
+
+    Single shuffle — the cumulative sum rides the same hash exchange on
+    ``shard`` that the shard writer needs anyway.  The running sum is
+    per-shard, so no shard ever needs another shard's totals: shards stay
+    independently computable (and re-packable) at any corpus size.
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("shard_ord"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = tokens.cast("long")
+    return (
+        assign_shards(df, id_col, num_shards, salt)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("tok_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn("seq_first", F.expr(f"tok_off div {budget}"))
+        .withColumn(
+            "seq_last",
+            F.greatest(
+                F.col("seq_first"),
+                F.expr(f"(tok_off + n_tokens - 1) div {budget}"),
+            ),
+        )
     )
 
 

@@ -9,6 +9,17 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "mcpvectordb_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    # Python workers don't inherit the driver's sys.path edits — a caller who
+    # imported us via sys.path.insert from another cwd gets
+    # ModuleNotFoundError inside every pandas_udf.  Exporting the package's
+    # parent dir on PYTHONPATH before the JVM (and its worker daemons) start
+    # makes the library importable on workers regardless of caller setup.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32

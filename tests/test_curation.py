@@ -74,6 +74,52 @@ def test_assign_shards_partitions_and_positions(spark):
     assert first == again
 
 
+def test_domain_quota_presalt_is_lossless(spark):
+    """The skew-safe pre-prune must return the exact global top-quota —
+    including a mega-domain far bigger than quota·presalt."""
+    rows = [(i, "mega" if i < 400 else f"d{i % 3}", i % 97) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, dom string, score long")
+    order = [F.desc("score"), F.asc("id")]
+    plain = cu.domain_quota(df, "id", F.col("dom"), 5, order)
+    salted = cu.domain_quota(df, "id", F.col("dom"), 5, order, presalt=7)
+    key = lambda r: (r["domain"], r["rk"], r["id"])
+    assert sorted(map(key, plain.collect())) == sorted(map(key, salted.collect()))
+
+
+def test_write_shards_roundtrip_preserves_order(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(300)], "id long, text string")
+    path = str(tmp_path / "shards")
+    cu.write_shards(df, path, "id", 4)
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    want = {r["id"]: (r["shard"], r["shard_pos"]) for r in cu.assign_shards(df, "id", 4).collect()}
+    for k in range(4):
+        # physical file order within a shard partition == shard_pos order
+        got = back.filter(F.col("shard") == k).toPandas()["id"].tolist()
+        assert got, k
+        assert [want[i][1] for i in got] == list(range(1, len(got) + 1)), k
+
+
+def test_pack_sequences_invariants(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 50 + 1) for i in range(200)] + [(900, 0)],
+        "id long, ntok long",
+    )
+    out = cu.pack_sequences(df, "id", F.col("ntok"), 64, 4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["shard_pos"])
+        off = 0
+        for r in shard_rows:
+            assert r["tok_off"] == off  # stream is gapless and in shard order
+            assert r["seq_first"] == off // 64
+            last = max(r["seq_first"], (off + r["n_tokens"] - 1) // 64)
+            assert r["seq_last"] == last
+            off += r["n_tokens"]
+
+
 def test_scrub_pii_counts_match_redactions(spark):
     df = spark.createDataFrame(
         [(1, "mail bob@example.com and alice@test.org or call 555-0199 ok"),

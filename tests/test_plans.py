@@ -74,3 +74,17 @@ def test_tpch_q1_single_shuffle(spark):
 def test_knn_join_is_broadcast_no_shuffle_of_corpus(spark):
     q = QUERIES["knn_batch"](spark, SF)
     assert uses_broadcast_join(q)
+
+
+def test_decontaminate_broadcasts_eval_index(spark):
+    """The 100 TB train side must stream through a map-side join; only the
+    tiny eval shingle index gets shipped."""
+    q = QUERIES["decontaminate"](spark, SF)
+    assert uses_broadcast_join(q)
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """The hash-gated sample is a pure narrow filter — any exchange here
+    would shuffle the whole corpus to throw most of it away."""
+    q = QUERIES["sample_stratified"](spark, SF)
+    assert count_exchanges(q) == 0, count_exchanges(q)
