@@ -51,22 +51,25 @@ class HashEmbedder:
         self.dim = dim
         self.doc_prefix = config.doc_prefix
         self.query_prefix = config.query_prefix
+        self._suffixes = [str(i).encode("ascii") for i in range(dim)]
 
     def _embed_one(self, text: str) -> np.ndarray:
         # sha256(text + ":" + str(i)) per dim (FIXTURES.md rule 1), computed
         # via one base digest over `text + ":"` cloned per dimension —
-        # identical output, O(len(text)) hashing instead of O(dim·len(text))
+        # identical output, O(len(text)) hashing instead of O(dim·len(text)).
+        # int.from_bytes(digest) == int(hexdigest, 16), minus the hex detour.
         base = hashlib.sha256((text + ":").encode("utf-8"))
-        vals = []
-        for i in range(self.dim):
-            h = base.copy()
-            h.update(str(i).encode("ascii"))
-            vals.append((int(h.hexdigest(), 16) % 1_000_000) / 1_000_000.0)
-        vec = np.array(vals, dtype=np.float64)
-        norm = float(np.linalg.norm(vec))
+        copy = base.copy
+        vals = np.empty(self.dim, dtype=np.float64)
+        for i, suffix in enumerate(self._suffixes):
+            h = copy()
+            h.update(suffix)
+            vals[i] = int.from_bytes(h.digest(), "big") % 1_000_000
+        vals /= 1_000_000.0
+        norm = float(np.linalg.norm(vals))
         if norm > 0:
-            vec = vec / norm
-        return vec.astype(np.float32)
+            vals /= norm
+        return vals.astype(np.float32)
 
     def embed_documents(self, texts: list[str]) -> np.ndarray:
         if not texts:
