@@ -1134,6 +1134,53 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: purchases landing inside any 2-hour
+    error window of the same user (operators/rangejoin.py — bin-bucketed
+    equi-join; the DuckDB oracle is the plain non-equi range join)."""
+    from mcpvectordb_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        F.expr("ts + INTERVAL 2 HOURS").alias("w_end"),
+        F.col("event_id").alias("err_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id"), "value"
+    )
+    pairs = interval_join(
+        purchases, errors, "ts", "w_start", "w_end",
+        key_cols=["user_id"], bin_seconds=7200, broadcast_intervals=True,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.countDistinct("err_id").alias("n_windows"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_EVENTS_INTERVAL_JOIN = """
+WITH e AS (
+  SELECT user_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end,
+         event_id AS err_id
+  FROM events WHERE event_type = 'error'),
+p AS (
+  SELECT user_id, ts, event_id AS p_id, value
+  FROM events WHERE event_type = 'purchase')
+SELECT p.user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+       CAST(count(DISTINCT err_id) AS BIGINT) AS n_windows,
+       round(sum(value), 4) AS sum_value
+FROM p JOIN e ON p.user_id = e.user_id
+             AND p.ts >= e.w_start AND p.ts < e.w_end
+GROUP BY p.user_id
+"""
+
+
 def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (grouping-sets class): order counts and value by
     (priority, status) with subtotals and a grand total."""
@@ -1577,6 +1624,7 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_json": q_events_json,
     "events_asof_join": q_events_asof_join,
+    "events_interval_join": q_events_interval_join,
     "events_percentiles": q_events_percentiles,
     "events_running": q_events_running,
     # grouping sets / pivot
@@ -1632,6 +1680,7 @@ ORACLES = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_json": SQL_EVENTS_JSON,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+    "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "events_running": SQL_EVENTS_RUNNING,
     "orders_rollup": SQL_ORDERS_ROLLUP,

@@ -88,3 +88,16 @@ def test_stratified_sample_is_shuffle_free(spark):
     would shuffle the whole corpus to throw most of it away."""
     q = QUERIES["sample_stratified"](spark, SF)
     assert count_exchanges(q) == 0, count_exchanges(q)
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    """The bin-bucketed range join must plan as an equi (hash) join — a
+    BroadcastNestedLoopJoin or CartesianProduct here means the non-equi
+    predicate leaked into the join condition unbucketed."""
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    q = QUERIES["events_interval_join"](spark, SF)
+    plan = formatted_plan(q)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
