@@ -1467,6 +1467,192 @@ WHERE p_brand = 'Brand#1'
 """
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    join with a join-side predicate, then a two-level aggregation —
+    customers with zero orders must survive as c_count = 0."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+SQL_TPCH_Q13 = """
+WITH co AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier diversity per part group (TPC-H Q16 shape): NOT IN
+    subquery decorrelated as a broadcast left-anti join + distinct
+    aggregation.  (The synthetic schema has no partsupp; lineitem is the
+    part↔supplier bridge.)"""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#45")
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): IN over a grouped-HAVING
+    subquery — decorrelated as an aggregate + semi join on the fact
+    table, then the enrichment joins."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 180)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+GROUP BY c_name, o_orderkey, o_totalprice
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape): EXISTS +
+    NOT EXISTS double correlation over a self-joined fact table,
+    decorrelated as a semi join plus an anti join.  (No commitdate in the
+    synthetic schema; "late" = shipped > 60 days after the order date.)"""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    waiting = (
+        # EXISTS: some other supplier contributed to the same order
+        l1.join(l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi")
+        # NOT EXISTS: no other supplier was ALSO late on that order
+        .join(l3, (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.s3), "left_anti")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+SQL_TPCH_Q21 = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders o
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape): uncorrelated scalar
+    aggregate subquery (kept in-plan as a broadcast 1-row cross join, not
+    a driver collect) + NOT EXISTS anti join.  (No phone column; nation
+    key is the grouping, 'no urgent orders' the anti predicate.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(urgent, F.col("c_custkey") == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+SQL_TPCH_Q22 = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by price within each priority (window top-k per group)."""
     from mcpvectordb_spark.operators.topk import top_k_per_group
@@ -1636,7 +1822,12 @@ QUERIES = {
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
     "top_orders_per_priority": q_top_orders_per_priority,
     # rows-only (non-SQL-expressible)
     "ingest_chunks": q_ingest_chunks,
@@ -1690,7 +1881,12 @@ ORACLES = {
     "tpch_q4": SQL_TPCH_Q4,
     "tpch_q5": SQL_TPCH_Q5,
     "tpch_q6": SQL_TPCH_Q6,
+    "tpch_q13": SQL_TPCH_Q13,
+    "tpch_q16": SQL_TPCH_Q16,
     "tpch_q17": SQL_TPCH_Q17,
+    "tpch_q18": SQL_TPCH_Q18,
+    "tpch_q21": SQL_TPCH_Q21,
+    "tpch_q22": SQL_TPCH_Q22,
     "top_orders_per_priority": SQL_TOP_ORDERS_PER_PRIORITY,
     # ingest_chunks / search_ingested / neardup_lsh_embeddings / stream_hourly:
     # intentionally no oracle (chunker recursion, seeded hyperplanes and
