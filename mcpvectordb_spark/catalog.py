@@ -1764,6 +1764,30 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (purchase↔click within 1 hour per
+    user) driven to completion; per-user pair counts.  Streaming execution
+    is not ANSI-SQL-expressible → rows-only check (the batch twin's
+    equality with the stream is asserted in test_streaming.py)."""
+    import tempfile
+
+    from mcpvectordb_spark.streaming.events import (
+        purchase_click_pairs_stream,
+        run_stream_to_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="stream_join_in_")
+    ev.write.mode("overwrite").parquet(d)
+    stream = purchase_click_pairs_stream(spark, d, ev.schema, within_minutes=60)
+    out = run_stream_to_memory(stream, "stream_join_out", spark)
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.round(F.sum("p_value"), 4).alias("sum_value"),
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1834,6 +1858,7 @@ QUERIES = {
     "search_ingested": q_search_ingested,
     "neardup_lsh_embeddings": q_neardup_lsh_embeddings,
     "stream_hourly": q_stream_hourly,
+    "stream_join": q_stream_join,
 }
 
 ORACLES = {
@@ -1888,7 +1913,8 @@ ORACLES = {
     "tpch_q21": SQL_TPCH_Q21,
     "tpch_q22": SQL_TPCH_Q22,
     "top_orders_per_priority": SQL_TOP_ORDERS_PER_PRIORITY,
-    # ingest_chunks / search_ingested / neardup_lsh_embeddings / stream_hourly:
+    # ingest_chunks / search_ingested / neardup_lsh_embeddings / stream_hourly /
+    # stream_join:
     # intentionally no oracle (chunker recursion, seeded hyperplanes and
     # streaming execution are not ANSI-SQL-expressible) → rows-only check.
 }

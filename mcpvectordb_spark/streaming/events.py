@@ -94,3 +94,75 @@ def run_stream_to_memory(query_df, name: str, spark: SparkSession) -> DataFrame:
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join
+
+
+def purchase_click_pairs_batch(events: DataFrame, within_minutes: int = 60) -> DataFrame:
+    """Batch twin of the stream-stream join: each purchase paired with the
+    same user's clicks in the preceding ``within_minutes`` — expressed as a
+    point-in-interval join (clicks are the points, purchases carry a
+    look-back window), so the batch plan is the bin-bucketed hash join of
+    operators/rangejoin.py rather than a nested loop."""
+    from mcpvectordb_spark.operators.rangejoin import interval_join
+
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.expr(f"ts - INTERVAL {int(within_minutes)} MINUTES").alias("w_start"),
+        # half-open [ts - within, ts + 1µs) ⇒ closed click_ts <= purchase_ts
+        F.expr("ts + INTERVAL 1 MICROSECOND").alias("w_end"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), "ts"
+    )
+    return interval_join(
+        clicks, purchases, "ts", "w_start", "w_end",
+        key_cols=["user_id"], bin_seconds=within_minutes * 60,
+    ).select("user_id", "p_id", "c_id", "p_ts", F.col("ts").alias("c_ts"), "p_value")
+
+
+def purchase_click_pairs_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    within_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin: a watermarked stream-stream inner join.  Both sides
+    carry a watermark and the join condition bounds event time on both
+    sides — the two conditions Structured Streaming needs to know when
+    buffered state can be evicted (state is O(watermark window), not
+    O(stream)).  Same output columns as the batch twin."""
+    src = spark.readStream.schema(schema).parquet(path)
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.expr(f"p_ts - INTERVAL {int(within_minutes)} MINUTES")),
+        "inner",
+    )
+    return joined.select("user_id", "p_id", "c_id", "p_ts", "c_ts", "p_value")

@@ -70,3 +70,24 @@ def test_streaming_sessionize_runs(spark, tmp_path):
     for r in emitted:
         key = (r["user_id"], r["session_window"]["start"])
         assert key in want and want[key] == (r["n_events"],), key
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream join must emit exactly the pairs the
+    batch interval join produces on the same closed data."""
+    from mcpvectordb_spark.streaming.events import (
+        purchase_click_pairs_batch,
+        purchase_click_pairs_stream,
+    )
+
+    ev = load_events(spark, SF)
+    d = str(tmp_path / "ss_in")
+    ev.write.parquet(d)
+    stream = purchase_click_pairs_stream(spark, d, ev.schema, within_minutes=60)
+    out = run_stream_to_memory(stream, "t_ss_join", spark)
+    got = sorted((r["p_id"], r["c_id"]) for r in out.collect())
+    want = sorted(
+        (r["p_id"], r["c_id"])
+        for r in purchase_click_pairs_batch(ev, within_minutes=60).collect()
+    )
+    assert got == want and len(got) > 0
