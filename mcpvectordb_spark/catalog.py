@@ -1764,6 +1764,43 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup (operators/sketches.py): daily per-type
+    distinct-user sketches unioned to per-type totals, validated IN-PLAN
+    against the exact distinct count.  The oracle emits the exact count and
+    a literal TRUE — if the sketch union ever drifts past tolerance the
+    boolean flips and the value-hash gate fails, so the approximation
+    quality itself is oracle-checked."""
+    from mcpvectordb_spark.operators.sketches import merge_estimates, sketch_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketch_rollup(
+        ev, [F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")],
+        "user_id",
+    )
+    merged = merge_estimates(daily, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_events"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * 0.02 + 1
+        ).alias("sketch_within_2pct"),
+    )
+
+
+SQL_EVENTS_DISTINCT_ROLLUP = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS sketch_within_2pct
+FROM events GROUP BY event_type
+"""
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream join (purchase↔click within 1 hour per
     user) driven to completion; per-user pair counts.  Streaming execution
@@ -1835,6 +1872,7 @@ QUERIES = {
     "events_json": q_events_json,
     "events_asof_join": q_events_asof_join,
     "events_interval_join": q_events_interval_join,
+    "events_distinct_rollup": q_events_distinct_rollup,
     "events_percentiles": q_events_percentiles,
     "events_running": q_events_running,
     # grouping sets / pivot
@@ -1897,6 +1935,7 @@ ORACLES = {
     "events_json": SQL_EVENTS_JSON,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
+    "events_distinct_rollup": SQL_EVENTS_DISTINCT_ROLLUP,
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "events_running": SQL_EVENTS_RUNNING,
     "orders_rollup": SQL_ORDERS_ROLLUP,
