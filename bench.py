@@ -22,6 +22,9 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q13",
+    "tpch_q18",
+    "tpch_q21",
     "top_orders_per_priority",
     "knn_topk",
     "knn_batch",
@@ -36,8 +39,11 @@ BENCH_QUERIES = [
     "events_sessions",
     "events_json",
     "events_asof_join",
+    "events_interval_join",
     "events_running",
+    "events_distinct_rollup",
     "orders_rollup",
+    "pack_sequences",
     "ingest_chunks",   # write path: chunk → embed → dedup gate → partitioned write
 ]
 

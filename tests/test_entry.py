@@ -25,7 +25,13 @@ def test_queries_and_oracles_consistent():
     assert set(os_) <= set(qs)
     # every oracle-less query is one of the documented non-SQL-expressible ops
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"ingest_chunks", "search_ingested", "neardup_lsh_embeddings", "stream_hourly"}
+    assert rows_only == {
+        "ingest_chunks",
+        "search_ingested",
+        "neardup_lsh_embeddings",
+        "stream_hourly",
+        "stream_join",
+    }
 
 
 def test_sample_parity_at_sf0001(spark):
