@@ -29,6 +29,7 @@ from mcpvectordb_spark.operators import textstats as ts
 from mcpvectordb_spark.operators.bm25 import bm25_score, bm25_topk
 from mcpvectordb_spark.operators.hybrid import rrf_topk
 from mcpvectordb_spark.operators.knn import cosine, ivf_assign, ivf_topk, knn_join, knn_topk, query_vec_lit
+from mcpvectordb_spark.tpch_ext import TPCH_EXT_ORACLES, TPCH_EXT_QUERIES
 
 # ---------------------------------------------------------------------------
 # shared constants
@@ -1890,6 +1891,7 @@ QUERIES = {
     "tpch_q18": q_tpch_q18,
     "tpch_q21": q_tpch_q21,
     "tpch_q22": q_tpch_q22,
+    **TPCH_EXT_QUERIES,
     "top_orders_per_priority": q_top_orders_per_priority,
     # rows-only (non-SQL-expressible)
     "ingest_chunks": q_ingest_chunks,
@@ -1951,6 +1953,7 @@ ORACLES = {
     "tpch_q18": SQL_TPCH_Q18,
     "tpch_q21": SQL_TPCH_Q21,
     "tpch_q22": SQL_TPCH_Q22,
+    **TPCH_EXT_ORACLES,
     "top_orders_per_priority": SQL_TOP_ORDERS_PER_PRIORITY,
     # ingest_chunks / search_ingested / neardup_lsh_embeddings / stream_hourly /
     # stream_join:

@@ -101,3 +101,39 @@ def test_interval_join_is_hash_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_tpch_ext_no_cartesian_or_nested_loop(spark):
+    """The full 22-query TPC-H suite must plan every join as a hash join
+    (broadcast or shuffled) — the deliberate 1-row scalar cross joins
+    (Q11/Q15/Q22 pattern) are broadcast and must not degrade the fact
+    side.  Any CartesianProduct over a fact table melts at 100 TB."""
+    from mcpvectordb_spark.plans.explain import formatted_plan
+    from mcpvectordb_spark.tpch_ext import TPCH_EXT_QUERIES
+
+    for name, q in TPCH_EXT_QUERIES.items():
+        tree = formatted_plan(q(spark, SF)).split("\n\n")[0]
+        assert "CartesianProduct" not in tree, (name, tree)
+        if name in ("tpch_q11", "tpch_q15"):
+            # scalar subquery kept in-plan: 1-row broadcast nested loop is
+            # the intended physical form, nothing else
+            assert tree.count("BroadcastNestedLoopJoin") <= 1, (name, tree)
+        else:
+            assert "BroadcastNestedLoopJoin" not in tree, (name, tree)
+
+
+def test_tpch_q8_broadcasts_every_dimension(spark):
+    """Q8's six dimension lookups must all be map-side (broadcast) —
+    the only permitted shuffle is the final year aggregation."""
+    q = QUERIES["tpch_q8"](spark, SF)
+    assert uses_broadcast_join(q)
+
+
+def test_tpch_q2_decorrelates_to_window_not_self_join(spark):
+    """The correlated min subquery is a window aggregate over one
+    candidate pass — a second scan of lineitem would mean the
+    decorrelation regressed to a self-join."""
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(QUERIES["tpch_q2"](spark, SF))
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 5, plan
