@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "knn_topk",
     "knn_batch",
     "ivf_topk",
+    "knn_sq8_topk",
     "bm25_topk",
     "hybrid_rrf",
     "dedup_minhash_lsh",

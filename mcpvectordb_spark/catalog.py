@@ -28,7 +28,15 @@ from mcpvectordb_spark.operators import dedup as dd
 from mcpvectordb_spark.operators import textstats as ts
 from mcpvectordb_spark.operators.bm25 import bm25_score, bm25_topk
 from mcpvectordb_spark.operators.hybrid import rrf_topk
-from mcpvectordb_spark.operators.knn import cosine, ivf_assign, ivf_topk, knn_join, knn_topk, query_vec_lit
+from mcpvectordb_spark.operators.knn import (
+    cosine,
+    ivf_assign,
+    ivf_topk,
+    knn_join,
+    knn_topk,
+    knn_topk_sq8,
+    query_vec_lit,
+)
 from mcpvectordb_spark.tpch_ext import TPCH_EXT_ORACLES, TPCH_EXT_QUERIES
 
 # ---------------------------------------------------------------------------
@@ -290,6 +298,46 @@ bm AS (
                    * tf*(1.2+1)/(tf + 1.2*(1-0.75+0.75*dl/avgdl)) ) AS score
   FROM posting JOIN qterms USING(term) JOIN dfreq USING(term) JOIN lens USING(doc), stats
   GROUP BY doc)
+"""
+
+
+def q_knn_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized KNN (scale path): int8 coarse scan (4x less
+    embedding IO than float32) -> exact re-score of k*refine candidates.
+    The coarse->refine contract is the reference's deferred IVF-PQ +
+    refine_factor (store.py:274,302,317); quantization uses portable
+    sign-split floor rounding so codes match the oracle bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _q_vec(spark, sf_dir)
+    hits = knn_topk_sq8(
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID), qv, 10,
+        refine_factor=4, tie_col="vec_id",
+    )
+    return hits.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _sql_sq8(v: str, s: str) -> str:
+    """Quantized code list: sign-split floor(|x|/s + 0.5) — the same IEEE
+    operation sequence as operators.knn._half_away."""
+    return (
+        f"list_transform({v}, x -> CASE WHEN x >= 0 THEN floor(x/{s} + 0.5) "
+        f"ELSE -floor(-x/{s} + 0.5) END)"
+    )
+
+
+SQL_KNN_SQ8_TOPK = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+qs AS (SELECT qv, list_max(list_transform(qv, x -> abs(x)))/127.0 AS qscale FROM q),
+qc AS (SELECT qv, qscale, {_sql_sq8('qv', 'qscale')} AS qcodes FROM qs),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}),
+cs AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x)))/127.0 AS s FROM c),
+cc AS (SELECT vec_id, v, s, {_sql_sq8('v', 's')} AS codes FROM cs),
+cand AS (
+  SELECT vec_id, v FROM cc, qc
+  ORDER BY s * qscale * list_inner_product(codes, qcodes) DESC, vec_id
+  LIMIT 40)
+SELECT vec_id, round({_sql_cos('v', 'qv')}, 6) AS score
+FROM cand, q ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 10
 """
 
 
@@ -1836,6 +1884,7 @@ QUERIES = {
     "knn_batch": q_knn_batch,
     "knn_filtered": q_knn_filtered,
     "ivf_topk": q_ivf_topk,
+    "knn_sq8_topk": q_knn_sq8_topk,
     # text + hybrid search
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
@@ -1906,6 +1955,7 @@ ORACLES = {
     "knn_batch": SQL_KNN_BATCH,
     "knn_filtered": SQL_KNN_FILTERED,
     "ivf_topk": SQL_IVF_TOPK,
+    "knn_sq8_topk": SQL_KNN_SQ8_TOPK,
     "bm25_topk": SQL_BM25_TOPK,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "list_libraries": SQL_LIST_LIBRARIES,

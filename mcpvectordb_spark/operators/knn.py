@@ -242,3 +242,100 @@ def ivf_topk(
         .orderBy(F.desc(score_col), F.asc(corpus_id))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (100 TB storage/IO path)
+#
+# Per-row symmetric int8 quantization: scale = max|x|/127, q[i] =
+# round_half_away(x[i]/scale).  4x smaller embedding storage, integer dot
+# products for the coarse pass, exact float re-score of the top
+# k*refine_factor candidates — the same coarse→refine contract as the
+# reference's deferred IVF-PQ index (store.py:274) and refine_factor
+# (store.py:302,317), realised as pure columnar expressions.
+#
+# The rounding is written as sign-split floor(|x|/s + 0.5) — NOT F.round —
+# so the Spark expression and the DuckDB oracle are the same IEEE operation
+# sequence and the quantized codes match bit-for-bit across engines.
+
+
+def _half_away(x: Column) -> Column:
+    """round-half-away-from-zero as explicit floor arithmetic (portable)."""
+    return F.when(x >= 0, F.floor(x + F.lit(0.5))).otherwise(-F.floor(-x + F.lit(0.5)))
+
+
+def sq8_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_col: str = "sq8_scale",
+    code_col: str = "sq8_code",
+) -> DataFrame:
+    """Add per-row SQ8 scale + int8 code columns.
+
+    At scale this runs once at ingest and the codes are what the coarse
+    scan reads (array<tinyint> parquet column ≈ dim bytes/row vs 4*dim) —
+    here it also runs inline in catalog queries over the float testdata."""
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    df = df.withColumn(scale_col, scale)
+    s = F.col(scale_col)
+    codes = F.when(
+        s > 0,
+        F.transform(v, lambda x: _half_away(x / s).cast("tinyint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return df.withColumn(code_col, codes)
+
+
+def sq8_quantize_query(query: Sequence[float]) -> tuple[float, list[int]]:
+    """Driver-side twin of :func:`sq8_quantize` for the query vector."""
+    import math
+
+    vals = [float(v) for v in query]
+    scale = max((abs(v) for v in vals), default=0.0) / 127.0
+    if scale <= 0:
+        return 0.0, [0] * len(vals)
+    codes = [
+        int(math.floor(v / scale + 0.5)) if v >= 0 else -int(math.floor(-v / scale + 0.5))
+        for v in vals
+    ]
+    return scale, codes
+
+
+def sq8_dot(a: Column, b: Column) -> Column:
+    """Integer dot product of two code arrays (exact, order-independent)."""
+    return F.aggregate(
+        F.zip_with(a.cast("array<long>"), b.cast("array<long>"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def knn_topk_sq8(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int,
+    vec_col: str = "embedding",
+    pre_filter: Column | None = None,
+    refine_factor: int = 4,
+    tie_col: str | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Two-stage KNN: int8 coarse scan → exact re-score of k*refine_factor.
+
+    Coarse score = row_scale * query_scale * int_dot(codes) ≈ dot(float).
+    Both stages compile to TakeOrderedAndProject (partition-local top-k +
+    tiny merge); the refine stage touches only k*refine_factor rows, so
+    the float vectors of the non-candidates are never needed — with a
+    materialised code column the fat float column drops out of the scan
+    entirely (column pruning)."""
+    if pre_filter is not None:
+        df = df.filter(pre_filter)
+    qscale, qcodes = sq8_quantize_query(query)
+    df = sq8_quantize(df, vec_col)
+    qlit = F.array(*[F.lit(c) for c in qcodes])
+    approx = F.col("sq8_scale") * F.lit(qscale) * sq8_dot(F.col("sq8_code"), qlit)
+    order = [F.desc("sq8_approx")] + ([F.asc(tie_col)] if tie_col else [])
+    cand = df.withColumn("sq8_approx", approx).orderBy(*order).limit(k * refine_factor)
+    rescored = cand.withColumn(score_col, cosine(F.col(vec_col), query_vec_lit(query)))
+    final_order = [F.desc(score_col)] + ([F.asc(tie_col)] if tie_col else [])
+    return rescored.orderBy(*final_order).limit(k).drop("sq8_scale", "sq8_code", "sq8_approx")

@@ -149,3 +149,44 @@ def test_knn_edge_vectors_null_not_crash(spark):
         rows = knn_topk(df, [1.0, 0.0], 4, vec_col="v", tie_col="id", impl=impl).collect()
         assert rows[0]["id"] == 2 and rows[0]["score"] is not None, impl
         assert all(r["score"] is None for r in rows[1:]), impl
+
+
+def test_sq8_matches_exact_knn(spark):
+    """SQ8 coarse+refine must recover the exact top-k on the test corpus —
+    at 64-d with refine_factor=4 the int8 approximation error is far below
+    the neighbor score gaps."""
+    from mcpvectordb_spark.operators.knn import knn_topk, knn_topk_sq8
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in knn_topk(corpus, qv, 10, tie_col="vec_id").collect()]
+    sq8 = [r["vec_id"] for r in knn_topk_sq8(corpus, qv, 10, tie_col="vec_id").collect()]
+    assert sq8 == exact
+
+
+def test_sq8_zero_vector_safe(spark):
+    """A zero vector must quantize to zero codes (scale 0 guard), not
+    throw ANSI division-by-zero."""
+    from mcpvectordb_spark.operators.knn import sq8_quantize, sq8_quantize_query
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])], "id int, embedding array<float>"
+    )
+    rows = {r["id"]: r for r in sq8_quantize(df).collect()}
+    assert rows[1]["sq8_code"] == [0, 0, 0]
+    assert rows[2]["sq8_code"][1] == -127
+    s, codes = sq8_quantize_query([0.0, 0.0])
+    assert s == 0.0 and codes == [0, 0]
+
+
+def test_sq8_refine_prunes_to_candidates(spark):
+    """The refine stage's exact scoring must touch only k*refine rows —
+    the coarse pass compiles to TakeOrderedAndProject."""
+    from mcpvectordb_spark.operators.knn import knn_topk_sq8
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    plan = formatted_plan(knn_topk_sq8(emb, qv, 10, tie_col="vec_id"))
+    assert "TakeOrderedAndProject" in plan, plan
