@@ -40,6 +40,12 @@ _PATH_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
 
 def escape_partition_value(value: str) -> str:
     return "".join(f"%{ord(c):02X}" if c in _PATH_ESCAPE else c for c in value)
+
+
+def unescape_partition_value(name: str) -> str:
+    """Inverse of :func:`escape_partition_value` (decodes any %XX byte —
+    Spark's writer only escapes _PATH_ESCAPE but reading is permissive)."""
+    return re.sub("%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), name)
 _FILTERABLE = {f.name for f in CHUNKS_SCHEMA if f.name != "embedding"}
 
 
@@ -202,6 +208,79 @@ class ChunkStore:
 
     def list_libraries(self) -> list[dict]:
         return [r.asDict() for r in self.libraries_df().orderBy("library").collect()]
+
+    # -- maintenance ---------------------------------------------------------
+
+    def partition_file_stats(self) -> dict[str, dict]:
+        """Per-library file-count/byte stats via the Hadoop FileSystem API
+        (works for any scheme, not just local paths).  The observability
+        half of compaction: at 100 TB, many-small-files is the first thing
+        that kills scan throughput (driver listing + per-file open cost +
+        tiny row groups defeating min/max skipping)."""
+        jvm = self.spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        stats: dict[str, dict] = {}
+        if not fs.exists(root):
+            return stats
+        for part in fs.listStatus(root):
+            name = part.getPath().getName()
+            if not (part.isDirectory() and name.startswith("library=")):
+                continue
+            files = [
+                f
+                for f in fs.listStatus(part.getPath())
+                if f.isFile() and not f.getPath().getName().startswith(("_", "."))
+            ]
+            stats[name[len("library="):]] = {
+                "files": len(files),
+                "bytes": sum(f.getLen() for f in files),
+            }
+        return stats
+
+    def compact(
+        self,
+        library: str | None = None,
+        target_file_bytes: int = 128 << 20,
+    ) -> dict[str, dict]:
+        """Rewrite fragmented partitions into few large clustered files.
+
+        Every append creates new files (reference 'batch inserts, never
+        row-by-row' avoids row fragments but not file fragments —
+        store.py:193-194 and lancedb-best-practices:104-113 make the same
+        point about LanceDB versions).  Compaction restores the scan-side
+        invariants: ~target-sized files, rows re-sorted by (doc_id,
+        chunk_index) so row-group min/max stats prune doc point-lookups.
+
+        Partitions already at their target file count are skipped, so a
+        second compact is a no-op.  Returns per-library
+        {files_before, files_after, bytes}."""
+        stats = self.partition_file_stats()
+        report: dict[str, dict] = {}
+        for lib, st in stats.items():
+            lib_value = unescape_partition_value(lib)
+            if library is not None and lib_value != library:
+                continue
+            want = max(1, -(-st["bytes"] // target_file_bytes))
+            if st["files"] <= want:
+                continue
+            data_cols = [f.name for f in CHUNKS_SCHEMA if f.name != "library"]
+            rows = (
+                self.read()
+                .filter(F.col("library") == lib_value)
+                .select(data_cols)
+                .repartition(want)
+                .sortWithinPartitions("doc_id", "chunk_index")
+                # cut lineage before overwriting the files the plan reads
+                .localCheckpoint(eager=True)
+            )
+            rows.write.mode("overwrite").parquet(f"{self.path}/library={lib}")
+            report[lib_value] = {
+                "files_before": st["files"],
+                "files_after": want,
+                "bytes": st["bytes"],
+            }
+        return report
 
     def get_document(self, doc_id: str) -> dict | None:
         """Reconstruct a document: chunks ordered by chunk_index, contents

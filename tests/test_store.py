@@ -147,3 +147,58 @@ def test_delete_with_special_char_library(spark, store):
     for d in docs:
         assert store.delete_document(d["doc_id"]) >= 1
     assert store.count() == 0
+
+
+def test_compact_merges_small_files(spark, store, mini_docs):
+    """Repeated appends fragment partitions; compact() restores ~1 file
+    per partition (at test sizes), preserves every row, keeps point
+    lookups working, and is idempotent."""
+    from mcpvectordb_spark.config import TEST
+    from mcpvectordb_spark.ingest import ingest_batch
+
+    # three separate appends → ≥3 files per touched partition
+    for i, ts in enumerate(["2026-01-01T00:00:00+00:00", "2026-01-02T00:00:00+00:00", "2026-01-03T00:00:00+00:00"]):
+        batch = mini_docs.withColumn(
+            "source", F.concat(F.col("source"), F.lit(f"?v{i}"))
+        )
+        ingest_batch(batch, store, TEST, created_at=ts)
+
+    before_rows = store.count()
+    stats = store.partition_file_stats()
+    assert stats and all(s["files"] >= 3 for s in stats.values()), stats
+
+    report = store.compact()
+    assert set(report) == set(stats)
+    after = store.partition_file_stats()
+    assert all(s["files"] == 1 for s in after.values()), after
+    assert store.count() == before_rows
+
+    # doc-scoped lookup still resolves post-compact
+    doc_id = store.read().select("doc_id").first()["doc_id"]
+    assert store.get_document(doc_id) is not None
+
+    # idempotent: nothing left to do
+    assert store.compact() == {}
+
+
+def test_compact_scopes_to_one_library(spark, store, mini_docs):
+    from mcpvectordb_spark.config import TEST
+    from mcpvectordb_spark.ingest import ingest_batch
+
+    for i in range(2):
+        ingest_batch(
+            mini_docs.withColumn("source", F.concat(F.col("source"), F.lit(f"?v{i}"))),
+            store, TEST, created_at="2026-01-01T00:00:00+00:00",
+        )
+    report = store.compact(library="lib_a")
+    assert set(report) == {"lib_a"}
+    after = store.partition_file_stats()
+    assert after["lib_a"]["files"] == 1
+    assert after["lib_b"]["files"] >= 2
+
+
+def test_partition_value_escape_roundtrip():
+    from mcpvectordb_spark.store import escape_partition_value, unescape_partition_value
+
+    for v in ["plain", "with space", "a/b:c", "q{uote'd\"}", "100%", "tab\there"]:
+        assert unescape_partition_value(escape_partition_value(v)) == v
