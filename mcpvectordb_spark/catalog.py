@@ -771,6 +771,54 @@ FROM documents
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-line fraction, top-bigram
+    fraction, gated flag) per document; two planted degenerate docs
+    exercise the flag=true paths deterministically."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [
+            (_PLANT_OFFSET + 1, "spam line\nspam line\nspam line\none real line"),
+            (_PLANT_OFFSET + 2, " ".join(["buy now"] * 20)),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(planted)
+    cols = ts.repetition_columns("text")
+    return corpus.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+SQL_TEXT_REPETITION = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    ({_PLANT_OFFSET + 1}, 'spam line' || chr(10) || 'spam line' || chr(10) || 'spam line' || chr(10) || 'one real line'),
+    ({_PLANT_OFFSET + 2}, repeat('buy now ', 19) || 'buy now')) v(doc_id, text)),
+feat AS (
+  SELECT doc_id,
+    list_filter(string_split(COALESCE(text,''), chr(10)), l -> trim(l) <> '') AS lines,
+    list_filter(regexp_split_to_array(trim(lower(COALESCE(text,''))), '\s+'), t -> t <> '') AS words
+  FROM corpus),
+bg AS (
+  SELECT doc_id, lines,
+    CASE WHEN len(words) >= 2
+         THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+         ELSE CAST([] AS VARCHAR[]) END AS bigrams
+  FROM feat),
+m AS (
+  SELECT doc_id, len(lines) AS nl, len(bigrams) AS nb,
+    CASE WHEN len(lines) > 0 THEN 1.0 - len(list_distinct(lines))/len(lines) ELSE 0.0 END AS dlf,
+    CASE WHEN len(bigrams) > 0
+         THEN list_max(list_transform(list_distinct(bigrams), b -> len(list_filter(bigrams, x -> x = b))))/len(bigrams)
+         ELSE 0.0 END AS tbf
+  FROM bg)
+SELECT doc_id, round(dlf, 6) AS dup_line_frac, round(tbf, 6) AS top_bigram_frac,
+       ((nl >= 3 AND dlf > 0.30) OR (nb >= 10 AND tbf > 0.20)) AS repetitive_flag
+FROM m
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation verdicts over the exact-dup-planted corpus:
     quality + length + dedup gates with per-doc drop reasons (pipeline.py —
@@ -1907,6 +1955,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_repetition": q_text_repetition,
     "curation_pipeline": q_curation_pipeline,
     "corpus_token_stats": q_corpus_token_stats,
     # corpus curation at scale
@@ -1974,6 +2023,7 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "text_repetition": SQL_TEXT_REPETITION,
     "curation_pipeline": _sql_curation(),
     "corpus_token_stats": SQL_CORPUS_TOKEN_STATS,
     "decontaminate": _sql_decontaminate(),

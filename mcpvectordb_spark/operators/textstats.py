@@ -147,3 +147,58 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         md5_fingerprint(t).alias("md5_fp"),
         rolling_fingerprint(t).alias("rolling_fp"),
     )
+
+
+def repetition_columns(text_col: str) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1 spirit):
+    within-document duplication is the strongest single predictor of
+    low-quality scraped text.
+
+    - ``dup_line_frac``: 1 − distinct(non-blank lines)/lines — boilerplate
+      and template pages repeat whole lines;
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      total bigrams — degenerate generators loop on short phrases;
+    - ``repetitive_flag``: either signal past its (documented) threshold
+      WITH a minimum-support gate — dup_line_frac > 0.30 over ≥3 lines, or
+      top_bigram_frac > 0.20 over ≥10 bigrams (short texts trivially have
+      1/n-high fractions; Gopher's filters likewise apply to long docs).
+
+    Pure column expressions (no UDF, no shuffle); the top-bigram count is
+    O(distinct·total) per document — bounded by document length, executed
+    inside codegen, and trivially parallel across the corpus."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0, 1.0 - F.size(F.array_distinct(lines)) / n_lines
+    ).otherwise(F.lit(0.0))
+    words = ws_tokens(F.lower(t))
+    n_bg = F.size(words) - 1
+    bigrams = F.when(
+        n_bg > 0,
+        F.transform(
+            F.slice(words, 1, F.greatest(n_bg, F.lit(0))),
+            lambda w, i: F.concat_ws(" ", w, F.element_at(words, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_bg = F.when(
+        n_bg > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bigrams),
+                lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+            )
+        )
+        / n_bg,
+    ).otherwise(F.lit(0.0))
+    return {
+        "dup_line_frac": F.round(dup_line, 6),
+        "top_bigram_frac": F.round(top_bg, 6),
+        "repetitive_flag": ((n_lines >= 3) & (dup_line > 0.30))
+        | ((n_bg >= 10) & (top_bg > 0.20)),
+    }
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    cols = repetition_columns(text_col)
+    return df.select(F.col(id_col), *[expr.alias(name) for name, expr in cols.items()])

@@ -76,3 +76,27 @@ def test_rolling_fingerprint_matches_python(spark):
     for ch in text:  # already normalized (lowercase, single spaces)
         h = (h * 31 + ord(ch)) % 2147483647
     assert row["r"] == h
+
+
+def test_repetition_signals(spark):
+    """Planted degenerate docs trip the gated flag; clean and short docs
+    don't (short texts have trivially high 1/n bigram fractions — the
+    minimum-support gate must hold them out)."""
+    from mcpvectordb_spark.operators.textstats import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam line\nspam line\nspam line\nreal"),     # dup lines
+            (2, " ".join(["buy now"] * 20)),                   # looped bigram
+            (3, "short unique text"),                          # short → gated out
+            (4, None),                                         # NULL-safe
+            (5, "\n".join(f"unique line {i} with several words" for i in range(8))),
+        ],
+        "id int, text string",
+    )
+    rows = {r["id"]: r for r in repetition_features(df, "id", "text").collect()}
+    assert rows[1]["repetitive_flag"] and rows[1]["dup_line_frac"] > 0.3
+    assert rows[2]["repetitive_flag"] and rows[2]["top_bigram_frac"] > 0.5
+    assert not rows[3]["repetitive_flag"]
+    assert not rows[4]["repetitive_flag"] and rows[4]["dup_line_frac"] == 0.0
+    assert not rows[5]["repetitive_flag"]
