@@ -87,6 +87,39 @@ class Bm25Index:
             self.lens.unpersist()
             self._cached = False
 
+    def append(
+        self,
+        new_df: DataFrame,
+        id_col: str,
+        text_col: str,
+        replace_ids: list | None = None,
+    ) -> "Bm25Index":
+        """O(batch) incremental refresh after an ingest — the realisation
+        of 'never the reference's O(corpus) rebuild-on-upsert'
+        (store.py:197-202): only the appended docs are tokenized; existing
+        posting/length stats are reused as cached plans.
+
+        ``replace_ids``: doc ids whose old stats must drop first (the
+        replace path of the dedup gate) — a tiny isin filter, not a join.
+
+        Returns a NEW index; materialise it (any scoring action) before
+        calling ``unpersist()`` on the old one, or the union legs recompute.
+        df/avgdl/N derive lazily from posting/lens, so they need no
+        separate maintenance."""
+        new_posting = doc_terms(new_df, id_col, text_col)
+        new_lens = new_df.select(
+            F.col(id_col).alias("doc"), F.size(tokens_col(F.col(text_col))).alias("dl")
+        )
+        old_p, old_l = self.posting, self.lens
+        if replace_ids:
+            gone = F.col("doc").isin(list(replace_ids))
+            old_p, old_l = old_p.filter(~gone), old_l.filter(~gone)
+        return Bm25Index(
+            old_p.unionByName(new_posting).cache(),
+            old_l.unionByName(new_lens).cache(),
+            cached=True,
+        )
+
 
 def bm25_score(
     df: DataFrame,

@@ -244,6 +244,59 @@ def ivf_topk(
     )
 
 
+def knn_join_bucketed(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 3,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    score_col: str = "score",
+) -> DataFrame:
+    """Batch ANN join for the both-sides-large regime.
+
+    :func:`knn_join` broadcasts the query set — fine to ~10^5 queries;
+    beyond that neither side fits a broadcast, so both sides meet on the
+    IVF cell id instead (SCALE.md: 'at 1M queries the roles flip'):
+
+    1. each query ranks its ``nprobe`` nearest centroids (only the tiny
+       centroid table broadcasts);
+    2. corpus rows carry their cell from :func:`ivf_assign` — at scale the
+       cell id is a bucket/partition column, so the equi-join reads
+       co-located buckets without shuffling the corpus;
+    3. exact cosine scoring runs only inside probed cells, then a
+       per-query window top-k.
+
+    Probe semantics (and therefore recall) match :func:`ivf_topk`, run as
+    one join for the whole query set instead of per-query plans.
+    """
+    c = F.broadcast(
+        centroids.select(F.col(centroid_id).alias("__cid"), F.col(centroid_vec).alias("__cv"))
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.desc("__csim"), F.asc("__cid"))
+    qcells = (
+        queries.select(F.col(query_id), F.col(query_vec).alias("__qv"))
+        .crossJoin(c)
+        .withColumn("__csim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("__crn", F.row_number().over(wq))
+        .filter(F.col("__crn") <= nprobe)
+        .select(F.col(query_id), F.col("__qv"), F.col("__cid").alias(centroid_id))
+    )
+    paired = assigned.join(qcells, centroid_id)
+    scored = paired.withColumn(score_col, cosine(F.col(vec_col), F.col("__qv")))
+    wk = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(corpus_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__qv")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQ8 scalar quantization (100 TB storage/IO path)
 #

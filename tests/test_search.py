@@ -190,3 +190,74 @@ def test_sq8_refine_prunes_to_candidates(spark):
     qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
     plan = formatted_plan(knn_topk_sq8(emb, qv, 10, tie_col="vec_id"))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_index_incremental_append_matches_rebuild(spark):
+    """Index.append (O(batch) refresh) must produce identical scores to a
+    full rebuild over the combined corpus, including a replaced doc."""
+    from mcpvectordb_spark.operators.bm25 import Bm25Index, bm25_score
+
+    old = spark.createDataFrame(
+        [(1, "spark window join"), (2, "batch pipeline code"), (3, "old text to replace")],
+        "id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(3, "replacement text spark"), (4, "window functions in spark"), (5, "join strategies batch")],
+        "id int, text string",
+    )
+    combined = old.filter(F.col("id") != 3).unionByName(batch)
+
+    idx = Bm25Index.build(old, "id", "text")
+    idx2 = idx.append(batch, "id", "text", replace_ids=[3])
+    q = "spark window join"
+    incremental = {
+        r["doc"]: round(r["score"], 9)
+        for r in bm25_score(combined, q, "id", "text", index=idx2).collect()
+    }
+    fresh = {
+        r["doc"]: round(r["score"], 9)
+        for r in bm25_score(combined, q, "id", "text").collect()
+    }
+    assert incremental == fresh and len(fresh) >= 4
+    idx2.unpersist()
+    idx.unpersist()
+
+
+def test_knn_join_bucketed_matches_broadcast_when_probing_all(spark):
+    """With nprobe == nlist the bucketed batch join is exhaustive and must
+    equal the broadcast knn_join exactly."""
+    from mcpvectordb_spark.operators.knn import ivf_assign, knn_join, knn_join_bucketed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assigned = ivf_assign(emb, centroids, corpus_id="vec_id")
+
+    exact = knn_join(queries, emb, 3, corpus_id="vec_id")
+    bucketed = knn_join_bucketed(queries, assigned, centroids, 3, nprobe=8, corpus_id="vec_id")
+    key = lambda rows: sorted((r["query_id"], r["vec_id"], round(r["score"], 9)) for r in rows)  # noqa: E731
+    assert key(bucketed.select("query_id", "vec_id", "score").collect()) == key(
+        exact.select("query_id", "vec_id", "score").collect()
+    )
+
+
+def test_knn_join_bucketed_partial_probe_is_subset(spark):
+    """nprobe < nlist trades recall for scan fraction: results must come
+    only from probed cells and never exceed k per query."""
+    from mcpvectordb_spark.operators.knn import ivf_assign, knn_join_bucketed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assigned = ivf_assign(emb, centroids, corpus_id="vec_id")
+    out = knn_join_bucketed(queries, assigned, centroids, 3, nprobe=2, corpus_id="vec_id")
+    counts = out.groupBy("query_id").count().collect()
+    assert counts and all(r["count"] <= 3 for r in counts)
