@@ -1371,6 +1371,59 @@ WINDOW w_run AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECE
 # 7. Relational analytics (TPC-H-shaped: agg / join / window / top-k)
 # ===========================================================================
 
+def q_events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval RANGE frame: per-user trailing-10-minute sum/count over
+    event time — the value-based frame shape (RANGE BETWEEN n PRECEDING)
+    that rows-frames cannot express.  Keyed on epoch seconds so frame
+    membership is tie-insensitive and engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("__tsec", F.unix_timestamp("ts"))
+    w = Window.partitionBy("user_id").orderBy("__tsec").rangeBetween(-600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("trail_sum_10m"),
+        F.count(F.lit(1)).over(w).alias("trail_n_10m"),
+    )
+
+
+SQL_EVENTS_RANGE_FRAME = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 4) AS trail_sum_10m,
+       CAST(count(*) OVER w AS BIGINT) AS trail_n_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts))
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_orders_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function family over a total order: ntile quartiles,
+    percent_rank, cume_dist, and a lead() gap — the id tiebreak makes all
+    four deterministic (ntile depends on row order, not just rank)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.round(F.col("o_totalprice") - F.lead("o_totalprice").over(w), 2).alias("gap_to_next"),
+    )
+
+
+SQL_ORDERS_ANALYTICS = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_dist,
+       round(o_totalprice - lead(o_totalprice) OVER w, 2) AS gap_to_next
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary (TPC-H Q1 shape): wide hash aggregate with
     map-side partial aggregation — the canonical scan-heavy scaling query."""
@@ -1974,6 +2027,8 @@ QUERIES = {
     "events_distinct_rollup": q_events_distinct_rollup,
     "events_percentiles": q_events_percentiles,
     "events_running": q_events_running,
+    "events_range_frame": q_events_range_frame,
+    "orders_analytics": q_orders_analytics,
     # grouping sets / pivot
     "orders_rollup": q_orders_rollup,
     "orders_pivot": q_orders_pivot,
@@ -2040,6 +2095,8 @@ ORACLES = {
     "events_distinct_rollup": SQL_EVENTS_DISTINCT_ROLLUP,
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "events_running": SQL_EVENTS_RUNNING,
+    "events_range_frame": SQL_EVENTS_RANGE_FRAME,
+    "orders_analytics": SQL_ORDERS_ANALYTICS,
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "orders_pivot": SQL_ORDERS_PIVOT,
     "tpch_q1": SQL_TPCH_Q1,
