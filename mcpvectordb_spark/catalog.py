@@ -318,10 +318,13 @@ def q_knn_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_sq8(v: str, s: str) -> str:
     """Quantized code list: sign-split floor(|x|/s + 0.5) — the same IEEE
-    operation sequence as operators.knn._half_away."""
+    operation sequence as operators.knn._half_away, including the scale>0
+    zero-vector guard (sq8_quantize emits all-zero codes, never x/0)."""
     return (
+        f"CASE WHEN {s} > 0 THEN "
         f"list_transform({v}, x -> CASE WHEN x >= 0 THEN floor(x/{s} + 0.5) "
-        f"ELSE -floor(-x/{s} + 0.5) END)"
+        f"ELSE -floor(-x/{s} + 0.5) END) "
+        f"ELSE list_transform({v}, x -> 0.0) END"
     )
 
 

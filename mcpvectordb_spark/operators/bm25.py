@@ -47,11 +47,18 @@ def doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def corpus_stats(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame, int]:
-    """Derived 'index': (doc_len df, term df counts, corpus size N)."""
-    lens = df.select(
+def doc_lens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, dl) — per-doc token length.  The single definition used by
+    corpus_stats, Bm25Index.build and Bm25Index.append: incremental-vs-
+    rebuild score parity depends on these staying identical."""
+    return df.select(
         F.col(id_col).alias("doc"), F.size(tokens_col(F.col(text_col))).alias("dl")
     )
+
+
+def corpus_stats(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame, int]:
+    """Derived 'index': (doc_len df, term df counts, corpus size N)."""
+    lens = doc_lens(df, id_col, text_col)
     dfreq = (
         doc_terms(df, id_col, text_col)
         .groupBy("term")
@@ -76,9 +83,7 @@ class Bm25Index:
     @classmethod
     def build(cls, df: DataFrame, id_col: str, text_col: str) -> "Bm25Index":
         posting = doc_terms(df, id_col, text_col).cache()
-        lens = df.select(
-            F.col(id_col).alias("doc"), F.size(tokens_col(F.col(text_col))).alias("dl")
-        ).cache()
+        lens = doc_lens(df, id_col, text_col).cache()
         return cls(posting, lens, cached=True)
 
     def unpersist(self) -> None:
@@ -107,9 +112,7 @@ class Bm25Index:
         df/avgdl/N derive lazily from posting/lens, so they need no
         separate maintenance."""
         new_posting = doc_terms(new_df, id_col, text_col)
-        new_lens = new_df.select(
-            F.col(id_col).alias("doc"), F.size(tokens_col(F.col(text_col))).alias("dl")
-        )
+        new_lens = doc_lens(new_df, id_col, text_col)
         old_p, old_l = self.posting, self.lens
         if replace_ids:
             gone = F.col("doc").isin(list(replace_ids))
@@ -147,9 +150,7 @@ def bm25_score(
         # blocks are GC-cleaned with the result plan — unlike .cache(),
         # which leaked a persistent entry per query in serving sessions
         posting = doc_terms(df, id_col, text_col).localCheckpoint(eager=False)
-        lens = df.select(
-            F.col(id_col).alias("doc"), F.size(tokens_col(F.col(text_col))).alias("dl")
-        )
+        lens = doc_lens(df, id_col, text_col)
     else:
         posting, lens = index.posting, index.lens
     dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -293,7 +293,9 @@ def knn_join_bucketed(
     return (
         scored.withColumn("__rn", F.row_number().over(wk))
         .filter(F.col("__rn") <= k)
-        .drop("__rn", "__qv")
+        # same output shape as knn_join (corpus cols + query_id + score) so
+        # the two paths are drop-in interchangeable downstream
+        .drop("__rn", "__qv", centroid_id)
     )
 
 

@@ -213,10 +213,13 @@ class ChunkStore:
 
     def partition_file_stats(self) -> dict[str, dict]:
         """Per-library file-count/byte stats via the Hadoop FileSystem API
-        (works for any scheme, not just local paths).  The observability
-        half of compaction: at 100 TB, many-small-files is the first thing
-        that kills scan throughput (driver listing + per-file open cost +
-        tiny row groups defeating min/max skipping)."""
+        (works for any scheme, not just local paths).  Keys are the
+        UNESCAPED library values — the same namespace compact()'s
+        ``library=`` parameter uses, so ``compact(library=k)`` is valid for
+        every key k returned here.  The observability half of compaction:
+        at 100 TB, many-small-files is the first thing that kills scan
+        throughput (driver listing + per-file open cost + tiny row groups
+        defeating min/max skipping)."""
         jvm = self.spark._jvm
         root = jvm.org.apache.hadoop.fs.Path(self.path)
         fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
@@ -232,7 +235,7 @@ class ChunkStore:
                 for f in fs.listStatus(part.getPath())
                 if f.isFile() and not f.getPath().getName().startswith(("_", "."))
             ]
-            stats[name[len("library="):]] = {
+            stats[unescape_partition_value(name[len("library="):])] = {
                 "files": len(files),
                 "bytes": sum(f.getLen() for f in files),
             }
@@ -254,27 +257,41 @@ class ChunkStore:
 
         Partitions already at their target file count are skipped, so a
         second compact is a no-op.  Returns per-library
-        {files_before, files_after, bytes}."""
+        {files_before, files_after, bytes}.
+
+        The rewrite is range-partitioned on (doc_id, chunk_index) — NOT
+        round-robin — so each output file owns a contiguous doc_id range
+        and file/row-group min/max stats actually prune point lookups.
+        New files land in a hidden sibling directory first and replace the
+        partition with two metadata operations (delete + rename), so the
+        vulnerable window is a rename, not the whole rewrite job."""
         stats = self.partition_file_stats()
         report: dict[str, dict] = {}
-        for lib, st in stats.items():
-            lib_value = unescape_partition_value(lib)
+        jvm = self.spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(self.path).getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        for lib_value, st in stats.items():
             if library is not None and lib_value != library:
                 continue
             want = max(1, -(-st["bytes"] // target_file_bytes))
             if st["files"] <= want:
                 continue
             data_cols = [f.name for f in CHUNKS_SCHEMA if f.name != "library"]
+            lib_dir = f"library={escape_partition_value(lib_value)}"
+            tmp = f"{self.path}/.compact_tmp_{lib_dir}"
             rows = (
                 self.read()
                 .filter(F.col("library") == lib_value)
                 .select(data_cols)
-                .repartition(want)
+                .repartitionByRange(want, "doc_id", "chunk_index")
                 .sortWithinPartitions("doc_id", "chunk_index")
-                # cut lineage before overwriting the files the plan reads
-                .localCheckpoint(eager=True)
             )
-            rows.write.mode("overwrite").parquet(f"{self.path}/library={lib}")
+            rows.write.mode("overwrite").parquet(tmp)
+            src = jvm.org.apache.hadoop.fs.Path(tmp)
+            dst = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{lib_dir}")
+            fs.delete(dst, True)
+            fs.rename(src, dst)
             report[lib_value] = {
                 "files_before": st["files"],
                 "files_after": want,

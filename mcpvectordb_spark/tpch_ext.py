@@ -20,10 +20,6 @@ from pyspark.sql import functions as F
 
 from mcpvectordb_spark.io import load_table
 
-def _rev() -> F.Column:
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
-
-
 def _rev_dec() -> F.Column:
     """Revenue in exact decimal arithmetic.  The synthetic money columns
     are 2-decimal quantized, so summing DECIMAL is exact and therefore
@@ -127,10 +123,10 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TPCH_Q7 = """
+SQL_TPCH_Q7 = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+       CAST(round(sum({_SQL_REV_DEC}), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -183,11 +179,11 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TPCH_Q8 = """
+SQL_TPCH_Q8 = f"""
 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
        round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
-                      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) ELSE 0 END) AS DOUBLE)
-             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS mkt_share
+                      THEN {_SQL_REV_DEC} ELSE 0 END) AS DOUBLE)
+             / CAST(sum({_SQL_REV_DEC}) AS DOUBLE), 6) AS mkt_share
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -224,9 +220,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TPCH_Q9 = """
+SQL_TPCH_Q9 = f"""
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+       CAST(round(sum({_SQL_REV_DEC}
                       - CAST(0.5 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
          AS sum_profit
 FROM lineitem
@@ -265,9 +261,9 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TPCH_Q10 = """
+SQL_TPCH_Q10 = f"""
 SELECT c_custkey, c_name,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+       CAST(round(sum({_SQL_REV_DEC}), 2) AS DOUBLE) AS revenue,
        round(c_acctbal, 2) AS c_acctbal, n_name
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -277,7 +273,7 @@ WHERE l_returnflag = 'R'
   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
-ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, c_custkey
+ORDER BY sum({_SQL_REV_DEC}) DESC, c_custkey
 LIMIT 20
 """
 
@@ -307,9 +303,9 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TPCH_Q11 = """
+SQL_TPCH_Q11 = f"""
 WITH scoped AS (
-  SELECT s_suppkey, s_name, CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+  SELECT s_suppkey, s_name, {_SQL_REV_DEC} AS rev
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
@@ -369,10 +365,10 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TPCH_Q14 = """
+SQL_TPCH_Q14 = f"""
 SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
-                              THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) ELSE 0 END) AS DOUBLE)
-             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS promo_revenue
+                              THEN {_SQL_REV_DEC} ELSE 0 END) AS DOUBLE)
+             / CAST(sum({_SQL_REV_DEC}) AS DOUBLE), 4) AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -398,9 +394,9 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TPCH_Q15 = """
+SQL_TPCH_Q15 = f"""
 WITH revenue AS (
-  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total
+  SELECT l_suppkey, sum({_SQL_REV_DEC}) AS total
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -443,8 +439,8 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TPCH_Q19 = """
-SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+SQL_TPCH_Q19 = f"""
+SELECT CAST(round(sum({_SQL_REV_DEC}), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
