@@ -1040,13 +1040,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cu.pack_sequences(
         docs, "doc_id", ts.ws_token_count(F.col("text")), _PACK_BUDGET, 8
     )
-    return out.groupBy(
-        F.col("shard").cast("long").alias("shard"),
-        F.col("seq_first").alias("seq"),
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.sum((F.col("seq_last") > F.col("seq_first")).cast("long")).alias("n_straddle"),
+    return (
+        out.groupBy(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("seq_first").cast("long").alias("seq"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(
+                (F.col("seq_last") > F.col("seq_first")).cast("long")
+            ).alias("n_straddle"),
+        )
+        .orderBy("shard", "seq")
     )
 
 
@@ -1068,11 +1074,12 @@ p AS (
   SELECT shard, n_tokens, tok_off // {b} AS seq_first,
          greatest(tok_off // {b}, (tok_off + n_tokens - 1) // {b}) AS seq_last
   FROM o)
-SELECT CAST(shard AS BIGINT) AS shard, seq_first AS seq,
+SELECT CAST(shard AS BIGINT) AS shard, CAST(seq_first AS BIGINT) AS seq,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN seq_last > seq_first THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
 FROM p GROUP BY shard, seq_first
+ORDER BY shard, seq
 """
 
 
@@ -1982,23 +1989,31 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # ===========================================================================
 
+# Registry order matters: the driver's CORRECTNESS gate checks only the
+# FIRST 50 entries.  Contract for every round: (a) queries with no prior
+# driver row, red rows, and queries new this round go FIRST; (b) greens most
+# at risk from this round's code churn fill the window; (c) stable greens
+# (already driver-verified in an earlier round) rotate to the tail, where
+# tools/check_parity.py still covers them locally.
 QUERIES = {
-    # vector search
-    "knn_topk": q_knn_topk,
-    "knn_batch": q_knn_batch,
-    "knn_filtered": q_knn_filtered,
-    "ivf_topk": q_ivf_topk,
-    "knn_sq8_topk": q_knn_sq8_topk,
-    # text + hybrid search
-    "bm25_topk": q_bm25_topk,
-    "hybrid_rrf": q_hybrid_rrf,
-    # store / metadata ops
-    "list_libraries": q_list_libraries,
-    "list_documents": q_list_documents,
-    "get_document": q_get_document,
-    "semi_join_lookup": q_semi_join_lookup,
-    "delete_antijoin": q_delete_antijoin,
-    # dedup family
+    # -- r01-unchecked, oracle-backed (17) --
+    **TPCH_EXT_QUERIES,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
+    "top_orders_per_priority": q_top_orders_per_priority,
+    # -- r01-unchecked, rows-only (5) --
+    "ingest_chunks": q_ingest_chunks,
+    "search_ingested": q_search_ingested,
+    "neardup_lsh_embeddings": q_neardup_lsh_embeddings,
+    "stream_hourly": q_stream_hourly,
+    "stream_join": q_stream_join,
+    # -- r01 red (driver hash) --
+    "pack_sequences": q_pack_sequences,
+    # -- new round-2 queries go here --
+    # -- r01-green, rotated into the window (churn-riskiest families) --
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -2006,22 +2021,14 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    # text analysis
-    "text_tokens": q_text_tokens,
-    "text_quality": q_text_quality,
-    "text_langid": q_text_langid,
-    "text_fingerprint": q_text_fingerprint,
-    "text_repetition": q_text_repetition,
-    "curation_pipeline": q_curation_pipeline,
-    "corpus_token_stats": q_corpus_token_stats,
-    # corpus curation at scale
     "decontaminate": q_decontaminate,
     "domain_quota": q_domain_quota,
     "sample_stratified": q_sample_stratified,
     "train_shards": q_train_shards,
-    "pack_sequences": q_pack_sequences,
     "pii_scrub": q_pii_scrub,
-    # events
+    "curation_pipeline": q_curation_pipeline,
+    "corpus_token_stats": q_corpus_token_stats,
+    "text_repetition": q_text_repetition,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_json": q_events_json,
@@ -2032,29 +2039,31 @@ QUERIES = {
     "events_running": q_events_running,
     "events_range_frame": q_events_range_frame,
     "orders_analytics": q_orders_analytics,
-    # grouping sets / pivot
     "orders_rollup": q_orders_rollup,
     "orders_pivot": q_orders_pivot,
-    # relational analytics
+    # ---------------- tail: stable r01 greens (driver-verified) ----------------
+    "knn_topk": q_knn_topk,
+    "knn_batch": q_knn_batch,
+    "knn_filtered": q_knn_filtered,
+    "ivf_topk": q_ivf_topk,
+    "knn_sq8_topk": q_knn_sq8_topk,
+    "bm25_topk": q_bm25_topk,
+    "hybrid_rrf": q_hybrid_rrf,
+    "list_libraries": q_list_libraries,
+    "list_documents": q_list_documents,
+    "get_document": q_get_document,
+    "semi_join_lookup": q_semi_join_lookup,
+    "delete_antijoin": q_delete_antijoin,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "tpch_q13": q_tpch_q13,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q21": q_tpch_q21,
-    "tpch_q22": q_tpch_q22,
-    **TPCH_EXT_QUERIES,
-    "top_orders_per_priority": q_top_orders_per_priority,
-    # rows-only (non-SQL-expressible)
-    "ingest_chunks": q_ingest_chunks,
-    "search_ingested": q_search_ingested,
-    "neardup_lsh_embeddings": q_neardup_lsh_embeddings,
-    "stream_hourly": q_stream_hourly,
-    "stream_join": q_stream_join,
 }
 
 ORACLES = {

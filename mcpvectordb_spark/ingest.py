@@ -174,13 +174,14 @@ def ingest_batch(
     counts = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("chunk_count")).localCheckpoint(eager=True)
 
     # Replace = delete-then-append (reference ingestor.py:199-209). Old doc
-    # ids are collected once (bounded by batch size, not corpus size).
+    # ids are collected once (bounded by batch size, not corpus size) and
+    # deleted as ONE batch: a single anti-join rewrite per affected
+    # partition, not O(replaced docs) rewrites.
     old_ids = [
         r["_old_doc_id"]
         for r in gated.filter(F.col("status") == "replaced").select("_old_doc_id").distinct().collect()
     ]
-    for old in old_ids:
-        store.delete_document(old)
+    store.delete_documents(old_ids)
     store.append(chunks)
     chunks.unpersist()
     results = (

@@ -68,9 +68,12 @@ def main():
             failed += 0 if srows else 1
             continue
         try:
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # .df() first: pandas dtypes are what the driver's value-hash
+            # serializes (HUGEINT -> float64 there, but Python int via
+            # fetchall) -- keep both views so dtype-kind skew is caught.
+            odf = con.execute(sql).df()
+            ocols = list(odf.columns)
+            orows = list(con.execute(sql).fetchall())
         except Exception as exc:
             print(f"FAIL {name}: oracle error: {type(exc).__name__}: {str(exc)[:300]}")
             failed += 1
@@ -87,6 +90,25 @@ def main():
         mismatch = [(a, b) for a, b in zip(sn, on) if a != b]
         if mismatch:
             print(f"FAIL {name}: {len(mismatch)}/{len(sn)} rows differ; first: spark={mismatch[0][0]} oracle={mismatch[0][1]}")
+            failed += 1
+            continue
+        # Dtype-kind skew: the driver hashes pandas-serialized values, where
+        # int64 5 ("5") != float64 5.0 ("5.0").  A NULL-free column whose
+        # kinds differ across engines passes the value compare above but
+        # fails the driver hash (round-1 pack_sequences bug).
+        skew = []
+        sidx = {c: i for i, c in enumerate(scols)}
+        for c in ocols:
+            okind = odf[c].dtype.kind  # 'i', 'f', 'O', ...
+            stype = dict(sdf.dtypes).get(c, "")
+            skind = "i" if stype in ("bigint", "int", "smallint", "tinyint") else (
+                "f" if stype in ("double", "float") else "O")
+            if {okind, skind} == {"i", "f"}:
+                has_null = any(r[sidx[c]] is None for r in srows)
+                if not has_null:
+                    skew.append((c, stype, str(odf[c].dtype)))
+        if skew:
+            print(f"FAIL {name}: dtype-kind skew (driver-hash hazard): {skew}")
             failed += 1
         else:
             print(f"ok   {name}: {len(sn)} rows match")
