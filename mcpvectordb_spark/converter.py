@@ -1,11 +1,12 @@
 """Format conversion: raw bytes → Markdown text.
 
 The reference shells 25 formats through MarkItDown (/root/reference/src/
-mcpvectordb/converter.py:44-68, allowlist 13-39).  MarkItDown and the
-image/audio stacks are not in this container, so: text-ish formats are
-converted with real (dependency-free) logic; binary formats are STUBBED —
-they produce a ``failed`` status row with a clear error, never an exception
-(the batch-continues contract, ingestor.py:104-118).
+mcpvectordb/converter.py:44-68, allowlist 13-39).  Here: text formats are
+converted with dependency-free logic; pdf/docx/pptx/xlsx go through the
+pure-stdlib extractors in :mod:`mcpvectordb_spark.extractors`; only the
+OCR/ASR formats (images, audio) remain stubbed — those produce a
+``failed`` status row with a clear error, never an exception (the
+batch-continues contract, ingestor.py:104-118).
 
 Shape: an Arrow-batched ``mapInPandas`` stage over binaryFile rows — the
 UDF-singleton pattern the heavy converter would use (SURVEY.md §2.1 S4).
@@ -37,9 +38,25 @@ def convert_bytes(raw: bytes, file_type: str) -> str:
     if file_type in ("html", "htm", "xml"):
         text = _TAG_RE.sub(" ", raw.decode("utf-8", errors="replace"))
         return re.sub(r"[ \t]+", " ", text).strip()
+    if file_type == "pdf":
+        from mcpvectordb_spark.extractors import extract_pdf
+
+        return extract_pdf(raw)
+    if file_type == "docx":
+        from mcpvectordb_spark.extractors import extract_docx
+
+        return extract_docx(raw)
+    if file_type == "pptx":
+        from mcpvectordb_spark.extractors import extract_pptx
+
+        return extract_pptx(raw)
+    if file_type == "xlsx":
+        from mcpvectordb_spark.extractors import extract_xlsx
+
+        return extract_xlsx(raw)
     if file_type in DEFAULT.supported_extensions:
         raise NotImplementedError(
-            f"converter for '{file_type}' requires MarkItDown/OCR/ASR — not available in this environment"
+            f"converter for '{file_type}' requires OCR/ASR — not available in this environment"
         )
     raise ValueError(f"unsupported format: {file_type!r}")
 

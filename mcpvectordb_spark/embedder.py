@@ -80,18 +80,93 @@ class HashEmbedder:
         return self._embed_one(self.query_prefix + text)
 
 
-def get_real_embedder(dim: int = 768) -> Embedder:
-    """Real model path (reference embedder.py:41-62). The ONNX/fastembed
-    stack is not installed in this container, so this raises with a clear
-    message; the interface is the integration point."""
-    try:
-        import fastembed  # type: ignore  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "fastembed/onnxruntime not available in this environment; "
-            "use HashEmbedder (deterministic) or install the model stack."
-        ) from exc
-    raise NotImplementedError("wire fastembed TextEmbedding here")  # pragma: no cover
+class FastembedEmbedder:
+    """Real model inference via fastembed/ONNX (reference embedder.py:41-83):
+    same model (nomic-embed-text-v1.5), same asymmetric prefixes, batch-32
+    inference, L2-normalised output. Import-gated: constructing it without
+    the fastembed stack raises ImportError."""
+
+    def __init__(
+        self,
+        model_name: str = "nomic-ai/nomic-embed-text-v1.5",
+        dim: int = 768,
+        config: EngineConfig = DEFAULT,
+    ):
+        from fastembed import TextEmbedding  # type: ignore
+
+        self._model = TextEmbedding(model_name=model_name)
+        self.dim = dim
+        self.doc_prefix = config.doc_prefix
+        self.query_prefix = config.query_prefix
+        self._batch = config.embedding_batch_size
+
+    def _embed(self, texts: list[str]) -> np.ndarray:
+        arr = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in self._model.embed(texts, batch_size=self._batch)]
+        )
+        norms = np.linalg.norm(arr, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return (arr / norms).astype(np.float32)
+
+    def embed_documents(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        return self._embed([self.doc_prefix + t for t in texts])
+
+    def embed_query(self, text: str) -> np.ndarray:
+        return self._embed([self.query_prefix + text])[0]
+
+
+class SentenceTransformerEmbedder:
+    """Alternate real backend over sentence-transformers, same contract."""
+
+    def __init__(
+        self,
+        model_name: str = "nomic-ai/nomic-embed-text-v1.5",
+        dim: int = 768,
+        config: EngineConfig = DEFAULT,
+    ):
+        from sentence_transformers import SentenceTransformer  # type: ignore
+
+        self._model = SentenceTransformer(model_name, trust_remote_code=False)
+        self.dim = dim
+        self.doc_prefix = config.doc_prefix
+        self.query_prefix = config.query_prefix
+        self._batch = config.embedding_batch_size
+
+    def _embed(self, texts: list[str]) -> np.ndarray:
+        arr = self._model.encode(
+            texts, batch_size=self._batch, normalize_embeddings=True, convert_to_numpy=True
+        )
+        return np.asarray(arr, dtype=np.float32)
+
+    def embed_documents(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        return self._embed([self.doc_prefix + t for t in texts])
+
+    def embed_query(self, text: str) -> np.ndarray:
+        return self._embed([self.query_prefix + text])[0]
+
+
+def get_real_embedder(dim: int = 768, config: EngineConfig = DEFAULT) -> Embedder:
+    """Real model path (reference embedder.py:41-62): first available of
+    fastembed (the reference's own runtime) then sentence-transformers,
+    behind the same :class:`Embedder` protocol.  Raises NotImplementedError
+    with a clear message when neither stack is installed — HashEmbedder
+    remains the deterministic test/oracle mode either way (mirrors the
+    reference's mock embedder, tests/conftest.py:26-39)."""
+    errors = []
+    for cls in (FastembedEmbedder, SentenceTransformerEmbedder):
+        try:
+            return cls(dim=dim, config=config)
+        except ImportError as exc:
+            errors.append(f"{cls.__name__}: {exc}")
+    raise NotImplementedError(
+        "no real embedding runtime available (tried fastembed, "
+        "sentence-transformers); use HashEmbedder (deterministic) or install "
+        "a model stack. Details: " + "; ".join(errors)
+    )
 
 
 def embed_documents_stage(
