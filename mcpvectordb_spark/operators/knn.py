@@ -223,12 +223,22 @@ def ivf_topk(
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
     score_col: str = "score",
+    static_prune: bool = False,
 ) -> DataFrame:
     """IVF search: probe the ``nprobe`` centroids nearest to the query, then
     exact-rescore only their members (refine semantics, reference
     store.py:302,317). ``assigned`` is the output of :func:`ivf_assign` —
     at scale it is bucketed/partitioned by ``centroid_id`` so the probe
-    filter is partition pruning, touching nprobe/nlist of the data."""
+    filter is partition pruning, touching nprobe/nlist of the data.
+
+    ``static_prune=True`` collects the nprobe probed cell ids to the driver
+    (O(nprobe) scalars — the centroid table is tiny by construction) and
+    plants them as a literal IN-filter, which Catalyst turns into STATIC
+    partition pruning on a ``centroid_id``-partitioned corpus: the scan
+    lists only nprobe of nlist directories (asserted via the scan's
+    numPartitions metric in tests/test_plans.py::test_ivf_static_prune).
+    The default semi-join form keeps the whole plan lazy, which the
+    one-shot oracle comparison prefers."""
     q = query_vec_lit(query)
     probe = (
         centroids.withColumn("__sim", cosine(F.col(centroid_vec), q))
@@ -236,7 +246,11 @@ def ivf_topk(
         .limit(nprobe)
         .select(centroid_id)
     )
-    candidates = assigned.join(F.broadcast(probe), centroid_id, "left_semi")
+    if static_prune:
+        probe_ids = [r[0] for r in probe.collect()]
+        candidates = assigned.filter(F.col(centroid_id).isin(probe_ids))
+    else:
+        candidates = assigned.join(F.broadcast(probe), centroid_id, "left_semi")
     return (
         candidates.withColumn(score_col, cosine(F.col(vec_col), q))
         .orderBy(F.desc(score_col), F.asc(corpus_id))

@@ -34,6 +34,32 @@ def test_queries_and_oracles_consistent():
     }
 
 
+def test_range_frame_key_parity(spark):
+    """events_range_frame keys its RANGE frame on epoch seconds; the two
+    engines must agree on that key for every row even though the parquet
+    timestamps are nanosecond-precision (Spark truncates ns→µs explicitly,
+    DuckDB truncates inside its scanner).  Compares the full key column at
+    sf0.001 — if a DuckDB upgrade ever switches the scanner to rounding,
+    an event within 500 ns below a second boundary would flip here."""
+    import duckdb
+
+    from mcpvectordb_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events")
+    skeys = sorted(
+        (r["event_id"], r["k"])
+        for r in ev.select("event_id", F.unix_timestamp("ts").alias("k")).collect()
+    )
+    okeys = sorted(
+        duckdb.sql(
+            "SELECT event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS k "
+            f"FROM read_parquet('{SF}/events.parquet')"
+        ).fetchall()
+    )
+    assert skeys == okeys
+
+
 def test_sample_parity_at_sf0001(spark):
     import duckdb
 

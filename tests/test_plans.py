@@ -137,3 +137,36 @@ def test_tpch_q2_decorrelates_to_window_not_self_join(spark):
 
     plan = formatted_plan(QUERIES["tpch_q2"](spark, SF))
     assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 5, plan
+
+
+def test_ivf_static_prune_reads_only_nprobe_partitions(spark, tmp_path):
+    """SCALE.md's IVF claim, proven on a real partitioned layout: write
+    ivf_assign output partitioned by centroid_id, probe with
+    static_prune=True, and assert the scan (a) plans the probe as
+    PartitionFilters (directory pruning, not a post-scan filter) and
+    (b) physically lists only nprobe of nlist partition directories
+    (the scan's numPartitions metric after execution)."""
+    from mcpvectordb_spark.operators.knn import build_centroids_kmeans, ivf_assign, ivf_topk
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    centroids = build_centroids_kmeans(emb, k=8, seed=7)
+    out = str(tmp_path / "assigned")
+    ivf_assign(emb, centroids, corpus_id="vec_id").write.partitionBy("centroid_id").parquet(out)
+    assigned = spark.read.parquet(out)
+
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    nprobe = 3
+    q = ivf_topk(assigned, centroids, qv, 5, nprobe=nprobe, corpus_id="vec_id",
+                 static_prune=True)
+    plan = formatted_plan(q)
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+    rows = q.collect()
+    scan = q._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    n_read = scan.metrics().apply("numPartitions").value()
+    assert n_read == nprobe, f"scan read {n_read} partition dirs, expected {nprobe}"
+
+    # static-pruned results == lazy semi-join results (same semantics)
+    semi = ivf_topk(assigned, centroids, qv, 5, nprobe=nprobe, corpus_id="vec_id").collect()
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in semi]
