@@ -1995,6 +1995,114 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# 8b. Round-2 curation additions: C4 line-level dedup, mixture sampling
+# ===========================================================================
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level corpus dedup (Raffel et al. 2020 §2.2): lines
+    occurring ≥3 times corpus-wide are boilerplate, stripped from every doc.
+    Ten planted docs share two boilerplate lines (a cookie banner and a
+    rights notice) around a unique middle line — the removable paths; the
+    real docs are single-line word salad, all kept."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.range(10).select(
+        (F.col("id") + _PLANT_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("COOKIE NOTICE: we use cookies\nunique line "),
+            F.col("id").cast("string"),
+            F.lit("\n(c) ALL RIGHTS RESERVED"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    return dd.dedup_lines(corpus, "doc_id", "text", min_count=3)
+
+
+SQL_DEDUP_LINES = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT {_PLANT_OFFSET} + i,
+         'COOKIE NOTICE: we use cookies' || chr(10) ||
+         'unique line ' || CAST(i AS VARCHAR) || chr(10) ||
+         '(c) ALL RIGHTS RESERVED'
+  FROM range(10) t(i)),
+arrs AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS arr FROM corpus),
+l AS (
+  -- two same-length unnests zip positionally in DuckDB (no WITH ORDINALITY)
+  SELECT doc_id, unnest(range(len(arr))) AS pos, unnest(arr) AS line,
+         trim(unnest(arr)) AS t
+  FROM arrs),
+boiler AS (
+  SELECT t FROM l WHERE t <> '' GROUP BY t HAVING count(*) >= 3),
+j AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (l.t <> '' AND boiler.t IS NOT NULL) AS removable
+  FROM l LEFT JOIN boiler ON l.t = boiler.t)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (removable) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE NOT removable), '')) AS clean_md5
+FROM j GROUP BY doc_id
+"""
+
+
+_MIX_WEIGHTS_BP = {"d0": 3000, "d1": 2500, "d2": 1500, "d3": 1000}
+_MIX_BUDGET = 120_000
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing under a token budget: per-domain keep-rates derived from
+    target weights (DoReMi/Pile-style mixture) with exact integer math,
+    realised as a deterministic hash-gate filter.  Output: the achieved
+    mixture (docs, tokens, rate) per surviving domain."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "dom", cu.domain_of(F.col("source"))
+    )
+    out = cu.mixture_sample(
+        docs, "doc_id", "dom", "n_chars", _MIX_WEIGHTS_BP, _MIX_BUDGET
+    )
+    return out.groupBy(F.col("dom").alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("kept_tokens"),
+        F.max("rate_bp").cast("long").alias("rate_bp"),
+    )
+
+
+def _sql_mixture_sample() -> str:
+    dom = f"'d' || CAST({_sql_hex48('source')} % 8 AS VARCHAR)"
+    gate = _sql_hex48("'mix:' || CAST(doc_id AS VARCHAR)")
+    weights = ", ".join(f"('{k}', {v})" for k, v in sorted(_MIX_WEIGHTS_BP.items()))
+    return rf"""
+WITH d AS (
+  SELECT doc_id, n_chars, {dom} AS dom FROM documents),
+avail AS (
+  SELECT dom, CAST(sum(n_chars) AS BIGINT) AS avail_tokens FROM d GROUP BY dom),
+w AS (SELECT * FROM (VALUES {weights}) w(dom, weight_bp)),
+r AS (
+  SELECT avail.dom, avail_tokens,
+         CAST(coalesce(weight_bp, 0) AS BIGINT) * {_MIX_BUDGET} // 10000 AS target_tokens
+  FROM avail LEFT JOIN w USING (dom)),
+r2 AS (
+  SELECT dom,
+         CASE WHEN avail_tokens > 0
+              THEN least(10000, target_tokens * 10000 // avail_tokens)
+              ELSE 0 END AS rate_bp
+  FROM r),
+s AS (
+  SELECT d.doc_id, d.n_chars, d.dom, r2.rate_bp
+  FROM d JOIN r2 USING (dom)
+  WHERE {gate} % 10000 < rate_bp)
+SELECT dom AS domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS kept_tokens,
+       CAST(max(rate_bp) AS BIGINT) AS rate_bp
+FROM s GROUP BY dom
+"""
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 
@@ -2021,7 +2129,9 @@ QUERIES = {
     "stream_join": q_stream_join,
     # -- r01 red (driver hash) --
     "pack_sequences": q_pack_sequences,
-    # -- new round-2 queries go here --
+    # -- new round-2 queries --
+    "dedup_lines": q_dedup_lines,
+    "mixture_sample": q_mixture_sample,
     # -- r01-green, rotated into the window (churn-riskiest families) --
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2108,6 +2218,8 @@ ORACLES = {
     "train_shards": _sql_train_shards(),
     "pack_sequences": _sql_pack_sequences(),
     "pii_scrub": _sql_pii_scrub(),
+    "dedup_lines": SQL_DEDUP_LINES,
+    "mixture_sample": _sql_mixture_sample(),
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_json": SQL_EVENTS_JSON,

@@ -290,3 +290,70 @@ def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling (data-mixing weights under a token budget)
+
+
+def mixture_rates(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    weights_bp: dict[str, int],
+    budget_tokens: int,
+) -> DataFrame:
+    """Per-domain keep-rates that steer the corpus toward a target mixture
+    under a global token budget (the "data mixing" step of an LLM pipeline:
+    domain weights like The Pile / DoReMi, realised as subsampling rates).
+
+    All integer arithmetic so any engine derives bit-identical rates:
+        target_d  = weight_bp[d] * budget // 10000
+        rate_bp_d = min(10000, 10000 * target_d // available_d)
+    Domains absent from ``weights_bp`` get rate 0 (dropped).  One
+    partial-agg shuffle over the domain key; the result is |domains| rows.
+    """
+    spark = df.sparkSession
+    avail = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(F.col(token_col)).cast("long").alias("avail_tokens")
+    )
+    w = spark.createDataFrame(
+        sorted(weights_bp.items()), "domain string, weight_bp long"
+    )
+    return (
+        avail.join(F.broadcast(w), "domain", "left")
+        .withColumn("weight_bp", F.coalesce(F.col("weight_bp"), F.lit(0)))
+        .withColumn(
+            "target_tokens",
+            F.expr(f"weight_bp * CAST({int(budget_tokens)} AS BIGINT) div 10000"),
+        )
+        .withColumn(
+            "rate_bp",
+            F.when(F.col("avail_tokens") > 0, F.least(
+                F.lit(10000).cast("long"),
+                F.expr("target_tokens * 10000 div avail_tokens"),
+            )).otherwise(F.lit(0).cast("long")),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    token_col: str,
+    weights_bp: dict[str, int],
+    budget_tokens: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture sampling: hash-gate every doc against its
+    domain's :func:`mixture_rates` rate.  The rates table (|domains| rows)
+    broadcasts; the gate itself is the same pure narrow filter as
+    :func:`stratified_sample` — no RNG, no global state, streaming-safe.
+    At 100 TB this is one tiny agg + one full scan with a pushed filter."""
+    rates = mixture_rates(df, domain_col, token_col, weights_bp, budget_tokens)
+    gated = df.join(
+        F.broadcast(rates.selectExpr("domain AS __mix_domain", "rate_bp")),
+        F.col(domain_col) == F.col("__mix_domain"),
+    ).drop("__mix_domain")
+    return gated.filter(hash_gate(F.col(id_col), salt) < F.col("rate_bp"))

@@ -133,3 +133,35 @@ def test_scrub_pii_counts_match_redactions(spark):
     assert "@" not in clean and "555-" not in clean
     assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
     assert rows[2]["clean_text"] == "no pii here at all"
+
+
+def test_mixture_rates_integer_math_and_caps(spark):
+    """rate_bp = min(10000, 10000 * (w*budget//10000) // avail), exact
+    integer math; unlisted domains rate 0; oversubscribed domains cap at
+    10000 (can't mint tokens)."""
+    from mcpvectordb_spark.operators.curation import mixture_rates
+
+    df = spark.createDataFrame(
+        [("a", 1, 600), ("a", 2, 400), ("b", 3, 50), ("c", 4, 1000)],
+        "dom string, doc_id long, tokens long",
+    )
+    rates = {r["domain"]: r for r in
+             mixture_rates(df, "dom", "tokens", {"a": 5000, "b": 5000}, 800).collect()}
+    # a: target 400, avail 1000 → 4000bp; b: target 400, avail 50 → cap 10000
+    assert (rates["a"]["target_tokens"], rates["a"]["rate_bp"]) == (400, 4000)
+    assert rates["b"]["rate_bp"] == 10000
+    assert rates["c"]["rate_bp"] == 0 and rates["c"]["weight_bp"] == 0
+
+
+def test_mixture_sample_deterministic_and_domain_scoped(spark):
+    """Same ids → same verdicts on repeat runs; rate-0 domains vanish;
+    a rate-10000 domain survives completely."""
+    from mcpvectordb_spark.operators.curation import mixture_sample
+
+    rows = [("keep", i, 10) for i in range(50)] + [("drop", 100 + i, 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "dom string, doc_id long, tokens long")
+    out1 = mixture_sample(df, "doc_id", "dom", "tokens", {"keep": 10000}, 10_000).collect()
+    out2 = mixture_sample(df, "doc_id", "dom", "tokens", {"keep": 10000}, 10_000).collect()
+    ids = sorted(r["doc_id"] for r in out1)
+    assert ids == sorted(r["doc_id"] for r in out2)
+    assert ids == list(range(50))  # all of 'keep' (rate 10000), none of 'drop'

@@ -124,3 +124,42 @@ def test_dedup_clusters_transitive_chains(spark):
     )
     out = {r["id"]: r["cluster_id"] for r in dedup_clusters(ids, pairs, "id").collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_dedup_lines_c4_semantics(spark):
+    """Boilerplate (count >= min_count corpus-wide) is stripped from every
+    doc; unique and empty lines survive; order of survivors is preserved;
+    an all-boilerplate doc collapses to the empty string."""
+    import hashlib
+
+    from mcpvectordb_spark.operators.dedup import dedup_lines
+
+    docs = [
+        (1, "BANNER\nkeep me one\n\nBANNER"),     # banner twice in same doc
+        (2, "BANNER\nkeep me two"),
+        (3, "  BANNER  \nkeep me three"),          # trims before matching
+        (4, "BANNER"),                             # collapses to ''
+        (5, None),                                 # null text → 1 empty line
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df, "doc_id", "text", min_count=3).collect()}
+
+    assert set(out) == {1, 2, 3, 4, 5}  # every input doc has a row
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # BANNER occurs 5x (>=3) → removed everywhere; blank + unique lines kept
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (4, 2)
+    assert out[1]["clean_md5"] == md5("keep me one\n")
+    assert out[2]["clean_md5"] == md5("keep me two")
+    assert out[3]["n_removed"] == 1 and out[3]["clean_md5"] == md5("keep me three")
+    assert out[4]["clean_md5"] == md5("")
+    assert (out[5]["n_lines"], out[5]["n_removed"]) == (1, 0)
+
+
+def test_dedup_lines_below_threshold_keeps_all(spark):
+    from mcpvectordb_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "twice\nunique a"), (2, "twice\nunique b")], "doc_id long, text string"
+    )
+    out = dedup_lines(df, "doc_id", "text", min_count=3).collect()
+    assert all(r["n_removed"] == 0 for r in out)
