@@ -110,6 +110,38 @@ def main() -> None:
     run("windows_2m", lambda: windowed_counts_batch(big_ev).count())
     run("sessions_2m", lambda: sessionize_batch(big_ev).count())
 
+    # line-level dedup: 5-line docs; every doc carries one of 3 boilerplate
+    # banners (corpus counts ~33k each) around 4 unique lines — the removal
+    # path is hot, the digest shuffle stays tiny (distinct lines only)
+    from mcpvectordb_spark.operators.curation import mixture_sample
+    from mcpvectordb_spark.operators.dedup import dedup_lines
+
+    line = lambda j: F.substring(
+        F.md5(F.concat_ws("|", F.col("id"), F.lit(j))), 1, 24
+    )
+    lined = big_docs.select(
+        "id",
+        F.concat_ws(
+            "\n",
+            line(1), line(2),
+            F.concat(F.lit("BANNER "), (F.col("id") % 3).cast("string")),
+            line(3), line(4),
+        ).alias("text"),
+    )
+    run("dedup_lines_100k", lambda: dedup_lines(lined, "id", "text", min_count=3)
+        .agg(F.sum("n_removed")).collect()[0][0])
+
+    # mixture sampling: 8 hash domains, weights over 4, 1/8 token budget
+    mixed = big_docs.select(
+        "id",
+        F.concat(F.lit("d"), (F.col("id") % 8).cast("string")).alias("dom"),
+        F.length("text").alias("tokens"),
+    )
+    run("mixture_sample_100k", lambda: mixture_sample(
+        mixed, "id", "dom", "tokens",
+        {"d0": 4000, "d1": 3000, "d2": 2000, "d3": 1000}, 1_000_000,
+    ).count())
+
     print(json.dumps({"replicas": REPLICAS, "docs": n_docs, "vectors": n_vec,
                       "events": n_ev, "timings_sec": timings, "result_counts": counts}))
     spark.stop()
