@@ -1,10 +1,11 @@
 """Testdata table loaders.
 
 ``/root/testdata/sf*/`` holds the driver's deterministic parquet tables
-(TESTDATA.md).  ``events.parquet`` uses TIMESTAMP(NANOS), which Spark only
-reads as bigint nanos (``spark.sql.legacy.parquet.nanosAsLong``) — the loader
-converts to a proper timestamp by truncating to microseconds, matching how
-DuckDB reads the same file (nanos → micros truncation)."""
+(TESTDATA.md).  ``events.parquet`` has shipped as TIMESTAMP(NANOS) (Spark
+reads it as bigint nanos under ``spark.sql.legacy.parquet.nanosAsLong``) and
+as TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark reads TIMESTAMP_NTZ) in
+different driver generations — the loader normalizes either to a session-UTC
+``timestamp`` column, matching how DuckDB reads the same file."""
 
 from __future__ import annotations
 
@@ -26,10 +27,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division: `/` is a double divide and ns epochs exceed
-        # 2^53, so floor(ts/1000.0) mis-truncates ~12% of values by 1us
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) file read via nanosAsLong.  Integer division:
+            # `/` is a double divide and ns epochs exceed 2^53, so
+            # floor(ts/1000.0) mis-truncates ~12% of values by 1us.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) file.  Downstream
+            # operators key frames on unix_micros/unix_timestamp, which
+            # require the LTZ type; with the session TZ pinned to UTC the
+            # cast is a pure re-tag (same micros value DuckDB sees).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -30,8 +30,9 @@ def get_spark(app_name: str = "mcpvectordb_spark", shuffle_partitions: int | Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it as
-        # bigint nanos with this flag (io.load_events converts to timestamp).
+        # Older testdata events.parquet stores TIMESTAMP(NANOS); Spark reads
+        # it as bigint nanos with this flag (io.load_events normalizes either
+        # nanos-bigint or NTZ-micros files to a session-UTC timestamp).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
