@@ -1907,6 +1907,59 @@ def q_neardup_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode over synthesized media payloads: WAV audio bytes
+    are GENERATED deterministically per document (sine wave whose frequency/
+    length derive from doc_id), then decoded by the REAL RIFF/WAVE kernel
+    (header duration + per-window RMS/zero-crossing features from the
+    actual samples — sources/multimodal.py).  Byte synthesis and DSP are
+    not SQL-expressible → rows-only check."""
+    from mcpvectordb_spark.sources.multimodal import MEDIA_SCHEMA, extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(200)
+
+    def synth(batches):
+        import io
+        import math
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                rate, freq = 4000, 100 + int(doc_id) % 300
+                n = rate // 8 + int(doc_id) % 64
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(
+                        b"".join(
+                            struct.pack("<h", int(9000 * math.sin(2 * math.pi * freq * i / rate)))
+                            for i in range(n)
+                        )
+                    )
+                rows.append(
+                    (f"m{doc_id}", "audio", "audio/wav", buf.getvalue(), None)
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "mime_type", "payload", "meta"]
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = extract_audio_features(media, dim=8, fake=False)
+    return feats.select(
+        "media_id",
+        F.round("duration_s", 6).alias("duration_s"),
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("rms_w1"),
+        F.round(F.element_at("features", 5), 6).alias("zcr_w1"),
+    ).orderBy("media_id")
+
+
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window aggregation driven to completion
     over the events file (real readStream → memory sink)."""
@@ -2125,6 +2178,7 @@ QUERIES = {
     "ingest_chunks": q_ingest_chunks,
     "search_ingested": q_search_ingested,
     "neardup_lsh_embeddings": q_neardup_lsh_embeddings,
+    "multimodal_features": q_multimodal_features,
     "stream_hourly": q_stream_hourly,
     "stream_join": q_stream_join,
     # -- r01 red (driver hash) --

@@ -2,14 +2,22 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata — the
 standard large-scale layout (payload stays columnar, decode happens inside
-Arrow-batched Python stages near the data).  Image decode is REAL at the
-container level — PNG/GIF/BMP/JPEG dimensions + format parsed from header
-bytes, deterministic byte-histogram features (:func:`parse_image_header`).
-Full pixel decode and the audio/video kernels remain STUBBED
-(Pillow/ffmpeg/torchaudio are not in this container): those stages have the
-real Spark plumbing — schema, batching, partitioning, UDF signature — a
-deterministic fake path for tests, and the library call site marked
-NotImplementedError.
+Arrow-batched Python stages near the data).  Three kernels are REAL at the
+container level — pure byte parsing, no media library:
+
+- image: PNG/GIF/BMP/JPEG dimensions + format from header bytes
+  (:func:`parse_image_header`);
+- audio: RIFF/WAVE full decode (:func:`parse_wav`) — PCM 8/16/32-bit and
+  IEEE-float; duration from the header, per-window RMS + zero-crossing-rate
+  features computed from the actual samples (numpy, no Python sample loop);
+- video: MP4/ISO-BMFF box walk (mvhd duration, tkhd dimensions) and AVI
+  avih header (:func:`parse_video_header`).
+
+Codec-level work (compressed audio, pixel decode, frame extraction)
+remains STUBBED (Pillow/ffmpeg/torchaudio are not in this container): those
+stages have the real Spark plumbing — schema, batching, partitioning, UDF
+signature — a deterministic fake path for tests, and the library call site
+marked NotImplementedError.
 
 Scale notes: media rows are large and skew-prone — ``repartition`` by a
 hash of the id before a decode stage to even out batch byte-sizes, and keep
@@ -132,7 +140,88 @@ def decode_images(df: "DataFrame", dim: int = 16, fake: bool = True) -> "DataFra
     return df.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
+def parse_wav(payload: bytes) -> dict | None:
+    """Real RIFF/WAVE parse — pure byte walking, no audio library.
+
+    Returns {channels, sample_rate, bits, n_frames, duration_s, pcm_offset,
+    pcm_size} for PCM (format 1) and IEEE-float (format 3) WAVE files;
+    None for anything that is not a well-formed WAVE container."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            audio_fmt, ch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            fmt = (audio_fmt, ch, rate, bits)
+        elif cid == b"data":
+            data = (pos + 8, min(size, len(payload) - pos - 8))
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, ch, rate, bits = fmt
+    if audio_fmt not in (1, 3) or ch == 0 or rate == 0 or bits not in (8, 16, 32):
+        return None
+    bytes_per_frame = ch * bits // 8
+    n_frames = data[1] // bytes_per_frame if bytes_per_frame else 0
+    return {
+        "channels": ch,
+        "sample_rate": rate,
+        "bits": bits,
+        "audio_fmt": audio_fmt,
+        "n_frames": n_frames,
+        "duration_s": n_frames / rate,
+        "pcm_offset": data[0],
+        "pcm_size": data[1],
+    }
+
+
+def _wav_features(payload: bytes, info: dict, dim: int) -> list[float]:
+    """Real DSP features from the PCM samples: ``dim/2`` per-window RMS
+    levels + ``dim/2`` per-window zero-crossing rates (mono mixdown).
+    Deterministic; numpy-vectorized (no Python loop over samples)."""
+    import numpy as np
+
+    raw = payload[info["pcm_offset"] : info["pcm_offset"] + info["pcm_size"]]
+    if info["audio_fmt"] == 3:
+        x = np.frombuffer(raw[: len(raw) // 4 * 4], dtype="<f4").astype(np.float64)
+    elif info["bits"] == 16:
+        x = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(np.float64) / 32768.0
+    elif info["bits"] == 32:
+        x = np.frombuffer(raw[: len(raw) // 4 * 4], dtype="<i4").astype(np.float64) / 2147483648.0
+    else:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    ch = info["channels"]
+    if ch > 1:
+        x = x[: len(x) // ch * ch].reshape(-1, ch).mean(axis=1)
+    half = max(1, dim // 2)
+    if len(x) == 0:
+        return [0.0] * (2 * half)
+    windows = np.array_split(x, half)
+    rms = [float(np.sqrt(np.mean(w * w))) if len(w) else 0.0 for w in windows]
+    zcr = [
+        float(np.mean(np.signbit(w[1:]) != np.signbit(w[:-1]))) if len(w) > 1 else 0.0
+        for w in windows
+    ]
+    return [round(v, 9) for v in rms + zcr]
+
+
 def extract_audio_features(df: "DataFrame", dim: int = 16, fake: bool = True) -> "DataFrame":
+    """audio binary → (duration_s, features).
+
+    ``fake=False`` is a REAL kernel for RIFF/WAVE payloads (PCM 8/16/32-bit
+    and IEEE-float): duration comes from the parsed header and the feature
+    vector is per-window RMS + zero-crossing rate computed from the actual
+    samples.  Non-WAVE containers (mp3/flac/ogg) raise NotImplementedError —
+    compressed-audio decode needs a codec library, and that seam stays
+    clearly marked.  ``fake=True`` upgrades to the real kernel whenever the
+    payload parses as WAVE, else keeps the deterministic stand-in."""
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
@@ -140,12 +229,132 @@ def extract_audio_features(df: "DataFrame", dim: int = 16, fake: bool = True) ->
             rows = []
             for rec in pdf.to_dict(orient="records"):
                 payload = bytes(rec["payload"] or b"")
+                info = parse_wav(payload)
+                if info is not None:
+                    feats = _wav_features(payload, info, dim)
+                    rows.append((rec["media_id"], info["duration_s"], len(payload), feats))
+                    continue
                 if not fake:
-                    raise NotImplementedError("audio decode requires ffmpeg/torchaudio — not in this container")
+                    raise NotImplementedError(
+                        "compressed-audio decode requires ffmpeg/torchaudio — not in this container"
+                    )
                 rows.append((rec["media_id"], len(payload) / 16000.0, len(payload), _fake_features(payload, dim)))
             yield pd.DataFrame(rows, columns=["media_id", "duration_s", "n_bytes", "features"])
 
     return df.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+VIDEO_META_SCHEMA = (
+    "media_id string, container string, duration_s double, n_frames long, "
+    "width int, height int, n_bytes long"
+)
+
+
+def parse_video_header(payload: bytes) -> dict | None:
+    """Real video container metadata — pure byte parsing, no ffmpeg.
+
+    MP4/ISO-BMFF: walks top-level boxes to ``moov``, then child boxes to
+    ``mvhd`` (timescale + duration) and ``tkhd`` (width/height, 16.16 fixed
+    point).  AVI: RIFF ``AVI `` with the ``avih`` main header
+    (µs-per-frame, total frames, dimensions).  Returns None for anything
+    else — codec-level frame decode stays behind the stub."""
+    import struct
+
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        idx = payload.find(b"avih")
+        if idx >= 0 and idx + 44 <= len(payload):
+            body = payload[idx + 8 :]
+            us_per_frame, _, _, _, total_frames = struct.unpack("<IIIII", body[:20])
+            w, h = struct.unpack("<II", body[32:40])
+            fps = 1e6 / us_per_frame if us_per_frame else 0.0
+            return {
+                "container": "avi",
+                "duration_s": total_frames / fps if fps else 0.0,
+                "n_frames": total_frames,
+                "width": w,
+                "height": h,
+            }
+        return None
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            btype = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1 and pos + 16 <= end:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                hdr = 16
+            if size < hdr or pos + size > end:
+                return
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        out: dict = {"container": "mp4", "width": 0, "height": 0}
+        for btype, bs, be in walk(payload, 0, len(payload)):
+            if btype != b"moov":
+                continue
+            for ctype, cs, ce in walk(payload, bs, be):
+                if ctype == b"mvhd" and ce - cs >= 20:
+                    version = payload[cs]
+                    if version == 1:
+                        timescale, duration = struct.unpack(">IQ", payload[cs + 20 : cs + 32])
+                    else:
+                        timescale, duration = struct.unpack(">II", payload[cs + 12 : cs + 20])
+                    out["duration_s"] = duration / timescale if timescale else 0.0
+                elif ctype == b"trak":
+                    for ttype, ts_, te in walk(payload, cs, ce):
+                        if ttype == b"tkhd" and te - ts_ >= 84:
+                            version = payload[ts_]
+                            off = ts_ + (96 if version == 1 else 84) - 8
+                            w16, h16 = struct.unpack(">II", payload[off : off + 8])
+                            out["width"] = max(out["width"], w16 >> 16)
+                            out["height"] = max(out["height"], h16 >> 16)
+            if "duration_s" in out:
+                out["n_frames"] = 0  # frame count needs stbl parse; 0 = unknown
+                return out
+        return None
+    return None
+
+
+def probe_video_metadata(df: "DataFrame", fake: bool = True) -> "DataFrame":
+    """video binary → (container, duration_s, n_frames, width, height).
+
+    REAL for MP4/ISO-BMFF and AVI containers (header byte parse).  Unknown
+    containers: deterministic stand-in when ``fake=True``, else
+    NotImplementedError (full probe of e.g. MKV needs an EBML parser)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                payload = bytes(rec["payload"] or b"")
+                meta = parse_video_header(payload)
+                if meta is None:
+                    if not fake:
+                        raise NotImplementedError(
+                            "unrecognised video container; full probe requires ffmpeg"
+                        )
+                    meta = {
+                        "container": "fake",
+                        "duration_s": len(payload) / 4096.0,
+                        "n_frames": max(1, len(payload) // 1024),
+                        "width": 0,
+                        "height": 0,
+                    }
+                rows.append(
+                    (rec["media_id"], meta["container"], meta["duration_s"],
+                     meta["n_frames"], meta["width"], meta["height"], len(payload))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "container", "duration_s", "n_frames", "width", "height", "n_bytes"],
+            )
+
+    return df.mapInPandas(run, schema=VIDEO_META_SCHEMA)
 
 
 def sample_video_frames(df: "DataFrame", every_s: float = 1.0, fake: bool = True) -> "DataFrame":

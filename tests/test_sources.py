@@ -9,6 +9,9 @@ from mcpvectordb_spark.sources.multimodal import (
     MEDIA_SCHEMA,
     decode_images,
     extract_audio_features,
+    parse_video_header,
+    parse_wav,
+    probe_video_metadata,
     sample_video_frames,
 )
 
@@ -58,6 +61,93 @@ def test_multimodal_stub_stages(spark):
     # determinism: same payload → same features
     img2 = decode_images(media.filter("modality = 'image'")).first()
     assert img["features"] == img2["features"]
+
+
+def _wav_fixture(freq_hz: float = 440.0, seconds: float = 0.5, rate: int = 8000) -> bytes:
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        n = int(rate * seconds)
+        frames = bytearray()
+        for i in range(n):
+            s = int(12000 * math.sin(2 * math.pi * freq_hz * i / rate))
+            frames += struct.pack("<hh", s, s)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def _mp4_fixture(duration_s: float = 7.5, timescale: int = 1000, w: int = 640, h: int = 360) -> bytes:
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd = bytes(12) + struct.pack(">II", timescale, int(duration_s * timescale)) + bytes(80)
+    tkhd = bytes(76) + struct.pack(">II", w << 16, h << 16)
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def _avi_fixture(us_per_frame: int = 40000, total_frames: int = 250, w: int = 320, h: int = 240) -> bytes:
+    import struct
+
+    avih = struct.pack("<IIIII", us_per_frame, 0, 0, 0, total_frames) + bytes(12) + struct.pack("<II", w, h) + bytes(16)
+    body = b"AVI LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrlavih" + struct.pack("<I", len(avih)) + avih
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_decode_is_real(spark):
+    payload = _wav_fixture(seconds=0.5, rate=8000)
+    info = parse_wav(payload)
+    assert info["channels"] == 2 and info["sample_rate"] == 8000 and info["bits"] == 16
+    assert abs(info["duration_s"] - 0.5) < 1e-9
+
+    media = spark.createDataFrame(
+        [("a1", "audio", "audio/wav", bytearray(payload), "{}")], MEDIA_SCHEMA
+    )
+    row = extract_audio_features(media, dim=16, fake=False).first()
+    assert abs(row["duration_s"] - 0.5) < 1e-9
+    # a pure sine has high RMS everywhere and a ZCR tracking 2*f/rate
+    rms, zcr = row["features"][:8], row["features"][8:]
+    assert all(0.24 < v < 0.28 for v in rms), rms  # amplitude 12000/32768 → rms ≈ 0.366/√2 ≈ 0.259
+    assert all(abs(v - 2 * 440.0 / 8000) < 0.02 for v in zcr), zcr
+
+
+def test_wav_decode_rejects_compressed_when_real(spark):
+    import pytest
+
+    media = spark.createDataFrame(
+        [("a2", "audio", "audio/mpeg", bytearray(b"ID3\x03" + b"\x00" * 100), "{}")],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        extract_audio_features(media, fake=False).collect()
+
+
+def test_video_probe_mp4_and_avi(spark):
+    mp4, avi = _mp4_fixture(), _avi_fixture()
+    assert parse_video_header(mp4)["duration_s"] == 7.5
+    meta = parse_video_header(avi)
+    assert meta["n_frames"] == 250 and abs(meta["duration_s"] - 10.0) < 1e-9
+
+    media = spark.createDataFrame(
+        [
+            ("v1", "video", "video/mp4", bytearray(mp4), "{}"),
+            ("v2", "video", "video/x-msvideo", bytearray(avi), "{}"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in probe_video_metadata(media, fake=False).collect()}
+    assert rows["v1"]["container"] == "mp4" and rows["v1"]["width"] == 640
+    assert rows["v2"]["container"] == "avi" and rows["v2"]["height"] == 240
+    assert abs(rows["v2"]["duration_s"] - 10.0) < 1e-9
 
 
 def test_fetch_urls_error_rows(spark):
