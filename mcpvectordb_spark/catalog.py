@@ -35,6 +35,7 @@ from mcpvectordb_spark.operators.knn import (
     knn_join,
     knn_topk,
     knn_topk_sq8,
+    knn_truncated_topk,
     query_vec_lit,
 )
 from mcpvectordb_spark.tpch_ext import TPCH_EXT_ORACLES, TPCH_EXT_QUERIES
@@ -298,6 +299,31 @@ bm AS (
                    * tf*(1.2+1)/(tf + 1.2*(1-0.75+0.75*dl/avgdl)) ) AS score
   FROM posting JOIN qterms USING(term) JOIN dfreq USING(term) JOIN lens USING(doc), stats
   GROUP BY doc)
+"""
+
+
+def q_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncated coarse scan (first 16 of 64 dims, 4x arithmetic
+    cut) + exact full-dim refine of 4k candidates — the deterministic
+    Matryoshka serving pattern (operators/knn.py::knn_truncated_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _q_vec(spark, sf_dir)
+    hits = knn_truncated_topk(
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID), qv, k=10, dims_coarse=16, refine=4
+    )
+    return hits.select("vec_id", F.round("score", 6).alias("score"))
+
+
+SQL_KNN_MATRYOSHKA = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}),
+cand AS (
+  SELECT vec_id, v, qv
+  FROM c, q
+  ORDER BY {_sql_cos('v[1:16]', 'qv[1:16]')} DESC, vec_id LIMIT 40
+)
+SELECT vec_id, round({_sql_cos('v', 'qv')}, 6) AS score
+FROM cand ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 10
 """
 
 
@@ -750,6 +776,42 @@ FROM scored GROUP BY 1, 2
 SQL_TEXT_LANGID = _sql_langid()
 
 
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (corpus-wide document
+    frequencies, smooth-idf).  operators/textstats.py::keywords_tfidf."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.keywords_tfidf(docs, "doc_id", "text", k=5, min_len=3)
+
+
+_KW_STOPS = ", ".join(f"'{w}'" for w in ts.KEYWORD_STOPWORDS)
+
+SQL_TEXT_KEYWORDS = f"""
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS t(term)
+  WHERE len(t.term) >= 3 AND t.term NOT IN ({_KW_STOPS})
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY doc_id, term
+),
+df_t AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df_t.df,
+         tf.tf * (ln((n.n_docs + 1) / (df_t.df + 1.0)) + 1.0) AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * (ln((n.n_docs + 1) / (df_t.df + 1.0)) + 1.0) DESC,
+                                     tf.term ASC) AS rank
+  FROM tf JOIN df_t USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, round(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= 5
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: canonical md5 + polynomial rolling hash."""
     docs = load_table(spark, sf_dir, "documents")
@@ -974,6 +1036,27 @@ SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20
 # per-language sampling rates in basis points (10000 = keep all)
 _SAMPLE_RATES_BP = {"en": 5000, "es": 2500, "zh": 1000}
 _SAMPLE_DEFAULT_BP = 500
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES over a portable hash uniform) — longer documents are
+    proportionally likelier; byte-identical on any cluster or engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = cu.weighted_sample(docs, "doc_id", "n_chars", n=120)
+    return out.select("doc_id", F.col("n_chars").alias("weight"), "sample_key").orderBy("doc_id")
+
+
+def _sql_weighted_sample() -> str:
+    u = f"({_sql_hex48(chr(39) + 'wsample:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} + 0.5) / 281474976710656.0"
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars AS weight, pow({u}, 1.0 / n_chars) AS k
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, weight, round(k, 9) AS sample_key
+FROM keyed ORDER BY k DESC, doc_id ASC LIMIT 120
+"""
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1986,6 +2069,30 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 users by event count via Misra–Gries candidates +
+    exact recount (operators/sketches.py::heavy_hitters) — the full-data
+    shuffle is replaced by a per-partition sketch whose output is bounded
+    by the sketch capacity, then a candidates-only keyed agg."""
+    from mcpvectordb_spark.operators.sketches import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    hh = heavy_hitters(ev, "user_id", k=20, capacity=2048)
+    return hh.select(F.col("key").cast("long").alias("user_id"), F.col("cnt").alias("n_events"), "rank")
+
+
+SQL_EVENTS_HEAVY_HITTERS = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, CAST(user_id AS VARCHAR) ASC) AS INT) AS rank
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+ORDER BY n_events DESC, CAST(user_id AS VARCHAR) ASC
+LIMIT 20
+"""
+
+
 def q_events_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketch rollup (operators/sketches.py): daily per-type
     distinct-user sketches unioned to per-type totals, validated IN-PLAN
@@ -2197,17 +2304,20 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "domain_quota": q_domain_quota,
     "sample_stratified": q_sample_stratified,
+    "weighted_sample": q_weighted_sample,
     "train_shards": q_train_shards,
     "pii_scrub": q_pii_scrub,
     "curation_pipeline": q_curation_pipeline,
     "corpus_token_stats": q_corpus_token_stats,
     "text_repetition": q_text_repetition,
+    "text_keywords": q_text_keywords,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_json": q_events_json,
     "events_asof_join": q_events_asof_join,
     "events_interval_join": q_events_interval_join,
     "events_distinct_rollup": q_events_distinct_rollup,
+    "events_heavy_hitters": q_events_heavy_hitters,
     "events_percentiles": q_events_percentiles,
     "events_running": q_events_running,
     "events_range_frame": q_events_range_frame,
@@ -2220,6 +2330,7 @@ QUERIES = {
     "knn_filtered": q_knn_filtered,
     "ivf_topk": q_ivf_topk,
     "knn_sq8_topk": q_knn_sq8_topk,
+    "knn_matryoshka": q_knn_matryoshka,
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
     "list_libraries": q_list_libraries,
@@ -2245,6 +2356,7 @@ ORACLES = {
     "knn_filtered": SQL_KNN_FILTERED,
     "ivf_topk": SQL_IVF_TOPK,
     "knn_sq8_topk": SQL_KNN_SQ8_TOPK,
+    "knn_matryoshka": SQL_KNN_MATRYOSHKA,
     "bm25_topk": SQL_BM25_TOPK,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "list_libraries": SQL_LIST_LIBRARIES,
@@ -2263,12 +2375,14 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "text_keywords": SQL_TEXT_KEYWORDS,
     "text_repetition": SQL_TEXT_REPETITION,
     "curation_pipeline": _sql_curation(),
     "corpus_token_stats": SQL_CORPUS_TOKEN_STATS,
     "decontaminate": _sql_decontaminate(),
     "domain_quota": _sql_domain_quota(),
     "sample_stratified": _sql_sample_stratified(),
+    "weighted_sample": _sql_weighted_sample(),
     "train_shards": _sql_train_shards(),
     "pack_sequences": _sql_pack_sequences(),
     "pii_scrub": _sql_pii_scrub(),
@@ -2280,6 +2394,7 @@ ORACLES = {
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "events_distinct_rollup": SQL_EVENTS_DISTINCT_ROLLUP,
+    "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "events_running": SQL_EVENTS_RUNNING,
     "events_range_frame": SQL_EVENTS_RANGE_FRAME,

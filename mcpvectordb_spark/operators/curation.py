@@ -357,3 +357,40 @@ def mixture_sample(
         F.col(domain_col) == F.col("__mix_domain"),
     ).drop("__mix_domain")
     return gated.filter(hash_gate(F.col(id_col), salt) < F.col("rate_bp"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES, Inf. Proc. Letters 2006): each row gets key = u^(1/w)
+    with u a uniform in (0,1); the n largest keys are an exact weighted
+    sample.  P(selected) is proportional to weight for the top draw and
+    follows successive-sampling for the rest.
+
+    u derives from the portable md5-based ``hexint48`` (+0.5 to stay inside
+    the open interval), NOT Spark's ``rand()`` — re-running the plan, adding
+    executors, or replaying on a different cluster yields byte-identical
+    samples, and the DuckDB oracle can mirror the arithmetic exactly.
+
+    Scale shape: a narrow per-row projection + distributed top-n
+    (TakeOrderedAndProject) — no shuffle beyond the top-n reduction, no
+    driver-side state.  Non-positive / NULL weights are excluded.
+    """
+    u = (hexint48(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) + 0.5) / F.lit(
+        float(2**48)
+    )
+    keyed = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_aes_key", F.pow(u, 1.0 / F.col(weight_col)))
+    )
+    return (
+        keyed.orderBy(F.col("_aes_key").desc(), F.col(id_col).asc())
+        .limit(n)
+        .withColumn("sample_key", F.round("_aes_key", 9))
+        .drop("_aes_key")
+    )

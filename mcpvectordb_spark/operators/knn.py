@@ -408,3 +408,39 @@ def knn_topk_sq8(
     rescored = cand.withColumn(score_col, cosine(F.col(vec_col), query_vec_lit(query)))
     final_order = [F.desc(score_col)] + ([F.asc(tie_col)] if tie_col else [])
     return rescored.orderBy(*final_order).limit(k).drop("sq8_scale", "sq8_code", "sq8_approx")
+
+
+def knn_truncated_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int,
+    dims_coarse: int = 16,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Dimension-truncated coarse scan + exact refine (the Matryoshka-
+    representation-learning serving pattern, Kusupati et al. 2022): score
+    every row on only the FIRST ``dims_coarse`` components (cosine of the
+    truncated vectors), keep ``k*refine`` candidates, then re-rank those
+    candidates with the exact full-dimension cosine.
+
+    Scale rationale: with dimension-sliced storage (or simply Parquet
+    byte-range efficiency on a prefix column) the coarse pass reads and
+    multiplies dims_coarse/dim of the data — for 768-d embeddings truncated
+    at 64 that is a 12× cut in arithmetic and scan volume — while the exact
+    pass touches only k·refine rows.  Both stages are deterministic, so the
+    whole operator is oracle-expressible (unlike IVF, no trained state).
+    """
+    v = F.col(vec_col)
+    q = list(query)
+    coarse_q = query_vec_lit(q[:dims_coarse])
+    coarse = cosine(F.slice(v, 1, dims_coarse), coarse_q)
+    cand = (
+        df.withColumn("_coarse", coarse)
+        .orderBy(F.desc("_coarse"), F.asc(id_col))
+        .limit(k * refine)
+    )
+    exact = cand.withColumn(score_col, cosine(v, query_vec_lit(q))).drop("_coarse")
+    return exact.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)

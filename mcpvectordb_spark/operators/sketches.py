@@ -45,3 +45,84 @@ def merge_estimates(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    capacity: int = 4096,
+) -> DataFrame:
+    """EXACT top-k keys by count, at heavy-hitter cost: a Misra–Gries
+    candidate pass + an exact recount of candidates only.
+
+    Pass 1 (per input partition, Arrow-batched, no shuffle): a Misra–Gries
+    summary of ``capacity`` counters.  MG guarantees every key whose count
+    in that partition exceeds n_p/capacity survives, so by pigeonhole every
+    key with GLOBAL count > N/capacity survives in at least one partition's
+    summary — the union of summaries is a superset of every such key.
+
+    Pass 2: exact counts for candidate keys only (broadcast semi-join
+    filter pushed to the scan, then a keyed agg over the surviving rows) →
+    top-k.  The only full-data shuffle-free scan emits ≤ capacity rows per
+    partition; the recount shuffles only rows whose key is a candidate.
+
+    Exactness guard: if the k-th result's count is not strictly greater
+    than N/capacity, the MG superset property no longer covers rank k and
+    the operator falls back to the exact full groupBy.  The result is
+    therefore ALWAYS the exact top-k (ties broken on the key value, so the
+    output is total-ordered and oracle-comparable).
+    """
+    from pyspark.sql import Window
+
+    key_df = df.select(F.col(key_col).cast("string").alias("key"))
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for key, cnt in pdf["key"].value_counts().items():
+                if key is None:
+                    continue
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > capacity:
+                # MG decrement: subtract the (capacity+1)-th largest count
+                # from everyone; drop non-positive.  Batch form of the
+                # classic one-at-a-time decrement (same survival bound).
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {key: c - cut for key, c in counters.items() if c > cut}
+        if counters:
+            yield pd.DataFrame({"key": list(counters.keys())})
+
+    candidates = key_df.mapInPandas(mg_partition, schema="key string").distinct()
+
+    exact = (
+        key_df.join(F.broadcast(candidates), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # TakeOrderedAndProject (distributed top-k), then rank the k survivors —
+    # never a global single-partition window over the full key set.
+    def rank_topk(counts: DataFrame) -> DataFrame:
+        w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        return (
+            counts.orderBy(F.col("cnt").desc(), F.col("key").asc())
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w))
+            .select("key", "cnt", "rank")
+        )
+
+    topk = rank_topk(exact)
+    rows = topk.collect()
+    n_total = key_df.where(F.col("key").isNotNull()).count()
+    bound = n_total / capacity
+    if len(rows) < k or (rows and min(r["cnt"] for r in rows) <= bound):
+        # guard tripped: rank-k sits below the MG survival bound — recount
+        # everything (still one keyed agg; correctness over cleverness).
+        topk = rank_topk(
+            key_df.where(F.col("key").isNotNull())
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+    return topk

@@ -11,7 +11,7 @@ ingest gate (SURVEY.md §2.10 R5) into a curation pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mcpvectordb_spark.operators.dedup import normalize_text
@@ -202,3 +202,54 @@ def repetition_columns(text_col: str) -> dict[str, Column]:
 def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cols = repetition_columns(text_col)
     return df.select(F.col(id_col), *[expr.alias(name) for name, expr in cols.items()])
+
+
+# Shared with the DuckDB oracle (literalized into the SQL): keep tiny and
+# lowercase-only so both engines agree byte-for-byte.
+KEYWORD_STOPWORDS = (
+    "the", "and", "for", "are", "but", "not", "you", "all", "with", "this",
+    "that", "from", "her", "has", "have", "was", "were", "its", "can", "will",
+)
+
+
+def keywords_tfidf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_len: int = 3,
+) -> DataFrame:
+    """Top-k keywords per document by smoothed TF-IDF over the whole corpus.
+
+    tf(t,d) = occurrences of t in d;  idf(t) = ln((N+1)/(df_t+1)) + 1
+    (sklearn's smooth-idf formula — public, engine-agnostic); score ties
+    break on the term string, so output order is total and portable.
+
+    Scale shape: one explode → (doc,term) partial-agg (map-side combine),
+    one vocab-keyed agg for document frequencies, a vocab equi-join (AQE
+    may broadcast it), and a per-document window.  All shuffles are keyed;
+    nothing is quadratic in corpus size.  The N scalar rides in as a
+    1-row broadcast crossJoin — the same pattern as the TPC-H scalar
+    subqueries."""
+    terms = F.filter(
+        F.regexp_extract_all(F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit("[a-z0-9]+"), 0),
+        lambda t: (F.length(t) >= min_len) & ~t.isin(list(KEYWORD_STOPWORDS)),
+    )
+    exploded = df.select(F.col(id_col), F.explode(terms).alias("term"))
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1.0),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", F.round("score", 6).alias("score"), "rank")
+    )

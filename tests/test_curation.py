@@ -165,3 +165,24 @@ def test_mixture_sample_deterministic_and_domain_scoped(spark):
     ids = sorted(r["doc_id"] for r in out1)
     assert ids == sorted(r["doc_id"] for r in out2)
     assert ids == list(range(50))  # all of 'keep' (rate 10000), none of 'drop'
+
+
+def test_weighted_sample_prefers_heavy_and_is_deterministic(spark):
+    from mcpvectordb_spark.operators.curation import weighted_sample
+
+    rows = [(i, 100 if i < 200 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    s1 = weighted_sample(df, "id", "w", n=50).collect()
+    s2 = weighted_sample(df, "id", "w", n=50).collect()
+    assert [r["id"] for r in s1] == [r["id"] for r in s2]  # replay-identical
+    heavy = sum(1 for r in s1 if r["w"] == 100)
+    assert heavy >= 45, heavy  # weight-100 items dominate a 50-draw
+    assert all(0.0 < r["sample_key"] <= 1.0 for r in s1)
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from mcpvectordb_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame([(1, 5), (2, 0), (3, -1), (4, None)], "id long, w int")
+    got = {r["id"] for r in weighted_sample(df, "id", "w", n=10).collect()}
+    assert got == {1}

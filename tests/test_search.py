@@ -261,3 +261,22 @@ def test_knn_join_bucketed_partial_probe_is_subset(spark):
     out = knn_join_bucketed(queries, assigned, centroids, 3, nprobe=2, corpus_id="vec_id")
     counts = out.groupBy("query_id").count().collect()
     assert counts and all(r["count"] <= 3 for r in counts)
+
+
+def test_truncated_knn_refine_recovers_exact_order(spark):
+    """With refine wide enough, truncated-coarse + exact re-rank returns
+    the same rows as full exact KNN, exactly ordered."""
+    from mcpvectordb_spark.operators.knn import knn_topk, knn_truncated_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.orderBy("vec_id").first()["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = knn_topk(corpus, q, 5, tie_col="vec_id").select("vec_id").collect()
+    # refine = corpus size → candidate set is everything → must equal exact
+    n = corpus.count()
+    trunc = knn_truncated_topk(corpus, q, k=5, dims_coarse=8, refine=(n // 5) + 1).select("vec_id").collect()
+    assert [r["vec_id"] for r in trunc] == [r["vec_id"] for r in exact]
+    # narrow refine still returns k rows with scores descending
+    got = knn_truncated_topk(corpus, q, k=5, dims_coarse=16, refine=4).collect()
+    scores = [r["score"] for r in got]
+    assert len(got) == 5 and scores == sorted(scores, reverse=True)

@@ -45,3 +45,33 @@ def test_sketch_incremental_append(spark):
     # union-of-sketches need not be bit-identical to a single-pass sketch
     # (internal HLL mode transitions differ); it must hit the same target
     assert abs(got - 15000) / 15000 < 0.05, got
+
+
+def test_heavy_hitters_exact_topk(spark):
+    """MG candidates + exact recount == plain exact top-k, on skewed data."""
+    from mcpvectordb_spark.operators.sketches import heavy_hitters
+
+    rows = [(f"u{i % 20}",) for i in range(4000)] + [("rare%d" % i,) for i in range(500)]
+    df = spark.createDataFrame(rows, "user string").repartition(8)
+    got = heavy_hitters(df, "user", k=10, capacity=64).collect()
+    exact = (
+        df.groupBy("user").count()
+        .orderBy(F.col("count").desc(), F.col("user"))
+        .limit(10).collect()
+    )
+    assert [(r["key"], r["cnt"]) for r in got] == [(r["user"], r["count"]) for r in exact]
+    assert [r["rank"] for r in got] == list(range(1, 11))
+
+
+def test_heavy_hitters_guard_falls_back_when_flat(spark):
+    """Near-uniform keys with a tiny sketch: the rank-k count sits at the
+    MG bound, so the guard must recount exactly — result still exact."""
+    from mcpvectordb_spark.operators.sketches import heavy_hitters
+
+    rows = [(f"k{i % 300}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "user string").repartition(8)
+    got = heavy_hitters(df, "user", k=5, capacity=16).collect()
+    # all keys have count 10; top-5 by (cnt desc, key asc) is k0,k1,k10,k100,k101
+    assert [(r["key"], r["cnt"]) for r in got] == [
+        ("k0", 10), ("k1", 10), ("k10", 10), ("k100", 10), ("k101", 10)
+    ]

@@ -100,3 +100,37 @@ def test_repetition_signals(spark):
     assert not rows[3]["repetitive_flag"]
     assert not rows[4]["repetitive_flag"] and rows[4]["dup_line_frac"] == 0.0
     assert not rows[5]["repetitive_flag"]
+
+
+def test_keywords_tfidf_ranks_rare_terms_above_common(spark):
+    """A term appearing in every doc gets the minimum idf; a doc-unique
+    term outranks it at equal tf. Ties break on the term string."""
+    from mcpvectordb_spark.operators.textstats import keywords_tfidf
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared shared quantum quantum"),
+            (2, "shared shared entropy entropy"),
+            (3, "shared shared lattice lattice"),
+        ],
+        "id int, text string",
+    )
+    rows = keywords_tfidf(df, "id", "text", k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    for doc_id, unique_term in [(1, "quantum"), (2, "entropy"), (3, "lattice")]:
+        got = by_doc[doc_id]
+        assert got[0]["term"] == unique_term, got          # rare term first
+        assert got[1]["term"] == "shared"
+        assert got[0]["score"] > got[1]["score"]
+        assert got[0]["df"] == 1 and got[1]["df"] == 3
+
+
+def test_keywords_tfidf_filters_stopwords_and_short(spark):
+    from mcpvectordb_spark.operators.textstats import KEYWORD_STOPWORDS, keywords_tfidf
+
+    df = spark.createDataFrame([(1, "the and ox it elephant elephant")], "id int, text string")
+    terms = {r["term"] for r in keywords_tfidf(df, "id", "text", k=10).collect()}
+    assert "elephant" in terms
+    assert terms.isdisjoint(set(KEYWORD_STOPWORDS)) and "ox" not in terms and "it" not in terms
