@@ -1006,6 +1006,31 @@ WHERE p.max_common / s.set_size >= 0.5
 """
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same decontamination report, computed through the broadcast-Bloom
+    map-side pre-prune (curation.py::bloom_prune).  The Bloom has no false
+    negatives, so the oracle is the IDENTICAL exact SQL — the driver gate
+    itself proves output equivalence of the scale path."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") < 50).select(F.col("doc_id").alias("id"), "text")
+    train = docs.filter(F.col("doc_id") >= 50).select(
+        F.col("doc_id").alias("id"), "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + _PLANT_OFFSET).alias("id"),
+            F.concat(F.col("text"), F.lit(_NEARDUP_SUFFIX)).alias("text"),
+        )
+    )
+    out = cu.decontaminate(
+        train, eval_df, "id", "text", n=3, threshold=0.5, bloom_bits=1 << 18, bloom_k=3
+    )
+    return out.select(
+        "id",
+        F.col("matched_evals").cast("long").alias("matched_evals"),
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+    )
+
+
 def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain contribution caps (source balancing): keep the 20 longest
     docs per pseudo-domain, explicit doc_id tiebreak.  Runs the skew-safe
@@ -2043,6 +2068,52 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-shaped ingestion: documents are packed into synthetic
+    multi-member-gzip WARC archives (64 docs per archive), then parsed back
+    by the real WARC source (sources/warc.py) and converted from HTML.
+    Byte synthesis/parse is not SQL-expressible → rows-only check."""
+    from mcpvectordb_spark.sources.warc import parse_warc_stage
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").limit(256)
+    packed = docs.withColumn("archive_id", (F.col("doc_id") / 64).cast("long"))
+
+    def pack(key, pdf):
+        import gzip
+
+        import pandas as pd
+
+        members = []
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            body = f"<html><body><p>{row['text']}</p></body></html>".encode()
+            http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            hdr = (
+                "WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Record-ID: <urn:doc:{row['doc_id']}>\r\n"
+                f"WARC-Target-URI: http://corpus.test/{row['doc_id']}\r\n"
+                "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n"
+            ).encode()
+            members.append(gzip.compress(hdr + http + b"\r\n\r\n", compresslevel=1, mtime=0))
+        return pd.DataFrame(
+            {"archive": [f"synth-{key[0]:05d}.warc.gz"], "content": [b"".join(members)]}
+        )
+
+    archives = packed.groupBy("archive_id").applyInPandas(
+        pack, schema="archive string, content binary"
+    )
+    records = parse_warc_stage(archives)
+    return (
+        records.groupBy("archive")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum("n_bytes").cast("long").alias("payload_bytes"),
+            F.count(F.when(F.col("http_status") == 200, 1)).cast("long").alias("n_ok"),
+        )
+        .orderBy("archive")
+    )
+
+
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window aggregation driven to completion
     over the events file (real readStream → memory sink)."""
@@ -2286,6 +2357,7 @@ QUERIES = {
     "search_ingested": q_search_ingested,
     "neardup_lsh_embeddings": q_neardup_lsh_embeddings,
     "multimodal_features": q_multimodal_features,
+    "warc_ingest": q_warc_ingest,
     "stream_hourly": q_stream_hourly,
     "stream_join": q_stream_join,
     # -- r01 red (driver hash) --
@@ -2302,6 +2374,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "domain_quota": q_domain_quota,
     "sample_stratified": q_sample_stratified,
     "weighted_sample": q_weighted_sample,
@@ -2380,6 +2453,7 @@ ORACLES = {
     "curation_pipeline": _sql_curation(),
     "corpus_token_stats": SQL_CORPUS_TOKEN_STATS,
     "decontaminate": _sql_decontaminate(),
+    "decontaminate_bloom": _sql_decontaminate(),
     "domain_quota": _sql_domain_quota(),
     "sample_stratified": _sql_sample_stratified(),
     "weighted_sample": _sql_weighted_sample(),

@@ -38,6 +38,55 @@ from mcpvectordb_spark.operators.dedup import fan_out, hexint48, word_shingles
 # Eval-set decontamination
 
 
+def build_shingle_bloom(shingles: DataFrame, shingle_col: str, n_bits: int, k: int) -> DataFrame:
+    """Bloom bitset over a shingle column as a tiny (word_idx, bits) table:
+    j-th position = (h1 + j·h2) mod n_bits (Kirsch–Mitzenmacher double
+    hashing over the portable md5 hexint48), packed 64 bits per row with
+    ``bit_or``.  n_bits/64 rows total — kilobytes for a benchmark suite,
+    always broadcastable."""
+    probes = None
+    for j in range(k):
+        h1 = hexint48(F.col(shingle_col))
+        h2 = hexint48(F.concat(F.lit("bloom:"), F.col(shingle_col)))
+        pos = (h1 + F.lit(j) * h2) % F.lit(n_bits)
+        p = shingles.withColumn("_pos", pos).select(
+            F.expr("CAST(_pos / 64 AS BIGINT)").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("mask"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return probes.groupBy("word_idx").agg(F.bit_or("mask").alias("bits"))
+
+
+def bloom_prune(
+    df: DataFrame, shingle_col: str, bloom: DataFrame, n_bits: int, k: int
+) -> DataFrame:
+    """Keep only rows whose shingle MIGHT be in the bloom — k chained
+    broadcast equi-joins on the word index, each a map-side probe with no
+    shuffle.  No false negatives: the surviving set is a superset of true
+    matches, so any exact join downstream is unchanged."""
+    out = df
+    for j in range(k):
+        h1 = hexint48(F.col(shingle_col))
+        h2 = hexint48(F.concat(F.lit("bloom:"), F.col(shingle_col)))
+        pos = (h1 + F.lit(j) * h2) % F.lit(n_bits)
+        b = bloom.select(
+            F.col("word_idx").alias(f"_bw{j}"), F.col("bits").alias(f"_bb{j}")
+        )
+        out = (
+            out.withColumn(f"_bp{j}", pos)
+            .withColumn(f"_bw{j}", F.expr(f"CAST(_bp{j} / 64 AS BIGINT)"))
+            .join(F.broadcast(b), f"_bw{j}", "left")
+            .filter(
+                F.expr(
+                    f"(shiftright(coalesce(_bb{j}, CAST(0 AS BIGINT)),"
+                    f" CAST(_bp{j} % 64 AS INT)) & 1) = 1"
+                )
+            )
+            .drop(f"_bp{j}", f"_bw{j}", f"_bb{j}")
+        )
+    return out
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -45,6 +94,8 @@ def decontaminate(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    bloom_bits: int | None = None,
+    bloom_k: int = 3,
 ) -> DataFrame:
     """Flag training docs whose n-gram shingles overlap an eval set.
 
@@ -59,6 +110,14 @@ def decontaminate(
     followed by one partial+final aggregate keyed on the training doc id.
     The train-side explode never shuffles raw text — only (id, shingle48)
     pairs, 16 bytes a row.
+
+    ``bloom_bits``: optional map-side Bloom pre-prune.  When the eval
+    suite is big enough that broadcasting its distinct (shingle, eval_id)
+    index strains executor memory, a Bloom bitset of the eval shingles
+    (n_bits/64 longs — kilobytes) is broadcast instead and the train side
+    is pruned through it BEFORE the exact join; no false negatives, so the
+    report is bit-identical, but the exact join now probes only
+    probable-hit shingles (~fpp of the clean corpus instead of all of it).
     """
     t_idx = fan_out(train).select(
         F.col(id_col).alias("id"),
@@ -70,8 +129,12 @@ def decontaminate(
         .distinct()
     )
     sizes = t_idx.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    probe_idx = t_idx
+    if bloom_bits is not None:
+        bloom = build_shingle_bloom(e_idx.select("shingle"), "shingle", bloom_bits, bloom_k)
+        probe_idx = bloom_prune(t_idx, "shingle", bloom, bloom_bits, bloom_k)
     common = (
-        t_idx.join(F.broadcast(e_idx), "shingle")
+        probe_idx.join(F.broadcast(e_idx), "shingle")
         .groupBy("id", "eval_id")
         .agg(F.count(F.lit(1)).alias("common"))
     )

@@ -186,3 +186,40 @@ def test_weighted_sample_excludes_nonpositive(spark):
     df = spark.createDataFrame([(1, 5), (2, 0), (3, -1), (4, None)], "id long, w int")
     got = {r["id"] for r in weighted_sample(df, "id", "w", n=10).collect()}
     assert got == {1}
+
+
+def test_bloom_prune_is_lossless_superset(spark):
+    """Bloom pre-prune: every true member survives (no false negatives);
+    most non-members are rejected; decontaminate output is bit-identical
+    with and without the bloom."""
+    from mcpvectordb_spark.operators.curation import (
+        bloom_prune,
+        build_shingle_bloom,
+        decontaminate,
+    )
+
+    members = spark.createDataFrame([(f"sh-{i}",) for i in range(200)], "shingle string")
+    bloom = build_shingle_bloom(members, "shingle", n_bits=1 << 14, k=3)
+
+    probes = spark.createDataFrame(
+        [(f"sh-{i}",) for i in range(200)] + [(f"other-{i}",) for i in range(2000)],
+        "shingle string",
+    )
+    kept = {r["shingle"] for r in bloom_prune(probes, "shingle", bloom, 1 << 14, 3).collect()}
+    assert {f"sh-{i}" for i in range(200)} <= kept          # zero false negatives
+    fp = len(kept) - 200
+    assert fp < 200, fp                                      # <10% fp at these params
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i} " * 3) for i in range(40)],
+        "id long, text string",
+    )
+    eval_df = docs.filter("id < 10")
+    train = docs.filter("id >= 10").unionByName(
+        eval_df.selectExpr("id + 1000 as id", "text")
+    )
+    plain = decontaminate(train, eval_df, "id", "text").orderBy("id").collect()
+    bloomed = decontaminate(
+        train, eval_df, "id", "text", bloom_bits=1 << 16, bloom_k=3
+    ).orderBy("id").collect()
+    assert plain == bloomed and len(plain) > 0
