@@ -46,6 +46,13 @@ BENCH_QUERIES = [
     "orders_rollup",
     "pack_sequences",
     "ingest_chunks",   # write path: chunk → embed → dedup gate → partitioned write
+    # round-2 additions
+    "text_keywords",         # corpus-wide TF-IDF + per-doc window
+    "events_heavy_hitters",  # MG candidates + exact recount
+    "knn_matryoshka",        # truncated-dim coarse scan + exact refine
+    "weighted_sample",       # A-ES top-n over hash uniforms
+    "decontaminate_bloom",   # broadcast-Bloom pre-prune + exact verify
+    "dedup_lines",           # C4-style line-level corpus dedup
 ]
 
 

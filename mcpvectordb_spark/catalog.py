@@ -2140,6 +2140,73 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sessionization via the built-in session_window
+    (streaming/events.py::sessionize_stream) driven to completion — the
+    streaming twin of events_sessions."""
+    import tempfile
+
+    from mcpvectordb_spark.streaming.events import run_stream_to_memory, sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="stream_sess_")
+    ev.write.mode("overwrite").parquet(d)
+    out = run_stream_to_memory(
+        sessionize_stream(spark, d, ev.schema, gap="30 minutes", watermark="4 hours"),
+        "stream_sessions_out",
+        spark,
+    )
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.col("n_events"),
+    ).orderBy("user_id", "session_start")
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cross-micro-batch exact dedup over a planted-duplicate document stream
+    (streaming/stateful.py::dedup_stream).  Each document is streamed
+    twice across separate files (= separate micro-batches in file order);
+    exactly one survivor per content hash must emerge."""
+    import tempfile
+
+    from mcpvectordb_spark.streaming.stateful import dedup_stream
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id"), F.md5(F.col("text")).alias("content_hash"))
+        .orderBy("doc_id")
+        .limit(500)
+    )
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    docs.write.mode("overwrite").parquet(f"{d}/b0")
+    docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).write.mode("overwrite").parquet(f"{d}/b1")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/b*")
+    )
+    survivors = dedup_stream(stream, "content_hash", order_cols=["doc_id"])
+    q = (
+        survivors.writeStream.format("memory")
+        .queryName("stream_dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table("stream_dedup_out")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_survivors"),
+            F.countDistinct("content_hash").cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("doc_id") < 1_000_000, 1).otherwise(0)).cast("long").alias("n_first_batch"),
+        )
+    )
+
+
 def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-20 users by event count via Misra–Gries candidates +
     exact recount (operators/sketches.py::heavy_hitters) — the full-data
@@ -2360,10 +2427,14 @@ QUERIES = {
     "warc_ingest": q_warc_ingest,
     "stream_hourly": q_stream_hourly,
     "stream_join": q_stream_join,
+    "stream_sessions": q_stream_sessions,
+    "stream_dedup": q_stream_dedup,
     # -- r01 red (driver hash) --
     "pack_sequences": q_pack_sequences,
     # -- new round-2 queries --
     "dedup_lines": q_dedup_lines,
+    "events_heavy_hitters": q_events_heavy_hitters,
+    "knn_matryoshka": q_knn_matryoshka,
     "mixture_sample": q_mixture_sample,
     # -- r01-green, rotated into the window (churn-riskiest families) --
     "dedup_exact": q_dedup_exact,
@@ -2390,7 +2461,6 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "events_interval_join": q_events_interval_join,
     "events_distinct_rollup": q_events_distinct_rollup,
-    "events_heavy_hitters": q_events_heavy_hitters,
     "events_percentiles": q_events_percentiles,
     "events_running": q_events_running,
     "events_range_frame": q_events_range_frame,
@@ -2403,7 +2473,6 @@ QUERIES = {
     "knn_filtered": q_knn_filtered,
     "ivf_topk": q_ivf_topk,
     "knn_sq8_topk": q_knn_sq8_topk,
-    "knn_matryoshka": q_knn_matryoshka,
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
     "list_libraries": q_list_libraries,

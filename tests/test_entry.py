@@ -29,8 +29,12 @@ def test_queries_and_oracles_consistent():
         "ingest_chunks",
         "search_ingested",
         "neardup_lsh_embeddings",
+        "multimodal_features",
+        "warc_ingest",
         "stream_hourly",
         "stream_join",
+        "stream_sessions",
+        "stream_dedup",
     }
 
 
