@@ -2207,6 +2207,45 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern (operators/sketches.py::rollup_partials/
+    rollup_merge): daily partial moments merged to per-type totals with
+    derived avg/variance — the merge touches only partial rows, so a
+    refresh appends one day of partials instead of rescanning history.
+    The oracle computes the same totals directly from the base table,
+    proving the partial/merge decomposition exact."""
+    from mcpvectordb_spark.operators.sketches import rollup_merge, rollup_partials
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = rollup_partials(
+        ev, [F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")], "value"
+    )
+    merged = rollup_merge(daily, ["event_type"])
+    return merged.select(
+        "event_type",
+        "n_rows",
+        F.round("sum_v", 4).alias("sum_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round("avg_v", 6).alias("avg_v"),
+        F.round("var_pop", 4).alias("var_pop"),
+    ).orderBy("event_type")
+
+
+SQL_EVENTS_INCREMENTAL_ROLLUP = """
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS n_rows,
+       round(sum(value), 4) AS sum_v,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v,
+       round(avg(value), 6) AS avg_v,
+       round(var_pop(value), 4) AS var_pop
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-20 users by event count via Misra–Gries candidates +
     exact recount (operators/sketches.py::heavy_hitters) — the full-data
@@ -2435,6 +2474,7 @@ QUERIES = {
     "dedup_lines": q_dedup_lines,
     "events_heavy_hitters": q_events_heavy_hitters,
     "knn_matryoshka": q_knn_matryoshka,
+    "events_incremental_rollup": q_events_incremental_rollup,
     "mixture_sample": q_mixture_sample,
     # -- r01-green, rotated into the window (churn-riskiest families) --
     "dedup_exact": q_dedup_exact,
@@ -2538,6 +2578,7 @@ ORACLES = {
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "events_distinct_rollup": SQL_EVENTS_DISTINCT_ROLLUP,
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
+    "events_incremental_rollup": SQL_EVENTS_INCREMENTAL_ROLLUP,
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "events_running": SQL_EVENTS_RUNNING,
     "events_range_frame": SQL_EVENTS_RANGE_FRAME,

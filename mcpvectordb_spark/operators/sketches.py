@@ -126,3 +126,50 @@ def heavy_hitters(
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         )
     return topk
+
+
+ROLLUP_MOMENTS = ("n_rows", "sum_v", "min_v", "max_v", "sum_sq")
+
+
+def rollup_partials(
+    df: DataFrame, part_cols: list[str | Column], value_col: str
+) -> DataFrame:
+    """Mergeable per-partition aggregate moments (count/sum/min/max/sum²) —
+    the continuous-aggregate pattern: fold each fine partition (e.g. one
+    day) ONCE into a tiny partial row, persist, and answer any coarser
+    rollup later from partials alone.  Every moment is associative, so
+    daily → monthly → yearly merges compose exactly (unlike averages,
+    which are derived at merge time)."""
+    v = F.col(value_col)
+    return df.groupBy(*part_cols).agg(
+        F.count(v).cast("long").alias("n_rows"),
+        F.sum(v).alias("sum_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.sum(v * v).alias("sum_sq"),
+    )
+
+
+def rollup_merge(partials: DataFrame, group_cols: list[str | Column]) -> DataFrame:
+    """Merge partial moments up to ``group_cols`` granularity and derive
+    avg / population variance — touches only partial rows, never the base
+    table.  Incremental refresh = append new fine partials, re-merge."""
+    merged = partials.groupBy(*group_cols).agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        F.sum("sum_sq").alias("sum_sq"),
+    )
+    n = F.col("n_rows")
+    mean = F.try_divide(F.col("sum_v"), n)
+    var = F.try_divide(F.col("sum_sq"), n) - mean * mean
+    return merged.select(
+        *group_cols,
+        "n_rows",
+        "sum_v",
+        "min_v",
+        "max_v",
+        mean.alias("avg_v"),
+        F.greatest(var, F.lit(0.0)).alias("var_pop"),
+    )

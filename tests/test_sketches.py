@@ -75,3 +75,42 @@ def test_heavy_hitters_guard_falls_back_when_flat(spark):
     assert [(r["key"], r["cnt"]) for r in got] == [
         ("k0", 10), ("k1", 10), ("k10", 10), ("k100", 10), ("k101", 10)
     ]
+
+
+def test_rollup_partials_merge_exact_and_incremental(spark):
+    """Moments merged from fine partials == direct aggregation, and an
+    incremental refresh (append one new partial, re-merge) matches a full
+    recompute."""
+    from mcpvectordb_spark.operators.sketches import rollup_merge, rollup_partials
+
+    df = spark.createDataFrame(
+        [(d, "t%d" % (i % 2), float(i % 7) + 0.25) for d in range(5) for i in range(40)],
+        "day int, typ string, v double",
+    )
+    partials = rollup_partials(df, ["day", "typ"], "v")
+    merged = {r["typ"]: r for r in rollup_merge(partials, ["typ"]).collect()}
+    direct = {
+        r["typ"]: r
+        for r in df.groupBy("typ")
+        .agg(
+            F.count("v").alias("n"), F.sum("v").alias("s"),
+            F.avg("v").alias("a"), F.var_pop("v").alias("vp"),
+        )
+        .collect()
+    }
+    for t in ("t0", "t1"):
+        assert merged[t]["n_rows"] == direct[t]["n"]
+        assert abs(merged[t]["sum_v"] - direct[t]["s"]) < 1e-9
+        assert abs(merged[t]["avg_v"] - direct[t]["a"]) < 1e-9
+        assert abs(merged[t]["var_pop"] - direct[t]["vp"]) < 1e-9
+
+    # incremental: new day arrives; only its partial is computed
+    new_day = spark.createDataFrame(
+        [(99, "t0", 100.0), (99, "t1", -3.5)], "day int, typ string, v double"
+    )
+    refreshed = partials.unionByName(rollup_partials(new_day, ["day", "typ"], "v"))
+    full = rollup_partials(df.unionByName(new_day), ["day", "typ"], "v")
+    a = {r["typ"]: r for r in rollup_merge(refreshed, ["typ"]).collect()}
+    b = {r["typ"]: r for r in rollup_merge(full, ["typ"]).collect()}
+    for t in ("t0", "t1"):
+        assert a[t]["n_rows"] == b[t]["n_rows"] and abs(a[t]["var_pop"] - b[t]["var_pop"]) < 1e-9
