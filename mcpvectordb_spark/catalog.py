@@ -2114,6 +2114,44 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level cross-document duplication signal (Lee et al. 2022
+    style): fraction of each doc's 8-token sliding windows appearing in
+    >=2 distinct docs (dedup.py::dup_span_fraction).  Planted near-dup
+    pairs share their source windows -> both members flag high; the clean
+    corpus has no cross-doc spans."""
+    corpus = _near_corpus(spark, sf_dir)
+    out = dd.dup_span_fraction(corpus, "id", "text", k=8)
+    return out.filter(F.col("dup_windows") > 0).select(
+        "id", "n_windows", "dup_windows", "dup_frac"
+    )
+
+
+_SQL_WINDOWS8 = (
+    "CASE WHEN len(w) >= 8 THEN "
+    "list_transform(range(1, len(w)-8+2), i -> array_to_string(w[i:i+7], ' ')) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+SQL_DEDUP_SPANS = f"""
+WITH corpus AS ({_SQL_NEAR_CORPUS}),
+wins AS (
+  SELECT id, {_sql_hex48('t.win')} AS w48
+  FROM (SELECT id, {_SQL_WINDOWS8.replace('w', '__W__').replace('__W__', 'ws')} AS winlist
+        FROM (SELECT id, {_sql_words('text')} AS ws FROM corpus)),
+       UNNEST(winlist) AS t(win)
+),
+per_win AS (SELECT w48, count(DISTINCT id) AS nd FROM wins GROUP BY w48)
+SELECT id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+       round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+FROM wins JOIN per_win USING (w48)
+GROUP BY id
+HAVING sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) > 0
+"""
+
+
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window aggregation driven to completion
     over the events file (real readStream → memory sink)."""
@@ -2472,6 +2510,8 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     # -- new round-2 queries --
     "dedup_lines": q_dedup_lines,
+    "dedup_spans": SQL_DEDUP_SPANS,
+    "dedup_spans": q_dedup_spans,
     "events_heavy_hitters": q_events_heavy_hitters,
     "knn_matryoshka": q_knn_matryoshka,
     "events_incremental_rollup": q_events_incremental_rollup,

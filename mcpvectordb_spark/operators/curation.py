@@ -44,16 +44,20 @@ def build_shingle_bloom(shingles: DataFrame, shingle_col: str, n_bits: int, k: i
     hashing over the portable md5 hexint48), packed 64 bits per row with
     ``bit_or``.  n_bits/64 rows total — kilobytes for a benchmark suite,
     always broadcastable."""
-    probes = None
-    for j in range(k):
-        h1 = hexint48(F.col(shingle_col))
-        h2 = hexint48(F.concat(F.lit("bloom:"), F.col(shingle_col)))
-        pos = (h1 + F.lit(j) * h2) % F.lit(n_bits)
-        p = shingles.withColumn("_pos", pos).select(
-            F.expr("CAST(_pos / 64 AS BIGINT)").alias("word_idx"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("mask"),
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    hashed = shingles.select(
+        hexint48(F.col(shingle_col)).alias("_h1"),
+        hexint48(F.concat(F.lit("bloom:"), F.col(shingle_col))).alias("_h2"),
+    )
+    # the two md5s are computed ONCE per shingle; the k probe positions are
+    # cheap integer arithmetic exploded from them
+    probes = hashed.select(
+        F.explode(
+            F.array(*[(F.col("_h1") + F.lit(j) * F.col("_h2")) % F.lit(n_bits) for j in range(k)])
+        ).alias("_pos")
+    ).select(
+        F.expr("CAST(_pos / 64 AS BIGINT)").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("mask"),
+    )
     return probes.groupBy("word_idx").agg(F.bit_or("mask").alias("bits"))
 
 
@@ -64,11 +68,11 @@ def bloom_prune(
     broadcast equi-joins on the word index, each a map-side probe with no
     shuffle.  No false negatives: the surviving set is a superset of true
     matches, so any exact join downstream is unchanged."""
-    out = df
+    out = df.withColumn("_bh1", hexint48(F.col(shingle_col))).withColumn(
+        "_bh2", hexint48(F.concat(F.lit("bloom:"), F.col(shingle_col)))
+    )  # two md5s per row total; each probe below is integer arithmetic
     for j in range(k):
-        h1 = hexint48(F.col(shingle_col))
-        h2 = hexint48(F.concat(F.lit("bloom:"), F.col(shingle_col)))
-        pos = (h1 + F.lit(j) * h2) % F.lit(n_bits)
+        pos = (F.col("_bh1") + F.lit(j) * F.col("_bh2")) % F.lit(n_bits)
         b = bloom.select(
             F.col("word_idx").alias(f"_bw{j}"), F.col("bits").alias(f"_bb{j}")
         )
@@ -84,7 +88,7 @@ def bloom_prune(
             )
             .drop(f"_bp{j}", f"_bw{j}", f"_bb{j}")
         )
-    return out
+    return out.drop("_bh1", "_bh2")
 
 
 def decontaminate(

@@ -163,3 +163,31 @@ def test_dedup_lines_below_threshold_keeps_all(spark):
     )
     out = dedup_lines(df, "doc_id", "text", min_count=3).collect()
     assert all(r["n_removed"] == 0 for r in out)
+
+
+def test_dup_span_fraction_flags_cross_doc_only(spark):
+    """Shared 8-token spans across docs flag both members; within-doc
+    repetition alone does not count as duplication."""
+    from mcpvectordb_spark.operators.dedup import dup_span_fraction
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, shared + " tail a"),
+        (2, shared + " tail b"),                   # shares the 8-gram with 1
+        (3, "unique words only here nothing repeats at all"),
+        (4, (shared + " ") * 3),                   # within-doc repeat + cross-doc
+        (5, "short text"),                         # < 8 words → no windows
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in dup_span_fraction(df, "id", "text", k=8).collect()}
+    assert out[1]["dup_windows"] >= 1 and out[2]["dup_windows"] >= 1
+    assert out[3]["dup_windows"] == 0
+    assert out[4]["dup_frac"] > 0                  # cross-doc via 1/2
+    assert 5 not in out                            # no windows → no row
+
+    solo = spark.createDataFrame(
+        [(1, ("alpha beta gamma delta epsilon zeta eta theta " * 3))],
+        "id long, text string",
+    )
+    solo_out = dup_span_fraction(solo, "id", "text", k=8).collect()
+    assert solo_out[0]["dup_windows"] == 0         # within-doc repeats alone don't flag
