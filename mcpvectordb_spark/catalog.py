@@ -812,6 +812,39 @@ FROM scored WHERE rank <= 5
 """
 
 
+def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy: mean unigram log-probability of each
+    doc under the corpus's own unigram distribution, with one planted
+    word-salad doc that must land far below the real docs
+    (textstats.py::unigram_logprob)."""
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
+    salad = spark.range(1).select(
+        F.lit(_PLANT_OFFSET).cast("long").alias("id"),
+        F.lit("zxqv kjwp qmfg ybdn xxzz vvkk ppqq rrss").alias("text"),
+    )
+    return ts.unigram_logprob(docs.unionByName(salad), "id", "text").orderBy("id")
+
+
+SQL_TEXT_LOGPROB = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL SELECT {_PLANT_OFFSET} AS id, 'zxqv kjwp qmfg ybdn xxzz vvkk ppqq rrss' AS text
+),
+toks AS (
+  SELECT id, t.term
+  FROM (SELECT id, {_sql_words('text')} AS ws FROM corpus), UNNEST(ws) AS t(term)
+  WHERE t.term <> ''
+),
+freq AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+SELECT id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(c * 1.0 / n_total)), 6) AS avg_logprob
+FROM toks JOIN freq USING (term) CROSS JOIN n
+GROUP BY id ORDER BY id
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: canonical md5 + polynomial rolling hash."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2516,6 +2549,8 @@ QUERIES = {
     "knn_matryoshka": q_knn_matryoshka,
     "events_incremental_rollup": q_events_incremental_rollup,
     "mixture_sample": q_mixture_sample,
+    "text_keywords": q_text_keywords,
+    "text_logprob": q_text_logprob,
     # -- r01-green, rotated into the window (churn-riskiest families) --
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2534,7 +2569,6 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "corpus_token_stats": q_corpus_token_stats,
     "text_repetition": q_text_repetition,
-    "text_keywords": q_text_keywords,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_json": q_events_json,
@@ -2598,6 +2632,7 @@ ORACLES = {
     "text_langid": SQL_TEXT_LANGID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_keywords": SQL_TEXT_KEYWORDS,
+    "text_logprob": SQL_TEXT_LOGPROB,
     "text_repetition": SQL_TEXT_REPETITION,
     "curation_pipeline": _sql_curation(),
     "corpus_token_stats": SQL_CORPUS_TOKEN_STATS,

@@ -253,3 +253,34 @@ def keywords_tfidf(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", F.round("score", 6).alias("score"), "rank")
     )
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    empirical unigram distribution — the cheap, model-free stand-in for the
+    CCNet/KenLM perplexity filter (Wenzek et al. 2020): word-salad and
+    OOV-dense documents land far below the corpus mode and can be gated by
+    a percentile threshold downstream.
+
+    logp(doc) = mean_t ln(count(t)/N) over the doc's tokens, where counts
+    come from the whole corpus (so every token has count ≥ 1 — no
+    smoothing needed when scoring the corpus against itself).
+
+    Scale shape: identical to TF-IDF — one explode (tokens shuffle as
+    (id, term) pairs), one vocab-keyed agg, a vocab equi-join, one doc
+    agg.  Nothing quadratic; the N scalar is a 1-row broadcast."""
+    terms = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(terms).alias("term"))
+    freq = exploded.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_total = exploded.select(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        exploded.join(freq, "term")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n_total"))), 6).alias("avg_logprob"),
+        )
+    )

@@ -134,3 +134,14 @@ def test_keywords_tfidf_filters_stopwords_and_short(spark):
     terms = {r["term"] for r in keywords_tfidf(df, "id", "text", k=10).collect()}
     assert "elephant" in terms
     assert terms.isdisjoint(set(KEYWORD_STOPWORDS)) and "ox" not in terms and "it" not in terms
+
+
+def test_unigram_logprob_ranks_salad_below_real(spark):
+    from mcpvectordb_spark.operators.textstats import unigram_logprob
+
+    real = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(10)]
+    salad = [(99, "zxqv kjwp qmfg ybdn")]
+    df = spark.createDataFrame(real + salad, "id long, text string")
+    out = {r["id"]: r["avg_logprob"] for r in unigram_logprob(df, "id", "text").collect()}
+    assert out[99] < min(out[i] for i in range(10))  # salad scores lowest
+    assert out[0] == out[5]                          # identical docs, identical score

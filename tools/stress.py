@@ -142,6 +142,22 @@ def main() -> None:
         {"d0": 4000, "d1": 3000, "d2": 2000, "d3": 1000}, 1_000_000,
     ).count())
 
+    # round-2 operators at the same 20× scale
+    from mcpvectordb_spark.operators.curation import decontaminate
+    from mcpvectordb_spark.operators.dedup import dup_span_fraction
+    from mcpvectordb_spark.operators.sketches import heavy_hitters
+    from mcpvectordb_spark.operators.textstats import keywords_tfidf, unigram_logprob
+
+    run("dup_spans_100k", lambda: dup_span_fraction(big_docs, "id", "text", k=8)
+        .filter("dup_windows > 0").count())
+    run("heavy_hitters_2m", lambda: heavy_hitters(big_ev, "user_id", k=20, capacity=4096).count())
+    run("tfidf_keywords_100k", lambda: keywords_tfidf(big_docs, "id", "text", k=3).count())
+    run("unigram_logprob_100k", lambda: unigram_logprob(big_docs, "id", "text").count())
+    eval_docs = big_docs.filter(F.col("id") % 1000 == 0).select("id", "text")
+    run("decontaminate_bloom_100k", lambda: decontaminate(
+        big_docs, eval_docs, "id", "text", bloom_bits=1 << 20, bloom_k=3
+    ).count())
+
     print(json.dumps({"replicas": REPLICAS, "docs": n_docs, "vectors": n_vec,
                       "events": n_ev, "timings_sec": timings, "result_counts": counts}))
     spark.stop()
