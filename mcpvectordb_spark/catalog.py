@@ -2317,6 +2317,51 @@ ORDER BY event_type
 """
 
 
+def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantiles (sketches.py::
+    histogram_partials/histogram_quantile): daily (type, bin) partials
+    merged to per-type p50/p95 estimates.  Like the HLL rollup, the
+    approximation quality is oracle-gated IN-PLAN: the emitted booleans
+    compare the estimate to the exact percentile within the histogram's
+    error bound (2 bin widths = 1.0 here); the oracle emits exact
+    percentiles and literal TRUE, so estimator drift fails the hash gate."""
+    from mcpvectordb_spark.operators.sketches import histogram_partials, histogram_quantile
+
+    LO, HI, BINS = 0.0, 640.0, 1280  # bin width 0.5
+    ev = load_table(spark, sf_dir, "events")
+    partials = histogram_partials(
+        ev, [F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")],
+        "value", LO, HI, BINS,
+    )
+    est = histogram_quantile(partials, ["event_type"], [0.5, 0.95], LO, HI, BINS)
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("x50"),
+        F.expr("percentile(value, 0.95)").alias("x95"),
+    )
+    tol = 2 * (HI - LO) / BINS
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round("x50", 4).alias("p50"),
+            F.round("x95", 4).alias("p95"),
+            (F.abs(F.col("q_50") - F.col("x50")) <= tol).alias("p50_within_tol"),
+            (F.abs(F.col("q_95") - F.col("x95")) <= tol).alias("p95_within_tol"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_QUANTILE_SKETCH = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       TRUE AS p50_within_tol,
+       TRUE AS p95_within_tol
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-20 users by event count via Misra–Gries candidates +
     exact recount (operators/sketches.py::heavy_hitters) — the full-data
@@ -2548,6 +2593,7 @@ QUERIES = {
     "events_heavy_hitters": q_events_heavy_hitters,
     "knn_matryoshka": q_knn_matryoshka,
     "events_incremental_rollup": q_events_incremental_rollup,
+    "events_quantile_sketch": q_events_quantile_sketch,
     "mixture_sample": q_mixture_sample,
     "text_keywords": q_text_keywords,
     "text_logprob": q_text_logprob,
@@ -2654,6 +2700,7 @@ ORACLES = {
     "events_distinct_rollup": SQL_EVENTS_DISTINCT_ROLLUP,
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
     "events_incremental_rollup": SQL_EVENTS_INCREMENTAL_ROLLUP,
+    "events_quantile_sketch": SQL_EVENTS_QUANTILE_SKETCH,
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "events_running": SQL_EVENTS_RUNNING,
     "events_range_frame": SQL_EVENTS_RANGE_FRAME,

@@ -173,3 +173,67 @@ def rollup_merge(partials: DataFrame, group_cols: list[str | Column]) -> DataFra
         mean.alias("avg_v"),
         F.greatest(var, F.lit(0.0)).alias("var_pop"),
     )
+
+
+def histogram_partials(
+    df: DataFrame,
+    part_cols: list[str | Column],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Mergeable equi-width histogram per partition tuple: one (bin, cnt)
+    row per occupied bin — the fixed-memory quantile-sketch layer (the
+    deterministic cousin of t-digest: bounded error = one bin width,
+    exactly mergeable by addition, incremental per partition).  Values
+    outside [lo, hi) clamp into the edge bins."""
+    v = F.col(value_col)
+    wbin = (hi - lo) / n_bins
+    bin_idx = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(wbin)), F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*part_cols, bin_idx.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    partials: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Quantile estimates from merged histogram partials — touches only
+    histogram rows.  For each q: walk the cumulative counts to the bin
+    containing rank q·N and interpolate linearly inside it; estimate error
+    is bounded by one bin width ((hi-lo)/n_bins).  Output: one row per
+    group with a ``q_<pct>`` column per requested quantile."""
+    from pyspark.sql import Window
+
+    wbin = (hi - lo) / n_bins
+    merged = partials.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    wall = Window.partitionBy(*group_cols)
+    cum = (
+        merged.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("total", F.sum("cnt").over(wall))
+        .withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    )
+    out = None
+    for q in qs:
+        target = F.col("total") * F.lit(q)
+        hit = cum.filter((F.col("cum") >= target) & (F.col("cum_prev") < target))
+        est = (
+            F.lit(lo)
+            + F.col("bin") * F.lit(wbin)
+            + F.lit(wbin) * (target - F.col("cum_prev")) / F.col("cnt")
+        )
+        col = f"q_{int(q * 100)}"
+        g = hit.groupBy(*group_cols).agg(F.min(est).alias(col))
+        out = g if out is None else out.join(g, group_cols)
+    return out

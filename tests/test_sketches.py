@@ -114,3 +114,31 @@ def test_rollup_partials_merge_exact_and_incremental(spark):
     b = {r["typ"]: r for r in rollup_merge(full, ["typ"]).collect()}
     for t in ("t0", "t1"):
         assert a[t]["n_rows"] == b[t]["n_rows"] and abs(a[t]["var_pop"] - b[t]["var_pop"]) < 1e-9
+
+
+def test_histogram_quantile_within_bin_bound(spark):
+    """Histogram estimate within 2 bin widths of the exact percentile, and
+    merging partials from disjoint partitions == one-shot histogram."""
+    import random
+
+    from mcpvectordb_spark.operators.sketches import histogram_partials, histogram_quantile
+
+    rng = random.Random(7)
+    rows = [("g%d" % (i % 2), i % 5, rng.uniform(0, 100)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "grp string, day int, v double")
+    partials = histogram_partials(df, ["grp", "day"], "v", 0.0, 100.0, 200)  # wbin 0.5
+    est = {r["grp"]: r for r in histogram_quantile(partials, ["grp"], [0.5, 0.95], 0.0, 100.0, 200).collect()}
+    exact = {
+        r["grp"]: r
+        for r in df.groupBy("grp")
+        .agg(F.expr("percentile(v, 0.5)").alias("x50"), F.expr("percentile(v, 0.95)").alias("x95"))
+        .collect()
+    }
+    for g in ("g0", "g1"):
+        assert abs(est[g]["q_50"] - exact[g]["x50"]) <= 1.0
+        assert abs(est[g]["q_95"] - exact[g]["x95"]) <= 1.0
+
+    # out-of-range values clamp to edge bins instead of being dropped
+    edge = spark.createDataFrame([("g", 0, -5.0), ("g", 0, 1e6)], "grp string, day int, v double")
+    bins = histogram_partials(edge, ["grp"], "v", 0.0, 100.0, 10).collect()
+    assert sorted(r["bin"] for r in bins) == [0, 9]
