@@ -425,6 +425,51 @@ ORDER BY COALESCE(1.0/({RRF_K0}+br.r), 0) + COALESCE(1.0/({RRF_K0}+vr.r), 0) DES
 """
 
 
+def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search via convex score blending (α=0.6) over min-max
+    normalized legs — the linear-combination reranker beside RRF
+    (operators/hybrid.py::weighted_fuse_topk); same legs as hybrid_rrf."""
+    from mcpvectordb_spark.operators.hybrid import weighted_fuse_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    qv = _q_vec(spark, sf_dir)
+    bm_leg = bm25_topk(docs, SEARCH_QUERY, 50, "doc_id", "text")
+    vec_leg = knn_topk(emb, qv, 50, tie_col="vec_id").select(
+        F.col("vec_id").alias("doc"), "score"
+    )
+    fused = weighted_fuse_topk(
+        vec_leg, bm_leg, k=10, alpha=0.6,
+        id_cols=("doc", "doc"), score_cols=("score", "score"),
+    )
+    return fused.select("doc", F.round("blend_score", 6).alias("blend_score"))
+
+
+SQL_HYBRID_WEIGHTED = f"""
+WITH {_SQL_BM25_CTES},
+bmtop AS (SELECT doc, score FROM bm ORDER BY score DESC, doc LIMIT 50),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+vstop AS (
+  SELECT vec_id AS doc, {_sql_cos('CAST(embedding AS DOUBLE[])', 'qv')} AS score
+  FROM embeddings, q
+  WHERE vec_id IN (SELECT doc_id FROM documents)
+  ORDER BY score DESC, doc LIMIT 50),
+bn AS (SELECT doc, CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+                        ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ()) END AS ns
+       FROM bmtop),
+vn AS (SELECT doc, CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+                        ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ()) END AS ns
+       FROM vstop)
+SELECT COALESCE(vn.doc, bn.doc) AS doc,
+       round(0.6 * COALESCE(vn.ns, 0) + 0.4 * COALESCE(bn.ns, 0), 6) AS blend_score
+FROM vn FULL OUTER JOIN bn ON vn.doc = bn.doc
+ORDER BY 0.6 * COALESCE(vn.ns, 0) + 0.4 * COALESCE(bn.ns, 0) DESC, COALESCE(vn.doc, bn.doc)
+LIMIT 10
+"""
+
+
 # ===========================================================================
 # 3. Store / metadata operators (documents table as the corpus)
 # ===========================================================================
@@ -2594,6 +2639,7 @@ QUERIES = {
     "knn_matryoshka": q_knn_matryoshka,
     "events_incremental_rollup": q_events_incremental_rollup,
     "events_quantile_sketch": q_events_quantile_sketch,
+    "hybrid_weighted": q_hybrid_weighted,
     "mixture_sample": q_mixture_sample,
     "text_keywords": q_text_keywords,
     "text_logprob": q_text_logprob,
@@ -2691,6 +2737,7 @@ ORACLES = {
     "pack_sequences": _sql_pack_sequences(),
     "pii_scrub": _sql_pii_scrub(),
     "dedup_lines": SQL_DEDUP_LINES,
+    "dedup_spans": SQL_DEDUP_SPANS,
     "mixture_sample": _sql_mixture_sample(),
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
@@ -2701,6 +2748,7 @@ ORACLES = {
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
     "events_incremental_rollup": SQL_EVENTS_INCREMENTAL_ROLLUP,
     "events_quantile_sketch": SQL_EVENTS_QUANTILE_SKETCH,
+    "hybrid_weighted": SQL_HYBRID_WEIGHTED,
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "events_running": SQL_EVENTS_RUNNING,
     "events_range_frame": SQL_EVENTS_RANGE_FRAME,

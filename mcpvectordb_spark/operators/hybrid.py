@@ -62,3 +62,58 @@ def rrf_topk(
 ) -> DataFrame:
     fused = rrf_fuse(legs, k0, id_col, score_col)
     return fused.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+
+
+def minmax_normalize(df: DataFrame, score_col: str, out_col: str) -> DataFrame:
+    """Min-max normalize a score column to [0,1] over the candidate set
+    (1-row agg broadcast back; a constant leg normalizes to 1.0 so it
+    still contributes rather than dividing by zero)."""
+    stats = df.agg(
+        F.min(score_col).alias("__lo"), F.max(score_col).alias("__hi")
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            out_col,
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(1.0)).otherwise(
+                (F.col(score_col) - F.col("__lo")) / (F.col("__hi") - F.col("__lo"))
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def weighted_fuse_topk(
+    vec_leg: DataFrame,
+    fts_leg: DataFrame,
+    k: int,
+    alpha: float = 0.5,
+    id_cols: tuple[str, str] = ("id", "id"),
+    score_cols: tuple[str, str] = ("score", "score"),
+    id_col: str = "doc",
+    score_col: str = "blend_score",
+) -> DataFrame:
+    """Convex score blending — the other standard hybrid besides RRF
+    (LanceDB exposes it as the 'linear combination' reranker):
+
+        blend(d) = α·norm_vec(d) + (1-α)·norm_fts(d)
+
+    over min-max-normalized leg scores; a doc missing from a leg scores 0
+    there.  Both legs arrive top-N-truncated, so the normalize aggs and
+    the fusion join are tiny."""
+    v = minmax_normalize(vec_leg, score_cols[0], "__nv").select(
+        F.col(id_cols[0]).alias(id_col), "__nv"
+    )
+    f = minmax_normalize(fts_leg, score_cols[1], "__nf").select(
+        F.col(id_cols[1]).alias(id_col), "__nf"
+    )
+    blended = (
+        v.join(f, id_col, "full_outer")
+        .withColumn(
+            score_col,
+            F.lit(alpha) * F.coalesce(F.col("__nv"), F.lit(0.0))
+            + F.lit(1.0 - alpha) * F.coalesce(F.col("__nf"), F.lit(0.0)),
+        )
+        .drop("__nv", "__nf")
+    )
+    return blended.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)

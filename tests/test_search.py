@@ -280,3 +280,20 @@ def test_truncated_knn_refine_recovers_exact_order(spark):
     got = knn_truncated_topk(corpus, q, k=5, dims_coarse=16, refine=4).collect()
     scores = [r["score"] for r in got]
     assert len(got) == 5 and scores == sorted(scores, reverse=True)
+
+
+def test_weighted_fusion_blends_and_handles_missing_legs(spark):
+    from mcpvectordb_spark.operators.hybrid import weighted_fuse_topk
+
+    vec = spark.createDataFrame([(1, 0.9), (2, 0.5), (3, 0.1)], "id long, score double")
+    fts = spark.createDataFrame([(2, 10.0), (4, 2.0)], "id long, score double")
+    out = {r["doc"]: r["blend_score"] for r in weighted_fuse_topk(vec, fts, k=10, alpha=0.5).collect()}
+    # doc2: vec norm (0.5-0.1)/0.8=0.5, fts norm 1.0 → 0.75 — the winner
+    assert max(out, key=out.get) == 2
+    assert abs(out[2] - 0.75) < 1e-9
+    assert abs(out[1] - 0.5) < 1e-9          # vec-only doc: α·1.0
+    assert abs(out[4] - 0.0) < 1e-9          # fts min normalizes to 0
+    # constant-score leg normalizes to 1.0, not divide-by-zero
+    const = spark.createDataFrame([(7, 3.0), (8, 3.0)], "id long, score double")
+    got = {r["doc"]: r["blend_score"] for r in weighted_fuse_topk(const, fts, k=10, alpha=1.0).collect()}
+    assert got[7] == 1.0 and got[8] == 1.0
