@@ -1573,14 +1573,16 @@ def q_events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     that rows-frames cannot express.  Keyed on epoch seconds so frame
     membership is tie-insensitive and engine-identical.
 
-    ns→µs parity note: events.parquet is TIMESTAMP(NANOS).  Both engines
-    TRUNCATE to µs on read — Spark via the explicit ``ts div 1000`` in
-    ``io.load_table``, DuckDB inside its parquet scanner (verified
-    empirically on remainders ≥500 ns, incl. ``…999``) — so the derived
-    second key is floor(ns/1e9) on both sides and frame membership cannot
-    diverge.  ``tests/test_entry.py::test_range_frame_key_parity`` pins
-    this against the real file, full table, and would catch a DuckDB
-    upgrade that switches the scanner to round-half-up."""
+    Sub-second parity note: when events.parquet ships as TIMESTAMP(NANOS)
+    both engines TRUNCATE to µs on read — Spark via the explicit
+    ``ts div 1000`` in ``io.load_table``, DuckDB inside its parquet
+    scanner (verified empirically on remainders ≥500 ns, incl. ``…999``);
+    current driver testdata ships µs-native (TIMESTAMP_NTZ), where no
+    conversion happens at all.  Either way the derived second key is the
+    same floor() on both sides and frame membership cannot diverge.
+    ``tests/test_entry.py::test_range_frame_key_parity`` pins this against
+    the real file, full table, and would catch a DuckDB upgrade that
+    switches the ns scanner to round-half-up."""
     ev = load_table(spark, sf_dir, "events")
     ev = ev.withColumn("__tsec", F.unix_timestamp("ts"))
     w = Window.partitionBy("user_id").orderBy("__tsec").rangeBetween(-600, 0)

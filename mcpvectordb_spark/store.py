@@ -94,14 +94,31 @@ class ChunkStore:
         # attempt the read and map only path-not-found to empty.
         if _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", self.path) or self.path.startswith("file:"):
             try:
-                return self.spark.read.schema(CHUNKS_SCHEMA).parquet(self.path)
+                df = self.spark.read.schema(CHUNKS_SCHEMA).parquet(self.path)
             except Exception as exc:
                 if "PATH_NOT_FOUND" in str(exc):
                     return self.spark.createDataFrame([], CHUNKS_SCHEMA)
                 raise
+            return self._migrate(df)
         if not os.path.isdir(self.path):
             return self.spark.createDataFrame([], CHUNKS_SCHEMA)
-        return self.spark.read.schema(CHUNKS_SCHEMA).parquet(self.path)
+        return self._migrate(self.spark.read.schema(CHUNKS_SCHEMA).parquet(self.path))
+
+    @staticmethod
+    def _migrate(df: DataFrame) -> DataFrame:
+        """Read-side schema migration (reference store.py:96-116): tables
+        written before the file_type / last_modified / page columns read
+        with the reference's migration defaults ('unknown' / '' / 0)
+        instead of NULL.  Pure projection — parquet fills absent columns
+        with NULL under an explicit read schema, so no rewrite is needed
+        and current-schema rows pass through untouched."""
+        return df.withColumns(
+            {
+                "file_type": F.coalesce(F.col("file_type"), F.lit("unknown")),
+                "last_modified": F.coalesce(F.col("last_modified"), F.lit("")),
+                "page": F.coalesce(F.col("page"), F.lit(0)),
+            }
+        )
 
     def count(self) -> int:
         return self.read().count()

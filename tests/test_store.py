@@ -327,3 +327,26 @@ def test_recover_compaction_roll_forward_and_back(spark, store, mini_docs):
     assert store.recover_compaction() == {}
     store.compact()
     assert store.count() == rows_before
+
+
+def test_legacy_table_reads_with_migration_defaults(spark, tmp_path):
+    """A v1-era table (written before file_type/last_modified/page existed)
+    reads through the store with the reference's migration defaults
+    (store.py:96-116 semantics), not NULLs — and stays searchable."""
+    from mcpvectordb_spark.config import TEST
+    from mcpvectordb_spark.store import ChunkStore
+
+    legacy = spark.createDataFrame(
+        [("c1", "d1", "L", "src", "h", "T", "hello world", [0.1] * 8, 0, "2024-01-01T00:00:00Z", None)],
+        "id string, doc_id string, library string, source string, content_hash string, "
+        "title string, content string, embedding array<float>, chunk_index int, "
+        "created_at string, metadata string",
+    )
+    path = str(tmp_path / "legacy")
+    legacy.write.partitionBy("library").parquet(path)
+
+    row = ChunkStore(spark, path, TEST).read().first()
+    assert row["file_type"] == "unknown"
+    assert row["last_modified"] == ""
+    assert row["page"] == 0
+    assert row["content"] == "hello world"
