@@ -2409,6 +2409,71 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel (operators/analytics.py
+    ::funnel_counts): step i counts users converting with an event
+    strictly after their step i-1 conversion time."""
+    from mcpvectordb_spark.operators.analytics import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"]).orderBy("step")
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+) ORDER BY step
+"""
+
+
+def q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention at d1/d7 (operators/analytics.py::
+    cohort_retention): users cohort on first active day; retained = any
+    activity exactly d days later."""
+    from mcpvectordb_spark.operators.analytics import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cohort_retention(ev, [1, 7])
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "n_new", "retained_d1", "retained_d7",
+    ).orderBy("cohort_day")
+
+
+SQL_EVENTS_COHORTS = """
+WITH activity AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day FROM events
+),
+cohorts AS (SELECT u, min(day) AS cohort_day FROM activity GROUP BY u),
+aged AS (
+  SELECT a.u, c.cohort_day, date_diff('day', c.cohort_day, a.day) AS age_days
+  FROM activity a JOIN cohorts c ON a.u = c.u
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(count(DISTINCT CASE WHEN age_days = 0 THEN u END) AS BIGINT) AS n_new,
+       CAST(count(DISTINCT CASE WHEN age_days = 1 THEN u END) AS BIGINT) AS retained_d1,
+       CAST(count(DISTINCT CASE WHEN age_days = 7 THEN u END) AS BIGINT) AS retained_d7
+FROM aged GROUP BY cohort_day ORDER BY cohort_day
+"""
+
+
 def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-20 users by event count via Misra–Gries candidates +
     exact recount (operators/sketches.py::heavy_hitters) — the full-data
@@ -2641,6 +2706,8 @@ QUERIES = {
     "knn_matryoshka": q_knn_matryoshka,
     "events_incremental_rollup": q_events_incremental_rollup,
     "events_quantile_sketch": q_events_quantile_sketch,
+    "events_funnel": q_events_funnel,
+    "events_cohorts": q_events_cohorts,
     "hybrid_weighted": q_hybrid_weighted,
     "mixture_sample": q_mixture_sample,
     "text_keywords": q_text_keywords,
@@ -2750,6 +2817,8 @@ ORACLES = {
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
     "events_incremental_rollup": SQL_EVENTS_INCREMENTAL_ROLLUP,
     "events_quantile_sketch": SQL_EVENTS_QUANTILE_SKETCH,
+    "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_cohorts": SQL_EVENTS_COHORTS,
     "hybrid_weighted": SQL_HYBRID_WEIGHTED,
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "events_running": SQL_EVENTS_RUNNING,
