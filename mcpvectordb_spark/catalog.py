@@ -2708,6 +2708,7 @@ QUERIES = {
     "events_quantile_sketch": q_events_quantile_sketch,
     "events_funnel": q_events_funnel,
     "events_cohorts": q_events_cohorts,
+    "weighted_sample": q_weighted_sample,
     "hybrid_weighted": q_hybrid_weighted,
     "mixture_sample": q_mixture_sample,
     "text_keywords": q_text_keywords,
@@ -2724,7 +2725,6 @@ QUERIES = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "domain_quota": q_domain_quota,
     "sample_stratified": q_sample_stratified,
-    "weighted_sample": q_weighted_sample,
     "train_shards": q_train_shards,
     "pii_scrub": q_pii_scrub,
     "curation_pipeline": q_curation_pipeline,
