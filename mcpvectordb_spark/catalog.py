@@ -890,6 +890,27 @@ GROUP BY id ORDER BY id
 """
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 adjacent-character pair frequencies — one BPE training
+    iteration's merge statistic (textstats.py::bpe_pair_counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.bpe_pair_counts(docs.select("text"), "text", top_n=40)
+
+
+SQL_BPE_PAIRS = f"""
+WITH words AS (
+  SELECT w FROM (SELECT {_sql_words('text')} AS ws FROM documents), UNNEST(ws) AS t(w)
+  WHERE len(t.w) >= 2
+),
+pairs AS (
+  SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair
+  FROM words, UNNEST(range(1, len(w))) AS r(i)
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 40
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: canonical md5 + polynomial rolling hash."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2713,6 +2734,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "text_keywords": q_text_keywords,
     "text_logprob": q_text_logprob,
+    "bpe_pairs": q_bpe_pairs,
     # -- r01-green, rotated into the window (churn-riskiest families) --
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2794,6 +2816,7 @@ ORACLES = {
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_keywords": SQL_TEXT_KEYWORDS,
     "text_logprob": SQL_TEXT_LOGPROB,
+    "bpe_pairs": SQL_BPE_PAIRS,
     "text_repetition": SQL_TEXT_REPETITION,
     "curation_pipeline": _sql_curation(),
     "corpus_token_stats": SQL_CORPUS_TOKEN_STATS,

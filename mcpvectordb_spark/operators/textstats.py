@@ -284,3 +284,33 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.avg(F.log(F.col("c") / F.col("n_total"))), 6).alias("avg_logprob"),
         )
     )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 50) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair frequencies — the inner statistic
+    of one BPE training iteration (Sennrich et al. 2016): starting from
+    the character alphabet, the pair chosen for the next merge is exactly
+    the head of this ranking.  Word-internal pairs only (no cross-word
+    merges), weighted by word occurrence.
+
+    Scale shape: per-row character pairing stays inside codegen (split +
+    transform — no UDF); pairs shuffle pre-aggregated by the map-side
+    combine of one keyed agg; the top-n is a distributed
+    TakeOrderedAndProject.  This is the once-per-merge-round job a
+    distributed tokenizer trainer runs 30k times with a shrinking
+    pair table."""
+    words = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda w: F.length(w) >= 2)
+    pairs_per_word = F.transform(
+        words,
+        lambda w: F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1),
+            lambda i: F.concat(F.substr(w, i, F.lit(1)), F.lit(" "), F.substr(w, i + 1, F.lit(1))),
+        ),
+    )
+    exploded = df.select(F.explode(F.flatten(pairs_per_word)).alias("pair"))
+    counts = exploded.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(top_n)
+        .select("pair", "cnt")
+    )

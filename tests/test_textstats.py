@@ -145,3 +145,12 @@ def test_unigram_logprob_ranks_salad_below_real(spark):
     out = {r["id"]: r["avg_logprob"] for r in unigram_logprob(df, "id", "text").collect()}
     assert out[99] < min(out[i] for i in range(10))  # salad scores lowest
     assert out[0] == out[5]                          # identical docs, identical score
+
+
+def test_bpe_pair_counts_basic(spark):
+    from mcpvectordb_spark.operators.textstats import bpe_pair_counts
+
+    df = spark.createDataFrame([("aaab aab",), ("ab",)], "text string")
+    got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(df, "text", top_n=10).collect()}
+    # "aaab": aa,aa,ab; "aab": aa,ab; "ab": ab  →  aa:3, ab:3
+    assert got == {"a a": 3, "a b": 3}
