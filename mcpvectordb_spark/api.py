@@ -24,7 +24,7 @@ from mcpvectordb_spark.config import DEFAULT, EngineConfig
 from mcpvectordb_spark.embedder import Embedder, HashEmbedder
 from mcpvectordb_spark.ingest import ingest_batch
 from mcpvectordb_spark.operators.bm25 import bm25_topk
-from mcpvectordb_spark.operators.hybrid import rrf_topk
+from mcpvectordb_spark.operators.hybrid import rrf_topk, weighted_fuse_topk
 from mcpvectordb_spark.operators.knn import knn_topk
 from mcpvectordb_spark.store import ChunkStore, InvalidFilterError, build_filter
 
@@ -178,10 +178,14 @@ class VectorDB:
     # -- query --------------------------------------------------------------
 
     def search(self, query: str, top_k: int | None = None, library: str | None = None,
-               filter: dict | None = None) -> dict:  # noqa: A002 - reference param name
+               filter: dict | None = None, fusion: str = "rrf") -> dict:  # noqa: A002 - reference param name
         """Reference server.py:228-289 — hybrid BM25+vector search with RRF,
         falling back to vector-only when hybrid is disabled (config.py:59).
-        Filters are applied BEFORE ranking (mcp-tool-spec.md:110-111)."""
+        Filters are applied BEFORE ranking (mcp-tool-spec.md:110-111).
+        ``fusion``: "rrf" (reference default) or "blend" (convex score
+        blend over min-max-normalized legs — beyond-reference option)."""
+        if fusion not in ("rrf", "blend"):
+            return _err("fusion must be 'rrf' or 'blend'")
         top_k = self.config.top_k_default if top_k is None else top_k
         if not query or not query.strip():
             return _err("query must be non-empty")
@@ -201,10 +205,17 @@ class VectorDB:
                 chunks, query, candidates, "id", "content",
                 k1=self.config.bm25_k1, b=self.config.bm25_b,
             )
-            fused = rrf_topk(
-                [(bm_leg, "doc", "score"), (vec_leg.select(F.col("id").alias("doc"), "score"), "doc", "score")],
-                top_k, k0=self.config.rrf_k0, id_col="id", score_col="score",
-            )
+            if fusion == "blend":
+                fused = weighted_fuse_topk(
+                    vec_leg.select(F.col("id").alias("doc"), "score"), bm_leg,
+                    top_k, alpha=0.5, id_cols=("doc", "doc"),
+                    score_cols=("score", "score"), id_col="id", score_col="score",
+                )
+            else:
+                fused = rrf_topk(
+                    [(bm_leg, "doc", "score"), (vec_leg.select(F.col("id").alias("doc"), "score"), "doc", "score")],
+                    top_k, k0=self.config.rrf_k0, id_col="id", score_col="score",
+                )
             ranked = fused.join(chunks, "id")
         else:
             ranked = vec_leg.limit(top_k)

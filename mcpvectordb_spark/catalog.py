@@ -327,6 +327,45 @@ FROM cand ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 10
 """
 
 
+def q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document embedding mean-pooling (knn.py::
+    mean_pool_embeddings): groups of 4 vectors pool to one L2-normalized
+    doc vector, then exact top-5 against the query — doc-level retrieval
+    over a chunk-level index."""
+    from mcpvectordb_spark.operators.knn import mean_pool_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    chunks = emb.withColumn("doc", F.expr("vec_id div 4"))
+    pooled = mean_pool_embeddings(chunks, "doc", "embedding", "doc_embedding")
+    qv = _q_vec(spark, sf_dir)
+    hits = knn_topk(pooled, qv, 5, vec_col="doc_embedding", tie_col="doc")
+    return hits.select("doc", F.round("score", 6).alias("score"))
+
+
+SQL_DOC_EMBEDDINGS = f"""
+WITH c AS (
+  SELECT vec_id // 4 AS doc, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}
+),
+per_pos AS (
+  SELECT doc, t.i AS pos, avg(v[t.i]) AS m
+  FROM c, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY doc, t.i
+),
+pooled_raw AS (
+  SELECT doc, list(m ORDER BY pos) AS dv FROM per_pos GROUP BY doc
+),
+pooled AS (
+  SELECT doc, list_transform(dv, x -> x / sqrt(list_inner_product(dv, dv))) AS dv
+  FROM pooled_raw
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT doc, round({_sql_cos('dv', 'qv')}, 6) AS score
+FROM pooled, q
+ORDER BY {_sql_cos('dv', 'qv')} DESC, doc LIMIT 5
+"""
+
+
 def q_knn_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar-quantized KNN (scale path): int8 coarse scan (4x less
     embedding IO than float32) -> exact re-score of k*refine candidates.
@@ -2735,6 +2774,7 @@ QUERIES = {
     "text_keywords": q_text_keywords,
     "text_logprob": q_text_logprob,
     "bpe_pairs": q_bpe_pairs,
+    "doc_embeddings": q_doc_embeddings,
     # -- r01-green, rotated into the window (churn-riskiest families) --
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2817,6 +2857,7 @@ ORACLES = {
     "text_keywords": SQL_TEXT_KEYWORDS,
     "text_logprob": SQL_TEXT_LOGPROB,
     "bpe_pairs": SQL_BPE_PAIRS,
+    "doc_embeddings": SQL_DOC_EMBEDDINGS,
     "text_repetition": SQL_TEXT_REPETITION,
     "curation_pipeline": _sql_curation(),
     "corpus_token_stats": SQL_CORPUS_TOKEN_STATS,

@@ -444,3 +444,44 @@ def knn_truncated_topk(
     )
     exact = cand.withColumn(score_col, cosine(v, query_vec_lit(q))).drop("_coarse")
     return exact.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "doc_embedding",
+    renormalize: bool = True,
+) -> DataFrame:
+    """Element-wise mean of vectors per group — chunk embeddings pooled to
+    one document vector (the standard doc-level retrieval representation
+    when the index stores chunks).  Optionally L2-renormalized so cosine
+    against pooled vectors keeps unit-norm semantics.
+
+    Portable shape: posexplode → (group, position)-keyed avg → ordered
+    array_agg; every step mirrors in SQL, so pooled vectors are
+    oracle-comparable bit-for-bit.  Shuffles are keyed on
+    (group, position) then group — no collect, no UDF."""
+    exploded = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+    )
+    per_pos = exploded.groupBy("grp", "pos").agg(F.avg("v").alias("m"))
+    pooled = (
+        per_pos.groupBy("grp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias(out_col)
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+    if renormalize:
+        norm = F.sqrt(
+            F.aggregate(F.col(out_col), F.lit(0.0), lambda a, x: a + x * x)
+        )
+        pooled = pooled.withColumn(
+            out_col,
+            F.transform(F.col(out_col), lambda x: F.try_divide(x, norm)),
+        )
+    return pooled

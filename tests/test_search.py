@@ -297,3 +297,34 @@ def test_weighted_fusion_blends_and_handles_missing_legs(spark):
     const = spark.createDataFrame([(7, 3.0), (8, 3.0)], "id long, score double")
     got = {r["doc"]: r["blend_score"] for r in weighted_fuse_topk(const, fts, k=10, alpha=1.0).collect()}
     assert got[7] == 1.0 and got[8] == 1.0
+
+
+def test_mean_pool_embeddings_math_and_norm(spark):
+    from mcpvectordb_spark.operators.knn import mean_pool_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [3.0, 4.0])],
+        "doc long, embedding array<double>",
+    )
+    out = {r["doc"]: r["doc_embedding"] for r in mean_pool_embeddings(df, "doc").collect()}
+    import math
+    # doc1 mean = (0.5, 0.5) → normalized (√2/2, √2/2)
+    assert all(abs(v - math.sqrt(2) / 2) < 1e-12 for v in out[1])
+    # doc2 single vector (3,4) → normalized (0.6, 0.8)
+    assert abs(out[2][0] - 0.6) < 1e-12 and abs(out[2][1] - 0.8) < 1e-12
+    raw = {r["doc"]: r["doc_embedding"] for r in mean_pool_embeddings(df, "doc", renormalize=False).collect()}
+    assert raw[1] == [0.5, 0.5]
+
+
+def test_api_search_blend_fusion(spark, tmp_path):
+    from mcpvectordb_spark.api import VectorDB
+    from mcpvectordb_spark.config import TEST
+
+    db = VectorDB(spark, str(tmp_path / "store"), TEST)
+    db.ingest_content("alpha beta gamma retrieval test document", source="s1", library="L")
+    db.ingest_content("totally different subject matter entirely", source="s2", library="L")
+    res = db.search("retrieval test", top_k=2, library="L", fusion="blend")
+    assert res["status"] == "ok" and len(res["results"]) >= 1
+    assert res["results"][0]["source"] == "s1"
+    bad = db.search("x", fusion="nope")
+    assert bad["status"] == "error"
