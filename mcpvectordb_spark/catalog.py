@@ -2775,6 +2775,7 @@ QUERIES = {
     "text_logprob": q_text_logprob,
     "bpe_pairs": q_bpe_pairs,
     "doc_embeddings": q_doc_embeddings,
+    "decontaminate_bloom": q_decontaminate_bloom,
     # -- r01-green, rotated into the window (churn-riskiest families) --
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2784,7 +2785,6 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "decontaminate": q_decontaminate,
-    "decontaminate_bloom": q_decontaminate_bloom,
     "domain_quota": q_domain_quota,
     "sample_stratified": q_sample_stratified,
     "train_shards": q_train_shards,
