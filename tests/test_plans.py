@@ -170,3 +170,30 @@ def test_ivf_static_prune_reads_only_nprobe_partitions(spark, tmp_path):
     # static-pruned results == lazy semi-join results (same semantics)
     semi = ivf_topk(assigned, centroids, qv, 5, nprobe=nprobe, corpus_id="vec_id").collect()
     assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in semi]
+
+
+def test_round2_queries_no_cartesian(spark):
+    """Round-2 catalog queries: no CartesianProduct anywhere; the only
+    BroadcastNestedLoopJoins allowed are 1-row scalar broadcasts (the
+    TPC-H Q11/Q15 pattern used by corpus-scalar crossJoins)."""
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    for name in ["text_keywords", "text_logprob", "bpe_pairs", "doc_embeddings",
+                 "dedup_spans", "events_funnel", "events_cohorts",
+                 "events_incremental_rollup", "events_quantile_sketch",
+                 "hybrid_weighted", "weighted_sample", "knn_matryoshka"]:
+        tree = formatted_plan(QUERIES[name](spark, SF)).split("\n\n")[0]
+        assert "CartesianProduct" not in tree, (name, tree)
+        # scalar 1-row broadcasts are fine; above the per-query budget
+        # means a real join leaked into nested-loop form.
+        # hybrid_weighted: 2 min-max normalize scalars + 2 bm25 stats scalars
+        budget = {"hybrid_weighted": 4}.get(name, 2)
+        assert tree.count("BroadcastNestedLoopJoin") <= budget, (name, tree)
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """A-ES sampling must compile to distributed top-n, not a global sort."""
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(QUERIES["weighted_sample"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
