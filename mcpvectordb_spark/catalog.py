@@ -1487,6 +1487,49 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each signup enriched with the user's
+    FIRST view within the following hour (direction='forward',
+    tolerance_s=3600 — the full merge_asof surface).  Oracle mirrors it
+    with a window-min over following views + the tolerance predicate."""
+    from mcpvectordb_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join(
+        signups, views, ["user_id"], right_value_cols=["value"],
+        direction="forward", tolerance_s=3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.round("asof_value", 4).alias("view_value"),
+    )
+
+
+SQL_EVENTS_ASOF_FORWARD = """
+WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+ranked AS (
+  SELECT s.event_id, s.user_id, s.ts, v.ts AS m_ts, v.value AS m_value,
+         row_number() OVER (PARTITION BY s.event_id
+                            ORDER BY v.ts ASC, v.value ASC) AS rn
+  FROM s LEFT JOIN v
+    ON s.user_id = v.user_id AND v.ts >= s.ts
+       AND epoch(v.ts) - epoch(s.ts) <= 3600
+),
+matched AS (SELECT * FROM ranked WHERE rn = 1)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+       strftime(m_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       round(m_value, 4) AS view_value
+FROM matched
+"""
+
+
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join: purchases landing inside any 2-hour
     error window of the same user (operators/rangejoin.py — bin-bucketed
@@ -2768,6 +2811,7 @@ QUERIES = {
     "events_quantile_sketch": q_events_quantile_sketch,
     "events_funnel": q_events_funnel,
     "events_cohorts": q_events_cohorts,
+    "events_asof_forward": q_events_asof_forward,
     "weighted_sample": q_weighted_sample,
     "hybrid_weighted": q_hybrid_weighted,
     "mixture_sample": q_mixture_sample,
@@ -2876,6 +2920,7 @@ ORACLES = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_json": SQL_EVENTS_JSON,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+    "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "events_distinct_rollup": SQL_EVENTS_DISTINCT_ROLLUP,
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

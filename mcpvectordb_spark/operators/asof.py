@@ -26,12 +26,23 @@ def asof_join(
     right_ts: str = "ts",
     right_value_cols: list[str] | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
-    """Left as-of join: every left row + latest right row at-or-before it.
+    """Left as-of join: every left row + the nearest right row at-or-before
+    it (``direction="backward"``, default) or at-or-after it
+    (``"forward"``) — the full pandas ``merge_asof`` surface, one keyed
+    shuffle either way.
+
+    ``tolerance_s`` bounds the match distance in seconds: a nearest right
+    row farther than the tolerance is discarded (attached columns revert
+    to NULL), exactly pandas' ``tolerance`` semantics.
 
     Right columns arrive as ``{prefix}{col}`` (plus ``{prefix}ts``); rows
-    with no prior right match keep them NULL (left-join semantics).
+    with no qualifying right match keep them NULL (left-join semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in key_cols and c != right_ts
     ]
@@ -60,16 +71,33 @@ def asof_join(
     )
     # __match in the ordering breaks ties among right rows sharing
     # (key, ts) deterministically (struct compare is lexicographic);
-    # left rows have NULL __match and need no disambiguation
+    # left rows have NULL __match and need no disambiguation.
+    # forward = the same carry in reverse time order ("at-or-after").
+    order = (
+        [F.col("__t"), F.col("__side"), F.col("__match")]
+        if direction == "backward"
+        else [F.col("__t").desc(), F.col("__side"), F.col("__match").desc()]
+    )
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy("__t", "__side", "__match")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = r.unionByName(l).withColumn(
         "__match", F.last("__match", ignorenulls=True).over(w)
     )
-    out = merged.filter(F.col("__side") == 1).drop("__side", "__t")
+    out = merged.filter(F.col("__side") == 1).drop("__side")
+    if tolerance_s is not None:
+        gap = (
+            F.col("__t").cast("double") - F.col("__match.ts").cast("double")
+            if direction == "backward"
+            else F.col("__match.ts").cast("double") - F.col("__t").cast("double")
+        )
+        out = out.withColumn(
+            "__match",
+            F.when(gap <= F.lit(float(tolerance_s)), F.col("__match")),
+        )
+    out = out.drop("__t")
     out = out.withColumn(f"{prefix}ts", F.col("__match.ts"))
     for c in right_value_cols:
         out = out.withColumn(f"{prefix}{c}", F.col(f"__match.{c}"))
