@@ -48,11 +48,18 @@ BENCH_QUERIES = [
     "ingest_chunks",   # write path: chunk → embed → dedup gate → partitioned write
     # round-2 additions
     "text_keywords",         # corpus-wide TF-IDF + per-doc window
+    "text_logprob",          # unigram log-prob quality scoring
     "events_heavy_hitters",  # MG candidates + exact recount
     "knn_matryoshka",        # truncated-dim coarse scan + exact refine
+    "doc_embeddings",        # chunk→doc mean-pool + doc-level KNN
     "weighted_sample",       # A-ES top-n over hash uniforms
     "decontaminate_bloom",   # broadcast-Bloom pre-prune + exact verify
     "dedup_lines",           # C4-style line-level corpus dedup
+    "dedup_spans",           # span-level cross-doc dup fraction
+    "events_funnel",         # ordered funnel (chained keyed aggs)
+    "events_cohorts",        # day-cohort retention
+    "events_quantile_sketch",# mergeable histogram quantiles + exact gate
+    "hybrid_weighted",       # min-max blend fusion
 ]
 
 
