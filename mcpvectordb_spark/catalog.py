@@ -513,6 +513,33 @@ LIMIT 10
 # 3. Store / metadata operators (documents table as the corpus)
 # ===========================================================================
 
+def q_orders_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the 25 part pairs most often ordered
+    together.  Same sub-quadratic shape as the dedup inverted indexes —
+    pairs explode per order (bounded by items-per-order², ~tens), never
+    across the catalog; one keyed agg + distributed top-n.  Canonical
+    (a < b) ordering halves the pair space and makes output total-ordered."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "o").filter(F.col("pa") < F.col("pb"))
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("pa").asc(), F.col("pb").asc())
+        .limit(25)
+    )
+
+
+SQL_ORDERS_COPURCHASE = """
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_orders
+FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+GROUP BY a.p, b.p
+ORDER BY n_orders DESC, pa ASC, pb ASC LIMIT 25
+"""
+
+
 def q_list_libraries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-library rollup (reference list_libraries, SURVEY §2.4 A2)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2812,6 +2839,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_cohorts": q_events_cohorts,
     "events_asof_forward": q_events_asof_forward,
+    "orders_copurchase": q_orders_copurchase,
     "weighted_sample": q_weighted_sample,
     "hybrid_weighted": q_hybrid_weighted,
     "mixture_sample": q_mixture_sample,
@@ -2921,6 +2949,7 @@ ORACLES = {
     "events_json": SQL_EVENTS_JSON,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,
+    "orders_copurchase": SQL_ORDERS_COPURCHASE,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "events_distinct_rollup": SQL_EVENTS_DISTINCT_ROLLUP,
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
