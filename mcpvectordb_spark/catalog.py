@@ -1049,6 +1049,117 @@ FROM m
 """
 
 
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 signal composition: repetition (Gopher), unigram log-prob
+    (CCNet proxy, corpus-5th-percentile gate), and span-level cross-doc
+    duplication fused into one auditable verdict per document.  Three
+    planted offenders (looped banner, word salad, verbatim span copy) must
+    each draw their own reason; gates apply in fixed order so every doc
+    gets exactly one verdict."""
+    from mcpvectordb_spark.operators.dedup import dup_span_fraction
+    from mcpvectordb_spark.operators.textstats import repetition_features, unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
+    first_text = docs.orderBy("id").limit(1).select(F.col("text").alias("t0"))
+    plants = spark.range(1).crossJoin(F.broadcast(first_text)).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(_PLANT_OFFSET + 1).cast("long").alias("id"),
+                    F.lit("spam line\nspam line\nspam line\none real line").alias("text"),
+                ),
+                F.struct(
+                    F.lit(_PLANT_OFFSET + 2).cast("long").alias("id"),
+                    F.lit("zxqv kjwp qmfg ybdn xxzz vvkk ppqq rrss").alias("text"),
+                ),
+                F.struct(F.lit(_PLANT_OFFSET + 3).cast("long").alias("id"), F.col("t0").alias("text")),
+            )
+        ).alias("s")
+    ).select("s.id", "s.text")
+    corpus = docs.unionByName(plants)
+
+    rep = repetition_features(corpus, "id", "text").select("id", "repetitive_flag")
+    lp = unigram_logprob(corpus, "id", "text").select("id", "avg_logprob")
+    spans = dup_span_fraction(corpus, "id", "text", k=8).select("id", "dup_frac")
+    p05 = lp.agg(F.expr("percentile(avg_logprob, 0.05)").alias("p05"))
+
+    joined = (
+        corpus.select("id")
+        .join(rep, "id", "left")
+        .join(lp, "id", "left")
+        .join(spans, "id", "left")
+        .crossJoin(F.broadcast(p05))
+    )
+    verdict = (
+        F.when(F.col("repetitive_flag"), F.lit("repetitive"))
+        .when(F.col("avg_logprob") < F.col("p05"), F.lit("low_logprob"))
+        .when(F.coalesce(F.col("dup_frac"), F.lit(0.0)) >= 0.5, F.lit("span_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select("id", verdict.alias("verdict")).orderBy("id")
+
+
+_SQL_V2_CORPUS = f"""corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL SELECT {_PLANT_OFFSET + 1}, 'spam line' || chr(10) || 'spam line' || chr(10) || 'spam line' || chr(10) || 'one real line'
+  UNION ALL SELECT {_PLANT_OFFSET + 2}, 'zxqv kjwp qmfg ybdn xxzz vvkk ppqq rrss'
+  UNION ALL SELECT {_PLANT_OFFSET + 3}, (SELECT text FROM documents ORDER BY doc_id LIMIT 1)
+)"""
+
+SQL_CURATION_PIPELINE_V2 = rf"""
+WITH {_SQL_V2_CORPUS},
+feat AS (
+  SELECT id,
+    list_filter(string_split(COALESCE(text,''), chr(10)), l -> trim(l) <> '') AS lines,
+    list_filter(regexp_split_to_array(trim(lower(COALESCE(text,''))), '\s+'), t -> t <> '') AS words
+  FROM corpus),
+bg AS (
+  SELECT id, lines,
+    CASE WHEN len(words) >= 2
+         THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+         ELSE CAST([] AS VARCHAR[]) END AS bigrams
+  FROM feat),
+rep AS (
+  SELECT id,
+    ((len(lines) >= 3 AND 1.0 - len(list_distinct(lines))/len(lines) > 0.30)
+     OR (len(bigrams) >= 10 AND
+         list_max(list_transform(list_distinct(bigrams), b -> len(list_filter(bigrams, x -> x = b))))/len(bigrams) > 0.20))
+    AS repetitive_flag
+  FROM bg),
+toks AS (
+  SELECT id, t.term FROM (SELECT id, {_sql_words('text')} AS ws FROM corpus),
+  UNNEST(ws) AS t(term) WHERE t.term <> ''),
+freq AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+lp AS (
+  SELECT id, avg(ln(c * 1.0 / n_total)) AS avg_logprob
+  FROM toks JOIN freq USING (term) CROSS JOIN n GROUP BY id),
+p05 AS (SELECT quantile_cont(avg_logprob, 0.05) AS p05 FROM lp),
+wins AS (
+  SELECT id, {_sql_hex48('t.win')} AS w48
+  FROM (SELECT id, CASE WHEN len(ws) >= 8 THEN
+          list_transform(range(1, len(ws)-8+2), i -> array_to_string(ws[i:i+7], ' '))
+          ELSE CAST([] AS VARCHAR[]) END AS winlist
+        FROM (SELECT id, {_sql_words('text')} AS ws FROM corpus)),
+       UNNEST(winlist) AS t(win)),
+per_win AS (SELECT w48, count(DISTINCT id) AS nd FROM wins GROUP BY w48),
+spans AS (
+  SELECT id, sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*) AS dup_frac
+  FROM wins JOIN per_win USING (w48) GROUP BY id)
+SELECT c.id,
+  CASE WHEN rep.repetitive_flag THEN 'repetitive'
+       WHEN lp.avg_logprob < p05.p05 THEN 'low_logprob'
+       WHEN COALESCE(spans.dup_frac, 0.0) >= 0.5 THEN 'span_dup'
+       ELSE 'kept' END AS verdict
+FROM corpus c
+LEFT JOIN rep ON c.id = rep.id
+LEFT JOIN lp ON c.id = lp.id
+LEFT JOIN spans ON c.id = spans.id
+CROSS JOIN p05
+ORDER BY c.id
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation verdicts over the exact-dup-planted corpus:
     quality + length + dedup gates with per-doc drop reasons (pipeline.py —
@@ -2840,6 +2951,7 @@ QUERIES = {
     "events_cohorts": q_events_cohorts,
     "events_asof_forward": q_events_asof_forward,
     "orders_copurchase": q_orders_copurchase,
+    "curation_pipeline_v2": q_curation_pipeline_v2,
     "weighted_sample": q_weighted_sample,
     "hybrid_weighted": q_hybrid_weighted,
     "mixture_sample": q_mixture_sample,
@@ -2950,6 +3062,7 @@ ORACLES = {
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,
     "orders_copurchase": SQL_ORDERS_COPURCHASE,
+    "curation_pipeline_v2": SQL_CURATION_PIPELINE_V2,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "events_distinct_rollup": SQL_EVENTS_DISTINCT_ROLLUP,
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
