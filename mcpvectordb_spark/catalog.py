@@ -2650,6 +2650,60 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed anomaly detection: hourly event counts per type scored as
+    z-scores against the trailing 24-hour window (current hour excluded —
+    a point must not normalize itself); |z| >= 3 flags.  Pure window
+    algebra over the pre-aggregated hourly table, so the expensive input
+    is one keyed agg and the scan never re-reads raw events per window."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_seconds(F.col("hour")))
+        .rangeBetween(-24 * 3600, -3600)
+    )
+    scored = (
+        hourly.withColumn("mu", F.avg("n").over(w))
+        .withColumn("sd", F.stddev_pop("n").over(w))
+        .withColumn("nw", F.count("n").over(w))
+        # need a full day of history and nonzero spread to score
+        .filter((F.col("nw") >= 24) & (F.col("sd") > 0))
+        .withColumn("z", (F.col("n") - F.col("mu")) / F.col("sd"))
+    )
+    return scored.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n",
+        F.round("z", 4).alias("z"),
+        (F.abs(F.col("z")) >= 3.0).alias("anomaly"),
+    ).orderBy("hour", "event_type")
+
+
+SQL_EVENTS_ANOMALIES = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT hour, event_type, n,
+         avg(n) OVER w AS mu,
+         stddev_pop(n) OVER w AS sd,
+         count(n) OVER w AS nw
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch(hour)
+               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)
+)
+SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n,
+       round((n - mu) / sd, 4) AS z,
+       (abs((n - mu) / sd) >= 3.0) AS anomaly
+FROM scored WHERE nw >= 24 AND sd > 0
+ORDER BY hour, event_type
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered view→click→purchase funnel (operators/analytics.py
     ::funnel_counts): step i counts users converting with an event
@@ -2952,6 +3006,7 @@ QUERIES = {
     "events_asof_forward": q_events_asof_forward,
     "orders_copurchase": q_orders_copurchase,
     "curation_pipeline_v2": q_curation_pipeline_v2,
+    "events_anomalies": q_events_anomalies,
     "weighted_sample": q_weighted_sample,
     "hybrid_weighted": q_hybrid_weighted,
     "mixture_sample": q_mixture_sample,
@@ -3063,6 +3118,7 @@ ORACLES = {
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,
     "orders_copurchase": SQL_ORDERS_COPURCHASE,
     "curation_pipeline_v2": SQL_CURATION_PIPELINE_V2,
+    "events_anomalies": SQL_EVENTS_ANOMALIES,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "events_distinct_rollup": SQL_EVENTS_DISTINCT_ROLLUP,
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
