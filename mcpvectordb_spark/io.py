@@ -66,3 +66,16 @@ def clear_table_cache() -> None:
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
+
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Expose the testdata tables as temp views so the whole engine surface
+    is reachable from raw ``spark.sql`` too (same normalized loaders —
+    events keeps its timestamp fix)."""
+    for name in tables or TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -102,3 +102,14 @@ def test_unverified_queries_inside_driver_window():
     names = list(entrymod.queries())
     out = {n: names.index(n) for n in R2_AWAITING_DRIVER_ROWS if names.index(n) >= 50}
     assert not out, f"queries outside the driver's 50-slot window: {out}"
+
+
+def test_register_views_sql_surface(spark):
+    from mcpvectordb_spark.io import register_views
+
+    register_views(spark, SF, ["lineitem", "events"])
+    n = spark.sql("SELECT COUNT(*) AS n FROM lineitem").first()["n"]
+    assert n > 1000
+    # events view carries the normalized LTZ timestamp (unix_micros works)
+    r = spark.sql("SELECT MAX(unix_micros(ts)) AS m FROM events").first()
+    assert r["m"] > 0
