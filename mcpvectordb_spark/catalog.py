@@ -82,6 +82,18 @@ def _sql_cos(a: str, b: str) -> str:
     )
 
 
+def _sql_sq8(v: str, s: str) -> str:
+    """Quantized code list: sign-split floor(|x|/s + 0.5) — the same IEEE
+    operation sequence as operators.knn._half_away, including the scale>0
+    zero-vector guard (sq8_quantize emits all-zero codes, never x/0)."""
+    return (
+        f"CASE WHEN {s} > 0 THEN "
+        f"list_transform({v}, x -> CASE WHEN x >= 0 THEN floor(x/{s} + 0.5) "
+        f"ELSE -floor(-x/{s} + 0.5) END) "
+        f"ELSE list_transform({v}, x -> 0.0) END"
+    )
+
+
 def _sql_lang_fragments() -> tuple[str, str]:
     """(marker-score SELECT list, argmax CASE) — the SQL twin of
     textstats.lang_id, shared by every oracle that classifies language."""
@@ -327,6 +339,102 @@ FROM cand ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement as a first-class query: recall@10 of every
+    approximate method (IVF nprobe=3, Matryoshka 16/64 dims, SQ8 int8
+    coarse) against the exact top-10 — 'measure, don't guess' folded into
+    the correctness gate itself, since the oracle recomputes each method's
+    candidate set in SQL and must land on the same recall numbers."""
+    from mcpvectordb_spark.operators.knn import knn_truncated_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    qv = _q_vec(spark, sf_dir)
+    exact = {r["vec_id"] for r in knn_topk(corpus, qv, 10, tie_col="vec_id").select("vec_id").collect()}
+
+    centroids = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    assigned = ivf_assign(emb, centroids, corpus_id="vec_id").filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    methods = {
+        "ivf": ivf_topk(assigned, centroids, qv, 10, nprobe=3, corpus_id="vec_id"),
+        "matryoshka": knn_truncated_topk(corpus, qv, k=10, dims_coarse=16, refine=4),
+        "sq8": knn_topk_sq8(corpus, qv, 10, refine_factor=4, tie_col="vec_id"),
+    }
+    rows = []
+    for name, df in sorted(methods.items()):
+        got = {r["vec_id"] for r in df.select("vec_id").collect()}
+        hits = len(got & exact)
+        rows.append((name, hits, round(hits / 10.0, 2)))
+    return spark.createDataFrame(rows, "method string, hits bigint, recall_at_10 double")
+
+
+_SQL_EXACT10 = f"""
+SELECT vec_id FROM (
+  WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+  c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> {QUERY_VEC_ID})
+  SELECT vec_id FROM c, q ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 10)
+"""
+
+_SQL_IVF10 = f"""
+SELECT vec_id FROM (
+  WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 10),
+  corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  assign AS (
+    SELECT vec_id, cid FROM (
+      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY {_sql_cos('v', 'cv')} DESC, cid) AS rn
+      FROM corpus, cents) WHERE rn = 1),
+  q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+  probe AS (SELECT cid FROM cents, q ORDER BY {_sql_cos('cv', 'qv')} DESC, cid LIMIT 3)
+  SELECT c.vec_id
+  FROM corpus c JOIN assign a ON a.vec_id = c.vec_id, q
+  WHERE a.cid IN (SELECT cid FROM probe) AND c.vec_id <> {QUERY_VEC_ID}
+  ORDER BY {_sql_cos('c.v', 'qv')} DESC, c.vec_id LIMIT 10)
+"""
+
+_SQL_MAT10 = f"""
+SELECT vec_id FROM (
+  WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+  c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}),
+  cand AS (
+    SELECT vec_id, v, qv FROM c, q
+    ORDER BY {_sql_cos('v[1:16]', 'qv[1:16]')} DESC, vec_id LIMIT 40)
+  SELECT vec_id FROM cand ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 10)
+"""
+
+_SQL_SQ810 = f"""
+SELECT vec_id FROM (
+  WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+  qs AS (SELECT qv, list_max(list_transform(qv, x -> abs(x)))/127.0 AS qscale FROM q),
+  qc AS (SELECT qv, qscale, {_sql_sq8('qv', 'qscale')} AS qcodes FROM qs),
+  c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}),
+  cs AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x)))/127.0 AS s FROM c),
+  cc AS (SELECT vec_id, v, s, {_sql_sq8('v', 's')} AS codes FROM cs),
+  cand AS (
+    SELECT vec_id, v FROM cc, qc
+    ORDER BY s * qscale * list_inner_product(codes, qcodes) DESC, vec_id
+    LIMIT 40)
+  SELECT vec_id FROM cand, q ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 10)
+"""
+
+SQL_ANN_RECALL = f"""
+WITH ex AS ({_SQL_EXACT10}),
+iv AS ({_SQL_IVF10}), mt AS ({_SQL_MAT10}), sq AS ({_SQL_SQ810})
+SELECT * FROM (
+  SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS hits, round(count(*)/10.0, 2) AS recall_at_10
+  FROM iv WHERE vec_id IN (SELECT vec_id FROM ex)
+  UNION ALL
+  SELECT 'matryoshka', CAST(count(*) AS BIGINT), round(count(*)/10.0, 2)
+  FROM mt WHERE vec_id IN (SELECT vec_id FROM ex)
+  UNION ALL
+  SELECT 'sq8', CAST(count(*) AS BIGINT), round(count(*)/10.0, 2)
+  FROM sq WHERE vec_id IN (SELECT vec_id FROM ex)
+) ORDER BY method
+"""
+
+
 def q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→document embedding mean-pooling (knn.py::
     mean_pool_embeddings): groups of 4 vectors pool to one L2-normalized
@@ -379,18 +487,6 @@ def q_knn_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         refine_factor=4, tie_col="vec_id",
     )
     return hits.select("vec_id", F.round("score", 6).alias("score"))
-
-
-def _sql_sq8(v: str, s: str) -> str:
-    """Quantized code list: sign-split floor(|x|/s + 0.5) — the same IEEE
-    operation sequence as operators.knn._half_away, including the scale>0
-    zero-vector guard (sq8_quantize emits all-zero codes, never x/0)."""
-    return (
-        f"CASE WHEN {s} > 0 THEN "
-        f"list_transform({v}, x -> CASE WHEN x >= 0 THEN floor(x/{s} + 0.5) "
-        f"ELSE -floor(-x/{s} + 0.5) END) "
-        f"ELSE list_transform({v}, x -> 0.0) END"
-    )
 
 
 SQL_KNN_SQ8_TOPK = f"""
@@ -3007,6 +3103,7 @@ QUERIES = {
     "orders_copurchase": q_orders_copurchase,
     "curation_pipeline_v2": q_curation_pipeline_v2,
     "events_anomalies": q_events_anomalies,
+    "ann_recall": q_ann_recall,
     "weighted_sample": q_weighted_sample,
     "hybrid_weighted": q_hybrid_weighted,
     "mixture_sample": q_mixture_sample,
@@ -3119,6 +3216,7 @@ ORACLES = {
     "orders_copurchase": SQL_ORDERS_COPURCHASE,
     "curation_pipeline_v2": SQL_CURATION_PIPELINE_V2,
     "events_anomalies": SQL_EVENTS_ANOMALIES,
+    "ann_recall": SQL_ANN_RECALL,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
     "events_distinct_rollup": SQL_EVENTS_DISTINCT_ROLLUP,
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
