@@ -636,6 +636,43 @@ ORDER BY n_orders DESC, pa ASC, pb ASC LIMIT 25
 """
 
 
+def q_orders_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit set-operation shapes (SURVEY §2.7): customers active in
+    1995 INTERSECT 1996, 1995 EXCEPT 1996, and the symmetric difference —
+    Spark's intersect/exceptAll-style plans vs plain SQL set ops."""
+    orders = load_table(spark, sf_dir, "orders")
+    year = F.year(F.col("o_orderdate"))
+    y95 = orders.filter(year == 1995).select("o_custkey").distinct()
+    y96 = orders.filter(year == 1996).select("o_custkey").distinct()
+    both = y95.intersect(y96)
+    only95 = y95.exceptAll(y96)
+    only96 = y96.exceptAll(y95)
+    rows = [
+        ("both_years", both), ("only_1995", only95), ("only_1996", only96),
+    ]
+    out = None
+    for name, df in rows:
+        r = df.agg(F.lit(name).alias("cohort"), F.count(F.lit(1)).cast("long").alias("n_customers"))
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("cohort")
+
+
+SQL_ORDERS_SETOPS = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT * FROM (
+  SELECT 'both_years' AS cohort, CAST(count(*) AS BIGINT) AS n_customers
+  FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+  UNION ALL
+  SELECT 'only_1995', CAST(count(*) AS BIGINT)
+  FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+  UNION ALL
+  SELECT 'only_1996', CAST(count(*) AS BIGINT)
+  FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+) ORDER BY cohort
+"""
+
+
 def q_list_libraries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-library rollup (reference list_libraries, SURVEY §2.4 A2)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -3101,6 +3138,7 @@ QUERIES = {
     "events_cohorts": q_events_cohorts,
     "events_asof_forward": q_events_asof_forward,
     "orders_copurchase": q_orders_copurchase,
+    "orders_setops": q_orders_setops,
     "curation_pipeline_v2": q_curation_pipeline_v2,
     "events_anomalies": q_events_anomalies,
     "ann_recall": q_ann_recall,
@@ -3214,6 +3252,7 @@ ORACLES = {
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,
     "orders_copurchase": SQL_ORDERS_COPURCHASE,
+    "orders_setops": SQL_ORDERS_SETOPS,
     "curation_pipeline_v2": SQL_CURATION_PIPELINE_V2,
     "events_anomalies": SQL_EVENTS_ANOMALIES,
     "ann_recall": SQL_ANN_RECALL,
