@@ -158,6 +158,11 @@ def main() -> None:
         big_docs, eval_docs, "id", "text", bloom_bits=1 << 20, bloom_k=3
     ).count())
 
+    from mcpvectordb_spark.operators.analytics import cohort_retention, funnel_counts
+
+    run("funnel_2m", lambda: funnel_counts(big_ev, ["view", "click", "purchase"]).count())
+    run("cohorts_2m", lambda: cohort_retention(big_ev, [1, 7]).count())
+
     print(json.dumps({"replicas": REPLICAS, "docs": n_docs, "vectors": n_vec,
                       "events": n_ev, "timings_sec": timings, "result_counts": counts}))
     spark.stop()
