@@ -2743,9 +2743,16 @@ def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram_partials/histogram_quantile): daily (type, bin) partials
     merged to per-type p50/p95 estimates.  Like the HLL rollup, the
     approximation quality is oracle-gated IN-PLAN: the emitted booleans
-    compare the estimate to the exact percentile within the histogram's
-    error bound (2 bin widths = 1.0 here); the oracle emits exact
-    percentiles and literal TRUE, so estimator drift fails the hash gate."""
+    compare the estimate to the exact DISCRETE percentile within one bin
+    width; the oracle emits exact percentiles and literal TRUE, so
+    estimator drift fails the hash gate.
+
+    Why percentile_disc, not percentile_cont: the rank-q order statistic
+    always lies inside the bin the cumulative walk lands on, so
+    |est − disc| ≤ bin width is a THEOREM.  The interpolated cont
+    quantile sits between two order statistics that can straddle distant
+    bins in a sparse tail — at sf0.001 that gap exceeded any fixed
+    tolerance (caught by the cross-scale sweep)."""
     from mcpvectordb_spark.operators.sketches import histogram_partials, histogram_quantile
 
     LO, HI, BINS = 0.0, 640.0, 1280  # bin width 0.5
@@ -2756,10 +2763,10 @@ def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = histogram_quantile(partials, ["event_type"], [0.5, 0.95], LO, HI, BINS)
     exact = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("x50"),
-        F.expr("percentile(value, 0.95)").alias("x95"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("x50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("x95"),
     )
-    tol = 2 * (HI - LO) / BINS
+    tol = (HI - LO) / BINS
     return (
         est.join(exact, "event_type")
         .select(
@@ -2775,8 +2782,8 @@ def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENTS_QUANTILE_SKETCH = """
 SELECT event_type,
-       round(quantile_cont(value, 0.5), 4) AS p50,
-       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_disc(value, 0.5), 4) AS p50,
+       round(quantile_disc(value, 0.95), 4) AS p95,
        TRUE AS p50_within_tol,
        TRUE AS p95_within_tol
 FROM events GROUP BY event_type ORDER BY event_type

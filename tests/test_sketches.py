@@ -131,12 +131,17 @@ def test_histogram_quantile_within_bin_bound(spark):
     exact = {
         r["grp"]: r
         for r in df.groupBy("grp")
-        .agg(F.expr("percentile(v, 0.5)").alias("x50"), F.expr("percentile(v, 0.95)").alias("x95"))
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("x50"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY v)").alias("x95"),
+        )
         .collect()
     }
     for g in ("g0", "g1"):
-        assert abs(est[g]["q_50"] - exact[g]["x50"]) <= 1.0
-        assert abs(est[g]["q_95"] - exact[g]["x95"]) <= 1.0
+        # vs the DISCRETE quantile the one-bin bound is a theorem (the
+        # rank-q order statistic lies inside the hit bin); wbin = 0.5
+        assert abs(est[g]["q_50"] - exact[g]["x50"]) <= 0.5
+        assert abs(est[g]["q_95"] - exact[g]["x95"]) <= 0.5
 
     # out-of-range values clamp to edge bins instead of being dropped
     edge = spark.createDataFrame([("g", 0, -5.0), ("g", 0, 1e6)], "grp string, day int, v double")
