@@ -1493,6 +1493,45 @@ FROM keyed ORDER BY k DESC, doc_id ASC LIMIT 120
 """
 
 
+def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile length-bucketing for curriculum ordering (curation.py::
+    length_buckets): quartile thresholds computed once (scalar broadcast),
+    assignment a pure projection — no global ntile window."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = cu.length_buckets(docs.select("doc_id", "n_chars"), "doc_id", "n_chars", n_buckets=4)
+    return (
+        out.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_len"),
+            F.max("n_chars").cast("long").alias("max_len"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_LENGTH_CURRICULUM = """
+WITH t AS (
+  SELECT quantile_disc(n_chars, 0.25) AS t0,
+         quantile_disc(n_chars, 0.5)  AS t1,
+         quantile_disc(n_chars, 0.75) AS t2
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_chars,
+         1 + CASE WHEN n_chars > t0 THEN 1 ELSE 0 END
+           + CASE WHEN n_chars > t1 THEN 1 ELSE 0 END
+           + CASE WHEN n_chars > t2 THEN 1 ELSE 0 END AS bucket
+  FROM documents CROSS JOIN t
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_len,
+       CAST(max(n_chars) AS BIGINT) AS max_len
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: hash-gated Bernoulli with
     per-language rates — a pure filter (no RNG, no shuffle), identical
@@ -3146,6 +3185,7 @@ QUERIES = {
     "events_asof_forward": q_events_asof_forward,
     "orders_copurchase": q_orders_copurchase,
     "orders_setops": q_orders_setops,
+    "length_curriculum": q_length_curriculum,
     "curation_pipeline_v2": q_curation_pipeline_v2,
     "events_anomalies": q_events_anomalies,
     "ann_recall": q_ann_recall,
@@ -3260,6 +3300,7 @@ ORACLES = {
     "events_asof_forward": SQL_EVENTS_ASOF_FORWARD,
     "orders_copurchase": SQL_ORDERS_COPURCHASE,
     "orders_setops": SQL_ORDERS_SETOPS,
+    "length_curriculum": SQL_LENGTH_CURRICULUM,
     "curation_pipeline_v2": SQL_CURATION_PIPELINE_V2,
     "events_anomalies": SQL_EVENTS_ANOMALIES,
     "ann_recall": SQL_ANN_RECALL,

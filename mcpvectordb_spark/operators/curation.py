@@ -461,3 +461,35 @@ def weighted_sample(
         .withColumn("sample_key", F.round("_aes_key", 9))
         .drop("_aes_key")
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    n_buckets: int = 4,
+) -> DataFrame:
+    """Quantile length-bucketing for curriculum ordering / padding-efficient
+    batching: documents bucket by which inter-quantile band their length
+    falls in.  A global ``ntile`` would be a single-partition window; here
+    the n-1 DISCRETE quantile thresholds are computed once (tiny scalar
+    row, broadcast back), and assignment is a pure projection — so the
+    operator is one aggregate + a map-side comparison at any scale.
+
+    Bucket b (1-based) = 1 + #(thresholds strictly below the value), with
+    thresholds at ranks q = i/n — deterministic, and exactly mirrorable in
+    SQL via quantile_disc."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    thresholds = df.agg(
+        *[
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {length_col})").alias(f"_t{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    out = df.crossJoin(F.broadcast(thresholds))
+    bucket = F.lit(1)
+    for i in range(len(qs)):
+        bucket = bucket + F.when(F.col(length_col) > F.col(f"_t{i}"), 1).otherwise(0)
+    return out.withColumn("bucket", bucket.cast("int")).drop(
+        *[f"_t{i}" for i in range(len(qs))]
+    )

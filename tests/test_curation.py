@@ -223,3 +223,17 @@ def test_bloom_prune_is_lossless_superset(spark):
         train, eval_df, "id", "text", bloom_bits=1 << 16, bloom_k=3
     ).orderBy("id").collect()
     assert plain == bloomed and len(plain) > 0
+
+
+def test_length_buckets_quantile_assignment(spark):
+    from mcpvectordb_spark.operators.curation import length_buckets
+
+    df = spark.createDataFrame([(i, i) for i in range(1, 101)], "id long, n long")
+    out = length_buckets(df, "id", "n", n_buckets=4)
+    buckets = {r["id"]: r["bucket"] for r in out.collect()}
+    assert buckets[1] == 1 and buckets[25] == 1     # ≤ p25 threshold (=25)
+    assert buckets[26] == 2 and buckets[50] == 2
+    assert buckets[51] == 3 and buckets[75] == 3
+    assert buckets[76] == 4 and buckets[100] == 4
+    sizes = out.groupBy("bucket").count().orderBy("bucket").collect()
+    assert [r["count"] for r in sizes] == [25, 25, 25, 25]

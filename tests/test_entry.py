@@ -89,7 +89,7 @@ R2_AWAITING_DRIVER_ROWS = [
     "knn_matryoshka", "decontaminate_bloom", "stream_sessions", "stream_dedup",
     "dedup_lines", "dedup_spans", "mixture_sample", "pack_sequences",
     "events_incremental_rollup", "events_quantile_sketch", "hybrid_weighted",
-    "events_funnel", "events_cohorts", "events_asof_forward", "orders_copurchase", "orders_setops",
+    "events_funnel", "events_cohorts", "events_asof_forward", "orders_copurchase", "orders_setops", "length_curriculum",
     "curation_pipeline_v2", "events_anomalies", "ann_recall",
     # r01-unchecked carryovers
     "tpch_q2", "tpch_q16", "tpch_q22", "top_orders_per_priority",
