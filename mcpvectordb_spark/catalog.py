@@ -3174,7 +3174,6 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     # -- new round-2 queries --
     "dedup_lines": q_dedup_lines,
-    "dedup_spans": SQL_DEDUP_SPANS,
     "dedup_spans": q_dedup_spans,
     "events_heavy_hitters": q_events_heavy_hitters,
     "knn_matryoshka": q_knn_matryoshka,

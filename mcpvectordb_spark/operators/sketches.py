@@ -212,8 +212,16 @@ def histogram_quantile(
     histogram rows.  For each q: walk the cumulative counts to the bin
     containing rank q·N and interpolate linearly inside it; estimate error
     is bounded by one bin width ((hi-lo)/n_bins).  Output: one row per
-    group with a ``q_<pct>`` column per requested quantile."""
+    group with a ``q_<pct>`` column per requested quantile.
+
+    qs must lie in (0, 1]: q=0 has no containing bin (cum_prev < 0 never
+    holds), and because per-quantile results join inner, a silent q=0
+    would drop every group — so it raises instead."""
     from pyspark.sql import Window
+
+    bad = [q for q in qs if not (0.0 < q <= 1.0)]
+    if bad:
+        raise ValueError(f"quantiles must be in (0, 1], got {bad}")
 
     wbin = (hi - lo) / n_bins
     merged = partials.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))

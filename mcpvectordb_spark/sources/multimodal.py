@@ -298,15 +298,21 @@ def parse_video_header(payload: bytes) -> dict | None:
             for ctype, cs, ce in walk(payload, bs, be):
                 if ctype == b"mvhd" and ce - cs >= 20:
                     version = payload[cs]
-                    if version == 1:
+                    # v1 widens creation/modification/duration to 64-bit, so the
+                    # fields we unpack sit at cs+20..cs+32 — guard per version.
+                    if version == 1 and ce - cs >= 32:
                         timescale, duration = struct.unpack(">IQ", payload[cs + 20 : cs + 32])
-                    else:
+                    elif version == 0:
                         timescale, duration = struct.unpack(">II", payload[cs + 12 : cs + 20])
+                    else:
+                        continue  # truncated v1 (or unknown version): skip box
                     out["duration_s"] = duration / timescale if timescale else 0.0
                 elif ctype == b"trak":
                     for ttype, ts_, te in walk(payload, cs, ce):
                         if ttype == b"tkhd" and te - ts_ >= 84:
                             version = payload[ts_]
+                            if version == 1 and te - ts_ < 96:
+                                continue  # truncated v1 box: width/height absent
                             off = ts_ + (96 if version == 1 else 84) - 8
                             w16, h16 = struct.unpack(">II", payload[off : off + 8])
                             out["width"] = max(out["width"], w16 >> 16)
@@ -332,7 +338,12 @@ def probe_video_metadata(df: "DataFrame", fake: bool = True) -> "DataFrame":
             rows = []
             for rec in pdf.to_dict(orient="records"):
                 payload = bytes(rec["payload"] or b"")
-                meta = parse_video_header(payload)
+                try:
+                    meta = parse_video_header(payload)
+                except Exception:
+                    # malformed container bytes must degrade to the fake/error
+                    # path, never kill the job (same policy as the WARC source)
+                    meta = None
                 if meta is None:
                     if not fake:
                         raise NotImplementedError(

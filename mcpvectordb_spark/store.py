@@ -108,13 +108,13 @@ class ChunkStore:
     def _migrate(df: DataFrame) -> DataFrame:
         """Read-side schema migration (reference store.py:96-116): tables
         written before the file_type / last_modified / page columns read
-        with the reference's migration defaults ('unknown' / '' / 0)
-        instead of NULL.  Pure projection — parquet fills absent columns
-        with NULL under an explicit read schema, so no rewrite is needed
-        and current-schema rows pass through untouched."""
+        with the reference's migration defaults ('' / '' / 0) instead of
+        NULL.  Pure projection — parquet fills absent columns with NULL
+        under an explicit read schema, so no rewrite is needed and
+        current-schema rows pass through untouched."""
         return df.withColumns(
             {
-                "file_type": F.coalesce(F.col("file_type"), F.lit("unknown")),
+                "file_type": F.coalesce(F.col("file_type"), F.lit("")),
                 "last_modified": F.coalesce(F.col("last_modified"), F.lit("")),
                 "page": F.coalesce(F.col("page"), F.lit(0)),
             }

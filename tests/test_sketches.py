@@ -147,3 +147,17 @@ def test_histogram_quantile_within_bin_bound(spark):
     edge = spark.createDataFrame([("g", 0, -5.0), ("g", 0, 1e6)], "grp string, day int, v double")
     bins = histogram_partials(edge, ["grp"], "v", 0.0, 100.0, 10).collect()
     assert sorted(r["bin"] for r in bins) == [0, 9]
+
+
+def test_histogram_quantile_rejects_q_zero(spark):
+    """q=0 never matches a bin and would inner-join every group away —
+    the operator raises instead of silently returning an empty frame."""
+    import pytest
+
+    from mcpvectordb_spark.operators.sketches import histogram_partials, histogram_quantile
+
+    df = spark.createDataFrame([("g", 1.0), ("g", 2.0)], "grp string, v double")
+    partials = histogram_partials(df, ["grp"], "v", 0.0, 10.0, 10)
+    for bad in ([0.0], [0.5, 0.0], [-0.1], [1.5]):
+        with pytest.raises(ValueError, match="quantiles must be in"):
+            histogram_quantile(partials, ["grp"], bad, 0.0, 10.0, 10)

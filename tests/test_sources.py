@@ -150,6 +150,31 @@ def test_video_probe_mp4_and_avi(spark):
     assert abs(rows["v2"]["duration_s"] - 10.0) < 1e-9
 
 
+def test_video_probe_truncated_v1_boxes_fall_back(spark):
+    """A v1 mvhd/tkhd cut short of its 64-bit fields must not raise
+    struct.error out of the probe — it degrades to the fake row."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    # version=1 mvhd with only 24 body bytes (v1 needs >=32) and a v1 tkhd
+    # with only 88 (v1 needs >=96): both previously slipped past the v0-sized
+    # guards and crashed struct.unpack.
+    mvhd_v1 = b"\x01" + bytes(23)
+    tkhd_v1 = b"\x01" + bytes(87)
+    moov = box(b"moov", box(b"mvhd", mvhd_v1) + box(b"trak", box(b"tkhd", tkhd_v1)))
+    bad = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+    assert parse_video_header(bad) is None  # truncated boxes skipped, no crash
+
+    media = spark.createDataFrame(
+        [("vbad", "video", "video/mp4", bytearray(bad), "{}")], MEDIA_SCHEMA
+    )
+    row = probe_video_metadata(media, fake=True).first()
+    assert row["container"] == "fake"  # degraded, job alive
+
+
 def test_fetch_urls_error_rows(spark):
     out = fetch_urls(spark, ["http://127.0.0.1:1/nope"]).collect()
     assert len(out) == 1

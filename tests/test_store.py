@@ -346,7 +346,7 @@ def test_legacy_table_reads_with_migration_defaults(spark, tmp_path):
     legacy.write.partitionBy("library").parquet(path)
 
     row = ChunkStore(spark, path, TEST).read().first()
-    assert row["file_type"] == "unknown"
+    assert row["file_type"] == ""
     assert row["last_modified"] == ""
     assert row["page"] == 0
     assert row["content"] == "hello world"
