@@ -2448,10 +2448,34 @@ WHERE rn <= 3
 # 8. Non-SQL-expressible operators (rows-only driver check)
 # ===========================================================================
 
+def _digest_gate(df: DataFrame) -> DataFrame:
+    """Collapse a fully-deterministic result to one (n_rows, digest) row,
+    computed in-plan: every row is rendered to a string (columns joined with
+    0x1f, NULL → 0x00), the row-strings are canonically sorted, and the md5
+    of their 0x1e-join is taken.  The matching oracle is a constant SELECT
+    of the golden (n_rows, digest) captured at sf0.01 — turning a
+    rows-only driver row into a real pass/fail value check for queries
+    whose computation (chunker/embedder/byte kernels) DuckDB cannot run.
+    Regenerate goldens with tools/regen_digests.py after any intended
+    behavior change."""
+    rowstr = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns]
+    )
+    return df.select(rowstr.alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.md5(F.concat_ws("\x1e", F.array_sort(F.collect_list("r")))).alias("digest"),
+    )
+
+
+def _sql_digest_gold(n_rows: int, digest: str) -> str:
+    return f"SELECT CAST({n_rows} AS BIGINT) AS n_rows, '{digest}' AS digest"
+
+
 def q_ingest_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ingest pipeline (convert→chunk→embed→store) over the documents
     table; returns per-library doc/chunk counts.  The recursive chunker is
-    not SQL-expressible → rows-only check."""
+    not SQL-expressible, but the output is deterministic (hash embedder,
+    content-hash doc ids) → golden-digest gate."""
     import tempfile
 
     from mcpvectordb_spark.config import TEST
@@ -2467,10 +2491,11 @@ def q_ingest_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = ChunkStore(spark, tempfile.mkdtemp(prefix="chunks_"), TEST)
     ingest_batch(raw, store, TEST, created_at="2026-01-01T00:00:00+00:00")
-    return store.read().groupBy("library").agg(
+    counts = store.read().groupBy("library").agg(
         F.countDistinct("doc_id").alias("document_count"),
         F.count(F.lit(1)).alias("chunk_count"),
     )
+    return _digest_gate(counts)
 
 
 def q_search_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2494,7 +2519,7 @@ def q_search_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest_batch(raw, store, TEST, created_at="2026-01-01T00:00:00+00:00")
     qv = HashEmbedder(dim=TEST.embedding_dim, config=TEST).embed_query(SEARCH_QUERY)
     hits = knn_topk(store.read(), list(map(float, qv)), 10, tie_col="id")
-    return hits.select("id", "library", F.round("score", 6).alias("score"))
+    return _digest_gate(hits.select("id", "library", F.round("score", 6).alias("score")))
 
 
 def q_neardup_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2505,7 +2530,7 @@ def q_neardup_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.embedding_neardup_pairs_lsh(
         emb, "vec_id", "embedding", threshold=0.35, num_planes=4, num_tables=8
     )
-    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    return _digest_gate(pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2552,13 +2577,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
     feats = extract_audio_features(media, dim=8, fake=False)
-    return feats.select(
-        "media_id",
-        F.round("duration_s", 6).alias("duration_s"),
-        "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("rms_w1"),
-        F.round(F.element_at("features", 5), 6).alias("zcr_w1"),
-    ).orderBy("media_id")
+    return _digest_gate(
+        feats.select(
+            "media_id",
+            F.round("duration_s", 6).alias("duration_s"),
+            "n_bytes",
+            F.round(F.element_at("features", 1), 6).alias("rms_w1"),
+            F.round(F.element_at("features", 5), 6).alias("zcr_w1"),
+        )
+    )
 
 
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2596,15 +2623,12 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack, schema="archive string, content binary"
     )
     records = parse_warc_stage(archives)
-    return (
-        records.groupBy("archive")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_records"),
-            F.sum("n_bytes").cast("long").alias("payload_bytes"),
-            F.count(F.when(F.col("http_status") == 200, 1)).cast("long").alias("n_ok"),
-        )
-        .orderBy("archive")
+    per_archive = records.groupBy("archive").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("n_bytes").cast("long").alias("payload_bytes"),
+        F.count(F.when(F.col("http_status") == 200, 1)).cast("long").alias("n_ok"),
     )
+    return _digest_gate(per_archive)
 
 
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3152,7 +3176,71 @@ FROM s GROUP BY dom
 # (already driver-verified in an earlier round) rotate to the tail, where
 # tools/check_parity.py still covers them locally.
 QUERIES = {
-    # -- r01-unchecked, oracle-backed (17) --
+    # -- new round-3 queries go here (never driver-checked) --
+    # -- r01 cohort (49): driver rows only from round 1; code has churned two
+    # -- rounds since, so they fill the r03 window for re-verification --
+    "knn_topk": q_knn_topk,
+    "knn_batch": q_knn_batch,
+    "knn_filtered": q_knn_filtered,
+    "ivf_topk": q_ivf_topk,
+    "knn_sq8_topk": q_knn_sq8_topk,
+    "bm25_topk": q_bm25_topk,
+    "hybrid_rrf": q_hybrid_rrf,
+    "list_libraries": q_list_libraries,
+    "list_documents": q_list_documents,
+    "get_document": q_get_document,
+    "semi_join_lookup": q_semi_join_lookup,
+    "delete_antijoin": q_delete_antijoin,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "decontaminate": q_decontaminate,
+    "domain_quota": q_domain_quota,
+    "sample_stratified": q_sample_stratified,
+    "train_shards": q_train_shards,
+    "pii_scrub": q_pii_scrub,
+    "curation_pipeline": q_curation_pipeline,
+    "corpus_token_stats": q_corpus_token_stats,
+    "text_repetition": q_text_repetition,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "events_json": q_events_json,
+    "events_asof_join": q_events_asof_join,
+    "events_interval_join": q_events_interval_join,
+    "events_distinct_rollup": q_events_distinct_rollup,
+    "events_percentiles": q_events_percentiles,
+    "events_running": q_events_running,
+    "events_range_frame": q_events_range_frame,
+    "orders_analytics": q_orders_analytics,
+    "orders_rollup": q_orders_rollup,
+    "orders_pivot": q_orders_pivot,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q13": q_tpch_q13,
+    # -- deterministic, golden-digest gated (round 3): sit at the window edge
+    # -- so the first of them gets a driver pass/fail row this round --
+    "ingest_chunks": q_ingest_chunks,
+    "search_ingested": q_search_ingested,
+    "neardup_lsh_embeddings": q_neardup_lsh_embeddings,
+    "multimodal_features": q_multimodal_features,
+    "warc_ingest": q_warc_ingest,
+    # -- streams: rows-only by design (COVERAGE.md) --
+    "stream_hourly": q_stream_hourly,
+    "stream_join": q_stream_join,
+    "stream_sessions": q_stream_sessions,
+    "stream_dedup": q_stream_dedup,
+    # ---------------- tail: stable r02 greens (driver-verified) ----------------
     **TPCH_EXT_QUERIES,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
@@ -3160,19 +3248,7 @@ QUERIES = {
     "tpch_q21": q_tpch_q21,
     "tpch_q22": q_tpch_q22,
     "top_orders_per_priority": q_top_orders_per_priority,
-    # -- r01-unchecked, rows-only (5) --
-    "ingest_chunks": q_ingest_chunks,
-    "search_ingested": q_search_ingested,
-    "neardup_lsh_embeddings": q_neardup_lsh_embeddings,
-    "multimodal_features": q_multimodal_features,
-    "warc_ingest": q_warc_ingest,
-    "stream_hourly": q_stream_hourly,
-    "stream_join": q_stream_join,
-    "stream_sessions": q_stream_sessions,
-    "stream_dedup": q_stream_dedup,
-    # -- r01 red (driver hash) --
     "pack_sequences": q_pack_sequences,
-    # -- new round-2 queries --
     "dedup_lines": q_dedup_lines,
     "dedup_spans": q_dedup_spans,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -3196,60 +3272,16 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "doc_embeddings": q_doc_embeddings,
     "decontaminate_bloom": q_decontaminate_bloom,
-    # -- r01-green, rotated into the window (churn-riskiest families) --
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_sig": q_dedup_minhash_sig,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "decontaminate": q_decontaminate,
-    "domain_quota": q_domain_quota,
-    "sample_stratified": q_sample_stratified,
-    "train_shards": q_train_shards,
-    "pii_scrub": q_pii_scrub,
-    "curation_pipeline": q_curation_pipeline,
-    "corpus_token_stats": q_corpus_token_stats,
-    "text_repetition": q_text_repetition,
-    "events_hourly": q_events_hourly,
-    "events_sessions": q_events_sessions,
-    "events_json": q_events_json,
-    "events_asof_join": q_events_asof_join,
-    "events_interval_join": q_events_interval_join,
-    "events_distinct_rollup": q_events_distinct_rollup,
-    "events_percentiles": q_events_percentiles,
-    "events_running": q_events_running,
-    "events_range_frame": q_events_range_frame,
-    "orders_analytics": q_orders_analytics,
-    "orders_rollup": q_orders_rollup,
-    "orders_pivot": q_orders_pivot,
-    # ---------------- tail: stable r01 greens (driver-verified) ----------------
-    "knn_topk": q_knn_topk,
-    "knn_batch": q_knn_batch,
-    "knn_filtered": q_knn_filtered,
-    "ivf_topk": q_ivf_topk,
-    "knn_sq8_topk": q_knn_sq8_topk,
-    "bm25_topk": q_bm25_topk,
-    "hybrid_rrf": q_hybrid_rrf,
-    "list_libraries": q_list_libraries,
-    "list_documents": q_list_documents,
-    "get_document": q_get_document,
-    "semi_join_lookup": q_semi_join_lookup,
-    "delete_antijoin": q_delete_antijoin,
-    "text_tokens": q_text_tokens,
-    "text_quality": q_text_quality,
-    "text_langid": q_text_langid,
-    "text_fingerprint": q_text_fingerprint,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q4": q_tpch_q4,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q13": q_tpch_q13,
 }
 
 ORACLES = {
+    # -- golden-digest gates (deterministic non-SQL queries; constants from
+    # -- tools/regen_digests.py at sf0.01 — double-run verified) --
+    "ingest_chunks": _sql_digest_gold(5, "e5e2c8732cadb9460796d38f249b6336"),
+    "search_ingested": _sql_digest_gold(10, "8fe65a60b1876bec1897acd65e84ac2a"),
+    "neardup_lsh_embeddings": _sql_digest_gold(194, "6f58a0fe80114093f7a418159120bc34"),
+    "multimodal_features": _sql_digest_gold(200, "1cefe1a043fec9d1071b428ea152f000"),
+    "warc_ingest": _sql_digest_gold(4, "0f4b56356626108a612ccc6b91b59750"),
     "knn_topk": SQL_KNN_TOPK,
     "knn_batch": SQL_KNN_BATCH,
     "knn_filtered": SQL_KNN_FILTERED,
