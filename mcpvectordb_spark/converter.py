@@ -3,10 +3,12 @@
 The reference shells 25 formats through MarkItDown (/root/reference/src/
 mcpvectordb/converter.py:44-68, allowlist 13-39).  Here: text formats are
 converted with dependency-free logic; pdf/docx/pptx/xlsx go through the
-pure-stdlib extractors in :mod:`mcpvectordb_spark.extractors`; only the
-OCR/ASR formats (images, audio) remain stubbed — those produce a
-``failed`` status row with a clear error, never an exception (the
-batch-continues contract, ingestor.py:104-118).
+pure-stdlib extractors in :mod:`mcpvectordb_spark.extractors`; zip
+archives convert member-by-member through the same converter (stdlib
+``zipfile``); only the OCR/ASR formats (images, audio) and legacy
+doc/ppt/xls remain stubbed — those produce a ``failed`` status row with a
+clear error, never an exception (the batch-continues contract,
+ingestor.py:104-118).
 
 Shape: an Arrow-batched ``mapInPandas`` stage over binaryFile rows — the
 UDF-singleton pattern the heavy converter would use (SURVEY.md §2.1 S4).
@@ -28,9 +30,11 @@ if TYPE_CHECKING:
 _TAG_RE = re.compile(r"<script.*?</script>|<style.*?</style>|<[^>]+>", re.S | re.I)
 
 
-def convert_bytes(raw: bytes, file_type: str) -> str:
+def convert_bytes(raw: bytes, file_type: str, _depth: int = 0) -> str:
     """Pure converter for one payload. Raises on unsupported binary formats
     (caller converts the exception into an error row)."""
+    if file_type == "zip":
+        return _convert_zip(raw, _depth)
     if file_type in ("txt", "md", "markdown", "csv"):
         return raw.decode("utf-8", errors="replace")
     if file_type == "json":
@@ -59,6 +63,45 @@ def convert_bytes(raw: bytes, file_type: str) -> str:
             f"converter for '{file_type}' requires OCR/ASR — not available in this environment"
         )
     raise ValueError(f"unsupported format: {file_type!r}")
+
+
+# zip members whose payload would decompress beyond this are skipped with a
+# note instead of inflated — a single hostile member must not OOM the task.
+_ZIP_MEMBER_CAP = 50 * 1024 * 1024
+_ZIP_MAX_DEPTH = 2  # zip-in-zip is followed once; deeper nesting is noted
+
+
+def _convert_zip(raw: bytes, depth: int) -> str:
+    """Zip archives convert member-by-member through this same converter and
+    concatenate with a per-member heading (the reference's zip path:
+    converter.py:13-39 routes .zip through MarkItDown, whose ZipConverter
+    does exactly this).  Member order is archive order — deterministic for
+    a given file.  Unconvertible members become inline notes, not failures:
+    one bad member must not sink the whole archive (the reference's
+    batch-continues contract at the member level)."""
+    import io
+    import zipfile
+
+    if depth >= _ZIP_MAX_DEPTH:
+        raise ValueError(f"zip nesting deeper than {_ZIP_MAX_DEPTH} levels")
+    parts: list[str] = []
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        for info in zf.infolist():
+            if info.is_dir():
+                continue
+            name = info.filename
+            ext = name.rsplit(".", 1)[-1].lower() if "." in name else ""
+            parts.append(f"## {name}")
+            if info.file_size > _ZIP_MEMBER_CAP:
+                parts.append(f"[skipped: member exceeds {_ZIP_MEMBER_CAP} bytes]")
+                continue
+            try:
+                parts.append(convert_bytes(zf.read(info), ext, _depth=depth + 1))
+            except Exception as exc:
+                parts.append(f"[unconverted: {type(exc).__name__}: {exc}]")
+    if not parts:
+        return ""
+    return "\n\n".join(parts)
 
 
 def convert_stage(

@@ -262,6 +262,77 @@ def test_extract_ooxml_formats():
     assert "name\t42" in xlsx and "widget\t3.5" in xlsx  # shared strings resolved
 
 
+def _zip_fixture() -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("notes/readme.txt", "plain zip member text")
+        zf.writestr("page.html", "<html><body><p>html member body</p></body></html>")
+        zf.writestr("memo.docx", _ooxml_fixture("docx"))
+        zf.writestr("photo.png", b"\x89PNG not really")  # OCR format → inline note
+    return buf.getvalue()
+
+
+def test_convert_zip_members_through_same_converter():
+    text = convert_bytes(_zip_fixture(), "zip")
+    # each member under its own heading, converted by its own format rule
+    assert "## notes/readme.txt" in text and "plain zip member text" in text
+    assert "html member body" in text and "<p>" not in text  # html stripped
+    assert "First docx para joined run" in text  # docx extractor ran
+    # un-convertible member becomes an inline note, not a failure
+    assert "## photo.png" in text and "[unconverted:" in text
+    # member order is archive order
+    assert text.index("readme.txt") < text.index("page.html") < text.index("memo.docx")
+
+
+def test_convert_zip_nested_and_depth_limit():
+    import io
+    import zipfile
+
+    inner = _zip_fixture()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("inner.zip", inner)
+    outer = buf.getvalue()
+    text = convert_bytes(outer, "zip")
+    assert "plain zip member text" in text  # one nesting level is followed
+
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as zf:
+        zf.writestr("outer.zip", outer)
+    # third level is noted inline, never infinite recursion
+    text2 = convert_bytes(buf2.getvalue(), "zip")
+    assert "[unconverted: ValueError: zip nesting deeper" in text2
+
+
+def test_zip_ingests_end_to_end(spark, tmp_path):
+    """A .zip in a scanned folder ingests as ONE document whose content is
+    the member-wise conversion (reference converter.py:13-39 routes zip
+    through the same convert step)."""
+    from mcpvectordb_spark.config import TEST
+    from mcpvectordb_spark.ingest import ingest_batch, rollup_results
+    from mcpvectordb_spark.store import ChunkStore
+    from pyspark.sql import functions as F
+
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "bundle.zip").write_bytes(_zip_fixture())
+    converted = convert_stage(read_folder(spark, str(tmp_path / "in")))
+    raw_docs = converted.select(
+        "source",
+        F.lit("ziplib").alias("library"),
+        F.col("content"),
+        F.lit(None).cast("string").alias("metadata"),
+    )
+    store = ChunkStore(spark, str(tmp_path / "chunks"), TEST)
+    res = ingest_batch(raw_docs, store, TEST, created_at="2026-01-01T00:00:00+00:00")
+    assert {r["status"]: r["n"] for r in rollup_results(res).collect()} == {"indexed": 1}
+    doc = store.list_documents(limit=10)[0]
+    content = store.get_document(doc["doc_id"])["content"]
+    assert "plain zip member text" in content and "First docx para" in content
+
+
 def test_binary_fixture_ingests_end_to_end(spark, tmp_path):
     """A binary (pdf + docx) folder ingests through scan → convert →
     chunk/embed → store, the round-1 judge's S4 'done' criterion."""
