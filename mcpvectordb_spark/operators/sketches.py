@@ -72,6 +72,14 @@ def heavy_hitters(
     the operator falls back to the exact full groupBy.  The result is
     therefore ALWAYS the exact top-k (ties broken on the key value, so the
     output is total-ordered and oracle-comparable).
+
+    Exactly TWO passes over the data on the non-degenerate path: the MG
+    pass also emits one sentinel row per partition carrying that
+    partition's non-null row count (key=NULL, pn=n_p); the tiny MG output
+    (≤ capacity+1 rows/partition) is cached, and the guard's N is the sum
+    of the sentinels — no third full count() scan
+    (tests/test_sketches.py::test_heavy_hitters_two_scans pins this with a
+    row-visit accumulator).
     """
     from pyspark.sql import Window
 
@@ -81,10 +89,12 @@ def heavy_hitters(
         import pandas as pd
 
         counters: dict[str, int] = {}
+        n_p = 0
         for pdf in batches:
             for key, cnt in pdf["key"].value_counts().items():
                 if key is None:
                     continue
+                n_p += int(cnt)
                 counters[key] = counters.get(key, 0) + int(cnt)
             if len(counters) > capacity:
                 # MG decrement: subtract the (capacity+1)-th largest count
@@ -92,40 +102,53 @@ def heavy_hitters(
                 # classic one-at-a-time decrement (same survival bound).
                 cut = sorted(counters.values(), reverse=True)[capacity]
                 counters = {key: c - cut for key, c in counters.items() if c > cut}
-        if counters:
-            yield pd.DataFrame({"key": list(counters.keys())})
+        if n_p:
+            # candidates + one sentinel (key=NULL) with the partition size
+            yield pd.DataFrame(
+                {"key": list(counters.keys()) + [None],
+                 "pn": [0] * len(counters) + [n_p]}
+            )
 
-    candidates = key_df.mapInPandas(mg_partition, schema="key string").distinct()
+    mg = key_df.mapInPandas(mg_partition, schema="key string, pn long").persist()
+    try:
+        # materializes the cache; everything below reads the tiny MG output
+        n_total = mg.agg(F.sum("pn")).collect()[0][0] or 0
+        candidates = mg.where(F.col("key").isNotNull()).select("key").distinct()
 
-    exact = (
-        key_df.join(F.broadcast(candidates), "key")
-        .groupBy("key")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    # TakeOrderedAndProject (distributed top-k), then rank the k survivors —
-    # never a global single-partition window over the full key set.
-    def rank_topk(counts: DataFrame) -> DataFrame:
-        w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
-        return (
-            counts.orderBy(F.col("cnt").desc(), F.col("key").asc())
-            .limit(k)
-            .withColumn("rank", F.row_number().over(w))
-            .select("key", "cnt", "rank")
-        )
-
-    topk = rank_topk(exact)
-    rows = topk.collect()
-    n_total = key_df.where(F.col("key").isNotNull()).count()
-    bound = n_total / capacity
-    if len(rows) < k or (rows and min(r["cnt"] for r in rows) <= bound):
-        # guard tripped: rank-k sits below the MG survival bound — recount
-        # everything (still one keyed agg; correctness over cleverness).
-        topk = rank_topk(
-            key_df.where(F.col("key").isNotNull())
+        exact = (
+            key_df.join(F.broadcast(candidates), "key")
             .groupBy("key")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         )
-    return topk
+        # TakeOrderedAndProject (distributed top-k), then rank the k
+        # survivors — never a global single-partition window over the full
+        # key set.
+        def rank_topk(counts: DataFrame) -> DataFrame:
+            w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+            return (
+                counts.orderBy(F.col("cnt").desc(), F.col("key").asc())
+                .limit(k)
+                .withColumn("rank", F.row_number().over(w))
+                .select("key", "cnt", "rank")
+            )
+
+        rows = rank_topk(exact).collect()
+        bound = n_total / capacity
+        if len(rows) < k or (rows and min(r["cnt"] for r in rows) <= bound):
+            # guard tripped: rank-k sits below the MG survival bound —
+            # recount everything (one keyed agg; correctness over
+            # cleverness).
+            rows = rank_topk(
+                key_df.where(F.col("key").isNotNull())
+                .groupBy("key")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            ).collect()
+        # return the already-computed k rows materialized: a lazy plan would
+        # re-run both scans (and re-read the unpersisted MG output) when the
+        # caller triggers its own action.
+        return df.sparkSession.createDataFrame(rows, "key string, cnt long, rank int")
+    finally:
+        mg.unpersist()
 
 
 ROLLUP_MOMENTS = ("n_rows", "sum_v", "min_v", "max_v", "sum_sq")

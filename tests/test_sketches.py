@@ -77,6 +77,28 @@ def test_heavy_hitters_guard_falls_back_when_flat(spark):
     ]
 
 
+def test_heavy_hitters_two_scans(spark):
+    """The non-degenerate path reads the input exactly twice (MG pass +
+    candidate recount): the exactness-guard N comes from sentinel rows in
+    the cached MG output, not a third count() scan.  Pinned by a row-visit
+    accumulator on the input."""
+    from mcpvectordb_spark.operators.sketches import heavy_hitters
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tag(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    n = 4000
+    base = spark.range(n).selectExpr("concat('u', id % 20) AS user").repartition(8)
+    df = base.mapInPandas(tag, schema="user string")
+    got = heavy_hitters(df, "user", k=10, capacity=64).collect()
+    assert len(got) == 10 and got[0]["cnt"] == 200
+    assert acc.value == 2 * n, f"expected 2 passes ({2 * n} row-visits), saw {acc.value}"
+
+
 def test_rollup_partials_merge_exact_and_incremental(spark):
     """Moments merged from fine partials == direct aggregation, and an
     incremental refresh (append one new partial, re-merge) matches a full
