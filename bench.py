@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "doc_embeddings",        # chunk→doc mean-pool + doc-level KNN
     "weighted_sample",       # A-ES top-n over hash uniforms
     "decontaminate_bloom",   # broadcast-Bloom pre-prune + exact verify
+    # round-3 additions
+    "decontaminate_bloom_persisted",  # probe-only cost: bloom built+saved on warm run
     "dedup_lines",           # C4-style line-level corpus dedup
     "dedup_spans",           # span-level cross-doc dup fraction
     "events_funnel",         # ordered funnel (chained keyed aggs)

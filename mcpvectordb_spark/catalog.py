@@ -1440,6 +1440,49 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_bloom_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination probing a PERSISTED eval bloom (curation.py::
+    save_bloom/load_bloom): the (word_idx, bits) table is built once per
+    (sf_dir, params) and written to parquet; subsequent runs only load +
+    probe.  In bench.py's warm/timed protocol the warm call pays the
+    build, so the timed number is the probe-only cost — the steady state
+    of a real pipeline, where the benchmark suite is hashed once, not per
+    query.  Oracle = the same exact SQL (bloom has no false negatives),
+    so the driver gate proves the persisted path's equivalence too."""
+    import hashlib
+    import os
+    import tempfile
+
+    n_bits, k = 1 << 18, 3
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") < 50).select(F.col("doc_id").alias("id"), "text")
+    train = docs.filter(F.col("doc_id") >= 50).select(
+        F.col("doc_id").alias("id"), "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + _PLANT_OFFSET).alias("id"),
+            F.concat(F.col("text"), F.lit(_NEARDUP_SUFFIX)).alias("text"),
+        )
+    )
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n_bits}:{k}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"evalbloom_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        e_sh = eval_df.select(F.explode(cu.word_shingles(F.col("text"), 3)).alias("shingle"))
+        cu.save_bloom(
+            cu.build_shingle_bloom(e_sh, "shingle", n_bits, k), path, n_bits, k
+        )
+    bloom = cu.load_bloom(spark, path, n_bits, k)
+    out = cu.decontaminate(
+        train, eval_df, "id", "text", n=3, threshold=0.5,
+        bloom_bits=n_bits, bloom_k=k, prebuilt_bloom=bloom,
+    )
+    return out.select(
+        "id",
+        F.col("matched_evals").cast("long").alias("matched_evals"),
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+    )
+
+
 def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain contribution caps (source balancing): keep the 20 longest
     docs per pseudo-domain, explicit doc_id tiebreak.  Runs the skew-safe
@@ -3228,6 +3271,8 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "tpch_q13": q_tpch_q13,
+    # -- new round-3 queries (slot 50: driver-checked this round) --
+    "decontaminate_bloom_persisted": q_decontaminate_bloom_persisted,
     # -- deterministic, golden-digest gated (round 3): sit at the window edge
     # -- so the first of them gets a driver pass/fail row this round --
     "ingest_chunks": q_ingest_chunks,
@@ -3315,6 +3360,7 @@ ORACLES = {
     "corpus_token_stats": SQL_CORPUS_TOKEN_STATS,
     "decontaminate": _sql_decontaminate(),
     "decontaminate_bloom": _sql_decontaminate(),
+    "decontaminate_bloom_persisted": _sql_decontaminate(),
     "domain_quota": _sql_domain_quota(),
     "sample_stratified": _sql_sample_stratified(),
     "weighted_sample": _sql_weighted_sample(),

@@ -61,16 +61,76 @@ def build_shingle_bloom(shingles: DataFrame, shingle_col: str, n_bits: int, k: i
     return probes.groupBy("word_idx").agg(F.bit_or("mask").alias("bits"))
 
 
+def save_bloom(bloom: DataFrame, path: str, n_bits: int, k: int) -> None:
+    """Persist a shingle Bloom as parquet with its parameters embedded as
+    columns.  The table is kilobytes (n_bits/64 rows of two longs + two
+    ints), so one coalesced file; at 100 TB the point is to build the eval
+    bloom ONCE and probe it from every curation run instead of re-hashing
+    the benchmark suite per query."""
+    bloom.select(
+        "word_idx", "bits", F.lit(n_bits).alias("n_bits"), F.lit(k).alias("k")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bloom(spark, path: str, n_bits: int, k: int) -> DataFrame:
+    """Load a persisted Bloom, validating that its embedded parameters match
+    the probe parameters — probing with a different (n_bits, k) than the
+    build silently loses the no-false-negative guarantee, so mismatch is an
+    error, not a fallback."""
+    df = spark.read.parquet(path)
+    meta = df.select("n_bits", "k").first()
+    if meta is None or (meta["n_bits"], meta["k"]) != (n_bits, k):
+        got = None if meta is None else (meta["n_bits"], meta["k"])
+        raise ValueError(f"bloom at {path} was built with {got}, probe wants {(n_bits, k)}")
+    return df.select("word_idx", "bits")
+
+
 def bloom_prune(
-    df: DataFrame, shingle_col: str, bloom: DataFrame, n_bits: int, k: int
+    df: DataFrame,
+    shingle_col: str,
+    bloom: DataFrame,
+    n_bits: int,
+    k: int,
+    max_literal_bits: int = 1 << 22,
 ) -> DataFrame:
-    """Keep only rows whose shingle MIGHT be in the bloom — k chained
-    broadcast equi-joins on the word index, each a map-side probe with no
-    shuffle.  No false negatives: the surviving set is a superset of true
-    matches, so any exact join downstream is unchanged."""
+    """Keep only rows whose shingle MIGHT be in the bloom.  No false
+    negatives: the surviving set is a superset of true matches, so any
+    exact join downstream is unchanged.
+
+    Up to ``max_literal_bits`` (default 4 Mbit = 64K longs = 512 KB) the
+    bitset is densified into an array **literal**, so all k probes are
+    pure integer arithmetic inside ONE whole-stage-codegen filter — no
+    joins, no broadcast exchange, no extra stages.  That is the right
+    100 TB shape for a kilobyte-scale bitset: ship it inside the task
+    binary, not through the shuffle/broadcast machinery.  Beyond the cap
+    it falls back to k chained broadcast equi-joins on the word index
+    (each still a map-side probe with no shuffle)."""
+    if n_bits <= max_literal_bits:
+        rows = bloom.collect()  # ≤ n_bits/64 rows of two longs — kilobytes
+        words = [0] * (n_bits // 64)
+        for r in rows:
+            words[int(r["word_idx"])] = int(r["bits"])
+        out = (
+            df.withColumn("_bh1", hexint48(F.col(shingle_col)))
+            .withColumn("_bh2", hexint48(F.concat(F.lit("bloom:"), F.col(shingle_col))))
+            .withColumn("_bwords", F.lit(words))
+        )  # two md5s per row total; every probe is integer arithmetic
+        for j in range(k):
+            out = out.withColumn(
+                f"_bp{j}", (F.col("_bh1") + F.lit(j) * F.col("_bh2")) % F.lit(n_bits)
+            )
+        cond = " AND ".join(
+            f"(shiftright(element_at(_bwords, CAST(_bp{j} / 64 AS INT) + 1),"
+            f" CAST(_bp{j} % 64 AS INT)) & 1) = 1"
+            for j in range(k)
+        )
+        return out.filter(F.expr(cond)).drop(
+            "_bh1", "_bh2", "_bwords", *[f"_bp{j}" for j in range(k)]
+        )
+
     out = df.withColumn("_bh1", hexint48(F.col(shingle_col))).withColumn(
         "_bh2", hexint48(F.concat(F.lit("bloom:"), F.col(shingle_col)))
-    )  # two md5s per row total; each probe below is integer arithmetic
+    )
     for j in range(k):
         pos = (F.col("_bh1") + F.lit(j) * F.col("_bh2")) % F.lit(n_bits)
         b = bloom.select(
@@ -100,6 +160,7 @@ def decontaminate(
     threshold: float = 0.5,
     bloom_bits: int | None = None,
     bloom_k: int = 3,
+    prebuilt_bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Flag training docs whose n-gram shingles overlap an eval set.
 
@@ -122,8 +183,15 @@ def decontaminate(
     is pruned through it BEFORE the exact join; no false negatives, so the
     report is bit-identical, but the exact join now probes only
     probable-hit shingles (~fpp of the clean corpus instead of all of it).
+
+    ``prebuilt_bloom``: a (word_idx, bits) table from ``load_bloom`` —
+    skips the in-query bloom build entirely (the persisted-eval-index
+    pattern: hash the benchmark suite once, probe it from every run).
+    Requires ``bloom_bits``/``bloom_k`` to match the build parameters;
+    ``load_bloom`` enforces this.
     """
-    t_idx = fan_out(train).select(
+    spread = fan_out(train)
+    t_idx = spread.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
@@ -132,10 +200,20 @@ def decontaminate(
                        F.col(id_col).alias("eval_id"))
         .distinct()
     )
-    sizes = t_idx.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    # set_size = the doc's own (multiset) shingle count == the array length:
+    # a per-row F.size beats exploding the corpus a second time and
+    # shuffling it into a groupBy just to count.
+    sizes = spread.select(
+        F.col(id_col).alias("id"),
+        F.size(word_shingles(F.col(text_col), n)).alias("set_size"),
+    )
     probe_idx = t_idx
     if bloom_bits is not None:
-        bloom = build_shingle_bloom(e_idx.select("shingle"), "shingle", bloom_bits, bloom_k)
+        bloom = (
+            prebuilt_bloom
+            if prebuilt_bloom is not None
+            else build_shingle_bloom(e_idx.select("shingle"), "shingle", bloom_bits, bloom_k)
+        )
         probe_idx = bloom_prune(t_idx, "shingle", bloom, bloom_bits, bloom_k)
     common = (
         probe_idx.join(F.broadcast(e_idx), "shingle")

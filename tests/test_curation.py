@@ -210,6 +210,14 @@ def test_bloom_prune_is_lossless_superset(spark):
     fp = len(kept) - 200
     assert fp < 200, fp                                      # <10% fp at these params
 
+    # the literal-bitset fast path and the chained-join fallback are the
+    # same filter: force the join path and compare kept sets exactly
+    kept_joins = {
+        r["shingle"]
+        for r in bloom_prune(probes, "shingle", bloom, 1 << 14, 3, max_literal_bits=0).collect()
+    }
+    assert kept_joins == kept
+
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma delta epsilon zeta doc {i} " * 3) for i in range(40)],
         "id long, text string",
@@ -223,6 +231,46 @@ def test_bloom_prune_is_lossless_superset(spark):
         train, eval_df, "id", "text", bloom_bits=1 << 16, bloom_k=3
     ).orderBy("id").collect()
     assert plain == bloomed and len(plain) > 0
+
+
+def test_bloom_save_load_roundtrip_and_persisted_equivalence(spark, tmp_path):
+    """A persisted bloom reloads bit-identically, parameter mismatch is an
+    error (not a silent fallback), and decontaminate through the prebuilt
+    bloom == inline build == no bloom at all."""
+    import pytest
+
+    from mcpvectordb_spark.operators.curation import (
+        build_shingle_bloom,
+        decontaminate,
+        load_bloom,
+        save_bloom,
+    )
+    from mcpvectordb_spark.operators.dedup import word_shingles
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i} " * 3) for i in range(40)],
+        "id long, text string",
+    )
+    eval_df = docs.filter("id < 10")
+    train = docs.filter("id >= 10").unionByName(
+        eval_df.selectExpr("id + 1000 as id", "text")
+    )
+    n_bits, k = 1 << 16, 3
+    e_sh = eval_df.select(F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
+    built = build_shingle_bloom(e_sh, "shingle", n_bits, k)
+    path = str(tmp_path / "bloom")
+    save_bloom(built, path, n_bits, k)
+
+    loaded = load_bloom(spark, path, n_bits, k)
+    assert sorted(map(tuple, loaded.collect())) == sorted(map(tuple, built.collect()))
+    with pytest.raises(ValueError, match="built with"):
+        load_bloom(spark, path, n_bits, k + 1)
+
+    plain = decontaminate(train, eval_df, "id", "text").orderBy("id").collect()
+    persisted = decontaminate(
+        train, eval_df, "id", "text", bloom_bits=n_bits, bloom_k=k, prebuilt_bloom=loaded
+    ).orderBy("id").collect()
+    assert plain == persisted and len(persisted) > 0
 
 
 def test_length_buckets_quantile_assignment(spark):
