@@ -173,15 +173,15 @@ def ingest_batch(
     chunks = chunks.cache()
     counts = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("chunk_count")).localCheckpoint(eager=True)
 
-    # Replace = delete-then-append (reference ingestor.py:199-209). Old doc
-    # ids are collected once (bounded by batch size, not corpus size) and
-    # deleted as ONE batch: a single anti-join rewrite per affected
-    # partition, not O(replaced docs) rewrites.
-    old_ids = [
-        r["_old_doc_id"]
-        for r in gated.filter(F.col("status") == "replaced").select("_old_doc_id").distinct().collect()
-    ]
-    store.delete_documents(old_ids)
+    # Replace = delete-then-append (reference ingestor.py:199-209), fully
+    # set-based: the replaced-ids set flows from the (checkpointed) gate
+    # into ONE anti-join rewrite per affected partition — the ids never
+    # visit the driver, so the path is the same at 10 or 10M replacements.
+    old_ids_df = (
+        gated.filter(F.col("status") == "replaced")
+        .select(F.col("_old_doc_id").alias("doc_id"))
+    )
+    store.delete_documents_df(old_ids_df)
     store.append(chunks)
     chunks.unpersist()
     results = (

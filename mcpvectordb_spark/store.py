@@ -167,12 +167,29 @@ class ChunkStore:
             is_hit = F.col("doc_id").isin(ids)
             hits = df.filter(is_hit)
             keep_of = lambda lib: df.filter((F.col("library") == lib) & ~is_hit)
-        else:
-            ids_df = self.spark.createDataFrame([(d,) for d in ids], "doc_id string")
-            hits = df.join(F.broadcast(ids_df), "doc_id", "semi")
-            keep_of = lambda lib: df.filter(F.col("library") == lib).join(
-                F.broadcast(ids_df), "doc_id", "anti"
-            )
+            return self._delete_rewrite(hits, keep_of)
+        ids_df = self.spark.createDataFrame([(d,) for d in ids], "doc_id string")
+        return self.delete_documents_df(ids_df)
+
+    def delete_documents_df(self, ids_df: DataFrame) -> int:
+        """Fully set-based batch delete: ``ids_df`` is a one-column
+        (doc_id) DataFrame — e.g. the replaced-ids set straight out of the
+        ingest dedup gate — joined anti against every affected partition
+        without the ids ever visiting the driver.  Same single-rewrite-
+        per-partition contract as :meth:`delete_documents`.
+
+        ``ids_df``'s plan must not read this store's path (the rewrite
+        would race its own input); callers pass a localCheckpoint-ed
+        lineage, as ingest_batch does."""
+        ids_df = ids_df.select("doc_id").where(F.col("doc_id").isNotNull()).distinct()
+        df = self.read()
+        hits = df.join(F.broadcast(ids_df), "doc_id", "semi")
+        keep_of = lambda lib: df.filter(F.col("library") == lib).join(
+            F.broadcast(ids_df), "doc_id", "anti"
+        )
+        return self._delete_rewrite(hits, keep_of)
+
+    def _delete_rewrite(self, hits: DataFrame, keep_of) -> int:
         # one job: affected partitions + per-partition deleted counts
         lib_counts = hits.groupBy("library").agg(F.count(F.lit(1)).alias("n")).collect()
         if not lib_counts:

@@ -261,24 +261,24 @@ def test_delete_documents_large_idset_antijoin(spark, store):
 
 
 def test_replace_batch_uses_single_batch_delete(spark, store, monkeypatch):
-    """A batch with many replaced docs triggers exactly ONE
-    delete_documents call carrying the whole id set."""
+    """A batch with many replaced docs triggers exactly ONE set-based
+    delete (delete_documents_df) carrying the whole id set — the ids never
+    pass through a driver-side list."""
     ingest(_doc_batch(spark, 6), store)
     calls = []
-    orig = type(store).delete_documents
+    orig = type(store).delete_documents_df
 
-    def spy(self, ids):
-        ids = list(ids)
-        calls.append(ids)
-        return orig(self, ids)
+    def spy(self, ids_df):
+        calls.append(ids_df.select("doc_id").distinct().count())
+        return orig(self, ids_df)
 
-    monkeypatch.setattr(type(store), "delete_documents", spy)
+    monkeypatch.setattr(type(store), "delete_documents_df", spy)
     changed = _doc_batch(spark, 6).withColumn(
         "content", F.concat(F.col("content"), F.lit(" v2"))
     )
     res = ingest(changed, store, "2026-02-01T00:00:00+00:00")
     assert counts(res) == {"replaced": 6}
-    assert len(calls) == 1 and len(calls[0]) == 6
+    assert calls == [6]
     # store holds exactly the new content
     assert len(store.list_documents(limit=100)) == 6
     doc = store.list_documents(limit=1)[0]
