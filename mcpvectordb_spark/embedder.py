@@ -149,23 +149,139 @@ class SentenceTransformerEmbedder:
         return self._embed([self.query_prefix + text])[0]
 
 
-def get_real_embedder(dim: int = 768, config: EngineConfig = DEFAULT) -> Embedder:
+class MiniTransformerEmbedder:
+    """Pure-numpy transformer encoder with deterministic seeded weights —
+    a REAL inference workload (hash tokenizer → embedding lookup → 2
+    pre-norm self-attention + GELU-FFN blocks → masked mean-pool → L2
+    norm) that runs with no model stack installed, so the executor-side
+    embedding seam (prefixes, batch-32 inference, singleton-per-executor,
+    L2 contract, Arrow batching) is integration-tested in any container.
+
+    The weights are untrained: vectors carry no semantic meaning, and
+    this class is never an implicit fallback for the pretrained backends
+    (get_real_embedder still raises without a model stack unless
+    ``allow_untrained=True`` is passed explicitly).  What it proves is the
+    plumbing — the exact contract the reference's ONNX runtime plugs into
+    (reference embedder.py:41-83)."""
+
+    def __init__(
+        self,
+        dim: int = 64,
+        config: EngineConfig = DEFAULT,
+        vocab: int = 4096,
+        n_layers: int = 2,
+        n_heads: int = 4,
+        max_len: int = 128,
+        seed: int = 7,
+    ):
+        if dim % n_heads:
+            raise ValueError(f"dim {dim} not divisible by n_heads {n_heads}")
+        rng = np.random.default_rng(seed)
+        s = 1.0 / np.sqrt(dim)
+        self.dim, self.vocab, self.max_len, self.n_heads = dim, vocab, max_len, n_heads
+        self.doc_prefix = config.doc_prefix
+        self.query_prefix = config.query_prefix
+        self._batch = config.embedding_batch_size
+        self.tok_emb = rng.normal(0, s, (vocab, dim))
+        self.pos_emb = rng.normal(0, s, (max_len, dim))
+        self.layers = [
+            {
+                name: rng.normal(0, s, shape)
+                for name, shape in (
+                    ("wq", (dim, dim)), ("wk", (dim, dim)), ("wv", (dim, dim)),
+                    ("wo", (dim, dim)), ("w1", (dim, 4 * dim)), ("w2", (4 * dim, dim)),
+                )
+            }
+            for _ in range(n_layers)
+        ]
+
+    def _tokenize(self, text: str) -> list[int]:
+        import re
+
+        toks = re.findall(r"\w+|[^\w\s]", text.lower())[: self.max_len]
+        return [
+            int.from_bytes(hashlib.sha256(t.encode("utf-8")).digest()[:4], "big") % self.vocab
+            for t in toks
+        ] or [0]
+
+    @staticmethod
+    def _ln(x: np.ndarray) -> np.ndarray:
+        mu = x.mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(((x - mu) ** 2).mean(-1, keepdims=True) + 1e-6)
+
+    def _forward(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        B, L = ids.shape
+        h, dh = self.n_heads, self.dim // self.n_heads
+        x = self.tok_emb[ids] + self.pos_emb[:L]
+        neg = (1.0 - mask)[:, None, None, :] * -1e9  # (B,1,1,L) pad mask
+        for lay in self.layers:
+            y = self._ln(x)
+            q, k, v = (
+                (y @ lay[w]).reshape(B, L, h, dh).transpose(0, 2, 1, 3)
+                for w in ("wq", "wk", "wv")
+            )
+            att = (q @ k.transpose(0, 1, 3, 2)) / np.sqrt(dh) + neg
+            att = np.exp(att - att.max(-1, keepdims=True))
+            att /= att.sum(-1, keepdims=True)
+            x = x + ((att @ v).transpose(0, 2, 1, 3).reshape(B, L, self.dim)) @ lay["wo"]
+            y = self._ln(x)
+            g = y @ lay["w1"]
+            g = 0.5 * g * (1.0 + np.tanh(0.7978845608 * (g + 0.044715 * g**3)))  # GELU
+            x = x + g @ lay["w2"]
+        pooled = (x * mask[..., None]).sum(1) / mask.sum(1)[..., None]
+        norms = np.linalg.norm(pooled, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return (pooled / norms).astype(np.float32)
+
+    def _embed(self, texts: list[str]) -> np.ndarray:
+        out = []
+        for start in range(0, len(texts), self._batch):
+            chunk = [self._tokenize(t) for t in texts[start : start + self._batch]]
+            L = max(len(c) for c in chunk)
+            ids = np.zeros((len(chunk), L), dtype=np.int64)
+            mask = np.zeros((len(chunk), L), dtype=np.float64)
+            for i, c in enumerate(chunk):
+                ids[i, : len(c)] = c
+                mask[i, : len(c)] = 1.0
+            out.append(self._forward(ids, mask))
+        return np.concatenate(out, axis=0)
+
+    def embed_documents(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        return self._embed([self.doc_prefix + t for t in texts])
+
+    def embed_query(self, text: str) -> np.ndarray:
+        return self._embed([self.query_prefix + text])[0]
+
+
+def get_real_embedder(
+    dim: int = 768, config: EngineConfig = DEFAULT, allow_untrained: bool = False
+) -> Embedder:
     """Real model path (reference embedder.py:41-62): first available of
     fastembed (the reference's own runtime) then sentence-transformers,
     behind the same :class:`Embedder` protocol.  Raises NotImplementedError
     with a clear message when neither stack is installed — HashEmbedder
     remains the deterministic test/oracle mode either way (mirrors the
-    reference's mock embedder, tests/conftest.py:26-39)."""
+    reference's mock embedder, tests/conftest.py:26-39).
+
+    ``allow_untrained=True`` opts in to the :class:`MiniTransformerEmbedder`
+    (pure-numpy, seeded, UNTRAINED) as a last resort — an explicit choice
+    for plumbing/integration work, never a silent semantic downgrade."""
     errors = []
     for cls in (FastembedEmbedder, SentenceTransformerEmbedder):
         try:
             return cls(dim=dim, config=config)
         except ImportError as exc:
             errors.append(f"{cls.__name__}: {exc}")
+    if allow_untrained:
+        return MiniTransformerEmbedder(dim=min(dim, 128), config=config)
     raise NotImplementedError(
         "no real embedding runtime available (tried fastembed, "
         "sentence-transformers); use HashEmbedder (deterministic) or install "
-        "a model stack. Details: " + "; ".join(errors)
+        "a model stack (pip install 'mcpvectordb-spark[real-embed]'), or pass "
+        "allow_untrained=True for the seeded MiniTransformerEmbedder. "
+        "Details: " + "; ".join(errors)
     )
 
 
