@@ -3,7 +3,11 @@ vectors, 2M events) and run the heavy operators.  Evidence that the
 partition/blocking strategies hold beyond bench scale — results recorded in
 STRESS.md.
 
-Usage: python tools/stress.py
+Usage: python tools/stress.py        # 20× workload (round-1/2 table)
+       python tools/stress.py sf1    # sf1-equivalent workload (~6M events,
+                                     # 200k docs) over the round-2 families,
+                                     # skewed keys so the heavy-hitters
+                                     # guard is exercised in-regime
 """
 
 from __future__ import annotations
@@ -168,5 +172,147 @@ def main() -> None:
     spark.stop()
 
 
+def main_sf1() -> None:
+    """sf1-equivalent stress (~6M events = lineitem-at-sf1 row count; 200k
+    docs) over the round-2 operator families.  user_id follows a power law
+    (u^3-warped md5 uniform) so heavy_hitters runs in its DESIGN regime —
+    the run asserts the exactness guard did NOT fall back to a full agg,
+    and separately reports the span-dedup shuffle staying hash-sized."""
+    spark = get_spark("stress-sf1")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    from mcpvectordb_spark.operators.analytics import cohort_retention, funnel_counts
+    from mcpvectordb_spark.operators.dedup import dedup_lines, dup_span_fraction
+    from mcpvectordb_spark.operators.sketches import (
+        heavy_hitters,
+        histogram_partials,
+        histogram_quantile,
+    )
+
+    # ---- 6M events, skewed users ------------------------------------------
+    ev = load_table(spark, SF, "events")
+    r60 = spark.range(60).select(F.col("id").alias("r"))
+    u = F.conv(F.substring(F.md5(F.concat_ws(":", "event_id", "r")), 1, 6), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 24))
+    big_ev = (
+        ev.crossJoin(F.broadcast(r60))
+        .select(
+            (F.col("event_id") * 100 + F.col("r")).alias("event_id"),
+            (F.col("ts") + F.make_dt_interval(F.col("r") % 30)).alias("ts"),
+            F.floor(F.pow(u, 3) * 50_000).cast("long").alias("user_id"),
+            "event_type",
+            "value",
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_ev = big_ev.count()
+    print(f"# sf1 corpus: {n_ev} events", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s → {counts[name]}", file=sys.stderr)
+
+    def hh():
+        rows = heavy_hitters(big_ev, "user_id", k=20, capacity=4096).collect()
+        bound = n_ev / 4096
+        min_cnt = min(r["cnt"] for r in rows)
+        # the guard recounts everything when rank-k ≤ N/capacity; in the
+        # skewed regime it must NOT have tripped
+        assert min_cnt > bound, f"guard fallback: rank-20 {min_cnt} <= {bound:.0f}"
+        notes["heavy_hitters_6m"] = (
+            f"rank-20 count {min_cnt} vs guard bound {bound:.0f} — two-pass path held"
+        )
+        return len(rows)
+
+    run("heavy_hitters_6m", hh)
+
+    def quantiles():
+        parts = histogram_partials(
+            big_ev.withColumn("day", F.to_date("ts")), ["day", "event_type"], "value",
+            0.0, 1000.0, 256,
+        )
+        out = histogram_quantile(parts, ["event_type"], [0.5, 0.95, 0.99], 0.0, 1000.0, 256)
+        return out.count()
+
+    run("quantile_sketch_6m", quantiles)
+    run("funnel_6m", lambda: funnel_counts(big_ev, ["view", "click", "purchase"]).count())
+    run("cohorts_6m", lambda: cohort_retention(big_ev, [1, 7]).count())
+
+    big_ev.unpersist()
+
+    # ---- 200k docs for line/span dedup ------------------------------------
+    docs = load_table(spark, SF, "documents")
+    r40 = spark.range(40).select(F.col("id").alias("r"))
+    synth = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("r"), i)), 1, 8
+            ),
+        ),
+        " ",
+    )
+    big_docs = (
+        docs.crossJoin(F.broadcast(r40))
+        .select(
+            (F.col("doc_id") * 100 + F.col("r")).alias("id"),
+            F.when(F.col("r") == 0, F.col("text"))
+            .when((F.col("r") == 1) & (F.col("doc_id") % 10 == 0), F.col("text"))
+            .otherwise(synth)
+            .alias("text"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_docs = big_docs.count()
+    print(f"# sf1 corpus: {n_docs} docs", file=sys.stderr)
+
+    line = lambda j: F.substring(F.md5(F.concat_ws("|", F.col("id"), F.lit(j))), 1, 24)
+    lined = big_docs.select(
+        "id",
+        F.concat_ws(
+            "\n",
+            line(1), line(2),
+            F.concat(F.lit("BANNER "), (F.col("id") % 3).cast("string")),
+            line(3), line(4),
+        ).alias("text"),
+    )
+    run("dedup_lines_200k", lambda: dedup_lines(lined, "id", "text", min_count=3)
+        .agg(F.sum("n_removed")).collect()[0][0])
+
+    def spans():
+        out = dup_span_fraction(big_docs, "id", "text", k=8)
+        n = out.filter("dup_windows > 0").count()
+        # the exchange carries (id, 48-bit window hash) pairs, never text:
+        # ~16 bytes/row regardless of document length
+        total_windows = big_docs.select(
+            F.sum(F.greatest(F.size(F.split("text", r"\s+")) - 7, F.lit(0)))
+        ).collect()[0][0]
+        notes["dup_spans_200k"] = (
+            f"{total_windows} windows shuffled as 48-bit hashes (~16 B/row, "
+            f"~{total_windows * 16 // 1_000_000} MB) — not ~{total_windows * 60 // 1_000_000} MB of text"
+        )
+        return n
+
+    run("dup_spans_200k", spans)
+
+    print(json.dumps({
+        "mode": "sf1", "events": n_ev, "docs": n_docs,
+        "timings_sec": timings, "result_counts": counts, "notes": notes,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "sf1" in sys.argv[1:]:
+        main_sf1()
+    else:
+        main()
