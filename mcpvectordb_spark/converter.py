@@ -2,13 +2,13 @@
 
 The reference shells 25 formats through MarkItDown (/root/reference/src/
 mcpvectordb/converter.py:44-68, allowlist 13-39).  Here: text formats are
-converted with dependency-free logic; pdf/docx/pptx/xlsx go through the
-pure-stdlib extractors in :mod:`mcpvectordb_spark.extractors`; zip
-archives convert member-by-member through the same converter (stdlib
-``zipfile``); only the OCR/ASR formats (images, audio) and legacy
-doc/ppt/xls remain stubbed — those produce a ``failed`` status row with a
-clear error, never an exception (the batch-continues contract,
-ingestor.py:104-118).
+converted with dependency-free logic; pdf/docx/pptx/xlsx AND the legacy
+OLE2 doc/ppt/xls go through the pure-stdlib extractors in
+:mod:`mcpvectordb_spark.extractors`; zip archives convert
+member-by-member through the same converter (stdlib ``zipfile``); only
+the OCR/ASR formats (images, audio) remain stubbed — those produce a
+``failed`` status row with a clear error, never an exception (the
+batch-continues contract, ingestor.py:104-118).
 
 Shape: an Arrow-batched ``mapInPandas`` stage over binaryFile rows — the
 UDF-singleton pattern the heavy converter would use (SURVEY.md §2.1 S4).
@@ -58,6 +58,18 @@ def convert_bytes(raw: bytes, file_type: str, _depth: int = 0) -> str:
         from mcpvectordb_spark.extractors import extract_xlsx
 
         return extract_xlsx(raw)
+    if file_type == "doc":
+        from mcpvectordb_spark.extractors import extract_doc
+
+        return extract_doc(raw)
+    if file_type == "ppt":
+        from mcpvectordb_spark.extractors import extract_ppt
+
+        return extract_ppt(raw)
+    if file_type == "xls":
+        from mcpvectordb_spark.extractors import extract_xls
+
+        return extract_xls(raw)
     if file_type in DEFAULT.supported_extensions:
         raise NotImplementedError(
             f"converter for '{file_type}' requires OCR/ASR — not available in this environment"

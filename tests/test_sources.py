@@ -361,6 +361,229 @@ def test_binary_fixture_ingests_end_to_end(spark, tmp_path):
     assert "Hello PDF world" in store.get_document(pdf_doc["doc_id"])["content"]
 
 
+# ---------------------------------------------------------------------------
+# Legacy OLE2 (doc / ppt / xls) fixtures: a hand-rolled Compound File Binary
+# writer (512-byte sectors, real miniFAT path for small streams) feeding the
+# extractors' CFB reader, then per-format record streams built to spec.
+
+def _cfb_fixture(streams: dict[str, bytes]) -> bytes:
+    import struct
+
+    SS, MS, CUTOFF = 512, 64, 4096
+    FREE, END, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+
+    def pad(b: bytes, size: int) -> bytes:
+        return b + b"\x00" * (-len(b) % size)
+
+    sectors: list[bytes] = []
+    fat: list[int] = []
+
+    def add_chain(data: bytes) -> int:
+        if not data:
+            return END
+        start = len(sectors)
+        padded = pad(data, SS)
+        n = len(padded) // SS
+        for i in range(n):
+            sectors.append(padded[i * SS:(i + 1) * SS])
+            fat.append(start + i + 1 if i < n - 1 else END)
+        return start
+
+    mini_parts: list[bytes] = []
+    minifat: list[int] = []
+    entries: list[tuple[str, int, int]] = []
+    for name, data in streams.items():
+        if len(data) < CUTOFF:
+            start = len(minifat)
+            padded = pad(data, MS)
+            n = len(padded) // MS
+            mini_parts.append(padded)
+            for i in range(n):
+                minifat.append(start + i + 1 if i < n - 1 else END)
+            entries.append((name, start, len(data)))
+        else:
+            entries.append((name, add_chain(data), len(data)))
+    mini_stream = b"".join(mini_parts)
+    mini_start = add_chain(mini_stream)
+    minifat_bytes = b"".join(struct.pack("<I", v) for v in minifat)
+    minifat_start = add_chain(minifat_bytes)
+    n_minifat_sectors = len(pad(minifat_bytes, SS)) // SS if minifat_bytes else 0
+
+    def dirent(name: str, otype: int, start: int, size: int, child: int = FREE) -> bytes:
+        nm = name.encode("utf-16-le") + b"\x00\x00"
+        ent = pad(nm, 64)[:64] + struct.pack("<H", len(nm)) + bytes([otype, 1])
+        ent += struct.pack("<III", FREE, FREE, child)
+        ent += b"\x00" * 36  # clsid + state + times
+        ent += struct.pack("<IQ", start, size)
+        assert len(ent) == 128
+        return ent
+
+    dirents = [dirent("Root Entry", 5, mini_start, len(mini_stream),
+                      child=1 if entries else FREE)]
+    dirents += [dirent(name, 2, start, size) for name, start, size in entries]
+    dir_start = add_chain(b"".join(dirents))
+
+    n_data = len(sectors)
+    n_fat = 1
+    while n_data + n_fat > n_fat * (SS // 4):
+        n_fat += 1
+    full_fat = fat + [FATSECT] * n_fat
+    full_fat += [FREE] * (n_fat * (SS // 4) - len(full_fat))
+    fat_bytes = b"".join(struct.pack("<I", v) for v in full_fat)
+    sectors += [fat_bytes[i * SS:(i + 1) * SS] for i in range(n_fat)]
+
+    difat = list(range(n_data, n_data + n_fat))
+    difat += [FREE] * (109 - len(difat))
+    header = (
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
+        + struct.pack("<HHHHH", 0x003E, 0x0003, 0xFFFE, 9, 6)
+        + b"\x00" * 6
+        + struct.pack("<IIIII", 0, n_fat, dir_start, 0, CUTOFF)
+        + struct.pack("<IIII", minifat_start if n_minifat_sectors else END,
+                      n_minifat_sectors, END, 0)
+        + b"".join(struct.pack("<I", v) for v in difat)
+    )
+    assert len(header) == 512
+    return header + b"".join(sectors)
+
+
+def _doc_fixture() -> bytes:
+    import struct
+
+    text1 = "Legacy Word body text. "                 # compressed (cp1252) piece
+    text2 = "Unicode päragraph – piece two\r"  # UTF-16 piece
+    t1, t2 = text1.encode("cp1252"), text2.encode("utf-16-le")
+    ccp = len(text1) + len(text2)  # CP counts (all BMP, 1 unit each)
+
+    fib = bytearray(512)
+    struct.pack_into("<H", fib, 0, 0xA5EC)    # wIdent
+    struct.pack_into("<H", fib, 2, 0x00C1)    # nFib (Word 97)
+    struct.pack_into("<H", fib, 10, 0x0200)   # fWhichTblStm → 1Table
+    struct.pack_into("<i", fib, 0x004C, ccp)  # ccpText
+
+    off1 = 512            # byte offset of t1 in WordDocument
+    off2 = off1 + len(t1)
+    cps = [0, len(text1), ccp]
+    pcds = (
+        struct.pack("<HIH", 0, (off1 * 2) | 0x40000000, 0)  # fCompressed
+        + struct.pack("<HIH", 0, off2, 0)
+    )
+    plc = b"".join(struct.pack("<I", c) for c in cps) + pcds
+    clx = b"\x01" + struct.pack("<h", 2) + b"\x00\x00"      # one Prc to skip
+    clx += b"\x02" + struct.pack("<I", len(plc)) + plc       # Pcdt
+    fc_clx = 8
+    struct.pack_into("<II", fib, 0x01A2, fc_clx, len(clx))
+    table = b"\x00" * fc_clx + clx
+    return _cfb_fixture({"WordDocument": bytes(fib) + t1 + t2, "1Table": table})
+
+
+def _ppt_fixture() -> bytes:
+    import struct
+
+    def rec(rtype: int, payload: bytes, container: bool = False) -> bytes:
+        return struct.pack("<HHI", 0x000F if container else 0, rtype, len(payload)) + payload
+
+    bytes_atom = rec(0x0FA8, "Legacy slide title".encode("cp1252"))
+    chars_atom = rec(0x0FA0, "Second bullet – unicode".encode("utf-16-le"))
+    doc = rec(0x03E8, bytes_atom + chars_atom, container=True)
+    return _cfb_fixture({"PowerPoint Document": doc, "Current User": b"\x00" * 8})
+
+
+def _xls_fixture() -> bytes:
+    import struct
+
+    def rec(rid: int, payload: bytes) -> bytes:
+        return struct.pack("<HH", rid, len(payload)) + payload
+
+    def unistr(s: str, high: bool = False) -> bytes:
+        if high:
+            return struct.pack("<HB", len(s), 1) + s.encode("utf-16-le")
+        return struct.pack("<HB", len(s), 0) + s.encode("latin-1")
+
+    bof_globals = rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    bof_sheet = rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    sst = rec(0x00FC, struct.pack("<II", 2, 2) + unistr("name") + unistr("wïdget", high=True))
+    cells = (
+        rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0))                       # LABELSST "name"
+        + rec(0x0203, struct.pack("<HHH", 0, 1, 0) + struct.pack("<d", 42.0))  # NUMBER
+        + rec(0x027E, struct.pack("<HHHI", 1, 0, 0, (7 << 2) | 0x02))       # RK int 7
+        + rec(0x0204, struct.pack("<HHH", 1, 1, 0) + unistr("inline"))      # LABEL
+        + rec(0x00FD, struct.pack("<HHHI", 2, 0, 0, 1))                     # LABELSST "wïdget"
+    )
+    eof = rec(0x000A, b"")
+    return _cfb_fixture({"Workbook": bof_globals + sst + eof + bof_sheet + cells + eof})
+
+
+def test_cfb_reader_fat_and_mini_paths():
+    """The CFB reader resolves both storage paths: ≥4096-byte streams through
+    the FAT, small streams through the miniFAT inside the root mini-stream."""
+    from mcpvectordb_spark.extractors import _Cfb
+
+    big = bytes(range(256)) * 32  # 8 KiB → FAT chain
+    small = b"tiny stream payload"
+    cfb = _Cfb(_cfb_fixture({"Big": big, "Small": small}))
+    assert cfb.stream("Big") == big
+    assert cfb.stream("Small") == small
+
+
+def test_extract_legacy_doc():
+    text = convert_bytes(_doc_fixture(), "doc")
+    assert "Legacy Word body text." in text
+    assert "Unicode päragraph – piece two" in text  # both piece encodings
+
+
+def test_extract_legacy_ppt_and_xls():
+    ppt = convert_bytes(_ppt_fixture(), "ppt")
+    assert "Legacy slide title" in ppt and "Second bullet – unicode" in ppt
+    xls = convert_bytes(_xls_fixture(), "xls")
+    assert "name\t42" in xls       # LABELSST + NUMBER on one row
+    assert "7\tinline" in xls      # RK integer decode + inline LABEL
+    assert "wïdget" in xls    # UTF-16 shared string resolved
+
+
+def test_legacy_malformed_is_error_row_not_crash(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        convert_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 100, "doc")
+    # through the Spark stage: an error row, batch continues
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "broken.doc").write_bytes(b"\xd0\xcf\x11\xe0 nope")
+    (tmp_path / "in" / "fine.doc").write_bytes(_doc_fixture())
+    rows = {r["source"].rsplit("/", 1)[-1]: r
+            for r in convert_stage(read_folder(spark, str(tmp_path / "in"))).collect()}
+    assert rows["broken.doc"]["convert_error"] is not None
+    assert rows["fine.doc"]["convert_error"] is None
+    assert "Legacy Word body text." in rows["fine.doc"]["content"]
+
+
+def test_legacy_folder_ingests_end_to_end(spark, tmp_path):
+    """doc + ppt + xls in a scanned folder ingest through scan → convert →
+    chunk/embed → store (S4's legacy gap closed: only OCR/ASR remain)."""
+    from mcpvectordb_spark.config import TEST
+    from mcpvectordb_spark.ingest import ingest_batch, rollup_results
+    from mcpvectordb_spark.store import ChunkStore
+    from pyspark.sql import functions as F
+
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "old.doc").write_bytes(_doc_fixture())
+    (tmp_path / "in" / "deck.ppt").write_bytes(_ppt_fixture())
+    (tmp_path / "in" / "sheet.xls").write_bytes(_xls_fixture())
+    converted = convert_stage(read_folder(spark, str(tmp_path / "in")))
+    raw_docs = converted.select(
+        "source",
+        F.lit("legacylib").alias("library"),
+        F.col("content"),
+        F.lit(None).cast("string").alias("metadata"),
+    )
+    store = ChunkStore(spark, str(tmp_path / "chunks"), TEST)
+    res = ingest_batch(raw_docs, store, TEST, created_at="2026-01-01T00:00:00+00:00")
+    assert {r["status"]: r["n"] for r in rollup_results(res).collect()} == {"indexed": 3}
+    docs = store.list_documents(limit=10)
+    doc_doc = next(d for d in docs if d["source"].endswith("old.doc"))
+    assert "Legacy Word body text." in store.get_document(doc_doc["doc_id"])["content"]
+
+
 def _png_bytes(w, h):
     import struct
     import zlib
