@@ -9,23 +9,38 @@ starlette / uvicorn are not in this container):
 - :class:`McpStdioServer` — newline-delimited JSON-RPC 2.0 on a pair of
   text streams (the MCP stdio framing): ``initialize`` →
   ``notifications/initialized`` → ``tools/list`` / ``tools/call``.
-- :func:`make_http_server` — ``http.server`` with ``POST /mcp`` (same
-  JSON-RPC dispatch), ``POST /upload`` (multipart: file / library /
-  metadata — the reference's form contract, incl. 400/422/500 statuses),
-  and ``GET /health``.
+- :func:`make_http_server` — ``http.server`` with the reference's three
+  network surfaces (server.py:723-773):
+  * streamable-HTTP: ``POST /mcp`` (JSON-RPC dispatch, ``Mcp-Session-Id``
+    issued on initialize), ``POST /upload`` (multipart: file / library /
+    metadata — the 400/422/500 contract), ``GET /health``;
+  * HTTP+SSE: ``GET /sse`` opens a ``text/event-stream`` that first sends
+    the ``endpoint`` event, then streams each JSON-RPC response the client
+    POSTs to ``/messages?session_id=...`` (202-accepted);
+  * OAuth protected resource (reference server.py:557-640): public
+    RFC 9728 metadata at ``/.well-known/oauth-protected-resource``;
+    when a bearer secret is configured every other path 401s without it
+    (``WWW-Authenticate`` pointing at the metadata).  Token verification
+    is a pluggable callable — the engine-local default is a constant-time
+    shared-secret compare; a JWT/AS verifier drops into the same seam.
+  * TLS: pass ``tls_cert``/``tls_key`` and the listening socket is
+    wrapped server-side (stdlib ``ssl``) — the reference's
+    TLS_CERT_FILE/TLS_KEY_FILE contract, including the exists-check.
 
 Scale note: the transport is driver-side by design — every tool call is a
 Spark job on the shared session, so concurrency comes from Spark's
-scheduler (FAIR pool), not from this layer.  TLS/OAuth (reference
-auth.py) are deployment concerns handled by a fronting proxy, documented
-rather than reimplemented.
+scheduler (FAIR pool), not from this layer.
 """
 
 from __future__ import annotations
 
+import hmac
 import json
+import queue as queue_mod
 import sys
+import uuid
 from typing import Any, Callable, TextIO
+from urllib.parse import parse_qs, urlsplit
 
 from mcpvectordb_spark.api import VectorDB
 
@@ -205,41 +220,157 @@ def _parse_multipart(content_type: str, body: bytes) -> dict[str, tuple[str | No
     return fields
 
 
-def make_http_server(db: VectorDB, host: str = "127.0.0.1", port: int = 0):
+def bearer_validator(secret: str) -> Callable[[str], bool]:
+    """Constant-time shared-secret bearer check (the engine-local stand-in
+    for the reference's Google ID-token verifier, auth.py — same enforcement
+    contract, pluggable verification)."""
+    def validate(token: str) -> bool:
+        return hmac.compare_digest(token, secret)
+    return validate
+
+
+def make_http_server(
+    db: VectorDB,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    *,
+    auth: Callable[[str], bool] | None = None,
+    tls_cert: str | None = None,
+    tls_key: str | None = None,
+    resource_url: str | None = None,
+    sse_keepalive_s: float = 15.0,
+):
     """An http.server bound to (host, port); caller runs serve_forever()
-    (tests run it on a thread, main() in the foreground)."""
+    (tests run it on a thread, main() in the foreground).
+
+    ``auth``: optional bearer-token validator; when set, every path except
+    ``/.well-known/*`` requires ``Authorization: Bearer`` (reference
+    server.py:577-596 _RequireGoogleAuth).  ``tls_cert``/``tls_key`` wrap
+    the socket server-side.  ``resource_url`` overrides the advertised
+    RFC 9728 resource (reference settings.oauth_resource_url)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    sessions: dict[str, queue_mod.Queue] = {}
+    scheme = "https" if tls_cert else "http"
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet: the engine logs via Spark
             pass
 
-        def _json(self, status: int, doc: dict) -> None:
+        def _json(self, status: int, doc: dict, headers: dict | None = None) -> None:
             payload = json.dumps(doc).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(payload)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(payload)
 
+        def _base_url(self) -> str:
+            return resource_url or f"{scheme}://{self.headers.get('Host', host)}"
+
+        def _authorized(self) -> bool:
+            """Reference enforcement shape: /.well-known/* always public,
+            everything else 401s without a valid bearer token."""
+            if auth is None:
+                return True
+            path = urlsplit(self.path).path
+            if path.startswith("/.well-known/"):
+                return True
+            hdr = self.headers.get("Authorization", "")
+            if hdr.startswith("Bearer ") and auth(hdr[7:].strip()):
+                return True
+            meta = self._base_url() + "/.well-known/oauth-protected-resource"
+            self._json(401, {"error": "invalid_token",
+                             "error_description": "Authentication required"},
+                       {"WWW-Authenticate":
+                        f'Bearer realm="mcpvectordb", resource_metadata="{meta}"'})
+            return False
+
         def do_GET(self):
-            if self.path == "/health":
+            if not self._authorized():
+                return
+            path = urlsplit(self.path).path
+            if path == "/health":
                 self._json(200, {"status": "ok", **SERVER_INFO})
+            elif path == "/.well-known/oauth-protected-resource":
+                # RFC 9728 metadata — always public (reference server.py:558-573)
+                self._json(200, {
+                    "resource": self._base_url(),
+                    "authorization_servers": ["https://accounts.google.com"],
+                    "bearer_methods_supported": ["header"],
+                    "scopes_supported": ["openid", "email"],
+                })
+            elif path == "/sse":
+                self._serve_sse()
             else:
                 self._json(404, {"status": "error", "error": "not found"})
 
+        def _serve_sse(self) -> None:
+            """MCP HTTP+SSE: announce the POST endpoint, then stream every
+            JSON-RPC response for this session as a ``message`` event."""
+            sid = uuid.uuid4().hex
+            q: queue_mod.Queue = queue_mod.Queue()
+            sessions[sid] = q
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            try:
+                self.wfile.write(
+                    f"event: endpoint\ndata: /messages?session_id={sid}\n\n".encode())
+                self.wfile.flush()
+                while True:
+                    try:
+                        msg = q.get(timeout=sse_keepalive_s)
+                    except queue_mod.Empty:
+                        self.wfile.write(b": keep-alive\n\n")  # liveness probe;
+                        self.wfile.flush()                     # dead client → pipe error
+                        continue
+                    if msg is None:
+                        break
+                    self.wfile.write(
+                        f"event: message\ndata: {json.dumps(msg)}\n\n".encode())
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                pass
+            finally:
+                sessions.pop(sid, None)
+
         def do_POST(self):
+            if not self._authorized():
+                return
             length = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(length)
-            if self.path == "/mcp":
+            split = urlsplit(self.path)
+            if split.path == "/mcp":
                 try:
                     req = json.loads(body)
                 except ValueError:
                     self._json(400, _rpc_error(None, -32700, "parse error"))
                     return
                 resp = handle_rpc(db, req)
-                self._json(200, resp if resp is not None else {})
-            elif self.path == "/upload":
+                headers = ({"Mcp-Session-Id": uuid.uuid4().hex}
+                           if req.get("method") == "initialize" else None)
+                self._json(200, resp if resp is not None else {}, headers)
+            elif split.path == "/messages":
+                sid = parse_qs(split.query).get("session_id", [""])[0]
+                q = sessions.get(sid)
+                if q is None:
+                    self._json(404, {"status": "error", "error": "unknown session"})
+                    return
+                try:
+                    req = json.loads(body)
+                except ValueError:
+                    q.put(_rpc_error(None, -32700, "parse error"))
+                    self._json(202, {"status": "accepted"})
+                    return
+                resp = handle_rpc(db, req)
+                if resp is not None:
+                    q.put(resp)
+                self._json(202, {"status": "accepted"})
+            elif split.path == "/upload":
                 self._upload(body)
             else:
                 self._json(404, {"status": "error", "error": "not found"})
@@ -292,17 +423,38 @@ def make_http_server(db: VectorDB, host: str = "127.0.0.1", port: int = 0):
             })
             self._json(500 if result.get("status") == "error" else 200, result)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.daemon_threads = True  # lingering SSE streams never block shutdown
+    if tls_cert:
+        import os
+        import ssl
+
+        # reference _validate_tls_config: fail fast on missing files
+        for label, p in (("tls_cert", tls_cert), ("tls_key", tls_key)):
+            if not p or not os.path.exists(p):
+                raise ValueError(f"{label} not found: {p}")
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(tls_cert, tls_key)
+        srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    return srv
 
 
 def main(argv: list[str] | None = None) -> None:
     import argparse
+    import os
 
     ap = argparse.ArgumentParser(description="mcpvectordb-spark server")
     ap.add_argument("--store", required=True, help="chunk store path (parquet root)")
-    ap.add_argument("--transport", choices=["stdio", "http"], default="stdio")
+    ap.add_argument("--transport", choices=["stdio", "http"], default="stdio",
+                    help="http serves streamable-HTTP (/mcp), SSE (/sse), "
+                         "upload, and the OAuth metadata routes")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--auth-token", default=os.environ.get("MCPVDB_AUTH_TOKEN"),
+                    help="bearer secret; when set, all non-/.well-known paths "
+                         "require Authorization: Bearer <token>")
+    ap.add_argument("--tls-cert", default=os.environ.get("MCPVDB_TLS_CERT"))
+    ap.add_argument("--tls-key", default=os.environ.get("MCPVDB_TLS_KEY"))
     args = ap.parse_args(argv)
 
     from mcpvectordb_spark.session import get_spark
@@ -311,8 +463,14 @@ def main(argv: list[str] | None = None) -> None:
     if args.transport == "stdio":
         McpStdioServer(db).serve_forever()
     else:
-        srv = make_http_server(db, args.host, args.port)
-        print(f"listening on http://{args.host}:{srv.server_address[1]}", file=sys.stderr)
+        srv = make_http_server(
+            db, args.host, args.port,
+            auth=bearer_validator(args.auth_token) if args.auth_token else None,
+            tls_cert=args.tls_cert, tls_key=args.tls_key,
+        )
+        scheme = "https" if args.tls_cert else "http"
+        print(f"listening on {scheme}://{args.host}:{srv.server_address[1]}",
+              file=sys.stderr)
         srv.serve_forever()
 
 

@@ -78,27 +78,28 @@ def test_sample_parity_at_sf0001(spark):
         assert srows == orows, name
 
 
-R2_AWAITING_DRIVER_ROWS = [
-    # every query that has never received a driver CORRECTNESS row must sit
-    # inside the first 50 registry slots (the driver checks exactly those)
-    "multimodal_features", "warc_ingest", "text_keywords", "text_logprob",
-    "bpe_pairs", "doc_embeddings", "events_heavy_hitters", "weighted_sample",
-    "knn_matryoshka", "decontaminate_bloom", "stream_sessions", "stream_dedup",
-    "dedup_lines", "dedup_spans", "mixture_sample", "pack_sequences",
-    "events_incremental_rollup", "events_quantile_sketch", "hybrid_weighted",
-    "events_funnel", "events_cohorts", "events_asof_forward", "orders_copurchase", "orders_setops", "length_curriculum",
-    "curation_pipeline_v2", "events_anomalies", "ann_recall",
-    # r01-unchecked carryovers
-    "tpch_q2", "tpch_q16", "tpch_q22", "top_orders_per_priority",
-    "ingest_chunks", "search_ingested", "neardup_lsh_embeddings",
-    "stream_hourly", "stream_join",
-]
+def test_stalest_queries_fill_driver_window():
+    """Rotation policy (round-1 verdict, re-affirmed round 2 item 1): the
+    driver re-verifies the FIRST 50 registry slots each round, so those slots
+    must hold the stalest queries — never-driver-checked first, then the ones
+    whose most recent CORRECTNESS row is oldest.  Invariant: no query inside
+    the window was verified more recently than any query outside it."""
+    import json
+    import re as _re
 
+    rounds: dict[str, int] = {}
+    for path in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")):
+        rnum = int(_re.search(r"r(\d+)", path.name).group(1))
+        for name in json.loads(path.read_text()):
+            rounds[name] = max(rounds.get(name, 0), rnum)
 
-def test_unverified_queries_inside_driver_window():
     names = list(entrymod.queries())
-    out = {n: names.index(n) for n in R2_AWAITING_DRIVER_ROWS if names.index(n) >= 50}
-    assert not out, f"queries outside the driver's 50-slot window: {out}"
+    inside = [rounds.get(n, -1) for n in names[:50]]
+    outside = [rounds.get(n, -1) for n in names[50:]]
+    assert max(inside) <= min(outside), (
+        f"window holds a fresher query (round {max(inside)}) than one outside "
+        f"(round {min(outside)}) — rotate the QUERIES registry"
+    )
 
 
 def test_register_views_sql_surface(spark):

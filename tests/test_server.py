@@ -154,6 +154,158 @@ def test_http_endpoint_and_upload_contract(db):
         body, ctype = _multipart({"file": ("scan.jpg", b"\xff\xd8fakejpeg")})
         status, doc = _post(f"{base}/upload", body, ctype)
         assert status == 422 and "Unsupported format" in doc["error"]
+
+        # streamable-http nicety: initialize responses carry Mcp-Session-Id
+        req = urllib.request.Request(
+            f"{base}/mcp", data=json.dumps(_rpc("initialize")).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.headers.get("Mcp-Session-Id")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def _sse_connect(port):
+    """Open GET /sse and return (socket, buffered reader, endpoint path)."""
+    import socket
+
+    s = socket.create_connection(("127.0.0.1", port), timeout=30)
+    s.sendall(b"GET /sse HTTP/1.1\r\nHost: localhost\r\n"
+              b"Accept: text/event-stream\r\n\r\n")
+    f = s.makefile("rb")
+    assert b"200" in f.readline()
+    while f.readline().strip():  # drain response headers
+        pass
+    assert f.readline().strip() == b"event: endpoint"
+    endpoint = f.readline().decode().split("data: ", 1)[1].strip()
+    assert f.readline().strip() == b""
+    return s, f, endpoint
+
+
+def _sse_next_message(f, tries=200):
+    """Next `message` event payload, skipping keep-alive comments."""
+    for _ in range(tries):
+        line = f.readline().strip()
+        if line == b"event: message":
+            payload = json.loads(f.readline().decode().split("data: ", 1)[1])
+            f.readline()  # trailing blank
+            return payload
+    raise AssertionError("no SSE message event arrived")
+
+
+def test_sse_transport_round_trip(db):
+    """MCP HTTP+SSE (reference server.py:773 sse transport): the stream
+    announces the session's POST endpoint, POSTs are 202-accepted, and each
+    JSON-RPC response arrives as a `message` event on the open stream."""
+    srv = make_http_server(db, sse_keepalive_s=0.2)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        s, f, endpoint = _sse_connect(port)
+        assert endpoint.startswith("/messages?session_id=")
+
+        status, _ = _post(base + endpoint, json.dumps(
+            _rpc("initialize", {"protocolVersion": "2024-11-05"}, id_=7)).encode(),
+            "application/json")
+        assert status == 202
+        msg = _sse_next_message(f)
+        assert msg["id"] == 7
+        assert msg["result"]["serverInfo"]["name"] == "mcpvectordb-spark"
+
+        status, _ = _post(base + endpoint,
+                          json.dumps(_rpc("tools/list", id_=8)).encode(),
+                          "application/json")
+        assert status == 202
+        msg = _sse_next_message(f)
+        assert {t["name"] for t in msg["result"]["tools"]} == REFERENCE_TOOLS
+
+        # a second concurrent stream gets its own session
+        s2, f2, endpoint2 = _sse_connect(port)
+        assert endpoint2 != endpoint
+        s2.close(), f2.close()
+
+        # unknown session → 404, nothing queued anywhere
+        status, doc = _post(base + "/messages?session_id=nope", b"{}",
+                            "application/json")
+        assert status == 404 and "unknown session" in doc["error"]
+        s.close(), f.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_oauth_metadata_and_bearer_enforcement(db):
+    """Reference OAuth contract (server.py:557-640): RFC 9728 metadata is
+    always public; with auth configured every other path 401s without a
+    valid bearer token, and the 401 carries WWW-Authenticate pointing at
+    the metadata."""
+    from mcpvectordb_spark.server import bearer_validator
+
+    srv = make_http_server(db, auth=bearer_validator("s3kret"))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(
+                f"{base}/.well-known/oauth-protected-resource", timeout=30) as r:
+            meta = json.loads(r.read())
+        assert meta["bearer_methods_supported"] == ["header"]
+        assert meta["authorization_servers"]
+
+        for headers in ({}, {"Authorization": "Bearer wrong"}):
+            req = urllib.request.Request(f"{base}/health", headers=headers)
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 401
+            www = ei.value.headers["WWW-Authenticate"]
+            assert "resource_metadata" in www and "Bearer" in www
+            assert json.loads(ei.value.read())["error"] == "invalid_token"
+
+        req = urllib.request.Request(
+            f"{base}/health", headers={"Authorization": "Bearer s3kret"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        req = urllib.request.Request(
+            f"{base}/mcp", data=json.dumps(_rpc("tools/list")).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer s3kret"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert {t["name"] for t in json.loads(r.read())["result"]["tools"]} \
+                == REFERENCE_TOOLS
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_tls_server_and_failfast_validation(db, tmp_path):
+    """TLS contract (reference server.py:625-640 + uvicorn ssl wiring):
+    the socket is wrapped server-side with the given cert/key, a verifying
+    client connects over https, and missing files fail fast."""
+    import ssl
+    import subprocess
+
+    cert, key = tmp_path / "cert.pem", tmp_path / "key.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=localhost",
+         "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1"],
+        check=True, capture_output=True)
+
+    with pytest.raises(ValueError, match="tls_key not found"):
+        make_http_server(db, tls_cert=str(cert), tls_key=str(tmp_path / "nope.pem"))
+
+    srv = make_http_server(db, tls_cert=str(cert), tls_key=str(key))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        ctx = ssl.create_default_context(cafile=str(cert))  # verifying client
+        with urllib.request.urlopen(
+                f"https://localhost:{port}/health", context=ctx, timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
     finally:
         srv.shutdown()
         srv.server_close()
