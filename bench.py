@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "decontaminate_bloom",   # broadcast-Bloom pre-prune + exact verify
     # round-3 additions
     "decontaminate_bloom_persisted",  # probe-only cost: bloom built+saved on warm run
+    "semdedup",              # k-means cells as candidate buckets + within-cell cosine
     "dedup_lines",           # C4-style line-level corpus dedup
     "dedup_spans",           # span-level cross-doc dup fraction
     "events_funnel",         # ordered funnel (chained keyed aggs)

@@ -953,6 +953,51 @@ WHERE {_sql_cos('a.v', 'b.v')} >= 0.35
 """
 
 
+_SEMDEDUP_K, _SEMDEDUP_THR = 8, 0.8
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cells as
+    candidate buckets, within-cell cosine verification, drop-keeping-the-
+    lowest-id.  Planted exact copies of vec_id<40 are the ground truth —
+    every plant must be dropped against its original (sim 1.0), and at
+    threshold 0.8 the raw corpus contributes no pairs (max genuine cosine
+    is ≈0.4, see dedup_embedding_cosine).  Centroids are the 8 lowest-id
+    corpus vectors: trained-state-free and SQL-reproducible, so the oracle
+    re-runs the WHOLE pipeline including assignment tie-breaks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), "embedding").unionByName(
+        emb.filter(F.col("vec_id") < 40).select(
+            (F.col("vec_id") + _PLANT_OFFSET).alias("id"), "embedding"
+        )
+    )
+    dropped = dd.semdedup(corpus, "id", "embedding", k=_SEMDEDUP_K, threshold=_SEMDEDUP_THR)
+    return dropped.select("id", "cluster_id", F.round("max_sim", 6).alias("max_sim"))
+
+
+SQL_SEMDEDUP = f"""
+WITH corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_PLANT_OFFSET} AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 40),
+cents AS (SELECT id AS cid, v AS cv FROM corpus ORDER BY id LIMIT {_SEMDEDUP_K}),
+assign AS (
+  SELECT id, v, cid,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY {_sql_cos('v', 'cv')} DESC, cid) AS rn
+  FROM corpus CROSS JOIN cents),
+clustered AS (SELECT id, v, cid AS cluster_id FROM assign WHERE rn = 1),
+pairs AS (
+  SELECT b.id AS id, b.cluster_id, {_sql_cos('a.v', 'b.v')} AS sim
+  FROM clustered a JOIN clustered b
+    ON a.cluster_id = b.cluster_id AND a.id < b.id
+  WHERE {_sql_cos('a.v', 'b.v')} >= {_SEMDEDUP_THR})
+SELECT id, cluster_id, round(max(sim), 6) AS max_sim
+FROM pairs GROUP BY id, cluster_id
+"""
+
+
 # ===========================================================================
 # 5. Text analysis
 # ===========================================================================
@@ -3241,6 +3286,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "semdedup": q_semdedup,
     "decontaminate": q_decontaminate,
     "domain_quota": q_domain_quota,
     "sample_stratified": q_sample_stratified,
@@ -3270,8 +3316,8 @@ QUERIES = {
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
-    "tpch_q13": q_tpch_q13,
-    # -- new round-3 queries (slot 50: driver-checked this round) --
+    # -- new round-3 queries (never driver-checked → must sit in the window;
+    # -- tpch_q13 rotates to the tail to make room, re-verified next round) --
     "decontaminate_bloom_persisted": q_decontaminate_bloom_persisted,
     # -- deterministic, golden-digest gated (round 3): sit at the window edge
     # -- so the first of them gets a driver pass/fail row this round --
@@ -3285,7 +3331,8 @@ QUERIES = {
     "stream_join": q_stream_join,
     "stream_sessions": q_stream_sessions,
     "stream_dedup": q_stream_dedup,
-    # ---------------- tail: stable r02 greens (driver-verified) ----------------
+    # ---------------- tail: stable r01/r02 greens (driver-verified) ------------
+    "tpch_q13": q_tpch_q13,
     **TPCH_EXT_QUERIES,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
@@ -3347,6 +3394,7 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+    "semdedup": SQL_SEMDEDUP,
     "text_tokens": SQL_TEXT_TOKENS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,

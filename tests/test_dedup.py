@@ -191,3 +191,104 @@ def test_dup_span_fraction_flags_cross_doc_only(spark):
     )
     solo_out = dup_span_fraction(solo, "id", "text", k=8).collect()
     assert solo_out[0]["dup_windows"] == 0         # within-doc repeats alone don't flag
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-bucketed cosine dedup
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, embedding array<double>")
+
+
+def test_semdedup_drops_only_planted_copies(spark):
+    """Orthogonal base vectors (cosine 0 across clusters) + exact copies:
+    every copy is dropped against its lower-id twin, originals survive."""
+    from mcpvectordb_spark.operators.dedup import semdedup
+
+    base = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    copies = [(100 + i, v) for i, v in base]                # sim 1.0 to original
+    near = [(200, [0.999, 0.01, 0.0, 0.0])]                 # near id 0, above thr
+    far = [(300, [0.7, 0.7, 0.0, 0.0])]                     # ~0.707 to 0 and 1 — below
+    df = _vec_df(spark, base + copies + near + far)
+    out = {r["id"]: r for r in
+           semdedup(df, "id", "embedding", k=4, threshold=0.9).collect()}
+    assert set(out) == {100, 101, 102, 103, 200}
+    assert out[100]["max_sim"] == 1.0
+    assert out[200]["cluster_id"] == 0  # assigned to the cell of its twin
+
+
+def test_semdedup_tie_breaks_to_lowest_centroid(spark):
+    """A vector equidistant from two centroids lands in the lower cid —
+    the determinism the SQL oracle's row_number ordering reproduces."""
+    from mcpvectordb_spark.operators.dedup import assign_clusters, lowest_id_centroids
+
+    df = _vec_df(spark, [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 1.0]),   # cosine ≈ 0.7071 to both centroids
+    ])
+    cents = lowest_id_centroids(df, "id", "embedding", 2)
+    got = {r["id"]: r["cluster_id"] for r in
+           assign_clusters(df, cents, "id", "embedding").collect()}
+    assert got == {0: 0, 1: 1, 2: 0}
+
+
+def test_kmeans_refine_matches_numpy_twin(spark):
+    """Distributed Lloyd (spherical) == a local NumPy implementation, on a
+    deterministic corpus with planted cluster structure."""
+    import numpy as np
+
+    from mcpvectordb_spark.operators.dedup import kmeans_refine, lowest_id_centroids
+
+    rng = np.random.RandomState(7)
+    centers = np.eye(3)
+    pts = []
+    for i in range(60):
+        c = i % 3
+        v = centers[c] + 0.05 * rng.randn(3)
+        pts.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    df = _vec_df(spark, pts)
+
+    seed = lowest_id_centroids(df, "id", "embedding", 3)
+    got = {r["cid"]: np.array(r["cvec"]) for r in
+           kmeans_refine(df, seed, "id", "embedding", iters=2).collect()}
+
+    # local twin: same seed, same assignment rule (max cosine, lowest-cid tie)
+    X = np.array([p[1] for p in pts])
+    C = X[:3].copy()
+    cids = np.array([0, 1, 2])
+    for _ in range(2):
+        sims = X @ C.T  # unit vectors → dot == cosine
+        assign = cids[np.argmax(sims, axis=1)]  # argmax takes first (lowest) on ties
+        newC, newIds = [], []
+        for cid in cids:
+            members = X[assign == cid]
+            if len(members) == 0:
+                continue
+            m = members.mean(axis=0)
+            newC.append(m / np.linalg.norm(m))
+            newIds.append(cid)
+        C, cids = np.array(newC), np.array(newIds)
+    for cid, cv in zip(cids, C):
+        assert int(cid) in got
+        assert np.allclose(got[int(cid)], cv, atol=1e-9), cid
+
+
+def test_semdedup_plan_shape(spark):
+    """Assignment is a broadcast (one BNLJ for the k-centroid crossJoin,
+    never a CartesianProduct); pair verification is a real hash/merge join
+    keyed on cluster_id."""
+    from mcpvectordb_spark.catalog import QUERIES
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    tree = formatted_plan(QUERIES["semdedup"](spark, "/root/testdata/sf0.001")).split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 2, tree  # 2 assignments (a & b legs)
+    assert ("SortMergeJoin" in tree) or ("ShuffledHashJoin" in tree) \
+        or ("BroadcastHashJoin" in tree), tree
