@@ -953,7 +953,10 @@ WHERE {_sql_cos('a.v', 'b.v')} >= 0.35
 """
 
 
-_SEMDEDUP_K, _SEMDEDUP_THR = 8, 0.8
+# k sizes the candidate cells: Σ|cell|² pair work needs |cell| ≈ n/k small,
+# so k scales with the corpus (64 keeps cells ≈300 rows at sf0.1's 20k
+# vectors; at 100 TB you'd set k ≈ n/1000 and refine with kmeans_refine).
+_SEMDEDUP_K, _SEMDEDUP_THR = 64, 0.8
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -976,23 +979,27 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SEMDEDUP = f"""
-WITH corpus AS (
+WITH raw AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   UNION ALL
   SELECT vec_id + {_PLANT_OFFSET} AS id, CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings WHERE vec_id < 40),
+-- L2-normalize once (zero vectors out), same op structure as the operator
+corpus AS (
+  SELECT id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS v
+  FROM raw WHERE sqrt(list_inner_product(v, v)) > 0),
 cents AS (SELECT id AS cid, v AS cv FROM corpus ORDER BY id LIMIT {_SEMDEDUP_K}),
 assign AS (
   SELECT id, v, cid,
          row_number() OVER (PARTITION BY id
-                            ORDER BY {_sql_cos('v', 'cv')} DESC, cid) AS rn
+                            ORDER BY list_inner_product(v, cv) DESC, cid) AS rn
   FROM corpus CROSS JOIN cents),
 clustered AS (SELECT id, v, cid AS cluster_id FROM assign WHERE rn = 1),
 pairs AS (
-  SELECT b.id AS id, b.cluster_id, {_sql_cos('a.v', 'b.v')} AS sim
+  SELECT b.id AS id, b.cluster_id, list_inner_product(a.v, b.v) AS sim
   FROM clustered a JOIN clustered b
     ON a.cluster_id = b.cluster_id AND a.id < b.id
-  WHERE {_sql_cos('a.v', 'b.v')} >= {_SEMDEDUP_THR})
+  WHERE list_inner_product(a.v, b.v) >= {_SEMDEDUP_THR})
 SELECT id, cluster_id, round(max(sim), 6) AS max_sim
 FROM pairs GROUP BY id, cluster_id
 """

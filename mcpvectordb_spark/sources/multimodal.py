@@ -6,18 +6,22 @@ Arrow-batched Python stages near the data).  Three kernels are REAL at the
 container level — pure byte parsing, no media library:
 
 - image: PNG/GIF/BMP/JPEG dimensions + format from header bytes
-  (:func:`parse_image_header`);
+  (:func:`parse_image_header`), and FULL PIXEL DECODE for PNG (zlib
+  inflate + all five scanline filters), BMP (BI_RGB 8/24/32-bit incl.
+  palette), and GIF (LZW decode of the first frame) via
+  :func:`decode_image_pixels` — real per-channel/luma/gradient features
+  from the actual pixels;
 - audio: RIFF/WAVE full decode (:func:`parse_wav`) — PCM 8/16/32-bit and
   IEEE-float; duration from the header, per-window RMS + zero-crossing-rate
   features computed from the actual samples (numpy, no Python sample loop);
 - video: MP4/ISO-BMFF box walk (mvhd duration, tkhd dimensions) and AVI
   avih header (:func:`parse_video_header`).
 
-Codec-level work (compressed audio, pixel decode, frame extraction)
-remains STUBBED (Pillow/ffmpeg/torchaudio are not in this container): those
-stages have the real Spark plumbing — schema, batching, partitioning, UDF
-signature — a deterministic fake path for tests, and the library call site
-marked NotImplementedError.
+Remaining codec-level work (JPEG entropy decode, compressed audio, video
+frame extraction) is STUBBED (Pillow/ffmpeg/torchaudio are not in this
+container): those stages have the real Spark plumbing — schema, batching,
+partitioning, UDF signature — a deterministic fake path for tests, and the
+library call site marked NotImplementedError.
 
 Scale notes: media rows are large and skew-prone — ``repartition`` by a
 hash of the id before a decode stage to even out batch byte-sizes, and keep
@@ -100,19 +104,282 @@ def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
     return None
 
 
+# ---------------------------------------------------------------------------
+# Pixel decode — pure stdlib+numpy codecs for the three containers whose
+# pixel data needs no entropy-coded DCT: PNG (zlib), BMP (raw), GIF (LZW).
+
+
+def _png_defilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Undo PNG scanline filtering (spec §6: None/Sub/Up/Average/Paeth).
+    Sub is a per-residue-class modular cumsum (vectorized); Average/Paeth
+    need the left neighbour so they walk the row."""
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw[pos + 1:pos + 1 + stride], np.uint8).astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = row
+        elif ftype == 1:  # Sub
+            cur = row.copy()
+            for k in range(bpp):
+                cur[k::bpp] = np.cumsum(cur[k::bpp]) % 256
+        elif ftype == 2:  # Up
+            cur = (row + prev) % 256
+        elif ftype == 3:  # Average
+            cur = np.empty(stride, np.int32)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (row[i] + (left + prev[i]) // 2) % 256
+        elif ftype == 4:  # Paeth
+            cur = np.empty(stride, np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur
+    return out.astype("uint8")
+
+
+def _decode_png_pixels(payload: bytes):
+    """PNG → HxWx3 uint8 RGB. 8-bit depth, colour types 0/2/3/4/6, no
+    interlace (Adam7 returns None — honest scope)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln  # length + tag + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, ctype, _, _, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or interlace != 0 or w == 0 or h == 0:
+        return None
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    px = _png_defilter(raw, h, stride, channels).reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            return None
+        px = plte[px[:, :, 0]]
+    elif ctype == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif ctype == 4:
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif ctype == 6:
+        px = px[:, :, :3]
+    return px
+
+
+def _decode_bmp_pixels(payload: bytes):
+    """BMP → HxWx3 uint8 RGB. BITMAPINFOHEADER, BI_RGB (uncompressed),
+    8-bit palette / 24-bit / 32-bit; bottom-up or top-down rows."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    hdr_size, = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        return None
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    bpp, = struct.unpack("<H", payload[28:30])
+    comp, = struct.unpack("<I", payload[30:34])
+    if comp != 0 or bpp not in (8, 24, 32) or w <= 0 or h_signed == 0:
+        return None
+    h = abs(h_signed)
+    row_size = (w * bpp // 8 + 3) & ~3
+    need = data_off + row_size * h
+    if len(payload) < need:
+        return None
+    rows = np.frombuffer(
+        payload[data_off:need], np.uint8
+    ).reshape(h, row_size)
+    if bpp == 8:
+        (clr_used,) = struct.unpack("<I", payload[46:50])
+        n_pal = clr_used or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(payload[pal_off:pal_off + 4 * n_pal], np.uint8)
+        if len(pal) < 4 * n_pal:
+            return None
+        pal = pal.reshape(-1, 4)[:, 2::-1]  # BGRX → RGB
+        px = pal[rows[:, :w]]
+    else:
+        bypp = bpp // 8
+        px = rows[:, :w * bypp].reshape(h, w, bypp)[:, :, 2::-1]  # BGR(A) → RGB
+    if h_signed > 0:  # bottom-up storage
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
+    """GIF variable-width LZW (LSB-first bit packing)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out += entry
+            if len(out) >= max_pixels:
+                return out
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _decode_gif_pixels(payload: bytes):
+    """GIF → HxWx3 uint8 RGB of the FIRST frame (training features need one
+    representative frame, not animation)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        return None
+    flags = payload[10]
+    gct = None
+    pos = 13
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos:pos + 3 * n], np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _, _, iw, ih = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
+            lflags = payload[pos + 9]
+            pos += 10
+            table = gct
+            if lflags & 0x80:
+                n = 2 << (lflags & 0x07)
+                table = np.frombuffer(payload[pos:pos + 3 * n], np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if lflags & 0x40 or table is None or iw == 0 or ih == 0:
+                return None  # interlaced / missing palette: out of scope
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            idx = np.frombuffer(
+                bytes(_gif_lzw_decode(min_code, b"".join(chunks), iw * ih)), np.uint8
+            )
+            if len(idx) < iw * ih or idx.max(initial=0) >= len(table):
+                return None
+            return table[idx[:iw * ih].reshape(ih, iw)]
+        else:  # trailer (0x3B) or junk
+            return None
+    return None
+
+
+def decode_image_pixels(payload: bytes):
+    """Full pixel decode → HxWx3 uint8 RGB, or None when the container
+    needs an entropy codec (JPEG) or is malformed."""
+    try:
+        for dec in (_decode_png_pixels, _decode_bmp_pixels, _decode_gif_pixels):
+            px = dec(payload)
+            if px is not None:
+                return px
+    except Exception:
+        return None  # malformed pixel data degrades to the header/fake path
+    return None
+
+
+def _pixel_features(px, dim: int) -> list[float]:
+    """Real image features from decoded pixels: channel means, luma std,
+    mean |horizontal gradient| (edge energy), then a luma histogram filling
+    the remaining dims.  Deterministic, numpy-vectorized."""
+    import numpy as np
+
+    x = px.astype(np.float64) / 255.0
+    luma = 0.2126 * x[:, :, 0] + 0.7152 * x[:, :, 1] + 0.0722 * x[:, :, 2]
+    grad = float(np.mean(np.abs(np.diff(luma, axis=1)))) if luma.shape[1] > 1 else 0.0
+    head = [float(x[:, :, 0].mean()), float(x[:, :, 1].mean()),
+            float(x[:, :, 2].mean()), float(luma.std()), grad]
+    bins = max(dim - len(head), 1)
+    hist = np.histogram(luma, bins=bins, range=(0.0, 1.0))[0] / luma.size
+    return [round(v, 9) for v in head + hist.tolist()]
+
+
 def decode_images(df: "DataFrame", dim: int = 16, fake: bool = True) -> "DataFrame":
     """image binary → (width, height, format, features).
 
-    ``fake=False`` is a REAL kernel for PNG/GIF/BMP/JPEG: dimensions and
-    format are parsed from the payload's header bytes and the feature
-    vector is the (deterministic) normalised byte histogram of the payload.
-    Payloads in an unrecognised container raise NotImplementedError —
-    full pixel decode of arbitrary formats still needs an imaging library,
-    and that seam stays clearly marked.
+    ``fake=False`` is a REAL kernel: PNG/BMP/GIF payloads are pixel-decoded
+    (:func:`decode_image_pixels`) and the feature vector is computed from
+    the actual pixels (channel means, luma std, edge energy, luma
+    histogram); JPEG gets real header dimensions with a byte-histogram
+    feature fallback (entropy decode needs a codec library — the one
+    remaining image seam).  Payloads in an unrecognised container raise
+    NotImplementedError.
 
     ``fake=True`` keeps the round-1 deterministic stand-in (dims derived
     from payload length) for tests that use synthetic payloads, but
-    upgrades to real header dims whenever the header parses."""
+    upgrades to real pixels / real header dims whenever the payload
+    parses."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -130,9 +397,11 @@ def decode_images(df: "DataFrame", dim: int = 16, fake: bool = True) -> "DataFra
                         )
                     parsed = (64 + len(payload) % 512, 64 + len(payload) % 384, "fake")
                 w, h, fmt = parsed
-                rows.append(
-                    (rec["media_id"], w, h, fmt, len(payload), _fake_features(payload, dim))
-                )
+                px = decode_image_pixels(payload) if fmt in ("png", "bmp", "gif") else None
+                feats = _pixel_features(px, dim) if px is not None else _fake_features(payload, dim)
+                if px is not None:  # decoded geometry is the ground truth
+                    h, w = px.shape[0], px.shape[1]
+                rows.append((rec["media_id"], w, h, fmt, len(payload), feats))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "format", "n_bytes", "features"]
             )

@@ -743,3 +743,159 @@ def test_pretrained_embedder_lane():
     assert all(abs(float(np.linalg.norm(v)) - 1.0) < 1e-3 for v in docs)
     sims = docs @ q
     assert sims[0] > sims[2] and sims[1] > sims[2]  # semantic ordering
+
+
+# ---------------------------------------------------------------------------
+# Real pixel decode: PNG (all five filters), BMP (24-bit + palette), GIF (LZW)
+
+def _paeth_np(a, b, c):
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_pixels_fixture(px, ctype=2):
+    """Encode HxWxC pixels as a real PNG, cycling filter types 0..4 per row
+    so the decoder's whole filter matrix is exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = px.shape
+    raws = []
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int32)
+        left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        f = y % 5
+        res = [row, (row - left) % 256, (row - prev) % 256,
+               (row - (left + prev) // 2) % 256,
+               (row - _paeth_np(left, prev, upleft)) % 256][f]
+        raws.append(bytes([f]) + res.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(raws))) + chunk(b"IEND", b""))
+
+
+def _bmp_pixels_fixture(px):
+    """Encode HxWx3 RGB as a bottom-up uncompressed 24-bit BMP with row pad."""
+    import struct
+
+    h, w, _ = px.shape
+    row_size = (w * 3 + 3) & ~3
+    data = b"".join(
+        px[y][:, ::-1].tobytes() + b"\x00" * (row_size - w * 3)
+        for y in range(h - 1, -1, -1))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    return b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54) + info + data
+
+
+def _gif_pixels_fixture(idx, palette):
+    """Encode an index raster as a real GIF using byte-aligned LZW codes
+    (min code size 7 with periodic clears keeps every code 8 bits wide)."""
+    import struct
+
+    h, w = idx.shape
+    gct = bytearray()
+    for c in palette:
+        gct += bytes(c)
+    gct += b"\x00" * (256 * 3 - len(gct))
+    out = bytearray(b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80 | 0x07, 0, 0]) + gct)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00" + bytes([7])
+    stream = bytearray([0x80])  # initial clear
+    for i, v in enumerate(idx.reshape(-1)):
+        if i and i % 100 == 0:
+            stream.append(0x80)  # clear before the table forces 9-bit codes
+        stream.append(int(v))
+    stream.append(0x81)  # end of information
+    for off in range(0, len(stream), 255):
+        blk = stream[off:off + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _test_raster(h, w):
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    return rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+
+def test_decode_png_pixels_all_filters():
+    import numpy as np
+
+    from mcpvectordb_spark.sources.multimodal import decode_image_pixels
+
+    px = _test_raster(7, 5)  # 7 rows → every filter type appears
+    got = decode_image_pixels(_png_pixels_fixture(px))
+    assert got is not None and np.array_equal(got, px)
+
+    # RGBA: alpha plane is dropped, colour planes survive
+    rgba = np.dstack([px, np.full((7, 5), 200, np.uint8)])
+    got4 = decode_image_pixels(_png_pixels_fixture(rgba, ctype=6))
+    assert np.array_equal(got4, px)
+
+
+def test_decode_bmp_pixels_bottom_up_and_padding():
+    import numpy as np
+
+    from mcpvectordb_spark.sources.multimodal import decode_image_pixels
+
+    px = _test_raster(4, 3)  # w=3 → each row carries 3 pad bytes
+    got = decode_image_pixels(_bmp_pixels_fixture(px))
+    assert got is not None and np.array_equal(got, px)
+
+
+def test_decode_gif_pixels_lzw():
+    import numpy as np
+
+    from mcpvectordb_spark.sources.multimodal import decode_image_pixels
+
+    palette = [(i, 255 - i, (i * 7) % 256) for i in range(128)]
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, 128, size=(9, 11)).astype(np.uint8)
+    got = decode_image_pixels(_gif_pixels_fixture(idx, palette))
+    expect = np.array([[palette[v] for v in row] for row in idx], np.uint8)
+    assert got is not None and np.array_equal(got, expect)
+
+
+def test_decode_images_uses_real_pixels(spark):
+    """decode_images(fake=False): decodable payloads get features computed
+    from actual pixels (channel means/luma stats), not the byte histogram;
+    JPEG keeps header dims + histogram fallback (entropy decode seam)."""
+    import numpy as np
+
+    px = np.zeros((6, 8, 3), np.uint8)
+    px[:, :, 0] = 255  # pure red → mean_r 1.0, mean_g/b 0.0
+    rows = [
+        ("red", "image", "image/png", bytearray(_png_pixels_fixture(px)), "{}"),
+        ("jpg", "image", "image/jpeg", bytearray(_jpeg_bytes(32, 16)), "{}"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_images(media, fake=False).collect()}
+    assert (out["red"]["width"], out["red"]["height"]) == (8, 6)
+    f = out["red"]["features"]
+    assert abs(f[0] - 1.0) < 1e-6 and abs(f[1]) < 1e-6 and abs(f[2]) < 1e-6
+    assert (out["jpg"]["width"], out["jpg"]["height"]) == (32, 16)
+    assert abs(sum(out["jpg"]["features"]) - 1.0) < 1e-6  # byte histogram
+
+
+def test_decode_pixels_malformed_degrades_not_raises():
+    from mcpvectordb_spark.sources.multimodal import decode_image_pixels
+
+    px = _test_raster(4, 4)
+    good = _png_pixels_fixture(px)
+    assert decode_image_pixels(good[:40]) is None           # truncated
+    assert decode_image_pixels(b"GIF89a\x01") is None       # tiny
+    assert decode_image_pixels(_bmp_bytes(100, 50)) is None  # header only
