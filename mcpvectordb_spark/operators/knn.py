@@ -485,3 +485,81 @@ def mean_pool_embeddings(
             F.transform(F.col(out_col), lambda x: F.try_divide(x, norm)),
         )
     return pooled
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index with O(batch) incremental append.
+#
+# The reference rebuilds its FTS statistics over the whole corpus on every
+# upsert (store.py:197-202) and defers ANN indexing to a LanceDB IVF-PQ
+# build (store.py:274) that would likewise be a full retrain.  A 100 TB
+# corpus cannot re-shuffle itself per ingest batch, so the index freezes
+# its coarse quantizer: centroids are persisted next to the corpus, and an
+# append assigns ONLY the new rows against them (broadcast, no corpus
+# shuffle) before appending into the centroid_id-partitioned layout.
+# Frozen centroids ⇒ an appended index is cell-for-cell IDENTICAL to a
+# full rebuild with the same centroids (asserted in test_search.py), and
+# search partition-prunes to nprobe directories exactly as before.
+# Centroid drift under heavy append is a re-bucketing decision, not an
+# ingest-path one — rebuild with kmeans_refine'd centroids offline.
+
+
+class IvfIndex:
+    """Directory layout: ``<path>/centroids`` (one tiny parquet file) and
+    ``<path>/corpus`` partitioned by ``centroid_id``."""
+
+    def __init__(self, spark, path: str, corpus_id: str = "id", vec_col: str = "embedding"):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.corpus_id = corpus_id
+        self.vec_col = vec_col
+
+    # -- build / maintain ---------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        spark,
+        corpus: DataFrame,
+        centroids: DataFrame,
+        path: str,
+        corpus_id: str = "id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        idx = cls(spark, path, corpus_id, vec_col)
+        centroids.coalesce(1).write.mode("overwrite").parquet(idx.path + "/centroids")
+        assigned = ivf_assign(corpus, idx.centroids(), corpus_id, vec_col)
+        assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(idx.path + "/corpus")
+        return idx
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(self.path + "/centroids")
+
+    def assigned(self) -> DataFrame:
+        return self.spark.read.parquet(self.path + "/corpus")
+
+    def append(self, batch: DataFrame) -> None:
+        """Assign the batch against the FROZEN centroids and append.
+        O(batch × nlist) work, zero existing-row movement — the incremental
+        twin of a full rebuild (identical because centroids are frozen)."""
+        assigned = ivf_assign(batch, self.centroids(), self.corpus_id, self.vec_col)
+        assigned.write.partitionBy("centroid_id").mode("append").parquet(self.path + "/corpus")
+
+    # -- query --------------------------------------------------------------
+
+    def search(
+        self, query: Sequence[float], k: int, nprobe: int = 3, static_prune: bool = True
+    ) -> DataFrame:
+        """Probe-and-refine over the partitioned layout; ``static_prune``
+        plants the probed cell ids as a literal filter so the parquet scan
+        lists only nprobe directories (plan-asserted in tests)."""
+        return ivf_topk(
+            self.assigned(),
+            self.centroids(),
+            query,
+            k,
+            nprobe=nprobe,
+            corpus_id=self.corpus_id,
+            vec_col=self.vec_col,
+            static_prune=static_prune,
+        )

@@ -292,3 +292,30 @@ def test_semdedup_plan_shape(spark):
     assert tree.count("BroadcastNestedLoopJoin") <= 2, tree  # 2 assignments (a & b legs)
     assert ("SortMergeJoin" in tree) or ("ShuffledHashJoin" in tree) \
         or ("BroadcastHashJoin" in tree), tree
+
+
+def test_assign_clusters_pandas_matches_expr(spark):
+    """The BLAS assignment path buckets identically to the codegen path on
+    the test corpus (same argmax, same lowest-cid tie-break)."""
+    from mcpvectordb_spark.operators.dedup import assign_clusters, lowest_id_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("embedding"))
+    cents = lowest_id_centroids(emb, "id", "embedding", 8)
+    a = {r["id"]: r["cluster_id"] for r in
+         assign_clusters(emb, cents, "id", "embedding", impl="expr").collect()}
+    b = {r["id"]: r["cluster_id"] for r in
+         assign_clusters(emb, cents, "id", "embedding", impl="pandas").collect()}
+    assert a == b
+
+
+def test_semdedup_pandas_impl_same_verdicts(spark):
+    from mcpvectordb_spark.operators.dedup import semdedup
+
+    base = [(i, [1.0 * (i == j) for j in range(4)]) for i in range(4)]
+    copies = [(100 + i, v) for i, v in base]
+    df = spark.createDataFrame(base + copies, "id long, embedding array<double>")
+    for impl in ("expr", "pandas"):
+        out = {r["id"] for r in
+               semdedup(df, "id", "embedding", k=4, threshold=0.9, impl=impl).collect()}
+        assert out == {100, 101, 102, 103}, impl

@@ -328,3 +328,39 @@ def test_api_search_blend_fusion(spark, tmp_path):
     assert res["results"][0]["source"] == "s1"
     bad = db.search("x", fusion="nope")
     assert bad["status"] == "error"
+
+
+def test_ivf_index_append_matches_rebuild(spark, tmp_path):
+    """Persisted IVF index: appending a second batch against the FROZEN
+    centroids yields cell-for-cell the same index as one full build, and
+    search over the appended index equals search over the rebuilt one
+    (the O(batch) maintenance twin of the reference's full-retrain path,
+    store.py:197-202, 274)."""
+    from mcpvectordb_spark.operators.knn import IvfIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select(F.col("vec_id").alias("id"), "embedding")
+    centroids = emb.filter(F.col("id") < 8).select(
+        F.col("id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    first = emb.filter(F.col("id") % 2 == 0)
+    second = emb.filter(F.col("id") % 2 == 1)
+
+    idx = IvfIndex.build(spark, first, centroids, str(tmp_path / "ivf"), corpus_id="id")
+    idx.append(second)
+    full = IvfIndex.build(spark, emb, centroids, str(tmp_path / "ivf_full"), corpus_id="id")
+
+    cells_a = {(r["id"], int(r["centroid_id"])) for r in idx.assigned().collect()}
+    cells_b = {(r["id"], int(r["centroid_id"])) for r in full.assigned().collect()}
+    assert cells_a == cells_b and len(cells_a) == emb.count()
+
+    qv = [float(x) for x in emb.filter(F.col("id") == 3).first()["embedding"]]
+    got = [r["id"] for r in idx.search(qv, 5, nprobe=3).collect()]
+    want = [r["id"] for r in full.search(qv, 5, nprobe=3).collect()]
+    assert got == want and len(got) == 5
+
+    # static prune: the scan only lists nprobe of the 8 cell directories
+    q = idx.search(qv, 5, nprobe=3, static_prune=True)
+    q.collect()
+    scan = q._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    assert scan.metrics().apply("numPartitions").value() == 3

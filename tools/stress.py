@@ -303,6 +303,58 @@ def main_sf1() -> None:
         return n
 
     run("dup_spans_200k", spans)
+    big_docs.unpersist()
+
+    # ---- 400k vectors for semantic dedup ----------------------------------
+    from mcpvectordb_spark.operators.dedup import semdedup
+
+    emb = load_table(spark, SF, "embeddings")
+    r20 = spark.range(20).select(F.col("id").alias("r"))
+    synth_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("vec_id"), F.col("r"), i.cast("string"))), 1, 6),
+            16, 10,
+        ).cast("double") / F.lit(float(1 << 24)) - 0.5,
+    )
+    base = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    big_vec = (
+        emb.crossJoin(F.broadcast(r20))
+        .select(
+            (F.col("vec_id") * 100 + F.col("r")).alias("id"),
+            F.when(F.col("r") == 0, base).otherwise(synth_vec).alias("embedding"),
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") < 1000).select(
+                (F.col("vec_id") * 100 + 50).alias("id"), base.alias("embedding")
+            )
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_vec = big_vec.count()
+    print(f"# sf1 corpus: {n_vec} vectors", file=sys.stderr)
+
+    def sem():
+        # k ≈ √n balances the n·k assignment against the Σ|cell|² pair work;
+        # impl="pandas" = the BLAS assignment path (one matmul per Arrow
+        # batch) — the throughput shape for bucketing at this n×k
+        dropped = semdedup(
+            big_vec, "id", "embedding", k=640, threshold=0.9, impl="pandas"
+        ).collect()
+        ids = {r["id"] for r in dropped}
+        plants = {i * 100 + 50 for i in range(1000)}
+        assert plants <= ids, f"missed {len(plants - ids)} planted copies"
+        extras = ids - plants
+        assert not extras, f"{len(extras)} false drops (random 64-d cosines ≥0.9?)"
+        notes["semdedup_400k"] = (
+            "1000/1000 planted copies dropped, 0 false drops; cells ≈ n/k = "
+            f"{n_vec // 640} rows, pair work Σ|cell|² only"
+        )
+        return len(dropped)
+
+    run("semdedup_400k", sem)
+    big_vec.unpersist()
 
     print(json.dumps({
         "mode": "sf1", "events": n_ev, "docs": n_docs,
