@@ -6,18 +6,19 @@ Arrow-batched Python stages near the data).  Three kernels are REAL at the
 container level — pure byte parsing, no media library:
 
 - image: PNG/GIF/BMP/JPEG dimensions + format from header bytes
-  (:func:`parse_image_header`), and FULL PIXEL DECODE for PNG (zlib
-  inflate + all five scanline filters), BMP (BI_RGB 8/24/32-bit incl.
-  palette), and GIF (LZW decode of the first frame) via
-  :func:`decode_image_pixels` — real per-channel/luma/gradient features
-  from the actual pixels;
+  (:func:`parse_image_header`), and FULL PIXEL DECODE for all four via
+  :func:`decode_image_pixels` — PNG (zlib inflate + all five scanline
+  filters), BMP (BI_RGB 8/24/32-bit incl. palette), GIF (LZW decode of
+  the first frame), and baseline JPEG (Huffman entropy decode + IDCT +
+  chroma upsampling, :mod:`mcpvectordb_spark.sources.jpeg`) — real
+  per-channel/luma/gradient features from the actual pixels;
 - audio: RIFF/WAVE full decode (:func:`parse_wav`) — PCM 8/16/32-bit and
   IEEE-float; duration from the header, per-window RMS + zero-crossing-rate
   features computed from the actual samples (numpy, no Python sample loop);
 - video: MP4/ISO-BMFF box walk (mvhd duration, tkhd dimensions) and AVI
   avih header (:func:`parse_video_header`).
 
-Remaining codec-level work (JPEG entropy decode, compressed audio, video
+Remaining codec-level work (progressive JPEG, compressed audio, video
 frame extraction) is STUBBED (Pillow/ffmpeg/torchaudio are not in this
 container): those stages have the real Spark plumbing — schema, batching,
 partitioning, UDF signature — a deterministic fake path for tests, and the
@@ -337,10 +338,13 @@ def _decode_gif_pixels(payload: bytes):
 
 
 def decode_image_pixels(payload: bytes):
-    """Full pixel decode → HxWx3 uint8 RGB, or None when the container
-    needs an entropy codec (JPEG) or is malformed."""
+    """Full pixel decode → HxWx3 uint8 RGB, or None when the payload is
+    malformed or out of codec scope (progressive JPEG, Adam7 PNG, ...)."""
+    from mcpvectordb_spark.sources.jpeg import decode_jpeg
+
     try:
-        for dec in (_decode_png_pixels, _decode_bmp_pixels, _decode_gif_pixels):
+        for dec in (_decode_png_pixels, _decode_bmp_pixels, _decode_gif_pixels,
+                    decode_jpeg):
             px = dec(payload)
             if px is not None:
                 return px
@@ -368,13 +372,12 @@ def _pixel_features(px, dim: int) -> list[float]:
 def decode_images(df: "DataFrame", dim: int = 16, fake: bool = True) -> "DataFrame":
     """image binary → (width, height, format, features).
 
-    ``fake=False`` is a REAL kernel: PNG/BMP/GIF payloads are pixel-decoded
-    (:func:`decode_image_pixels`) and the feature vector is computed from
-    the actual pixels (channel means, luma std, edge energy, luma
-    histogram); JPEG gets real header dimensions with a byte-histogram
-    feature fallback (entropy decode needs a codec library — the one
-    remaining image seam).  Payloads in an unrecognised container raise
-    NotImplementedError.
+    ``fake=False`` is a REAL kernel: PNG/BMP/GIF/baseline-JPEG payloads are
+    pixel-decoded (:func:`decode_image_pixels`) and the feature vector is
+    computed from the actual pixels (channel means, luma std, edge energy,
+    luma histogram); progressive JPEG keeps real header dimensions with a
+    byte-histogram feature fallback.  Payloads in an unrecognised container
+    raise NotImplementedError.
 
     ``fake=True`` keeps the round-1 deterministic stand-in (dims derived
     from payload length) for tests that use synthetic payloads, but
@@ -397,7 +400,7 @@ def decode_images(df: "DataFrame", dim: int = 16, fake: bool = True) -> "DataFra
                         )
                     parsed = (64 + len(payload) % 512, 64 + len(payload) % 384, "fake")
                 w, h, fmt = parsed
-                px = decode_image_pixels(payload) if fmt in ("png", "bmp", "gif") else None
+                px = decode_image_pixels(payload) if fmt != "fake" else None
                 feats = _pixel_features(px, dim) if px is not None else _fake_features(payload, dim)
                 if px is not None:  # decoded geometry is the ground truth
                     h, w = px.shape[0], px.shape[1]
