@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     # round-3 additions
     "decontaminate_bloom_persisted",  # probe-only cost: bloom built+saved on warm run
     "semdedup",              # k-means cells as candidate buckets + within-cell cosine
+    "bpe_train",             # distributed word histogram + incremental merge loop
     "dedup_lines",           # C4-style line-level corpus dedup
     "dedup_spans",           # span-level cross-doc dup fraction
     "events_funnel",         # ordered funnel (chained keyed aggs)

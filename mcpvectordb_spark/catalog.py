@@ -1009,6 +1009,24 @@ FROM pairs GROUP BY id, cluster_id
 # 5. Text analysis
 # ===========================================================================
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BPE training (Sennrich et al. 2016), Spark-first: the ONE
+    corpus-scale pass is the distributed word histogram; the 40-merge loop
+    runs on the vocabulary-bounded histogram driver-side (operators/bpe.py).
+    Deterministic end-to-end (capped histogram ordered (count DESC, word
+    ASC); ties to the lexicographically smallest pair) → digest-gated.
+    The iterative merge loop is not SQL-expressible."""
+    from mcpvectordb_spark.operators.bpe import train_bpe, word_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(word_histogram(docs, "text"), 40)
+    out = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+    return _digest_gate(out)
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex subword estimate."""
     docs = load_table(spark, sf_dir, "documents")
@@ -3317,15 +3335,15 @@ QUERIES = {
     "events_range_frame": q_events_range_frame,
     "orders_analytics": q_orders_analytics,
     "orders_rollup": q_orders_rollup,
-    "orders_pivot": q_orders_pivot,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     # -- new round-3 queries (never driver-checked → must sit in the window;
-    # -- tpch_q13 rotates to the tail to make room, re-verified next round) --
+    # -- tpch_q13 + orders_pivot rotate to the tail to make room) --
     "decontaminate_bloom_persisted": q_decontaminate_bloom_persisted,
+    "bpe_train": q_bpe_train,
     # -- deterministic, golden-digest gated (round 3): sit at the window edge
     # -- so the first of them gets a driver pass/fail row this round --
     "ingest_chunks": q_ingest_chunks,
@@ -3340,6 +3358,7 @@ QUERIES = {
     "stream_dedup": q_stream_dedup,
     # ---------------- tail: stable r01/r02 greens (driver-verified) ------------
     "tpch_q13": q_tpch_q13,
+    "orders_pivot": q_orders_pivot,
     **TPCH_EXT_QUERIES,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
@@ -3381,6 +3400,7 @@ ORACLES = {
     "neardup_lsh_embeddings": _sql_digest_gold(194, "6f58a0fe80114093f7a418159120bc34"),
     "multimodal_features": _sql_digest_gold(200, "1cefe1a043fec9d1071b428ea152f000"),
     "warc_ingest": _sql_digest_gold(4, "0f4b56356626108a612ccc6b91b59750"),
+    "bpe_train": _sql_digest_gold(40, "4a934b5f1cb957f5efe8e38d2602acb7"),
     "knn_topk": SQL_KNN_TOPK,
     "knn_batch": SQL_KNN_BATCH,
     "knn_filtered": SQL_KNN_FILTERED,

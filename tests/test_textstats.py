@@ -154,3 +154,62 @@ def test_bpe_pair_counts_basic(spark):
     got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(df, "text", top_n=10).collect()}
     # "aaab": aa,aa,ab; "aab": aa,ab; "ab": ab  →  aa:3, ab:3
     assert got == {"a a": 3, "a b": 3}
+
+
+# ---------------------------------------------------------------------------
+# BPE training + application (operators/bpe.py)
+
+
+def test_train_bpe_classic_corpus(spark):
+    """The Sennrich et al. running example: low×5 lower×2 newest×6 widest×3.
+    First merges hand-computed: (e,s)→(es,t)→(est,</w>)→(l,o)."""
+    from mcpvectordb_spark.operators.bpe import train_bpe, word_histogram
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    hist = word_histogram(df, "text")
+    rows = {r["word"]: r["count"] for r in hist.collect()}
+    assert rows == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe(hist, 4)
+    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")]
+
+
+def test_train_bpe_tie_breaks_to_smallest_pair():
+    from mcpvectordb_spark.operators.bpe import train_bpe
+
+    # "ab" and "ba" each appear 3 times → pair counts (a,b)=3, (b,a)=3,
+    # (b,</w>)=3, (a,</w>)=3; smallest pair lexicographically is (a,</w>)
+    merges = train_bpe([("ab", 3), ("ba", 3)], 1)
+    assert merges == [("a", "</w>")]
+
+
+def test_apply_bpe_greedy_lowest_rank():
+    from mcpvectordb_spark.operators.bpe import apply_bpe_word
+
+    ranks = {("e", "s"): 0, ("es", "t"): 1, ("est", "</w>"): 2, ("l", "o"): 3}
+    assert apply_bpe_word("lowest", ranks) == ["lo", "w", "est</w>"]
+    assert apply_bpe_word("best", ranks) == ["b", "est</w>"]
+    assert apply_bpe_word("xyz", ranks) == ["x", "y", "z", "</w>"]  # no merges hit
+
+
+def test_bpe_encode_distributed_matches_local(spark):
+    from mcpvectordb_spark.operators.bpe import (
+        apply_bpe_word,
+        bpe_encode,
+        train_bpe,
+        word_histogram,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    merges = train_bpe(word_histogram(docs, "text"), 30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = bpe_encode(docs, "text", merges).select("doc_id", "text", "bpe_tokens").collect()
+    assert len(out) == 50
+    for r in out:
+        local = []
+        for w in r["text"].strip().lower().split():
+            local.extend(apply_bpe_word(w, ranks))
+        assert list(r["bpe_tokens"]) == local
+        # round-trip: concatenating tokens re-yields the words
+        joined = "".join(local).replace("</w>", " ").strip()
+        assert joined == " ".join(r["text"].strip().lower().split())

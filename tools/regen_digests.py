@@ -21,6 +21,7 @@ GATED = [
     "neardup_lsh_embeddings",
     "multimodal_features",
     "warc_ingest",
+    "bpe_train",
 ]
 
 
