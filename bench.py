@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "decontaminate_bloom_persisted",  # probe-only cost: bloom built+saved on warm run
     "semdedup",              # k-means cells as candidate buckets + within-cell cosine
     "bpe_train",             # distributed word histogram + incremental merge loop
+    "nb_lang_classify",      # NB train+classify as pure aggregation
     "dedup_lines",           # C4-style line-level corpus dedup
     "dedup_spans",           # span-level cross-doc dup fraction
     "events_funnel",         # ordered funnel (chained keyed aggs)

@@ -1027,6 +1027,57 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _digest_gate(out)
 
 
+def q_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classification, trained AND scored
+    on the corpus itself (operators/classify.py) — distributed ML as pure
+    aggregation: training is a (label, term) groupBy, scoring is a join +
+    per-(doc, class) sum, argmax over rounded log-posteriors.  The oracle
+    replays the entire train+classify pipeline in SQL."""
+    from mcpvectordb_spark.operators.classify import nb_classify, nb_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = nb_train(docs, "lang", "text")
+    out = nb_classify(docs, "doc_id", "text", model)
+    return out.select(F.col("id").alias("doc_id"), "predicted", "score")
+
+
+_SQL_NB_WORDS = f"list_filter({_sql_words('text')}, t -> t <> '')"
+
+SQL_NB_LANG_CLASSIFY = f"""
+WITH tok AS (
+  SELECT lang AS label, unnest({_SQL_NB_WORDS}) AS term FROM documents),
+cwc AS (SELECT label, term, CAST(count(*) AS BIGINT) AS ct FROM tok GROUP BY 1, 2),
+nc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_c FROM tok GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tok),
+dcnt AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS d_c FROM documents GROUP BY 1),
+dtot AS (SELECT CAST(count(*) AS BIGINT) AS d_t FROM documents),
+priors AS (SELECT label, ln(d_c / CAST(d_t AS DOUBLE)) AS log_prior FROM dcnt, dtot),
+liks AS (SELECT label, term, ln((ct + 1) / CAST(n_c + v AS DOUBLE)) AS log_lik
+         FROM cwc JOIN nc USING (label), v),
+unseen AS (SELECT label, ln(1.0 / CAST(n_c + v AS DOUBLE)) AS log_unseen FROM nc, v),
+vocab AS (SELECT DISTINCT term FROM tok),
+doc_tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_SQL_NB_WORDS}) AS term FROM documents)
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.doc_id, u.label, sum(d.tf * COALESCE(l.log_lik, u.log_unseen)) AS s
+  FROM doc_tf d
+  JOIN vocab USING (term)
+  CROSS JOIN unseen u
+  LEFT JOIN liks l ON l.label = u.label AND l.term = d.term
+  GROUP BY 1, 2),
+final AS (
+  SELECT s.doc_id, s.label, round(s.s + p.log_prior, 4) AS score
+  FROM scored s JOIN priors p ON p.label = s.label),
+ranked AS (
+  SELECT doc_id, label, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+  FROM final)
+SELECT doc_id, label AS predicted, score FROM ranked WHERE rn = 1
+"""
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex subword estimate."""
     docs = load_table(spark, sf_dir, "documents")
@@ -3334,7 +3385,6 @@ QUERIES = {
     "events_running": q_events_running,
     "events_range_frame": q_events_range_frame,
     "orders_analytics": q_orders_analytics,
-    "orders_rollup": q_orders_rollup,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
@@ -3344,6 +3394,7 @@ QUERIES = {
     # -- tpch_q13 + orders_pivot rotate to the tail to make room) --
     "decontaminate_bloom_persisted": q_decontaminate_bloom_persisted,
     "bpe_train": q_bpe_train,
+    "nb_lang_classify": q_nb_lang_classify,
     # -- deterministic, golden-digest gated (round 3): sit at the window edge
     # -- so the first of them gets a driver pass/fail row this round --
     "ingest_chunks": q_ingest_chunks,
@@ -3359,6 +3410,7 @@ QUERIES = {
     # ---------------- tail: stable r01/r02 greens (driver-verified) ------------
     "tpch_q13": q_tpch_q13,
     "orders_pivot": q_orders_pivot,
+    "orders_rollup": q_orders_rollup,
     **TPCH_EXT_QUERIES,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
@@ -3422,6 +3474,7 @@ ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "semdedup": SQL_SEMDEDUP,
+    "nb_lang_classify": SQL_NB_LANG_CLASSIFY,
     "text_tokens": SQL_TEXT_TOKENS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,

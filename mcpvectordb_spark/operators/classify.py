@@ -1,0 +1,106 @@
+"""Multinomial Naive Bayes document classification — distributed ML as
+pure aggregation.
+
+Curation pipelines gate documents with lightweight linear classifiers
+(fastText language-ID / quality / domain models in CCNet & RefinedWeb).
+Multinomial NB is the aggregation-shaped member of that family: training
+IS a groupBy (count words per class), and scoring IS a join + sum — so
+the whole pipeline stays in Catalyst with no model runtime, and the
+DuckDB oracle can replay it exactly.
+
+Training (:func:`nb_train`):
+    log P(c)      = ln(docs_c / docs_total)
+    log P(w|c)    = ln((count_{w,c} + 1) / (tokens_c + V))   (Laplace)
+    log P(unk|c)  = ln(1 / (tokens_c + V))   (in-vocab word unseen in c)
+Out-of-vocabulary terms (absent from EVERY class) are dropped at
+classification time — the standard convention, and deterministic.
+
+Scale shape: the only corpus-scale operations are two explodes with
+map-side-combined keyed aggs; every model table is vocabulary- or
+class-bounded (broadcastable).  Scoring shuffles (id, term, tf) tuples
+once and reduces per (id, class).
+
+Float determinism note: per-class scores are sums of ~doc-length terms;
+engines sum in different orders, so outputs are rounded to 4 decimals
+BEFORE the argmax comparison (ties break to the lexicographically first
+class) — the same precedent as textstats.unigram_logprob's rounded avg.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.operators.dedup import normalize_text
+
+
+class NBModel(NamedTuple):
+    priors: DataFrame    # (label, log_prior)
+    liks: DataFrame      # (label, term, log_lik)
+    unseen: DataFrame    # (label, log_unseen)
+    vocab: DataFrame     # (term)
+
+
+def _terms(text_col: str):
+    return F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
+
+
+def nb_train(df: DataFrame, label_col: str, text_col: str) -> NBModel:
+    tok = df.select(
+        F.col(label_col).alias("label"), F.explode(_terms(text_col)).alias("term")
+    )
+    cwc = tok.groupBy("label", "term").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    nc = tok.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_c"))
+    v = tok.select(F.countDistinct("term").cast("long").alias("v"))
+    dcnt = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("d_c")
+    )
+    dtot = df.select(F.count(F.lit(1)).cast("long").alias("d_t"))
+    priors = dcnt.crossJoin(F.broadcast(dtot)).select(
+        "label", F.log(F.col("d_c") / F.col("d_t")).alias("log_prior")
+    )
+    liks = (
+        cwc.join(nc, "label")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "label", "term",
+            F.log((F.col("ct") + F.lit(1)) / (F.col("n_c") + F.col("v"))).alias("log_lik"),
+        )
+    )
+    unseen = nc.crossJoin(F.broadcast(v)).select(
+        "label", F.log(F.lit(1.0) / (F.col("n_c") + F.col("v"))).alias("log_unseen")
+    )
+    return NBModel(priors, liks, unseen, tok.select("term").distinct())
+
+
+def nb_classify(
+    df: DataFrame, id_col: str, text_col: str, model: NBModel, round_digits: int = 4
+) -> DataFrame:
+    """→ (id, predicted, score): argmax over classes of the rounded NB
+    log-posterior, ties to the lexicographically first label."""
+    doc_tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(_terms(text_col)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .join(model.vocab, "term")  # OOV terms contribute nothing (standard)
+    )
+    per_class = (
+        doc_tf.crossJoin(F.broadcast(model.unseen))
+        .join(model.liks, ["label", "term"], "left")
+        .withColumn("w", F.col("tf") * F.coalesce(F.col("log_lik"), F.col("log_unseen")))
+        .groupBy("id", "label")
+        .agg(F.sum("w").alias("s"))
+        .join(F.broadcast(model.priors), "label")
+        .select(
+            "id", "label",
+            F.round(F.col("s") + F.col("log_prior"), round_digits).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("label"))
+    return (
+        per_class.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("label").alias("predicted"), "score")
+    )
