@@ -2004,6 +2004,56 @@ FROM matched
 """
 
 
+def q_events_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join: per-user 30-minute view windows
+    overlapping 30-minute purchase windows (operators/rangejoin.py::
+    overlap_join — bin-bucketed with report-once canonicalisation; the
+    oracle is the plain non-equi overlap join)."""
+    from mcpvectordb_spark.operators.rangejoin import overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("v_start"),
+        F.expr("ts + INTERVAL 30 MINUTES").alias("v_end"),
+        F.col("event_id").alias("v_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_start"),
+        F.expr("ts + INTERVAL 30 MINUTES").alias("p_end"),
+        F.col("event_id").alias("p_id"),
+    )
+    pairs = overlap_join(
+        views, purchases, "v_start", "v_end", "p_start", "p_end",
+        key_cols=["user_id"], bin_seconds=1800, broadcast_right=True,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("v_id").alias("n_views"),
+        F.countDistinct("p_id").alias("n_purchases"),
+    )
+
+
+SQL_EVENTS_OVERLAP_JOIN = """
+WITH v AS (
+  SELECT user_id, ts AS v_start, ts + INTERVAL 30 MINUTE AS v_end,
+         event_id AS v_id
+  FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT user_id, ts AS p_start, ts + INTERVAL 30 MINUTE AS p_end,
+         event_id AS p_id
+  FROM events WHERE event_type = 'purchase')
+SELECT v.user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT v_id) AS BIGINT) AS n_views,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases
+FROM v JOIN p ON v.user_id = p.user_id
+             AND v.v_start < p.p_end AND p.p_start < v.v_end
+GROUP BY v.user_id
+"""
+
+
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join: purchases landing inside any 2-hour
     error window of the same user (operators/rangejoin.py — bin-bucketed
@@ -3380,18 +3430,19 @@ QUERIES = {
     "events_json": q_events_json,
     "events_asof_join": q_events_asof_join,
     "events_interval_join": q_events_interval_join,
+    "events_overlap_join": q_events_overlap_join,
     "events_distinct_rollup": q_events_distinct_rollup,
-    "events_percentiles": q_events_percentiles,
     "events_running": q_events_running,
     "events_range_frame": q_events_range_frame,
-    "orders_analytics": q_orders_analytics,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
+    "tpch_q13": q_tpch_q13,
     # -- new round-3 queries (never driver-checked → must sit in the window;
-    # -- tpch_q13 + orders_pivot rotate to the tail to make room) --
+    # -- orders_pivot/rollup/analytics + events_percentiles rotate to the
+    # -- tail to make room, re-verified in a later rotation) --
     "decontaminate_bloom_persisted": q_decontaminate_bloom_persisted,
     "bpe_train": q_bpe_train,
     "nb_lang_classify": q_nb_lang_classify,
@@ -3408,9 +3459,10 @@ QUERIES = {
     "stream_sessions": q_stream_sessions,
     "stream_dedup": q_stream_dedup,
     # ---------------- tail: stable r01/r02 greens (driver-verified) ------------
-    "tpch_q13": q_tpch_q13,
     "orders_pivot": q_orders_pivot,
     "orders_rollup": q_orders_rollup,
+    "orders_analytics": q_orders_analytics,
+    "events_percentiles": q_events_percentiles,
     **TPCH_EXT_QUERIES,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
@@ -3510,6 +3562,7 @@ ORACLES = {
     "events_anomalies": SQL_EVENTS_ANOMALIES,
     "ann_recall": SQL_ANN_RECALL,
     "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
+    "events_overlap_join": SQL_EVENTS_OVERLAP_JOIN,
     "events_distinct_rollup": SQL_EVENTS_DISTINCT_ROLLUP,
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
     "events_incremental_rollup": SQL_EVENTS_INCREMENTAL_ROLLUP,

@@ -79,3 +79,63 @@ def interval_join(
         *[p[c] for c in points.columns],
         *[i[c] for c in intervals.columns if c not in key_cols],
     )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    key_cols: list[str] | None = None,
+    bin_seconds: int = 3600,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Interval × interval overlap join: every (left, right) pair with
+    ``l_start < r_end AND r_start < l_end`` (half-open overlap) and equal
+    ``key_cols`` — the both-sides-are-ranges sibling of
+    :func:`interval_join`, which Spark would otherwise plan as a
+    nested-loop non-equi join.
+
+    Same bin-bucketing, with the classic **report-once** canonicalisation:
+    a pair can share many bins, so the join keeps a pair only in the bin
+    of ``greatest(l_start, r_start)`` — the first bin where both intervals
+    are live, which every overlapping pair has exactly one of.  No
+    post-join dedup, so the equi-join's output IS the answer (dedup would
+    be another shuffle on the pair key).
+
+    Empty/negative intervals (end <= start) on either side are dropped.
+    Returns left columns + non-key right columns.
+    """
+    key_cols = key_cols or []
+    overlap = set(left.columns) & set(right.columns) - set(key_cols)
+    if overlap:
+        raise ValueError(f"column collision between sides: {sorted(overlap)}")
+
+    bin_us = int(bin_seconds) * 1_000_000
+
+    def explode_bins(df: DataFrame, start: str, end: str) -> DataFrame:
+        return (
+            df.filter(F.col(end) > F.col(start))
+            .withColumn("__lo", _floordiv(F.unix_micros(F.col(start)), bin_us))
+            .withColumn("__hi", _floordiv(F.unix_micros(F.col(end)) - 1, bin_us))
+            .withColumn("__bin", F.explode(F.sequence("__lo", "__hi")))
+            .drop("__lo", "__hi")
+        )
+
+    lt = explode_bins(left, l_start, l_end)
+    rt = explode_bins(right, r_start, r_end)
+    if broadcast_right:
+        rt = F.broadcast(rt)
+    cond = [lt["__bin"] == rt["__bin"]] + [lt[k] == rt[k] for k in key_cols]
+    cond.append((lt[l_start] < rt[r_end]) & (rt[r_start] < lt[l_end]))
+    # report-once: only in the bin where the later-starting interval begins
+    canonical = _floordiv(
+        F.greatest(F.unix_micros(lt[l_start]), F.unix_micros(rt[r_start])), bin_us
+    )
+    cond.append(lt["__bin"] == canonical)
+    return lt.join(rt, on=cond, how="inner").select(
+        *[lt[c] for c in left.columns],
+        *[rt[c] for c in right.columns if c not in key_cols],
+    )

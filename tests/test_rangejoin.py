@@ -87,3 +87,65 @@ def test_interval_join_rejects_column_collision(spark, sides):
             points, intervals.withColumnRenamed("w_id", "p_id"),
             "ts", "w_start", "w_end", key_cols=["user_id"],
         )
+
+
+# ---------------------------------------------------------------------------
+# overlap_join (interval × interval)
+
+
+def test_overlap_join_matches_naive_nonequi(spark):
+    """Bin-bucketed overlap join == the naive non-equi join, across
+    overlaps that span one bin, many bins, touch-only boundaries (half-open
+    → no match), and multiple keys."""
+    from mcpvectordb_spark.operators.rangejoin import overlap_join
+
+    left = spark.createDataFrame(
+        [("u1", 1, ts("2024-01-01T10:00:00"), ts("2024-01-01T11:00:00")),
+         ("u1", 2, ts("2024-01-01T11:00:00"), ts("2024-01-01T12:00:00")),  # touches 1 → no self pair
+         ("u1", 3, ts("2024-01-02T00:00:00"), ts("2024-01-03T06:00:00")),  # 30h, many bins
+         ("u2", 4, ts("2024-01-01T10:00:00"), ts("2024-01-01T11:00:00")),
+         ("u1", 5, ts("2024-01-04T00:00:00"), ts("2024-01-04T00:00:00"))],  # empty → dropped
+        "user_id string, l_id long, l_start timestamp, l_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, ts("2024-01-01T10:30:00"), ts("2024-01-01T11:30:00")),  # overlaps 1 and 2
+         ("u1", 11, ts("2024-01-02T12:00:00"), ts("2024-01-02T12:05:00")),  # inside 3
+         ("u1", 12, ts("2024-01-01T09:00:00"), ts("2024-01-01T10:00:00")),  # touches 1 → no
+         ("u2", 13, ts("2024-01-01T10:59:00"), ts("2024-01-01T12:00:00"))],  # overlaps 4
+        "user_id string, r_id long, r_start timestamp, r_end timestamp",
+    )
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in overlap_join(
+            left, right, "l_start", "l_end", "r_start", "r_end",
+            key_cols=["user_id"], bin_seconds=3600,
+        ).collect()
+    )
+    naive = sorted(
+        (r["l_id"], r["r_id"])
+        for r in left.join(
+            right,
+            (left.user_id == right.user_id)
+            & (left.l_start < right.r_end) & (right.r_start < left.l_end),
+        ).collect()
+    )
+    assert got == naive == [(1, 10), (2, 10), (3, 11), (4, 13)]
+
+
+def test_overlap_join_reports_each_pair_once(spark):
+    """Two long co-extensive intervals share MANY bins; the report-once
+    canonicalisation must emit the pair exactly once without a dedup."""
+    from mcpvectordb_spark.operators.rangejoin import overlap_join
+
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T00:00:00"), ts("2024-01-03T00:00:00"))],
+        "l_id long, l_start timestamp, l_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [(9, ts("2024-01-01T06:00:00"), ts("2024-01-02T18:00:00"))],
+        "r_id long, r_start timestamp, r_end timestamp",
+    )
+    out = overlap_join(
+        left, right, "l_start", "l_end", "r_start", "r_end", bin_seconds=3600
+    ).collect()
+    assert [(r["l_id"], r["r_id"]) for r in out] == [(1, 9)]
