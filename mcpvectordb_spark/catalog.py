@@ -1027,6 +1027,27 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _digest_gate(out)
 
 
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFD no-split sequence packing (curation.py::pack_bins_ffd): per-shard
+    first-fit-decreasing of whole documents into 512-token bins; summary =
+    per-shard bin count / token total / oversize count / padding fraction.
+    The greedy placement is sequential per shard → not SQL-expressible;
+    fully deterministic (sorted placement, hash shards) → digest gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = cu.pack_bins_ffd(
+        docs, "doc_id", ts.ws_token_count(F.col("text")), budget=512, num_shards=4
+    )
+    summary = packed.groupBy("shard").agg(
+        F.countDistinct("bin_id").cast("long").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("oversize").cast("long")).cast("long").alias("n_oversize"),
+    ).withColumn(
+        "padding_frac",
+        F.round(F.lit(1.0) - F.col("total_tokens") / (F.col("n_bins") * F.lit(512)), 6),
+    )
+    return _digest_gate(summary)
+
+
 def q_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classification, trained AND scored
     on the corpus itself (operators/classify.py) — distributed ML as pure
@@ -3439,13 +3460,13 @@ QUERIES = {
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
-    "tpch_q13": q_tpch_q13,
     # -- new round-3 queries (never driver-checked → must sit in the window;
     # -- orders_pivot/rollup/analytics + events_percentiles rotate to the
     # -- tail to make room, re-verified in a later rotation) --
     "decontaminate_bloom_persisted": q_decontaminate_bloom_persisted,
     "bpe_train": q_bpe_train,
     "nb_lang_classify": q_nb_lang_classify,
+    "pack_bins": q_pack_bins,
     # -- deterministic, golden-digest gated (round 3): sit at the window edge
     # -- so the first of them gets a driver pass/fail row this round --
     "ingest_chunks": q_ingest_chunks,
@@ -3459,6 +3480,7 @@ QUERIES = {
     "stream_sessions": q_stream_sessions,
     "stream_dedup": q_stream_dedup,
     # ---------------- tail: stable r01/r02 greens (driver-verified) ------------
+    "tpch_q13": q_tpch_q13,
     "orders_pivot": q_orders_pivot,
     "orders_rollup": q_orders_rollup,
     "orders_analytics": q_orders_analytics,
@@ -3505,6 +3527,7 @@ ORACLES = {
     "multimodal_features": _sql_digest_gold(200, "1cefe1a043fec9d1071b428ea152f000"),
     "warc_ingest": _sql_digest_gold(4, "0f4b56356626108a612ccc6b91b59750"),
     "bpe_train": _sql_digest_gold(40, "4a934b5f1cb957f5efe8e38d2602acb7"),
+    "pack_bins": _sql_digest_gold(4, "d708144bdfc7337e3fa08090abdf75ec"),
     "knn_topk": SQL_KNN_TOPK,
     "knn_batch": SQL_KNN_BATCH,
     "knn_filtered": SQL_KNN_FILTERED,

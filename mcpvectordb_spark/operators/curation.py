@@ -406,6 +406,70 @@ def pack_sequences(
     )
 
 
+def pack_bins_ffd(
+    df: DataFrame,
+    id_col: str,
+    tokens: Column,
+    budget: int,
+    num_shards: int,
+    salt: str = "shard",
+) -> DataFrame:
+    """First-fit-decreasing bin packing per shard — the NO-SPLIT packing
+    used when documents must not straddle sequence boundaries (no cross-doc
+    attention / no truncation), trading some padding for intactness; the
+    complement of :func:`pack_sequences`' concat-and-chunk.
+
+    Deterministic: docs within a shard are ordered (n_tokens DESC, id ASC)
+    and greedily placed in the first bin with room (the classic FFD
+    guarantee: ≤ 11/9·OPT + 1 bins).  A doc longer than ``budget`` gets a
+    bin of its own, flagged ``oversize`` (callers chunk or drop those).
+
+    100 TB shape: ONE shuffle — the same hash exchange on ``shard`` the
+    shard writer needs anyway; each task packs only its own shard's
+    (id, n_tokens) list — bytes per doc, never text — so shard count is
+    the knob that bounds per-task state.  Bins never cross shards, so
+    shards stay independently packable and re-packable.
+
+    Returns (id, shard, n_tokens, bin_id, oversize).
+    """
+    base = (
+        assign_shards(df, id_col, num_shards, salt)
+        .withColumn("n_tokens", tokens.cast("long"))
+        .select(F.col(id_col).alias("id"), "shard", "n_tokens")
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        rows = sorted(
+            zip(pdf["id"], pdf["n_tokens"]), key=lambda r: (-int(r[1]), r[0])
+        )
+        fills: list[int] = []
+        out = []
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        for rid, n in rows:
+            n = int(n)
+            if n > budget:
+                out.append((rid, shard, n, len(fills), True))
+                fills.append(budget)  # full: nothing else joins this bin
+                continue
+            for b, fill in enumerate(fills):
+                if fill + n <= budget:
+                    fills[b] = fill + n
+                    out.append((rid, shard, n, b, False))
+                    break
+            else:
+                out.append((rid, shard, n, len(fills), False))
+                fills.append(n)
+        return pd.DataFrame(
+            out, columns=["id", "shard", "n_tokens", "bin_id", "oversize"]
+        )
+
+    return base.groupBy("shard").applyInPandas(
+        pack, schema="id long, shard int, n_tokens long, bin_id long, oversize boolean"
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing
 

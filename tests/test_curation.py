@@ -285,3 +285,71 @@ def test_length_buckets_quantile_assignment(spark):
     assert buckets[76] == 4 and buckets[100] == 4
     sizes = out.groupBy("bucket").count().orderBy("bucket").collect()
     assert [r["count"] for r in sizes] == [25, 25, 25, 25]
+
+
+# ---------------------------------------------------------------------------
+# FFD bin packing (no-split)
+
+
+def test_pack_bins_ffd_invariants(spark):
+    from mcpvectordb_spark.operators.curation import pack_bins_ffd
+
+    rows = [(i, "x " * ((i * 37) % 300 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    out = pack_bins_ffd(df, "doc_id", tokens, budget=256, num_shards=3).collect()
+
+    assert len(out) == 200 and len({r["id"] for r in out}) == 200  # every doc once
+    fills: dict = {}
+    members: dict = {}
+    for r in out:
+        assert r["oversize"] == (r["n_tokens"] > 256)
+        key = (r["shard"], r["bin_id"])
+        fills[key] = fills.get(key, 0) + (r["n_tokens"] if not r["oversize"] else 0)
+        members.setdefault(key, []).append(r)
+    assert all(v <= 256 for v in fills.values())  # no regular bin overflows
+    for key, rows_ in members.items():
+        if any(r["oversize"] for r in rows_):
+            assert len(rows_) == 1  # oversize docs sit alone
+
+
+def test_pack_bins_ffd_oversize_and_determinism(spark):
+    from mcpvectordb_spark.operators.curation import pack_bins_ffd
+
+    rows = [(1, "w " * 300), (2, "w " * 100), (3, "w " * 100), (4, "w " * 50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    a = sorted(map(tuple, pack_bins_ffd(df, "doc_id", tokens, 256, 1).collect()))
+    b = sorted(map(tuple, pack_bins_ffd(df, "doc_id", tokens, 256, 1).collect()))
+    assert a == b  # deterministic across runs
+    rows_by_id = {r[0]: r for r in a}
+    assert rows_by_id[1][4] is True          # 300 > 256 → oversize bin
+    oversize_bin = rows_by_id[1][3]
+    assert all(r[3] != oversize_bin for r in a if r[0] != 1)  # nothing joins it
+    # FFD: 100+100+50 = 250 ≤ 256 → one shared bin
+    assert len({r[3] for r in a if r[0] != 1}) == 1
+
+
+def test_pack_bins_ffd_beats_arrival_order(spark):
+    """Decreasing placement packs at least as tightly as naive arrival-order
+    first-fit on an adversarial size mix."""
+    from mcpvectordb_spark.operators.curation import pack_bins_ffd
+
+    sizes = [150, 110, 70, 150, 110, 70, 150, 110, 70]
+    rows = [(i, "t " * s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    out = pack_bins_ffd(df, "doc_id", tokens, 256, 1).collect()
+    n_bins = len({r["bin_id"] for r in out})
+    # naive arrival order first-fit: (150+110)(70+150)(110+70)(150)(110+70) → 5 bins... compute greedily
+    fills = []
+    for s in sizes:
+        for i, f in enumerate(fills):
+            if f + s <= 256:
+                fills[i] = f + s
+                break
+        else:
+            fills.append(s)
+    assert n_bins <= len(fills)
+    total = sum(sizes)
+    assert n_bins >= -(-total // 256)  # ≥ the LP lower bound

@@ -22,6 +22,7 @@ GATED = [
     "multimodal_features",
     "warc_ingest",
     "bpe_train",
+    "pack_bins",
 ]
 
 
