@@ -897,6 +897,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters
 
 
+def q_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering through the web-scale path: alternating large-star /
+    small-star contraction (dedup.py::dedup_clusters_twostar, O(log²n)
+    rounds vs propagation's O(diameter)).  Oracle = the SAME recursive CTE
+    as dedup_clusters — the driver gate itself proves the two algorithms
+    agree on real pair graphs."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.5)
+    return dd.dedup_clusters_twostar(corpus.select("id"), pairs, "id")
+
+
 SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE corpus AS ({_SQL_NEAR_CORPUS}),
 {_sql_jaccard_cte()}
@@ -3432,6 +3443,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_twostar": q_dedup_clusters_twostar,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "semdedup": q_semdedup,
     "decontaminate": q_decontaminate,
@@ -3453,7 +3465,6 @@ QUERIES = {
     "events_interval_join": q_events_interval_join,
     "events_overlap_join": q_events_overlap_join,
     "events_distinct_rollup": q_events_distinct_rollup,
-    "events_running": q_events_running,
     "events_range_frame": q_events_range_frame,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -3485,6 +3496,7 @@ QUERIES = {
     "orders_rollup": q_orders_rollup,
     "orders_analytics": q_orders_analytics,
     "events_percentiles": q_events_percentiles,
+    "events_running": q_events_running,
     **TPCH_EXT_QUERIES,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
@@ -3547,6 +3559,7 @@ ORACLES = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_clusters_twostar": SQL_DEDUP_CLUSTERS,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "semdedup": SQL_SEMDEDUP,
     "nb_lang_classify": SQL_NB_LANG_CLASSIFY,

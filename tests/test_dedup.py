@@ -319,3 +319,61 @@ def test_semdedup_pandas_impl_same_verdicts(spark):
         out = {r["id"] for r in
                semdedup(df, "id", "embedding", k=4, threshold=0.9, impl=impl).collect()}
         assert out == {100, 101, 102, 103}, impl
+
+
+def test_twostar_components_long_chain(spark):
+    """A 200-link chain: label propagation needs diameter rounds; two-star
+    must collapse it to one cluster within its log² budget."""
+    from mcpvectordb_spark.operators.dedup import dedup_clusters_twostar
+
+    ids = spark.createDataFrame([(i,) for i in range(201)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    out = dedup_clusters_twostar(ids, pairs, max_iter=12)
+    labels = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert set(labels.values()) == {0} and len(labels) == 201
+
+
+def test_twostar_matches_union_find_ground_truth(spark):
+    import random
+
+    from mcpvectordb_spark.operators.dedup import dedup_clusters_twostar
+
+    rng = random.Random(11)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(180)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    truth = {}
+    for i in range(n):
+        truth.setdefault(find(i), []).append(i)
+    want = {i: min(members) for members in truth.values() for i in members}
+
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup_clusters_twostar(ids, pairs).collect()}
+    assert got == want
+
+
+def test_twostar_equals_propagation_on_shallow_graph(spark):
+    from mcpvectordb_spark.operators.dedup import dedup_clusters, dedup_clusters_twostar
+
+    ids = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (6, 7), (5, 7), (10, 11)], "id_a long, id_b long"
+    )
+    a = sorted(map(tuple, dedup_clusters(ids, pairs).collect()))
+    b = sorted(map(tuple, dedup_clusters_twostar(ids, pairs).collect()))
+    assert a == b

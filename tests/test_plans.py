@@ -181,13 +181,17 @@ def test_round2_queries_no_cartesian(spark):
     for name in ["text_keywords", "text_logprob", "bpe_pairs", "doc_embeddings",
                  "dedup_spans", "events_funnel", "events_cohorts",
                  "events_incremental_rollup", "events_quantile_sketch",
-                 "hybrid_weighted", "weighted_sample", "knn_matryoshka"]:
+                 "hybrid_weighted", "weighted_sample", "knn_matryoshka",
+                 # round-3 additions
+                 "nb_lang_classify", "events_overlap_join"]:
         tree = formatted_plan(QUERIES[name](spark, SF)).split("\n\n")[0]
         assert "CartesianProduct" not in tree, (name, tree)
         # scalar 1-row broadcasts are fine; above the per-query budget
         # means a real join leaked into nested-loop form.
         # hybrid_weighted: 2 min-max normalize scalars + 2 bm25 stats scalars
-        budget = {"hybrid_weighted": 4}.get(name, 2)
+        # nb_lang_classify: d_total + 2× vocab-size scalars + the
+        #   class-count unseen table (all kilobyte broadcasts)
+        budget = {"hybrid_weighted": 4, "nb_lang_classify": 4}.get(name, 2)
         assert tree.count("BroadcastNestedLoopJoin") <= budget, (name, tree)
 
 
