@@ -100,12 +100,18 @@ def run_stream_to_memory(query_df, name: str, spark: SparkSession) -> DataFrame:
 # Stream-stream join
 
 
-def purchase_click_pairs_batch(events: DataFrame, within_minutes: int = 60) -> DataFrame:
+def purchase_click_pairs_batch(
+    events: DataFrame, within_minutes: int = 60, how: str = "inner"
+) -> DataFrame:
     """Batch twin of the stream-stream join: each purchase paired with the
     same user's clicks in the preceding ``within_minutes`` — expressed as a
     point-in-interval join (clicks are the points, purchases carry a
     look-back window), so the batch plan is the bin-bucketed hash join of
-    operators/rangejoin.py rather than a nested loop."""
+    operators/rangejoin.py rather than a nested loop.
+
+    ``how="leftOuter"`` keeps click-less purchases as null-matched rows
+    (pair rows joined back to the purchase table on p_id — the generic
+    left recipe from rangejoin.py's docstring)."""
     from mcpvectordb_spark.operators.rangejoin import interval_join
 
     purchases = events.filter(F.col("event_type") == "purchase").select(
@@ -120,10 +126,18 @@ def purchase_click_pairs_batch(events: DataFrame, within_minutes: int = 60) -> D
     clicks = events.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("c_id"), "ts"
     )
-    return interval_join(
+    pairs = interval_join(
         clicks, purchases, "ts", "w_start", "w_end",
         key_cols=["user_id"], bin_seconds=within_minutes * 60,
     ).select("user_id", "p_id", "c_id", "p_ts", F.col("ts").alias("c_ts"), "p_value")
+    if how == "inner":
+        return pairs
+    if how != "leftOuter":
+        raise ValueError(f"unsupported join type: {how!r}")
+    matches = pairs.select("p_id", "c_id", "c_ts")
+    return purchases.select("user_id", "p_id", "p_ts", "p_value").join(
+        matches, "p_id", "left"
+    ).select("user_id", "p_id", "c_id", "p_ts", "c_ts", "p_value")
 
 
 def purchase_click_pairs_stream(
@@ -132,12 +146,16 @@ def purchase_click_pairs_stream(
     schema,
     within_minutes: int = 60,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Streaming twin: a watermarked stream-stream inner join.  Both sides
+    """Streaming twin: a watermarked stream-stream join.  Both sides
     carry a watermark and the join condition bounds event time on both
     sides — the two conditions Structured Streaming needs to know when
     buffered state can be evicted (state is O(watermark window), not
-    O(stream)).  Same output columns as the batch twin."""
+    O(stream)).  ``how="leftOuter"`` additionally emits null-matched
+    purchases once the watermark proves no further click can arrive for
+    them (the engine holds them in state until then).  Same output
+    columns as the batch twin."""
     src = spark.readStream.schema(schema).parquet(path)
     purchases = (
         src.filter(F.col("event_type") == "purchase")
@@ -163,6 +181,6 @@ def purchase_click_pairs_stream(
         (F.col("user_id") == F.col("c_user_id"))
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.expr(f"p_ts - INTERVAL {int(within_minutes)} MINUTES")),
-        "inner",
+        how,
     )
     return joined.select("user_id", "p_id", "c_id", "p_ts", "c_ts", "p_value")

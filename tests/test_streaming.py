@@ -91,3 +91,53 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         for r in purchase_click_pairs_batch(ev, within_minutes=60).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, tmp_path):
+    """Watermarked LEFT OUTER stream-stream join: null-matched purchases
+    emit once the watermark proves no click can still arrive.  A far-future
+    sentinel click (unmatchable user) pushes the watermark past every real
+    purchase so the closed-data result is total, then must equal the batch
+    left-outer twin exactly."""
+    from mcpvectordb_spark.streaming.events import (
+        purchase_click_pairs_batch,
+        purchase_click_pairs_stream,
+        run_stream_to_memory,
+    )
+
+    ev = load_events(spark, SF)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+
+    # one far-future sentinel PER SIDE: the engine's global watermark is the
+    # MIN across both withWatermark operators, so advancing only the click
+    # side would keep trailing purchases un-evicted
+    def sentinel(eid, etype):
+        overrides = {
+            "event_id": F.lit(eid).cast("long"),
+            "user_id": F.lit(-999).cast("long"),
+            "event_type": F.lit(etype),
+            "ts": (F.lit(max_ts) + F.expr("INTERVAL 12 HOURS")).cast("timestamp"),
+        }
+        return ev.limit(1).select(
+            *[overrides.get(c, F.col(c)).alias(c) for c in ev.columns]
+        )
+
+    data = ev.unionByName(sentinel(999_999_998, "purchase")).unionByName(
+        sentinel(999_999_999, "click")
+    )
+    d = str(tmp_path / "ss_outer_in")
+    data.write.parquet(d)
+
+    stream = purchase_click_pairs_stream(
+        spark, d, data.schema, within_minutes=60, how="leftOuter"
+    )
+    out = run_stream_to_memory(stream, "t_ss_outer", spark)
+    got = sorted(
+        (r["p_id"], r["c_id"]) for r in out.collect() if r["p_id"] != 999_999_998
+    )
+    want = sorted(
+        (r["p_id"], r["c_id"])
+        for r in purchase_click_pairs_batch(ev, within_minutes=60, how="leftOuter").collect()
+    )
+    assert got == want and len(got) > 0
+    assert any(c is None for _, c in got)  # click-less purchases ARE present
