@@ -516,6 +516,134 @@ def extract_audio_features(df: "DataFrame", dim: int = 16, fake: bool = True) ->
     return df.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
 
 
+AUDIO_META_SCHEMA = (
+    "media_id string, container string, duration_s double, sample_rate int, "
+    "channels int, n_bytes long"
+)
+
+
+def parse_audio_metadata(payload: bytes) -> dict | None:
+    """Container-level audio metadata — pure byte parsing, no codec:
+
+    - WAVE: full :func:`parse_wav`;
+    - OGG (Vorbis or Opus): identification header gives rate/channels,
+      duration = the LAST page's granule position / rate (Opus granules
+      are always 48 kHz per RFC 7845);
+    - M4A / ISO-BMFF: the same ``moov``→``mvhd`` box walk as MP4;
+    - MP3 (CBR): first MPEG frame header after any ID3v2 tag → bitrate /
+      sample rate; duration estimated as audio_bytes·8/bitrate (exact for
+      CBR; VBR needs a Xing walk — out of scope, returns the CBR estimate).
+
+    Sample-level DECODE of the compressed formats stays stubbed; this
+    probe is the metadata layer a curation pipeline filters on (duration
+    caps, sample-rate gates) before paying for decode."""
+    import struct
+
+    info = parse_wav(payload)
+    if info is not None:
+        return {
+            "container": "wav",
+            "duration_s": info["duration_s"],
+            "sample_rate": info["sample_rate"],
+            "channels": info["channels"],
+        }
+
+    if payload[:4] == b"OggS":
+        rate = channels = None
+        vi = payload.find(b"\x01vorbis", 0, 4096)
+        if vi >= 0 and vi + 16 <= len(payload):
+            channels = payload[vi + 11]
+            (rate,) = struct.unpack("<I", payload[vi + 12:vi + 16])
+        else:
+            oi = payload.find(b"OpusHead", 0, 4096)
+            if oi >= 0 and oi + 10 <= len(payload):
+                channels = payload[oi + 9]
+                rate = 48000  # Opus granule clock (RFC 7845 §4)
+        if not rate:
+            return None
+        last = payload.rfind(b"OggS")
+        if last < 0 or last + 14 > len(payload):
+            return None
+        (granule,) = struct.unpack("<q", payload[last + 6:last + 14])
+        return {
+            "container": "ogg",
+            "duration_s": max(granule, 0) / rate,
+            "sample_rate": int(rate),
+            "channels": int(channels or 0),
+        }
+
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        meta = parse_video_header(payload)
+        if meta is not None and "duration_s" in meta:
+            return {
+                "container": "m4a",
+                "duration_s": meta["duration_s"],
+                "sample_rate": 0,  # sample rate lives in stsd; not walked
+                "channels": 0,
+            }
+        return None
+
+    # MP3: skip ID3v2 (10-byte header + synchsafe size), find frame sync
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) \
+             | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        pos = 10 + size
+    if pos + 4 <= len(payload) and payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
+        hdr = payload[pos:pos + 4]
+        version = (hdr[1] >> 3) & 0x03      # 3 = MPEG1
+        layer = (hdr[1] >> 1) & 0x03        # 1 = Layer III
+        if version == 3 and layer == 1:
+            _BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                         160, 192, 224, 256, 320, 0]
+            _RATES = [44100, 48000, 32000, 0]
+            bitrate = _BITRATES[(hdr[2] >> 4) & 0x0F] * 1000
+            rate = _RATES[(hdr[2] >> 2) & 0x03]
+            mode = (hdr[3] >> 6) & 0x03
+            if bitrate and rate:
+                return {
+                    "container": "mp3",
+                    "duration_s": (len(payload) - pos) * 8 / bitrate,
+                    "sample_rate": rate,
+                    "channels": 1 if mode == 3 else 2,
+                }
+    return None
+
+
+def probe_audio_metadata(df: "DataFrame", fake: bool = True) -> "DataFrame":
+    """audio binary → (container, duration_s, sample_rate, channels) — REAL
+    for WAVE/OGG/M4A/MP3-CBR containers; unknown bytes degrade to the fake
+    row (or raise when ``fake=False``), mirroring probe_video_metadata."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                payload = bytes(rec["payload"] or b"")
+                try:
+                    meta = parse_audio_metadata(payload)
+                except Exception:
+                    meta = None  # malformed container: degrade, never kill the job
+                if meta is None:
+                    if not fake:
+                        raise NotImplementedError(
+                            "unrecognised audio container; decode requires a codec library"
+                        )
+                    meta = {"container": "fake", "duration_s": len(payload) / 16000.0,
+                            "sample_rate": 0, "channels": 0}
+                rows.append((rec["media_id"], meta["container"], meta["duration_s"],
+                             meta["sample_rate"], meta["channels"], len(payload)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "container", "duration_s", "sample_rate",
+                         "channels", "n_bytes"],
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
 VIDEO_META_SCHEMA = (
     "media_id string, container string, duration_s double, n_frames long, "
     "width int, height int, n_bytes long"

@@ -899,3 +899,85 @@ def test_decode_pixels_malformed_degrades_not_raises():
     assert decode_image_pixels(good[:40]) is None           # truncated
     assert decode_image_pixels(b"GIF89a\x01") is None       # tiny
     assert decode_image_pixels(_bmp_bytes(100, 50)) is None  # header only
+
+
+# ---------------------------------------------------------------------------
+# Audio metadata probes: OGG / M4A / MP3 (wav covered above)
+
+def _ogg_fixture(kind="vorbis", rate=22050, granule=44100, channels=2):
+    import struct
+
+    def page(header_type, gran, seq, payload):
+        seg_table = []
+        rest = len(payload)
+        while rest >= 255:
+            seg_table.append(255)
+            rest -= 255
+        seg_table.append(rest)
+        return (b"OggS\x00" + bytes([header_type]) + struct.pack("<q", gran)
+                + struct.pack("<II", 1, seq) + b"\x00\x00\x00\x00"
+                + bytes([len(seg_table)]) + bytes(seg_table) + payload)
+
+    if kind == "vorbis":
+        ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+                 + struct.pack("<I", rate) + b"\x00" * 16 + b"\x01")
+    else:  # opus
+        ident = b"OpusHead\x01" + bytes([channels]) + struct.pack("<H", 0) \
+                + struct.pack("<I", rate) + b"\x00\x00\x00"
+    return page(0x02, 0, 0, ident) + page(0x04, granule, 1, b"\x00" * 10)
+
+
+def _mp3_fixture(n_bytes=4000, bitrate_idx=9, with_id3=True):
+    # MPEG1 Layer III header: FF FB, bitrate idx<<4 | samplerate idx<<2
+    frame = bytes([0xFF, 0xFB, (bitrate_idx << 4) | 0x00, 0x00])
+    body = frame + b"\x00" * (n_bytes - 4)
+    if with_id3:
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+        return tag + body
+    return body
+
+
+def test_parse_audio_metadata_containers():
+    from mcpvectordb_spark.sources.multimodal import parse_audio_metadata
+
+    ogg = parse_audio_metadata(_ogg_fixture("vorbis", rate=22050, granule=44100))
+    assert ogg["container"] == "ogg" and ogg["sample_rate"] == 22050
+    assert abs(ogg["duration_s"] - 2.0) < 1e-9 and ogg["channels"] == 2
+
+    opus = parse_audio_metadata(_ogg_fixture("opus", granule=96000))
+    assert opus["container"] == "ogg" and opus["sample_rate"] == 48000
+    assert abs(opus["duration_s"] - 2.0) < 1e-9  # granule clock is 48k
+
+    m4a = parse_audio_metadata(_mp4_fixture(duration_s=7.5))
+    assert m4a["container"] == "m4a" and abs(m4a["duration_s"] - 7.5) < 1e-9
+
+    mp3 = parse_audio_metadata(_mp3_fixture(n_bytes=4000, bitrate_idx=9))
+    assert mp3["container"] == "mp3" and mp3["sample_rate"] == 44100
+    # 4000 bytes at 128 kbps: 4000*8/128000 = 0.25 s
+    assert abs(mp3["duration_s"] - 0.25) < 1e-9 and mp3["channels"] == 2
+
+    wav = parse_audio_metadata(_wav_fixture(seconds=0.5, rate=8000))
+    assert wav["container"] == "wav" and abs(wav["duration_s"] - 0.5) < 1e-9
+
+    assert parse_audio_metadata(b"\x00not audio at all") is None
+
+
+def test_probe_audio_metadata_stage(spark):
+    from mcpvectordb_spark.sources.multimodal import probe_audio_metadata
+
+    media = spark.createDataFrame(
+        [
+            ("a1", "audio", "audio/ogg", bytearray(_ogg_fixture()), "{}"),
+            ("a2", "audio", "audio/mpeg", bytearray(_mp3_fixture()), "{}"),
+            ("a3", "audio", "audio/mp4", bytearray(_mp4_fixture(3.0)), "{}"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in probe_audio_metadata(media, fake=False).collect()}
+    assert rows["a1"]["container"] == "ogg" and rows["a2"]["container"] == "mp3"
+    assert rows["a3"]["container"] == "m4a" and abs(rows["a3"]["duration_s"] - 3.0) < 1e-9
+    # malformed bytes degrade to the fake row with fake=True, never raise
+    junk = spark.createDataFrame(
+        [("bad", "audio", "audio/ogg", bytearray(b"OggS\x00"), "{}")], MEDIA_SCHEMA
+    )
+    assert probe_audio_metadata(junk, fake=True).first()["container"] == "fake"
