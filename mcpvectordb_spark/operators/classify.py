@@ -84,11 +84,15 @@ def nb_classify(
         df.select(F.col(id_col).alias("id"), F.explode(_terms(text_col)).alias("term"))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .join(model.vocab, "term")  # OOV terms contribute nothing (standard)
+        # OOV terms contribute nothing (standard); vocab is term-distinct —
+        # broadcast keeps the gate map-side
+        .join(F.broadcast(model.vocab), "term")
     )
     per_class = (
         doc_tf.crossJoin(F.broadcast(model.unseen))
-        .join(model.liks, ["label", "term"], "left")
+        # liks is vocabulary×classes — megabytes, so the scoring join is a
+        # map-side broadcast; only the (id, label) partial sums shuffle
+        .join(F.broadcast(model.liks), ["label", "term"], "left")
         .withColumn("w", F.col("tf") * F.coalesce(F.col("log_lik"), F.col("log_unseen")))
         .groupBy("id", "label")
         .agg(F.sum("w").alias("s"))
