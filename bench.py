@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "semdedup",              # k-means cells as candidate buckets + within-cell cosine
     "bpe_train",             # distributed word histogram + incremental merge loop
     "nb_lang_classify",      # NB train+classify as pure aggregation
+    "events_overlap_join",   # interval x interval, report-once bins
+    "dedup_clusters_twostar",# large/small-star contraction CC
+    "pack_bins",             # FFD no-split packing + padding stats
     "dedup_lines",           # C4-style line-level corpus dedup
     "dedup_spans",           # span-level cross-doc dup fraction
     "events_funnel",         # ordered funnel (chained keyed aggs)

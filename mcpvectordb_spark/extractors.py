@@ -342,6 +342,8 @@ class _Cfb:
     def stream(self, name: str) -> bytes:
         for ename, otype, start, size in self.entries:
             if otype == 2 and ename == name:
+                if size == 0:  # spec: zero-length streams carry ENDOFCHAIN
+                    return b""
                 data = self._mini_chain(start) if size < self.cutoff else self._chain(start)
                 if len(data) < size:
                     raise ValueError(f"OLE2 stream {name!r} shorter than directory size")

@@ -86,3 +86,94 @@ def test_warc_parse_recovers_every_record(bodies, compress):
     blob = b"".join(gzip.compress(r) for r in recs) if compress else b"".join(recs)
     parsed = [p for p in parse_warc_records(blob) if "error" not in p]
     assert [p["payload"] for p in parsed] == bodies
+
+
+# ---------------------------------------------------------------------------
+# Image codec kernels (round-3): PNG defilter, GIF LZW, JPEG, CFB
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_arbitrary_rasters(h, w, seed):
+    """Random pixels through the test encoder (cycling all 5 filters) must
+    decode to EXACTLY the input — PNG is lossless."""
+    import numpy as np
+
+    from mcpvectordb_spark.sources.multimodal import decode_image_pixels
+    from tests.test_sources import _png_pixels_fixture
+
+    px = np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    got = decode_image_pixels(_png_pixels_fixture(px))
+    assert got is not None and np.array_equal(got, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_lzw_roundtrip_arbitrary_rasters(h, w, seed):
+    import numpy as np
+
+    from mcpvectordb_spark.sources.multimodal import decode_image_pixels
+    from tests.test_sources import _gif_pixels_fixture
+
+    palette = [(i, (i * 3) % 256, 255 - i) for i in range(128)]
+    idx = np.random.RandomState(seed).randint(0, 128, (h, w)).astype(np.uint8)
+    got = decode_image_pixels(_gif_pixels_fixture(idx, palette))
+    expect = np.array([[palette[v] for v in row] for row in idx], np.uint8)
+    assert got is not None and np.array_equal(got, expect)
+
+
+@settings(max_examples=20, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=400))
+def test_image_decoders_never_crash_on_garbage(blob):
+    """Arbitrary bytes (incl. ones that start like real containers) must
+    yield None or a valid array — never an exception."""
+    import numpy as np
+
+    from mcpvectordb_spark.sources.multimodal import decode_image_pixels
+
+    for prefix in (b"", b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"\xff\xd8\xff"):
+        out = decode_image_pixels(prefix + blob)
+        assert out is None or isinstance(out, np.ndarray)
+
+
+@settings(max_examples=20, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=300))
+def test_jpeg_decoder_never_crashes_on_garbage(blob):
+    from mcpvectordb_spark.sources.jpeg import decode_jpeg
+
+    try:
+        out = decode_jpeg(b"\xff\xd8" + blob)
+    except Exception as exc:  # decode_jpeg's contract: None, not raise...
+        raise AssertionError(f"decode_jpeg raised {exc!r}") from exc
+    assert out is None or out.ndim == 3
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="abint ", min_size=0, max_size=30), min_size=1, max_size=4),
+    seed=st.integers(0, 1000),
+)
+def test_cfb_roundtrip_arbitrary_streams(texts, seed):
+    """Arbitrary small+large stream mixes survive the CFB writer→reader
+    round trip (mini-stream and FAT paths chosen per size)."""
+    import random
+
+    from mcpvectordb_spark.extractors import _Cfb
+    from tests.test_sources import _cfb_fixture
+
+    rng = random.Random(seed)
+    streams = {}
+    for i, t in enumerate(texts):
+        data = t.encode() * rng.choice([1, 50, 300])  # spans the 4096 cutoff
+        streams[f"S{i}"] = data
+    cfb = _Cfb(_cfb_fixture(streams))
+    for name, data in streams.items():
+        assert cfb.stream(name) == data

@@ -393,7 +393,9 @@ def _cfb_fixture(streams: dict[str, bytes]) -> bytes:
     minifat: list[int] = []
     entries: list[tuple[str, int, int]] = []
     for name, data in streams.items():
-        if len(data) < CUTOFF:
+        if not data:
+            entries.append((name, END, 0))  # spec: empty stream → ENDOFCHAIN
+        elif len(data) < CUTOFF:
             start = len(minifat)
             padded = pad(data, MS)
             n = len(padded) // MS
