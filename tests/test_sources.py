@@ -983,3 +983,79 @@ def test_probe_audio_metadata_stage(spark):
         [("bad", "audio", "audio/ogg", bytearray(b"OggS\x00"), "{}")], MEDIA_SCHEMA
     )
     assert probe_audio_metadata(junk, fake=True).first()["container"] == "fake"
+
+
+# ---------------------------------------------------------------------------
+# Uncompressed-AVI frame decode (real path of sample_video_frames)
+
+def _avi_dib_fixture(frames, us_per_frame=40000):
+    """RIFF/AVI with an uncompressed DIB video stream: avih header + movi
+    list of 00db chunks (bottom-up BGR rows, 4-byte aligned)."""
+    import struct
+
+    h, w, _ = frames[0].shape
+    avih = (struct.pack("<IIIII", us_per_frame, 0, 0, 0, len(frames))
+            + bytes(12) + struct.pack("<II", w, h) + bytes(16))
+    hdrl = (b"LIST" + struct.pack("<I", 4 + 8 + len(avih))
+            + b"hdrlavih" + struct.pack("<I", len(avih)) + avih)
+    row_size = (w * 3 + 3) & ~3
+    chunks = b""
+    for px in frames:
+        data = b"".join(
+            px[y][:, ::-1].tobytes() + b"\x00" * (row_size - w * 3)
+            for y in range(h - 1, -1, -1))
+        chunks += b"00db" + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            chunks += b"\x00"
+    movi = b"LIST" + struct.pack("<I", 4 + len(chunks)) + b"movi" + chunks
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_parse_avi_frames_uncompressed():
+    import numpy as np
+
+    from mcpvectordb_spark.sources.multimodal import parse_avi_frames
+
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, (6, 5, 3)).astype(np.uint8) for _ in range(3)]
+    got = list(parse_avi_frames(_avi_dib_fixture(frames)))
+    assert [i for i, _ in got] == [0, 1, 2]
+    for (_, px), want in zip(got, frames):
+        assert np.array_equal(px, want)
+
+
+def test_sample_video_frames_real_avi(spark):
+    import numpy as np
+
+    from mcpvectordb_spark.sources.multimodal import sample_video_frames
+
+    frames = []
+    for c in ((255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)):
+        px = np.zeros((4, 4, 3), np.uint8)
+        px[:, :] = c
+        frames.append(px)
+    avi = _avi_dib_fixture(frames, us_per_frame=40000)  # 25 fps
+    media = spark.createDataFrame(
+        [("v1", "video", "video/x-msvideo", bytearray(avi), "{}")], MEDIA_SCHEMA
+    )
+    # every_s = 2 frames at 25 fps → step 2: frames 0 and 2
+    rows = sorted(
+        sample_video_frames(media, every_s=0.08, fake=False).collect(),
+        key=lambda r: r["frame_index"],
+    )
+    assert [r["frame_index"] for r in rows] == [0, 2]
+    first = np.frombuffer(bytes(rows[0]["frame"]), np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(first, frames[0])
+    third = np.frombuffer(bytes(rows[1]["frame"]), np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(third, frames[2])
+    assert abs(rows[1]["frame_ts_s"] - 2 / 25) < 1e-9
+
+    # compressed/unknown payloads still raise in real mode
+    import pytest
+
+    junk = spark.createDataFrame(
+        [("v2", "video", "video/mp4", bytearray(_mp4_fixture()), "{}")], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        sample_video_frames(junk, fake=False).collect()
