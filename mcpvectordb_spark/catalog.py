@@ -1038,6 +1038,37 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _digest_gate(out)
 
 
+def q_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with Lloyd-REFINED centroids (dedup.py::kmeans_refine, two
+    spherical iterations from the lowest-id seed) — exercises the trained-
+    state path end-to-end on the same planted corpus as `semdedup`.
+    Iterative (per-round driver re-broadcast) → digest gate; centroids are
+    quantized to 6 decimals after renorm so the golden is stable against
+    float partial-sum ordering.  Same ground truth: every planted copy
+    shares its twin's cell (identical vectors), so all 40 must drop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), "embedding").unionByName(
+        emb.filter(F.col("vec_id") < 40).select(
+            (F.col("vec_id") + _PLANT_OFFSET).alias("id"), "embedding"
+        )
+    )
+    from mcpvectordb_spark.operators.knn import dot
+
+    nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    unit = corpus.filter(nrm > 0).select(
+        "id", F.transform("embedding", lambda x: x / nrm).alias("embedding")
+    )
+    seed = dd.lowest_id_centroids(unit, "id", "embedding", _SEMDEDUP_K)
+    cents = dd.kmeans_refine(unit, seed, "id", "embedding", iters=2, quantize_digits=6)
+    dropped = dd.semdedup(
+        corpus, "id", "embedding", k=_SEMDEDUP_K, threshold=_SEMDEDUP_THR,
+        centroids=cents,
+    )
+    return _digest_gate(
+        dropped.select("id", "cluster_id", F.round("max_sim", 6).alias("max_sim"))
+    )
+
+
 def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FFD no-split sequence packing (curation.py::pack_bins_ffd): per-shard
     first-fit-decreasing of whole documents into 512-token bins; summary =
@@ -3465,7 +3496,6 @@ QUERIES = {
     "events_interval_join": q_events_interval_join,
     "events_overlap_join": q_events_overlap_join,
     "events_distinct_rollup": q_events_distinct_rollup,
-    "events_range_frame": q_events_range_frame,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
@@ -3478,6 +3508,7 @@ QUERIES = {
     "bpe_train": q_bpe_train,
     "nb_lang_classify": q_nb_lang_classify,
     "pack_bins": q_pack_bins,
+    "semdedup_refined": q_semdedup_refined,
     # -- deterministic, golden-digest gated (round 3): sit at the window edge
     # -- so the first of them gets a driver pass/fail row this round --
     "ingest_chunks": q_ingest_chunks,
@@ -3497,6 +3528,7 @@ QUERIES = {
     "orders_analytics": q_orders_analytics,
     "events_percentiles": q_events_percentiles,
     "events_running": q_events_running,
+    "events_range_frame": q_events_range_frame,
     **TPCH_EXT_QUERIES,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
@@ -3540,6 +3572,7 @@ ORACLES = {
     "warc_ingest": _sql_digest_gold(4, "0f4b56356626108a612ccc6b91b59750"),
     "bpe_train": _sql_digest_gold(40, "4a934b5f1cb957f5efe8e38d2602acb7"),
     "pack_bins": _sql_digest_gold(4, "d708144bdfc7337e3fa08090abdf75ec"),
+    "semdedup_refined": _sql_digest_gold(40, "aaf749a73d044527cad60508c4bb0127"),
     "knn_topk": SQL_KNN_TOPK,
     "knn_batch": SQL_KNN_BATCH,
     "knn_filtered": SQL_KNN_FILTERED,

@@ -23,6 +23,7 @@ GATED = [
     "warc_ingest",
     "bpe_train",
     "pack_bins",
+    "semdedup_refined",
 ]
 
 
