@@ -1038,6 +1038,24 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _digest_gate(out)
 
 
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-level byte dedup via content-defined chunking (dedup.py::
+    cdc_chunk_stage — Gear rolling hash, FastCDC-style bounds).  Plants
+    PREFIX-SHIFTED copies of doc_id<50: fixed-size blocking would share
+    zero blocks with the originals, CDC boundaries resync after the edit
+    so most chunk digests dedup away — the summary's dedup_ratio is the
+    proof, gated by golden digest (rolling hash is not SQL-expressible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(F.col("doc_id").alias("id"), "text").unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + _PLANT_OFFSET).alias("id"),
+            F.concat(F.lit("EDITED-PREFIX: "), F.col("text")).alias("text"),
+        )
+    )
+    chunks = dd.cdc_chunk_stage(corpus, "id", "text", min_size=32, avg_size=128, max_size=512)
+    return _digest_gate(dd.cdc_dedup_stats(chunks))
+
+
 def q_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with Lloyd-REFINED centroids (dedup.py::kmeans_refine, two
     spherical iterations from the lowest-id seed) — exercises the trained-
@@ -3483,7 +3501,6 @@ QUERIES = {
     "train_shards": q_train_shards,
     "pii_scrub": q_pii_scrub,
     "curation_pipeline": q_curation_pipeline,
-    "corpus_token_stats": q_corpus_token_stats,
     "text_repetition": q_text_repetition,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
@@ -3509,6 +3526,7 @@ QUERIES = {
     "nb_lang_classify": q_nb_lang_classify,
     "pack_bins": q_pack_bins,
     "semdedup_refined": q_semdedup_refined,
+    "cdc_dedup": q_cdc_dedup,
     # -- deterministic, golden-digest gated (round 3): sit at the window edge
     # -- so the first of them gets a driver pass/fail row this round --
     "ingest_chunks": q_ingest_chunks,
@@ -3529,6 +3547,7 @@ QUERIES = {
     "events_percentiles": q_events_percentiles,
     "events_running": q_events_running,
     "events_range_frame": q_events_range_frame,
+    "corpus_token_stats": q_corpus_token_stats,
     **TPCH_EXT_QUERIES,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
@@ -3573,6 +3592,7 @@ ORACLES = {
     "bpe_train": _sql_digest_gold(40, "4a934b5f1cb957f5efe8e38d2602acb7"),
     "pack_bins": _sql_digest_gold(4, "d708144bdfc7337e3fa08090abdf75ec"),
     "semdedup_refined": _sql_digest_gold(40, "aaf749a73d044527cad60508c4bb0127"),
+    "cdc_dedup": _sql_digest_gold(1, "7e5555177d39bd68bbd2a70ef07c16bd"),
     "knn_topk": SQL_KNN_TOPK,
     "knn_batch": SQL_KNN_BATCH,
     "knn_filtered": SQL_KNN_FILTERED,

@@ -377,3 +377,62 @@ def test_twostar_equals_propagation_on_shallow_graph(spark):
     a = sorted(map(tuple, dedup_clusters(ids, pairs).collect()))
     b = sorted(map(tuple, dedup_clusters_twostar(ids, pairs).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+
+
+def test_cdc_boundaries_invariants():
+    from mcpvectordb_spark.operators.dedup import cdc_boundaries
+
+    data = "".join(f"the quick brown fox {i} " for i in range(400)).encode()
+    chunks = cdc_boundaries(data, min_size=64, avg_size=256, max_size=1024)
+    assert b"".join(chunks) == data                      # lossless
+    assert all(64 <= len(c) <= 1024 for c in chunks[:-1])  # bounds (last may be short)
+    assert len(chunks) > 2
+
+
+def test_cdc_survives_insertion_where_fixed_blocks_dont():
+    """The CDC selling point: a prefix insertion shifts every byte, yet most
+    downstream chunks keep their identity; fixed-size blocking loses ALL."""
+    import hashlib
+    import random
+
+    from mcpvectordb_spark.operators.dedup import cdc_boundaries
+
+    rng = random.Random(3)
+    base = bytes(rng.randrange(256) for _ in range(20000))
+    shifted = b"INSERTED-PREFIX-BYTES:" + base
+
+    def digests(blob, fixed=None):
+        if fixed:
+            parts = [blob[i:i + fixed] for i in range(0, len(blob), fixed)]
+        else:
+            parts = cdc_boundaries(blob, 64, 256, 1024)
+        return {hashlib.md5(p).hexdigest() for p in parts}
+
+    cdc_shared = len(digests(base) & digests(shifted)) / len(digests(base))
+    fixed_shared = len(digests(base, 256) & digests(shifted, 256)) / len(digests(base, 256))
+    assert cdc_shared > 0.8, cdc_shared   # boundaries resync after the edit
+    assert fixed_shared < 0.05, fixed_shared  # fixed blocks all shifted
+
+
+def test_cdc_dedup_stats_stage(spark):
+    from mcpvectordb_spark.operators.dedup import cdc_chunk_stage, cdc_dedup_stats
+
+    text = "shared corpus content repeated " * 200
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different material " * 150)],
+        "id long, text string",
+    )
+    chunks = cdc_chunk_stage(df, "id", "text")
+    rows = chunks.collect()
+    assert {r["id"] for r in rows} == {1, 2, 3}
+    stats = cdc_dedup_stats(chunks).first()
+    assert stats["total_chunks"] > stats["unique_chunks"]  # docs 1/2 dedup away
+    assert 0 < stats["dedup_ratio"] < 1
+    # doc 1 and 2 are byte-identical → their digest multisets match
+    d1 = sorted(r["digest"] for r in rows if r["id"] == 1)
+    d2 = sorted(r["digest"] for r in rows if r["id"] == 2)
+    assert d1 == d2

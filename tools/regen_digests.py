@@ -24,6 +24,7 @@ GATED = [
     "bpe_train",
     "pack_bins",
     "semdedup_refined",
+    "cdc_dedup",
 ]
 
 
