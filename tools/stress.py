@@ -356,6 +356,27 @@ def main_sf1() -> None:
     run("semdedup_400k", sem)
     big_vec.unpersist()
 
+    # ---- 1M-node duplicate chain: the diameter regime ---------------------
+    from mcpvectordb_spark.operators.dedup import dedup_clusters_twostar
+
+    def twostar_chain():
+        n = 1_000_000
+        ids = spark.range(n + 1).select(F.col("id"))
+        pairs = spark.range(n).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        out = dedup_clusters_twostar(ids, pairs, "id", max_iter=40)
+        n_clusters = out.select("cluster_id").distinct().count()
+        assert n_clusters == 1, f"chain not fully contracted: {n_clusters} clusters"
+        notes["twostar_chain_1m"] = (
+            "1,000,001-node chain → 1 cluster; min-label propagation would "
+            "need 1M rounds (graph diameter), two-star needed ≤ its "
+            "O(log²n) budget"
+        )
+        return n_clusters
+
+    run("twostar_chain_1m", twostar_chain)
+
     print(json.dumps({
         "mode": "sf1", "events": n_ev, "docs": n_docs,
         "timings_sec": timings, "result_counts": counts, "notes": notes,
