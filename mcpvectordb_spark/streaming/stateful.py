@@ -85,3 +85,124 @@ def user_totals_stream(stream: DataFrame, key_col: str = "user_id",
     return stream.groupBy(key_col).applyInPandasWithState(
         accumulate, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: per-pseudo-partition Misra–Gries state
+
+
+def mg_update(counters: dict, keys, capacity: int) -> dict:
+    """One sequential Misra–Gries pass.  Shared by the streaming operator
+    and its batch twin so stream-vs-batch equality tests the STREAMING
+    machinery, not two implementations of the sketch.  Any processing
+    order is a valid MG run (the ≤ N/capacity undercount bound holds
+    regardless); callers that need determinism sort their keys first."""
+    for k in keys:
+        if k in counters:
+            counters[k] += 1
+        elif len(counters) < capacity:
+            counters[k] = 1
+        else:
+            dead = [kk for kk in counters if counters[kk] == 1]
+            for kk in counters:
+                counters[kk] -= 1
+            for kk in dead:
+                del counters[kk]
+    return counters
+
+
+def _mg_out_state_schemas(key_type: str = "long"):
+    out_schema = T.StructType([
+        T.StructField("pkey", T.IntegerType()),
+        T.StructField("key", T.LongType()),
+        T.StructField("mg_count", T.LongType()),
+        T.StructField("n_processed", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("keys", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("n", T.LongType()),
+    ])
+    return out_schema, state_schema
+
+
+def heavy_hitters_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    capacity: int = 64,
+    partitions: int = 8,
+) -> DataFrame:
+    """Cross-batch streaming heavy hitters: the stream shards into
+    ``partitions`` pseudo-partitions (hash of the key), each holding ONE
+    capacity-bounded Misra–Gries counter table as state — the exact
+    mergeable-partials shape of the batch operator's first pass
+    (operators/sketches.py), kept alive across micro-batches.
+
+    Emits every partition's current candidate set each batch:
+    (pkey, key, mg_count, n_processed).  Guarantees (classic MG): every
+    key with true count > n_processed/capacity IS present, and
+    mg_count ∈ [true − n_processed/capacity, true].  Unlike batch,
+    streaming cannot recount exactly — the bound is the contract.
+
+    State is O(capacity) per partition and shards across the state store;
+    keys are processed in sorted order within each (batch, partition) so a
+    single-batch stream is bit-equal to the batch twin."""
+    from pyspark.sql import functions as F
+
+    out_schema, state_schema = _mg_out_state_schemas()
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            ks, cs, n = state.get
+            counters = dict(zip(ks, cs))
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            vals = sorted(pdf["key"].tolist())
+            n += len(vals)
+            mg_update(counters, vals, capacity)
+        state.update((list(counters.keys()), list(counters.values()), n))
+        yield pd.DataFrame(
+            [(key[0], k, c, n) for k, c in sorted(counters.items())],
+            columns=["pkey", "key", "mg_count", "n_processed"],
+        )
+
+    shard = stream.select(
+        F.pmod(F.hash(F.col(key_col)), F.lit(partitions)).cast("int").alias("pkey"),
+        F.col(key_col).alias("key"),
+    )
+    return shard.groupBy("pkey").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def heavy_hitters_batch_twin(
+    df: DataFrame,
+    key_col: str = "user_id",
+    capacity: int = 64,
+    partitions: int = 8,
+) -> DataFrame:
+    """The same sharded-MG pass over a closed DataFrame (shared
+    :func:`mg_update` kernel, same sorted order) — what the stream's state
+    must equal after processing identical data in one micro-batch."""
+    from pyspark.sql import functions as F
+
+    def run(pdf):
+        import pandas as pd
+
+        counters = mg_update({}, sorted(pdf["key"].tolist()), capacity)
+        pkey = int(pdf["pkey"].iloc[0]) if len(pdf) else 0
+        return pd.DataFrame(
+            [(pkey, k, c, len(pdf)) for k, c in sorted(counters.items())],
+            columns=["pkey", "key", "mg_count", "n_processed"],
+        )
+
+    shard = df.select(
+        F.pmod(F.hash(F.col(key_col)), F.lit(partitions)).cast("int").alias("pkey"),
+        F.col(key_col).alias("key"),
+    )
+    return shard.groupBy("pkey").applyInPandas(
+        run, schema="pkey int, key long, mg_count long, n_processed long"
+    )

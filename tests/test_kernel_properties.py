@@ -177,3 +177,36 @@ def test_cfb_roundtrip_arbitrary_streams(texts, seed):
     cfb = _Cfb(_cfb_fixture(streams))
     for name, data in streams.items():
         assert cfb.stream(name) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=6000))
+def test_cdc_lossless_and_bounded_on_arbitrary_bytes(blob):
+    from mcpvectordb_spark.operators.dedup import cdc_boundaries
+
+    chunks = cdc_boundaries(blob, min_size=32, avg_size=128, max_size=512)
+    assert b"".join(chunks) == blob
+    if chunks:
+        assert all(len(c) <= 512 for c in chunks)
+        assert all(len(c) >= 32 for c in chunks[:-1])
+    # determinism
+    assert chunks == cdc_boundaries(blob, min_size=32, avg_size=128, max_size=512)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    prefix=st.binary(min_size=1, max_size=64),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_cdc_boundaries_resync_after_prefix_edit(prefix, seed):
+    """After an arbitrary prefix insertion, the suffix boundary stream must
+    realign: the LAST chunk of both versions is identical (content-defined
+    cuts depend only on trailing bytes once past the edit)."""
+    import numpy as np
+
+    from mcpvectordb_spark.operators.dedup import cdc_boundaries
+
+    base = np.random.RandomState(seed).randint(0, 256, 8000).astype("uint8").tobytes()
+    a = cdc_boundaries(base, 32, 128, 512)
+    b = cdc_boundaries(prefix + base, 32, 128, 512)
+    assert a[-1] == b[-1]

@@ -66,3 +66,68 @@ def test_user_totals_accumulate(spark, tmp_path):
         assert latest[2] == (1, 1.0)
     finally:
         q.stop()
+
+
+def test_streaming_heavy_hitters_single_batch_equals_twin(spark, tmp_path):
+    """One micro-batch over closed data → the streamed MG state must be
+    bit-equal to the batch twin (shared kernel, same sorted order)."""
+    from mcpvectordb_spark.streaming.stateful import (
+        heavy_hitters_batch_twin,
+        heavy_hitters_stream,
+    )
+
+    rows = [(i, (i * i) % 37 if i % 5 else 7) for i in range(4000)]  # 7 is hot
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    src = tmp_path / "hh_src"
+    df.coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (heavy_hitters_stream(stream, "user_id", capacity=16, partitions=4)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("hh_out").option("checkpointLocation", str(tmp_path / "hh_ck")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM hh_out").collect()))
+    want = sorted(map(tuple,
+                      heavy_hitters_batch_twin(df, "user_id", 16, 4).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_streaming_heavy_hitters_bound_across_batches(spark, tmp_path):
+    """Across micro-batches the classic MG contract must hold per
+    partition: the genuinely hot key survives with
+    mg_count ∈ [true − n/capacity, true]."""
+    from mcpvectordb_spark.streaming.stateful import heavy_hitters_stream
+
+    src = tmp_path / "hh2_src"
+    src.mkdir()
+    schema = "event_id long, user_id long"
+
+    def batch(offset, hot_every):
+        rows = [(offset + i, 999 if i % hot_every == 0 else offset + i)
+                for i in range(3000)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    batch(0, 3)
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (heavy_hitters_stream(stream, "user_id", capacity=32, partitions=2)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("hh2_out").option("checkpointLocation", str(tmp_path / "hh2_ck")).start())
+    try:
+        q.processAllAvailable()
+        batch(10_000, 3)  # state must persist into the second batch
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # latest emission per (pkey, key)
+    rows = spark.sql(
+        "SELECT * FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY pkey, key ORDER BY n_processed DESC) rn FROM hh2_out) WHERE rn = 1"
+    ).collect()
+    hot = [r for r in rows if r["key"] == 999]
+    assert len(hot) == 1, "hot key must survive in its partition"
+    true_count = 2 * 1000  # 3000/3 per batch
+    n = hot[0]["n_processed"]
+    assert true_count - n / 32 <= hot[0]["mg_count"] <= true_count
