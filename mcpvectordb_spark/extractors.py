@@ -472,6 +472,70 @@ def _xl_unicode(data: bytes, pos: int, cch_bytes: int) -> tuple[str, int]:
     return s, pos + 4 * c_run + cb_ext
 
 
+class _XlsStrCursor:
+    """Cursor over an SST's record bodies (SST + its CONTINUE records).
+    [MS-XLS]: strings may split across CONTINUE boundaries; header fields
+    never split mid-field, but CHARACTER DATA does — and each continued
+    fragment begins with a fresh grbit byte that may switch the encoding
+    (a string can be compressed in one record and UTF-16 in the next)."""
+
+    def __init__(self, parts: list[bytes]):
+        self.parts = parts
+        self.r = 0
+        self.pos = 0
+
+    def _norm(self) -> None:
+        while self.r < len(self.parts) and self.pos >= len(self.parts[self.r]):
+            self.r += 1
+            self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        """Raw bytes, spanning records transparently (headers / rich-run /
+        ext-data — no grbit at the boundary for these)."""
+        out = bytearray()
+        while n > 0:
+            self._norm()
+            if self.r >= len(self.parts):
+                raise ValueError("xls SST truncated")
+            part = self.parts[self.r]
+            take = min(n, len(part) - self.pos)
+            out += part[self.pos:self.pos + take]
+            self.pos += take
+            n -= take
+        return bytes(out)
+
+    def read_chars(self, cch: int, high: int) -> str:
+        out: list[str] = []
+        while cch > 0:
+            self._norm()
+            if self.r >= len(self.parts):
+                raise ValueError("xls SST truncated in character data")
+            avail = len(self.parts[self.r]) - self.pos
+            width = 2 if high else 1
+            n = min(cch, avail // width)
+            if n == 0:
+                raise ValueError("xls SST fragment not on a character boundary")
+            frag = self.read(n * width)
+            out.append(frag.decode("utf-16-le" if high else "latin-1", errors="replace"))
+            cch -= n
+            if cch > 0:  # crossing into a CONTINUE: fresh grbit byte
+                self._norm()
+                high = self.read(1)[0] & 0x01
+        return "".join(out)
+
+
+def _read_sst_string(cur: _XlsStrCursor) -> str:
+    (cch,) = struct.unpack("<H", cur.read(2))
+    opts = cur.read(1)[0]
+    c_run = struct.unpack("<H", cur.read(2))[0] if opts & 0x08 else 0
+    cb_ext = struct.unpack("<I", cur.read(4))[0] if opts & 0x04 else 0
+    s = cur.read_chars(cch, opts & 0x01)
+    skip = 4 * c_run + cb_ext
+    if skip:
+        cur.read(skip)
+    return s
+
+
 def _rk_value(rk: int) -> float:
     v: float
     if rk & 0x02:  # fInt: signed 30-bit integer
@@ -488,8 +552,10 @@ def _num_str(x: float) -> str:
 def extract_xls(raw: bytes) -> str:
     """Workbook-globals SST + per-sheet cell records (LABELSST / LABEL /
     NUMBER / RK / MULRK / FORMULA-cached STRING), rendered like the xlsx
-    extractor: tab-separated rows, a blank line between sheets.  CONTINUE-
-    split SSTs (huge real-world string tables) are out of scope and raise."""
+    extractor: tab-separated rows, a blank line between sheets.  SSTs that
+    spill into CONTINUE records (every real-world workbook with >8 KB of
+    strings) are handled via :class:`_XlsStrCursor`, including mid-string
+    splits that switch encoding at the boundary."""
     cfb = _Cfb(raw)
     wb = None
     for name in ("Workbook", "Book"):
@@ -517,13 +583,18 @@ def extract_xls(raw: bytes) -> str:
                 cur = {}
                 sheets.append(cur)
             continue
-        if rid == 0x00FC:  # SST
-            if pos + 4 <= len(wb) and struct.unpack_from("<HH", wb, pos)[0] == 0x003C:
-                raise ValueError("xls SST spans CONTINUE records (unsupported)")
-            p = 8
-            while p < len(data):
-                s, p = _xl_unicode(data, p, 2)
-                sst.append(s)
+        if rid == 0x00FC:  # SST (+ any CONTINUE records it spills into)
+            parts = [data]
+            while pos + 4 <= len(wb):
+                nid, nlen = struct.unpack_from("<HH", wb, pos)
+                if nid != 0x003C:
+                    break
+                parts.append(wb[pos + 4:pos + 4 + nlen])
+                pos += 4 + nlen
+            (cst_unique,) = struct.unpack_from("<I", data, 4)
+            cursor = _XlsStrCursor([parts[0][8:]] + parts[1:])
+            for _ in range(cst_unique):
+                sst.append(_read_sst_string(cursor))
             continue
         if cur is None:
             continue

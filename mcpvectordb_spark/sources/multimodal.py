@@ -601,9 +601,20 @@ def parse_audio_metadata(payload: bytes) -> dict | None:
             rate = _RATES[(hdr[2] >> 2) & 0x03]
             mode = (hdr[3] >> 6) & 0x03
             if bitrate and rate:
+                duration = (len(payload) - pos) * 8 / bitrate  # exact for CBR
+                # VBR: a Xing/Info tag in the first frame carries the exact
+                # frame count (MPEG1 L3: 1152 samples per frame)
+                xing = payload.find(b"Xing", pos, pos + 200)
+                if xing < 0:
+                    xing = payload.find(b"Info", pos, pos + 200)
+                if xing >= 0 and xing + 12 <= len(payload):
+                    (flags,) = struct.unpack(">I", payload[xing + 4:xing + 8])
+                    if flags & 0x01:
+                        (frames,) = struct.unpack(">I", payload[xing + 8:xing + 12])
+                        duration = frames * 1152 / rate
                 return {
                     "container": "mp3",
-                    "duration_s": (len(payload) - pos) * 8 / bitrate,
+                    "duration_s": duration,
                     "sample_rate": rate,
                     "channels": 1 if mode == 3 else 2,
                 }

@@ -1059,3 +1059,54 @@ def test_sample_video_frames_real_avi(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         sample_video_frames(junk, fake=False).collect()
+
+
+def _xls_continue_fixture():
+    """SST spilling into a CONTINUE record: string 2 splits MID-CHARACTERS
+    with an encoding switch at the boundary (compressed → UTF-16), and
+    string 3 lives entirely in the continuation."""
+    import struct
+
+    def rec(rid, payload):
+        return struct.pack("<HH", rid, len(payload)) + payload
+
+    s1 = struct.pack("<HB", 5, 0) + b"alpha"
+    s2_head = struct.pack("<HB", 10, 0) + b"abcd"          # 4 of 10 chars
+    sst_body = struct.pack("<II", 3, 3) + s1 + s2_head
+    s2_tail = bytes([1]) + "éfghij".encode("utf-16-le")    # grbit switches to high
+    s3 = struct.pack("<HB", 3, 1) + "xyz".encode("utf-16-le")
+    cont_body = s2_tail + s3
+
+    bof_g = rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    bof_s = rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    cells = (
+        rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0))
+        + rec(0x00FD, struct.pack("<HHHI", 0, 1, 0, 1))
+        + rec(0x00FD, struct.pack("<HHHI", 1, 0, 0, 2))
+    )
+    eof = rec(0x000A, b"")
+    wb = (bof_g + rec(0x00FC, sst_body) + rec(0x003C, cont_body) + eof
+          + bof_s + cells + eof)
+    return _cfb_fixture({"Workbook": wb})
+
+
+def test_extract_xls_continue_split_sst():
+    text = convert_bytes(_xls_continue_fixture(), "xls")
+    assert "alpha\tabcdéfghij" in text   # mid-string split + encoding switch
+    assert "xyz" in text                 # string living wholly in CONTINUE
+
+
+def test_parse_audio_metadata_mp3_vbr_xing():
+    """A Xing tag's frame count overrides the CBR byte estimate: duration
+    becomes frames*1152/rate exactly."""
+    import struct
+
+    from mcpvectordb_spark.sources.multimodal import parse_audio_metadata
+
+    frame_hdr = bytes([0xFF, 0xFB, (9 << 4) | 0x00, 0x00])
+    side_info = b"\x00" * 32  # MPEG1 stereo side info before the tag
+    xing = b"Xing" + struct.pack(">I", 0x01) + struct.pack(">I", 441)  # frames
+    body = frame_hdr + side_info + xing + b"\x00" * 5000
+    meta = parse_audio_metadata(body)
+    assert meta["container"] == "mp3"
+    assert abs(meta["duration_s"] - 441 * 1152 / 44100) < 1e-9  # ≈ 11.52 s
