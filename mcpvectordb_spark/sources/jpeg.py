@@ -1,20 +1,27 @@
-"""Baseline JPEG decode, pure stdlib + numpy — no imaging library.
+"""JPEG decode (baseline AND progressive), pure stdlib + numpy — no
+imaging library.
 
 The reference's image path hands JPEG files to MarkItDown/PIL
 (/root/reference/src/mcpvectordb/converter.py:13-39); this container has no
 codec library, so the entropy decode is implemented directly from the
 JFIF/JPEG spec (ITU-T T.81):
 
-- marker parse: DQT (8/16-bit tables), SOF0 (baseline sequential DCT),
-  DHT (canonical Huffman from BITS/HUFFVAL), SOS, DRI/RSTn restarts;
-- entropy decode: per-MCU Huffman DC (category + EXTEND) and AC
-  (run/size, ZRL, EOB) with FF00 byte-unstuffing;
+- marker parse: DQT (8/16-bit tables), SOF0/SOF2, DHT (canonical Huffman
+  from BITS/HUFFVAL), multi-SOS, DRI/RSTn restarts;
+- baseline: per-MCU Huffman DC (category + EXTEND) and AC (run/size,
+  ZRL, EOB) with FF00 byte-unstuffing;
+- progressive (T.81 G.2): scans accumulate into per-component
+  coefficient buffers — interleaved/non-interleaved DC first + one-bit
+  refinement, per-band AC first with EOB runs, and AC
+  successive-approximation refinement with zero-history runs and
+  interleaved correction bits (the libjpeg decode_mcu_AC_refine
+  semantics), reconstructed once at EOI;
 - reconstruction: dequantize in zig-zag order, orthonormal 8×8 IDCT as
   two numpy matmuls per block, nearest-neighbour chroma upsampling for
   4:2:0/4:2:2, BT.601 YCbCr→RGB.
 
-Scope: baseline (SOF0) Huffman 8-bit, 1 or 3 components — the overwhelming
-majority of web JPEGs.  Progressive (SOF2), arithmetic coding, and 12-bit
+Scope: Huffman 8-bit, 1 or 3 components, sequential or progressive —
+effectively every web JPEG.  Arithmetic coding, 12-bit, and hierarchical
 return None; callers fall back to header dims + byte-histogram features
 (sources/multimodal.py).
 
@@ -142,10 +149,11 @@ def decode_jpeg(payload: bytes):
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
     frame = None
+    coefs = None  # progressive: per-component DCT coefficient accumulators
     restart_interval = 0
     pos = 2
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             pos += 1
             continue
@@ -153,6 +161,15 @@ def decode_jpeg(payload: bytes):
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if marker == 0xD9:  # EOI — before the segment-length read: it has none
+            if frame is not None and frame.get("progressive"):
+                for c in frame["comps"]:
+                    if c["tq"] not in qt:
+                        return None
+                return _reconstruct_progressive(frame, coefs, qt)
+            break
+        if pos + 4 > n:
+            break
         (seg_len,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         body = payload[pos + 4:pos + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -180,12 +197,14 @@ def decode_jpeg(payload: bytes):
                 vals = body[i + 17:i + 17 + cnt]
                 (huff_ac if cls else huff_dc)[tid] = _Huff(bits, vals)
                 i += 17 + cnt
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if len(body) < 6:
                 return None
             _, h, w, nc = struct.unpack(">BHHB", body[:6])
             if len(body) < 6 + 3 * nc or w == 0 or h == 0:
                 return None
+            if w * h > 100_000_000:  # 100 MP: refuse absurd (garbage) dims
+                return None          # before any buffer allocation
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
@@ -193,29 +212,42 @@ def decode_jpeg(payload: bytes):
                 if not (1 <= sh <= 4 and 1 <= sv <= 4):
                     return None
                 comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            return None  # progressive / extended / arithmetic: out of scope
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                coefs = _alloc_coefs(frame)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            return None  # extended / lossless / arithmetic: out of scope
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
-            if frame is None or len(body) < 1 + 2 * body[0]:
+            if frame is None or len(body) < 4 + 2 * body[0]:
                 return None
             ns = body[0]
+            scomp_ids = []
             tabs = {}
             for s in range(ns):
                 cid, tt = body[1 + 2 * s], body[2 + 2 * s]
                 tabs[cid] = (tt >> 4, tt & 0x0F)
-            for c in frame["comps"]:
-                dc_t, ac_t = tabs.get(c["id"], (None, None))
-                if dc_t not in huff_dc or ac_t not in huff_ac or c["tq"] not in qt:
-                    return None  # scan references a table that never arrived
-            return _decode_scan(
-                payload, pos + 2 + seg_len, frame, tabs, qt, huff_dc, huff_ac,
-                restart_interval,
+                scomp_ids.append(cid)
+            if not frame["progressive"]:
+                for c in frame["comps"]:
+                    dc_t, ac_t = tabs.get(c["id"], (None, None))
+                    if dc_t not in huff_dc or ac_t not in huff_ac or c["tq"] not in qt:
+                        return None  # scan references a table that never arrived
+                return _decode_scan(
+                    payload, pos + 2 + seg_len, frame, tabs, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            pos = _decode_progressive_scan(
+                payload, pos + 2 + seg_len, frame, scomp_ids, tabs,
+                ss, se, ahal >> 4, ahal & 0x0F,
+                coefs, huff_dc, huff_ac, restart_interval,
             )
-        elif marker == 0xD9:
-            break
+            if pos is None:
+                return None
+            continue  # pos now points at the next marker
         pos += 2 + seg_len
     return None
 
@@ -272,7 +304,17 @@ def _decode_scan(payload, pos, frame, tabs, qt, huff_dc, huff_ac, restart_interv
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_count += 1
 
-    # upsample to full resolution (nearest), crop, colour-convert
+    return _planes_to_rgb(frame, planes)
+
+
+def _planes_to_rgb(frame, planes):
+    """Nearest-neighbour chroma upsample, crop, BT.601 convert — shared by
+    the baseline and progressive reconstruction paths."""
+    import numpy as np
+
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -288,3 +330,218 @@ def _decode_scan(payload, pos, frame, tabs, qt, huff_dc, huff_ac, restart_interv
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2): scans accumulate into per-component coefficient
+# buffers — spectral selection picks the band, successive approximation
+# delivers magnitude bits — reconstructed once at EOI (T.81 G.2).
+
+
+def _frame_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _comp_block_dims(frame, c):
+    """Non-interleaved scans cover the component's OWN ceil dims, not the
+    MCU-padded grid (T.81 A.2.2)."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+    ch = (frame["h"] * c["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _alloc_coefs(frame):
+    import numpy as np
+
+    _, _, mcux, mcuy = _frame_geometry(frame)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _ac_first_band(reader, htab, block, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.huff(htab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.bits(r)
+            break
+        k += r
+        if k > se:
+            break
+        block[_ZIGZAG[k]] = _extend(reader.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_band(reader, htab, block, ss, se, al, eobrun):
+    """Successive-approximation refinement (T.81 G.2.2 / libjpeg
+    decode_mcu_AC_refine): already-nonzero coefficients receive one
+    correction bit as they are passed over; zero-history runs count toward
+    the next newly-significant ±1<<Al."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.huff(htab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                # r == 15: skip 16 zero-history positions
+            else:  # s must be 1 in a refinement scan
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                z = _ZIGZAG[k]
+                cur = int(block[z])
+                if cur != 0:
+                    if reader.bit() and (cur & p1) == 0:
+                        block[z] = cur + (p1 if cur > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[_ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = _ZIGZAG[k]
+            cur = int(block[z])
+            if cur != 0:
+                if reader.bit() and (cur & p1) == 0:
+                    block[z] = cur + (p1 if cur > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    payload, pos, frame, scomp_ids, tabs, ss, se, ah, al,
+    coefs, huff_dc, huff_ac, restart_interval,
+):
+    """Decode ONE scan into the coefficient buffers; returns the payload
+    position of the next marker, or None on malformed input."""
+    comps = frame["comps"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    sci = [by_id.get(cid) for cid in scomp_ids]
+    if None in sci:
+        return None
+    reader = _BitReader(payload, pos)
+    try:
+        if ss == 0:  # DC scan (interleaved over its components)
+            if se != 0:
+                return None
+            for ci in sci:
+                if ah == 0 and tabs[comps[ci]["id"]][0] not in huff_dc:
+                    return None
+            _, _, mcux, mcuy = _frame_geometry(frame)
+            interleaved = len(sci) > 1
+            pred = {ci: 0 for ci in sci}
+            unit = 0
+            if interleaved:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart_interval and unit and unit % restart_interval == 0:
+                            reader.sync_restart()
+                            pred = {ci: 0 for ci in sci}
+                        for ci in sci:
+                            c = comps[ci]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    block = coefs[ci][my * c["v"] + by, mx * c["h"] + bx]
+                                    _dc_one(reader, huff_dc, tabs, comps, ci, block, pred, ah, al)
+                        unit += 1
+            else:
+                ci = sci[0]
+                bh, bw = _comp_block_dims(frame, comps[ci])
+                for by in range(bh):
+                    for bx in range(bw):
+                        if restart_interval and unit and unit % restart_interval == 0:
+                            reader.sync_restart()
+                            pred = {ci: 0 for ci in sci}
+                        _dc_one(reader, huff_dc, tabs, comps, ci, coefs[ci][by, bx], pred, ah, al)
+                        unit += 1
+        else:  # AC scan: exactly one component, never interleaved
+            if len(sci) != 1 or not (1 <= ss <= se <= 63):
+                return None
+            ci = sci[0]
+            ac_t = tabs[comps[ci]["id"]][1]
+            if ah == 0 and ac_t not in huff_ac:
+                return None
+            htab = huff_ac.get(ac_t)
+            if htab is None:
+                return None
+            bh, bw = _comp_block_dims(frame, comps[ci])
+            eobrun = 0
+            unit = 0
+            fn = _ac_first_band if ah == 0 else _ac_refine_band
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        reader.sync_restart()
+                        eobrun = 0
+                    eobrun = fn(reader, htab, coefs[ci][by, bx], ss, se, al, eobrun)
+                    unit += 1
+    except (ValueError, IndexError):
+        return None
+
+    # skip to the next marker (the reader stops AT an FF of a marker; any
+    # residual RST markers between scans are stepped over)
+    p = reader.pos
+    while p + 1 < len(payload):
+        if payload[p] == 0xFF and payload[p + 1] != 0x00:
+            if 0xD0 <= payload[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(payload)
+
+
+def _dc_one(reader, huff_dc, tabs, comps, ci, block, pred, ah, al):
+    if ah == 0:
+        size = reader.huff(huff_dc[tabs[comps[ci]["id"]][0]])
+        pred[ci] += _extend(reader.bits(size), size)
+        block[0] = pred[ci] << al
+    else:  # refinement: one raw bit per block
+        if reader.bit():
+            block[0] = int(block[0]) | (1 << al)
+
+
+def _reconstruct_progressive(frame, coefs, qt):
+    import numpy as np
+
+    T = _idct_matrix()
+    _, _, mcux, mcuy = _frame_geometry(frame)
+    planes = []
+    for ci, c in enumerate(frame["comps"]):
+        q = qt[c["tq"]]
+        plane = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
+        buf = coefs[ci]
+        for by in range(buf.shape[0]):
+            for bx in range(buf.shape[1]):
+                block = buf[by, bx].astype(np.float64).reshape(8, 8) * q
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = T.T @ block @ T + 128.0
+        planes.append(plane)
+    return _planes_to_rgb(frame, planes)

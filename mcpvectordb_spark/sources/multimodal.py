@@ -9,8 +9,9 @@ container level — pure byte parsing, no media library:
   (:func:`parse_image_header`), and FULL PIXEL DECODE for all four via
   :func:`decode_image_pixels` — PNG (zlib inflate + all five scanline
   filters), BMP (BI_RGB 8/24/32-bit incl. palette), GIF (LZW decode of
-  the first frame), and baseline JPEG (Huffman entropy decode + IDCT +
-  chroma upsampling, :mod:`mcpvectordb_spark.sources.jpeg`) — real
+  the first frame), and JPEG — baseline AND progressive (Huffman entropy
+  decode incl. successive approximation + IDCT + chroma upsampling,
+  :mod:`mcpvectordb_spark.sources.jpeg`) — real
   per-channel/luma/gradient features from the actual pixels;
 - audio: RIFF/WAVE full decode (:func:`parse_wav`) — PCM 8/16/32-bit and
   IEEE-float; duration from the header, per-window RMS + zero-crossing-rate
@@ -18,8 +19,8 @@ container level — pure byte parsing, no media library:
 - video: MP4/ISO-BMFF box walk (mvhd duration, tkhd dimensions) and AVI
   avih header (:func:`parse_video_header`).
 
-Remaining codec-level work (progressive JPEG, compressed audio, video
-frame extraction) is STUBBED (Pillow/ffmpeg/torchaudio are not in this
+Remaining codec-level work (compressed-audio sample decode, compressed-
+video frame extraction) is STUBBED (Pillow/ffmpeg/torchaudio are not in this
 container): those stages have the real Spark plumbing — schema, batching,
 partitioning, UDF signature — a deterministic fake path for tests, and the
 library call site marked NotImplementedError.
@@ -106,8 +107,8 @@ def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
 
 
 # ---------------------------------------------------------------------------
-# Pixel decode — pure stdlib+numpy codecs for the three containers whose
-# pixel data needs no entropy-coded DCT: PNG (zlib), BMP (raw), GIF (LZW).
+# Pixel decode — pure stdlib+numpy codecs: PNG (zlib), BMP (raw), GIF
+# (LZW); JPEG's entropy-coded paths live in sources/jpeg.py.
 
 
 def _png_defilter(raw: bytes, h: int, stride: int, bpp: int):
@@ -339,7 +340,7 @@ def _decode_gif_pixels(payload: bytes):
 
 def decode_image_pixels(payload: bytes):
     """Full pixel decode → HxWx3 uint8 RGB, or None when the payload is
-    malformed or out of codec scope (progressive JPEG, Adam7 PNG, ...)."""
+    malformed or out of codec scope (arithmetic JPEG, Adam7 PNG, ...)."""
     from mcpvectordb_spark.sources.jpeg import decode_jpeg
 
     try:
@@ -373,9 +374,10 @@ def decode_images(df: "DataFrame", dim: int = 16, fake: bool = True) -> "DataFra
     """image binary → (width, height, format, features).
 
     ``fake=False`` is a REAL kernel: PNG/BMP/GIF/baseline-JPEG payloads are
-    pixel-decoded (:func:`decode_image_pixels`) and the feature vector is
-    computed from the actual pixels (channel means, luma std, edge energy,
-    luma histogram); progressive JPEG keeps real header dimensions with a
+    pixel-decoded (:func:`decode_image_pixels`) — JPEG in both baseline and
+    progressive modes — and the feature vector is computed from the actual
+    pixels (channel means, luma std, edge energy, luma histogram);
+    arithmetic-coded/12-bit JPEG keeps real header dimensions with a
     byte-histogram feature fallback.  Payloads in an unrecognised container
     raise NotImplementedError.
 

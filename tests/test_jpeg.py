@@ -280,3 +280,250 @@ def test_decode_images_jpeg_pixels(spark):
     assert (row["width"], row["height"], row["format"]) == (8, 8, "jpeg")
     f = row["features"]
     assert f[2] > 0.97 and f[0] < 0.03 and f[1] < 0.03  # mean_b ≈ 1
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder: spectral selection + successive approximation,
+# emitting the same scan structure libjpeg's simple progressive script uses.
+# The invariant under unit quantization: progressive and baseline streams
+# carry IDENTICAL coefficients, so decoded pixels must match EXACTLY.
+
+def _trunc_shift(v, al):
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _coef_blocks_444(px):
+    """Per-component [by][bx] zig-zag coefficient lists (quant = 1)."""
+    gray = px.ndim == 2
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        x = px.astype(np.float64)
+        planes = [
+            0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2],
+            -0.168736 * x[:, :, 0] - 0.331264 * x[:, :, 1] + 0.5 * x[:, :, 2] + 128,
+            0.5 * x[:, :, 0] - 0.418688 * x[:, :, 1] - 0.081312 * x[:, :, 2] + 128,
+        ]
+    h, w = px.shape[:2]
+    bh, bw = -(-h // 8), -(-w // 8)
+    out = []
+    for p in planes:
+        padded = _plane_blocks(p, bh, bw)
+        comp = []
+        for by in range(bh):
+            row = []
+            for bx in range(bw):
+                blk = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                qc = np.round(T @ (blk - 128.0) @ T.T).astype(int)
+                row.append([int(qc.reshape(-1)[_ZIGZAG[k]]) for k in range(64)])
+            comp.append(row)
+        out.append(comp)
+    return out, bh, bw
+
+
+def _dc_first_ops(comps_blocks, al):
+    ops, preds = [], [0] * len(comps_blocks)
+    bh, bw = len(comps_blocks[0]), len(comps_blocks[0][0])
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, blocks in enumerate(comps_blocks):
+                v = blocks[by][bx][0] >> al  # arithmetic shift (libjpeg)
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = _category(diff)
+                ops.append(("h", s))
+                if s:
+                    ops.append(("b", _extra_bits(diff, s), s))
+    return ops
+
+
+def _dc_refine_ops(comps_blocks, al):
+    ops = []
+    bh, bw = len(comps_blocks[0]), len(comps_blocks[0][0])
+    for by in range(bh):
+        for bx in range(bw):
+            for blocks in comps_blocks:
+                ops.append(("b", (blocks[by][bx][0] >> al) & 1, 1))
+    return ops
+
+
+def _ac_first_ops(blocks, ss, se, al):
+    ops, eobrun = [], 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ops.append(("h", r << 4))
+            if r:
+                ops.append(("b", eobrun - (1 << r), r))
+            eobrun = 0
+
+    for row in blocks:
+        for zz in row:
+            vals = [_trunc_shift(zz[k], al) for k in range(ss, se + 1)]
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                eobrun += 1
+                continue
+            flush()
+            r, last = 0, nz[-1]
+            for i, v in enumerate(vals[:last + 1]):
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    ops.append(("h", 0xF0))
+                    r -= 16
+                s = abs(v).bit_length()
+                ops.append(("h", (r << 4) | s))
+                ops.append(("b", _extra_bits(v, s), s))
+                r = 0
+            if last < len(vals) - 1:
+                eobrun += 1
+    flush()
+    return ops
+
+
+def _ac_refine_ops(blocks, ss, se, al):
+    ops, eobrun, pending_br = [], 0, []
+
+    def flush():
+        nonlocal eobrun, pending_br
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ops.append(("h", r << 4))
+            if r:
+                ops.append(("b", eobrun - (1 << r), r))
+            ops.extend(("b", b, 1) for b in pending_br)
+            pending_br = []
+            eobrun = 0
+
+    for row in blocks:
+        for zz in row:
+            band = [zz[k] for k in range(ss, se + 1)]
+            t = [abs(v) >> al for v in band]
+            news = [i for i, ti in enumerate(t) if ti == 1]
+            if not news:
+                eobrun += 1
+                pending_br.extend(ti & 1 for ti in t if ti > 1)
+                continue
+            flush()
+            last = news[-1]
+            r, br = 0, []
+            for i in range(last + 1):
+                if t[i] == 0:
+                    r += 1
+                    continue
+                # libjpeg: ZRLs emit on reaching ANY nonzero (history too),
+                # flushing the corrections buffered inside the ZRL window
+                while r > 15:
+                    ops.append(("h", 0xF0))
+                    ops.extend(("b", b, 1) for b in br)
+                    br = []
+                    r -= 16
+                if t[i] > 1:
+                    br.append(t[i] & 1)
+                else:
+                    ops.append(("h", (r << 4) | 1))
+                    ops.append(("b", 1 if band[i] > 0 else 0, 1))
+                    ops.extend(("b", b, 1) for b in br)
+                    br = []
+                    r = 0
+            tail = [t[i] & 1 for i in range(last + 1, len(t)) if t[i] > 1]
+            if last < len(t) - 1:
+                eobrun += 1
+                pending_br.extend(tail)
+    flush()
+    return ops
+
+
+def _emit_scan(ops, cls):
+    """(DHT bytes or b'', entropy bytes) for one scan's op stream."""
+    syms = sorted({s for kind, s, *rest in [(o[0], o[1], *o[2:]) for o in ops] if kind == "h"})
+    dht = b""
+    enc = {}
+    if syms:
+        bits, vals, enc = _huff_table(syms)
+        dht = bytes([0xFF, 0xC4]) + struct.pack(">H", 2 + 1 + 16 + len(vals)) \
+            + bytes([cls << 4]) + bytes(bits) + vals
+    bw = _BitWriter()
+    for op in ops:
+        if op[0] == "h":
+            code, ln = enc[op[1]]
+            bw.write(code, ln)
+        else:
+            bw.write(op[1], op[2])
+    bw.flush()
+    return dht, bytes(bw.buf)
+
+
+def encode_jpeg_progressive(px):
+    """SOF2 stream: DC-first(Al=1) → per-comp AC-first(1..63, Al=1) →
+    DC-refine → per-comp AC-refine — both progressive modes exercised."""
+    comps_blocks, bh, bw_ = _coef_blocks_444(px)
+    ncomp = len(comps_blocks)
+    h, w = px.shape[:2]
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return bytes([0xFF, 0xDA]) + struct.pack(">H", 2 + len(body)) + body
+
+    out = bytearray(b"\xff\xd8")
+    q = np.ones((8, 8), np.int32)
+    out += bytes([0xFF, 0xDB]) + struct.pack(">H", 2 + 65) + bytes([0x00]) + _quant_zz(q)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += bytes([0xFF, 0xC2]) + struct.pack(">H", 2 + len(sof)) + sof
+
+    all_ids = [ci + 1 for ci in range(ncomp)]
+    # 1. DC first (interleaved), Al=1
+    dht, ent = _emit_scan(_dc_first_ops(comps_blocks, 1), cls=0)
+    out += dht + sos(all_ids, 0, 0, 0, 1) + ent
+    # 2. AC first per component, Al=1
+    for ci in range(ncomp):
+        dht, ent = _emit_scan(_ac_first_ops(comps_blocks[ci], 1, 63, 1), cls=1)
+        out += dht + sos([ci + 1], 1, 63, 0, 1) + ent
+    # 3. DC refine (raw bits, no table)
+    _, ent = _emit_scan(_dc_refine_ops(comps_blocks, 0), cls=0)
+    out += sos(all_ids, 0, 0, 1, 0) + ent
+    # 4. AC refine per component
+    for ci in range(ncomp):
+        dht, ent = _emit_scan(_ac_refine_ops(comps_blocks[ci], 1, 63, 0), cls=1)
+        out += dht + sos([ci + 1], 1, 63, 1, 0) + ent
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_matches_baseline_exactly():
+    """Unit quantization → the progressive scans deliver the SAME
+    coefficients as the baseline stream: decoded pixels must be equal."""
+    px = _gradient(21, 26)
+    base = decode_jpeg(encode_jpeg(px))
+    prog = decode_jpeg(encode_jpeg_progressive(px))
+    assert prog is not None
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_grayscale_and_flat():
+    g = (np.outer(np.arange(14), np.ones(18)) * 9).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(g))
+    prog = decode_jpeg(encode_jpeg_progressive(g))
+    assert np.array_equal(prog, base)
+
+    flat = np.full((8, 8, 3), 77, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_progressive(flat)),
+                          decode_jpeg(encode_jpeg(flat)))
+
+
+def test_progressive_random_rasters():
+    rng = np.random.RandomState(23)
+    for shape in ((9, 13), (16, 16), (24, 10)):
+        px = rng.randint(0, 256, (*shape, 3)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(px))
+        prog = decode_jpeg(encode_jpeg_progressive(px))
+        assert prog is not None and np.array_equal(prog, base), shape
