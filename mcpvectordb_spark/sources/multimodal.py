@@ -8,7 +8,7 @@ container level — pure byte parsing, no media library:
 - image: PNG/GIF/BMP/JPEG dimensions + format from header bytes
   (:func:`parse_image_header`), and FULL PIXEL DECODE for all four via
   :func:`decode_image_pixels` — PNG (zlib inflate + all five scanline
-  filters), BMP (BI_RGB 8/24/32-bit incl. palette), GIF (LZW decode of
+  filters, sequential AND Adam7-interlaced), BMP (BI_RGB 8/24/32-bit incl. palette), GIF (LZW decode of
   the first frame), and JPEG — baseline AND progressive (Huffman entropy
   decode incl. successive approximation + IDCT + chroma upsampling,
   :mod:`mcpvectordb_spark.sources.jpeg`) — real
@@ -153,9 +153,15 @@ def _png_defilter(raw: bytes, h: int, stride: int, bpp: int):
     return out.astype("uint8")
 
 
+# Adam7 pass grid: (xstart, ystart, xstep, ystep) per pass
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
 def _decode_png_pixels(payload: bytes):
-    """PNG → HxWx3 uint8 RGB. 8-bit depth, colour types 0/2/3/4/6, no
-    interlace (Adam7 returns None — honest scope)."""
+    """PNG → HxWx3 uint8 RGB. 8-bit depth, colour types 0/2/3/4/6, both
+    sequential and Adam7-interlaced (each of the 7 passes is its own
+    filtered sub-image, defiltered then scattered onto the pass grid)."""
     import struct
     import zlib
 
@@ -181,13 +187,29 @@ def _decode_png_pixels(payload: bytes):
         return None
     w, h, depth, ctype, _, _, interlace = ihdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if depth != 8 or channels is None or interlace != 0 or w == 0 or h == 0:
+    if depth != 8 or channels is None or interlace not in (0, 1) or w == 0 or h == 0:
         return None
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        return None
-    px = _png_defilter(raw, h, stride, channels).reshape(h, w, channels)
+    if interlace == 0:
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            return None
+        px = _png_defilter(raw, h, stride, channels).reshape(h, w, channels)
+    else:  # Adam7: 7 independently-filtered sub-images scattered on a grid
+        px = np.zeros((h, w, channels), np.uint8)
+        pos = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * channels
+            need = ph * (stride + 1)
+            if len(raw) < pos + need:
+                return None
+            sub = _png_defilter(raw[pos:pos + need], ph, stride, channels)
+            pos += need
+            px[ys::ystep, xs::xstep] = sub.reshape(ph, pw, channels)
     if ctype == 3:
         if plte is None:
             return None
@@ -340,7 +362,7 @@ def _decode_gif_pixels(payload: bytes):
 
 def decode_image_pixels(payload: bytes):
     """Full pixel decode → HxWx3 uint8 RGB, or None when the payload is
-    malformed or out of codec scope (arithmetic JPEG, Adam7 PNG, ...)."""
+    malformed or out of codec scope (arithmetic/12-bit JPEG, ...)."""
     from mcpvectordb_spark.sources.jpeg import decode_jpeg
 
     try:

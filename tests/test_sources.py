@@ -1110,3 +1110,49 @@ def test_parse_audio_metadata_mp3_vbr_xing():
     meta = parse_audio_metadata(body)
     assert meta["container"] == "mp3"
     assert abs(meta["duration_s"] - 441 * 1152 / 44100) < 1e-9  # ≈ 11.52 s
+
+
+def _png_adam7_fixture(px):
+    """Adam7-interlaced PNG: pixels split into the 7 passes, each pass
+    filtered independently (cycling filter types for coverage)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mcpvectordb_spark.sources.multimodal import _ADAM7
+
+    h, w, ch = px.shape
+    raws = []
+    for pi, (xs, ys, xstep, ystep) in enumerate(_ADAM7):
+        sub = px[ys::ystep, xs::xstep]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        prev = np.zeros(pw * ch, np.int32)
+        for y in range(ph):
+            row = sub[y].reshape(-1).astype(np.int32)
+            left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
+            f = (pi + y) % 3  # None / Sub / Up across passes and rows
+            res = [row, (row - left) % 256, (row - prev) % 256][f]
+            raws.append(bytes([f]) + res.astype(np.uint8).tobytes())
+            prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(raws))) + chunk(b"IEND", b""))
+
+
+def test_decode_png_adam7_interlaced():
+    import numpy as np
+
+    from mcpvectordb_spark.sources.multimodal import decode_image_pixels
+
+    for shape in ((13, 11), (8, 8), (3, 17), (1, 1)):
+        px = _test_raster(*shape)
+        got = decode_image_pixels(_png_adam7_fixture(px))
+        assert got is not None and np.array_equal(got, px), shape
