@@ -187,29 +187,36 @@ def _decode_png_pixels(payload: bytes):
         return None
     w, h, depth, ctype, _, _, interlace = ihdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if depth != 8 or channels is None or interlace not in (0, 1) or w == 0 or h == 0:
+    if depth not in (8, 16) or channels is None or interlace not in (0, 1) \
+            or w == 0 or h == 0:
         return None
+    if depth == 16 and ctype == 3:
+        return None  # palette indices are never 16-bit
+    bypc = depth // 8  # bytes per channel; filters operate at byte level
+    bpp = channels * bypc
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        stride = w * channels
+        stride = w * bpp
         if len(raw) < h * (stride + 1):
             return None
-        px = _png_defilter(raw, h, stride, channels).reshape(h, w, channels)
+        px = _png_defilter(raw, h, stride, bpp).reshape(h, w, channels * bypc)
     else:  # Adam7: 7 independently-filtered sub-images scattered on a grid
-        px = np.zeros((h, w, channels), np.uint8)
+        px = np.zeros((h, w, channels * bypc), np.uint8)
         pos = 0
         for xs, ys, xstep, ystep in _ADAM7:
             pw = (w - xs + xstep - 1) // xstep
             ph = (h - ys + ystep - 1) // ystep
             if pw <= 0 or ph <= 0:
                 continue
-            stride = pw * channels
+            stride = pw * bpp
             need = ph * (stride + 1)
             if len(raw) < pos + need:
                 return None
-            sub = _png_defilter(raw[pos:pos + need], ph, stride, channels)
+            sub = _png_defilter(raw[pos:pos + need], ph, stride, bpp)
             pos += need
-            px[ys::ystep, xs::xstep] = sub.reshape(ph, pw, channels)
+            px[ys::ystep, xs::xstep] = sub.reshape(ph, pw, channels * bypc)
+    if bypc == 2:  # 16-bit samples are big-endian; keep the high byte
+        px = px.reshape(h, w, channels, 2)[:, :, :, 0]
     if ctype == 3:
         if plte is None:
             return None
@@ -340,8 +347,8 @@ def _decode_gif_pixels(payload: bytes):
                 n = 2 << (lflags & 0x07)
                 table = np.frombuffer(payload[pos:pos + 3 * n], np.uint8).reshape(-1, 3)
                 pos += 3 * n
-            if lflags & 0x40 or table is None or iw == 0 or ih == 0:
-                return None  # interlaced / missing palette: out of scope
+            if table is None or iw == 0 or ih == 0:
+                return None  # missing palette: out of scope
             min_code = payload[pos]
             pos += 1
             chunks = []
@@ -354,7 +361,14 @@ def _decode_gif_pixels(payload: bytes):
             )
             if len(idx) < iw * ih or idx.max(initial=0) >= len(table):
                 return None
-            return table[idx[:iw * ih].reshape(ih, iw)]
+            raster = idx[:iw * ih].reshape(ih, iw)
+            if lflags & 0x40:  # GIF 4-pass interlace: reorder rows
+                order = [r for step, start in ((8, 0), (8, 4), (4, 2), (2, 1))
+                         for r in range(start, ih, step)]
+                out = np.empty_like(raster)
+                out[order] = raster[:len(order)]
+                raster = out
+            return table[raster]
         else:  # trailer (0x3B) or junk
             return None
     return None

@@ -1156,3 +1156,50 @@ def test_decode_png_adam7_interlaced():
         px = _test_raster(*shape)
         got = decode_image_pixels(_png_adam7_fixture(px))
         assert got is not None and np.array_equal(got, px), shape
+
+
+def test_decode_png_16bit_depth():
+    """16-bit samples: byte-level filters with bpp=channels*2, high byte
+    kept (the standard 16→8 downshift)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mcpvectordb_spark.sources.multimodal import decode_image_pixels
+
+    px16 = (np.random.RandomState(9).randint(0, 65536, (5, 4, 3))).astype(">u2")
+    raws = b"".join(b"\x00" + px16[y].tobytes() for y in range(5))
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 16, 2, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    raw = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raws)) + chunk(b"IEND", b""))
+    got = decode_image_pixels(raw)
+    assert got is not None
+    assert np.array_equal(got, (px16 >> 8).astype(np.uint8))
+
+
+def test_decode_gif_interlaced():
+    import numpy as np
+
+    from mcpvectordb_spark.sources.multimodal import decode_image_pixels
+
+    palette = [(i, i, i) for i in range(128)]
+    rng = np.random.RandomState(4)
+    idx = rng.randint(0, 128, (11, 6)).astype(np.uint8)
+    # store rows in interlace order, set the interlace flag
+    order = [r for step, start in ((8, 0), (8, 4), (4, 2), (2, 1))
+             for r in range(start, 11, step)]
+    stored = idx[order]
+    raw = bytearray(_gif_pixels_fixture(stored, palette))
+    # image descriptor starts after header(13) + GCT(768): set interlace bit
+    desc = 13 + 768
+    assert raw[desc] == 0x2C
+    raw[desc + 9] |= 0x40
+    got = decode_image_pixels(bytes(raw))
+    expect = np.array([[palette[v] for v in row] for row in idx], np.uint8)
+    assert got is not None and np.array_equal(got, expect)
