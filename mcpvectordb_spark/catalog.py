@@ -2883,6 +2883,74 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMAGE codec path under the driver gate: PNG (filter-0 RGB) and
+    24-bit BMP payloads are synthesized deterministically per doc_id, then
+    decoded by the REAL pixel kernels (sources/multimodal.py::
+    decode_image_pixels) — dimensions and features come from actual
+    pixels.  Byte synthesis/decode is not SQL-expressible → digest gate
+    (the audio twin is `multimodal_features`)."""
+    from mcpvectordb_spark.sources.multimodal import MEDIA_SCHEMA, decode_images
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(200)
+
+    def synth(batches):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def png(w, h, seed):
+            rows = b""
+            for y in range(h):
+                rows += b"\x00" + bytes(
+                    (seed * 31 + y * 17 + x * 7 + c * 3) % 256
+                    for x in range(w) for c in range(3)
+                )
+
+            def chunk(tag, data):
+                return (struct.pack(">I", len(data)) + tag + data
+                        + struct.pack(">I", zlib.crc32(tag + data)))
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
+
+        def bmp(w, h, seed):
+            row_size = (w * 3 + 3) & ~3
+            data = b""
+            for y in range(h - 1, -1, -1):
+                data += bytes(
+                    (seed * 13 + y * 11 + x * 5 + c * 2) % 256
+                    for x in range(w) for c in (2, 1, 0)
+                ) + b"\x00" * (row_size - w * 3)
+            info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+            return b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54) + info + data
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 6 + d % 7
+                if d % 2 == 0:
+                    rows.append((f"i{d}", "image", "image/png", png(w, h, d), None))
+                else:
+                    rows.append((f"i{d}", "image", "image/bmp", bmp(w, h, d), None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "mime_type", "payload", "meta"]
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = decode_images(media, dim=8, fake=False)
+    return _digest_gate(
+        feats.select(
+            "media_id", "width", "height", "format", "n_bytes",
+            F.round(F.element_at("features", 1), 6).alias("mean_r"),
+            F.round(F.element_at("features", 4), 6).alias("luma_std"),
+        )
+    )
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl-shaped ingestion: documents are packed into synthetic
     multi-member-gzip WARC archives (64 docs per archive), then parsed back
@@ -3508,7 +3576,6 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
-    "events_json": q_events_json,
     "events_asof_join": q_events_asof_join,
     "events_interval_join": q_events_interval_join,
     "events_overlap_join": q_events_overlap_join,
@@ -3527,6 +3594,7 @@ QUERIES = {
     "pack_bins": q_pack_bins,
     "semdedup_refined": q_semdedup_refined,
     "cdc_dedup": q_cdc_dedup,
+    "multimodal_image_features": q_multimodal_image_features,
     # -- deterministic, golden-digest gated (round 3): sit at the window edge
     # -- so the first of them gets a driver pass/fail row this round --
     "ingest_chunks": q_ingest_chunks,
@@ -3548,6 +3616,7 @@ QUERIES = {
     "events_running": q_events_running,
     "events_range_frame": q_events_range_frame,
     "corpus_token_stats": q_corpus_token_stats,
+    "events_json": q_events_json,
     **TPCH_EXT_QUERIES,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
@@ -3593,6 +3662,7 @@ ORACLES = {
     "pack_bins": _sql_digest_gold(4, "d708144bdfc7337e3fa08090abdf75ec"),
     "semdedup_refined": _sql_digest_gold(40, "aaf749a73d044527cad60508c4bb0127"),
     "cdc_dedup": _sql_digest_gold(1, "7e5555177d39bd68bbd2a70ef07c16bd"),
+    "multimodal_image_features": _sql_digest_gold(200, "8568d2c87a49963eeb510ac4f2f56660"),
     "knn_topk": SQL_KNN_TOPK,
     "knn_batch": SQL_KNN_BATCH,
     "knn_filtered": SQL_KNN_FILTERED,

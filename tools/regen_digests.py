@@ -25,6 +25,7 @@ GATED = [
     "pack_bins",
     "semdedup_refined",
     "cdc_dedup",
+    "multimodal_image_features",
 ]
 
 
