@@ -518,6 +518,32 @@ SELECT doc, round(score, 6) AS score FROM bm ORDER BY score DESC, doc LIMIT 10
 """
 
 
+def q_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant BM25 (operators/bm25.py::bm25_topk_fuzzy): every query
+    term is misspelled at edit distance 1, the corpus vocabulary expands
+    them back (length pre-filter + Levenshtein ≤ 1), and the expanded set
+    scores through standard BM25.  The oracle replays the expansion with
+    DuckDB's levenshtein — both engines implement the same plain edit
+    distance."""
+    from mcpvectordb_spark.operators.bm25 import bm25_topk_fuzzy
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_topk_fuzzy(docs, "batc joins spark windoww", 10, "doc_id", "text")
+    return hits.select("doc", F.round("score", 6).alias("score"))
+
+
+SQL_BM25_FUZZY = f"""
+WITH {_SQL_BM25_CTES.replace("qterms AS (SELECT unnest(['batch','join','spark','window']) AS term),",
+'''vocab AS (SELECT DISTINCT term FROM posting),
+qraw AS (SELECT unnest(['batc','joins','spark','windoww']) AS qterm),
+qterms AS (
+  SELECT DISTINCT term FROM vocab, qraw
+  WHERE abs(length(term) - length(qterm)) <= 1
+    AND levenshtein(term, qterm) <= 1),''')}
+SELECT doc, round(score, 6) AS score FROM bm ORDER BY score DESC, doc LIMIT 10
+"""
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search: BM25 leg + vector leg fused with RRF (k0=60) —
     the reference's hybrid query (SURVEY §2.10 R2), fully re-expressed.
@@ -3548,6 +3574,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "knn_sq8_topk": q_knn_sq8_topk,
     "bm25_topk": q_bm25_topk,
+    "bm25_fuzzy": q_bm25_fuzzy,
     "hybrid_rrf": q_hybrid_rrf,
     "list_libraries": q_list_libraries,
     "list_documents": q_list_documents,
@@ -3573,7 +3600,6 @@ QUERIES = {
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
-    "text_fingerprint": q_text_fingerprint,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_asof_join": q_events_asof_join,
@@ -3617,6 +3643,7 @@ QUERIES = {
     "events_range_frame": q_events_range_frame,
     "corpus_token_stats": q_corpus_token_stats,
     "events_json": q_events_json,
+    "text_fingerprint": q_text_fingerprint,
     **TPCH_EXT_QUERIES,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
@@ -3670,6 +3697,7 @@ ORACLES = {
     "knn_sq8_topk": SQL_KNN_SQ8_TOPK,
     "knn_matryoshka": SQL_KNN_MATRYOSHKA,
     "bm25_topk": SQL_BM25_TOPK,
+    "bm25_fuzzy": SQL_BM25_FUZZY,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "list_libraries": SQL_LIST_LIBRARIES,
     "list_documents": SQL_LIST_DOCUMENTS,

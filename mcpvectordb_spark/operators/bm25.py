@@ -193,3 +193,58 @@ def bm25_topk(
 ) -> DataFrame:
     scored = bm25_score(df, query, id_col, text_col, k1, b, score_col, index)
     return scored.orderBy(F.desc(score_col), F.asc("doc")).limit(k)
+
+
+def fuzzy_terms(
+    df: DataFrame,
+    query: str,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Typo-tolerant query expansion: every corpus-vocabulary term within
+    ``max_dist`` edit distance of a query term.
+
+    The vocabulary (distinct terms — vocabulary-bounded, NOT corpus-
+    bounded) meets the tiny broadcast query-term set in a crossJoin gated
+    by a ±max_dist length pre-filter before the Levenshtein — so the
+    expensive comparison runs |vocab|×|q| times at most, and typically far
+    fewer.  At 100 TB the vocab table is the same kilobyte-to-megabyte
+    asset the NB classifier and TF-IDF broadcast; persist it beside the
+    BM25 stats and expansion is an index probe, not a scan."""
+    q_terms = sorted({t for t in query.lower().split() if t})
+    if not q_terms:
+        return df.sparkSession.createDataFrame([], "term string")
+    vocab = doc_terms(df, id_col, text_col).select("term").distinct()
+    q = df.sparkSession.createDataFrame([(t,) for t in q_terms], "qterm string")
+    return (
+        vocab.crossJoin(F.broadcast(q))
+        .filter(F.abs(F.length("term") - F.length("qterm")) <= max_dist)
+        .filter(F.levenshtein("term", "qterm") <= max_dist)
+        .select("term")
+        .distinct()
+    )
+
+
+def bm25_topk_fuzzy(
+    df: DataFrame,
+    query: str,
+    k: int,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "score",
+) -> DataFrame:
+    """BM25 over the fuzzy-expanded term set — misspelled queries still
+    retrieve ("batc joins" finds batch joins).  The expanded list is
+    vocabulary-bounded and collected like IVF probe ids (a driver-edge
+    scalar list, not corpus data); each expanded term scores with its own
+    idf, so rare accidental expansions can't dominate common true terms
+    beyond what their df warrants."""
+    expanded = sorted(r["term"] for r in
+                      fuzzy_terms(df, query, id_col, text_col, max_dist).collect())
+    if not expanded:
+        return df.sparkSession.createDataFrame([], f"doc string, {score_col} double")
+    return bm25_topk(df, " ".join(expanded), k, id_col, text_col, k1, b, score_col)

@@ -364,3 +364,25 @@ def test_ivf_index_append_matches_rebuild(spark, tmp_path):
     q.collect()
     scan = q._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
     assert scan.metrics().apply("numPartitions").value() == 3
+
+
+def test_bm25_fuzzy_recovers_typos(spark):
+    """A query misspelled at edit distance 1 must retrieve what the exact
+    query retrieves; unrelated words must not leak into the expansion."""
+    from mcpvectordb_spark.operators.bm25 import bm25_topk, bm25_topk_fuzzy, fuzzy_terms
+
+    docs = spark.createDataFrame(
+        [(1, "the flink runtime handles watermark alignment"),
+         (2, "spark shuffle partitions and broadcast joins"),
+         (3, "completely unrelated cooking recipes with basil")],
+        "doc_id long, text string",
+    )
+    exact = [r["doc"] for r in bm25_topk(docs, "watermark alignment", 2, "doc_id", "text").collect()]
+    fuzzy = [r["doc"] for r in bm25_topk_fuzzy(docs, "watermrk alignmet", 2, "doc_id", "text").collect()]
+    assert exact and fuzzy and exact[0] == fuzzy[0] == 1
+
+    terms = {r["term"] for r in fuzzy_terms(docs, "watermrk", "doc_id", "text").collect()}
+    assert terms == {"watermark"}  # nothing else within distance 1
+
+    # no expansion at all → empty result, not an error
+    assert bm25_topk_fuzzy(docs, "zzzzqqqq", 5, "doc_id", "text").count() == 0
