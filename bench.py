@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "events_overlap_join",   # interval x interval, report-once bins
     "dedup_clusters_twostar",# large/small-star contraction CC
     "pack_bins",             # FFD no-split packing + padding stats
+    "bm25_fuzzy",            # Levenshtein query expansion + BM25
     "dedup_lines",           # C4-style line-level corpus dedup
     "dedup_spans",           # span-level cross-doc dup fraction
     "events_funnel",         # ordered funnel (chained keyed aggs)
