@@ -544,6 +544,46 @@ SELECT doc, round(score, 6) AS score FROM bm ORDER BY score DESC, doc LIMIT 10
 """
 
 
+def q_search_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 with highlighted snippets (bm25.py::highlight_col):
+    ±40-char excerpt centred on the first query-term hit, every in-excerpt
+    occurrence wrapped in ** — pure codegen (locate/substr/regexp_replace),
+    replayed verbatim by the oracle (strpos/substring + RE2 'g')."""
+    from mcpvectordb_spark.operators.bm25 import highlight_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_topk(docs, SEARCH_QUERY, 10, "doc_id", "text")
+    joined = hits.join(docs.select(F.col("doc_id").alias("doc"), "text"), "doc")
+    return joined.select(
+        "doc",
+        F.round("score", 6).alias("score"),
+        highlight_col(F.col("text"), SEARCH_QUERY.split()).alias("snippet"),
+    )
+
+
+_HL_TERMS = SEARCH_QUERY.split()
+_HL_FIRST = "least(" + ", ".join(
+    f"CASE WHEN strpos(lower(text), '{t}') > 0 THEN strpos(lower(text), '{t}') "
+    "ELSE 2000000000 END" for t in _HL_TERMS
+) + ")"
+
+SQL_SEARCH_HIGHLIGHTS = f"""
+WITH {_SQL_BM25_CTES},
+top AS (SELECT doc, round(score, 6) AS score FROM bm ORDER BY score DESC, doc LIMIT 10),
+src AS (SELECT t.doc, t.score, d.text FROM top t JOIN documents d ON d.doc_id = t.doc),
+pos AS (SELECT doc, score, text, {_HL_FIRST} AS first FROM src),
+snip AS (
+  SELECT doc, score,
+         CASE WHEN first < 2000000000
+              THEN substring(text, greatest(first - 40, 1), 80)
+              ELSE substring(text, 1, 80) END AS raw
+  FROM pos)
+SELECT doc, score,
+       regexp_replace(raw, '(?i)({"|".join(_HL_TERMS)})', '**\\1**', 'g') AS snippet
+FROM snip
+"""
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search: BM25 leg + vector leg fused with RRF (k0=60) —
     the reference's hybrid query (SURVEY §2.10 R2), fully re-expressed.
@@ -3575,6 +3615,7 @@ QUERIES = {
     "knn_sq8_topk": q_knn_sq8_topk,
     "bm25_topk": q_bm25_topk,
     "bm25_fuzzy": q_bm25_fuzzy,
+    "search_highlights": q_search_highlights,
     "hybrid_rrf": q_hybrid_rrf,
     "list_libraries": q_list_libraries,
     "list_documents": q_list_documents,
@@ -3599,7 +3640,6 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
-    "text_langid": q_text_langid,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_asof_join": q_events_asof_join,
@@ -3644,6 +3684,7 @@ QUERIES = {
     "corpus_token_stats": q_corpus_token_stats,
     "events_json": q_events_json,
     "text_fingerprint": q_text_fingerprint,
+    "text_langid": q_text_langid,
     **TPCH_EXT_QUERIES,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
@@ -3698,6 +3739,7 @@ ORACLES = {
     "knn_matryoshka": SQL_KNN_MATRYOSHKA,
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_fuzzy": SQL_BM25_FUZZY,
+    "search_highlights": SQL_SEARCH_HIGHLIGHTS,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "list_libraries": SQL_LIST_LIBRARIES,
     "list_documents": SQL_LIST_DOCUMENTS,

@@ -248,3 +248,34 @@ def bm25_topk_fuzzy(
     if not expanded:
         return df.sparkSession.createDataFrame([], f"doc string, {score_col} double")
     return bm25_topk(df, " ".join(expanded), k, id_col, text_col, k1, b, score_col)
+
+
+def highlight_col(
+    text: Column,
+    terms: list[str],
+    window: int = 40,
+    mark: str = "**",
+) -> Column:
+    """Snippet column: a ±``window``-char excerpt centred on the FIRST
+    query-term hit (case-insensitive), with every term occurrence inside
+    the excerpt wrapped in ``mark``.  Pure codegen expressions (locate /
+    substr / regexp_replace) — no UDF, and the same operation sequence is
+    expressible in the SQL oracle.  Docs with no hit yield the head of the
+    text (the reference returns raw chunk content; highlighting is the
+    engine-side nicety on top)."""
+    import re as _re
+
+    lowered = F.lower(text)
+    first = F.least(*[
+        F.when(F.locate(t.lower(), lowered) > 0, F.locate(t.lower(), lowered))
+        .otherwise(F.lit(2_000_000_000))
+        for t in terms
+    ]) if terms else F.lit(2_000_000_000)
+    start = F.greatest(first - F.lit(window), F.lit(1))
+    snippet = F.when(
+        first < 2_000_000_000, F.substring(text, start, 2 * window)
+    ).otherwise(F.substring(text, 1, 2 * window))
+    pattern = "(?i)(" + "|".join(_re.escape(t) for t in terms) + ")" if terms else None
+    if pattern is None:
+        return snippet
+    return F.regexp_replace(snippet, pattern, mark + "$1" + mark)

@@ -386,3 +386,22 @@ def test_bm25_fuzzy_recovers_typos(spark):
 
     # no expansion at all → empty result, not an error
     assert bm25_topk_fuzzy(docs, "zzzzqqqq", 5, "doc_id", "text").count() == 0
+
+
+def test_highlight_col_snippets(spark):
+    from mcpvectordb_spark.operators.bm25 import highlight_col
+
+    pad = "filler words here " * 10
+    docs = spark.createDataFrame(
+        [(1, pad + "the Spark engine shuffles data " + pad),
+         (2, "no relevant terms at all in this one " * 5),
+         (3, "spark right at the start of the text " + pad)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["snip"] for r in docs.select(
+        "doc_id", highlight_col(F.col("text"), ["spark", "shuffles"]).alias("snip")
+    ).collect()}
+    assert "**Spark**" in out[1] and "**shuffles**" in out[1]  # case kept, marked
+    assert len(out[1]) <= 80 + 4 * len("**")                    # windowed excerpt
+    assert out[2] == ("no relevant terms at all in this one " * 5)[:80]  # head fallback
+    assert out[3].startswith("**spark**")                       # window clamps at 1
