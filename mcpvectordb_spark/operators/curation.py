@@ -635,3 +635,45 @@ def length_buckets(
     return out.withColumn("bucket", bucket.cast("int")).drop(
         *[f"_t{i}" for i in range(len(qs))]
     )
+
+
+def contamination_flag_col(
+    text: Column,
+    eval_shingles: list[str],
+    n: int = 3,
+    threshold: float = 0.5,
+) -> Column:
+    """STATELESS contamination gate: true when ≥ ``threshold`` of the doc's
+    n-gram shingles appear anywhere in the eval suite (union semantics).
+
+    A pure scalar expression over a plan-literal shingle set — no join, no
+    aggregation state — so the same column works identically over a batch
+    DataFrame and a readStream (the streaming ingest path can drop
+    contaminated docs before they ever land in shards; the precise
+    per-eval-doc report stays a batch job, :func:`decontaminate`).
+
+    ``eval_shingles`` is the driver-collected distinct shingle list of the
+    eval suite (benchmarks are tiny — the same driver-edge class as IVF
+    probe ids).  At eval sizes where the literal array strains the plan,
+    swap in the Bloom literal bitset (:func:`bloom_prune`'s in-filter
+    path) for a no-false-negative approximate gate."""
+    from mcpvectordb_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(text, n)
+    lit_set = F.array(*[F.lit(s) for s in eval_shingles]) if eval_shingles else F.array().cast("array<string>")
+    inter = F.size(F.array_intersect(sh, lit_set))
+    frac = F.when(F.size(sh) > 0, inter / F.size(sh)).otherwise(F.lit(0.0))
+    return frac >= F.lit(threshold)
+
+
+def eval_shingle_list(eval_df: DataFrame, text_col: str, n: int = 3) -> list[str]:
+    """Driver-collected distinct shingles of the eval suite (sorted for
+    deterministic plans)."""
+    from mcpvectordb_spark.operators.dedup import word_shingles
+
+    rows = (
+        eval_df.select(F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["s"] for r in rows)

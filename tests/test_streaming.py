@@ -141,3 +141,39 @@ def test_stream_stream_left_outer_join_matches_batch(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     assert any(c is None for _, c in got)  # click-less purchases ARE present
+
+
+def test_streaming_contamination_gate_matches_batch(spark, tmp_path):
+    """The stateless contamination column gates a STREAM identically to the
+    batch filter — the drop-before-sharding path of a streaming ingest."""
+    from mcpvectordb_spark.operators.curation import (
+        contamination_flag_col,
+        eval_shingle_list,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(1, "the forbidden benchmark passage about spark shuffles")],
+        "id long, text string",
+    )
+    shingles = eval_shingle_list(eval_df, "text")
+    docs = [
+        (10, "the forbidden benchmark passage about spark shuffles and more"),
+        (11, "a completely clean training document with fresh content"),
+        (12, "another clean one nothing shared here at all today"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    d = str(tmp_path / "cont_src")
+    df.write.parquet(d)
+
+    flag = contamination_flag_col(F.col("text"), shingles, threshold=0.5)
+    batch_kept = sorted(r["doc_id"] for r in df.filter(~flag).collect())
+
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    q = (stream.filter(~flag).writeStream.outputMode("append").format("memory")
+         .queryName("cont_out").option("checkpointLocation", str(tmp_path / "cont_ck")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_kept = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM cont_out").collect())
+    assert stream_kept == batch_kept == [11, 12]
