@@ -178,12 +178,16 @@ class VectorDB:
     # -- query --------------------------------------------------------------
 
     def search(self, query: str, top_k: int | None = None, library: str | None = None,
-               filter: dict | None = None, fusion: str = "rrf") -> dict:  # noqa: A002 - reference param name
+               filter: dict | None = None, fusion: str = "rrf",
+               highlight: bool = False) -> dict:  # noqa: A002 - reference param name
         """Reference server.py:228-289 — hybrid BM25+vector search with RRF,
         falling back to vector-only when hybrid is disabled (config.py:59).
         Filters are applied BEFORE ranking (mcp-tool-spec.md:110-111).
         ``fusion``: "rrf" (reference default) or "blend" (convex score
-        blend over min-max-normalized legs — beyond-reference option)."""
+        blend over min-max-normalized legs — beyond-reference option).
+        ``highlight``: add a ``snippet`` field per result — a windowed
+        excerpt with query terms marked (operators/bm25.py::highlight_col;
+        beyond-reference)."""
         if fusion not in ("rrf", "blend"):
             return _err("fusion must be 'rrf' or 'blend'")
         top_k = self.config.top_k_default if top_k is None else top_k
@@ -219,6 +223,12 @@ class VectorDB:
             ranked = fused.join(chunks, "id")
         else:
             ranked = vec_leg.limit(top_k)
+        if highlight:
+            from mcpvectordb_spark.operators.bm25 import highlight_col
+
+            ranked = ranked.withColumn(
+                "snippet", highlight_col(F.col("content"), query.lower().split())
+            )
         rows = ranked.orderBy(F.desc("score"), F.asc("id")).collect()
         return {
             "status": "ok",
@@ -231,6 +241,7 @@ class VectorDB:
                     "metadata": json.loads(r["metadata"] or "{}"),
                     "file_type": r["file_type"], "page": r["page"],
                     "last_modified": r["last_modified"],
+                    **({"snippet": r["snippet"]} if highlight else {}),
                 }
                 for r in rows
             ],

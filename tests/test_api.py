@@ -105,3 +105,15 @@ def test_search_result_spec_fields(db):
     spec_fields = {"doc_id", "source", "title", "library", "file_type",
                    "last_modified", "page", "content", "chunk_index", "metadata"}
     assert spec_fields <= set(r)
+
+
+def test_search_highlight_snippets(db):
+    db.ingest_content("alpha beta gamma delta epsilon " * 20 + "the needle sentence here "
+                      + "zeta eta theta " * 20, "hl.md", "hl")
+    out = db.search("needle sentence", library="hl", highlight=True)
+    assert out["status"] == "ok" and out["results"]
+    snip = out["results"][0]["snippet"]
+    assert "**needle**" in snip and len(snip) < 120
+    # without the flag the field is absent (reference-shaped result dict)
+    plain = db.search("needle sentence", library="hl")
+    assert "snippet" not in plain["results"][0]
