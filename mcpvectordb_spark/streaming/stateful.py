@@ -111,7 +111,7 @@ def mg_update(counters: dict, keys, capacity: int) -> dict:
     return counters
 
 
-def _mg_out_state_schemas(key_type: str = "long"):
+def _mg_out_state_schemas():
     out_schema = T.StructType([
         T.StructField("pkey", T.IntegerType()),
         T.StructField("key", T.LongType()),
