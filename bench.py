@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "events_cohorts",        # day-cohort retention
     "events_quantile_sketch",# mergeable histogram quantiles + exact gate
     "hybrid_weighted",       # min-max blend fusion
+    "knn_pq_topk",           # PQ codes ADC coarse scan + exact refine
 ]
 
 

@@ -435,6 +435,121 @@ SELECT * FROM (
 """
 
 
+# PQ at 64-d: m=8 subspaces × 8 dims, ksub=32 codes → 8-byte codes (32×
+# compression); coarse ADC scan reads ONLY (id, codes), then k×refine
+# exact rescore.  Seed codebooks are the subvectors of the 32 lowest-id
+# corpus rows — trained-state-free, so the oracle replays the WHOLE
+# pipeline (codebook → argmin encode → ADC → refine) including tie-breaks.
+_PQ_M, _PQ_KSUB, _PQ_REFINE = 8, 32, 4
+
+
+def q_knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 (operators/pq.py — the PQ half of
+    the reference's IVF-PQ scale path, reference store.py:274): seeded
+    per-subspace codebooks, map-only codegen encode, literal-LUT ADC
+    coarse scan over 8-byte codes, exact inner-product refine of the
+    k×refine survivors."""
+    import math
+
+    from mcpvectordb_spark.operators import pq as pqm
+    from mcpvectordb_spark.operators.knn import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    corpus = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("__n", l2_norm(v))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.transform(v, lambda x: x / F.col("__n")).alias("embedding"),
+        )
+    )
+    q0 = _q_vec(spark, sf_dir)
+    qn = math.sqrt(sum(x * x for x in q0))
+    q = [x / qn for x in q0]
+    cb = pqm.seed_codebooks(corpus, _PQ_M, _PQ_KSUB)
+    enc = pqm.pq_encode(corpus, cb)
+    out = pqm.pq_topk(enc, cb, q, 10, refine=_PQ_REFINE)
+    return out.select(F.col("id").alias("vec_id"), F.round("score", 6).alias("score"))
+
+
+_PQ_DSUB = 8  # 64 // _PQ_M
+
+SQL_KNN_PQ_TOPK = f"""
+WITH raw AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings
+  WHERE vec_id <> {QUERY_VEC_ID}),
+corpus AS (
+  SELECT id, list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0))) AS v FROM raw),
+qraw AS (SELECT CAST(embedding AS DOUBLE[]) AS q0 FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+q AS (SELECT list_transform(q0, x -> x / sqrt(list_inner_product(q0, q0))) AS qv FROM qraw),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS code, v
+  FROM (SELECT id, v FROM corpus ORDER BY id LIMIT {_PQ_KSUB})),
+cb AS (
+  SELECT t.j, s.code, s.v[t.j*{_PQ_DSUB}+1 : t.j*{_PQ_DSUB}+{_PQ_DSUB}] AS cent
+  FROM seeds s CROSS JOIN (SELECT unnest(range({_PQ_M})) AS j) t),
+-- argmin-L2^2 encode; dist via |a|^2+|c|^2-2ac; ties -> lowest code
+enc AS (
+  SELECT id, j, code FROM (
+    SELECT c.id, cb.j, cb.code,
+           row_number() OVER (
+             PARTITION BY c.id, cb.j
+             ORDER BY list_inner_product(c.v[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}],
+                                         c.v[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}])
+                    + list_inner_product(cb.cent, cb.cent)
+                    - 2*list_inner_product(c.v[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}], cb.cent),
+                    cb.code) AS rn
+    FROM corpus c CROSS JOIN cb) WHERE rn = 1),
+lut AS (
+  SELECT cb.j, cb.code,
+         list_inner_product(cb.cent, q.qv[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}]) AS pd
+  FROM cb, q),
+adc AS (
+  SELECT e.id, sum(l.pd) AS adc
+  FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code GROUP BY e.id),
+cand AS (SELECT id FROM adc ORDER BY adc DESC, id LIMIT {10 * _PQ_REFINE})
+SELECT c.id AS vec_id, round(list_inner_product(c.v, q.qv), 6) AS score
+FROM corpus c JOIN cand USING (id), q
+ORDER BY list_inner_product(c.v, q.qv) DESC, c.id
+LIMIT 10
+"""
+
+
+def q_knn_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-state PQ path: 2 distributed Lloyd iterations refine the
+    seeded codebooks (operators/pq.py::pq_refine_codebooks — joint
+    joins+aggs across all m subspaces, (subspace, code) triples shuffle,
+    never vectors), then the same encode→ADC→refine search.  The iterative
+    centroid means are not SQL-expressible → golden-digest gate (centroids
+    quantized to 6 decimals for run-stability, like semdedup_refined)."""
+    import math
+
+    from mcpvectordb_spark.operators import pq as pqm
+    from mcpvectordb_spark.operators.knn import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    corpus = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("__n", l2_norm(v))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.transform(v, lambda x: x / F.col("__n")).alias("embedding"),
+        )
+    )
+    q0 = _q_vec(spark, sf_dir)
+    qn = math.sqrt(sum(x * x for x in q0))
+    q = [x / qn for x in q0]
+    cb = pqm.pq_refine_codebooks(corpus, pqm.seed_codebooks(corpus, _PQ_M, _PQ_KSUB), iters=2)
+    cb = [[[round(x, 6) for x in cent] for cent in sub] for sub in cb]
+    enc = pqm.pq_encode(corpus, cb)
+    out = pqm.pq_topk(enc, cb, q, 10, refine=_PQ_REFINE)
+    return _digest_gate(
+        out.select(F.col("id").alias("vec_id"), F.round("score", 6).alias("score"))
+    )
+
+
 def q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→document embedding mean-pooling (knn.py::
     mean_pool_embeddings): groups of 4 vectors pool to one L2-normalized
@@ -3606,6 +3721,8 @@ FROM s GROUP BY dom
 # tools/check_parity.py still covers them locally.
 QUERIES = {
     # -- new round-3 queries go here (never driver-checked) --
+    "knn_pq_topk": q_knn_pq_topk,
+    "knn_pq_refined": q_knn_pq_refined,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
@@ -3649,8 +3766,6 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q6": q_tpch_q6,
     # -- new round-3 queries (never driver-checked → must sit in the window;
     # -- orders_pivot/rollup/analytics + events_percentiles rotate to the
     # -- tail to make room, re-verified in a later rotation) --
@@ -3674,6 +3789,10 @@ QUERIES = {
     "stream_sessions": q_stream_sessions,
     "stream_dedup": q_stream_dedup,
     # ---------------- tail: stable r01/r02 greens (driver-verified) ------------
+    # (tpch_q5/q6 demoted from the window to make room for round-3 additions:
+    # plain SQL shapes, driver-green r01 AND parity-verified ×3 scales locally)
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
     "tpch_q13": q_tpch_q13,
     "orders_pivot": q_orders_pivot,
     "orders_rollup": q_orders_rollup,
@@ -3721,6 +3840,7 @@ QUERIES = {
 ORACLES = {
     # -- golden-digest gates (deterministic non-SQL queries; constants from
     # -- tools/regen_digests.py at sf0.01 — double-run verified) --
+    "knn_pq_refined": _sql_digest_gold(10, "3bbfe9627423b7e0ac2ba9142a8ee08f"),
     "ingest_chunks": _sql_digest_gold(5, "e5e2c8732cadb9460796d38f249b6336"),
     "search_ingested": _sql_digest_gold(10, "8fe65a60b1876bec1897acd65e84ac2a"),
     "neardup_lsh_embeddings": _sql_digest_gold(194, "6f58a0fe80114093f7a418159120bc34"),
@@ -3732,6 +3852,7 @@ ORACLES = {
     "cdc_dedup": _sql_digest_gold(1, "7e5555177d39bd68bbd2a70ef07c16bd"),
     "multimodal_image_features": _sql_digest_gold(200, "8568d2c87a49963eeb510ac4f2f56660"),
     "knn_topk": SQL_KNN_TOPK,
+    "knn_pq_topk": SQL_KNN_PQ_TOPK,
     "knn_batch": SQL_KNN_BATCH,
     "knn_filtered": SQL_KNN_FILTERED,
     "ivf_topk": SQL_IVF_TOPK,

@@ -1,0 +1,251 @@
+"""Product quantization (PQ) for vector search.
+
+Reference parity: the reference's vector store switches to an IVF-**PQ**
+index once the corpus outgrows exact scan
+(/root/reference/src/mcpvectordb/store.py:274).  The IVF half (coarse
+cells) lives in ``operators/knn.py``; this module supplies the PQ half:
+per-subspace codebooks, m-byte codes, and ADC (asymmetric distance
+computation) scanning with exact refine — Jégou et al. 2011, "Product
+Quantization for Nearest Neighbor Search".
+
+Scale notes (the 100 TB shape):
+- codes are ``m`` small ints per vector (d×4 bytes → m bytes: 64-d float32
+  → 8 bytes, 32×).  The coarse ADC scan projects ONLY ``(id, codes)`` — at
+  scale that is the entire read for the first pass, so the embedding column
+  never leaves parquet until the k×refine candidates are known;
+- the ADC lookup table is m×ksub doubles (≈2 KB) computed driver-side from
+  the query and planted as ONE flat literal array; the scan itself is a
+  pure codegen ``aggregate`` over it — no join, no shuffle, no Python;
+- encoding is map-only: the codebook (m×ksub×dsub doubles, ≈16 KB) is
+  folded into the plan as a nested literal and the per-subspace argmin is
+  a codegen'd fold — encoding 100 TB is an embarrassingly parallel scan;
+- training: the seeded codebook is the subvectors of the ``ksub``
+  lowest-id corpus rows — trained-state-free and SQL-replayable (the same
+  convention ``dedup.semdedup`` uses for its k-means cells), so the
+  catalog oracle re-runs the WHOLE pipeline including argmin tie-breaks.
+  :func:`pq_refine_codebooks` then runs Lloyd iterations as joint
+  joins+aggs across all m subspaces at once (one shuffle per iteration
+  moving (id, subspace, code) triples, never vectors) — the trained-state
+  path, digest-gated like ``semdedup_refined``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Codebooks = list[list[list[float]]]  # [subspace][code][dim]
+
+
+def seed_codebooks(
+    corpus: DataFrame,
+    m: int,
+    ksub: int,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> Codebooks:
+    """Deterministic seed codebooks: subspace slices of the ``ksub``
+    lowest-id corpus vectors (code order == id order).  O(ksub) driver
+    rows — the PQ analog of semdedup's lowest-id centroid seed."""
+    rows = (
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(ksub)
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"corpus has {len(rows)} rows < ksub={ksub}")
+    d = len(rows[0]["v"])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [
+        [[float(x) for x in r["v"][j * dsub : (j + 1) * dsub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def _cb_lit(cb: Codebooks) -> Column:
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in cent]) for cent in sub])
+            for sub in cb
+        ]
+    )
+
+
+def pq_encode_col(vec: Column, cb: Codebooks) -> Column:
+    """Codes column: per subspace, the argmin-L2² codebook entry (lowest
+    code wins ties — the fold replaces only on strictly smaller dist).
+    Pure codegen: nested aggregate folds over the literal codebook, so
+    encoding is a map-only stage with zero shuffle."""
+    m, ksub, dsub = len(cb), len(cb[0]), len(cb[0][0])
+    CB = _cb_lit(cb)
+    v = vec.cast("array<double>")
+
+    def best(j: Column) -> Column:
+        sub = F.slice(v, j * dsub + 1, dsub)
+        cbj = F.element_at(CB, j + 1)
+
+        def step(acc: Column, c: Column) -> Column:
+            d2 = F.aggregate(
+                F.zip_with(sub, F.element_at(cbj, c + 1), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            return F.when(
+                d2 < acc["d"], F.struct(c.alias("c"), d2.alias("d"))
+            ).otherwise(acc)
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(ksub - 1)),
+            F.struct(F.lit(-1).alias("c"), F.lit(float("inf")).alias("d")),
+            step,
+            lambda acc: acc["c"],
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), best)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    cb: Codebooks,
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    return corpus.withColumn(codes_col, pq_encode_col(F.col(vec_col), cb))
+
+
+def pq_lut(query: Sequence[float], cb: Codebooks) -> list[float]:
+    """Flat m×ksub ADC table: lut[j*ksub+c] = <query_j, cb[j][c]> — the
+    inner-product decomposition  <q, x> ≈ Σ_j <q_j, c_{j,code_j}>."""
+    m, ksub, dsub = len(cb), len(cb[0]), len(cb[0][0])
+    q = [float(x) for x in query]
+    return [
+        sum(q[j * dsub + i] * cb[j][c][i] for i in range(dsub))
+        for j in range(m)
+        for c in range(ksub)
+    ]
+
+
+def pq_adc_col(codes: Column, lut: Sequence[float], ksub: int) -> Column:
+    """Approximate inner product from codes alone: Σ_j lut[j*ksub+codes[j]].
+    The table is a plan literal; the walk is a codegen'd fold."""
+    LUT = F.array(*[F.lit(float(x)) for x in lut])
+    m = len(lut) // ksub
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.element_at(LUT, j * ksub + F.element_at(codes, j + 1) + 1),
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    cb: Codebooks,
+    query: Sequence[float],
+    k: int,
+    refine: int = 4,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    score_col: str = "score",
+) -> DataFrame:
+    """ADC coarse scan → exact refine (refine_factor semantics, reference
+    store.py:302).  The coarse pass projects only ``(id, codes)``; the
+    k×refine survivor ids broadcast back onto the corpus for exact
+    inner-product rescoring, so full vectors are read for k×refine rows
+    only.  Caller supplies L2-normalized vectors when cosine is wanted."""
+    from mcpvectordb_spark.operators.knn import dot, query_vec_lit
+
+    ksub = len(cb[0])
+    lut = pq_lut(query, cb)
+    cand = (
+        encoded.select(id_col, codes_col)
+        .withColumn("__adc", pq_adc_col(F.col(codes_col), lut, ksub))
+        .orderBy(F.desc("__adc"), F.asc(id_col))
+        .limit(k * refine)
+        .select(id_col)
+    )
+    q = query_vec_lit(query)
+    return (
+        encoded.join(F.broadcast(cand), id_col, "left_semi")
+        .withColumn(score_col, dot(F.col(vec_col), q))
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def codebooks_df(spark, cb: Codebooks) -> DataFrame:
+    rows = [
+        (j, c, cent) for j, sub in enumerate(cb) for c, cent in enumerate(sub)
+    ]
+    return spark.createDataFrame(rows, "subspace int, code int, centroid array<double>")
+
+
+def pq_refine_codebooks(
+    corpus: DataFrame,
+    cb: Codebooks,
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> Codebooks:
+    """Lloyd refinement of all m codebooks JOINTLY: one posexplode turns the
+    corpus into (subspace, subvec) rows, each iteration is encode (map-only
+    codegen fold against the current literal codebook) + one (subspace,
+    code) mean aggregation — m×ksub result rows per round, collected to
+    re-seed the next literal.  Empty cells keep their previous centroid, so
+    the codebook shape is stable.  Deterministic: assignment tie-breaks to
+    the lowest code, means are computed per-dimension with ``avg`` over a
+    fixed row set."""
+    m, ksub, dsub = len(cb), len(cb[0]), len(cb[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    subs = corpus.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(v, j * dsub + 1, dsub),
+            )
+        ).alias("subspace", "subvec")
+    )
+    for _ in range(iters):
+        CB = _cb_lit(cb)
+        cbj = F.element_at(CB, F.col("subspace") + 1)
+
+        def step(acc: Column, c: Column) -> Column:
+            d2 = F.aggregate(
+                F.zip_with(
+                    F.col("subvec"), F.element_at(cbj, c + 1), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            return F.when(
+                d2 < acc["d"], F.struct(c.alias("c"), d2.alias("d"))
+            ).otherwise(acc)
+
+        assigned = subs.withColumn(
+            "code",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(ksub - 1)),
+                F.struct(F.lit(-1).alias("c"), F.lit(float("inf")).alias("d")),
+                step,
+                lambda acc: acc["c"],
+            ),
+        )
+        means = (
+            assigned.groupBy("subspace", "code")
+            .agg(
+                *[
+                    F.avg(F.element_at("subvec", i + 1)).alias(f"d{i}")
+                    for i in range(dsub)
+                ]
+            )
+            .collect()
+        )
+        new = [[list(cent) for cent in sub] for sub in cb]
+        for r in means:
+            new[r["subspace"]][r["code"]] = [float(r[f"d{i}"]) for i in range(dsub)]
+        cb = new
+    return cb

@@ -1,0 +1,137 @@
+"""Product quantization: encode twin vs NumPy, ADC/refine exactness bounds,
+Lloyd refinement distortion, and plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.operators import pq
+from mcpvectordb_spark.operators.knn import knn_topk
+
+D, M, KSUB, N = 32, 4, 8, 200
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=(N, D))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, vectors):
+    rows = [(i, [float(x) for x in vectors[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "id bigint, embedding array<double>").cache()
+
+
+def np_encode(vectors: np.ndarray, cb: pq.Codebooks) -> np.ndarray:
+    m, dsub = len(cb), len(cb[0][0])
+    out = np.empty((len(vectors), m), dtype=np.int64)
+    for j in range(m):
+        sub = vectors[:, j * dsub : (j + 1) * dsub]
+        cents = np.asarray(cb[j])
+        d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        out[:, j] = d2.argmin(axis=1)  # np argmin keeps lowest index on ties
+    return out
+
+
+def test_seed_codebooks_are_lowest_id_slices(corpus, vectors):
+    cb = pq.seed_codebooks(corpus, M, KSUB)
+    assert len(cb) == M and len(cb[0]) == KSUB and len(cb[0][0]) == D // M
+    dsub = D // M
+    for j in range(M):
+        for c in range(KSUB):
+            assert cb[j][c] == pytest.approx(list(vectors[c][j * dsub : (j + 1) * dsub]))
+
+
+def test_pq_encode_matches_numpy(corpus, vectors):
+    cb = pq.seed_codebooks(corpus, M, KSUB)
+    got = {
+        r["id"]: r["pq_codes"]
+        for r in pq.pq_encode(corpus, cb).select("id", "pq_codes").collect()
+    }
+    want = np_encode(vectors, cb)
+    for i in range(N):
+        assert got[i] == list(want[i]), f"row {i}"
+
+
+def test_pq_adc_matches_lut_walk(corpus, vectors):
+    cb = pq.seed_codebooks(corpus, M, KSUB)
+    q = vectors[0]
+    lut = pq.pq_lut(q, cb)
+    enc = pq.pq_encode(corpus, cb)
+    got = {
+        r["id"]: r["adc"]
+        for r in enc.select(
+            "id", pq.pq_adc_col(F.col("pq_codes"), lut, KSUB).alias("adc")
+        ).collect()
+    }
+    codes = np_encode(vectors, cb)
+    for i in range(N):
+        want = sum(lut[j * KSUB + codes[i, j]] for j in range(M))
+        assert got[i] == pytest.approx(want, abs=1e-12)
+
+
+def test_pq_topk_equals_exact_when_refine_covers_corpus(corpus, vectors):
+    """With k*refine >= n the exact-rescore stage sees every row, so the
+    result must equal exact KNN regardless of ADC quality."""
+    cb = pq.seed_codebooks(corpus, M, KSUB)
+    enc = pq.pq_encode(corpus, cb)
+    q = vectors[3]
+    got = pq.pq_topk(enc, cb, q, k=10, refine=N, id_col="id").select("id", "score")
+    want = knn_topk(corpus, q, 10, tie_col="id").select(
+        "id", F.col("score").cast("double")
+    )
+    g = [(r["id"], round(r["score"], 9)) for r in got.collect()]
+    w = [(r["id"], round(r["score"], 9)) for r in want.collect()]
+    assert g == w
+
+
+def test_pq_topk_recall_with_small_refine(corpus, vectors):
+    cb = pq.pq_refine_codebooks(corpus, pq.seed_codebooks(corpus, M, KSUB), iters=2)
+    enc = pq.pq_encode(corpus, cb)
+    q = vectors[3]
+    exact = {r["id"] for r in knn_topk(corpus, q, 10, tie_col="id").collect()}
+    got = {r["id"] for r in pq.pq_topk(enc, cb, q, k=10, refine=6).collect()}
+    assert len(got & exact) >= 5  # coarse ADC at 32x compression, refined cb
+
+
+def test_refine_reduces_distortion(corpus, vectors):
+    def distortion(cb):
+        codes = np_encode(vectors, cb)
+        dsub = D // M
+        tot = 0.0
+        for j in range(M):
+            cents = np.asarray(cb[j])
+            sub = vectors[:, j * dsub : (j + 1) * dsub]
+            tot += ((sub - cents[codes[:, j]]) ** 2).sum()
+        return tot
+
+    cb0 = pq.seed_codebooks(corpus, M, KSUB)
+    cb2 = pq.pq_refine_codebooks(corpus, cb0, iters=2)
+    assert distortion(cb2) < distortion(cb0) * 0.9
+
+
+def test_refine_one_iter_matches_numpy_twin(corpus, vectors):
+    cb0 = pq.seed_codebooks(corpus, M, KSUB)
+    got = pq.pq_refine_codebooks(corpus, cb0, iters=1)
+    # NumPy twin: assign, then per-(subspace, code) mean; empty cells keep old.
+    codes = np_encode(vectors, cb0)
+    dsub = D // M
+    for j in range(M):
+        sub = vectors[:, j * dsub : (j + 1) * dsub]
+        for c in range(KSUB):
+            mask = codes[:, j] == c
+            want = sub[mask].mean(axis=0) if mask.any() else np.asarray(cb0[j][c])
+            assert got[j][c] == pytest.approx(list(want), abs=1e-9), (j, c)
+
+
+def test_pq_coarse_scan_is_take_ordered(corpus):
+    cb = pq.seed_codebooks(corpus, M, KSUB)
+    enc = pq.pq_encode(corpus, cb)
+    plan = pq.pq_topk(enc, cb, [0.1] * D, k=10, refine=4)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -26,6 +26,7 @@ GATED = [
     "semdedup_refined",
     "cdc_dedup",
     "multimodal_image_features",
+    "knn_pq_refined",
 ]
 
 
