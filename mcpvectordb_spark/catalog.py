@@ -1472,6 +1472,74 @@ GROUP BY id ORDER BY id
 """
 
 
+def q_text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram-LM scoring of the corpus against itself
+    (operators/ngram_lm.py — the full KenLM-style quality filter of
+    CCNet/RefinedWeb; the unigram `text_logprob` is the cheap first
+    gate).  Plants REVERSED-token copies of doc_id<20: their unigram
+    distribution is identical to the originals — invisible to the unigram
+    filter — while every trigram statistic shifts, and the full score
+    table is oracle-checked.  (The rank-the-reversal-worse property needs
+    a corpus with real sequential structure; it is asserted on one in
+    test_textstats.py::test_ngram_lm_reversed_docs_rank_worse.)"""
+    from mcpvectordb_spark.operators.ngram_lm import ngram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
+    rev = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + _PLANT_OFFSET).alias("id"),
+            F.array_join(
+                F.reverse(
+                    F.filter(
+                        F.split(dd.normalize_text(F.col("text")), " "),
+                        lambda t: t != "",
+                    )
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return ngram_lm_score(docs.unionByName(rev), "id", "text").orderBy("id")
+
+
+SQL_TEXT_NGRAM_LM = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET} AS id,
+         array_to_string(list_reverse(list_filter({_sql_words('text')}, t -> t <> '')), ' ') AS text
+  FROM documents WHERE doc_id < 20),
+toks AS (SELECT id, list_filter({_sql_words('text')}, t -> t <> '') AS w FROM corpus),
+uni AS (SELECT id, unnest(w) AS t FROM toks),
+n_total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+uni_c AS (SELECT t, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY t),
+big_c AS (
+  SELECT b1, b2, CAST(count(*) AS BIGINT) AS cb FROM (
+    SELECT w[r.i] AS b1, w[r.i+1] AS b2
+    FROM toks, UNNEST(range(1, len(w))) AS r(i) WHERE len(w) >= 2)
+  GROUP BY 1, 2),
+occ AS (
+  SELECT id, w[r.i] AS w1, w[r.i+1] AS w2, w[r.i+2] AS w3
+  FROM toks, UNNEST(range(1, len(w)-1)) AS r(i) WHERE len(w) >= 3),
+tri_c AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3 FROM occ GROUP BY 1, 2, 3),
+scored AS (
+  SELECT o.id, ln(0.5*t.c3/b12.cb + 0.3*b23.cb/u2.cu + 0.2*u3.cu/n.n) AS lp
+  FROM occ o
+  JOIN tri_c t ON t.w1 = o.w1 AND t.w2 = o.w2 AND t.w3 = o.w3
+  JOIN big_c b12 ON b12.b1 = o.w1 AND b12.b2 = o.w2
+  JOIN big_c b23 ON b23.b1 = o.w2 AND b23.b2 = o.w3
+  JOIN uni_c u2 ON u2.t = o.w2
+  JOIN uni_c u3 ON u3.t = o.w3
+  CROSS JOIN n_total n)
+SELECT id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(avg(lp), 6) AS avg_logp,
+       round(exp(-avg(lp)), 4) AS ppl
+FROM scored GROUP BY id ORDER BY id
+"""
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-40 adjacent-character pair frequencies — one BPE training
     iteration's merge statistic (textstats.py::bpe_pair_counts)."""
@@ -3723,6 +3791,7 @@ QUERIES = {
     # -- new round-3 queries go here (never driver-checked) --
     "knn_pq_topk": q_knn_pq_topk,
     "knn_pq_refined": q_knn_pq_refined,
+    "text_ngram_lm": q_text_ngram_lm,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
@@ -3765,7 +3834,6 @@ QUERIES = {
     "events_distinct_rollup": q_events_distinct_rollup,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
-    "tpch_q4": q_tpch_q4,
     # -- new round-3 queries (never driver-checked → must sit in the window;
     # -- orders_pivot/rollup/analytics + events_percentiles rotate to the
     # -- tail to make room, re-verified in a later rotation) --
@@ -3791,6 +3859,7 @@ QUERIES = {
     # ---------------- tail: stable r01/r02 greens (driver-verified) ------------
     # (tpch_q5/q6 demoted from the window to make room for round-3 additions:
     # plain SQL shapes, driver-green r01 AND parity-verified ×3 scales locally)
+    "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "tpch_q13": q_tpch_q13,
@@ -3883,6 +3952,7 @@ ORACLES = {
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_keywords": SQL_TEXT_KEYWORDS,
     "text_logprob": SQL_TEXT_LOGPROB,
+    "text_ngram_lm": SQL_TEXT_NGRAM_LM,
     "bpe_pairs": SQL_BPE_PAIRS,
     "doc_embeddings": SQL_DOC_EMBEDDINGS,
     "text_repetition": SQL_TEXT_REPETITION,

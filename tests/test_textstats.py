@@ -1,6 +1,7 @@
 """Text-analysis operators: counts vs the pure-python tokenizer twin,
 quality score bounds, lang-id markers, fingerprint invariance."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from mcpvectordb_spark.operators.textstats import (
@@ -213,3 +214,49 @@ def test_bpe_encode_distributed_matches_local(spark):
         # round-trip: concatenating tokens re-yields the words
         joined = "".join(local).replace("</w>", " ").strip()
         assert joined == " ".join(r["text"].strip().lower().split())
+
+
+def test_ngram_lm_reversed_docs_rank_worse(spark):
+    """Trigram LM catches what the unigram filter cannot: a reversed-token
+    doc has the IDENTICAL unigram distribution to its original, but when
+    the corpus has real sequential structure its trigrams are rare —
+    perplexity must be strictly higher for every planted reversal, while
+    the unigram score ties exactly."""
+    from pyspark.sql import functions as F
+
+    from mcpvectordb_spark.operators.dedup import normalize_text
+    from mcpvectordb_spark.operators.ngram_lm import ngram_lm_score
+    from mcpvectordb_spark.operators.textstats import unigram_logprob
+
+    phrase = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    rows = [(i, f"doc{i} marker " + " ".join([phrase] * 4)) for i in range(30)]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    rev = docs.filter(F.col("id") < 10).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.array_join(
+            F.reverse(F.filter(F.split(normalize_text(F.col("text")), " "), lambda t: t != "")),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(rev)
+    tri = {r["id"]: r["ppl"] for r in ngram_lm_score(corpus, "id", "text").collect()}
+    uni = {r["id"]: r["avg_logprob"] for r in unigram_logprob(corpus, "id", "text").collect()}
+    for i in range(10):
+        assert tri[i + 1_000_000] > tri[i], f"doc {i}: reversal not penalized"
+        assert uni[i + 1_000_000] == pytest.approx(uni[i], abs=1e-6), f"doc {i}: unigram should tie"
+
+
+def test_ngram_lm_short_docs_excluded_but_counted(spark):
+    from pyspark.sql import functions as F
+
+    from mcpvectordb_spark.operators.ngram_lm import ngram_lm_score
+
+    rows = [(0, "a b c a b c a b"), (1, "a b"), (2, "c")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in ngram_lm_score(df, "id", "text").collect()}
+    assert set(out) == {0}  # <3-token docs carry no trigram positions
+    assert out[0]["n_trigrams"] == 6
+    # but their tokens DID contribute to the count tables: with docs 1-2
+    # present, unigram mass of a/b/c shifts vs doc 0 alone
+    alone = ngram_lm_score(df.filter("id = 0"), "id", "text").collect()[0]
+    assert alone["avg_logp"] != out[0]["avg_logp"]
