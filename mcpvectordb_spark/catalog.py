@@ -3413,6 +3413,73 @@ ORDER BY event_type
 """
 
 
+def q_events_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates (sketches.py::cms_sketch/
+    cms_estimate): a (4 × 256) mergeable counter table over user_id, probed
+    for the 20 lowest users, each estimate emitted beside its exact count
+    with the CMS contract as in-plan booleans — est ≥ true (always) and
+    est ≤ true + ⌈e·N/width⌉ (the ε-bound).  Hashing is the portable
+    48-bit md5 fold, so the oracle replays the sketch EXACTLY — estimates,
+    not just bounds, must match."""
+    from mcpvectordb_spark.operators.sketches import cms_estimate, cms_sketch
+
+    DEPTH, WIDTH = 4, 256
+    ev = load_table(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "user_id", depth=DEPTH, width=WIDTH)
+    items = ev.select("user_id").filter(F.col("user_id") < 20).distinct()
+    est = cms_estimate(sk, items, "user_id", depth=DEPTH, width=WIDTH)
+    true_c = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy(F.col("user_id").cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_c"))
+    )
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        est.join(true_c, "item")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item",
+            "true_c",
+            "est",
+            (F.col("est") >= F.col("true_c")).alias("over_ok"),
+            (
+                F.col("est")
+                <= F.col("true_c")
+                + F.ceil(F.lit(2.718281828459045) * F.col("n") / WIDTH).cast("long")
+            ).alias("within_eps"),
+        )
+        .orderBy("item")
+    )
+
+
+_SQL_CMS_H = _sql_hex48("p.item || chr(31) || CAST(p.d AS VARCHAR)")
+
+SQL_EVENTS_CMS = f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+sk AS (
+  SELECT p.d, {_SQL_CMS_H} % 256 AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT item, r.d FROM ev, UNNEST(range(0, 4)) AS r(d)) p
+  GROUP BY 1, 2),
+items AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS item FROM events WHERE user_id < 20),
+probes AS (
+  SELECT p.item, p.d, {_SQL_CMS_H} % 256 AS bucket
+  FROM (SELECT item, r.d FROM items, UNNEST(range(0, 4)) AS r(d)) p),
+est AS (
+  SELECT p.item, CAST(min(coalesce(s.c, 0)) AS BIGINT) AS est
+  FROM probes p LEFT JOIN sk s ON s.d = p.d AND s.bucket = p.bucket
+  GROUP BY 1),
+truec AS (
+  SELECT CAST(user_id AS VARCHAR) AS item, CAST(count(*) AS BIGINT) AS true_c
+  FROM events WHERE user_id < 20 GROUP BY 1)
+SELECT e.item, t.true_c, e.est,
+       e.est >= t.true_c AS over_ok,
+       e.est <= t.true_c + CAST(ceil(2.718281828459045 * n.n / 256) AS BIGINT) AS within_eps
+FROM est e JOIN truec t USING (item) CROSS JOIN n
+ORDER BY e.item
+"""
+
+
 def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable equi-width histogram quantiles (sketches.py::
     histogram_partials/histogram_quantile): daily (type, bin) partials
@@ -3792,6 +3859,7 @@ QUERIES = {
     "knn_pq_topk": q_knn_pq_topk,
     "knn_pq_refined": q_knn_pq_refined,
     "text_ngram_lm": q_text_ngram_lm,
+    "events_cms": q_events_cms,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
@@ -3833,7 +3901,6 @@ QUERIES = {
     "events_overlap_join": q_events_overlap_join,
     "events_distinct_rollup": q_events_distinct_rollup,
     "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
     # -- new round-3 queries (never driver-checked → must sit in the window;
     # -- orders_pivot/rollup/analytics + events_percentiles rotate to the
     # -- tail to make room, re-verified in a later rotation) --
@@ -3859,6 +3926,7 @@ QUERIES = {
     # ---------------- tail: stable r01/r02 greens (driver-verified) ------------
     # (tpch_q5/q6 demoted from the window to make room for round-3 additions:
     # plain SQL shapes, driver-green r01 AND parity-verified ×3 scales locally)
+    "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -3987,6 +4055,7 @@ ORACLES = {
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
     "events_incremental_rollup": SQL_EVENTS_INCREMENTAL_ROLLUP,
     "events_quantile_sketch": SQL_EVENTS_QUANTILE_SKETCH,
+    "events_cms": SQL_EVENTS_CMS,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_cohorts": SQL_EVENTS_COHORTS,
     "hybrid_weighted": SQL_HYBRID_WEIGHTED,

@@ -268,3 +268,66 @@ def histogram_quantile(
         g = hit.groupBy(*group_cols).agg(F.min(est).alias(col))
         out = g if out is None else out.join(g, group_cols)
     return out
+
+
+def cms_sketch(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a mergeable
+    (depth × width) counter table: one row per non-empty (d, bucket).
+
+    Hashing is the repo's portable 48-bit md5 fold (dedup.hexint48 — the
+    MinHash convention), so a DuckDB oracle replays the sketch exactly.
+
+    Scale shape: the explode multiplies rows ×depth BEFORE the keyed agg,
+    but map-side combine collapses them to ≤ depth×width partials per
+    task — the shuffle carries at most depth×width rows per partition
+    regardless of input size, and sketch tables from disjoint partitions
+    merge by summing counters (used by the streaming/incremental path the
+    same way rollup_partials merges)."""
+    from mcpvectordb_spark.operators.dedup import hexint48
+
+    rows = df.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    )
+    bucket = hexint48(F.concat_ws("\x1f", F.col("item"), F.col("d").cast("string"))) % width
+    return (
+        rows.withColumn("bucket", bucket)
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge CMS tables built over disjoint slices: counters sum."""
+    return sketches.groupBy("d", "bucket").agg(F.sum("c").cast("long").alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates: est(item) = min_d counter[d, h_d(item)].
+    CMS contract: est ≥ true always; est ≤ true + (e/width)·N with
+    probability 1 − e^(−depth).  ``items`` is a (small) DataFrame of query
+    items — broadcast against the (≤ depth×width)-row sketch."""
+    from mcpvectordb_spark.operators.dedup import hexint48
+
+    probes = items.select(F.col(item_col).cast("string").alias("item")).withColumn(
+        "d", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    )
+    bucket = hexint48(F.concat_ws("\x1f", F.col("item"), F.col("d").cast("string"))) % width
+    return (
+        probes.withColumn("bucket", bucket)
+        .join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .groupBy("item")
+        .agg(F.min("c").cast("long").alias("est"))
+    )

@@ -183,3 +183,42 @@ def test_histogram_quantile_rejects_q_zero(spark):
     for bad in ([0.0], [0.5, 0.0], [-0.1], [1.5]):
         with pytest.raises(ValueError, match="quantiles must be in"):
             histogram_quantile(partials, ["grp"], bad, 0.0, 10.0, 10)
+
+
+def test_cms_overestimates_and_merges(spark):
+    """CMS contract: est >= true for every item; sketches over disjoint
+    slices merged with cms_merge give the SAME table as one sketch over
+    the union (counters are sums)."""
+    from pyspark.sql import functions as F
+
+    from mcpvectordb_spark.operators.sketches import cms_estimate, cms_merge, cms_sketch
+
+    rows = [(i % 37,) for i in range(5000)] + [(999,)] * 500
+    df = spark.createDataFrame(rows, "k long").repartition(8)
+    sk = cms_sketch(df, "k", depth=4, width=64)
+    items = df.select("k").distinct()
+    est = {r["item"]: r["est"] for r in cms_estimate(sk, items, "k", 4, 64).collect()}
+    true = {str(r["k"]): r["c"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t, k
+    # heavy item is within the eps bound (width 64, n 5500 -> slack ~234)
+    assert est["999"] <= 500 + int(2.718281828459045 * 5500 / 64) + 1
+
+    a = cms_sketch(df.filter("k < 10"), "k", depth=4, width=64)
+    b = cms_sketch(df.filter("k >= 10"), "k", depth=4, width=64)
+    merged = {(r["d"], r["bucket"]): r["c"] for r in cms_merge(a.unionByName(b)).collect()}
+    whole = {(r["d"], r["bucket"]): r["c"] for r in sk.collect()}
+    assert merged == whole
+
+
+def test_cms_estimate_zero_for_unseen_item(spark):
+    from mcpvectordb_spark.operators.sketches import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    sk = cms_sketch(df, "k", depth=4, width=1024)
+    probe = spark.createDataFrame([(77777,)], "k long")
+    est = cms_estimate(sk, probe, "k", 4, 1024).collect()
+    # wide sketch, 2 items: the unseen probe almost surely misses all rows;
+    # the left join + coalesce path must yield 0, not null or a crash
+    assert est[0]["est"] in (0, 1, 2)  # collision-tolerant upper bound
