@@ -3413,6 +3413,47 @@ ORDER BY event_type
 """
 
 
+def q_orders_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction (operators/bloomjoin.py): orders (fact)
+    pre-pruned by a kilobyte bitset over the SELECTIVE customer key set
+    (one market segment, low balance) before the exact join — the
+    deterministic form of AQE's runtime bloom join.  The oracle is the
+    PLAIN join with no bloom anywhere, so the gate proves the prune is
+    lossless (no false negatives), not merely plausible."""
+    from mcpvectordb_spark.operators.bloomjoin import bloom_reduce_join
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") < 1000))
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    joined = bloom_reduce_join(orders, cust, "o_custkey", "c_custkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round("__rev", 2).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDERS_BLOOM_JOIN = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal < 1000
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_events_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch point-frequency estimates (sketches.py::cms_sketch/
     cms_estimate): a (4 × 256) mergeable counter table over user_id, probed
@@ -3860,6 +3901,7 @@ QUERIES = {
     "knn_pq_refined": q_knn_pq_refined,
     "text_ngram_lm": q_text_ngram_lm,
     "events_cms": q_events_cms,
+    "orders_bloom_join": q_orders_bloom_join,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
@@ -3900,7 +3942,6 @@ QUERIES = {
     "events_interval_join": q_events_interval_join,
     "events_overlap_join": q_events_overlap_join,
     "events_distinct_rollup": q_events_distinct_rollup,
-    "tpch_q1": q_tpch_q1,
     # -- new round-3 queries (never driver-checked → must sit in the window;
     # -- orders_pivot/rollup/analytics + events_percentiles rotate to the
     # -- tail to make room, re-verified in a later rotation) --
@@ -3926,6 +3967,7 @@ QUERIES = {
     # ---------------- tail: stable r01/r02 greens (driver-verified) ------------
     # (tpch_q5/q6 demoted from the window to make room for round-3 additions:
     # plain SQL shapes, driver-green r01 AND parity-verified ×3 scales locally)
+    "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
@@ -4056,6 +4098,7 @@ ORACLES = {
     "events_incremental_rollup": SQL_EVENTS_INCREMENTAL_ROLLUP,
     "events_quantile_sketch": SQL_EVENTS_QUANTILE_SKETCH,
     "events_cms": SQL_EVENTS_CMS,
+    "orders_bloom_join": SQL_ORDERS_BLOOM_JOIN,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_cohorts": SQL_EVENTS_COHORTS,
     "hybrid_weighted": SQL_HYBRID_WEIGHTED,
