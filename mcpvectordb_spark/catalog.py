@@ -3281,6 +3281,50 @@ HAVING sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) > 0
 """
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DESTRUCTIVE half of Lee et al. 2022 beside the `dedup_spans`
+    signal (dedup.py::remove_dup_spans): tokens covered by any 8-token
+    window occurring in ≥2 distinct docs are removed, survivors
+    reassemble in order.  Planted near-dup pairs lose their shared spans
+    from BOTH members (the plant's unique suffix survives); the clean
+    corpus is untouched.  The oracle replays the rewrite exactly —
+    cleaned text compared by md5."""
+    corpus = _near_corpus(spark, sf_dir)
+    out = dd.remove_dup_spans(corpus, "id", "text", k=8)
+    return out.select(
+        "id", "n_tokens", "n_removed", F.md5("cleaned_text").alias("cleaned_md5")
+    ).orderBy("id")
+
+
+SQL_DEDUP_SPAN_REMOVAL = f"""
+WITH corpus AS ({_SQL_NEAR_CORPUS}),
+base AS (SELECT id, {_sql_words('text')} AS w FROM corpus),
+wins AS (
+  SELECT id, r.i AS start,
+         {_sql_hex48("array_to_string(w[r.i:r.i+7], ' ')")} AS w48
+  FROM base, UNNEST(range(1, len(w)-8+2)) AS r(i) WHERE len(w) >= 8),
+dup48 AS (
+  SELECT w48 FROM (SELECT w48, count(DISTINCT id) AS nd FROM wins GROUP BY 1)
+  WHERE nd >= 2),
+covered AS (
+  SELECT DISTINCT wn.id, p.pos
+  FROM wins wn JOIN dup48 USING (w48), UNNEST(range(wn.start, wn.start+8)) AS p(pos)),
+kept AS (
+  SELECT b.id, t.pos, b.w[t.pos] AS tok
+  FROM base b, UNNEST(range(1, len(b.w)+1)) AS t(pos)
+  WHERE NOT EXISTS (SELECT 1 FROM covered c WHERE c.id = b.id AND c.pos = t.pos)),
+agg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+  FROM kept GROUP BY id)
+SELECT b.id, CAST(len(b.w) AS BIGINT) AS n_tokens,
+       CAST(len(b.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.h, md5('')) AS cleaned_md5
+FROM base b LEFT JOIN agg a USING (id)
+ORDER BY b.id
+"""
+
+
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window aggregation driven to completion
     over the events file (real readStream → memory sink)."""
@@ -3902,6 +3946,7 @@ QUERIES = {
     "text_ngram_lm": q_text_ngram_lm,
     "events_cms": q_events_cms,
     "orders_bloom_join": q_orders_bloom_join,
+    "dedup_span_removal": q_dedup_span_removal,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
@@ -3936,7 +3981,6 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
-    "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_asof_join": q_events_asof_join,
     "events_interval_join": q_events_interval_join,
@@ -3967,6 +4011,7 @@ QUERIES = {
     # ---------------- tail: stable r01/r02 greens (driver-verified) ------------
     # (tpch_q5/q6 demoted from the window to make room for round-3 additions:
     # plain SQL shapes, driver-green r01 AND parity-verified ×3 scales locally)
+    "events_hourly": q_events_hourly,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
@@ -4079,6 +4124,7 @@ ORACLES = {
     "pii_scrub": _sql_pii_scrub(),
     "dedup_lines": SQL_DEDUP_LINES,
     "dedup_spans": SQL_DEDUP_SPANS,
+    "dedup_span_removal": SQL_DEDUP_SPAN_REMOVAL,
     "mixture_sample": _sql_mixture_sample(),
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,

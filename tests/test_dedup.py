@@ -436,3 +436,44 @@ def test_cdc_dedup_stats_stage(spark):
     d1 = sorted(r["digest"] for r in rows if r["id"] == 1)
     d2 = sorted(r["digest"] for r in rows if r["id"] == 2)
     assert d1 == d2
+
+
+def test_remove_dup_spans_rewrite_semantics(spark):
+    """Planted copies lose exactly their shared spans from BOTH members;
+    unique docs are untouched; full duplicates empty out; order of the
+    surviving tokens is preserved."""
+    from pyspark.sql import functions as F
+
+    from mcpvectordb_spark.operators.dedup import remove_dup_spans
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, shared + " alpha beta gamma delta epsilon zeta eta theta"),
+        (1, shared + " iota kappa lam mu nu xi omicron pi"),   # shares the 10-token prefix
+        (2, "totally unique words appear here just once only ever written down"),
+        (3, shared),                                            # exact dup of the span
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in remove_dup_spans(df, "id", "text", k=8).collect()}
+
+    # doc 2 untouched
+    assert out[2]["n_removed"] == 0
+    assert out[2]["cleaned_text"] == rows[2][1]
+    # doc 3 is nothing but the shared span -> fully removed
+    assert out[3]["n_removed"] == out[3]["n_tokens"] == 10
+    assert out[3]["cleaned_text"] == ""
+    # docs 0/1: the shared 10-token prefix is covered (all its 8-windows are
+    # cross-doc); the unique tails survive intact and in order
+    assert out[0]["cleaned_text"] == "alpha beta gamma delta epsilon zeta eta theta"
+    assert out[1]["cleaned_text"] == "iota kappa lam mu nu xi omicron pi"
+    assert out[0]["n_removed"] == 10
+
+
+def test_remove_dup_spans_short_docs_never_touched(spark):
+    from mcpvectordb_spark.operators.dedup import remove_dup_spans
+
+    rows = [(0, "a b c d e f g"), (1, "a b c d e f g")]  # 7 tokens < k=8
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = remove_dup_spans(df, "id", "text", k=8).collect()
+    assert all(r["n_removed"] == 0 for r in out)
+    assert all(r["cleaned_text"] == "a b c d e f g" for r in out)
