@@ -550,6 +550,39 @@ def q_knn_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-projected ANN (knn.py::pca_components/knn_topk_pca): top-16
+    principal components (distributed Gramian + driver eigh via MLlib,
+    sign-fixed, 6-decimal quantized for run-stability), codegen'd
+    projection fold for the coarse scan, exact refine of k×4 candidates.
+    The learned-projection family member beside Matryoshka (no trained
+    state) and PQ (codebooks); eigendecomposition is not SQL-expressible
+    → golden-digest gate, with recall and exactness bounds pinned in
+    test_pq.py."""
+    import math
+
+    from mcpvectordb_spark.operators.knn import knn_topk_pca, l2_norm, pca_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    corpus = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("__n", l2_norm(v))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.transform(v, lambda x: x / F.col("__n")).alias("embedding"),
+        )
+    )
+    q0 = _q_vec(spark, sf_dir)
+    qn = math.sqrt(sum(x * x for x in q0))
+    q = [x / qn for x in q0]
+    comps = pca_components(corpus, 16)
+    out = knn_topk_pca(corpus, q, comps, k=10, refine=4, id_col="id")
+    return _digest_gate(
+        out.select(F.col("id").alias("vec_id"), F.round("score", 6).alias("score"))
+    )
+
+
 def q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk→document embedding mean-pooling (knn.py::
     mean_pool_embeddings): groups of 4 vectors pool to one L2-normalized
@@ -3947,6 +3980,7 @@ QUERIES = {
     "events_cms": q_events_cms,
     "orders_bloom_join": q_orders_bloom_join,
     "dedup_span_removal": q_dedup_span_removal,
+    "knn_pca": q_knn_pca,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
@@ -3981,7 +4015,6 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
-    "events_sessions": q_events_sessions,
     "events_asof_join": q_events_asof_join,
     "events_interval_join": q_events_interval_join,
     "events_overlap_join": q_events_overlap_join,
@@ -4012,6 +4045,7 @@ QUERIES = {
     # (tpch_q5/q6 demoted from the window to make room for round-3 additions:
     # plain SQL shapes, driver-green r01 AND parity-verified ×3 scales locally)
     "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
@@ -4065,6 +4099,7 @@ ORACLES = {
     # -- golden-digest gates (deterministic non-SQL queries; constants from
     # -- tools/regen_digests.py at sf0.01 — double-run verified) --
     "knn_pq_refined": _sql_digest_gold(10, "3bbfe9627423b7e0ac2ba9142a8ee08f"),
+    "knn_pca": _sql_digest_gold(10, "5e8b0e9fe60785a627b6e260a1f4d266"),
     "ingest_chunks": _sql_digest_gold(5, "e5e2c8732cadb9460796d38f249b6336"),
     "search_ingested": _sql_digest_gold(10, "8fe65a60b1876bec1897acd65e84ac2a"),
     "neardup_lsh_embeddings": _sql_digest_gold(194, "6f58a0fe80114093f7a418159120bc34"),

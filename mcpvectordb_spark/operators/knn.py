@@ -563,3 +563,92 @@ class IvfIndex:
             vec_col=self.vec_col,
             static_prune=static_prune,
         )
+
+
+def pca_components(
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    quantize: int | None = 6,
+) -> list[list[float]]:
+    """Top-k principal components of the corpus embeddings (MLlib PCA —
+    distributed Gramian, driver-side eigendecomposition; the classic
+    dimensionality-reduction serving path beside Matryoshka truncation,
+    for embeddings NOT trained with nested prefixes).
+
+    Sign-fixed (each component's largest-|x| entry is made positive) and
+    quantized to ``quantize`` decimals so the trained state is run-stable
+    — the same convention as semdedup_refined's centroids.  Returns k
+    rows of d floats; O(k·d) driver memory."""
+    from pyspark.ml.feature import PCA as MlPca
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = MlPca(k=k, inputCol="features", outputCol="pc").fit(train)
+    comps = model.pc.toArray()  # d × k
+    out = []
+    for j in range(comps.shape[1]):
+        col = [float(x) for x in comps[:, j]]
+        mx = max(range(len(col)), key=lambda i: abs(col[i]))
+        if col[mx] < 0:
+            col = [-x for x in col]
+        if quantize is not None:
+            col = [round(x, quantize) for x in col]
+        out.append(col)
+    return out
+
+
+def pca_project_col(vec: Column, components: list[list[float]]) -> Column:
+    """Project a vector column onto the component rows — a codegen'd fold
+    per output dim against the literal component matrix (no UDF)."""
+    v = vec.cast("array<double>")
+    outs = []
+    for comp in components:
+        c_lit = F.array(*[F.lit(x) for x in comp])
+        outs.append(
+            F.aggregate(
+                F.zip_with(v, c_lit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            )
+        )
+    return F.array(*outs)
+
+
+def knn_topk_pca(
+    df: DataFrame,
+    query: Sequence[float],
+    components: list[list[float]],
+    k: int,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """PCA-projected coarse scan + exact refine: score every row by the
+    inner product in the k'-dim projected space (k'/d of the arithmetic;
+    with a materialized projection column, k'/d of the scan too), keep
+    k·refine candidates, exact-cosine re-rank.  The projection preserves
+    dominant-variance structure, so recall at moderate refine is far
+    above random truncation for non-Matryoshka embeddings."""
+    pq = [
+        sum(float(query[i]) * c[i] for i in range(len(c))) for c in components
+    ]
+    coarse = F.aggregate(
+        F.zip_with(
+            pca_project_col(F.col(vec_col), components),
+            F.array(*[F.lit(x) for x in pq]),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cand = (
+        df.withColumn("_coarse", coarse)
+        .orderBy(F.desc("_coarse"), F.asc(id_col))
+        .limit(k * refine)
+    )
+    exact = cand.withColumn(score_col, cosine(F.col(vec_col), query_vec_lit(list(query)))).drop(
+        "_coarse"
+    )
+    return exact.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)

@@ -135,3 +135,85 @@ def test_pq_coarse_scan_is_take_ordered(corpus):
     plan = pq.pq_topk(enc, cb, [0.1] * D, k=10, refine=4)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------- PCA-projected KNN ---------------------------
+
+
+def test_pca_components_orthonormal_and_sign_fixed(spark, corpus):
+    from mcpvectordb_spark.operators.knn import pca_components
+
+    comps = pca_components(corpus, 8, vec_col="embedding")
+    C = np.asarray(comps)
+    assert C.shape == (8, D)
+    # orthonormal rows (quantization tolerance)
+    assert np.allclose(C @ C.T, np.eye(8), atol=1e-4)
+    # sign convention: largest-|x| entry positive
+    for row in C:
+        assert row[np.argmax(np.abs(row))] > 0
+
+
+def test_pca_projection_matches_numpy(spark, corpus, vectors):
+    from pyspark.sql import functions as F
+
+    from mcpvectordb_spark.operators.knn import pca_components, pca_project_col
+
+    comps = pca_components(corpus, 8)
+    got = {
+        r["id"]: r["p"]
+        for r in corpus.select(
+            "id", pca_project_col(F.col("embedding"), comps).alias("p")
+        ).collect()
+    }
+    C = np.asarray(comps)
+    for i in range(N):
+        assert got[i] == pytest.approx(list(C @ vectors[i]), abs=1e-9)
+
+
+def test_knn_pca_equals_exact_when_refine_covers_corpus(spark, corpus, vectors):
+    from mcpvectordb_spark.operators.knn import knn_topk, knn_topk_pca, pca_components
+
+    comps = pca_components(corpus, 8)
+    q = vectors[5]
+    got = [
+        (r["id"], round(r["score"], 9))
+        for r in knn_topk_pca(corpus, q, comps, k=10, refine=N, id_col="id").collect()
+    ]
+    want = [
+        (r["id"], round(r["score"], 9))
+        for r in knn_topk(corpus, q, 10, tie_col="id").collect()
+    ]
+    assert got == want
+
+
+def test_knn_pca_beats_truncation_recall(spark, corpus, vectors):
+    """On NON-Matryoshka (random-rotation-symmetric) embeddings a naive
+    first-8-dims truncation carries ~12% of the variance while the top-8
+    PCA projection carries the maximum possible — PCA recall@10 must beat
+    truncation recall at the same refine budget."""
+    from mcpvectordb_spark.operators.knn import (
+        knn_topk,
+        knn_topk_pca,
+        knn_truncated_topk,
+        pca_components,
+    )
+
+    comps = pca_components(corpus, 8)
+    recalls = {"pca": 0, "trunc": 0}
+    for qi in (3, 17, 42, 99):
+        q = vectors[qi]
+        exact = {r["id"] for r in knn_topk(corpus, q, 10, tie_col="id").collect()}
+        pca = {
+            r["id"]
+            for r in knn_topk_pca(corpus, q, comps, k=10, refine=4, id_col="id").collect()
+        }
+        tr = {
+            r["id"]
+            for r in knn_truncated_topk(
+                corpus, q, k=10, dims_coarse=8, refine=4, id_col="id"
+            ).collect()
+        }
+        recalls["pca"] += len(pca & exact)
+        recalls["trunc"] += len(tr & exact)
+    assert recalls["pca"] >= recalls["trunc"]
+    assert recalls["pca"] >= 20  # >=50% aggregate recall over the 4 probes

@@ -27,6 +27,7 @@ GATED = [
     "cdc_dedup",
     "multimodal_image_features",
     "knn_pq_refined",
+    "knn_pca",
 ]
 
 
