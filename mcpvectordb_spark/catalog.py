@@ -3165,6 +3165,75 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (sources/multimodal.py::dhash64/
+    image_dhash_stage + dedup.py::hamming_neardup_pairs): 60 smooth-
+    gradient PNGs are synthesized — ids 30..59 repeat the gradient of
+    id−30 with a small patch perturbation — pixel-decoded by the REAL
+    codec kernels, dHashed, and paired by the pigeonhole Hamming-block
+    join (complete to dist ≤ 6).  Every (i, i+30) plant must meet at tiny
+    distance; the codec/hash kernels are not SQL-expressible → digest
+    gate (the pigeonhole join's completeness is brute-force-verified in
+    test_dedup.py)."""
+    from pyspark.sql import types as T
+
+    from mcpvectordb_spark.sources.multimodal import image_dhash_stage
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(60)
+
+    def synth(batches):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def png_bytes(rows_px):
+            raw = b""
+            for row in rows_px:
+                raw += b"\x00" + bytes(row)
+
+            def chunk(tag, data):
+                return (struct.pack(">I", len(data)) + tag + data
+                        + struct.pack(">I", zlib.crc32(tag + data)))
+
+            h, w = len(rows_px), len(rows_px[0]) // 3
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+        W = H = 48
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed = did % 30
+                # `or` guard: a zero slope would flatten the gradient (an
+                # all-equal-columns dHash collides across seeds)
+                ax, by = ((seed * 7) % 11 - 5) or 3, ((seed * 13) % 9 - 4) or 2
+                perturb = did >= 30
+                img = []
+                for y in range(H):
+                    row = []
+                    for x in range(W):
+                        v = (ax * x + by * y + seed * 29) % 256
+                        if perturb and 8 <= x < 12 and 8 <= y < 12:
+                            v = (v + 24) % 256
+                        row += [v, (v + seed) % 256, (v + 2 * seed) % 256]
+                    img.append(row)
+                rows.append((did, png_bytes(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(
+        synth,
+        schema=T.StructType(
+            [T.StructField("media_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+        ),
+    )
+    hashed = image_dhash_stage(media)
+    pairs = dd.hamming_neardup_pairs(hashed, "media_id", "dhash", bits=64, max_dist=6)
+    return _digest_gate(pairs.orderBy("id_a", "id_b"))
+
+
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IMAGE codec path under the driver gate: PNG (filter-0 RGB) and
     24-bit BMP payloads are synthesized deterministically per doc_id, then
@@ -3981,6 +4050,7 @@ QUERIES = {
     "orders_bloom_join": q_orders_bloom_join,
     "dedup_span_removal": q_dedup_span_removal,
     "knn_pca": q_knn_pca,
+    "multimodal_image_neardup": q_multimodal_image_neardup,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
@@ -4015,7 +4085,6 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
-    "events_asof_join": q_events_asof_join,
     "events_interval_join": q_events_interval_join,
     "events_overlap_join": q_events_overlap_join,
     "events_distinct_rollup": q_events_distinct_rollup,
@@ -4046,6 +4115,7 @@ QUERIES = {
     # plain SQL shapes, driver-green r01 AND parity-verified ×3 scales locally)
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
+    "events_asof_join": q_events_asof_join,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
@@ -4100,6 +4170,7 @@ ORACLES = {
     # -- tools/regen_digests.py at sf0.01 — double-run verified) --
     "knn_pq_refined": _sql_digest_gold(10, "3bbfe9627423b7e0ac2ba9142a8ee08f"),
     "knn_pca": _sql_digest_gold(10, "5e8b0e9fe60785a627b6e260a1f4d266"),
+    "multimodal_image_neardup": _sql_digest_gold(92, "d2a7303360acf327f6881a1e36f96fa7"),
     "ingest_chunks": _sql_digest_gold(5, "e5e2c8732cadb9460796d38f249b6336"),
     "search_ingested": _sql_digest_gold(10, "8fe65a60b1876bec1897acd65e84ac2a"),
     "neardup_lsh_embeddings": _sql_digest_gold(194, "6f58a0fe80114093f7a418159120bc34"),

@@ -894,3 +894,60 @@ def sample_video_frames(df: "DataFrame", every_s: float = 1.0, fake: bool = True
             yield pd.DataFrame(rows, columns=["media_id", "frame_index", "frame_ts_s", "frame"])
 
     return df.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def dhash64(px) -> int:
+    """64-bit difference hash (dHash) from decoded RGB pixels: luma → 8×9
+    block-mean grid → adjacent-column comparisons, row-major bit pack.
+    Returned as a SIGNED 64-bit value (two's-complement wrap) so it stores
+    in a Spark long; XOR/popcount downstream are bit-identical either way.
+    Deterministic, numpy-vectorized, no imaging library."""
+    import numpy as np
+
+    x = px.astype(np.float64)
+    luma = 0.2126 * x[:, :, 0] + 0.7152 * x[:, :, 1] + 0.0722 * x[:, :, 2]
+    cells = np.empty((8, 9), dtype=np.float64)
+    for r, rows in enumerate(np.array_split(luma, 8, axis=0)):
+        for c, block in enumerate(np.array_split(rows, 9, axis=1)):
+            cells[r, c] = block.mean()
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            if cells[r, c] > cells[r, c + 1]:
+                v |= 1 << (r * 8 + c)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash_stage(df: "DataFrame") -> "DataFrame":
+    """image binary → (media_id, width, height, dhash) via the REAL pixel
+    decoders; undecodable payloads yield a NULL dhash (filtered by the
+    near-dup join, never a task failure).  Per-row Arrow kernel — the only
+    shuffle downstream is the 8-byte hash."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                payload = bytes(rec["payload"] or b"")
+                px = decode_image_pixels(payload)
+                if px is None:
+                    rows.append((rec["media_id"], None, None, None))
+                else:
+                    rows.append(
+                        (rec["media_id"], int(px.shape[1]), int(px.shape[0]), dhash64(px))
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "dhash"])
+
+    return df.mapInPandas(run, schema=schema)

@@ -477,3 +477,58 @@ def test_remove_dup_spans_short_docs_never_touched(spark):
     out = remove_dup_spans(df, "id", "text", k=8).collect()
     assert all(r["n_removed"] == 0 for r in out)
     assert all(r["cleaned_text"] == "a b c d e f g" for r in out)
+
+
+def test_hamming_neardup_pairs_complete_vs_bruteforce(spark):
+    """Pigeonhole block join must find EXACTLY the brute-force pair set —
+    completeness is a theorem (dist <= max_dist -> some block equal), this
+    pins the implementation (block widths, unsigned shifts, sign wrap)."""
+    import itertools
+    import random
+
+    from mcpvectordb_spark.operators.dedup import hamming_neardup_pairs
+
+    rng = random.Random(11)
+    base = [rng.getrandbits(64) for _ in range(30)]
+    vals = list(base)
+    for i in range(15):  # planted near copies: flip 1..6 bits of base[i]
+        v = base[i]
+        for b in rng.sample(range(64), rng.randint(1, 6)):
+            v ^= 1 << b
+        vals.append(v)
+    signed = [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
+    df = spark.createDataFrame(list(enumerate(signed)), "id long, h long")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in hamming_neardup_pairs(df, "id", "h", bits=64, max_dist=6).collect()
+    }
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(vals), 2):
+        d = bin(a ^ b).count("1")
+        if d <= 6:
+            want[(i, j)] = d
+    assert got == want
+    assert len(want) >= 15  # the plants are all in
+
+
+def test_dhash_stability_and_sensitivity():
+    import numpy as np
+
+    from mcpvectordb_spark.sources.multimodal import dhash64
+
+    rng = np.random.default_rng(3)
+    # smooth gradient image
+    y, x = np.mgrid[0:64, 0:64]
+    img = np.stack([(2 * x + 3 * y) % 256] * 3, axis=2).astype(np.uint8)
+    h0 = dhash64(img)
+    # identical pixels -> identical hash
+    assert dhash64(img.copy()) == h0
+    # small local patch edit -> small Hamming distance
+    pert = img.copy()
+    pert[10:14, 10:14] = np.clip(pert[10:14, 10:14].astype(int) + 30, 0, 255).astype(np.uint8)
+    d_small = bin((dhash64(pert) ^ h0) & ((1 << 64) - 1)).count("1")
+    assert d_small <= 6
+    # a different gradient direction -> far
+    img2 = np.stack([(5 * x - 2 * y) % 256] * 3, axis=2).astype(np.uint8)
+    d_big = bin((dhash64(img2) ^ h0) & ((1 << 64) - 1)).count("1")
+    assert d_big > 10

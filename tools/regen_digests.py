@@ -28,6 +28,7 @@ GATED = [
     "multimodal_image_features",
     "knn_pq_refined",
     "knn_pca",
+    "multimodal_image_neardup",
 ]
 
 
