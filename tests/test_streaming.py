@@ -177,3 +177,33 @@ def test_streaming_contamination_gate_matches_batch(spark, tmp_path):
         q.stop()
     stream_kept = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM cont_out").collect())
     assert stream_kept == batch_kept == [11, 12]
+
+
+def test_cms_is_streaming_native(spark, tmp_path):
+    """The Count-Min sketch needs NO custom stateful operator in streaming:
+    its partials are mergeable counters, so the SAME cms_sketch plan runs
+    on a readStream under complete-mode aggregation and, after consuming
+    all micro-batches, equals the batch sketch counter-for-counter — the
+    'mergeable partials ⇒ streaming-native' property stated in SCALE.md."""
+    from mcpvectordb_spark.operators.sketches import cms_sketch
+
+    ev = load_events(spark, SF).select("user_id")
+    d = str(tmp_path / "cms_in")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    ev.filter(F.col("user_id") % 2 == 0).write.parquet(f"{d}/a")
+    ev.filter(F.col("user_id") % 2 == 1).write.parquet(f"{d}/b")
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(f"{d}/*")
+    )
+    q = (
+        cms_sketch(stream, "user_id", depth=4, width=64)
+        .writeStream.format("memory")
+        .queryName("t_cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["d"], r["bucket"]): r["c"] for r in spark.table("t_cms_stream").collect()}
+    want = {(r["d"], r["bucket"]): r["c"] for r in cms_sketch(ev, "user_id", depth=4, width=64).collect()}
+    assert got == want and len(want) > 50
