@@ -1875,6 +1875,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_decontaminate() -> str:
     shingles = _sql_shingles(_sql_words("text"), 3)
+    h48 = _sql_hex48("shingle")
     return rf"""
 WITH eval_set AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 50),
 train AS (
@@ -1882,13 +1883,15 @@ train AS (
   UNION ALL
   SELECT doc_id+{_PLANT_OFFSET} AS id, text || '{_NEARDUP_SUFFIX}' AS text
   FROM documents WHERE doc_id < 50),
-tsh AS (SELECT id, unnest({shingles}) AS shingle FROM train),
-esh AS (SELECT DISTINCT shingle, id AS eval_id
+-- shingles join as 48-bit hashes, mirroring the operator (raw text never
+-- shuffles; identical hashing on both engines keeps the gate exact)
+tsh AS (SELECT id, {h48} AS h FROM (SELECT id, unnest({shingles}) AS shingle FROM train)),
+esh AS (SELECT DISTINCT {h48} AS h, id AS eval_id
         FROM (SELECT id, unnest({shingles}) AS shingle FROM eval_set)),
 sizes AS (SELECT id, count(*) AS set_size FROM tsh GROUP BY id),
 common AS (
   SELECT t.id, e.eval_id, count(*) AS common
-  FROM tsh t JOIN esh e ON t.shingle = e.shingle
+  FROM tsh t JOIN esh e ON t.h = e.h
   GROUP BY 1, 2),
 per_doc AS (
   SELECT id, max(common) AS max_common, CAST(count(*) AS BIGINT) AS matched_evals

@@ -85,6 +85,38 @@ def load_bloom(spark, path: str, n_bits: int, k: int) -> DataFrame:
     return df.select("word_idx", "bits")
 
 
+def bloom_prune_hashed(
+    df: DataFrame,
+    h1_col: str,
+    h2_col: str,
+    bloom: DataFrame,
+    n_bits: int,
+    k: int,
+) -> DataFrame:
+    """Literal-bitset Bloom probe over PRECOMPUTED Kirsch–Mitzenmacher base
+    hashes (h1 = hexint48(x), h2 = hexint48('bloom:'||x)) — lets callers
+    that already carry the hashes (decontaminate's shingle index) probe
+    without re-running the md5s.  Pure integer arithmetic inside one
+    codegen filter; columns are left in place for downstream reuse."""
+    rows = bloom.collect()  # ≤ n_bits/64 rows of two longs — kilobytes
+    words = [0] * (n_bits // 64)
+    for r in rows:
+        words[int(r["word_idx"])] = int(r["bits"])
+    out = df.withColumn("_bwords", F.lit(words))
+    for j in range(k):
+        out = out.withColumn(
+            f"_bp{j}", (F.col(h1_col) + F.lit(j) * F.col(h2_col)) % F.lit(n_bits)
+        )
+    cond = " AND ".join(
+        f"(shiftright(element_at(_bwords, CAST(_bp{j} / 64 AS INT) + 1),"
+        f" CAST(_bp{j} % 64 AS INT)) & 1) = 1"
+        for j in range(k)
+    )
+    return out.filter(F.expr(cond)).drop(
+        "_bwords", *[f"_bp{j}" for j in range(k)]
+    )
+
+
 def bloom_prune(
     df: DataFrame,
     shingle_col: str,
@@ -106,26 +138,11 @@ def bloom_prune(
     it falls back to k chained broadcast equi-joins on the word index
     (each still a map-side probe with no shuffle)."""
     if n_bits <= max_literal_bits:
-        rows = bloom.collect()  # ≤ n_bits/64 rows of two longs — kilobytes
-        words = [0] * (n_bits // 64)
-        for r in rows:
-            words[int(r["word_idx"])] = int(r["bits"])
-        out = (
-            df.withColumn("_bh1", hexint48(F.col(shingle_col)))
-            .withColumn("_bh2", hexint48(F.concat(F.lit("bloom:"), F.col(shingle_col))))
-            .withColumn("_bwords", F.lit(words))
+        out = df.withColumn("_bh1", hexint48(F.col(shingle_col))).withColumn(
+            "_bh2", hexint48(F.concat(F.lit("bloom:"), F.col(shingle_col)))
         )  # two md5s per row total; every probe is integer arithmetic
-        for j in range(k):
-            out = out.withColumn(
-                f"_bp{j}", (F.col("_bh1") + F.lit(j) * F.col("_bh2")) % F.lit(n_bits)
-            )
-        cond = " AND ".join(
-            f"(shiftright(element_at(_bwords, CAST(_bp{j} / 64 AS INT) + 1),"
-            f" CAST(_bp{j} % 64 AS INT)) & 1) = 1"
-            for j in range(k)
-        )
-        return out.filter(F.expr(cond)).drop(
-            "_bh1", "_bh2", "_bwords", *[f"_bp{j}" for j in range(k)]
+        return bloom_prune_hashed(out, "_bh1", "_bh2", bloom, n_bits, k).drop(
+            "_bh1", "_bh2"
         )
 
     out = df.withColumn("_bh1", hexint48(F.col(shingle_col))).withColumn(
@@ -190,43 +207,66 @@ def decontaminate(
     Requires ``bloom_bits``/``bloom_k`` to match the build parameters;
     ``load_bloom`` enforces this.
     """
-    spread = fan_out(train)
-    t_idx = spread.select(
+    # ONE pass over the training text: the shingle array is materialized
+    # once per row and yields (id, set_size, shingle) via a single explode
+    # — set_size rides the exploded rows (constant per id), so no second
+    # text parse and no sizes join at the end.  Shingles leave the
+    # projection as 48-bit hashes (h1 = hexint48(shingle), which is also
+    # the Bloom's first base hash): the exact join compares longs, the
+    # broadcast eval index is 12 bytes a row, and raw text never shuffles
+    # — the same windows-as-hashes convention as dedup.dup_span_fraction.
+    base = fan_out(train).select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        word_shingles(F.col(text_col), n).alias("_sh"),
     )
+    exploded = base.select(
+        "id", F.size("_sh").alias("set_size"), F.explode("_sh").alias("shingle")
+    )
+    hcols = [
+        F.col("id"),
+        F.col("set_size"),
+        hexint48(F.col("shingle")).alias("h1"),
+    ]
+    if bloom_bits is not None:
+        hcols.append(
+            hexint48(F.concat(F.lit("bloom:"), F.col("shingle"))).alias("h2")
+        )
+    t_idx = exploded.select(*hcols)
     e_idx = (
-        eval_df.select(F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-                       F.col(id_col).alias("eval_id"))
+        eval_df.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+            F.col(id_col).alias("eval_id"),
+        )
+        .select(hexint48(F.col("shingle")).alias("h1"), "eval_id")
         .distinct()
-    )
-    # set_size = the doc's own (multiset) shingle count == the array length:
-    # a per-row F.size beats exploding the corpus a second time and
-    # shuffling it into a groupBy just to count.
-    sizes = spread.select(
-        F.col(id_col).alias("id"),
-        F.size(word_shingles(F.col(text_col), n)).alias("set_size"),
     )
     probe_idx = t_idx
     if bloom_bits is not None:
         bloom = (
             prebuilt_bloom
             if prebuilt_bloom is not None
-            else build_shingle_bloom(e_idx.select("shingle"), "shingle", bloom_bits, bloom_k)
+            else build_shingle_bloom(
+                eval_df.select(
+                    F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+                ).distinct(),
+                "shingle",
+                bloom_bits,
+                bloom_k,
+            )
         )
-        probe_idx = bloom_prune(t_idx, "shingle", bloom, bloom_bits, bloom_k)
+        probe_idx = bloom_prune_hashed(t_idx, "h1", "h2", bloom, bloom_bits, bloom_k)
     common = (
-        probe_idx.join(F.broadcast(e_idx), "shingle")
+        probe_idx.join(F.broadcast(e_idx), "h1")
         .groupBy("id", "eval_id")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(F.count(F.lit(1)).alias("common"), F.max("set_size").alias("set_size"))
     )
     per_doc = common.groupBy("id").agg(
         F.max("common").alias("max_common"),
         F.count(F.lit(1)).alias("matched_evals"),
+        F.max("set_size").alias("set_size"),
     )
     return (
-        per_doc.join(sizes, "id")
-        .withColumn("overlap_frac", F.col("max_common") / F.col("set_size"))
+        per_doc.withColumn("overlap_frac", F.col("max_common") / F.col("set_size"))
         .filter(F.col("overlap_frac") >= threshold)
         .select("id", "matched_evals", "overlap_frac")
     )
