@@ -468,7 +468,10 @@ def q_knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = math.sqrt(sum(x * x for x in q0))
     q = [x / qn for x in q0]
     cb = pqm.seed_codebooks(corpus, _PQ_M, _PQ_KSUB)
-    enc = pqm.pq_encode(corpus, cb)
+    # Arrow/BLAS encode (impl="pandas"): identical codes to the codegen
+    # fold (equality test-pinned in test_pq.py), ~5x faster at sf0.1 —
+    # the expression form remains the in-plan audit twin.
+    enc = pqm.pq_encode(corpus, cb, impl="pandas")
     out = pqm.pq_topk(enc, cb, q, 10, refine=_PQ_REFINE)
     return out.select(F.col("id").alias("vec_id"), F.round("score", 6).alias("score"))
 
@@ -543,7 +546,7 @@ def q_knn_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = [x / qn for x in q0]
     cb = pqm.pq_refine_codebooks(corpus, pqm.seed_codebooks(corpus, _PQ_M, _PQ_KSUB), iters=2)
     cb = [[[round(x, 6) for x in cent] for cent in sub] for sub in cb]
-    enc = pqm.pq_encode(corpus, cb)
+    enc = pqm.pq_encode(corpus, cb, impl="pandas")
     out = pqm.pq_topk(enc, cb, q, 10, refine=_PQ_REFINE)
     return _digest_gate(
         out.select(F.col("id").alias("vec_id"), F.round("score", 6).alias("score"))

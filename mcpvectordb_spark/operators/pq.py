@@ -109,12 +109,56 @@ def pq_encode_col(vec: Column, cb: Codebooks) -> Column:
     return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), best)
 
 
+def pq_encode_pandas(cb: Codebooks):
+    """Arrow/BLAS encode twin of :func:`pq_encode_col`: one
+    ||sub||² − 2·sub·C + ||C||² matrix per (batch, subspace), argmin along
+    the code axis (numpy argmin keeps the lowest code on ties — the same
+    tie-break as the strict-less fold, pinned by test_pq's shared NumPy
+    twin).  At web scale the fold's interpreted per-candidate expression
+    walk is the encode bottleneck; the matmul path is the build-time
+    default, the expression path the in-plan/oracle-audit form."""
+    import numpy as np
+    import pandas as pd
+
+    C = [np.asarray(sub, dtype=np.float64) for sub in cb]  # m × ksub × dsub
+    Cn = [np.sum(c * c, axis=1) for c in C]
+    m, dsub = len(C), C[0].shape[1]
+
+    def enc(s):
+        vals = s.tolist()
+        out = []
+        ok_idx = [i for i, v in enumerate(vals) if v is not None and len(v) == m * dsub]
+        codes = {}
+        if ok_idx:
+            X = np.asarray([vals[i] for i in ok_idx], dtype=np.float64)
+            per = np.empty((len(ok_idx), m), dtype=np.int32)
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                d2 = Cn[j][None, :] - 2.0 * (sub @ C[j].T)  # + |sub|² is argmin-invariant
+                per[:, j] = d2.argmin(axis=1)
+            codes = {i: per[r].tolist() for r, i in enumerate(ok_idx)}
+        for i in range(len(vals)):
+            out.append(codes.get(i))
+        return pd.Series(out)
+
+    enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(enc, "array<int>")
+
+
 def pq_encode(
     corpus: DataFrame,
     cb: Codebooks,
     vec_col: str = "embedding",
     codes_col: str = "pq_codes",
+    impl: str = "expr",
 ) -> DataFrame:
+    """``impl``: "expr" (codegen fold — the oracle-audit form), "pandas"
+    (Arrow/BLAS batch — the build-time scale path; identical codes, the
+    equality is test-pinned)."""
+    if impl == "pandas":
+        return corpus.withColumn(
+            codes_col, pq_encode_pandas(cb)(F.col(vec_col).cast("array<double>"))
+        )
     return corpus.withColumn(codes_col, pq_encode_col(F.col(vec_col), cb))
 
 

@@ -217,3 +217,21 @@ def test_knn_pca_beats_truncation_recall(spark, corpus, vectors):
         recalls["trunc"] += len(tr & exact)
     assert recalls["pca"] >= recalls["trunc"]
     assert recalls["pca"] >= 20  # >=50% aggregate recall over the 4 probes
+
+
+def test_pq_encode_pandas_matches_expr(corpus):
+    a = {r["id"]: r["pq_codes"] for r in pq.pq_encode(corpus, pq.seed_codebooks(corpus, M, KSUB)).collect()}
+    b = {
+        r["id"]: r["pq_codes"]
+        for r in pq.pq_encode(corpus, pq.seed_codebooks(corpus, M, KSUB), impl="pandas").collect()
+    }
+    assert a == b
+
+
+def test_pq_encode_pandas_null_and_wrong_dim(spark):
+    cb = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]  # m=2, ksub=2, dsub=2
+    rows = [(0, [0.1, 0.1, 0.9, 0.9]), (1, None), (2, [0.5])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    out = {r["id"]: r["pq_codes"] for r in pq.pq_encode(df, cb, impl="pandas").collect()}
+    assert out[0] == [0, 1]
+    assert out[1] is None and out[2] is None
