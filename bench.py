@@ -70,6 +70,12 @@ BENCH_QUERIES = [
     "events_quantile_sketch",# mergeable histogram quantiles + exact gate
     "hybrid_weighted",       # min-max blend fusion
     "knn_pq_topk",           # PQ codes ADC coarse scan + exact refine
+    "knn_pca",               # PCA projection coarse scan + exact refine
+    "text_ngram_lm",         # trigram-LM corpus self-scoring
+    "events_cms",            # Count-Min sketch build + probe + exact gate
+    "orders_bloom_join",     # bloom semi-join reduction vs plain join
+    "dedup_span_removal",    # destructive cross-doc span rewrite
+    "multimodal_image_neardup",  # pixel decode + dHash + Hamming-block join
 ]
 
 

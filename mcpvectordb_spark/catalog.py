@@ -1550,24 +1550,30 @@ WITH corpus AS (
 toks AS (SELECT id, list_filter({_sql_words('text')}, t -> t <> '') AS w FROM corpus),
 uni AS (SELECT id, unnest(w) AS t FROM toks),
 n_total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
-uni_c AS (SELECT t, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY t),
+-- grams join as 48-bit hashes, mirroring the operator
+uni_c AS (SELECT {_sql_hex48('t')} AS ku, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
 big_c AS (
-  SELECT b1, b2, CAST(count(*) AS BIGINT) AS cb FROM (
+  SELECT {_sql_hex48("b1 || ' ' || b2")} AS kb, CAST(count(*) AS BIGINT) AS cb FROM (
     SELECT w[r.i] AS b1, w[r.i+1] AS b2
     FROM toks, UNNEST(range(1, len(w))) AS r(i) WHERE len(w) >= 2)
-  GROUP BY 1, 2),
+  GROUP BY 1),
 occ AS (
-  SELECT id, w[r.i] AS w1, w[r.i+1] AS w2, w[r.i+2] AS w3
+  SELECT id,
+         {_sql_hex48("w[r.i] || ' ' || w[r.i+1] || ' ' || w[r.i+2]")} AS k3,
+         {_sql_hex48("w[r.i] || ' ' || w[r.i+1]")} AS k12,
+         {_sql_hex48("w[r.i+1] || ' ' || w[r.i+2]")} AS k23,
+         {_sql_hex48('w[r.i+1]')} AS ku2,
+         {_sql_hex48('w[r.i+2]')} AS ku3
   FROM toks, UNNEST(range(1, len(w)-1)) AS r(i) WHERE len(w) >= 3),
-tri_c AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3 FROM occ GROUP BY 1, 2, 3),
+tri_c AS (SELECT k3, CAST(count(*) AS BIGINT) AS c3 FROM occ GROUP BY 1),
 scored AS (
   SELECT o.id, ln(0.5*t.c3/b12.cb + 0.3*b23.cb/u2.cu + 0.2*u3.cu/n.n) AS lp
   FROM occ o
-  JOIN tri_c t ON t.w1 = o.w1 AND t.w2 = o.w2 AND t.w3 = o.w3
-  JOIN big_c b12 ON b12.b1 = o.w1 AND b12.b2 = o.w2
-  JOIN big_c b23 ON b23.b1 = o.w2 AND b23.b2 = o.w3
-  JOIN uni_c u2 ON u2.t = o.w2
-  JOIN uni_c u3 ON u3.t = o.w3
+  JOIN tri_c t ON t.k3 = o.k3
+  JOIN big_c b12 ON b12.kb = o.k12
+  JOIN big_c b23 ON b23.kb = o.k23
+  JOIN uni_c u2 ON u2.ku = o.ku2
+  JOIN uni_c u3 ON u3.ku = o.ku3
   CROSS JOIN n_total n)
 SELECT id, CAST(count(*) AS BIGINT) AS n_trigrams,
        round(avg(lp), 6) AS avg_logp,

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mcpvectordb_spark.operators.dedup import normalize_text
+from mcpvectordb_spark.operators.dedup import hexint48, normalize_text
 
 
 def _grams(base: DataFrame, n: int, names: list[str]) -> DataFrame:
@@ -61,18 +61,34 @@ def ngram_lm_score(
     toks = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
     base = df.select(F.col(id_col).alias("id"), toks.alias("w"))
 
+    # Grams shuffle and join as 48-bit hashes, never strings (the
+    # windows-as-hashes convention): every count table is keyed by one
+    # long, and a trigram occurrence carries its five probe keys as five
+    # longs computed in the same projection that exploded it.  Hash
+    # collisions merge counts identically in Spark and the oracle (same
+    # md5 fold), so the gate stays exact.
     uni_occ = base.select("id", F.explode("w").alias("t"))
     n_total = uni_occ.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    uni_c = uni_occ.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    uni_c = (
+        uni_occ.select(hexint48(F.col("t")).alias("ku"))
+        .groupBy("ku")
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
     big_c = (
         _grams(base, 2, ["b1", "b2"])
-        .groupBy("b1", "b2")
+        .select(hexint48(F.concat_ws(" ", "b1", "b2")).alias("kb"))
+        .groupBy("kb")
         .agg(F.count(F.lit(1)).cast("long").alias("cb"))
     )
-    tri_occ = _grams(base, 3, ["w1", "w2", "w3"])
-    tri_c = tri_occ.groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).cast("long").alias("c3")
+    tri_occ = _grams(base, 3, ["w1", "w2", "w3"]).select(
+        "id",
+        hexint48(F.concat_ws(" ", "w1", "w2", "w3")).alias("k3"),
+        hexint48(F.concat_ws(" ", "w1", "w2")).alias("k12"),
+        hexint48(F.concat_ws(" ", "w2", "w3")).alias("k23"),
+        hexint48(F.col("w2")).alias("ku2"),
+        hexint48(F.col("w3")).alias("ku3"),
     )
+    tri_c = tri_occ.groupBy("k3").agg(F.count(F.lit(1)).cast("long").alias("c3"))
 
     p = (
         F.lit(l3) * F.col("c3") / F.col("c12")
@@ -80,21 +96,11 @@ def ngram_lm_score(
         + F.lit(l1) * F.col("cu3") / F.col("n_total")
     )
     scored = (
-        tri_occ.join(tri_c, ["w1", "w2", "w3"])
-        .join(
-            big_c.select(
-                F.col("b1").alias("w1"), F.col("b2").alias("w2"), F.col("cb").alias("c12")
-            ),
-            ["w1", "w2"],
-        )
-        .join(
-            big_c.select(
-                F.col("b1").alias("w2"), F.col("b2").alias("w3"), F.col("cb").alias("c23")
-            ),
-            ["w2", "w3"],
-        )
-        .join(uni_c.select(F.col("t").alias("w2"), F.col("cu").alias("cu2")), ["w2"])
-        .join(uni_c.select(F.col("t").alias("w3"), F.col("cu").alias("cu3")), ["w3"])
+        tri_occ.join(tri_c, "k3")
+        .join(big_c.select(F.col("kb").alias("k12"), F.col("cb").alias("c12")), "k12")
+        .join(big_c.select(F.col("kb").alias("k23"), F.col("cb").alias("c23")), "k23")
+        .join(uni_c.select(F.col("ku").alias("ku2"), F.col("cu").alias("cu2")), "ku2")
+        .join(uni_c.select(F.col("ku").alias("ku3"), F.col("cu").alias("cu3")), "ku3")
         .crossJoin(F.broadcast(n_total))
         .withColumn("__lp", F.log(p))
     )
