@@ -384,8 +384,257 @@ def main_sf1() -> None:
     spark.stop()
 
 
+def main_r3() -> None:
+    """Stress the round-3 session-2 operators at sf1-equivalent scale:
+    PQ over 400k vectors, CMS over 6M events, trigram LM + span removal
+    over 200k docs, the Hamming-block join over 200k fingerprints, and
+    bloom semi-join reduction over a 6M-row fact."""
+    import math
+    import random
+
+    spark = get_spark("stress-r3")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s → {counts[name]}", file=sys.stderr)
+
+    # ---- 400k vectors: PQ train(seed)+encode(BLAS)+search ------------------
+    from mcpvectordb_spark.operators import pq as pqm
+    from mcpvectordb_spark.operators.knn import knn_topk, l2_norm
+
+    emb = load_table(spark, SF, "embeddings")
+    r20 = spark.range(20).select(F.col("id").alias("r"))
+    synth_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("vec_id"), F.col("r"), i.cast("string"))), 1, 6),
+            16, 10,
+        ).cast("double") / F.lit(float(1 << 24)) - 0.5,
+    )
+    base = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    raw = (
+        emb.crossJoin(F.broadcast(r20))
+        .select(
+            (F.col("vec_id") * 100 + F.col("r")).alias("id"),
+            F.when(F.col("r") == 0, base).otherwise(synth_vec).alias("v0"),
+        )
+    )
+    nrm = F.col("v0")
+    big_vec = (
+        raw.withColumn("__n", l2_norm(nrm))
+        .select("id", F.transform("v0", lambda x: x / F.col("__n")).alias("embedding"))
+        .repartition(64)
+        .cache()
+    )
+    n_vec = big_vec.count()
+    print(f"# r3 corpus: {n_vec} vectors", file=sys.stderr)
+
+    qrow = big_vec.filter(F.col("id") == 500).first()
+    qv = list(qrow["embedding"])
+
+    def pq_search():
+        cb = pqm.seed_codebooks(big_vec, 8, 256)
+        enc = pqm.pq_encode(big_vec, cb, impl="pandas").select("id", "embedding", "pq_codes")
+        hits = pqm.pq_topk(enc, cb, qv, 10, refine=8).collect()
+        exact = {r["id"] for r in knn_topk(big_vec, qv, 10, tie_col="id").collect()}
+        got = {r["id"] for r in hits}
+        rec = len(got & exact)
+        assert 500 in got, "self-match lost"
+        assert rec >= 5, f"recall@10 {rec}/10 below floor"
+        notes["pq_400k"] = (
+            f"seed ksub=256 codebooks, BLAS encode of {n_vec} vectors, ADC over "
+            f"8-byte codes (32x compression), recall@10 {rec}/10 at refine=8"
+        )
+        return rec
+
+    run("pq_400k", pq_search)
+    big_vec.unpersist()
+
+    # ---- 6M events: CMS build+probe with contract check --------------------
+    from mcpvectordb_spark.operators.sketches import cms_estimate, cms_sketch
+
+    ev = load_table(spark, SF, "events")
+    r60 = spark.range(60).select(F.col("id").alias("r"))
+    u = F.conv(F.substring(F.md5(F.concat_ws(":", "event_id", "r")), 1, 6), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 24))
+    big_ev = (
+        ev.crossJoin(F.broadcast(r60))
+        .select(F.floor(F.pow(u, 3) * 50_000).cast("long").alias("user_id"))
+        .repartition(64)
+        .cache()
+    )
+    n_ev = big_ev.count()
+    print(f"# r3 corpus: {n_ev} events", file=sys.stderr)
+
+    def cms():
+        DEPTH, WIDTH = 4, 4096
+        sk = cms_sketch(big_ev, "user_id", depth=DEPTH, width=WIDTH)
+        hot = big_ev.groupBy("user_id").count().orderBy(F.desc("count")).limit(50)
+        true = {str(r["user_id"]): r["count"] for r in hot.collect()}
+        items = spark.createDataFrame([(int(k),) for k in true], "user_id long")
+        est = {r["item"]: r["est"] for r in cms_estimate(sk, items, "user_id", DEPTH, WIDTH).collect()}
+        slack = math.ceil(math.e * n_ev / WIDTH)
+        bad_lo = [k for k in true if est[k] < true[k]]
+        bad_hi = [k for k in true if est[k] > true[k] + slack]
+        assert not bad_lo, f"CMS underestimated {bad_lo[:3]}"
+        assert not bad_hi, f"CMS above eps bound for {bad_hi[:3]}"
+        err = max(est[k] - true[k] for k in true)
+        notes["cms_6m"] = (
+            f"(4x4096) sketch over {n_ev} events; top-50 probes all within "
+            f"[true, true+{slack}] (max excess {err}) — shuffle bounded at "
+            f"depth*width rows/task"
+        )
+        return len(true)
+
+    run("cms_6m", cms)
+    big_ev.unpersist()
+
+    # ---- 200k docs: trigram LM + span removal ------------------------------
+    from mcpvectordb_spark.operators.dedup import remove_dup_spans
+    from mcpvectordb_spark.operators.ngram_lm import ngram_lm_score
+
+    docs = load_table(spark, SF, "documents")
+    r40 = spark.range(40).select(F.col("id").alias("r"))
+    synth = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("r"), i)), 1, 8
+            ),
+        ),
+        " ",
+    )
+    big_docs = (
+        docs.crossJoin(F.broadcast(r40))
+        .select(
+            (F.col("doc_id") * 100 + F.col("r")).alias("id"),
+            F.when(F.col("r") == 0, F.col("text"))
+            .when((F.col("r") == 1) & (F.col("doc_id") % 10 == 0), F.col("text"))
+            .otherwise(synth)
+            .alias("text"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_docs = big_docs.count()
+    print(f"# r3 corpus: {n_docs} docs", file=sys.stderr)
+
+    def lm():
+        out = ngram_lm_score(big_docs, "id", "text")
+        n = out.count()
+        assert n > n_docs * 0.99
+        notes["ngram_lm_200k"] = (
+            f"{n} docs scored; grams joined as 48-bit hashes against "
+            "count tables (strings never shuffle past the first agg)"
+        )
+        return n
+
+    run("ngram_lm_200k", lm)
+
+    def span_rm():
+        out = remove_dup_spans(big_docs, "id", "text", k=8)
+        removed = out.filter("n_removed > 0")
+        n_aff = removed.count()
+        # every (base, r=1 copy) pair of the %10 plants must be gutted;
+        # the synthetic uniques must be untouched
+        assert n_aff >= 2 * (docs.count() // 10) * 0.95, n_aff
+        tot = out.agg(F.sum("n_removed")).collect()[0][0]
+        notes["span_removal_200k"] = (
+            f"{n_aff} affected docs rewritten ({tot} tokens removed); "
+            f"{n_docs - n_aff} untouched docs never exploded"
+        )
+        return n_aff
+
+    run("span_removal_200k", span_rm)
+    big_docs.unpersist()
+
+    # ---- 200k fingerprints: Hamming-block join -----------------------------
+    from mcpvectordb_spark.operators.dedup import hamming_neardup_pairs
+
+    def hamm():
+        n = 200_000
+        rng = random.Random(5)
+        h = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast("long")
+        baseh = spark.range(n).select("id", h.alias("h"))
+        # plant near copies of ids < 2000: flip <=4 bits
+        flips = spark.createDataFrame(
+            [(i, sum(1 << b for b in rng.sample(range(60), rng.randint(1, 4))))
+             for i in range(2000)],
+            "id long, mask long",
+        )
+        plants = baseh.join(flips, "id").select(
+            (F.col("id") + 1_000_000).alias("id"),
+            F.col("h").bitwiseXOR(F.col("mask")).alias("h"),
+        )
+        allh = baseh.unionByName(plants).repartition(64).cache()
+        allh.count()
+        pairs = hamming_neardup_pairs(allh, "id", "h", bits=64, max_dist=6)
+        planted_found = pairs.filter(
+            (F.col("id_b") - F.col("id_a")) == 1_000_000
+        ).count()
+        assert planted_found >= 2000, planted_found
+        total = pairs.count()
+        allh.unpersist()
+        notes["hamming_200k"] = (
+            f"{total} pairs from 202k 60-bit fingerprints; all 2000 planted "
+            f"near-copies found (pigeonhole completeness at scale)"
+        )
+        return total
+
+    run("hamming_200k", hamm)
+
+    # ---- 6M fact rows: bloom semi-join reduction ---------------------------
+    from mcpvectordb_spark.operators.bloomjoin import bloom_reduce, bloom_reduce_join
+
+    orders = load_table(spark, SF, "orders")
+    big_orders = (
+        orders.crossJoin(F.broadcast(r40))
+        .select(
+            (F.col("o_orderkey") * 100 + F.col("r")).alias("o_orderkey"),
+            "o_custkey",
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_ord = big_orders.count()
+    cust = load_table(spark, SF, "customer").filter(F.col("c_acctbal") < -600).select("c_custkey")
+
+    def bloom():
+        pruned = bloom_reduce(big_orders, "o_custkey", cust, "c_custkey")
+        n_kept = pruned.count()
+        got = bloom_reduce_join(big_orders, cust.withColumnRenamed("c_custkey", "ck"),
+                                "o_custkey", "ck").count()
+        want = big_orders.join(cust, big_orders.o_custkey == cust.c_custkey).count()
+        assert got == want, (got, want)
+        notes["bloom_join_6m"] = (
+            f"fact {n_ord} rows -> {n_kept} past the literal-bitset probe "
+            f"({100*n_kept/n_ord:.1f}%), exact join equality asserted"
+        )
+        return got
+
+    run("bloom_join_6m", bloom)
+    big_orders.unpersist()
+
+    print(json.dumps({
+        "mode": "r3", "vectors": n_vec, "events": n_ev, "docs": n_docs,
+        "fact_rows": n_ord,
+        "timings_sec": timings, "result_counts": counts, "notes": notes,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "sf1" in sys.argv[1:]:
         main_sf1()
+    elif "r3" in sys.argv[1:]:
+        main_r3()
     else:
         main()
