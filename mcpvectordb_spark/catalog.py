@@ -553,6 +553,105 @@ def q_knn_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END residual IVF-PQ — the reference's actual index type
+    (store.py:274) fully composed: coarse cells (the 9 lowest-id corpus
+    vectors as centroids, cosine assignment), PQ over RESIDUALS x−c with
+    seed codebooks from the 32 lowest-id rows' residuals, per-probed-cell
+    ADC lookup tables folded into one literal (score ≈ <q,c> + Σ lut),
+    k×refine exact rescore.  Every stage is trained-state-free, so the
+    oracle replays the WHOLE pipeline — assignment, residual encode, ADC,
+    refine — including tie-breaks."""
+    import math
+
+    from mcpvectordb_spark.operators import pq as pqm
+    from mcpvectordb_spark.operators.knn import ivf_assign, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    corpus = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("__n", l2_norm(v))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.transform(v, lambda x: x / F.col("__n")).alias("embedding"),
+        )
+    )
+    cents = corpus.filter(F.col("id") < 10).select(
+        F.col("id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    assigned = ivf_assign(corpus, cents, corpus_id="id")
+    cb = pqm.seed_residual_codebooks(assigned, cents, _PQ_M, _PQ_KSUB)
+    enc = pqm.ivfpq_encode(assigned, cents, cb, impl="pandas")
+    q0 = _q_vec(spark, sf_dir)
+    qn = math.sqrt(sum(x * x for x in q0))
+    q = [x / qn for x in q0]
+    out = pqm.ivfpq_topk(enc, cents, cb, q, 10, nprobe=3, refine=_PQ_REFINE)
+    return out.select(F.col("id").alias("vec_id"), F.round("score", 6).alias("score"))
+
+
+SQL_KNN_IVFPQ_TOPK = f"""
+WITH raw AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings
+  WHERE vec_id <> {QUERY_VEC_ID}),
+corpus AS (
+  SELECT id, list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0))) AS v FROM raw),
+qraw AS (SELECT CAST(embedding AS DOUBLE[]) AS q0 FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+qn AS (SELECT list_transform(q0, x -> x / sqrt(list_inner_product(q0, q0))) AS qv FROM qraw),
+cents AS (SELECT id AS cid, v AS cv FROM corpus WHERE id < 10),
+assign AS (
+  SELECT id, v, cid, cv FROM (
+    SELECT c.id, c.v, ct.cid, ct.cv,
+           row_number() OVER (PARTITION BY c.id
+                              ORDER BY {_sql_cos('c.v', 'ct.cv')} DESC, ct.cid) AS rn
+    FROM corpus c CROSS JOIN cents ct) WHERE rn = 1),
+resid AS (
+  SELECT id, cid, v, list_transform(range(1, len(v)+1), i -> v[i] - cv[i]) AS r
+  FROM assign),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS code, r
+  FROM (SELECT id, r FROM resid ORDER BY id LIMIT {_PQ_KSUB})),
+cb AS (
+  SELECT t.j, s.code, s.r[t.j*{_PQ_DSUB}+1 : t.j*{_PQ_DSUB}+{_PQ_DSUB}] AS cent
+  FROM seeds s CROSS JOIN (SELECT unnest(range({_PQ_M})) AS j) t),
+enc AS (
+  SELECT id, j, code FROM (
+    SELECT rs.id, cb.j, cb.code,
+           row_number() OVER (
+             PARTITION BY rs.id, cb.j
+             ORDER BY list_inner_product(rs.r[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}],
+                                         rs.r[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}])
+                    + list_inner_product(cb.cent, cb.cent)
+                    - 2*list_inner_product(rs.r[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}], cb.cent),
+                    cb.code) AS rn
+    FROM resid rs CROSS JOIN cb) WHERE rn = 1),
+probe AS (
+  SELECT ct.cid, ct.cv, list_inner_product(ct.cv, q.qv) AS off
+  FROM cents ct, qn q
+  ORDER BY list_inner_product(ct.cv, q.qv) DESC, ct.cid LIMIT 3),
+qres AS (
+  SELECT p.cid, p.off,
+         list_transform(range(1, len(q.qv)+1), i -> q.qv[i] - p.cv[i]) AS qr
+  FROM probe p, qn q),
+lut AS (
+  SELECT qr.cid, cb.j, cb.code,
+         list_inner_product(cb.cent, qr.qr[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}]) AS pd
+  FROM cb CROSS JOIN qres qr),
+adc AS (
+  SELECT e.id, max(q2.off) + sum(l.pd) AS adc
+  FROM enc e
+  JOIN assign a ON a.id = e.id
+  JOIN qres q2 ON q2.cid = a.cid
+  JOIN lut l ON l.cid = a.cid AND l.j = e.j AND l.code = e.code
+  GROUP BY e.id),
+cand AS (SELECT id FROM adc ORDER BY adc DESC, id LIMIT {10 * _PQ_REFINE})
+SELECT c.id AS vec_id, round(list_inner_product(c.v, q.qv), 6) AS score
+FROM corpus c JOIN cand USING (id), qn q
+ORDER BY list_inner_product(c.v, q.qv) DESC, c.id
+LIMIT 10
+"""
+
+
 def q_knn_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA-projected ANN (knn.py::pca_components/knn_topk_pca): top-16
     principal components (distributed Gramian + driver eigh via MLlib,
@@ -4058,6 +4157,7 @@ QUERIES = {
     "knn_pq_topk": q_knn_pq_topk,
     "knn_pq_refined": q_knn_pq_refined,
     "text_ngram_lm": q_text_ngram_lm,
+    "knn_ivfpq_topk": q_knn_ivfpq_topk,
     "events_cms": q_events_cms,
     "orders_bloom_join": q_orders_bloom_join,
     "dedup_span_removal": q_dedup_span_removal,
@@ -4095,7 +4195,6 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "curation_pipeline": q_curation_pipeline,
     "text_repetition": q_text_repetition,
-    "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "events_interval_join": q_events_interval_join,
     "events_overlap_join": q_events_overlap_join,
@@ -4125,6 +4224,7 @@ QUERIES = {
     # ---------------- tail: stable r01/r02 greens (driver-verified) ------------
     # (tpch_q5/q6 demoted from the window to make room for round-3 additions:
     # plain SQL shapes, driver-green r01 AND parity-verified ×3 scales locally)
+    "text_tokens": q_text_tokens,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_asof_join": q_events_asof_join,
@@ -4195,6 +4295,7 @@ ORACLES = {
     "multimodal_image_features": _sql_digest_gold(200, "8568d2c87a49963eeb510ac4f2f56660"),
     "knn_topk": SQL_KNN_TOPK,
     "knn_pq_topk": SQL_KNN_PQ_TOPK,
+    "knn_ivfpq_topk": SQL_KNN_IVFPQ_TOPK,
     "knn_batch": SQL_KNN_BATCH,
     "knn_filtered": SQL_KNN_FILTERED,
     "ivf_topk": SQL_IVF_TOPK,

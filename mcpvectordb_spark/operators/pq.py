@@ -293,3 +293,159 @@ def pq_refine_codebooks(
             new[r["subspace"]][r["code"]] = [float(r[f"d{i}"]) for i in range(dsub)]
         cb = new
     return cb
+
+
+def seed_residual_codebooks(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    ksub: int,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> Codebooks:
+    """Seed codebooks over RESIDUALS (x − centroid(x)) — the classic
+    IVF-PQ quantizes what remains after the coarse quantizer, which is
+    where PQ's bits actually buy recall (Jégou et al. 2011 §IV).  Seeds
+    are the residuals of the ``ksub`` lowest-id assigned rows: still
+    trained-state-free, still SQL-replayable."""
+    rows = (
+        assigned.join(centroids, centroid_id)
+        .select(
+            id_col,
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col(centroid_vec).cast("array<double>"),
+                lambda x, c: x - c,
+            ).alias("r"),
+        )
+        .orderBy(id_col)
+        .limit(ksub)
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"corpus has {len(rows)} rows < ksub={ksub}")
+    d = len(rows[0]["r"])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [
+        [[float(x) for x in r["r"][j * dsub : (j + 1) * dsub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def ivfpq_encode(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    cb: Codebooks,
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    impl: str = "expr",
+) -> DataFrame:
+    """Residual-encode every assigned row: codes = PQ(x − centroid(x)).
+    The centroid join is a broadcast (the centroid table is tiny by
+    construction); encoding stays map-only."""
+    joined = assigned.join(F.broadcast(centroids), centroid_id).withColumn(
+        "__res",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col(centroid_vec).cast("array<double>"),
+            lambda x, c: x - c,
+        ),
+    )
+    enc = pq_encode(joined, cb, vec_col="__res", codes_col=codes_col, impl=impl)
+    return enc.drop("__res", centroid_vec)
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    cb: Codebooks,
+    query: Sequence[float],
+    k: int,
+    nprobe: int = 3,
+    refine: int = 4,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    score_col: str = "score",
+) -> DataFrame:
+    """Full IVF-PQ search (the reference's index type, store.py:274):
+    probe the nprobe nearest cells, ADC-score ONLY their members from
+    codes via per-cell lookup tables (score ≈ <q, c> + Σ_j lut_c[j][code]
+    — the residual decomposition <q, x> = <q, c> + <q, x−c>), take
+    k×refine candidates, exact-rescore.
+
+    The probed centroids collect to the driver (O(nprobe) rows — the
+    static-prune convention of ivf_topk), so the per-cell LUTs and <q,c>
+    offsets fold into ONE flat literal and the coarse pass is a codegen
+    fold over (cell, codes) — on a centroid_id-partitioned corpus the
+    cell filter is static partition pruning."""
+    from mcpvectordb_spark.operators.knn import dot, query_vec_lit
+
+    m, ksub, dsub = len(cb), len(cb[0]), len(cb[0][0])
+    q = [float(x) for x in query]
+    probed = (
+        centroids.withColumn(
+            "__qc",
+            F.aggregate(
+                F.zip_with(
+                    F.col(centroid_vec).cast("array<double>"),
+                    query_vec_lit(q),
+                    lambda c, x: c * x,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        .orderBy(F.desc("__qc"), F.asc(centroid_id))
+        .limit(nprobe)
+        .select(centroid_id, centroid_vec, "__qc")
+        .collect()
+    )
+    cell_ids = [r[centroid_id] for r in probed]
+    # flat LUT: for the p-th probed cell, lut[p*m*ksub + j*ksub + c] =
+    # <q_res_j, cb[j][c]> with q_res = q − centroid_p; offsets[p] = <q, c_p>
+    flat: list[float] = []
+    offsets: list[float] = []
+    for r in probed:
+        cv = [float(x) for x in r[centroid_vec]]
+        q_res = [q[i] - cv[i] for i in range(len(q))]
+        flat.extend(pq_lut(q_res, cb))
+        offsets.append(float(r["__qc"]))
+    LUT = F.array(*[F.lit(x) for x in flat])
+    OFF = F.array(*[F.lit(x) for x in offsets])
+    # cell -> probe position (1-based for element_at); small literal map walk
+    pos = None
+    for p, cid in enumerate(cell_ids):
+        cond = F.col(centroid_id) == F.lit(cid)
+        pos = F.when(cond, F.lit(p)) if pos is None else pos.when(cond, F.lit(p))
+    cand_rows = encoded.filter(F.col(centroid_id).isin(cell_ids)).withColumn("__p", pos)
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.element_at(OFF, F.col("__p") + 1),
+        lambda acc, j: acc
+        + F.element_at(
+            LUT,
+            F.col("__p") * (m * ksub) + j * ksub + F.element_at(F.col(codes_col), j + 1) + 1,
+        ),
+    )
+    cand = (
+        cand_rows.select(id_col, "__p", codes_col)
+        .withColumn("__adc", adc)
+        .orderBy(F.desc("__adc"), F.asc(id_col))
+        .limit(k * refine)
+        .select(id_col)
+    )
+    return (
+        encoded.join(F.broadcast(cand), id_col, "left_semi")
+        .withColumn(score_col, dot(F.col(vec_col), query_vec_lit(q)))
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(k)
+    )

@@ -502,6 +502,15 @@ def test_hamming_neardup_pairs_complete_vs_bruteforce(spark):
         (r["id_a"], r["id_b"]): r["dist"]
         for r in hamming_neardup_pairs(df, "id", "h", bits=64, max_dist=6).collect()
     }
+    # both candidate strategies must produce the identical exact pair set
+    for strat in ("block", "block1"):
+        alt = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in hamming_neardup_pairs(
+                df, "id", "h", bits=64, max_dist=6, strategy=strat
+            ).collect()
+        }
+        assert alt == got, strat
     want = {}
     for (i, a), (j, b) in itertools.combinations(enumerate(vals), 2):
         d = bin(a ^ b).count("1")
