@@ -235,3 +235,59 @@ def test_pq_encode_pandas_null_and_wrong_dim(spark):
     out = {r["id"]: r["pq_codes"] for r in pq.pq_encode(df, cb, impl="pandas").collect()}
     assert out[0] == [0, 1]
     assert out[1] is None and out[2] is None
+
+
+# --------------------------- residual IVF-PQ ---------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq_setup(spark, corpus):
+    from mcpvectordb_spark.operators.knn import ivf_assign
+
+    cents = corpus.filter(F.col("id") < 6).select(
+        F.col("id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    assigned = ivf_assign(corpus, cents, corpus_id="id").cache()
+    cb = pq.seed_residual_codebooks(assigned, cents, M, KSUB)
+    enc = pq.ivfpq_encode(assigned, cents, cb, impl="pandas").cache()
+    return cents, cb, enc
+
+
+def test_ivfpq_residual_codes_match_numpy(ivfpq_setup, vectors):
+    cents, cb, enc = ivfpq_setup
+    cvs = {r["centroid_id"]: np.asarray(r["centroid_vec"]) for r in cents.collect()}
+    rows = enc.select("id", "centroid_id", "pq_codes").collect()
+    res = np.stack([vectors[r["id"]] - cvs[r["centroid_id"]] for r in rows])
+    want = np_encode(res, cb)
+    for i, r in enumerate(rows):
+        assert r["pq_codes"] == list(want[i]), r["id"]
+
+
+def test_ivfpq_equals_exact_when_probe_and_refine_cover(ivfpq_setup, corpus, vectors):
+    from mcpvectordb_spark.operators.knn import knn_topk
+
+    cents, cb, enc = ivfpq_setup
+    q = vectors[7]
+    got = [
+        (r["id"], round(r["score"], 9))
+        for r in pq.ivfpq_topk(enc, cents, cb, q, k=10, nprobe=6, refine=N).collect()
+    ]
+    want = [
+        (r["id"], round(r["score"], 9))
+        for r in knn_topk(corpus, q, 10, tie_col="id").collect()
+    ]
+    assert got == want
+
+
+def test_ivfpq_partial_probe_recall(ivfpq_setup, corpus, vectors):
+    from mcpvectordb_spark.operators.knn import knn_topk
+
+    cents, cb, enc = ivfpq_setup
+    hits = 0
+    for qi in (2, 9, 33):
+        q = vectors[qi]
+        exact = {r["id"] for r in knn_topk(corpus, q, 10, tie_col="id").collect()}
+        got = {r["id"] for r in pq.ivfpq_topk(enc, cents, cb, q, k=10, nprobe=3, refine=8).collect()}
+        assert qi in got  # the probe's own cell contains it; self-match survives
+        hits += len(got & exact)
+    assert hits >= 12  # >=40% aggregate recall probing half the cells
