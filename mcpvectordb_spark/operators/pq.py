@@ -449,3 +449,91 @@ def ivfpq_topk(
         .orderBy(F.desc(score_col), F.asc(id_col))
         .limit(k)
     )
+
+
+class IvfPqIndex:
+    """Persisted residual IVF-PQ index — the maintained form of the
+    reference's index type (store.py:274), which it fully RETRAINS on
+    growth; here both trained states (centroids, codebooks) freeze at
+    build and an ingest batch costs O(batch) assign+encode with zero
+    existing-row movement, provably identical to a rebuild (frozen state
+    ⇒ same cells, same codes; test-asserted).
+
+    Layout: ``<path>/centroids`` (tiny), ``<path>/codebooks`` (m×ksub
+    rows), ``<path>/corpus`` partitioned by ``centroid_id`` carrying
+    (id, embedding, pq_codes) — search's coarse pass projects only
+    (id, codes) inside the probed partitions (static pruning), so the
+    first pass reads m bytes per candidate row."""
+
+    def __init__(self, spark, path: str, corpus_id: str = "id", vec_col: str = "embedding"):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.corpus_id = corpus_id
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(
+        cls,
+        spark,
+        corpus: DataFrame,
+        centroids: DataFrame,
+        m: int,
+        ksub: int,
+        path: str,
+        corpus_id: str = "id",
+        vec_col: str = "embedding",
+        impl: str = "pandas",
+    ) -> "IvfPqIndex":
+        from mcpvectordb_spark.operators.knn import ivf_assign
+
+        idx = cls(spark, path, corpus_id, vec_col)
+        centroids.coalesce(1).write.mode("overwrite").parquet(idx.path + "/centroids")
+        cents = idx.centroids()
+        assigned = ivf_assign(corpus, cents, corpus_id, vec_col)
+        cb = seed_residual_codebooks(
+            assigned, cents, m, ksub, id_col=corpus_id, vec_col=vec_col
+        )
+        codebooks_df(spark, cb).coalesce(1).write.mode("overwrite").parquet(
+            idx.path + "/codebooks"
+        )
+        enc = ivfpq_encode(assigned, cents, cb, vec_col=vec_col, impl=impl)
+        enc.write.partitionBy("centroid_id").mode("overwrite").parquet(idx.path + "/corpus")
+        return idx
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(self.path + "/centroids")
+
+    def codebooks(self) -> Codebooks:
+        rows = self.spark.read.parquet(self.path + "/codebooks").collect()
+        m = 1 + max(r["subspace"] for r in rows)
+        ksub = 1 + max(r["code"] for r in rows)
+        cb: Codebooks = [[None] * ksub for _ in range(m)]  # type: ignore[list-item]
+        for r in rows:
+            cb[r["subspace"]][r["code"]] = [float(x) for x in r["centroid"]]
+        return cb
+
+    def encoded(self) -> DataFrame:
+        return self.spark.read.parquet(self.path + "/corpus")
+
+    def append(self, batch: DataFrame, impl: str = "pandas") -> None:
+        """Assign + residual-encode ONLY the batch against the frozen
+        trained state and append into the partitioned layout."""
+        from mcpvectordb_spark.operators.knn import ivf_assign
+
+        cents = self.centroids()
+        assigned = ivf_assign(batch, cents, self.corpus_id, self.vec_col)
+        enc = ivfpq_encode(assigned, cents, self.codebooks(), vec_col=self.vec_col, impl=impl)
+        enc.write.partitionBy("centroid_id").mode("append").parquet(self.path + "/corpus")
+
+    def search(self, query: Sequence[float], k: int, nprobe: int = 3, refine: int = 4) -> DataFrame:
+        return ivfpq_topk(
+            self.encoded(),
+            self.centroids(),
+            self.codebooks(),
+            query,
+            k,
+            nprobe=nprobe,
+            refine=refine,
+            id_col=self.corpus_id,
+            vec_col=self.vec_col,
+        )

@@ -291,3 +291,33 @@ def test_ivfpq_partial_probe_recall(ivfpq_setup, corpus, vectors):
         assert qi in got  # the probe's own cell contains it; self-match survives
         hits += len(got & exact)
     assert hits >= 12  # >=40% aggregate recall probing half the cells
+
+
+def test_ivfpq_index_append_matches_rebuild(spark, tmp_path_factory, corpus, vectors):
+    """Frozen centroids + frozen codebooks make incremental append
+    provably identical to a full rebuild: cell-for-cell, code-for-code —
+    the maintained form of the reference's retrain-on-growth index."""
+    from pyspark.sql import functions as F
+
+    base = corpus.filter(F.col("id") < 150)
+    batch = corpus.filter(F.col("id") >= 150)
+    cents = corpus.filter(F.col("id") < 6).select(
+        F.col("id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    p1 = str(tmp_path_factory.mktemp("ivfpq_incr"))
+    p2 = str(tmp_path_factory.mktemp("ivfpq_full"))
+    idx = pq.IvfPqIndex.build(spark, base, cents, M, KSUB, p1)
+    idx.append(batch)
+    full = pq.IvfPqIndex.build(spark, corpus, cents, M, KSUB, p2)
+
+    def snap(i):
+        return {
+            r["id"]: (r["centroid_id"], tuple(r["pq_codes"]))
+            for r in i.encoded().select("id", "centroid_id", "pq_codes").collect()
+        }
+
+    assert snap(idx) == snap(full)
+    q = vectors[11]
+    a = [(r["id"], round(r["score"], 9)) for r in idx.search(q, 10, nprobe=3).collect()]
+    b = [(r["id"], round(r["score"], 9)) for r in full.search(q, 10, nprobe=3).collect()]
+    assert a == b and len(a) == 10
