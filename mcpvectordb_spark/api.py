@@ -179,7 +179,7 @@ class VectorDB:
 
     def search(self, query: str, top_k: int | None = None, library: str | None = None,
                filter: dict | None = None, fusion: str = "rrf",
-               highlight: bool = False) -> dict:  # noqa: A002 - reference param name
+               highlight: bool = False, method: str = "exact") -> dict:  # noqa: A002 - reference param name
         """Reference server.py:228-289 — hybrid BM25+vector search with RRF,
         falling back to vector-only when hybrid is disabled (config.py:59).
         Filters are applied BEFORE ranking (mcp-tool-spec.md:110-111).
@@ -187,9 +187,17 @@ class VectorDB:
         blend over min-max-normalized legs — beyond-reference option).
         ``highlight``: add a ``snippet`` field per result — a windowed
         excerpt with query terms marked (operators/bm25.py::highlight_col;
-        beyond-reference)."""
+        beyond-reference).
+        ``method``: vector-leg scan strategy — "exact" (flat scan, the
+        reference's sub-50k regime), "sq8" (int8 coarse scan + exact
+        refine) or "matryoshka" (truncated-dim coarse scan + exact
+        refine).  The trained-state ANN paths (IVF / PQ) live behind
+        their own maintained indexes (knn.IvfIndex / pq.IvfPqIndex) — a
+        per-request train would be neither correct nor honest to time."""
         if fusion not in ("rrf", "blend"):
             return _err("fusion must be 'rrf' or 'blend'")
+        if method not in ("exact", "sq8", "matryoshka"):
+            return _err("method must be 'exact', 'sq8' or 'matryoshka'")
         top_k = self.config.top_k_default if top_k is None else top_k
         if not query or not query.strip():
             return _err("query must be non-empty")
@@ -203,7 +211,18 @@ class VectorDB:
         chunks = self.store.read().filter(pred)
         qv = [float(x) for x in self.embedder.embed_query(query)]
         candidates = max(top_k, top_k * self.config.refine_factor)
-        vec_leg = knn_topk(chunks, qv, candidates, tie_col="id")
+        if method == "sq8":
+            from mcpvectordb_spark.operators.knn import knn_topk_sq8
+
+            vec_leg = knn_topk_sq8(chunks, qv, candidates, tie_col="id")
+        elif method == "matryoshka":
+            from mcpvectordb_spark.operators.knn import knn_truncated_topk
+
+            vec_leg = knn_truncated_topk(
+                chunks, qv, candidates, dims_coarse=max(8, len(qv) // 4), id_col="id"
+            )
+        else:
+            vec_leg = knn_topk(chunks, qv, candidates, tie_col="id")
         if self.config.hybrid_search_enabled:
             bm_leg = bm25_topk(
                 chunks, query, candidates, "id", "content",

@@ -117,3 +117,20 @@ def test_search_highlight_snippets(db):
     # without the flag the field is absent (reference-shaped result dict)
     plain = db.search("needle sentence", library="hl")
     assert "snippet" not in plain["results"][0]
+
+
+def test_search_method_routing(db):
+    """All three vector-leg scan strategies return the same results on
+    the mini corpus (candidates >= corpus size makes the coarse passes
+    lossless) and an unknown method errors."""
+    db.ingest_content("alpha beta gamma " * 30, source="a.md", library="m")
+    db.ingest_content("delta epsilon zeta " * 30, source="b.md", library="m")
+    db.ingest_content("unrelated cooking pasta " * 30, source="c.md", library="m")
+    base = db.search("alpha beta gamma", top_k=3)
+    assert base["status"] == "ok" and base["results"]
+    for method in ("sq8", "matryoshka"):
+        got = db.search("alpha beta gamma", top_k=3, method=method)
+        assert got["status"] == "ok", method
+        assert [r["id"] for r in got["results"]] == [r["id"] for r in base["results"]], method
+    err = db.search("alpha", method="hnsw")
+    assert err["status"] == "error" and "method" in err["error"]
