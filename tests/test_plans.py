@@ -201,3 +201,42 @@ def test_weighted_sample_is_take_ordered(spark):
 
     plan = formatted_plan(QUERIES["weighted_sample"](spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ivfpq_coarse_scan_static_prunes_and_prunes_columns(spark, tmp_path):
+    """IvfPqIndex search's coarse pass on the partitioned layout must
+    (a) plan the probed cells as PartitionFilters, (b) physically list
+    only nprobe directories, and (c) push a (id, codes)-only ReadSchema
+    into the coarse scan — the embedding column stays in parquet until
+    the k*refine refine stage."""
+    from pyspark.sql import functions as F
+
+    from mcpvectordb_spark.operators import pq as pqm
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    cents = emb.filter(F.col("id") < 8).select(
+        F.col("id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    idx = pqm.IvfPqIndex.build(spark, emb, cents, m=8, ksub=16, path=str(tmp_path / "ivfpq"))
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    q = idx.search(qv, 5, nprobe=3)
+    plan = formatted_plan(q)
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters", 1)[1][:300]
+    # coarse branch = the scan whose ReadSchema lacks the embedding column
+    scans = [seg for seg in plan.split("Scan parquet") if "ReadSchema" in seg]
+    coarse = [seg for seg in scans if "pq_codes" in seg.split("ReadSchema", 1)[1][:400]
+              and "embedding" not in seg.split("ReadSchema", 1)[1][:400]]
+    assert coarse, "no codes-only coarse scan found:\n" + plan
+
+    # physical directory pruning on the persisted layout: a codes-only
+    # coarse read of 3 cells lists exactly 3 partition dirs
+    coarse_only = (
+        idx.encoded().filter(F.col("centroid_id").isin([0, 1, 2])).select("id", "pq_codes")
+    )
+    coarse_only.collect()
+    scan = coarse_only._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    assert scan.metrics().apply("numPartitions").value() == 3
