@@ -3345,6 +3345,101 @@ def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _digest_gate(pairs.orderBy("id_a", "id_b"))
 
 
+def q_multimodal_video_framedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video SCENE dedup (sources/multimodal.py::
+    video_frame_dhash_stage + dedup.hamming_neardup_pairs): 8 synthesized
+    uncompressed-DIB AVIs — videos 4..7 replay the first three scenes of
+    video v−4 with a small patch perturbation — are frame-sampled on the
+    container clock by the REAL AVI decoder, each frame dHashed in the
+    kernel (only 8-byte hashes reach the plan), and near-identical frames
+    paired across videos; the per-video-pair rollup must find exactly the
+    3 shared scenes per planted pair.  Codec/hash kernels are not
+    SQL-expressible → digest gate."""
+    from pyspark.sql import types as T
+
+    from mcpvectordb_spark.sources.multimodal import video_frame_dhash_stage
+
+    vids = load_table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(8)
+
+    def synth(batches):
+        import struct
+
+        import pandas as pd
+
+        W = H = 24
+
+        def frame_rows(scene, perturb):
+            # md5-mixed block content (3×3-px blocks): gradients and
+            # affine block formulas are DEGENERATE for dHash (adjacent-
+            # cell DIFFERENCES cancel the scene term, every scene pair
+            # collides); proper mixing gives each scene ~random 64 bits
+            # while a small patch edit still flips only a few
+            import hashlib
+
+            def bv(bx, by_):
+                return hashlib.md5(f"{bx},{by_},{scene}".encode()).digest()[0]
+
+            rows = []
+            for y in range(H - 1, -1, -1):  # bottom-up
+                row = bytearray()
+                for x in range(W):
+                    v = bv(x // 3, y // 3)
+                    if perturb and 4 <= x < 7 and 4 <= y < 7:
+                        v = (v + 40) % 256
+                    row += bytes(((v + 2) % 256, (v + 1) % 256, v))  # BGR
+                rows.append(bytes(row))  # w*3 == 72, already 4-byte aligned
+            return b"".join(rows)
+
+        def avi(media_id):
+            scenes = (
+                [(media_id - 4) * 10 + i for i in range(3)]
+                + [media_id * 10 + i for i in range(3, 6)]
+                if media_id >= 4
+                else [media_id * 10 + i for i in range(6)]
+            )
+            chunks = b""
+            for s in scenes:
+                data = frame_rows(s, perturb=media_id >= 4)
+                chunks += b"00db" + struct.pack("<I", len(data)) + data
+            avih = (struct.pack("<IIIII", 1_000_000, 0, 0, 0, len(scenes))
+                    + bytes(12) + struct.pack("<II", W, H) + bytes(16))
+            hdrl = (b"LIST" + struct.pack("<I", 4 + 8 + len(avih))
+                    + b"hdrlavih" + struct.pack("<I", len(avih)) + avih)
+            movi = b"LIST" + struct.pack("<I", 4 + len(chunks)) + b"movi" + chunks
+            body = b"AVI " + hdrl + movi
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [(int(d), avi(int(d))) for d in pdf["doc_id"]],
+                columns=["media_id", "payload"],
+            )
+
+    media = vids.mapInPandas(
+        synth,
+        schema=T.StructType(
+            [T.StructField("media_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+        ),
+    )
+    hashed = video_frame_dhash_stage(media, every_s=1.0).select(
+        (F.col("media_id") * 100 + F.col("frame_index")).alias("fid"), "dhash"
+    )
+    pairs = dd.hamming_neardup_pairs(hashed, "fid", "dhash", bits=64, max_dist=6)
+    cross = pairs.filter((F.col("id_a") / 100).cast("long") != (F.col("id_b") / 100).cast("long"))
+    rollup = (
+        cross.groupBy(
+            (F.col("id_a") / 100).cast("long").alias("video_a"),
+            (F.col("id_b") / 100).cast("long").alias("video_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_frames"),
+            F.max("dist").cast("int").alias("max_dist"),
+        )
+        .orderBy("video_a", "video_b")
+    )
+    return _digest_gate(rollup)
+
+
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IMAGE codec path under the driver gate: PNG (filter-0 RGB) and
     24-bit BMP payloads are synthesized deterministically per doc_id, then
@@ -4163,6 +4258,7 @@ QUERIES = {
     "dedup_span_removal": q_dedup_span_removal,
     "knn_pca": q_knn_pca,
     "multimodal_image_neardup": q_multimodal_image_neardup,
+    "multimodal_video_framedup": q_multimodal_video_framedup,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
@@ -4195,7 +4291,6 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "curation_pipeline": q_curation_pipeline,
     "text_repetition": q_text_repetition,
-    "text_quality": q_text_quality,
     "events_interval_join": q_events_interval_join,
     "events_overlap_join": q_events_overlap_join,
     "events_distinct_rollup": q_events_distinct_rollup,
@@ -4225,6 +4320,7 @@ QUERIES = {
     # (tpch_q5/q6 demoted from the window to make room for round-3 additions:
     # plain SQL shapes, driver-green r01 AND parity-verified ×3 scales locally)
     "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_asof_join": q_events_asof_join,
@@ -4283,6 +4379,7 @@ ORACLES = {
     "knn_pq_refined": _sql_digest_gold(10, "3bbfe9627423b7e0ac2ba9142a8ee08f"),
     "knn_pca": _sql_digest_gold(10, "5e8b0e9fe60785a627b6e260a1f4d266"),
     "multimodal_image_neardup": _sql_digest_gold(92, "d2a7303360acf327f6881a1e36f96fa7"),
+    "multimodal_video_framedup": _sql_digest_gold(4, "19d96a8ad5482e70ace954e54c1a5847"),
     "ingest_chunks": _sql_digest_gold(5, "e5e2c8732cadb9460796d38f249b6336"),
     "search_ingested": _sql_digest_gold(10, "8fe65a60b1876bec1897acd65e84ac2a"),
     "neardup_lsh_embeddings": _sql_digest_gold(194, "6f58a0fe80114093f7a418159120bc34"),

@@ -951,3 +951,45 @@ def image_dhash_stage(df: "DataFrame") -> "DataFrame":
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "dhash"])
 
     return df.mapInPandas(run, schema=schema)
+
+
+def video_frame_dhash_stage(df: "DataFrame", every_s: float = 1.0) -> "DataFrame":
+    """video binary → one row per SAMPLED frame with its 64-bit dHash:
+    (media_id, frame_index, frame_ts_s, dhash).  Real for uncompressed-DIB
+    AVI (parse_avi_frames); compressed codecs yield no rows (the ffmpeg
+    seam).  The frame pixels never leave the kernel — only 8-byte hashes
+    reach the plan, so cross-video scene dedup shuffles hashes, not video."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame_ts_s", T.DoubleType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                payload = bytes(rec["payload"] or b"")
+                try:
+                    meta = parse_video_header(payload)
+                    frames = list(parse_avi_frames(payload))
+                except Exception:
+                    meta, frames = None, []
+                if not frames:
+                    continue
+                fps = (meta["n_frames"] / meta["duration_s"]
+                       if meta.get("duration_s") else 1.0)
+                step = max(1, round(every_s * fps))
+                for i, px in frames:
+                    if i % step == 0:
+                        rows.append((rec["media_id"], i, i / fps, dhash64(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_index", "frame_ts_s", "dhash"])
+
+    return df.mapInPandas(run, schema=schema)

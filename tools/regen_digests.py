@@ -29,6 +29,7 @@ GATED = [
     "knn_pq_refined",
     "knn_pca",
     "multimodal_image_neardup",
+    "multimodal_video_framedup",
 ]
 
 
