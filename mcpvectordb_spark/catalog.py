@@ -3979,6 +3979,50 @@ ORDER BY hour, event_type
 """
 
 
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-path transition mining: the top-25 (event_type →
+    next_event_type) transitions with counts and the share of each source
+    type's outgoing traffic — the path-analysis primitive behind sankey /
+    next-action dashboards.  One lead() window per user (events already
+    cluster by user after the shuffle) + one keyed agg; ties broken by
+    transition name so top-25 is total-ordered."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    by_src = trans.groupBy("src").agg(F.count(F.lit(1)).alias("src_total"))
+    return (
+        trans.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .join(F.broadcast(by_src), "src")
+        .select("src", "dst", "n", F.round(F.col("n") / F.col("src_total"), 6).alias("share"))
+        .orderBy(F.desc("n"), "src", "dst")
+        .limit(25)
+    )
+
+
+SQL_EVENTS_PATHS = """
+WITH trans AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+t2 AS (SELECT src, dst FROM trans WHERE dst IS NOT NULL),
+by_src AS (SELECT src, count(*) AS src_total FROM t2 GROUP BY src)
+SELECT t.src, t.dst, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 / max(b.src_total), 6) AS share
+FROM t2 t JOIN by_src b USING (src)
+GROUP BY t.src, t.dst
+ORDER BY n DESC, t.src, t.dst
+LIMIT 25
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered view→click→purchase funnel (operators/analytics.py
     ::funnel_counts): step i counts users converting with an event
@@ -4259,6 +4303,7 @@ QUERIES = {
     "knn_pca": q_knn_pca,
     "multimodal_image_neardup": q_multimodal_image_neardup,
     "multimodal_video_framedup": q_multimodal_video_framedup,
+    "events_paths": q_events_paths,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
@@ -4287,7 +4332,6 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "domain_quota": q_domain_quota,
     "sample_stratified": q_sample_stratified,
-    "train_shards": q_train_shards,
     "pii_scrub": q_pii_scrub,
     "curation_pipeline": q_curation_pipeline,
     "text_repetition": q_text_repetition,
@@ -4319,6 +4363,7 @@ QUERIES = {
     # ---------------- tail: stable r01/r02 greens (driver-verified) ------------
     # (tpch_q5/q6 demoted from the window to make room for round-3 additions:
     # plain SQL shapes, driver-green r01 AND parity-verified ×3 scales locally)
+    "train_shards": q_train_shards,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "events_hourly": q_events_hourly,
@@ -4462,6 +4507,7 @@ ORACLES = {
     "events_cms": SQL_EVENTS_CMS,
     "orders_bloom_join": SQL_ORDERS_BLOOM_JOIN,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_paths": SQL_EVENTS_PATHS,
     "events_cohorts": SQL_EVENTS_COHORTS,
     "hybrid_weighted": SQL_HYBRID_WEIGHTED,
     "events_percentiles": SQL_EVENTS_PERCENTILES,
