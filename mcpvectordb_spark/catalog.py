@@ -834,6 +834,42 @@ FROM snip
 """
 
 
+def q_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood LM retrieval with Dirichlet smoothing (μ=2000) —
+    the second standard lexical scorer beside BM25 (operators/qlm.py;
+    Zhai & Lafferty 2001).  Every document scores (zero-hit docs rank by
+    the length normalizer), so the oracle replays the full decomposition
+    over the same posting list."""
+    from mcpvectordb_spark.operators.qlm import qlm_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = qlm_topk(docs, SEARCH_QUERY, 10, "doc_id", "text")
+    return hits.select("doc", F.round("score", 6).alias("score"))
+
+
+SQL_LM_DIRICHLET = rf"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS term
+  FROM documents),
+posting AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+lens AS (
+  SELECT doc_id AS doc,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT) AS dl
+  FROM documents),
+cf AS (SELECT term, sum(tf) AS cf FROM posting GROUP BY 1),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM posting),
+qterms AS (SELECT unnest(['batch','join','spark','window']) AS term, 1.0 AS qc),
+hits AS (
+  SELECT doc, sum(qc * ln(1 + tf / (2000.0 * (cf / total)))) AS hit
+  FROM posting JOIN qterms USING(term) JOIN cf USING(term), tot
+  GROUP BY doc),
+scored AS (
+  SELECT doc, coalesce(hit, 0.0) + 4.0 * ln(2000.0 / (dl + 2000.0)) AS score
+  FROM lens LEFT JOIN hits USING(doc))
+SELECT doc, round(score, 6) AS score FROM scored ORDER BY score DESC, doc LIMIT 10
+"""
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search: BM25 leg + vector leg fused with RRF (k0=60) —
     the reference's hybrid query (SURVEY §2.10 R2), fully re-expressed.
@@ -4416,6 +4452,9 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "doc_embeddings": q_doc_embeddings,
     "decontaminate_bloom": q_decontaminate_bloom,
+    # -- session-3 additions (parity-checked locally; rotate into the
+    # -- driver window next round) --
+    "lm_dirichlet": q_lm_dirichlet,
 }
 
 ORACLES = {
@@ -4446,6 +4485,7 @@ ORACLES = {
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_fuzzy": SQL_BM25_FUZZY,
     "search_highlights": SQL_SEARCH_HIGHLIGHTS,
+    "lm_dirichlet": SQL_LM_DIRICHLET,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "list_libraries": SQL_LIST_LIBRARIES,
     "list_documents": SQL_LIST_DOCUMENTS,

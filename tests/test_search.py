@@ -405,3 +405,50 @@ def test_highlight_col_snippets(spark):
     assert len(out[1]) <= 80 + 4 * len("**")                    # windowed excerpt
     assert out[2] == ("no relevant terms at all in this one " * 5)[:80]  # head fallback
     assert out[3].startswith("**spark**")                       # window clamps at 1
+
+
+def test_qlm_dirichlet_ranking_and_zero_hit_scores(spark):
+    """Dirichlet QL: a doc containing the query terms outranks ones that
+    don't; zero-hit docs still score (pure length normalizer, so shorter
+    zero-hit docs rank higher); hand-computed score matches."""
+    import math
+
+    from mcpvectordb_spark.operators.qlm import qlm_score, qlm_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle spark join"),     # hits: spark x2
+         (2, "completely unrelated words"),   # zero-hit, dl=3
+         (3, "more unrelated filler text here and padding")],  # zero-hit, dl=7
+        "doc_id long, text string",
+    )
+    mu = 10.0
+    scores = {r["doc"]: r["score"] for r in
+              qlm_score(docs, "spark spark", "doc_id", "text", mu=mu).collect()}
+    # collection: 14 tokens total, cf(spark)=2 → p_c = 2/14
+    expected_1 = 2.0 * math.log(1 + 2 / (mu * (2 / 14))) + 2.0 * math.log(mu / (4 + mu))
+    assert scores[1] == pytest.approx(expected_1, rel=1e-12)
+    assert scores[2] == pytest.approx(2.0 * math.log(mu / (3 + mu)), rel=1e-12)
+    assert scores[1] > scores[2] > scores[3]  # hit first, then shorter zero-hit
+    top = qlm_topk(docs, "spark spark", 2, "doc_id", "text", mu=mu).collect()
+    assert [r["doc"] for r in top] == [1, 2]
+
+
+def test_qlm_shares_bm25_index(spark):
+    """One Bm25Index serves both scorers: qlm with a prebuilt index equals
+    the lazy-stats path exactly."""
+    from mcpvectordb_spark.operators.bm25 import Bm25Index
+    from mcpvectordb_spark.operators.qlm import qlm_score
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} gamma " * (1 + i % 3)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx = Bm25Index.build(docs, "doc_id", "text")
+    try:
+        lazy = {r["doc"]: r["score"] for r in
+                qlm_score(docs, "alpha beta", "doc_id", "text").collect()}
+        indexed = {r["doc"]: r["score"] for r in
+                   qlm_score(docs, "alpha beta", "doc_id", "text", index=idx).collect()}
+        assert lazy == indexed
+    finally:
+        idx.unpersist()
