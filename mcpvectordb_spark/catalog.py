@@ -870,6 +870,40 @@ SELECT doc, round(score, 6) AS score FROM scored ORDER BY score DESC, doc LIMIT 
 """
 
 
+def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (operators/prf.py): BM25 top-10
+    feedback docs → RM1 relevance model → λ=0.5 interpolation with the
+    query MLE → weighted-BM25 second pass.  The oracle replays all four
+    stages over the same posting list."""
+    from mcpvectordb_spark.operators.prf import rm3_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = rm3_topk(docs, SEARCH_QUERY, 10, "doc_id", "text")
+    return hits.select("doc", F.round("score", 6).alias("score"))
+
+
+SQL_RM3_EXPANSION = f"""
+WITH {_SQL_BM25_CTES},
+feedback AS (SELECT doc FROM bm ORDER BY score DESC, doc LIMIT 10),
+rm1 AS (
+  SELECT term, sum(tf * 1.0 / dl) / 10.0 AS p_rm1
+  FROM posting JOIN feedback USING(doc) JOIN lens USING(doc)
+  GROUP BY term),
+top_e AS (SELECT term, p_rm1 FROM rm1 ORDER BY p_rm1 DESC, term LIMIT 10),
+qdist AS (SELECT unnest(['batch','join','spark','window']) AS term, 0.25 AS p_q),
+weights AS (
+  SELECT coalesce(q.term, e.term) AS term,
+         0.5 * coalesce(p_q, 0.0) + 0.5 * coalesce(p_rm1, 0.0) AS wt
+  FROM qdist q FULL OUTER JOIN top_e e ON q.term = e.term),
+scored AS (
+  SELECT doc, sum( wt * ln(1 + (n - df + 0.5)/(df + 0.5))
+                   * tf*(1.2+1)/(tf + 1.2*(1-0.75+0.75*dl/avgdl)) ) AS score
+  FROM posting JOIN weights USING(term) JOIN dfreq USING(term) JOIN lens USING(doc), stats
+  GROUP BY doc)
+SELECT doc, round(score, 6) AS score FROM scored ORDER BY score DESC, doc LIMIT 10
+"""
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search: BM25 leg + vector leg fused with RRF (k0=60) —
     the reference's hybrid query (SURVEY §2.10 R2), fully re-expressed.
@@ -4455,6 +4489,7 @@ QUERIES = {
     # -- session-3 additions (parity-checked locally; rotate into the
     # -- driver window next round) --
     "lm_dirichlet": q_lm_dirichlet,
+    "rm3_expansion": q_rm3_expansion,
 }
 
 ORACLES = {
@@ -4486,6 +4521,7 @@ ORACLES = {
     "bm25_fuzzy": SQL_BM25_FUZZY,
     "search_highlights": SQL_SEARCH_HIGHLIGHTS,
     "lm_dirichlet": SQL_LM_DIRICHLET,
+    "rm3_expansion": SQL_RM3_EXPANSION,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "list_libraries": SQL_LIST_LIBRARIES,
     "list_documents": SQL_LIST_DOCUMENTS,

@@ -452,3 +452,43 @@ def test_qlm_shares_bm25_index(spark):
         assert lazy == indexed
     finally:
         idx.unpersist()
+
+
+def test_rm3_expansion_recovers_term_free_doc(spark):
+    """RM3: a doc sharing NO original query term but dominated by the
+    feedback docs' companion vocabulary enters the second-pass ranking
+    (score > 0), and original-term docs still lead."""
+    from mcpvectordb_spark.operators.prf import rm3_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle partition exchange"),
+         (2, "spark shuffle partition stage"),
+         (3, "shuffle partition exchange stage"),   # no 'spark' — expansion-only
+         (4, "completely unrelated prose about gardening and soil")],
+        "doc_id long, text string",
+    )
+    out = rm3_topk(docs, "spark", 4, "doc_id", "text",
+                   fb_docs=2, fb_terms=5, lam=0.5).collect()
+    scores = {r["doc"]: r["score"] for r in out}
+    assert 3 in scores and scores[3] > 0.0       # recovered via expansion
+    assert 4 not in scores or scores.get(4, 0.0) == 0.0
+    assert max(scores, key=scores.get) in (1, 2)  # original terms still lead
+
+
+def test_rm3_lam1_equals_plain_bm25_ranking(spark):
+    """λ=1 collapses RM3 to a c(t,q)/|q|-scaled BM25: same ranking, scores
+    scaled by 1/|q| for a duplicate-free query."""
+    from mcpvectordb_spark.operators.bm25 import bm25_topk
+    from mcpvectordb_spark.operators.prf import rm3_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma " * (1 + i % 4)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    base = [(r["doc"], r["score"]) for r in
+            bm25_topk(docs, "alpha gamma", 8, "doc_id", "text").collect()]
+    rm3 = [(r["doc"], r["score"]) for r in
+           rm3_topk(docs, "alpha gamma", 8, "doc_id", "text", lam=1.0).collect()]
+    assert [d for d, _ in base] == [d for d, _ in rm3]
+    for (_, s0), (_, s1) in zip(base, rm3):
+        assert s1 == pytest.approx(s0 / 2.0, rel=1e-12)
