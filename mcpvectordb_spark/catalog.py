@@ -870,6 +870,40 @@ SELECT doc, round(score, 6) AS score FROM scored ORDER BY score DESC, doc LIMIT 
 """
 
 
+def q_tfidf_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine near-dup pairs ≥ 0.6 over the planted near-dup corpus
+    (operators/simjoin.py — inverted-index candidate join, max_df=100
+    stop-term cutoff)."""
+    from mcpvectordb_spark.operators.simjoin import tfidf_cosine_pairs
+
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = tfidf_cosine_pairs(corpus, "id", "text", threshold=0.6, max_df=100)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_TFIDF_SIMJOIN = rf"""
+WITH corpus AS ({_SQL_NEAR_CORPUS}),
+toks AS (
+  SELECT id AS doc, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS term
+  FROM corpus),
+posting AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM corpus),
+dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY 1 HAVING count(*) <= 100),
+w AS (
+  SELECT doc, term, df, tf * ln(n_docs / df) AS w
+  FROM posting JOIN dfreq USING(term), n),
+norms AS (SELECT doc, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc),
+pairs AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, sum(a.w * b.w) AS dot
+  FROM (SELECT * FROM w WHERE df >= 2) a
+  JOIN (SELECT * FROM w WHERE df >= 2) b ON a.term = b.term AND a.doc < b.doc
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(dot / (na.norm * nb.norm), 6) AS cosine
+FROM pairs JOIN norms na ON na.doc = id_a JOIN norms nb ON nb.doc = id_b
+WHERE dot / (na.norm * nb.norm) >= 0.6
+"""
+
+
 def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (operators/prf.py): BM25 top-10
     feedback docs → RM1 relevance model → λ=0.5 interpolation with the
@@ -4404,10 +4438,12 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "pii_scrub": q_pii_scrub,
     "curation_pipeline": q_curation_pipeline,
-    "text_repetition": q_text_repetition,
-    "events_interval_join": q_events_interval_join,
     "events_overlap_join": q_events_overlap_join,
-    "events_distinct_rollup": q_events_distinct_rollup,
+    # -- session-3 additions (never driver-checked -> must sit in the window;
+    # -- three r01-cohort queries rotate to the tail to make room) --
+    "lm_dirichlet": q_lm_dirichlet,
+    "rm3_expansion": q_rm3_expansion,
+    "tfidf_simjoin": q_tfidf_simjoin,
     # -- new round-3 queries (never driver-checked → must sit in the window;
     # -- orders_pivot/rollup/analytics + events_percentiles rotate to the
     # -- tail to make room, re-verified in a later rotation) --
@@ -4486,10 +4522,9 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "doc_embeddings": q_doc_embeddings,
     "decontaminate_bloom": q_decontaminate_bloom,
-    # -- session-3 additions (parity-checked locally; rotate into the
-    # -- driver window next round) --
-    "lm_dirichlet": q_lm_dirichlet,
-    "rm3_expansion": q_rm3_expansion,
+    "text_repetition": q_text_repetition,
+    "events_interval_join": q_events_interval_join,
+    "events_distinct_rollup": q_events_distinct_rollup,
 }
 
 ORACLES = {
@@ -4522,6 +4557,7 @@ ORACLES = {
     "search_highlights": SQL_SEARCH_HIGHLIGHTS,
     "lm_dirichlet": SQL_LM_DIRICHLET,
     "rm3_expansion": SQL_RM3_EXPANSION,
+    "tfidf_simjoin": SQL_TFIDF_SIMJOIN,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "list_libraries": SQL_LIST_LIBRARIES,
     "list_documents": SQL_LIST_DOCUMENTS,

@@ -541,3 +541,43 @@ def test_dhash_stability_and_sensitivity():
     img2 = np.stack([(5 * x - 2 * y) % 256] * 3, axis=2).astype(np.uint8)
     d_big = bin((dhash64(img2) ^ h0) & ((1 << 64) - 1)).count("1")
     assert d_big > 10
+
+
+def test_tfidf_cosine_pairs_hand_computed(spark):
+    """Exact cosine on a 3-doc corpus, and the max_df cutoff removes a
+    universal stop term from the vectorization entirely."""
+    import math
+
+    import pytest
+
+    from mcpvectordb_spark.operators.simjoin import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "the dog ran")],
+        "id long, text string",
+    )
+    # max_df=2 cuts 'the' (df=3); N=3, idf(df=2)=ln(1.5), idf(df=1)=ln(3)
+    out = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           tfidf_cosine_pairs(docs, "id", "text", threshold=0.0, max_df=2).collect()}
+    w2, w1 = math.log(1.5), math.log(3.0)
+    # doc1 = {cat:w2, sat:w1}, doc2 = {cat:w2, ran:w2}, doc3 = {dog:w1, ran:w2}
+    expect = w2 * w2 / (math.hypot(w2, w1) * (w2 * math.sqrt(2.0)))
+    assert out[(1, 2)] == pytest.approx(expect, rel=1e-12)  # share 'cat'
+    assert out[(2, 3)] == pytest.approx(expect, rel=1e-12)  # share 'ran'
+    assert (1, 3) not in out or out[(1, 3)] == 0.0  # share only 'the' (cut)
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    import pytest
+
+    from mcpvectordb_spark.operators.simjoin import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "unrelated words entirely different")],
+        "id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           tfidf_cosine_pairs(docs, "id", "text", threshold=0.9).collect()}
+    assert list(out) == [(1, 2)]
+    assert out[(1, 2)] == pytest.approx(1.0, rel=1e-12)
