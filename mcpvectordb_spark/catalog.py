@@ -1056,6 +1056,51 @@ ORDER BY n_orders DESC, pa ASC, pb ASC LIMIT 25
 """
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (analytics.py::assoc_rules):
+    support / confidence / lift for directed 2-itemset rules, top-50 by
+    lift with a confidence-then-ids total-order tiebreak."""
+    from mcpvectordb_spark.operators.analytics import assoc_rules
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    rules = assoc_rules(li, "l_orderkey", "l_partkey", min_pair_count=2, top_n=50)
+    return rules.select(
+        "antecedent", "consequent", "n_pair",
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    )
+
+
+SQL_ASSOC_RULES = """
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n_baskets FROM items),
+item_n AS (SELECT p, CAST(count(*) AS BIGINT) AS n_item FROM items GROUP BY p),
+pair_n AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_pair
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+directed AS (
+  SELECT pa AS antecedent, pb AS consequent, n_pair FROM pair_n
+  UNION ALL
+  SELECT pb AS antecedent, pa AS consequent, n_pair FROM pair_n),
+rules AS (
+  SELECT antecedent, consequent, n_pair,
+         n_pair / n_baskets AS support,
+         n_pair * 1.0 / na.n_item AS confidence,
+         n_pair * n_baskets / (na.n_item * nb.n_item) AS lift
+  FROM directed
+  JOIN item_n na ON na.p = antecedent
+  JOIN item_n nb ON nb.p = consequent, n)
+SELECT antecedent, consequent, n_pair,
+       round(support, 6) AS support,
+       round(confidence, 6) AS confidence,
+       round(lift, 6) AS lift
+FROM rules
+ORDER BY lift DESC, confidence DESC, antecedent ASC, consequent ASC LIMIT 50
+"""
+
+
 def q_orders_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit set-operation shapes (SURVEY §2.7): customers active in
     1995 INTERSECT 1996, 1995 EXCEPT 1996, and the symmetric difference —
@@ -4435,7 +4480,6 @@ QUERIES = {
     "semdedup": q_semdedup,
     "decontaminate": q_decontaminate,
     "domain_quota": q_domain_quota,
-    "sample_stratified": q_sample_stratified,
     "pii_scrub": q_pii_scrub,
     "curation_pipeline": q_curation_pipeline,
     "events_overlap_join": q_events_overlap_join,
@@ -4444,6 +4488,7 @@ QUERIES = {
     "lm_dirichlet": q_lm_dirichlet,
     "rm3_expansion": q_rm3_expansion,
     "tfidf_simjoin": q_tfidf_simjoin,
+    "assoc_rules": q_assoc_rules,
     # -- new round-3 queries (never driver-checked → must sit in the window;
     # -- orders_pivot/rollup/analytics + events_percentiles rotate to the
     # -- tail to make room, re-verified in a later rotation) --
@@ -4522,6 +4567,7 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "doc_embeddings": q_doc_embeddings,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "sample_stratified": q_sample_stratified,
     "text_repetition": q_text_repetition,
     "events_interval_join": q_events_interval_join,
     "events_distinct_rollup": q_events_distinct_rollup,
@@ -4558,6 +4604,7 @@ ORACLES = {
     "lm_dirichlet": SQL_LM_DIRICHLET,
     "rm3_expansion": SQL_RM3_EXPANSION,
     "tfidf_simjoin": SQL_TFIDF_SIMJOIN,
+    "assoc_rules": SQL_ASSOC_RULES,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "list_libraries": SQL_LIST_LIBRARIES,
     "list_documents": SQL_LIST_DOCUMENTS,

@@ -87,3 +87,67 @@ def cohort_retention(
             .alias(f"retained_d{h}")
         )
     return joined.groupBy("cohort_day").agg(*aggs)
+
+
+def assoc_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    top_n: int = 50,
+) -> DataFrame:
+    """Association rules from co-occurrence pairs (Agrawal & Srikant
+    1994's measures over 2-itemsets): for each directed rule a -> b with
+    pair count >= ``min_pair_count``,
+
+        support    = n(a,b) / N            (N = distinct baskets)
+        confidence = n(a,b) / n(a)
+        lift       = confidence / (n(b) / N)
+
+    Returns top_n rules by (lift desc, confidence desc, antecedent,
+    consequent) — lift is pair-symmetric, so confidence is a real
+    tiebreak, then ints give a total order.
+
+    Scale shape: same inverted-index pair explode as the co-purchase
+    top-n (bounded by items-per-basket², never catalog²); item counts are
+    a broadcast; min_pair_count prunes the rule space before ranking.
+    """
+    items = baskets.select(
+        F.col(basket_col).alias("o"), F.col(item_col).alias("p")
+    ).distinct()
+    n_baskets = F.broadcast(
+        items.agg(F.countDistinct("o").cast("double").alias("__n"))
+    )
+    item_n = items.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+
+    a = items.select(F.col("o"), F.col("p").alias("pa"))
+    b = items.select(F.col("o"), F.col("p").alias("pb"))
+    pair_n = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    # both rule directions from the canonical pair
+    directed = pair_n.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_pair"
+    ).unionByName(
+        pair_n.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "n_pair"
+        )
+    )
+    rules = (
+        directed.join(item_n.select(F.col("p").alias("antecedent"), F.col("n_item").alias("n_a")), "antecedent")
+        .join(item_n.select(F.col("p").alias("consequent"), F.col("n_item").alias("n_b")), "consequent")
+        .crossJoin(n_baskets)
+        .select(
+            "antecedent", "consequent", "n_pair",
+            (F.col("n_pair") / F.col("__n")).alias("support"),
+            (F.col("n_pair") / F.col("n_a")).alias("confidence"),
+            (F.col("n_pair") * F.col("__n") / (F.col("n_a") * F.col("n_b"))).alias("lift"),
+        )
+    )
+    return rules.orderBy(
+        F.desc("lift"), F.desc("confidence"), F.asc("antecedent"), F.asc("consequent")
+    ).limit(top_n)

@@ -44,3 +44,37 @@ def test_cohort_retention_day_boundaries(spark):
     assert (c1["n_new"], c1["retained_d1"], c1["retained_d7"]) == (2, 1, 1)
     c2 = out[datetime(2024, 1, 2)]
     assert (c2["n_new"], c2["retained_d1"], c2["retained_d7"]) == (1, 1, 0)
+
+
+def test_assoc_rules_hand_computed(spark):
+    """Rules on a 4-basket corpus: confidence is direction-sensitive,
+    lift symmetric, min_pair_count prunes singleton pairs."""
+    import pytest
+
+    from mcpvectordb_spark.operators.analytics import assoc_rules
+
+    baskets = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c"), (4, "a")],
+        "o long, p string",
+    )
+    out = {(r["antecedent"], r["consequent"]): r for r in
+           assoc_rules(baskets, "o", "p", min_pair_count=2, top_n=10).collect()}
+    # only (a,b) survives min_pair_count=2: n(a,b)=2, n(a)=4, n(b)=2, N=4
+    assert set(out) == {("a", "b"), ("b", "a")}
+    ab, ba = out[("a", "b")], out[("b", "a")]
+    assert ab["support"] == pytest.approx(0.5)
+    assert ab["confidence"] == pytest.approx(2 / 4)
+    assert ba["confidence"] == pytest.approx(1.0)
+    assert ab["lift"] == pytest.approx(ba["lift"]) == pytest.approx(2 * 4 / (4 * 2))
+
+
+def test_assoc_rules_dedupes_repeated_lines(spark):
+    """Duplicate (basket, item) lines collapse before counting — quantity
+    does not inflate support."""
+    from mcpvectordb_spark.operators.analytics import assoc_rules
+
+    baskets = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")], "o long, p string"
+    )
+    rows = assoc_rules(baskets, "o", "p", min_pair_count=2, top_n=10).collect()
+    assert {r["n_pair"] for r in rows} == {2}
