@@ -1101,6 +1101,77 @@ ORDER BY lift DESC, confidence DESC, antecedent ASC, consequent ASC LIMIT 50
 """
 
 
+def q_parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (10 fixed iterations, d=0.85) over the symmetric
+    co-purchase graph of parts ordered together ≥2 times
+    (operators/graph.py) — the oracle unrolls the identical power
+    iteration as 10 chained CTEs."""
+    from mcpvectordb_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pair_n = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    edges = pair_n.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), F.col("n_pair").alias("w")
+    ).unionByName(
+        pair_n.select(
+            F.col("pb").alias("src"), F.col("pa").alias("dst"), F.col("n_pair").alias("w")
+        )
+    )
+    pr = pagerank(edges, iterations=10, damping=0.85, weight_col="w")
+    return (
+        pr.select("node", F.round("rank", 6).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def _sql_pagerank_unrolled(iters: int = 10, d: float = 0.85) -> tuple[str, str]:
+    steps = []
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""pr{i} AS (
+  SELECT nodes.node, (1-{d})/n_nodes + {d}*coalesce(im, 0.0) AS pr
+  FROM nodes LEFT JOIN (
+    SELECT dst AS node, sum(pr * p) AS im
+    FROM trans JOIN {prev} ON {prev}.node = trans.src GROUP BY dst
+  ) agg{i} USING(node), n)"""
+        )
+        prev = f"pr{i}"
+    return ",\n".join(steps), prev
+
+
+_PR_STEPS, _PR_LAST = _sql_pagerank_unrolled()
+
+SQL_PARTS_PAGERANK = f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pair_n AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_pair
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (
+  SELECT pa AS src, pb AS dst, CAST(n_pair AS DOUBLE) AS w FROM pair_n
+  UNION ALL
+  SELECT pb AS src, pa AS dst, CAST(n_pair AS DOUBLE) AS w FROM pair_n),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
+outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+trans AS (SELECT src, dst, w / out_w AS p FROM edges JOIN outw USING(src)),
+pr0 AS (SELECT node, 1.0 / n_nodes AS pr FROM nodes, n),
+{_PR_STEPS}
+SELECT node, round(pr, 6) AS pr FROM {_PR_LAST}
+ORDER BY round(pr, 6) DESC, node LIMIT 20
+"""
+
+
 def q_orders_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit set-operation shapes (SURVEY §2.7): customers active in
     1995 INTERSECT 1996, 1995 EXCEPT 1996, and the symmetric difference —
@@ -4480,7 +4551,6 @@ QUERIES = {
     "semdedup": q_semdedup,
     "decontaminate": q_decontaminate,
     "domain_quota": q_domain_quota,
-    "pii_scrub": q_pii_scrub,
     "curation_pipeline": q_curation_pipeline,
     "events_overlap_join": q_events_overlap_join,
     # -- session-3 additions (never driver-checked -> must sit in the window;
@@ -4489,6 +4559,7 @@ QUERIES = {
     "rm3_expansion": q_rm3_expansion,
     "tfidf_simjoin": q_tfidf_simjoin,
     "assoc_rules": q_assoc_rules,
+    "parts_pagerank": q_parts_pagerank,
     # -- new round-3 queries (never driver-checked → must sit in the window;
     # -- orders_pivot/rollup/analytics + events_percentiles rotate to the
     # -- tail to make room, re-verified in a later rotation) --
@@ -4567,6 +4638,7 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "doc_embeddings": q_doc_embeddings,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "pii_scrub": q_pii_scrub,
     "sample_stratified": q_sample_stratified,
     "text_repetition": q_text_repetition,
     "events_interval_join": q_events_interval_join,
@@ -4605,6 +4677,7 @@ ORACLES = {
     "rm3_expansion": SQL_RM3_EXPANSION,
     "tfidf_simjoin": SQL_TFIDF_SIMJOIN,
     "assoc_rules": SQL_ASSOC_RULES,
+    "parts_pagerank": SQL_PARTS_PAGERANK,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "list_libraries": SQL_LIST_LIBRARIES,
     "list_documents": SQL_LIST_DOCUMENTS,

@@ -78,3 +78,42 @@ def test_assoc_rules_dedupes_repeated_lines(spark):
     )
     rows = assoc_rules(baskets, "o", "p", min_pair_count=2, top_n=10).collect()
     assert {r["n_pair"] for r in rows} == {2}
+
+
+def test_pagerank_mass_conservation_and_symmetry(spark):
+    """On a symmetric graph total rank mass stays 1; a symmetric star
+    center outranks leaves; equal-degree symmetric cycle is uniform."""
+    import pytest
+
+    from mcpvectordb_spark.operators.graph import pagerank
+
+    # 4-cycle, symmetric unit weights -> uniform 0.25 at every iteration
+    cyc = [(i, (i + 1) % 4) for i in range(4)]
+    edges = spark.createDataFrame(
+        cyc + [(b, a) for a, b in cyc], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    for v in ranks.values():
+        assert v == pytest.approx(0.25, rel=1e-12)
+
+    # star: center 0, leaves 1..4 (symmetric)
+    star = [(0, i) for i in range(1, 5)]
+    sedges = spark.createDataFrame(star + [(b, a) for a, b in star], "src long, dst long")
+    sr = {r["node"]: r["rank"] for r in pagerank(sedges, iterations=10).collect()}
+    assert sum(sr.values()) == pytest.approx(1.0, rel=1e-9)
+    assert sr[0] > max(sr[i] for i in range(1, 5))
+    assert sr[1] == pytest.approx(sr[3], rel=1e-12)
+
+
+def test_pagerank_weights_steer_mass(spark):
+    """Heavier edge pulls more rank: b receives 9x the transition mass
+    of c from a, so pr(b) > pr(c)."""
+    from mcpvectordb_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    pr = {r["node"]: r["rank"] for r in
+          pagerank(edges, iterations=10, weight_col="w").collect()}
+    assert pr[1] > pr[2]
