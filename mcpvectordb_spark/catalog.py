@@ -1172,6 +1172,46 @@ ORDER BY round(pr, 6) DESC, node LIMIT 20
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (analytics.py::rfm_segments): quartile
+    scores from broadcast percentile_disc thresholds — no global ntile
+    window — rolled up per (r, f, m) segment."""
+    from mcpvectordb_spark.operators.analytics import rfm_segments
+
+    orders = load_table(spark, sf_dir, "orders")
+    seg = rfm_segments(orders)
+    return seg.select(
+        "r_score", "f_score", "m_score", "n_customers",
+        F.round("avg_monetary", 4).alias("avg_monetary"),
+    ).orderBy("r_score", "f_score", "m_score")
+
+
+SQL_RFM_SEGMENTS = """
+WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+per_cust AS (
+  SELECT o_custkey AS cust,
+         min(datediff('day', o_orderdate, a)) AS rec_days,
+         CAST(count(*) AS BIGINT) AS freq,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders, anchor GROUP BY 1, a),
+th AS (
+  SELECT quantile_disc(rec_days, 0.25) AS r0, quantile_disc(rec_days, 0.5) AS r1, quantile_disc(rec_days, 0.75) AS r2,
+         quantile_disc(freq, 0.25) AS f0, quantile_disc(freq, 0.5) AS f1, quantile_disc(freq, 0.75) AS f2,
+         quantile_disc(monetary, 0.25) AS m0, quantile_disc(monetary, 0.5) AS m1, quantile_disc(monetary, 0.75) AS m2
+  FROM per_cust),
+scored AS (
+  SELECT cust, monetary,
+         5 - (1 + (rec_days > r0)::INT + (rec_days > r1)::INT + (rec_days > r2)::INT) AS r_score,
+         1 + (freq > f0)::INT + (freq > f1)::INT + (freq > f2)::INT AS f_score,
+         1 + (monetary > m0)::INT + (monetary > m1)::INT + (monetary > m2)::INT AS m_score
+  FROM per_cust, th)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(monetary), 4) AS avg_monetary
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 def q_orders_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit set-operation shapes (SURVEY §2.7): customers active in
     1995 INTERSECT 1996, 1995 EXCEPT 1996, and the symmetric difference —
@@ -4550,7 +4590,6 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "semdedup": q_semdedup,
     "decontaminate": q_decontaminate,
-    "domain_quota": q_domain_quota,
     "curation_pipeline": q_curation_pipeline,
     "events_overlap_join": q_events_overlap_join,
     # -- session-3 additions (never driver-checked -> must sit in the window;
@@ -4560,6 +4599,7 @@ QUERIES = {
     "tfidf_simjoin": q_tfidf_simjoin,
     "assoc_rules": q_assoc_rules,
     "parts_pagerank": q_parts_pagerank,
+    "rfm_segments": q_rfm_segments,
     # -- new round-3 queries (never driver-checked → must sit in the window;
     # -- orders_pivot/rollup/analytics + events_percentiles rotate to the
     # -- tail to make room, re-verified in a later rotation) --
@@ -4638,6 +4678,7 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "doc_embeddings": q_doc_embeddings,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "domain_quota": q_domain_quota,
     "pii_scrub": q_pii_scrub,
     "sample_stratified": q_sample_stratified,
     "text_repetition": q_text_repetition,
@@ -4678,6 +4719,7 @@ ORACLES = {
     "tfidf_simjoin": SQL_TFIDF_SIMJOIN,
     "assoc_rules": SQL_ASSOC_RULES,
     "parts_pagerank": SQL_PARTS_PAGERANK,
+    "rfm_segments": SQL_RFM_SEGMENTS,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "list_libraries": SQL_LIST_LIBRARIES,
     "list_documents": SQL_LIST_DOCUMENTS,

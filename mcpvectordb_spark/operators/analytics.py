@@ -151,3 +151,71 @@ def assoc_rules(
     return rules.orderBy(
         F.desc("lift"), F.desc("confidence"), F.asc("antecedent"), F.asc("consequent")
     ).limit(top_n)
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM segmentation: quartile-score every customer on Recency (days
+    before the corpus max order date), Frequency (order count) and
+    Monetary (total spend), then roll up per (r, f, m) segment.
+
+    Quartile assignment uses the broadcast-threshold discipline of
+    curation.length_curriculum — NOT a global ntile window (which would
+    be a single-partition sort over every customer): the n-1 discrete
+    quantile thresholds per metric are one scalar aggregate row broadcast
+    back, and bucket b = 1 + #(thresholds strictly below the value).
+    Recency is days before the corpus max order date, and scores invert
+    so 4 = most recent (marketing convention).
+
+    Returns (r_score, f_score, m_score, n_customers, avg_monetary).
+
+    Scale shape: one customer-keyed aggregation, one scalar threshold
+    aggregate (broadcast), a map-side projection, and a ≤n_tiles³-row
+    segment rollup — no global windows anywhere.
+    """
+    anchor = orders.agg(F.max(F.col(date_col)).alias("__anchor"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col(cust_col).alias("cust"))
+        .agg(
+            F.min(F.datediff(F.col("__anchor"), F.col(date_col))).alias("rec_days"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            # cents-rounded: spend is 2-dp money, and rounding removes the
+            # float-summation-order ulp that would make strict threshold
+            # comparisons engine-dependent
+            F.round(F.sum(F.col(amount_col)), 2).alias("monetary"),
+        )
+    )
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    thresholds = per_cust.agg(
+        *[
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {m})").alias(f"_{m}{i}")
+            for m in ("rec_days", "freq", "monetary")
+            for i, q in enumerate(qs)
+        ]
+    )
+
+    def bucket(col: str, prefix: str):
+        b = F.lit(1)
+        for i in range(len(qs)):
+            b = b + F.when(F.col(col) > F.col(f"_{prefix}{i}"), 1).otherwise(0)
+        return b.cast("int")
+
+    scored = per_cust.crossJoin(F.broadcast(thresholds)).select(
+        "cust", "monetary",
+        (F.lit(n_tiles + 1) - bucket("rec_days", "rec_days")).alias("r_score"),
+        bucket("freq", "freq").alias("f_score"),
+        bucket("monetary", "monetary").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.avg("monetary").alias("avg_monetary"),
+        )
+    )

@@ -117,3 +117,31 @@ def test_pagerank_weights_steer_mass(spark):
     pr = {r["node"]: r["rank"] for r in
           pagerank(edges, iterations=10, weight_col="w").collect()}
     assert pr[1] > pr[2]
+
+
+def test_rfm_segments_hand_computed(spark):
+    """8 customers engineered so quartile membership is unambiguous;
+    scores follow the threshold spec (strictly-greater advances bucket,
+    recency inverted)."""
+    from datetime import datetime
+
+    from mcpvectordb_spark.operators.analytics import rfm_segments
+
+    rows = []
+    # customer i: one order (i+1) days before anchor, i+1 orders, spend 100*(i+1)
+    for i in range(8):
+        for j in range(i + 1):
+            rows.append((i, datetime(2026, 1, 31 - i), 100.0 * (i + 1) / (i + 1)))
+    orders = spark.createDataFrame(rows, "o_custkey long, o_orderdate timestamp, o_totalprice double")
+    seg = rfm_segments(orders).collect()
+    total = sum(r["n_customers"] for r in seg)
+    assert total == 8
+    by_seg = {(r["r_score"], r["f_score"], r["m_score"]): r["n_customers"] for r in seg}
+    # customers 0,1 (recent, infrequent, low spend; disc-quantile thresholds
+    # 1/3/5 for recency, 2/4/6 freq, 200/400/600 monetary) -> (4, 1, 1)
+    assert by_seg.get((4, 1, 1)) == 2
+    # customers 6,7 (old, frequent, high spend) -> (1, 4, 4)
+    assert by_seg.get((1, 4, 4)) == 2
+    # scores stay in [1, 4]
+    for (r, f, m) in by_seg:
+        assert 1 <= r <= 4 and 1 <= f <= 4 and 1 <= m <= 4
