@@ -938,6 +938,56 @@ SELECT doc, round(score, 6) AS score FROM scored ORDER BY score DESC, doc LIMIT 
 """
 
 
+def q_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 (operators/mmr.py): exact-KNN top-100
+    candidate pool, then the λ=0.7 greedy unrolled in-plan — the oracle
+    replays each selection step as a chained CTE."""
+    from mcpvectordb_spark.operators.mmr import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _q_vec(spark, sf_dir)
+    pool = knn_topk(
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID), qv, 100,
+        tie_col="vec_id", impl="expr",
+    )
+    out = mmr_rerank(pool, 10, lam=0.7, id_col="vec_id", vec_col="embedding", rel_col="score")
+    return out.select("step", F.col("id").alias("vec_id"), F.round("mmr", 6).alias("mmr"))
+
+
+def _sql_mmr_steps(k: int = 10, lam: float = 0.7) -> tuple[str, str]:
+    steps = []
+    prev = "s1"
+    for i in range(2, k + 1):
+        steps.append(
+            f"""p{i} AS (
+  SELECT {i} AS step, c.id, c.v,
+         {lam}*c.rel - {1.0 - lam:.1f}*max({_sql_cos('c.v', 's.v')}) AS mmr
+  FROM cands c, {prev} s
+  WHERE c.id NOT IN (SELECT id FROM {prev})
+  GROUP BY c.id, c.v, c.rel
+  ORDER BY mmr DESC, c.id LIMIT 1),
+s{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM p{i})"""
+        )
+        prev = f"s{i}"
+    return ",\n".join(steps), prev
+
+
+_MMR_STEPS, _MMR_LAST = _sql_mmr_steps()
+
+SQL_KNN_MMR = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cands AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, {_sql_cos('CAST(embedding AS DOUBLE[])', 'qv')} AS rel
+  FROM embeddings, q WHERE vec_id <> {QUERY_VEC_ID}
+  ORDER BY rel DESC, vec_id LIMIT 100),
+s1 AS (
+  SELECT 1 AS step, id, v, 0.7*rel AS mmr
+  FROM cands ORDER BY rel DESC, id LIMIT 1),
+{_MMR_STEPS}
+SELECT step, id AS vec_id, round(mmr, 6) AS mmr FROM {_MMR_LAST} ORDER BY step
+"""
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search: BM25 leg + vector leg fused with RRF (k0=60) —
     the reference's hybrid query (SURVEY §2.10 R2), fully re-expressed.
@@ -4590,7 +4640,6 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "semdedup": q_semdedup,
     "decontaminate": q_decontaminate,
-    "curation_pipeline": q_curation_pipeline,
     "events_overlap_join": q_events_overlap_join,
     # -- session-3 additions (never driver-checked -> must sit in the window;
     # -- three r01-cohort queries rotate to the tail to make room) --
@@ -4600,6 +4649,7 @@ QUERIES = {
     "assoc_rules": q_assoc_rules,
     "parts_pagerank": q_parts_pagerank,
     "rfm_segments": q_rfm_segments,
+    "knn_mmr": q_knn_mmr,
     # -- new round-3 queries (never driver-checked → must sit in the window;
     # -- orders_pivot/rollup/analytics + events_percentiles rotate to the
     # -- tail to make room, re-verified in a later rotation) --
@@ -4678,6 +4728,7 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "doc_embeddings": q_doc_embeddings,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "curation_pipeline": q_curation_pipeline,
     "domain_quota": q_domain_quota,
     "pii_scrub": q_pii_scrub,
     "sample_stratified": q_sample_stratified,
@@ -4720,6 +4771,7 @@ ORACLES = {
     "assoc_rules": SQL_ASSOC_RULES,
     "parts_pagerank": SQL_PARTS_PAGERANK,
     "rfm_segments": SQL_RFM_SEGMENTS,
+    "knn_mmr": SQL_KNN_MMR,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "list_libraries": SQL_LIST_LIBRARIES,
     "list_documents": SQL_LIST_DOCUMENTS,

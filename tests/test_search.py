@@ -492,3 +492,36 @@ def test_rm3_lam1_equals_plain_bm25_ranking(spark):
     assert [d for d, _ in base] == [d for d, _ in rm3]
     for (_, s0), (_, s1) in zip(base, rm3):
         assert s1 == pytest.approx(s0 / 2.0, rel=1e-12)
+
+
+def test_mmr_diversifies_redundant_pool(spark):
+    """A pool of two tight clusters: plain relevance would pick the whole
+    closer cluster first; MMR alternates clusters, and step-1 is the pure
+    argmax-relevance pick."""
+    from mcpvectordb_spark.operators.mmr import mmr_rerank
+
+    # cluster A along x (rel ~0.9), cluster B along y (rel 0.5), A ⟂ B:
+    # after one A pick, every other A member is fully penalized (sim 1)
+    # while B is unpenalized — λ=0.5 must jump clusters, then jump back
+    rows = []
+    for i in range(3):
+        rows.append((i, [1.0, 0.0, 0.001 * i], 0.9 - 0.0001 * i))       # A
+        rows.append((10 + i, [0.0, 1.0, 0.001 * i], 0.5 - 0.0001 * i))  # B
+    pool = spark.createDataFrame(
+        rows, "id long, embedding array<double>, rel double"
+    )
+    out = [r["id"] for r in mmr_rerank(pool, 4, lam=0.5).collect()]
+    assert out[0] == 0                      # argmax relevance
+    assert out[1] in (10, 11, 12)           # second pick jumps clusters
+    assert {out[2], out[3]} & {1, 2}        # then back to cluster A
+
+
+def test_mmr_lam1_is_plain_relevance_order(spark):
+    from mcpvectordb_spark.operators.mmr import mmr_rerank
+
+    pool = spark.createDataFrame(
+        [(i, [float(i), 1.0], 1.0 - 0.1 * i) for i in range(6)],
+        "id long, embedding array<double>, rel double",
+    )
+    out = [r["id"] for r in mmr_rerank(pool, 5, lam=1.0).collect()]
+    assert out == [0, 1, 2, 3, 4]
