@@ -1664,6 +1664,25 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _digest_gate(out)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the trained tokenizer: 40 merges learned from the corpus
+    histogram, then the corpus ENCODED with them (operators/bpe.py::
+    bpe_encode — Arrow kernel, per-batch word memoization).  Per-doc token
+    counts + token-stream md5, digest-gated (the greedy merge application
+    is not SQL-expressible)."""
+    from mcpvectordb_spark.operators.bpe import bpe_encode, train_bpe, word_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(word_histogram(docs, "text"), 40)
+    enc = bpe_encode(docs.select("doc_id", "text"), "text", merges)
+    per_doc = enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("tok_md5"),
+    )
+    return _digest_gate(per_doc)
+
+
 def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-level byte dedup via content-defined chunking (dedup.py::
     cdc_chunk_stage — Gear rolling hash, FastCDC-style bounds).  Plants
@@ -4639,7 +4658,6 @@ QUERIES = {
     "dedup_clusters_twostar": q_dedup_clusters_twostar,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "semdedup": q_semdedup,
-    "decontaminate": q_decontaminate,
     "events_overlap_join": q_events_overlap_join,
     # -- session-3 additions (never driver-checked -> must sit in the window;
     # -- three r01-cohort queries rotate to the tail to make room) --
@@ -4650,6 +4668,7 @@ QUERIES = {
     "parts_pagerank": q_parts_pagerank,
     "rfm_segments": q_rfm_segments,
     "knn_mmr": q_knn_mmr,
+    "bpe_encode": q_bpe_encode,
     # -- new round-3 queries (never driver-checked → must sit in the window;
     # -- orders_pivot/rollup/analytics + events_percentiles rotate to the
     # -- tail to make room, re-verified in a later rotation) --
@@ -4728,6 +4747,7 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "doc_embeddings": q_doc_embeddings,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "decontaminate": q_decontaminate,
     "curation_pipeline": q_curation_pipeline,
     "domain_quota": q_domain_quota,
     "pii_scrub": q_pii_scrub,
@@ -4744,6 +4764,7 @@ ORACLES = {
     "knn_pca": _sql_digest_gold(10, "5e8b0e9fe60785a627b6e260a1f4d266"),
     "multimodal_image_neardup": _sql_digest_gold(92, "d2a7303360acf327f6881a1e36f96fa7"),
     "multimodal_video_framedup": _sql_digest_gold(4, "19d96a8ad5482e70ace954e54c1a5847"),
+    "bpe_encode": _sql_digest_gold(500, "9766df65c21bd6124eecd54a3d629b60"),
     "ingest_chunks": _sql_digest_gold(5, "e5e2c8732cadb9460796d38f249b6336"),
     "search_ingested": _sql_digest_gold(10, "8fe65a60b1876bec1897acd65e84ac2a"),
     "neardup_lsh_embeddings": _sql_digest_gold(194, "6f58a0fe80114093f7a418159120bc34"),

@@ -30,6 +30,7 @@ GATED = [
     "knn_pca",
     "multimodal_image_neardup",
     "multimodal_video_framedup",
+    "bpe_encode",
 ]
 
 
