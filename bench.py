@@ -76,6 +76,14 @@ BENCH_QUERIES = [
     "orders_bloom_join",     # bloom semi-join reduction vs plain join
     "dedup_span_removal",    # destructive cross-doc span rewrite
     "multimodal_image_neardup",  # pixel decode + dHash + Hamming-block join
+    # session-3 additions
+    "lm_dirichlet",          # Dirichlet QL scoring over the shared posting list
+    "rm3_expansion",         # two-pass feedback retrieval
+    "tfidf_simjoin",         # sparse-vector cosine all-pairs via inverted index
+    "assoc_rules",           # basket-pair support/confidence/lift
+    "parts_pagerank",        # 10-iteration weighted power iteration
+    "knn_mmr",               # greedy diversity rerank over a top-100 pool
+    "bpe_encode",            # trained-merge application kernel
 ]
 
 

@@ -48,10 +48,14 @@ def pagerank(
         F.col(dst_col).alias("dst"),
         (F.col(weight_col) if weight_col else F.lit(1.0)).cast("double").alias("w"),
     )
+    # nodes/trans are re-read every iteration: localCheckpoint both, or the
+    # whole upstream (edge derivation, often a pair-mining join) recomputes
+    # once per iteration
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_nodes = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("__n")))
 
