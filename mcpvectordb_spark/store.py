@@ -449,3 +449,151 @@ class ChunkStore:
         return rows[0].asDict() if rows else None
 
 
+
+    # -- snapshots / time travel ----------------------------------------------
+
+    def _require_local(self) -> None:
+        if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", self.path) and not self.path.startswith("file:"):
+            raise NotImplementedError(
+                "snapshots use filesystem hard links; on object stores keep a "
+                "manifest + retention scheme instead (not implemented)"
+            )
+
+    def snapshot(self, tag: str | None = None) -> int:
+        """Create a zero-copy snapshot of the current table state; returns
+        the new version number.
+
+        LanceDB versions every write natively (the reference's storage layer
+        keeps old versions until compaction); this is the parquet-store
+        equivalent: every current data file is HARD-LINKED into a
+        ``_snapshots/v{N}/`` mirror tree (same inodes, no bytes copied), so
+        later appends, delete-rewrites, compactions, or restores cannot
+        disturb it — POSIX keeps the inode alive for the link even after
+        the live copy is unlinked or overwritten.
+
+        Commit protocol: links first, ``_MANIFEST.json`` written LAST — a
+        crash mid-snapshot leaves a version dir with no manifest, which
+        every reader ignores and the next snapshot() call garbage-collects.
+        Underscore-prefixed names are invisible to Spark's file readers, so
+        the mirror tree never pollutes `read()`.
+        """
+        import json as _json
+        import os
+        from datetime import datetime, timezone
+
+        self._require_local()
+        root = self.path[len("file:"):] if self.path.startswith("file:") else self.path
+        snapdir = os.path.join(root, "_snapshots")
+        os.makedirs(snapdir, exist_ok=True)
+        # gc uncommitted (crashed) snapshot dirs; find next version
+        import shutil
+
+        max_v = 0
+        for name in os.listdir(snapdir):
+            if not name.startswith("v"):
+                continue
+            vdir = os.path.join(snapdir, name)
+            if not os.path.exists(os.path.join(vdir, "_MANIFEST.json")):
+                shutil.rmtree(vdir, ignore_errors=True)
+                continue
+            max_v = max(max_v, int(name[1:]))
+        version = max_v + 1
+        vdir = os.path.join(snapdir, f"v{version}")
+        n_files = 0
+        for dirpath, dirnames, filenames in os.walk(root):
+            rel = os.path.relpath(dirpath, root)
+            # never descend into snapshot/hidden bookkeeping trees
+            dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+            for fname in filenames:
+                if fname.startswith((".", "_")):
+                    continue
+                dst_dir = os.path.join(vdir, rel) if rel != "." else vdir
+                os.makedirs(dst_dir, exist_ok=True)
+                os.link(os.path.join(dirpath, fname), os.path.join(dst_dir, fname))
+                n_files += 1
+        os.makedirs(vdir, exist_ok=True)
+        manifest = {
+            "version": version,
+            "tag": tag,
+            "created_at": datetime.now(timezone.utc).isoformat(),
+            "n_files": n_files,
+        }
+        with open(os.path.join(vdir, "_MANIFEST.json"), "w") as f:
+            _json.dump(manifest, f)
+        return version
+
+    def snapshots(self) -> list[dict]:
+        """Committed snapshots, oldest first."""
+        import json as _json
+        import os
+
+        self._require_local()
+        root = self.path[len("file:"):] if self.path.startswith("file:") else self.path
+        snapdir = os.path.join(root, "_snapshots")
+        if not os.path.isdir(snapdir):
+            return []
+        out = []
+        for name in sorted(os.listdir(snapdir), key=lambda n: int(n[1:]) if n[1:].isdigit() else 0):
+            mpath = os.path.join(snapdir, name, "_MANIFEST.json")
+            if name.startswith("v") and os.path.exists(mpath):
+                with open(mpath) as f:
+                    out.append(_json.load(f))
+        return out
+
+    def read_version(self, version: int) -> DataFrame:
+        """Read the table as of a snapshot — the reference's LanceDB
+        checkout-by-version, on parquet."""
+        import os
+
+        self._require_local()
+        root = self.path[len("file:"):] if self.path.startswith("file:") else self.path
+        vdir = os.path.join(root, "_snapshots", f"v{version}")
+        if not os.path.exists(os.path.join(vdir, "_MANIFEST.json")):
+            raise ValueError(f"no committed snapshot v{version}")
+        has_data = any(
+            fnames and not all(f.startswith(("_", ".")) for f in fnames)
+            for _, _, fnames in os.walk(vdir)
+        )
+        if not has_data:
+            return self.spark.createDataFrame([], CHUNKS_SCHEMA)
+        return self._migrate(self.spark.read.schema(CHUNKS_SCHEMA).parquet(vdir))
+
+    def restore(self, version: int) -> int:
+        """Roll the live table back to a snapshot.  The pre-restore state
+        is snapshotted automatically first (tag ``pre-restore``) so restore
+        itself is undoable; returns that safety version."""
+        import os
+        import shutil
+
+        self._require_local()
+        root = self.path[len("file:"):] if self.path.startswith("file:") else self.path
+        vdir = os.path.join(root, "_snapshots", f"v{version}")
+        if not os.path.exists(os.path.join(vdir, "_MANIFEST.json")):
+            raise ValueError(f"no committed snapshot v{version}")
+        safety = self.snapshot(tag="pre-restore")
+        for name in os.listdir(root):
+            if name.startswith((".", "_")):
+                continue
+            full = os.path.join(root, name)
+            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+        for dirpath, dirnames, filenames in os.walk(vdir):
+            rel = os.path.relpath(dirpath, vdir)
+            for fname in filenames:
+                if fname.startswith((".", "_")):
+                    continue
+                dst_dir = os.path.join(root, rel) if rel != "." else root
+                os.makedirs(dst_dir, exist_ok=True)
+                os.link(os.path.join(dirpath, fname), os.path.join(dst_dir, fname))
+        self.spark.catalog.refreshByPath(self.path)
+        return safety
+
+    def expire_snapshot(self, version: int) -> None:
+        """Drop a snapshot (frees its inodes once no other link remains)."""
+        import os
+        import shutil
+
+        self._require_local()
+        root = self.path[len("file:"):] if self.path.startswith("file:") else self.path
+        vdir = os.path.join(root, "_snapshots", f"v{version}")
+        if os.path.isdir(vdir):
+            shutil.rmtree(vdir)

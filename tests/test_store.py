@@ -350,3 +350,101 @@ def test_legacy_table_reads_with_migration_defaults(spark, tmp_path):
     assert row["last_modified"] == ""
     assert row["page"] == 0
     assert row["content"] == "hello world"
+
+
+# -- snapshots / time travel --------------------------------------------------
+
+
+def _mini_chunks(spark, ids, library="L"):
+    from mcpvectordb_spark.schema import CHUNKS_SCHEMA
+
+    rows = [
+        (
+            f"c{i}", f"d{i}", library, f"src{i}", f"h{i}", f"t{i}",
+            f"content {i}", [0.0, 1.0], 0, "2026-01-01T00:00:00+00:00",
+            "{}", "txt", "", 0,
+        )
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, CHUNKS_SCHEMA)
+
+
+def test_snapshot_survives_append_delete_compact(spark, tmp_path):
+    from mcpvectordb_spark.config import TEST
+    from mcpvectordb_spark.store import ChunkStore
+
+    store = ChunkStore(spark, str(tmp_path / "t"), TEST)
+    store.append(_mini_chunks(spark, range(5)))
+    v1 = store.snapshot(tag="after-first-batch")
+    assert v1 == 1
+
+    store.append(_mini_chunks(spark, range(5, 8)))
+    assert store.count() == 8
+    assert store.read_version(v1).count() == 5
+
+    # delete rewrites the partition; the snapshot's hard links keep inodes
+    assert store.delete_document("d0") == 1
+    assert store.count() == 7
+    assert store.read_version(v1).count() == 5
+    assert store.read_version(v1).filter("doc_id = 'd0'").count() == 1
+
+    store.compact(target_file_bytes=1)  # force a rewrite
+    assert store.read_version(v1).count() == 5
+
+
+def test_snapshot_restore_roundtrip(spark, tmp_path):
+    from mcpvectordb_spark.config import TEST
+    from mcpvectordb_spark.store import ChunkStore
+
+    store = ChunkStore(spark, str(tmp_path / "t"), TEST)
+    store.append(_mini_chunks(spark, range(3)))
+    v1 = store.snapshot()
+    store.append(_mini_chunks(spark, range(3, 10)))
+    assert store.count() == 10
+
+    safety = store.restore(v1)
+    assert store.count() == 3
+    # restore is itself undoable via the auto safety snapshot
+    store.restore(safety)
+    assert store.count() == 10
+    tags = [s["tag"] for s in store.snapshots()]
+    assert "pre-restore" in tags
+
+
+def test_snapshot_crash_dir_ignored_and_gced(spark, tmp_path):
+    import os
+
+    from mcpvectordb_spark.config import TEST
+    from mcpvectordb_spark.store import ChunkStore
+
+    store = ChunkStore(spark, str(tmp_path / "t"), TEST)
+    store.append(_mini_chunks(spark, range(2)))
+    # simulate a crashed (uncommitted) snapshot: dir without _MANIFEST.json
+    os.makedirs(tmp_path / "t" / "_snapshots" / "v7")
+    assert store.snapshots() == []
+    import pytest
+
+    with pytest.raises(ValueError):
+        store.read_version(7)
+    v = store.snapshot()
+    assert v == 1                         # crashed v7 gc'd, numbering clean
+    assert not (tmp_path / "t" / "_snapshots" / "v7").exists()
+
+
+def test_snapshot_empty_store_and_expire(spark, tmp_path):
+    from mcpvectordb_spark.config import TEST
+    from mcpvectordb_spark.store import ChunkStore
+
+    store = ChunkStore(spark, str(tmp_path / "t"), TEST)
+    store.append(_mini_chunks(spark, []))  # creates nothing
+    # snapshot of a store directory that exists but has no data files
+    import os
+
+    os.makedirs(tmp_path / "t", exist_ok=True)
+    v = store.snapshot()
+    assert store.read_version(v).count() == 0
+    store.expire_snapshot(v)
+    import pytest
+
+    with pytest.raises(ValueError):
+        store.read_version(v)
