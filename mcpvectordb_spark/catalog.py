@@ -2922,6 +2922,72 @@ FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation with GROUPING() disambiguation: every subtotal
+    combination of (priority, status) plus grouping flags so NULL group
+    keys and NULL subtotal markers can't collide."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_value"),
+    )
+
+
+SQL_ORDERS_CUBE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_value
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid-style readability as pure codegen expressions
+    (textstats family): sentences by terminator runs, words by whitespace,
+    syllables by vowel-group counting — the three classic proxies, with
+    the deterministic integer-arithmetic declared as the spec and
+    replayed by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    n_words = F.size(words)
+    n_sents = F.greatest(
+        F.lit(1), F.size(F.filter(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s) != ""))
+    )
+    # vowel-group syllable proxy: total count of [aeiouy]+ runs across words
+    n_syll = F.greatest(
+        F.lit(1),
+        F.size(F.split(F.regexp_replace(F.lower(F.col("text")), r"[aeiouy]+", "\x01"), "\x01")) - 1,
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / F.greatest(F.lit(1), n_words).cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.cast("int").alias("n_sents"),
+        n_syll.cast("int").alias("n_syll"),
+        F.round(flesch, 4).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_READABILITY = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS n_words,
+       CAST(greatest(1, len(list_filter(regexp_split_to_array(text, '[.!?]+'), s -> trim(s) <> ''))) AS INT) AS n_sents,
+       CAST(greatest(1, len(regexp_split_to_array(regexp_replace(lower(text), '[aeiouy]+', chr(1), 'g'), chr(1))) - 1) AS INT) AS n_syll,
+       round(206.835
+             - 1.015 * (n_words * 1.0 / n_sents)
+             - 84.6 * (n_syll * 1.0 / greatest(1, n_words)), 4) AS flesch
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts per priority, one column per order status."""
     orders = load_table(spark, sf_dir, "orders")
@@ -4651,9 +4717,7 @@ QUERIES = {
     "delete_antijoin": q_delete_antijoin,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_twostar": q_dedup_clusters_twostar,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -4669,6 +4733,8 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "knn_mmr": q_knn_mmr,
     "bpe_encode": q_bpe_encode,
+    "orders_cube": q_orders_cube,
+    "text_readability": q_text_readability,
     # -- new round-3 queries (never driver-checked → must sit in the window;
     # -- orders_pivot/rollup/analytics + events_percentiles rotate to the
     # -- tail to make room, re-verified in a later rotation) --
@@ -4747,6 +4813,8 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "doc_embeddings": q_doc_embeddings,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_simhash": q_dedup_simhash,
     "decontaminate": q_decontaminate,
     "curation_pipeline": q_curation_pipeline,
     "domain_quota": q_domain_quota,
@@ -4793,6 +4861,8 @@ ORACLES = {
     "parts_pagerank": SQL_PARTS_PAGERANK,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "knn_mmr": SQL_KNN_MMR,
+    "orders_cube": SQL_ORDERS_CUBE,
+    "text_readability": SQL_TEXT_READABILITY,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "list_libraries": SQL_LIST_LIBRARIES,
     "list_documents": SQL_LIST_DOCUMENTS,
