@@ -1552,6 +1552,32 @@ SELECT id, CAST(min(label) AS BIGINT) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus canonicalization: per multi-member near-dup cluster keep the
+    smallest id, report members dropped — the action step that turns the
+    cluster map into an actual deduped corpus."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.5)
+    clusters = dd.dedup_clusters(corpus.select("id"), pairs, "id")
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(
+            F.min("id").alias("keeper"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select("cluster_id", "keeper", "n_members")
+        .orderBy("cluster_id")
+    )
+
+
+SQL_DEDUP_KEEP_CANONICAL = f"""
+SELECT cluster_id, CAST(min(id) AS BIGINT) AS keeper, CAST(count(*) AS BIGINT) AS n_members
+FROM ({SQL_DEDUP_CLUSTERS}) clusters
+GROUP BY cluster_id HAVING count(*) > 1 ORDER BY cluster_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit tf-weighted SimHash fingerprint per document."""
     docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
@@ -4452,6 +4478,44 @@ SELECT * FROM (
 """
 
 
+def q_events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: each transition must convert within 1 hour of
+    the previous step (funnel_counts(within_s=3600)) — the 'converted
+    within the session' marketing variant of `events_funnel`."""
+    from mcpvectordb_spark.operators.analytics import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], within_s=3600
+    ).orderBy("step")
+
+
+SQL_EVENTS_FUNNEL_WINDOW = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'click' AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 3600 SECOND
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 3600 SECOND
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+) ORDER BY step
+"""
+
+
 def q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-cohort retention at d1/d7 (operators/analytics.py::
     cohort_retention): users cohort on first active day; retained = any
@@ -4718,9 +4782,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_twostar": q_dedup_clusters_twostar,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "semdedup": q_semdedup,
     "events_overlap_join": q_events_overlap_join,
     # -- session-3 additions (never driver-checked -> must sit in the window;
@@ -4735,6 +4797,8 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "orders_cube": q_orders_cube,
     "text_readability": q_text_readability,
+    "events_funnel_window": q_events_funnel_window,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
     # -- new round-3 queries (never driver-checked → must sit in the window;
     # -- orders_pivot/rollup/analytics + events_percentiles rotate to the
     # -- tail to make room, re-verified in a later rotation) --
@@ -4813,6 +4877,8 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "doc_embeddings": q_doc_embeddings,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_simhash": q_dedup_simhash,
     "decontaminate": q_decontaminate,
@@ -4863,6 +4929,8 @@ ORACLES = {
     "knn_mmr": SQL_KNN_MMR,
     "orders_cube": SQL_ORDERS_CUBE,
     "text_readability": SQL_TEXT_READABILITY,
+    "events_funnel_window": SQL_EVENTS_FUNNEL_WINDOW,
+    "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "list_libraries": SQL_LIST_LIBRARIES,
     "list_documents": SQL_LIST_DOCUMENTS,

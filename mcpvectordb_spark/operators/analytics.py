@@ -18,11 +18,17 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_s: int | None = None,
 ) -> DataFrame:
     """Strictly-ordered funnel: a user converts step i only with an event
     of type steps[i] strictly AFTER their step i-1 conversion time (first
     qualifying event wins).  Returns one row per step: (step, step_name,
     n_users), n_users non-increasing.
+
+    ``within_s``: optional per-transition conversion window — step i must
+    also land within ``within_s`` seconds of the step i-1 conversion time
+    (the marketing "converted within an hour" variant).  The bound is
+    inclusive, per transition, not cumulative from step 1.
 
     Scale shape: one user-keyed agg per step over only that step's events
     (filter pushes to the scan), chained through broadcast-friendly joins
@@ -38,9 +44,14 @@ def funnel_counts(
         if converted is None:
             converted = ev.groupBy("user").agg(F.min("_ts").alias("_t"))
         else:
+            gate = F.col("_ts") > F.col("_t")
+            if within_s is not None:
+                gate = gate & (
+                    F.col("_ts") <= F.col("_t") + F.expr(f"INTERVAL {int(within_s)} SECONDS")
+                )
             converted = (
                 ev.join(converted, "user")
-                .filter(F.col("_ts") > F.col("_t"))
+                .filter(gate)
                 .groupBy("user")
                 .agg(F.min("_ts").alias("_t"))
             )

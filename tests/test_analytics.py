@@ -145,3 +145,29 @@ def test_rfm_segments_hand_computed(spark):
     # scores stay in [1, 4]
     for (r, f, m) in by_seg:
         assert 1 <= r <= 4 and 1 <= f <= 4 and 1 <= m <= 4
+
+
+def test_funnel_within_window_gates_conversion(spark):
+    """Same event stream, bounded vs unbounded: user converts step 2 only
+    when the click lands inside the window."""
+    from datetime import datetime
+
+    from mcpvectordb_spark.operators.analytics import funnel_counts
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2026, 1, 1, 10, 0, 0), "view"),
+            (1, datetime(2026, 1, 1, 10, 30, 0), "click"),   # inside 1h
+            (2, datetime(2026, 1, 1, 10, 0, 0), "view"),
+            (2, datetime(2026, 1, 1, 12, 0, 1), "click"),    # outside 1h
+            (3, datetime(2026, 1, 1, 10, 0, 0), "view"),
+            (3, datetime(2026, 1, 1, 11, 0, 0), "click"),    # exactly 1h: inclusive
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    unbounded = {r["step"]: r["n_users"] for r in
+                 funnel_counts(ev, ["view", "click"]).collect()}
+    bounded = {r["step"]: r["n_users"] for r in
+               funnel_counts(ev, ["view", "click"], within_s=3600).collect()}
+    assert unbounded == {1: 3, 2: 3}
+    assert bounded == {1: 3, 2: 2}
