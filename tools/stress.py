@@ -631,10 +631,184 @@ def main_r3() -> None:
     spark.stop()
 
 
+def main_s3() -> None:
+    """Stress the session-3 operators at sf1-equivalent scale: TF-IDF
+    cosine sim-join + RM3 + Dirichlet QL + BPE encode over 200k docs,
+    association rules over a 6M-row basket fact, PageRank over a ~1M-edge
+    power-law graph.  In-script correctness assertions throughout."""
+    spark = get_spark("stress-s3")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {counts[name]}", file=sys.stderr)
+
+    # ---- 200k docs (planted dup pair for every 10th base doc) --------------
+    docs = load_table(spark, SF, "documents")
+    r40 = spark.range(40).select(F.col("id").alias("r"))
+    synth = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("r"), i)), 1, 8
+            ),
+        ),
+        " ",
+    )
+    # planted dup pairs live on the SYNTHETIC (rare-token) replicas: for
+    # every 10th base doc, replica r=1 repeats r=2's hash-token text — the
+    # pair's terms have df=2, so it must survive any max_df cutoff, while
+    # the base docs' common words (df ~ n_base) are exactly what the
+    # cutoff exists to drop
+    synth_r2 = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(2), i)), 1, 8
+            ),
+        ),
+        " ",
+    )
+    big_docs = (
+        docs.crossJoin(F.broadcast(r40))
+        .select(
+            (F.col("doc_id") * 100 + F.col("r")).alias("id"),
+            F.when(F.col("r") == 0, F.col("text"))
+            .when((F.col("r") == 1) & (F.col("doc_id") % 10 == 0), synth_r2)
+            .otherwise(synth)
+            .alias("text"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_docs = big_docs.count()
+    n_planted = docs.filter("doc_id % 10 = 0").count()
+    print(f"# s3 corpus: {n_docs} docs ({n_planted} planted dup pairs)", file=sys.stderr)
+
+    def simjoin():
+        from mcpvectordb_spark.operators.simjoin import tfidf_cosine_pairs
+
+        pairs = tfidf_cosine_pairs(big_docs, "id", "text", threshold=0.9, max_df=2000)
+        got = pairs.filter(
+            (F.col("id_b") - F.col("id_a") == 1) & (F.col("id_a") % 100 == 1)
+        ).count()
+        total = pairs.count()
+        assert got >= n_planted, f"planted dup pairs missed: {got}/{n_planted}"
+        notes["tfidf_simjoin_200k"] = (
+            f"{total} pairs >= 0.9 over {n_docs} docs; inverted-index fanout "
+            f"bounded by max_df=2000; all {n_planted} planted exact pairs found"
+        )
+        return total
+
+    run("tfidf_simjoin_200k", simjoin)
+
+    def retrieval():
+        from mcpvectordb_spark.operators.prf import rm3_topk
+        from mcpvectordb_spark.operators.qlm import qlm_topk
+
+        q = "spark window join batch"
+        a = qlm_topk(big_docs, q, 10, "id", "text").collect()
+        b = rm3_topk(big_docs, q, 10, "id", "text").collect()
+        assert len(a) == 10 and len(b) == 10
+        notes["retrieval_200k"] = (
+            "Dirichlet QL + two-pass RM3 over the 200k-doc posting list; "
+            "both return full top-10"
+        )
+        return len(a) + len(b)
+
+    run("retrieval_200k", retrieval)
+
+    def bpe():
+        from mcpvectordb_spark.operators.bpe import bpe_encode, train_bpe, word_histogram
+
+        merges = train_bpe(word_histogram(big_docs, "text"), 40)
+        enc = bpe_encode(big_docs, "text", merges)
+        n = enc.filter(F.size("bpe_tokens") > 0).count()
+        assert n == n_docs
+        notes["bpe_encode_200k"] = f"40 trained merges applied to {n} docs (map-only)"
+        return n
+
+    run("bpe_encode_200k", bpe)
+    big_docs.unpersist()
+
+    # ---- 6M basket rows: association rules ---------------------------------
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    r10 = spark.range(10).select(F.col("id").alias("r"))
+    big_li = (
+        li.crossJoin(F.broadcast(r10))
+        .select(
+            (F.col("l_orderkey") * 16 + F.col("r")).alias("o"),
+            F.col("l_partkey").alias("p"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_li = big_li.count()
+    print(f"# s3 corpus: {n_li} basket rows", file=sys.stderr)
+
+    def rules():
+        from mcpvectordb_spark.operators.analytics import assoc_rules
+
+        out = assoc_rules(big_li, "o", "p", min_pair_count=3, top_n=50).collect()
+        assert len(out) == 50
+        assert all(0 < r["confidence"] <= 1.0 for r in out)
+        assert all(r["lift"] > 0 for r in out)
+        notes["assoc_rules_6m"] = (
+            f"top-50 rules from {n_li} basket rows; pair explode bounded by "
+            "items-per-basket^2, min_pair_count=3 prune"
+        )
+        return len(out)
+
+    run("assoc_rules_6m", rules)
+    big_li.unpersist()
+
+    # ---- ~1M-edge power-law graph: PageRank --------------------------------
+    def pr():
+        from mcpvectordb_spark.operators.graph import pagerank
+
+        e = spark.range(1_000_000)
+        h = lambda salt: F.conv(
+            F.substring(F.md5(F.concat_ws(":", "id", F.lit(salt))), 1, 6), 16, 10
+        ).cast("double") / F.lit(float(1 << 24))
+        edges = e.select(
+            F.floor(F.pow(h("s"), 2.0) * 100_000).cast("long").alias("src"),
+            F.floor(F.pow(h("d"), 2.0) * 100_000).cast("long").alias("dst"),
+        ).filter(F.col("src") != F.col("dst")).repartition(64).cache()
+        n_edges = edges.count()
+        ranks = pagerank(edges, iterations=10, damping=0.85)
+        agg = ranks.agg(
+            F.sum("rank").alias("mass"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        # symmetric-free graph HAS dangling mass loss; bound sanity only
+        assert 0.1 < agg["mass"] <= 1.000001, f"mass {agg['mass']}"
+        notes["pagerank_1m"] = (
+            f"{n_edges} power-law edges, {agg['n']} nodes, 10 iterations; "
+            f"total mass {agg['mass']:.4f} (teleport + non-dangling share)"
+        )
+        edges.unpersist()
+        return agg["n"]
+
+    run("pagerank_1m", pr)
+
+    print(json.dumps({
+        "mode": "s3",
+        "timings_sec": timings, "result_counts": counts, "notes": notes,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "sf1" in sys.argv[1:]:
         main_sf1()
     elif "r3" in sys.argv[1:]:
         main_r3()
+    elif "s3" in sys.argv[1:]:
+        main_s3()
     else:
         main()
