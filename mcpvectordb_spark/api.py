@@ -179,7 +179,8 @@ class VectorDB:
 
     def search(self, query: str, top_k: int | None = None, library: str | None = None,
                filter: dict | None = None, fusion: str = "rrf",
-               highlight: bool = False, method: str = "exact") -> dict:  # noqa: A002 - reference param name
+               highlight: bool = False, method: str = "exact",
+               diversify: float | None = None) -> dict:  # noqa: A002 - reference param name
         """Reference server.py:228-289 — hybrid BM25+vector search with RRF,
         falling back to vector-only when hybrid is disabled (config.py:59).
         Filters are applied BEFORE ranking (mcp-tool-spec.md:110-111).
@@ -193,11 +194,17 @@ class VectorDB:
         refine) or "matryoshka" (truncated-dim coarse scan + exact
         refine).  The trained-state ANN paths (IVF / PQ) live behind
         their own maintained indexes (knn.IvfIndex / pq.IvfPqIndex) — a
-        per-request train would be neither correct nor honest to time."""
+        per-request train would be neither correct nor honest to time.
+        ``diversify``: MMR λ in (0, 1] — rerank the top candidate pool
+        with maximal marginal relevance (operators/mmr.py) so near-identical
+        chunks of one document stop monopolizing the result page; results
+        come back in selection order with the MMR objective as score."""
         if fusion not in ("rrf", "blend"):
             return _err("fusion must be 'rrf' or 'blend'")
         if method not in ("exact", "sq8", "matryoshka"):
             return _err("method must be 'exact', 'sq8' or 'matryoshka'")
+        if diversify is not None and not (0.0 < diversify <= 1.0):
+            return _err("diversify must be in (0, 1]")
         top_k = self.config.top_k_default if top_k is None else top_k
         if not query or not query.strip():
             return _err("query must be non-empty")
@@ -223,6 +230,7 @@ class VectorDB:
             )
         else:
             vec_leg = knn_topk(chunks, qv, candidates, tie_col="id")
+        pool_k = candidates if diversify is not None else top_k
         if self.config.hybrid_search_enabled:
             bm_leg = bm25_topk(
                 chunks, query, candidates, "id", "content",
@@ -231,24 +239,35 @@ class VectorDB:
             if fusion == "blend":
                 fused = weighted_fuse_topk(
                     vec_leg.select(F.col("id").alias("doc"), "score"), bm_leg,
-                    top_k, alpha=0.5, id_cols=("doc", "doc"),
+                    pool_k, alpha=0.5, id_cols=("doc", "doc"),
                     score_cols=("score", "score"), id_col="id", score_col="score",
                 )
             else:
                 fused = rrf_topk(
                     [(bm_leg, "doc", "score"), (vec_leg.select(F.col("id").alias("doc"), "score"), "doc", "score")],
-                    top_k, k0=self.config.rrf_k0, id_col="id", score_col="score",
+                    pool_k, k0=self.config.rrf_k0, id_col="id", score_col="score",
                 )
             ranked = fused.join(chunks, "id")
         else:
-            ranked = vec_leg.limit(top_k)
+            ranked = vec_leg if diversify is not None else vec_leg.limit(top_k)
+        if diversify is not None:
+            from mcpvectordb_spark.operators.mmr import mmr_rerank
+
+            pool = ranked.select("id", "embedding", F.col("score").alias("rel"))
+            sel = mmr_rerank(pool, top_k, lam=diversify,
+                             id_col="id", vec_col="embedding", rel_col="rel")
+            ranked = (
+                sel.select(F.col("id"), F.col("step"), F.col("mmr").alias("score"))
+                .join(chunks.drop("score"), "id")
+            )
         if highlight:
             from mcpvectordb_spark.operators.bm25 import highlight_col
 
             ranked = ranked.withColumn(
                 "snippet", highlight_col(F.col("content"), query.lower().split())
             )
-        rows = ranked.orderBy(F.desc("score"), F.asc("id")).collect()
+        order = [F.asc("step")] if diversify is not None else [F.desc("score"), F.asc("id")]
+        rows = ranked.orderBy(*order).collect()
         return {
             "status": "ok",
             "results": [

@@ -1552,6 +1552,29 @@ SELECT id, CAST(min(label) AS BIGINT) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment ≥0.9 (dedup.py::ngram_containment_pairs):
+    the planted suffix-extended copies CONTAIN their originals fully
+    (containment 1.0 in the original→copy direction) even where symmetric
+    Jaccard would dilute — the fragment/quotation detector."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dd.ngram_containment_pairs(corpus, "id", "text", n=3, threshold=0.9)
+    return pairs.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH corpus AS ({_SQL_NEAR_CORPUS}),
+{_sql_jaccard_cte()}
+, directed AS (
+  SELECT id_a, id_b, common FROM common
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b, common FROM common)
+SELECT id_a, id_b, round(common * 1.0 / s.set_size, 6) AS containment
+FROM directed JOIN sizes s ON s.id = id_a
+WHERE common * 1.0 / s.set_size >= 0.9
+"""
+
+
 def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus canonicalization: per multi-member near-dup cluster keep the
     smallest id, report members dropped — the action step that turns the
@@ -4780,7 +4803,6 @@ QUERIES = {
     "semi_join_lookup": q_semi_join_lookup,
     "delete_antijoin": q_delete_antijoin,
     "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters_twostar": q_dedup_clusters_twostar,
     "semdedup": q_semdedup,
@@ -4799,6 +4821,7 @@ QUERIES = {
     "text_readability": q_text_readability,
     "events_funnel_window": q_events_funnel_window,
     "dedup_keep_canonical": q_dedup_keep_canonical,
+    "dedup_containment": q_dedup_containment,
     # -- new round-3 queries (never driver-checked → must sit in the window;
     # -- orders_pivot/rollup/analytics + events_percentiles rotate to the
     # -- tail to make room, re-verified in a later rotation) --
@@ -4877,6 +4900,7 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "doc_embeddings": q_doc_embeddings,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -4931,6 +4955,7 @@ ORACLES = {
     "text_readability": SQL_TEXT_READABILITY,
     "events_funnel_window": SQL_EVENTS_FUNNEL_WINDOW,
     "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "list_libraries": SQL_LIST_LIBRARIES,
     "list_documents": SQL_LIST_DOCUMENTS,

@@ -134,3 +134,32 @@ def test_search_method_routing(db):
         assert [r["id"] for r in got["results"]] == [r["id"] for r in base["results"]], method
     err = db.search("alpha", method="hnsw")
     assert err["status"] == "error" and "method" in err["error"]
+
+
+def test_search_diversify_spreads_documents(spark, tmp_path):
+    """diversify=λ reranks with MMR: ingest one doc whose chunks are
+    near-identical plus a distinct doc; plain search's top-2 is the clone
+    doc twice, diversified top-2 spans both docs."""
+    from mcpvectordb_spark.api import VectorDB
+    from mcpvectordb_spark.config import TEST
+
+    db = VectorDB(spark, str(tmp_path / "db"), TEST)
+    clone_text = ("alpha beta gamma delta shared phrasing " * 30).strip()
+    r1 = db.ingest_content(clone_text + "\n\n" + clone_text + " tail",
+                           source="clones.txt", library="L")
+    r2 = db.ingest_content("totally different subject matter entirely " * 20,
+                           source="other.txt", library="L")
+    assert r1["status"] != "error" and r2["status"] != "error"
+
+    plain = db.search("alpha beta gamma", top_k=3, library="L")
+    assert plain["status"] == "ok"
+    assert len({r["doc_id"] for r in plain["results"]}) == 1  # clones monopolize
+
+    div = db.search("alpha beta gamma", top_k=3, library="L", diversify=0.3)
+    assert div["status"] == "ok"
+    docs = {r["doc_id"] for r in div["results"]}
+    assert len(div["results"]) == 3
+    assert len(docs) == 2, "diversified top-3 must reach the second document"
+
+    bad = db.search("alpha", diversify=1.5)
+    assert bad["status"] == "error"

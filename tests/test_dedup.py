@@ -581,3 +581,25 @@ def test_tfidf_cosine_identical_docs_score_one(spark):
            tfidf_cosine_pairs(docs, "id", "text", threshold=0.9).collect()}
     assert list(out) == [(1, 2)]
     assert out[(1, 2)] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_containment_finds_fragment_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment(frag->full)=1
+    while Jaccard is small; direction matters (full->frag is low)."""
+    import pytest
+
+    from mcpvectordb_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    frag = "alpha beta gamma delta epsilon"
+    full = frag + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame([(1, frag), (2, full)], "id long, text string")
+
+    jac = ngram_jaccard_pairs(docs, "id", "text", n=3, threshold=0.5).collect()
+    assert jac == []                                   # symmetric measure misses it
+    cont = {(r["id_a"], r["id_b"]): r["containment"] for r in
+            ngram_containment_pairs(docs, "id", "text", n=3, threshold=0.9).collect()}
+    assert cont[(1, 2)] == pytest.approx(1.0)          # fragment ⊆ full
+    assert (2, 1) not in cont                          # not the other way
