@@ -2994,6 +2994,41 @@ FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-30 word pairs by document-level PMI
+    (textstats.py::doc_pmi_pairs) inside the df band [1%, 10%] of docs —
+    the band prunes the pair explode before it happens."""
+    import mcpvectordb_spark.operators.textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ts.doc_pmi_pairs(docs, "doc_id", "text")
+    return out.select("term_a", "term_b", "n_pair", F.round("pmi", 6).alias("pmi"))
+
+
+SQL_TEXT_PMI = rf"""
+WITH words AS (
+  SELECT DISTINCT doc_id AS doc,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS term
+  FROM documents),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM words GROUP BY term),
+band AS (
+  SELECT term, df FROM dfreq, n
+  WHERE df >= ceil(n_docs * 0.01) AND df <= floor(n_docs * 0.10)),
+wb AS (SELECT doc, term, df FROM words JOIN band USING(term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM wb a JOIN wb b ON a.doc = b.doc AND a.term < b.term
+  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5),
+scored AS (
+  SELECT term_a, term_b, n_pair, ln(n_pair * n_docs / (df_a * df_b)) AS pmi
+  FROM pairs, n)
+SELECT term_a, term_b, n_pair, round(pmi, 6) AS pmi
+FROM scored ORDER BY pmi DESC, term_a, term_b LIMIT 30
+"""
+
+
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-Kincaid-style readability as pure codegen expressions
     (textstats family): sentences by terminator runs, words by whitespace,
@@ -4539,6 +4574,42 @@ SELECT * FROM (
 """
 
 
+def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transition conversion latency distribution (analytics.py::
+    funnel_latency): converting users' step-to-step delay in floored epoch
+    seconds, p50/p90 per transition."""
+    from mcpvectordb_spark.operators.analytics import funnel_latency
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_latency(ev, ["view", "click", "purchase"]).orderBy("step")
+
+
+SQL_EVENTS_FUNNEL_LATENCY = """
+WITH ev AS (
+  SELECT user_id AS u, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
+s1 AS (SELECT u, min(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY u),
+s2 AS (
+  SELECT e.u, min(e.ts) AS t2, min(s1.t) AS tp
+  FROM ev e JOIN s1 ON e.u = s1.u
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.u),
+s3 AS (
+  SELECT e.u, min(e.ts) AS t2, min(s2.t2) AS tp
+  FROM ev e JOIN s2 ON e.u = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.u)
+SELECT * FROM (
+  SELECT 2 AS step, 'click' AS step_name, CAST(count(*) AS BIGINT) AS n_users,
+         round(quantile_cont(t2 - tp, 0.5), 4) AS p50_s,
+         round(quantile_cont(t2 - tp, 0.9), 4) AS p90_s
+  FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+         round(quantile_cont(t2 - tp, 0.5), 4),
+         round(quantile_cont(t2 - tp, 0.9), 4)
+  FROM s3
+) ORDER BY step
+"""
+
+
 def q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-cohort retention at d1/d7 (operators/analytics.py::
     cohort_retention): users cohort on first active day; retained = any
@@ -4789,7 +4860,6 @@ QUERIES = {
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
-    "knn_batch": q_knn_batch,
     "knn_filtered": q_knn_filtered,
     "ivf_topk": q_ivf_topk,
     "knn_sq8_topk": q_knn_sq8_topk,
@@ -4797,7 +4867,6 @@ QUERIES = {
     "bm25_fuzzy": q_bm25_fuzzy,
     "search_highlights": q_search_highlights,
     "hybrid_rrf": q_hybrid_rrf,
-    "list_libraries": q_list_libraries,
     "list_documents": q_list_documents,
     "get_document": q_get_document,
     "semi_join_lookup": q_semi_join_lookup,
@@ -4822,6 +4891,8 @@ QUERIES = {
     "events_funnel_window": q_events_funnel_window,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "dedup_containment": q_dedup_containment,
+    "events_funnel_latency": q_events_funnel_latency,
+    "text_pmi": q_text_pmi,
     # -- new round-3 queries (never driver-checked → must sit in the window;
     # -- orders_pivot/rollup/analytics + events_percentiles rotate to the
     # -- tail to make room, re-verified in a later rotation) --
@@ -4900,6 +4971,8 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "doc_embeddings": q_doc_embeddings,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "knn_batch": q_knn_batch,
+    "list_libraries": q_list_libraries,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -4956,6 +5029,8 @@ ORACLES = {
     "events_funnel_window": SQL_EVENTS_FUNNEL_WINDOW,
     "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
+    "events_funnel_latency": SQL_EVENTS_FUNNEL_LATENCY,
+    "text_pmi": SQL_TEXT_PMI,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "list_libraries": SQL_LIST_LIBRARIES,
     "list_documents": SQL_LIST_DOCUMENTS,

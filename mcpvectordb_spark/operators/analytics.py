@@ -230,3 +230,49 @@ def rfm_segments(
             F.avg("monetary").alias("avg_monetary"),
         )
     )
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-transition conversion latency: for each step i >= 2, the
+    distribution of (conversion time at step i − conversion time at step
+    i-1) over converting users, in whole epoch seconds (floor on both
+    ends so the arithmetic is exact integers — engine-portable).
+
+    Returns (step, step_name, n_users, p50_s, p90_s) per transition.
+
+    Scale shape: funnel_counts' chain of shrinking user-keyed aggs, plus
+    one scalar percentile aggregate per transition over the converting
+    users only — never a window over the raw event table.
+    """
+    out = None
+    converted = None  # (user, _t epoch-seconds of this step's conversion)
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("user"),
+            F.floor(F.col(ts_col).cast("double")).cast("long").alias("_ts"),
+        )
+        if converted is None:
+            converted = ev.groupBy("user").agg(F.min("_ts").alias("_t"))
+            continue
+        trans = (
+            ev.join(converted, "user")
+            .filter(F.col("_ts") > F.col("_t"))
+            .groupBy("user")
+            .agg(F.min("_ts").alias("_t2"), F.first("_t").alias("_tp"))
+        )
+        stats = trans.select((F.col("_t2") - F.col("_tp")).alias("lat")).agg(
+            F.lit(i + 1).alias("step"),
+            F.lit(step).alias("step_name"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.expr("percentile(lat, 0.5)"), 4).alias("p50_s"),
+            F.round(F.expr("percentile(lat, 0.9)"), 4).alias("p90_s"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+        converted = trans.select("user", F.col("_t2").alias("_t"))
+    return out

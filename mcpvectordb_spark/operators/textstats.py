@@ -314,3 +314,59 @@ def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 50) -> DataFrame:
         .limit(top_n)
         .select("pair", "cnt")
     )
+
+
+def doc_pmi_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df_frac: float = 0.01,
+    max_df_frac: float = 0.10,
+    min_pair: int = 5,
+    top_n: int = 30,
+) -> DataFrame:
+    """Document-level pointwise mutual information for word pairs
+    (Church & Hanks 1990): pmi(a,b) = ln(N·n_ab / (df_a·df_b)) over
+    document co-occurrence — the classic collocation / association miner.
+
+    The df band [min_df_frac·N, max_df_frac·N] prunes the vocabulary
+    BEFORE the pair explode: ubiquitous words (uninformative, and the
+    quadratic blowup) and rare words (unstable PMI) both drop, so the
+    per-doc pair fanout is bounded by the band's per-doc vocabulary
+    squared — the knob that keeps this off the all-pairs cliff at corpus
+    scale.  min_pair then prunes noise pairs before ranking.
+
+    Returns top_n (term_a, term_b, n_pair, pmi), ranked pmi desc with a
+    (term_a, term_b) total-order tiebreak.
+    """
+    from mcpvectordb_spark.operators.bm25 import tokens_col
+
+    words = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .distinct()
+    )
+    n_docs = F.broadcast(df.agg(F.count(F.lit(1)).cast("double").alias("__n")))
+    dfreq = words.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    band = F.broadcast(
+        dfreq.crossJoin(n_docs)
+        .filter(
+            (F.col("df") >= F.ceil(F.col("__n") * min_df_frac))
+            & (F.col("df") <= F.floor(F.col("__n") * max_df_frac))
+        )
+        .select("term", "df")
+    )
+    wb = words.join(band, "term").select("doc", "term", "df")
+    a = wb.select("doc", F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    b = wb.select("doc", F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair)
+    )
+    scored = pairs.crossJoin(n_docs).select(
+        "term_a", "term_b", "n_pair",
+        F.log(F.col("n_pair") * F.col("__n") / (F.col("df_a") * F.col("df_b"))).alias("pmi"),
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b")).limit(top_n)

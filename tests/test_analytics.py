@@ -171,3 +171,28 @@ def test_funnel_within_window_gates_conversion(spark):
                funnel_counts(ev, ["view", "click"], within_s=3600).collect()}
     assert unbounded == {1: 3, 2: 3}
     assert bounded == {1: 3, 2: 2}
+
+
+def test_funnel_latency_hand_computed(spark):
+    """Two converting users with known delays: p50 is the interpolated
+    midpoint, n_users counts only converters, step numbering starts at 2."""
+    from datetime import datetime
+
+    from mcpvectordb_spark.operators.analytics import funnel_latency
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2026, 1, 1, 10, 0, 0), "view"),
+            (1, datetime(2026, 1, 1, 10, 0, 10), "click"),   # 10 s
+            (2, datetime(2026, 1, 1, 10, 0, 0), "view"),
+            (2, datetime(2026, 1, 1, 10, 0, 30), "click"),   # 30 s
+            (3, datetime(2026, 1, 1, 10, 0, 0), "view"),     # never clicks
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = funnel_latency(ev, ["view", "click"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["step"], r["step_name"], r["n_users"]) == (2, "click", 2)
+    assert r["p50_s"] == 20.0     # interpolated between 10 and 30
+    assert r["p90_s"] == 28.0     # 10 + 0.9*(30-10)

@@ -260,3 +260,35 @@ def test_ngram_lm_short_docs_excluded_but_counted(spark):
     # present, unigram mass of a/b/c shifts vs doc 0 alone
     alone = ngram_lm_score(df.filter("id = 0"), "id", "text").collect()[0]
     assert alone["avg_logp"] != out[0]["avg_logp"]
+
+
+def test_doc_pmi_collocation_beats_chance(spark):
+    """'rock roll' always co-occur (PMI = ln(N/df²·n)), a chance pair
+    scores lower, df-band drops ubiquitous and rare words."""
+    import math
+
+    import pytest
+
+    from mcpvectordb_spark.operators.textstats import doc_pmi_pairs
+
+    # 100 docs: 'common' in all (banded out at max 10%), 'rock roll'
+    # together in 8 docs, 'salt' in 8 docs overlapping 'rock' only twice
+    rows = []
+    for i in range(100):
+        toks = ["common", f"u{i}"]
+        if i < 8:
+            toks += ["rock", "roll"]
+        if 6 <= i < 14:
+            toks += ["salt"]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["term_a"], r["term_b"]): r for r in
+           doc_pmi_pairs(docs, "doc_id", "text", min_df_frac=0.05,
+                         max_df_frac=0.09, min_pair=2, top_n=10).collect()}
+    assert ("rock", "roll") in out
+    perfect = out[("rock", "roll")]
+    assert perfect["n_pair"] == 8
+    assert perfect["pmi"] == pytest.approx(math.log(8 * 100 / (8 * 8)), rel=1e-9)
+    assert ("rock", "salt") in out
+    assert out[("rock", "salt")]["pmi"] < perfect["pmi"]
+    assert not any("common" in k or k[0].startswith("u") for k in out)
