@@ -309,6 +309,39 @@ class VectorDB:
             return _err(f"document not found: {doc_id}")
         return {"status": "deleted", "doc_id": doc_id, "deleted_chunks": deleted}
 
+    def delete_where(self, library: str | None = None, filter: dict | None = None) -> dict:  # noqa: A002
+        """Predicate-scoped delete (beyond reference): same filter contract
+        as search (equality AND, key whitelist); whole documents drop.
+        Requires at least one predicate — an empty filter would truncate
+        the store, which deserves an explicit API, not a default."""
+        if library is None and not filter:
+            return _err("delete_where requires a library and/or filter")
+        try:
+            deleted = self.store.delete_where(library, filter)
+        except InvalidFilterError as exc:
+            return _err(str(exc))
+        return {"status": "deleted", "deleted_chunks": deleted}
+
+    def snapshot(self, tag: str | None = None) -> dict:
+        """Create a zero-copy store snapshot (store.py::snapshot)."""
+        try:
+            version = self.store.snapshot(tag)
+        except NotImplementedError as exc:
+            return _err(str(exc))
+        return {"status": "ok", "version": version, "tag": tag}
+
+    def list_snapshots(self) -> dict:
+        return {"status": "ok", "snapshots": self.store.snapshots()}
+
+    def restore(self, version: int) -> dict:
+        """Roll the store back to a snapshot; the pre-restore state is
+        auto-snapshotted (tag 'pre-restore') and its version returned."""
+        try:
+            safety = self.store.restore(version)
+        except (ValueError, NotImplementedError) as exc:
+            return _err(str(exc))
+        return {"status": "ok", "restored": version, "pre_restore_version": safety}
+
     def get_document(self, doc_id: str) -> dict:
         """Reference server.py:363-398."""
         if not doc_id:

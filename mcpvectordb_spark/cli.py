@@ -39,6 +39,15 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("get").add_argument("doc_id")
     sub.add_parser("delete").add_argument("doc_id")
 
+    dw = sub.add_parser("delete-where", help="delete whole docs by equality filter")
+    dw.add_argument("--library", default=None)
+    dw.add_argument("--filter", default=None, help="JSON equality filter dict")
+
+    sn = sub.add_parser("snapshot", help="create a zero-copy store snapshot")
+    sn.add_argument("--tag", default=None)
+    sub.add_parser("snapshots", help="list committed snapshots")
+    sub.add_parser("restore").add_argument("version", type=int)
+
     args = p.parse_args(argv)
 
     from dataclasses import replace
@@ -67,6 +76,15 @@ def main(argv: list[str] | None = None) -> int:
         out = db.server_info()
     elif args.cmd == "get":
         out = db.get_document(args.doc_id)
+    elif args.cmd == "delete-where":
+        out = db.delete_where(library=args.library,
+                              filter=json.loads(args.filter) if args.filter else None)
+    elif args.cmd == "snapshot":
+        out = db.snapshot(tag=args.tag)
+    elif args.cmd == "snapshots":
+        out = db.list_snapshots()
+    elif args.cmd == "restore":
+        out = db.restore(args.version)
     else:
         out = db.delete_document(args.doc_id)
 

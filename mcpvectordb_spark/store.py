@@ -189,6 +189,21 @@ class ChunkStore:
         )
         return self._delete_rewrite(hits, keep_of)
 
+    def delete_where(self, library: str | None = None, filters: dict | None = None) -> int:
+        """Predicate-scoped delete: remove every chunk matching the same
+        equality-AND filter contract the search path uses (build_filter —
+        key whitelist, string/int values).  Whole DOCUMENTS are deleted:
+        any doc with >= 1 matching chunk drops entirely, matching the
+        reference's doc-granular delete semantics (store.py:237-259) —
+        a partial-document store would corrupt get_document reconstruction.
+
+        Returns deleted row count.  Same single-rewrite-per-partition
+        contract as delete_documents."""
+        pred = build_filter(library, filters)
+        df = self.read()
+        ids_df = df.filter(pred).select("doc_id").distinct().localCheckpoint(eager=True)
+        return self.delete_documents_df(ids_df)
+
     def _delete_rewrite(self, hits: DataFrame, keep_of) -> int:
         # one job: affected partitions + per-partition deleted counts
         lib_counts = hits.groupBy("library").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -163,3 +163,40 @@ def test_search_diversify_spreads_documents(spark, tmp_path):
 
     bad = db.search("alpha", diversify=1.5)
     assert bad["status"] == "error"
+
+
+def test_delete_where_and_snapshot_api(spark, tmp_path):
+    """Predicate delete drops whole documents; snapshot/restore round-trip
+    through the public API envelopes."""
+    from mcpvectordb_spark.api import VectorDB
+    from mcpvectordb_spark.config import TEST
+
+    db = VectorDB(spark, str(tmp_path / "db"), TEST)
+    db.ingest_content("alpha text " * 30, source="a.txt", library="L1")
+    db.ingest_content("beta text " * 30, source="b.txt", library="L1")
+    db.ingest_content("gamma text " * 30, source="c.md", library="L2")
+
+    snap = db.snapshot(tag="before-delete")
+    assert snap["status"] == "ok" and snap["version"] == 1
+
+    # refuse a full truncate
+    assert db.delete_where()["status"] == "error"
+    # bad filter key -> error envelope, not exception
+    assert db.delete_where(filter={"bad key": 1})["status"] == "error"
+
+    out = db.delete_where(library="L1", filter={"source": "a.txt"})
+    assert out["status"] == "deleted" and out["deleted_chunks"] >= 1
+    docs = db.list_documents(library="L1")["documents"]
+    assert {d["source"] for d in docs} == {"b.txt"}
+
+    # whole-library delete
+    out2 = db.delete_where(library="L2")
+    assert out2["status"] == "deleted"
+    assert db.list_documents(library="L2")["documents"] == []
+
+    restored = db.restore(1)
+    assert restored["status"] == "ok"
+    libs = {entry["library"] for entry in db.list_libraries()["libraries"]}
+    assert libs == {"L1", "L2"}
+    tags = [s["tag"] for s in db.list_snapshots()["snapshots"]]
+    assert "before-delete" in tags and "pre-restore" in tags
