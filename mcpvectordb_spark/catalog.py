@@ -2548,6 +2548,71 @@ FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    importance weights of every raw doc against a target split (sources
+    src13/src8 stand in for the clean reference corpus), then Gumbel-top-k
+    importance resampling — curation.py::dsir_select.  The m-row log-ratio
+    table broadcasts; the corpus shuffles once (bucket agg) and aggregates
+    once (per-doc sum); the Gumbel draw is hash-derived so the selected
+    set is bit-reproducible, with a full DuckDB oracle twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.dsir_select(
+        docs, "doc_id", "text", F.col("source").isin("src13", "src8"), k=100
+    ).orderBy("rank")
+
+
+_DSIR_U = (
+    f"({_sql_hex48(chr(39) + 'dsir:' + chr(39) + ' || CAST(id AS VARCHAR)')}"
+    " + 0.5) / 281474976710656.0"
+)
+
+SQL_DSIR_SELECT = f"""
+WITH ws AS (
+  SELECT doc_id AS id, source IN ('src13','src8') AS t,
+         list_filter({_sql_words('text')}, w -> w <> '') AS w
+  FROM documents
+),
+feats AS (
+  SELECT id, t, u.f
+  FROM (
+    SELECT id, t,
+           list_concat(w, CASE WHEN len(w) >= 2
+             THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+             ELSE CAST([] AS VARCHAR[]) END) AS fs
+    FROM ws
+  ), UNNEST(fs) AS u(f)
+),
+bf AS (SELECT id, t, {_sql_hex48('f')} % 256 AS b FROM feats),
+counts AS (
+  SELECT b,
+         CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM bf GROUP BY b
+),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM counts),
+ratio AS (
+  SELECT b, ln((ct + 1.0) / (nt + 256.0)) - ln((cr + 1.0) / (nr + 256.0)) AS logr
+  FROM counts CROSS JOIN tot
+),
+w AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_feats, round(sum(logr), 6) AS logw
+  FROM bf JOIN ratio USING (b) WHERE NOT t GROUP BY id
+),
+keyed AS (
+  SELECT id, n_feats, logw,
+         round(logw - ln(-ln({_DSIR_U})), 6) AS key
+  FROM w
+),
+ranked AS (
+  SELECT id, n_feats, logw, key,
+         CAST(row_number() OVER (ORDER BY key DESC, id ASC) AS INT) AS rank
+  FROM keyed
+)
+SELECT id, n_feats, logw, key, rank FROM ranked WHERE rank <= 100 ORDER BY rank
+"""
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: hash-gated Bernoulli with
     per-language rates — a pure filter (no RNG, no shuffle), identical
@@ -4857,12 +4922,12 @@ QUERIES = {
     "multimodal_image_neardup": q_multimodal_image_neardup,
     "multimodal_video_framedup": q_multimodal_video_framedup,
     "events_paths": q_events_paths,
+    "dsir_select": q_dsir_select,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
     "knn_filtered": q_knn_filtered,
     "ivf_topk": q_ivf_topk,
-    "knn_sq8_topk": q_knn_sq8_topk,
     "bm25_topk": q_bm25_topk,
     "bm25_fuzzy": q_bm25_fuzzy,
     "search_highlights": q_search_highlights,
@@ -4985,6 +5050,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "text_repetition": q_text_repetition,
     "events_interval_join": q_events_interval_join,
+    "knn_sq8_topk": q_knn_sq8_topk,
     "events_distinct_rollup": q_events_distinct_rollup,
 }
 
@@ -5064,6 +5130,7 @@ ORACLES = {
     "decontaminate_bloom_persisted": _sql_decontaminate(),
     "domain_quota": _sql_domain_quota(),
     "sample_stratified": _sql_sample_stratified(),
+    "dsir_select": SQL_DSIR_SELECT,
     "weighted_sample": _sql_weighted_sample(),
     "train_shards": _sql_train_shards(),
     "pack_sequences": _sql_pack_sequences(),

@@ -717,3 +717,119 @@ def eval_shingle_list(eval_df: DataFrame, text_col: str, n: int = 3) -> list[str
         .collect()
     )
     return sorted(r["s"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection with importance resampling (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling")
+
+
+def dsir_features(text: Column) -> Column:
+    """Bag-of-ngram feature strings of the normalized text: unigrams plus
+    adjacent bigrams, WITH multiplicity (DSIR's hashed-ngram counts are a
+    bag, not a set — :func:`mcpvectordb_spark.operators.dedup.word_shingles`
+    is distinct and so unusable here).  The size>=2 guard mirrors
+    word_shingles': Spark's ``sequence(1, 0)`` would run *descending* and
+    fabricate bigrams on 1-word docs."""
+    from mcpvectordb_spark.operators.dedup import normalize_text
+
+    words = F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat(
+                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(words, bigrams)
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight of every RAW (non-target)
+    document: ``logw = Σ_f [ln p̂_target(b(f)) − ln p̂_raw(b(f))]`` over the
+    doc's hashed unigram+bigram features, where both bucket distributions
+    are Laplace-smoothed ``(c_b + α)/(N + α·m)`` empirical counts fit from
+    the target / raw split of ``df`` itself.  High logw = the doc "reads
+    like" the target distribution — the importance weight DSIR resamples by.
+
+    100 TB shape: ONE explode of the corpus into (id, bucket) pairs, one
+    m-keyed agg (map-side combined; m is the ``n_buckets`` knob, hundreds),
+    then the m-row log-ratio table **broadcasts** back onto the exploded
+    features — the big side never shuffles again — and collapses with one
+    id-keyed agg.  The target side is tiny by construction (a clean
+    reference corpus); both distributions ride the same single agg.  All
+    hashing is the portable md5 hexint48, so the whole weight table has a
+    bit-exact DuckDB twin."""
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        is_target.alias("_t"),
+        F.explode(dsir_features(F.col(text_col))).alias("f"),
+    ).withColumn("b", hexint48(F.col("f")) % F.lit(n_buckets))
+    counts = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(F.col("_t"), 0).otherwise(1)).cast("long").alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").cast("long").alias("nt"), F.sum("cr").cast("long").alias("nr")
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + F.lit(alpha)) / (F.col("nt") + F.lit(alpha * n_buckets)))
+            - F.log((F.col("cr") + F.lit(alpha)) / (F.col("nr") + F.lit(alpha * n_buckets)))
+        ).alias("logr"),
+    )
+    return (
+        feats.filter(~F.col("_t"))
+        .join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.round(F.sum("logr"), 6).alias("logw"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    k: int,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Gumbel-top-k importance RESAMPLING over :func:`dsir_weights` — the
+    second half of DSIR: sampling without replacement proportionally to the
+    importance weights equals taking the top k of ``logw + Gumbel(0,1)``
+    (Vieira 2014).  The Gumbel draw is hash-derived, not RNG:
+    ``u = (hexint48(salt||id) + 0.5) / 2^48``, ``g = −ln(−ln u)`` — so the
+    selection is reproducible across runs, partitionings, and engines, the
+    same determinism contract as ``sample_stratified``.
+
+    The ranking key rounds to 6 decimals BEFORE ranking (with an id
+    tiebreak) so the global order is well-defined under floating-point
+    summation-order noise.  Output: the k selected docs with their weight,
+    key, and selection rank.  The final rank is a TakeOrderedAndProject at
+    scale when followed by the filter — never a global sort of the corpus."""
+    w = dsir_weights(df, id_col, text_col, is_target, n_buckets, alpha)
+    u = (
+        hexint48(F.concat(F.lit(salt + ":"), F.col("id").cast("string"))) + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    keyed = w.withColumn("key", F.round(F.col("logw") - F.log(-F.log(u)), 6))
+    rank_w = Window.orderBy(F.col("key").desc(), F.col("id").asc())
+    return (
+        keyed.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("id", "n_feats", "logw", "key", "rank")
+    )

@@ -353,3 +353,35 @@ def test_pack_bins_ffd_beats_arrival_order(spark):
     assert n_bins <= len(fills)
     total = sum(sizes)
     assert n_bins >= -(-total // 256)  # ≥ the LP lower bound
+
+
+def test_dsir_weights_rank_targetlike_above_noise(spark):
+    # target split: docs about one topic; raw split: one target-like doc,
+    # one off-distribution word-salad — DSIR must weight the former higher
+    rows = [
+        (1, "spark sql engine runs the query plan on the cluster", True),
+        (2, "the query engine compiles the sql plan for spark", True),
+        (3, "spark runs the sql query plan on the engine cluster", False),
+        (4, "zxqv kjwp qmfg ybdn wwyy vvkk ppqq rrss ttuu", False),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, t boolean")
+    w = {
+        r["id"]: r["logw"]
+        for r in cu.dsir_weights(df, "id", "text", F.col("t")).collect()
+    }
+    assert set(w) == {3, 4}  # weights exist only for the raw split
+    assert w[3] > w[4]
+
+
+def test_dsir_select_deterministic_topk(spark):
+    rows = [
+        (i, f"common words shared by every doc plus token{i % 7}", i % 5 == 0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, t boolean")
+    sel = cu.dsir_select(df, "id", "text", F.col("t"), k=10)
+    a = [(r["id"], r["rank"]) for r in sel.orderBy("rank").collect()]
+    b = [(r["id"], r["rank"]) for r in sel.orderBy("rank").collect()]
+    assert a == b  # hash-derived Gumbel: bit-reproducible
+    assert [r for _, r in a] == list(range(1, 11))  # contiguous ranks
+    assert len({i for i, _ in a}) == 10
