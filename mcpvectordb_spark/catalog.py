@@ -26,6 +26,7 @@ from mcpvectordb_spark.io import load_table
 from mcpvectordb_spark.operators import curation as cu
 from mcpvectordb_spark.operators import dedup as dd
 from mcpvectordb_spark.operators import textstats as ts
+from mcpvectordb_spark.operators import weburl as wu
 from mcpvectordb_spark.operators.bm25 import bm25_score, bm25_topk
 from mcpvectordb_spark.operators.hybrid import rrf_topk
 from mcpvectordb_spark.operators.knn import (
@@ -2613,6 +2614,91 @@ SELECT id, n_feats, logw, key, rank FROM ranked WHERE rank <= 100 ORDER BY rank
 """
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL curation (operators/weburl.py): canonical URL
+    (case/port/tracking-param/fragment normalization), registered-domain
+    extraction (public-suffix aware), and the stripped-tracking-param
+    audit count.  URLs are constructed deterministically from (source,
+    doc_id) with four variant shapes — uppercase host + default https
+    port + utm/gclid params + fragment; non-default port; bare host with
+    no path; default http port with a tracking ``ref`` — so every
+    normalization branch is exercised and oracle-checked.  Pure
+    projection: no UDF, no shuffle beyond the output sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.CO.UK:443/art/"), sid, F.lit("?utm_source=feed&b=2&a=1#frag")))
+        .when(m == 1, F.concat(F.lit("http://sub."), F.col("source"), F.lit(".example.com:8080/p/"), sid, F.lit("?gclid=x&z=9")))
+        .when(m == 2, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org")))
+        .otherwise(F.concat(F.lit("http://"), F.col("source"), F.lit(".github.io:80/?ref=rss&q="), sid))
+    )
+    return (
+        wu.url_features(docs.withColumn("url", url), "url")
+        .select("doc_id", "url_host", "url_domain", "url_norm", "n_tracking_params")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_URL_TRACK = " OR ".join(
+    f"starts_with(regexp_extract(x, '^([^=]*)', 1), '{t}')"
+    for t in ("utm_", "gclid", "fbclid", "msclkid", "mc_eid", "ref")
+)
+_SQL_URL_SUFFIXES = ",".join(
+    f"'{s}'"
+    for s in (
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+        "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "com.ar",
+        "com.tr", "co.in", "co.kr", "co.za", "co.nz",
+    )
+)
+
+SQL_URL_NORMALIZE = f"""
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.CO.UK:443/art/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+      WHEN 1 THEN 'http://sub.' || source || '.example.com:8080/p/' || CAST(doc_id AS VARCHAR) || '?gclid=x&z=9'
+      WHEN 2 THEN 'https://' || source || '.example.org'
+      ELSE 'http://' || source || '.github.io:80/?ref=rss&q=' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS authority,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u
+),
+h AS (
+  SELECT *, lower(regexp_extract(authority, '^([^:]*)', 1)) AS host,
+         regexp_extract(authority, ':([0-9]+)$', 1) AS port
+  FROM p
+),
+d AS (
+  SELECT *, string_split(host, '.') AS labels,
+    list_filter(string_split(query, '&'), x -> x <> '') AS all_params,
+    list_sort(list_filter(string_split(query, '&'),
+                          x -> x <> '' AND NOT ({_SQL_URL_TRACK}))) AS kept
+  FROM h
+)
+SELECT doc_id, host AS url_host,
+  CASE WHEN len(labels) <= 2 THEN host
+       WHEN array_to_string(labels[-2:], '.') IN ({_SQL_URL_SUFFIXES}) AND len(labels) >= 3
+         THEN array_to_string(labels[-3:], '.')
+       ELSE array_to_string(labels[-2:], '.') END AS url_domain,
+  scheme || '://' || host ||
+    CASE WHEN port <> '' AND NOT ((scheme='http' AND port='80') OR (scheme='https' AND port='443'))
+         THEN ':' || port ELSE '' END ||
+    CASE WHEN path = '' THEN '/' ELSE path END ||
+    CASE WHEN array_to_string(kept, '&') <> '' THEN '?' || array_to_string(kept, '&') ELSE '' END AS url_norm,
+  CAST(len(all_params) - len(kept) AS INT) AS n_tracking_params
+FROM d ORDER BY doc_id
+"""
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: hash-gated Bernoulli with
     per-language rates — a pure filter (no RNG, no shuffle), identical
@@ -4923,6 +5009,7 @@ QUERIES = {
     "multimodal_video_framedup": q_multimodal_video_framedup,
     "events_paths": q_events_paths,
     "dsir_select": q_dsir_select,
+    "url_normalize": q_url_normalize,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
@@ -4935,7 +5022,6 @@ QUERIES = {
     "list_documents": q_list_documents,
     "get_document": q_get_document,
     "semi_join_lookup": q_semi_join_lookup,
-    "delete_antijoin": q_delete_antijoin,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters_twostar": q_dedup_clusters_twostar,
@@ -5051,6 +5137,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "events_interval_join": q_events_interval_join,
     "knn_sq8_topk": q_knn_sq8_topk,
+    "delete_antijoin": q_delete_antijoin,
     "events_distinct_rollup": q_events_distinct_rollup,
 }
 
@@ -5131,6 +5218,7 @@ ORACLES = {
     "domain_quota": _sql_domain_quota(),
     "sample_stratified": _sql_sample_stratified(),
     "dsir_select": SQL_DSIR_SELECT,
+    "url_normalize": SQL_URL_NORMALIZE,
     "weighted_sample": _sql_weighted_sample(),
     "train_shards": _sql_train_shards(),
     "pack_sequences": _sql_pack_sequences(),

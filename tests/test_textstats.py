@@ -292,3 +292,47 @@ def test_doc_pmi_collocation_beats_chance(spark):
     assert ("rock", "salt") in out
     assert out[("rock", "salt")]["pmi"] < perfect["pmi"]
     assert not any("common" in k or k[0].startswith("u") for k in out)
+
+
+# ---------------------------------------------------------------------------
+# weburl operators
+
+
+def test_url_normalize_branches(spark):
+    from mcpvectordb_spark.operators import weburl as wu
+
+    rows = [
+        (1, "HTTPS://WWW.Example.CO.UK:443/Path/One?utm_source=f&b=2&a=1&gclid=x#frag"),
+        (2, "http://deep.sub.example.co.uk:8080/x?z=1&utm_medium=m"),
+        (3, "https://news.example.com"),
+        (4, "http://example.org:80/?ref=rss"),
+        (5, "https://example.com/a?b=1&b=0"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r["id"]: r for r in wu.url_features(df, "url").collect()}
+    # case + default port + tracking strip + param sort + fragment drop
+    assert out[1]["url_norm"] == "https://www.example.co.uk/Path/One?a=1&b=2"
+    assert out[1]["url_domain"] == "example.co.uk"
+    assert out[1]["n_tracking_params"] == 2
+    # non-default port survives; multi-label suffix through deep subdomains
+    assert out[2]["url_norm"] == "http://deep.sub.example.co.uk:8080/x?z=1"
+    assert out[2]["url_domain"] == "example.co.uk"
+    # bare host gains '/'; plain 2-label registered domain
+    assert out[3]["url_norm"] == "https://news.example.com/"
+    assert out[3]["url_domain"] == "example.com"
+    # default http port stripped; ref param is tracking
+    assert out[4]["url_norm"] == "http://example.org/"
+    assert out[4]["n_tracking_params"] == 1
+    # duplicate keys kept, sorted canonically
+    assert out[5]["url_norm"] == "https://example.com/a?b=0&b=1"
+
+
+def test_registered_domain_short_hosts(spark):
+    from mcpvectordb_spark.operators import weburl as wu
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("localhost",), ("example.com",), ("co.uk",)], "host string"
+    )
+    got = [r["d"] for r in df.select(wu.registered_domain(F.col("host")).alias("d")).collect()]
+    assert got == ["localhost", "example.com", "co.uk"]

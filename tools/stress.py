@@ -735,6 +735,30 @@ def main_s3() -> None:
         return n
 
     run("bpe_encode_200k", bpe)
+
+    # ---- DSIR importance resampling over the 200k corpus -------------------
+    def dsir():
+        from mcpvectordb_spark.operators.curation import dsir_select
+
+        # target = even-base real-text docs; raw = odd-base real-text docs
+        # (in-distribution) + ~195k hash-salad replicas (out-of-distribution).
+        # DSIR must overwhelmingly select the real-text raw docs.
+        corpus = big_docs.withColumn(
+            "t", (F.col("id") % 100 == 0) & (F.expr("id div 100") % 2 == 0)
+        )
+        sel = dsir_select(corpus, "id", "text", F.col("t"), k=1000)
+        rows = sel.collect()
+        assert len(rows) == 1000
+        real = sum(1 for r in rows if r["id"] % 100 == 0)
+        assert real >= 900, f"only {real}/1000 selected docs are in-distribution"
+        notes["dsir_200k"] = (
+            f"k=1000 Gumbel-top-k over {n_docs} docs; {real}/1000 selected are "
+            "real-text (in-distribution) vs ~2.5k real-text raw candidates "
+            "among ~197.5k raw docs — the log-ratio broadcast is 256 rows"
+        )
+        return real
+
+    run("dsir_200k", dsir)
     big_docs.unpersist()
 
     # ---- 6M basket rows: association rules ---------------------------------
