@@ -1986,6 +1986,23 @@ GROUP BY id ORDER BY id
 """
 
 
+def q_text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-deflate compression-ratio quality signal per document
+    (textstats.py::deflate_ratio — whole-document repetitiveness that
+    n-gram fractions miss), with one planted template-spam doc that must
+    flag ``repetitive``.  Byte-level compression is not SQL-expressible →
+    golden-digest gate (deterministic: pinned zlib level, fixed plant)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    spam = spark.range(1).select(
+        F.lit(_PLANT_OFFSET).cast("long").alias("id"),
+        F.lit(("buy cheap meds now " * 60).strip()).alias("text"),
+    )
+    out = ts.deflate_ratio(docs.unionByName(spam), "id", "text")
+    return _digest_gate(out.withColumn("repetitive", F.col("deflate_ratio") < 0.3))
+
+
 def q_text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated trigram-LM scoring of the corpus against itself
     (operators/ngram_lm.py — the full KenLM-style quality filter of
@@ -5010,6 +5027,7 @@ QUERIES = {
     "events_paths": q_events_paths,
     "dsir_select": q_dsir_select,
     "url_normalize": q_url_normalize,
+    "text_compression": q_text_compression,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
@@ -5021,7 +5039,6 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "list_documents": q_list_documents,
     "get_document": q_get_document,
-    "semi_join_lookup": q_semi_join_lookup,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters_twostar": q_dedup_clusters_twostar,
@@ -5138,6 +5155,7 @@ QUERIES = {
     "events_interval_join": q_events_interval_join,
     "knn_sq8_topk": q_knn_sq8_topk,
     "delete_antijoin": q_delete_antijoin,
+    "semi_join_lookup": q_semi_join_lookup,
     "events_distinct_rollup": q_events_distinct_rollup,
 }
 
@@ -5159,6 +5177,7 @@ ORACLES = {
     "semdedup_refined": _sql_digest_gold(40, "aaf749a73d044527cad60508c4bb0127"),
     "cdc_dedup": _sql_digest_gold(1, "7e5555177d39bd68bbd2a70ef07c16bd"),
     "multimodal_image_features": _sql_digest_gold(200, "8568d2c87a49963eeb510ac4f2f56660"),
+    "text_compression": _sql_digest_gold(501, "411f2b609cb05003f77646208f17e6b6"),
     "knn_topk": SQL_KNN_TOPK,
     "knn_pq_topk": SQL_KNN_PQ_TOPK,
     "knn_ivfpq_topk": SQL_KNN_IVFPQ_TOPK,

@@ -370,3 +370,40 @@ def doc_pmi_pairs(
         F.log(F.col("n_pair") * F.col("__n") / (F.col("df_a") * F.col("df_b"))).alias("pmi"),
     )
     return scored.orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b")).limit(top_n)
+
+
+def deflate_ratio(df: DataFrame, id_col: str, text_col: str, level: int = 6) -> DataFrame:
+    """Per-document zlib-deflate compression ratio — the classic
+    model-free repetitiveness signal (RefinedWeb/MassiveText-adjacent):
+    boilerplate and template spam compress far below natural prose
+    (ratio ≪ 0.4), while high-entropy noise sits near (or above) 1.0.
+    Complements :func:`repetition_stats`' n-gram fractions with a
+    whole-document measure that catches long-range repetition n-grams
+    miss.
+
+    Compression is inherently byte-level Python work → a sanctioned
+    Arrow ``mapInPandas`` kernel (the chunker/embedder class, SURVEY.md
+    §2.9): map-only, no shuffle, output is three numbers per doc — the
+    text never leaves the stage.  ``level`` is pinned (zlib output is
+    stable for a given library version + level) so the catalog gate can
+    golden-digest the full result."""
+    out_schema = f"{id_col} long, n_bytes long, n_deflate long, deflate_ratio double"
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                b = (t or "").encode("utf-8")
+                c = zlib.compress(b, level) if b else b""
+                rows.append(
+                    (int(i), len(b), len(c), round(len(c) / len(b), 4) if b else 1.0)
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_bytes", "n_deflate", "deflate_ratio"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

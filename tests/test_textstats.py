@@ -336,3 +336,22 @@ def test_registered_domain_short_hosts(spark):
     )
     got = [r["d"] for r in df.select(wu.registered_domain(F.col("host")).alias("d")).collect()]
     assert got == ["localhost", "example.com", "co.uk"]
+
+
+def test_deflate_ratio_flags_repetition(spark):
+    from mcpvectordb_spark.operators.textstats import deflate_ratio
+
+    rows = [
+        (1, "buy cheap meds now " * 60),
+        (2, "The quick brown fox jumps over the lazy dog while seventeen "
+            "violinists argued about quantum chromodynamics in Marseille."),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in deflate_ratio(df, "id", "text").collect()}
+    assert out[1]["deflate_ratio"] < 0.1          # template spam collapses
+    assert out[2]["deflate_ratio"] > 0.5          # natural prose doesn't
+    assert out[1]["n_bytes"] == len("buy cheap meds now " * 60)
+    for i in (3, 4):                               # empty/null → neutral 1.0
+        assert out[i]["deflate_ratio"] == 1.0 and out[i]["n_bytes"] == 0

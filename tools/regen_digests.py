@@ -31,6 +31,7 @@ GATED = [
     "multimodal_image_neardup",
     "multimodal_video_framedup",
     "bpe_encode",
+    "text_compression",
 ]
 
 
