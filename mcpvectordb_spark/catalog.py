@@ -2003,6 +2003,90 @@ def q_text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _digest_gate(out.withColumn("repetitive", F.col("deflate_ratio") < 0.3))
 
 
+_BLOCKLIST = ["casino", "lottery", "jackpot", "warez", "xxx"]
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style word-blocklist page gate (curation.py::blocklist_flags):
+    per-doc blocked-token count + page verdict over the corpus plus one
+    planted offender that must flag.  Map-only codegen array
+    intersection; the blocklist is a plan literal."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    plant = spark.range(1).select(
+        F.lit(_PLANT_OFFSET).cast("long").alias("id"),
+        F.lit("win the big lottery jackpot at our casino tonight").alias("text"),
+    )
+    return cu.blocklist_flags(
+        docs.unionByName(plant), "id", "text", _BLOCKLIST
+    ).orderBy("id")
+
+
+_SQL_BL = ", ".join(f"'{w}'" for w in sorted(set(_BLOCKLIST)))
+
+SQL_BLOCKLIST_FILTER = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL SELECT {_PLANT_OFFSET} AS id, 'win the big lottery jackpot at our casino tonight' AS text
+),
+scored AS (
+  SELECT id,
+         CAST(len(list_filter(list_filter({_sql_words('text')}, w -> w <> ''),
+                              w -> w IN ({_SQL_BL}))) AS BIGINT) AS n_blocked
+  FROM corpus
+)
+SELECT id, n_blocked, n_blocked > 0 AS blocked FROM scored ORDER BY id
+"""
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (textstats.py::
+    logprob_buckets): unigram log-prob scores split at discrete tercile
+    thresholds; the planted word-salad doc must land in ``tail``.  The
+    thresholds are a 1-row broadcast, assignment map-side."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    salad = spark.range(1).select(
+        F.lit(_PLANT_OFFSET).cast("long").alias("id"),
+        F.lit("zxqv kjwp qmfg ybdn xxzz vvkk ppqq rrss").alias("text"),
+    )
+    return ts.logprob_buckets(docs.unionByName(salad), "id", "text").orderBy("id")
+
+
+SQL_CCNET_BUCKETS = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL SELECT {_PLANT_OFFSET} AS id, 'zxqv kjwp qmfg ybdn xxzz vvkk ppqq rrss' AS text
+),
+toks AS (
+  SELECT id, t.term
+  FROM (SELECT id, {_sql_words('text')} AS ws FROM corpus), UNNEST(ws) AS t(term)
+  WHERE t.term <> ''
+),
+freq AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+scored AS (
+  SELECT id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(ln(c * 1.0 / n_total)), 6) AS avg_logprob
+  FROM toks JOIN freq USING (term) CROSS JOIN n
+  GROUP BY id
+),
+th AS (
+  SELECT quantile_disc(avg_logprob, 0.3333333333333333) AS t1,
+         quantile_disc(avg_logprob, 0.6666666666666666) AS t2
+  FROM scored
+)
+SELECT id, n_tokens, avg_logprob,
+       CASE WHEN avg_logprob > t2 THEN 'head'
+            WHEN avg_logprob > t1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored CROSS JOIN th ORDER BY id
+"""
+
+
 def q_text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated trigram-LM scoring of the corpus against itself
     (operators/ngram_lm.py — the full KenLM-style quality filter of
@@ -5028,6 +5112,8 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "url_normalize": q_url_normalize,
     "text_compression": q_text_compression,
+    "blocklist_filter": q_blocklist_filter,
+    "ccnet_buckets": q_ccnet_buckets,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
@@ -5037,8 +5123,6 @@ QUERIES = {
     "bm25_fuzzy": q_bm25_fuzzy,
     "search_highlights": q_search_highlights,
     "hybrid_rrf": q_hybrid_rrf,
-    "list_documents": q_list_documents,
-    "get_document": q_get_document,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters_twostar": q_dedup_clusters_twostar,
@@ -5156,6 +5240,8 @@ QUERIES = {
     "knn_sq8_topk": q_knn_sq8_topk,
     "delete_antijoin": q_delete_antijoin,
     "semi_join_lookup": q_semi_join_lookup,
+    "list_documents": q_list_documents,
+    "get_document": q_get_document,
     "events_distinct_rollup": q_events_distinct_rollup,
 }
 
@@ -5238,6 +5324,8 @@ ORACLES = {
     "sample_stratified": _sql_sample_stratified(),
     "dsir_select": SQL_DSIR_SELECT,
     "url_normalize": SQL_URL_NORMALIZE,
+    "blocklist_filter": SQL_BLOCKLIST_FILTER,
+    "ccnet_buckets": SQL_CCNET_BUCKETS,
     "weighted_sample": _sql_weighted_sample(),
     "train_shards": _sql_train_shards(),
     "pack_sequences": _sql_pack_sequences(),

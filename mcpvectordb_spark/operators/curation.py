@@ -833,3 +833,36 @@ def dsir_select(
         .filter(F.col("rank") <= k)
         .select("id", "n_feats", "logw", "key", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist gate (C4-style badwords page filter)
+
+
+def blocklist_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocklist: list[str],
+) -> DataFrame:
+    """C4-style word-blocklist page gate (Raffel et al. 2020 §2.2: any page
+    containing a word from the blocklist is dropped wholesale).  Emits the
+    per-doc blocked-token count and the page verdict so callers can audit
+    before filtering — the filter itself is ``.filter(~blocked)``.
+
+    The blocklist is a plan literal (the canonical lists are hundreds of
+    words — kilobytes in the task closure); matching is one codegen
+    array-intersection over the normalized token array: map-only, no
+    shuffle, no UDF."""
+    from mcpvectordb_spark.operators.dedup import normalize_text
+
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    lit = F.array(*[F.lit(w) for w in sorted(set(blocklist))])
+    n_blocked = F.size(F.filter(words, lambda t: F.array_contains(lit, t)))
+    return df.select(
+        F.col(id_col),
+        n_blocked.cast("long").alias("n_blocked"),
+        (n_blocked > 0).alias("blocked"),
+    )

@@ -407,3 +407,33 @@ def deflate_ratio(df: DataFrame, id_col: str, text_col: str, level: int = 6) -> 
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def logprob_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3): score every doc with :func:`unigram_logprob`, split the corpus
+    at the discrete tercile thresholds of the score distribution, and
+    label the top third ``head`` (most fluent), then ``middle``/``tail``.
+    CCNet trains on head+middle and drops or down-weights tail; the labels
+    here feed the same downstream sampling.
+
+    Scale shape: the scoring pass is the unigram_logprob profile (one
+    explode + two keyed aggs); the two thresholds are a 1-row scalar
+    broadcast (percentile_disc over the rounded scores — deterministic,
+    engine-mirrorable exactly like ``length_buckets``); assignment is a
+    map-side comparison."""
+    scored = unigram_logprob(df, id_col, text_col)
+    thresholds = scored.agg(
+        F.expr("percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY avg_logprob)").alias("_t1"),
+        F.expr("percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY avg_logprob)").alias("_t2"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(thresholds))
+        .withColumn(
+            "bucket",
+            F.when(F.col("avg_logprob") > F.col("_t2"), F.lit("head"))
+            .when(F.col("avg_logprob") > F.col("_t1"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("_t1", "_t2")
+    )

@@ -385,3 +385,18 @@ def test_dsir_select_deterministic_topk(spark):
     assert a == b  # hash-derived Gumbel: bit-reproducible
     assert [r for _, r in a] == list(range(1, 11))  # contiguous ranks
     assert len({i for i, _ in a}) == 10
+
+
+def test_blocklist_flags_page_gate(spark):
+    rows = [
+        (1, "a perfectly ordinary document about engineering"),
+        (2, "WIN the Lottery! lottery casino bonus"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in cu.blocklist_flags(df, "id", "text", ["casino", "lottery"]).collect()}
+    assert not out[1]["blocked"] and out[1]["n_blocked"] == 0
+    # case-normalized, counted with multiplicity; "Lottery!" keeps its
+    # punctuation under whitespace tokenization and does NOT match
+    assert out[2]["blocked"] and out[2]["n_blocked"] == 2
+    assert not out[3]["blocked"]  # null text never blocks

@@ -355,3 +355,14 @@ def test_deflate_ratio_flags_repetition(spark):
     assert out[1]["n_bytes"] == len("buy cheap meds now " * 60)
     for i in (3, 4):                               # empty/null → neutral 1.0
         assert out[i]["deflate_ratio"] == 1.0 and out[i]["n_bytes"] == 0
+
+
+def test_logprob_buckets_ccnet_terciles(spark):
+    from mcpvectordb_spark.operators.textstats import logprob_buckets
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(9)]
+    rows += [(100, "zzxqv kjwpq qmfgz ybdnw")]  # OOV-salad → lowest logprob
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["bucket"] for r in logprob_buckets(df, "id", "text").collect()}
+    assert out[100] == "tail"
+    assert set(out.values()) <= {"head", "middle", "tail"}
