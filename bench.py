@@ -84,6 +84,12 @@ BENCH_QUERIES = [
     "parts_pagerank",        # 10-iteration weighted power iteration
     "knn_mmr",               # greedy diversity rerank over a top-100 pool
     "bpe_encode",            # trained-merge application kernel
+    # session-4 additions
+    "dsir_select",           # hashed-ngram importance weights + Gumbel-top-k
+    "url_normalize",         # canonical URLs + registered domains (pure projection)
+    "text_compression",      # zlib deflate-ratio Arrow kernel
+    "blocklist_filter",      # C4 badwords array-intersection gate
+    "ccnet_buckets",         # unigram-logprob tercile split
 ]
 
 
