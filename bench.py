@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "text_compression",      # zlib deflate-ratio Arrow kernel
     "blocklist_filter",      # C4 badwords array-intersection gate
     "ccnet_buckets",         # unigram-logprob tercile split
+    "web_pipeline",          # fused 4-gate web-filtering funnel, one scan
 ]
 
 

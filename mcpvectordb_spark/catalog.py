@@ -2087,6 +2087,108 @@ FROM scored CROSS JOIN th ORDER BY id
 """
 
 
+_WEB_DOMAIN_BLOCKLIST = ["example.org"]
+
+
+def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style web-filtering funnel: URL registered-domain blocklist
+    → language-ID gate → heuristic quality gate → word-blocklist gate,
+    reported as surviving-doc counts per stage.  Every gate reuses a
+    first-class operator (weburl.registered_domain, textstats.lang_id /
+    quality_columns, the C4 blocklist intersection) and all gates fuse
+    into ONE conditional aggregation over a single corpus scan — the
+    pipeline costs one pass regardless of stage count, then a 5-row
+    stack.  The oracle replays every gate from the shared SQL fragments."""
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.CO.UK:443/art/"), sid, F.lit("?utm_source=feed&b=2&a=1#frag")))
+        .when(m == 1, F.concat(F.lit("http://sub."), F.col("source"), F.lit(".example.com:8080/p/"), sid, F.lit("?gclid=x&z=9")))
+        .when(m == 2, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org")))
+        .otherwise(F.concat(F.lit("http://"), F.col("source"), F.lit(".github.io:80/?ref=rss&q="), sid))
+    )
+    dom = wu.registered_domain(wu.url_parts(url)["host"])
+    qcols = ts.quality_columns("text")
+    bl = F.array(*[F.lit(w) for w in sorted(set(_BLOCKLIST))])
+    toks = F.filter(F.split(dd.normalize_text(F.col("text")), " "), lambda t: t != "")
+    blocked = F.size(F.filter(toks, lambda t: F.array_contains(bl, t))) > 0
+    f1 = ~dom.isin(*_WEB_DOMAIN_BLOCKLIST)
+    f2 = f1 & (ts.lang_id(F.col("text")) == "en")
+    f3 = f2 & (qcols["quality_score"] >= 0.5)
+    f4 = f3 & ~blocked
+    one = F.lit(1).cast("long")
+    agg = docs.agg(
+        F.count(one).alias("n0"),
+        F.sum(F.when(f1, one).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(f2, one).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(f3, one).otherwise(0)).cast("long").alias("n3"),
+        F.sum(F.when(f4, one).otherwise(0)).cast("long").alias("n4"),
+    )
+    return agg.selectExpr(
+        "stack(5, 0, 'all', n0, 1, 'url_domain', n1, 2, 'langid', n2, "
+        "3, 'quality', n3, 4, 'blocklist', n4) AS (stage_idx, stage, n_docs)"
+    ).orderBy("stage_idx")
+
+
+def _sql_web_pipeline() -> str:
+    selects, case_sql = _sql_lang_fragments()
+    doms = ", ".join(f"'{d}'" for d in _WEB_DOMAIN_BLOCKLIST)
+    return f"""
+WITH u AS (
+  SELECT doc_id, text,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.CO.UK:443/art/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+      WHEN 1 THEN 'http://sub.' || source || '.example.com:8080/p/' || CAST(doc_id AS VARCHAR) || '?gclid=x&z=9'
+      WHEN 2 THEN 'https://' || source || '.example.org'
+      ELSE 'http://' || source || '.github.io:80/?ref=rss&q=' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents
+),
+hosted AS (
+  SELECT *, lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)) AS host
+  FROM u
+),
+dommed AS (
+  SELECT *, string_split(host, '.') AS labels FROM hosted
+),
+{_sql_quality_cte('''(
+  SELECT *, CASE WHEN len(labels) <= 2 THEN host
+       WHEN array_to_string(labels[-2:], '.') IN ({sfx}) AND len(labels) >= 3
+         THEN array_to_string(labels[-3:], '.')
+       ELSE array_to_string(labels[-2:], '.') END AS url_domain
+  FROM dommed)'''.format(sfx=_SQL_URL_SUFFIXES))},
+scored AS (
+  SELECT *, {selects},
+    CAST(len(list_filter(list_filter({_sql_words('text')}, w -> w <> ''),
+                         w -> w IN ({_SQL_BL}))) AS BIGINT) AS n_blocked
+  FROM q
+),
+flagged AS (
+  SELECT *,
+    url_domain NOT IN ({doms}) AS f1,
+    url_domain NOT IN ({doms}) AND ({case_sql}) = 'en' AS f2,
+    url_domain NOT IN ({doms}) AND ({case_sql}) = 'en' AND quality_score >= 0.5 AS f3,
+    url_domain NOT IN ({doms}) AND ({case_sql}) = 'en' AND quality_score >= 0.5 AND n_blocked = 0 AS f4
+  FROM scored
+),
+funnel AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM flagged
+)
+SELECT 0 AS stage_idx, 'all' AS stage, n0 AS n_docs FROM funnel
+UNION ALL SELECT 1, 'url_domain', n1 FROM funnel
+UNION ALL SELECT 2, 'langid', n2 FROM funnel
+UNION ALL SELECT 3, 'quality', n3 FROM funnel
+UNION ALL SELECT 4, 'blocklist', n4 FROM funnel
+ORDER BY stage_idx
+"""
+
+
 def q_text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated trigram-LM scoring of the corpus against itself
     (operators/ngram_lm.py — the full KenLM-style quality filter of
@@ -5114,6 +5216,7 @@ QUERIES = {
     "text_compression": q_text_compression,
     "blocklist_filter": q_blocklist_filter,
     "ccnet_buckets": q_ccnet_buckets,
+    "web_pipeline": q_web_pipeline,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
@@ -5123,7 +5226,6 @@ QUERIES = {
     "bm25_fuzzy": q_bm25_fuzzy,
     "search_highlights": q_search_highlights,
     "hybrid_rrf": q_hybrid_rrf,
-    "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters_twostar": q_dedup_clusters_twostar,
     "semdedup": q_semdedup,
@@ -5242,6 +5344,7 @@ QUERIES = {
     "semi_join_lookup": q_semi_join_lookup,
     "list_documents": q_list_documents,
     "get_document": q_get_document,
+    "dedup_exact": q_dedup_exact,
     "events_distinct_rollup": q_events_distinct_rollup,
 }
 
@@ -5326,6 +5429,7 @@ ORACLES = {
     "url_normalize": SQL_URL_NORMALIZE,
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
+    "web_pipeline": _sql_web_pipeline(),
     "weighted_sample": _sql_weighted_sample(),
     "train_shards": _sql_train_shards(),
     "pack_sequences": _sql_pack_sequences(),
