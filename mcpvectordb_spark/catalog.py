@@ -4341,6 +4341,51 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction over synthesized camera JPEGs
+    (sources/multimodal.py::parse_exif — real APP1/TIFF IFD walk, both
+    byte orders): per doc_id the fixture varies endianness, orientation,
+    camera model, capture timestamp, and GPS presence; every 10th payload
+    is an EXIF-less JPEG and every 13th is corrupt bytes — both must
+    yield NULL rows, not task failures.  Byte parsing is not
+    SQL-expressible → golden-digest gate."""
+    from mcpvectordb_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        build_exif_jpeg,
+        exif_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(200)
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 10 == 0:
+                    payload = b"\xff\xd8\xff\xd9"  # JPEG, no EXIF
+                elif d % 13 == 0:
+                    payload = b"\xff\xd8\xff\xe1\x00\x08Exif"  # truncated APP1
+                else:
+                    payload = build_exif_jpeg(
+                        byte_order="II" if d % 2 == 0 else "MM",
+                        orientation=1 + d % 8,
+                        make=f"Maker{d % 5}",
+                        model=f"Cam-{d % 7}",
+                        dt_original=f"2024:0{1 + d % 9}:15 10:2{d % 10}:00",
+                        with_gps=d % 3 == 0,
+                    )
+                rows.append((f"x{d}", "image", "image/jpeg", payload, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "mime_type", "payload", "meta"]
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _digest_gate(exif_metadata(media))
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl-shaped ingestion: documents are packed into synthetic
     multi-member-gzip WARC archives (64 docs per archive), then parsed back
@@ -5217,11 +5262,11 @@ QUERIES = {
     "blocklist_filter": q_blocklist_filter,
     "ccnet_buckets": q_ccnet_buckets,
     "web_pipeline": q_web_pipeline,
+    "multimodal_exif": q_multimodal_exif,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
     "knn_filtered": q_knn_filtered,
-    "ivf_topk": q_ivf_topk,
     "bm25_topk": q_bm25_topk,
     "bm25_fuzzy": q_bm25_fuzzy,
     "search_highlights": q_search_highlights,
@@ -5345,6 +5390,7 @@ QUERIES = {
     "list_documents": q_list_documents,
     "get_document": q_get_document,
     "dedup_exact": q_dedup_exact,
+    "ivf_topk": q_ivf_topk,
     "events_distinct_rollup": q_events_distinct_rollup,
 }
 
@@ -5367,6 +5413,7 @@ ORACLES = {
     "cdc_dedup": _sql_digest_gold(1, "7e5555177d39bd68bbd2a70ef07c16bd"),
     "multimodal_image_features": _sql_digest_gold(200, "8568d2c87a49963eeb510ac4f2f56660"),
     "text_compression": _sql_digest_gold(501, "411f2b609cb05003f77646208f17e6b6"),
+    "multimodal_exif": _sql_digest_gold(200, "95d0a267865c3abe85ed93f8470cc504"),
     "knn_topk": SQL_KNN_TOPK,
     "knn_pq_topk": SQL_KNN_PQ_TOPK,
     "knn_ivfpq_topk": SQL_KNN_IVFPQ_TOPK,

@@ -993,3 +993,202 @@ def video_frame_dhash_stage(df: "DataFrame", every_s: float = 1.0) -> "DataFrame
             yield pd.DataFrame(rows, columns=["media_id", "frame_index", "frame_ts_s", "dhash"])
 
     return df.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata (JPEG APP1 / TIFF IFD walk)
+
+EXIF_SCHEMA = (
+    "media_id string, byte_order string, orientation int, make string, "
+    "model string, dt_original string, has_gps boolean"
+)
+
+_EXIF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def parse_exif(payload: bytes) -> dict | None:
+    """Real EXIF parse: walk the JPEG marker stream to the APP1
+    ``Exif\\x00\\x00`` segment, then the TIFF structure inside it — byte
+    order (II/MM), 0x002A magic, IFD0 entries (Make 0x010F, Model 0x0110,
+    Orientation 0x0112, DateTime 0x0132), the EXIF sub-IFD pointer
+    (0x8769 → DateTimeOriginal 0x9003) and the GPS IFD pointer (0x8825 →
+    presence flag).  Pure byte walking, both endiannesses, honouring the
+    value-inline-vs-offset rule (>4 bytes → offset into the TIFF block).
+
+    Returns None for non-JPEG payloads, JPEGs without EXIF, or malformed
+    EXIF — malformed input never kills the job (the WARC-source policy;
+    corrupt camera metadata is endemic in web crawls)."""
+    try:
+        if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+            return None
+        pos, app1 = 2, None
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no EXIF ahead
+                break
+            seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            seg = payload[pos + 4 : pos + 2 + seg_len]
+            if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+                app1 = seg[6:]
+                break
+            pos += 2 + seg_len
+        if app1 is None:
+            return None
+
+        order = app1[:2]
+        if order == b"II":
+            bo = "little"
+        elif order == b"MM":
+            bo = "big"
+        else:
+            return None
+        rd = lambda off, n: int.from_bytes(app1[off : off + n], bo)
+        if rd(2, 2) != 42:
+            return None
+
+        def read_ifd(off: int) -> dict[int, tuple[int, int, bytes]]:
+            n = rd(off, 2)
+            out = {}
+            for i in range(n):
+                e = off + 2 + 12 * i
+                tag, typ, cnt = rd(e, 2), rd(e + 2, 2), rd(e + 4, 4)
+                size = _EXIF_TYPE_SIZES.get(typ, 1) * cnt
+                if size > 4:
+                    voff = rd(e + 8, 4)
+                    raw = app1[voff : voff + size]
+                else:
+                    raw = app1[e + 8 : e + 8 + size]
+                out[tag] = (typ, cnt, raw)
+            return out
+
+        def ascii_val(ent) -> str | None:
+            if ent is None:
+                return None
+            return ent[2].split(b"\x00", 1)[0].decode("ascii", "replace").strip() or None
+
+        def short_val(ent) -> int | None:
+            if ent is None or ent[0] != 3:
+                return None
+            return int.from_bytes(ent[2][:2], bo)
+
+        ifd0 = read_ifd(rd(4, 4))
+        out = {
+            "byte_order": "II" if bo == "little" else "MM",
+            "orientation": short_val(ifd0.get(0x0112)),
+            "make": ascii_val(ifd0.get(0x010F)),
+            "model": ascii_val(ifd0.get(0x0110)),
+            "dt_original": None,
+            "has_gps": 0x8825 in ifd0,
+        }
+        exif_ptr = ifd0.get(0x8769)
+        if exif_ptr is not None:
+            sub = read_ifd(int.from_bytes(exif_ptr[2][:4], bo))
+            out["dt_original"] = ascii_val(sub.get(0x9003))
+        if out["dt_original"] is None:
+            out["dt_original"] = ascii_val(ifd0.get(0x0132))
+        return out
+    except Exception:
+        return None  # malformed EXIF: a row of NULLs, never a task failure
+
+
+def exif_metadata(df: "DataFrame") -> "DataFrame":
+    """image binary → EXIF columns (media_id, byte_order, orientation,
+    make, model, dt_original, has_gps).  Map-only Arrow kernel over the
+    MEDIA_SCHEMA payload column; payloads without parseable EXIF yield a
+    row of NULLs (has_gps false) so corpus-level joins keep every image."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                meta = parse_exif(bytes(rec["payload"] or b""))
+                if meta is None:
+                    rows.append((rec["media_id"], None, None, None, None, None, False))
+                else:
+                    rows.append(
+                        (
+                            rec["media_id"],
+                            meta["byte_order"],
+                            meta["orientation"],
+                            meta["make"],
+                            meta["model"],
+                            meta["dt_original"],
+                            bool(meta["has_gps"]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "byte_order", "orientation", "make",
+                    "model", "dt_original", "has_gps",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=EXIF_SCHEMA)
+
+
+def build_exif_jpeg(
+    byte_order: str = "II",
+    orientation: int = 1,
+    make: str = "Acme",
+    model: str = "Cam-1",
+    dt_original: str = "2024:01:01 12:00:00",
+    with_gps: bool = False,
+) -> bytes:
+    """Synthesize a minimal JPEG (SOI + EXIF APP1 + EOI) with a real TIFF
+    block in either byte order — the deterministic fixture generator for
+    the EXIF kernel (tests + digest-gated catalog query).  Layout: IFD0
+    (Make, Model, Orientation, DateTime=dt, ExifIFD ptr, optional GPS
+    ptr) → EXIF sub-IFD (DateTimeOriginal) → value area."""
+    bo = "little" if byte_order == "II" else "big"
+    wr = lambda v, n: int(v).to_bytes(n, bo)
+
+    make_b = make.encode() + b"\x00"
+    model_b = model.encode() + b"\x00"
+    dt_b = dt_original.encode() + b"\x00"
+
+    n0 = 5 + (1 if with_gps else 0)
+    ifd0_off = 8
+    ifd0_size = 2 + 12 * n0 + 4
+    exif_ifd_off = ifd0_off + ifd0_size
+    exif_ifd_size = 2 + 12 * 1 + 4
+    val_off = exif_ifd_off + exif_ifd_size
+    gps_off = val_off + len(make_b) + len(model_b) + len(dt_b)
+
+    def entry(tag, typ, cnt, val, inline_size):
+        e = wr(tag, 2) + wr(typ, 2) + wr(cnt, 4)
+        if inline_size <= 4:
+            if typ == 3:  # SHORT packs into the first 2 of 4 bytes
+                return e + wr(val, 2) + b"\x00\x00"
+            return e + wr(val, 4)
+        return e + wr(val, 4)  # offset form
+
+    entries = [
+        entry(0x010F, 2, len(make_b), val_off, len(make_b)),
+        entry(0x0110, 2, len(model_b), val_off + len(make_b), len(model_b)),
+        entry(0x0112, 3, 1, orientation, 2),
+        entry(0x0132, 2, len(dt_b), val_off + len(make_b) + len(model_b), len(dt_b)),
+        entry(0x8769, 4, 1, exif_ifd_off, 4),
+    ]
+    if with_gps:
+        entries.append(entry(0x8825, 4, 1, gps_off, 4))
+    entries.sort(key=lambda e: int.from_bytes(e[:2], bo))  # spec: ascending tags
+    ifd0 = wr(n0, 2) + b"".join(entries) + wr(0, 4)
+    sub = (
+        wr(1, 2)
+        + entry(0x9003, 2, len(dt_b), val_off + len(make_b) + len(model_b), len(dt_b))
+        + wr(0, 4)
+    )
+    vals = make_b + model_b + dt_b
+    gps = (wr(0, 2) + wr(0, 4)) if with_gps else b""
+    tiff = (b"II" if bo == "little" else b"MM") + wr(42, 2) + wr(ifd0_off, 4) + ifd0 + sub + vals + gps
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(app1_body) + 2).to_bytes(2, "big") + app1_body
+    return b"\xff\xd8" + app1 + b"\xff\xd9"

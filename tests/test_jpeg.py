@@ -527,3 +527,56 @@ def test_progressive_random_rasters():
         base = decode_jpeg(encode_jpeg(px))
         prog = decode_jpeg(encode_jpeg_progressive(px))
         assert prog is not None and np.array_equal(prog, base), shape
+
+
+# ---------------------------------------------------------------------------
+# EXIF
+
+
+def test_exif_roundtrip_both_endians():
+    from mcpvectordb_spark.sources.multimodal import build_exif_jpeg, parse_exif
+
+    for bo in ("II", "MM"):
+        for gps in (False, True):
+            for orient in (1, 3, 6, 8):
+                j = build_exif_jpeg(bo, orient, "Maker X", "M-200", "2023:12:31 23:59:59", gps)
+                m = parse_exif(j)
+                assert m == {
+                    "byte_order": bo,
+                    "orientation": orient,
+                    "make": "Maker X",
+                    "model": "M-200",
+                    "dt_original": "2023:12:31 23:59:59",
+                    "has_gps": gps,
+                }
+
+
+def test_exif_malformed_never_raises():
+    from mcpvectordb_spark.sources.multimodal import build_exif_jpeg, parse_exif
+
+    good = build_exif_jpeg("MM", 6, with_gps=True)
+    # every truncation of a valid fixture must parse to a dict or None
+    for cut in range(len(good)):
+        parse_exif(good[:cut])
+    assert parse_exif(b"") is None
+    assert parse_exif(b"\xff\xd8\xff\xd9") is None            # no APP1
+    assert parse_exif(b"\xff\xd8\xff\xe1\x00\x08Exif") is None  # truncated
+    # bad byte-order mark inside an otherwise plausible APP1
+    assert parse_exif(b"\xff\xd8\xff\xe1\x00\x14Exif\x00\x00XX\x00\x2a" + b"\x00" * 8) is None
+
+
+def test_exif_kernel_null_rows(spark):
+    from mcpvectordb_spark.sources.multimodal import (
+        MEDIA_SCHEMA, build_exif_jpeg, exif_metadata,
+    )
+
+    rows = [
+        ("a", "image", "image/jpeg", build_exif_jpeg("II", 5, with_gps=True), None),
+        ("b", "image", "image/jpeg", b"\xff\xd8\xff\xd9", None),
+        ("c", "image", "image/jpeg", b"garbage", None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in exif_metadata(df).collect()}
+    assert out["a"]["orientation"] == 5 and out["a"]["has_gps"]
+    for mid in ("b", "c"):
+        assert out[mid]["orientation"] is None and out[mid]["has_gps"] is False

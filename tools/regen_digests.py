@@ -32,6 +32,7 @@ GATED = [
     "multimodal_video_framedup",
     "bpe_encode",
     "text_compression",
+    "multimodal_exif",
 ]
 
 
