@@ -27,6 +27,7 @@ from mcpvectordb_spark.operators import curation as cu
 from mcpvectordb_spark.operators import dedup as dd
 from mcpvectordb_spark.operators import textstats as ts
 from mcpvectordb_spark.operators import weburl as wu
+from mcpvectordb_spark.operators import knn
 from mcpvectordb_spark.operators.bm25 import bm25_score, bm25_topk
 from mcpvectordb_spark.operators.hybrid import rrf_topk
 from mcpvectordb_spark.operators.knn import (
@@ -2186,6 +2187,106 @@ UNION ALL SELECT 2, 'langid', n2 FROM funnel
 UNION ALL SELECT 3, 'quality', n3 FROM funnel
 UNION ALL SELECT 4, 'blocklist', n4 FROM funnel
 ORDER BY stage_idx
+"""
+
+
+def q_text_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake / encoding-damage scan (textstats.py::encoding_artifacts)
+    over the corpus plus three planted casualties: a double-encoded
+    UTF-8-as-Latin-1 doc, a control-character doc, and a U+FFFD
+    replacement-character doc — each must flag ``damaged``."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    plants = spark.range(3).select(
+        (F.lit(_PLANT_OFFSET) + F.col("id")).alias("id"),
+        F.when(F.col("id") == 0, F.lit("the cafÃ© menu shows â€œspecialsâ€ and Ã¼ber prices Â every day"))
+        .when(F.col("id") == 1, F.concat(F.lit("bad"), F.expr("chr(1)"), F.lit("text"), F.expr("chr(2)"), F.lit("here")))
+        .otherwise(F.lit("lossy � decode � output"))
+        .alias("text"),
+    )
+    return ts.encoding_artifacts(docs.unionByName(plants), "id", "text").orderBy("id")
+
+
+SQL_TEXT_ENCODING = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL SELECT {_PLANT_OFFSET}, 'the cafÃ© menu shows â€œspecialsâ€ and Ã¼ber prices Â every day'
+  UNION ALL SELECT {_PLANT_OFFSET} + 1, 'bad' || chr(1) || 'text' || chr(2) || 'here'
+  UNION ALL SELECT {_PLANT_OFFSET} + 2, 'lossy � decode � output'
+),
+scored AS (
+  SELECT id,
+    CAST(len(regexp_extract_all(COALESCE(text, ''), 'Ã|â€|Â ')) AS BIGINT) AS n_mojibake,
+    CAST(len(regexp_extract_all(COALESCE(text, ''), '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS BIGINT) AS n_control,
+    CAST(len(regexp_extract_all(COALESCE(text, ''), '�')) AS BIGINT) AS n_replacement
+  FROM corpus
+)
+SELECT id, n_mojibake, n_control, n_replacement,
+       (n_mojibake >= 3 OR n_replacement > 0 OR n_control > 0) AS damaged
+FROM scored ORDER BY id
+"""
+
+
+_EQ_63 = ", ".join(["0.1"] * 63)
+_EQ_64Z = ", ".join(["0.0"] * 64)
+_EQ_32 = ", ".join(["0.2"] * 32)
+
+
+def q_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column validation gate (operators/knn.py::
+    embedding_quality): dim / non-finite / norm-band checks over the
+    corpus plus four planted offenders (NaN-poisoned, +Inf-poisoned,
+    all-zero, wrong-dim) that must each fail a distinct check.  Map-only
+    codegen; NaN norms propagate and fail, never hide."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tenth = [F.lit(0.1)] * 63
+    plants = [
+        (F.lit(_PLANT_OFFSET), F.array(*tenth, F.lit(float("nan")))),
+        (F.lit(_PLANT_OFFSET + 1), F.array(*tenth, F.lit(float("inf")))),
+        (F.lit(_PLANT_OFFSET + 2), F.array(*[F.lit(0.0)] * 64)),
+        (F.lit(_PLANT_OFFSET + 3), F.array(*[F.lit(0.2)] * 32)),
+    ]
+    planted = None
+    for vid, vec in plants:
+        row = spark.range(1).select(vid.cast("long").alias("vec_id"), vec.alias("embedding"))
+        planted = row if planted is None else planted.unionByName(row)
+    out = knn.embedding_quality(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(planted),
+        "vec_id",
+        "embedding",
+        expect_dim=64,
+    )
+    # non-finite norms (NaN/Inf) become NULL in the REPORT: the check
+    # verdict lives in finite_ok/norm_ok, and NULL round-trips through any
+    # comparator where NaN != NaN would false-fail the driver gate
+    return out.withColumn(
+        "norm", F.when(F.col("finite_ok"), F.col("norm"))
+    ).orderBy("vec_id")
+
+
+SQL_EMBEDDING_QUALITY = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL SELECT {_PLANT_OFFSET}, CAST([{_EQ_63}, 'NaN'::DOUBLE] AS DOUBLE[])
+  UNION ALL SELECT {_PLANT_OFFSET} + 1, CAST([{_EQ_63}, 'Infinity'::DOUBLE] AS DOUBLE[])
+  UNION ALL SELECT {_PLANT_OFFSET} + 2, CAST([{_EQ_64Z}] AS DOUBLE[])
+  UNION ALL SELECT {_PLANT_OFFSET} + 3, CAST([{_EQ_32}] AS DOUBLE[])
+),
+scored AS (
+  SELECT vec_id,
+    CAST(len(v) AS INT) AS dim,
+    CAST(len(list_filter(v, x -> isnan(x) OR abs(x) = 'Infinity'::DOUBLE)) AS INT) AS n_nonfinite,
+    CASE WHEN len(list_filter(v, x -> isnan(x) OR abs(x) = 'Infinity'::DOUBLE)) = 0
+         THEN round(sqrt(list_inner_product(v, v)), 6) END AS norm
+  FROM corpus
+)
+SELECT vec_id, dim, n_nonfinite, norm,
+       dim = 64 AS dim_ok,
+       n_nonfinite = 0 AS finite_ok,
+       (n_nonfinite = 0 AND norm >= 0.5 AND norm <= 2.0) AS norm_ok,
+       (dim = 64 AND n_nonfinite = 0 AND norm >= 0.5 AND norm <= 2.0) AS ok
+FROM scored ORDER BY vec_id
 """
 
 
@@ -5263,14 +5364,14 @@ QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,
     "web_pipeline": q_web_pipeline,
     "multimodal_exif": q_multimodal_exif,
+    "text_encoding": q_text_encoding,
+    "embedding_quality": q_embedding_quality,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
-    "knn_filtered": q_knn_filtered,
     "bm25_topk": q_bm25_topk,
     "bm25_fuzzy": q_bm25_fuzzy,
     "search_highlights": q_search_highlights,
-    "hybrid_rrf": q_hybrid_rrf,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters_twostar": q_dedup_clusters_twostar,
     "semdedup": q_semdedup,
@@ -5391,6 +5492,8 @@ QUERIES = {
     "get_document": q_get_document,
     "dedup_exact": q_dedup_exact,
     "ivf_topk": q_ivf_topk,
+    "knn_filtered": q_knn_filtered,
+    "hybrid_rrf": q_hybrid_rrf,
     "events_distinct_rollup": q_events_distinct_rollup,
 }
 
@@ -5477,6 +5580,8 @@ ORACLES = {
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "web_pipeline": _sql_web_pipeline(),
+    "text_encoding": SQL_TEXT_ENCODING,
+    "embedding_quality": SQL_EMBEDDING_QUALITY,
     "weighted_sample": _sql_weighted_sample(),
     "train_shards": _sql_train_shards(),
     "pack_sequences": _sql_pack_sequences(),

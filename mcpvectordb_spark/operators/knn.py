@@ -652,3 +652,42 @@ def knn_topk_pca(
         "_coarse"
     )
     return exact.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+
+
+def embedding_quality(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    expect_dim: int,
+    norm_lo: float = 0.5,
+    norm_hi: float = 2.0,
+) -> DataFrame:
+    """Embedding-column data-quality gate — the ingest-time validation an
+    embedding pipeline needs before vectors reach an index: dimension
+    check, non-finite scan (NaN/±Inf from overflowed or buggy encoders),
+    L2 norm with an acceptance band (zero vectors poison cosine; wildly
+    off-norm vectors indicate a missing normalization step).
+
+    Pure codegen column expressions (``aggregate``/``filter`` over the
+    array — the :func:`dot` discipline), map-only: validation adds no
+    shuffle to an ingest pipeline and one boolean to its output.  NaN
+    norms propagate (a NaN vector fails ``norm_ok``, never hides)."""
+    v = F.col(vec_col).cast("array<double>")
+    dim = F.size(v)
+    n_nonfinite = F.size(
+        F.filter(v, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+    )
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    dim_ok = dim == expect_dim
+    finite_ok = n_nonfinite == 0
+    norm_ok = finite_ok & (norm >= norm_lo) & (norm <= norm_hi)
+    return df.select(
+        F.col(id_col),
+        dim.cast("int").alias("dim"),
+        n_nonfinite.cast("int").alias("n_nonfinite"),
+        F.round(norm, 6).alias("norm"),
+        dim_ok.alias("dim_ok"),
+        finite_ok.alias("finite_ok"),
+        norm_ok.alias("norm_ok"),
+        (dim_ok & norm_ok).alias("ok"),
+    )

@@ -437,3 +437,27 @@ def logprob_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .drop("_t1", "_t2")
     )
+
+
+def encoding_artifacts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Mojibake / encoding-damage detector (the ftfy problem class):
+    counts the three loudest artifact families — UTF-8-read-as-Latin-1
+    sequences ('Ã', 'â€', 'Â '), C0 control characters that never belong
+    in prose, and U+FFFD replacement characters from lossy decodes — and
+    flags docs past threshold.  Web crawls are full of double-encoded
+    text; this is the cheap scan-side gate that catches it before
+    tokenization bakes the damage in.
+
+    Pure codegen ``regexp_count`` expressions, map-only, exactly
+    mirrorable in SQL (``len(regexp_extract_all(...))``)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_moji = F.regexp_count(t, F.lit("Ã|â€|Â "))
+    n_ctrl = F.regexp_count(t, F.lit(r"[\x00-\x08\x0b\x0c\x0e-\x1f]"))
+    n_repl = F.regexp_count(t, F.lit("�"))
+    return df.select(
+        F.col(id_col),
+        n_moji.cast("long").alias("n_mojibake"),
+        n_ctrl.cast("long").alias("n_control"),
+        n_repl.cast("long").alias("n_replacement"),
+        ((n_moji >= 3) | (n_repl > 0) | (n_ctrl > 0)).alias("damaged"),
+    )

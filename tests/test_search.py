@@ -525,3 +525,26 @@ def test_mmr_lam1_is_plain_relevance_order(spark):
     )
     out = [r["id"] for r in mmr_rerank(pool, 5, lam=1.0).collect()]
     assert out == [0, 1, 2, 3, 4]
+
+
+def test_embedding_quality_flags_each_offender(spark):
+    from pyspark.sql import functions as F
+
+    from mcpvectordb_spark.operators.knn import embedding_quality
+
+    good = [0.125] * 64
+    rows = [
+        (1, good),
+        (2, [0.125] * 63 + [float("nan")]),
+        (3, [0.125] * 63 + [float("inf")]),
+        (4, [0.0] * 64),
+        (5, [0.3] * 32),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in embedding_quality(df, "vec_id", "embedding", 64).collect()}
+    assert out[1]["ok"] and out[1]["dim_ok"] and out[1]["finite_ok"] and out[1]["norm_ok"]
+    assert out[1]["norm"] == 1.0
+    assert not out[2]["finite_ok"] and out[2]["n_nonfinite"] == 1 and not out[2]["ok"]
+    assert not out[3]["finite_ok"] and not out[3]["ok"]
+    assert out[4]["finite_ok"] and not out[4]["norm_ok"] and not out[4]["ok"]  # zero vector
+    assert not out[5]["dim_ok"] and out[5]["norm_ok"] and not out[5]["ok"]     # wrong dim

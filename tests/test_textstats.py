@@ -366,3 +366,22 @@ def test_logprob_buckets_ccnet_terciles(spark):
     out = {r["id"]: r["bucket"] for r in logprob_buckets(df, "id", "text").collect()}
     assert out[100] == "tail"
     assert set(out.values()) <= {"head", "middle", "tail"}
+
+
+def test_encoding_artifacts_detects_damage(spark):
+    from mcpvectordb_spark.operators.textstats import encoding_artifacts
+
+    rows = [
+        (1, "perfectly clean prose about compilers"),
+        (2, "the cafÃ© menu shows â€œspecialsâ€ and Ã¼ber prices Â every day"),
+        (3, "bad\x01text\x02here"),
+        (4, "lossy � decode"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in encoding_artifacts(df, "id", "text").collect()}
+    assert not out[1]["damaged"]
+    assert out[2]["damaged"] and out[2]["n_mojibake"] >= 3
+    assert out[3]["damaged"] and out[3]["n_control"] == 2
+    assert out[4]["damaged"] and out[4]["n_replacement"] == 1
+    assert not out[5]["damaged"]  # NULL text is undamaged, not a crash

@@ -31,8 +31,16 @@ def norm_cell(v):
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     normed = [tuple(norm_cell(r[i]) for i in idx) for r in rows]
-    # NULL-safe ordering: None sorts before any value of the column's type
-    return sorted(normed, key=lambda row: tuple((c is not None, c if c is not None else 0) for c in row))
+    # NULL- and mixed-type-safe ordering (norm_cell maps NaN → the STRING
+    # 'nan', so a float column can hold both floats and strings): sort on
+    # (presence, type name, repr) — only determinism matters, and it is
+    # identical on the Spark and DuckDB sides by construction
+    return sorted(
+        normed,
+        key=lambda row: tuple(
+            (c is not None, type(c).__name__, repr(c)) for c in row
+        ),
+    )
 
 
 def main():
