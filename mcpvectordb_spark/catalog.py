@@ -4487,6 +4487,74 @@ def q_multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _digest_gate(exif_metadata(media))
 
 
+def q_ocr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image→text conversion through the REAL OCR path: each document's
+    head is rendered to a bitmap (a machine-generated 'screenshot of
+    text'), pushed through converter.convert_bytes('bmp', ...) — which
+    routes to the template-matching OCR kernel (mcpvectordb_spark/ocr.py)
+    — and compared against the expected charset projection.  Every 9th
+    payload is random noise that must take the error-row path, proving
+    the confidence gate separates rendered text from photographs.  Byte
+    render/decode is not SQL-expressible → golden-digest gate."""
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").limit(100)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("roundtrip_ok", T.BooleanType()),
+            T.StructField("text_md5", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import hashlib
+        import random
+        import struct
+
+        import pandas as pd
+
+        from mcpvectordb_spark.converter import convert_bytes
+        from mcpvectordb_spark.ocr import render_text_bmp, renderable
+
+        def noise_bmp(seed, w=40, h=40):
+            rng = random.Random(seed)
+            row_size = (w * 3 + 3) & ~3
+            data = b""
+            for _ in range(h):
+                data += bytes(rng.randrange(256) for _ in range(w * 3))
+                data += b"\x00" * (row_size - w * 3)
+            info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+            return b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54) + info + data
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                d = int(rec["doc_id"])
+                if d % 9 == 0:
+                    payload = noise_bmp(d)
+                    expected = None
+                else:
+                    head = (rec["text"] or "")[:32]
+                    payload = render_text_bmp(head)
+                    lines = [l.rstrip() for l in renderable(head).split("\n")]
+                    while lines and not lines[-1]:
+                        lines.pop()
+                    expected = "\n".join(lines).rstrip()
+                try:
+                    got = convert_bytes(payload, "bmp")
+                    status = "converted"
+                except NotImplementedError:
+                    got, status = None, "error_row"
+                ok = (got == expected) if expected is not None else (got is None)
+                md5 = hashlib.md5((got or "").encode()).hexdigest()
+                rows.append((d, status, bool(ok), md5))
+            yield pd.DataFrame(rows, columns=["doc_id", "status", "roundtrip_ok", "text_md5"])
+
+    return _digest_gate(docs.mapInPandas(run, schema=schema))
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl-shaped ingestion: documents are packed into synthetic
     multi-member-gzip WARC archives (64 docs per archive), then parsed back
@@ -5366,13 +5434,13 @@ QUERIES = {
     "multimodal_exif": q_multimodal_exif,
     "text_encoding": q_text_encoding,
     "embedding_quality": q_embedding_quality,
+    "ocr_ingest": q_ocr_ingest,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
     "bm25_topk": q_bm25_topk,
     "bm25_fuzzy": q_bm25_fuzzy,
     "search_highlights": q_search_highlights,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters_twostar": q_dedup_clusters_twostar,
     "semdedup": q_semdedup,
     "events_overlap_join": q_events_overlap_join,
@@ -5494,6 +5562,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "knn_filtered": q_knn_filtered,
     "hybrid_rrf": q_hybrid_rrf,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "events_distinct_rollup": q_events_distinct_rollup,
 }
 
@@ -5517,6 +5586,7 @@ ORACLES = {
     "multimodal_image_features": _sql_digest_gold(200, "8568d2c87a49963eeb510ac4f2f56660"),
     "text_compression": _sql_digest_gold(501, "411f2b609cb05003f77646208f17e6b6"),
     "multimodal_exif": _sql_digest_gold(200, "95d0a267865c3abe85ed93f8470cc504"),
+    "ocr_ingest": _sql_digest_gold(100, "0f9e9ac25f00e1e0ac5bf22c4953e706"),
     "knn_topk": SQL_KNN_TOPK,
     "knn_pq_topk": SQL_KNN_PQ_TOPK,
     "knn_ivfpq_topk": SQL_KNN_IVFPQ_TOPK,

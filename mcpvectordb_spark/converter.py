@@ -70,6 +70,21 @@ def convert_bytes(raw: bytes, file_type: str, _depth: int = 0) -> str:
         from mcpvectordb_spark.extractors import extract_xls
 
         return extract_xls(raw)
+    if file_type in ("png", "bmp", "gif", "jpg", "jpeg"):
+        # REAL for machine-rendered monospace text (screenshots, rendered
+        # labels): template-matching OCR over the decoded pixels
+        # (mcpvectordb_spark/ocr.py).  Photographs / scans fail the glyph
+        # confidence gate and keep the documented error-row contract —
+        # never silent garbage.
+        from mcpvectordb_spark.ocr import ocr_bitmap
+
+        text = ocr_bitmap(raw)
+        if text:
+            return text
+        raise NotImplementedError(
+            f"'{file_type}' payload is not machine-rendered text; photographic "
+            "OCR requires a learned model — not available in this environment"
+        )
     if file_type in DEFAULT.supported_extensions:
         raise NotImplementedError(
             f"converter for '{file_type}' requires OCR/ASR — not available in this environment"

@@ -1203,3 +1203,48 @@ def test_decode_gif_interlaced():
     got = decode_image_pixels(bytes(raw))
     expect = np.array([[palette[v] for v in row] for row in idx], np.uint8)
     assert got is not None and np.array_equal(got, expect)
+
+
+# ---------------------------------------------------------------------------
+# OCR (machine-rendered text)
+
+
+def test_ocr_roundtrip_and_font_distinctness():
+    from mcpvectordb_spark.ocr import FONT_5X7, _glyph_bits, ocr_bitmap, render_text_bmp
+
+    glyphs = list(FONT_5X7.items())
+    for i in range(len(glyphs)):
+        for j in range(i + 1, len(glyphs)):
+            d = (_glyph_bits(glyphs[i][1]) ^ _glyph_bits(glyphs[j][1])).bit_count()
+            assert d >= 2, (glyphs[i][0], glyphs[j][0])
+    for txt in ("HELLO WORLD", "SPARK 4.1, RANK: A-1", "two\nlines 42", ""):
+        assert ocr_bitmap(render_text_bmp(txt)) == txt.upper()
+
+
+def test_ocr_noise_tolerance_and_rejection():
+    import numpy as np
+
+    from mcpvectordb_spark.ocr import ocr_pixels, render_text_bmp
+    from mcpvectordb_spark.sources.multimodal import decode_image_pixels
+
+    px = decode_image_pixels(render_text_bmp("ROBUST TEXT")).copy()
+    rng = np.random.RandomState(7)
+    # flip a few isolated pixels: ≤4-bit Hamming tolerance must absorb it
+    for _ in range(5):
+        y, x = rng.randint(px.shape[0]), rng.randint(px.shape[1])
+        px[y, x] = 255 - px[y, x]
+    assert ocr_pixels(px) == "ROBUST TEXT"
+    # pure noise must be rejected, not transcribed
+    noise = rng.randint(0, 256, size=(64, 64, 3)).astype("uint8")
+    assert ocr_pixels(noise) is None
+
+
+def test_converter_image_ocr_gate():
+    import pytest
+
+    from mcpvectordb_spark.converter import convert_bytes
+    from mcpvectordb_spark.ocr import render_text_bmp
+
+    assert convert_bytes(render_text_bmp("INGEST ME 99"), "bmp") == "INGEST ME 99"
+    with pytest.raises(NotImplementedError):
+        convert_bytes(b"\x89PNG\r\n\x1a\nnot really", "png")

@@ -33,6 +33,7 @@ GATED = [
     "bpe_encode",
     "text_compression",
     "multimodal_exif",
+    "ocr_ingest",
 ]
 
 
