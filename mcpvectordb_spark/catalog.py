@@ -4555,6 +4555,69 @@ def q_ocr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _digest_gate(docs.mapInPandas(run, schema=schema))
 
 
+def q_asr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio→text conversion through the REAL tone-ASR path (the audio
+    twin of `ocr_ingest`): each document's head is encoded as a tone
+    sequence, pushed through converter.convert_bytes('wav', ...) — which
+    routes to the zero-crossing decoder (mcpvectordb_spark/asr.py) — and
+    compared against the charset projection.  Every 9th payload is white
+    noise that must take the error-row path.  Byte synthesis/decode is
+    not SQL-expressible → golden-digest gate."""
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").limit(60)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("roundtrip_ok", T.BooleanType()),
+            T.StructField("text_md5", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import hashlib
+        import random
+        import struct
+
+        import pandas as pd
+
+        from mcpvectordb_spark.asr import render_text_wav, renderable
+        from mcpvectordb_spark.converter import convert_bytes
+
+        def noise_wav(seed, n=8000):
+            rng = random.Random(seed)
+            samples = [rng.randint(-12000, 12000) for _ in range(n)]
+            pcm = struct.pack("<%dh" % n, *samples)
+            return (
+                b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE" + b"fmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data" + struct.pack("<I", len(pcm)) + pcm
+            )
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                d = int(rec["doc_id"])
+                if d % 9 == 0:
+                    payload, expected = noise_wav(d), None
+                else:
+                    head = (rec["text"] or "")[:24]
+                    payload = render_text_wav(head)
+                    expected = renderable(head).rstrip() or None
+                try:
+                    got = convert_bytes(payload, "wav")
+                    status = "converted"
+                except NotImplementedError:
+                    got, status = None, "error_row"
+                ok = (got == expected) if expected is not None else (got is None)
+                md5 = hashlib.md5((got or "").encode()).hexdigest()
+                rows.append((d, status, bool(ok), md5))
+            yield pd.DataFrame(rows, columns=["doc_id", "status", "roundtrip_ok", "text_md5"])
+
+    return _digest_gate(docs.mapInPandas(run, schema=schema))
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl-shaped ingestion: documents are packed into synthetic
     multi-member-gzip WARC archives (64 docs per archive), then parsed back
@@ -5435,10 +5498,10 @@ QUERIES = {
     "text_encoding": q_text_encoding,
     "embedding_quality": q_embedding_quality,
     "ocr_ingest": q_ocr_ingest,
+    "asr_ingest": q_asr_ingest,
     # -- r01 cohort (49): driver rows only from round 1; code has churned two
     # -- rounds since, so they fill the r03 window for re-verification --
     "knn_topk": q_knn_topk,
-    "bm25_topk": q_bm25_topk,
     "bm25_fuzzy": q_bm25_fuzzy,
     "search_highlights": q_search_highlights,
     "dedup_clusters_twostar": q_dedup_clusters_twostar,
@@ -5563,6 +5626,7 @@ QUERIES = {
     "knn_filtered": q_knn_filtered,
     "hybrid_rrf": q_hybrid_rrf,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "bm25_topk": q_bm25_topk,
     "events_distinct_rollup": q_events_distinct_rollup,
 }
 
@@ -5587,6 +5651,7 @@ ORACLES = {
     "text_compression": _sql_digest_gold(501, "411f2b609cb05003f77646208f17e6b6"),
     "multimodal_exif": _sql_digest_gold(200, "95d0a267865c3abe85ed93f8470cc504"),
     "ocr_ingest": _sql_digest_gold(100, "0f9e9ac25f00e1e0ac5bf22c4953e706"),
+    "asr_ingest": _sql_digest_gold(60, "e45a53c521300feef88de17b9aff4f8a"),
     "knn_topk": SQL_KNN_TOPK,
     "knn_pq_topk": SQL_KNN_PQ_TOPK,
     "knn_ivfpq_topk": SQL_KNN_IVFPQ_TOPK,

@@ -70,6 +70,21 @@ def convert_bytes(raw: bytes, file_type: str, _depth: int = 0) -> str:
         from mcpvectordb_spark.extractors import extract_xls
 
         return extract_xls(raw)
+    if file_type == "wav":
+        # REAL for machine-generated tone encodings (the DTMF problem
+        # class): silence-gated segmentation + zero-crossing frequency
+        # estimation over the repo's own RIFF/WAVE parse
+        # (mcpvectordb_spark/asr.py).  Natural speech fails the decode
+        # gate and keeps the documented error-row contract.
+        from mcpvectordb_spark.asr import asr_tones
+
+        text = asr_tones(raw)
+        if text:
+            return text
+        raise NotImplementedError(
+            "'wav' payload is not machine-generated tone audio; speech "
+            "transcription requires a learned model — not available in this environment"
+        )
     if file_type in ("png", "bmp", "gif", "jpg", "jpeg"):
         # REAL for machine-rendered monospace text (screenshots, rendered
         # labels): template-matching OCR over the decoded pixels

@@ -1248,3 +1248,47 @@ def test_converter_image_ocr_gate():
     assert convert_bytes(render_text_bmp("INGEST ME 99"), "bmp") == "INGEST ME 99"
     with pytest.raises(NotImplementedError):
         convert_bytes(b"\x89PNG\r\n\x1a\nnot really", "png")
+
+
+# ---------------------------------------------------------------------------
+# ASR (machine-generated tone audio)
+
+
+def test_asr_roundtrip_charset():
+    from mcpvectordb_spark.asr import asr_tones, render_text_wav
+
+    for txt in ("HELLO WORLD", "SPARK 4.1, RANK A-1",
+                "THE QUICK BROWN FOX 0123456789"):
+        assert asr_tones(render_text_wav(txt)) == txt.upper()
+
+
+def test_asr_rejects_nontonal_audio():
+    import math
+    import random
+    import struct
+
+    from mcpvectordb_spark.asr import asr_tones
+
+    def wav(samples):
+        pcm = struct.pack("<%dh" % len(samples), *samples)
+        return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE" + b"fmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+    rng = random.Random(1)
+    assert asr_tones(wav([rng.randint(-12000, 12000) for _ in range(8000)])) is None
+    cont = [int(12000 * math.sin(2 * math.pi * 440 * i / 8000)) for i in range(8000)]
+    assert asr_tones(wav(cont)) is None  # continuous tone: no symbol gaps
+    assert asr_tones(b"not audio") is None
+    assert asr_tones(wav([0] * 8000)) is None  # digital silence
+
+
+def test_converter_wav_asr_gate():
+    import pytest
+
+    from mcpvectordb_spark.asr import render_text_wav
+    from mcpvectordb_spark.converter import convert_bytes
+
+    assert convert_bytes(render_text_wav("INGEST 7"), "wav") == "INGEST 7"
+    with pytest.raises(NotImplementedError):
+        convert_bytes(b"RIFFxxxxWAVE", "wav")

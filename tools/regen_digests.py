@@ -34,6 +34,7 @@ GATED = [
     "text_compression",
     "multimodal_exif",
     "ocr_ingest",
+    "asr_ingest",
 ]
 
 
