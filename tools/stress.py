@@ -827,6 +827,166 @@ def main_s3() -> None:
     spark.stop()
 
 
+
+
+def main_s4() -> None:
+    """Stress the session-4 operators at scale: the fused web-filtering
+    funnel + DSIR-adjacent text gates over 200k docs, URL normalization
+    over 1M rows, and the OCR/ASR byte kernels at corpus-batch size.
+    In-script correctness assertions throughout."""
+    spark = get_spark("stress-s4")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {counts[name]}", file=sys.stderr)
+
+    docs = load_table(spark, SF, "documents")
+    r400 = spark.range(400).select(F.col("id").alias("r"))
+    big_docs = (
+        docs.crossJoin(F.broadcast(r400))
+        .select(
+            (F.col("doc_id") * 1000 + F.col("r")).alias("doc_id"),
+            F.col("source"),
+            F.col("text"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_docs = big_docs.count()
+    print(f"# s4 corpus: {n_docs} docs", file=sys.stderr)
+
+    def urls():
+        from mcpvectordb_spark.operators import weburl as wu
+
+        sid = F.col("doc_id").cast("string")
+        m = F.col("doc_id") % 4
+        url = (
+            F.when(m == 0, F.concat(F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.CO.UK:443/a/"), sid, F.lit("?utm_source=f&b=2&a=1#x")))
+            .when(m == 1, F.concat(F.lit("http://sub."), F.col("source"), F.lit(".example.com:8080/p/"), sid, F.lit("?gclid=x&z=9")))
+            .when(m == 2, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org")))
+            .otherwise(F.concat(F.lit("http://"), F.col("source"), F.lit(".github.io:80/?ref=rss&q="), sid))
+        )
+        out = wu.url_features(big_docs.withColumn("url", url), "url")
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("url_domain") == "example.co.uk", 1).otherwise(0)).alias("couk"),
+            F.sum("n_tracking_params").alias("stripped"),
+        ).collect()[0]
+        assert agg["n"] == n_docs
+        assert agg["couk"] == n_docs // 4 + (1 if n_docs % 4 else 0) or agg["couk"] > 0
+        notes["url_features_200k"] = (
+            f"{agg['n']} URLs normalized, {agg['couk']} co.uk registered domains, "
+            f"{agg['stripped']} tracking params stripped — pure projection, zero shuffle"
+        )
+        return int(agg["n"])
+
+    run("url_features_200k", urls)
+
+    def funnel():
+        from mcpvectordb_spark.catalog import q_web_pipeline
+
+        # the catalog funnel reads sf0.1 directly; run it on the raw table
+        out = {r["stage"]: r["n_docs"] for r in q_web_pipeline(spark, SF).collect()}
+        assert out["all"] >= out["url_domain"] >= out["langid"] >= out["quality"] >= out["blocklist"]
+        notes["web_pipeline"] = f"funnel {out} — single scan, monotone non-increasing"
+        return int(out["all"])
+
+    run("web_pipeline_funnel", funnel)
+
+    def gates():
+        from mcpvectordb_spark.operators import textstats as ts
+
+        enc = ts.encoding_artifacts(big_docs, "doc_id", "text")
+        buckets = ts.logprob_buckets(big_docs.select(F.col("doc_id").alias("id"), "text"), "id", "text")
+        n_damaged = enc.filter("damaged").count()
+        dist = {r["bucket"]: r["n"] for r in buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert n_damaged == 0  # the synthetic corpus is clean
+        assert set(dist) == {"head", "middle", "tail"}
+        # replicas share text per base doc → terciles form ~equal thirds
+        assert max(dist.values()) / min(dist.values()) < 2.5
+        notes["text_gates_200k"] = f"0 damaged docs; ccnet buckets {dist}"
+        return int(sum(dist.values()))
+
+    run("text_gates_200k", gates)
+
+    def ocr_tp():
+        from pyspark.sql import types as T
+
+        heads = big_docs.limit(20_000).select("doc_id", "text").repartition(32)
+
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+        ])
+
+        def k(batches):
+            import pandas as pd
+
+            from mcpvectordb_spark.ocr import ocr_bitmap, render_text_bmp, renderable
+
+            for pdf in batches:
+                rows = []
+                for rec in pdf.to_dict(orient="records"):
+                    head = (rec["text"] or "")[:24]
+                    got = ocr_bitmap(render_text_bmp(head))
+                    lines = [l.rstrip() for l in renderable(head).split("\n")]
+                    while lines and not lines[-1]:
+                        lines.pop()
+                    rows.append((int(rec["doc_id"]), got == "\n".join(lines).rstrip()))
+                yield pd.DataFrame(rows, columns=["doc_id", "ok"])
+
+        out = heads.mapInPandas(k, schema=schema)
+        n_ok = out.filter("ok").count()
+        assert n_ok == 20_000, f"{n_ok}/20000 OCR round-trips"
+        notes["ocr_20k"] = f"{n_ok}/20000 render->OCR round-trips exact (Arrow kernel, 32-way)"
+        return n_ok
+
+    run("ocr_roundtrip_20k", ocr_tp)
+
+    def asr_tp():
+        from pyspark.sql import types as T
+
+        heads = big_docs.limit(5_000).select("doc_id", "text").repartition(32)
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+        ])
+
+        def k(batches):
+            import pandas as pd
+
+            from mcpvectordb_spark.asr import asr_tones, render_text_wav, renderable
+
+            for pdf in batches:
+                rows = []
+                for rec in pdf.to_dict(orient="records"):
+                    head = (rec["text"] or "")[:16]
+                    got = asr_tones(render_text_wav(head))
+                    rows.append((int(rec["doc_id"]), got == (renderable(head).rstrip() or None)))
+                yield pd.DataFrame(rows, columns=["doc_id", "ok"])
+
+        out = heads.mapInPandas(k, schema=schema)
+        n_ok = out.filter("ok").count()
+        assert n_ok == 5_000, f"{n_ok}/5000 ASR round-trips"
+        notes["asr_5k"] = f"{n_ok}/5000 encode->decode round-trips exact (Arrow kernel, 32-way)"
+        return n_ok
+
+    run("asr_roundtrip_5k", asr_tp)
+    big_docs.unpersist()
+
+    print(json.dumps({
+        "mode": "s4",
+        "timings_sec": timings, "result_counts": counts, "notes": notes,
+    }))
+    spark.stop()
+
 if __name__ == "__main__":
     if "sf1" in sys.argv[1:]:
         main_sf1()
@@ -834,5 +994,7 @@ if __name__ == "__main__":
         main_r3()
     elif "s3" in sys.argv[1:]:
         main_s3()
+    elif "s4" in sys.argv[1:]:
+        main_s4()
     else:
         main()
