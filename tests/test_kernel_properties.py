@@ -210,3 +210,57 @@ def test_cdc_boundaries_resync_after_prefix_edit(prefix, seed):
     a = cdc_boundaries(base, 32, 128, 512)
     b = cdc_boundaries(prefix + base, 32, 128, 512)
     assert a[-1] == b[-1]
+
+
+# ---------------------------------------------------------------------------
+# OCR / ASR / URL kernels (session 4)
+
+_OCR_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,-:"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=_OCR_ALPHABET, min_size=1, max_size=40))
+def test_ocr_roundtrip_any_charset_string(txt):
+    from mcpvectordb_spark.ocr import ocr_bitmap, render_text_bmp
+
+    got = ocr_bitmap(render_text_bmp(txt))
+    expected = txt.rstrip()
+    assert got == expected or (expected == "" and got in ("", None))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_ocr_never_raises_on_arbitrary_bytes(payload):
+    from mcpvectordb_spark.ocr import ocr_bitmap
+
+    ocr_bitmap(payload)  # dict-or-None contract; must not throw
+
+
+_ASR_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,-"
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet=_ASR_ALPHABET, min_size=1, max_size=24))
+def test_asr_roundtrip_any_charset_string(txt):
+    from mcpvectordb_spark.asr import asr_tones, render_text_wav
+
+    got = asr_tones(render_text_wav(txt))
+    expected = txt.rstrip()
+    assert got == expected or (expected == "" and got is None)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_asr_never_raises_on_arbitrary_bytes(payload):
+    from mcpvectordb_spark.asr import asr_tones
+
+    asr_tones(payload)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_exif_never_raises_on_arbitrary_bytes(payload):
+    from mcpvectordb_spark.sources.multimodal import parse_exif
+
+    parse_exif(payload)
+    parse_exif(b"\xff\xd8\xff\xe1" + len(payload).to_bytes(2, "big") + b"Exif\x00\x00" + payload)
