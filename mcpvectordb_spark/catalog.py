@@ -2290,6 +2290,95 @@ FROM scored ORDER BY vec_id
 """
 
 
+def q_chat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT conversation prep (operators/chat.py::chat_stats): JSON
+    messages built deterministically from each doc's content hashes, with
+    six variant shapes — valid 2-turn, system-led 3-turn, unknown role,
+    broken alternation, malformed JSON, empty content — so every
+    validation branch is exercised and oracle-checked.  Parse/validate/
+    flatten are pure from_json + array codegen; no UDF, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    b = F.md5(F.concat(F.lit("b:"), F.coalesce(F.col("text"), F.lit(""))))
+    m = F.col("doc_id") % 6
+    turn = lambda role, c: F.concat(
+        F.lit('{"role":"' + role + '","content":"'), c, F.lit('"}')
+    )
+    j = (
+        F.when(m == 0, F.concat(F.lit("["), turn("user", a), F.lit(","), turn("assistant", b), F.lit("]")))
+        .when(m == 1, F.concat(F.lit("["), turn("system", a), F.lit(","), turn("user", b), F.lit(","), turn("assistant", a), F.lit("]")))
+        .when(m == 2, F.concat(F.lit("["), turn("bot", a), F.lit(","), turn("assistant", b), F.lit("]")))
+        .when(m == 3, F.concat(F.lit("["), turn("user", a), F.lit(","), turn("user", b), F.lit("]")))
+        .when(m == 4, F.concat(F.lit("["), turn("user", a)))  # truncated: malformed
+        .otherwise(F.concat(F.lit("["), turn("user", a), F.lit(',{"role":"assistant","content":""}]')))
+    )
+    from mcpvectordb_spark.operators.chat import chat_stats
+
+    return chat_stats(
+        docs.select(F.col("doc_id").alias("id"), j.alias("messages")), "id", "messages"
+    ).orderBy("id")
+
+
+SQL_CHAT_STATS = """
+WITH conv AS (
+  SELECT doc_id AS id,
+    CASE doc_id % 6
+      WHEN 0 THEN '[{"role":"user","content":"' || md5(COALESCE(text,'')) || '"},{"role":"assistant","content":"' || md5('b:' || COALESCE(text,'')) || '"}]'
+      WHEN 1 THEN '[{"role":"system","content":"' || md5(COALESCE(text,'')) || '"},{"role":"user","content":"' || md5('b:' || COALESCE(text,'')) || '"},{"role":"assistant","content":"' || md5(COALESCE(text,'')) || '"}]'
+      WHEN 2 THEN '[{"role":"bot","content":"' || md5(COALESCE(text,'')) || '"},{"role":"assistant","content":"' || md5('b:' || COALESCE(text,'')) || '"}]'
+      WHEN 3 THEN '[{"role":"user","content":"' || md5(COALESCE(text,'')) || '"},{"role":"user","content":"' || md5('b:' || COALESCE(text,'')) || '"}]'
+      WHEN 4 THEN '[{"role":"user","content":"' || md5(COALESCE(text,'')) || '"}'
+      ELSE '[{"role":"user","content":"' || md5(COALESCE(text,'')) || '"},{"role":"assistant","content":""}]'
+    END AS j
+  FROM documents
+),
+parsed AS (
+  SELECT id,
+    CASE WHEN json_valid(j) THEN
+      json_transform(j, '[{"role":"VARCHAR","content":"VARCHAR"}]')
+    END AS m
+  FROM conv
+),
+feat AS (
+  SELECT id, m,
+    m IS NOT NULL AS parsed_ok,
+    CASE WHEN m IS NOT NULL THEN list_transform(m, x -> x.role) END AS roles,
+    CASE WHEN m IS NOT NULL THEN list_transform(m, x -> x.content) END AS contents
+  FROM parsed
+),
+body AS (
+  SELECT *,
+    CASE WHEN parsed_ok AND len(roles) > 0 AND roles[1] = 'system'
+         THEN roles[2:] ELSE roles END AS br
+  FROM feat
+),
+checks AS (
+  SELECT id, m, parsed_ok, roles, contents, br,
+    COALESCE(parsed_ok AND len(list_filter(roles, r -> r IS NULL OR r NOT IN ('system','user','assistant'))) = 0, FALSE) AS roles_ok,
+    COALESCE(parsed_ok AND len(list_filter(contents, c -> c IS NULL OR length(trim(c)) = 0)) = 0, FALSE) AS contents_ok,
+    COALESCE(parsed_ok
+      AND len(br) > 0 AND br[1] = 'user' AND br[-1] = 'assistant'
+      AND br = list_transform(range(1, len(br) + 1),
+                              i -> CASE WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END),
+      FALSE) AS alternation_ok
+  FROM body
+)
+SELECT id,
+  CAST(COALESCE(len(m), -1) AS INT) AS n_turns,
+  roles_ok,
+  alternation_ok,
+  (parsed_ok AND roles_ok AND contents_ok AND alternation_ok) AS valid,
+  CAST(COALESCE(list_sum(list_transform(list_filter(m, x -> x.role = 'user'),
+                                        x -> COALESCE(length(x.content), 0))), 0) AS BIGINT) AS user_chars,
+  CAST(COALESCE(list_sum(list_transform(list_filter(m, x -> x.role = 'assistant'),
+                                        x -> COALESCE(length(x.content), 0))), 0) AS BIGINT) AS assistant_chars,
+  CASE WHEN parsed_ok AND roles_ok AND contents_ok AND alternation_ok THEN
+    array_to_string(list_transform(m, x -> '<|' || x.role || '|>' || x.content), '')
+  END AS flat_text
+FROM checks ORDER BY id
+"""
+
+
 def q_text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated trigram-LM scoring of the corpus against itself
     (operators/ngram_lm.py — the full KenLM-style quality filter of
@@ -5499,9 +5588,11 @@ QUERIES = {
     "embedding_quality": q_embedding_quality,
     "ocr_ingest": q_ocr_ingest,
     "asr_ingest": q_asr_ingest,
-    # -- r01 cohort (49): driver rows only from round 1; code has churned two
-    # -- rounds since, so they fill the r03 window for re-verification --
-    "knn_topk": q_knn_topk,
+    "chat_stats": q_chat_stats,
+    # -- r01 cohort: the session-4 additions above displaced the last of the
+    # -- round-1-verified queries to the tail (never-driver-checked queries
+    # -- outrank re-verification for window slots; local check_parity covers
+    # -- the whole catalog each session) --
     "bm25_fuzzy": q_bm25_fuzzy,
     "search_highlights": q_search_highlights,
     "dedup_clusters_twostar": q_dedup_clusters_twostar,
@@ -5627,6 +5718,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "bm25_topk": q_bm25_topk,
+    "knn_topk": q_knn_topk,
     "events_distinct_rollup": q_events_distinct_rollup,
 }
 
@@ -5714,6 +5806,7 @@ ORACLES = {
     "url_normalize": SQL_URL_NORMALIZE,
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
+    "chat_stats": SQL_CHAT_STATS,
     "web_pipeline": _sql_web_pipeline(),
     "text_encoding": SQL_TEXT_ENCODING,
     "embedding_quality": SQL_EMBEDDING_QUALITY,
