@@ -2379,6 +2379,51 @@ FROM checks ORDER BY id
 """
 
 
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (curation.py::assign_split),
+    keyed on ``source`` so every document of a domain lands in one split
+    — reported as per-split doc/domain counts with a coherence column
+    (domains spanning >1 split — must be 0 by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = cu.assign_split(docs, "source", val_bp=1500, test_bp=1500)
+    per_split = out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_domains"),
+    )
+    straddlers = (
+        out.select("source", "split").distinct()
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_straddling"))
+    )
+    return per_split.crossJoin(F.broadcast(straddlers)).orderBy("split")
+
+
+def _sql_train_split() -> str:
+    h = _sql_hex48("'split:' || source")
+    return f"""
+WITH assigned AS (
+  SELECT *, CASE WHEN ({h}) % 10000 < 1500 THEN 'val'
+                 WHEN ({h}) % 10000 < 3000 THEN 'test'
+                 ELSE 'train' END AS split
+  FROM documents
+),
+per_split AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_domains
+  FROM assigned GROUP BY split
+),
+straddle AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_straddling FROM (
+    SELECT source FROM (SELECT DISTINCT source, split FROM assigned)
+    GROUP BY source HAVING count(*) > 1
+  )
+)
+SELECT split, n_docs, n_domains, n_straddling
+FROM per_split CROSS JOIN straddle ORDER BY split
+"""
+
+
 def q_text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated trigram-LM scoring of the corpus against itself
     (operators/ngram_lm.py — the full KenLM-style quality filter of
@@ -5589,6 +5634,7 @@ QUERIES = {
     "ocr_ingest": q_ocr_ingest,
     "asr_ingest": q_asr_ingest,
     "chat_stats": q_chat_stats,
+    "train_split": q_train_split,
     # -- r01 cohort: the session-4 additions above displaced the last of the
     # -- round-1-verified queries to the tail (never-driver-checked queries
     # -- outrank re-verification for window slots; local check_parity covers
@@ -5807,6 +5853,7 @@ ORACLES = {
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "chat_stats": SQL_CHAT_STATS,
+    "train_split": _sql_train_split(),
     "web_pipeline": _sql_web_pipeline(),
     "text_encoding": SQL_TEXT_ENCODING,
     "embedding_quality": SQL_EMBEDDING_QUALITY,

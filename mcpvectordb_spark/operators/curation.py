@@ -866,3 +866,37 @@ def blocklist_flags(
         n_blocked.cast("long").alias("n_blocked"),
         (n_blocked > 0).alias("blocked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe dataset splitting
+
+
+def assign_split(
+    df: DataFrame,
+    group_col: str,
+    val_bp: int = 500,
+    test_bp: int = 500,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic, group-coherent train/val/test assignment: every row
+    whose ``group_col`` hashes into the same 48-bit bucket lands in the
+    same split, so multi-row groups (chunks of one document, documents of
+    one domain, turns of one conversation) can never straddle the
+    train/eval boundary — the leakage bug a row-wise random split ships.
+
+    Rates are basis points of the hash space (exact integer thresholds on
+    the md5 hexint48 — the ``stratified_sample`` discipline): reproducible
+    across runs, engines, partitionings, and data arrival order; adding
+    rows to a group never moves the group.  Pure projection — no shuffle,
+    no RNG, pushable to the scan."""
+    if val_bp < 0 or test_bp < 0 or val_bp + test_bp > 10_000:
+        raise ValueError(f"invalid split rates: val={val_bp}bp test={test_bp}bp")
+    h = hexint48(F.concat(F.lit(salt + ":"), F.col(group_col).cast("string")))
+    bp = (h % F.lit(10_000)).cast("int")
+    return df.withColumn(
+        "split",
+        F.when(bp < val_bp, F.lit("val"))
+        .when(bp < val_bp + test_bp, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

@@ -400,3 +400,27 @@ def test_blocklist_flags_page_gate(spark):
     # punctuation under whitespace tokenization and does NOT match
     assert out[2]["blocked"] and out[2]["n_blocked"] == 2
     assert not out[3]["blocked"]  # null text never blocks
+
+
+def test_assign_split_group_coherent_and_deterministic(spark):
+    # 50 groups x 20 rows: every group must land wholly in one split
+    rows = [(g, i) for g in range(50) for i in range(20)]
+    df = spark.createDataFrame(rows, "grp int, row int")
+    out = cu.assign_split(df, "grp", val_bp=2000, test_bp=2000)
+    per_grp = out.select("grp", "split").distinct().groupBy("grp").count().collect()
+    assert all(r["count"] == 1 for r in per_grp)
+    a = sorted((r["grp"], r["split"]) for r in out.select("grp", "split").distinct().collect())
+    b = sorted((r["grp"], r["split"]) for r in cu.assign_split(df, "grp", 2000, 2000).select("grp", "split").distinct().collect())
+    assert a == b  # hash-derived: bit-reproducible
+    splits = {s for _, s in a}
+    assert splits == {"train", "val", "test"}
+
+
+def test_assign_split_validates_rates(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "g int")
+    with pytest.raises(ValueError):
+        cu.assign_split(df, "g", val_bp=6000, test_bp=6000)
+    with pytest.raises(ValueError):
+        cu.assign_split(df, "g", val_bp=-1, test_bp=0)
