@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "blocklist_filter",      # C4 badwords array-intersection gate
     "ccnet_buckets",         # unigram-logprob tercile split
     "web_pipeline",          # fused 4-gate web-filtering funnel, one scan
+    "chat_stats",            # JSON conversation validation + flattening
+    "train_split",           # group-coherent hash split + coherence audit
 ]
 
 

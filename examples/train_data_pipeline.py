@@ -4,11 +4,14 @@ composition a user of this engine actually runs, every stage an
 oracle-checked operator from the catalog:
 
     load → curate (quality/lang/exact-dup verdicts)
+         → hygiene gates (encoding damage + word blocklist)
          → near-dup pairs (MinHash LSH) → connected components (two-star)
            keep one doc per duplicate cluster
          → decontaminate vs an eval set (broadcast Bloom pre-prune)
          → domain mixture sampling under a token budget
+         → leakage-safe train/val/test split (group-coherent hash)
          → FFD bin packing + shard assignment → shard writer
+         → deflate-ratio repetitiveness audit of the shipped set
          → IVF index over the embeddings table + a search probe
 
 Usage::
@@ -59,6 +62,20 @@ def main(sf_dir: str, out_dir: str) -> dict:
     ).drop("cluster_id")
     counts["after_neardup"] = kept.count()
 
+    # 2b. web-style hygiene gates: encoding damage + word blocklist —
+    #     both map-only codegen, so they fuse into the same corpus scan
+    from mcpvectordb_spark.operators.textstats import encoding_artifacts
+
+    damaged = encoding_artifacts(
+        kept.select(F.col("doc_id").alias("id"), "text"), "id", "text"
+    ).filter("damaged").select(F.col("id").alias("doc_id"))
+    blocked = cu.blocklist_flags(
+        kept.select(F.col("doc_id").alias("id"), "text"), "id", "text",
+        ["casino", "lottery", "jackpot"],
+    ).filter("blocked").select(F.col("id").alias("doc_id"))
+    kept = kept.join(damaged.unionByName(blocked).distinct(), "doc_id", "left_anti")
+    counts["after_hygiene"] = kept.count()
+
     # 3. decontamination against an eval set (here: a held-out slice),
     #    Bloom pre-prune + exact shingle-overlap verification
     eval_set = docs.filter(F.col("doc_id") % 97 == 0).select(
@@ -89,12 +106,27 @@ def main(sf_dir: str, out_dir: str) -> dict:
     )
     counts["after_mixture"] = sampled.count()
 
+    # 4b. leakage-safe split: whole domains stay on one side of the
+    #     train/eval boundary (group-coherent hash assignment)
+    sampled = cu.assign_split(sampled, "source", val_bp=1000, test_bp=1000)
+    counts["train_docs"] = sampled.filter("split = 'train'").count()
+    sampled = sampled.filter("split = 'train'").drop("split")
+
     # 5. pack whole docs into 512-token bins, then write ordered shards
     packed = cu.pack_bins_ffd(sampled, "doc_id", F.col("n_tokens"), 512, 4)
     counts["bins"] = packed.select("shard", "bin_id").distinct().count()
     cu.write_shards(sampled.select("doc_id", "text", "n_tokens"),
                     out_dir + "/shards", "doc_id", 4)
     counts["sharded_docs"] = spark.read.parquet(out_dir + "/shards").count()
+
+    # 5b. audit what shipped: deflate-ratio repetitiveness profile of the
+    #     final training set (Arrow kernel — whole-doc repetition signal)
+    from mcpvectordb_spark.operators.textstats import deflate_ratio
+
+    counts["repetitive_shipped"] = (
+        deflate_ratio(sampled.select(F.col("doc_id").alias("id"), "text"), "id", "text")
+        .filter("deflate_ratio < 0.3").count()
+    )
 
     # 6. ANN serving path: persisted IVF index + a probe query
     emb = load_table(spark, sf_dir, "embeddings").select(

@@ -17,9 +17,10 @@ def test_train_data_pipeline_funnel(spark, tmp_path):
 
     counts = mod.main("/root/testdata/sf0.001", str(tmp_path / "out"))
     # the funnel only narrows, and every stage leaves a real corpus
-    order = ["loaded", "after_curation", "after_neardup",
-             "after_decontamination", "after_mixture"]
+    order = ["loaded", "after_curation", "after_neardup", "after_hygiene",
+             "after_decontamination", "after_mixture", "train_docs"]
     vals = [counts[k] for k in order]
     assert vals == sorted(vals, reverse=True) and vals[-1] > 0, counts
-    assert counts["sharded_docs"] == counts["after_mixture"]
+    assert counts["sharded_docs"] == counts["train_docs"]
     assert counts["bins"] > 0 and counts["search_hits"] == 5
+    assert counts["repetitive_shipped"] == 0  # the synthetic corpus is clean
