@@ -62,34 +62,19 @@ def render_text_wav(text: str) -> bytes:
     return hdr + pcm
 
 
-def asr_tones(payload: bytes, min_confidence: float = 0.85) -> str | None:
-    """Decode a tone-encoded WAVE back to text.
-
-    Segment on silence (|x| below 5% of peak), require segment lengths in
-    a sane band around the nominal tone length, estimate each segment's
-    frequency from its zero-crossing count, and snap to the symbol grid —
-    rejecting estimates further than 40% of the grid spacing from any
-    symbol.  Returns None when the payload is not WAVE/PCM16 mono, has no
-    tonal structure, or fewer than ``min_confidence`` of segments decode
-    — the not-machine-generated signal the converter turns into its
-    documented error row."""
+def asr_tones_pcm(samples, rate: int, min_confidence: float = 0.85) -> str | None:
+    """Decode a tone sequence from raw PCM samples (any container that
+    yields int16-range samples — WAV via :func:`asr_tones`, FLAC via the
+    converter's flac path).  See :func:`asr_tones` for the gate
+    semantics."""
     import numpy as np
 
-    from mcpvectordb_spark.sources.multimodal import parse_wav
-
-    meta = parse_wav(payload)
-    if meta is None or meta["bits"] != 16 or meta["channels"] != 1 or meta["audio_fmt"] != 1:
+    x = np.asarray(samples, dtype=np.float64)
+    if x.size < int(rate * TONE_S) // 2:
         return None
-    pcm = payload[meta["pcm_offset"] : meta["pcm_offset"] + meta["pcm_size"]]
-    x = np.frombuffer(pcm[: (len(pcm) // 2) * 2], dtype="<i2").astype(np.float64)
-    if x.size < int(meta["sample_rate"] * TONE_S) // 2:
-        return None
-    rate = meta["sample_rate"]
     peak = np.abs(x).max()
     if peak < 1.0:
         return None
-    # activity per ~1 ms block RMS (a raw per-sample threshold would
-    # fragment every sine cycle at its zero crossings)
     blk = max(1, rate // 1000)
     n_blk = x.size // blk
     if n_blk == 0:
@@ -123,3 +108,26 @@ def asr_tones(payload: bytes, min_confidence: float = 0.85) -> str | None:
     if good / len(segs) < min_confidence:
         return None
     return "".join(out).rstrip()
+
+
+def asr_tones(payload: bytes, min_confidence: float = 0.85) -> str | None:
+    """Decode a tone-encoded WAVE back to text.
+
+    Segment on silence (block-RMS below 5% of peak), require segment
+    lengths in a sane band around the nominal tone length, estimate each
+    segment's frequency from its zero-crossing count, and snap to the
+    symbol grid — rejecting estimates further than 40% of the grid
+    spacing from any symbol.  Returns None when the payload is not
+    WAVE/PCM16 mono, has no tonal structure, or fewer than
+    ``min_confidence`` of segments decode — the not-machine-generated
+    signal the converter turns into its documented error row."""
+    import numpy as np
+
+    from mcpvectordb_spark.sources.multimodal import parse_wav
+
+    meta = parse_wav(payload)
+    if meta is None or meta["bits"] != 16 or meta["channels"] != 1 or meta["audio_fmt"] != 1:
+        return None
+    pcm = payload[meta["pcm_offset"] : meta["pcm_offset"] + meta["pcm_size"]]
+    x = np.frombuffer(pcm[: (len(pcm) // 2) * 2], dtype="<i2")
+    return asr_tones_pcm(x, meta["sample_rate"], min_confidence)

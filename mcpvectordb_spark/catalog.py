@@ -4752,6 +4752,75 @@ def q_asr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _digest_gate(docs.mapInPandas(run, schema=schema))
 
 
+def q_flac_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio→text conversion through the REAL FLAC codec
+    (mcpvectordb_spark/flac.py) + tone-ASR: each document's head is tone-
+    encoded, FLAC-compressed with a per-doc subframe mode (fixed0/1/2,
+    lpc2, verbatim — every decoder path), pushed through
+    converter.convert_bytes('flac', ...) and compared.  Every 9th payload
+    is a non-tonal FLAC (pure 440 Hz) that must take the error-row path.
+    Byte codec work is not SQL-expressible → golden-digest gate."""
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").limit(40)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mode", T.StringType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("roundtrip_ok", T.BooleanType()),
+            T.StructField("text_md5", T.StringType()),
+        ]
+    )
+    modes = ["fixed0", "fixed1", "fixed2", "lpc2", "verbatim"]
+
+    def run(batches):
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        from mcpvectordb_spark.asr import BASE_HZ, CHARSET, GAP_S, RATE, STEP_HZ, TONE_S, renderable
+        from mcpvectordb_spark.converter import convert_bytes
+        from mcpvectordb_spark.flac import encode_flac
+
+        def tone_pcm(text):
+            samples = []
+            for ch in renderable(text):
+                f = BASE_HZ + CHARSET.index(ch) * STEP_HZ
+                samples += [
+                    int(12000 * math.sin(2 * math.pi * f * i / RATE))
+                    for i in range(int(RATE * TONE_S))
+                ]
+                samples += [0] * int(RATE * GAP_S)
+            return samples
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                d = int(rec["doc_id"])
+                mode = modes[d % len(modes)]
+                if d % 9 == 0:
+                    pcm = [int(9000 * math.sin(2 * math.pi * 440 * i / RATE)) for i in range(RATE)]
+                    expected = None
+                else:
+                    head = (rec["text"] or "")[:12]
+                    pcm = tone_pcm(head)
+                    expected = renderable(head).rstrip() or None
+                payload = encode_flac([pcm], RATE, mode=mode) if pcm else b""
+                try:
+                    got = convert_bytes(payload, "flac")
+                    status = "converted"
+                except NotImplementedError:
+                    got, status = None, "error_row"
+                ok = (got == expected) if expected is not None else (got is None)
+                md5 = hashlib.md5((got or "").encode()).hexdigest()
+                rows.append((d, mode, status, bool(ok), md5))
+            yield pd.DataFrame(rows, columns=["doc_id", "mode", "status", "roundtrip_ok", "text_md5"])
+
+    return _digest_gate(docs.mapInPandas(run, schema=schema))
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl-shaped ingestion: documents are packed into synthetic
     multi-member-gzip WARC archives (64 docs per archive), then parsed back
@@ -5635,6 +5704,7 @@ QUERIES = {
     "asr_ingest": q_asr_ingest,
     "chat_stats": q_chat_stats,
     "train_split": q_train_split,
+    "flac_ingest": q_flac_ingest,
     # -- r01 cohort: the session-4 additions above displaced the last of the
     # -- round-1-verified queries to the tail (never-driver-checked queries
     # -- outrank re-verification for window slots; local check_parity covers
@@ -5790,6 +5860,7 @@ ORACLES = {
     "multimodal_exif": _sql_digest_gold(200, "95d0a267865c3abe85ed93f8470cc504"),
     "ocr_ingest": _sql_digest_gold(100, "0f9e9ac25f00e1e0ac5bf22c4953e706"),
     "asr_ingest": _sql_digest_gold(60, "e45a53c521300feef88de17b9aff4f8a"),
+    "flac_ingest": _sql_digest_gold(40, "c3eb7ce7fa41187ffcb90b6c39c0ba9b"),
     "knn_topk": SQL_KNN_TOPK,
     "knn_pq_topk": SQL_KNN_PQ_TOPK,
     "knn_ivfpq_topk": SQL_KNN_IVFPQ_TOPK,

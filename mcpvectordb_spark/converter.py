@@ -70,6 +70,26 @@ def convert_bytes(raw: bytes, file_type: str, _depth: int = 0) -> str:
         from mcpvectordb_spark.extractors import extract_xls
 
         return extract_xls(raw)
+    if file_type == "flac":
+        # REAL codec: pure-Python FLAC decode (mcpvectordb_spark/flac.py —
+        # Rice residuals, fixed/LPC prediction, stereo decorrelation, CRC
+        # checks), then the same tone-ASR gate as the wav path.
+        from mcpvectordb_spark.asr import asr_tones_pcm
+        from mcpvectordb_spark.flac import decode_flac
+
+        try:
+            dec = decode_flac(raw)
+        except ValueError:
+            dec = None
+        if dec is not None and dec["channels"] == 1 and dec["bits_per_sample"] == 16:
+            text = asr_tones_pcm(dec["channels_pcm"][0], dec["sample_rate"])
+            if text:
+                return text
+        raise NotImplementedError(
+            "'flac' payload decoded but is not machine-generated tone audio "
+            "(or is out of the 16-bit subset); speech transcription requires "
+            "a learned model — not available in this environment"
+        )
     if file_type == "wav":
         # REAL for machine-generated tone encodings (the DTMF problem
         # class): silence-gated segmentation + zero-crossing frequency

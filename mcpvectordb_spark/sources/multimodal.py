@@ -509,6 +509,14 @@ def _wav_features(payload: bytes, info: dict, dim: int) -> list[float]:
     ch = info["channels"]
     if ch > 1:
         x = x[: len(x) // ch * ch].reshape(-1, ch).mean(axis=1)
+    return _window_features(x, dim)
+
+
+def _window_features(x, dim: int) -> list[float]:
+    """dim/2 per-window RMS + dim/2 per-window ZCR over normalized mono
+    samples — shared by the WAV and FLAC feature paths."""
+    import numpy as np
+
     half = max(1, dim // 2)
     if len(x) == 0:
         return [0.0] * (2 * half)
@@ -525,14 +533,18 @@ def extract_audio_features(df: "DataFrame", dim: int = 16, fake: bool = True) ->
     """audio binary → (duration_s, features).
 
     ``fake=False`` is a REAL kernel for RIFF/WAVE payloads (PCM 8/16/32-bit
-    and IEEE-float): duration comes from the parsed header and the feature
-    vector is per-window RMS + zero-crossing rate computed from the actual
-    samples.  Non-WAVE containers (mp3/flac/ogg) raise NotImplementedError —
-    compressed-audio decode needs a codec library, and that seam stays
-    clearly marked.  ``fake=True`` upgrades to the real kernel whenever the
-    payload parses as WAVE, else keeps the deterministic stand-in."""
+    and IEEE-float) AND for FLAC (full pure-Python decode —
+    mcpvectordb_spark/flac.py: Rice residuals, fixed/LPC prediction, stereo
+    decorrelation): duration comes from the parsed container and the
+    feature vector is per-window RMS + zero-crossing rate computed from
+    the actual samples.  Remaining compressed containers (mp3/ogg/m4a)
+    raise NotImplementedError — those codecs need an audio library, and
+    that seam stays clearly marked.  ``fake=True`` upgrades to the real
+    kernel whenever the payload decodes, else keeps the deterministic
+    stand-in."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -544,6 +556,23 @@ def extract_audio_features(df: "DataFrame", dim: int = 16, fake: bool = True) ->
                     feats = _wav_features(payload, info, dim)
                     rows.append((rec["media_id"], info["duration_s"], len(payload), feats))
                     continue
+                if payload[:4] == b"fLaC":
+                    from mcpvectordb_spark.flac import decode_flac
+
+                    try:
+                        dec = decode_flac(payload)
+                    except ValueError:
+                        dec = None
+                    if dec is not None and dec["sample_rate"]:
+                        x = np.mean(
+                            [np.asarray(c, dtype=np.float64) for c in dec["channels_pcm"]],
+                            axis=0,
+                        )
+                        peak = float(1 << (dec["bits_per_sample"] - 1))
+                        feats = _window_features(x / peak, dim)
+                        dur = len(x) / dec["sample_rate"]
+                        rows.append((rec["media_id"], dur, len(payload), feats))
+                        continue
                 if not fake:
                     raise NotImplementedError(
                         "compressed-audio decode requires ffmpeg/torchaudio — not in this container"
@@ -585,6 +614,18 @@ def parse_audio_metadata(payload: bytes) -> dict | None:
             "sample_rate": info["sample_rate"],
             "channels": info["channels"],
         }
+
+    if payload[:4] == b"fLaC":
+        from mcpvectordb_spark.flac import parse_streaminfo
+
+        si = parse_streaminfo(payload)
+        if si is not None and si["sample_rate"]:
+            return {
+                "container": "flac",
+                "duration_s": si["total_samples"] / si["sample_rate"],
+                "sample_rate": si["sample_rate"],
+                "channels": si["channels"],
+            }
 
     if payload[:4] == b"OggS":
         rate = channels = None

@@ -35,6 +35,7 @@ GATED = [
     "multimodal_exif",
     "ocr_ingest",
     "asr_ingest",
+    "flac_ingest",
 ]
 
 
