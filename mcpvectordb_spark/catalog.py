@@ -4675,7 +4675,9 @@ def q_ocr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lines = [l.rstrip() for l in renderable(head).split("\n")]
                     while lines and not lines[-1]:
                         lines.pop()
-                    expected = "\n".join(lines).rstrip()
+                    # whitespace-only heads render to no glyphs → the converter
+                    # takes the error-row path; expect None like asr/flac_ingest
+                    expected = "\n".join(lines).rstrip() or None
                 try:
                     got = convert_bytes(payload, "bmp")
                     status = "converted"
@@ -5678,6 +5680,13 @@ FROM s GROUP BY dom
 # at risk from this round's code churn fill the window; (c) stable greens
 # (already driver-verified in an earlier round) rotate to the tail, where
 # tools/check_parity.py still covers them locally.
+#
+# The ordering is MECHANICAL (round-3 verdict item 2): ``_rotate_stalest_
+# first`` below re-sorts this dict at import time by each query's most
+# recent CORRECTNESS_r*.json row, never-driver-checked first, ties broken
+# by the hand-written order here.  Hand placement is only a tiebreak;
+# the rotation-policy test (tests/test_entry.py) can no longer go stale
+# between rounds.
 QUERIES = {
     # -- new round-3 queries go here (never driver-checked) --
     "knn_pq_topk": q_knn_pq_topk,
@@ -5837,6 +5846,34 @@ QUERIES = {
     "knn_topk": q_knn_topk,
     "events_distinct_rollup": q_events_distinct_rollup,
 }
+
+
+def _rotate_stalest_first(queries: dict) -> dict:
+    """Re-sort the registry so the driver's 50-slot CORRECTNESS window always
+    holds the stalest queries: never-driver-checked first (round -1), then
+    ascending by the most recent round that produced a CORRECTNESS row.
+    ``sorted`` is stable, so the hand-written dict order above breaks ties
+    within a staleness class.  Reads CORRECTNESS_r*.json from the repo root;
+    with no history files (fresh clone) the hand order is returned as-is."""
+    import json as _json
+    import re as _re
+    from pathlib import Path as _Path
+
+    root = _Path(__file__).resolve().parent.parent
+    last_round: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnum = int(_re.search(r"r(\d+)", path.name).group(1))
+        try:
+            rows = _json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            last_round[name] = max(last_round.get(name, 0), rnum)
+    order = sorted(queries, key=lambda n: last_round.get(n, -1))
+    return {n: queries[n] for n in order}
+
+
+QUERIES = _rotate_stalest_first(QUERIES)
 
 ORACLES = {
     # -- golden-digest gates (deterministic non-SQL queries; constants from

@@ -81,14 +81,30 @@ def convert_bytes(raw: bytes, file_type: str, _depth: int = 0) -> str:
             dec = decode_flac(raw)
         except ValueError:
             dec = None
-        if dec is not None and dec["channels"] == 1 and dec["bits_per_sample"] == 16:
-            text = asr_tones_pcm(dec["channels_pcm"][0], dec["sample_rate"])
+        if dec is not None and dec["channels_pcm"] and dec["channels_pcm"][0]:
+            # downmix any channel count to mono (plain average — the codec
+            # has already undone mid-side decorrelation) and rescale
+            # 8/12/20/24/32-bit samples to the 16-bit range the tone
+            # decoder's amplitude gate expects
+            chans = dec["channels_pcm"]
+            n = min(len(c) for c in chans)
+            if len(chans) == 1:
+                mono = chans[0]
+            else:
+                nch = len(chans)
+                mono = [sum(c[i] for c in chans) // nch for i in range(n)]
+            shift = dec["bits_per_sample"] - 16
+            if shift > 0:
+                mono = [s >> shift for s in mono]
+            elif shift < 0:
+                mono = [s << -shift for s in mono]
+            text = asr_tones_pcm(mono, dec["sample_rate"])
             if text:
                 return text
         raise NotImplementedError(
-            "'flac' payload decoded but is not machine-generated tone audio "
-            "(or is out of the 16-bit subset); speech transcription requires "
-            "a learned model — not available in this environment"
+            "'flac' payload decoded but is not machine-generated tone audio; "
+            "speech transcription requires a learned model — not available "
+            "in this environment"
         )
     if file_type == "wav":
         # REAL for machine-generated tone encodings (the DTMF problem

@@ -137,9 +137,6 @@ def _utf8_encode(val: int) -> bytes:
     """FLAC's UTF-8-style coded number (frame index)."""
     if val < 0x80:
         return bytes([val])
-    out, n = [], 1
-    while val >= (1 << (6 - n) << (6 * n)) if n < 6 else False:
-        n += 1
     # determine byte count: payload bits = 6-n leading + 6 per continuation
     for n in range(1, 7):
         if val < (1 << (5 - n + 6 * n + 1)):
@@ -234,9 +231,10 @@ def _read_residual(r: _BitReader, block_size: int, order: int) -> list[int]:
     escape = (1 << pbits) - 1
     po = r.read(4)
     nparts = 1 << po
-    if block_size % nparts or (block_size >> po) <= order and nparts > 1:
-        # spec: first partition has block_size/2^po - order samples; guard sanity
-        pass
+    # spec: block_size must split evenly and the first partition
+    # (block_size/2^po - order samples) must be non-empty when partitioned
+    if block_size % nparts or (nparts > 1 and (block_size >> po) <= order):
+        raise ValueError("flac: bad partition order")
     out: list[int] = []
     for p in range(nparts):
         n = (block_size >> po) - (order if p == 0 else 0)
@@ -313,6 +311,8 @@ def decode_flac(payload: bytes) -> dict:
     # walk past metadata blocks to the first frame
     pos = 4
     while True:
+        if pos + 4 > len(payload):
+            raise ValueError("flac: truncated metadata")
         hdr = payload[pos]
         size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
         last = bool(hdr & 0x80)
@@ -517,7 +517,7 @@ def encode_flac(
             hw.write(10, 4)
         else:
             hw.write(n_ch - 1, 4)
-        hw.write(4, 3)  # 16-bit samples
+        hw.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bits_per_sample], 3)
         hw.write(0, 1)
         for b in _utf8_encode(frame_idx):
             hw.write(b, 8)

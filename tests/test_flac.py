@@ -89,3 +89,48 @@ def test_flac_audio_features_real_path(spark):
     # identical samples through two containers → identical real features
     assert out["w"]["features"] == out["f"]["features"]
     assert abs(out["f"]["duration_s"] - 1.0) < 1e-9
+
+def _tone_message(msg, amp=12000):
+    from mcpvectordb_spark.asr import BASE_HZ, CHARSET, GAP_S, RATE, STEP_HZ, TONE_S
+
+    samples: list[int] = []
+    for ch in msg:
+        f = BASE_HZ + CHARSET.index(ch) * STEP_HZ
+        samples += [int(amp * math.sin(2 * math.pi * f * i / RATE))
+                    for i in range(int(RATE * TONE_S))]
+        samples += [0] * int(RATE * GAP_S)
+    return samples
+
+
+def test_flac_converter_stereo_and_bit_depths():
+    """Round-3 verdict item 4: the converter gate downmixes stereo to mono
+    and rescales non-16-bit depths before the tone-ASR, so every decodable
+    FLAC reaches transcription — not just mono/16."""
+    from mcpvectordb_spark.asr import RATE
+    from mcpvectordb_spark.converter import convert_bytes
+
+    msg = "STEREO GATE 4"
+    mono = _tone_message(msg)
+    for stereo in ("independent", "mid_side"):
+        flac = encode_flac([mono, list(mono)], RATE, mode="fixed2", stereo=stereo)
+        assert convert_bytes(flac, "flac") == msg, stereo
+    # 8-bit: encode the same tones at 1/256 amplitude; the gate re-scales <<8
+    pcm8 = [s >> 8 for s in _tone_message(msg, amp=12000)]
+    assert convert_bytes(encode_flac([pcm8], RATE, bits_per_sample=8), "flac") == msg
+    # 24-bit: 256× amplitude; the gate re-scales >>8
+    pcm24 = [s << 8 for s in mono]
+    assert convert_bytes(encode_flac([pcm24], RATE, bits_per_sample=24), "flac") == msg
+
+
+def test_flac_malformed_inputs_raise_valueerror():
+    """ADVICE r03: truncated metadata and bad partition orders must raise
+    ValueError (the error-row contract), never IndexError."""
+    enc = encode_flac([tone(3000)], 8000)
+    # STREAMINFO block not marked last, then EOF mid-walk
+    trunc = bytearray(enc[: 4 + 4 + 34])
+    trunc[4] &= 0x7F  # clear the last-metadata-block flag
+    with pytest.raises(ValueError):
+        decode_flac(bytes(trunc))
+    # truncated mid-frame still ValueError (bit reader EOF path)
+    with pytest.raises(ValueError):
+        decode_flac(enc[: len(enc) - 10])

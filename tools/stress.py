@@ -880,7 +880,7 @@ def main_s4() -> None:
             F.sum("n_tracking_params").alias("stripped"),
         ).collect()[0]
         assert agg["n"] == n_docs
-        assert agg["couk"] == n_docs // 4 + (1 if n_docs % 4 else 0) or agg["couk"] > 0
+        assert agg["couk"] == n_docs // 4 + (1 if n_docs % 4 else 0)
         notes["url_features_200k"] = (
             f"{agg['n']} URLs normalized, {agg['couk']} co.uk registered domains, "
             f"{agg['stripped']} tracking params stripped — pure projection, zero shuffle"
