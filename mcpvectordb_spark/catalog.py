@@ -999,8 +999,10 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables are row-aligned — at sf0.1 there are 5000 docs but 2000
     embeddings, so fusing unrestricted would mix id domains."""
     docs = load_table(spark, sf_dir, "documents")
+    # reuse the SAME documents scan for the BM25 leg and the id-domain
+    # semi-join (r03 verdict item 5): one cached relation, not two reads
     emb = load_table(spark, sf_dir, "embeddings").join(
-        load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("vec_id")),
+        docs.select(F.col("doc_id").alias("vec_id")),
         "vec_id",
         "left_semi",
     )
@@ -2853,19 +2855,21 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decontaminate_bloom_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decontamination probing a PERSISTED eval bloom (curation.py::
-    save_bloom/load_bloom): the (word_idx, bits) table is built once per
-    (sf_dir, params) and written to parquet; subsequent runs only load +
-    probe.  In bench.py's warm/timed protocol the warm call pays the
-    build, so the timed number is the probe-only cost — the steady state
-    of a real pipeline, where the benchmark suite is hashed once, not per
-    query.  Oracle = the same exact SQL (bloom has no false negatives),
+    """Decontamination probing a PERSISTED eval bloom AND a persisted exact
+    eval index (curation.py::save_bloom/load_bloom + save_eval_index/
+    load_eval_index): both tables are built once per (sf_dir, params) and
+    written to parquet; subsequent runs never touch the eval TEXT — the
+    bloom probe and the exact join both read persisted hashes, so the only
+    per-run cost is the train-side scan.  In bench.py's warm/timed
+    protocol the warm call pays the builds, so the timed number is the
+    probe-only steady state of a real pipeline.  Oracle = the same exact
+    SQL (bloom has no false negatives; the index is the exact join input),
     so the driver gate proves the persisted path's equivalence too."""
     import hashlib
     import os
     import tempfile
 
-    n_bits, k = 1 << 18, 3
+    n_bits, k, n_sh = 1 << 18, 3, 3
     docs = load_table(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") < 50).select(F.col("doc_id").alias("id"), "text")
     train = docs.filter(F.col("doc_id") >= 50).select(
@@ -2876,17 +2880,29 @@ def q_decontaminate_bloom_persisted(spark: SparkSession, sf_dir: str) -> DataFra
             F.concat(F.col("text"), F.lit(_NEARDUP_SUFFIX)).alias("text"),
         )
     )
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n_bits}:{k}".encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"evalbloom_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        e_sh = eval_df.select(F.explode(cu.word_shingles(F.col("text"), 3)).alias("shingle"))
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n_bits}:{k}:{n_sh}".encode()).hexdigest()[:12]
+    bpath = os.path.join(tempfile.gettempdir(), f"evalbloom_{tag}")
+    ipath = os.path.join(tempfile.gettempdir(), f"evalidx_{tag}")
+    def _build_bloom():
+        e_sh = eval_df.select(F.explode(cu.word_shingles(F.col("text"), n_sh)).alias("shingle"))
         cu.save_bloom(
-            cu.build_shingle_bloom(e_sh, "shingle", n_bits, k), path, n_bits, k
+            cu.build_shingle_bloom(e_sh, "shingle", n_bits, k), bpath, n_bits, k
         )
-    bloom = cu.load_bloom(spark, path, n_bits, k)
+
+    if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
+        _build_bloom()
+    if not os.path.exists(os.path.join(ipath, "_SUCCESS")):
+        cu.save_eval_index(cu.build_eval_index(eval_df, "id", "text", n_sh), ipath, n_sh)
+    try:
+        bloom = cu.load_bloom(spark, bpath, n_bits, k)
+    except ValueError:
+        # stale artifact from an older probe-hash scheme — rebuild once
+        _build_bloom()
+        bloom = cu.load_bloom(spark, bpath, n_bits, k)
+    e_idx = cu.load_eval_index(spark, ipath, n_sh)
     out = cu.decontaminate(
-        train, eval_df, "id", "text", n=3, threshold=0.5,
-        bloom_bits=n_bits, bloom_k=k, prebuilt_bloom=bloom,
+        train, eval_df, "id", "text", n=n_sh, threshold=0.5,
+        bloom_bits=n_bits, bloom_k=k, prebuilt_bloom=bloom, prebuilt_index=e_idx,
     )
     return out.select(
         "id",

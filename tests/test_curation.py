@@ -273,6 +273,55 @@ def test_bloom_save_load_roundtrip_and_persisted_equivalence(spark, tmp_path):
     assert plain == persisted and len(persisted) > 0
 
 
+def test_eval_index_save_load_and_fully_persisted_decontaminate(spark, tmp_path):
+    """Round-3 verdict item 3: the exact (h1, eval_id) index persists too,
+    so a steady-state run never re-shingles the eval text.  Reload is
+    bit-identical, shingle-width mismatch is an error, and decontaminate
+    through BOTH prebuilts (bloom + index, eval_df ignored) == plain."""
+    import pytest
+
+    from mcpvectordb_spark.operators.curation import (
+        build_eval_index,
+        build_shingle_bloom,
+        decontaminate,
+        load_bloom,
+        load_eval_index,
+        save_bloom,
+        save_eval_index,
+    )
+    from mcpvectordb_spark.operators.dedup import word_shingles
+
+    docs = spark.createDataFrame(
+        [(i, f"kappa lambda mu nu xi omicron doc {i} " * 3) for i in range(40)],
+        "id long, text string",
+    )
+    eval_df = docs.filter("id < 10")
+    train = docs.filter("id >= 10").unionByName(
+        eval_df.selectExpr("id + 1000 as id", "text")
+    )
+    built = build_eval_index(eval_df, "id", "text", n=3)
+    ipath = str(tmp_path / "evalidx")
+    save_eval_index(built, ipath, n=3)
+    loaded = load_eval_index(spark, ipath, n=3)
+    assert sorted(map(tuple, loaded.collect())) == sorted(map(tuple, built.collect()))
+    with pytest.raises(ValueError, match="built with"):
+        load_eval_index(spark, ipath, n=13)
+
+    n_bits, k = 1 << 16, 3
+    e_sh = eval_df.select(F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
+    bpath = str(tmp_path / "bloom")
+    save_bloom(build_shingle_bloom(e_sh, "shingle", n_bits, k), bpath, n_bits, k)
+
+    plain = decontaminate(train, eval_df, "id", "text").orderBy("id").collect()
+    # eval_df=None proves the eval text is genuinely untouched on the
+    # fully-persisted path
+    steady = decontaminate(
+        train, None, "id", "text", bloom_bits=n_bits, bloom_k=k,
+        prebuilt_bloom=load_bloom(spark, bpath, n_bits, k), prebuilt_index=loaded,
+    ).orderBy("id").collect()
+    assert plain == steady and len(steady) > 0
+
+
 def test_length_buckets_quantile_assignment(spark):
     from mcpvectordb_spark.operators.curation import length_buckets
 
