@@ -93,6 +93,13 @@ BENCH_QUERIES = [
     "web_pipeline",          # fused 4-gate web-filtering funnel, one scan
     "chat_stats",            # JSON conversation validation + flattening
     "train_split",           # group-coherent hash split + coherence audit
+    # round-4 additions
+    "events_gapfill",        # per-key grid resample + linear interpolation
+    "customers_scd2",        # SCD2 interval build (2 windows)
+    "winnowing_fp",          # MOSS winnowing via windowed argmin
+    "events_attribution",    # last-touch window attribution
+    "copurchase_triangles",  # degree-ordered exact triangle census
+    "lr_quality",            # 10-iteration distributed logistic GD
 ]
 
 # Sub-2s queries whose round-over-round deltas were noise-sized (r03 verdict

@@ -5687,6 +5687,419 @@ FROM s GROUP BY dom
 
 
 # ===========================================================================
+# 9. Round-4 additions: time-series shaping, SCD2, winnowing, attribution,
+#    triangle counting, distributed-GD quality classifier
+# ===========================================================================
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with linear interpolation
+    (operators/timeseries.py::resample_interpolate): events bucketed to an
+    hourly grid per synthetic sensor (user_id % 50), interior holes
+    linearly interpolated, edges nearest-neighbour filled.  The standard
+    observability/IoT "resample and fill" — one keyed agg, a per-key
+    sequence explode, one window."""
+    from mcpvectordb_spark.operators.timeseries import resample_interpolate
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_interpolate(
+        ev, F.pmod(F.col("user_id"), F.lit(50)), "ts", "value", step_s=3600
+    )
+    # The raw values are exact centesimals, so interpolated points land
+    # EXACTLY on round() boundaries (e.g. 3/8 between two cents = x.xx625)
+    # and ±1ulp engine drift flips the rounded digit.  Quantize with an
+    # epsilon bias instead: the 1e-4 nudge dwarfs float drift (~1e-10) but
+    # is far below the ~0.01 spacing of distinct scaled rationals, so both
+    # engines land on the same integer deterministically.
+    return out.select(
+        F.col("k").cast("long").alias("k"),
+        "bucket",
+        "observed",
+        F.floor(F.col("v_filled") * 10000 + 0.5001).cast("long").alias("v_fill_e4"),
+    )
+
+
+SQL_EVENTS_GAPFILL = """
+WITH obs AS (
+  SELECT user_id % 50 AS k,
+         (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) * 3600 AS bucket,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2),
+rng AS (SELECT k, min(bucket) AS b0, max(bucket) AS b1 FROM obs GROUP BY k),
+grid AS (SELECT k, unnest(generate_series(b0, b1, 3600)) AS bucket FROM rng),
+j AS (SELECT g.k, g.bucket, o.v FROM grid g LEFT JOIN obs o USING (k, bucket)),
+w AS (
+  SELECT k, bucket, v,
+    last_value(v IGNORE NULLS) OVER past AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER past AS pb,
+    first_value(v IGNORE NULLS) OVER fut AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER fut AS nb
+  FROM j
+  WINDOW past AS (PARTITION BY k ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fut  AS (PARTITION BY k ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT CAST(k AS BIGINT) AS k, bucket, (v IS NOT NULL) AS observed,
+       CAST(floor((CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * (bucket - pb) / (nb - pb) END) * 10000 + 0.5001) AS BIGINT) AS v_fill_e4
+FROM w
+"""
+
+
+def q_customers_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (operators/timeseries.py::scd2_history):
+    each customer's order-priority observation stream collapsed into
+    validity intervals — the warehouse "track attribute history" shape.
+    Same-timestamp observations are made deterministic by the o_orderkey
+    tiebreak."""
+    from mcpvectordb_spark.operators.timeseries import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = scd2_history(orders, "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    return out.select(
+        F.col("key").alias("custkey"),
+        F.col("attr").alias("priority"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
+SQL_CUSTOMERS_SCD2 = """
+WITH seq AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders),
+changes AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+  FROM seq WHERE prev IS NULL OR prev <> o_orderpriority)
+SELECT o_custkey AS custkey, o_orderpriority AS priority,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d') AS valid_to,
+       (lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
+FROM changes
+"""
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (textstats.py::winnowing_fingerprints,
+    Schleimer et al. 2003): rightmost-min-per-window k-gram selection via
+    the combined-key argmin trick — one window pass, no self-join.  Rolled
+    up per doc (count + checksums) so the oracle compare stays compact;
+    the operator itself returns the granular fingerprint set."""
+    from mcpvectordb_spark.operators.textstats import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnowing_fingerprints(docs, "doc_id", "text", k=8, w=4, max_chars=500)
+    return fp.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.sum("h40").alias("sum_h40"),
+        F.sum("fp_pos").cast("long").alias("sum_pos"),
+        F.min("fp_pos").cast("long").alias("first_pos"),
+    )
+
+
+SQL_WINNOWING = f"""
+WITH base AS (
+  SELECT doc_id, substr({_sql_norm('text')}, 1, 500) AS t FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos,
+         ({_sql_hex48("substr(t, CAST(i AS INT), 8)")}) % {1 << 40} AS h40
+  FROM base, unnest(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8),
+keyed AS (
+  SELECT doc_id, pos, h40 * {1 << 16} + ({(1 << 16) - 1} - pos) AS ck FROM grams),
+sel AS (
+  SELECT DISTINCT doc_id,
+         min(ck) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+  FROM keyed QUALIFY pos >= 4),
+fp AS (
+  SELECT doc_id, {(1 << 16) - 1} - (s % {1 << 16}) AS fp_pos, s // {1 << 16} AS h40 FROM sel)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, CAST(sum(h40) AS BIGINT) AS sum_h40,
+       CAST(sum(fp_pos) AS BIGINT) AS sum_pos, CAST(min(fp_pos) AS BIGINT) AS first_pos
+FROM fp GROUP BY doc_id
+"""
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (analytics.py::last_touch_attribution):
+    purchase value credited to the user's most recent prior non-purchase
+    event within 7 days, 'direct' otherwise; rolled up per channel.  One
+    user-keyed window — no per-conversion join."""
+    from mcpvectordb_spark.operators.analytics import last_touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = last_touch_attribution(ev, "purchase")
+    return conv.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.round(F.sum("v"), 2).alias("attributed_value"),
+    )
+
+
+SQL_EVENTS_ATTRIBUTION = """
+WITH base AS (
+  SELECT user_id AS u, event_id AS eid,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+         event_type AS etype, value AS v
+  FROM events),
+touched AS (
+  SELECT u, eid, t, etype, v,
+    last_value(CASE WHEN etype <> 'purchase' THEN etype END IGNORE NULLS)
+      OVER prior AS touch_type,
+    last_value(CASE WHEN etype <> 'purchase' THEN t END IGNORE NULLS)
+      OVER prior AS touch_t
+  FROM base
+  WINDOW prior AS (PARTITION BY u ORDER BY t, eid ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT CASE WHEN touch_type IS NOT NULL AND t - touch_t <= 604800
+            THEN touch_type ELSE 'direct' END AS channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       round(sum(v), 2) AS attributed_value
+FROM touched WHERE etype = 'purchase'
+GROUP BY 1
+"""
+
+
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the co-purchase graph (graph.py::
+    triangle_count — degree-ordered orientation, O(m^1.5) wedge fanout):
+    edges = part pairs co-ordered in >= 2 orders.  The oracle counts the
+    same triangles with the naive a<b<c 3-way join, so the gate proves the
+    oriented algorithm exact."""
+    from mcpvectordb_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+SQL_COPURCHASE_TRIANGLES = """
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS a, b.p AS b
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY node)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
+"""
+
+
+def q_w2v_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED word embeddings end-to-end (operators/w2v.py — SGNS as
+    SPPMI-matrix factorization, Levy & Goldberg 2014): distributed vocab +
+    co-occurrence counts, vocab-bounded driver SVD, distributed mean-pool
+    doc embedding, then cosine top-10 for a fixed probe doc.  The learned
+    vectors carry real distributional semantics (unlike the seeded
+    MiniTransformer).  SVD is not SQL-expressible -> golden-digest gate;
+    word vectors are quantized to 6 dp before embedding so sub-ulp LAPACK
+    drift cannot reach the digest."""
+    from mcpvectordb_spark.operators.w2v import embed_documents_df, train_word_vectors
+
+    dim = 32
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wv = train_word_vectors(docs, "doc_id", "text", dim=dim, vocab_size=300, window=2)
+    wq = wv.select(
+        "term", "tid", F.transform("vector", lambda x: F.round(x, 6)).alias("vector")
+    )
+    emb = embed_documents_df(docs, "doc_id", "text", wq, dim)
+    probe = emb.filter(F.col("id") == 0).first()
+    qv = [float(x) for x in probe["embedding"]]
+    hits = knn_topk(emb.filter(F.col("id") != 0), qv, 10, tie_col="id")
+    return _digest_gate(
+        hits.select(F.col("id").cast("long"), F.round("score", 3).alias("score"))
+    )
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-recording audio dedup via spectral-peak constellation
+    fingerprints (sources/audiofp.py — the Shazam landmark family): 30
+    tone clips synthesized from doc heads, every 3rd clip also planted as
+    a TIME-SHIFTED (9 frames of leading silence) HALF-AMPLITUDE copy.
+    Landmarks are hashed (f1,f2,dt) peak pairs; matching is an inverted-
+    index self-join with offset voting, so the planted copies must match
+    their originals at dt=9 despite shift and gain.  FFT kernels are not
+    SQL-expressible -> golden-digest gate."""
+    from pyspark.sql import types as T
+
+    from mcpvectordb_spark.sources.audiofp import audio_landmarks, match_clips
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").limit(30)
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import math
+        import struct
+
+        import pandas as pd
+
+        from mcpvectordb_spark.asr import BASE_HZ, CHARSET, GAP_S, RATE, STEP_HZ, TONE_S, renderable
+
+        def tone_pcm(text):
+            samples = []
+            for ch in renderable(text):
+                if ch not in CHARSET:
+                    continue
+                f = BASE_HZ + CHARSET.index(ch) * STEP_HZ
+                samples += [
+                    int(12000 * math.sin(2 * math.pi * f * i / RATE))
+                    for i in range(int(RATE * TONE_S))
+                ]
+                samples += [0] * int(RATE * GAP_S)
+            return samples
+
+        def wav(samples):
+            pcm = struct.pack("<%dh" % len(samples), *samples)
+            return (
+                b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE" + b"fmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, RATE, RATE * 2, 2, 16)
+                + b"data" + struct.pack("<I", len(pcm)) + pcm
+            )
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                d = int(rec["doc_id"])
+                pcm = tone_pcm((rec["text"] or "")[:12])
+                if not pcm:
+                    continue
+                rows.append((f"clip{d}", wav(pcm)))
+                if d % 3 == 0:
+                    # 9 hop-lengths (128) of silence + half amplitude
+                    shifted = [0] * (9 * 128) + [s // 2 for s in pcm]
+                    rows.append((f"copy{d}", wav(shifted)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, schema=schema)
+    lm = audio_landmarks(media)
+    # score >= 0.8: true copies concentrate ~100% of their landmarks in one
+    # dt bin; merely-similar tone clips (shared words) top out ~0.65
+    matches = match_clips(lm, min_votes=5, min_score=0.8)
+    # best offset per pair (votes desc, dt tiebreak), originals vs copies only
+    from pyspark.sql import Window as W
+
+    best = (
+        matches.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("id_a", "id_b").orderBy(F.col("votes").desc(), F.col("dt").asc())
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return _digest_gate(
+        best.select("id_a", "id_b", "dt", "votes", F.round("score", 4).alias("score"))
+    )
+
+
+_LR_ITER, _LR_RATE = 10, 0.5
+
+
+def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression quality classifier (operators/
+    mlr.py): 4 z-standardized text features -> is-English label, 10
+    full-batch GD iterations where each step is ONE map-side-combinable
+    aggregation and the only driver state is the 5-double weight vector
+    (the bounded-driver-state pattern of the BPE merge loop).  The oracle
+    replays the ENTIRE optimization as chained CTEs, so the gate proves
+    the distributed trainer equals a single-node replay bit-close."""
+    from mcpvectordb_spark.operators.mlr import (
+        score_logistic,
+        standardized_features,
+        train_logistic_gd,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = dd.normalize_text(F.col("text"))
+    words = F.split(t, " ")
+    nt = F.greatest(F.length(t), F.lit(1)).cast("double")
+    nw = F.greatest(F.size(words), F.lit(1)).cast("double")
+    feats = standardized_features(
+        docs,
+        [
+            F.log(F.lit(1.0) + F.length(t)),
+            F.length(t) / nw,
+            F.size(F.array_distinct(words)) / nw,
+            F.length(F.regexp_replace(t, "[^aeiou]", "")) / nt,
+        ],
+        F.col("lang") == "en",
+    )
+    w = train_logistic_gd(feats, 4, iterations=_LR_ITER, lr=_LR_RATE)
+    scored = score_logistic(feats, w)
+    return scored.agg(
+        *[F.round(F.lit(w[j]), 4).alias(f"w{j}") for j in range(5)],
+        F.sum((F.col("pred") == F.col("y")).cast("long")).alias("n_correct"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+def _sql_lr() -> str:
+    xs = ["x1", "x2", "x3", "x4"]
+    feats0 = f"""
+  SELECT CAST(lang = 'en' AS DOUBLE) AS y,
+         ln(1 + len(t)) AS x1,
+         CAST(len(t) AS DOUBLE) / greatest(len(w), 1) AS x2,
+         CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1) AS x3,
+         CAST(len(regexp_replace(t, '[^aeiou]', '', 'g')) AS DOUBLE) / greatest(len(t), 1) AS x4
+  FROM (SELECT lang, {_sql_norm('text')} AS t, {_sql_words('text')} AS w FROM documents)"""
+    stats = ", ".join(
+        f"avg({x}) AS m{i}, sqrt(greatest(avg({x}*{x}) - avg({x})*avg({x}), 0)) AS s{i}"
+        for i, x in enumerate(xs, 1)
+    )
+    std = ", ".join(f"({x} - m{i}) / greatest(s{i}, 1e-12) AS {x}" for i, x in enumerate(xs, 1))
+    ctes = [
+        f"feats0 AS ({feats0})",
+        f"stats AS (SELECT {stats} FROM feats0)",
+        f"feats AS (SELECT y, {std} FROM feats0, stats)",
+        "w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3, 0.0 AS b4)",
+    ]
+    z = "b0 + b1*x1 + b2*x2 + b3*x3 + b4*x4"
+    for it in range(1, _LR_ITER + 1):
+        upd = ", ".join(
+            [f"max(b0) - {_LR_RATE}*avg(e) AS b0"]
+            + [f"max(b{j}) - {_LR_RATE}*avg(e*x{j}) AS b{j}" for j in range(1, 5)]
+        )
+        ctes.append(
+            f"w{it} AS (SELECT {upd} FROM "
+            f"(SELECT b0, b1, b2, b3, b4, 1.0/(1.0+exp(-({z}))) - y AS e, x1, x2, x3, x4 "
+            f"FROM feats, w{it - 1}))"
+        )
+    final_w = ", ".join(f"round(b{j}, 4) AS w{j}" for j in range(5))
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT {final_w},
+       CAST(sum(CASE WHEN (CASE WHEN 1.0/(1.0+exp(-({z}))) > 0.5 THEN 1.0 ELSE 0.0 END) = y
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(count(*) AS BIGINT) AS n
+FROM feats, w{_LR_ITER}
+GROUP BY b0, b1, b2, b3, b4"""
+    )
+
+
+SQL_LR_QUALITY = _sql_lr()
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 
@@ -5704,6 +6117,16 @@ FROM s GROUP BY dom
 # the rotation-policy test (tests/test_entry.py) can no longer go stale
 # between rounds.
 QUERIES = {
+    # -- round-4 additions (the mechanical rotation puts never-checked
+    # -- queries first regardless of position here) --
+    "events_gapfill": q_events_gapfill,
+    "customers_scd2": q_customers_scd2,
+    "winnowing_fp": q_winnowing,
+    "events_attribution": q_events_attribution,
+    "copurchase_triangles": q_copurchase_triangles,
+    "lr_quality": q_lr_quality,
+    "w2v_search": q_w2v_search,
+    "audio_fingerprint": q_audio_fingerprint,
     # -- new round-3 queries go here (never driver-checked) --
     "knn_pq_topk": q_knn_pq_topk,
     "knn_pq_refined": q_knn_pq_refined,
@@ -5892,6 +6315,15 @@ def _rotate_stalest_first(queries: dict) -> dict:
 QUERIES = _rotate_stalest_first(QUERIES)
 
 ORACLES = {
+    # -- round-4 --
+    "events_gapfill": SQL_EVENTS_GAPFILL,
+    "customers_scd2": SQL_CUSTOMERS_SCD2,
+    "winnowing_fp": SQL_WINNOWING,
+    "events_attribution": SQL_EVENTS_ATTRIBUTION,
+    "copurchase_triangles": SQL_COPURCHASE_TRIANGLES,
+    "lr_quality": SQL_LR_QUALITY,
+    "w2v_search": _sql_digest_gold(10, "3385114c7156bb6d8282a5d5d56e2dfa"),
+    "audio_fingerprint": _sql_digest_gold(12, "364eddec6871c8d438c4712018a593e8"),
     # -- golden-digest gates (deterministic non-SQL queries; constants from
     # -- tools/regen_digests.py at sf0.01 — double-run verified) --
     "knn_pq_refined": _sql_digest_gold(10, "3bbfe9627423b7e0ac2ba9142a8ee08f"),

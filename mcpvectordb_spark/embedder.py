@@ -318,3 +318,64 @@ def embed_documents_stage(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+class PmiSvdEmbedder:
+    """TRAINED in-container embedder: word vectors learned from the corpus
+    by SGNS-as-matrix-factorization (operators/w2v.py — Levy & Goldberg
+    2014), documents embedded as the L2-normalized mean of in-vocab word
+    vectors.  Unlike MiniTransformerEmbedder (seeded, untrained), these
+    vectors carry real distributional semantics: co-occurring words are
+    close, so similarity search over the output is meaningful.  The
+    corpus-scale work (counts, co-occurrence, doc embedding) is
+    distributed; only the vocab-bounded SVD runs on the driver.
+
+    Deterministic end-to-end (ranked vocab, exact counts, LAPACK SVD on a
+    fixed matrix), so the w2v catalog query can golden-digest-gate the
+    whole train→embed path.  Fills the trained-vector slot of the
+    reference's pretrained-ONNX seam (reference embedder.py:41-83) in
+    environments with no model stack; the pretrained backends
+    (FastembedEmbedder / SentenceTransformerEmbedder) stay preferred when
+    installed."""
+
+    def __init__(self, word_vectors: dict, dim: int, config: EngineConfig = DEFAULT):
+        self.word_vectors = word_vectors
+        self.dim = dim
+        self.doc_prefix = config.doc_prefix
+        self.query_prefix = config.query_prefix
+
+    @classmethod
+    def fit(
+        cls,
+        df,
+        id_col: str,
+        text_col: str,
+        dim: int = 32,
+        vocab_size: int = 500,
+        window: int = 2,
+        config: EngineConfig = DEFAULT,
+    ) -> "PmiSvdEmbedder":
+        from mcpvectordb_spark.operators.w2v import train_word_vectors
+
+        wv = train_word_vectors(df, id_col, text_col, dim, vocab_size, window)
+        table = {
+            r["term"]: np.asarray(r["vector"], dtype=np.float64) for r in wv.collect()
+        }
+        return cls(table, dim, config)
+
+    def _embed_one(self, text: str) -> np.ndarray:
+        toks = [t for t in text.lower().split() if t]
+        vecs = [self.word_vectors[t] for t in toks if t in self.word_vectors]
+        if not vecs:
+            return np.zeros(self.dim, dtype=np.float32)
+        mean = np.mean(vecs, axis=0)
+        n = float(np.linalg.norm(mean))
+        return (mean / n if n > 0 else mean).astype(np.float32)
+
+    def embed_documents(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        return np.stack([self._embed_one(self.doc_prefix + t) for t in texts])
+
+    def embed_query(self, text: str) -> np.ndarray:
+        return self._embed_one(self.query_prefix + text)

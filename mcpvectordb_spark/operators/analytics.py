@@ -276,3 +276,58 @@ def funnel_latency(
         out = stats if out is None else out.unionByName(stats)
         converted = trans.select("user", F.col("_t2").alias("_t"))
     return out
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lookback_s: int = 7 * 86400,
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion event's value is
+    attributed to the user's most recent PRIOR non-conversion event (the
+    "touch channel") within ``lookback_s`` seconds; conversions with no
+    qualifying touch are attributed to the 'direct' channel.
+
+    Returns one row per conversion: (user, conv_id, channel, value).
+
+    Ordering is (epoch second, event id) — second granularity keeps the
+    engine-portable timestamp convention, the id tiebreak makes same-second
+    sequences deterministic.  One window over (user, time): no joins, no
+    per-conversion scans — the touch lookup rides the same sort the
+    sessionizer uses, so a 100 TB event table pays one user-keyed shuffle.
+    """
+    from pyspark.sql import Window
+
+    sec = F.unix_timestamp(ts_col)
+    base = events.select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("eid"),
+        sec.alias("t"),
+        F.col(type_col).alias("etype"),
+        F.col(value_col).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user")
+        .orderBy(F.col("t").asc(), F.col("eid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("etype") != conversion_type
+    touched = base.withColumn(
+        "touch_type", F.last(F.when(is_touch, F.col("etype")), ignorenulls=True).over(w)
+    ).withColumn(
+        "touch_t", F.last(F.when(is_touch, F.col("t")), ignorenulls=True).over(w)
+    )
+    conv = touched.filter(F.col("etype") == conversion_type)
+    channel = F.when(
+        F.col("touch_type").isNotNull()
+        & (F.col("t") - F.col("touch_t") <= lookback_s),
+        F.col("touch_type"),
+    ).otherwise(F.lit("direct"))
+    return conv.select(
+        "user", F.col("eid").alias("conv_id"), channel.alias("channel"), "v"
+    )

@@ -88,3 +88,68 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Exact undirected triangle + wedge count via degree-ordered edge
+    orientation (the node-iterator++ / forward algorithm — Schank &
+    Wagner 2005): orient every edge from its (degree, id)-smaller endpoint
+    to the larger, join wedges on the shared source, and close each wedge
+    against the canonical edge set.  Each triangle is counted EXACTLY once
+    (its (degree, id)-minimum vertex is the unique apex with both edges
+    outgoing).
+
+    Returns a single row (n_nodes, n_edges, n_wedges, n_triangles).
+
+    Scale shape: orientation bounds every vertex's out-degree by
+    O(sqrt(m)), so the wedge join's fanout is sum d_out² = O(m^1.5) —
+    the best exact bound — instead of sum d² which a hub vertex turns
+    quadratic.  Three hash joins + keyed aggs, no windows, no driver state.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = d.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint(eager=False)
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y, (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v"))
+    ).select(
+        F.col("x.v").alias("wa"), F.col("y.v").alias("wb")
+    )
+    # e is canonical (a < b) and wa < wb by construction: plain equi-keys
+    closed = wedges.join(
+        e, (F.col("wa") == F.col("a")) & (F.col("wb") == F.col("b")), "left_semi"
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_wedge = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    stats = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+    ).crossJoin(deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+    return (
+        stats.crossJoin(F.broadcast(n_wedge))
+        .crossJoin(F.broadcast(n_tri))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )

@@ -461,3 +461,62 @@ def encoding_artifacts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_repl.cast("long").alias("n_replacement"),
         ((n_moji >= 3) | (n_repl > 0) | (n_ctrl > 0)).alias("damaged"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    max_chars: int = 500,
+) -> DataFrame:
+    """MOSS winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003): hash
+    every character k-gram of the normalized text, then keep, for each
+    window of ``w`` consecutive k-gram positions, the minimum hash —
+    rightmost occurrence on ties.  The selected set is the document
+    fingerprint: any shared substring of length >= k+w-1 between two docs
+    is guaranteed to share a selected hash, with ~2/(w+1) selection density.
+
+    Returns (id, fp_pos, h40) — one row per selected fingerprint.
+
+    Spark-first shape: positions explode from a per-doc ``sequence`` (no
+    Python), the k-gram hash is the portable md5 hexint48 reduced to 40
+    bits, and the rightmost-min-per-window is ONE window-function pass:
+    min over a ROWS frame of the combined key h40·2^16 + (2^16-1-pos),
+    which orders lexicographically by (hash asc, pos desc) — the argmin
+    trick that avoids a self-join.  One shuffle, keyed by doc id.
+    ``max_chars`` caps the explode fanout per doc (the head of a document
+    is what fingerprint matching needs; full-text span dedup is
+    dedup.dup_span_fraction's job).
+    """
+    from mcpvectordb_spark.operators.dedup import fan_out, hexint48
+
+    t = F.substring(normalize_text(F.col(text_col)), 1, max_chars)
+    base = fan_out(df).select(F.col(id_col).alias("id"), t.alias("_t"))
+    grams = base.filter(F.length("_t") >= k).select(
+        "id",
+        "_t",
+        F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("pos"),
+    )
+    h40 = F.pmod(hexint48(F.col("_t").substr(F.col("pos"), F.lit(k))), F.lit(1 << 40))
+    keyed = grams.select(
+        "id",
+        "pos",
+        (h40 * (1 << 16) + ((1 << 16) - 1 - F.col("pos"))).alias("_ck"),
+    )
+    frame = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), Window.currentRow)
+    )
+    sel = (
+        keyed.withColumn("_sel", F.min("_ck").over(frame))
+        .filter(F.col("pos") >= w)  # full windows only
+        .select("id", F.col("_sel"))
+        .distinct()
+    )
+    # integer decode: _sel can exceed 2^53, so `div`, never double `/`
+    return sel.select(
+        "id",
+        (F.lit((1 << 16) - 1) - F.pmod(F.col("_sel"), F.lit(1 << 16))).alias("fp_pos"),
+        F.expr(f"_sel div {1 << 16}").alias("h40"),
+    )

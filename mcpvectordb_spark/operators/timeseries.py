@@ -1,0 +1,127 @@
+"""Time-series shaping operators: regular-grid resampling with gap fill /
+linear interpolation, and SCD Type-2 history construction.
+
+Classic warehouse/observability shapes the reference never had (it is a
+retrieval server), in the same beyond-reference family as analytics.py —
+any engine sitting on an event stream gets asked for "resample this sensor
+to an hourly grid and interpolate the holes" and "give me the validity
+intervals of each dimension attribute".
+
+Scale shape:
+- ``resample_interpolate``: one keyed aggregation to bucket observations,
+  one tiny per-key range agg, a per-key ``sequence`` explode for the grid
+  (array length = series length, bounded by time-range/step — for a year
+  of hourly buckets that is 8.8k elements, never corpus-scale), then ONE
+  window over (key, bucket).  All shuffles are keyed by the series key; a
+  100 TB deployment has millions of keys (devices/sensors), so the
+  partitionBy parallelizes naturally.  Nothing driver-side.
+- ``scd2_history``: two windows over (key, ts) — lag to detect changes,
+  lead to close intervals.  One shuffle by key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col,
+    ts_col: str,
+    value_col: str,
+    step_s: int = 3600,
+) -> DataFrame:
+    """Aggregate observations onto a regular ``step_s``-second grid per key
+    and fill the holes: observed buckets carry avg(value), missing interior
+    buckets are linearly interpolated between the nearest observed
+    neighbours, and missing edge buckets are nearest-neighbour extrapolated
+    (constant).  Returns (k, bucket, observed, v_filled) — one row per grid
+    point from each key's first to last observation.
+
+    ``key_col`` may be a Column expression (e.g. a synthetic sensor id).
+    Buckets are epoch seconds (``unix_timestamp`` truncation — the portable
+    second-granularity convention shared with the DuckDB oracle).
+    """
+    obs = (
+        df.select(
+            F.col(key_col).alias("k") if isinstance(key_col, str) else key_col.alias("k"),
+            ((F.unix_timestamp(ts_col) / step_s).cast("bigint") * step_s).alias("bucket"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("k", "bucket")
+        .agg(F.avg("_v").alias("v"))
+    )
+    rng = obs.groupBy("k").agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+    grid = rng.select(
+        "k", F.explode(F.sequence("b0", "b1", F.lit(step_s))).alias("bucket")
+    )
+    j = grid.join(obs, ["k", "bucket"], "left")
+    past = (
+        Window.partitionBy("k")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    future = (
+        Window.partitionBy("k")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    w = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(past))
+        .withColumn("pb", F.last(obs_bucket, ignorenulls=True).over(past))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(future))
+        .withColumn("nb", F.first(obs_bucket, ignorenulls=True).over(future))
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("bucket") - F.col("pb")) / (F.col("nb") - F.col("pb"))
+    )
+    v_filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(interp)
+    )
+    return w.select(
+        "k",
+        "bucket",
+        F.col("v").isNotNull().alias("observed"),
+        v_filled.alias("v_filled"),
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: collapse a keyed event stream of
+    attribute observations into validity intervals.  A new interval opens
+    whenever the attribute differs from the previous observation (ordered
+    by ``ts_col`` then ``tiebreak_col`` — the tiebreak makes same-timestamp
+    observations deterministic); ``valid_to`` is the next interval's
+    ``valid_from`` and NULL marks the current row.
+
+    Returns (key, attr, valid_from, valid_to, is_current).
+    """
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    seq = Window.partitionBy(key_col).orderBy(*order)
+    changes = (
+        df.select(key_col, attr_col, ts_col, tiebreak_col)
+        .withColumn("_prev", F.lag(attr_col).over(seq))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col)))
+    )
+    nxt = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        changes.withColumn("valid_to", F.lead(ts_col).over(nxt))
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(attr_col).alias("attr"),
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

@@ -36,6 +36,8 @@ GATED = [
     "ocr_ingest",
     "asr_ingest",
     "flac_ingest",
+    "w2v_search",
+    "audio_fingerprint",
 ]
 
 

@@ -987,6 +987,151 @@ def main_s4() -> None:
     }))
     spark.stop()
 
+def main_r4() -> None:
+    """Stress the round-3 heavy query operators at sf1-equivalent scale
+    (r03 verdict item 6): weighted PageRank over 5M edges / 500k nodes,
+    trigram-LM scoring + RM3 feedback retrieval + TF-IDF cosine self-join
+    over a 200k-doc corpus with perturbed (non-identical) replicas, so the
+    join fanouts are exercised under realistic shared-vocabulary overlap
+    rather than degenerate exact duplicates."""
+    spark = get_spark("stress-r4")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {counts[name]}", file=sys.stderr)
+
+    # ---- 200k-doc corpus: 5000 sf0.1 docs x 40 perturbed replicas ---------
+    docs = load_table(spark, SF, "documents")
+    r40 = spark.range(40).select(F.col("id").alias("r"))
+    big_docs = (
+        docs.crossJoin(F.broadcast(r40))
+        .select(
+            (F.col("doc_id") * 1000 + F.col("r")).alias("id"),
+            # min doc length is 44 chars, so a rotation offset <= 40 keeps
+            # every replica a real text (empty substrings would starve the
+            # >=3-token LM gate).  The grp<doc_id> token is shared by the 40
+            # replicas of one original doc (df=40): the synthetic vocabulary
+            # is small and every natural word lands in thousands of docs, so
+            # without it the simjoin's df<=max_df index would be empty.
+            F.concat(
+                F.substring("text", (F.col("r") % 40).cast("int") + 1, 1200),
+                F.lit(" grp"), F.col("doc_id").cast("string"),
+                F.lit(" uniq"), F.col("r").cast("string"),
+            ).alias("text"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_docs = big_docs.count()
+    print(f"# r4 corpus: {n_docs} docs", file=sys.stderr)
+
+    # ---- PageRank: 5M edges, 500k nodes, 10 weighted power iterations -----
+    def pr():
+        from mcpvectordb_spark.operators.graph import pagerank
+
+        n_nodes, n_edges = 500_000, 5_000_000
+        # dst = a*id + 1 mod n: gcd(a-1, n)=80 does not divide 1, so no id
+        # solves src==dst — zero self-loops, every node keeps all 20 edges
+        edges = spark.range(n_edges).select(
+            (F.col("id") % n_nodes).alias("src"),
+            ((F.col("id") * 2654435761 + 1) % n_nodes).alias("dst"),
+            (F.pmod(F.col("id"), 7) + 1).cast("double").alias("w"),
+        ).repartition(64)
+        ranks = pagerank(edges, iterations=10, weight_col="w")
+        agg = ranks.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("rank").alias("s"),
+            F.max("rank").alias("mx"), F.min("rank").alias("mn"),
+        ).collect()[0]
+        assert agg["n"] == n_nodes, f"{agg['n']} nodes ranked"
+        # probability-normalized ranks: total mass stays ~1 (dangling can leak)
+        assert 0.5 < agg["s"] <= 1.01, agg["s"]
+        assert agg["mx"] > agg["mn"] > 0.0
+        notes["pagerank_5m"] = (
+            f"{agg['n']} nodes over {n_edges} weighted edges, 10 iterations; "
+            f"rank mass {agg['s']:.6f}, plan depth O(1) via localCheckpoint"
+        )
+        return int(agg["n"])
+
+    run("pagerank_5m_edges", pr)
+
+    # ---- trigram LM over 200k docs ----------------------------------------
+    def lm():
+        from mcpvectordb_spark.operators.ngram_lm import ngram_lm_score
+
+        out = ngram_lm_score(big_docs, "id", "text")
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("ppl") > 0, 1).otherwise(0)).alias("pos"),
+        ).collect()[0]
+        assert agg["n"] == agg["pos"], "non-positive perplexity"
+        assert agg["n"] >= 0.99 * n_docs, f"only {agg['n']} docs scored"
+        notes["ngram_lm_200k"] = (
+            f"{agg['n']} docs trigram-scored; grams shuffled as 48-bit longs, "
+            "5 hash equi-joins vs vocabulary-bounded count tables"
+        )
+        return int(agg["n"])
+
+    run("ngram_lm_200k", lm)
+
+    # ---- RM3 two-pass feedback retrieval over 200k docs -------------------
+    def rm3():
+        from mcpvectordb_spark.operators.prf import rm3_topk
+
+        out = rm3_topk(big_docs, "data system model result", 10, "id", "text").collect()
+        assert len(out) == 10
+        scores = [r["score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+        notes["rm3_200k"] = (
+            f"top-10 of {n_docs} docs via 2-pass BM25+RM3; feedback set and "
+            "expansion vocabulary broadcast, posting list localCheckpointed"
+        )
+        return len(out)
+
+    run("rm3_200k", rm3)
+
+    # ---- TF-IDF cosine self-join over 200k docs ---------------------------
+    def simjoin():
+        from mcpvectordb_spark.operators.simjoin import doc_terms, tfidf_cosine_pairs
+
+        max_df = 100
+        pairs = tfidf_cosine_pairs(big_docs, "id", "text", threshold=0.8, max_df=max_df)
+        n_pairs = pairs.count()
+        # fanout audit: candidate pairs are bounded by sum_t C(df_t, 2) over
+        # kept terms <= n_kept_terms * C(max_df, 2)
+        kept = (
+            doc_terms(big_docs, "id", "text")
+            .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+            .agg(F.count(F.lit(1)).alias("t"), F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("cand"))
+            .collect()[0]
+        )
+        bound = kept["t"] * max_df * (max_df - 1) / 2
+        assert kept["cand"] <= bound, (kept["cand"], bound)
+        assert n_pairs > 0, "no near-dup pairs found — corpus degenerate"
+        assert n_pairs <= kept["cand"]
+        notes["tfidf_simjoin_200k"] = (
+            f"{n_pairs} pairs >= 0.8 cosine from {int(kept['cand'])} candidate "
+            f"pairs ({kept['t']} kept terms, max_df={max_df}; hard bound {int(bound)})"
+        )
+        return int(n_pairs)
+
+    run("tfidf_simjoin_200k", simjoin)
+
+    big_docs.unpersist()
+    print(json.dumps({
+        "mode": "r4",
+        "timings_sec": timings, "result_counts": counts, "notes": notes,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "sf1" in sys.argv[1:]:
         main_sf1()
@@ -996,5 +1141,7 @@ if __name__ == "__main__":
         main_s3()
     elif "s4" in sys.argv[1:]:
         main_s4()
+    elif "r4" in sys.argv[1:]:
+        main_r4()
     else:
         main()
