@@ -100,6 +100,15 @@ BENCH_QUERIES = [
     "events_attribution",    # last-touch window attribution
     "copurchase_triangles",  # degree-ordered exact triangle census
     "lr_quality",            # 10-iteration distributed logistic GD
+    "w2v_search",            # SPPMI-SVD word-vector train + doc embed + knn
+    "audio_fingerprint",     # spectral constellation landmarks + offset voting
+    "events_ab_test",        # two-proportion z-test over hash variants
+    "events_mad_outliers",   # median/MAD modified z-score outliers
+    "entity_match",          # blocked Levenshtein entity resolution
+    "pii_luhn",              # Luhn-validated card scrubbing
+    "target_encoding",       # leave-one-out target encoding
+    "woe_binning",           # equal-frequency WOE/IV binning
+    "mixture_temperature",   # temperature-scaled mixture weights
 ]
 
 # Sub-2s queries whose round-over-round deltas were noise-sized (r03 verdict

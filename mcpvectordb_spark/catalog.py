@@ -6012,6 +6012,320 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over hash-assigned variants (operators/
+    stats.py::ab_test_ztest): converts = users with >= 3 purchases (the
+    synthetic stream gives nearly every user one purchase, which would
+    degenerate the pooled variance); the portable-md5 assignment lets the
+    oracle replay the split exactly.  Two keyed aggs, one-row output."""
+    from mcpvectordb_spark.operators.stats import ab_test_ztest
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ab_test_ztest(ev, "purchase", min_conversions=3)
+    return out.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.round("rate_a", 6).alias("rate_a"),
+        F.round("rate_b", 6).alias("rate_b"),
+        F.round("z", 6).alias("z"),
+    )
+
+
+SQL_EVENTS_AB_TEST = f"""
+WITH users AS (
+  SELECT user_id AS u,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 3 AS INT) AS converted
+  FROM events GROUP BY user_id),
+assigned AS (
+  SELECT u, converted, ({_sql_hex48("'ab:' || CAST(u AS VARCHAR)")}) % 2 AS variant FROM users),
+per AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS x
+  FROM assigned GROUP BY variant),
+a AS (SELECT n AS n_a, x AS x_a FROM per WHERE variant = 0),
+b AS (SELECT n AS n_b, x AS x_b FROM per WHERE variant = 1)
+SELECT n_a, x_a, n_b, x_b,
+       round(CAST(x_a AS DOUBLE)/n_a, 6) AS rate_a,
+       round(CAST(x_b AS DOUBLE)/n_b, 6) AS rate_b,
+       round(CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN 0.0
+             ELSE (CAST(x_a AS DOUBLE)/n_a - CAST(x_b AS DOUBLE)/n_b)
+             / sqrt((CAST(x_a + x_b AS DOUBLE)/(n_a + n_b)) * (1 - CAST(x_a + x_b AS DOUBLE)/(n_a + n_b))
+                    * (1.0/n_a + 1.0/n_b)) END, 6) AS z
+FROM a, b
+"""
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers by modified z-score (median/MAD, Iglewicz-Hoaglin;
+    operators/stats.py::mad_outliers) per event_type.  The score is
+    epsilon-quantized (same rationale as events_gapfill: exact-centesimal
+    inputs make rational scores that land on round() boundaries)."""
+    from mcpvectordb_spark.operators.stats import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    out = mad_outliers(ev, "event_type", "value", threshold=3.5)
+    return out.select(
+        "event_id", "event_type", "value",
+        F.floor(F.col("score") * 10000 + 0.5001).cast("long").alias("score_e4"),
+    )
+
+
+SQL_EVENTS_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type AS k, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+ad AS (
+  SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS _ad
+  FROM events e JOIN med m ON e.event_type = m.k),
+mad AS (
+  SELECT event_type AS k2, quantile_cont(_ad, 0.5) AS mad FROM ad GROUP BY 1),
+scored AS (
+  SELECT a.event_id, a.event_type, a.value,
+         CASE WHEN m.mad > 0 THEN 0.6745 * a._ad / m.mad ELSE 0.0 END AS score
+  FROM ad a JOIN mad m ON a.event_type = m.k2)
+SELECT event_id, event_type, value,
+       CAST(floor(score * 10000 + 0.5001) AS BIGINT) AS score_e4
+FROM scored WHERE score >= 3.5
+"""
+
+
+def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning (operators/encoding.py::woe_binning):
+    n_chars deciled by ntile (doc_id tiebreak), per-bin WOE + IV vs the
+    is-English label — the credit-scoring feature prep, oracle-replayed
+    bin edges and all."""
+    from mcpvectordb_spark.operators.encoding import woe_binning
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = woe_binning(
+        docs, F.col("n_chars"), F.col("lang") == "en", n_bins=10, tiebreak=F.col("doc_id")
+    )
+    return out.select(
+        "bin", "n", "n_pos", F.round("woe", 6).alias("woe"), F.round("iv", 6).alias("iv")
+    )
+
+
+SQL_WOE_BINNING = """
+WITH binned AS (
+  SELECT CAST(lang = 'en' AS INT) AS y,
+         ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+  FROM documents),
+per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+  FROM binned GROUP BY bin),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS _N, CAST(sum(n_pos) AS DOUBLE) AS _P FROM per)
+SELECT bin, n, n_pos,
+       round(ln(((n_pos + 0.5) / _P) / ((n - n_pos + 0.5) / (_N - _P))), 6) AS woe,
+       round((((n_pos + 0.5) / _P) - ((n - n_pos + 0.5) / (_N - _P)))
+             * ln(((n_pos + 0.5) / _P) / ((n - n_pos + 0.5) / (_N - _P))), 6) AS iv
+FROM per, tot
+"""
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with smoothing (operators/encoding.py
+    ::target_encode_loo): source category -> is-English rate, the row's
+    own label excluded (the target-leakage guard a training pipeline
+    needs).  One category-keyed window."""
+    from mcpvectordb_spark.operators.encoding import target_encode_loo
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = target_encode_loo(docs, F.col("source"), F.col("lang") == "en", smoothing=10.0)
+    return out.select("doc_id", "source", F.round("target_enc", 6).alias("target_enc"))
+
+
+SQL_TARGET_ENCODING = """
+WITH prior AS (SELECT avg(CAST(lang = 'en' AS DOUBLE)) AS _prior FROM documents)
+SELECT doc_id, source,
+       round((sum(CAST(lang = 'en' AS DOUBLE)) OVER (PARTITION BY source)
+              - CAST(lang = 'en' AS DOUBLE) + 10.0 * _prior)
+             / (count(*) OVER (PARTITION BY source) - 1 + 10.0), 6) AS target_enc
+FROM documents, prior
+"""
+
+
+def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated card-number scrubbing (operators/curation.py::
+    scrub_cards): each doc gets a planted VALID card (payload digits from
+    md5, check digit computed in-plan) and an INVALID twin (check+1); the
+    scrubber must flag 2 candidates, validate exactly 1, and replace only
+    the valid one.  The oracle replays the same digit arithmetic, regex
+    and replacement in DuckDB — proving the Luhn kernel engine-portable."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 60)
+    h = F.md5(F.concat(F.lit("card:"), F.col("doc_id").cast("string")))
+    payload = F.transform(
+        F.sequence(F.lit(1), F.lit(15)),
+        lambda i: F.conv(h.substr(i, F.lit(1)), 16, 10).cast("int") % 10,
+    )
+    contrib = F.aggregate(
+        F.zip_with(
+            payload,
+            F.sequence(F.lit(1), F.lit(15)),
+            lambda d, i: F.when(
+                i % 2 == 1, F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+            ).otherwise(d),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    check = (10 - contrib % 10) % 10
+    digits = F.concat_ws("", F.transform(payload, lambda d: d.cast("string")))
+    valid_card = F.concat(digits, check.cast("string"))
+    bad_card = F.concat(digits, ((check + 1) % 10).cast("string"))
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("pay "), valid_card, F.lit(" ref "), bad_card, F.lit(" end")
+        ).alias("text"),
+    )
+    out = cu.scrub_cards(planted, "text")
+    return out.select(
+        "doc_id", "n_card_candidates", "n_cards_valid",
+        F.md5("card_clean_text").alias("clean_md5"),
+    )
+
+
+SQL_PII_LUHN = f"""
+WITH base AS (
+  SELECT doc_id, md5('card:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE doc_id < 60),
+built AS (
+  SELECT doc_id,
+         list_transform(range(1, 16),
+                        i -> (strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1) % 10) AS p
+  FROM base),
+cards AS (
+  SELECT doc_id,
+         array_to_string(list_transform(p, d -> CAST(d AS VARCHAR)), '') AS digits,
+         (10 - list_sum(list_transform(range(1, 16), i ->
+            CASE WHEN i % 2 = 1
+                 THEN CASE WHEN p[CAST(i AS INT)]*2 > 9 THEN p[CAST(i AS INT)]*2 - 9 ELSE p[CAST(i AS INT)]*2 END
+                 ELSE p[CAST(i AS INT)] END)) % 10) % 10 AS chk
+  FROM built),
+texts AS (
+  SELECT doc_id,
+         'pay ' || digits || CAST(chk AS VARCHAR) || ' ref ' || digits || CAST((chk + 1) % 10 AS VARCHAR) || ' end' AS text
+  FROM cards),
+scanned AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\\b[0-9]{{16}}\\b') AS cands FROM texts),
+validated AS (
+  SELECT doc_id, text, cands,
+         list_filter(cands, c ->
+           list_sum(list_transform(range(1, 17), i ->
+             CASE WHEN (16 - i) % 2 = 1
+                  THEN CASE WHEN (strpos('0123456789', substr(c, CAST(i AS INT), 1)) - 1)*2 > 9
+                            THEN (strpos('0123456789', substr(c, CAST(i AS INT), 1)) - 1)*2 - 9
+                            ELSE (strpos('0123456789', substr(c, CAST(i AS INT), 1)) - 1)*2 END
+                  ELSE strpos('0123456789', substr(c, CAST(i AS INT), 1)) - 1 END)) % 10 = 0) AS valid
+  FROM scanned)
+SELECT doc_id,
+       CAST(len(cands) AS BIGINT) AS n_card_candidates,
+       CAST(len(valid) AS BIGINT) AS n_cards_valid,
+       md5(list_reduce(list_prepend(text, valid), (acc, c) -> replace(acc, c, '<CARD>'))) AS clean_md5
+FROM validated
+"""
+
+
+def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution (operators/entity.py): customers
+    get portable-md5 pseudo-names (the raw c_name values are sequential
+    'Customer#...' strings one digit apart — everything would fuzzy-match
+    everything); every 10th customer is planted again with one character
+    edited PAST the blocking prefix.  Match = same (nation, 4-char
+    prefix) block + Levenshtein <= 1.  The oracle replays name synthesis,
+    blocking and edit distance in DuckDB."""
+    from mcpvectordb_spark.operators.entity import entity_match_blocked
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    h = F.md5(F.concat(F.lit("name:"), F.col("c_custkey").cast("string")))
+    syl = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda j: F.concat(
+                F.substring(F.lit("bdklmnrs"), (F.conv(h.substr(j * 2 + 1, F.lit(1)), 16, 10).cast("int") % 8) + 1, 1),
+                F.substring(F.lit("aeio"), (F.conv(h.substr(j * 2 + 2, F.lit(1)), 16, 10).cast("int") % 4) + 1, 1),
+            ),
+        ),
+    )
+    base = cust.select(F.col("c_custkey").alias("id"), "c_nationkey", syl.alias("name"))
+    planted = base.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 1000000).alias("id"),
+        "c_nationkey",
+        F.concat(F.substring("name", 1, 5), F.lit("x"), F.substring("name", 7, 10)).alias("name"),
+    )
+    ents = base.unionByName(planted)
+    out = entity_match_blocked(ents, "id", "name", ["c_nationkey"], prefix_len=4, max_edit=1)
+    return out
+
+
+SQL_ENTITY_MATCH = """
+WITH base AS (
+  SELECT c_custkey AS id, c_nationkey,
+         array_to_string(list_transform(range(0, 5), j ->
+           substr('bdklmnrs', ((strpos('0123456789abcdef', substr(md5('name:' || CAST(c_custkey AS VARCHAR)), CAST(j*2+1 AS INT), 1)) - 1) % 8) + 1, 1) ||
+           substr('aeio', ((strpos('0123456789abcdef', substr(md5('name:' || CAST(c_custkey AS VARCHAR)), CAST(j*2+2 AS INT), 1)) - 1) % 4) + 1, 1)), '') AS name
+  FROM customer),
+planted AS (
+  SELECT id + 1000000 AS id, c_nationkey,
+         substr(name, 1, 5) || 'x' || substr(name, 7, 10) AS name
+  FROM base WHERE id % 10 = 0),
+ents AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+keyed AS (
+  SELECT id, name,
+         CAST(c_nationkey AS VARCHAR) || chr(31) || substr(name, 1, 4) AS _blk
+  FROM ents)
+SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit
+FROM keyed a JOIN keyed b ON a._blk = b._blk AND a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (curation.py::
+    temperature_weights_bp, alpha=0.5 — the mT5 rare-domain upsampler)
+    over per-source whitespace token mass, then integer keep-rates under
+    a 100k-token budget (the mixture_rates arithmetic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", ts.ws_token_count(F.col("text")).alias("n_tok"))
+    w = cu.temperature_weights_bp(toks, "source", "n_tok", alpha=0.5)
+    budget = 100_000
+    return (
+        w.withColumn(
+            "target_tokens", F.expr(f"weight_bp * CAST({budget} AS BIGINT) div 10000")
+        )
+        .withColumn(
+            "rate_bp",
+            F.when(
+                F.col("avail_tokens") > 0,
+                F.least(
+                    F.lit(10000).cast("long"),
+                    F.expr("target_tokens * 10000 div avail_tokens"),
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .select("domain", "avail_tokens", "weight_bp", "target_tokens", "rate_bp")
+    )
+
+
+SQL_MIXTURE_TEMPERATURE = f"""
+WITH toks AS (
+  SELECT source AS domain,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+  FROM documents),
+avail AS (SELECT domain, CAST(sum(n_tok) AS BIGINT) AS avail_tokens FROM toks GROUP BY domain),
+tot AS (SELECT CAST(sum(avail_tokens) AS DOUBLE) AS _T FROM avail),
+powed AS (SELECT domain, avail_tokens, pow(avail_tokens / _T, 0.5) AS _p FROM avail, tot),
+z AS (SELECT sum(_p) AS _Z FROM powed),
+w AS (SELECT domain, avail_tokens,
+             CAST(floor(10000.0 * _p / _Z + 1e-9) AS BIGINT) AS weight_bp FROM powed, z)
+SELECT domain, avail_tokens, weight_bp,
+       weight_bp * CAST(100000 AS BIGINT) // 10000 AS target_tokens,
+       CASE WHEN avail_tokens > 0
+            THEN least(CAST(10000 AS BIGINT), (weight_bp * CAST(100000 AS BIGINT) // 10000) * 10000 // avail_tokens)
+            ELSE CAST(0 AS BIGINT) END AS rate_bp
+FROM w
+"""
+
+
 _LR_ITER, _LR_RATE = 10, 0.5
 
 
@@ -6127,6 +6441,13 @@ QUERIES = {
     "lr_quality": q_lr_quality,
     "w2v_search": q_w2v_search,
     "audio_fingerprint": q_audio_fingerprint,
+    "events_ab_test": q_events_ab_test,
+    "events_mad_outliers": q_events_mad_outliers,
+    "woe_binning": q_woe_binning,
+    "target_encoding": q_target_encoding,
+    "pii_luhn": q_pii_luhn,
+    "entity_match": q_entity_match,
+    "mixture_temperature": q_mixture_temperature,
     # -- new round-3 queries go here (never driver-checked) --
     "knn_pq_topk": q_knn_pq_topk,
     "knn_pq_refined": q_knn_pq_refined,
@@ -6324,6 +6645,13 @@ ORACLES = {
     "lr_quality": SQL_LR_QUALITY,
     "w2v_search": _sql_digest_gold(10, "3385114c7156bb6d8282a5d5d56e2dfa"),
     "audio_fingerprint": _sql_digest_gold(12, "364eddec6871c8d438c4712018a593e8"),
+    "events_ab_test": SQL_EVENTS_AB_TEST,
+    "events_mad_outliers": SQL_EVENTS_MAD_OUTLIERS,
+    "woe_binning": SQL_WOE_BINNING,
+    "target_encoding": SQL_TARGET_ENCODING,
+    "pii_luhn": SQL_PII_LUHN,
+    "entity_match": SQL_ENTITY_MATCH,
+    "mixture_temperature": SQL_MIXTURE_TEMPERATURE,
     # -- golden-digest gates (deterministic non-SQL queries; constants from
     # -- tools/regen_digests.py at sf0.01 — double-run verified) --
     "knn_pq_refined": _sql_digest_gold(10, "3bbfe9627423b7e0ac2ba9142a8ee08f"),

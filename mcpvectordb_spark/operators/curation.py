@@ -644,6 +644,56 @@ EMAIL_TOKEN = "<EMAIL>"
 PHONE_TOKEN = "<PHONE>"
 
 
+CARD_RE = r"\b[0-9]{16}\b"
+
+
+def luhn_valid(candidate: Column) -> Column:
+    """True when a 16-digit string passes the Luhn mod-10 checksum — the
+    validation that separates a real payment-card number from any random
+    16 digits, which is what keeps card scrubbing's false-positive rate
+    usable (plain \\d{16} matches order ids, EANs, hashes).  Pure codegen
+    arithmetic over the digit array: from the right, double every second
+    digit, subtract 9 when >9, sum mod 10 == 0.  The DuckDB twin is
+    catalog._sql_luhn — bit-identical integer math."""
+    digits = F.transform(
+        F.filter(F.split(candidate, ""), lambda c: c != ""),
+        lambda c: F.ascii(c) - 48,
+    )
+    # position from the right is (16 - i) for 1-based i; double even offsets
+    total = F.aggregate(
+        F.zip_with(
+            digits,
+            F.sequence(F.lit(1), F.size(digits)),
+            lambda d, i: F.when(
+                (F.size(digits) - i) % 2 == 1,
+                F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2),
+            ).otherwise(d),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return total % 10 == 0
+
+
+def scrub_cards(df: DataFrame, text_col: str) -> DataFrame:
+    """Detect 16-digit card-number candidates, Luhn-validate each, and
+    scrub only the VALID ones to ``<CARD>`` (invalid candidates are left
+    alone — they are order ids / hashes, not PII).  Adds ``n_card_candidates``,
+    ``n_cards_valid`` and ``card_clean_text``.  Per-row codegen regex +
+    array arithmetic — map-only, no shuffle, no Python."""
+    t = F.col(text_col)
+    cands = F.regexp_extract_all(t, F.lit(CARD_RE), 0)
+    valid = F.filter(cands, luhn_valid)
+    clean = F.aggregate(
+        valid, t, lambda acc, c: F.replace(acc, c, F.lit("<CARD>"))
+    )
+    return (
+        df.withColumn("n_card_candidates", F.size(cands).cast("long"))
+        .withColumn("n_cards_valid", F.size(valid).cast("long"))
+        .withColumn("card_clean_text", clean)
+    )
+
+
 def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
     """Redact emails and (synthetic 555-) phone numbers; count what was
     removed per doc.
@@ -706,6 +756,34 @@ def mixture_rates(
                 F.expr("target_tokens * 10000 div avail_tokens"),
             )).otherwise(F.lit(0).cast("long")),
         )
+    )
+
+
+def temperature_weights_bp(
+    df: DataFrame, domain_col: str, token_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-T5 /
+    GPT-style rare-domain upsampling): weight_d ∝ share_d^alpha with
+    alpha < 1 flattening the distribution toward uniform.  Returns
+    (domain, avail_tokens, weight_bp) with weights in basis points
+    (epsilon-biased floor so a 1-ulp pow() difference between engines
+    cannot flip the integer).  Feed the result into ``mixture_rates``-
+    style budgeting or ``mixture_sample`` gates.  One domain-keyed agg."""
+    avail = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(F.col(token_col)).cast("long").alias("avail_tokens")
+    )
+    tot = avail.agg(F.sum("avail_tokens").cast("double").alias("_T"))
+    powed = avail.crossJoin(F.broadcast(tot)).withColumn(
+        "_p", F.pow(F.col("avail_tokens") / F.col("_T"), F.lit(alpha))
+    )
+    z = powed.agg(F.sum("_p").alias("_Z"))
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .withColumn(
+            "weight_bp",
+            F.floor(F.lit(10000.0) * F.col("_p") / F.col("_Z") + F.lit(1e-9)).cast("long"),
+        )
+        .select("domain", "avail_tokens", "weight_bp")
     )
 
 

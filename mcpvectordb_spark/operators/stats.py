@@ -1,0 +1,106 @@
+"""Experiment / robust-statistics operators: A/B-test analysis and
+median-MAD outlier detection.
+
+The analytics layer a product team runs on the same event stream the
+funnels/cohorts (operators/analytics.py) read — both are pure keyed
+aggregations with exact SQL twins, so every number is oracle-checkable.
+
+Scale shape: ab_test_ztest is two keyed aggs (user rollup, then variant
+rollup — per-user state never leaves the shuffle as more than one row);
+mad_outliers is two exact-percentile aggs per group plus a broadcast-join
+gate.  Exact percentiles shuffle per-group value lists inside Spark's
+percentile aggregate; at 100 TB swap `F.percentile` for the mergeable
+histogram sketch (operators/sketches.py::histogram_quantiles) — the
+module keeps the exact form because the oracle gate demands exactness and
+the sketch path is already gated separately (`events_quantile_sketch`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.operators.dedup import hexint48
+
+
+def ab_assign(user: Column, salt: str = "ab", n_variants: int = 2) -> Column:
+    """Deterministic hash bucketing of users into variants (the portable
+    md5 hexint48, so the oracle replays the assignment bit-exactly)."""
+    return F.pmod(hexint48(F.concat(F.lit(salt + ":"), user.cast("string"))), F.lit(n_variants))
+
+
+def ab_test_ztest(
+    events: DataFrame,
+    conversion_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    salt: str = "ab",
+    min_conversions: int = 1,
+) -> DataFrame:
+    """Two-proportion z-test between hash-assigned variants: a user
+    converts with >= ``min_conversions`` events of ``conversion_type``
+    (raise it when the base event is so common that rate ~= 1 and the
+    pooled variance degenerates).  Returns ONE row (n_a, x_a, n_b, x_b,
+    rate_a, rate_b, z) — the experiment-readout shape.  z uses the
+    pooled-variance form (0 when the pooled rate is degenerate); the
+    caller compares |z| against their critical value."""
+    users = (
+        events.select(
+            F.col(user_col).alias("u"),
+            (F.col(type_col) == conversion_type).cast("int").alias("c"),
+        )
+        .groupBy("u")
+        .agg((F.sum("c") >= min_conversions).cast("int").alias("converted"))
+        .withColumn("variant", ab_assign(F.col("u"), salt))
+    )
+    per = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("x"),
+    )
+    a = per.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("x").alias("x_a")
+    )
+    b = per.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("x").alias("x_b")
+    )
+    j = a.crossJoin(F.broadcast(b))  # two 1-row frames
+    pa = F.col("x_a") / F.col("n_a")
+    pb = F.col("x_b") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    return j.select(
+        "n_a", "x_a", "n_b", "x_b",
+        pa.alias("rate_a"),
+        pb.alias("rate_b"),
+        F.when(se > 0, (pa - pb) / se).otherwise(F.lit(0.0)).alias("z"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outliers by modified z-score (Iglewicz-Hoaglin):
+    |0.6745 · (x - median)| / MAD >= threshold.  Immune to the outliers
+    themselves, unlike mean/stddev z-scores.  Returns the flagged rows
+    with their group's median/MAD and the score."""
+    g = df.groupBy(F.col(key_col).alias("_mo_k")).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(
+        F.broadcast(g), F.col(key_col) == F.col("_mo_k")
+    ).withColumn("_ad", F.abs(F.col(value_col) - F.col("med")))
+    mad = with_med.groupBy(F.col(key_col).alias("_mo_k2")).agg(
+        F.expr("percentile(_ad, 0.5)").alias("mad")
+    )
+    scored = with_med.join(
+        F.broadcast(mad), F.col(key_col) == F.col("_mo_k2")
+    ).withColumn(
+        "score",
+        F.when(F.col("mad") > 0, F.lit(0.6745) * F.col("_ad") / F.col("mad")).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return scored.filter(F.col("score") >= threshold).drop("_mo_k", "_mo_k2", "_ad")
