@@ -76,6 +76,21 @@ def main(sf_dir: str, out_dir: str) -> dict:
     kept = kept.join(damaged.unionByName(blocked).distinct(), "doc_id", "left_anti")
     counts["after_hygiene"] = kept.count()
 
+    # 2c. PII scrub: emails/phones redacted, card-number candidates
+    #     Luhn-validated and only real cards replaced — all map-only
+    #     codegen, fused into the scan
+    scrubbed = cu.scrub_pii(kept, "text")
+    scrubbed = cu.scrub_cards(
+        scrubbed.withColumn("text", F.col("clean_text")).drop("clean_text"), "text"
+    )
+    counts["pii_docs_scrubbed"] = scrubbed.filter(
+        (F.col("n_emails") > 0) | (F.col("n_phones") > 0) | (F.col("n_cards_valid") > 0)
+    ).count()
+    kept = scrubbed.withColumn("text", F.col("card_clean_text")).drop(
+        "n_emails", "n_phones",
+        "n_card_candidates", "n_cards_valid", "card_clean_text",
+    )
+
     # 3. decontamination against an eval set (here: a held-out slice),
     #    Bloom pre-prune + exact shingle-overlap verification
     eval_set = docs.filter(F.col("doc_id") % 97 == 0).select(

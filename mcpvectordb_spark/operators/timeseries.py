@@ -125,3 +125,49 @@ def scd2_history(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def scd2_apply_increment(
+    current: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Incremental SCD2 maintenance: merge a new batch of observations
+    into an existing interval table (the output schema of
+    :func:`scd2_history`) WITHOUT reprocessing untouched keys.
+
+    Only keys present in the batch are rebuilt: their open/closed
+    intervals are exploded back into observations (valid_from carries the
+    original (ts, tiebreak) ordering via the interval's own columns — the
+    change-point observations are exactly the interval starts), unioned
+    with the batch rows, and re-collapsed by the same change-detection
+    window; every other key's intervals pass through untouched.  This is
+    the standard "rebuild only dirty partitions" trade: correctness
+    identical to a full rebuild (asserted in tests), cost proportional to
+    the batch's key set, not the dimension's history.
+
+    Requires batch timestamps >= the affected keys' last ``valid_from``
+    for the tiebreak to remain total (the append-only warehouse case);
+    out-of-order history loads should use the full :func:`scd2_history`
+    rebuild.
+    """
+    keys = batch.select(F.col(key_col).alias("key")).distinct()
+    untouched = current.join(keys, "key", "left_anti")
+    affected = current.join(keys, "key", "left_semi")
+    # interval starts ARE the change observations; tiebreak regenerated as
+    # a constant (intervals are already collapsed, so within a (key, ts)
+    # the attr is unique)
+    prior_obs = affected.select(
+        F.col("key").alias(key_col),
+        F.col("attr").alias(attr_col),
+        F.col("valid_from").alias(ts_col),
+        F.lit(-1).cast("long").alias(tiebreak_col),
+    )
+    merged = prior_obs.unionByName(
+        batch.select(key_col, attr_col, ts_col, F.col(tiebreak_col).cast("long"))
+    )
+    rebuilt = scd2_history(merged, key_col, attr_col, ts_col, tiebreak_col)
+    return untouched.unionByName(rebuilt)

@@ -264,3 +264,102 @@ def test_exif_never_raises_on_arbitrary_bytes(payload):
 
     parse_exif(payload)
     parse_exif(b"\xff\xd8\xff\xe1" + len(payload).to_bytes(2, "big") + b"Exif\x00\x00" + payload)
+
+
+def _luhn_py(card: str) -> bool:
+    s = 0
+    for i, ch in enumerate(card, start=1):
+        d = int(ch)
+        if (len(card) - i) % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        s += d
+    return s % 10 == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=st.lists(st.integers(0, 9), min_size=15, max_size=15))
+def test_luhn_check_digit_property(payload):
+    """For any 15-digit payload there is exactly ONE check digit that makes
+    the 16-digit card Luhn-valid — and the python reference agrees with the
+    doubling-parity convention the Spark kernel uses."""
+    valid = [c for c in range(10) if _luhn_py("".join(map(str, payload)) + str(c))]
+    assert len(valid) == 1
+    # transposing two adjacent unequal digits breaks validity when their
+    # doubled-halved images differ (the property Luhn was designed for)
+    card = "".join(map(str, payload)) + str(valid[0])
+    for i in range(15):
+        a, b = int(card[i]), int(card[i + 1])
+        if a == b:
+            continue
+        swapped = card[:i] + card[i + 1] + card[i] + card[i + 2:]
+        img = lambda d: d * 2 - 9 if d * 2 > 9 else d * 2
+        if (img(a) - a) != (img(b) - b):
+            assert not _luhn_py(swapped)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    pre=st.text(alphabet="abcdefgh ", min_size=0, max_size=30),
+    shared=st.text(alphabet="mnopqrst ", min_size=20, max_size=40),
+    post=st.text(alphabet="uvwxyz ", min_size=0, max_size=30),
+)
+def test_winnowing_guarantee_reference_impl(pre, shared, post):
+    """Pure-python reference of the winnowing selection: two texts sharing
+    a substring of length >= k+w-1 MUST share a selected hash (the paper's
+    core guarantee), verified over hypothesis-generated strings.  Guards
+    the Spark implementation's parameters/selection semantics, whose
+    equality with this reference is pinned by the catalog oracle."""
+    import hashlib
+    import re
+
+    k, w = 5, 3
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s.lower()).strip()
+
+    def select(text):
+        t = norm(text)[:500]
+        if len(t) < k:
+            return set()
+        hs = []
+        for i in range(len(t) - k + 1):
+            h = int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:12], 16) % (1 << 40)
+            hs.append((h, i))
+        out = set()
+        for end in range(w - 1, len(hs)):
+            window = hs[end - w + 1 : end + 1]
+            # min hash, rightmost on ties == min of (h, -pos)
+            out.add(min((h, -i) for h, i in window))
+        return {h for h, _ in out}
+
+    sh = norm(shared)
+    if len(sh) < k + w - 1:
+        return
+    a = select(pre + " " + shared + " junkpadding")
+    b = select("other lead " + shared + " " + post)
+    # both contain norm(shared) as a substring; guarantee applies
+    if norm(pre + " " + shared + " junkpadding").find(sh) >= 0 and norm(
+        "other lead " + shared + " " + post
+    ).find(sh) >= 0:
+        assert a & b
+
+
+def test_audio_landmarks_shift_property():
+    """Prepending exact-silence hops shifts every landmark's time index by
+    the hop count and changes nothing else (zero frames emit no peaks)."""
+    import math
+
+    from mcpvectordb_spark.sources.audiofp import landmarks_pcm
+
+    x = [int(9000 * math.sin(2 * math.pi * 700 * i / 8000)) for i in range(4000)]
+    base = landmarks_pcm(x)
+    for s in (1, 4, 9):
+        shifted = set(landmarks_pcm([0] * (128 * s) + x))
+        expect = {(h, t + s) for h, t in base}
+        # every original landmark survives, shifted by exactly s hops
+        assert expect <= shifted
+        # the only extras anchor at the one frame straddling the
+        # silence/signal boundary (128·s zeros end inside frame s-1)
+        assert all(t == s - 1 for (h, t) in shifted - expect)

@@ -274,3 +274,35 @@ def test_audio_fingerprint_finds_shifted_copy(spark):
     assert dt == -6 or dt == 6   # orig-vs-copy orientation depends on id sort
     assert score > 0.9
     assert all("other" not in k for pair in hits for k in pair)
+
+
+def test_scd2_incremental_equals_full_rebuild(spark):
+    """scd2_apply_increment(current, batch) == scd2_history(all obs):
+    the dirty-key rebuild is lossless, untouched keys pass through."""
+    from mcpvectordb_spark.operators.timeseries import scd2_apply_increment, scd2_history
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "k long, attr string, sec long, tb long"
+        ).select("k", "attr", F.timestamp_seconds("sec").alias("ts"), "tb")
+
+    hist = [
+        (1, "A", 10, 1), (1, "B", 20, 2), (1, "B", 30, 3),
+        (2, "X", 10, 4),
+        (3, "Q", 15, 5),
+    ]
+    inc = [
+        (1, "A", 40, 6),           # flips key 1 back to A
+        (2, "X", 50, 7),           # no-op repeat for key 2
+        (4, "N", 60, 8),           # brand-new key
+    ]
+    current = scd2_history(mk(hist), "k", "attr", "ts", "tb")
+    merged = scd2_apply_increment(current, mk(inc), "k", "attr", "ts", "tb")
+    full = scd2_history(mk(hist + inc), "k", "attr", "ts", "tb")
+    to_set = lambda df: {
+        (r["key"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in df.collect()
+    }
+    assert to_set(merged) == to_set(full)
+    # key 3 was untouched: its row must be the literal pass-through
+    assert any(r["key"] == 3 and r["is_current"] for r in merged.collect())
