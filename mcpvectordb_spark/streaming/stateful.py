@@ -206,3 +206,55 @@ def heavy_hitters_batch_twin(
     return shard.groupBy("pkey").applyInPandas(
         run, schema="pkey int, key long, mg_count long, n_processed long"
     )
+
+
+def attribution_stream(
+    stream: DataFrame,
+    conversion_type: str,
+    lookback_s: int = 7 * 86400,
+) -> DataFrame:
+    """Streaming last-touch attribution via ``applyInPandasWithState``:
+    per-user state = the most recent non-conversion touch (type, epoch
+    second); each conversion emits (user, conv_id, channel, v) where
+    channel is the stored touch within ``lookback_s``, else 'direct'.
+
+    The input columns are pre-projected (user, eid, t, etype, v) — the
+    same shape analytics.last_touch_attribution builds — and micro-batches
+    must arrive in time order per user (file-ordered time-split batches,
+    as in the other stateful queries); within a batch rows are sorted by
+    (t, eid), so the streaming output equals the batch window operator
+    exactly (asserted in tests AND by the catalog oracle — this is the
+    repo's first stream query with a full SQL oracle).
+    """
+    out_schema = T.StructType([
+        T.StructField("user", T.LongType()),
+        T.StructField("conv_id", T.LongType()),
+        T.StructField("channel", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("touch_type", T.StringType()),
+        T.StructField("touch_t", T.LongType()),
+    ])
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        tt, t_t = state.get if state.exists else ("", -1)
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) > 0:
+            batch = batch.sort_values(["t", "eid"], kind="mergesort")
+            for r in batch.itertuples():
+                if r.etype == conversion_type:
+                    ch = tt if (tt and t_t >= 0 and r.t - t_t <= lookback_s) else "direct"
+                    rows.append((int(key[0]), int(r.eid), ch, float(r.v)))
+                else:
+                    tt, t_t = str(r.etype), int(r.t)
+        state.update((tt, t_t))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user", "conv_id", "channel", "v"])
+
+    return stream.groupBy("user").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -131,3 +131,58 @@ def test_streaming_heavy_hitters_bound_across_batches(spark, tmp_path):
     true_count = 2 * 1000  # 3000/3 per batch
     n = hot[0]["n_processed"]
     assert true_count - n / 32 <= hot[0]["mg_count"] <= true_count
+
+
+def test_attribution_stream_equals_batch_twin(spark, tmp_path):
+    """Streaming last-touch attribution == the batch window operator, with
+    state genuinely carried across micro-batches (a touch in batch 0
+    credits a conversion in batch 1)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mcpvectordb_spark.operators.analytics import last_touch_attribution
+    from mcpvectordb_spark.streaming.stateful import attribution_stream
+
+    rows = [
+        # (user, eid, sec, type, value) — user 1's touch is in batch 0,
+        # conversion in batch 1: only cross-batch state gets this right
+        (1, 1, 100, "click", 0.0),
+        (2, 2, 150, "purchase", 9.0),       # no touch -> direct
+        (1, 3, 900, "purchase", 5.0),       # credits the batch-0 click
+        (3, 4, 950, "view", 0.0),
+        (3, 5, 990, "purchase", 2.0),       # same-batch touch
+    ]
+    df = spark.createDataFrame(
+        rows, "user long, eid long, t long, etype string, v double"
+    )
+    d = str(tmp_path / "attr")
+    df.filter("t < 500").coalesce(1).write.parquet(d + "/b0")
+    df.filter("t >= 500").coalesce(1).write.parquet(d + "/b1")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/b*")
+    )
+    q = (
+        attribution_stream(stream, "purchase")
+        .writeStream.format("memory").queryName("attr_twin_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["conv_id"]: (r["channel"], r["v"])
+        for r in spark.table("attr_twin_out").collect()
+    }
+    assert got == {2: ("direct", 9.0), 3: ("click", 5.0), 5: ("view", 2.0)}
+
+    # equality against the batch operator on the same events
+    ev = df.select(
+        F.col("user").alias("user_id"), F.col("eid").alias("event_id"),
+        F.timestamp_seconds("t").alias("ts"), F.col("etype").alias("event_type"),
+        F.col("v").alias("value"),
+    )
+    batch = {
+        r["conv_id"]: (r["channel"], r["v"])
+        for r in last_touch_attribution(ev, "purchase").collect()
+    }
+    assert got == batch
