@@ -109,6 +109,12 @@ BENCH_QUERIES = [
     "target_encoding",       # leave-one-out target encoding
     "woe_binning",           # equal-frequency WOE/IV binning
     "mixture_temperature",   # temperature-scaled mixture weights
+    "dq_audit",              # one-scan Deequ-style constraint report
+    "events_cusum",          # CUSUM change-point chart (running-max identity)
+    "orders_benford",        # Benford first-digit audit + chi-square
+    "events_seqmine",        # gapped sequential-pattern support
+    # (stream_* queries stay out of bench by policy: they time Structured
+    # Streaming harness startup, not operator cost)
 ]
 
 # Sub-2s queries whose round-over-round deltas were noise-sized (r03 verdict

@@ -6386,6 +6386,243 @@ FROM w
 """
 
 
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-scan data-quality report (operators/dataquality.py)
+    over lineitem — completeness, uniqueness, ranges, membership — plus a
+    referential check against orders.  All single-table rules fuse into
+    ONE aggregation; the oracle replays every rule."""
+    from mcpvectordb_spark.operators.dataquality import dq_referential, dq_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rep = dq_report(
+        li,
+        completeness=["l_orderkey", "l_partkey", "l_quantity", "l_shipdate"],
+        unique=["l_rowkey"] if "l_rowkey" in li.columns else [],
+        ranges={"l_quantity": (1, 50), "l_discount": (0.0, 0.1), "l_tax": (0.0, 0.08)},
+        memberships={"l_returnflag": ["A", "N", "R"], "l_linestatus": ["F", "O"]},
+    )
+    ref = dq_referential(li, "l_orderkey", orders, "o_orderkey")
+    return rep.unionByName(ref)
+
+
+SQL_DQ_AUDIT = """
+WITH agg AS (
+  SELECT
+    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ok,
+    CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pk,
+    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_q,
+    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_sd,
+    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS rng_q,
+    CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS rng_d,
+    CAST(sum(CASE WHEN l_tax < 0.0 OR l_tax > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS rng_t,
+    CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS mem_rf,
+    CAST(sum(CASE WHEN l_linestatus NOT IN ('F','O') THEN 1 ELSE 0 END) AS BIGINT) AS mem_ls
+  FROM lineitem),
+refr AS (
+  SELECT CAST(count(*) AS BIGINT) AS orphans
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL)
+SELECT * FROM (
+  SELECT 'completeness' AS constraint, 'l_orderkey' AS "column", null_ok AS value, null_ok = 0 AS ok FROM agg
+  UNION ALL SELECT 'completeness', 'l_partkey', null_pk, null_pk = 0 FROM agg
+  UNION ALL SELECT 'completeness', 'l_quantity', null_q, null_q = 0 FROM agg
+  UNION ALL SELECT 'completeness', 'l_shipdate', null_sd, null_sd = 0 FROM agg
+  UNION ALL SELECT 'range', 'l_quantity', rng_q, rng_q = 0 FROM agg
+  UNION ALL SELECT 'range', 'l_discount', rng_d, rng_d = 0 FROM agg
+  UNION ALL SELECT 'range', 'l_tax', rng_t, rng_t = 0 FROM agg
+  UNION ALL SELECT 'membership', 'l_returnflag', mem_rf, mem_rf = 0 FROM agg
+  UNION ALL SELECT 'membership', 'l_linestatus', mem_ls, mem_ls = 0 FROM agg
+  UNION ALL SELECT 'referential', 'l_orderkey', orphans, orphans = 0 FROM refr)
+"""
+
+
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over hourly event volume per type:
+    one-sided cumulative sums of standardized deviations from the global
+    per-type mean, flagging hours where the statistic exceeds the decision
+    interval h=5 with slack k=0.5 (the textbook Page 1954 chart).  CUSUM's
+    recursion S_t = max(0, S_{t-1} + z_t - k) is realized exactly with the
+    running-max identity S_t = R_t - min_{i<=t} R_i over the UNCLAMPED sum
+    R_t = sum(z_i - k) — pure window functions, no recursion, same shape
+    in Spark and the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            ((F.unix_timestamp("ts") / 3600).cast("bigint") * 3600).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    stats = hourly.groupBy(F.col("event_type").alias("et")).agg(
+        F.avg("n").alias("mu"),
+        F.sqrt(F.greatest(F.avg(F.col("n") * F.col("n")) - F.avg("n") * F.avg("n"), F.lit(0.0))).alias("sd"),
+    )
+    z = hourly.join(
+        F.broadcast(stats), F.col("event_type") == F.col("et")
+    ).withColumn("zk", (F.col("n") - F.col("mu")) / F.greatest(F.col("sd"), F.lit(1e-12)) - 0.5)
+    w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = z.withColumn("rsum", F.sum("zk").over(w))
+    cus = r.withColumn(
+        "cusum", F.col("rsum") - F.least(F.min("rsum").over(w), F.lit(0.0))
+    )
+    return cus.filter(F.col("cusum") >= 5.0).select(
+        "event_type",
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("cusum") * 10000 + 0.5001).cast("long").alias("cusum_e4"),
+    )
+
+
+SQL_EVENTS_CUSUM = """
+WITH hourly AS (
+  SELECT event_type,
+         (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) * 3600 AS bucket,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type AS et, avg(n) AS mu,
+         sqrt(greatest(avg(n*n) - avg(n)*avg(n), 0)) AS sd
+  FROM hourly GROUP BY 1),
+z AS (
+  SELECT h.event_type, h.bucket, h.n,
+         (h.n - s.mu) / greatest(s.sd, 1e-12) - 0.5 AS zk
+  FROM hourly h JOIN stats s ON h.event_type = s.et),
+r AS (
+  SELECT event_type, bucket, n, sum(zk) OVER w AS rsum
+  FROM z
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+c AS (
+  SELECT event_type, bucket, n, rsum,
+         least(min(rsum) OVER w2, 0.0) AS minr
+  FROM r
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
+       CAST(floor((rsum - minr) * 10000 + 0.5001) AS BIGINT) AS cusum_e4
+FROM c WHERE rsum - minr >= 5.0
+"""
+
+
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (the classic fraud/data-
+    quality screen): observed share per leading digit vs log10(1+1/d)
+    expectation, plus the chi-square statistic replicated per row.  One
+    keyed agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    d1 = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int")
+    per = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .groupBy(d1.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = per.agg(F.sum("n").cast("double").alias("_N"))
+    j = per.crossJoin(F.broadcast(tot))
+    expected = F.log10(1 + 1 / F.col("digit"))
+    share = F.col("n") / F.col("_N")
+    chi = (share - expected) * (share - expected) / expected * F.col("_N")
+    return j.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("benford"),
+        F.round(chi, 4).alias("chi2_term"),
+    )
+
+
+SQL_ORDERS_BENFORD = """
+WITH per AS (
+  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS _N FROM per)
+SELECT digit, n,
+       round(n / _N, 6) AS share,
+       round(log10(1 + 1.0/digit), 6) AS benford,
+       round((n/_N - log10(1 + 1.0/digit)) * (n/_N - log10(1 + 1.0/digit))
+             / log10(1 + 1.0/digit) * _N, 4) AS chi2_term
+FROM per, tot
+"""
+
+
+def q_events_seqmine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gapped sequential-pattern mining (PrefixSpan's length-2 stage):
+    support of ordered event-type pairs a -> b where b happens ANY time
+    after a in the same user's stream (not just adjacently — that is
+    events_paths).  Per-user candidate fanout is bounded by (events per
+    user)², the per-basket bound of the assoc-rules family; support
+    counts distinct users."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.col("event_type").alias("t"),
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+    )
+    a = base.select("user_id", F.col("t").alias("ta"), F.col("sec").alias("sa"), F.col("event_id").alias("ea"))
+    b = base.select("user_id", F.col("t").alias("tb"), F.col("sec").alias("sb"), F.col("event_id").alias("eb"))
+    pairs = a.join(b, "user_id").filter(
+        (F.col("sb") > F.col("sa")) | ((F.col("sb") == F.col("sa")) & (F.col("eb") > F.col("ea")))
+    )
+    return (
+        pairs.groupBy("ta", "tb")
+        .agg(F.countDistinct("user_id").cast("long").alias("support"))
+        .filter(F.col("support") >= 5)
+    )
+
+
+SQL_EVENTS_SEQMINE = """
+WITH base AS (
+  SELECT user_id, event_type AS t,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, event_id
+  FROM events)
+SELECT a.t AS ta, b.t AS tb, CAST(count(DISTINCT a.user_id) AS BIGINT) AS support
+FROM base a JOIN base b ON a.user_id = b.user_id
+ AND (b.sec > a.sec OR (b.sec = a.sec AND b.event_id > a.event_id))
+GROUP BY 1, 2 HAVING count(DISTINCT a.user_id) >= 5
+"""
+
+
+def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's numeric measures in ONE
+    aggregation (six F.corr pairs fused into a single pass — the same
+    one-scan discipline as dq_audit), long-form (col_a, col_b, corr)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    row = li.agg(
+        *[F.corr(a, b).alias(f"c__{a}__{b}") for a, b in pairs]
+    )
+    out = None
+    for a, b in pairs:
+        piece = row.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.round(F.col(f"c__{a}__{b}"), 6).alias("corr"),
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+SQL_LINEITEM_CORR = """
+WITH agg AS (
+  SELECT corr(l_quantity, l_extendedprice) AS c1,
+         corr(l_quantity, l_discount) AS c2,
+         corr(l_quantity, l_tax) AS c3,
+         corr(l_extendedprice, l_discount) AS c4,
+         corr(l_extendedprice, l_tax) AS c5,
+         corr(l_discount, l_tax) AS c6
+  FROM lineitem)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(c1, 6) AS corr FROM agg
+UNION ALL SELECT 'l_quantity', 'l_discount', round(c2, 6) FROM agg
+UNION ALL SELECT 'l_quantity', 'l_tax', round(c3, 6) FROM agg
+UNION ALL SELECT 'l_extendedprice', 'l_discount', round(c4, 6) FROM agg
+UNION ALL SELECT 'l_extendedprice', 'l_tax', round(c5, 6) FROM agg
+UNION ALL SELECT 'l_discount', 'l_tax', round(c6, 6) FROM agg
+"""
+
+
 _LR_ITER, _LR_RATE = 10, 0.5
 
 
@@ -6509,6 +6746,11 @@ QUERIES = {
     "entity_match": q_entity_match,
     "mixture_temperature": q_mixture_temperature,
     "stream_attribution": q_stream_attribution,
+    "dq_audit": q_dq_audit,
+    "events_cusum": q_events_cusum,
+    "orders_benford": q_orders_benford,
+    "events_seqmine": q_events_seqmine,
+    "lineitem_corr": q_lineitem_corr,
     # -- new round-3 queries go here (never driver-checked) --
     "knn_pq_topk": q_knn_pq_topk,
     "knn_pq_refined": q_knn_pq_refined,
@@ -6716,6 +6958,11 @@ ORACLES = {
     # the stream rolls up identically to events_attribution, so the batch
     # oracle applies verbatim — the only stream query with a value gate
     "stream_attribution": SQL_EVENTS_ATTRIBUTION,
+    "dq_audit": SQL_DQ_AUDIT,
+    "events_cusum": SQL_EVENTS_CUSUM,
+    "orders_benford": SQL_ORDERS_BENFORD,
+    "events_seqmine": SQL_EVENTS_SEQMINE,
+    "lineitem_corr": SQL_LINEITEM_CORR,
     # -- golden-digest gates (deterministic non-SQL queries; constants from
     # -- tools/regen_digests.py at sf0.01 — double-run verified) --
     "knn_pq_refined": _sql_digest_gold(10, "3bbfe9627423b7e0ac2ba9142a8ee08f"),

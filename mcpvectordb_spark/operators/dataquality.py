@@ -1,0 +1,95 @@
+"""Data-quality audit: a Deequ/dbt-tests-style constraint report computed
+in ONE scan of the audited table.
+
+Every check is an aggregate expression fused into a single aggregation —
+completeness (null counts), uniqueness (exact distinct), domain (range
+min/max, set membership), and column statistics — so auditing a 100 TB
+table costs one pass with map-side partial aggregation, not one job per
+rule.  Referential integrity is the one check that inherently needs a
+second relation: an anti-join counted against the dimension (broadcast
+when small).
+
+Output is long-form (constraint, column, value, ok) so rule engines can
+diff reports across runs and alert on regressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dq_report(
+    df: DataFrame,
+    completeness: list[str],
+    unique: list[str] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    memberships: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """One-scan constraint report: (constraint, column, value, ok).
+
+    - ``completeness``: null count per column (ok when 0);
+    - ``unique``: duplicate count = n - countDistinct (ok when 0;
+      exact, not approximate — uniqueness is a correctness property);
+    - ``ranges``: rows outside [lo, hi] (ok when 0);
+    - ``memberships``: rows outside the allowed value set (ok when 0).
+
+    All checks compile into ONE aggregation; the result is |checks| rows
+    unpivoted from that single row.
+    """
+    unique = unique or []
+    ranges = ranges or {}
+    memberships = memberships or {}
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    names: list[tuple[str, str]] = []
+    for c in completeness:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"null__{c}"))
+        names.append(("completeness", c))
+    for c in unique:
+        aggs.append(
+            (F.count(c) - F.countDistinct(c)).cast("long").alias(f"dup__{c}")
+        )
+        names.append(("uniqueness", c))
+    for c, (lo, hi) in ranges.items():
+        aggs.append(
+            F.sum(((F.col(c) < lo) | (F.col(c) > hi)).cast("long")).alias(f"range__{c}")
+        )
+        names.append(("range", c))
+    for c, allowed in memberships.items():
+        aggs.append(
+            F.sum((~F.col(c).isin(allowed)).cast("long")).alias(f"member__{c}")
+        )
+        names.append(("membership", c))
+    row = df.agg(*aggs)
+    pieces = []
+    prefix = {"completeness": "null", "uniqueness": "dup", "range": "range", "membership": "member"}
+    for kind, c in names:
+        pieces.append(
+            row.select(
+                F.lit(kind).alias("constraint"),
+                F.lit(c).alias("column"),
+                F.col(f"{prefix[kind]}__{c}").alias("value"),
+                (F.col(f"{prefix[kind]}__{c}") == 0).alias("ok"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dq_referential(
+    fact: DataFrame, fk_col: str, dim: DataFrame, pk_col: str
+) -> DataFrame:
+    """Referential-integrity check: count of fact rows whose foreign key
+    has no match in the dimension (anti-join, broadcast-eligible).  One
+    row: (constraint, column, value, ok)."""
+    orphans = fact.select(F.col(fk_col)).join(
+        dim.select(F.col(pk_col).alias(fk_col)), fk_col, "left_anti"
+    )
+    return orphans.agg(F.count(F.lit(1)).cast("long").alias("value")).select(
+        F.lit("referential").alias("constraint"),
+        F.lit(fk_col).alias("column"),
+        "value",
+        (F.col("value") == 0).alias("ok"),
+    )

@@ -129,3 +129,52 @@ def test_temperature_weights_flatten_distribution(spark):
     # raw shares 90/10; sqrt-temperature pulls toward 75/25
     assert 7000 < w["big"] < 8000 and 2000 < w["small"] < 3000
     assert abs(w["big"] + w["small"] - 10000) <= 1
+
+
+def test_dq_report_flags_planted_violations(spark):
+    from mcpvectordb_spark.operators.dataquality import dq_referential, dq_report
+
+    df = spark.createDataFrame(
+        [(1, "A", 5.0), (2, "A", 5.0), (2, "B", 150.0), (None, "Z", 7.0)],
+        "id long, flag string, v double",
+    )
+    rep = {(r["constraint"], r["column"]): (r["value"], r["ok"]) for r in dq_report(
+        df,
+        completeness=["id", "flag"],
+        unique=["id"],
+        ranges={"v": (0.0, 100.0)},
+        memberships={"flag": ["A", "B"]},
+    ).collect()}
+    assert rep[("completeness", "id")] == (1, False)
+    assert rep[("completeness", "flag")] == (0, True)
+    assert rep[("uniqueness", "id")] == (1, False)      # id=2 twice
+    assert rep[("range", "v")] == (1, False)            # 150.0
+    assert rep[("membership", "flag")] == (1, False)    # 'Z'
+
+    dim = spark.createDataFrame([(1,), (2,)], "pk long")
+    ref = dq_referential(df.filter("id IS NOT NULL"), "id", dim, "pk").first()
+    assert ref["value"] == 0 and ref["ok"]
+    ref2 = dq_referential(
+        spark.createDataFrame([(9,)], "id long"), "id", dim, "pk"
+    ).first()
+    assert ref2["value"] == 1 and not ref2["ok"]
+
+
+def test_cusum_identity_matches_recursion():
+    """The running-max identity S_t = R_t - min(0, min R_i) equals Page's
+    recursion S_t = max(0, S_{t-1} + z_t) — the trick both engines use."""
+    import random
+
+    rng = random.Random(7)
+    zs = [rng.uniform(-1, 1) for _ in range(200)] + [1.0] * 10  # planted shift
+    s_rec, out_rec = 0.0, []
+    for z in zs:
+        s_rec = max(0.0, s_rec + z)
+        out_rec.append(s_rec)
+    r, mn, out_id = 0.0, 0.0, []
+    for z in zs:
+        r += z
+        mn = min(mn, r)
+        out_id.append(r - min(mn, 0.0))
+    assert all(abs(a - b) < 1e-9 for a, b in zip(out_rec, out_id))
+    assert out_rec[-1] > 5.0  # the planted shift trips the chart
