@@ -1179,7 +1179,10 @@ def q_parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pb").alias("src"), F.col("pa").alias("dst"), F.col("n_pair").alias("w")
         )
     )
-    pr = pagerank(edges, iterations=10, damping=0.85, weight_col="w")
+    # loop_partitions=8: the co-purchase graph's rank vector is tiny, so
+    # the iteration pins a small fixed parallelism with AQE off (see
+    # graph.pagerank — 2.1x on this query; leave None at web scale)
+    pr = pagerank(edges, iterations=10, damping=0.85, weight_col="w", loop_partitions=8)
     return (
         pr.select("node", F.round("rank", 6).alias("pr"))
         .orderBy(F.desc("pr"), F.asc("node"))
