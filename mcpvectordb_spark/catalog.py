@@ -1538,7 +1538,9 @@ def q_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree on real pair graphs."""
     corpus = _near_corpus(spark, sf_dir)
     pairs = dd.ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.5)
-    return dd.dedup_clusters_twostar(corpus.select("id"), pairs, "id")
+    # loop_partitions=8: the planted pair graph is tiny — scoped small-graph
+    # fast path (see dedup.dedup_clusters_twostar; None at corpus scale)
+    return dd.dedup_clusters_twostar(corpus.select("id"), pairs, "id", loop_partitions=8)
 
 
 SQL_DEDUP_CLUSTERS = f"""
