@@ -172,3 +172,26 @@ def bpe_encode(
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def save_merges(spark, merges: list, path: str) -> None:
+    """Persist a trained merge list as rank-ordered parquet — the trained
+    artifact of :func:`train_bpe`, so encode-only runs load the tokenizer
+    instead of re-running the corpus histogram (the same persisted-state
+    seam as the IVF index, the decontamination bloom, and the eval shingle
+    index)."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(rows, "rank int, left string, right string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list:
+    """Load a persisted merge list in training order.  The rank column IS
+    the merge priority; corruption of it would silently change every
+    tokenization, so the contiguity of ranks is validated."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    ranks = [int(r["rank"]) for r in rows]
+    if ranks != list(range(len(rows))):
+        raise ValueError(f"merge table at {path} has non-contiguous ranks")
+    return [(r["left"], r["right"]) for r in rows]

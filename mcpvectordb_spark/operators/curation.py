@@ -522,6 +522,31 @@ def write_shards(
     )
 
 
+def write_shards_jsonl(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    num_shards: int,
+    salt: str = "shard",
+    compress: bool = True,
+) -> None:
+    """:func:`write_shards`, but as gzip'd JSON-lines — the wire format
+    most LLM training loaders actually consume.  Same deterministic
+    shard assignment and in-file order; each ``shard=N/`` directory holds
+    one ordered ``.json.gz`` part per shard."""
+    w = (
+        assign_shards(df, id_col, num_shards, salt)
+        .repartition(num_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shard_ord", id_col)
+        .drop("shard_ord", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if compress:
+        w = w.option("compression", "gzip")
+    w.json(path)
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 

@@ -306,3 +306,63 @@ def test_scd2_incremental_equals_full_rebuild(spark):
     assert to_set(merged) == to_set(full)
     # key 3 was untouched: its row must be the literal pass-through
     assert any(r["key"] == 3 and r["is_current"] for r in merged.collect())
+
+
+def test_bpe_merge_persistence_roundtrip(spark, tmp_path):
+    from mcpvectordb_spark.operators.bpe import (
+        bpe_encode,
+        load_merges,
+        save_merges,
+        train_bpe,
+        word_histogram,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the thermal theme therapy " * 3) for i in range(20)],
+        "id long, text string",
+    )
+    hist = word_histogram(docs, "text")
+    merges = train_bpe(hist, 12)
+    p = str(tmp_path / "merges")
+    save_merges(spark, merges, p)
+    loaded = load_merges(spark, p)
+    assert loaded == merges
+    a = sorted(tuple(r["bpe_tokens"]) for r in bpe_encode(docs, "text", merges).collect())
+    b = sorted(tuple(r["bpe_tokens"]) for r in bpe_encode(docs, "text", loaded).collect())
+    assert a == b
+
+
+def test_write_shards_jsonl_roundtrip(spark, tmp_path):
+    import gzip
+    import json as _json
+    from pathlib import Path
+
+    from mcpvectordb_spark.operators.curation import assign_shards, write_shards_jsonl
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(100)], "doc_id long, text string"
+    )
+    p = str(tmp_path / "shards")
+    write_shards_jsonl(docs, p, "doc_id", 4)
+    dirs = sorted(d.name for d in Path(p).iterdir() if d.name.startswith("shard="))
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    # every row lands exactly once; in-file order matches shard_pos order
+    expected = {
+        s: [r["doc_id"] for r in rows]
+        for s, rows in (
+            (s, assign_shards(docs, "doc_id", 4).filter(F.col("shard") == s)
+             .orderBy("shard_pos").collect())
+            for s in range(4)
+        )
+    }
+    got_all = []
+    for s in range(4):
+        files = sorted(Path(p, f"shard={s}").glob("*.json.gz"))
+        assert files, f"no gz parts in shard {s}"
+        ids = []
+        for f in files:
+            with gzip.open(f, "rt") as fh:
+                ids += [_json.loads(line)["doc_id"] for line in fh]
+        assert ids == expected[s], f"order broken in shard {s}"
+        got_all += ids
+    assert sorted(got_all) == list(range(100))
