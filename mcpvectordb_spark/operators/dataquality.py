@@ -61,21 +61,23 @@ def dq_report(
         )
         names.append(("membership", c))
     row = df.agg(*aggs)
-    pieces = []
     prefix = {"completeness": "null", "uniqueness": "dup", "range": "range", "membership": "member"}
-    for kind, c in names:
-        pieces.append(
-            row.select(
+    # unpivot IN-PLAN via one exploded struct array: unioning one select per
+    # rule would re-reference the aggregate subtree per rule and Catalyst
+    # would replay the SCAN once per rule (caught by the plan pin) —
+    # exactly the |rules|-passes cost this operator exists to avoid
+    entries = F.array(
+        *[
+            F.struct(
                 F.lit(kind).alias("constraint"),
                 F.lit(c).alias("column"),
                 F.col(f"{prefix[kind]}__{c}").alias("value"),
                 (F.col(f"{prefix[kind]}__{c}") == 0).alias("ok"),
             )
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+            for kind, c in names
+        ]
+    )
+    return row.select(F.explode(entries).alias("_e")).select("_e.*")
 
 
 def dq_referential(

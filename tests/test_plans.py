@@ -240,3 +240,61 @@ def test_ivfpq_coarse_scan_static_prunes_and_prunes_columns(spark, tmp_path):
     coarse_only.collect()
     scan = coarse_only._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
     assert scan.metrics().apply("numPartitions").value() == 3
+
+
+def test_dq_audit_single_table_rules_fuse_into_one_scan(spark):
+    """Every single-table DQ rule must fuse into one aggregation over one
+    lineitem scan; the only extra scans belong to the referential check.
+    One scan per rule would make a 100 TB audit cost |rules| passes."""
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    q = QUERIES["dq_audit"](spark, SF)
+    plan = formatted_plan(q)
+    # lineitem appears once for the fused rule scan + once in the
+    # referential anti-join; a third occurrence means rules stopped fusing
+    n_li = plan.count("lineitem.parquet")
+    assert n_li <= 2, f"lineitem scanned {n_li}x — DQ rules no longer fuse"
+
+
+def test_events_gapfill_single_window_pass(spark):
+    """Gap-fill must stay one window over (key, bucket): the four anchor
+    columns (pv/pb/nv/nb) share two frames over one sort, not four."""
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    q = QUERIES["events_gapfill"](spark, SF)
+    plan = formatted_plan(q)
+    # each Window node appears twice in a formatted plan (tree + details);
+    # the past/future frames legitimately split across <= 3 nodes
+    assert plan.count("Window") <= 6, plan.count("Window")
+
+
+def test_attribution_is_window_only_no_join(spark):
+    """Last-touch attribution rides the sessionizer's shape: one user-keyed
+    window, zero joins — a per-conversion join would rescan events."""
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    q = QUERIES["events_attribution"](spark, SF)
+    plan = formatted_plan(q)
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert bad not in plan, bad
+
+
+def test_triangle_census_no_nested_loop(spark):
+    """All triangle joins are equi-joins (the degree-orientation trick
+    yields plain hash keys); the only BNLJ rows allowed are the final
+    1-row scalar assemblies."""
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    q = QUERIES["copurchase_triangles"](spark, SF)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan
+    # wedge + closure joins are equi: at least two hash joins present
+    assert plan.count("HashJoin") + plan.count("SortMergeJoin") >= 2
+
+
+def test_winnowing_one_shuffle(spark):
+    """Winnowing = explode (narrow) + one doc-keyed window + rollup: two
+    exchanges max (window hash + final agg)."""
+    q = QUERIES["winnowing_fp"](spark, SF)
+    n = count_exchanges(q)
+    assert n <= 3, n
