@@ -1132,6 +1132,185 @@ def main_r4() -> None:
     spark.stop()
 
 
+def main_r4b() -> None:
+    """Stress the round-4 stats/entity/attribution/DQ cohorts at
+    sf1-equivalent scale: 6M events for the window/agg operators, 600k
+    entities for the blocked fuzzy join.  In-script correctness
+    assertions throughout."""
+    spark = get_spark("stress-r4b")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {counts[name]}", file=sys.stderr)
+
+    # ---- 6M events: replicate sf0.1 events 60x with shifted users/times ---
+    ev = load_table(spark, SF, "events")
+    r60 = spark.range(60).select(F.col("id").alias("r"))
+    big_ev = (
+        ev.crossJoin(F.broadcast(r60))
+        .select(
+            (F.col("event_id") * 100 + F.col("r")).alias("event_id"),
+            F.timestamp_seconds(
+                F.unix_timestamp("ts") + F.col("r") * 37
+            ).alias("ts"),
+            (F.col("user_id") + F.col("r") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_ev = big_ev.count()
+    print(f"# r4b corpus: {n_ev} events", file=sys.stderr)
+
+    def attribution():
+        from mcpvectordb_spark.operators.analytics import last_touch_attribution
+
+        conv = last_touch_attribution(big_ev, "purchase")
+        agg = conv.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("v"),
+            F.countDistinct("channel").alias("ch"),
+        ).collect()[0]
+        n_purch = big_ev.filter("event_type = 'purchase'").count()
+        assert agg["n"] == n_purch, (agg["n"], n_purch)  # every conversion attributed once
+        assert agg["ch"] >= 2
+        notes["attribution_6m"] = (
+            f"{agg['n']} conversions attributed over {n_ev} events, one user-keyed "
+            f"window, {agg['ch']} channels; value conserved by construction"
+        )
+        return int(agg["n"])
+
+    run("attribution_6m", attribution)
+
+    def ab():
+        from mcpvectordb_spark.operators.stats import ab_test_ztest
+
+        r = ab_test_ztest(big_ev, "purchase", min_conversions=3).first()
+        n_users = big_ev.select("user_id").distinct().count()
+        assert r["n_a"] + r["n_b"] == n_users
+        assert 0.0 < r["rate_a"] < 1.0 and 0.0 < r["rate_b"] < 1.0
+        notes["ab_test_6m"] = (
+            f"{n_users} users hash-split {r['n_a']}/{r['n_b']}, rates "
+            f"{r['rate_a']:.4f}/{r['rate_b']:.4f}, z={r['z']:.3f} — two keyed aggs"
+        )
+        return int(n_users)
+
+    run("ab_test_6m", ab)
+
+    def mad():
+        from mcpvectordb_spark.operators.stats import mad_outliers
+
+        # plant 50 extreme values
+        spiked = big_ev.withColumn(
+            "value",
+            F.when(F.col("event_id") % 120_000 == 7, F.col("value") + 1e6).otherwise(F.col("value")),
+        )
+        out = mad_outliers(spiked, "event_type", "value", threshold=3.5)
+        n_planted = spiked.filter("value > 5e5").count()
+        flagged = out.filter("value > 5e5").count()
+        assert flagged == n_planted, (flagged, n_planted)
+        total = out.count()
+        notes["mad_outliers_6m"] = (
+            f"{total} outliers flagged incl. all {n_planted} planted 1e6 spikes; "
+            "2 exact per-group percentiles + broadcast gates"
+        )
+        return int(total)
+
+    run("mad_outliers_6m", mad)
+
+    def dq():
+        from mcpvectordb_spark.operators.dataquality import dq_report
+
+        rep = dq_report(
+            big_ev,
+            completeness=["event_id", "user_id", "ts"],
+            unique=["event_id"],
+            ranges={"value": (0.0, 1e7)},
+            memberships={"event_type": ["click", "error", "purchase", "signup", "view"]},
+        ).collect()
+        assert all(r["ok"] for r in rep), [tuple(r) for r in rep if not r["ok"]]
+        notes["dq_audit_6m"] = (
+            f"{len(rep)} rules over {n_ev} rows in ONE fused aggregation, all green "
+            "(incl. exact event_id uniqueness)"
+        )
+        return len(rep)
+
+    run("dq_audit_6m", dq)
+
+    def seqmine():
+        q = (
+            big_ev.select("user_id", F.col("event_type").alias("t"),
+                          F.unix_timestamp("ts").alias("sec"), "event_id")
+        )
+        a = q.select("user_id", F.col("t").alias("ta"), F.col("sec").alias("sa"), F.col("event_id").alias("ea"))
+        b = q.select("user_id", F.col("t").alias("tb"), F.col("sec").alias("sb"), F.col("event_id").alias("eb"))
+        pairs = a.join(b, "user_id").filter(
+            (F.col("sb") > F.col("sa")) | ((F.col("sb") == F.col("sa")) & (F.col("eb") > F.col("ea")))
+        )
+        sup = pairs.groupBy("ta", "tb").agg(F.countDistinct("user_id").alias("s"))
+        n = sup.count()
+        assert n == 25, n  # 5x5 ordered type pairs all supported at this density
+        notes["seqmine_6m"] = (
+            f"25 ordered type-pairs mined from {n_ev} events; self-join fanout "
+            "bounded by per-user event count (~100), shuffles keyed by user"
+        )
+        return int(n)
+
+    run("seqmine_6m", seqmine)
+
+    # ---- 600k entities: blocked fuzzy matching --------------------------
+    def entity():
+        from mcpvectordb_spark.operators.entity import entity_match_blocked
+
+        cust = load_table(spark, SF, "customer").select("c_custkey", "c_nationkey")
+        r40 = spark.range(40).select(F.col("id").alias("r"))
+        big = cust.crossJoin(F.broadcast(r40)).select(
+            (F.col("c_custkey") * 100 + F.col("r")).alias("ck"), "c_nationkey"
+        )
+        h = F.md5(F.concat(F.lit("name:"), F.col("ck").cast("string")))
+        syl = F.concat_ws("", F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda j: F.concat(
+                F.substring(F.lit("bdklmnrs"), (F.conv(h.substr(j * 2 + 1, F.lit(1)), 16, 10).cast("int") % 8) + 1, 1),
+                F.substring(F.lit("aeio"), (F.conv(h.substr(j * 2 + 2, F.lit(1)), 16, 10).cast("int") % 4) + 1, 1),
+            ),
+        ))
+        base = big.select(F.col("ck").alias("id"), "c_nationkey", syl.alias("name"))
+        n_base = base.count()
+        planted = base.filter(F.col("id") % 100 == 0).select(
+            (F.col("id") + 100_000_000).alias("id"), "c_nationkey",
+            F.concat(F.substring("name", 1, 5), F.lit("x"), F.substring("name", 7, 10)).alias("name"),
+        )
+        n_planted = planted.count()
+        ents = base.unionByName(planted).repartition(64)
+        out = entity_match_blocked(ents, "id", "name", ["c_nationkey"], prefix_len=4, max_edit=1)
+        found_planted = out.filter(F.col("id_b") >= 100_000_000).count()
+        assert found_planted >= n_planted, (found_planted, n_planted)
+        total = out.count()
+        notes["entity_match_600k"] = (
+            f"{total} candidate matches over {n_base + n_planted} entities; all "
+            f"{n_planted} planted 1-edit dups found; blocking = (nation, 4-char "
+            "prefix), Levenshtein codegen inside blocks"
+        )
+        return int(total)
+
+    run("entity_match_600k", entity)
+
+    big_ev.unpersist()
+    print(json.dumps({
+        "mode": "r4b",
+        "timings_sec": timings, "result_counts": counts, "notes": notes,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "sf1" in sys.argv[1:]:
         main_sf1()
@@ -1141,6 +1320,8 @@ if __name__ == "__main__":
         main_s3()
     elif "s4" in sys.argv[1:]:
         main_s4()
+    elif "r4b" in sys.argv[1:]:
+        main_r4b()
     elif "r4" in sys.argv[1:]:
         main_r4()
     else:
