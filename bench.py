@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "events_cusum",          # CUSUM change-point chart (running-max identity)
     "orders_benford",        # Benford first-digit audit + chi-square
     "events_seqmine",        # gapped sequential-pattern support
+    "lineitem_corr",         # one-pass correlation matrix
+    "rag_context",           # top-k retrieval packed under a token budget
+    "search_eval",           # batch BM25 + MRR/hits@10 harness
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

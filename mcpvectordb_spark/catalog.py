@@ -6628,6 +6628,151 @@ UNION ALL SELECT 'l_discount', 'l_tax', round(c6, 6) FROM agg
 """
 
 
+def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly — the vectordb's actual downstream use: vector
+    top-20 for the standard probe, joined to document text, greedily
+    packed into a 600-token context budget in rank order (a doc ships
+    only if the RUNNING token total through it stays within budget —
+    cumulative-sum window, no loop).  Returns the shipped context rows
+    (rank, doc, n_tokens, cum_tokens).  One window over a 20-row frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qv = _q_vec(spark, sf_dir)
+    hits = knn_topk(
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID), qv, 20, tie_col="vec_id"
+    ).select(F.col("vec_id").alias("doc"), "score")
+    ranked = hits.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc").asc())),
+    )
+    with_text = ranked.join(
+        docs.select(F.col("doc_id").alias("doc"), ts.ws_token_count(F.col("text")).alias("n_tokens")),
+        "doc",
+    )
+    cum = with_text.withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(
+            Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        cum.filter(F.col("cum_tokens") <= 600)
+        .select("rank", "doc", F.col("n_tokens").cast("long"), F.col("cum_tokens").cast("long"))
+    )
+
+
+SQL_RAG_CONTEXT = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}),
+hits AS (
+  SELECT vec_id AS doc, {_sql_cos('v', 'qv')} AS score
+  FROM c, q ORDER BY score DESC, doc LIMIT 20),
+ranked AS (
+  SELECT doc, row_number() OVER (ORDER BY score DESC, doc) AS rank FROM hits),
+with_text AS (
+  SELECT r.rank, r.doc,
+         CAST(len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM ranked r JOIN documents d ON r.doc = d.doc_id),
+cum AS (
+  SELECT rank, doc, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM with_text)
+SELECT rank, doc, n_tokens, cum_tokens FROM cum WHERE cum_tokens <= 600
+"""
+
+
+_EVAL_QUERIES = {
+    0: "window join",
+    1: "spark batch",
+    2: "data model system",
+    3: "result analysis",
+    4: "window spark",
+}
+
+
+def q_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation harness over the batch BM25 scorer (operators/
+    bm25.py::bm25_multi_topk — posting/df/stats build once, every query
+    joins via a broadcast (qid, term) table): binary relevance = the doc
+    contains ALL the query's terms; per query reports hits@10, the first
+    relevant rank, and reciprocal rank.  The oracle replays scoring,
+    ranking, relevance and the metrics from the same query table."""
+    from mcpvectordb_spark.operators.bm25 import Bm25Index, bm25_multi_topk, doc_lens, doc_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    # ONE posting build feeds both the scorer and the relevance judge
+    posting = doc_terms(docs, "doc_id", "text").localCheckpoint(eager=False)
+    idx = Bm25Index(posting, doc_lens(docs, "doc_id", "text"), cached=False)
+    ranked = bm25_multi_topk(docs, _EVAL_QUERIES, 10, "doc_id", "text", index=idx)
+    rows = []
+    for qid, q in sorted(_EVAL_QUERIES.items()):
+        for t in sorted({t for t in q.lower().split() if t}):
+            rows.append((qid, t))
+    qterms = spark.createDataFrame(rows, "qid int, term string")
+    nt = qterms.groupBy("qid").agg(F.count(F.lit(1)).alias("nt"))
+    matches = (
+        posting
+        .join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc")
+        .agg(F.countDistinct("term").alias("m"))
+    )
+    rel = matches.join(F.broadcast(nt), "qid").filter(F.col("m") == F.col("nt")).select(
+        "qid", "doc", F.lit(True).alias("relevant")
+    )
+    judged = ranked.join(rel, ["qid", "doc"], "left").withColumn(
+        "relevant", F.coalesce("relevant", F.lit(False))
+    )
+    return judged.groupBy("qid").agg(
+        F.sum(F.col("relevant").cast("long")).alias("n_rel_top10"),
+        F.min(F.when(F.col("relevant"), F.col("rank"))).cast("long").alias("first_rel_rank"),
+        F.round(
+            F.coalesce(1.0 / F.min(F.when(F.col("relevant"), F.col("rank"))), F.lit(0.0)), 6
+        ).alias("rr"),
+    )
+
+
+def _sql_search_eval() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in sorted(_EVAL_QUERIES.items())
+        for t in sorted({t for t in q.lower().split() if t})
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS term
+  FROM documents),
+posting AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+lens AS (
+  SELECT doc_id AS doc,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT) AS dl
+  FROM documents),
+dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM lens) AS avgdl),
+qterms AS (SELECT * FROM (VALUES {qvals}) AS t(qid, term)),
+bm AS (
+  SELECT qid, doc, sum( ln(1 + (n - df + 0.5)/(df + 0.5))
+                        * tf*(1.2+1)/(tf + 1.2*(1-0.75+0.75*dl/avgdl)) ) AS score
+  FROM posting JOIN qterms USING(term) JOIN dfreq USING(term) JOIN lens USING(doc), stats
+  GROUP BY qid, doc),
+ranked AS (
+  SELECT qid, doc, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank
+  FROM bm QUALIFY rank <= 10),
+nt AS (SELECT qid, count(*) AS n_terms FROM qterms GROUP BY qid),
+m AS (SELECT qid, doc, count(DISTINCT term) AS mm FROM posting JOIN qterms USING(term) GROUP BY 1, 2),
+rel AS (SELECT m.qid, m.doc FROM m JOIN nt USING(qid) WHERE m.mm = nt.n_terms),
+judged AS (
+  SELECT r.qid, r.rank, (rel.doc IS NOT NULL) AS relevant
+  FROM ranked r LEFT JOIN rel ON r.qid = rel.qid AND r.doc = rel.doc)
+SELECT qid, CAST(sum(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_top10,
+       CAST(min(CASE WHEN relevant THEN rank END) AS BIGINT) AS first_rel_rank,
+       round(coalesce(1.0 / min(CASE WHEN relevant THEN rank END), 0.0), 6) AS rr
+FROM judged GROUP BY qid
+"""
+
+
+SQL_SEARCH_EVAL = _sql_search_eval()
+
+
 _LR_ITER, _LR_RATE = 10, 0.5
 
 
@@ -6756,6 +6901,8 @@ QUERIES = {
     "orders_benford": q_orders_benford,
     "events_seqmine": q_events_seqmine,
     "lineitem_corr": q_lineitem_corr,
+    "rag_context": q_rag_context,
+    "search_eval": q_search_eval,
     # -- new round-3 queries go here (never driver-checked) --
     "knn_pq_topk": q_knn_pq_topk,
     "knn_pq_refined": q_knn_pq_refined,
@@ -6968,6 +7115,8 @@ ORACLES = {
     "orders_benford": SQL_ORDERS_BENFORD,
     "events_seqmine": SQL_EVENTS_SEQMINE,
     "lineitem_corr": SQL_LINEITEM_CORR,
+    "rag_context": SQL_RAG_CONTEXT,
+    "search_eval": SQL_SEARCH_EVAL,
     # -- golden-digest gates (deterministic non-SQL queries; constants from
     # -- tools/regen_digests.py at sf0.01 — double-run verified) --
     "knn_pq_refined": _sql_digest_gold(10, "3bbfe9627423b7e0ac2ba9142a8ee08f"),

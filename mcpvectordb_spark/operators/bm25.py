@@ -279,3 +279,67 @@ def highlight_col(
     if pattern is None:
         return snippet
     return F.regexp_replace(snippet, pattern, mark + "$1" + mark)
+
+
+def bm25_multi_topk(
+    df: DataFrame,
+    queries: dict,
+    k: int,
+    id_col: str,
+    text_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    index: "Bm25Index | None" = None,
+) -> DataFrame:
+    """Batch BM25: top-k per query for a WHOLE query set in one plan —
+    (qid, doc, score, rank).  The serving shape for query logs and for IR
+    evaluation harnesses: the posting list, document-frequency table and
+    corpus stats build ONCE and every query joins against them via a tiny
+    broadcast (qid, term) table, vs one full corpus scan per query when
+    looping :func:`bm25_topk`.  Scoring math is identical to
+    :func:`bm25_score` (same idf/tf saturation, distinct query terms)."""
+    rows = []
+    for qid, q in sorted(queries.items()):
+        for t in sorted({t for t in q.lower().split() if t}):
+            rows.append((int(qid), t))
+    spark = df.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "qid int, doc string, score double, rank int")
+    qterms = spark.createDataFrame(rows, "qid int, term string")
+
+    if index is None:
+        posting = doc_terms(df, id_col, text_col).localCheckpoint(eager=False)
+        lens = doc_lens(df, id_col, text_col)
+    else:
+        posting, lens = index.posting, index.lens
+    dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = F.broadcast(lens.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"), F.avg("dl").alias("__avgdl")
+    ))
+
+    from pyspark.sql import Window
+
+    scored = (
+        posting.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq.join(qterms.select("term").distinct(), "term")), "term")
+        .join(lens, "doc")
+        .crossJoin(stats)
+        .withColumn(
+            "idf", F.log(F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))),
+        )
+        .groupBy("qid", "doc")
+        .agg(F.sum("w").alias("score"))
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc").asc())
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k)

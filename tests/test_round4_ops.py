@@ -366,3 +366,33 @@ def test_write_shards_jsonl_roundtrip(spark, tmp_path):
         assert ids == expected[s], f"order broken in shard {s}"
         got_all += ids
     assert sorted(got_all) == list(range(100))
+
+
+def test_bm25_multi_topk_equals_per_query_loop(spark):
+    """The batch scorer must reproduce bm25_topk exactly, query by query
+    (same idf/tf math, same tiebreak), while building the posting list
+    once."""
+    from mcpvectordb_spark.operators.bm25 import bm25_multi_topk, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark batch window join group"),
+            (2, "window window join stream"),
+            (3, "batch spark spark shuffle"),
+            (4, "totally unrelated words here"),
+            (5, "join join join window batch"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = {0: "window join", 1: "spark batch", 2: "absent term"}
+    multi = bm25_multi_topk(docs, queries, 3, "doc_id", "text")
+    got = {
+        qid: [(r["doc"], round(r["score"], 10)) for r in
+              multi.filter(F.col("qid") == qid).orderBy("rank").collect()]
+        for qid in queries
+    }
+    for qid, q in queries.items():
+        solo = [(r["doc"], round(r["score"], 10)) for r in
+                bm25_topk(docs, q, 3, "doc_id", "text").collect()]
+        assert got[qid] == solo, (qid, got[qid], solo)
+    assert got[2] == []  # absent terms -> no rows, not an error
