@@ -6722,12 +6722,35 @@ def q_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     judged = ranked.join(rel, ["qid", "doc"], "left").withColumn(
         "relevant", F.coalesce("relevant", F.lit(False))
     )
-    return judged.groupBy("qid").agg(
+    # graded nDCG@10: gain = matched-term count m (0 for unjudged docs);
+    # ideal DCG from the top-10 gains of the FULL judged corpus per query
+    gains = ranked.join(matches, ["qid", "doc"], "left").withColumn(
+        "g", F.coalesce(F.col("m"), F.lit(0)).cast("double")
+    )
+    dcg = gains.groupBy("qid").agg(
+        F.sum(F.col("g") / F.log2(F.col("rank") + 1)).alias("dcg")
+    )
+    ideal_ranked = matches.withColumn(
+        "irank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.col("m").desc(), F.col("doc").asc())
+        ),
+    ).filter(F.col("irank") <= 10)
+    idcg = ideal_ranked.groupBy("qid").agg(
+        F.sum(F.col("m").cast("double") / F.log2(F.col("irank") + 1)).alias("idcg")
+    )
+    base = judged.groupBy("qid").agg(
         F.sum(F.col("relevant").cast("long")).alias("n_rel_top10"),
         F.min(F.when(F.col("relevant"), F.col("rank"))).cast("long").alias("first_rel_rank"),
         F.round(
             F.coalesce(1.0 / F.min(F.when(F.col("relevant"), F.col("rank"))), F.lit(0.0)), 6
         ).alias("rr"),
+    )
+    return (
+        base.join(dcg, "qid")
+        .join(idcg, "qid")
+        .withColumn("ndcg10", F.round(F.col("dcg") / F.col("idcg"), 6))
+        .drop("dcg", "idcg")
     )
 
 
@@ -6762,11 +6785,22 @@ m AS (SELECT qid, doc, count(DISTINCT term) AS mm FROM posting JOIN qterms USING
 rel AS (SELECT m.qid, m.doc FROM m JOIN nt USING(qid) WHERE m.mm = nt.n_terms),
 judged AS (
   SELECT r.qid, r.rank, (rel.doc IS NOT NULL) AS relevant
-  FROM ranked r LEFT JOIN rel ON r.qid = rel.qid AND r.doc = rel.doc)
-SELECT qid, CAST(sum(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_top10,
-       CAST(min(CASE WHEN relevant THEN rank END) AS BIGINT) AS first_rel_rank,
-       round(coalesce(1.0 / min(CASE WHEN relevant THEN rank END), 0.0), 6) AS rr
-FROM judged GROUP BY qid
+  FROM ranked r LEFT JOIN rel ON r.qid = rel.qid AND r.doc = rel.doc),
+dcg AS (
+  SELECT r.qid, sum(CAST(coalesce(m.mm, 0) AS DOUBLE) / log2(r.rank + 1)) AS dcg
+  FROM ranked r LEFT JOIN m ON r.qid = m.qid AND r.doc = m.doc GROUP BY r.qid),
+ideal AS (
+  SELECT qid, mm, row_number() OVER (PARTITION BY qid ORDER BY mm DESC, doc ASC) AS irank
+  FROM m QUALIFY irank <= 10),
+idcg AS (SELECT qid, sum(CAST(mm AS DOUBLE) / log2(irank + 1)) AS idcg FROM ideal GROUP BY qid),
+base AS (
+  SELECT qid, CAST(sum(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_top10,
+         CAST(min(CASE WHEN relevant THEN rank END) AS BIGINT) AS first_rel_rank,
+         round(coalesce(1.0 / min(CASE WHEN relevant THEN rank END), 0.0), 6) AS rr
+  FROM judged GROUP BY qid)
+SELECT b.qid, b.n_rel_top10, b.first_rel_rank, b.rr,
+       round(d.dcg / i.idcg, 6) AS ndcg10
+FROM base b JOIN dcg d USING(qid) JOIN idcg i USING(qid)
 """
 
 
