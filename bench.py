@@ -115,7 +115,15 @@ BENCH_QUERIES = [
     "events_seqmine",        # gapped sequential-pattern support
     "lineitem_corr",         # one-pass correlation matrix
     "rag_context",           # top-k retrieval packed under a token budget
-    "search_eval",           # batch BM25 + MRR/hits@10 harness
+    "search_eval",           # batch BM25 + MRR/hits@10/nDCG harness
+    "ssjoin_jaccard",        # AllPairs prefix-filtered exact Jaccard join
+    "textrank_summary",      # per-doc sentence TextRank (5 power iters)
+    "item_recs",             # item-item CF top-5 recommendations
+    "part_skyline",          # sort-scan 2-D Pareto frontier
+    "graph_bfs",             # multi-source BFS depth-3 hop distances
+    "events_ewma",           # trailing-window EWMA smoothing + deviations
+    "events_markov",         # transition-chain stationary distribution
+    "key_skew_report",       # heavy-key shares + Gini skew diagnostics
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

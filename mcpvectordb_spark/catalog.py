@@ -906,6 +906,383 @@ WHERE dot / (na.norm * nb.norm) >= 0.6
 """
 
 
+def q_ssjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard self-join >= 0.5 via AllPairs prefix
+    filtering (operators/simjoin.py::jaccard_ssjoin — rarest-first global
+    shingle order, prefix length |s|-ceil(t|s|)+1, length filter, exact
+    verify).  The oracle is the NAIVE all-pairs Jaccard over the same
+    shingle sets (the dedup_ngram_jaccard spec), so green parity proves
+    the prefix filter loses no pair.  Exact sibling of the probabilistic
+    dedup_minhash_lsh gate at the same (n=3, t=0.5) operating point."""
+    from mcpvectordb_spark.operators.simjoin import jaccard_ssjoin
+
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = jaccard_ssjoin(corpus, "id", "text", threshold=0.5, shingle_n=3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_SSJOIN_JACCARD = f"""
+WITH corpus AS ({_SQL_NEAR_CORPUS}),
+toks AS (
+  SELECT id AS doc, unnest({_sql_shingles(_sql_words("text"), 3)}) AS term
+  FROM corpus),
+sizes AS (SELECT doc, count(*) AS s FROM toks GROUP BY 1),
+common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.term = b.term AND a.doc < b.doc
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.s + sb.s - i), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc = id_a JOIN sizes sb ON sb.doc = id_b
+WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.5
+"""
+
+
+def q_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive summarization (operators/textrank.py): top-2
+    central sentences per document for doc_id < 100, 5 damped power
+    iterations over per-doc sentence-overlap graphs — all docs ranked in
+    ONE plan, no per-document loop.  The oracle unrolls the identical 5
+    iterations as chained CTEs."""
+    from mcpvectordb_spark.operators.textrank import textrank_sentences
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = textrank_sentences(docs, "doc_id", "text", top_k=2, iters=5)
+    return out.select("doc", "sent", F.round("rank", 6).alias("rank"))
+
+
+def _sql_textrank() -> str:
+    iters = "".join(
+        f""",
+r{i} AS (
+  SELECT s.doc, s.sent, 0.15 + 0.85 * coalesce(sum(ne.nw * p.r), 0.0) AS r
+  FROM sents s
+  LEFT JOIN ne ON ne.doc = s.doc AND ne.dst = s.sent
+  LEFT JOIN r{i - 1} p ON p.doc = ne.doc AND p.sent = ne.src
+  GROUP BY 1, 2)"""
+        for i in range(1, 6)
+    )
+    return rf"""
+WITH docs AS (SELECT doc_id AS doc, text FROM documents WHERE doc_id < 100),
+raw AS (SELECT doc, unnest(regexp_split_to_array(text, '\.\s+')) AS rs FROM docs),
+sents AS (SELECT DISTINCT doc, trim(rs) AS sent FROM raw WHERE trim(rs) <> ''),
+stoks AS (
+  SELECT DISTINCT doc, sent,
+         unnest(list_filter(regexp_split_to_array(lower(trim(sent)), '\s+'), t -> t <> '')) AS term
+  FROM sents),
+sizes AS (SELECT doc, sent, count(*) AS nt FROM stoks GROUP BY 1, 2),
+common AS (
+  SELECT a.doc AS doc, a.sent AS sa, b.sent AS sb, count(*) AS c
+  FROM stoks a JOIN stoks b ON a.doc = b.doc AND a.term = b.term AND a.sent < b.sent
+  GROUP BY 1, 2, 3),
+sim AS (
+  SELECT c.doc, sa, sb, c.c / (ln(na.nt + 1) + ln(nb.nt + 1)) AS w
+  FROM common c JOIN sizes na ON na.doc = c.doc AND na.sent = c.sa
+                JOIN sizes nb ON nb.doc = c.doc AND nb.sent = c.sb),
+edges AS (SELECT doc, sa AS src, sb AS dst, w FROM sim
+          UNION ALL SELECT doc, sb AS src, sa AS dst, w FROM sim),
+wout AS (SELECT doc, src, sum(w) AS wt FROM edges GROUP BY 1, 2),
+ne AS (SELECT e.doc, e.src, e.dst, e.w / wo.wt AS nw
+       FROM edges e JOIN wout wo ON wo.doc = e.doc AND wo.src = e.src),
+r0 AS (SELECT doc, sent, 1.0 AS r FROM sents){iters}
+SELECT doc, sent, round(r, 6) AS rank FROM r5
+QUALIFY row_number() OVER (PARTITION BY doc ORDER BY r DESC, sent ASC) <= 2
+"""
+
+
+SQL_TEXTRANK_SUMMARY = _sql_textrank()
+
+
+def q_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item collaborative filtering (operators/analytics.py::
+    item_item_cosine — within-basket pair mining, max_basket fanout bound,
+    cooc/sqrt(na·nb) cosine): top-5 recommendations for the 10 most-
+    ordered parts.  The oracle mines the same pairs naively."""
+    from mcpvectordb_spark.operators.analytics import item_item_cosine
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = item_item_cosine(li, "l_orderkey", "l_partkey", min_cooc=2, max_basket=50)
+    sym = pairs.select(
+        F.col("item_a").alias("seed"), F.col("item_b").alias("rec"), "cooc", "cos"
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("seed"), F.col("item_a").alias("rec"), "cooc", "cos"
+        )
+    )
+    seeds = (
+        li.distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+        .orderBy(F.col("n_ord").desc(), F.col("l_partkey").asc())
+        .limit(10)
+        .select(F.col("l_partkey").alias("seed"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("seed").orderBy(F.col("cos").desc(), F.col("rec").asc())
+    )
+    return (
+        sym.join(F.broadcast(seeds), "seed")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= 5)
+        .select("seed", "rec", "cooc", F.round("cos", 6).alias("cos"))
+    )
+
+
+SQL_ITEM_RECS = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+ok AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 50),
+bf AS (SELECT b.* FROM b JOIN ok USING(bk)),
+n AS (SELECT it, count(*) AS n FROM bf GROUP BY it),
+pairs AS (
+  SELECT a.it AS item_a, bb.it AS item_b, CAST(count(*) AS BIGINT) AS cooc
+  FROM bf a JOIN bf bb ON a.bk = bb.bk AND a.it < bb.it
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+cosed AS (
+  SELECT item_a, item_b, cooc, cooc / sqrt(na.n * nb.n) AS cos
+  FROM pairs JOIN n na ON na.it = item_a JOIN n nb ON nb.it = item_b),
+sym AS (SELECT item_a AS seed, item_b AS rec, cooc, cos FROM cosed
+        UNION ALL SELECT item_b AS seed, item_a AS rec, cooc, cos FROM cosed),
+seeds AS (
+  SELECT it AS seed FROM b GROUP BY it
+  ORDER BY count(*) DESC, it ASC LIMIT 10)
+SELECT seed, rec, cooc, round(cos, 6) AS cos
+FROM sym JOIN seeds USING(seed)
+QUALIFY row_number() OVER (PARTITION BY seed ORDER BY cos DESC, rec ASC) <= 5
+"""
+
+
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier of part (minimize retail price, maximize size)
+    via the sort-scan skyline (operators/skyline.py — one sort + two
+    RANGE-frame window maxima, no join).  The oracle is the naive
+    NOT-EXISTS dominance test, proving the window formulation exact."""
+    from mcpvectordb_spark.operators.skyline import skyline2d
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_c"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return skyline2d(p, "price_c", "p_size").select("p_partkey", "price_c", "p_size")
+
+
+SQL_PART_SKYLINE = """
+WITH p AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part)
+SELECT p_partkey, price_c, p_size FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+    AND (b.price_c < a.price_c OR b.p_size > a.p_size))
+"""
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (operators/graph.py::bfs_distances
+    — level-synchronous frontier expansion, anti-join dedup, checkpointed
+    frontiers) over the co-purchase graph (parts co-ordered >= 2), seeds =
+    parts with p_partkey < 25, depth 3.  The oracle unrolls the identical
+    3 level expansions as chained CTEs."""
+    from mcpvectordb_spark.operators.graph import bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    seeds = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 25).select(
+        F.col("p_partkey").alias("node")
+    )
+    out = bfs_distances(edges, seeds, max_depth=3)
+    return out.select("node", F.col("d").cast("long").alias("d"))
+
+
+def _sql_graph_bfs() -> str:
+    levels = "".join(
+        f""",
+n{i} AS (
+  SELECT DISTINCT e.t AS node FROM e JOIN f{i - 1} fr ON e.s = fr.node),
+d{i} AS (
+  SELECT node, d FROM d{i - 1}
+  UNION ALL
+  SELECT node, {i} AS d FROM n{i}
+  WHERE node NOT IN (SELECT node FROM d{i - 1})),
+f{i} AS (SELECT node FROM d{i} WHERE d = {i})"""
+        for i in range(1, 4)
+    )
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+raw AS (
+  SELECT a.p AS src, b.p AS dst
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS (SELECT src AS s, dst AS t FROM raw UNION SELECT dst AS s, src AS t FROM raw),
+d0 AS (SELECT p_partkey AS node, 0 AS d FROM part WHERE p_partkey < 25),
+f0 AS (SELECT node FROM d0){levels}
+SELECT node, CAST(d AS BIGINT) AS d FROM d3
+"""
+
+
+SQL_GRAPH_BFS = _sql_graph_bfs()
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-window EWMA smoothing of per-type hourly event counts
+    (operators/timeseries.py::ewma_trailing — block-bucketed trailing
+    window join, per-row fanout 2).  The oracle replays the identical
+    weighted sum with a bare range self-join."""
+    from mcpvectordb_spark.operators.timeseries import ewma_trailing
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    out = ewma_trailing(hourly, "event_type", "h", "n", alpha=0.3, window=24)
+    return out.select(
+        "event_type", "h",
+        F.col("n").cast("long").alias("n"),
+        F.round("ewma", 6).alias("ewma"),
+        F.round("dev", 6).alias("dev"),
+    )
+
+
+SQL_EVENTS_EWMA = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+j AS (
+  SELECT a.event_type, a.h, a.n,
+         sum(power(0.7, a.h - b.h) * b.n) AS num,
+         sum(power(0.7, a.h - b.h)) AS den
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND b.h <= a.h AND b.h > a.h - 24
+  GROUP BY 1, 2, 3)
+SELECT event_type, h, CAST(n AS BIGINT) AS n,
+       round(num / den, 6) AS ewma, round(n - num / den, 6) AS dev
+FROM j
+"""
+
+
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type transition
+    chain: row-normalized transition matrix from lead() pairs (the
+    events_paths transitions), then 6 in-plan power iterations from the
+    uniform vector — no driver loop state, the matrix stays a DataFrame.
+    The oracle unrolls the same 6 iterations as chained CTEs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    cnt = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("t"))
+    pmat = cnt.join(tot, "src").select("src", "dst", (F.col("c") / F.col("t")).alias("p"))
+    pmat = pmat.localCheckpoint(eager=False)
+
+    states = ev.select(F.col("event_type").alias("s")).distinct()
+    ns = states.agg(F.count(F.lit(1)).cast("double").alias("n_states"))
+    pi = states.crossJoin(F.broadcast(ns)).select(
+        F.col("s").alias("ps"), (F.lit(1.0) / F.col("n_states")).alias("pi")
+    )
+    for _ in range(6):
+        inflow = (
+            pmat.join(pi, pmat["src"] == pi["ps"])
+            .groupBy(F.col("dst").alias("s2"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("inflow"))
+        )
+        pi = (
+            states.join(inflow, states["s"] == inflow["s2"], "left")
+            .select(F.col("s").alias("ps"), F.coalesce("inflow", F.lit(0.0)).alias("pi"))
+            .localCheckpoint(eager=False)
+        )
+    return pi.select(F.col("ps").alias("event_type"), F.round("pi", 6).alias("pi"))
+
+
+def _sql_events_markov() -> str:
+    iters = "".join(
+        f""",
+p{i} AS (
+  SELECT st.s, coalesce(sum(pm.p * prev.pi), 0.0) AS pi
+  FROM states st
+  LEFT JOIN pmat pm ON pm.dst = st.s
+  LEFT JOIN p{i - 1} prev ON prev.s = pm.src
+  GROUP BY st.s)"""
+        for i in range(1, 7)
+    )
+    return f"""
+WITH trans AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+cnt AS (SELECT src, dst, count(*) AS c FROM trans WHERE dst IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT src, sum(c) AS t FROM cnt GROUP BY 1),
+pmat AS (SELECT cnt.src, cnt.dst, cnt.c * 1.0 / tot.t AS p FROM cnt JOIN tot USING (src)),
+states AS (SELECT DISTINCT event_type AS s FROM events),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS n_states FROM states),
+p0 AS (SELECT s, 1.0 / n_states AS pi FROM states, ns){iters}
+SELECT s AS event_type, round(pi, 6) AS pi FROM p6
+"""
+
+
+SQL_EVENTS_MARKOV = _sql_events_markov()
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostics (operators/skew.py::skew_report):
+    top-10 heaviest l_suppkey values in lineitem with share / cumulative
+    share plus the Gini coefficient of the full key distribution — the
+    measurement that decides between AQE skew-split and explicit salting.
+    The oracle replays the count + window arithmetic verbatim."""
+    from mcpvectordb_spark.operators.skew import skew_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = skew_report(li, "l_suppkey", top_k=10)
+    return out.select(
+        F.col("key").cast("long").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("share", 6).alias("share"),
+        F.round("cum_share", 6).alias("cum_share"),
+        F.round("gini", 6).alias("gini"),
+    )
+
+
+SQL_KEY_SKEW_REPORT = """
+WITH counts AS (SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS n_keys FROM counts),
+ranked AS (
+  SELECT key, n,
+         row_number() OVER (ORDER BY n ASC, key ASC) AS arank,
+         row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+  FROM counts),
+gini AS (
+  SELECT (2 * sum(arank * n) - (max(n_keys) + 1) * sum(n))
+         / (max(n_keys) * sum(n)) AS gini
+  FROM ranked, tot)
+SELECT CAST(key AS BIGINT) AS key, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank,
+       round(n / total, 6) AS share,
+       round(sum(n) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / total, 6) AS cum_share,
+       round(gini, 6) AS gini
+FROM ranked, tot, gini
+WHERE rank <= 10
+"""
+
+
 def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (operators/prf.py): BM25 top-10
     feedback docs → RM1 relevance model → λ=0.5 interpolation with the
@@ -6977,6 +7354,14 @@ QUERIES = {
     "lm_dirichlet": q_lm_dirichlet,
     "rm3_expansion": q_rm3_expansion,
     "tfidf_simjoin": q_tfidf_simjoin,
+    "ssjoin_jaccard": q_ssjoin_jaccard,
+    "textrank_summary": q_textrank_summary,
+    "item_recs": q_item_recs,
+    "part_skyline": q_part_skyline,
+    "graph_bfs": q_graph_bfs,
+    "events_ewma": q_events_ewma,
+    "events_markov": q_events_markov,
+    "key_skew_report": q_key_skew_report,
     "assoc_rules": q_assoc_rules,
     "parts_pagerank": q_parts_pagerank,
     "rfm_segments": q_rfm_segments,
@@ -7187,6 +7572,14 @@ ORACLES = {
     "lm_dirichlet": SQL_LM_DIRICHLET,
     "rm3_expansion": SQL_RM3_EXPANSION,
     "tfidf_simjoin": SQL_TFIDF_SIMJOIN,
+    "ssjoin_jaccard": SQL_SSJOIN_JACCARD,
+    "textrank_summary": SQL_TEXTRANK_SUMMARY,
+    "item_recs": SQL_ITEM_RECS,
+    "part_skyline": SQL_PART_SKYLINE,
+    "graph_bfs": SQL_GRAPH_BFS,
+    "events_ewma": SQL_EVENTS_EWMA,
+    "events_markov": SQL_EVENTS_MARKOV,
+    "key_skew_report": SQL_KEY_SKEW_REPORT,
     "assoc_rules": SQL_ASSOC_RULES,
     "parts_pagerank": SQL_PARTS_PAGERANK,
     "rfm_segments": SQL_RFM_SEGMENTS,

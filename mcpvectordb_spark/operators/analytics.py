@@ -331,3 +331,58 @@ def last_touch_attribution(
     return conv.select(
         "user", F.col("eid").alias("conv_id"), channel.alias("channel"), "v"
     )
+
+
+def item_item_cosine(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_cooc: int = 2,
+    max_basket: int = 50,
+) -> DataFrame:
+    """Item-item collaborative filtering over co-occurrence baskets
+    (Sarwar et al., WWW 2001 / Amazon item-to-item): ``cos(a,b) =
+    cooc(a,b) / sqrt(n_a · n_b)`` where cooc counts baskets containing
+    both items and n_i counts baskets containing i.
+
+    Returns (item_a < item_b, cooc, cos).  The reference has no
+    recommender surface; this is the events/orders-side sibling of the
+    embedding KNN family.
+
+    Scale: the pair build is the within-basket self-join — fanout is
+    basket_size² per basket, bounded by ``max_basket`` (oversized baskets
+    are dropped WHOLE, mirroring production co-occurrence pipelines where
+    a 10k-item basket is noise).  n_i counts are taken on the FILTERED
+    baskets so the cosine stays a true cosine of the mined space.  Two
+    keyed shuffles (basket sizes, pair agg) + one broadcast-sized item
+    count join at typical cardinalities.
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    ok = b.groupBy("bk").agg(F.count(F.lit(1)).alias("bs")).filter(
+        F.col("bs") <= max_basket
+    )
+    # pinned: referenced three times (both self-join sides + item counts);
+    # without it each reference replays the distinct + size filter
+    b = b.join(ok.select("bk"), "bk").localCheckpoint(eager=False)
+    n = b.groupBy("it").agg(F.count(F.lit(1)).alias("n"))
+
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.it") < F.col("b.it")),
+        )
+        .groupBy(F.col("a.it").alias("item_a"), F.col("b.it").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= min_cooc)
+    )
+    return (
+        pairs.join(n.select(F.col("it").alias("item_a"), F.col("n").alias("na")), "item_a")
+        .join(n.select(F.col("it").alias("item_b"), F.col("n").alias("nb")), "item_b")
+        .select(
+            "item_a", "item_b", "cooc",
+            (F.col("cooc") / F.sqrt(F.col("na") * F.col("nb"))).alias("cos"),
+        )
+    )

@@ -177,3 +177,50 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         .crossJoin(F.broadcast(n_tri))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source unweighted BFS over an undirected graph: (node, d)
+    with d = hop distance to the nearest seed, d <= max_depth.
+
+    Level-synchronous frontier expansion — the textbook Pregel BFS shape:
+    each round joins ONLY the current frontier (not the full visited set)
+    against the edge list, anti-joins out already-visited nodes, and
+    checkpoints the shrinking frontier.  max_depth rounds of one keyed
+    join + one anti-join each; the edge list is the only large operand
+    and is never mutated, so a 100 TB graph partitioned by src reuses its
+    shuffle across all rounds.
+    """
+    fwd = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+    e = (
+        fwd.unionByName(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("t"))
+        )
+        .distinct()
+        # one edge materialization shared by ALL rounds (the plan references
+        # e max_depth times; without the pin each round replays the build)
+        .localCheckpoint(eager=False)
+    )
+
+    dist = seeds.select(F.col(node_col).alias("node"), F.lit(0).alias("d")).distinct()
+    frontier = dist.select("node")
+    for k in range(1, max_depth + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("t").alias("node"))
+            .distinct()
+        )
+        new = reached.join(dist, "node", "left_anti").select(
+            "node", F.lit(k).alias("d")
+        )
+        new = new.localCheckpoint(eager=False)
+        dist = dist.unionByName(new)
+        frontier = new.select("node")
+    return dist

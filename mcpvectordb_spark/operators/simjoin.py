@@ -36,6 +36,99 @@ from pyspark.sql import functions as F
 from mcpvectordb_spark.operators.bm25 import doc_terms
 
 
+def jaccard_ssjoin(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard self-join via AllPairs prefix filtering
+    (Bayardo, Ma, Srikant, WWW 2007).
+
+    The EXACT counterpart to the probabilistic MinHash-LSH family in
+    operators/dedup.py: every pair with ``J(a,b) = |a∩b|/|a∪b| >=
+    threshold`` over distinct word n-gram shingles is emitted, none
+    missed.  Candidate generation joins only the PREFIX of each set —
+    shingles ordered globally rarest-first (df asc, shingle asc), prefix
+    length ``|s| - ceil(t·|s|) + 1`` — which is sound because J >= t
+    forces an overlap of at least ``ceil(t·|s|)`` elements on each side,
+    so two qualifying sets must share a prefix element under any
+    consistent total order.
+
+    Scale: prefix elements are the RARE ones, so the per-element fanout
+    of the candidate join is tiny compared to a full inverted-index join
+    (frequent shingles never enter candidate generation — the df-ordering
+    trick that lets AllPairs run web-scale).  Shuffles: shingle
+    aggregation, candidate join keyed by shingle, verification join keyed
+    by pair.  The verify step rejoins full postings only for surviving
+    candidate pairs.
+    """
+    from mcpvectordb_spark.operators.dedup import fan_out, word_shingles
+
+    toks = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("term"),
+        )
+        # referenced by the prefix build AND both verify sides — pin one
+        # materialization of the shingle explode
+        .localCheckpoint(eager=False)
+    )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("s"))
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    # rarest-first position of each token within its doc (global order by
+    # (df, term)); 1e-9 guards ceil against binary-float excess in t·|s|
+    from pyspark.sql import Window
+
+    ordered = toks.join(dfreq, "term").join(sizes, "doc")
+    pos = F.row_number().over(
+        Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("term").asc())
+    )
+    prefix = ordered.withColumn("pos", pos).filter(
+        F.col("pos")
+        <= F.col("s") - F.ceil(F.lit(threshold) * F.col("s") - F.lit(1e-9)) + 1
+    )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc") < F.col("b.doc")))
+        # length filter: min(|a|,|b|) >= t * max(|a|,|b|)
+        .filter(
+            F.least("a.s", "b.s").cast("double")
+            >= F.lit(threshold) * F.greatest("a.s", "b.s") - F.lit(1e-9)
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .distinct()
+    )
+
+    # verify: attach each side's full shingle set as a sorted array and
+    # intersect in-row (codegen, no explode) — candidates number far more
+    # than survivors, so a per-pair array op beats re-exploding postings
+    # into a pair-keyed shuffle of |cand|·|set| rows
+    arrs = toks.groupBy("doc").agg(F.sort_array(F.collect_list("term")).alias("arr"))
+    inter = (
+        cand.join(arrs.select(F.col("doc").alias("id_a"), F.col("arr").alias("arr_a")), "id_a")
+        .join(arrs.select(F.col("doc").alias("id_b"), F.col("arr").alias("arr_b")), "id_b")
+        .select(
+            "id_a", "id_b", "sa", "sb",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("i"),
+        )
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (F.col("i") / (F.col("sa") + F.col("sb") - F.col("i"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     id_col: str,

@@ -15,7 +15,7 @@ the 100 TB regime where one key can dwarf an executor:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -49,4 +49,47 @@ def salted_sum(
     )
     return partial.groupBy(*key_cols).agg(
         F.sum("__n").alias("n"), F.sum("__s").alias("total")
+    )
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Key-distribution diagnostics for shuffle planning: the top_k
+    heaviest keys with (n, share, rank, cum_share) plus the Gini
+    coefficient of the whole key distribution on every row.
+
+    This is the measurement half of the salting machinery above: run it
+    on a join/agg key BEFORE picking a strategy — cum_share of the top
+    handful tells you whether AQE skew-split or explicit salting is
+    warranted, and Gini tracks drift over time.  Cost: one keyed count
+    (map-side combinable), then windows over the COUNTS table (|distinct
+    keys| rows, not |df| rows) and one broadcast scalar join.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_keys"),
+    )
+    asc = Window.orderBy(F.col("n").asc(), F.col("key").asc())
+    desc = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    ranked = (
+        counts.withColumn("arank", F.row_number().over(asc))
+        .withColumn("rank", F.row_number().over(desc))
+        .crossJoin(F.broadcast(tot))
+    )
+    # Gini over ascending ranks: (2·Σ i·x_i − (K+1)·Σ x_i) / (K·Σ x_i)
+    gini = ranked.agg(
+        (
+            (2 * F.sum(F.col("arank") * F.col("n")) - (F.max("n_keys") + 1) * F.sum("n"))
+            / (F.max("n_keys") * F.sum("n"))
+        ).alias("gini")
+    )
+    cum = Window.orderBy(F.col("rank").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranked.filter(F.col("rank") <= top_k)
+        .withColumn("share", F.col("n") / F.col("total"))
+        .withColumn("cum_share", F.sum(F.col("n")).over(cum) / F.col("total"))
+        .crossJoin(F.broadcast(gini))
+        .select("key", "n", "rank", "share", "cum_share", "gini")
     )

@@ -171,3 +171,61 @@ def scd2_apply_increment(
     )
     rebuilt = scd2_history(merged, key_col, attr_col, ts_col, tiebreak_col)
     return untouched.unionByName(rebuilt)
+
+
+def ewma_trailing(
+    series: DataFrame,
+    key_col: str,
+    idx_col: str,
+    val_col: str,
+    alpha: float = 0.3,
+    window: int = 24,
+) -> DataFrame:
+    """Finite-window exponentially weighted moving average:
+
+        ewma(k, t) = Σ_{j=0..W-1} (1-α)^j · x(k, t-j) / Σ_j (1-α)^j
+
+    (sum over the points that EXIST in the trailing window; missing
+    buckets contribute neither weight nor value, so gaps don't drag the
+    average toward zero).  The recursive infinite-horizon EWMA is not
+    window-expressible without overflow-prone pow(1/(1-α), t) factors;
+    the W-term truncation differs from it by at most (1-α)^W · range(x)
+    — under 0.08% of signal range at the α=0.3, W=24 default.
+
+    Returns (key, idx, val, ewma, dev = val - ewma).
+
+    Scale: the trailing window is materialized as a BLOCK-BUCKETED self
+    join — each row joins to exactly two W-wide blocks (t div W and its
+    successor), giving per-row fanout 2 instead of the per-key series-
+    length² of a bare non-equi join (the same trick as
+    rangejoin.interval_join).  One keyed shuffle + one keyed agg.
+    """
+    a = series.select(
+        F.col(key_col).alias("k"), F.col(idx_col).alias("t"), F.col(val_col).alias("x")
+    )
+    # contributors replicated into their own block and the next one, so a
+    # reader at t finds every t' in (t-W, t] via block(t) ∈ {block(t'), block(t')+1}
+    contrib = a.select(
+        "k", F.col("t").alias("t2"), F.col("x").alias("x2"),
+        F.explode(
+            F.array(
+                (F.col("t") / window).cast("long"),
+                (F.col("t") / window).cast("long") + 1,
+            )
+        ).alias("blk"),
+    )
+    readers = a.withColumn("blk", (F.col("t") / window).cast("long"))
+    joined = readers.join(contrib, ["k", "blk"]).filter(
+        (F.col("t2") <= F.col("t")) & (F.col("t2") > F.col("t") - window)
+    )
+    w = F.pow(F.lit(1.0 - alpha), F.col("t") - F.col("t2"))
+    out = joined.groupBy("k", "t", "x").agg(
+        (F.sum(w * F.col("x2")) / F.sum(w)).alias("ewma")
+    )
+    return out.select(
+        F.col("k").alias(key_col),
+        F.col("t").alias(idx_col),
+        F.col("x").alias(val_col),
+        "ewma",
+        (F.col("x") - F.col("ewma")).alias("dev"),
+    )

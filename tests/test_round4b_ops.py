@@ -1,0 +1,157 @@
+"""Unit tests for the round-4b operator cohort: AllPairs set-similarity
+join, TextRank summarization, item-item CF, 2-D skyline, BFS, trailing
+EWMA, and the key-skew report.  Each test pins the operator against a
+hand-computable small input (the catalog oracle gates cover the
+corpus-scale behavior)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.operators.analytics import item_item_cosine
+from mcpvectordb_spark.operators.graph import bfs_distances
+from mcpvectordb_spark.operators.simjoin import jaccard_ssjoin
+from mcpvectordb_spark.operators.skew import skew_report
+from mcpvectordb_spark.operators.skyline import skyline2d
+from mcpvectordb_spark.operators.textrank import textrank_sentences
+from mcpvectordb_spark.operators.timeseries import ewma_trailing
+
+
+def test_jaccard_ssjoin_matches_bruteforce(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again today"),
+        (3, "completely different words about spark shuffles and partitions here"),
+        (4, "completely different words about spark shuffles and partitions here"),
+    ]
+    df = spark.createDataFrame(docs, ["id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in jaccard_ssjoin(df, "id", "text", threshold=0.5).collect()
+    }
+    # brute force over 3-shingles
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    expect = {}
+    for i, (ia, ta) in enumerate(docs):
+        for ib, tb in docs[i + 1 :]:
+            a, b = sh(ta), sh(tb)
+            j = len(a & b) / len(a | b)
+            if j >= 0.5:
+                expect[(ia, ib)] = round(j, 6)
+    assert got == expect
+    assert (3, 4) in got and got[(3, 4)] == 1.0
+
+
+def test_jaccard_ssjoin_threshold_excludes(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "u v w x y z")], ["id", "text"]
+    )
+    assert jaccard_ssjoin(df, "id", "text", threshold=0.2).count() == 0
+
+
+def test_textrank_picks_connected_sentence(spark):
+    # s1/s2 share words (central); s3 is isolated -> lowest rank
+    text = "spark runs fast queries. fast queries need spark. bananas are yellow."
+    df = spark.createDataFrame([(1, text)], ["doc", "text"])
+    out = textrank_sentences(df, "doc", "text", top_k=3, iters=5)
+    rows = {r["sent"]: r["rank"] for r in out.collect()}
+    assert len(rows) == 3
+    iso = rows["bananas are yellow."]  # last segment keeps its final period
+    assert all(iso <= v for v in rows.values())
+    assert math.isclose(iso, 0.15, rel_tol=1e-9)  # no inflow -> 1-d
+
+
+def test_textrank_top_k_bound(spark):
+    df = spark.createDataFrame(
+        [(1, "a b. b c. c a. d e. e f.")], ["doc", "text"]
+    )
+    assert textrank_sentences(df, "doc", "text", top_k=2).count() == 2
+
+
+def test_item_item_cosine_hand_example(spark):
+    baskets = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+    df = spark.createDataFrame(baskets, ["bk", "it"])
+    got = {
+        (r["item_a"], r["item_b"]): (r["cooc"], round(r["cos"], 6))
+        for r in item_item_cosine(df, "bk", "it", min_cooc=2).collect()
+    }
+    # cooc(a,b)=2, n_a=3, n_b=2 -> cos = 2/sqrt(6)
+    assert got == {("a", "b"): (2, round(2 / math.sqrt(6), 6))}
+
+
+def test_item_item_max_basket_drops_whole_basket(spark):
+    rows = [(1, "a"), (1, "b")] + [(2, f"x{i}") for i in range(5)] + [(2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, ["bk", "it"])
+    out = item_item_cosine(df, "bk", "it", min_cooc=2, max_basket=3)
+    # basket 2 (7 items) dropped -> cooc(a,b)=1 < 2 -> empty
+    assert out.count() == 0
+
+
+def test_skyline2d_hand_example(spark):
+    pts = [(1, 10, 5), (2, 10, 7), (3, 20, 7), (4, 5, 1), (5, 30, 9)]
+    df = spark.createDataFrame(pts, ["id", "cost", "gain"])
+    got = sorted(r["id"] for r in skyline2d(df, "cost", "gain").collect())
+    # 1 dominated by 2 (same cost, more gain); 3 dominated by 2 (cheaper, same gain)
+    assert got == [2, 4, 5]
+
+
+def test_skyline2d_keeps_exact_duplicates(spark):
+    df = spark.createDataFrame([(1, 10, 5), (2, 10, 5)], ["id", "cost", "gain"])
+    assert skyline2d(df, "cost", "gain").count() == 2
+
+
+def test_bfs_distances_chain(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (9, 10)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r["node"]: r["d"] for r in bfs_distances(edges, seeds, max_depth=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}  # 4 beyond depth, 9/10 unreachable
+
+
+def test_bfs_multi_source_min_distance(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 3)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (4,)], ["node"])
+    got = {r["node"]: r["d"] for r in bfs_distances(edges, seeds, max_depth=3).collect()}
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_ewma_trailing_hand_example(spark):
+    series = spark.createDataFrame(
+        [("k", 0, 10.0), ("k", 1, 20.0), ("k", 2, 30.0)], ["g", "t", "x"]
+    )
+    out = {r["t"]: r["ewma"] for r in ewma_trailing(series, "g", "t", "x", alpha=0.5, window=24).collect()}
+    assert math.isclose(out[0], 10.0, rel_tol=1e-9)
+    assert math.isclose(out[1], (20.0 + 0.5 * 10.0) / 1.5, rel_tol=1e-9)
+    assert math.isclose(out[2], (30.0 + 0.5 * 20.0 + 0.25 * 10.0) / 1.75, rel_tol=1e-9)
+
+
+def test_ewma_trailing_window_cuts_and_gaps(spark):
+    # gap: missing t=1 contributes neither weight nor value; window=2 drops t=0 at t=2
+    series = spark.createDataFrame([("k", 0, 10.0), ("k", 2, 30.0)], ["g", "t", "x"])
+    out = {r["t"]: r["ewma"] for r in ewma_trailing(series, "g", "t", "x", alpha=0.5, window=2).collect()}
+    assert math.isclose(out[2], 30.0, rel_tol=1e-9)  # t=0 outside (0, 2] - window
+
+
+def test_ewma_crosses_block_boundary(spark):
+    # window=4: t=5 must still see t=3 (different t div 4 blocks)
+    series = spark.createDataFrame(
+        [("k", 3, 8.0), ("k", 5, 16.0)], ["g", "t", "x"]
+    )
+    out = {r["t"]: r["ewma"] for r in ewma_trailing(series, "g", "t", "x", alpha=0.5, window=4).collect()}
+    assert math.isclose(out[5], (16.0 + 0.25 * 8.0) / 1.25, rel_tol=1e-9)
+
+
+def test_skew_report_shares_and_gini(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, ["k"]
+    )
+    rows = {r["key"]: r for r in skew_report(df, "k", top_k=2).collect()}
+    assert set(rows) == {"a", "b"}
+    assert math.isclose(rows["a"]["share"], 0.6, rel_tol=1e-9)
+    assert math.isclose(rows["a"]["cum_share"], 0.6, rel_tol=1e-9)
+    assert math.isclose(rows["b"]["cum_share"], 0.9, rel_tol=1e-9)
+    # ascending counts (1,3,6): gini = (2*(1*1+2*3+3*6)-4*10)/(3*10) = 1/3
+    assert math.isclose(rows["a"]["gini"], 1 / 3, rel_tol=1e-9)
