@@ -124,6 +124,10 @@ BENCH_QUERIES = [
     "events_ewma",           # trailing-window EWMA smoothing + deviations
     "events_markov",         # transition-chain stationary distribution
     "key_skew_report",       # heavy-key shares + Gini skew diagnostics
+    "parts_zorder",          # Morton-key bit interleave (codegen fold)
+    "parts_hits",            # HITS hubs/authorities, 4 L1-normalized iters
+    "parts_communities",     # deterministic sync label propagation
+    "events_theilsen",       # robust median-slope trend per type
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -1283,6 +1283,193 @@ WHERE rank <= 10
 """
 
 
+def q_parts_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-order clustering keys (operators/zorder.py::zorder_key —
+    pure column-expression bit interleave, the layout step behind
+    OPTIMIZE ZORDER) over (p_retailprice, p_size), 8 bits/dim.  The
+    oracle unrolls the identical bucketize + interleave arithmetic, so
+    the codegen'd F.aggregate fold is value-gated bit for bit."""
+    from mcpvectordb_spark.operators.zorder import zorder_key
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    z = zorder_key(
+        F.col("p_retailprice"), F.col("p_size"), (900.0, 1000.0), (1.0, 50.0), bits=8
+    )
+    return p.select("p_partkey", z.alias("zkey"))
+
+
+def _sql_parts_zorder() -> str:
+    ba = "least(greatest(CAST(round((p_retailprice - 900.0) / 100.0 * 255) AS BIGINT), 0), 255)"
+    bb = "least(greatest(CAST(round((p_size - 1.0) / 49.0 * 255) AS BIGINT), 0), 255)"
+    terms = " + ".join(
+        f"((ba >> {i}) & 1) * {1 << (2 * i)} + ((bb >> {i}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(8)
+    )
+    return f"""
+WITH b AS (SELECT p_partkey, {ba} AS ba, {bb} AS bb FROM part WHERE p_partkey < 200)
+SELECT p_partkey, CAST({terms} AS BIGINT) AS zkey FROM b
+"""
+
+
+SQL_PARTS_ZORDER = _sql_parts_zorder()
+
+
+def q_parts_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authorities (operators/graph.py::hits_scores — mutual hub/
+    authority reinforcement, L1-normalized, 4 iterations) on the directed
+    supplier→part shipment graph: which parts are the strongest
+    authorities given that good hubs (diversified suppliers) ship them.
+    Edges = RECURRING relationships (>= 2 shipments — one-off pairs are
+    noise and 66x the edge count); top-20 by (auth desc, node).  The
+    oracle unrolls all 4 iterations."""
+    from mcpvectordb_spark.operators.graph import hits_scores
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    out = hits_scores(li, iters=4, loop_partitions=8)
+    return (
+        out.orderBy(F.col("auth").desc(), F.col("node").asc())
+        .limit(20)
+        .select("node", F.round("auth", 9).alias("auth"))
+    )
+
+
+def _sql_parts_hits() -> str:
+    iters = "".join(
+        f""",
+a{i}r AS (SELECT t, sum(h) AS a_raw FROM e JOIN h{i - 1} USING (s) GROUP BY t),
+a{i} AS (SELECT t, a_raw / (SELECT sum(a_raw) FROM a{i}r) AS a FROM a{i}r),
+h{i}r AS (SELECT s, sum(a) AS h_raw FROM e JOIN a{i} USING (t) GROUP BY s),
+h{i} AS (SELECT s, h_raw / (SELECT sum(h_raw) FROM h{i}r) AS h FROM h{i}r)"""
+        for i in range(1, 5)
+    )
+    return f"""
+WITH e AS (SELECT l_suppkey AS s, l_partkey AS t FROM lineitem
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+h0 AS (SELECT DISTINCT s, 1.0 AS h FROM e){iters}
+SELECT t AS node, round(a, 9) AS auth FROM a4
+ORDER BY a DESC, t ASC LIMIT 20
+"""
+
+
+SQL_PARTS_HITS = _sql_parts_hits()
+
+
+def q_parts_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities
+    (operators/graph.py::label_propagation — most-frequent neighbor
+    label, min-label ties, 4 rounds) on the co-purchase graph; output is
+    the community-size histogram (communities with >= 3 members).  The
+    oracle unrolls the 4 argmax rounds."""
+    from mcpvectordb_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    labels = label_propagation(edges, rounds=4)
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .filter(F.col("n_members") >= 3)
+        .select(F.col("lbl").alias("community"), "n_members")
+    )
+
+
+def _sql_parts_communities() -> str:
+    rounds = "".join(
+        f""",
+c{i} AS (
+  SELECT e.t AS v, prev.lbl, count(*) AS c,
+         row_number() OVER (PARTITION BY e.t ORDER BY count(*) DESC, prev.lbl ASC) AS rn
+  FROM e JOIN l{i - 1} prev ON prev.v = e.s
+  GROUP BY e.t, prev.lbl),
+l{i} AS (SELECT v, lbl FROM c{i} WHERE rn = 1)"""
+        for i in range(1, 5)
+    )
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+raw AS (
+  SELECT a.p AS src, b.p AS dst
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS (SELECT src AS s, dst AS t FROM raw UNION SELECT dst AS s, src AS t FROM raw),
+l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM e){rounds}
+SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM l4 GROUP BY lbl HAVING count(*) >= 3
+"""
+
+
+SQL_PARTS_COMMUNITIES = _sql_parts_communities()
+
+
+def q_events_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: median pairwise slope over
+    hourly counts + median-residual intercept (breakdown point 29%, vs 0%
+    for OLS — one corrupted hour cannot move it).  Pairs build as an
+    equi-join on event_type with an in-key h<h' filter — bounded by
+    hours² per type; the documented web-scale variant windows the pair
+    set (repeated-median on a bounded lookback).  The oracle replays the
+    same pairs and quantile_cont medians."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    hourly = hourly.localCheckpoint(eager=False)
+
+    a = hourly.select("event_type", F.col("h").alias("h1"), F.col("n").alias("n1"))
+    b = hourly.select("event_type", F.col("h").alias("h2"), F.col("n").alias("n2"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("h1") < F.col("h2"))
+        .select(
+            "event_type",
+            ((F.col("n2") - F.col("n1")) / (F.col("h2") - F.col("h1"))).alias("slope"),
+        )
+    )
+    med = slopes.groupBy("event_type").agg(
+        F.percentile("slope", F.lit(0.5)).alias("slope")
+    )
+    resid = hourly.join(med, "event_type").groupBy("event_type").agg(
+        F.percentile(F.col("n") - F.col("slope") * F.col("h"), F.lit(0.5)).alias("intercept"),
+        F.first("slope").alias("slope"),
+    )
+    return resid.select(
+        "event_type", F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+SQL_EVENTS_THEILSEN = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+slopes AS (
+  SELECT a.event_type, (b.n - a.n) / (b.h - a.h) AS slope
+  FROM hourly a JOIN hourly b ON a.event_type = b.event_type AND a.h < b.h),
+med AS (SELECT event_type, quantile_cont(slope, 0.5) AS slope FROM slopes GROUP BY 1),
+resid AS (
+  SELECT h.event_type, quantile_cont(h.n - m.slope * h.h, 0.5) AS intercept,
+         max(m.slope) AS slope
+  FROM hourly h JOIN med m USING (event_type) GROUP BY 1)
+SELECT event_type, round(slope, 6) AS slope, round(intercept, 6) AS intercept
+FROM resid
+"""
+
+
 def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (operators/prf.py): BM25 top-10
     feedback docs → RM1 relevance model → λ=0.5 interpolation with the
@@ -7362,6 +7549,10 @@ QUERIES = {
     "events_ewma": q_events_ewma,
     "events_markov": q_events_markov,
     "key_skew_report": q_key_skew_report,
+    "parts_zorder": q_parts_zorder,
+    "parts_hits": q_parts_hits,
+    "parts_communities": q_parts_communities,
+    "events_theilsen": q_events_theilsen,
     "assoc_rules": q_assoc_rules,
     "parts_pagerank": q_parts_pagerank,
     "rfm_segments": q_rfm_segments,
@@ -7580,6 +7771,10 @@ ORACLES = {
     "events_ewma": SQL_EVENTS_EWMA,
     "events_markov": SQL_EVENTS_MARKOV,
     "key_skew_report": SQL_KEY_SKEW_REPORT,
+    "parts_zorder": SQL_PARTS_ZORDER,
+    "parts_hits": SQL_PARTS_HITS,
+    "parts_communities": SQL_PARTS_COMMUNITIES,
+    "events_theilsen": SQL_EVENTS_THEILSEN,
     "assoc_rules": SQL_ASSOC_RULES,
     "parts_pagerank": SQL_PARTS_PAGERANK,
     "rfm_segments": SQL_RFM_SEGMENTS,

@@ -26,7 +26,7 @@ so the logical plan stays O(1) deep instead of O(iterations).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -224,3 +224,116 @@ def bfs_distances(
         dist = dist.unionByName(new)
         frontier = new.select("node")
     return dist
+
+
+def hits_scores(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    loop_partitions: int | None = None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over a directed
+    edge list, L1-normalized each half-step for portability (no sqrt
+    ordering hazards).  Returns the authority side: (node, auth).
+
+        auth(p) = Σ_{s→p} hub(s) / Σ auth     hub(s) = Σ_{s→p} auth(p) / Σ hub
+
+    Same Pregel-on-DataFrames shape as pagerank()/bfs_distances(): the
+    edge list is pinned once and every iteration is two keyed joins + two
+    keyed aggs; hub/auth vectors are one row per node.  The mutual-
+    reinforcement structure is what pagerank's single random-surfer score
+    cannot express on bipartite graphs (e.g. supplier→part: suppliers are
+    ONLY hubs, parts ONLY authorities).
+    """
+    spark = edges.sparkSession
+    eager = loop_partitions is not None
+    # the edge build (often a corpus-scale aggregation) materializes at
+    # FULL parallelism, BEFORE the loop's scoped conf pin — only the tiny
+    # iterative stages run under the fixed partition count
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("t")
+    ).distinct().localCheckpoint(eager=eager)
+    saved: dict[str, str] = {}
+    if eager:
+        # same scoped pin as pagerank(loop_partitions=): short iterative
+        # stages on a small graph pay more in AQE replanning than in work
+        for k, v in (
+            ("spark.sql.shuffle.partitions", str(loop_partitions)),
+            ("spark.sql.adaptive.enabled", "false"),
+        ):
+            saved[k] = spark.conf.get(k)
+            spark.conf.set(k, v)
+    try:
+        # L1 normalization as an empty-frame window sum: stays inside the
+        # same stage as the aggregation (a broadcast-scalar crossJoin here
+        # costs one extra job PER HALF-STEP — 8 jobs of pure scheduling
+        # overhead on small graphs).  No in-loop checkpoints either: the
+        # iteration chain is linear (each vector read exactly once), so
+        # the whole 4-iteration computation compiles into ONE action
+        # against the pinned edge list.
+        wall = Window.partitionBy()
+        hub = e.select("s").distinct().withColumn("h", F.lit(1.0))
+        for _ in range(iters):
+            araw = e.join(hub, "s").groupBy("t").agg(F.sum("h").alias("a_raw"))
+            auth = araw.select(
+                "t", (F.col("a_raw") / F.sum("a_raw").over(wall)).alias("a")
+            )
+            hraw = e.join(auth, "t").groupBy("s").agg(F.sum("a").alias("h_raw"))
+            hub = hraw.select(
+                "s", (F.col("h_raw") / F.sum("h_raw").over(wall)).alias("h")
+            )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return auth.select(F.col("t").alias("node"), F.col("a").alias("auth"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) made DETERMINISTIC: every round each node adopts the most
+    frequent label among its neighbors, ties broken by smallest label —
+    no random visit order, so the fixed round count is exactly
+    reproducible (and oracle-unrollable).  Returns (node, lbl).
+
+    Differs from the min-label connected components in operators/dedup.py:
+    CC converges to one label per component; frequency-based LP splits
+    dense components into internally-well-connected communities.
+
+    Scale: identical profile to pagerank — per round one join of the
+    label vector against the pinned symmetrized edge list + one
+    (node, lbl)-keyed count + one per-node argmax window; labels are
+    checkpointed so plan depth stays O(1).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("t"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = e.select(F.col("s").alias("v")).distinct().withColumn(
+        "lbl", F.col("v")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    )
+    for _ in range(rounds):
+        cnt = (
+            e.join(labels.withColumnRenamed("v", "s"), "s")
+            .groupBy(F.col("t").alias("v"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # no in-loop checkpoint: the round chain is linear (labels read
+        # once per round), so all rounds compile into one action against
+        # the pinned edge list
+        labels = (
+            cnt.withColumn("rn", rn).filter(F.col("rn") == 1).select("v", "lbl")
+        )
+    return labels.select(F.col("v").alias("node"), "lbl")

@@ -155,3 +155,58 @@ def test_skew_report_shares_and_gini(spark):
     assert math.isclose(rows["b"]["cum_share"], 0.9, rel_tol=1e-9)
     # ascending counts (1,3,6): gini = (2*(1*1+2*3+3*6)-4*10)/(3*10) = 1/3
     assert math.isclose(rows["a"]["gini"], 1 / 3, rel_tol=1e-9)
+
+
+def test_hits_bipartite_hand_example(spark):
+    # s1 -> {a, b}; s2 -> {b}.  b has two in-hubs -> strongest authority
+    edges = spark.createDataFrame(
+        [("s1", "a"), ("s1", "b"), ("s2", "b")], ["src", "dst"]
+    )
+    from mcpvectordb_spark.operators.graph import hits_scores
+
+    got = {r["node"]: r["auth"] for r in hits_scores(edges, iters=4).collect()}
+    assert got["b"] > got["a"]
+    assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)  # L1 normalized
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles joined by one weak bridge -> two communities led by
+    # each clique's minimum label
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    from mcpvectordb_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(tri1 + tri2 + bridge, ["src", "dst"])
+    got = {r["node"]: r["lbl"] for r in label_propagation(edges, rounds=4).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    # labels can leak over the bridge (10's label becomes 3 via min-label
+    # ties) but the clique must stay one community, distinct from tri1's
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[1]
+
+
+def test_theilsen_ignores_outlier(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for h in range(9):
+        n = 1000 if h == 4 else 10 + 2 * h  # clean slope 2, one wild hour
+        for i in range(n):
+            rows.append((h * 1000 + i, base + datetime.timedelta(hours=h), 1, "x", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.createOrReplaceTempView("__ts_ev")
+    from pyspark.sql import functions as F
+    hourly = df.groupBy(
+        "event_type", F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    a = hourly.select("event_type", F.col("h").alias("h1"), F.col("n").alias("n1"))
+    b = hourly.select("event_type", F.col("h").alias("h2"), F.col("n").alias("n2"))
+    slopes = a.join(b, "event_type").filter(F.col("h1") < F.col("h2")).select(
+        ((F.col("n2") - F.col("n1")) / (F.col("h2") - F.col("h1"))).alias("slope")
+    )
+    med = slopes.agg(F.percentile("slope", F.lit(0.5)).alias("m")).first()["m"]
+    assert abs(med - 2.0) < 0.75  # OLS slope would be pulled ~ +100
