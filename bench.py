@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "parts_hits",            # HITS hubs/authorities, 4 L1-normalized iters
     "parts_communities",     # deterministic sync label propagation
     "events_theilsen",       # robust median-slope trend per type
+    "orders_ivm",            # O(delta) join-view maintenance
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -1470,6 +1470,57 @@ FROM resid
 """
 
 
+def q_orders_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the orders⋈customer join view
+    (operators/ivm.py::incremental_join_delta — counting-free delta
+    algebra, four delta-vs-base joins, NEVER recomputes the view) under a
+    CDC batch: orders with o_orderkey%97=0 get repriced ×1.1, customers
+    with c_custkey%89=0 get a segment change.  The oracle computes the
+    ground-truth delta the expensive way — (A'⋈B') EXCEPT (A⋈B) both
+    directions — so green parity proves the delta algebra exact."""
+    from mcpvectordb_spark.operators.ivm import incremental_join_delta
+
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    da = a.filter(F.col("o_orderkey") % 97 == 0)
+    ia = da.withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    b = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    db = b.filter(F.col("c_custkey") % 89 == 0)
+    ib = db.withColumn("c_mktsegment", F.concat("c_mktsegment", F.lit("*")))
+
+    delta = incremental_join_delta(
+        a, ia, da, b, ib, db, "o_custkey", "c_custkey", "o_orderkey", "c_custkey"
+    )
+    return delta.select(
+        "op", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"),
+        "c_custkey", "c_mktsegment",
+    )
+
+
+SQL_ORDERS_IVM = """
+WITH a AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+da AS (SELECT * FROM a WHERE o_orderkey % 97 = 0),
+ia AS (SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice FROM da),
+a2 AS (SELECT * FROM a WHERE o_orderkey % 97 <> 0 UNION ALL SELECT * FROM ia),
+b AS (SELECT c_custkey, c_mktsegment FROM customer),
+db AS (SELECT * FROM b WHERE c_custkey % 89 = 0),
+ib AS (SELECT c_custkey, c_mktsegment || '*' AS c_mktsegment FROM db),
+b2 AS (SELECT * FROM b WHERE c_custkey % 89 <> 0 UNION ALL SELECT * FROM ib),
+v  AS (SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_mktsegment
+       FROM a JOIN b ON o_custkey = c_custkey),
+v2 AS (SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_mktsegment
+       FROM a2 JOIN b2 ON o_custkey = c_custkey),
+ins AS (SELECT * FROM v2 EXCEPT SELECT * FROM v),
+del AS (SELECT * FROM v EXCEPT SELECT * FROM v2)
+SELECT 'ins' AS op, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       c_custkey, c_mktsegment FROM ins
+UNION ALL
+SELECT 'del' AS op, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       c_custkey, c_mktsegment FROM del
+"""
+
+
 def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (operators/prf.py): BM25 top-10
     feedback docs → RM1 relevance model → λ=0.5 interpolation with the
@@ -7553,6 +7604,7 @@ QUERIES = {
     "parts_hits": q_parts_hits,
     "parts_communities": q_parts_communities,
     "events_theilsen": q_events_theilsen,
+    "orders_ivm": q_orders_ivm,
     "assoc_rules": q_assoc_rules,
     "parts_pagerank": q_parts_pagerank,
     "rfm_segments": q_rfm_segments,
@@ -7775,6 +7827,7 @@ ORACLES = {
     "parts_hits": SQL_PARTS_HITS,
     "parts_communities": SQL_PARTS_COMMUNITIES,
     "events_theilsen": SQL_EVENTS_THEILSEN,
+    "orders_ivm": SQL_ORDERS_IVM,
     "assoc_rules": SQL_ASSOC_RULES,
     "parts_pagerank": SQL_PARTS_PAGERANK,
     "rfm_segments": SQL_RFM_SEGMENTS,

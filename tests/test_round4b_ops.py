@@ -210,3 +210,44 @@ def test_theilsen_ignores_outlier(spark):
     )
     med = slopes.agg(F.percentile("slope", F.lit(0.5)).alias("m")).first()["m"]
     assert abs(med - 2.0) < 0.75  # OLS slope would be pulled ~ +100
+
+
+def test_ivm_matches_full_recompute(spark):
+    from mcpvectordb_spark.operators.ivm import incremental_join_delta
+
+    a = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(40)], ["apk", "jk", "av"]
+    )
+    b = spark.createDataFrame([(k, f"b{k}") for k in range(5)], ["bk", "bv"])
+    da = a.filter(F.col("apk") % 7 == 0)
+    ia = da.withColumn("av", F.col("av") + 100.0)
+    db = b.filter(F.col("bk") == 2)
+    ib = db.withColumn("bv", F.concat("bv", F.lit("!")))
+
+    got = incremental_join_delta(a, ia, da, b, ib, db, "jk", "bk", "apk", "bk")
+    g_ins = {tuple(r) for r in got.filter("op='ins'").drop("op").collect()}
+    g_del = {tuple(r) for r in got.filter("op='del'").drop("op").collect()}
+
+    cond = F.col("jk") == F.col("bk")
+    v = a.join(b, cond)
+    a2 = a.join(da.select("apk"), "apk", "left_anti").unionByName(ia)
+    b2 = b.join(db.select("bk"), "bk", "left_anti").unionByName(ib)
+    v2 = a2.join(b2, cond)
+    e_ins = {tuple(r) for r in v2.exceptAll(v).collect()}
+    e_del = {tuple(r) for r in v.exceptAll(v2).collect()}
+    assert g_ins == e_ins and g_del == e_del
+    assert g_ins and g_del  # the increment is non-trivial
+
+
+def test_ivm_untouched_rows_absent(spark):
+    from mcpvectordb_spark.operators.ivm import incremental_join_delta
+
+    a = spark.createDataFrame([(1, 10, 1.0), (2, 20, 2.0)], ["apk", "jk", "av"])
+    b = spark.createDataFrame([(10, "x"), (20, "y")], ["bk", "bv"])
+    empty_a, empty_b = a.limit(0), b.limit(0)
+    da = a.filter("apk = 1")
+    ia = da.withColumn("av", F.lit(9.0))
+    out = incremental_join_delta(a, ia, da, b, empty_b, empty_b, "jk", "bk", "apk", "bk")
+    rows = {(r["op"], r["apk"]) for r in out.collect()}
+    # row 2 shares nothing with the delta and must not appear
+    assert rows == {("ins", 1), ("del", 1)}
