@@ -1521,6 +1521,68 @@ SELECT 'del' AS op, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
 """
 
 
+def q_events_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE infinite-horizon EWMA (s_t = α·x_t + (1-α)·s_{t-1},
+    s_1 = x_1) per event type — a scan-with-carried-state computation SQL
+    cannot window directly.  Spark runs it as an O(L) higher-order
+    F.aggregate fold over the per-key sorted series (collect_list +
+    array_sort; per-key state bounded by series length, the same contract
+    as sessionization).  The oracle replays the O(L²) closed form
+    s_t = α·Σ_{i=2..t}(1-α)^{t-i}·x_i + (1-α)^{t-1}·x_1 with a rank
+    self-join, so the fold is value-proven against the definition."""
+    alpha = 0.3
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    arr = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "n"))).alias("xs")
+    )
+    fold = F.aggregate(
+        F.col("xs"),
+        F.array().cast("array<double>"),
+        lambda acc, e: F.when(F.size(acc) == 0, F.array(e["n"])).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.lit(alpha) * e["n"]
+                    + F.lit(1.0 - alpha) * F.element_at(acc, -1)
+                ),
+            )
+        ),
+    )
+    return (
+        arr.withColumn("sm", fold)
+        .select("event_type", F.posexplode(F.arrays_zip("xs", "sm")))
+        .select(
+            "event_type",
+            F.col("col.xs.h").alias("h"),
+            F.col("col.xs.n").cast("long").alias("n"),
+            F.round(F.col("col.sm"), 6).alias("ewma"),
+        )
+    )
+
+
+SQL_EVENTS_EWMA_RECURSIVE = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, h, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM hourly)
+SELECT a.event_type, a.h, CAST(a.n AS BIGINT) AS n,
+       round(sum(CASE WHEN b.rk = 1 THEN power(0.7, a.rk - 1) * b.n
+                      ELSE 0.3 * power(0.7, a.rk - b.rk) * b.n END), 6) AS ewma
+FROM ranked a JOIN ranked b
+  ON a.event_type = b.event_type AND b.rk <= a.rk
+GROUP BY a.event_type, a.h, a.n
+"""
+
+
 def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (operators/prf.py): BM25 top-10
     feedback docs → RM1 relevance model → λ=0.5 interpolation with the
@@ -7605,6 +7667,7 @@ QUERIES = {
     "parts_communities": q_parts_communities,
     "events_theilsen": q_events_theilsen,
     "orders_ivm": q_orders_ivm,
+    "events_ewma_recursive": q_events_ewma_recursive,
     "assoc_rules": q_assoc_rules,
     "parts_pagerank": q_parts_pagerank,
     "rfm_segments": q_rfm_segments,
@@ -7828,6 +7891,7 @@ ORACLES = {
     "parts_communities": SQL_PARTS_COMMUNITIES,
     "events_theilsen": SQL_EVENTS_THEILSEN,
     "orders_ivm": SQL_ORDERS_IVM,
+    "events_ewma_recursive": SQL_EVENTS_EWMA_RECURSIVE,
     "assoc_rules": SQL_ASSOC_RULES,
     "parts_pagerank": SQL_PARTS_PAGERANK,
     "rfm_segments": SQL_RFM_SEGMENTS,

@@ -70,8 +70,14 @@ def jaccard_ssjoin(
         fan_out(df)
         .select(
             F.col(id_col).alias("doc"),
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("term"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
         )
+        # shingles shuffle as 64-bit hashes end to end: candidate and
+        # verify rows are 16 bytes, not strings (collision probability
+        # ~ n_shingles²/2^64 — nil at any real corpus size, and a
+        # collision can only ever MERGE two shingles, biasing J up by
+        # <= 1/|set|)
+        .select("doc", F.xxhash64(F.col("sh")).alias("term"))
         # referenced by the prefix build AND both verify sides — pin one
         # materialization of the shingle explode
         .localCheckpoint(eager=False)
@@ -92,7 +98,18 @@ def jaccard_ssjoin(
         <= F.col("s") - F.ceil(F.lit(threshold) * F.col("s") - F.lit(1e-9)) + 1
     )
 
+    # candidate aggregation with the PPJoin positional filter (Xiao et al.
+    # 2008), both EXACT: a qualifying pair needs overlap α =
+    # ceil(t·(sa+sb)/(1+t)), and its FIRST shared element (global order ⇒
+    # simultaneously min-position on both sides) bounds the achievable
+    # overlap by 1 + min(sa−amin, sb−bmin).  The groupBy replaces a bare
+    # distinct: map-side combinable, and it collects the positions the
+    # filter needs — on shared-vocabulary corpora this drops the dense
+    # one-common-shingle candidate mass before the expensive verify join.
     a, b = prefix.alias("a"), prefix.alias("b")
+    alpha = F.ceil(
+        F.lit(threshold) / (1.0 + threshold) * (F.col("sa") + F.col("sb")) - F.lit(1e-9)
+    )
     cand = (
         a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc") < F.col("b.doc")))
         # length filter: min(|a|,|b|) >= t * max(|a|,|b|)
@@ -100,27 +117,33 @@ def jaccard_ssjoin(
             F.least("a.s", "b.s").cast("double")
             >= F.lit(threshold) * F.greatest("a.s", "b.s") - F.lit(1e-9)
         )
-        .select(
+        .groupBy(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
             F.col("a.s").alias("sa"),
             F.col("b.s").alias("sb"),
         )
-        .distinct()
+        .agg(F.min("a.pos").alias("amin"), F.min("b.pos").alias("bmin"))
+        .filter(
+            1 + F.least(F.col("sa") - F.col("amin"), F.col("sb") - F.col("bmin"))
+            >= alpha
+        )
+        .select("id_a", "id_b", "sa", "sb")
     )
 
-    # verify: attach each side's full shingle set as a sorted array and
-    # intersect in-row (codegen, no explode) — candidates number far more
-    # than survivors, so a per-pair array op beats re-exploding postings
-    # into a pair-keyed shuffle of |cand|·|set| rows
-    arrs = toks.groupBy("doc").agg(F.sort_array(F.collect_list("term")).alias("arr"))
+    # verify: re-join candidate pairs against the full (hashed) postings
+    # and COUNT matches — a streaming |cand|·|set| row shuffle of 16-byte
+    # rows.  (An array-intersect verify — whole shingle arrays attached to
+    # every candidate row — looks cheaper but materializes |cand|·|set|
+    # BYTES in memory at once and OOMs when replicated corpora make
+    # candidates dense; measured at the 200k-doc stress scale.)
+    ta = toks.select(F.col("doc").alias("id_a"), "term")
+    tb = toks.select(F.col("doc").alias("id_b"), "term")
     inter = (
-        cand.join(arrs.select(F.col("doc").alias("id_a"), F.col("arr").alias("arr_a")), "id_a")
-        .join(arrs.select(F.col("doc").alias("id_b"), F.col("arr").alias("arr_b")), "id_b")
-        .select(
-            "id_a", "id_b", "sa", "sb",
-            F.size(F.array_intersect("arr_a", "arr_b")).alias("i"),
-        )
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "term"])
+        .groupBy("id_a", "id_b", "sa", "sb")
+        .agg(F.count(F.lit(1)).alias("i"))
     )
     return inter.select(
         "id_a",

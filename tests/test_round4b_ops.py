@@ -251,3 +251,25 @@ def test_ivm_untouched_rows_absent(spark):
     rows = {(r["op"], r["apk"]) for r in out.collect()}
     # row 2 shares nothing with the delta and must not appear
     assert rows == {("ins", 1), ("del", 1)}
+
+
+def test_ewma_recursive_fold_matches_python(spark):
+    from mcpvectordb_spark.catalog import q_events_ewma_recursive  # noqa: F401
+    # exercise the same fold shape directly on a tiny frame
+    df = spark.createDataFrame(
+        [("k", 0, 10.0), ("k", 1, 20.0), ("k", 2, 40.0)], ["g", "h", "n"]
+    )
+    arr = df.groupBy("g").agg(
+        F.array_sort(F.collect_list(F.struct("h", "n"))).alias("xs")
+    )
+    fold = F.aggregate(
+        F.col("xs"), F.array().cast("array<double>"),
+        lambda acc, e: F.when(F.size(acc) == 0, F.array(e["n"])).otherwise(
+            F.concat(acc, F.array(F.lit(0.3) * e["n"] + F.lit(0.7) * F.element_at(acc, -1)))
+        ),
+    )
+    got = arr.select(fold.alias("sm")).first()["sm"]
+    s = [10.0]
+    for x in (20.0, 40.0):
+        s.append(0.3 * x + 0.7 * s[-1])
+    assert all(math.isclose(a, b, rel_tol=1e-12) for a, b in zip(got, s))

