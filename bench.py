@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "events_theilsen",       # robust median-slope trend per type
     "orders_ivm",            # O(delta) join-view maintenance
     "events_ewma_recursive", # O(L) stateful fold vs O(L^2) oracle
+    "parts_ppr",             # random walk with restart from seed suppliers
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -1583,6 +1583,78 @@ GROUP BY a.event_type, a.h, a.n
 """
 
 
+def q_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / random walk with restart (Haveliwala 2002;
+    operators/graph.py::pagerank(teleport=)) on the symmetrized recurring
+    supplier→part graph: teleport mass restarts at suppliers 1-4
+    (namespaced negative so supplier and part keys cannot collide), and
+    the top-15 PART nodes are the parts most proximate to those
+    suppliers — graph-proximity recommendations, complementing the
+    co-occurrence cosine of item_recs.  The oracle unrolls all 6
+    iterations with the same seed-concentrated teleport vector."""
+    from mcpvectordb_spark.operators.graph import pagerank
+
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            (-F.col("l_suppkey")).alias("s"), F.col("l_partkey").alias("t")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    edges = sp.select(F.col("s").alias("src"), F.col("t").alias("dst"), "n").unionByName(
+        sp.select(F.col("t").alias("src"), F.col("s").alias("dst"), "n")
+    )
+    seeds = spark.range(1, 5).select((-F.col("id")).alias("node"))
+    pr = pagerank(
+        edges, iterations=6, damping=0.85, weight_col="n",
+        loop_partitions=8, teleport=seeds,
+    )
+    return (
+        pr.filter(F.col("node") > 0)
+        .select("node", F.round("rank", 9).alias("ppr"))
+        .orderBy(F.col("ppr").desc(), F.col("node").asc())
+        .limit(15)
+    )
+
+
+def _sql_parts_ppr() -> str:
+    steps = []
+    prev = "pr0"
+    for i in range(1, 7):
+        steps.append(f""",
+pr{i} AS (
+  SELECT tp.node, 0.15 * tp.tp + 0.85 * coalesce(agg{i}.im, 0.0) AS pr
+  FROM tp LEFT JOIN (
+    SELECT dst AS node, sum(pr * p) AS im
+    FROM trans JOIN {prev} ON {prev}.node = trans.src GROUP BY dst
+  ) agg{i} USING (node))""")
+        prev = f"pr{i}"
+    return f"""
+WITH sp AS (
+  SELECT -l_suppkey AS s, l_partkey AS t, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS (SELECT s AS src, t AS dst, n FROM sp
+      UNION ALL SELECT t AS src, s AS dst, n FROM sp),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst AS node FROM e),
+seeds AS (SELECT node FROM nodes WHERE node IN (-1, -2, -3, -4)),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS n_seeds FROM seeds),
+tp AS (
+  SELECT nodes.node,
+         CASE WHEN seeds.node IS NOT NULL THEN 1.0 / n_seeds ELSE 0.0 END AS tp
+  FROM nodes LEFT JOIN seeds USING (node), ns),
+outw AS (SELECT src, sum(n) AS ow FROM e GROUP BY src),
+trans AS (SELECT e.src, e.dst, e.n * 1.0 / outw.ow AS p FROM e JOIN outw USING (src)),
+pr0 AS (SELECT node, tp AS pr FROM tp){"".join(steps)}
+SELECT node, round(pr, 9) AS ppr FROM {prev}
+WHERE node > 0 ORDER BY ppr DESC, node ASC LIMIT 15
+"""
+
+
+SQL_PARTS_PPR = _sql_parts_ppr()
+
+
 def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (operators/prf.py): BM25 top-10
     feedback docs → RM1 relevance model → λ=0.5 interpolation with the
@@ -7668,6 +7740,7 @@ QUERIES = {
     "events_theilsen": q_events_theilsen,
     "orders_ivm": q_orders_ivm,
     "events_ewma_recursive": q_events_ewma_recursive,
+    "parts_ppr": q_parts_ppr,
     "assoc_rules": q_assoc_rules,
     "parts_pagerank": q_parts_pagerank,
     "rfm_segments": q_rfm_segments,
@@ -7892,6 +7965,7 @@ ORACLES = {
     "events_theilsen": SQL_EVENTS_THEILSEN,
     "orders_ivm": SQL_ORDERS_IVM,
     "events_ewma_recursive": SQL_EVENTS_EWMA_RECURSIVE,
+    "parts_ppr": SQL_PARTS_PPR,
     "assoc_rules": SQL_ASSOC_RULES,
     "parts_pagerank": SQL_PARTS_PAGERANK,
     "rfm_segments": SQL_RFM_SEGMENTS,

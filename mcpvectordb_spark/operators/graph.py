@@ -38,11 +38,18 @@ def pagerank(
     dst_col: str = "dst",
     weight_col: str | None = None,
     loop_partitions: int | None = None,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list; returns (node, rank).
 
     Every node appearing as src or dst receives a rank (nodes without
     in-edges keep the teleport mass (1-d)/N each iteration).
+
+    ``teleport``: optional one-column (node) seed set — personalized
+    PageRank / random walk with restart (Haveliwala 2002): the teleport
+    mass (1-d) concentrates uniformly on the seeds instead of all nodes,
+    ranking the graph by proximity to the seed set.  None = classic
+    uniform teleport.
 
     ``loop_partitions``: when the graph is small relative to the cluster,
     pin the iteration stages to this fixed parallelism and materialize
@@ -78,7 +85,31 @@ def pagerank(
             .distinct()
             .localCheckpoint(eager=eager)
         )
-        n_nodes = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("__n")))
+
+        # unified teleport vector (node, tp): uniform 1/N classically, or
+        # 1/|seeds| on the seed set for personalized PageRank
+        if teleport is None:
+            n_nodes = F.broadcast(
+                nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+            )
+            tp_df = nodes.crossJoin(n_nodes).select(
+                "node", (F.lit(1.0) / F.col("__n")).alias("tp")
+            )
+        else:
+            seeds = (
+                teleport.toDF("node").distinct().join(nodes, "node")
+            )
+            n_seeds = F.broadcast(
+                seeds.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+            )
+            marked = nodes.join(seeds.withColumn("__is", F.lit(1)), "node", "left")
+            tp_df = marked.crossJoin(n_seeds).select(
+                "node",
+                F.when(F.col("__is").isNotNull(), F.lit(1.0) / F.col("__n"))
+                .otherwise(F.lit(0.0))
+                .alias("tp"),
+            )
+        tp_df = tp_df.localCheckpoint(eager=eager)
 
         out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
         trans = (
@@ -87,9 +118,7 @@ def pagerank(
             .localCheckpoint(eager=eager)
         )
 
-        ranks = nodes.crossJoin(n_nodes).select(
-            "node", (F.lit(1.0) / F.col("__n")).alias("rank")
-        )
+        ranks = tp_df.select("node", F.col("tp").alias("rank"))
         for _ in range(iterations):
             inbound = (
                 trans.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -97,12 +126,11 @@ def pagerank(
                 .agg(F.sum(F.col("rank") * F.col("p")).alias("in_mass"))
             )
             ranks = (
-                nodes.join(inbound.withColumnRenamed("dst", "node"), "node", "left")
-                .crossJoin(n_nodes)
+                tp_df.join(inbound.withColumnRenamed("dst", "node"), "node", "left")
                 .select(
                     "node",
                     (
-                        (1.0 - damping) / F.col("__n")
+                        (1.0 - damping) * F.col("tp")
                         + damping * F.coalesce(F.col("in_mass"), F.lit(0.0))
                     ).alias("rank"),
                 )

@@ -258,3 +258,55 @@ def attribution_stream(
     return stream.groupBy("user").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def ewma_stream(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Streaming recursive EWMA: per key, ``s = α·x + (1-α)·s_prev``
+    folded over values in ``order_cols`` order WITHIN each micro-batch,
+    with the carried smoothed value as the only cross-batch state — the
+    stream twin of the batch F.aggregate fold (catalog
+    events_ewma_recursive).  Emits one row per key per batch:
+    (key, n_seen, ewma).
+
+    State is one (count, ewma) pair per key — bounded regardless of
+    stream length, sharded over the state store.  For in-order sources
+    (e.g. file batches) the result is EXACTLY the batch fold over the
+    concatenated series; the batch-twin test pins that equality.
+    """
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ])
+    o1, o2 = order_cols
+
+    def fold(key, pdfs, state):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        emitted = False
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([o1, o2], kind="mergesort")
+            for x in pdf[value_col].astype(float):
+                s = x if n == 0 else alpha * x + (1.0 - alpha) * s
+                n += 1
+            emitted = True
+        state.update((n, s))
+        if emitted:
+            yield pd.DataFrame([{"key": key[0], "n_seen": n, "ewma": s}])
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -186,3 +186,58 @@ def test_attribution_stream_equals_batch_twin(spark, tmp_path):
         for r in last_touch_attribution(ev, "purchase").collect()
     }
     assert got == batch
+
+
+def test_ewma_stream_equals_batch_fold(spark, tmp_path):
+    """Streamed recursive EWMA across two micro-batches == the batch fold
+    over the concatenated in-order series (the events_ewma_recursive
+    semantics)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from mcpvectordb_spark.streaming.stateful import ewma_stream
+
+    src = tmp_path / "src_ewma"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def rows(ids_vals):
+        return [
+            (i, t0 + datetime.timedelta(minutes=i), "a", v) for i, v in ids_vals
+        ]
+
+    b1 = rows([(1, 10.0), (2, 20.0)])
+    b2 = rows([(3, 40.0), (4, 10.0)])
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        ewma_stream(stream).writeStream.outputMode("append").format("memory")
+        .queryName("ewma_out").option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+        .start()
+    )
+    try:
+        _drain(q)
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+        _drain(q)
+        got = {
+            r["n_seen"]: r["ewma"]
+            for r in spark.sql("SELECT * FROM ewma_out WHERE key='a'").collect()
+        }
+    finally:
+        q.stop()
+
+    # batch fold over the full series
+    s = None
+    expect = {}
+    for i, (_, v) in enumerate(
+        [(1, 10.0), (2, 20.0), (3, 40.0), (4, 10.0)], start=1
+    ):
+        s = v if s is None else 0.3 * v + 0.7 * s
+        expect[i] = s
+    # stream emits the latest state per batch: after batch1 (n=2) and batch2 (n=4)
+    assert set(got) == {2, 4}
+    assert abs(got[2] - expect[2]) < 1e-12
+    assert abs(got[4] - expect[4]) < 1e-12
