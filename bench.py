@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "orders_ivm",            # O(delta) join-view maintenance
     "events_ewma_recursive", # O(L) stateful fold vs O(L^2) oracle
     "parts_ppr",             # random walk with restart from seed suppliers
+    "orders_agg_ivm",        # signed-delta aggregate-view refresh
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -1655,6 +1655,45 @@ WHERE node > 0 ORDER BY ppr DESC, node ASC LIMIT 15
 SQL_PARTS_PPR = _sql_parts_ppr()
 
 
+def q_orders_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the per-customer (count, sum) aggregate
+    view under the orders CDC batch (operators/ivm.py::
+    incremental_agg_delta — signed-delta aggregation over the DELTA only
+    + a keyed join into the old view; the base table is never rescanned
+    on refresh).  Emits the post-update rows for touched customers; the
+    oracle recomputes those rows from the full post-state the expensive
+    way.  Sums round at 4dp: the ×1.1 reprice makes 3-decimal values, so
+    4dp is exact and immune to half-boundary double drift between the
+    incremental and recomputed sums."""
+    from mcpvectordb_spark.operators.ivm import base_agg_view, incremental_agg_delta
+
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    da = a.filter(F.col("o_orderkey") % 97 == 0)
+    ia = da.withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    view = base_agg_view(a, ["o_custkey"], ["o_totalprice"])
+    out = incremental_agg_delta(view, ia, da, ["o_custkey"], ["o_totalprice"])
+    return out.select(
+        "o_custkey",
+        F.col("__cnt").cast("long").alias("cnt"),
+        F.round("sum_o_totalprice", 4).alias("sum_price"),
+    )
+
+
+SQL_ORDERS_AGG_IVM = """
+WITH a AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+da AS (SELECT * FROM a WHERE o_orderkey % 97 = 0),
+ia AS (SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice FROM da),
+a2 AS (SELECT * FROM a WHERE o_orderkey % 97 <> 0 UNION ALL SELECT * FROM ia),
+touched AS (SELECT DISTINCT o_custkey FROM da)
+SELECT a2.o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(o_totalprice), 4) AS sum_price
+FROM a2 JOIN touched USING (o_custkey)
+GROUP BY a2.o_custkey
+"""
+
+
 def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (operators/prf.py): BM25 top-10
     feedback docs → RM1 relevance model → λ=0.5 interpolation with the
@@ -7741,6 +7780,7 @@ QUERIES = {
     "orders_ivm": q_orders_ivm,
     "events_ewma_recursive": q_events_ewma_recursive,
     "parts_ppr": q_parts_ppr,
+    "orders_agg_ivm": q_orders_agg_ivm,
     "assoc_rules": q_assoc_rules,
     "parts_pagerank": q_parts_pagerank,
     "rfm_segments": q_rfm_segments,
@@ -7966,6 +8006,7 @@ ORACLES = {
     "orders_ivm": SQL_ORDERS_IVM,
     "events_ewma_recursive": SQL_EVENTS_EWMA_RECURSIVE,
     "parts_ppr": SQL_PARTS_PPR,
+    "orders_agg_ivm": SQL_ORDERS_AGG_IVM,
     "assoc_rules": SQL_ASSOC_RULES,
     "parts_pagerank": SQL_PARTS_PAGERANK,
     "rfm_segments": SQL_RFM_SEGMENTS,

@@ -69,3 +69,59 @@ def incremental_join_delta(
         .withColumn("op", F.lit("ins"))
         .unionByName(del1.unionByName(del2).withColumn("op", F.lit("del")))
     )
+
+
+def incremental_agg_delta(
+    base: DataFrame,
+    ins: DataFrame,
+    dels: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental maintenance of a ``groupBy(keys).agg(count, sums)``
+    view: returns the POST-update view rows for every key touched by the
+    delta (`__cnt` plus one ``sum_<c>`` per sum column), with vanished
+    keys (count dropped to 0) omitted.
+
+    The classic signed-delta trick: inserts contribute +1/+x, deletes
+    −1/−x, one keyed aggregation over the DELTA only, then a join against
+    the old view restricted to touched keys.  The base table is scanned
+    ZERO times when the caller passes the materialized view — refresh
+    cost is O(|delta| + |touched keys|), not O(|base|).
+
+    ``base`` here is the OLD VIEW (key, __cnt, sum_*), matching what a
+    maintenance pipeline persists; build it once with
+    ``base_agg_view``.
+    """
+    signed = ins.select(
+        *key_cols, F.lit(1).alias("__w"), *[F.col(c).alias(f"__v_{c}") for c in sum_cols]
+    ).unionByName(
+        dels.select(
+            *key_cols, F.lit(-1).alias("__w"),
+            *[F.col(c).alias(f"__v_{c}") for c in sum_cols],
+        )
+    )
+    d = signed.groupBy(*key_cols).agg(
+        F.sum("__w").alias("__d_cnt"),
+        *[
+            F.sum(F.col("__w") * F.col(f"__v_{c}")).alias(f"__d_{c}")
+            for c in sum_cols
+        ],
+    )
+    joined = d.join(base, key_cols, "left")
+    out_cols = [
+        (F.coalesce("__cnt", F.lit(0)) + F.col("__d_cnt")).alias("__cnt"),
+        *[
+            (F.coalesce(f"sum_{c}", F.lit(0.0)) + F.col(f"__d_{c}")).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    ]
+    return joined.select(*key_cols, *out_cols).filter(F.col("__cnt") > 0)
+
+
+def base_agg_view(df: DataFrame, key_cols: list[str], sum_cols: list[str]) -> DataFrame:
+    """The materialized view shape incremental_agg_delta maintains."""
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+    )

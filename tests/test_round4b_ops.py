@@ -273,3 +273,39 @@ def test_ewma_recursive_fold_matches_python(spark):
     for x in (20.0, 40.0):
         s.append(0.3 * x + 0.7 * s[-1])
     assert all(math.isclose(a, b, rel_tol=1e-12) for a, b in zip(got, s))
+
+
+def test_agg_ivm_matches_recompute(spark):
+    from mcpvectordb_spark.operators.ivm import base_agg_view, incremental_agg_delta
+
+    a = spark.createDataFrame(
+        [(i, i % 4, float(i) + 0.5) for i in range(30)], ["pk", "k", "v"]
+    )
+    dels = a.filter(F.col("pk") % 5 == 0)                       # updates
+    ins = dels.withColumn("v", F.col("v") * 2).unionByName(      # + brand-new key
+        spark.createDataFrame([(100, 9, 7.0)], ["pk", "k", "v"])
+    )
+    view = base_agg_view(a, ["k"], ["v"])
+    got = {
+        r["k"]: (r["__cnt"], round(r["sum_v"], 9))
+        for r in incremental_agg_delta(view, ins, dels, ["k"], ["v"]).collect()
+    }
+    a2 = a.join(dels.select("pk"), "pk", "left_anti").unionByName(ins)
+    touched = {r["k"] for r in dels.select("k").union(ins.select("k")).distinct().collect()}
+    expect = {
+        r["k"]: (r["__cnt"], round(r["sum_v"], 9))
+        for r in base_agg_view(a2, ["k"], ["v"]).collect()
+        if r["k"] in touched
+    }
+    assert got == expect and 9 in got  # includes the brand-new key
+
+
+def test_agg_ivm_vanished_key_omitted(spark):
+    from mcpvectordb_spark.operators.ivm import base_agg_view, incremental_agg_delta
+
+    a = spark.createDataFrame([(1, "x", 1.0), (2, "y", 2.0)], ["pk", "k", "v"])
+    dels = a.filter("k = 'x'")
+    ins = dels.limit(0)
+    view = base_agg_view(a, ["k"], ["v"])
+    out = incremental_agg_delta(view, ins, dels, ["k"], ["v"]).collect()
+    assert out == []  # x vanished (cnt 0), y untouched -> not emitted
