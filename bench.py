@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "events_ewma_recursive", # O(L) stateful fold vs O(L^2) oracle
     "parts_ppr",             # random walk with restart from seed suppliers
     "orders_agg_ivm",        # signed-delta aggregate-view refresh
+    "parts_kcore",           # 4-round k-core peeling
+    "events_winsorize",      # winsorize + median/IQR robust scaling
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -1694,6 +1694,103 @@ GROUP BY a2.o_custkey
 """
 
 
+def q_parts_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the recurring supplier↔part graph (operators/graph.py::
+    kcore — 4 synchronous peeling rounds, deterministic): the maximal
+    subgraph where every node keeps >= 3 recurring trading partners.
+    Output = surviving PART nodes with their in-core degree.  The oracle
+    unrolls the identical 4 peel rounds."""
+    from mcpvectordb_spark.operators.graph import kcore
+
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy((-F.col("l_suppkey")).alias("src"), F.col("l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    out = kcore(sp, k=3, rounds=4)
+    return out.filter(F.col("node") > 0).select(
+        "node", F.col("deg").cast("long").alias("deg")
+    )
+
+
+def _sql_parts_kcore() -> str:
+    rounds = "".join(
+        f""",
+k{i} AS (SELECT s FROM e{i - 1} GROUP BY s HAVING count(*) >= 3),
+e{i} AS (
+  SELECT e.s, e.t FROM e{i - 1} e
+  JOIN k{i} a ON a.s = e.s JOIN k{i} b ON b.s = e.t)"""
+        for i in range(1, 5)
+    )
+    return f"""
+WITH sp AS (
+  SELECT -l_suppkey AS src, l_partkey AS dst
+  FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 2),
+e0 AS (SELECT src AS s, dst AS t FROM sp UNION SELECT dst AS s, src AS t FROM sp){rounds}
+SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
+FROM e4 WHERE s > 0 GROUP BY s
+"""
+
+
+SQL_PARTS_KCORE = _sql_parts_kcore()
+
+
+def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization + robust scaling of event values: clamp to
+    the exact [p05, p95] band, then scale by (median, IQR) — the standard
+    outlier-immune feature-engineering normalizer.  Two keyed exact
+    percentile aggregations + one broadcast join; at 100 TB swap the
+    exact percentiles for the mergeable histogram sketch
+    (sketches.histogram_quantiles), same as the MAD/WOE operators.
+    Output: per type, the clamp band and the scaled mean/min/max of the
+    transformed values (aggregate gate keeps the row count bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        (
+            F.percentile("value", F.lit(0.75)) - F.percentile("value", F.lit(0.25))
+        ).alias("iqr"),
+    )
+    w = ev.join(F.broadcast(bands), "event_type").select(
+        "event_type", "p05", "p95", "med", "iqr",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("wv"),
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.round(F.first("p05"), 6).alias("p05"),
+            F.round(F.first("p95"), 6).alias("p95"),
+            F.round(F.avg((F.col("wv") - F.col("med")) / F.col("iqr")), 6).alias("scaled_mean"),
+            F.round(F.min((F.col("wv") - F.col("med")) / F.col("iqr")), 6).alias("scaled_min"),
+            F.round(F.max((F.col("wv") - F.col("med")) / F.col("iqr")), 6).alias("scaled_max"),
+        )
+    )
+
+
+SQL_EVENTS_WINSORIZE = """
+WITH bands AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95,
+         quantile_cont(value, 0.5) AS med,
+         quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+  FROM events GROUP BY 1),
+w AS (
+  SELECT e.event_type, b.p05, b.p95, b.med, b.iqr,
+         least(greatest(e.value, b.p05), b.p95) AS wv
+  FROM events e JOIN bands b USING (event_type))
+SELECT event_type, round(max(p05), 6) AS p05, round(max(p95), 6) AS p95,
+       round(avg((wv - med) / iqr), 6) AS scaled_mean,
+       round(min((wv - med) / iqr), 6) AS scaled_min,
+       round(max((wv - med) / iqr), 6) AS scaled_max
+FROM w GROUP BY event_type
+"""
+
+
 def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (operators/prf.py): BM25 top-10
     feedback docs → RM1 relevance model → λ=0.5 interpolation with the
@@ -7781,6 +7878,8 @@ QUERIES = {
     "events_ewma_recursive": q_events_ewma_recursive,
     "parts_ppr": q_parts_ppr,
     "orders_agg_ivm": q_orders_agg_ivm,
+    "parts_kcore": q_parts_kcore,
+    "events_winsorize": q_events_winsorize,
     "assoc_rules": q_assoc_rules,
     "parts_pagerank": q_parts_pagerank,
     "rfm_segments": q_rfm_segments,
@@ -8007,6 +8106,8 @@ ORACLES = {
     "events_ewma_recursive": SQL_EVENTS_EWMA_RECURSIVE,
     "parts_ppr": SQL_PARTS_PPR,
     "orders_agg_ivm": SQL_ORDERS_AGG_IVM,
+    "parts_kcore": SQL_PARTS_KCORE,
+    "events_winsorize": SQL_EVENTS_WINSORIZE,
     "assoc_rules": SQL_ASSOC_RULES,
     "parts_pagerank": SQL_PARTS_PAGERANK,
     "rfm_segments": SQL_RFM_SEGMENTS,

@@ -365,3 +365,44 @@ def label_propagation(
             cnt.withColumn("rn", rn).filter(F.col("rn") == 1).select("v", "lbl")
         )
     return labels.select(F.col("v").alias("node"), "lbl")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core peeling (Seidman 1983), ``rounds`` fixed synchronous
+    iterations: repeatedly drop nodes with degree < k from the
+    symmetrized graph.  Fixed round count keeps the output deterministic
+    and oracle-unrollable; with enough rounds this converges to the true
+    k-core (each round strictly shrinks the graph or is a fixpoint).
+    Returns surviving (node, deg) after the last round.
+
+    Scale: each round is one degree count + two semi-join restrictions
+    of the (shrinking) edge list; same Pregel-on-DataFrames profile as
+    the rest of this module, edge list checkpointed per round.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+        .unionByName(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("t")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("s")
+        )
+        e = (
+            e.join(keep, "s", "left_semi")
+            .join(keep.withColumnRenamed("s", "t"), "t", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

@@ -309,3 +309,23 @@ def test_agg_ivm_vanished_key_omitted(spark):
     view = base_agg_view(a, ["k"], ["v"])
     out = incremental_agg_delta(view, ins, dels, ["k"], ["v"]).collect()
     assert out == []  # x vanished (cnt 0), y untouched -> not emitted
+
+
+def test_kcore_peels_tail(spark):
+    from mcpvectordb_spark.operators.graph import kcore
+
+    # triangle (3-core needs k=2 here) + a pendant chain that must peel off
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    got = {r["node"]: r["deg"] for r in kcore(edges, k=2, rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}  # 5 peels first, then 4
+
+
+def test_kcore_cascading_rounds(spark):
+    from mcpvectordb_spark.operators.graph import kcore
+
+    # a long chain: each round peels both endpoints; 4 rounds clear <=8 nodes
+    chain = [(i, i + 1) for i in range(1, 8)]
+    got = kcore(spark.createDataFrame(chain, ["src", "dst"]), k=2, rounds=4).count()
+    assert got == 0
