@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "orders_agg_ivm",        # signed-delta aggregate-view refresh
     "parts_kcore",           # 4-round k-core peeling
     "events_winsorize",      # winsorize + median/IQR robust scaling
+    "events_survival",       # Kaplan-Meier conversion curve w/ censoring
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

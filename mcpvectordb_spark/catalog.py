@@ -1791,6 +1791,77 @@ FROM w GROUP BY event_type
 """
 
 
+def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-event curve (Kaplan & Meier 1958) for
+    time-to-first-purchase: duration = days from a user's first event to
+    their first 'purchase'; users who never purchase are CENSORED at the
+    stream horizon (their conversion time is only known to exceed the
+    observation — dropping them would bias conversion times short, the
+    whole point of the product-limit estimator over naive averages).
+    S(t) = Π_{tᵢ<=t} (1 − dᵢ/nᵢ) runs as exp(Σ ln·) over a cumulative
+    window — one pass over the per-duration risk table, no iteration.
+    Steps are the durations with 0 < d < n (declared spec; a d = n step
+    would drive S to exactly 0)."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("cd"),
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    users = spans.crossJoin(F.broadcast(horizon)).select(
+        F.when(F.col("cd").isNotNull(), F.datediff("cd", "fd"))
+        .otherwise(F.datediff("maxd", "fd"))
+        .alias("dur"),
+        F.col("cd").isNotNull().alias("converted"),
+    )
+    per_dur = users.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("converted").cast("long")).alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("dur").asc()).rowsBetween(0, Window.unboundedFollowing)
+    risk = per_dur.withColumn("n", F.sum("total").over(w_desc)).filter(
+        (F.col("d") > 0) & (F.col("d") < F.col("n"))
+    )
+    w_cum = Window.orderBy(F.col("dur").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    return risk.select(
+        F.col("dur").cast("long").alias("dur"),
+        F.col("d").cast("long").alias("d"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.exp(F.sum(F.log(1.0 - F.col("d") / F.col("n"))).over(w_cum)), 6
+        ).alias("survival"),
+    )
+
+
+SQL_EVENTS_SURVIVAL = """
+WITH spans AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS cd
+  FROM events GROUP BY 1),
+horizon AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+users AS (
+  SELECT CASE WHEN cd IS NOT NULL THEN datediff('day', fd, cd)
+              ELSE datediff('day', fd, maxd) END AS dur,
+         (cd IS NOT NULL) AS converted
+  FROM spans, horizon),
+per_dur AS (
+  SELECT dur, count(*) AS total,
+         CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM users GROUP BY 1),
+risk AS (
+  SELECT dur, d,
+         sum(total) OVER (ORDER BY dur ASC ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+  FROM per_dur)
+SELECT CAST(dur AS BIGINT) AS dur, d, CAST(n AS BIGINT) AS n,
+       round(exp(sum(ln(1.0 - d * 1.0 / n))
+                 OVER (ORDER BY dur ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+         AS survival
+FROM risk WHERE d > 0 AND d < n
+"""
+
+
 def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (operators/prf.py): BM25 top-10
     feedback docs → RM1 relevance model → λ=0.5 interpolation with the
@@ -7880,6 +7951,7 @@ QUERIES = {
     "orders_agg_ivm": q_orders_agg_ivm,
     "parts_kcore": q_parts_kcore,
     "events_winsorize": q_events_winsorize,
+    "events_survival": q_events_survival,
     "assoc_rules": q_assoc_rules,
     "parts_pagerank": q_parts_pagerank,
     "rfm_segments": q_rfm_segments,
@@ -8108,6 +8180,7 @@ ORACLES = {
     "orders_agg_ivm": SQL_ORDERS_AGG_IVM,
     "parts_kcore": SQL_PARTS_KCORE,
     "events_winsorize": SQL_EVENTS_WINSORIZE,
+    "events_survival": SQL_EVENTS_SURVIVAL,
     "assoc_rules": SQL_ASSOC_RULES,
     "parts_pagerank": SQL_PARTS_PAGERANK,
     "rfm_segments": SQL_RFM_SEGMENTS,
