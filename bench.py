@@ -135,6 +135,10 @@ BENCH_QUERIES = [
     "parts_kcore",           # 4-round k-core peeling
     "events_winsorize",      # winsorize + median/IQR robust scaling
     "events_survival",       # Kaplan-Meier conversion curve w/ censoring
+    "parts_linkpred",        # Adamic-Adar wedge join + broadcast degrees
+    "events_mannwhitney",    # rank-sum test over distinct-value midranks
+    "orders_kmv",            # KMV sketch intersection, TakeOrdered top-k
+    "events_stl",            # STL-lite decomposition on daily aggregate
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -7850,6 +7850,237 @@ GROUP BY b0, b1, b2, b3, b4"""
 SQL_LR_QUALITY = _sql_lr()
 
 
+def q_parts_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (graph.py::adamic_adar_linkpred) on the
+    recurring supplier↔part graph: the 20 part pairs with the strongest
+    shared-supplier evidence that do NOT yet trade through a common
+    recurring link — "these two parts will co-occur next".  Wedge join on
+    the shared neighbor + broadcast degree table + one keyed agg; the
+    oracle replays the same wedge/degree/anti-join pipeline."""
+    from mcpvectordb_spark.operators.graph import adamic_adar_linkpred
+
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy((-F.col("l_suppkey")).alias("src"), F.col("l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    out = adamic_adar_linkpred(sp)
+    return (
+        out.filter(F.col("a") > 0)
+        .select("a", "b", "common_neighbors", F.round("adamic_adar", 6).alias("adamic_adar"))
+        .orderBy(F.col("adamic_adar").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
+SQL_PARTS_LINKPRED = """
+WITH sp AS (
+  SELECT -l_suppkey AS src, l_partkey AS dst
+  FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 2),
+und AS (SELECT src AS s, dst AS t FROM sp UNION SELECT dst AS s, src AS t FROM sp),
+deg AS (SELECT s AS z, CAST(count(*) AS BIGINT) AS deg_z FROM und GROUP BY 1),
+wedge AS (
+  SELECT u1.t AS a, u2.t AS b, d.deg_z
+  FROM und u1 JOIN und u2 ON u1.s = u2.s AND u1.t < u2.t
+  JOIN deg d ON d.z = u1.s),
+scored AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+         sum(1.0 / ln(deg_z)) AS aa
+  FROM wedge GROUP BY 1, 2),
+cand AS (
+  SELECT sc.* FROM scored sc
+  LEFT JOIN und e ON e.s = sc.a AND e.t = sc.b
+  WHERE e.s IS NULL)
+SELECT a, b, common_neighbors, round(aa, 6) AS adamic_adar
+FROM cand WHERE a > 0
+ORDER BY round(aa, 6) DESC, a ASC, b ASC LIMIT 20
+"""
+
+
+def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (stats.py::mann_whitney_u) between the
+    same hash-assigned arms as events_ab_test, on per-user purchase
+    revenue in CENTS (integral metric → tied blocks agree bit-exactly
+    across engines; the same quantization bounds the rank window's
+    distinct domain at scale).  The oracle replays assignment, midranks,
+    tie-corrected variance and the rank-biserial effect size."""
+    from mcpvectordb_spark.operators.stats import ab_assign, mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("metric"))
+    )
+    samples = users.select(
+        ab_assign(F.col("user_id")).alias("variant"), "metric"
+    )
+    out = mann_whitney_u(samples)
+    return out.select(
+        "n_a", "n_b",
+        F.round("u_a", 1).alias("u_a"),
+        F.round("z", 6).alias("z"),
+        F.round("rank_biserial", 6).alias("rank_biserial"),
+    )
+
+
+SQL_EVENTS_MANNWHITNEY = f"""
+WITH users AS (
+  SELECT user_id AS u,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS metric
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+assigned AS (
+  SELECT metric, ({_sql_hex48("'ab:' || CAST(u AS VARCHAR)")}) % 2 AS variant
+  FROM users),
+pv AS (
+  SELECT metric AS v,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+  FROM assigned GROUP BY 1),
+ranked AS (
+  SELECT cnt_a, cnt_b, cnt_a + cnt_b AS cnt,
+         sum(cnt_a + cnt_b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (cnt_a + cnt_b) + (cnt_a + cnt_b + 1) / 2.0 AS midrank
+  FROM pv),
+agg AS (
+  SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a, CAST(sum(cnt_b) AS BIGINT) AS n_b,
+         CAST(sum(cnt_a * midrank) AS DOUBLE) AS r_a,
+         CAST(sum(cnt * cnt * cnt - cnt) AS DOUBLE) AS ties_t
+  FROM ranked),
+fin AS (
+  SELECT n_a, n_b,
+         r_a - n_a * (n_a + 1) / 2.0 AS u_a,
+         n_a * CAST(n_b AS DOUBLE) / 2.0 AS mu,
+         n_a * CAST(n_b AS DOUBLE) / 12.0
+           * ((n_a + n_b + 1) - ties_t / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))) AS var
+  FROM agg)
+SELECT n_a, n_b, round(u_a, 1) AS u_a,
+       round(CASE WHEN var > 0 THEN (u_a - mu) / sqrt(var) ELSE 0.0 END, 6) AS z,
+       round(1.0 - 2.0 * u_a / (n_a * CAST(n_b AS DOUBLE)), 6) AS rank_biserial
+FROM fin
+"""
+
+
+_KMV_K = 256
+
+
+def q_orders_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta-style) sketch set algebra (sketches.py::kmv_sketch /
+    kmv_set_stats): distinct-customer cardinality, union, INTERSECTION and
+    Jaccard estimates for the 1995-vs-1996 buyer sets from two 256-long
+    sketches — the mergeable structure that answers audience-overlap
+    questions at 100 TB without ever co-shuffling the raw key sets (HLL
+    unions can't intersect; KMV can).  Each sketch is a
+    TakeOrderedAndProject (per-partition top-k, no full shuffle); all the
+    set algebra below runs on k-row frames.  The oracle replays the exact
+    k-min hash construction and every estimator formula."""
+    from mcpvectordb_spark.operators.sketches import kmv_set_stats, kmv_sketch
+
+    o = load_table(spark, sf_dir, "orders")
+    key = F.concat(F.lit("cust:"), F.col("o_custkey").cast("string"))
+    ka = kmv_sketch(o.filter(F.year("o_orderdate") == 1995), key, k=_KMV_K)
+    kb = kmv_sketch(o.filter(F.year("o_orderdate") == 1996), key, k=_KMV_K)
+    out = kmv_set_stats(ka, kb, k=_KMV_K)
+    return out.select(
+        F.round("est_a", 4).alias("est_a"),
+        F.round("est_b", 4).alias("est_b"),
+        F.round("est_union", 4).alias("est_union"),
+        F.round("est_intersection", 4).alias("est_intersection"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _sql_orders_kmv() -> str:
+    h = _sql_hex48("'cust:' || CAST(o_custkey AS VARCHAR)")
+    k = _KMV_K
+    card = (
+        "SELECT CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE) "
+        "ELSE 281474976710656.0 * {km1} / max(h) END AS {name} FROM {src}"
+    )
+    return f"""
+WITH ha AS (SELECT DISTINCT {h} AS h FROM orders WHERE year(o_orderdate) = 1995),
+hb AS (SELECT DISTINCT {h} AS h FROM orders WHERE year(o_orderdate) = 1996),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) ORDER BY h LIMIT {k}),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM ku),
+c AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM ku
+      WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+ca AS ({card.format(k=k, km1=k - 1, name="est_a", src="ka")}),
+cb AS ({card.format(k=k, km1=k - 1, name="est_b", src="kb")}),
+cu AS ({card.format(k=k, km1=k - 1, name="est_union", src="ku")})
+SELECT round(est_a, 4) AS est_a, round(est_b, 4) AS est_b,
+       round(est_union, 4) AS est_union,
+       round(c / m * est_union, 4) AS est_intersection,
+       round(c / m, 6) AS jaccard
+FROM ca, cb, cu, c, m
+"""
+
+
+SQL_ORDERS_KMV = _sql_orders_kmv()
+
+
+def q_events_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive STL-lite seasonal decomposition of the daily event count:
+    trend = centered 7-day moving average (full windows only), seasonal =
+    mean detrended value per ISO weekday, residual z-score against the
+    residual sigma — the classical decomposition behind seasonal anomaly
+    detection.  One daily pre-aggregation shrinks the stream to |days|
+    rows; every window after that runs on the tiny daily series (at 100 TB
+    the windows still see only |days| rows — the scan does all the work).
+    Output: one row per day with full trend coverage."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    t = daily.withColumn("n7", F.count(F.lit(1)).over(w7)).withColumn(
+        "trend", F.avg("y").over(w7)
+    )
+    valid = t.filter(F.col("n7") == 7).withColumn("det", F.col("y") - F.col("trend"))
+    seas = valid.withColumn("dow", F.weekday("d") + F.lit(1)).withColumn(
+        "seasonal", F.avg("det").over(Window.partitionBy("dow"))
+    )
+    resid = seas.withColumn("resid", F.col("det") - F.col("seasonal"))
+    sigma = resid.agg(F.stddev_pop("resid").alias("sigma"))
+    return (
+        resid.crossJoin(F.broadcast(sigma))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "y",
+            F.round("trend", 4).alias("trend"),
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round("resid", 4).alias("resid"),
+            F.round(F.col("resid") / F.col("sigma"), 4).alias("z"),
+        )
+        .orderBy("d")
+    )
+
+
+SQL_EVENTS_STL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+t AS (
+  SELECT d, y,
+         count(*) OVER w7 AS n7, avg(y) OVER w7 AS trend
+  FROM daily WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+valid AS (SELECT d, y, trend, y - trend AS det FROM t WHERE n7 = 7),
+seas AS (
+  SELECT d, y, trend, det, isodow(d) AS dow,
+         avg(det) OVER (PARTITION BY isodow(d)) AS seasonal
+  FROM valid),
+resid AS (SELECT d, y, trend, seasonal, det - seasonal AS resid FROM seas),
+sig AS (SELECT stddev_pop(resid) AS sigma FROM resid)
+SELECT strftime(d, '%Y-%m-%d') AS d, y,
+       round(trend, 4) AS trend, round(seasonal, 4) AS seasonal,
+       round(resid, 4) AS resid, round(resid / sigma, 4) AS z
+FROM resid, sig ORDER BY d
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -7870,6 +8101,10 @@ SQL_LR_QUALITY = _sql_lr()
 QUERIES = {
     # -- round-4 additions (the mechanical rotation puts never-checked
     # -- queries first regardless of position here) --
+    "parts_linkpred": q_parts_linkpred,
+    "events_mannwhitney": q_events_mannwhitney,
+    "orders_kmv": q_orders_kmv,
+    "events_stl": q_events_stl,
     "events_gapfill": q_events_gapfill,
     "customers_scd2": q_customers_scd2,
     "winnowing_fp": q_winnowing,
@@ -8101,6 +8336,10 @@ QUERIES = _rotate_stalest_first(QUERIES)
 
 ORACLES = {
     # -- round-4 --
+    "parts_linkpred": SQL_PARTS_LINKPRED,
+    "events_mannwhitney": SQL_EVENTS_MANNWHITNEY,
+    "orders_kmv": SQL_ORDERS_KMV,
+    "events_stl": SQL_EVENTS_STL,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "customers_scd2": SQL_CUSTOMERS_SCD2,
     "winnowing_fp": SQL_WINNOWING,

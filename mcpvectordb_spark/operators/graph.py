@@ -406,3 +406,48 @@ def kcore(
     return e.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+
+
+def adamic_adar_linkpred(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction by shared-neighbor evidence: for every non-adjacent
+    node pair (a < b), the common-neighbor count and the Adamic-Adar score
+    Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) (Adamic & Adar 2003) — shared rare
+    neighbors count more than shared hubs.
+
+    Plan shape: undirected adjacency self-joined on the shared neighbor z
+    (the wedge join — the same inverted-index discipline as the dedup
+    candidate builders: pairs explode per NEIGHBOR, never across the node
+    set), degree table broadcast, one keyed agg, existing edges removed by
+    anti-join.  Total wedge fanout is Σ_z deg(z)², so `max_degree` drops
+    super-hub neighbors first — the standard cutoff that keeps the join
+    linear-ish at web scale (a hub's 1/ln(deg) contribution is negligible
+    anyway, which is the point of the weighting).
+
+    Returns (a, b, common_neighbors, adamic_adar) for candidate pairs.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+        .unionByName(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("t")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy(F.col("s").alias("z")).agg(F.count(F.lit(1)).alias("deg_z"))
+    if max_degree is not None:
+        deg = deg.filter(F.col("deg_z") <= max_degree)
+    wedges = (
+        und.select(F.col("s").alias("z"), F.col("t").alias("a"))
+        .join(und.select(F.col("s").alias("z"), F.col("t").alias("b")), "z")
+        .filter(F.col("a") < F.col("b"))
+        .join(F.broadcast(deg), "z")
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.sum(F.lit(1.0) / F.log(F.col("deg_z"))).alias("adamic_adar"),
+    )
+    existing = und.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    return scored.join(existing, ["a", "b"], "left_anti")

@@ -331,3 +331,59 @@ def cms_estimate(
         .groupBy("item")
         .agg(F.min("c").cast("long").alias("est"))
     )
+
+
+def kmv_sketch(df: DataFrame, key: Column, k: int = 256) -> DataFrame:
+    """K-minimum-values sketch of a key set (Bar-Yossef et al. 2002): the
+    k smallest portable-md5 48-bit hashes of the distinct keys.  The
+    `.orderBy(h).limit(k)` compiles to TakeOrderedAndProject — every
+    partition keeps only its local top-k, so the full corpus never
+    shuffles; the sketch itself is k longs (~2 KB), cheap to persist per
+    partition/day and to merge (union-then-limit) like the HLL rollups
+    above, but supporting INTERSECTION estimates HLL cannot give."""
+    from mcpvectordb_spark.operators.dedup import hexint48
+
+    return (
+        df.select(hexint48(key).alias("h")).distinct().orderBy("h").limit(int(k))
+    )
+
+
+def kmv_set_stats(ka: DataFrame, kb: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count and intersection estimates from two KMV sketches
+    (columns: h).  Union sketch = k smallest of kA ∪ kB with kth-min
+    threshold theta; Jaccard ≈ |{h ∈ theta-window present in both}| / m;
+    |A∪B| ≈ (m-1)/theta · 2^48 (exact when the union sketch is not full,
+    i.e. m < k); |A∩B| = Jaccard · |A∪B|.  Everything below runs on k-row
+    frames — broadcast one-row scalars, no full-data pass.  Returns one
+    row: est_a, est_b, est_union, est_intersection, jaccard."""
+    space = float(1 << 48)
+
+    def _card(ks: DataFrame, name: str) -> DataFrame:
+        return ks.agg(
+            F.when(
+                F.count(F.lit(1)) < k,
+                F.count(F.lit(1)).cast("double"),
+            )
+            .otherwise(F.lit(space) * (k - 1) / F.max("h"))
+            .alias(name)
+        )
+
+    ka = ka.localCheckpoint(eager=False)
+    kb = kb.localCheckpoint(eager=False)
+    ku = ka.unionByName(kb).distinct().orderBy("h").limit(int(k))
+    ku = ku.localCheckpoint(eager=False)
+    both = ku.join(ka, "h", "left_semi").join(kb, "h", "left_semi")
+    stats = (
+        ku.agg(F.count(F.lit(1)).cast("double").alias("m"))
+        .crossJoin(F.broadcast(both.agg(F.count(F.lit(1)).cast("double").alias("c"))))
+        .crossJoin(F.broadcast(_card(ka, "est_a")))
+        .crossJoin(F.broadcast(_card(kb, "est_b")))
+        .crossJoin(F.broadcast(_card(ku, "est_union")))
+    )
+    return stats.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("c") / F.col("m") * F.col("est_union")).alias("est_intersection"),
+        (F.col("c") / F.col("m")).alias("jaccard"),
+    )

@@ -17,7 +17,7 @@ the sketch path is already gated separately (`events_quantile_sketch`).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mcpvectordb_spark.operators.dedup import hexint48
@@ -104,3 +104,61 @@ def mad_outliers(
         ),
     )
     return scored.filter(F.col("score") >= threshold).drop("_mo_k", "_mo_k2", "_ad")
+
+
+def mann_whitney_u(
+    samples: DataFrame,
+    variant_col: str = "variant",
+    value_col: str = "metric",
+) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum test between variants 0 and 1 —
+    the nonparametric A/B readout for skewed metrics (revenue, counts)
+    where the z-test on means is fragile.  Reference analytics surface:
+    experiment rollups over the same event stream as ab_test_ztest.
+
+    Midranks are computed WITHOUT a per-row global sort: values aggregate
+    to the distinct-value level first (count per value per variant), and
+    the cumulative window runs over DISTINCT values only.  For an exact
+    cross-engine gate the metric must be integral (quantize currency to
+    cents first) so tied blocks agree bit-exactly between engines; that
+    same quantization is what bounds the distinct domain at 100 TB, where
+    the ordered window runs over <= |domain| rows, not |users| rows.
+
+    U_a = R_a - n_a(n_a+1)/2 with midranks R; z uses the tie-corrected
+    variance  n_a·n_b/12 · (n+1 - T/(n(n-1))),  T = Σ(t³-t)  over tied
+    blocks (no continuity correction — documented, oracle replays it).
+    Rank-biserial effect size r = 1 - 2U_a/(n_a·n_b).
+
+    Returns one row: n_a, n_b, u_a, z, rank_biserial.
+    """
+    per_value = samples.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(F.when(F.col(variant_col) == 0, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col(variant_col) == 1, 1).otherwise(0)).alias("cnt_b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = per_value.withColumn("cnt", F.col("cnt_a") + F.col("cnt_b")).withColumn(
+        "midrank",
+        F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + F.lit(1)) / F.lit(2.0),
+    )
+    agg = ranked.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+        F.sum(F.col("cnt_a") * F.col("midrank")).alias("r_a"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias("ties_t"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / F.lit(2.0)
+    mu = F.col("n_a") * F.col("n_b") / F.lit(2.0)
+    var = (
+        F.col("n_a") * F.col("n_b") / F.lit(12.0)
+        * ((n + 1) - F.col("ties_t") / (n * (n - 1)))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        F.when(var > 0, (u_a - mu) / F.sqrt(var)).otherwise(F.lit(0.0)).alias("z"),
+        (F.lit(1.0) - F.lit(2.0) * u_a / (F.col("n_a") * F.col("n_b"))).alias(
+            "rank_biserial"
+        ),
+    )

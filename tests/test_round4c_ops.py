@@ -1,0 +1,163 @@
+"""Unit tests for the round-4c operators: Adamic-Adar link prediction,
+Mann-Whitney U, KMV sketch set algebra, and the STL-lite catalog query."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+# -- adamic_adar_linkpred ---------------------------------------------------
+
+
+def test_adamic_adar_known_square(spark):
+    from mcpvectordb_spark.operators.graph import adamic_adar_linkpred
+
+    # square with one diagonal: 1-2, 1-3, 2-3, 2-4, 3-4.  The only
+    # non-adjacent pair is (1,4) with common neighbors {2,3}, both deg 3.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], ["src", "dst"]
+    )
+    rows = adamic_adar_linkpred(edges).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"], r["common_neighbors"]) == (1, 4, 2)
+    assert abs(r["adamic_adar"] - 2.0 / math.log(3)) < 1e-9
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    from mcpvectordb_spark.operators.graph import adamic_adar_linkpred
+
+    # triangle: every pair is adjacent -> no candidates at all
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
+    assert adamic_adar_linkpred(edges).count() == 0
+
+
+def test_adamic_adar_max_degree_drops_hubs(spark):
+    from mcpvectordb_spark.operators.graph import adamic_adar_linkpred
+
+    # star around hub 0 (deg 4) plus a path 1-5-2 (5 has deg 2).
+    # With the hub allowed, (1,2) scores via {0, 5}; capping degree at 2
+    # keeps only the rare neighbor 5.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 5), (5, 2)], ["src", "dst"]
+    )
+    full = {
+        (r["a"], r["b"]): r["common_neighbors"]
+        for r in adamic_adar_linkpred(edges).collect()
+    }
+    assert full[(1, 2)] == 2
+    capped = {
+        (r["a"], r["b"]): r["common_neighbors"]
+        for r in adamic_adar_linkpred(edges, max_degree=2).collect()
+    }
+    assert capped[(1, 2)] == 1  # hub 0 no longer counts as evidence
+
+
+# -- mann_whitney_u ---------------------------------------------------------
+
+
+def test_mann_whitney_hand_computed(spark):
+    from mcpvectordb_spark.operators.stats import mann_whitney_u
+
+    # A = {1,2,3}, B = {2,3,4}: midranks 1, 2.5, 2.5, 4.5, 4.5, 6
+    # R_a = 8, U_a = 2, mu = 4.5, T = 12, var = 0.75*(7 - 12/30) = 4.95
+    samples = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (1, 4)], ["variant", "metric"]
+    )
+    r = mann_whitney_u(samples).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["u_a"] == 2.0
+    assert abs(r["z"] - (2.0 - 4.5) / math.sqrt(4.95)) < 1e-9
+    assert abs(r["rank_biserial"] - (1.0 - 4.0 / 9.0)) < 1e-9
+
+
+def test_mann_whitney_complete_separation(spark):
+    from mcpvectordb_spark.operators.stats import mann_whitney_u
+
+    # every A below every B: U_a = 0, rank-biserial = 1 (maximal effect)
+    samples = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 30), (1, 40)], ["variant", "metric"]
+    )
+    r = mann_whitney_u(samples).collect()[0]
+    assert r["u_a"] == 0.0
+    assert r["rank_biserial"] == 1.0
+    assert r["z"] < 0
+
+
+def test_mann_whitney_identical_samples_z_zero(spark):
+    from mcpvectordb_spark.operators.stats import mann_whitney_u
+
+    # all values tied across both arms: var has the tie correction zero it
+    # out entirely -> guarded z = 0, U_a = mu
+    samples = spark.createDataFrame(
+        [(0, 5), (0, 5), (1, 5), (1, 5)], ["variant", "metric"]
+    )
+    r = mann_whitney_u(samples).collect()[0]
+    assert r["z"] == 0.0
+    assert r["u_a"] == 2.0  # n_a*n_b/2
+
+
+# -- kmv sketches -----------------------------------------------------------
+
+
+def _keyed(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("k:"), F.col("id").cast("string")).alias("key")
+    )
+
+
+def test_kmv_exact_below_k(spark):
+    from mcpvectordb_spark.operators.sketches import kmv_set_stats, kmv_sketch
+
+    # |A| = 50, |B| = 50, |A∩B| = 25 — all below k, so every estimate is
+    # exact by the m < k branch
+    ka = kmv_sketch(_keyed(spark, 0, 50), F.col("key"), k=256)
+    kb = kmv_sketch(_keyed(spark, 25, 75), F.col("key"), k=256)
+    r = kmv_set_stats(ka, kb, k=256).collect()[0]
+    assert (r["est_a"], r["est_b"], r["est_union"]) == (50.0, 50.0, 75.0)
+    assert abs(r["est_intersection"] - 25.0) < 1e-9
+    assert abs(r["jaccard"] - 25.0 / 75.0) < 1e-9
+
+
+def test_kmv_estimates_at_scale(spark):
+    from mcpvectordb_spark.operators.sketches import kmv_set_stats, kmv_sketch
+
+    # |A| = |B| = 3000, overlap 1500 (J = 1/3), k = 256: KMV relative
+    # error ~ 1/sqrt(k) ≈ 6%; assert a generous 25% band
+    ka = kmv_sketch(_keyed(spark, 0, 3000), F.col("key"), k=256)
+    kb = kmv_sketch(_keyed(spark, 1500, 4500), F.col("key"), k=256)
+    r = kmv_set_stats(ka, kb, k=256).collect()[0]
+    assert abs(r["est_a"] - 3000) / 3000 < 0.25
+    assert abs(r["est_union"] - 4500) / 4500 < 0.25
+    assert abs(r["jaccard"] - 1.0 / 3.0) < 0.1
+    assert abs(r["est_intersection"] - 1500) / 1500 < 0.35
+
+
+def test_kmv_sketch_is_k_smallest(spark):
+    from mcpvectordb_spark.operators.dedup import hexint48
+    from mcpvectordb_spark.operators.sketches import kmv_sketch
+
+    df = _keyed(spark, 0, 1000)
+    got = sorted(r["h"] for r in kmv_sketch(df, F.col("key"), k=32).collect())
+    all_h = sorted(
+        r["h"] for r in df.select(hexint48(F.col("key")).alias("h")).collect()
+    )
+    assert got == all_h[:32]
+
+
+# -- STL-lite catalog query -------------------------------------------------
+
+
+def test_events_stl_decomposition_invariants(spark):
+    from mcpvectordb_spark.catalog import QUERIES
+
+    rows = QUERIES["events_stl"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    # y = trend + seasonal + resid reconstructs (to rounding)
+    for r in rows:
+        assert abs(r["y"] - (r["trend"] + r["seasonal"] + r["resid"])) < 2e-3
+    # residuals of the fitted rows sum to ~0 (seasonal means absorb det)
+    assert abs(sum(r["resid"] for r in rows)) < 1e-2
+    # output is day-ordered with full 7-day trend windows only
+    ds = [r["d"] for r in rows]
+    assert ds == sorted(ds)
