@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "events_mannwhitney",    # rank-sum test over distinct-value midranks
     "orders_kmv",            # KMV sketch intersection, TakeOrdered top-k
     "events_stl",            # STL-lite decomposition on daily aggregate
+    "events_holt",           # Holt level+trend fold, 3-day forecast
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

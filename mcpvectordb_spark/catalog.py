@@ -8081,6 +8081,66 @@ FROM resid, sig ORDER BY d
 """
 
 
+def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (timeseries.py::holt_linear) of
+    the daily event count per type, plus a 3-day linear-trend forecast —
+    the coupled (level, trend) recursion runs as one O(L) F.aggregate
+    fold per key (same contract as events_ewma_recursive); the oracle
+    replays it step-by-step with a recursive CTE, so the fold is
+    value-proven against the definition.  Forecast rows carry n = -1.
+    α=0.5 / β=0.25 are binary-exact so 1-α / 1-β computed Python-side
+    equal the SQL literals bit-for-bit (0.3/0.7 diverge by 1 ulp and a
+    round-boundary row flips — observed, not hypothetical)."""
+    from mcpvectordb_spark.operators.timeseries import holt_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long").alias("t"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    out = holt_linear(daily, "k", "t", "x", alpha=0.5, beta=0.25, horizon=3)
+    return out.select(
+        F.col("k").alias("event_type"),
+        "t",
+        F.coalesce(F.col("x"), F.lit(-1.0)).cast("long").alias("n"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("fitted", 6).alias("fitted"),
+    )
+
+
+SQL_EVENTS_HOLT = """
+WITH RECURSIVE daily AS (
+  SELECT event_type AS k,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT k, t, x, row_number() OVER (PARTITION BY k ORDER BY t) AS rk
+  FROM daily),
+holt AS (
+  SELECT k, rk, t, x, x AS l, CAST(0.0 AS DOUBLE) AS b, x AS fitted
+  FROM ranked WHERE rk = 1
+  UNION ALL
+  SELECT r.k, r.rk, r.t, r.x,
+         0.5 * r.x + 0.5 * (h.l + h.b) AS l,
+         0.25 * (0.5 * r.x + 0.5 * (h.l + h.b) - h.l) + 0.75 * h.b AS b,
+         h.l + h.b AS fitted
+  FROM holt h JOIN ranked r ON r.k = h.k AND r.rk = h.rk + 1),
+last AS (SELECT k, max(rk) AS mrk FROM holt GROUP BY 1),
+lastrow AS (
+  SELECT h.k, h.t, h.l, h.b FROM holt h JOIN last l ON h.k = l.k AND h.rk = l.mrk),
+fut AS (
+  SELECT lr.k, lr.t + gs.h AS t, CAST(-1.0 AS DOUBLE) AS x,
+         lr.l AS l, lr.b AS b, lr.l + gs.h * lr.b AS fitted
+  FROM lastrow lr, (SELECT unnest(range(1, 4)) AS h) gs)
+SELECT k AS event_type, t, CAST(x AS BIGINT) AS n,
+       round(l, 6) AS level, round(b, 6) AS trend, round(fitted, 6) AS fitted
+FROM (SELECT k, t, x, l, b, fitted FROM holt
+      UNION ALL SELECT k, t, x, l, b, fitted FROM fut)
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -8102,6 +8162,7 @@ QUERIES = {
     # -- round-4 additions (the mechanical rotation puts never-checked
     # -- queries first regardless of position here) --
     "parts_linkpred": q_parts_linkpred,
+    "events_holt": q_events_holt,
     "events_mannwhitney": q_events_mannwhitney,
     "orders_kmv": q_orders_kmv,
     "events_stl": q_events_stl,
@@ -8337,6 +8398,7 @@ QUERIES = _rotate_stalest_first(QUERIES)
 ORACLES = {
     # -- round-4 --
     "parts_linkpred": SQL_PARTS_LINKPRED,
+    "events_holt": SQL_EVENTS_HOLT,
     "events_mannwhitney": SQL_EVENTS_MANNWHITNEY,
     "orders_kmv": SQL_ORDERS_KMV,
     "events_stl": SQL_EVENTS_STL,

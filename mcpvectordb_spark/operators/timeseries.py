@@ -229,3 +229,109 @@ def ewma_trailing(
         "ewma",
         (F.col("x") - F.col("ewma")).alias("dev"),
     )
+
+
+def holt_linear(
+    series: DataFrame,
+    key_col: str,
+    idx_col: str,
+    val_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 0,
+) -> DataFrame:
+    """Holt double exponential smoothing (Holt 1957) — level + linear
+    trend, the forecasting step up from the flat EWMA:
+
+        l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}        (l_1 = x_1, b_1 = 0)
+
+    A coupled scan-with-carried-state recursion no SQL window expresses;
+    like the recursive EWMA it runs as an O(L) higher-order F.aggregate
+    fold over each key's sorted series (collect_list + array_sort — per-
+    key state bounded by series length, the sessionization contract; at
+    100 TB the series per key is the DAILY aggregate, so L = days, not
+    rows).  Returns (key, idx, x, level, trend, fitted) where fitted is
+    the one-step-ahead forecast l_{t-1} + b_{t-1} (= x_1 at t = 1), plus
+    `horizon` extrapolated rows per key (idx beyond the last observed,
+    x NULL, fitted = l_T + h·b_T) when horizon > 0.
+    """
+    a = series.select(
+        F.col(key_col).alias("k"), F.col(idx_col).alias("t"), F.col(val_col).alias("x")
+    )
+    arr = a.groupBy("k").agg(F.array_sort(F.collect_list(F.struct("t", "x"))).alias("xs"))
+    fold = F.aggregate(
+        F.col("xs"),
+        F.array().cast("array<struct<l:double,b:double>>"),
+        lambda acc, e: F.when(
+            F.size(acc) == 0,
+            F.array(F.struct(e["x"].alias("l"), F.lit(0.0).alias("b"))),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        (
+                            F.lit(alpha) * e["x"]
+                            + F.lit(1.0 - alpha)
+                            * (F.element_at(acc, -1)["l"] + F.element_at(acc, -1)["b"])
+                        ).alias("l"),
+                        (
+                            F.lit(beta)
+                            * (
+                                F.lit(alpha) * e["x"]
+                                + F.lit(1.0 - alpha)
+                                * (
+                                    F.element_at(acc, -1)["l"]
+                                    + F.element_at(acc, -1)["b"]
+                                )
+                                - F.element_at(acc, -1)["l"]
+                            )
+                            + F.lit(1.0 - beta) * F.element_at(acc, -1)["b"]
+                        ).alias("b"),
+                    )
+                ),
+            )
+        ),
+    )
+    st = arr.withColumn("hs", fold)
+    fitted = (
+        st.select("k", F.posexplode(F.arrays_zip("xs", "hs")))
+        .select(
+            "k",
+            (F.col("pos") + 1).alias("rk"),
+            F.col("col.xs.t").alias("t"),
+            F.col("col.xs.x").alias("x"),
+            F.col("col.hs.l").alias("level"),
+            F.col("col.hs.b").alias("trend"),
+        )
+        .withColumn(
+            "fitted",
+            F.when(F.col("rk") == 1, F.col("x")).otherwise(
+                F.lag("level").over(Window.partitionBy("k").orderBy("rk"))
+                + F.lag("trend").over(Window.partitionBy("k").orderBy("rk"))
+            ),
+        )
+        .drop("rk")
+    )
+    if horizon <= 0:
+        return fitted
+    last = st.select(
+        "k",
+        F.element_at("xs", -1)["t"].alias("t_last"),
+        F.element_at("hs", -1)["l"].alias("l_last"),
+        F.element_at("hs", -1)["b"].alias("b_last"),
+    )
+    fut = last.select(
+        "k",
+        F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h"),
+        "t_last", "l_last", "b_last",
+    ).select(
+        "k",
+        (F.col("t_last") + F.col("h")).alias("t"),
+        F.lit(None).cast("double").alias("x"),
+        F.col("l_last").alias("level"),
+        F.col("b_last").alias("trend"),
+        (F.col("l_last") + F.col("h") * F.col("b_last")).alias("fitted"),
+    )
+    return fitted.unionByName(fut)

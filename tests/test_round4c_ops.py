@@ -161,3 +161,53 @@ def test_events_stl_decomposition_invariants(spark):
     # output is day-ordered with full 7-day trend windows only
     ds = [r["d"] for r in rows]
     assert ds == sorted(ds)
+
+
+# -- holt_linear ------------------------------------------------------------
+
+
+def test_holt_linear_hand_computed(spark):
+    from mcpvectordb_spark.operators.timeseries import holt_linear
+
+    # alpha=0.5, beta=0.25, series 10, 12, 14:
+    #   t1: l=10, b=0,            fitted=10
+    #   t2: l=.5*12+.5*10=11,     b=.25*1+.75*0=0.25,      fitted=10
+    #   t3: l=.5*14+.5*11.25=12.625, b=.25*1.625+.75*.25=0.59375, fitted=11.25
+    s = spark.createDataFrame([("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, 14.0)],
+                              ["k", "t", "x"])
+    rows = {r["t"]: r for r in holt_linear(s, "k", "t", "x", 0.5, 0.25).collect()}
+    assert rows[1]["level"] == 10.0 and rows[1]["trend"] == 0.0 and rows[1]["fitted"] == 10.0
+    assert rows[2]["level"] == 11.0 and rows[2]["trend"] == 0.25 and rows[2]["fitted"] == 10.0
+    assert abs(rows[3]["level"] - 12.625) < 1e-12
+    assert abs(rows[3]["trend"] - 0.59375) < 1e-12
+    assert rows[3]["fitted"] == 11.25
+
+
+def test_holt_linear_tracks_exact_line(spark):
+    from mcpvectordb_spark.operators.timeseries import holt_linear
+
+    # on an exact linear series the forecast converges to the true line
+    s = spark.createDataFrame(
+        [("a", t, 5.0 + 2.0 * t) for t in range(1, 40)], ["k", "t", "x"]
+    )
+    out = holt_linear(s, "k", "t", "x", 0.5, 0.25, horizon=3)
+    fut = {r["t"]: r for r in out.filter("x IS NULL").collect()}
+    assert sorted(fut) == [40, 41, 42]
+    for t, r in fut.items():
+        assert abs(r["fitted"] - (5.0 + 2.0 * t)) < 0.05
+        assert abs(r["trend"] - 2.0) < 0.01
+
+
+def test_holt_linear_independent_keys(spark):
+    from mcpvectordb_spark.operators.timeseries import holt_linear
+
+    # two keys fold independently: a flat series keeps trend 0 throughout
+    s = spark.createDataFrame(
+        [("flat", t, 7.0) for t in range(1, 10)]
+        + [("ramp", t, float(t)) for t in range(1, 10)],
+        ["k", "t", "x"],
+    )
+    out = holt_linear(s, "k", "t", "x", 0.5, 0.25).collect()
+    for r in out:
+        if r["k"] == "flat":
+            assert r["level"] == 7.0 and r["trend"] == 0.0
