@@ -1509,6 +1509,180 @@ def main_r4c() -> None:
     spark.stop()
 
 
+
+def main_r4d() -> None:
+    """Stress the round-4c/4d operators at sf1-equivalent scale:
+    Adamic-Adar link prediction on a 2M-edge/1M-node graph (wedge-fanout
+    bound asserted), Mann-Whitney U over 6M events / 90k users, KMV
+    sketch overlap of two ~90k-user sets vs exact truth, Holt fold over
+    60 per-type daily series.  In-script correctness assertions."""
+    spark = get_spark("stress-r4d")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {counts[name]}", file=sys.stderr)
+
+    # ---- 2M-edge / 1M-node graph (und degree ~4: the sparse regime where
+    # ---- wedge fanout sum(deg^2) stays linear-ish) ------------------------
+    n_nodes, n_edges = 1_000_000, 2_000_000
+    g = spark.range(n_edges).select(
+        (F.col("id") % n_nodes).alias("src"),
+        ((F.col("id") * 2654435761 + 1) % n_nodes).alias("dst"),
+    ).filter(F.col("src") != F.col("dst")).repartition(64).cache()
+    g.count()
+
+    def linkpred():
+        from mcpvectordb_spark.operators.graph import adamic_adar_linkpred
+
+        und = (
+            g.select(F.col("src").alias("s"), F.col("dst").alias("t"))
+            .unionByName(g.select(F.col("dst").alias("s"), F.col("src").alias("t")))
+            .distinct()
+            .cache()
+        )
+        n_und = und.count()
+        sumsq = (
+            und.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.sum(F.col("d") * F.col("d")).alias("q")).collect()[0]["q"]
+        )
+        cand = adamic_adar_linkpred(g, max_degree=16).cache()
+        n = cand.count()
+        # every candidate is genuinely non-adjacent (anti-join verified
+        # independently) and within the wedge-fanout bound
+        leaked = cand.join(
+            und.select(F.col("s").alias("a"), F.col("t").alias("b")), ["a", "b"]
+        ).count()
+        bad = cand.filter(
+            (F.col("adamic_adar") <= 0) | (F.col("common_neighbors") < 1)
+        ).count()
+        assert leaked == 0 and bad == 0 and 0 < n <= sumsq // 2, (n, leaked, bad, sumsq)
+        cand.unpersist(); und.unpersist()
+        notes["linkpred_2m"] = (
+            f"{n} candidate pairs from {n_und} undirected edges; wedge "
+            f"fanout bound sum(deg^2)/2 = {sumsq // 2} held; 0 existing-edge "
+            "leaks, degree table broadcast, hub cutoff at deg 16"
+        )
+        return int(n)
+
+    run("linkpred_2m", linkpred)
+
+    # ---- 6M events (the r4b replication) ----------------------------------
+    ev = load_table(spark, SF, "events")
+    r60 = spark.range(60).select(F.col("id").alias("r"))
+    big_ev = (
+        ev.crossJoin(F.broadcast(r60))
+        .select(
+            (F.col("event_id") * 100 + F.col("r")).alias("event_id"),
+            F.timestamp_seconds(
+                F.unix_timestamp("ts") + F.col("r") * 37
+            ).alias("ts"),
+            (F.col("user_id") + F.col("r") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_ev = big_ev.count()
+    print(f"# r4d corpus: {n_ev} events", file=sys.stderr)
+
+    def mannwhitney():
+        from mcpvectordb_spark.operators.stats import ab_assign, mann_whitney_u
+
+        users = (
+            big_ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("metric"))
+        )
+        n_users = users.count()
+        samples = users.select(ab_assign(F.col("user_id")).alias("variant"), "metric")
+        r = mann_whitney_u(samples).collect()[0]
+        assert r["n_a"] + r["n_b"] == n_users, (r, n_users)
+        assert abs(r["n_a"] - r["n_b"]) < 0.02 * n_users  # hash split balance
+        assert 0.0 <= r["u_a"] <= r["n_a"] * r["n_b"]
+        notes["mannwhitney_6m"] = (
+            f"{n_users} users ranked ({r['n_a']}/{r['n_b']} split), U={r['u_a']:.1f}, "
+            f"z={r['z']:.3f}; ranks computed over the distinct-cents domain, "
+            "never a per-user global sort"
+        )
+        return int(n_users)
+
+    run("mannwhitney_6m", mannwhitney)
+
+    def kmv():
+        from mcpvectordb_spark.operators.sketches import kmv_set_stats, kmv_sketch
+
+        mid = big_ev.agg(
+            F.timestamp_seconds(
+                (F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))) / 2
+            ).alias("m")
+        ).collect()[0]["m"]
+        a_set = big_ev.filter(F.col("ts") < F.lit(mid))
+        b_set = big_ev.filter(F.col("ts") >= F.lit(mid))
+        key = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+        r = kmv_set_stats(
+            kmv_sketch(a_set, key, k=256), kmv_sketch(b_set, key, k=256), k=256
+        ).collect()[0]
+        ea = a_set.select("user_id").distinct().count()
+        eb = b_set.select("user_id").distinct().count()
+        ei = a_set.select("user_id").join(
+            b_set.select("user_id").distinct(), "user_id", "left_semi"
+        ).distinct().count()
+        assert abs(r["est_a"] - ea) / ea < 0.15, (r["est_a"], ea)
+        assert abs(r["est_b"] - eb) / eb < 0.15, (r["est_b"], eb)
+        assert abs(r["est_intersection"] - ei) / max(ei, 1) < 0.25, (
+            r["est_intersection"], ei,
+        )
+        notes["kmv_6m"] = (
+            f"half-month user sets |A|={ea} |B|={eb} |A∩B|={ei}; KMV-256 "
+            f"estimates {r['est_a']:.0f}/{r['est_b']:.0f}/"
+            f"{r['est_intersection']:.0f} — all within the 1/sqrt(k) error "
+            "regime; sketches built by TakeOrderedAndProject, never a full "
+            "shuffle"
+        )
+        return int(ei)
+
+    run("kmv_6m", kmv)
+
+    def holt():
+        from mcpvectordb_spark.operators.timeseries import holt_linear
+
+        daily = big_ev.groupBy(
+            F.col("event_type").alias("k"),
+            (F.col("user_id") / 1_000_000).cast("long").alias("rep"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("t"),
+        ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+        series = daily.select(
+            F.concat("k", F.lit("#"), F.col("rep").cast("string")).alias("k"), "t", "x"
+        )
+        out = holt_linear(series, "k", "t", "x", 0.5, 0.25, horizon=7).cache()
+        n = out.count()
+        n_keys = out.select("k").distinct().count()
+        n_fut = out.filter("x IS NULL").count()
+        assert n_fut == 7 * n_keys, (n_fut, n_keys)
+        out.unpersist()
+        notes["holt_300"] = (
+            f"{n_keys} per-(type,replica) daily series folded in one plan "
+            f"({n} fitted+forecast rows); per-key state = |days| structs"
+        )
+        return int(n)
+
+    run("holt_300", holt)
+
+    print(json.dumps({
+        "mode": "r4d", "events": n_ev, "edges": n_edges,
+        "timings_sec": timings, "result_counts": counts, "notes": notes,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "sf1" in sys.argv[1:]:
         main_sf1()
@@ -1522,6 +1696,8 @@ if __name__ == "__main__":
         main_r4b()
     elif "r4c" in sys.argv[1:]:
         main_r4c()
+    elif "r4d" in sys.argv[1:]:
+        main_r4d()
     elif "r4" in sys.argv[1:]:
         main_r4()
     else:
