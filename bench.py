@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "orders_kmv",            # KMV sketch intersection, TakeOrdered top-k
     "events_stl",            # STL-lite decomposition on daily aggregate
     "events_holt",           # Holt level+trend fold, 3-day forecast
+    "events_changepoint",    # closed-form binary-segmentation split
+    "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -8141,6 +8141,178 @@ FROM (SELECT k, t, x, l, b, fitted FROM holt
 """
 
 
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation change-point detection (the single-split step
+    of Scott & Knott / PELT-style segmentation) over hourly event volume
+    per type (timeseries.py::best_split): the split k that minimizes
+    within-segment SSE, solved in CLOSED FORM from cumulative (n, Σy,
+    Σy²) prefix windows — no iteration, no candidate explosion; each
+    key's argmin is one row_number over its own hourly series.  It
+    complements events_cusum
+    (online drift) with the offline optimal-split view.  Hourly counts
+    are integers, so the prefix sums are exact and both engines compute
+    bit-identical costs.  Output per type: split bucket, segment means,
+    and the SSE reduction achieved by splitting."""
+    from mcpvectordb_spark.operators.timeseries import best_split
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        ((F.unix_timestamp("ts") / 3600).cast("bigint") * 3600).alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    out = best_split(hourly, "event_type", "bucket", "y")
+    return out.select(
+        "event_type",
+        F.col("split_idx").alias("split_bucket"),
+        "n_left",
+        F.round("mean_left", 6).alias("mean_left"),
+        F.round("mean_right", 6).alias("mean_right"),
+        F.round("sse_reduction", 6).alias("sse_reduction"),
+    ).orderBy("event_type")
+
+
+SQL_EVENTS_CHANGEPOINT = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bucket, y,
+         CAST(count(*) OVER w AS DOUBLE) AS i,
+         sum(y) OVER w AS cs,
+         sum(y * y) OVER w AS css
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (
+  SELECT event_type AS et, CAST(count(*) AS DOUBLE) AS tn,
+         sum(y) AS ts_, sum(y * y) AS tss
+  FROM hourly GROUP BY 1),
+costs AS (
+  SELECT c.event_type, c.bucket, c.i, c.cs, t.tn, t.ts_, t.tss,
+         c.css - c.cs * c.cs / c.i
+           + (t.tss - c.css) - (t.ts_ - c.cs) * (t.ts_ - c.cs) / (t.tn - c.i) AS cost
+  FROM cum c JOIN tot t ON c.event_type = t.et
+  WHERE c.i < t.tn),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cost ASC, bucket ASC) AS rk
+  FROM costs)
+SELECT event_type, bucket AS split_bucket, CAST(i AS BIGINT) AS n_left,
+       round(cs / i, 6) AS mean_left,
+       round((ts_ - cs) / (tn - i), 6) AS mean_right,
+       round((tss - ts_ * ts_ / tn) - cost, 6) AS sse_reduction
+FROM ranked WHERE rk = 1 ORDER BY event_type
+"""
+
+
+def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval (the large-scale bootstrap:
+    per-replica weights drawn as Poisson(1), so each replica is one
+    weighted aggregation and the corpus is scanned ONCE for all B
+    replicas — no per-replica resampling pass) for the A/B uplift in
+    mean per-user purchase revenue.  Weights are the inverse-CDF of
+    Poisson(1) at u = portable-hash/2^48 per (user, replica), so the
+    oracle replays every draw exactly; B = 100 replicas explode from a
+    sequence, the uplift distribution is 100 rows, and the CI is its
+    exact [2.5, 97.5] percentile band.  Output: point uplift, CI bounds,
+    and the replica-distribution spread."""
+    from mcpvectordb_spark.operators.dedup import hexint48
+    from mcpvectordb_spark.operators.stats import ab_assign, poisson1_weight
+
+    n_reps = 100
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("rev"))
+        .select(
+            "user_id", "rev", ab_assign(F.col("user_id")).alias("variant")
+        )
+    )
+    point = users.groupBy().agg(
+        (
+            F.avg(F.when(F.col("variant") == 1, F.col("rev")))
+            - F.avg(F.when(F.col("variant") == 0, F.col("rev")))
+        ).alias("uplift")
+    )
+    u = hexint48(
+        F.concat(F.lit("boot:"), F.col("user_id").cast("string"), F.lit(":"), F.col("rep").cast("string"))
+    ) / F.lit(281474976710656.0)
+    w = poisson1_weight(u)
+    reps = (
+        users.select(
+            "user_id", "rev", "variant",
+            F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("rep"),
+        )
+        .withColumn("w", w)
+        .groupBy("rep")
+        .agg(
+            (
+                F.sum(F.when(F.col("variant") == 1, F.col("w") * F.col("rev")).otherwise(0.0))
+                / F.sum(F.when(F.col("variant") == 1, F.col("w")).otherwise(0.0))
+                - F.sum(F.when(F.col("variant") == 0, F.col("w") * F.col("rev")).otherwise(0.0))
+                / F.sum(F.when(F.col("variant") == 0, F.col("w")).otherwise(0.0))
+            ).alias("uplift_r")
+        )
+    )
+    ci = reps.agg(
+        F.percentile("uplift_r", F.lit(0.025)).alias("lo"),
+        F.percentile("uplift_r", F.lit(0.975)).alias("hi"),
+        F.stddev_pop("uplift_r").alias("spread"),
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        F.round("uplift", 6).alias("uplift"),
+        F.round("lo", 6).alias("ci_lo"),
+        F.round("hi", 6).alias("ci_hi"),
+        F.round("spread", 6).alias("spread"),
+        "n_reps",
+    )
+
+
+SQL_EVENTS_BOOTSTRAP = f"""
+WITH users AS (
+  SELECT user_id, sum(value) AS rev,
+         ({_sql_hex48("'ab:' || CAST(user_id AS VARCHAR)")}) % 2 AS variant
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+point AS (
+  SELECT avg(CASE WHEN variant = 1 THEN rev END)
+           - avg(CASE WHEN variant = 0 THEN rev END) AS uplift
+  FROM users),
+reps AS (
+  SELECT u.user_id, u.rev, u.variant, gs.rep,
+         ({_sql_hex48("'boot:' || CAST(u.user_id AS VARCHAR) || ':' || CAST(gs.rep AS VARCHAR)")})
+           / 281474976710656.0 AS uu
+  FROM users u, (SELECT unnest(range(0, 100)) AS rep) gs),
+weighted AS (
+  SELECT rep, variant, rev,
+         CASE WHEN uu < 0.36787944117144233 THEN 0
+              WHEN uu < 0.7357588823428846 THEN 1
+              WHEN uu < 0.9196986029286058 THEN 2
+              WHEN uu < 0.9810118431238462 THEN 3
+              WHEN uu < 0.9963401531726563 THEN 4
+              ELSE 5 END AS w
+  FROM reps),
+per_rep AS (
+  SELECT rep,
+         sum(CASE WHEN variant = 1 THEN w * rev ELSE 0.0 END)
+           / sum(CASE WHEN variant = 1 THEN w ELSE 0.0 END)
+           - sum(CASE WHEN variant = 0 THEN w * rev ELSE 0.0 END)
+           / sum(CASE WHEN variant = 0 THEN w ELSE 0.0 END) AS uplift_r
+  FROM weighted GROUP BY rep),
+ci AS (
+  SELECT quantile_cont(uplift_r, 0.025) AS lo,
+         quantile_cont(uplift_r, 0.975) AS hi,
+         stddev_pop(uplift_r) AS spread,
+         CAST(count(*) AS BIGINT) AS n_reps
+  FROM per_rep)
+SELECT round(p.uplift, 6) AS uplift, round(c.lo, 6) AS ci_lo,
+       round(c.hi, 6) AS ci_hi, round(c.spread, 6) AS spread, c.n_reps
+FROM point p, ci c
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -8163,6 +8335,8 @@ QUERIES = {
     # -- queries first regardless of position here) --
     "parts_linkpred": q_parts_linkpred,
     "events_holt": q_events_holt,
+    "events_changepoint": q_events_changepoint,
+    "events_bootstrap": q_events_bootstrap,
     "events_mannwhitney": q_events_mannwhitney,
     "orders_kmv": q_orders_kmv,
     "events_stl": q_events_stl,
@@ -8399,6 +8573,8 @@ ORACLES = {
     # -- round-4 --
     "parts_linkpred": SQL_PARTS_LINKPRED,
     "events_holt": SQL_EVENTS_HOLT,
+    "events_changepoint": SQL_EVENTS_CHANGEPOINT,
+    "events_bootstrap": SQL_EVENTS_BOOTSTRAP,
     "events_mannwhitney": SQL_EVENTS_MANNWHITNEY,
     "orders_kmv": SQL_ORDERS_KMV,
     "events_stl": SQL_EVENTS_STL,

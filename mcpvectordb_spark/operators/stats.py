@@ -162,3 +162,21 @@ def mann_whitney_u(
             "rank_biserial"
         ),
     )
+
+
+def poisson1_weight(u: Column) -> Column:
+    """Inverse CDF of Poisson(1) at u ∈ [0,1), capped at 5 (the tail
+    beyond holds ~0.06% of mass): the per-(unit, replica) resampling
+    weight of the POISSON BOOTSTRAP — the bootstrap that scales, because
+    every replica becomes a weighted aggregation over one shared scan
+    instead of a materialized resample.  Thresholds are the exact
+    partial sums e⁻¹·Σ1/j!, written as literals so the SQL oracle can
+    replay each draw bit-for-bit."""
+    return (
+        F.when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428846, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .otherwise(5)
+    )

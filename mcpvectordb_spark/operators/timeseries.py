@@ -335,3 +335,57 @@ def holt_linear(
         (F.col("l_last") + F.col("h") * F.col("b_last")).alias("fitted"),
     )
     return fitted.unionByName(fut)
+
+
+def best_split(
+    series: DataFrame,
+    key_col: str,
+    idx_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Single optimal change-point per key (the binary-segmentation step
+    of Scott-Knott / PELT): the split minimizing within-segment SSE,
+    closed-form from cumulative (n, Σy, Σy²) prefix windows — no
+    iteration, no candidate fanout; one window pass + one row_number per
+    key, both partitioned by key so the series shuffles once.  Returns
+    (key, split_idx, n_left, mean_left, mean_right, sse_reduction)."""
+    a = series.select(
+        F.col(key_col).alias("k"), F.col(idx_col).alias("t"), F.col(val_col).alias("y")
+    )
+    wcum = Window.partitionBy("k").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        a.withColumn("i", F.count(F.lit(1)).over(wcum).cast("double"))
+        .withColumn("cs", F.sum("y").over(wcum))
+        .withColumn("css", F.sum(F.col("y") * F.col("y")).over(wcum))
+    )
+    tot = a.groupBy(F.col("k").alias("k2")).agg(
+        F.count(F.lit(1)).cast("double").alias("tn"),
+        F.sum("y").alias("ts_"),
+        F.sum(F.col("y") * F.col("y")).alias("tss"),
+    )
+    j = cum.join(F.broadcast(tot), F.col("k") == F.col("k2")).filter(
+        F.col("i") < F.col("tn")
+    )
+    cost = (
+        F.col("css") - F.col("cs") * F.col("cs") / F.col("i")
+        + (F.col("tss") - F.col("css"))
+        - (F.col("ts_") - F.col("cs")) * (F.col("ts_") - F.col("cs"))
+        / (F.col("tn") - F.col("i"))
+    )
+    sse0 = F.col("tss") - F.col("ts_") * F.col("ts_") / F.col("tn")
+    ranked = j.withColumn("cost", cost).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("k").orderBy(F.col("cost").asc(), F.col("t").asc())
+        ),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        F.col("k").alias(key_col),
+        F.col("t").alias("split_idx"),
+        F.col("i").cast("long").alias("n_left"),
+        (F.col("cs") / F.col("i")).alias("mean_left"),
+        ((F.col("ts_") - F.col("cs")) / (F.col("tn") - F.col("i"))).alias("mean_right"),
+        (sse0 - F.col("cost")).alias("sse_reduction"),
+    )

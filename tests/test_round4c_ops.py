@@ -211,3 +211,87 @@ def test_holt_linear_independent_keys(spark):
     for r in out:
         if r["k"] == "flat":
             assert r["level"] == 7.0 and r["trend"] == 0.0
+
+
+# -- best_split change-point ------------------------------------------------
+
+
+def test_best_split_finds_planted_step(spark):
+    from mcpvectordb_spark.operators.timeseries import best_split
+
+    # flat 10s then flat 50s: optimal split exactly at the boundary,
+    # zero residual SSE -> reduction equals the total SSE
+    s = spark.createDataFrame(
+        [("a", t, 10.0) for t in range(1, 11)]
+        + [("a", t, 50.0) for t in range(11, 21)],
+        ["k", "t", "y"],
+    )
+    r = best_split(s, "k", "t", "y").collect()[0]
+    assert r["split_idx"] == 10 and r["n_left"] == 10
+    assert r["mean_left"] == 10.0 and r["mean_right"] == 50.0
+    # total SSE of the unsplit series: n/4 * (50-10)^2 = 20/4*1600 = 8000
+    assert abs(r["sse_reduction"] - 8000.0) < 1e-6
+
+
+def test_best_split_constant_series_no_reduction(spark):
+    from mcpvectordb_spark.operators.timeseries import best_split
+
+    s = spark.createDataFrame([("a", t, 7.0) for t in range(1, 12)], ["k", "t", "y"])
+    r = best_split(s, "k", "t", "y").collect()[0]
+    assert abs(r["sse_reduction"]) < 1e-9
+    assert r["split_idx"] == 1  # cost ties broken by earliest index
+
+
+def test_best_split_per_key_independent(spark):
+    from mcpvectordb_spark.operators.timeseries import best_split
+
+    s = spark.createDataFrame(
+        [("early", t, 1.0 if t <= 3 else 9.0) for t in range(1, 16)]
+        + [("late", t, 1.0 if t <= 12 else 9.0) for t in range(1, 16)],
+        ["k", "t", "y"],
+    )
+    got = {r["k"]: r["split_idx"] for r in best_split(s, "k", "t", "y").collect()}
+    assert got == {"early": 3, "late": 12}
+
+
+# -- poisson bootstrap weights ----------------------------------------------
+
+
+def test_poisson1_weight_moments(spark):
+    from mcpvectordb_spark.operators.dedup import hexint48
+    from mcpvectordb_spark.operators.stats import poisson1_weight
+
+    # 20k hash draws: mean and variance of Poisson(1) are both 1
+    u = hexint48(F.concat(F.lit("w:"), F.col("id").cast("string"))) / F.lit(
+        281474976710656.0
+    )
+    agg = (
+        spark.range(20000)
+        .select(poisson1_weight(u).cast("double").alias("w"))
+        .agg(F.avg("w").alias("m"), F.var_pop("w").alias("v"))
+        .collect()[0]
+    )
+    assert abs(agg["m"] - 1.0) < 0.03
+    assert abs(agg["v"] - 1.0) < 0.06
+
+
+def test_poisson1_weight_exact_thresholds(spark):
+    from mcpvectordb_spark.operators.stats import poisson1_weight
+
+    probe = spark.createDataFrame(
+        [(0.1,), (0.5,), (0.8,), (0.95,), (0.99,), (0.999,)], ["u"]
+    ).select("u", poisson1_weight(F.col("u")).alias("w"))
+    got = {r["u"]: r["w"] for r in probe.collect()}
+    assert got == {0.1: 0, 0.5: 1, 0.8: 2, 0.95: 3, 0.99: 4, 0.999: 5}
+
+
+def test_events_bootstrap_ci_brackets_point(spark):
+    from mcpvectordb_spark.catalog import QUERIES
+
+    r = QUERIES["events_bootstrap"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_reps"] == 100
+    assert r["ci_lo"] <= r["ci_hi"]
+    assert r["spread"] > 0
+    # the CI straddles the point estimate (a basic sanity property of a
+    # percentile bootstrap around its own resampling distribution)
+    assert r["ci_lo"] - 1e-9 <= r["uplift"] <= r["ci_hi"] + 1e-9
