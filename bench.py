@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "events_holt",           # Holt level+trend fold, 3-day forecast
     "events_changepoint",    # closed-form binary-segmentation split
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
+    "hard_negatives",        # DPR-style negatives off the BM25 ranker
+    "events_psi",            # decile-bin PSI drift between stream halves
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -8313,6 +8313,194 @@ FROM point p, ci c
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training (the DPR / contrastive
+    fine-tuning recipe: negatives that the CURRENT ranker scores highly
+    but that are not relevant are worth far more than random negatives):
+    top-10 BM25 per eval query, relevance judged as all-terms-containment
+    (the search_eval judge), the top-3 non-relevant survivors per query
+    emitted as (query, doc, neg_rank).  One posting build feeds scorer
+    and judge; at 100 TB negatives mine per query-shard with the same
+    broadcast (qid, term) table.  The oracle replays scoring, judging
+    and the negative re-ranking."""
+    from mcpvectordb_spark.operators.bm25 import (
+        Bm25Index, bm25_multi_topk, doc_lens, doc_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    posting = doc_terms(docs, "doc_id", "text").localCheckpoint(eager=False)
+    idx = Bm25Index(posting, doc_lens(docs, "doc_id", "text"), cached=False)
+    ranked = bm25_multi_topk(docs, _EVAL_QUERIES, 10, "doc_id", "text", index=idx)
+    rows = []
+    for qid, q in sorted(_EVAL_QUERIES.items()):
+        for t in sorted({t for t in q.lower().split() if t}):
+            rows.append((qid, t))
+    qterms = spark.createDataFrame(rows, "qid int, term string")
+    nt = qterms.groupBy("qid").agg(F.count(F.lit(1)).alias("nt"))
+    m = (
+        posting.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc")
+        .agg(F.countDistinct("term").alias("mm"))
+    )
+    rel = m.join(F.broadcast(nt), "qid").filter(F.col("mm") == F.col("nt")).select(
+        "qid", "doc"
+    )
+    negs = ranked.join(rel, ["qid", "doc"], "left_anti").withColumn(
+        "neg_rank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc").asc())
+        ),
+    ).filter(F.col("neg_rank") <= 3)
+    return negs.join(m, ["qid", "doc"], "left").select(
+        "qid",
+        "doc",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+        F.round("score", 6).alias("score"),
+        F.coalesce(F.col("mm"), F.lit(0)).cast("long").alias("n_matched"),
+    )
+
+
+def _sql_hard_negatives() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in sorted(_EVAL_QUERIES.items())
+        for t in sorted({t for t in q.lower().split() if t})
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS term
+  FROM documents),
+posting AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+lens AS (
+  SELECT doc_id AS doc,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT) AS dl
+  FROM documents),
+dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM lens) AS avgdl),
+qterms AS (SELECT * FROM (VALUES {qvals}) AS t(qid, term)),
+bm AS (
+  SELECT qid, doc, sum( ln(1 + (n - df + 0.5)/(df + 0.5))
+                        * tf*(1.2+1)/(tf + 1.2*(1-0.75+0.75*dl/avgdl)) ) AS score
+  FROM posting JOIN qterms USING(term) JOIN dfreq USING(term) JOIN lens USING(doc), stats
+  GROUP BY qid, doc),
+ranked AS (
+  SELECT qid, doc, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank
+  FROM bm QUALIFY rank <= 10),
+nt AS (SELECT qid, count(*) AS n_terms FROM qterms GROUP BY qid),
+m AS (SELECT qid, doc, count(DISTINCT term) AS mm FROM posting JOIN qterms USING(term) GROUP BY 1, 2),
+rel AS (SELECT m.qid, m.doc FROM m JOIN nt USING(qid) WHERE m.mm = nt.n_terms),
+negs AS (
+  SELECT r.qid, r.doc, r.rank, r.score,
+         row_number() OVER (PARTITION BY r.qid ORDER BY r.score DESC, r.doc ASC) AS neg_rank
+  FROM ranked r LEFT JOIN rel ON r.qid = rel.qid AND r.doc = rel.doc
+  WHERE rel.doc IS NULL
+  QUALIFY neg_rank <= 3)
+SELECT n.qid, n.doc, CAST(n.rank AS BIGINT) AS rank,
+       CAST(n.neg_rank AS BIGINT) AS neg_rank, round(n.score, 6) AS score,
+       CAST(coalesce(m.mm, 0) AS BIGINT) AS n_matched
+FROM negs n LEFT JOIN m ON n.qid = m.qid AND n.doc = m.doc
+"""
+
+
+SQL_HARD_NEGATIVES = _sql_hard_negatives()
+
+
+def q_events_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index — the standard ML-monitoring drift
+    score — of the per-type event-value distribution between the first
+    and second half of the stream: reference deciles from the exact
+    first-half percentiles, PSI = Σ (p_i − q_i)·ln(p_i/q_i) with the
+    usual 1e-6 floor on empty cells.  Two keyed aggregations (decile
+    edges, then binned counts via one broadcast range join); at 100 TB
+    the exact percentiles swap for the mergeable histogram sketch, as
+    with MAD/WOE.  Output per type: PSI and the drifted-cell count
+    (|p−q| contribution > 0.01)."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.timestamp_seconds(
+            ((F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))) / 2).cast("long")
+        ).alias("m")
+    )
+    lab = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type", "value", (F.col("ts") >= F.col("m")).cast("int").alias("half")
+    )
+    edges = (
+        lab.filter(F.col("half") == 0)
+        .groupBy(F.col("event_type").alias("et"))
+        .agg(*[
+            F.percentile("value", F.lit(i / 10.0)).alias(f"e{i}") for i in range(1, 10)
+        ])
+    )
+    binned = lab.join(F.broadcast(edges), F.col("event_type") == F.col("et")).select(
+        "event_type", "half",
+        sum(
+            (F.col("value") >= F.col(f"e{i}")).cast("int") for i in range(1, 10)
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    tot = counts.groupBy(F.col("event_type").alias("et2")).agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    pq = counts.join(F.broadcast(tot), F.col("event_type") == F.col("et2")).select(
+        "event_type",
+        F.greatest(F.col("na") / F.col("ta"), F.lit(1e-6)).alias("p"),
+        F.greatest(F.col("nb") / F.col("tb"), F.lit(1e-6)).alias("q"),
+    )
+    contrib = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return (
+        pq.groupBy("event_type")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("psi"),
+            F.sum((contrib > 0.01).cast("int")).cast("long").alias("n_drifted_bins"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_PSI = """
+WITH mid AS (
+  SELECT to_timestamp(CAST((epoch(min(ts)) + epoch(max(ts))) / 2 AS BIGINT)) AS m
+  FROM events),
+lab AS (
+  SELECT event_type, value, CAST(ts >= m AS INT) AS half FROM events, mid),
+edges AS (
+  SELECT event_type AS et,
+         quantile_cont(value, 0.1) AS e1, quantile_cont(value, 0.2) AS e2,
+         quantile_cont(value, 0.3) AS e3, quantile_cont(value, 0.4) AS e4,
+         quantile_cont(value, 0.5) AS e5, quantile_cont(value, 0.6) AS e6,
+         quantile_cont(value, 0.7) AS e7, quantile_cont(value, 0.8) AS e8,
+         quantile_cont(value, 0.9) AS e9
+  FROM lab WHERE half = 0 GROUP BY 1),
+binned AS (
+  SELECT event_type, half,
+         CAST(value >= e1 AS INT) + CAST(value >= e2 AS INT) + CAST(value >= e3 AS INT)
+         + CAST(value >= e4 AS INT) + CAST(value >= e5 AS INT) + CAST(value >= e6 AS INT)
+         + CAST(value >= e7 AS INT) + CAST(value >= e8 AS INT) + CAST(value >= e9 AS INT) AS bin
+  FROM lab JOIN edges ON event_type = et),
+counts AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM binned GROUP BY 1, 2),
+tot AS (
+  SELECT event_type AS et2, CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+  FROM counts GROUP BY 1),
+pq AS (
+  SELECT event_type,
+         greatest(CAST(na AS DOUBLE) / ta, 1e-6) AS p,
+         greatest(CAST(nb AS DOUBLE) / tb, 1e-6) AS q
+  FROM counts JOIN tot ON event_type = et2)
+SELECT event_type,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       CAST(sum(CASE WHEN (p - q) * ln(p / q) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted_bins
+FROM pq GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -8336,6 +8524,8 @@ QUERIES = {
     "parts_linkpred": q_parts_linkpred,
     "events_holt": q_events_holt,
     "events_changepoint": q_events_changepoint,
+    "hard_negatives": q_hard_negatives,
+    "events_psi": q_events_psi,
     "events_bootstrap": q_events_bootstrap,
     "events_mannwhitney": q_events_mannwhitney,
     "orders_kmv": q_orders_kmv,
@@ -8574,6 +8764,8 @@ ORACLES = {
     "parts_linkpred": SQL_PARTS_LINKPRED,
     "events_holt": SQL_EVENTS_HOLT,
     "events_changepoint": SQL_EVENTS_CHANGEPOINT,
+    "hard_negatives": SQL_HARD_NEGATIVES,
+    "events_psi": SQL_EVENTS_PSI,
     "events_bootstrap": SQL_EVENTS_BOOTSTRAP,
     "events_mannwhitney": SQL_EVENTS_MANNWHITNEY,
     "orders_kmv": SQL_ORDERS_KMV,

@@ -295,3 +295,38 @@ def test_events_bootstrap_ci_brackets_point(spark):
     # the CI straddles the point estimate (a basic sanity property of a
     # percentile bootstrap around its own resampling distribution)
     assert r["ci_lo"] - 1e-9 <= r["uplift"] <= r["ci_hi"] + 1e-9
+
+
+# -- hard-negative mining / PSI drift ---------------------------------------
+
+
+def test_hard_negatives_are_truly_negative(spark):
+    from mcpvectordb_spark.catalog import QUERIES, _EVAL_QUERIES
+
+    rows = QUERIES["hard_negatives"](spark, "/root/testdata/sf0.001").collect()
+    n_terms = {
+        qid: len({t for t in q.lower().split() if t})
+        for qid, q in _EVAL_QUERIES.items()
+    }
+    assert len(rows) > 0
+    by_q = {}
+    for r in rows:
+        # a hard negative matches SOME but not ALL query terms
+        assert 0 <= r["n_matched"] < n_terms[r["qid"]]
+        assert 1 <= r["neg_rank"] <= 3
+        by_q.setdefault(r["qid"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["neg_rank"])
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)  # ranked by score
+
+
+def test_events_psi_invariants(spark):
+    from mcpvectordb_spark.catalog import QUERIES
+
+    rows = QUERIES["events_psi"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        # PSI is a sum of (p-q)ln(p/q) terms, each >= 0
+        assert r["psi"] >= 0
+        assert 0 <= r["n_drifted_bins"] <= 10
