@@ -184,3 +184,46 @@ def purchase_click_pairs_stream(
         how,
     )
     return joined.select("user_id", "p_id", "c_id", "p_ts", "c_ts", "p_value")
+
+
+def drift_bins_batch(events: DataFrame, edges: DataFrame, unit: str = "hour") -> DataFrame:
+    """Windowed value-distribution bin counts against FROZEN reference
+    decile edges (columns event_type, e1..e9 — e.g. the training-period
+    deciles behind the `events_psi` catalog query): the raw material of a
+    PSI drift monitor, pre-aggregated so the PSI arithmetic downstream
+    runs on 10 rows per (window, type).  The edges table broadcasts; the
+    stream never shuffles more than (window, type, bin) partial counts."""
+    b = events.join(F.broadcast(edges), "event_type")
+    bin_col = sum(
+        (F.col("value") >= F.col(f"e{i}")).cast("int") for i in range(1, 10)
+    )
+    return b.groupBy(
+        F.date_trunc(unit, F.col("ts")).alias("window_start"),
+        F.col("event_type"),
+        bin_col.alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def drift_bins_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    edges: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Streaming twin of :func:`drift_bins_batch` — same broadcast edges,
+    same bin arithmetic, same integer counts, so stream == batch exactly
+    on closed windows (gated in test_streaming.py).  Late rows beyond the
+    watermark drop; the monitor's PSI is computed per emitted window from
+    these counts plus the frozen reference proportions."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    b = stream.join(F.broadcast(edges), "event_type")
+    bin_col = sum(
+        (F.col("value") >= F.col(f"e{i}")).cast("int") for i in range(1, 10)
+    )
+    return (
+        b.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

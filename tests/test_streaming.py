@@ -207,3 +207,30 @@ def test_cms_is_streaming_native(spark, tmp_path):
     got = {(r["d"], r["bucket"]): r["c"] for r in spark.table("t_cms_stream").collect()}
     want = {(r["d"], r["bucket"]): r["c"] for r in cms_sketch(ev, "user_id", depth=4, width=64).collect()}
     assert got == want and len(want) > 50
+
+
+def test_drift_bins_stream_matches_batch(spark, tmp_path):
+    from mcpvectordb_spark.streaming.events import drift_bins_batch, drift_bins_stream
+
+    ev = load_events(spark, SF)
+    # frozen reference edges: per-type deciles of the full (closed) data
+    edges = ev.groupBy("event_type").agg(
+        *[F.percentile("value", F.lit(i / 10.0)).alias(f"e{i}") for i in range(1, 10)]
+    )
+    d = str(tmp_path / "drift_in")
+    ev.write.parquet(d)
+    stream = drift_bins_stream(spark, d, ev.schema, edges, window="1 hour")
+    out = run_stream_to_memory(stream, "t_drift_bins", spark)
+    got = {
+        (r["window"]["start"], r["event_type"], r["bin"]): r["n"]
+        for r in out.collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"], r["bin"]): r["n"]
+        for r in drift_bins_batch(ev, edges, "hour").collect()
+    }
+    assert len(got) >= len(want) - 40, (len(got), len(want))
+    for k, v in got.items():
+        assert want.get(k) == v, k
+    # bins are complete decile indices
+    assert {k[2] for k in want} <= set(range(10))
