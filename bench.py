@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves
+    "parts_graph_metrics",   # modularity + assortativity + transitivity
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -8501,6 +8501,107 @@ FROM pq GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_parts_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row graph-health summary of the co-purchase graph — the
+    numbers a graph-platform team tracks nightly: Newman modularity of
+    the LP-4 communities (graph.py::modularity — exact Q for any
+    labeling), degree assortativity (Pearson r over endpoint degrees,
+    both edge directions), and transitivity 3·triangles/wedges off the
+    degree-ordered exact census (graph.py::triangle_count).  Every
+    scalar is a 1-row broadcast crossJoin; the edge list is mined once.
+    The oracle unrolls the LP rounds and replays all three metrics."""
+    from mcpvectordb_spark.operators.graph import (
+        label_propagation, modularity, triangle_count,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .localCheckpoint(eager=False)
+    )
+    labels = label_propagation(edges, rounds=4)
+    tri = triangle_count(edges)
+    mod = modularity(edges, labels)
+    und = edges.select(F.col("src").alias("s"), F.col("dst").alias("t")).unionByName(
+        edges.select(F.col("dst").alias("s"), F.col("src").alias("t"))
+    )
+    deg = und.groupBy(F.col("s").alias("v")).agg(F.count(F.lit(1)).alias("d"))
+    asst = (
+        und.join(deg.select(F.col("v").alias("s"), F.col("d").alias("ds")), "s")
+        .join(deg.select(F.col("v").alias("t"), F.col("d").alias("dt")), "t")
+        .agg(F.corr(F.col("ds").cast("double"), F.col("dt").cast("double")).alias("r"))
+    )
+    return (
+        tri.crossJoin(F.broadcast(mod))
+        .crossJoin(F.broadcast(asst))
+        .select(
+            "n_nodes", "n_edges", "n_communities",
+            F.round("modularity", 6).alias("modularity"),
+            F.round("r", 6).alias("assortativity"),
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("transitivity"),
+        )
+    )
+
+
+def _sql_parts_graph_metrics() -> str:
+    rounds = "".join(
+        f""",
+c{i} AS (
+  SELECT e.t AS v, prev.lbl, count(*) AS c,
+         row_number() OVER (PARTITION BY e.t ORDER BY count(*) DESC, prev.lbl ASC) AS rn
+  FROM e JOIN l{i - 1} prev ON prev.v = e.s
+  GROUP BY e.t, prev.lbl),
+l{i} AS (SELECT v, lbl FROM c{i} WHERE rn = 1)"""
+        for i in range(1, 5)
+    )
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+raw AS (
+  SELECT a.p AS src, b.p AS dst
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS (SELECT src AS s, dst AS t FROM raw UNION SELECT dst AS s, src AS t FROM raw),
+l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM e){rounds},
+deg AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS m, CAST(count(*) AS BIGINT) AS n_edges FROM raw),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+dl AS (SELECT l.lbl, CAST(sum(d.d) AS BIGINT) AS d_c FROM l4 l JOIN deg d ON l.v = d.v GROUP BY 1),
+lc AS (
+  SELECT x.lbl, CAST(count(*) AS BIGINT) AS l_c
+  FROM raw r JOIN l4 x ON x.v = r.src JOIN l4 y ON y.v = r.dst
+  WHERE x.lbl = y.lbl GROUP BY 1),
+q AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         sum(coalesce(lc.l_c, 0) / m.m - (dl.d_c / (2.0 * m.m)) ^ 2) AS modularity
+  FROM dl LEFT JOIN lc ON dl.lbl = lc.lbl, m),
+asst AS (
+  SELECT corr(CAST(d1.d AS DOUBLE), CAST(d2.d AS DOUBLE)) AS r
+  FROM e JOIN deg d1 ON e.s = d1.v JOIN deg d2 ON e.t = d2.v),
+wed AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM raw e1 JOIN raw e2 ON e2.src = e1.src AND e2.dst > e1.dst
+  JOIN raw e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+SELECT nn.n_nodes, m.n_edges, q.n_communities,
+       round(q.modularity, 6) AS modularity,
+       round(asst.r, 6) AS assortativity,
+       round(3.0 * tri.n_triangles / wed.n_wedges, 6) AS transitivity
+FROM nn, m, q, asst, wed, tri
+"""
+
+
+SQL_PARTS_GRAPH_METRICS = _sql_parts_graph_metrics()
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -8526,6 +8627,7 @@ QUERIES = {
     "events_changepoint": q_events_changepoint,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
+    "parts_graph_metrics": q_parts_graph_metrics,
     "events_bootstrap": q_events_bootstrap,
     "events_mannwhitney": q_events_mannwhitney,
     "orders_kmv": q_orders_kmv,
@@ -8766,6 +8868,7 @@ ORACLES = {
     "events_changepoint": SQL_EVENTS_CHANGEPOINT,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
+    "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,
     "events_bootstrap": SQL_EVENTS_BOOTSTRAP,
     "events_mannwhitney": SQL_EVENTS_MANNWHITNEY,
     "orders_kmv": SQL_ORDERS_KMV,

@@ -451,3 +451,54 @@ def adamic_adar_linkpred(
     )
     existing = und.select(F.col("s").alias("a"), F.col("t").alias("b"))
     return scored.join(existing, ["a", "b"], "left_anti")
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Newman modularity Q = Σ_c [ L_c/m − (D_c/2m)² ] of a community
+    assignment (labels: node, lbl — label_propagation's output shape)
+    over an undirected graph — the objective
+    Louvain maximizes, here computed exactly for ANY labeling (e.g. the
+    deterministic label-propagation output) as two keyed joins + one
+    |communities|-row aggregation.  L_c counts intra-community edges,
+    D_c sums community degrees; m is the undirected edge count.  Returns
+    one row (n_communities, modularity)."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    m = e.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    lv = labels.select(F.col(node_col).alias("v"), "lbl")
+    dl = lv.join(deg, "v").groupBy("lbl").agg(F.sum("deg").alias("d_c"))
+    la = lv.select(F.col("v").alias("a"), F.col("lbl").alias("lbl_a"))
+    lb = lv.select(F.col("v").alias("b"), F.col("lbl").alias("lbl_b"))
+    lc = (
+        e.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("lbl_a") == F.col("lbl_b"))
+        .groupBy(F.col("lbl_a").alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("l_c"))
+    )
+    per = dl.join(lc, "lbl", "left").na.fill({"l_c": 0}).crossJoin(F.broadcast(m))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum(
+            F.col("l_c") / F.col("m")
+            - (F.col("d_c") / (F.lit(2.0) * F.col("m"))) ** 2
+        ).alias("modularity"),
+    )

@@ -330,3 +330,44 @@ def test_events_psi_invariants(spark):
         # PSI is a sum of (p-q)ln(p/q) terms, each >= 0
         assert r["psi"] >= 0
         assert 0 <= r["n_drifted_bins"] <= 10
+
+
+# -- modularity / graph metrics ---------------------------------------------
+
+
+def test_modularity_two_triangles(spark):
+    from mcpvectordb_spark.operators.graph import label_propagation, modularity
+
+    # two disjoint triangles: perfect 2-community structure, Q = 1/2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)], ["src", "dst"]
+    )
+    labels = label_propagation(edges, rounds=4)
+    r = modularity(edges, labels).collect()[0]
+    assert r["n_communities"] == 2
+    assert abs(r["modularity"] - 0.5) < 1e-9
+
+
+def test_modularity_single_community_zero(spark):
+    from mcpvectordb_spark.operators.graph import modularity
+
+    # everything in one community: L_c = m and D_c = 2m -> Q = 0 exactly
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"])
+    labels = spark.createDataFrame([(v, 1) for v in [1, 2, 3, 4]], ["node", "lbl"])
+    r = modularity(edges, labels).collect()[0]
+    assert r["n_communities"] == 1
+    assert abs(r["modularity"]) < 1e-12
+
+
+def test_modularity_worst_split_negative(spark):
+    from mcpvectordb_spark.operators.graph import modularity
+
+    # a 4-cycle split across its two diagonals: no intra-community edge
+    # at all -> Q = -(sum of squared degree shares) < 0
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"])
+    labels = spark.createDataFrame(
+        [(1, 10), (3, 10), (2, 20), (4, 20)], ["node", "lbl"]
+    )
+    r = modularity(edges, labels).collect()[0]
+    assert r["modularity"] < 0
+    assert abs(r["modularity"] + 0.5) < 1e-9  # 0 - 2*(4/8)^2
