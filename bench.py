@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves
     "parts_graph_metrics",   # modularity + assortativity + transitivity
+    "embedding_drift",       # per-label centroid cosine/shift monitor
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

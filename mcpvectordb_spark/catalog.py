@@ -8602,6 +8602,78 @@ FROM nn, m, q, asst, wed, tri
 SQL_PARTS_GRAPH_METRICS = _sql_parts_graph_metrics()
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor — the vector-side companion of
+    events_psi: per label, the centroid of the even-vec_id cohort vs the
+    odd cohort (a deterministic stand-in for before/after a model or
+    corpus change), reported as centroid cosine, L2 shift, and cohort
+    sizes.  Centroids compute as ONE keyed aggregation over
+    (label, half, dim) — posexplode fans each vector into 64 rows
+    map-side, the shuffle carries |labels|·2·64 partial means, never
+    vectors; at 100 TB this is the cheapest possible full-corpus pass
+    (and a drifting label with cosine < 0.99 is what triggers reindex /
+    retrain).  The oracle replays the fan-out with unnest WITH
+    ORDINALITY."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pe = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    means = pe.groupBy("label", "half", "pos").agg(
+        F.avg("x").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    j = (
+        means.filter(F.col("half") == 0)
+        .select("label", "pos", F.col("m").alias("ma"), F.col("n").alias("n_a"))
+        .join(
+            means.filter(F.col("half") == 1).select(
+                "label", "pos", F.col("m").alias("mb"), F.col("n").alias("n_b")
+            ),
+            ["label", "pos"],
+        )
+    )
+    return (
+        j.groupBy("label")
+        .agg(
+            F.first("n_a").cast("long").alias("n_a"),
+            F.first("n_b").cast("long").alias("n_b"),
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ma") * F.col("ma"))).alias("na"),
+            F.sqrt(F.sum(F.col("mb") * F.col("mb"))).alias("nb"),
+            F.sqrt(F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))).alias("shift"),
+        )
+        .select(
+            "label", "n_a", "n_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("centroid_cosine"),
+            F.round("shift", 6).alias("centroid_shift"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_DRIFT = """
+WITH dims AS (
+  SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS pos),
+pe AS (
+  SELECT label, vec_id % 2 AS half, d.pos,
+         CAST(embedding[d.pos] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN dims d
+  WHERE d.pos <= len(embedding)),
+means AS (
+  SELECT label, half, pos, avg(x) AS m, CAST(count(*) AS BIGINT) AS n
+  FROM pe GROUP BY 1, 2, 3),
+j AS (
+  SELECT a.label, a.pos, a.m AS ma, a.n AS n_a, b.m AS mb, b.n AS n_b
+  FROM means a JOIN means b ON a.label = b.label AND a.pos = b.pos
+  WHERE a.half = 0 AND b.half = 1)
+SELECT label, CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+       round(sum(ma * mb) / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 6) AS centroid_cosine,
+       round(sqrt(sum((ma - mb) ^ 2)), 6) AS centroid_shift
+FROM j GROUP BY label ORDER BY label
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -8628,6 +8700,7 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
+    "embedding_drift": q_embedding_drift,
     "events_bootstrap": q_events_bootstrap,
     "events_mannwhitney": q_events_mannwhitney,
     "orders_kmv": q_orders_kmv,
@@ -8869,6 +8942,7 @@ ORACLES = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,
+    "embedding_drift": SQL_EMBEDDING_DRIFT,
     "events_bootstrap": SQL_EVENTS_BOOTSTRAP,
     "events_mannwhitney": SQL_EVENTS_MANNWHITNEY,
     "orders_kmv": SQL_ORDERS_KMV,

@@ -371,3 +371,15 @@ def test_modularity_worst_split_negative(spark):
     r = modularity(edges, labels).collect()[0]
     assert r["modularity"] < 0
     assert abs(r["modularity"] + 0.5) < 1e-9  # 0 - 2*(4/8)^2
+
+
+def test_embedding_drift_identical_cohorts(spark):
+    from mcpvectordb_spark.catalog import QUERIES
+
+    rows = QUERIES["embedding_drift"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_a"] > 0 and r["n_b"] > 0
+        # same-distribution halves: centroids nearly aligned
+        assert -1.0 <= r["centroid_cosine"] <= 1.0 + 1e-9
+        assert r["centroid_shift"] >= 0
