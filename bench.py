@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "events_psi",            # decile-bin PSI drift between stream halves
     "parts_graph_metrics",   # modularity + assortativity + transitivity
     "embedding_drift",       # per-label centroid cosine/shift monitor
+    "customers_kanon",       # k-anonymity / l-diversity release audit
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -8674,6 +8674,49 @@ FROM j GROUP BY label ORDER BY label
 """
 
 
+def q_customers_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) of the customer table under the quasi-identifier (nation,
+    account-balance century bucket) with the market segment as the
+    sensitive attribute: one keyed aggregation produces
+    every equivalence class's size and distinct-sensitive count; the
+    summary row reports k (the minimum class size — re-identification
+    risk is 1/k), the count of classes violating k>=5, and min
+    l-diversity.  The governance gate a training-data release runs
+    before shipping user-derived tables; at 100 TB it is one groupBy —
+    the same shape as list_libraries.  Output: one row."""
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.countDistinct("c_mktsegment").cast("long").alias("l_div"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("class_size").alias("k_anonymity"),
+        F.sum((F.col("class_size") < 5).cast("int")).cast("long").alias("n_violations_k5"),
+        F.min("l_div").alias("l_diversity"),
+        F.round(F.avg("class_size"), 6).alias("avg_class_size"),
+    )
+
+
+SQL_CUSTOMERS_KANON = """
+WITH classes AS (
+  SELECT c_nationkey, CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+  FROM customer GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       min(class_size) AS k_anonymity,
+       CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations_k5,
+       min(l_div) AS l_diversity,
+       round(avg(class_size), 6) AS avg_class_size
+FROM classes
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -8701,6 +8744,7 @@ QUERIES = {
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
     "embedding_drift": q_embedding_drift,
+    "customers_kanon": q_customers_kanon,
     "events_bootstrap": q_events_bootstrap,
     "events_mannwhitney": q_events_mannwhitney,
     "orders_kmv": q_orders_kmv,
@@ -8943,6 +8987,7 @@ ORACLES = {
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,
     "embedding_drift": SQL_EMBEDDING_DRIFT,
+    "customers_kanon": SQL_CUSTOMERS_KANON,
     "events_bootstrap": SQL_EVENTS_BOOTSTRAP,
     "events_mannwhitney": SQL_EVENTS_MANNWHITNEY,
     "orders_kmv": SQL_ORDERS_KMV,

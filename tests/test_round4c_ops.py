@@ -383,3 +383,17 @@ def test_embedding_drift_identical_cohorts(spark):
         # same-distribution halves: centroids nearly aligned
         assert -1.0 <= r["centroid_cosine"] <= 1.0 + 1e-9
         assert r["centroid_shift"] >= 0
+
+
+def test_customers_kanon_consistency(spark):
+    from mcpvectordb_spark.catalog import QUERIES
+    from mcpvectordb_spark.io import load_table
+
+    r = QUERIES["customers_kanon"](spark, "/root/testdata/sf0.001").collect()[0]
+    c = load_table(spark, "/root/testdata/sf0.001", "customer")
+    n = c.count()
+    assert r["k_anonymity"] >= 1
+    assert 1 <= r["l_diversity"] <= 5  # five TPC-H market segments
+    assert 0 <= r["n_violations_k5"] <= r["n_classes"]
+    # class sizes partition the table
+    assert abs(r["avg_class_size"] * r["n_classes"] - n) < 0.01 * n
