@@ -1676,6 +1676,61 @@ def main_r4d() -> None:
 
     run("holt_300", holt)
 
+
+    def graph_metrics():
+        from mcpvectordb_spark.operators.graph import label_propagation, modularity
+
+        labels = label_propagation(g, rounds=4).cache()
+        labels.count()
+        r = modularity(g, labels).collect()[0]
+        # Q is bounded in [-1, 1]; the arithmetic graph has weak community
+        # structure, but every node must be labeled and scored
+        assert -1.0 <= r["modularity"] <= 1.0, r
+        assert 0 < r["n_communities"] <= n_nodes
+        labels.unpersist()
+        notes["modularity_2m"] = (
+            f"Q = {r['modularity']:.4f} over {r['n_communities']} LP-4 "
+            "communities on 2M edges; scoring = two keyed joins + one "
+            "|communities|-row agg, independent of graph size"
+        )
+        return int(r["n_communities"])
+
+    run("graph_metrics_2m", graph_metrics)
+
+    def psi():
+        edges_ref = big_ev.filter(F.col("event_id") % 2 == 0)
+        probe = big_ev.filter(F.col("event_id") % 2 == 1)
+        ed = edges_ref.groupBy(F.col("event_type").alias("et")).agg(
+            *[F.percentile("value", F.lit(i / 10.0)).alias(f"e{i}") for i in range(1, 10)]
+        )
+        b = probe.join(F.broadcast(ed), F.col("event_type") == F.col("et")).select(
+            "event_type",
+            sum((F.col("value") >= F.col(f"e{i}")).cast("int") for i in range(1, 10)).alias("bin"),
+        )
+        counts = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
+        rows = counts.collect()
+        per_type = {}
+        for r in rows:
+            per_type.setdefault(r["event_type"], {})[r["bin"]] = r["n"]
+        import math
+        for et, bins in per_type.items():
+            tot = sum(bins.values())
+            psi_v = sum(
+                (bins.get(i, 0) / tot - 0.1) * math.log(max(bins.get(i, 0) / tot, 1e-6) / 0.1)
+                for i in range(10)
+            )
+            # same-distribution halves: PSI must be far below the 0.1
+            # "investigate" threshold
+            assert psi_v < 0.02, (et, psi_v)
+        notes["psi_6m"] = (
+            f"{len(per_type)} types scored over {sum(len(v) for v in per_type.values())} "
+            "decile cells from 3M probe rows; all PSI < 0.02 vs the "
+            "even-half reference (same distribution), edges broadcast"
+        )
+        return int(len(rows))
+
+    run("psi_6m", psi)
+
     print(json.dumps({
         "mode": "r4d", "events": n_ev, "edges": n_edges,
         "timings_sec": timings, "result_counts": counts, "notes": notes,
