@@ -33,6 +33,7 @@ from mcpvectordb_spark.operators.analytics import item_item_cosine
 from mcpvectordb_spark.operators.graph import (
     kcore,
     label_propagation,
+    modularity,
     pagerank,
     triangle_count,
 )
@@ -58,10 +59,12 @@ def main(sf_dir: str, stop_session: bool = True) -> dict:
     )
     out["edges"] = edges.count()
 
-    # 1. communities over the pinned edges
-    labels = label_propagation(edges, rounds=4)
+    # 1. communities over the pinned edges, scored by exact modularity
+    labels = label_propagation(edges, rounds=4).localCheckpoint()
     out["nodes"] = labels.count()
     out["communities"] = labels.select("lbl").distinct().count()
+    q = modularity(edges, labels).collect()[0]
+    out["modularity"] = round(q["modularity"], 6)
 
     # 2. hub parts by weighted PageRank (symmetrized, small-graph pins)
     sym = edges.unionByName(

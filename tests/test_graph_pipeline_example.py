@@ -12,6 +12,8 @@ def test_graph_insights_pipeline_invariants(spark):
 
     # community structure: at least one community, no more than nodes
     assert 1 <= out["communities"] <= out["nodes"]
+    # modularity of the LP labeling is a bounded quality score
+    assert -1.0 <= out["modularity"] <= 1.0
     # census consistency with the shared edge list
     assert out["triangles"]["n_edges"] == out["edges"]
     assert out["triangles"]["n_nodes"] == out["nodes"]
