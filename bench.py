@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "parts_graph_metrics",   # modularity + assortativity + transitivity
     "embedding_drift",       # per-label centroid cosine/shift monitor
     "customers_kanon",       # k-anonymity / l-diversity release audit
+    "lr_eval",               # midrank AUC/Brier/logloss/ECE over prob blocks
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

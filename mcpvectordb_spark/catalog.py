@@ -7766,14 +7766,9 @@ SQL_SEARCH_EVAL = _sql_search_eval()
 _LR_ITER, _LR_RATE = 10, 0.5
 
 
-def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed logistic-regression quality classifier (operators/
-    mlr.py): 4 z-standardized text features -> is-English label, 10
-    full-batch GD iterations where each step is ONE map-side-combinable
-    aggregation and the only driver state is the 5-double weight vector
-    (the bounded-driver-state pattern of the BPE merge loop).  The oracle
-    replays the ENTIRE optimization as chained CTEs, so the gate proves
-    the distributed trainer equals a single-node replay bit-close."""
+def _lr_scored(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[float]]:
+    """Shared LR pipeline for lr_quality / lr_eval / lr_reliability:
+    standardized features -> trained weights -> per-row (y, p, pred)."""
     from mcpvectordb_spark.operators.mlr import (
         score_logistic,
         standardized_features,
@@ -7796,7 +7791,18 @@ def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang") == "en",
     )
     w = train_logistic_gd(feats, 4, iterations=_LR_ITER, lr=_LR_RATE)
-    scored = score_logistic(feats, w)
+    return score_logistic(feats, w), w
+
+
+def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression quality classifier (operators/
+    mlr.py): 4 z-standardized text features -> is-English label, 10
+    full-batch GD iterations where each step is ONE map-side-combinable
+    aggregation and the only driver state is the 5-double weight vector
+    (the bounded-driver-state pattern of the BPE merge loop).  The oracle
+    replays the ENTIRE optimization as chained CTEs, so the gate proves
+    the distributed trainer equals a single-node replay bit-close."""
+    scored, w = _lr_scored(spark, sf_dir)
     return scored.agg(
         *[F.round(F.lit(w[j]), 4).alias(f"w{j}") for j in range(5)],
         F.sum((F.col("pred") == F.col("y")).cast("long")).alias("n_correct"),
@@ -7804,7 +7810,11 @@ def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lr() -> str:
+def _sql_lr_ctes() -> tuple[list[str], str]:
+    """The shared LR replay: CTE list ending at trained weights w{_LR_ITER},
+    plus the logit expression over (feats, w{_LR_ITER}).  Reused by
+    lr_quality, lr_eval and lr_reliability so all three gates replay ONE
+    optimization definition."""
     xs = ["x1", "x2", "x3", "x4"]
     feats0 = f"""
   SELECT CAST(lang = 'en' AS DOUBLE) AS y,
@@ -7835,6 +7845,11 @@ def _sql_lr() -> str:
             f"(SELECT b0, b1, b2, b3, b4, 1.0/(1.0+exp(-({z}))) - y AS e, x1, x2, x3, x4 "
             f"FROM feats, w{it - 1}))"
         )
+    return ctes, z
+
+
+def _sql_lr() -> str:
+    ctes, z = _sql_lr_ctes()
     final_w = ", ".join(f"round(b{j}, 4) AS w{j}" for j in range(5))
     return (
         "WITH " + ",\n".join(ctes) + f"""
@@ -7848,6 +7863,106 @@ GROUP BY b0, b1, b2, b3, b4"""
 
 
 SQL_LR_QUALITY = _sql_lr()
+
+
+def q_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation (operators/modeleval.py) of the
+    lr_quality model: midrank ROC-AUC, Brier score, clamped log-loss and
+    10-bin ECE in one row.  Probabilities are snapped to a 1e-6 integer
+    grid before ranking/binning so tie blocks and bin edges are bit-exact
+    across engines (the integral-metric trick of events_mannwhitney); the
+    rank pass is a window over <= 1e6 probability BLOCKS, never corpus
+    rows.  The oracle replays the full GD training chain (_sql_lr_ctes)
+    and then the same block/midrank/bin arithmetic."""
+    from mcpvectordb_spark.operators.modeleval import binary_eval
+
+    scored, _ = _lr_scored(spark, sf_dir)
+    out = binary_eval(scored, "y", "p", n_bins=10)
+    return out.select(
+        "n",
+        "n_pos",
+        F.round("auc", 6).alias("auc"),
+        F.round("brier", 6).alias("brier"),
+        F.round("logloss", 6).alias("logloss"),
+        F.round("ece", 6).alias("ece"),
+    )
+
+
+def q_lr_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram table (operators/modeleval.py) for the
+    lr_quality model: per equal-width confidence bin, document count,
+    mean predicted probability and empirical positive rate.  Bin edges
+    are integer arithmetic on the quantized grid (pq*10 div 1e6)."""
+    from mcpvectordb_spark.operators.modeleval import reliability_table
+
+    scored, _ = _lr_scored(spark, sf_dir)
+    out = reliability_table(scored, "y", "p", n_bins=10)
+    return out.select(
+        "bin",
+        "n_docs",
+        F.round("avg_conf", 6).alias("avg_conf"),
+        F.round("frac_pos", 6).alias("frac_pos"),
+    )
+
+
+def _sql_lr_blocks() -> str:
+    """CTE suffix shared by lr_eval / lr_reliability: quantize the replayed
+    sigmoid to the 1e-6 grid and collapse to per-value blocks."""
+    ctes, z = _sql_lr_ctes()
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+scored AS (
+  SELECT y, CAST(round((1.0/(1.0+exp(-({z})))) * 1000000) AS BIGINT) AS pq
+  FROM feats, w{_LR_ITER}),
+blocks AS (
+  SELECT pq, CAST(count(*) AS BIGINT) AS cnt, sum(y) AS pos
+  FROM scored GROUP BY 1)"""
+    )
+
+
+SQL_LR_EVAL = (
+    _sql_lr_blocks()
+    + """,
+ranked AS (
+  SELECT pq, cnt, pos, sum(cnt) OVER (ORDER BY pq) AS cum,
+         CAST(pq AS DOUBLE) / 1000000 AS pd,
+         CAST(least(greatest(pq, 1), 999999) AS DOUBLE) / 1000000 AS pc
+  FROM blocks),
+mstats AS (
+  SELECT sum(cnt) AS n, sum(pos) AS n_pos,
+         sum(pos * (cum - cnt + (CAST(cnt AS DOUBLE) + 1) / 2)) AS r_pos,
+         sum(pos * (pd - 1) * (pd - 1) + (cnt - pos) * pd * pd) AS brier_sum,
+         sum(-(pos * ln(pc) + (cnt - pos) * ln(1 - pc))) AS ll_sum
+  FROM ranked),
+bins AS (
+  SELECT least(pq * 10 // 1000000, 9) AS bin, sum(cnt) AS nb,
+         sum(cnt * (CAST(pq AS DOUBLE) / 1000000)) AS conf_sum, sum(pos) AS pos_sum
+  FROM blocks GROUP BY 1),
+ece AS (
+  SELECT sum(nb * abs(pos_sum / nb - conf_sum / nb)) / sum(nb) AS ece FROM bins)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       round(CASE WHEN n_pos * (n - n_pos) > 0
+                  THEN (r_pos - n_pos * (n_pos + 1.0) / 2) / (n_pos * (n - n_pos)) END, 6) AS auc,
+       round(brier_sum / n, 6) AS brier,
+       round(ll_sum / n, 6) AS logloss,
+       round(ece, 6) AS ece
+FROM mstats, ece
+"""
+)
+
+
+SQL_LR_RELIABILITY = (
+    _sql_lr_blocks()
+    + """
+SELECT least(pq * 10 // 1000000, 9) AS bin,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       round(sum(cnt * (CAST(pq AS DOUBLE) / 1000000)) / sum(cnt), 6) AS avg_conf,
+       round(sum(pos) / sum(cnt), 6) AS frac_pos
+FROM blocks GROUP BY 1
+"""
+)
 
 
 def q_parts_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8737,6 +8852,8 @@ FROM classes
 QUERIES = {
     # -- round-4 additions (the mechanical rotation puts never-checked
     # -- queries first regardless of position here) --
+    "lr_eval": q_lr_eval,
+    "lr_reliability": q_lr_reliability,
     "parts_linkpred": q_parts_linkpred,
     "events_holt": q_events_holt,
     "events_changepoint": q_events_changepoint,
@@ -8998,6 +9115,8 @@ ORACLES = {
     "events_attribution": SQL_EVENTS_ATTRIBUTION,
     "copurchase_triangles": SQL_COPURCHASE_TRIANGLES,
     "lr_quality": SQL_LR_QUALITY,
+    "lr_eval": SQL_LR_EVAL,
+    "lr_reliability": SQL_LR_RELIABILITY,
     "w2v_search": _sql_digest_gold(10, "3385114c7156bb6d8282a5d5d56e2dfa"),
     "audio_fingerprint": _sql_digest_gold(12, "364eddec6871c8d438c4712018a593e8"),
     "events_ab_test": SQL_EVENTS_AB_TEST,

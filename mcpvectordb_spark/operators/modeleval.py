@@ -1,0 +1,139 @@
+"""Binary-classifier evaluation metrics as pure DataFrame aggregations —
+the "did the quality/language filter actually work" step of a curation
+pipeline (ROC-AUC, Brier score, log-loss, expected calibration error, and
+a reliability table), companion to the trainers in operators/mlr.py and
+operators/classify.py.
+
+Reference scope: the reference engine (skapoula/mcpvectordb) has no model
+evaluation surface; this extends the training-data-pipeline family the
+same way operators/curation.py extends its ingest surface.
+
+Determinism / oracle strategy: probabilities are quantized to a fixed
+integer grid (``round(p * quant)`` as BIGINT) before ANY ranking or
+binning, so tie blocks, histogram bins, and clamps are bit-exact across
+engines — the same integral-metric trick as the Mann-Whitney gate
+(operators/stats.py).  AUC uses the midrank (tie-corrected) Mann-Whitney
+identity AUC = (R+ - n+(n+1)/2) / (n+ * n-), computed from per-value
+blocks, never per-row ranks.
+
+Scale shape: one groupBy on the quantized probability (domain bounded by
+``quant`` + 1 distinct values, so the shuffle is tiny regardless of corpus
+size), then a single-partition window over those <= quant+1 blocks for the
+cumulative rank — O(quant) rows through the window, NOT O(corpus); lower
+``quant`` if the probability grid must shrink further.  Losses and ECE are
+map-side-combinable aggregations over the same block table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Resolution of the probability grid: p is snapped to multiples of
+# 1/QUANT before ranking/binning so Spark and any SQL replay agree on tie
+# structure bit-exactly.
+QUANT = 1_000_000
+
+
+def _prob_blocks(scored: DataFrame, label_col: str, prob_col: str) -> DataFrame:
+    """(pq, cnt, pos): per quantized-probability value, total rows and
+    positive-label rows.  This is the only corpus-sized pass."""
+    return (
+        scored.select(
+            F.round(F.col(prob_col) * QUANT).cast("long").alias("pq"),
+            F.col(label_col).cast("double").alias("y"),
+        )
+        .groupBy("pq")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"), F.sum("y").alias("pos"))
+    )
+
+
+def binary_eval(
+    scored: DataFrame,
+    label_col: str = "y",
+    prob_col: str = "p",
+    n_bins: int = 10,
+) -> DataFrame:
+    """One-row evaluation of a binary classifier from (label, probability)
+    rows: n, n_pos, midrank ROC-AUC, Brier score, clamped log-loss, and
+    ECE over ``n_bins`` equal-width confidence bins.
+
+    All metrics are exact over the quantized probability grid; log-loss
+    clamps the INTEGER grid value to [1, QUANT-1] (never the float), so
+    the clamp is engine-independent.
+    """
+    blocks = _prob_blocks(scored, label_col, prob_col)
+
+    w = Window.orderBy("pq").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = blocks.withColumn("cum", F.sum("cnt").over(w))
+    midrank = F.col("cum") - F.col("cnt") + (F.col("cnt") + F.lit(1)) / F.lit(2.0)
+    pq_c = F.least(F.greatest(F.col("pq"), F.lit(1)), F.lit(QUANT - 1))
+    pc = pq_c / F.lit(float(QUANT))
+    p = F.col("pq") / F.lit(float(QUANT))
+    neg = F.col("cnt") - F.col("pos")
+
+    stats = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("pos") * midrank).alias("r_pos"),
+        F.sum(F.col("pos") * (p - F.lit(1.0)) * (p - F.lit(1.0)) + neg * p * p).alias("brier_sum"),
+        F.sum(-(F.col("pos") * F.log(pc) + neg * F.log(F.lit(1.0) - pc))).alias("ll_sum"),
+    )
+
+    bins = (
+        blocks.groupBy(
+            F.least(F.expr(f"pq * {n_bins} div {QUANT}"), F.lit(n_bins - 1)).alias("bin")
+        )
+        .agg(
+            F.sum("cnt").alias("nb"),
+            F.sum(F.col("cnt") * p).alias("conf_sum"),
+            F.sum("pos").alias("pos_sum"),
+        )
+        .agg(
+            (
+                F.sum(F.col("nb") * F.abs(F.col("pos_sum") / F.col("nb") - F.col("conf_sum") / F.col("nb")))
+                / F.sum("nb")
+            ).alias("ece")
+        )
+    )
+
+    n_neg = F.col("n") - F.col("n_pos")
+    den = F.col("n_pos") * n_neg
+    auc = F.when(
+        den > 0,
+        (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + F.lit(1.0)) / F.lit(2.0)) / den,
+    )
+    return (
+        stats.crossJoin(F.broadcast(bins))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            auc.alias("auc"),
+            (F.col("brier_sum") / F.col("n")).alias("brier"),
+            (F.col("ll_sum") / F.col("n")).alias("logloss"),
+            F.col("ece"),
+        )
+    )
+
+
+def reliability_table(
+    scored: DataFrame,
+    label_col: str = "y",
+    prob_col: str = "p",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-confidence-bin reliability diagram rows: (bin, n_docs,
+    avg_conf, frac_pos).  Equal-width bins on the quantized grid; bin
+    edges are integer arithmetic so engines agree exactly."""
+    blocks = _prob_blocks(scored, label_col, prob_col)
+    p = F.col("pq") / F.lit(float(QUANT))
+    return (
+        blocks.groupBy(
+            F.least(F.expr(f"pq * {n_bins} div {QUANT}"), F.lit(n_bins - 1)).alias("bin")
+        )
+        .agg(
+            F.sum("cnt").cast("long").alias("n_docs"),
+            (F.sum(F.col("cnt") * p) / F.sum("cnt")).alias("avg_conf"),
+            (F.sum("pos") / F.sum("cnt")).alias("frac_pos"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Unit tests for operators/modeleval.py: midrank ROC-AUC, Brier score,
+clamped log-loss, ECE and the reliability table."""
+
+import math
+
+import pytest
+
+
+def _eval_row(spark, rows, n_bins=10):
+    from mcpvectordb_spark.operators.modeleval import binary_eval
+
+    df = spark.createDataFrame(rows, ["y", "p"])
+    return binary_eval(df, "y", "p", n_bins=n_bins).first()
+
+
+def test_perfect_classifier(spark):
+    rows = [(1.0, 1.0), (1.0, 1.0), (0.0, 0.0), (0.0, 0.0)]
+    r = _eval_row(spark, rows)
+    assert (r["n"], r["n_pos"]) == (4, 2)
+    assert r["auc"] == pytest.approx(1.0)
+    assert r["brier"] == pytest.approx(0.0)
+    assert r["ece"] == pytest.approx(0.0)
+    # clamped log-loss: p snapped to 1e-6 grid then clamped to [1e-6, 1-1e-6]
+    assert r["logloss"] == pytest.approx(-math.log(1.0 - 1e-6), rel=1e-6)
+
+
+def test_inverted_classifier_auc_zero(spark):
+    rows = [(1.0, 0.1), (1.0, 0.2), (0.0, 0.8), (0.0, 0.9)]
+    r = _eval_row(spark, rows)
+    assert r["auc"] == pytest.approx(0.0)
+
+
+def test_constant_probability_ties(spark):
+    # all rows in one tie block: midrank AUC must be exactly 0.5
+    rows = [(1.0, 0.5), (0.0, 0.5), (1.0, 0.5), (0.0, 0.5)]
+    r = _eval_row(spark, rows)
+    assert r["auc"] == pytest.approx(0.5)
+    assert r["brier"] == pytest.approx(0.25)
+    # conf 0.5 vs frac_pos 0.5 -> perfectly calibrated bin
+    assert r["ece"] == pytest.approx(0.0)
+
+
+def test_midrank_auc_hand_example(spark):
+    # scores: pos {0.8, 0.6, 0.6}, neg {0.6, 0.4}
+    # pairs: (0.8 vs 0.6)=1, (0.8 vs 0.4)=1, (0.6 vs 0.6)=0.5 (x2),
+    #        (0.6 vs 0.4)=1 (x2)  ->  AUC = (1+1+0.5+0.5+1+1)/6 = 5/6
+    rows = [(1.0, 0.8), (1.0, 0.6), (1.0, 0.6), (0.0, 0.6), (0.0, 0.4)]
+    r = _eval_row(spark, rows)
+    assert r["auc"] == pytest.approx(5.0 / 6.0)
+
+
+def test_brier_and_logloss_hand_example(spark):
+    rows = [(1.0, 0.9), (0.0, 0.2)]
+    r = _eval_row(spark, rows)
+    assert r["brier"] == pytest.approx((0.1**2 + 0.2**2) / 2, rel=1e-9)
+    assert r["logloss"] == pytest.approx(
+        (-math.log(0.9) - math.log(0.8)) / 2, rel=1e-9
+    )
+
+
+def test_single_class_auc_null(spark):
+    rows = [(1.0, 0.7), (1.0, 0.3)]
+    r = _eval_row(spark, rows)
+    assert r["auc"] is None
+    assert r["n_pos"] == 2
+
+
+def test_ece_miscalibrated(spark):
+    # every row predicted 0.9 but only half are positive:
+    # one bin, |0.5 - 0.9| = 0.4
+    rows = [(1.0, 0.9), (0.0, 0.9)]
+    r = _eval_row(spark, rows)
+    assert r["ece"] == pytest.approx(0.4)
+
+
+def test_reliability_table_bins(spark):
+    from mcpvectordb_spark.operators.modeleval import reliability_table
+
+    rows = [(1.0, 0.05), (0.0, 0.05), (1.0, 0.95), (1.0, 0.97), (0.0, 1.0)]
+    df = spark.createDataFrame(rows, ["y", "p"])
+    out = {r["bin"]: r for r in reliability_table(df, "y", "p").collect()}
+    assert set(out) == {0, 9}  # p=1.0 clamps into the top bin
+    assert out[0]["n_docs"] == 2
+    assert out[0]["frac_pos"] == pytest.approx(0.5)
+    assert out[9]["n_docs"] == 3
+    assert out[9]["avg_conf"] == pytest.approx((0.95 + 0.97 + 1.0) / 3, rel=1e-9)
+    assert sum(r["n_docs"] for r in out.values()) == 5
+
+
+def test_quantization_merges_near_ties(spark):
+    # probabilities within half a grid step collapse into one block and
+    # therefore tie (the engine-parity guarantee)
+    rows = [(1.0, 0.5000000001), (0.0, 0.5000000002)]
+    r = _eval_row(spark, rows)
+    assert r["auc"] == pytest.approx(0.5)
