@@ -1098,7 +1098,8 @@ def main_r4() -> None:
 
     # ---- TF-IDF cosine self-join over 200k docs ---------------------------
     def simjoin():
-        from mcpvectordb_spark.operators.simjoin import doc_terms, tfidf_cosine_pairs
+        from mcpvectordb_spark.operators.bm25 import doc_terms
+        from mcpvectordb_spark.operators.simjoin import tfidf_cosine_pairs
 
         max_df = 100
         pairs = tfidf_cosine_pairs(big_docs, "id", "text", threshold=0.8, max_df=max_df)
@@ -1738,6 +1739,180 @@ def main_r4d() -> None:
     spark.stop()
 
 
+def main_r4e() -> None:
+    """Stress the round-3 heavy operators (round-3 verdict item 6) at
+    sf1-equivalent scale: weighted PageRank on a 5M-edge/500k-node graph,
+    trigram-LM perplexity + TF-IDF cosine self-join + RM3 expansion on a
+    200k-doc corpus.  In-script correctness assertions throughout; the
+    tfidf pair count is checked against BOTH an exact closed form and the
+    max_df**2 fanout bound."""
+    spark = get_spark("stress-r4e")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {counts[name]}", file=sys.stderr)
+
+    # ---- 5M-edge / 500k-node weighted graph (every node has out-edges,
+    # ---- so PageRank mass is conserved exactly) ---------------------------
+    n_nodes, n_edges = 500_000, 5_000_000
+    g = spark.range(n_edges).select(
+        (F.col("id") % n_nodes).alias("src"),
+        ((F.col("id") * 2654435761 + 1) % n_nodes).alias("dst"),
+        (F.lit(1.0) + (F.col("id") % 3)).alias("w"),
+    ).filter(F.col("src") != F.col("dst")).repartition(64).cache()
+    n_g = g.count()
+
+    def pr():
+        from mcpvectordb_spark.operators.graph import pagerank
+
+        ranks = pagerank(g, iterations=10, weight_col="w").cache()
+        n = ranks.count()
+        agg = ranks.agg(
+            F.sum("rank").alias("mass"), F.min("rank").alias("mn")
+        ).collect()[0]
+        # no dangling nodes -> the rank vector stays a probability
+        # distribution through all 10 iterations
+        assert n == n_nodes, n
+        assert abs(agg["mass"] - 1.0) < 1e-6, agg["mass"]
+        assert agg["mn"] > 0, agg["mn"]
+        ranks.unpersist()
+        notes["pagerank_5m"] = (
+            f"{n} nodes ranked over {n_g} weighted edges, 10 iterations; "
+            f"rank mass {agg['mass']:.9f} (conserved), min rank > 0; one "
+            "join + one keyed agg per iteration, ranks localCheckpointed"
+        )
+        return int(n)
+
+    run("pagerank_5m", pr)
+
+    # ---- 200k-doc corpus: 40 exact replicas per origin + planted markers
+    # ---- ('grp<origin>' df=40 survives max_df; 'uniq<r>' df=5000 is cut),
+    # ---- giving the tfidf join an EXACT expected pair count -------------
+    docs = load_table(spark, SF, "documents")
+    n_origins = docs.count()
+    r40 = spark.range(40).select(F.col("id").alias("r"))
+    big_docs = (
+        docs.crossJoin(F.broadcast(r40))
+        .select(
+            (F.col("doc_id") * 1000 + F.col("r")).alias("id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" grp"), F.col("doc_id").cast("string"),
+                F.lit(" uniq"), F.col("r").cast("string"),
+            ).alias("text"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n_docs = big_docs.count()
+    print(f"# r4e corpus: {n_docs} docs", file=sys.stderr)
+
+    def ngram():
+        from mcpvectordb_spark.operators.ngram_lm import ngram_lm_score
+
+        out = ngram_lm_score(big_docs, "id", "text").cache()
+        n = out.count()
+        bad = out.filter(
+            F.col("ppl").isNull() | F.isnan("ppl") | (F.col("ppl") <= 1.0)
+        ).count()
+        # replicas of one origin are byte-identical -> identical perplexity
+        per_origin = (
+            out.groupBy((F.col("id") / 1000).cast("long").alias("origin"))
+            .agg(F.countDistinct(F.round("ppl", 9)).alias("k"))
+            .filter(F.col("k") != 1)
+            .count()
+        )
+        assert n == n_docs and bad == 0 and per_origin == 0, (n, bad, per_origin)
+        out.unpersist()
+        notes["ngram_lm_200k"] = (
+            f"{n} docs scored, all ppl finite > 1; all {n_origins} origins "
+            "have replica-identical perplexity; grams shuffled as 48-bit "
+            "hashes through 5 hash equi-joins against bounded count tables"
+        )
+        return int(n)
+
+    run("ngram_lm_200k", ngram)
+
+    def tfidf():
+        from mcpvectordb_spark.operators.bm25 import doc_terms
+        from mcpvectordb_spark.operators.simjoin import tfidf_cosine_pairs
+
+        max_df = 100
+        # independent fanout bound from the data: sum over joinable terms
+        # (2 <= df <= max_df) of df^2 / 2
+        dfreq = (
+            doc_terms(big_docs, "id", "text")
+            .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        )
+        bound = (
+            dfreq.filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+            .agg(F.sum(F.col("df") * F.col("df") / 2).alias("b")).collect()[0]["b"]
+        )
+        pairs = tfidf_cosine_pairs(big_docs, "id", "text", threshold=0.9, max_df=max_df).cache()
+        n = pairs.count()
+        cross = pairs.filter(
+            (F.col("id_a") / 1000).cast("long") != (F.col("id_b") / 1000).cast("long")
+        ).count()
+        bad = pairs.filter((F.col("cosine") < 0.9) | (F.col("cosine") > 1.0 + 1e-9)).count()
+        expected = n_origins * (40 * 39 // 2)
+        assert n == expected and cross == 0 and bad == 0, (n, expected, cross, bad)
+        assert n <= bound, (n, bound)
+        pairs.unpersist()
+        notes["tfidf_simjoin_200k"] = (
+            f"{n} pairs == exact closed form {n_origins}*C(40,2) (0 cross-"
+            f"origin; every common-vocab term is cut by max_df={max_df}) and "
+            f"within the fanout bound sum(df^2)/2 = {int(bound)}; inverted-"
+            "index candidates, df table broadcast, two shuffles"
+        )
+        return int(n)
+
+    run("tfidf_simjoin_200k", tfidf)
+
+    def rm3():
+        from mcpvectordb_spark.operators.bm25 import bm25_topk
+        from mcpvectordb_spark.operators.prf import rm3_topk
+
+        top_terms = [
+            r["t"]
+            for r in (
+                big_docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+                .filter(F.length("t") >= 4)
+                .groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), "t").limit(3).collect()
+            )
+        ]
+        query = " ".join(top_terms)
+        out = rm3_topk(big_docs, query, 10, "id", "text").cache()
+        rows = out.collect()
+        scores = [r["score"] for r in rows]
+        base = {r["doc"] for r in bm25_topk(big_docs, query, 10, "id", "text").collect()}
+        assert len(rows) == 10 and len({r["doc"] for r in rows}) == 10, rows
+        assert all(s > 0 for s in scores) and scores == sorted(scores, reverse=True)
+        out.unpersist()
+        notes["rm3_200k"] = (
+            f"query '{query}': 10 expanded-BM25 docs, scores positive "
+            f"descending, {len(base & {r['doc'] for r in rows})}/10 overlap "
+            "with plain BM25; 2 passes by construction, feedback set + "
+            "expansion vocab broadcast"
+        )
+        return int(len(rows))
+
+    run("rm3_200k", rm3)
+
+    print(json.dumps({
+        "mode": "r4e", "docs": n_docs, "edges": n_g,
+        "timings_sec": timings, "result_counts": counts, "notes": notes,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "sf1" in sys.argv[1:]:
         main_sf1()
@@ -1753,6 +1928,8 @@ if __name__ == "__main__":
         main_r4c()
     elif "r4d" in sys.argv[1:]:
         main_r4d()
+    elif "r4e" in sys.argv[1:]:
+        main_r4e()
     elif "r4" in sys.argv[1:]:
         main_r4()
     else:
