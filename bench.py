@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "embedding_drift",       # per-label centroid cosine/shift monitor
     "customers_kanon",       # k-anonymity / l-diversity release audit
     "lr_eval",               # midrank AUC/Brier/logloss/ECE over prob blocks
+    "events_attribution_markov",  # removal-effect chains via 6 matrix squarings
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -8817,6 +8817,113 @@ def q_customers_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (operators/analytics.py::
+    markov_removal_attribution): per-user journeys up to first purchase
+    feed a (src, dst) transition matrix; each channel's removal chain
+    maps its inbound transitions to '(null)', and 6 matrix SQUARINGS give
+    the exact 64-step absorption probability for all chains in one keyed
+    plan (log-depth, localCheckpointed — never 64 chained iterations).
+    The oracle replays journeys, the removal mapping and all 6 squarings."""
+    from mcpvectordb_spark.operators.analytics import markov_removal_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    out = markov_removal_attribution(ev, conv_value="purchase")
+    return out.select(
+        "channel",
+        F.round("p_conv_full", 6).alias("p_conv_full"),
+        F.round("p_conv_removed", 6).alias("p_conv_removed"),
+        F.round("removal_effect", 6).alias("removal_effect"),
+        F.round("attribution", 6).alias("attribution"),
+    )
+
+
+def _sql_markov_attr(squarings: int = 6) -> str:
+    ctes = [
+        """ordered AS (
+  SELECT user_id AS u, event_type AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)""",
+        """fp AS (
+  SELECT u, min(CASE WHEN t = 'purchase' THEN rn END) AS fp
+  FROM ordered GROUP BY 1)""",
+        """j AS (
+  SELECT o.u, o.t, o.rn, f.fp FROM ordered o JOIN fp f USING (u)
+  WHERE f.fp IS NULL OR o.rn < f.fp)""",
+        """t1 AS (
+  SELECT t AS src,
+         COALESCE(lead(t) OVER (PARTITION BY u ORDER BY rn),
+                  CASE WHEN fp IS NOT NULL THEN '(conv)' ELSE '(null)' END) AS dst
+  FROM j)""",
+        """firsts AS (
+  SELECT u, t AS ft FROM (
+    SELECT u, t, row_number() OVER (PARTITION BY u ORDER BY rn) AS rn2 FROM j)
+  WHERE rn2 = 1)""",
+        """starts AS (
+  SELECT '(start)' AS src,
+         COALESCE(fi.ft, CASE WHEN f.fp IS NOT NULL THEN '(conv)' ELSE '(null)' END) AS dst
+  FROM fp f LEFT JOIN firsts fi USING (u))""",
+        """cnt AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT src, dst FROM t1 UNION ALL SELECT src, dst FROM starts)
+  GROUP BY 1, 2)""",
+        """tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS tt FROM cnt GROUP BY 1)""",
+        """base AS (
+  SELECT cnt.src, cnt.dst, CAST(c AS DOUBLE) / tt AS p FROM cnt JOIN tot USING (src))""",
+        """channels AS (SELECT DISTINCT t AS rm FROM j)""",
+        """rms AS (SELECT rm FROM channels UNION ALL SELECT '(none)')""",
+        """m0 AS (
+  SELECT rm, src, dst, sum(p) AS p FROM (
+    SELECT r.rm, b.src,
+           CASE WHEN b.dst = r.rm THEN '(null)' ELSE b.dst END AS dst, b.p
+    FROM rms r CROSS JOIN base b WHERE b.src <> r.rm)
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT rm, s, s, CAST(1.0 AS DOUBLE)
+  FROM rms CROSS JOIN (SELECT unnest(['(conv)', '(null)']) AS s))""",
+    ]
+    for i in range(1, squarings + 1):
+        ctes.append(
+            f"""m{i} AS (
+  SELECT a.rm, a.src, b.dst, sum(a.p * b.p) AS p
+  FROM m{i - 1} a JOIN m{i - 1} b ON a.rm = b.rm AND a.dst = b.src
+  GROUP BY 1, 2, 3)"""
+        )
+    ctes.append(
+        f"""conv AS (
+  SELECT rm, p AS p_conv FROM m{squarings} WHERE src = '(start)' AND dst = '(conv)')"""
+    )
+    ctes.append(
+        """fullc AS (
+  SELECT COALESCE(sum(p_conv), CAST(0.0 AS DOUBLE)) AS p_conv_full
+  FROM conv WHERE rm = '(none)')"""
+    )
+    ctes.append(
+        """eff AS (
+  SELECT ch.rm AS channel, p_conv_full,
+         COALESCE(c.p_conv, CAST(0.0 AS DOUBLE)) AS p_conv_removed,
+         CASE WHEN p_conv_full > 0
+              THEN 1.0 - COALESCE(c.p_conv, CAST(0.0 AS DOUBLE)) / p_conv_full END AS removal_effect
+  FROM channels ch LEFT JOIN conv c ON c.rm = ch.rm CROSS JOIN fullc)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT channel,
+       round(p_conv_full, 6) AS p_conv_full,
+       round(p_conv_removed, 6) AS p_conv_removed,
+       round(removal_effect, 6) AS removal_effect,
+       round(CASE WHEN sum(removal_effect) OVER () > 0
+                  THEN removal_effect / sum(removal_effect) OVER () END, 6) AS attribution
+FROM eff
+"""
+    )
+
+
+SQL_EVENTS_ATTRIBUTION_MARKOV = _sql_markov_attr()
+
+
 SQL_CUSTOMERS_KANON = """
 WITH classes AS (
   SELECT c_nationkey, CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket,
@@ -8854,6 +8961,7 @@ QUERIES = {
     # -- queries first regardless of position here) --
     "lr_eval": q_lr_eval,
     "lr_reliability": q_lr_reliability,
+    "events_attribution_markov": q_events_attribution_markov,
     "parts_linkpred": q_parts_linkpred,
     "events_holt": q_events_holt,
     "events_changepoint": q_events_changepoint,
@@ -9117,6 +9225,7 @@ ORACLES = {
     "lr_quality": SQL_LR_QUALITY,
     "lr_eval": SQL_LR_EVAL,
     "lr_reliability": SQL_LR_RELIABILITY,
+    "events_attribution_markov": SQL_EVENTS_ATTRIBUTION_MARKOV,
     "w2v_search": _sql_digest_gold(10, "3385114c7156bb6d8282a5d5d56e2dfa"),
     "audio_fingerprint": _sql_digest_gold(12, "364eddec6871c8d438c4712018a593e8"),
     "events_ab_test": SQL_EVENTS_AB_TEST,

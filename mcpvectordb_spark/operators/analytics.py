@@ -386,3 +386,144 @@ def item_item_cosine(
             (F.col("cooc") / F.sqrt(F.col("na") * F.col("nb"))).alias("cos"),
         )
     )
+
+
+def markov_removal_attribution(
+    events: DataFrame,
+    conv_value: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    squarings: int = 6,
+) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2014): which
+    channels actually drive conversion, by how much conversion probability
+    drops when each channel is deleted from the journey graph.
+
+    Journey model: per user, events ordered by (ts, tiebreak) up to (not
+    including) the FIRST ``conv_value`` event; the user converts iff that
+    event exists.  States are '(start)', each observed channel, and the
+    absorbing '(conv)'/'(null)'.  Removing channel c maps every
+    transition INTO c to '(null)' and drops transitions out of c — the
+    standard "replace the node with the null state" construction.
+
+    Scale shape: the only corpus-sized work is the journey window + one
+    (src, dst) count aggregation; everything after operates on the tiny
+    (removal, src, dst) matrix (|channels|+1 chains x <=
+    (|channels|+3)^2 cells).  Absorption probabilities come from
+    ``squarings`` matrix self-joins — P^(2^k) by repeated squaring, so 6
+    squarings give the exact 64-step mass, log-depth instead of 64
+    chained iterations; each squaring is localCheckpointed so the
+    self-join plan stays O(1) deep (the two-star-CC discipline).
+
+    Returns one row per channel: (channel, p_conv_full, p_conv_removed,
+    removal_effect, attribution) where attribution is the effect
+    normalized over channels (NULL when every effect is 0).
+    """
+    from pyspark.sql import Window
+
+    o = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.row_number()
+        .over(Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col))
+        .alias("rn"),
+    )
+    fp = o.groupBy("u").agg(
+        F.min(F.when(F.col("t") == conv_value, F.col("rn"))).alias("fp")
+    )
+    j = (
+        o.join(fp, "u")
+        .filter(F.col("fp").isNull() | (F.col("rn") < F.col("fp")))
+        .localCheckpoint(eager=False)
+    )
+    term = lambda c: F.when(c.isNotNull(), F.lit("(conv)")).otherwise(F.lit("(null)"))  # noqa: E731
+
+    wj = Window.partitionBy("u").orderBy("rn")
+    t1 = j.select(
+        F.col("t").alias("src"),
+        F.coalesce(F.lead("t").over(wj), term(F.col("fp"))).alias("dst"),
+    )
+    firsts = (
+        j.withColumn("rn2", F.row_number().over(wj))
+        .filter(F.col("rn2") == 1)
+        .select("u", F.col("t").alias("ft"))
+    )
+    starts = (
+        fp.join(firsts, "u", "left")
+        .select(F.lit("(start)").alias("src"), F.coalesce("ft", term(F.col("fp"))).alias("dst"))
+    )
+    cnt = t1.unionByName(starts).groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("tt"))
+    base = cnt.join(tot, "src").select("src", "dst", (F.col("c") / F.col("tt")).alias("p"))
+
+    channels = j.select(F.col("t").alias("rm")).distinct()
+    rms = channels.unionByName(channels.sparkSession.range(1).select(F.lit("(none)").alias("rm")))
+
+    # the removal mapping can merge a redirected (dst==rm -> '(null)') cell
+    # into an existing '(null)' cell, so it must re-aggregate
+    mat = (
+        rms.crossJoin(base)
+        .filter(F.col("src") != F.col("rm"))
+        .select(
+            "rm",
+            "src",
+            F.when(F.col("dst") == F.col("rm"), F.lit("(null)")).otherwise(F.col("dst")).alias("dst"),
+            "p",
+        )
+        .groupBy("rm", "src", "dst")
+        .agg(F.sum("p").alias("p"))
+    )
+    absorb = rms.crossJoin(
+        channels.sparkSession.createDataFrame(
+            [("(conv)", "(conv)", 1.0), ("(null)", "(null)", 1.0)], ["src", "dst", "p"]
+        )
+    )
+    mat = mat.unionByName(absorb.select("rm", "src", "dst", "p")).localCheckpoint(eager=False)
+
+    for _ in range(squarings):
+        mat = (
+            mat.alias("a")
+            .join(
+                mat.alias("b"),
+                (F.col("a.rm") == F.col("b.rm")) & (F.col("a.dst") == F.col("b.src")),
+            )
+            .groupBy(F.col("a.rm").alias("rm"), F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .agg(F.sum(F.col("a.p") * F.col("b.p")).alias("p"))
+            .localCheckpoint(eager=False)
+        )
+
+    # the matrix is sparse: a chain with NO start->conv path simply has no
+    # cell, so rejoin against the channel list (zero-filled) and aggregate
+    # the full-chain mass so "nobody converts" still yields one row
+    conv = mat.filter((F.col("src") == "(start)") & (F.col("dst") == "(conv)")).select(
+        "rm", F.col("p").alias("p_conv")
+    )
+    full = F.broadcast(
+        conv.filter(F.col("rm") == "(none)").agg(
+            F.coalesce(F.sum("p_conv"), F.lit(0.0)).alias("p_conv_full")
+        )
+    )
+    eff = (
+        channels.join(conv, "rm", "left")
+        .select("rm", F.coalesce("p_conv", F.lit(0.0)).alias("p_conv"))
+        .crossJoin(full)
+        .select(
+            F.col("rm").alias("channel"),
+            "p_conv_full",
+            F.col("p_conv").alias("p_conv_removed"),
+            F.when(
+                F.col("p_conv_full") > 0,
+                F.lit(1.0) - F.col("p_conv") / F.col("p_conv_full"),
+            ).alias("removal_effect"),
+        )
+    )
+    wall = Window.partitionBy()
+    return eff.withColumn(
+        "attribution",
+        F.when(
+            F.sum("removal_effect").over(wall) > 0,
+            F.col("removal_effect") / F.sum("removal_effect").over(wall),
+        ),
+    )
