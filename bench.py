@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "customers_kanon",       # k-anonymity / l-diversity release audit
     "lr_eval",               # midrank AUC/Brier/logloss/ECE over prob blocks
     "events_attribution_markov",  # removal-effect chains via 6 matrix squarings
+    "feature_auc",           # univariate AUC screening, feature-partitioned ranks
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -8817,6 +8817,65 @@ def q_customers_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Univariate feature screening (operators/modeleval.py::feature_auc):
+    midrank ROC-AUC of the four RAW lr_quality features against the
+    is-English label — the filter-method ranking run before training.
+    Features are engine-exact (a length and three integer-ratio
+    divisions; AUC is monotone-invariant so the ln/z-standardization of
+    the trainer is deliberately skipped), quantized to the 1e-6 grid, and
+    ranked by a window PARTITIONED BY feature over value blocks."""
+    from mcpvectordb_spark.operators.modeleval import feature_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = dd.normalize_text(F.col("text"))
+    words = F.split(t, " ")
+    nt = F.greatest(F.length(t), F.lit(1)).cast("double")
+    nw = F.greatest(F.size(words), F.lit(1)).cast("double")
+    feats = [
+        ("chars_per_word", F.length(t) / nw),
+        ("distinct_ratio", F.size(F.array_distinct(words)) / nw),
+        ("n_chars", F.length(t).cast("double")),
+        ("vowel_ratio", F.length(F.regexp_replace(t, "[^aeiou]", "")) / nt),
+    ]
+    out = feature_auc(docs.withColumn("y", F.col("lang") == "en"), feats, "y")
+    return out.select("feature", "n", "n_pos", F.round("auc", 6).alias("auc"))
+
+
+SQL_FEATURE_AUC = f"""
+WITH raw AS (
+  SELECT CAST(lang = 'en' AS DOUBLE) AS y, {_sql_norm('text')} AS t, {_sql_words('text')} AS w
+  FROM documents),
+vals AS (
+  SELECT y, 'chars_per_word' AS feature,
+         CAST(len(t) AS DOUBLE) / greatest(len(w), 1) AS v FROM raw
+  UNION ALL
+  SELECT y, 'distinct_ratio',
+         CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1) FROM raw
+  UNION ALL
+  SELECT y, 'n_chars', CAST(len(t) AS DOUBLE) FROM raw
+  UNION ALL
+  SELECT y, 'vowel_ratio',
+         CAST(len(regexp_replace(t, '[^aeiou]', '', 'g')) AS DOUBLE) / greatest(len(t), 1) FROM raw),
+blocks AS (
+  SELECT feature, CAST(round(v * 1000000) AS BIGINT) AS vq,
+         CAST(count(*) AS BIGINT) AS cnt, sum(y) AS pos
+  FROM vals GROUP BY 1, 2),
+ranked AS (
+  SELECT feature, cnt, pos,
+         sum(cnt) OVER (PARTITION BY feature ORDER BY vq) AS cum
+  FROM blocks),
+per AS (
+  SELECT feature, sum(cnt) AS n, sum(pos) AS n_pos,
+         sum(pos * (cum - cnt + (CAST(cnt AS DOUBLE) + 1) / 2)) AS r_pos
+  FROM ranked GROUP BY 1)
+SELECT feature, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       round(CASE WHEN n_pos * (n - n_pos) > 0
+                  THEN (r_pos - n_pos * (n_pos + 1.0) / 2) / (n_pos * (n - n_pos)) END, 6) AS auc
+FROM per
+"""
+
+
 def q_events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov-chain removal-effect attribution (operators/analytics.py::
     markov_removal_attribution): per-user journeys up to first purchase
@@ -8962,6 +9021,7 @@ QUERIES = {
     "lr_eval": q_lr_eval,
     "lr_reliability": q_lr_reliability,
     "events_attribution_markov": q_events_attribution_markov,
+    "feature_auc": q_feature_auc,
     "parts_linkpred": q_parts_linkpred,
     "events_holt": q_events_holt,
     "events_changepoint": q_events_changepoint,
@@ -9226,6 +9286,7 @@ ORACLES = {
     "lr_eval": SQL_LR_EVAL,
     "lr_reliability": SQL_LR_RELIABILITY,
     "events_attribution_markov": SQL_EVENTS_ATTRIBUTION_MARKOV,
+    "feature_auc": SQL_FEATURE_AUC,
     "w2v_search": _sql_digest_gold(10, "3385114c7156bb6d8282a5d5d56e2dfa"),
     "audio_fingerprint": _sql_digest_gold(12, "364eddec6871c8d438c4712018a593e8"),
     "events_ab_test": SQL_EVENTS_AB_TEST,

@@ -137,3 +137,63 @@ def reliability_table(
             (F.sum("pos") / F.sum("cnt")).alias("frac_pos"),
         )
     )
+
+
+def feature_auc(df, features, label_col):
+    """Univariate feature screening: midrank ROC-AUC of each candidate
+    feature against a binary label — the filter-method ranking step before
+    training a quality classifier (which features even separate the
+    classes?).  AUC is invariant under monotone transforms, so callers
+    should pass RAW engine-exact expressions (lengths, count ratios) and
+    skip log/standardization noise.
+
+    ``features``: list of (name, Column) pairs.  Returns one row per
+    feature: (feature, n, n_pos, auc).
+
+    Scale shape: the unpivot multiplies rows by |features| map-side (no
+    shuffle), then the same quantized-block discipline as binary_eval —
+    one groupBy on (feature, vq) and a rank window PARTITIONED BY
+    feature, so each feature's cumulative scan parallelizes
+    independently and is bounded by the 1e-6 grid."""
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(n).alias("feature"), v.cast("double").alias("v"))
+                for n, v in features
+            ]
+        )
+    ).alias("fv")
+    base = df.select(F.col(label_col).cast("double").alias("y"), pairs).select(
+        F.col("fv.feature").alias("feature"),
+        F.round(F.col("fv.v") * QUANT).cast("long").alias("vq"),
+        "y",
+    )
+    blocks = base.groupBy("feature", "vq").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    midrank = F.col("cum") - F.col("cnt") + (F.col("cnt") + F.lit(1)) / F.lit(2.0)
+    per = (
+        blocks.withColumn("cum", F.sum("cnt").over(w))
+        .groupBy("feature")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum("pos").alias("n_pos"),
+            F.sum(F.col("pos") * midrank).alias("r_pos"),
+        )
+    )
+    den = F.col("n_pos") * (F.col("n") - F.col("n_pos"))
+    auc = F.when(
+        den > 0,
+        (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + F.lit(1.0)) / F.lit(2.0)) / den,
+    )
+    return per.select(
+        "feature",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        auc.alias("auc"),
+    )

@@ -93,3 +93,31 @@ def test_quantization_merges_near_ties(spark):
     rows = [(1.0, 0.5000000001), (0.0, 0.5000000002)]
     r = _eval_row(spark, rows)
     assert r["auc"] == pytest.approx(0.5)
+
+
+def test_feature_auc_ranks_separability(spark):
+    from pyspark.sql import functions as F
+
+    from mcpvectordb_spark.operators.modeleval import feature_auc
+
+    rows = [
+        # (y, separable asc, separable desc, constant)
+        (1.0, 10.0, 1.0, 7.0),
+        (1.0, 9.0, 2.0, 7.0),
+        (0.0, 2.0, 9.0, 7.0),
+        (0.0, 1.0, 10.0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["y", "up", "down", "flat"])
+    out = {
+        r["feature"]: r
+        for r in feature_auc(
+            df,
+            [("up", F.col("up")), ("down", F.col("down")), ("flat", F.col("flat"))],
+            "y",
+        ).collect()
+    }
+    assert set(out) == {"up", "down", "flat"}
+    assert out["up"]["auc"] == pytest.approx(1.0)
+    assert out["down"]["auc"] == pytest.approx(0.0)
+    assert out["flat"]["auc"] == pytest.approx(0.5)
+    assert all(r["n"] == 4 and r["n_pos"] == 2 for r in out.values())
