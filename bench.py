@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "lr_eval",               # midrank AUC/Brier/logloss/ECE over prob blocks
     "events_attribution_markov",  # removal-effect chains via 6 matrix squarings
     "feature_auc",           # univariate AUC screening, feature-partitioned ranks
+    "lr_pr_curve",           # average precision + 11-point interpolated PR curve
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -8876,6 +8876,49 @@ FROM per
 """
 
 
+def q_lr_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall evaluation (operators/modeleval.py::pr_curve) of
+    the lr_quality model: tie-aware average precision + the 11-point
+    interpolated PR curve (TREC style).  Probabilities ride the same
+    1e-6 quantized blocks as lr_eval; the 11 recall levels are
+    CAST(i AS DOUBLE)/10 in both engines so the >= joins see identical
+    doubles.  The oracle replays the GD chain + the block cumulative
+    scan + the same inequality join."""
+    from mcpvectordb_spark.operators.modeleval import pr_curve
+
+    scored, _ = _lr_scored(spark, sf_dir)
+    out = pr_curve(scored, "y", "p", levels=11)
+    return out.select(
+        F.round("recall_level", 1).alias("recall_level"),
+        F.round("interp_prec", 6).alias("interp_prec"),
+        F.round("ap", 6).alias("ap"),
+    )
+
+
+SQL_LR_PR_CURVE = (
+    _sql_lr_blocks()
+    + """,
+cum AS (
+  SELECT pq, cnt, pos,
+         sum(cnt) OVER (ORDER BY pq DESC) AS cum_n,
+         sum(pos) OVER (ORDER BY pq DESC) AS cum_pos
+  FROM blocks),
+pstats AS (
+  SELECT sum(pos) AS n_pos,
+         sum(pos * cum_pos / cum_n) AS ap_num
+  FROM cum),
+levels AS (
+  SELECT CAST(unnest(range(0, 11)) AS DOUBLE) / 10 AS recall_level)
+SELECT round(l.recall_level, 1) AS recall_level,
+       round(max(c.cum_pos / CAST(c.cum_n AS DOUBLE)), 6) AS interp_prec,
+       round(min(s.ap_num / s.n_pos), 6) AS ap
+FROM levels l, cum c, pstats s
+WHERE c.cum_pos / s.n_pos >= l.recall_level
+GROUP BY 1
+"""
+)
+
+
 def q_events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov-chain removal-effect attribution (operators/analytics.py::
     markov_removal_attribution): per-user journeys up to first purchase
@@ -9022,6 +9065,7 @@ QUERIES = {
     "lr_reliability": q_lr_reliability,
     "events_attribution_markov": q_events_attribution_markov,
     "feature_auc": q_feature_auc,
+    "lr_pr_curve": q_lr_pr_curve,
     "parts_linkpred": q_parts_linkpred,
     "events_holt": q_events_holt,
     "events_changepoint": q_events_changepoint,
@@ -9287,6 +9331,7 @@ ORACLES = {
     "lr_reliability": SQL_LR_RELIABILITY,
     "events_attribution_markov": SQL_EVENTS_ATTRIBUTION_MARKOV,
     "feature_auc": SQL_FEATURE_AUC,
+    "lr_pr_curve": SQL_LR_PR_CURVE,
     "w2v_search": _sql_digest_gold(10, "3385114c7156bb6d8282a5d5d56e2dfa"),
     "audio_fingerprint": _sql_digest_gold(12, "364eddec6871c8d438c4712018a593e8"),
     "events_ab_test": SQL_EVENTS_AB_TEST,

@@ -197,3 +197,59 @@ def feature_auc(df, features, label_col):
         F.col("n_pos").cast("long").alias("n_pos"),
         auc.alias("auc"),
     )
+
+
+def pr_curve(
+    scored: DataFrame,
+    label_col: str = "y",
+    prob_col: str = "p",
+    levels: int = 11,
+) -> DataFrame:
+    """Precision-recall summary of a binary classifier: tie-aware average
+    precision plus the classic ``levels``-point interpolated PR curve
+    (TREC style — for each recall level r, the max precision over all
+    thresholds whose recall reaches r).
+
+    AP follows the step-function identity AP = sum_t (dR_t * P_t) over
+    DISTINCT quantized thresholds t descending, which with per-value
+    blocks is sum(pos_t * cumP_t / cumN_t) / n_pos — no per-row ranks.
+
+    Returns ``levels`` rows: (recall_level, interp_prec, ap) with ap
+    constant across rows.
+
+    Scale shape: same block discipline as binary_eval — one corpus-sized
+    groupBy onto the <= QUANT+1 probability grid, a single-partition
+    window over blocks, then an inequality join of ``levels`` broadcast
+    rows against the block table (BroadcastNestedLoop over O(grid) rows,
+    never corpus rows)."""
+    spark = scored.sparkSession
+    blocks = _prob_blocks(scored, label_col, prob_col)
+    w = (
+        Window.orderBy(F.desc("pq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = blocks.select(
+        "pq",
+        "cnt",
+        "pos",
+        F.sum("cnt").over(w).alias("cum_n"),
+        F.sum("pos").over(w).alias("cum_pos"),
+    )
+    stats = cum.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("pos") * F.col("cum_pos") / F.col("cum_n")).alias("ap_num"),
+    )
+    curve = cum.crossJoin(F.broadcast(stats)).select(
+        (F.col("cum_pos") / F.col("cum_n")).alias("prec"),
+        (F.col("cum_pos") / F.col("n_pos")).alias("recall"),
+        (F.col("ap_num") / F.col("n_pos")).alias("ap"),
+    )
+    lv = spark.range(levels).select(
+        (F.col("id").cast("double") / F.lit(float(levels - 1))).alias("recall_level")
+    )
+    return (
+        lv.join(curve, F.col("recall") >= F.col("recall_level"), "inner")
+        .groupBy("recall_level")
+        .agg(F.max("prec").alias("interp_prec"), F.min("ap").alias("ap"))
+    )

@@ -121,3 +121,34 @@ def test_feature_auc_ranks_separability(spark):
     assert out["down"]["auc"] == pytest.approx(0.0)
     assert out["flat"]["auc"] == pytest.approx(0.5)
     assert all(r["n"] == 4 and r["n_pos"] == 2 for r in out.values())
+
+
+def test_pr_curve_hand_example(spark):
+    from mcpvectordb_spark.operators.modeleval import pr_curve
+
+    rows = [(1.0, 0.9), (0.0, 0.8), (1.0, 0.7), (0.0, 0.6)]
+    df = spark.createDataFrame(rows, ["y", "p"])
+    out = {r["recall_level"]: r for r in pr_curve(df, "y", "p").collect()}
+    assert len(out) == 11
+    # AP = 0.5*1 + 0.5*(2/3)
+    for r in out.values():
+        assert r["ap"] == pytest.approx(5.0 / 6.0)
+    # recall >= 0.5 reachable at threshold 0.9 with precision 1.0
+    for lvl in [0.0, 0.1, 0.2, 0.3, 0.4, 0.5]:
+        assert out[lvl]["interp_prec"] == pytest.approx(1.0)
+    for lvl in [0.6, 0.7, 0.8, 0.9, 1.0]:
+        assert out[lvl]["interp_prec"] == pytest.approx(2.0 / 3.0)
+
+
+def test_pr_curve_ties_collapse_to_blocks(spark):
+    from mcpvectordb_spark.operators.modeleval import pr_curve
+
+    # all rows share one probability -> one block: AP = prevalence,
+    # interpolated precision = prevalence at every level
+    rows = [(1.0, 0.5), (0.0, 0.5), (0.0, 0.5), (1.0, 0.5)]
+    df = spark.createDataFrame(rows, ["y", "p"])
+    out = pr_curve(df, "y", "p").collect()
+    assert len(out) == 11
+    for r in out:
+        assert r["ap"] == pytest.approx(0.5)
+        assert r["interp_prec"] == pytest.approx(0.5)
