@@ -8321,6 +8321,87 @@ FROM ranked WHERE rk = 1 ORDER BY event_type
 """
 
 
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function (timeseries.py::acf) of the
+    HOURLY event-count series per type, lags 1..36 — the diagnostic that
+    exposes the daily cycle (r_24 spike) and distinguishes trending from
+    white-noise volume before fitting Holt/STL models.  Missing hours
+    densify to zero counts; every sum (n, S, Q, lag products, head/tail
+    window sums) is an exact BIGINT aggregate, so the mean-centered
+    Box-Jenkins r_k reduces to ONE double expression over integer
+    scalars that both engines evaluate bit-identically:
+
+        r_k = (n^2*Syy_k - n*S*(H_k+T_k) + (n-k)*S^2) / (n^2*Q - n*S^2)
+
+    Plan: densify grid join, explode(36 lags) + equi-join on
+    (type, t+lag) shuffling only (string, long, long) rows, two keyed
+    aggs, broadcast of the per-type scalar row.  Bartlett significance
+    bound at 1.96/sqrt(n).  Reference ships no ACF (query surface is
+    vector search, mcpvectordb/store.py); this extends the time-series
+    family (events_stl / events_holt / events_changepoint) with the
+    model-identification step."""
+    from mcpvectordb_spark.operators.timeseries import acf
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600)).cast("long").alias("t"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return acf(hourly, "event_type", "t", "y", max_lag=36).select(
+        "event_type",
+        "lag",
+        "n",
+        "r",
+        "significant",
+    )
+
+
+SQL_EVENTS_ACF = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, min(t) AS t0, max(t) AS t1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(range(t0, t1 + 1)) AS t FROM bounds),
+dense AS (
+  SELECT g.event_type, g.t, COALESCE(h.y, 0) AS y
+  FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.t = g.t),
+scal AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS q
+  FROM dense GROUP BY 1),
+lags AS (SELECT unnest(range(1, 37)) AS lag),
+per_lag AS (
+  SELECT l.event_type, lg.lag,
+         CAST(sum(l.y * r.y) AS BIGINT) AS syy,
+         CAST(sum(l.y) AS BIGINT) AS h,
+         CAST(sum(r.y) AS BIGINT) AS tt
+  FROM dense l CROSS JOIN lags lg
+  JOIN dense r ON r.event_type = l.event_type AND r.t = l.t + lg.lag
+  GROUP BY 1, 2)
+SELECT p.event_type, p.lag, s.n,
+       CASE WHEN CAST(s.n AS DOUBLE) * s.n * s.q - CAST(s.n AS DOUBLE) * s.s * s.s > 0
+            THEN round((CAST(s.n AS DOUBLE) * s.n * p.syy
+                        - CAST(s.n AS DOUBLE) * s.s * CAST(p.h + p.tt AS DOUBLE)
+                        + (CAST(s.n AS DOUBLE) - p.lag) * s.s * s.s)
+                       / (CAST(s.n AS DOUBLE) * s.n * s.q
+                          - CAST(s.n AS DOUBLE) * s.s * s.s), 6)
+       END AS r,
+       CASE WHEN CAST(s.n AS DOUBLE) * s.n * s.q - CAST(s.n AS DOUBLE) * s.s * s.s > 0
+            THEN abs((CAST(s.n AS DOUBLE) * s.n * p.syy
+                      - CAST(s.n AS DOUBLE) * s.s * CAST(p.h + p.tt AS DOUBLE)
+                      + (CAST(s.n AS DOUBLE) - p.lag) * s.s * s.s)
+                     / (CAST(s.n AS DOUBLE) * s.n * s.q
+                        - CAST(s.n AS DOUBLE) * s.s * s.s))
+                 > 1.96 / sqrt(CAST(s.n AS DOUBLE))
+       END AS significant
+FROM per_lag p JOIN scal s ON s.event_type = p.event_type
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -9069,6 +9150,7 @@ QUERIES = {
     "parts_linkpred": q_parts_linkpred,
     "events_holt": q_events_holt,
     "events_changepoint": q_events_changepoint,
+    "events_acf": q_events_acf,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -9312,6 +9394,7 @@ ORACLES = {
     "parts_linkpred": SQL_PARTS_LINKPRED,
     "events_holt": SQL_EVENTS_HOLT,
     "events_changepoint": SQL_EVENTS_CHANGEPOINT,
+    "events_acf": SQL_EVENTS_ACF,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

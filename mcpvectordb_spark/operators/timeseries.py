@@ -389,3 +389,94 @@ def best_split(
         ((F.col("ts_") - F.col("cs")) / (F.col("tn") - F.col("i"))).alias("mean_right"),
         (sse0 - F.col("cost")).alias("sse_reduction"),
     )
+
+
+def acf(
+    series: DataFrame,
+    key_col: str,
+    idx_col: str,
+    val_col: str,
+    max_lag: int = 24,
+) -> DataFrame:
+    """Sample autocorrelation function (Box-Jenkins r_k) of a regular
+    integer-indexed count series, per key, for lags 1..max_lag:
+
+        r_k = sum_{t<=n-k} (y_t - m)(y_{t+k} - m) / sum_t (y_t - m)^2
+
+    with m the full-series mean.  Gaps in the index are densified to
+    y = 0 first (an absent hour IS a zero-count observation), so both
+    engines see the same regular grid.  All sums (n, S = sum y,
+    Q = sum y^2, Syy_k = sum y_t*y_{t+k}, head/tail window sums) are
+    exact BIGINT aggregates — order-independent, so Spark and the oracle
+    agree bit-for-bit — and the mean-centering is algebra applied once,
+    in DOUBLE, to those integer scalars:
+
+        r_k = (n^2*Syy_k - n*S*(H_k+T_k) + (n-k)*S^2) / (n^2*Q - n*S^2)
+
+    Plan shape: one groupBy densify per key, one explode(lags) +
+    equi-join on (key, t+lag) — shuffles carry (key, t, y) longs only —
+    then two keyed aggs and a broadcast join of the per-key scalar row.
+    The series per key is an AGGREGATE grid (hours/days), so n is
+    bounded by the window span, not the raw row count; at 100 TB the
+    integer products would be formed in double instead (documented
+    seam), but at any per-bucket count < 1e6 the BIGINT path is exact.
+
+    Returns (key, lag, n, r, significant) where significant applies the
+    Bartlett large-lag bound |r_k| > 1.96/sqrt(n).  Keys with zero
+    variance (constant series) emit NULL r.
+    """
+    a = series.select(
+        F.col(key_col).alias("k"),
+        F.col(idx_col).cast("long").alias("t"),
+        F.col(val_col).cast("long").alias("y"),
+    )
+    bounds = a.groupBy("k").agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    grid = bounds.select(
+        "k", F.explode(F.sequence("t0", "t1")).alias("t")
+    )
+    dense = (
+        grid.join(a, ["k", "t"], "left")
+        .select("k", "t", F.coalesce("y", F.lit(0)).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    scal = dense.groupBy(F.col("k").alias("ks")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+    )
+    lagged = dense.select(
+        "k",
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))).alias("lag"),
+        F.col("t").alias("tl"),
+        F.col("y").alias("yl"),
+    )
+    pairs = lagged.join(
+        dense.select(
+            F.col("k").alias("kr"), F.col("t").alias("tr"), F.col("y").alias("yr")
+        ),
+        (F.col("kr") == F.col("k")) & (F.col("tr") == F.col("tl") + F.col("lag")),
+    )
+    per_lag = pairs.groupBy("k", "lag").agg(
+        F.sum(F.col("yl") * F.col("yr")).alias("syy"),
+        F.sum("yl").alias("h"),
+        F.sum("yr").alias("tt"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    num = (
+        nd * nd * F.col("syy").cast("double")
+        - nd * sd * (F.col("h") + F.col("tt")).cast("double")
+        + (nd - F.col("lag")) * sd * sd
+    )
+    den = nd * nd * qd - nd * sd * sd
+    out = per_lag.join(F.broadcast(scal), F.col("k") == F.col("ks")).select(
+        F.col("k").alias(key_col),
+        "lag",
+        "n",
+        F.when(den > 0, F.round(num / den, 6)).alias("r"),
+        F.when(den > 0, F.abs(num / den) > F.lit(1.96) / F.sqrt(nd)).alias(
+            "significant"
+        ),
+    )
+    return out

@@ -397,3 +397,63 @@ def test_customers_kanon_consistency(spark):
     assert 0 <= r["n_violations_k5"] <= r["n_classes"]
     # class sizes partition the table
     assert abs(r["avg_class_size"] * r["n_classes"] - n) < 0.01 * n
+
+
+# -- acf --------------------------------------------------------------------
+
+
+def test_acf_matches_definition(spark):
+    """r_k equals the textbook mean-centered sample ACF on a dense series."""
+    from mcpvectordb_spark.operators.timeseries import acf
+
+    y = [5, 9, 4, 8, 3, 9, 5, 10, 4, 8, 2, 9]  # period-2ish sawtooth
+    s = spark.createDataFrame(
+        [("a", t, v) for t, v in enumerate(y)], ["k", "t", "y"]
+    )
+    out = {r["lag"]: r["r"] for r in acf(s, "k", "t", "y", max_lag=4).collect()}
+    n = len(y)
+    m = sum(y) / n
+    den = sum((v - m) ** 2 for v in y)
+    for k in range(1, 5):
+        ref = sum((y[t] - m) * (y[t + k] - m) for t in range(n - k)) / den
+        assert abs(out[k] - ref) < 5e-7, (k, out[k], ref)
+
+
+def test_acf_densifies_gaps_to_zero(spark):
+    """A missing index is a zero observation, not a skipped one."""
+    from mcpvectordb_spark.operators.timeseries import acf
+
+    # observed at t=0,1,3 -> grid 0..3 with y[2]=0
+    s = spark.createDataFrame(
+        [("a", 0, 4), ("a", 1, 6), ("a", 3, 2)], ["k", "t", "y"]
+    )
+    out = {r["lag"]: r for r in acf(s, "k", "t", "y", max_lag=1).collect()}
+    y = [4.0, 6.0, 0.0, 2.0]
+    m = sum(y) / 4
+    ref = sum((y[t] - m) * (y[t + 1] - m) for t in range(3)) / sum(
+        (v - m) ** 2 for v in y
+    )
+    assert out[1]["n"] == 4
+    assert abs(out[1]["r"] - ref) < 5e-7
+
+
+def test_acf_constant_series_null(spark):
+    """Zero-variance series has no defined ACF -> NULL r, NULL flag."""
+    from mcpvectordb_spark.operators.timeseries import acf
+
+    s = spark.createDataFrame([("c", t, 7) for t in range(10)], ["k", "t", "y"])
+    rows = acf(s, "k", "t", "y", max_lag=3).collect()
+    assert len(rows) == 3
+    assert all(r["r"] is None and r["significant"] is None for r in rows)
+
+
+def test_acf_keys_independent(spark):
+    """Each key's ACF sees only its own series."""
+    from mcpvectordb_spark.operators.timeseries import acf
+
+    rows = [("a", t, t % 2) for t in range(8)] + [("b", t, t) for t in range(8)]
+    s = spark.createDataFrame(rows, ["k", "t", "y"])
+    out = {(r["k"], r["lag"]): r["r"] for r in acf(s, "k", "t", "y", 1).collect()}
+    # alternating 0/1: lag-1 ACF is strongly negative; ramp: strongly positive
+    assert out[("a", 1)] < -0.8
+    assert out[("b", 1)] > 0.6  # short-ramp lag-1 ACF is (n^2-1-3n)/ (n^2-1)-ish
