@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "events_holt",           # Holt level+trend fold, 3-day forecast
     "events_changepoint",    # closed-form binary-segmentation split
     "events_acf",            # lag-joined ACF over the densified hourly grid
+    "parts_ols",             # one-pass Gram-matrix OLS, Cramer closed form
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

@@ -8402,6 +8402,86 @@ FROM per_lag p JOIN scal s ON s.event_type = p.event_type
 """
 
 
+def q_parts_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand two-feature least squares (stats.py::ols2_fit) —
+    retail price regressed on size and name length, the canonical
+    ONE-PASS distributed regression: a single map-side-combinable
+    groupBy accumulates the 3x3 Gram matrix + moment vector per brand
+    and the normal equations solve in closed form (Cramer) as a codegen
+    projection.  No iteration (contrast lr_quality's gradient chain), no
+    collect, one shuffle.  Exactness: price has one decimal so y =
+    round(price*10) makes every sufficient statistic an exact BIGINT —
+    the double algebra then agrees bit-for-bit with the oracle.
+    Coefficients rescale /10 back to price units; R^2 = 1 - SSE/SST
+    falls out of the same scalar row (SSE = Syy - b'X'y)."""
+    from mcpvectordb_spark.operators.stats import ols2_fit
+
+    part = load_table(spark, sf_dir, "part")
+    obs = part.select(
+        "p_brand",
+        F.round(F.col("p_retailprice") * 10, 0).cast("long").alias("y10"),
+        F.col("p_size").cast("long").alias("x1"),
+        F.length("p_name").cast("long").alias("x2"),
+    )
+    fit = ols2_fit(obs, "p_brand", "y10", "x1", "x2")
+    return fit.select(
+        "p_brand",
+        "n",
+        F.round(F.col("b0") / 10, 4).alias("intercept"),
+        F.round(F.col("b1") / 10, 4).alias("beta_size"),
+        F.round(F.col("b2") / 10, 4).alias("beta_namelen"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+SQL_PARTS_OLS = """
+WITH obs AS (
+  SELECT p_brand,
+         CAST(round(p_retailprice * 10) AS BIGINT) AS y,
+         CAST(p_size AS BIGINT) AS x1,
+         CAST(length(p_name) AS BIGINT) AS x2
+  FROM part),
+g AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         CAST(sum(x2 * y) AS BIGINT) AS s2y,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM obs GROUP BY 1),
+d AS (
+  SELECT p_brand, n, sy, s1y, s2y, syy,
+         CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)
+           - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)
+           + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2) AS det,
+         CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)
+           - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)
+           + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2y) AS det0,
+         CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)
+           - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)
+           + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2) AS det1,
+         CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s12)
+           - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)
+           + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2) AS det2
+  FROM g)
+SELECT p_brand, n,
+       CASE WHEN det <> 0 THEN round(det0 / det / 10, 4) END AS intercept,
+       CASE WHEN det <> 0 THEN round(det1 / det / 10, 4) END AS beta_size,
+       CASE WHEN det <> 0 THEN round(det2 / det / 10, 4) END AS beta_namelen,
+       CASE WHEN det <> 0
+             AND CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n > 0
+            THEN round(1.0 - (CAST(syy AS DOUBLE)
+                              - ((det0 / det) * sy + (det1 / det) * s1y
+                                 + (det2 / det) * s2y))
+                           / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n), 6)
+       END AS r2
+FROM d
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -9151,6 +9231,7 @@ QUERIES = {
     "events_holt": q_events_holt,
     "events_changepoint": q_events_changepoint,
     "events_acf": q_events_acf,
+    "parts_ols": q_parts_ols,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -9395,6 +9476,7 @@ ORACLES = {
     "events_holt": SQL_EVENTS_HOLT,
     "events_changepoint": SQL_EVENTS_CHANGEPOINT,
     "events_acf": SQL_EVENTS_ACF,
+    "parts_ols": SQL_PARTS_OLS,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

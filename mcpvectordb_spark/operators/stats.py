@@ -180,3 +180,94 @@ def poisson1_weight(u: Column) -> Column:
         .when(u < 0.9963401531726563, 4)
         .otherwise(5)
     )
+
+
+def ols2_fit(
+    df: DataFrame,
+    key_col: str,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+) -> DataFrame:
+    """Two-feature least squares WITH intercept, per key, from sufficient
+    statistics — the canonical one-pass distributed regression: a single
+    groupBy accumulates the 3x3 Gram matrix (n, Sx1, Sx2, Sx11, Sx12,
+    Sx22) and the moment vector (Sy, Sx1y, Sx2y, Syy), then the 3x3
+    normal equations solve in CLOSED FORM via Cramer's rule on the
+    driver-free scalar row.  No iteration, no second pass, no collect:
+    at 100 TB this is one map-side-combinable aggregation producing one
+    row per key, and the algebra is a codegen projection.
+
+    Inputs MUST be integer-valued (cast to BIGINT here) so the sums are
+    exact and order-independent — quantize fixed-decimal columns first
+    (price*10 etc.); that is what makes Spark and a SQL oracle agree
+    bit-for-bit before the final double algebra, which both engines
+    evaluate with the same IEEE operations.
+
+    Returns (key, n, b0, b1, b2, r2); keys whose Gram matrix is singular
+    (constant features, n too small) emit NULL coefficients.  SSE falls
+    out of the normal equations as Syy - b'X'y, so R^2 needs nothing
+    beyond the same scalar row.
+    """
+    a = df.select(
+        F.col(key_col).alias("k"),
+        F.col(y_col).cast("long").alias("y"),
+        F.col(x1_col).cast("long").alias("x1"),
+        F.col(x2_col).cast("long").alias("x2"),
+    )
+    s = a.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s11 = F.col("s11").cast("double")
+    s12 = F.col("s12").cast("double")
+    s22 = F.col("s22").cast("double")
+    sy = F.col("sy").cast("double")
+    s1y = F.col("s1y").cast("double")
+    s2y = F.col("s2y").cast("double")
+    syy = F.col("syy").cast("double")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0 = det0 / det
+    b1 = det1 / det
+    b2 = det2 / det
+    sse = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    sst = syy - sy * sy / n
+    ok = det != F.lit(0.0)
+    return s.select(
+        F.col("k").alias(key_col),
+        "n",
+        F.when(ok, b0).alias("b0"),
+        F.when(ok, b1).alias("b1"),
+        F.when(ok, b2).alias("b2"),
+        F.when(ok & (sst > 0), F.lit(1.0) - sse / sst).alias("r2"),
+    )

@@ -457,3 +457,78 @@ def test_acf_keys_independent(spark):
     # alternating 0/1: lag-1 ACF is strongly negative; ramp: strongly positive
     assert out[("a", 1)] < -0.8
     assert out[("b", 1)] > 0.6  # short-ramp lag-1 ACF is (n^2-1-3n)/ (n^2-1)-ish
+
+
+# -- ols2_fit ---------------------------------------------------------------
+
+
+def test_ols2_recovers_exact_plane(spark):
+    """Noise-free y = 7 + 3*x1 - 2*x2 is recovered exactly, R^2 = 1."""
+    from mcpvectordb_spark.operators.stats import ols2_fit
+
+    rows = [
+        ("g", 7 + 3 * a - 2 * b, a, b)
+        for a in range(1, 7)
+        for b in range(1, 5)
+    ]
+    r = ols2_fit(
+        spark.createDataFrame(rows, ["k", "y", "x1", "x2"]), "k", "y", "x1", "x2"
+    ).collect()[0]
+    assert abs(r["b0"] - 7) < 1e-9
+    assert abs(r["b1"] - 3) < 1e-9
+    assert abs(r["b2"] + 2) < 1e-9
+    assert abs(r["r2"] - 1.0) < 1e-12
+
+
+def test_ols2_matches_normal_equations(spark):
+    """Noisy fit agrees with a hand-solved 3x3 system."""
+    from mcpvectordb_spark.operators.stats import ols2_fit
+
+    data = [(9, 1, 2), (14, 2, 1), (11, 3, 4), (21, 4, 1), (16, 5, 5), (25, 6, 2)]
+    rows = [("g", y, a, b) for y, a, b in data]
+    r = ols2_fit(
+        spark.createDataFrame(rows, ["k", "y", "x1", "x2"]), "k", "y", "x1", "x2"
+    ).collect()[0]
+    # solve via numpy for the reference
+    import numpy as np
+
+    X = np.array([[1.0, a, b] for _, a, b in data])
+    y = np.array([float(v) for v, _, _ in data])
+    beta = np.linalg.solve(X.T @ X, X.T @ y)
+    res = y - X @ beta
+    r2 = 1 - (res @ res) / ((y - y.mean()) @ (y - y.mean()))
+    assert abs(r["b0"] - beta[0]) < 1e-8
+    assert abs(r["b1"] - beta[1]) < 1e-8
+    assert abs(r["b2"] - beta[2]) < 1e-8
+    assert abs(r["r2"] - r2) < 1e-10
+
+
+def test_ols2_singular_emits_null(spark):
+    """Constant x1 makes the Gram matrix singular -> NULL coefficients."""
+    from mcpvectordb_spark.operators.stats import ols2_fit
+
+    rows = [("c", i * 2, 5, i % 3) for i in range(10)]
+    r = ols2_fit(
+        spark.createDataFrame(rows, ["k", "y", "x1", "x2"]), "k", "y", "x1", "x2"
+    ).collect()[0]
+    assert r["b0"] is None and r["b1"] is None and r["r2"] is None
+    assert r["n"] == 10
+
+
+def test_ols2_keys_fit_independently(spark):
+    """Two keys with different true planes each get their own fit."""
+    from mcpvectordb_spark.operators.stats import ols2_fit
+
+    grid = [(a, b) for a in range(1, 6) for b in range(1, 4)]
+    rows = [("p", 1 + 2 * a + 0 * b, a, b) for a, b in grid] + [
+        ("q", 10 - 1 * a + 4 * b, a, b) for a, b in grid
+    ]
+    out = {
+        r["k"]: r
+        for r in ols2_fit(
+            spark.createDataFrame(rows, ["k", "y", "x1", "x2"]),
+            "k", "y", "x1", "x2",
+        ).collect()
+    }
+    assert abs(out["p"]["b1"] - 2) < 1e-9 and abs(out["p"]["b2"]) < 1e-9
+    assert abs(out["q"]["b1"] + 1) < 1e-9 and abs(out["q"]["b2"] - 4) < 1e-9
