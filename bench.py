@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "events_changepoint",    # closed-form binary-segmentation split
     "events_acf",            # lag-joined ACF over the densified hourly grid
     "parts_ols",             # one-pass Gram-matrix OLS, Cramer closed form
+    "events_xcorr",          # pairwise lead-lag xcorr on the shared grid
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

@@ -8482,6 +8482,80 @@ FROM d
 """
 
 
+def q_events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (timeseries.py::xcf) between every
+    ordered pair of event types' HOURLY volume series, lags 0..12 —
+    answers "does view traffic at hour t predict purchase traffic at
+    t+k?", the causal-ordering diagnostic that funnels and attribution
+    assume.  Lag 0 is the plain Pearson correlation of the two series.
+    All series share one zero-densified global hourly grid; every sum
+    is an exact BIGINT aggregate and the mean-centered normalization is
+    one double expression over integer scalars (same contract as
+    events_acf), so both engines agree bit-for-bit.  Plan: densify
+    join, explode(13 lags) + pair equi-join on (t+lag) shuffling only
+    (type, t, y) longs, keyed agg per (pair, lag), two broadcast scalar
+    joins.  K event types fan out K*(K-1) pairs — series count, not row
+    count, bounds the output."""
+    from mcpvectordb_spark.operators.timeseries import xcf
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600)).cast("long").alias("t"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return xcf(hourly, "event_type", "t", "y", max_lag=12).select(
+        F.col("key_x").alias("type_lead"),
+        F.col("key_y").alias("type_follow"),
+        "lag",
+        "n",
+        "r",
+    )
+
+
+SQL_EVENTS_XCORR = """
+WITH hourly AS (
+  SELECT event_type AS k,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT min(t) AS t0, max(t) AS t1 FROM hourly),
+grid AS (
+  SELECT k, unnest(range(t0, t1 + 1)) AS t
+  FROM (SELECT DISTINCT k FROM hourly) CROSS JOIN bounds),
+dense AS (
+  SELECT g.k, g.t, COALESCE(h.y, 0) AS y
+  FROM grid g LEFT JOIN hourly h ON h.k = g.k AND h.t = g.t),
+scal AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS q
+  FROM dense GROUP BY 1),
+lags AS (SELECT unnest(range(0, 13)) AS lag),
+per_lag AS (
+  SELECT l.k AS ka, r.k AS kb, lg.lag,
+         CAST(sum(l.y * r.y) AS BIGINT) AS sxy,
+         CAST(sum(l.y) AS BIGINT) AS hx,
+         CAST(sum(r.y) AS BIGINT) AS ty
+  FROM dense l CROSS JOIN lags lg
+  JOIN dense r ON r.t = l.t + lg.lag AND r.k <> l.k
+  GROUP BY 1, 2, 3)
+SELECT p.ka AS type_lead, p.kb AS type_follow, p.lag, sa.n,
+       CASE WHEN CAST(sa.n AS DOUBLE) * sa.q - CAST(sa.s AS DOUBLE) * sa.s > 0
+             AND CAST(sa.n AS DOUBLE) * sb.q - CAST(sb.s AS DOUBLE) * sb.s > 0
+            THEN round(
+              (CAST(sa.n AS DOUBLE) * sa.n * p.sxy
+               - CAST(sa.n AS DOUBLE) * sa.s * CAST(p.ty AS DOUBLE)
+               - CAST(sa.n AS DOUBLE) * sb.s * CAST(p.hx AS DOUBLE)
+               + (CAST(sa.n AS DOUBLE) - p.lag) * sa.s * CAST(sb.s AS DOUBLE))
+              / (CAST(sa.n AS DOUBLE)
+                 * sqrt((CAST(sa.n AS DOUBLE) * sa.q - CAST(sa.s AS DOUBLE) * sa.s)
+                        * (CAST(sa.n AS DOUBLE) * sb.q - CAST(sb.s AS DOUBLE) * sb.s))), 6)
+       END AS r
+FROM per_lag p
+JOIN scal sa ON sa.k = p.ka
+JOIN scal sb ON sb.k = p.kb
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -9232,6 +9306,7 @@ QUERIES = {
     "events_changepoint": q_events_changepoint,
     "events_acf": q_events_acf,
     "parts_ols": q_parts_ols,
+    "events_xcorr": q_events_xcorr,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -9477,6 +9552,7 @@ ORACLES = {
     "events_changepoint": SQL_EVENTS_CHANGEPOINT,
     "events_acf": SQL_EVENTS_ACF,
     "parts_ols": SQL_PARTS_OLS,
+    "events_xcorr": SQL_EVENTS_XCORR,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -480,3 +480,102 @@ def acf(
         ),
     )
     return out
+
+
+def xcf(
+    series: DataFrame,
+    key_col: str,
+    idx_col: str,
+    val_col: str,
+    max_lag: int = 12,
+) -> DataFrame:
+    """Sample cross-correlation function r_xy(k) between EVERY ordered
+    pair of keys' series, lags 0..max_lag — the lead-lag diagnostic
+    (does `view` volume at hour t predict `purchase` volume at t+k?).
+    Lag 0 is the plain Pearson correlation of the two series; negative
+    lags are read from the swapped pair, since r_xy(-k) = r_yx(k).
+
+        r_xy(k) = sum_t (x_t - mx)(y_{t+k} - my)
+                  / sqrt(sum (x-mx)^2 * sum (y-my)^2)
+
+    Every series densifies to zero on the GLOBAL index span (so all
+    pairs share one grid of length n) and, as in ``acf``, every sum is
+    an exact BIGINT aggregate; mean-centering is applied once in DOUBLE
+    to the integer scalars:
+
+        r = (n^2*Sxy_k - n*Sx*Ty_k - n*Sy*Hx_k + (n-k)*Sx*Sy)
+            / (n * sqrt((n*Qx - Sx^2) * (n*Qy - Sy^2)))
+
+    Plan: one densify join, one explode(lags+partner) equi-join on
+    (t + lag) shuffling (key, t, y) longs, a keyed agg per (pair, lag),
+    then two broadcast joins of the per-key scalar rows.  Key count K
+    fans out K*(K-1) pairs — meant for a HANDFUL of series (event
+    types, channels), not per-user series.  Zero-variance keys emit
+    NULL r.
+    """
+    a = series.select(
+        F.col(key_col).alias("k"),
+        F.col(idx_col).cast("long").alias("t"),
+        F.col(val_col).cast("long").alias("y"),
+    )
+    bounds = a.agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    keys = a.select("k").distinct()
+    grid = keys.crossJoin(F.broadcast(bounds)).select(
+        "k", F.explode(F.sequence("t0", "t1")).alias("t")
+    )
+    dense = (
+        grid.join(a, ["k", "t"], "left")
+        .select("k", "t", F.coalesce("y", F.lit(0)).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    scal = dense.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+    )
+    left = dense.select(
+        F.col("k").alias("ka"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(max_lag)))).alias("lag"),
+        F.col("t").alias("tl"),
+        F.col("y").alias("yl"),
+    )
+    pairs = left.join(
+        dense.select(
+            F.col("k").alias("kb"), F.col("t").alias("tr"), F.col("y").alias("yr")
+        ),
+        (F.col("tr") == F.col("tl") + F.col("lag")) & (F.col("kb") != F.col("ka")),
+    )
+    per_lag = pairs.groupBy("ka", "kb", "lag").agg(
+        F.sum(F.col("yl") * F.col("yr")).alias("sxy"),
+        F.sum("yl").alias("hx"),
+        F.sum("yr").alias("ty"),
+    )
+    sa = scal.select(
+        F.col("k").alias("ka2"), F.col("n").alias("n"),
+        F.col("s").alias("sx"), F.col("q").alias("qx"),
+    )
+    sb = scal.select(
+        F.col("k").alias("kb2"), F.col("s").alias("sy"), F.col("q").alias("qy"),
+    )
+    j = per_lag.join(F.broadcast(sa), F.col("ka") == F.col("ka2")).join(
+        F.broadcast(sb), F.col("kb") == F.col("kb2")
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = (
+        nd * nd * F.col("sxy").cast("double")
+        - nd * sxd * F.col("ty").cast("double")
+        - nd * syd * F.col("hx").cast("double")
+        + (nd - F.col("lag")) * sxd * syd
+    )
+    vx = nd * F.col("qx").cast("double") - sxd * sxd
+    vy = nd * F.col("qy").cast("double") - syd * syd
+    den = nd * F.sqrt(vx * vy)
+    return j.select(
+        F.col("ka").alias("key_x"),
+        F.col("kb").alias("key_y"),
+        "lag",
+        "n",
+        F.when((vx > 0) & (vy > 0), F.round(num / den, 6)).alias("r"),
+    )

@@ -532,3 +532,63 @@ def test_ols2_keys_fit_independently(spark):
     }
     assert abs(out["p"]["b1"] - 2) < 1e-9 and abs(out["p"]["b2"]) < 1e-9
     assert abs(out["q"]["b1"] + 1) < 1e-9 and abs(out["q"]["b2"] - 4) < 1e-9
+
+
+# -- xcf --------------------------------------------------------------------
+
+
+def test_xcf_detects_known_lead(spark):
+    """y shifted 3 behind x peaks at lag 3 in the (x leads y) direction."""
+    from mcpvectordb_spark.operators.timeseries import xcf
+
+    x = [4, 9, 2, 8, 1, 7, 3, 9, 2, 8, 4, 9, 1, 7, 2, 8]
+    y = [0, 0, 0] + x[:-3]  # y_t = x_{t-3}
+    rows = [("x", t, v) for t, v in enumerate(x)] + [
+        ("y", t, v) for t, v in enumerate(y)
+    ]
+    out = {
+        (r["key_x"], r["key_y"], r["lag"]): r["r"]
+        for r in xcf(
+            spark.createDataFrame(rows, ["k", "t", "y"]), "k", "t", "y", 5
+        ).collect()
+    }
+    best = max(range(6), key=lambda k: out[("x", "y", k)])
+    assert best == 3
+    assert out[("x", "y", 3)] > 0.7
+
+
+def test_xcf_lag0_is_pearson(spark):
+    """Lag-0 cross-correlation equals the plain Pearson correlation."""
+    from mcpvectordb_spark.operators.timeseries import xcf
+
+    x = [1, 5, 2, 8, 3, 9, 4, 7]
+    y = [2, 6, 1, 9, 4, 8, 3, 8]
+    rows = [("x", t, v) for t, v in enumerate(x)] + [
+        ("y", t, v) for t, v in enumerate(y)
+    ]
+    out = {
+        (r["key_x"], r["key_y"], r["lag"]): r["r"]
+        for r in xcf(
+            spark.createDataFrame(rows, ["k", "t", "y"]), "k", "t", "y", 2
+        ).collect()
+    }
+    n = len(x)
+    mx, my = sum(x) / n, sum(y) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(x, y))
+    den = (
+        sum((a - mx) ** 2 for a in x) * sum((b - my) ** 2 for b in y)
+    ) ** 0.5
+    assert abs(out[("x", "y", 0)] - num / den) < 5e-7
+    # lag 0 is symmetric
+    assert out[("x", "y", 0)] == out[("y", "x", 0)]
+
+
+def test_xcf_constant_series_null(spark):
+    """A zero-variance partner yields NULL r for every lag."""
+    from mcpvectordb_spark.operators.timeseries import xcf
+
+    rows = [("x", t, t % 4) for t in range(10)] + [("c", t, 5) for t in range(10)]
+    out = xcf(
+        spark.createDataFrame(rows, ["k", "t", "y"]), "k", "t", "y", 2
+    ).collect()
+    assert all(r["r"] is None for r in out)
