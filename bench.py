@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "events_acf",            # lag-joined ACF over the densified hourly grid
     "parts_ols",             # one-pass Gram-matrix OLS, Cramer closed form
     "events_xcorr",          # pairwise lead-lag xcorr on the shared grid
+    "events_catassoc",       # chi2/MI/Cramer's V off one contingency pass
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

@@ -8556,6 +8556,69 @@ JOIN scal sb ON sb.k = p.kb
 """
 
 
+def q_events_catassoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association (stats.py::cat_association) between
+    event type and hour-of-day: chi-square independence statistic, dof,
+    mutual information and Cramer's V from ONE contingency groupBy —
+    the screening step before trusting hour-of-day as a feature or
+    assuming type-stationary traffic.  Marginals re-aggregate the CELLS
+    (|types| x 24), never the raw events, and broadcast back; hour is
+    integer arithmetic on epoch seconds (the proven-parity path, same
+    as events_acf) so the counts agree exactly and the double per-cell
+    terms agree to the 6-dp contract."""
+    from mcpvectordb_spark.operators.stats import cat_association
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) % 24).cast("long").alias("hod"),
+    )
+    return cat_association(obs, "event_type", "hod")
+
+
+SQL_EVENTS_CATASSOC = """
+WITH obs AS (
+  SELECT event_type AS a,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS b
+  FROM events),
+cells AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS nij FROM obs GROUP BY 1, 2),
+rmarg AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ri FROM cells GROUP BY 1),
+cmarg AS (SELECT b, CAST(sum(nij) AS BIGINT) AS cj FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(nij) AS BIGINT) AS n_total,
+         CAST(count(DISTINCT a) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT b) AS BIGINT) AS n_cols
+  FROM cells),
+terms AS (
+  SELECT t.n_total, t.n_rows, t.n_cols,
+         (CAST(c.nij AS DOUBLE) - CAST(r.ri AS DOUBLE) * cm.cj / t.n_total)
+           * (CAST(c.nij AS DOUBLE) - CAST(r.ri AS DOUBLE) * cm.cj / t.n_total)
+           / (CAST(r.ri AS DOUBLE) * cm.cj / t.n_total) AS chi_term,
+         CAST(c.nij AS DOUBLE) / t.n_total
+           * ln(CAST(t.n_total AS DOUBLE) * c.nij
+                / (CAST(r.ri AS DOUBLE) * cm.cj)) AS mi_term
+  FROM cells c
+  JOIN rmarg r ON r.a = c.a
+  JOIN cmarg cm ON cm.b = c.b
+  CROSS JOIN tot t),
+agg AS (
+  SELECT any_value(n_total) AS n,
+         any_value(n_rows) AS n_rows,
+         any_value(n_cols) AS n_cols,
+         (any_value(n_rows) - 1) * (any_value(n_cols) - 1) AS dof,
+         round(sum(chi_term), 6) AS chi2,
+         round(sum(mi_term), 6) AS mi
+  FROM terms)
+SELECT n, n_rows, n_cols, dof, chi2, mi,
+       CASE WHEN least(n_rows, n_cols) > 1
+            THEN round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                                    * (CAST(least(n_rows, n_cols) AS DOUBLE) - 1.0))), 6)
+       END AS cramers_v
+FROM agg
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -9307,6 +9370,7 @@ QUERIES = {
     "events_acf": q_events_acf,
     "parts_ols": q_parts_ols,
     "events_xcorr": q_events_xcorr,
+    "events_catassoc": q_events_catassoc,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -9553,6 +9617,7 @@ ORACLES = {
     "events_acf": SQL_EVENTS_ACF,
     "parts_ols": SQL_PARTS_OLS,
     "events_xcorr": SQL_EVENTS_XCORR,
+    "events_catassoc": SQL_EVENTS_CATASSOC,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

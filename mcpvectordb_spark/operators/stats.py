@@ -271,3 +271,79 @@ def ols2_fit(
         F.when(ok, b2).alias("b2"),
         F.when(ok & (sst > 0), F.lit(1.0) - sse / sst).alias("r2"),
     )
+
+
+def cat_association(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Association between two categorical columns from ONE contingency
+    pass: Pearson chi-square statistic, degrees of freedom, mutual
+    information (nats), and Cramer's V — the feature-relevance /
+    independence diagnostics for categorical pairs (is event type
+    independent of hour-of-day?).
+
+        chi2 = sum_ij (n_ij - e_ij)^2 / e_ij,   e_ij = r_i c_j / N
+        MI   = sum_ij (n_ij/N) ln(N n_ij / (r_i c_j))
+        V    = sqrt(chi2 / (N (min(R,C) - 1)))
+
+    Plan: one groupBy(a, b) builds the contingency cells; marginals are
+    two tiny re-aggregations of the CELLS (not the raw rows) broadcast
+    back; the per-cell terms are codegen doubles folded in a final
+    single-row agg.  At 100 TB the only corpus-scale shuffle is the
+    first groupBy — everything after operates on |A|x|B| cells.  All
+    counts are exact BIGINTs; the per-cell terms are doubles, so the
+    cross-engine contract is 6-dp agreement (measure-zero boundary
+    risk), not bit equality.
+
+    Returns one row: (n, n_rows, n_cols, dof, chi2, mi, cramers_v).
+    """
+    cells = (
+        df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .localCheckpoint(eager=False)
+    )
+    rows = cells.groupBy("a").agg(F.sum("nij").alias("ri"))
+    cols = cells.groupBy("b").agg(F.sum("nij").alias("cj"))
+    tot = cells.agg(
+        F.sum("nij").alias("n_total"),
+        F.countDistinct("a").alias("n_rows"),
+        F.countDistinct("b").alias("n_cols"),
+    )
+    j = (
+        cells.join(F.broadcast(rows), "a")
+        .join(F.broadcast(cols), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("nij").cast("double")
+    rd = F.col("ri").cast("double")
+    cd = F.col("cj").cast("double")
+    td = F.col("n_total").cast("double")
+    e = rd * cd / td
+    chi_term = (nd - e) * (nd - e) / e
+    mi_term = nd / td * F.log(td * nd / (rd * cd))
+    out = j.agg(
+        F.first("n_total").alias("n"),
+        F.first("n_rows").alias("n_rows"),
+        F.first("n_cols").alias("n_cols"),
+        (
+            (F.first("n_rows") - F.lit(1)) * (F.first("n_cols") - F.lit(1))
+        ).alias("dof"),
+        F.round(F.sum(chi_term), 6).alias("chi2"),
+        F.round(F.sum(mi_term), 6).alias("mi"),
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / (
+            F.col("n").cast("double")
+            * (F.least("n_rows", "n_cols").cast("double") - F.lit(1.0))
+        )
+    )
+    return out.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        "dof",
+        "chi2",
+        "mi",
+        F.when(
+            F.least("n_rows", "n_cols") > 1, F.round(v, 6)
+        ).alias("cramers_v"),
+    )

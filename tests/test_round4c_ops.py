@@ -592,3 +592,54 @@ def test_xcf_constant_series_null(spark):
         spark.createDataFrame(rows, ["k", "t", "y"]), "k", "t", "y", 2
     ).collect()
     assert all(r["r"] is None for r in out)
+
+
+# -- cat_association ---------------------------------------------------------
+
+
+def test_cat_association_hand_computed_2x2(spark):
+    """2x2 table [[30,10],[10,30]]: chi2 = 20, known closed form."""
+    import math
+
+    from mcpvectordb_spark.operators.stats import cat_association
+
+    rows = (
+        [("a", "p")] * 30 + [("a", "q")] * 10 + [("b", "p")] * 10 + [("b", "q")] * 30
+    )
+    r = cat_association(
+        spark.createDataFrame(rows, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    # chi2 for 2x2: N(ad-bc)^2 / (r1 r2 c1 c2) = 80*(900-100)^2/40^4
+    ref = 80 * (30 * 30 - 10 * 10) ** 2 / (40 * 40 * 40 * 40)
+    assert r["n"] == 80 and r["dof"] == 1
+    assert abs(r["chi2"] - ref) < 1e-6
+    assert abs(r["cramers_v"] - math.sqrt(ref / 80)) < 1e-6
+    # MI reference: sum p ln(p/(px py))
+    mi = sum(
+        n / 80 * math.log((n / 80) / (0.5 * 0.5))
+        for n in (30, 10, 10, 30)
+    )
+    assert abs(r["mi"] - mi) < 1e-6
+
+
+def test_cat_association_independent_is_zero(spark):
+    """A perfectly balanced independent table: chi2 = 0, MI = 0, V = 0."""
+    from mcpvectordb_spark.operators.stats import cat_association
+
+    rows = [(a, b) for a in "xy" for b in "pqr" for _ in range(10)]
+    r = cat_association(
+        spark.createDataFrame(rows, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    assert r["chi2"] == 0.0 and r["mi"] == 0.0 and r["cramers_v"] == 0.0
+    assert r["dof"] == 2
+
+
+def test_cat_association_single_level_null_v(spark):
+    """min(R, C) = 1 leaves Cramer's V undefined -> NULL, dof 0."""
+    from mcpvectordb_spark.operators.stats import cat_association
+
+    rows = [("only", b) for b in "pqpqr"]
+    r = cat_association(
+        spark.createDataFrame(rows, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    assert r["cramers_v"] is None and r["dof"] == 0
