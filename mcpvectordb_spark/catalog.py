@@ -8619,6 +8619,63 @@ FROM agg
 """
 
 
+def q_customers_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit (stats.py::gini_concentration):
+    Gini coefficient + top-1% / top-10% spend shares over per-customer
+    lifetime spend — "are 1% of customers half the revenue?".  Spend
+    quantizes to exact cents (round(price*100) BIGINT) so every
+    statistic is an exact integer; the Gini rank sum never sorts rows —
+    customers collapse to VALUE BLOCKS and the tie-invariant block
+    formula v*(c*below + c(c+1)/2) runs under a window over the block
+    table only (the lr_eval quantized-block pattern).  Top-k shares
+    clamp per-block takes from descending cumulative counts — no
+    row_number anywhere."""
+    from mcpvectordb_spark.operators.stats import gini_concentration
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    return gini_concentration(spend, "cents").select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        "gini",
+        "top1_share",
+        "top10_share",
+    )
+
+
+SQL_CUSTOMERS_GINI = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+blocks AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM spend GROUP BY 1),
+b AS (
+  SELECT v, c,
+         CAST(COALESCE(sum(c) OVER (ORDER BY v ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
+         CAST(COALESCE(sum(c) OVER (ORDER BY v DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS above
+  FROM blocks),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(v * c) AS BIGINT) AS s,
+         CAST(sum(v * (c * below + (c * (c + 1)) // 2)) AS BIGINT) AS t
+  FROM b),
+tops AS (
+  SELECT CAST(sum(v * greatest(0, least(c, greatest(1, n // 100) - above))) AS BIGINT) AS top1,
+         CAST(sum(v * greatest(0, least(c, greatest(1, n // 10) - above))) AS BIGINT) AS top10
+  FROM b CROSS JOIN tot)
+SELECT n AS n_customers, s AS total_cents,
+       CASE WHEN s > 0 THEN round((2.0 * t - (CAST(n AS DOUBLE) + 1) * s)
+                                  / (CAST(n AS DOUBLE) * s), 6) END AS gini,
+       CASE WHEN s > 0 THEN round(CAST(top1 AS DOUBLE) / s, 6) END AS top1_share,
+       CASE WHEN s > 0 THEN round(CAST(top10 AS DOUBLE) / s, 6) END AS top10_share
+FROM tot CROSS JOIN tops
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -9371,6 +9428,7 @@ QUERIES = {
     "parts_ols": q_parts_ols,
     "events_xcorr": q_events_xcorr,
     "events_catassoc": q_events_catassoc,
+    "customers_gini": q_customers_gini,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -9618,6 +9676,7 @@ ORACLES = {
     "parts_ols": SQL_PARTS_OLS,
     "events_xcorr": SQL_EVENTS_XCORR,
     "events_catassoc": SQL_EVENTS_CATASSOC,
+    "customers_gini": SQL_CUSTOMERS_GINI,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

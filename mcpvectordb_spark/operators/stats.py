@@ -347,3 +347,85 @@ def cat_association(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             F.least("n_rows", "n_cols") > 1, F.round(v, 6)
         ).alias("cramers_v"),
     )
+
+
+def gini_concentration(df: DataFrame, val_col: str) -> DataFrame:
+    """Gini coefficient + top-share concentration of a non-negative
+    integer measure (spend in cents, tokens per document, ...) — the
+    inequality audit behind "are 1% of customers 50% of revenue?" and
+    "do a handful of documents dominate the training mix?".
+
+        G = (2 * sum_i i*x_(i) - (n+1) * S) / (n * S),  x sorted asc
+
+    computed WITHOUT a per-row global sort: rows collapse to VALUE
+    BLOCKS (distinct value, count) — the quantized-block pattern from
+    lr_eval — and for a tied block at value v with c rows and `below`
+    rows under it, sum i*x over the block is v*(c*below + c*(c+1)/2),
+    invariant to tie order.  The only window runs over the BLOCK table.
+    Top-k shares clamp per-block take = min(c, k - above) from the
+    descending cumulative counts — exact, no row-level ranking.  All
+    statistics are exact BIGINTs; the final ratios are single double
+    divisions, so the oracle agrees bit-for-bit.
+
+    Returns one row: (n, total, gini, top1_share, top10_share); top-k
+    counts are max(1, n//100) and max(1, n//10).  Empty or all-zero
+    input emits NULL gini.
+    """
+    a = df.select(F.col(val_col).cast("long").alias("v"))
+    blocks = a.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w_asc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_desc = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    b = blocks.select(
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w_asc), F.lit(0)).alias("below"),
+        F.coalesce(F.sum("c").over(w_desc), F.lit(0)).alias("above"),
+    )
+    tot = b.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("s"),
+        F.sum(
+            F.col("v")
+            * (
+                F.col("c") * F.col("below")
+                + ((F.col("c") * (F.col("c") + 1)) / 2).cast("long")
+            )
+        ).alias("t"),
+    )
+    k1 = F.greatest(F.lit(1), (F.col("n") / 100).cast("long"))
+    k10 = F.greatest(F.lit(1), (F.col("n") / 10).cast("long"))
+    topk = b.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.greatest(
+            F.lit(0), F.least(F.col("c"), k1 - F.col("above"))
+        ).alias("take1"),
+        F.greatest(
+            F.lit(0), F.least(F.col("c"), k10 - F.col("above"))
+        ).alias("take10"),
+    )
+    tops = topk.agg(
+        F.sum(F.col("v") * F.col("take1")).alias("top1"),
+        F.sum(F.col("v") * F.col("take10")).alias("top10"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    return tot.crossJoin(F.broadcast(tops)).select(
+        "n",
+        F.col("s").alias("total"),
+        F.when(
+            F.col("s") > 0,
+            F.round(
+                (F.lit(2.0) * F.col("t").cast("double") - (nd + 1) * sd)
+                / (nd * sd),
+                6,
+            ),
+        ).alias("gini"),
+        F.when(F.col("s") > 0, F.round(F.col("top1").cast("double") / sd, 6)).alias(
+            "top1_share"
+        ),
+        F.when(
+            F.col("s") > 0, F.round(F.col("top10").cast("double") / sd, 6)
+        ).alias("top10_share"),
+    )

@@ -643,3 +643,52 @@ def test_cat_association_single_level_null_v(spark):
         spark.createDataFrame(rows, ["x", "y"]), "x", "y"
     ).collect()[0]
     assert r["cramers_v"] is None and r["dof"] == 0
+
+
+# -- gini_concentration ------------------------------------------------------
+
+
+def test_gini_perfect_equality_zero(spark):
+    from mcpvectordb_spark.operators.stats import gini_concentration
+
+    df = spark.createDataFrame([(9,)] * 100, ["v"])
+    r = gini_concentration(df, "v").collect()[0]
+    assert r["gini"] == 0.0
+    assert abs(r["top10_share"] - 0.1) < 1e-9
+    assert abs(r["top1_share"] - 0.01) < 1e-9
+
+
+def test_gini_total_concentration(spark):
+    """One holder of everything: G = (n-1)/n, top shares = 1."""
+    from mcpvectordb_spark.operators.stats import gini_concentration
+
+    rows = [(0,)] * 99 + [(1000,)]
+    r = gini_concentration(spark.createDataFrame(rows, ["v"]), "v").collect()[0]
+    assert abs(r["gini"] - 0.99) < 1e-9
+    assert r["top1_share"] == 1.0 and r["top10_share"] == 1.0
+
+
+def test_gini_matches_sorted_definition(spark):
+    """Block formula equals the classic sorted rank-sum on skewed data."""
+    from mcpvectordb_spark.operators.stats import gini_concentration
+
+    vals = [1, 1, 2, 3, 3, 3, 8, 13, 21, 55, 55, 200]
+    r = gini_concentration(
+        spark.createDataFrame([(v,) for v in vals], ["v"]), "v"
+    ).collect()[0]
+    xs = sorted(vals)
+    n, s = len(xs), sum(xs)
+    t = sum((i + 1) * x for i, x in enumerate(xs))
+    ref = (2 * t - (n + 1) * s) / (n * s)
+    assert abs(r["gini"] - ref) < 1e-6
+    # top 10% of 12 holders -> max(1, 1) = 1 holder = 200
+    assert abs(r["top10_share"] - 200 / s) < 1e-6
+
+
+def test_gini_all_zero_null(spark):
+    from mcpvectordb_spark.operators.stats import gini_concentration
+
+    r = gini_concentration(
+        spark.createDataFrame([(0,)] * 5, ["v"]), "v"
+    ).collect()[0]
+    assert r["gini"] is None and r["top1_share"] is None
