@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "events_xcorr",          # pairwise lead-lag xcorr on the shared grid
     "events_catassoc",       # chi2/MI/Cramer's V off one contingency pass
     "customers_gini",        # Gini + top-share concentration via value blocks
+    "phrase_search",         # positional-index exact phrase query
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

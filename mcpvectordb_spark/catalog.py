@@ -8676,6 +8676,51 @@ FROM tot CROSS JOIN tops
 """
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query (operators/phrase.py::phrase_search) over the
+    documents corpus: find every document containing the token sequence
+    "stream table hash" IN ORDER, with overlapping-occurrence counts
+    and the first anchor position — the positional-index capability
+    BM25's bag-of-words cannot express (reference retrieval is
+    vector+BM25 only, mcpvectordb/store.py:233).  Plan: map-only
+    posexplode postings, broadcast join against the 3 phrase offsets,
+    one (doc, anchor) agg counting distinct matched offsets — cost
+    tracks the phrase terms' df like a conjunctive Boolean query, never
+    the corpus token count.  The oracle replays the same positional
+    algebra (anchors, not string matching) so overlapping occurrences
+    count identically."""
+    from mcpvectordb_spark.operators.phrase import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        phrase_search(docs, "doc_id", "text", "stream table hash")
+        .select(F.col("doc").alias("doc_id"), "n_occurrences", "first_pos")
+    )
+
+
+SQL_PHRASE_SEARCH = """
+WITH toks AS (
+  SELECT doc_id, pos,
+         list_extract(string_split(text, ' '), pos) AS token
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(1, 301)) AS pos) p
+  WHERE pos <= len(string_split(text, ' '))),
+offs AS (
+  SELECT * FROM (VALUES ('stream', 0), ('table', 1), ('hash', 2)) AS v(token, off)),
+hits AS (
+  SELECT t.doc_id, t.pos - o.off AS anchor, o.off
+  FROM toks t JOIN offs o ON o.token = t.token),
+anchors AS (
+  SELECT doc_id, anchor, count(DISTINCT off) AS nmatch
+  FROM hits GROUP BY 1, 2
+  HAVING count(DISTINCT off) = 3 AND anchor >= 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(anchor) AS BIGINT) AS first_pos
+FROM anchors GROUP BY 1
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -9429,6 +9474,7 @@ QUERIES = {
     "events_xcorr": q_events_xcorr,
     "events_catassoc": q_events_catassoc,
     "customers_gini": q_customers_gini,
+    "phrase_search": q_phrase_search,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -9677,6 +9723,7 @@ ORACLES = {
     "events_xcorr": SQL_EVENTS_XCORR,
     "events_catassoc": SQL_EVENTS_CATASSOC,
     "customers_gini": SQL_CUSTOMERS_GINI,
+    "phrase_search": SQL_PHRASE_SEARCH,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,
