@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "events_catassoc",       # chi2/MI/Cramer's V off one contingency pass
     "customers_gini",        # Gini + top-share concentration via value blocks
     "phrase_search",         # positional-index exact phrase query
+    "lr_isotonic",           # minimax-identity PAVA over calibration blocks
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

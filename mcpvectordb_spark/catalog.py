@@ -7965,6 +7965,58 @@ FROM blocks GROUP BY 1
 )
 
 
+def q_lr_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration map (modeleval.py::isotonic_calibration)
+    for the lr_quality model — the monotone recalibration table that
+    turns raw classifier scores into calibrated probabilities
+    (Zadrozny-Elkan), completing the eval family (lr_eval measures
+    miscalibration, this FIXES it).  PAVA's sequential stack is
+    replaced by the minimax identity max_j<=i min_k>=i avg(j..k) over
+    <= 1000 calibration blocks: a rank-inequality pair join + one
+    suffix-min window + one max agg, all on the block table, so corpus
+    size never enters after the first groupBy.  Every average divides
+    exact BIGINT prefix sums and min/max are order-independent, so the
+    oracle (which replays the GD chain, the blocks, and the same
+    windows) matches bit-for-bit."""
+    from mcpvectordb_spark.operators.modeleval import isotonic_calibration
+
+    scored, _ = _lr_scored(spark, sf_dir)
+    return isotonic_calibration(scored, "y", "p", n_blocks=1000)
+
+
+SQL_LR_ISOTONIC = (
+    _sql_lr_blocks()
+    + """,
+cal AS (
+  SELECT least(pq * 1000 // 1000000, 999) AS qb,
+         CAST(sum(cnt) AS BIGINT) AS cnt,
+         CAST(sum(pos) AS BIGINT) AS pos
+  FROM blocks GROUP BY 1),
+b AS (
+  SELECT qb, cnt, pos,
+         row_number() OVER (ORDER BY qb) AS i,
+         CAST(sum(cnt) OVER (ORDER BY qb) AS BIGINT) AS cumw,
+         CAST(sum(pos) OVER (ORDER BY qb) AS BIGINT) AS cump
+  FROM cal),
+pairs AS (
+  SELECT l.i AS j, r.i AS k,
+         CAST(r.cump - (l.cump - l.pos) AS DOUBLE)
+           / CAST(r.cumw - (l.cumw - l.cnt) AS DOUBLE) AS a
+  FROM b l JOIN b r ON r.i >= l.i),
+suf AS (
+  SELECT j, k,
+         min(a) OVER (PARTITION BY j ORDER BY k DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM pairs),
+iso AS (SELECT k, max(s) AS iso FROM suf GROUP BY 1)
+SELECT b.qb AS block, b.cnt AS n, b.pos AS n_pos,
+       round(CAST(b.pos AS DOUBLE) / CAST(b.cnt AS DOUBLE), 6) AS raw_rate,
+       round(iso.iso, 6) AS iso_rate
+FROM b JOIN iso ON iso.k = b.i
+"""
+)
+
+
 def q_parts_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction (graph.py::adamic_adar_linkpred) on the
     recurring supplier↔part graph: the 20 part pairs with the strongest
@@ -9475,6 +9527,7 @@ QUERIES = {
     "events_catassoc": q_events_catassoc,
     "customers_gini": q_customers_gini,
     "phrase_search": q_phrase_search,
+    "lr_isotonic": q_lr_isotonic,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -9724,6 +9777,7 @@ ORACLES = {
     "events_catassoc": SQL_EVENTS_CATASSOC,
     "customers_gini": SQL_CUSTOMERS_GINI,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "lr_isotonic": SQL_LR_ISOTONIC,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -253,3 +253,93 @@ def pr_curve(
         .groupBy("recall_level")
         .agg(F.max("prec").alias("interp_prec"), F.min("ap").alias("ap"))
     )
+
+
+def isotonic_calibration(
+    scored: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_blocks: int = 1000,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration map — the
+    standard post-hoc calibrator for classifier scores (Zadrozny &
+    Elkan 2002), i.e. the weighted isotonic regression of empirical
+    positive rate on predicted probability.
+
+    Instead of the sequential pool-adjacent-violators stack (a
+    data-dependent while-loop no fixed expression tree can express),
+    this uses the MINIMAX identity of isotonic regression:
+
+        iso_i = max_{j<=i} min_{k>=i} avg(pos[j..k]) / avg(cnt[j..k])
+
+    over probability BLOCKS: scores quantize to the 1e-6 grid, then
+    re-bucket to <= n_blocks calibration blocks, so the pair table is
+    at most n_blocks^2/2 rows REGARDLESS of corpus size.  avg(j..k) is
+    a single double division of exact BIGINT prefix sums, and the
+    suffix-min / prefix-max are order-independent reductions over
+    identical double sets — so a SQL replay agrees bit-for-bit (the
+    same argument as events_acf, extended to windowed min/max).
+
+    Plan: one corpus groupBy -> block table; rank + prefix sums over
+    blocks (single-partition window over <= n_blocks rows — the
+    lr_eval blocks contract); a rank-inequality pair join (broadcast
+    nested loop over the tiny block table); one suffix-min window per
+    j; one groupBy(k) max.  Returns per occupied block:
+    (block, n, n_pos, raw_rate, iso_rate) with iso_rate monotone
+    non-decreasing in block.
+    """
+    q = scored.select(
+        F.round(F.col(prob_col) * QUANT).cast("long").alias("pq"),
+        F.col(label_col).cast("long").alias("y"),
+    ).select(
+        F.least(
+            F.lit(n_blocks - 1).cast("long"),
+            F.expr(f"pq * {int(n_blocks)} div {QUANT}"),
+        ).alias("qb"),
+        "y",
+    )
+    blocks = q.groupBy("qb").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("qb")
+    b = blocks.select(
+        "qb",
+        "cnt",
+        "pos",
+        F.row_number().over(w).alias("i"),
+        F.sum("cnt").over(w).alias("cumw"),
+        F.sum("pos").over(w).alias("cump"),
+    ).localCheckpoint(eager=False)
+    left = b.select(
+        F.col("i").alias("j"),
+        (F.col("cumw") - F.col("cnt")).alias("w0"),
+        (F.col("cump") - F.col("pos")).alias("p0"),
+    )
+    right = b.select(
+        F.col("i").alias("k"), F.col("cumw").alias("w1"), F.col("cump").alias("p1")
+    )
+    pairs = left.join(F.broadcast(right), F.col("k") >= F.col("j")).select(
+        "j",
+        "k",
+        (
+            (F.col("p1") - F.col("p0")).cast("double")
+            / (F.col("w1") - F.col("w0")).cast("double")
+        ).alias("a"),
+    )
+    wsuf = Window.partitionBy("j").orderBy(F.col("k").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    suf = pairs.select("j", "k", F.min("a").over(wsuf).alias("s"))
+    iso = suf.groupBy("k").agg(F.max("s").alias("iso"))
+    return (
+        b.join(iso, b["i"] == iso["k"])
+        .select(
+            F.col("qb").alias("block"),
+            F.col("cnt").alias("n"),
+            F.col("pos").alias("n_pos"),
+            F.round(
+                F.col("pos").cast("double") / F.col("cnt").cast("double"), 6
+            ).alias("raw_rate"),
+            F.round("iso", 6).alias("iso_rate"),
+        )
+    )

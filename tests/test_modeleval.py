@@ -152,3 +152,103 @@ def test_pr_curve_ties_collapse_to_blocks(spark):
     for r in out:
         assert r["ap"] == pytest.approx(0.5)
         assert r["interp_prec"] == pytest.approx(0.5)
+
+
+# -- isotonic_calibration -----------------------------------------------------
+
+
+def _pava_reference(block_items):
+    """Classic sequential pool-adjacent-violators on (count, pos) blocks."""
+    stack = []
+    for c, s in block_items:
+        stack.append([c, s])
+        while len(stack) > 1 and (
+            stack[-1][1] * stack[-2][0] <= stack[-2][1] * stack[-1][0]
+        ):
+            c2, s2 = stack.pop()
+            stack[-1][0] += c2
+            stack[-1][1] += s2
+    fits = []
+    for c, s in stack:
+        fits.append((c, s / c))
+    return fits
+
+
+def test_isotonic_matches_sequential_pava(spark):
+    """The minimax-identity fit equals classic stack PAVA per block."""
+    import random
+
+    from mcpvectordb_spark.operators.modeleval import isotonic_calibration
+
+    random.seed(4)
+    rows = []
+    for _ in range(2000):
+        p = random.random()
+        y = 1 if random.random() < min(1.0, p * 0.7 + 0.15) else 0
+        rows.append((float(p), y))
+    out = (
+        isotonic_calibration(
+            spark.createDataFrame(rows, "p double, y long"), "y", "p", n_blocks=40
+        )
+        .orderBy("block")
+        .collect()
+    )
+    # rebuild the same blocks in python
+    blocks = {}
+    for p, y in rows:
+        qb = min(39, round(p * 1_000_000) * 40 // 1_000_000)
+        c, s = blocks.get(qb, (0, 0))
+        blocks[qb] = (c + 1, s + y)
+    segs = _pava_reference([blocks[k] for k in sorted(blocks)])
+    # expand segment values over their member blocks
+    expanded = []
+    it = iter(sorted(blocks))
+    for c, v in segs:
+        taken = 0
+        while taken < c:
+            qb = next(it)
+            expanded.append(v)
+            taken += blocks[qb][0]
+    assert len(expanded) == len(out)
+    for r, ref in zip(out, expanded):
+        assert abs(r["iso_rate"] - ref) < 5e-7
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    """Perfectly calibrated blocks stay untouched."""
+    from mcpvectordb_spark.operators.modeleval import isotonic_calibration
+
+    rows = []
+    for qb, rate in ((0, 0.0), (500, 0.5), (999, 1.0)):
+        p = (qb + 0.5) / 1000
+        n_pos = int(rate * 100)
+        rows += [(p, 1)] * n_pos + [(p, 0)] * (100 - n_pos)
+    out = {
+        r["block"]: r
+        for r in isotonic_calibration(
+            spark.createDataFrame(rows, "p double, y long"), "y", "p"
+        ).collect()
+    }
+    for qb, rate in ((0, 0.0), (500, 0.5), (999, 1.0)):
+        assert abs(out[qb]["iso_rate"] - rate) < 1e-9
+        assert out[qb]["raw_rate"] == out[qb]["iso_rate"]
+
+
+def test_isotonic_pools_violation(spark):
+    """A decreasing pair pools to its weighted average."""
+    from mcpvectordb_spark.operators.modeleval import isotonic_calibration
+
+    # block A: 30 rows rate 0.9 ; block B (higher score): 10 rows rate 0.1
+    rows = [(0.2, 1)] * 27 + [(0.2, 0)] * 3 + [(0.8, 1)] * 1 + [(0.8, 0)] * 9
+    out = sorted(
+        isotonic_calibration(
+            spark.createDataFrame(rows, "p double, y long"), "y", "p", n_blocks=10
+        ).collect(),
+        key=lambda r: r["block"],
+    )
+    pooled = (27 + 1) / 40
+    assert len(out) == 2
+    assert abs(out[0]["iso_rate"] - pooled) < 1e-9
+    assert abs(out[1]["iso_rate"] - pooled) < 1e-9
+    iso = [r["iso_rate"] for r in out]
+    assert iso == sorted(iso)
