@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "customers_gini",        # Gini + top-share concentration via value blocks
     "phrase_search",         # positional-index exact phrase query
     "lr_isotonic",           # minimax-identity PAVA over calibration blocks
+    "supplier_bt",           # Bradley-Terry MM over head-to-head games
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

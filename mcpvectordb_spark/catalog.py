@@ -8773,6 +8773,80 @@ FROM anchors GROUP BY 1
 """
 
 
+def q_supplier_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths (stats.py::bradley_terry) over suppliers
+    from head-to-head outcomes: within each order, the supplier shipping
+    the larger total quantity "beats" the other — 111k derived games at
+    sf0.01 — and 10 MM iterations (Hunter 2004) fit the latent strength
+    that preference/reward aggregation needs (the same estimator used on
+    pairwise human-preference data).  The games collapse once to a
+    <= K^2 pair table; every iteration is that table joined against the
+    K-row strength vector, so corpus size only touches the first two
+    aggs.  The oracle unrolls all 10 updates as chained CTEs (the
+    LP-rounds / matrix-squaring replay pattern)."""
+    from mcpvectordb_spark.operators.stats import bradley_terry
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    a = per.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("sa"), F.col("q").alias("qa")
+    )
+    b = per.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("sb"), F.col("q").alias("qb")
+    )
+    games = a.join(b, "o").filter(F.col("qa") > F.col("qb")).select(
+        F.col("sa").alias("winner"), F.col("sb").alias("loser")
+    )
+    out = bradley_terry(games, "winner", "loser", iterations=10)
+    return out.select(
+        F.col("entity").alias("s_suppkey"), "games", "wins", "strength"
+    )
+
+
+def _sql_bt() -> str:
+    base = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, sum(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2),
+g AS MATERIALIZED (
+  SELECT a.l_suppkey AS win, b.l_suppkey AS lose
+  FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey AND a.q > b.q),
+sym AS (
+  SELECT win AS i, lose AS j, 1 AS w FROM g
+  UNION ALL SELECT lose AS i, win AS j, 0 AS w FROM g),
+pairs AS MATERIALIZED (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS nij, CAST(sum(w) AS BIGINT) AS wij
+  FROM sym GROUP BY 1, 2),
+tot AS MATERIALIZED (
+  SELECT i, CAST(sum(nij) AS BIGINT) AS games_i, CAST(sum(wij) AS BIGINT) AS wins_i
+  FROM pairs GROUP BY 1),
+p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS pi FROM tot)"""
+    steps = []
+    for t in range(1, 11):
+        steps.append(f""",
+p{t} AS MATERIALIZED (
+  SELECT t.i,
+         CASE WHEN t.wins_i > 0 THEN CAST(t.wins_i AS DOUBLE) / d.den
+              ELSE 0.0 END AS pi
+  FROM tot t JOIN (
+    SELECT p.i, sum(CAST(p.nij AS DOUBLE) / (a.pi + b.pi)) AS den
+    FROM pairs p
+    JOIN p{t-1} a ON a.i = p.i
+    JOIN p{t-1} b ON b.i = p.j
+    GROUP BY 1) d ON d.i = t.i)""")
+    tail = """,
+z AS (SELECT sum(pi) AS z FROM p10)
+SELECT t.i AS s_suppkey, t.games_i AS games, t.wins_i AS wins,
+       round(p.pi / z.z, 6) AS strength
+FROM p10 p JOIN tot t ON t.i = p.i CROSS JOIN z"""
+    return base + "".join(steps) + tail
+
+
+SQL_SUPPLIER_BT = _sql_bt()
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -9528,6 +9602,7 @@ QUERIES = {
     "customers_gini": q_customers_gini,
     "phrase_search": q_phrase_search,
     "lr_isotonic": q_lr_isotonic,
+    "supplier_bt": q_supplier_bt,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -9778,6 +9853,7 @@ ORACLES = {
     "customers_gini": SQL_CUSTOMERS_GINI,
     "phrase_search": SQL_PHRASE_SEARCH,
     "lr_isotonic": SQL_LR_ISOTONIC,
+    "supplier_bt": SQL_SUPPLIER_BT,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -429,3 +429,87 @@ def gini_concentration(df: DataFrame, val_col: str) -> DataFrame:
             F.col("s") > 0, F.round(F.col("top10").cast("double") / sd, 6)
         ).alias("top10_share"),
     )
+
+
+def bradley_terry(
+    games: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    iterations: int = 10,
+) -> DataFrame:
+    """Bradley-Terry strength estimation from pairwise outcomes — the
+    aggregation behind preference data (which answer/supplier/variant
+    wins head-to-heads?), fit by Hunter's (2004) MM algorithm:
+
+        pi_i <- W_i / sum_j N_ij / (pi_i + pi_j)
+
+    with W_i total wins and N_ij games between i and j.  The raw games
+    collapse ONCE to a per-ordered-pair table (i, j, games, wins) — the
+    only corpus-scale shuffle; each of the fixed `iterations` MM steps
+    is then a join of that pair table against the K-row strength vector
+    (broadcast) plus one keyed agg, localCheckpointed so the plan stays
+    O(1) deep (the PageRank contract, graph.py).  Entities with zero
+    wins converge to strength 0 and are guarded against 0/0.  Final
+    strengths normalize to sum 1.
+
+    The MM update is scale-invariant, so no per-iteration normalization
+    is needed; an oracle replays the fixed iteration count as unrolled
+    CTEs (the LP-rounds / matrix-squaring pattern).  Returns
+    (entity, games, wins, strength).
+    """
+    sym = games.select(
+        F.col(winner_col).alias("i"), F.col(loser_col).alias("j"), F.lit(1).alias("w")
+    ).unionByName(
+        games.select(
+            F.col(loser_col).alias("i"),
+            F.col(winner_col).alias("j"),
+            F.lit(0).alias("w"),
+        )
+    )
+    pairs = (
+        sym.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("nij"), F.sum("w").alias("wij"))
+        .localCheckpoint(eager=False)
+    )
+    totals = pairs.groupBy("i").agg(
+        F.sum("nij").alias("games_i"), F.sum("wij").alias("wins_i")
+    ).localCheckpoint(eager=False)
+    pi = totals.select("i", F.lit(1.0).alias("pi"))
+    for _ in range(int(iterations)):
+        d = (
+            pairs.join(F.broadcast(pi.select(F.col("i"), F.col("pi"))), "i")
+            .join(
+                F.broadcast(pi.select(F.col("i").alias("j"), F.col("pi").alias("pj"))),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("nij").cast("double") / (F.col("pi") + F.col("pj"))
+                ).alias("den")
+            )
+        )
+        pi = (
+            totals.join(d, "i")
+            .select(
+                "i",
+                F.when(
+                    F.col("wins_i") > 0,
+                    F.col("wins_i").cast("double") / F.col("den"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("pi"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    tot = pi.agg(F.sum("pi").alias("z"))
+    return (
+        pi.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(totals), "i")
+        .select(
+            F.col("i").alias("entity"),
+            F.col("games_i").alias("games"),
+            F.col("wins_i").alias("wins"),
+            F.round(F.col("pi") / F.col("z"), 6).alias("strength"),
+        )
+    )

@@ -692,3 +692,77 @@ def test_gini_all_zero_null(spark):
         spark.createDataFrame([(0,)] * 5, ["v"]), "v"
     ).collect()[0]
     assert r["gini"] is None and r["top1_share"] is None
+
+
+# -- bradley_terry -----------------------------------------------------------
+
+
+def test_bt_recovers_strength_order(spark):
+    """Deterministic round-robin where a always beats b beats c."""
+    from mcpvectordb_spark.operators.stats import bradley_terry
+
+    games = (
+        [("a", "b")] * 8 + [("b", "a")] * 2
+        + [("b", "c")] * 8 + [("c", "b")] * 2
+        + [("a", "c")] * 9 + [("c", "a")] * 1
+    )
+    out = {
+        r["entity"]: r
+        for r in bradley_terry(
+            spark.createDataFrame(games, ["winner", "loser"]), "winner", "loser", 10
+        ).collect()
+    }
+    assert out["a"]["strength"] > out["b"]["strength"] > out["c"]["strength"]
+    assert abs(sum(r["strength"] for r in out.values()) - 1.0) < 1e-6
+    assert out["a"]["wins"] == 17 and out["a"]["games"] == 20
+
+
+def test_bt_matches_python_mm(spark):
+    """Spark MM iterations equal the sequential MM update exactly."""
+    import collections
+
+    from mcpvectordb_spark.operators.stats import bradley_terry
+
+    games = [("a", "b")] * 3 + [("b", "a")] * 1 + [("b", "c")] * 4 + [("a", "c")] * 2 + [("c", "a")] * 1
+    out = {
+        r["entity"]: r["strength"]
+        for r in bradley_terry(
+            spark.createDataFrame(games, ["winner", "loser"]), "winner", "loser", 10
+        ).collect()
+    }
+    nij = collections.Counter()
+    W = collections.Counter()
+    for w, l in games:
+        nij[(w, l)] += 1
+        nij[(l, w)] += 1
+        W[w] += 1
+    ks = ["a", "b", "c"]
+    pi = {k: 1.0 for k in ks}
+    for _ in range(10):
+        pi = {
+            i: (
+                W[i]
+                / sum(nij[(i, j)] / (pi[i] + pi[j]) for j in ks if nij[(i, j)])
+                if W[i] > 0
+                else 0.0
+            )
+            for i in ks
+        }
+    z = sum(pi.values())
+    for k in ks:
+        assert abs(out[k] - pi[k] / z) < 5e-7
+
+
+def test_bt_all_loser_gets_zero(spark):
+    """An entity that never wins converges to strength 0, no 0/0."""
+    from mcpvectordb_spark.operators.stats import bradley_terry
+
+    games = [("a", "z")] * 5 + [("b", "z")] * 5 + [("a", "b")] * 2 + [("b", "a")] * 2
+    out = {
+        r["entity"]: r["strength"]
+        for r in bradley_terry(
+            spark.createDataFrame(games, ["winner", "loser"]), "winner", "loser", 8
+        ).collect()
+    }
+    assert out["z"] == 0.0
+    assert out["a"] > 0 and out["b"] > 0
