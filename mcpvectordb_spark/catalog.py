@@ -8847,6 +8847,112 @@ FROM p10 p JOIN tot t ON t.i = p.i CROSS JOIN z"""
 SQL_SUPPLIER_BT = _sql_bt()
 
 
+def q_events_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal smoothing (timeseries.py::
+    holt_winters_additive) of daily event volume per type, weekly
+    period m=7, with a 7-day forecast — the seasonal completion of the
+    EWMA -> Holt forecasting ladder (events_ewma_recursive,
+    events_holt).  The coupled (level, trend, 7-slot seasonal queue)
+    recursion folds O(L) per key; constants 0.5/0.25/0.75 are
+    binary-exact and the init (first-week mean on exact integer counts)
+    is one double division, so the oracle's recursive CTE — carrying
+    the queue as SEVEN explicit columns shifted each step — replays the
+    evolution bit-for-bit.  Forecast rows carry n = -1."""
+    from mcpvectordb_spark.operators.timeseries import holt_winters_additive
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    out = holt_winters_additive(
+        daily, "k", "t", "x", alpha=0.5, beta=0.25, gamma=0.25, period=7, horizon=7
+    )
+    return out.select(
+        F.col("k").alias("event_type"),
+        "t",
+        F.coalesce(F.col("x"), F.lit(-1.0)).cast("long").alias("n"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal_used", 6).alias("seasonal_used"),
+        F.round("fitted", 6).alias("fitted"),
+    )
+
+
+SQL_EVENTS_HW = """
+WITH RECURSIVE daily AS (
+  SELECT event_type AS k,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT k, t, x, row_number() OVER (PARTITION BY k ORDER BY t) AS rk
+  FROM daily),
+initv AS (
+  SELECT k,
+         max(CASE WHEN rk = 1 THEN x END) AS x1,
+         max(CASE WHEN rk = 2 THEN x END) AS x2,
+         max(CASE WHEN rk = 3 THEN x END) AS x3,
+         max(CASE WHEN rk = 4 THEN x END) AS x4,
+         max(CASE WHEN rk = 5 THEN x END) AS x5,
+         max(CASE WHEN rk = 6 THEN x END) AS x6,
+         max(CASE WHEN rk = 7 THEN x END) AS x7,
+         max(CASE WHEN rk = 7 THEN t END) AS t7
+  FROM ranked WHERE rk <= 7 GROUP BY 1
+  HAVING count(*) = 7),
+hw AS (
+  SELECT i.k, CAST(7 AS BIGINT) AS rk, i.t7 AS t,
+         CAST(NULL AS DOUBLE) AS x,
+         (i.x1 + i.x2 + i.x3 + i.x4 + i.x5 + i.x6 + i.x7) / 7.0 AS l,
+         CAST(0.0 AS DOUBLE) AS b,
+         i.x1 - (i.x1 + i.x2 + i.x3 + i.x4 + i.x5 + i.x6 + i.x7) / 7.0 AS s1,
+         i.x2 - (i.x1 + i.x2 + i.x3 + i.x4 + i.x5 + i.x6 + i.x7) / 7.0 AS s2,
+         i.x3 - (i.x1 + i.x2 + i.x3 + i.x4 + i.x5 + i.x6 + i.x7) / 7.0 AS s3,
+         i.x4 - (i.x1 + i.x2 + i.x3 + i.x4 + i.x5 + i.x6 + i.x7) / 7.0 AS s4,
+         i.x5 - (i.x1 + i.x2 + i.x3 + i.x4 + i.x5 + i.x6 + i.x7) / 7.0 AS s5,
+         i.x6 - (i.x1 + i.x2 + i.x3 + i.x4 + i.x5 + i.x6 + i.x7) / 7.0 AS s6,
+         i.x7 - (i.x1 + i.x2 + i.x3 + i.x4 + i.x5 + i.x6 + i.x7) / 7.0 AS s7,
+         CAST(NULL AS DOUBLE) AS su,
+         CAST(NULL AS DOUBLE) AS f
+  FROM initv i
+  UNION ALL
+  SELECT r.k, r.rk, r.t, r.x,
+         0.5 * (r.x - h.s1) + 0.5 * (h.l + h.b) AS l,
+         0.25 * ((0.5 * (r.x - h.s1) + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b AS b,
+         h.s2 AS s1, h.s3 AS s2, h.s4 AS s3, h.s5 AS s4, h.s6 AS s5, h.s7 AS s6,
+         0.25 * (r.x - (0.5 * (r.x - h.s1) + 0.5 * (h.l + h.b))) + 0.75 * h.s1 AS s7,
+         h.s1 AS su,
+         h.l + h.b + h.s1 AS f
+  FROM hw h JOIN ranked r ON r.k = h.k AND r.rk = h.rk + 1),
+last AS (SELECT k, max(rk) AS mrk FROM hw GROUP BY 1),
+fin AS (
+  SELECT h.* FROM hw h JOIN last l ON h.k = l.k AND h.rk = l.mrk
+  WHERE l.mrk >= 8),
+fut AS (
+  SELECT fin.k, fin.t + gs.h AS t, CAST(-1.0 AS DOUBLE) AS x,
+         fin.l AS level, fin.b AS trend,
+         CASE gs.h WHEN 1 THEN fin.s1 WHEN 2 THEN fin.s2 WHEN 3 THEN fin.s3
+                   WHEN 4 THEN fin.s4 WHEN 5 THEN fin.s5 WHEN 6 THEN fin.s6
+                   ELSE fin.s7 END AS seasonal_used,
+         fin.l + gs.h * fin.b
+           + CASE gs.h WHEN 1 THEN fin.s1 WHEN 2 THEN fin.s2 WHEN 3 THEN fin.s3
+                       WHEN 4 THEN fin.s4 WHEN 5 THEN fin.s5 WHEN 6 THEN fin.s6
+                       ELSE fin.s7 END AS fitted
+  FROM fin, (SELECT unnest(range(1, 8)) AS h) gs)
+SELECT k AS event_type, t, CAST(x AS BIGINT) AS n,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(su, 6) AS seasonal_used, round(f, 6) AS fitted
+FROM hw WHERE rk >= 8
+UNION ALL
+SELECT k AS event_type, t, CAST(x AS BIGINT) AS n,
+       round(level, 6) AS level, round(trend, 6) AS trend,
+       round(seasonal_used, 6) AS seasonal_used, round(fitted, 6) AS fitted
+FROM fut
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -9603,6 +9709,7 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "lr_isotonic": q_lr_isotonic,
     "supplier_bt": q_supplier_bt,
+    "events_hw": q_events_hw,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -9854,6 +9961,7 @@ ORACLES = {
     "phrase_search": SQL_PHRASE_SEARCH,
     "lr_isotonic": SQL_LR_ISOTONIC,
     "supplier_bt": SQL_SUPPLIER_BT,
+    "events_hw": SQL_EVENTS_HW,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

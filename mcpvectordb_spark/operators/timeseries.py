@@ -579,3 +579,154 @@ def xcf(
         "n",
         F.when((vx > 0) & (vy > 0), F.round(num / den, 6)).alias("r"),
     )
+
+
+def holt_winters_additive(
+    series: DataFrame,
+    key_col: str,
+    idx_col: str,
+    val_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    period: int = 7,
+    horizon: int = 0,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (Winters 1960) — level +
+    trend + a rotating seasonal queue of length `period`, the step up
+    from ``holt_linear`` for cyclic series (weekly traffic shape):
+
+        l_t = a*(x_t - s_{t-m}) + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+        s_t = g*(x_t - l_t) + (1-g)*s_{t-m}
+
+    initialized from the first season: l_m = mean(x_1..x_m), b_m = 0,
+    s_i = x_i - l_m.  Like the EWMA/Holt folds this is a coupled
+    scan-with-carried-state no SQL window expresses; it runs as one
+    O(L) F.aggregate fold per key over the sorted series, with the
+    seasonal state carried as a `period`-slot queue (head = s_{t-m},
+    shift left, push s_t).  Values should be INTEGER counts and the
+    smoothing constants binary-exact (0.5 / 0.25 / 0.75) so the
+    initialization (S_m/m on exact integer sums) and every subsequent
+    double op replay bit-identically in a recursive-CTE oracle carrying
+    the queue as `period` explicit columns.
+
+    Emits one row per observation AFTER the first season
+    (key, idx, x, level, trend, seasonal_used, fitted) where fitted =
+    l_{t-1} + b_{t-1} + s_{t-m} is the one-step-ahead forecast, plus
+    `horizon` extrapolation rows (x NULL, fitted = l_T + h*b_T +
+    s_{T+h-m}, h <= period) when horizon > 0.  Keys with fewer than
+    period + 1 observations emit nothing.
+    """
+    m = int(period)
+    if horizon > m:
+        raise ValueError("holt_winters_additive: horizon must be <= period")
+    a = series.select(
+        F.col(key_col).alias("k"), F.col(idx_col).alias("t"),
+        F.col(val_col).cast("double").alias("x"),
+    )
+    arr = a.groupBy("k").agg(
+        F.array_sort(F.collect_list(F.struct("t", "x"))).alias("xs")
+    ).filter(F.size("xs") > m)
+    init = arr.select(
+        "k",
+        F.slice("xs", m + 1, F.size("xs") - m).alias("rest"),
+        F.slice("xs", 1, m).alias("head"),
+        (
+            F.aggregate(
+                F.slice("xs", 1, m),
+                F.lit(0.0),
+                lambda acc, e: acc + e["x"],
+            )
+            / F.lit(float(m))
+        ).alias("l0"),
+    ).select(
+        "k",
+        "rest",
+        "l0",
+        F.transform("head", lambda e: e["x"] - F.col("l0")).alias("s0"),
+    )
+    la, lb, lg = float(alpha), float(beta), float(gamma)
+
+    def step(acc, e):
+        l = acc["l"]
+        b = acc["b"]
+        s = acc["s"]
+        su = F.element_at(s, 1)
+        f = l + b + su
+        l_new = F.lit(la) * (e["x"] - su) + F.lit(1.0 - la) * (l + b)
+        b_new = (
+            F.lit(lb) * (F.lit(la) * (e["x"] - su) + F.lit(1.0 - la) * (l + b) - l)
+            + F.lit(1.0 - lb) * b
+        )
+        s_new = (
+            F.lit(lg)
+            * (e["x"] - (F.lit(la) * (e["x"] - su) + F.lit(1.0 - la) * (l + b)))
+            + F.lit(1.0 - lg) * su
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(F.slice(s, 2, m - 1), F.array(s_new)).alias("s"),
+            F.concat(
+                acc["hist"],
+                F.array(
+                    F.struct(
+                        l_new.alias("l"),
+                        b_new.alias("b"),
+                        su.alias("su"),
+                        f.alias("f"),
+                    )
+                ),
+            ).alias("hist"),
+        )
+
+    folded = init.select(
+        "k",
+        "rest",
+        F.aggregate(
+            "rest",
+            F.struct(
+                F.col("l0").alias("l"),
+                F.lit(0.0).alias("b"),
+                F.col("s0").alias("s"),
+                F.array().cast(
+                    "array<struct<l:double,b:double,su:double,f:double>>"
+                ).alias("hist"),
+            ),
+            step,
+        ).alias("st"),
+    ).localCheckpoint(eager=False)
+    fitted = folded.select(
+        "k", F.posexplode(F.arrays_zip("rest", F.col("st.hist")))
+    ).select(
+        "k",
+        F.col("col.rest.t").alias("t"),
+        F.col("col.rest.x").alias("x"),
+        F.col("col.hist.l").alias("level"),
+        F.col("col.hist.b").alias("trend"),
+        F.col("col.hist.su").alias("seasonal_used"),
+        F.col("col.hist.f").alias("fitted"),
+    )
+    if horizon <= 0:
+        return fitted
+    fut = folded.select(
+        "k",
+        F.element_at("rest", -1)["t"].alias("t_last"),
+        F.col("st.l").alias("l"),
+        F.col("st.b").alias("b"),
+        F.col("st.s").alias("s"),
+    ).select(
+        "k",
+        F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h"),
+        "t_last", "l", "b", "s",
+    ).select(
+        "k",
+        (F.col("t_last") + F.col("h")).alias("t"),
+        F.lit(None).cast("double").alias("x"),
+        F.col("l").alias("level"),
+        F.col("b").alias("trend"),
+        F.element_at("s", F.col("h").cast("int")).alias("seasonal_used"),
+        (F.col("l") + F.col("h") * F.col("b") + F.element_at("s", F.col("h").cast("int"))).alias("fitted"),
+    )
+    return fitted.unionByName(fut)

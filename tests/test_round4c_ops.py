@@ -766,3 +766,85 @@ def test_bt_all_loser_gets_zero(spark):
     }
     assert out["z"] == 0.0
     assert out["a"] > 0 and out["b"] > 0
+
+
+# -- holt_winters_additive ---------------------------------------------------
+
+
+def _hw_reference(xs, m=7, a=0.5, b_=0.25, g=0.25):
+    l = sum(xs[:m]) / m
+    b = 0.0
+    s = [x - l for x in xs[:m]]
+    hist = []
+    for t in range(m, len(xs)):
+        su = s[0]
+        f = l + b + su
+        l_new = a * (xs[t] - su) + (1 - a) * (l + b)
+        b_new = b_ * (l_new - l) + (1 - b_) * b
+        s = s[1:] + [g * (xs[t] - l_new) + (1 - g) * su]
+        l, b = l_new, b_new
+        hist.append((t, l, b, su, f))
+    return hist, l, b, s
+
+
+def test_hw_matches_sequential_reference(spark):
+    import random
+
+    from mcpvectordb_spark.operators.timeseries import holt_winters_additive
+
+    random.seed(6)
+    season = [9, -4, 2, 7, -8, 1, -7]
+    xs = [40 + t + season[t % 7] + random.randint(-2, 2) for t in range(25)]
+    df = spark.createDataFrame(
+        [("a", t, x) for t, x in enumerate(xs)], ["k", "t", "x"]
+    )
+    got = {
+        r["t"]: r
+        for r in holt_winters_additive(df, "k", "t", "x", horizon=7).collect()
+    }
+    hist, l, b, s = _hw_reference(xs)
+    for t, rl, rb, rsu, rf in hist:
+        r = got[t]
+        assert abs(r["level"] - rl) < 1e-12
+        assert abs(r["trend"] - rb) < 1e-12
+        assert abs(r["seasonal_used"] - rsu) < 1e-12
+        assert abs(r["fitted"] - rf) < 1e-12
+    for h in range(1, 8):
+        r = got[len(xs) - 1 + h]
+        assert r["x"] is None
+        assert abs(r["fitted"] - (l + h * b + s[h - 1])) < 1e-12
+
+
+def test_hw_learns_pure_seasonal_pattern(spark):
+    """On an exact period-7 signal with no trend/noise the one-step
+    forecasts converge onto the signal."""
+    from mcpvectordb_spark.operators.timeseries import holt_winters_additive
+
+    season = [20, 5, 12, 18, 3, 9, 1]
+    xs = [season[t % 7] + 30 for t in range(35)]
+    df = spark.createDataFrame(
+        [("a", t, x) for t, x in enumerate(xs)], ["k", "t", "x"]
+    )
+    got = {r["t"]: r for r in holt_winters_additive(df, "k", "t", "x").collect()}
+    # after two full seasons the fit should track closely
+    late_err = [abs(got[t]["fitted"] - xs[t]) for t in range(21, 35)]
+    assert max(late_err) < 2.0, late_err
+
+
+def test_hw_short_series_emits_nothing(spark):
+    from mcpvectordb_spark.operators.timeseries import holt_winters_additive
+
+    df = spark.createDataFrame(
+        [("a", t, 5) for t in range(7)], ["k", "t", "x"]
+    )
+    assert holt_winters_additive(df, "k", "t", "x", horizon=3).count() == 0
+
+
+def test_hw_horizon_beyond_period_rejected(spark):
+    import pytest
+
+    from mcpvectordb_spark.operators.timeseries import holt_winters_additive
+
+    df = spark.createDataFrame([("a", 0, 1)], ["k", "t", "x"])
+    with pytest.raises(ValueError):
+        holt_winters_additive(df, "k", "t", "x", horizon=9)
