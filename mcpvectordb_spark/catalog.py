@@ -8953,6 +8953,99 @@ FROM fut
 """
 
 
+def q_events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (timeseries.py::pacf) of hourly event
+    volume per type, lags 1..24 — the Durbin-Levinson companion to
+    events_acf that identifies AR order (PACF cuts off where ACF only
+    decays).  The D-L recursion consumes the 6-dp-ROUNDED ACF values —
+    already bit-identical across engines by events_acf's integer-sum
+    contract — so every left-associated dot product and division
+    replays exactly; the oracle carries the phi vector as a LIST column
+    through a recursive CTE (list_transform/list_reduce mirroring
+    zip_with/aggregate).  The fold is O(K^2) per key with K = 24, a
+    constant — corpus scale only enters through the ACF pipeline."""
+    from mcpvectordb_spark.operators.timeseries import pacf
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600)).cast("long").alias("t"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return pacf(hourly, "event_type", "t", "y", max_lag=24).select(
+        "event_type", "lag", "r", "pacf"
+    )
+
+
+SQL_EVENTS_PACF = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, min(t) AS t0, max(t) AS t1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(range(t0, t1 + 1)) AS t FROM bounds),
+dense AS MATERIALIZED (
+  SELECT g.event_type, g.t, COALESCE(h.y, 0) AS y
+  FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.t = g.t),
+scal AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS q
+  FROM dense GROUP BY 1),
+lags AS (SELECT unnest(range(1, 25)) AS lag),
+per_lag AS (
+  SELECT l.event_type, lg.lag,
+         CAST(sum(l.y * r.y) AS BIGINT) AS syy,
+         CAST(sum(l.y) AS BIGINT) AS h,
+         CAST(sum(r.y) AS BIGINT) AS tt
+  FROM dense l CROSS JOIN lags lg
+  JOIN dense r ON r.event_type = l.event_type AND r.t = l.t + lg.lag
+  GROUP BY 1, 2),
+acf AS MATERIALIZED (
+  SELECT p.event_type AS k, p.lag,
+         round((CAST(s.n AS DOUBLE) * s.n * p.syy
+                - CAST(s.n AS DOUBLE) * s.s * CAST(p.h + p.tt AS DOUBLE)
+                + (CAST(s.n AS DOUBLE) - p.lag) * s.s * s.s)
+               / (CAST(s.n AS DOUBLE) * s.n * s.q
+                  - CAST(s.n AS DOUBLE) * s.s * s.s), 6) AS rv
+  FROM per_lag p JOIN scal s ON s.event_type = p.event_type
+  WHERE CAST(s.n AS DOUBLE) * s.n * s.q - CAST(s.n AS DOUBLE) * s.s * s.s > 0),
+dl AS (
+  SELECT k, 1 AS lag, rv, [rv] AS rs, [rv] AS phi, rv AS pacf
+  FROM acf WHERE lag = 1
+  UNION ALL
+  SELECT a.k, a.lag, a.rv,
+         list_append(d.rs, a.rv) AS rs,
+         list_append(
+           list_transform(range(1, len(d.phi) + 1),
+             j -> d.phi[j]
+                  - ((a.rv - list_reduce(list_transform(range(1, len(d.phi) + 1),
+                                           i -> d.phi[i] * list_reverse(d.rs)[i]),
+                                         (x, y) -> x + y))
+                     / (1.0 - list_reduce(list_transform(range(1, len(d.phi) + 1),
+                                            i -> d.phi[i] * d.rs[i]),
+                                          (x, y) -> x + y)))
+                    * list_reverse(d.phi)[j]),
+           (a.rv - list_reduce(list_transform(range(1, len(d.phi) + 1),
+                                 i -> d.phi[i] * list_reverse(d.rs)[i]),
+                               (x, y) -> x + y))
+           / (1.0 - list_reduce(list_transform(range(1, len(d.phi) + 1),
+                                  i -> d.phi[i] * d.rs[i]),
+                                (x, y) -> x + y))) AS phi,
+         (a.rv - list_reduce(list_transform(range(1, len(d.phi) + 1),
+                               i -> d.phi[i] * list_reverse(d.rs)[i]),
+                             (x, y) -> x + y))
+         / (1.0 - list_reduce(list_transform(range(1, len(d.phi) + 1),
+                                i -> d.phi[i] * d.rs[i]),
+                              (x, y) -> x + y)) AS pacf
+  FROM dl d JOIN acf a ON a.k = d.k AND a.lag = d.lag + 1)
+SELECT k AS event_type, CAST(lag AS BIGINT) AS lag, rv AS r,
+       round(pacf, 6) AS pacf
+FROM dl
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -9710,6 +9803,7 @@ QUERIES = {
     "lr_isotonic": q_lr_isotonic,
     "supplier_bt": q_supplier_bt,
     "events_hw": q_events_hw,
+    "events_pacf": q_events_pacf,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -9962,6 +10056,7 @@ ORACLES = {
     "lr_isotonic": SQL_LR_ISOTONIC,
     "supplier_bt": SQL_SUPPLIER_BT,
     "events_hw": SQL_EVENTS_HW,
+    "events_pacf": SQL_EVENTS_PACF,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

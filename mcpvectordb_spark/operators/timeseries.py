@@ -730,3 +730,94 @@ def holt_winters_additive(
         (F.col("l") + F.col("h") * F.col("b") + F.element_at("s", F.col("h").cast("int"))).alias("fitted"),
     )
     return fitted.unionByName(fut)
+
+
+def pacf(
+    series: DataFrame,
+    key_col: str,
+    idx_col: str,
+    val_col: str,
+    max_lag: int = 24,
+) -> DataFrame:
+    """Partial autocorrelation function via the Durbin-Levinson
+    recursion — the AR-order identification companion to ``acf`` (an
+    AR(p) process cuts off after lag p in the PACF, while its ACF
+    decays):
+
+        phi_{1,1} = r_1
+        phi_{k,k} = (r_k - sum_j phi_{k-1,j} r_{k-j})
+                    / (1 - sum_j phi_{k-1,j} r_j)
+        phi_{k,j} = phi_{k-1,j} - phi_{k,k} phi_{k-1,k-j}
+
+    Input autocorrelations come from ``acf`` ALREADY ROUNDED to 6 dp —
+    quantized identically in any engine — so the recursion sees
+    bit-identical doubles and every fold step (left-associated dot
+    products, one division per order) replays exactly in a
+    recursive-CTE oracle carrying the phi vector as a LIST column.
+
+    Runs as one O(K^2) F.aggregate fold per key over the K collected
+    ACF values (K = max_lag, a constant), after ``acf``'s distributed
+    integer-sum pipeline — so the corpus-scale work is unchanged from
+    ``acf`` and the recursion cost is independent of data volume.
+    Keys whose ACF is NULL (zero variance) are dropped.  Returns
+    (key, lag, r, pacf).
+    """
+    r = acf(series, key_col, idx_col, val_col, max_lag=max_lag).filter(
+        F.col("r").isNotNull()
+    )
+    arr = r.groupBy(F.col(key_col).alias("k")).agg(
+        F.array_sort(F.collect_list(F.struct("lag", "r"))).alias("rv")
+    )
+
+    def dot(xs, ys):
+        return F.aggregate(
+            F.zip_with(xs, ys, lambda p, q: p * q), F.lit(0.0), lambda a, b: a + b
+        )
+
+    def step(acc, e):
+        rs = acc["rs"]
+        phi = acc["phi"]
+        pac = acc["pac"]
+        num = e["r"] - dot(phi, F.reverse(rs))
+        den = F.lit(1.0) - dot(phi, rs)
+        pkk = num / den
+        phi_new = F.concat(
+            F.zip_with(phi, F.reverse(phi), lambda p, pr: p - pkk * pr),
+            F.array(pkk),
+        )
+        return F.when(
+            F.size(rs) == 0,
+            F.struct(
+                F.array(e["r"]).alias("rs"),
+                F.array(e["r"]).alias("phi"),
+                F.array(e["r"]).alias("pac"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(rs, F.array(e["r"])).alias("rs"),
+                phi_new.alias("phi"),
+                F.concat(pac, F.array(pkk)).alias("pac"),
+            )
+        )
+
+    folded = arr.select(
+        "k",
+        F.col("rv"),
+        F.aggregate(
+            "rv",
+            F.struct(
+                F.array().cast("array<double>").alias("rs"),
+                F.array().cast("array<double>").alias("phi"),
+                F.array().cast("array<double>").alias("pac"),
+            ),
+            step,
+        ).alias("st"),
+    )
+    return folded.select(
+        "k", F.posexplode(F.arrays_zip("rv", F.col("st.pac")))
+    ).select(
+        F.col("k").alias(key_col),
+        F.col("col.rv.lag").alias("lag"),
+        F.col("col.rv.r").alias("r"),
+        F.round(F.col("col.pac"), 6).alias("pacf"),
+    )

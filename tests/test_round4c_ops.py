@@ -848,3 +848,68 @@ def test_hw_horizon_beyond_period_rejected(spark):
     df = spark.createDataFrame([("a", 0, 1)], ["k", "t", "x"])
     with pytest.raises(ValueError):
         holt_winters_additive(df, "k", "t", "x", horizon=9)
+
+
+# -- pacf --------------------------------------------------------------------
+
+
+def test_pacf_lag1_equals_acf(spark):
+    """phi_{1,1} = r_1 by definition."""
+    from mcpvectordb_spark.operators.timeseries import acf, pacf
+
+    rows = [("a", t, (t * 7) % 13) for t in range(60)]
+    df = spark.createDataFrame(rows, ["k", "t", "y"])
+    a1 = {r["lag"]: r["r"] for r in acf(df, "k", "t", "y", 4).collect()}
+    p = {r["lag"]: r for r in pacf(df, "k", "t", "y", 4).collect()}
+    assert p[1]["pacf"] == a1[1]
+    assert p[1]["r"] == a1[1]
+
+
+def test_pacf_matches_durbin_levinson(spark):
+    """Fold equals the sequential D-L recursion on the rounded ACF."""
+    from mcpvectordb_spark.operators.timeseries import acf, pacf
+
+    rows = [("a", t, (t * t * 3 + t) % 17) for t in range(80)]
+    df = spark.createDataFrame(rows, ["k", "t", "y"])
+    rv = {r["lag"]: r["r"] for r in acf(df, "k", "t", "y", 6).collect()}
+    out = {r["lag"]: r["pacf"] for r in pacf(df, "k", "t", "y", 6).collect()}
+    rs = [rv[1]]
+    phi = [rv[1]]
+    ref = {1: rv[1]}
+    for k in range(2, 7):
+        num = rv[k] - sum(p * rr for p, rr in zip(phi, reversed(rs)))
+        den = 1.0 - sum(p * r_ for p, r_ in zip(phi, rs))
+        pkk = num / den
+        phi = [p - pkk * pr for p, pr in zip(phi, reversed(phi))] + [pkk]
+        rs.append(rv[k])
+        ref[k] = pkk
+    for k in range(1, 7):
+        assert abs(out[k] - ref[k]) < 5e-7, (k, out[k], ref[k])
+
+
+def test_pacf_ar1_cuts_off_after_lag1(spark):
+    """AR(1)-like integer series: pacf(1) large, pacf(k>1) small."""
+    from mcpvectordb_spark.operators.timeseries import pacf
+
+    import random
+
+    random.seed(8)
+    x = [100.0]
+    for _ in range(300):
+        x.append(0.7 * x[-1] + 30 + random.gauss(0, 4))
+    rows = [("a", t, int(round(v))) for t, v in enumerate(x)]
+    out = {
+        r["lag"]: r["pacf"]
+        for r in pacf(
+            spark.createDataFrame(rows, ["k", "t", "y"]), "k", "t", "y", 6
+        ).collect()
+    }
+    assert out[1] > 0.5
+    assert all(abs(out[k]) < 0.2 for k in range(2, 7))
+
+
+def test_pacf_constant_series_dropped(spark):
+    from mcpvectordb_spark.operators.timeseries import pacf
+
+    df = spark.createDataFrame([("c", t, 4) for t in range(30)], ["k", "t", "y"])
+    assert pacf(df, "k", "t", "y", 3).count() == 0
