@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "supplier_bt",           # Bradley-Terry MM over head-to-head games
     "events_hw",             # Holt-Winters seasonal fold, 7-day forecast
     "events_pacf",           # Durbin-Levinson recursion off the rounded ACF
+    "near_search",           # NEAR/k proximity over positional postings
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

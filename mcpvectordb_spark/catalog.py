@@ -9046,6 +9046,43 @@ FROM dl
 """
 
 
+def q_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval (operators/phrase.py::near_search):
+    documents where "stream" and "hash" occur within 4 tokens of each
+    other in either order — the NEAR/k middle ground between
+    phrase_search's exact adjacency and BM25's bag-of-words.  Postings
+    filter to the two terms via a broadcast join, then one per-document
+    position-pair join whose fan-out is tf_a*tf_b — df-bounded like a
+    conjunctive query.  The oracle replays the identical positional
+    algebra."""
+    from mcpvectordb_spark.operators.phrase import near_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_search(docs, "doc_id", "text", "stream", "hash", window=4).select(
+        F.col("doc").alias("doc_id"), "min_dist", "pairs_within"
+    )
+
+
+SQL_NEAR_SEARCH = """
+WITH toks AS (
+  SELECT doc_id, pos,
+         list_extract(string_split(text, ' '), pos) AS token
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(1, 301)) AS pos) p
+  WHERE pos <= len(string_split(text, ' '))),
+pa AS (SELECT doc_id, pos AS pa FROM toks WHERE token = 'stream'),
+pb AS (SELECT doc_id, pos AS pb FROM toks WHERE token = 'hash'),
+pairs AS (
+  SELECT pa.doc_id, abs(pa.pa - pb.pb) AS dist
+  FROM pa JOIN pb ON pb.doc_id = pa.doc_id)
+SELECT doc_id,
+       CAST(min(dist) AS BIGINT) AS min_dist,
+       CAST(sum(CASE WHEN dist <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_within
+FROM pairs GROUP BY 1
+HAVING min(dist) <= 4
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -9804,6 +9841,7 @@ QUERIES = {
     "supplier_bt": q_supplier_bt,
     "events_hw": q_events_hw,
     "events_pacf": q_events_pacf,
+    "near_search": q_near_search,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -10057,6 +10095,7 @@ ORACLES = {
     "supplier_bt": SQL_SUPPLIER_BT,
     "events_hw": SQL_EVENTS_HW,
     "events_pacf": SQL_EVENTS_PACF,
+    "near_search": SQL_NEAR_SEARCH,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -63,3 +63,44 @@ def phrase_search(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.min("anchor").alias("first_pos"),
     )
+
+
+def near_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+) -> DataFrame:
+    """Proximity (NEAR/k) search: documents where `term_a` and `term_b`
+    occur within `window` tokens of each other, in either order — the
+    relaxation between exact phrase and bag-of-words.  Per matching
+    document returns the minimum token distance and how many position
+    pairs fall inside the window.
+
+    Plan: postings filtered to the two terms (broadcast 2-row join),
+    then a per-document equi-join of the two position lists — fan-out
+    is tf_a * tf_b per doc, bounded by term frequency exactly like the
+    df-bounded phrase join.  No windows, no sort; one keyed agg.
+    """
+    postings = phrase_postings(docs, id_col, text_col)
+    pa = postings.filter(F.col("token") == term_a).select(
+        "doc", F.col("pos").alias("pa")
+    )
+    pb = postings.filter(F.col("token") == term_b).select(
+        F.col("doc").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    pairs = pa.join(pb, F.col("doc") == F.col("doc_b")).select(
+        "doc", F.abs(F.col("pa") - F.col("pb")).alias("dist")
+    )
+    return (
+        pairs.groupBy("doc")
+        .agg(
+            F.min("dist").alias("min_dist"),
+            F.sum(
+                F.when(F.col("dist") <= window, F.lit(1)).otherwise(F.lit(0))
+            ).alias("pairs_within"),
+        )
+        .filter(F.col("min_dist") <= window)
+    )

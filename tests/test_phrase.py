@@ -65,3 +65,32 @@ def test_phrase_single_token(spark):
         for r in phrase_search(docs, "doc_id", "text", "x").collect()
     }
     assert out == {1: 2}
+
+
+def test_near_either_order_and_window(spark):
+    from mcpvectordb_spark.operators.phrase import near_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha x y beta"),        # dist 3
+            (2, "beta alpha"),            # dist 1, reversed order
+            (3, "alpha x y z w v beta"),  # dist 6 > window
+            (4, "alpha only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc"]: (r["min_dist"], r["pairs_within"])
+        for r in near_search(docs, "doc_id", "text", "alpha", "beta", 3).collect()
+    }
+    assert out == {1: (3, 1), 2: (1, 1)}
+
+
+def test_near_counts_all_pairs_within(spark):
+    from mcpvectordb_spark.operators.phrase import near_search
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b")], ["doc_id", "text"]
+    )  # a at 1,3; b at 2,4: dists 1,3,1,1 -> within 2: three pairs
+    r = near_search(docs, "doc_id", "text", "a", "b", 2).collect()[0]
+    assert (r["min_dist"], r["pairs_within"]) == (1, 3)
