@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "events_hw",             # Holt-Winters seasonal fold, 7-day forecast
     "events_pacf",           # Durbin-Levinson recursion off the rounded ACF
     "near_search",           # NEAR/k proximity over positional postings
+    "parts_conformal",       # split-conformal radius off block quantiles
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

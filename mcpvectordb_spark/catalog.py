@@ -9083,6 +9083,124 @@ HAVING min(dist) <= 4
 """
 
 
+def q_parts_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk; Lei et al.) on the
+    parts price model: OLS (stats.py::ols2_fit) trains on the hash-even
+    half, absolute residuals on the hash-odd calibration half yield the
+    finite-sample 90% radius q_hat = k-th smallest score with
+    k = ceil(0.9*(n_cal+1)) — the distribution-free guarantee that
+    |y - y_hat| <= q_hat with probability >= 0.9 on exchangeable data.
+    The k-th smallest never sorts rows: scores collapse to VALUE BLOCKS
+    (identical doubles from identical integer-sum algebra) and k is
+    picked off the block cumsum (the customers_gini pattern); k itself
+    is exact integer arithmetic (9*(n+1)+9)//10.  Output also reports
+    train-half coverage at q_hat as a sanity diagnostic."""
+    from mcpvectordb_spark.operators.dedup import hexint48
+    from mcpvectordb_spark.operators.stats import ols2_fit
+
+    part = load_table(spark, sf_dir, "part")
+    obs = part.select(
+        F.round(F.col("p_retailprice") * 10, 0).cast("long").alias("y10"),
+        F.col("p_size").cast("long").alias("x1"),
+        F.length("p_name").cast("long").alias("x2"),
+        F.pmod(hexint48(F.col("p_partkey").cast("string")), F.lit(2)).alias("h"),
+    ).localCheckpoint(eager=False)
+    train = obs.filter(F.col("h") == 0).withColumn("g", F.lit("g"))
+    fit = ols2_fit(train, "g", "y10", "x1", "x2").select("b0", "b1", "b2")
+    score = F.abs(
+        F.col("y10").cast("double")
+        - (
+            F.col("b0")
+            + F.col("b1") * F.col("x1").cast("double")
+            + F.col("b2") * F.col("x2").cast("double")
+        )
+    )
+    cal = obs.filter(F.col("h") == 1).crossJoin(F.broadcast(fit)).select(
+        score.alias("s")
+    )
+    blocks = cal.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    wq = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = blocks.select("s", F.sum("c").over(wq).alias("cum"))
+    ncal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    qhat = (
+        ranked.crossJoin(F.broadcast(ncal))
+        .filter(
+            F.col("cum")
+            >= ((F.lit(9) * (F.col("n_cal") + 1) + 9) / 10).cast("long")
+        )
+        .agg(F.min("s").alias("qhat"), F.first("n_cal").alias("n_cal"))
+    )
+    tr_scored = train.crossJoin(F.broadcast(fit)).select(score.alias("s"))
+    cov = tr_scored.crossJoin(F.broadcast(qhat)).agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.first("n_cal").alias("n_cal"),
+        F.round(F.first("qhat") / 10, 4).alias("qhat_price"),
+        F.round(
+            F.sum(F.when(F.col("s") <= F.col("qhat"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("coverage_train"),
+    )
+    return cov
+
+
+SQL_PARTS_CONFORMAL = f"""
+WITH obs AS (
+  SELECT CAST(round(p_retailprice * 10) AS BIGINT) AS y,
+         CAST(p_size AS BIGINT) AS x1,
+         CAST(length(p_name) AS BIGINT) AS x2,
+         {_sql_hex48("CAST(p_partkey AS VARCHAR)")} % 2 AS h
+  FROM part),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         CAST(sum(x2 * y) AS BIGINT) AS s2y
+  FROM obs WHERE h = 0),
+d AS (
+  SELECT CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)
+           - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)
+           + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2) AS det,
+         CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)
+           - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)
+           + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2y) AS det0,
+         CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)
+           - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)
+           + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2) AS det1,
+         CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s12)
+           - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)
+           + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2) AS det2
+  FROM g),
+fit AS (SELECT det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 FROM d),
+cal AS (
+  SELECT abs(CAST(o.y AS DOUBLE) - (f.b0 + f.b1 * CAST(o.x1 AS DOUBLE)
+                                     + f.b2 * CAST(o.x2 AS DOUBLE))) AS s
+  FROM obs o CROSS JOIN fit f WHERE o.h = 1),
+blocks AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY 1),
+ranked AS (
+  SELECT s, CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS cum FROM blocks),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+qh AS (
+  SELECT min(s) AS qhat, any_value(n_cal) AS n_cal
+  FROM ranked CROSS JOIN nc
+  WHERE cum >= (9 * (n_cal + 1) + 9) // 10),
+tr AS (
+  SELECT abs(CAST(o.y AS DOUBLE) - (f.b0 + f.b1 * CAST(o.x1 AS DOUBLE)
+                                     + f.b2 * CAST(o.x2 AS DOUBLE))) AS s
+  FROM obs o CROSS JOIN fit f WHERE o.h = 0)
+SELECT CAST(count(*) AS BIGINT) AS n_train,
+       any_value(q.n_cal) AS n_cal,
+       round(any_value(q.qhat) / 10, 4) AS qhat_price,
+       round(CAST(sum(CASE WHEN tr.s <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS coverage_train
+FROM tr CROSS JOIN qh q
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -9842,6 +9960,7 @@ QUERIES = {
     "events_hw": q_events_hw,
     "events_pacf": q_events_pacf,
     "near_search": q_near_search,
+    "parts_conformal": q_parts_conformal,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -10096,6 +10215,7 @@ ORACLES = {
     "events_hw": SQL_EVENTS_HW,
     "events_pacf": SQL_EVENTS_PACF,
     "near_search": SQL_NEAR_SEARCH,
+    "parts_conformal": SQL_PARTS_CONFORMAL,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -913,3 +913,19 @@ def test_pacf_constant_series_dropped(spark):
 
     df = spark.createDataFrame([("c", t, 4) for t in range(30)], ["k", "t", "y"])
     assert pacf(df, "k", "t", "y", 3).count() == 0
+
+
+# -- parts_conformal (catalog-level chain) ------------------------------------
+
+
+def test_conformal_coverage_guarantee_shape(spark):
+    """The catalog conformal query produces a valid radius: coverage on
+    the train half near 0.9 (same distribution), qhat positive."""
+    from mcpvectordb_spark.catalog import QUERIES
+
+    r = QUERIES["parts_conformal"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_train"] + r["n_cal"] > 0
+    assert r["qhat_price"] > 0
+    # split halves are exchangeable -> train coverage should be close to
+    # the 90% target (generous band; n is small at sf0.001)
+    assert 0.8 < r["coverage_train"] <= 1.0
