@@ -9201,6 +9201,90 @@ FROM tr CROSS JOIN qh q
 """
 
 
+def q_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: regress ln(frequency) on
+    ln(rank) over the top-1000 terms — the corpus-health diagnostic
+    (natural language runs slope ~ -1; synthetic/templated corpora, like
+    this one's ~40-word vocabulary, deviate measurably, which is exactly
+    what the check is for).  Ranks come from a deterministic
+    (freq DESC, term ASC) row_number over the VOCABULARY (bounded by
+    distinct terms, never corpus rows); the simple-regression closed
+    form runs on one agg of the <=1000 (ln rank, ln freq) points.
+    Frequencies are exact integer counts; the ln/sum arithmetic is the
+    6-dp double contract (log parity proven by PMI/logloss/AA
+    queries)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(dd.normalize_text(F.col("text")), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("term").asc())
+    ranked = (
+        freq.select("term", "f", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 1000)
+    )
+    pts = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / nd
+    corr_num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr_den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    tot = toks.agg(F.count(F.lit(1)).alias("total_tokens"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("vocab_ranked"),
+        "total_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+        F.round(corr_num / corr_den, 6).alias("loglog_corr"),
+    )
+
+
+SQL_VOCAB_ZIPF = f"""
+WITH toks AS (
+  SELECT unnest({_sql_words("text")}) AS term FROM documents),
+toks2 AS (SELECT term FROM toks WHERE length(term) > 0),
+freq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS f FROM toks2 GROUP BY 1),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, term ASC) AS rank
+  FROM freq QUALIFY rank <= 1000),
+pts AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y FROM ranked),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM pts),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM toks2)
+SELECT n AS vocab_ranked, total_tokens,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n AS DOUBLE), 6) AS zipf_intercept,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS loglog_corr
+FROM agg CROSS JOIN tot
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -9961,6 +10045,7 @@ QUERIES = {
     "events_pacf": q_events_pacf,
     "near_search": q_near_search,
     "parts_conformal": q_parts_conformal,
+    "vocab_zipf": q_vocab_zipf,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -10216,6 +10301,7 @@ ORACLES = {
     "events_pacf": SQL_EVENTS_PACF,
     "near_search": SQL_NEAR_SEARCH,
     "parts_conformal": SQL_PARTS_CONFORMAL,
+    "vocab_zipf": SQL_VOCAB_ZIPF,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

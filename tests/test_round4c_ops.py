@@ -929,3 +929,35 @@ def test_conformal_coverage_guarantee_shape(spark):
     # split halves are exchangeable -> train coverage should be close to
     # the 90% target (generous band; n is small at sf0.001)
     assert 0.8 < r["coverage_train"] <= 1.0
+
+
+# -- vocab_zipf (catalog-level) -----------------------------------------------
+
+
+def test_zipf_slope_on_planted_power_law(spark):
+    """A corpus built with f(term_r) ~ r^-1 recovers slope ~ -1."""
+    import math
+
+    from mcpvectordb_spark.catalog import QUERIES  # noqa: F401  (import parity)
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+    from mcpvectordb_spark.operators import dedup as dd
+
+    words = []
+    for r in range(1, 41):
+        words += [f"w{r:02d}"] * max(1, round(400 / r))
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    toks = docs.select(
+        F.explode(F.split(dd.normalize_text(F.col("text")), " ")).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("term").asc())
+    pts = freq.select(F.row_number().over(w).alias("rank"), "f").collect()
+    xs = [math.log(p["rank"]) for p in pts]
+    ys = [math.log(p["f"]) for p in pts]
+    n = len(xs)
+    slope = (n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)) / (
+        n * sum(a * a for a in xs) - sum(xs) ** 2
+    )
+    assert abs(slope + 1.0) < 0.05, slope
