@@ -8799,7 +8799,10 @@ def q_supplier_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
     games = a.join(b, "o").filter(F.col("qa") > F.col("qb")).select(
         F.col("sa").alias("winner"), F.col("sb").alias("loser")
     )
-    out = bradley_terry(games, "winner", "loser", iterations=10)
+    # loop_partitions=8: 100 suppliers and a <=10k pair table — the scoped
+    # small-table fast path (pagerank contract); the games derivation above
+    # still runs at full parallelism
+    out = bradley_terry(games, "winner", "loser", iterations=10, loop_partitions=8)
     return out.select(
         F.col("entity").alias("s_suppkey"), "games", "wins", "strength"
     )

@@ -436,6 +436,7 @@ def bradley_terry(
     winner_col: str,
     loser_col: str,
     iterations: int = 10,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """Bradley-Terry strength estimation from pairwise outcomes — the
     aggregation behind preference data (which answer/supplier/variant
@@ -456,7 +457,36 @@ def bradley_terry(
     is needed; an oracle replays the fixed iteration count as unrolled
     CTEs (the LP-rounds / matrix-squaring pattern).  Returns
     (entity, games, wins, strength).
+
+    ``loop_partitions``: scoped small-table fast path (the pagerank
+    contract, graph.py): pin iteration stages to this parallelism with
+    AQE off and materialize eagerly — per-stage replanning latency
+    dominates 10 tiny MM stages.  Leave None when K is web-scale.
     """
+    spark = games.sparkSession
+    eager = loop_partitions is not None
+    saved: dict[str, str] = {}
+    if eager:
+        for ck, cv in (
+            ("spark.sql.shuffle.partitions", str(loop_partitions)),
+            ("spark.sql.adaptive.enabled", "false"),
+        ):
+            saved[ck] = spark.conf.get(ck)
+            spark.conf.set(ck, cv)
+    try:
+        return _bt_inner(games, winner_col, loser_col, iterations, eager)
+    finally:
+        for ck, cv in saved.items():
+            spark.conf.set(ck, cv)
+
+
+def _bt_inner(
+    games: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    iterations: int,
+    eager: bool,
+) -> DataFrame:
     sym = games.select(
         F.col(winner_col).alias("i"), F.col(loser_col).alias("j"), F.lit(1).alias("w")
     ).unionByName(
@@ -469,12 +499,16 @@ def bradley_terry(
     pairs = (
         sym.groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("nij"), F.sum("w").alias("wij"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=eager)
     )
     totals = pairs.groupBy("i").agg(
         F.sum("nij").alias("games_i"), F.sum("wij").alias("wins_i")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=eager)
     pi = totals.select("i", F.lit(1.0).alias("pi"))
+    # broadcast both strength-vector references: the K-row table is
+    # driver-sized by construction, and shuffle joins here measured
+    # SLOWER (5.5s vs 4.1s for 10 rounds) — two tiny broadcasts beat two
+    # exchanges per round even with the loop parallelism pinned
     for _ in range(int(iterations)):
         d = (
             pairs.join(F.broadcast(pi.select(F.col("i"), F.col("pi"))), "i")
@@ -500,7 +534,7 @@ def bradley_terry(
                 .otherwise(F.lit(0.0))
                 .alias("pi"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=eager)
         )
     tot = pi.agg(F.sum("pi").alias("z"))
     return (
