@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "near_search",           # NEAR/k proximity over positional postings
     "parts_conformal",       # split-conformal radius off block quantiles
     "vocab_zipf",            # Zipf slope over rank-frequency vocabulary
+    "orders_fd",             # FD discovery over all column pairs
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

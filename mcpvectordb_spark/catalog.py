@@ -9288,6 +9288,61 @@ FROM agg CROSS JOIN tot
 """
 
 
+def q_orders_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (dataquality.py::fd_discovery)
+    over seven canonical orders attributes (price quantized to exact
+    cents, date formatted, plus a derived order-month column) — the
+    TANE-lite profiling pass that surfaces keys (o_orderkey -> every
+    column) and derived columns (o_orderdate -> order_month) and
+    measures how badly every other candidate FD fails (g3-style
+    violation counts).  Fan-out is |cols|^2 per row — schema-sized —
+    followed by two map-side-combinable aggs; the oracle replays the
+    same pair explosion with UNION-free list algebra."""
+    from mcpvectordb_spark.operators.dataquality import fd_discovery
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = {
+        "orderkey": F.col("o_orderkey"),
+        "custkey": F.col("o_custkey"),
+        "status": F.col("o_orderstatus"),
+        "price_cents": F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+        "orderdate": F.date_format("o_orderdate", "yyyy-MM-dd"),
+        "priority": F.col("o_orderpriority"),
+        "order_month": F.date_format("o_orderdate", "yyyy-MM"),
+    }
+    return fd_discovery(orders, cols).select(
+        "lhs", "rhs", "n_lhs_values", "n_violating_lhs", "extra_rhs_values", "holds"
+    )
+
+
+SQL_ORDERS_FD = """
+WITH canon AS (
+  SELECT [
+    struct_pack(attr := 'orderkey',    val := CAST(o_orderkey AS VARCHAR)),
+    struct_pack(attr := 'custkey',     val := CAST(o_custkey AS VARCHAR)),
+    struct_pack(attr := 'status',      val := o_orderstatus),
+    struct_pack(attr := 'price_cents', val := CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)),
+    struct_pack(attr := 'orderdate',   val := strftime(o_orderdate, '%Y-%m-%d')),
+    struct_pack(attr := 'priority',    val := o_orderpriority),
+    struct_pack(attr := 'order_month', val := strftime(o_orderdate, '%Y-%m'))
+  ] AS vals
+  FROM orders),
+pairs AS (
+  SELECT a.attr AS lhs, a.val AS aval, b.attr AS rhs, b.val AS bval
+  FROM canon, unnest(vals) AS ta(a), unnest(vals) AS tb(b)
+  WHERE a.attr <> b.attr),
+per_lhs AS (
+  SELECT lhs, rhs, aval, CAST(count(DISTINCT bval) AS BIGINT) AS nb
+  FROM pairs GROUP BY 1, 2, 3)
+SELECT lhs, rhs,
+       CAST(count(*) AS BIGINT) AS n_lhs_values,
+       CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+       CAST(sum(nb - 1) AS BIGINT) AS extra_rhs_values,
+       max(nb) = 1 AS holds
+FROM per_lhs GROUP BY 1, 2
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -10049,6 +10104,7 @@ QUERIES = {
     "near_search": q_near_search,
     "parts_conformal": q_parts_conformal,
     "vocab_zipf": q_vocab_zipf,
+    "orders_fd": q_orders_fd,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -10305,6 +10361,7 @@ ORACLES = {
     "near_search": SQL_NEAR_SEARCH,
     "parts_conformal": SQL_PARTS_CONFORMAL,
     "vocab_zipf": SQL_VOCAB_ZIPF,
+    "orders_fd": SQL_ORDERS_FD,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -95,3 +95,63 @@ def dq_referential(
         "value",
         (F.col("value") == 0).alias("ok"),
     )
+
+
+def fd_discovery(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """Single-attribute functional-dependency discovery (the LHS-size-1
+    slice of TANE): for every ordered column pair (A, B), does A -> B
+    hold, and if not, how badly is it violated?  The schema-profiling
+    step that finds keys, derived columns and denormalized copies
+    before a pipeline trusts them.
+
+    `cols` maps attribute name -> a CANONICAL string expression for its
+    value (caller quantizes floats / formats dates so the
+    representation is engine-portable).  Plan: one select projects the
+    canonical values, one explode fans each row into the |cols|^2-|cols|
+    ordered pairs (map-only), then TWO keyed aggs: per (pair, a_value)
+    count distinct b-values, per pair roll up violations.  g3-style
+    error = sum(distinct_b - 1) over LHS groups, normalized by row
+    count.  Returns (lhs, rhs, n_lhs_values, n_violating_lhs,
+    extra_rhs_values, holds).
+
+    100 TB shape: the fan-out factor is |cols|^2 (schema-sized, not
+    data-sized) and both aggs are map-side combinable on (pair, value)
+    keys; for wide tables, prune candidate pairs first with HLL
+    distinct-count sketches (a column with more distinct values than
+    another cannot be determined by it).
+    """
+    named = [
+        F.struct(F.lit(name).alias("attr"), expr.cast("string").alias("val"))
+        for name, expr in cols.items()
+    ]
+    rows = df.select(F.array(*named).alias("vals"))
+    pairs = rows.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "vals",
+                    lambda a: F.filter(
+                        F.transform(
+                            "vals",
+                            lambda b: F.struct(
+                                a["attr"].alias("lhs"),
+                                a["val"].alias("aval"),
+                                b["attr"].alias("rhs"),
+                                b["val"].alias("bval"),
+                            ),
+                        ),
+                        lambda s: s["lhs"] != s["rhs"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.lhs", "p.aval", "p.rhs", "p.bval")
+    per_lhs = pairs.groupBy("lhs", "rhs", "aval").agg(
+        F.countDistinct("bval").alias("nb")
+    )
+    return per_lhs.groupBy("lhs", "rhs").agg(
+        F.count(F.lit(1)).alias("n_lhs_values"),
+        F.sum(F.when(F.col("nb") > 1, 1).otherwise(0)).alias("n_violating_lhs"),
+        F.sum(F.col("nb") - 1).alias("extra_rhs_values"),
+        (F.max("nb") == 1).alias("holds"),
+    )

@@ -961,3 +961,59 @@ def test_zipf_slope_on_planted_power_law(spark):
         n * sum(a * a for a in xs) - sum(xs) ** 2
     )
     assert abs(slope + 1.0) < 0.05, slope
+
+
+# -- fd_discovery -------------------------------------------------------------
+
+
+def test_fd_key_determines_everything(spark):
+    from pyspark.sql import functions as F
+
+    from mcpvectordb_spark.operators.dataquality import fd_discovery
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 20)], ["id", "grp", "v"]
+    )
+    out = {
+        (r["lhs"], r["rhs"]): r["holds"]
+        for r in fd_discovery(
+            df, {"id": F.col("id"), "grp": F.col("grp"), "v": F.col("v")}
+        ).collect()
+    }
+    assert out[("id", "grp")] and out[("id", "v")]
+    assert not out[("grp", "v")]  # a -> {10, 20}
+    assert not out[("v", "grp")]  # 20 -> {a, b}
+
+
+def test_fd_violation_counts_g3(spark):
+    from pyspark.sql import functions as F
+
+    from mcpvectordb_spark.operators.dataquality import fd_discovery
+
+    # grp=a maps to 3 distinct v (2 extra), grp=b maps to 1
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 2), (3, "a", 3), (4, "b", 9)], ["id", "grp", "v"]
+    )
+    r = {
+        (x["lhs"], x["rhs"]): x
+        for x in fd_discovery(df, {"grp": F.col("grp"), "v": F.col("v")}).collect()
+    }[("grp", "v")]
+    assert r["n_lhs_values"] == 2
+    assert r["n_violating_lhs"] == 1
+    assert r["extra_rhs_values"] == 2
+    assert not r["holds"]
+
+
+def test_fd_derived_column_detected_on_orders(spark):
+    """On the real corpus, orderdate -> order_month holds; the reverse
+    fails; o_orderkey is a key."""
+    from mcpvectordb_spark.catalog import QUERIES
+
+    out = {
+        (r["lhs"], r["rhs"]): r["holds"]
+        for r in QUERIES["orders_fd"](spark, "/root/testdata/sf0.001").collect()
+    }
+    assert out[("orderdate", "order_month")]
+    assert not out[("order_month", "orderdate")]
+    assert all(out[("orderkey", rhs)] for rhs in
+               ("custkey", "status", "price_cents", "orderdate", "priority"))
