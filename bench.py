@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "parts_conformal",       # split-conformal radius off block quantiles
     "vocab_zipf",            # Zipf slope over rank-frequency vocabulary
     "orders_fd",             # FD discovery over all column pairs
+    "events_quantile_norm",  # rank map onto the pooled distribution
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

@@ -9343,6 +9343,68 @@ FROM per_lhs GROUP BY 1, 2
 """
 
 
+def q_events_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (stats.py::quantile_normalize) of event
+    values across event types: each type's value distribution maps onto
+    the pooled distribution by exact integer rank — the batch-effect
+    correction that makes per-source feature scales comparable before
+    mixing (values quantized to whole units, ~400 blocks at sf0.1).
+    Windows run over VALUE BLOCKS per type and pooled, never rows; the
+    target rank (c*N + n_k - 1) div n_k is exact BIGINT arithmetic and
+    the pooled lookup is a broadcast inequality join.  Output is the
+    per-(type, value) normalization MAP, top 50 most frequent blocks
+    per type pinned by deterministic order."""
+    from mcpvectordb_spark.operators.stats import quantile_normalize
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_type", F.round("value", 0).cast("long").alias("vu")
+    )
+    out = quantile_normalize(obs, "event_type", "vu")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("v").asc()
+    )
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select(
+            "event_type", "v", "n", "norm", F.col("rk").cast("long").alias("rk")
+        )
+    )
+
+
+SQL_EVENTS_QUANTILE_NORM = """
+WITH obs AS (
+  SELECT event_type AS k, CAST(round(value) AS BIGINT) AS v FROM events),
+blocks AS (
+  SELECT k, v, CAST(count(*) AS BIGINT) AS c FROM obs GROUP BY 1, 2),
+kb AS (
+  SELECT k, v, c,
+         CAST(sum(c) OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS cumk
+  FROM blocks),
+nk AS (SELECT k, CAST(sum(c) AS BIGINT) AS n_k FROM blocks GROUP BY 1),
+pooled AS (
+  SELECT v AS pv, CAST(count(*) AS BIGINT) AS pc FROM obs GROUP BY 1),
+pb AS (
+  SELECT pv, CAST(sum(pc) OVER (ORDER BY pv) AS BIGINT) AS cump FROM pooled),
+ntot AS (SELECT CAST(sum(pc) AS BIGINT) AS n_tot FROM pooled),
+ranked AS (
+  SELECT kb.k, kb.v, kb.c,
+         (kb.cumk * n_tot + nk.n_k - 1) // nk.n_k AS r
+  FROM kb JOIN nk ON nk.k = kb.k CROSS JOIN ntot),
+hit AS (
+  SELECT r2.k, r2.v, r2.c AS n, min(pb.pv) AS norm
+  FROM ranked r2 JOIN pb ON pb.cump >= r2.r
+  GROUP BY 1, 2, 3),
+ord AS (
+  SELECT k AS event_type, v, n, norm,
+         row_number() OVER (PARTITION BY k ORDER BY n DESC, v ASC) AS rk
+  FROM hit)
+SELECT event_type, v, n, norm, CAST(rk AS BIGINT) AS rk
+FROM ord WHERE rk <= 50
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -10105,6 +10167,7 @@ QUERIES = {
     "parts_conformal": q_parts_conformal,
     "vocab_zipf": q_vocab_zipf,
     "orders_fd": q_orders_fd,
+    "events_quantile_norm": q_events_quantile_norm,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -10362,6 +10425,7 @@ ORACLES = {
     "parts_conformal": SQL_PARTS_CONFORMAL,
     "vocab_zipf": SQL_VOCAB_ZIPF,
     "orders_fd": SQL_ORDERS_FD,
+    "events_quantile_norm": SQL_EVENTS_QUANTILE_NORM,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

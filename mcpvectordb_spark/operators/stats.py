@@ -547,3 +547,55 @@ def _bt_inner(
             F.round(F.col("pi") / F.col("z"), 6).alias("strength"),
         )
     )
+
+
+def quantile_normalize(df: DataFrame, key_col: str, val_col: str) -> DataFrame:
+    """Quantile normalization across groups (the batch-effect corrector
+    from bioinformatics, equally at home harmonizing per-source feature
+    scales in a training mix): each group's value distribution maps
+    onto the POOLED distribution by rank — value v in group k with
+    within-group cumulative count c maps to the pooled
+    ceil(c * N / n_k)-th smallest value.
+
+    Everything is exact integer rank arithmetic over VALUE BLOCKS
+    (the customers_gini pattern): one groupBy builds (key, v) blocks,
+    windows over blocks (never rows) produce within-group and pooled
+    cumulative counts, and the target rank r = (c*N + n_k - 1) div n_k
+    selects the pooled block via a broadcast inequality join.  Returns
+    one MAP ROW per (key, distinct value): (key, v, n, norm) — apply it
+    to raw rows with an equi-join.  Input values must be pre-quantized
+    integers (cast here); ties inherit the deterministic <=-rank
+    convention in both engines.
+    """
+    a = df.select(
+        F.col(key_col).alias("k"), F.col(val_col).cast("long").alias("v")
+    )
+    blocks = a.groupBy("k", "v").agg(F.count(F.lit(1)).alias("c"))
+    wk = Window.partitionBy("k").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    kb = blocks.select("k", "v", "c", F.sum("c").over(wk).alias("cumk"))
+    nk = blocks.groupBy("k").agg(F.sum("c").alias("n_k"))
+    pooled = a.groupBy("v").agg(F.count(F.lit(1)).alias("pc"))
+    wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    pb = pooled.select(
+        F.col("v").alias("pv"), F.sum("pc").over(wp).alias("cump")
+    )
+    ntot = pooled.agg(F.sum("pc").alias("n_tot"))
+    ranked = kb.join(F.broadcast(nk), "k").crossJoin(F.broadcast(ntot)).select(
+        "k",
+        "v",
+        "c",
+        (
+            (F.col("cumk") * F.col("n_tot") + F.col("n_k") - 1) / F.col("n_k")
+        ).cast("long").alias("r"),
+    )
+    hit = ranked.join(
+        F.broadcast(pb), F.col("cump") >= F.col("r")
+    ).groupBy("k", "v", "c", "r").agg(F.min("pv").alias("norm"))
+    return hit.select(
+        F.col("k").alias(key_col),
+        "v",
+        F.col("c").alias("n"),
+        "norm",
+    )

@@ -1017,3 +1017,56 @@ def test_fd_derived_column_detected_on_orders(spark):
     assert not out[("order_month", "orderdate")]
     assert all(out[("orderkey", rhs)] for rhs in
                ("custkey", "status", "price_cents", "orderdate", "priority"))
+
+
+# -- quantile_normalize -------------------------------------------------------
+
+
+def test_qnorm_identical_distributions_after_mapping(spark):
+    """Two groups with different scales map onto the same pooled values."""
+    from mcpvectordb_spark.operators.stats import quantile_normalize
+
+    rows = [("a", v) for v in (1, 2, 3, 4)] + [("b", v) for v in (10, 20, 30, 40)]
+    out = {
+        (r["k"], r["v"]): r["norm"]
+        for r in quantile_normalize(
+            spark.createDataFrame(rows, ["k", "v"]), "k", "v"
+        ).collect()
+    }
+    norm_a = sorted(n for (k, _), n in out.items() if k == "a")
+    norm_b = sorted(n for (k, _), n in out.items() if k == "b")
+    assert norm_a == norm_b
+    # rank preserved within group
+    assert out[("a", 1)] < out[("a", 2)] < out[("a", 3)] < out[("a", 4)]
+
+
+def test_qnorm_hand_ranks(spark):
+    """Within-group fraction p maps to pooled rank ceil(p*N)."""
+    from mcpvectordb_spark.operators.stats import quantile_normalize
+
+    # group a: [5, 5, 7] (n=3); group b: [100] (n=1); pooled sorted:
+    # [5, 5, 7, 100]
+    rows = [("a", 5), ("a", 5), ("a", 7), ("b", 100)]
+    out = {
+        (r["k"], r["v"]): r
+        for r in quantile_normalize(
+            spark.createDataFrame(rows, ["k", "v"]), "k", "v"
+        ).collect()
+    }
+    # a: v=5 has cum 2/3 -> rank ceil(8/3)=3 -> pooled 3rd = 7
+    assert out[("a", 5)]["norm"] == 7 and out[("a", 5)]["n"] == 2
+    # a: v=7 cum 3/3 -> rank 4 -> 100
+    assert out[("a", 7)]["norm"] == 100
+    # b: v=100 cum 1/1 -> rank 4 -> 100
+    assert out[("b", 100)]["norm"] == 100
+
+
+def test_qnorm_single_group_is_identity(spark):
+    """One group: the pooled distribution IS the group -> norm == v."""
+    from mcpvectordb_spark.operators.stats import quantile_normalize
+
+    rows = [("a", v) for v in (3, 1, 4, 1, 5, 9, 2, 6)]
+    out = quantile_normalize(
+        spark.createDataFrame(rows, ["k", "v"]), "k", "v"
+    ).collect()
+    assert all(r["norm"] == r["v"] for r in out)
