@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "vocab_zipf",            # Zipf slope over rank-frequency vocabulary
     "orders_fd",             # FD discovery over all column pairs
     "events_quantile_norm",  # rank map onto the pooled distribution
+    "mix_raking",            # IPF toward dual marginal targets
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

@@ -9405,6 +9405,84 @@ FROM ord WHERE rk <= 50
 """
 
 
+def q_mix_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix raking (curation.py::ipf_rake): iterative
+    proportional fitting of the documents (lang x source) contingency
+    toward UNIFORM language and source marginals — the survey-weighting
+    answer to "what per-cell sampling factor balances language AND
+    source simultaneously?", the 2-marginal upgrade over
+    mixture_temperature's single-axis reweighting.  8 IPF rounds run as
+    16 chained window scalings over the ~100-cell table in ONE linear
+    plan (no per-round joins or checkpoints); targets are exact-count
+    divisions N/|langs|, N/|sources|.  The oracle unrolls all 16 window
+    steps as chained CTEs."""
+    from mcpvectordb_spark.operators.curation import ipf_rake
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(
+        F.sum("n").alias("nn"),
+        F.countDistinct("lang").alias("nl"),
+        F.countDistinct("source").alias("ns"),
+    )
+    rt = (
+        cells.select("lang").distinct().crossJoin(F.broadcast(tot))
+        .select("lang", (F.col("nn") / F.col("nl")).alias("t"))
+    )
+    ct = (
+        cells.select("source").distinct().crossJoin(F.broadcast(tot))
+        .select("source", (F.col("nn") / F.col("ns")).alias("t"))
+    )
+    out = ipf_rake(cells, "lang", "source", "n", rt, ct, iterations=8)
+    return out.select(
+        "lang",
+        "source",
+        "n",
+        F.round("weight", 6).alias("weight"),
+        F.round("factor", 6).alias("factor"),
+    )
+
+
+def _sql_mix_raking() -> str:
+    base = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+         CAST(count(DISTINCT source) AS BIGINT) AS ns
+  FROM cells),
+w0 AS (
+  SELECT c.lang, c.source, c.n,
+         CAST(c.n AS DOUBLE) AS w,
+         CAST(t.nn AS DOUBLE) / t.nl AS tr,
+         CAST(t.nn AS DOUBLE) / t.ns AS tc
+  FROM cells c CROSS JOIN tot t)"""
+    steps = []
+    k = 0
+    for _ in range(8):
+        steps.append(f""",
+w{k + 1} AS (
+  SELECT lang, source, n, tr, tc,
+         w * tr / sum(w) OVER (PARTITION BY lang) AS w
+  FROM w{k})""")
+        steps.append(f""",
+w{k + 2} AS (
+  SELECT lang, source, n, tr, tc,
+         w * tc / sum(w) OVER (PARTITION BY source) AS w
+  FROM w{k + 1})""")
+        k += 2
+    tail = f"""
+SELECT lang, source, n, round(w, 6) AS weight,
+       round(w / CAST(n AS DOUBLE), 6) AS factor
+FROM w{k}"""
+    return base + "".join(steps) + tail
+
+
+SQL_MIX_RAKING = _sql_mix_raking()
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -10168,6 +10246,7 @@ QUERIES = {
     "vocab_zipf": q_vocab_zipf,
     "orders_fd": q_orders_fd,
     "events_quantile_norm": q_events_quantile_norm,
+    "mix_raking": q_mix_raking,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -10426,6 +10505,7 @@ ORACLES = {
     "vocab_zipf": SQL_VOCAB_ZIPF,
     "orders_fd": SQL_ORDERS_FD,
     "events_quantile_norm": SQL_EVENTS_QUANTILE_NORM,
+    "mix_raking": SQL_MIX_RAKING,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

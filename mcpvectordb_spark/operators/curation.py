@@ -1126,3 +1126,59 @@ def assign_split(
         .when(bp < val_bp + test_bp, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def ipf_rake(
+    cells: DataFrame,
+    row_col: str,
+    col_col: str,
+    count_col: str,
+    row_targets: DataFrame,
+    col_targets: DataFrame,
+    iterations: int = 8,
+) -> DataFrame:
+    """Iterative proportional fitting (raking, Deming-Stephan 1940):
+    reweight a two-way contingency table so its marginals match target
+    row/column totals — the survey-weighting primitive that, on a
+    training corpus, answers "what per-cell sampling factors make the
+    language AND source marginals hit my target mix simultaneously?".
+
+    ``row_targets`` = (row key, target), ``col_targets`` = (col key,
+    target).  Each of the fixed `iterations` rounds applies
+
+        w <- w * t_row / sum(w) over row,   then the column twin
+
+    as pure WINDOW steps over the cell table — targets join once up
+    front, the 2*iterations scalings chain in ONE linear plan with no
+    per-round joins, checkpoints or driver trips (the recursive-EWMA
+    lesson: linear chains need no pinning).  Structural zeros (absent
+    cells) stay zero, the classic IPF behavior.  Returns
+    (row, col, n, weight, factor = weight/n).
+
+    Cells are an AGGREGATE (|rows| x |cols| bounded); at 100 TB the
+    corpus appears only in the groupBy that builds them.
+    """
+    c = cells.select(
+        F.col(row_col).alias("r"),
+        F.col(col_col).alias("cc"),
+        F.col(count_col).cast("double").alias("n0"),
+    )
+    rt = row_targets.toDF("r", "tr")
+    ct = col_targets.toDF("cc", "tc")
+    w = (
+        c.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "cc")
+        .withColumn("w", F.col("n0"))
+    )
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("cc")
+    for _ in range(int(iterations)):
+        w = w.withColumn("w", F.col("w") * F.col("tr") / F.sum("w").over(wr))
+        w = w.withColumn("w", F.col("w") * F.col("tc") / F.sum("w").over(wc))
+    return w.select(
+        F.col("r").alias(row_col),
+        F.col("cc").alias(col_col),
+        F.col("n0").cast("long").alias("n"),
+        F.col("w").alias("weight"),
+        (F.col("w") / F.col("n0")).alias("factor"),
+    )

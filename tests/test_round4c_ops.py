@@ -1070,3 +1070,61 @@ def test_qnorm_single_group_is_identity(spark):
         spark.createDataFrame(rows, ["k", "v"]), "k", "v"
     ).collect()
     assert all(r["norm"] == r["v"] for r in out)
+
+
+# -- ipf_rake -----------------------------------------------------------------
+
+
+def test_ipf_marginals_converge_to_targets(spark):
+    from mcpvectordb_spark.operators.curation import ipf_rake
+
+    cells = spark.createDataFrame(
+        [("r1", "c1", 30), ("r1", "c2", 10), ("r2", "c1", 20), ("r2", "c2", 40)],
+        ["r", "c", "n"],
+    )
+    rt = spark.createDataFrame([("r1", 50.0), ("r2", 50.0)], ["k", "t"])
+    ct = spark.createDataFrame([("c1", 40.0), ("c2", 60.0)], ["k", "t"])
+    w = {
+        (x["r"], x["c"]): x["weight"]
+        for x in ipf_rake(cells, "r", "c", "n", rt, ct, iterations=20).collect()
+    }
+    assert abs(w[("r1", "c1")] + w[("r1", "c2")] - 50) < 1e-6
+    assert abs(w[("r2", "c1")] + w[("r2", "c2")] - 50) < 1e-6
+    assert abs(w[("r1", "c1")] + w[("r2", "c1")] - 40) < 1e-6
+    assert abs(w[("r1", "c2")] + w[("r2", "c2")] - 60) < 1e-6
+
+
+def test_ipf_already_matching_is_identity(spark):
+    """Counts that already hit both targets are fixed points."""
+    from mcpvectordb_spark.operators.curation import ipf_rake
+
+    cells = spark.createDataFrame(
+        [("r1", "c1", 20), ("r1", "c2", 30), ("r2", "c1", 20), ("r2", "c2", 30)],
+        ["r", "c", "n"],
+    )
+    rt = spark.createDataFrame([("r1", 50.0), ("r2", 50.0)], ["k", "t"])
+    ct = spark.createDataFrame([("c1", 40.0), ("c2", 60.0)], ["k", "t"])
+    out = ipf_rake(cells, "r", "c", "n", rt, ct, iterations=5).collect()
+    for x in out:
+        assert abs(x["factor"] - 1.0) < 1e-12
+
+
+def test_ipf_structural_zero_stays_zero(spark):
+    """An absent cell never acquires weight; occupied cells compensate."""
+    from mcpvectordb_spark.operators.curation import ipf_rake
+
+    # (r2, c2) missing entirely
+    cells = spark.createDataFrame(
+        [("r1", "c1", 10), ("r1", "c2", 10), ("r2", "c1", 10)], ["r", "c", "n"]
+    )
+    rt = spark.createDataFrame([("r1", 15.0), ("r2", 15.0)], ["k", "t"])
+    ct = spark.createDataFrame([("c1", 15.0), ("c2", 15.0)], ["k", "t"])
+    out = ipf_rake(cells, "r", "c", "n", rt, ct, iterations=30).collect()
+    assert len(out) == 3  # no new cells
+    w = {(x["r"], x["c"]): x["weight"] for x in out}
+    # feasible limit: w(r2,c1) -> 15, w(r1,c1) -> 0, w(r1,c2) -> 15;
+    # with a structural zero IPF converges only geometrically, so allow
+    # a tolerance after 30 rounds
+    assert abs(w[("r2", "c1")] - 15.0) < 0.5
+    assert w[("r1", "c1")] < 0.5
+    assert abs(w[("r1", "c2")] - 15.0) < 1e-6
