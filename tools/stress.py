@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, ".")
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mcpvectordb_spark.io import load_table
@@ -1913,6 +1914,342 @@ def main_r4e() -> None:
     spark.stop()
 
 
+
+
+def main_r4f() -> None:
+    """Stress this round's statistics/IR/calibration cohort at
+    sf1-equivalent scale: ACF on a 2M-cell dense hourly grid with a
+    planted 24h cycle, pairwise XCF with planted lead-lags, Bradley-
+    Terry on 5M games / 2,000 players with planted skills, isotonic
+    calibration on 5M scored rows, FD discovery on 6M rows with planted
+    dependencies, quantile normalization of two 3M-row affine-shifted
+    groups, and exact phrase search over a 200k-doc corpus with a
+    planted occurrence count.  In-script correctness assertions
+    throughout."""
+    spark = get_spark("stress-r4f")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {counts[name]}", file=sys.stderr)
+
+    # ---- ACF: 200 keys x 10,000 hours, planted 24h cycle ------------------
+    n_keys, span = 200, 10_000
+    hourly = spark.range(n_keys * span).select(
+        (F.col("id") % n_keys).cast("string").alias("k"),
+        (F.col("id") / n_keys).cast("long").alias("t"),
+    ).select(
+        "k", "t",
+        (
+            F.lit(100)
+            + F.when((F.col("t") % 24) < 4, 80).otherwise(0)
+            + F.pmod(F.xxhash64("k", "t"), F.lit(21)) - 10
+        ).cast("long").alias("y"),
+    ).repartition(64).cache()
+    _ = hourly.count()
+
+    def acf_stress():
+        from mcpvectordb_spark.operators.timeseries import acf
+
+        out = acf(hourly, "k", "t", "y", max_lag=36).cache()
+        n = out.count()
+        assert n == n_keys * 36, n
+        # per key, the max-|r| lag among 2..36 must be the planted 24
+        best = (
+            out.filter(F.col("lag") >= 2)
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("k").orderBy(F.abs("r").desc())
+                ),
+            )
+            .filter(F.col("rk") == 1)
+        )
+        wrong = best.filter(F.col("lag") != 24).count()
+        assert wrong == 0, wrong
+        out.unpersist()
+        notes["acf_2m_grid"] = (
+            f"{n} (key, lag) rows off a {n_keys * span:,}-cell dense grid; "
+            "the planted 24h cycle is the argmax-|r| lag for all 200 keys; "
+            "lag join shuffled (key, t, y) longs only, 36x fan-out"
+        )
+        return n
+
+    run("acf_2m_grid", acf_stress)
+
+    # ---- XCF: 10 series x 20,000 hours, series i+1 lags series 0 by i ----
+    nx, xspan = 10, 20_000
+    base = spark.range(xspan).select(
+        F.col("id").alias("t"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(200))).cast("long").alias("b"),
+    )
+    xs = base.select(
+        F.explode(F.sequence(F.lit(0), F.lit(nx - 1))).alias("i"), "t", "b"
+    ).select(
+        F.concat(F.lit("s"), F.col("i")).alias("k"),
+        (F.col("t") + F.col("i")).alias("t"),
+        (F.col("b") + F.pmod(F.xxhash64("i", "t"), F.lit(11))).cast("long").alias("y"),
+    ).repartition(64).cache()
+    _ = xs.count()
+
+    def xcf_stress():
+        from mcpvectordb_spark.operators.timeseries import xcf
+
+        out = xcf(xs, "k", "t", "y", max_lag=9).cache()
+        n = out.count()
+        assert n == nx * (nx - 1) * 10, n
+        # s0 leads s_i by exactly i hours: argmax_lag r(s0 -> s_i) == i
+        best = (
+            out.filter((F.col("key_x") == "s0") & (F.col("key_y") != "s0"))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("key_y").orderBy(F.col("r").desc())
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .collect()
+        )
+        for row in best:
+            want = int(row["key_y"][1:])
+            if want <= 9:
+                assert row["lag"] == want, (row["key_y"], row["lag"])
+        out.unpersist()
+        notes["xcf_10x20k"] = (
+            f"{n} (pair, lag) correlations over a shared 20k-hour grid; "
+            "every planted shift i recovered as the argmax lag of "
+            "r(s0 -> s_i); pair join input bounded by K*span*(L+1)"
+        )
+        return n
+
+    run("xcf_10x20k", xcf_stress)
+
+    # ---- Bradley-Terry: 5M games, 2,000 players, planted skill ladder ----
+    n_players, n_games = 2_000, 5_000_000
+    g = spark.range(n_games).select(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(n_players)).alias("a"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(n_players)).alias("b"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(1000)).alias("u"),
+    ).filter(F.col("a") != F.col("b")).select(
+        # P(a wins) = skill_a/(skill_a+skill_b) with skill = 1 + id/200
+        F.when(
+            F.col("u")
+            < (1000 * (1 + F.col("a") / 200))
+            / ((1 + F.col("a") / 200) + (1 + F.col("b") / 200)),
+            F.col("a"),
+        ).otherwise(F.col("b")).alias("winner"),
+        F.when(
+            F.col("u")
+            >= (1000 * (1 + F.col("a") / 200))
+            / ((1 + F.col("a") / 200) + (1 + F.col("b") / 200)),
+            F.col("a"),
+        ).otherwise(F.col("b")).alias("loser"),
+    ).repartition(64).cache()
+    n_g = g.count()
+
+    def bt_stress():
+        from mcpvectordb_spark.operators.stats import bradley_terry
+
+        out = bradley_terry(g, "winner", "loser", iterations=10,
+                            loop_partitions=8).cache()
+        n = out.count()
+        assert n == n_players, n
+        s = out.agg(F.sum("strength").alias("z")).collect()[0]["z"]
+        # strengths are rounded to 6dp -> sum drifts up to n*5e-7
+        assert abs(s - 1.0) < 1e-3, s
+        # planted ladder: decile-mean strengths must be strictly increasing
+        dec = (
+            out.select((F.col("entity") / 200).cast("int").alias("d"), "strength")
+            .groupBy("d").agg(F.avg("strength").alias("m"))
+            .orderBy("d").collect()
+        )
+        ms = [r["m"] for r in dec]
+        assert all(ms[i] < ms[i + 1] for i in range(len(ms) - 1)), ms
+        out.unpersist()
+        notes["bt_5m_games"] = (
+            f"{n_players} strengths from {n_g:,} games; strength sums to 1, "
+            "all 10 skill-decile means strictly ordered; pair table "
+            "<= 4M rows, 10 MM rounds of broadcast joins"
+        )
+        return n
+
+    run("bt_5m_games", bt_stress)
+
+    # ---- Isotonic calibration: 5M rows ------------------------------------
+    sc5 = spark.range(5_000_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1_000_001)) / 1_000_000.0).alias("p"),
+    ).select(
+        "p",
+        (F.pmod(F.xxhash64((F.col("p") * 1e9).cast("long"), F.lit(7)), F.lit(1000))
+         < F.col("p") * F.col("p") * 1000).cast("long").alias("y"),
+    ).repartition(64).cache()
+    _ = sc5.count()
+
+    def iso_stress():
+        from mcpvectordb_spark.operators.modeleval import isotonic_calibration
+
+        out = isotonic_calibration(sc5, "y", "p", n_blocks=1000).cache()
+        rows = out.orderBy("block").collect()
+        iso = [r["iso_rate"] for r in rows]
+        assert iso == sorted(iso), "not monotone"
+        # PAVA preserves the weighted total: sum n*iso == sum n_pos
+        tot = out.agg(
+            F.sum(F.col("n") * F.col("iso_rate")).alias("a"),
+            F.sum("n_pos").alias("b"),
+        ).collect()[0]
+        assert abs(tot["a"] - tot["b"]) / tot["b"] < 1e-3, tot
+        # p^2 label curve -> fit must be genuinely increasing overall
+        assert iso[-1] - iso[0] > 0.8, (iso[0], iso[-1])
+        out.unpersist()
+        notes["isotonic_5m"] = (
+            f"{len(rows)} calibration blocks from 5,000,000 scored rows; fit "
+            f"monotone, weighted mass preserved (PAVA invariant), range "
+            f"{iso[0]:.3f}->{iso[-1]:.3f} on the planted p^2 curve; pair table "
+            "bounded at blocks^2/2 regardless of corpus size"
+        )
+        return len(rows)
+
+    run("isotonic_5m", iso_stress)
+
+    # ---- FD discovery: 6M rows, planted dependencies ----------------------
+    fd6 = spark.range(6_000_000).select(
+        F.col("id").alias("rid"),
+        F.pmod(F.xxhash64("id"), F.lit(50_000)).alias("code"),
+    ).select(
+        "rid", "code",
+        (F.col("code") % 100).alias("bucket"),       # code -> bucket holds
+        F.pmod(F.xxhash64("rid", F.lit(9)), F.lit(7)).alias("noise"),
+    ).repartition(64).cache()
+    _ = fd6.count()
+
+    def fd_stress():
+        from mcpvectordb_spark.operators.dataquality import fd_discovery
+
+        out = {
+            (r["lhs"], r["rhs"]): r
+            for r in fd_discovery(fd6, {
+                "rid": F.col("rid"),
+                "code": F.col("code"),
+                "bucket": F.col("bucket"),
+                "noise": F.col("noise"),
+            }).collect()
+        }
+        assert out[("rid", "code")]["holds"]          # unique key
+        assert out[("code", "bucket")]["holds"]       # planted derivation
+        assert not out[("bucket", "code")]["holds"]   # 500 codes per bucket
+        assert not out[("noise", "bucket")]["holds"]
+        assert out[("bucket", "code")]["extra_rhs_values"] == 50_000 - 100
+        notes["fd_6m"] = (
+            "12 ordered column pairs profiled over 6,000,000 rows; planted "
+            "code->bucket dependency detected, reverse direction counted "
+            "exactly (49,900 extra RHS values); fan-out is schema-sized"
+        )
+        return len(out)
+
+    run("fd_6m", fd_stress)
+
+    # ---- Quantile normalization: two 3M-row affine-shifted groups ---------
+    qn = spark.range(6_000_000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(2_000)).alias("v0"),
+    ).select(
+        "k",
+        F.when(F.col("k") == "a", F.col("v0")).otherwise(
+            F.col("v0") * 3 + 500
+        ).alias("v"),
+    ).repartition(64).cache()
+    _ = qn.count()
+
+    def qnorm_stress():
+        from mcpvectordb_spark.operators.stats import quantile_normalize
+
+        out = quantile_normalize(qn, "k", "v").cache()
+        n = out.count()
+        # after normalization the two groups' weighted distributions must
+        # coincide: KS distance of the normalized CDFs < 1% (per-block
+        # counts carry hash noise, so compare distributions, not cells)
+        per = out.groupBy("norm").pivot("k", ["a", "b"]).sum("n").fillna(0)
+        tots = per.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+        wcum = Window.orderBy("norm").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        ks = (
+            per.withColumn("ca", F.sum("a").over(wcum))
+            .withColumn("cb", F.sum("b").over(wcum))
+            .crossJoin(F.broadcast(tots))
+            .agg(
+                F.max(
+                    F.abs(F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb"))
+                ).alias("ks")
+            )
+            .collect()[0]["ks"]
+        )
+        assert ks < 0.01, ks
+        # and the map preserves within-group rank order
+        mono_bad = (
+            out.withColumn(
+                "prev",
+                F.lag("norm").over(Window.partitionBy("k").orderBy("v")),
+            )
+            .filter(F.col("prev") > F.col("norm"))
+            .count()
+        )
+        assert mono_bad == 0, mono_bad
+        out.unpersist()
+        notes["qnorm_6m"] = (
+            f"{n} map rows from 6,000,000 values in two affine-shifted "
+            f"groups; normalized-CDF KS distance {ks:.4f} (< 1%), map "
+            "monotone within each group; windows ran over ~2,000 value "
+            "blocks"
+        )
+        return n
+
+    run("qnorm_6m", qnorm_stress)
+
+    # ---- Phrase search: 200k docs, planted occurrences --------------------
+    docs = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta iota kappa "),
+            F.when(F.col("id") % 40 == 0, F.lit("magic needle phrase "))
+            .otherwise(F.lit("plain filler tokens ")),
+            F.lit("lambda mu nu xi omicron pi rho sigma tau upsilon"),
+        ).alias("text"),
+    ).repartition(64).cache()
+    _ = docs.count()
+
+    def phrase_stress():
+        from mcpvectordb_spark.operators.phrase import phrase_search
+
+        out = phrase_search(docs, "doc_id", "text", "magic needle phrase")
+        n = out.count()
+        assert n == 200_000 // 40, n
+        pos_ok = out.filter(F.col("first_pos") != 11).count()
+        assert pos_ok == 0, pos_ok
+        notes["phrase_200k"] = (
+            f"{n} matching docs out of 200,000 (exactly the planted 1-in-40), "
+            "every anchor at the planted position 11; postings are map-only, "
+            "the shuffle carried only the 3 phrase terms' postings"
+        )
+        return n
+
+    run("phrase_200k", phrase_stress)
+
+    print(json.dumps({
+        "mode": "r4f",
+        "timings_s": timings,
+        "counts": counts,
+        "notes": notes,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "sf1" in sys.argv[1:]:
         main_sf1()
@@ -1930,6 +2267,8 @@ if __name__ == "__main__":
         main_r4d()
     elif "r4e" in sys.argv[1:]:
         main_r4e()
+    elif "r4f" in sys.argv[1:]:
+        main_r4f()
     elif "r4" in sys.argv[1:]:
         main_r4()
     else:
