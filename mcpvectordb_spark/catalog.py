@@ -5951,6 +5951,66 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming Holt smoothing (streaming/stateful.py::
+    holt_stream) driven to completion over the daily event-volume
+    series: per-key (level, trend) group state via
+    applyInPandasWithState, the live twin of events_holt's batch fold
+    (binary-exact 0.5/0.25 constants, identical op order) — the oracle
+    is the SAME recursive CTE as events_holt minus the forecast rows,
+    so this is a full-SQL-gated streaming query, not a rows-only one."""
+    import tempfile
+
+    from mcpvectordb_spark.streaming.events import run_stream_to_memory
+    from mcpvectordb_spark.streaming.stateful import holt_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    d = tempfile.mkdtemp(prefix="stream_holt_")
+    daily.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(daily.schema).parquet(d)
+    out = run_stream_to_memory(
+        holt_stream(stream), "stream_holt_out", spark
+    )
+    return out.select(
+        F.col("k").alias("event_type"),
+        "t",
+        F.col("x").cast("long").alias("n"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("fitted", 6).alias("fitted"),
+    )
+
+
+SQL_STREAM_HOLT = """
+WITH RECURSIVE daily AS (
+  SELECT event_type AS k,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT k, t, x, row_number() OVER (PARTITION BY k ORDER BY t) AS rk
+  FROM daily),
+holt AS (
+  SELECT k, rk, t, x, x AS l, CAST(0.0 AS DOUBLE) AS b, x AS fitted
+  FROM ranked WHERE rk = 1
+  UNION ALL
+  SELECT r.k, r.rk, r.t, r.x,
+         0.5 * r.x + 0.5 * (h.l + h.b) AS l,
+         0.25 * (0.5 * r.x + 0.5 * (h.l + h.b) - h.l) + 0.75 * h.b AS b,
+         h.l + h.b AS fitted
+  FROM holt h JOIN ranked r ON r.k = h.k AND r.rk = h.rk + 1)
+SELECT k AS event_type, t, CAST(x AS BIGINT) AS n,
+       round(l, 6) AS level, round(b, 6) AS trend, round(fitted, 6) AS fitted
+FROM holt
+"""
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming sessionization via the built-in session_window
     (streaming/events.py::sessionize_stream) driven to completion — the
@@ -10369,6 +10429,7 @@ QUERIES = {
     "warc_ingest": q_warc_ingest,
     # -- streams: rows-only by design (COVERAGE.md) --
     "stream_hourly": q_stream_hourly,
+    "stream_holt": q_stream_holt,
     "stream_join": q_stream_join,
     "stream_sessions": q_stream_sessions,
     "stream_dedup": q_stream_dedup,
@@ -10538,6 +10599,7 @@ ORACLES = {
     # the stream rolls up identically to events_attribution, so the batch
     # oracle applies verbatim — the only stream query with a value gate
     "stream_attribution": SQL_EVENTS_ATTRIBUTION,
+    "stream_holt": SQL_STREAM_HOLT,
     "dq_audit": SQL_DQ_AUDIT,
     "events_cusum": SQL_EVENTS_CUSUM,
     "orders_benford": SQL_ORDERS_BENFORD,

@@ -310,3 +310,73 @@ def ewma_stream(
     return stream.groupBy(key_col).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def holt_stream(
+    stream: DataFrame,
+    key_col: str = "k",
+    t_col: str = "t",
+    x_col: str = "x",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Streaming Holt double exponential smoothing: the (level, trend)
+    recursion of ``timeseries.holt_linear`` carried ACROSS micro-batches
+    as per-key group state — the live view of the same model the batch
+    fold fits offline (same l/b/fitted contract, same binary-exact
+    default constants, so stream == batch twin bit-for-bit on ordered
+    input).  Within a micro-batch rows fold in t order; across batches
+    the caller feeds non-decreasing t per key (the daily-aggregate
+    contract — there is no watermark reordering here).
+
+    Emits one row per observation: (k, t, x, level, trend, fitted) where
+    fitted is the one-step-ahead forecast made BEFORE seeing x — at
+    n = 1 the convention fitted = x of ``holt_linear`` applies.  State
+    per key is three scalars, so 100 TB of history costs the same state
+    as one day.
+    """
+    out_schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("t", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("fitted", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("l", T.DoubleType()),
+        T.StructField("b", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
+    a, bb = float(alpha), float(beta)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        l, b, n = state.get if state.exists else (0.0, 0.0, 0)
+        rows = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(t_col)
+            for t, x in zip(pdf[t_col], pdf[x_col]):
+                x = float(x)
+                if n == 0:
+                    l, b, fitted = x, 0.0, x
+                else:
+                    fitted = l + b
+                    l_new = a * x + (1.0 - a) * (l + b)
+                    b = bb * (l_new - l) + (1.0 - bb) * b
+                    l = l_new
+                n += 1
+                rows.append(
+                    {"k": key[0], "t": int(t), "x": x,
+                     "level": l, "trend": b, "fitted": fitted}
+                )
+        state.update((l, b, n))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -241,3 +241,50 @@ def test_ewma_stream_equals_batch_fold(spark, tmp_path):
     assert set(got) == {2, 4}
     assert abs(got[2] - expect[2]) < 1e-12
     assert abs(got[4] - expect[4]) < 1e-12
+
+
+def test_holt_stream_matches_batch_fold_across_batches(spark, tmp_path):
+    """Two micro-batches of ordered daily observations -> the streamed
+    (level, trend, fitted) trajectory equals timeseries.holt_linear's
+    batch fold bit-for-bit (binary-exact constants, same op order)."""
+    from mcpvectordb_spark.operators.timeseries import holt_linear
+    from mcpvectordb_spark.streaming.stateful import holt_stream
+
+    schema = "k string, t long, x double"
+    series = [("a", t, float(10 + 3 * t + (t * t) % 5)) for t in range(12)] + [
+        ("b", t, float(50 - 2 * t)) for t in range(12)
+    ]
+    first = [r for r in series if r[1] < 7]
+    second = [r for r in series if r[1] >= 7]
+
+    src = tmp_path / "holt_src"
+    src.mkdir()
+    spark.createDataFrame(first, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        holt_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("holt_out")
+        .option("checkpointLocation", str(tmp_path / "holt_ck"))
+        .start()
+    )
+    try:
+        _drain(q)
+        spark.createDataFrame(second, schema).coalesce(1).write.mode("append").parquet(str(src))
+        _drain(q)
+        got = {
+            (r["k"], r["t"]): (r["level"], r["trend"], r["fitted"])
+            for r in spark.sql("SELECT * FROM holt_out").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = holt_linear(
+        spark.createDataFrame(series, schema), "k", "t", "x", 0.5, 0.25
+    ).collect()
+    assert len(got) == len(batch) == 24
+    for r in batch:
+        g = got[(r["k"], r["t"])]
+        assert g == (r["level"], r["trend"], r["fitted"]), (r["k"], r["t"], g)
