@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "orders_fd",             # FD discovery over all column pairs
     "events_quantile_norm",  # rank map onto the pooled distribution
     "mix_raking",            # IPF toward dual marginal targets
+    "events_dispersion",     # Fano/CV2/dispersion-test moments
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

@@ -9543,6 +9543,96 @@ FROM w{k}"""
 SQL_MIX_RAKING = _sql_mix_raking()
 
 
+def q_events_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness audit per event type: Fano factor
+    (variance-to-mean ratio of hourly counts — 1 under a Poisson
+    process), squared coefficient of variation, and the z-scored
+    dispersion test (Fisher's (n-1)*F ~ chi2_{n-1}, normal-approximated
+    via sqrt(2*chi2) - sqrt(2*dof - 1)) — the diagnostic that separates
+    Poisson-like traffic from bursty/clumped arrivals before trusting
+    rate-based alerts.  Hourly counts densify to zero on the per-type
+    grid and every moment is an exact BIGINT sum (the events_acf
+    contract); the chi2 normal approximation is one sqrt expression
+    over those scalars."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600)).cast("long").alias("t"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("t0", "t1")).alias("t")
+    )
+    dense = grid.join(hourly, ["event_type", "t"], "left").select(
+        "event_type", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    s = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    syd = F.col("sy").cast("double")
+    syyd = F.col("syy").cast("double")
+    mean = syd / nd
+    var = (nd * syyd - syd * syd) / (nd * (nd - 1))
+    fano = var / mean
+    chi2 = (nd - 1) * fano
+    zdisp = F.sqrt(F.lit(2.0) * chi2) - F.sqrt(F.lit(2.0) * (nd - 1) - 1)
+    return s.select(
+        "event_type",
+        "n",
+        F.col("sy").alias("total"),
+        F.round(mean, 6).alias("mean_per_hour"),
+        F.round(fano, 6).alias("fano"),
+        F.round(var / (mean * mean), 6).alias("cv2"),
+        F.round(zdisp, 6).alias("z_dispersion"),
+        (zdisp > 1.6449).alias("overdispersed"),
+    )
+
+
+SQL_EVENTS_DISPERSION = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, min(t) AS t0, max(t) AS t1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(range(t0, t1 + 1)) AS t FROM bounds),
+dense AS (
+  SELECT g.event_type, COALESCE(h.y, 0) AS y
+  FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.t = g.t),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM dense GROUP BY 1)
+SELECT event_type, n, sy AS total,
+       round(CAST(sy AS DOUBLE) / n, 6) AS mean_per_hour,
+       round(((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+             / (CAST(sy AS DOUBLE) / n), 6) AS fano,
+       round(((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+             / ((CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)), 6) AS cv2,
+       round(sqrt(2.0 * ((CAST(n AS DOUBLE) - 1)
+                         * (((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+                            / (CAST(sy AS DOUBLE) / n))))
+             - sqrt(2.0 * (CAST(n AS DOUBLE) - 1) - 1), 6) AS z_dispersion,
+       (sqrt(2.0 * ((CAST(n AS DOUBLE) - 1)
+                    * (((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+                       / (CAST(sy AS DOUBLE) / n))))
+        - sqrt(2.0 * (CAST(n AS DOUBLE) - 1) - 1)) > 1.6449 AS overdispersed
+FROM s
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -10307,6 +10397,7 @@ QUERIES = {
     "orders_fd": q_orders_fd,
     "events_quantile_norm": q_events_quantile_norm,
     "mix_raking": q_mix_raking,
+    "events_dispersion": q_events_dispersion,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -10567,6 +10658,7 @@ ORACLES = {
     "orders_fd": SQL_ORDERS_FD,
     "events_quantile_norm": SQL_EVENTS_QUANTILE_NORM,
     "mix_raking": SQL_MIX_RAKING,
+    "events_dispersion": SQL_EVENTS_DISPERSION,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

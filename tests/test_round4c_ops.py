@@ -1128,3 +1128,21 @@ def test_ipf_structural_zero_stays_zero(spark):
     assert abs(w[("r2", "c1")] - 15.0) < 0.5
     assert w[("r1", "c1")] < 0.5
     assert abs(w[("r1", "c2")] - 15.0) < 1e-6
+
+
+# -- events_dispersion (catalog-level) ----------------------------------------
+
+
+def test_dispersion_poisson_like_fano_near_one(spark):
+    """The generated corpus has hash-uniform arrivals: Fano should sit
+    near 1 (Poisson), never wildly clumped."""
+    from mcpvectordb_spark.catalog import QUERIES
+
+    rows = QUERIES["events_dispersion"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n"] > 0 and r["total"] > 0
+        assert 0.2 < r["fano"] < 5.0, (r["event_type"], r["fano"])
+        assert r["cv2"] > 0
+        # flag consistency: overdispersed iff z above the 95% bound
+        assert r["overdispersed"] == (r["z_dispersion"] > 1.6449)
