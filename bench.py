@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "events_quantile_norm",  # rank map onto the pooled distribution
     "mix_raking",            # IPF toward dual marginal targets
     "events_dispersion",     # Fano/CV2/dispersion-test moments
+    "events_sprt",           # sequential LLR walk + first crossing
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

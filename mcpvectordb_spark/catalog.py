@@ -9633,6 +9633,84 @@ FROM s
 """
 
 
+def q_events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test over the live event
+    stream: is the error-event share elevated (H1: p = 0.3) or at
+    baseline (H0: p = 0.2)?  alpha = beta = 0.05, so the log-likelihood
+    walk S_n = k_n ln(p1/p0) + (n - k_n) ln((1-p1)/(1-p0)) stops at the
+    FIRST crossing of +/- ln(19) — the early-stopping monitor that
+    answers with ~half the samples a fixed-horizon test needs.  k_n is
+    an exact integer cumulative count (one ordered window), S_n is two
+    constants times integers, and the stop index is a min over crossing
+    rows.  Scale note: a sequential test is inherently ordered — at
+    100 TB you process ts-bucketed chunks only UNTIL the decision, which
+    is exactly the point of SPRT; the window here runs over the ordered
+    event stream once.  Output: one decision row (+ the walk's final
+    state for the no-decision case)."""
+    ev = load_table(spark, sf_dir, "events")
+    c1 = F.log(F.lit(0.3) / F.lit(0.2))
+    c0 = F.log(F.lit(0.7) / F.lit(0.8))
+    a_bound = F.log(F.lit(19.0))
+    w = Window.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    walk = ev.select(
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("x"),
+    ).select(
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("k"),
+    ).select(
+        "n",
+        "k",
+        (F.col("k") * c1 + (F.col("n") - F.col("k")) * c0).alias("s"),
+    )
+    crossed = walk.filter(
+        (F.col("s") >= a_bound) | (F.col("s") <= -a_bound)
+    ).agg(F.min("n").alias("n_dec"))
+    dec = walk.crossJoin(F.broadcast(crossed)).filter(
+        F.col("n") == F.col("n_dec")
+    )
+    tot = walk.agg(F.max("n").alias("n_total"))
+    return dec.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("s") >= a_bound, F.lit("elevated"))
+        .otherwise(F.lit("baseline"))
+        .alias("decision"),
+        F.col("n").alias("n_at_decision"),
+        F.col("k").alias("k_errors"),
+        F.round("s", 6).alias("llr"),
+        "n_total",
+        F.round(F.lit(1.0) - F.col("n") / F.col("n_total").cast("double"), 6).alias(
+            "frac_saved"
+        ),
+    )
+
+
+SQL_EVENTS_SPRT = """
+WITH walk AS (
+  SELECT count(*) OVER w AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w AS k
+  FROM events
+  WINDOW w AS (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+scored AS (
+  SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+         k * ln(0.3 / 0.2) + (n - k) * ln(0.7 / 0.8) AS s
+  FROM walk),
+crossed AS (
+  SELECT min(n) AS n_dec FROM scored
+  WHERE s >= ln(19.0) OR s <= -ln(19.0)),
+tot AS (SELECT max(n) AS n_total FROM scored)
+SELECT CASE WHEN sc.s >= ln(19.0) THEN 'elevated' ELSE 'baseline' END AS decision,
+       sc.n AS n_at_decision, sc.k AS k_errors,
+       round(sc.s, 6) AS llr,
+       t.n_total,
+       round(1.0 - CAST(sc.n AS DOUBLE) / t.n_total, 6) AS frac_saved
+FROM scored sc CROSS JOIN crossed c CROSS JOIN tot t
+WHERE sc.n = c.n_dec
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -10398,6 +10476,7 @@ QUERIES = {
     "events_quantile_norm": q_events_quantile_norm,
     "mix_raking": q_mix_raking,
     "events_dispersion": q_events_dispersion,
+    "events_sprt": q_events_sprt,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -10659,6 +10738,7 @@ ORACLES = {
     "events_quantile_norm": SQL_EVENTS_QUANTILE_NORM,
     "mix_raking": SQL_MIX_RAKING,
     "events_dispersion": SQL_EVENTS_DISPERSION,
+    "events_sprt": SQL_EVENTS_SPRT,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -1146,3 +1146,21 @@ def test_dispersion_poisson_like_fano_near_one(spark):
         assert r["cv2"] > 0
         # flag consistency: overdispersed iff z above the 95% bound
         assert r["overdispersed"] == (r["z_dispersion"] > 1.6449)
+
+
+# -- events_sprt (catalog-level) ----------------------------------------------
+
+
+def test_sprt_accepts_baseline_on_calm_corpus(spark):
+    """error share is ~1/5 = the H0 rate, so the walk must hit the lower
+    bound: decision 'baseline', and early (saving most of the stream)."""
+    from mcpvectordb_spark.catalog import QUERIES
+
+    r = QUERIES["events_sprt"](spark, "/root/testdata/sf0.001").collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r["decision"] == "baseline"
+    assert r["llr"] <= -2.9  # crossed -ln(19)
+    assert 1 <= r["n_at_decision"] <= r["n_total"]
+    assert r["frac_saved"] > 0.5  # the whole point of sequential testing
+    assert 0 <= r["k_errors"] <= r["n_at_decision"]
