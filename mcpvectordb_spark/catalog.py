@@ -9711,6 +9711,100 @@ WHERE sc.n = c.n_dec
 """
 
 
+def q_events_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch relative-error quantiles (sketches.py::dd_sketch /
+    dd_quantile, Masson et al. VLDB'19): per-type p50/p90/p99 of event
+    value from log-bucket counts (gamma = 1.02 -> <= 0.99% relative
+    error BY THEOREM, unlike the equi-width histogram's absolute bin
+    error in events_quantile_sketch).  The sketch is one map-side-
+    combinable (type, bucket) count table — mergeable like HLL/CMS; the
+    accuracy gate is IN-PLAN: the exact discrete quantile comes from
+    value blocks (the customers_gini rank trick) and the emitted
+    within_bound boolean compares |est-exact|/exact to the guarantee, so
+    estimator drift fails the hash gate in both engines."""
+    from mcpvectordb_spark.operators.sketches import dd_quantile, dd_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    pos = ev.select("event_type", "value").filter(F.col("value") > 0)
+    sk = dd_sketch(pos, "event_type", "value", gamma=1.02)
+    est = dd_quantile(sk, [0.5, 0.9, 0.99], gamma=1.02)
+    blocks = pos.groupBy(
+        F.col("event_type").alias("k2"), F.col("value").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.partitionBy("k2").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = blocks.select("k2", "v", F.sum("c").over(wv).alias("cumv"))
+    exact = est.select(
+        "k",
+        "q",
+        "n",
+        "bucket",
+        "est",
+        ((F.round(F.col("q") * 10000).cast("long") * F.col("n") + 9999) / 10000)
+        .cast("long")
+        .alias("r"),
+    )
+    hit = (
+        exact.join(cum, exact["k"] == cum["k2"])
+        .filter(F.col("cumv") >= F.col("r"))
+        .groupBy("k", "q", "n", "bucket", "est")
+        .agg(F.min("v").alias("exact"))
+    )
+    tol = (1.02 - 1.0) / (1.02 + 1.0)
+    return hit.select(
+        F.col("k").alias("event_type"),
+        "q",
+        "n",
+        "bucket",
+        F.round("est", 6).alias("est"),
+        F.round("exact", 6).alias("exact"),
+        (
+            F.abs(F.col("est") - F.col("exact")) / F.col("exact") <= F.lit(tol)
+        ).alias("within_bound"),
+    )
+
+
+SQL_EVENTS_DDSKETCH = """
+WITH pos AS (
+  SELECT event_type AS k, value AS v FROM events WHERE value > 0),
+sk AS (
+  SELECT k, CAST(ceil(ln(v) / 0.01980262729617973) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM pos GROUP BY 1, 2),
+cumb AS (
+  SELECT k, bucket,
+         CAST(sum(c) OVER (PARTITION BY k ORDER BY bucket) AS BIGINT) AS cum
+  FROM sk),
+tot AS (SELECT k, CAST(sum(c) AS BIGINT) AS n FROM sk GROUP BY 1),
+qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q),
+ranks AS (
+  SELECT t.k, qs.q, t.n,
+         (CAST(round(qs.q * 10000) AS BIGINT) * t.n + 9999) // 10000 AS r
+  FROM tot t CROSS JOIN qs),
+hitb AS (
+  SELECT rk.k, rk.q, rk.n, rk.r, min(cb.bucket) AS bucket
+  FROM ranks rk JOIN cumb cb ON cb.k = rk.k AND cb.cum >= rk.r
+  GROUP BY 1, 2, 3, 4),
+blocks AS (
+  SELECT k, v, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY 1, 2),
+cumv AS (
+  SELECT k, v,
+         CAST(sum(c) OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS cum
+  FROM blocks),
+ex AS (
+  SELECT h.k, h.q, h.n, h.bucket,
+         2.0 * power(1.02, CAST(h.bucket AS DOUBLE)) / 2.02 AS est,
+         min(cv.v) AS exact
+  FROM hitb h JOIN cumv cv ON cv.k = h.k AND cv.cum >= h.r
+  GROUP BY 1, 2, 3, 4, 5)
+SELECT k AS event_type, q, n, bucket,
+       round(est, 6) AS est, round(exact, 6) AS exact,
+       abs(est - exact) / exact <= 0.00990099009900991 AS within_bound
+FROM ex
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -10477,6 +10571,7 @@ QUERIES = {
     "mix_raking": q_mix_raking,
     "events_dispersion": q_events_dispersion,
     "events_sprt": q_events_sprt,
+    "events_ddsketch": q_events_ddsketch,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -10739,6 +10834,7 @@ ORACLES = {
     "mix_raking": SQL_MIX_RAKING,
     "events_dispersion": SQL_EVENTS_DISPERSION,
     "events_sprt": SQL_EVENTS_SPRT,
+    "events_ddsketch": SQL_EVENTS_DDSKETCH,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -17,7 +17,9 @@ the sketch table is refreshed per appended partition, never recomputed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -387,3 +389,76 @@ def kmv_set_stats(ka: DataFrame, kb: DataFrame, k: int = 256) -> DataFrame:
         (F.col("c") / F.col("m") * F.col("est_union")).alias("est_intersection"),
         (F.col("c") / F.col("m")).alias("jaccard"),
     )
+
+
+def dd_buckets(value: Column, gamma: float = 1.02) -> Column:
+    """DDSketch log-bucket index (Masson et al., VLDB 2019): positive v
+    lands in bucket ceil(ln(v)/ln(gamma)), guaranteeing every value in a
+    bucket is within a (gamma-1)/(gamma+1) RELATIVE error of the bucket
+    estimate 2*gamma^i/(gamma+1) — accuracy that scales with the value,
+    unlike equi-width histograms whose absolute bin error crushes small
+    quantiles.  Zero/negative values map to bucket NULL (store
+    separately)."""
+    return F.when(
+        value > 0, F.ceil(F.log(value.cast("double")) / F.lit(math.log(gamma)))
+    )
+
+
+def dd_sketch(df: DataFrame, key_col: str, val_col: str, gamma: float = 1.02) -> DataFrame:
+    """Mergeable DDSketch per key: one map-side-combinable groupBy onto
+    (key, bucket) — the sketch IS the count table, so unions of sketches
+    merge by adding counts (the HLL/CMS rollup contract)."""
+    return (
+        df.select(
+            F.col(key_col).alias("k"),
+            dd_buckets(F.col(val_col), gamma).alias("bucket"),
+        )
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("k", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dd_quantile(
+    sketch: DataFrame, qs: list[float], gamma: float = 1.02
+) -> DataFrame:
+    """Quantile estimates off a DDSketch count table: for each q, the
+    smallest bucket whose cumulative count reaches ceil(q * n) (exact
+    integer rank arithmetic — (q_num * n + den - 1) div den with q as a
+    fraction), estimated at the bucket's midpoint 2*gamma^i/(gamma+1).
+    The relative-error guarantee |est - true| <= (gamma-1)/(gamma+1) *
+    true is a theorem of the bucketing.  Windows run over the BUCKET
+    table (a few hundred rows per key at gamma = 1.02)."""
+    wk = Window.partitionBy("k").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = sketch.select(
+        "k", "bucket", F.sum("c").over(wk).alias("cum")
+    )
+    tot = sketch.groupBy("k").agg(F.sum("c").alias("n"))
+    qdf = None
+    for q in qs:
+        # q as an exact rational over a fixed 1e4 grid keeps the rank
+        # arithmetic in BIGINT without as_integer_ratio's 2^53 numerators
+        num, den = int(round(q * 10_000)), 10_000
+        one = tot.select(
+            "k",
+            F.lit(float(q)).alias("q"),
+            ((F.lit(num) * F.col("n") + F.lit(den) - 1) / F.lit(den))
+            .cast("long")
+            .alias("r"),
+            "n",
+        )
+        qdf = one if qdf is None else qdf.unionByName(one)
+    hit = (
+        qdf.join(cum, "k")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("k", "q", "n")
+        .agg(F.min("bucket").alias("i"))
+    )
+    est = (
+        F.lit(2.0)
+        * F.pow(F.lit(float(gamma)), F.col("i").cast("double"))
+        / F.lit(float(gamma) + 1.0)
+    )
+    return hit.select("k", "q", "n", F.col("i").alias("bucket"), est.alias("est"))

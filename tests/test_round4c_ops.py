@@ -1164,3 +1164,62 @@ def test_sprt_accepts_baseline_on_calm_corpus(spark):
     assert 1 <= r["n_at_decision"] <= r["n_total"]
     assert r["frac_saved"] > 0.5  # the whole point of sequential testing
     assert 0 <= r["k_errors"] <= r["n_at_decision"]
+
+
+# -- dd_sketch / dd_quantile ---------------------------------------------------
+
+
+def test_ddsketch_relative_error_guarantee(spark):
+    """Estimates stay within (gamma-1)/(gamma+1) of the exact discrete
+    quantile on a heavy-tailed distribution."""
+    import random
+
+    from mcpvectordb_spark.operators.sketches import dd_quantile, dd_sketch
+
+    random.seed(11)
+    vals = [random.lognormvariate(3, 1) for _ in range(20000)]
+    df = spark.createDataFrame([("a", v) for v in vals], ["k", "v"])
+    sk = dd_sketch(df, "k", "v", gamma=1.02)
+    out = {r["q"]: r["est"] for r in dd_quantile(sk, [0.5, 0.9, 0.99], 1.02).collect()}
+    sv = sorted(vals)
+    tol = (1.02 - 1) / (1.02 + 1)
+    for q in (0.5, 0.9, 0.99):
+        r = -(-int(q * 10_000) * len(sv) // 10_000)  # ceil(q*n) on the 1e4 grid
+        exact = sv[r - 1]
+        assert abs(out[q] - exact) / exact <= tol + 1e-9, (q, out[q], exact)
+
+
+def test_ddsketch_mergeable(spark):
+    """Sketching halves and adding counts == sketching the whole."""
+    from pyspark.sql import functions as F
+
+    from mcpvectordb_spark.operators.sketches import dd_sketch
+
+    vals = [(i % 997) / 7.0 + 0.01 for i in range(5000)]
+    df = spark.createDataFrame([("a", v) for v in vals], ["k", "v"])
+    whole = {
+        (r["k"], r["bucket"]): r["c"] for r in dd_sketch(df, "k", "v").collect()
+    }
+    h1 = dd_sketch(df.limit(0).unionByName(
+        spark.createDataFrame([("a", v) for v in vals[:2500]], ["k", "v"])
+    ), "k", "v")
+    h2 = dd_sketch(
+        spark.createDataFrame([("a", v) for v in vals[2500:]], ["k", "v"]),
+        "k", "v",
+    )
+    merged = {
+        (r["k"], r["bucket"]): r["c"]
+        for r in h1.unionByName(h2).groupBy("k", "bucket").agg(
+            F.sum("c").alias("c")
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_ddsketch_catalog_gate_all_within_bound(spark):
+    from mcpvectordb_spark.catalog import QUERIES
+
+    rows = QUERIES["events_ddsketch"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 15  # 5 types x 3 quantiles
+    assert all(r["within_bound"] for r in rows)
+    assert all(r["est"] > 0 and r["exact"] > 0 for r in rows)
