@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "events_dispersion",     # Fano/CV2/dispersion-test moments
     "events_sprt",           # sequential LLR walk + first crossing
     "events_ddsketch",       # log-bucket quantiles + in-plan bound gate
+    "search_clarity",        # KL(feedback RM || collection LM) QPP
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

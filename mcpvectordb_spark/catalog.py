@@ -316,6 +316,68 @@ bm AS (
 """
 
 
+def q_search_clarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-performance prediction via the Clarity score
+    (operators/prf.py::clarity_score, Cronen-Townsend SIGIR'02): the KL
+    divergence between the top-10 feedback set's relevance model and the
+    collection LM, computed for the catalog's focused 4-term query AND
+    a deliberately vague single-stopword-ish query — the pre-retrieval
+    triage that flags queries likely to retrieve noise.  Reuses the BM25
+    posting machinery (rm3_topk's first half); the oracle replays both
+    query chains over the shared posting CTEs."""
+    from mcpvectordb_spark.operators.bm25 import Bm25Index, doc_lens, doc_terms
+    from mcpvectordb_spark.operators.prf import clarity_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    posting = doc_terms(docs, "doc_id", "text").localCheckpoint(eager=False)
+    idx = Bm25Index(posting, doc_lens(docs, "doc_id", "text"), cached=False)
+    focused = clarity_score(
+        docs, SEARCH_QUERY, "doc_id", "text", index=idx
+    ).select(F.lit("focused").alias("query_kind"), "*")
+    vague = clarity_score(docs, "data", "doc_id", "text", index=idx).select(
+        F.lit("vague").alias("query_kind"), "*"
+    )
+    return focused.unionByName(vague)
+
+
+def _sql_clarity_chain(label: str, terms: list[str]) -> str:
+    tl = ", ".join(f"'{t}'" for t in sorted(terms))
+    return f"""
+bm_{label} AS (
+  SELECT doc, sum( ln(1 + (n - df + 0.5)/(df + 0.5))
+                   * tf*(1.2+1)/(tf + 1.2*(1-0.75+0.75*dl/avgdl)) ) AS score
+  FROM posting JOIN (SELECT unnest([{tl}]) AS term) q_{label} USING(term)
+  JOIN dfreq USING(term) JOIN lens USING(doc), stats
+  GROUP BY doc),
+fb_{label} AS (SELECT doc FROM bm_{label} ORDER BY score DESC, doc LIMIT 10),
+rm1_{label} AS (
+  SELECT term, sum(CAST(tf AS DOUBLE) / dl) / 10.0 AS p_q
+  FROM posting JOIN fb_{label} USING(doc) JOIN lens USING(doc)
+  GROUP BY term),
+cl_{label} AS (
+  SELECT '{label}' AS query_kind,
+         CAST(10 AS BIGINT) AS n_feedback,
+         CAST(count(*) AS BIGINT) AS vocab,
+         round(sum(r.p_q * log2(r.p_q / (CAST(c.cf AS DOUBLE) / ct.ct))), 6)
+           AS clarity_bits
+  FROM rm1_{label} r JOIN coll c USING(term) CROSS JOIN ctot ct)"""
+
+
+SQL_SEARCH_CLARITY = (
+    "WITH "
+    + _SQL_BM25_CTES.split("WITH", 1)[-1].rsplit(",\nqterms", 1)[0].lstrip()
+    + """,
+coll AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM posting GROUP BY 1),
+ctot AS (SELECT CAST(sum(cf) AS DOUBLE) AS ct FROM coll),"""
+    + _sql_clarity_chain("focused", SEARCH_QUERY.split())
+    + ","
+    + _sql_clarity_chain("vague", ["data"])
+    + """
+SELECT * FROM cl_focused UNION ALL SELECT * FROM cl_vague
+"""
+)
+
+
 def q_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-truncated coarse scan (first 16 of 64 dims, 4x arithmetic
     cut) + exact full-dim refine of 4k candidates — the deterministic
@@ -10572,6 +10634,7 @@ QUERIES = {
     "events_dispersion": q_events_dispersion,
     "events_sprt": q_events_sprt,
     "events_ddsketch": q_events_ddsketch,
+    "search_clarity": q_search_clarity,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -10835,6 +10898,7 @@ ORACLES = {
     "events_dispersion": SQL_EVENTS_DISPERSION,
     "events_sprt": SQL_EVENTS_SPRT,
     "events_ddsketch": SQL_EVENTS_DDSKETCH,
+    "search_clarity": SQL_SEARCH_CLARITY,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -124,3 +124,93 @@ def rm3_topk(
         .agg(F.sum("w").alias(score_col))
     )
     return scored.orderBy(F.desc(score_col), F.asc("doc")).limit(k)
+
+
+def clarity_score(
+    df: DataFrame,
+    query: str,
+    id_col: str,
+    text_col: str,
+    fb_docs: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    index: Bm25Index | None = None,
+) -> DataFrame:
+    """Query clarity score (Cronen-Townsend et al., SIGIR 2002) — the
+    classic query-performance predictor: the KL divergence (bits)
+    between the relevance model of the query's top-`fb_docs` BM25
+    results and the collection language model,
+
+        clarity = sum_w p(w|Q) log2( p(w|Q) / p(w|C) )
+
+    with p(w|Q) the uniform-weight RM1 over the feedback docs (a proper
+    distribution: sums to 1) and p(w|C) = cf(w)/|C| the collection MLE.
+    A focused query retrieves a topically-tight feedback set whose LM
+    diverges from the collection (high clarity); a vague query's
+    feedback looks like the collection (clarity -> 0).  Predicts
+    retrieval difficulty BEFORE any relevance judgments exist.
+
+    Same plan shape as rm3_topk's first half: one posting-list probe for
+    the BM25 pass (query terms broadcast), RM1 over the f-row feedback
+    set (broadcast), and the collection model is one agg of the posting
+    list.  Returns one row: (n_feedback, vocab, clarity_bits).
+    """
+    q_counts = Counter(t for t in query.lower().split() if t)
+    spark = df.sparkSession
+    if not q_counts:
+        return spark.createDataFrame([], "n_feedback long, vocab long, clarity_bits double")
+    q_terms = sorted(q_counts)
+
+    if index is None:
+        posting = doc_terms(df, id_col, text_col).localCheckpoint(eager=False)
+        lens = doc_lens(df, id_col, text_col)
+    else:
+        posting, lens = index.posting, index.lens
+    dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = F.broadcast(
+        lens.agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.avg("dl").alias("__avgdl"),
+        )
+    )
+    first = (
+        posting.filter(F.col("term").isin(q_terms))
+        .join(F.broadcast(dfreq.filter(F.col("term").isin(q_terms))), "term")
+        .join(lens, "doc")
+        .crossJoin(stats)
+        .withColumn(
+            "w",
+            _bm25_w(F.col("tf"), F.col("df"), F.col("dl"),
+                    F.col("__n"), F.col("__avgdl"), k1, b),
+        )
+        .groupBy("doc")
+        .agg(F.sum("w").alias("s1"))
+    )
+    feedback = F.broadcast(
+        first.orderBy(F.desc("s1"), F.asc("doc")).limit(fb_docs).select("doc")
+    )
+    rm1 = (
+        posting.join(feedback, "doc")
+        .join(lens, "doc")
+        .groupBy("term")
+        .agg(
+            (F.sum(F.col("tf") / F.col("dl")) / F.lit(float(fb_docs))).alias("p_q")
+        )
+    )
+    coll = posting.groupBy("term").agg(F.sum("tf").alias("cf"))
+    ctot = F.broadcast(coll.agg(F.sum("cf").alias("ct")))
+    terms = rm1.join(coll, "term").crossJoin(ctot).select(
+        "term",
+        (
+            F.col("p_q")
+            * F.log2(F.col("p_q") / (F.col("cf") / F.col("ct").cast("double")))
+        ).alias("kl_term"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.round(F.sum("kl_term"), 6).alias("clarity_bits"),
+    ).select(
+        F.lit(int(fb_docs)).cast("long").alias("n_feedback"),
+        "vocab",
+        "clarity_bits",
+    )

@@ -1223,3 +1223,44 @@ def test_ddsketch_catalog_gate_all_within_bound(spark):
     assert len(rows) == 15  # 5 types x 3 quantiles
     assert all(r["within_bound"] for r in rows)
     assert all(r["est"] > 0 and r["exact"] > 0 for r in rows)
+
+
+# -- clarity_score ------------------------------------------------------------
+
+
+def test_clarity_focused_beats_vague_on_planted_corpus(spark):
+    """A query whose top docs share a rare topical vocabulary scores much
+    higher clarity than a query matching generic documents."""
+    from mcpvectordb_spark.operators.prf import clarity_score
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    topical = "quantum entanglement qubit decoherence superposition hamiltonian"
+    docs = [(i, common) for i in range(80)] + [
+        (100 + i, topical + " " + common.split()[i % 5]) for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    hi = clarity_score(df, "qubit decoherence", "doc_id", "text").collect()[0]
+    lo = clarity_score(df, "the quick", "doc_id", "text").collect()[0]
+    assert hi["clarity_bits"] > lo["clarity_bits"] + 0.5
+    assert lo["clarity_bits"] >= 0.0  # KL is non-negative
+    assert hi["vocab"] > 0 and hi["n_feedback"] == 10
+
+
+def test_clarity_kl_hand_computed(spark):
+    """Tiny corpus: clarity equals the hand-computed KL in bits."""
+    import math
+
+    from mcpvectordb_spark.operators.prf import clarity_score
+
+    docs = [(1, "a a b"), (2, "a c"), (3, "d d d d")]
+    # query 'a': top-2 feedback by bm25 = docs 1, 2 (only they contain a)
+    out = clarity_score(df=spark.createDataFrame(docs, ["doc_id", "text"]),
+                        query="a", id_col="doc_id", text_col="text",
+                        fb_docs=2).collect()[0]
+    # rm1: p(a) = (2/3 + 1/2)/2, p(b) = (1/3)/2, p(c) = (1/2)/2
+    p = {"a": (2 / 3 + 1 / 2) / 2, "b": (1 / 3) / 2, "c": (1 / 2) / 2}
+    cf = {"a": 3, "b": 1, "c": 1, "d": 4}
+    ct = 9
+    ref = sum(pw * math.log2(pw / (cf[w] / ct)) for w, pw in p.items())
+    assert abs(out["clarity_bits"] - ref) < 5e-7
+    assert out["vocab"] == 3
