@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "events_sprt",           # sequential LLR walk + first crossing
     "events_ddsketch",       # log-bucket quantiles + in-plan bound gate
     "search_clarity",        # KL(feedback RM || collection LM) QPP
+    "search_rbo",            # top-weighted ranker-agreement RBO@10
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

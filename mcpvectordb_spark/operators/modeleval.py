@@ -343,3 +343,54 @@ def isotonic_calibration(
             F.round("iso", 6).alias("iso_rate"),
         )
     )
+
+
+def rbo(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al., TOIS 2010) between two ranked
+    lists — the standard top-weighted agreement measure for comparing
+    rankers (BM25 vs QLM, old index vs new) without relevance judgments:
+
+        RBO@k = (1-p) * sum_{d=1..k} p^(d-1) * |A_d intersect B_d| / d
+
+    Inputs are (doc, rank) frames with rank 1-based; only ranks <= k
+    participate.  A doc present in both prefixes at max(ra, rb) = m
+    contributes (1-p) * sum_{d=m..k} p^(d-1)/d — computed by exploding
+    the [m..k] depth range per matched doc (<= k rows each, k*|overlap|
+    total), so the whole metric is a broadcast join of two k-row lists
+    plus one agg: serving-time cheap by construction.
+
+    Returns one row: (k, p, overlap_at_k, rbo) where overlap_at_k is
+    |A_k intersect B_k|.
+    """
+    a = run_a.select(F.col("doc").alias("d"), F.col("rank").alias("ra")).filter(
+        F.col("ra") <= k
+    )
+    b = run_b.select(F.col("doc").alias("d"), F.col("rank").alias("rb")).filter(
+        F.col("rb") <= k
+    )
+    both = a.join(b, "d").select(
+        "d", F.greatest("ra", "rb").alias("m")
+    )
+    contrib = both.select(
+        "d", F.explode(F.sequence("m", F.lit(int(k)))).alias("depth")
+    ).select(
+        (
+            F.pow(F.lit(float(p)), F.col("depth").cast("double") - 1)
+            / F.col("depth")
+        ).alias("t")
+    )
+    agg = contrib.agg(
+        F.round(F.lit(1.0 - float(p)) * F.sum("t"), 6).alias("rbo")
+    )
+    ov = both.agg(F.count(F.lit(1)).alias("overlap_at_k"))
+    return ov.crossJoin(agg).select(
+        F.lit(int(k)).cast("long").alias("k"),
+        F.lit(float(p)).alias("p"),
+        "overlap_at_k",
+        F.coalesce("rbo", F.lit(0.0)).alias("rbo"),
+    )

@@ -252,3 +252,53 @@ def test_isotonic_pools_violation(spark):
     assert abs(out[1]["iso_rate"] - pooled) < 1e-9
     iso = [r["iso_rate"] for r in out]
     assert iso == sorted(iso)
+
+
+# -- rbo -----------------------------------------------------------------------
+
+
+def test_rbo_identical_lists_is_one_at_full_depth(spark):
+    """Identical rankings: truncated RBO equals (1-p) * sum p^(d-1) -> the
+    geometric partial sum, = 1 - p^k in the X_d = d case."""
+    from mcpvectordb_spark.operators.modeleval import rbo
+
+    run = spark.createDataFrame(
+        [(f"d{i}", i) for i in range(1, 11)], ["doc", "rank"]
+    )
+    r = rbo(run, run, k=10, p=0.9).collect()[0]
+    assert r["overlap_at_k"] == 10
+    assert abs(r["rbo"] - (1 - 0.9 ** 10)) < 5e-6
+
+
+def test_rbo_disjoint_lists_is_zero(spark):
+    from mcpvectordb_spark.operators.modeleval import rbo
+
+    a = spark.createDataFrame([(f"a{i}", i) for i in range(1, 11)], ["doc", "rank"])
+    b = spark.createDataFrame([(f"b{i}", i) for i in range(1, 11)], ["doc", "rank"])
+    r = rbo(a, b, k=10, p=0.9).collect()[0]
+    assert r["overlap_at_k"] == 0 and r["rbo"] == 0.0
+
+
+def test_rbo_hand_computed_partial_overlap(spark):
+    """Top-weighting: agreement at rank 1 is worth more than at rank k."""
+    from mcpvectordb_spark.operators.modeleval import rbo
+
+    # lists share ONLY the top document
+    a = spark.createDataFrame(
+        [("x", 1)] + [(f"a{i}", i) for i in range(2, 6)], ["doc", "rank"]
+    )
+    b = spark.createDataFrame(
+        [("x", 1)] + [(f"b{i}", i) for i in range(2, 6)], ["doc", "rank"]
+    )
+    r = rbo(a, b, k=5, p=0.9).collect()[0]
+    ref = 0.1 * sum(0.9 ** (d - 1) * 1 / d for d in range(1, 6))
+    assert abs(r["rbo"] - ref) < 5e-6
+    # same single shared doc at the BOTTOM is worth less
+    a2 = spark.createDataFrame(
+        [(f"a{i}", i) for i in range(1, 5)] + [("x", 5)], ["doc", "rank"]
+    )
+    b2 = spark.createDataFrame(
+        [(f"b{i}", i) for i in range(1, 5)] + [("x", 5)], ["doc", "rank"]
+    )
+    r2 = rbo(a2, b2, k=5, p=0.9).collect()[0]
+    assert r2["rbo"] < r["rbo"]
