@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "events_ddsketch",       # log-bucket quantiles + in-plan bound gate
     "search_clarity",        # KL(feedback RM || collection LM) QPP
     "search_rbo",            # top-weighted ranker-agreement RBO@10
+    "embedding_isotropy",    # eigen-free PR + exact mean pairwise cosine
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

@@ -442,6 +442,132 @@ FROM ov
 )
 
 
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy panel — the geometry health check run
+    before trusting cosine similarity (anisotropic spaces make everything
+    look similar; Ethayarajh 2019): mean L2 norm, EXACT average pairwise
+    cosine of the normalized vectors via the identity
+    sum_{i<>j} x_i.x_j = ||S||^2 - n (no pair join ever), and the
+    participation ratio of the covariance spectrum WITHOUT an
+    eigendecomposition — PR = trace(C)^2 / ||C||_F^2, since
+    sum(lambda)^2 / sum(lambda^2) needs only the trace and the Frobenius
+    norm, both plain aggregates of the 64x64 moment matrix.  PR ~ dim
+    means isotropic; PR ~ 1 means rank-collapsed.  Plan: one
+    posexplode(dim) pass with 64 sum expressions builds the Gram rows
+    (n x 64 input rows, never n x 4096), then 64x64 arithmetic on the
+    tiny moment table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    base = emb.select(
+        v.alias("v"), F.transform(v, lambda x: x / norm).alias("vh")
+    ).localCheckpoint(eager=False)
+    nrow = base.count()
+
+    sums = base.select(
+        F.posexplode("v").alias("j0", "xj"), F.col("v")
+    ).groupBy(F.col("j0").alias("j")).agg(
+        F.sum("xj").alias("sx"),
+        *[
+            F.sum(F.col("xj") * F.element_at("v", k + 1)).alias(f"m{k}")
+            for k in range(dim)
+        ],
+    )
+    mu = sums.select("j", (F.col("sx") / F.lit(float(nrow))).alias("mu"))
+    cells = sums.select(
+        "j",
+        F.posexplode(F.array(*[F.col(f"m{k}") for k in range(dim)])).alias(
+            "k", "m"
+        ),
+    ).select("j", "k", (F.col("m") / F.lit(float(nrow))).alias("m"))
+    cov = (
+        cells.join(mu.select(F.col("j"), F.col("mu").alias("mu_j")), "j")
+        .join(
+            mu.select(F.col("j").alias("k"), F.col("mu").alias("mu_k")), "k"
+        )
+        .select(
+            "j",
+            "k",
+            (F.col("m") - F.col("mu_j") * F.col("mu_k")).alias("c"),
+        )
+    )
+    spec = cov.agg(
+        F.sum(F.when(F.col("j") == F.col("k"), F.col("c"))).alias("tr"),
+        F.sum(F.col("c") * F.col("c")).alias("fro2"),
+    )
+    normstats = base.select(
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)).alias(
+            "nrm"
+        ),
+        F.col("vh"),
+    )
+    shat = normstats.select(
+        F.posexplode("vh").alias("j", "xh")
+    ).groupBy("j").agg(F.sum("xh").alias("s"))
+    scos = shat.agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+    mn = normstats.agg(F.avg("nrm").alias("mean_norm"))
+    return (
+        spec.crossJoin(F.broadcast(scos))
+        .crossJoin(F.broadcast(mn))
+        .select(
+            F.lit(nrow).cast("long").alias("n"),
+            F.lit(dim).cast("long").alias("dim"),
+            F.round("mean_norm", 6).alias("mean_norm"),
+            F.round(
+                (F.col("s2") - F.lit(float(nrow)))
+                / (F.lit(float(nrow)) * (F.lit(float(nrow)) - 1)),
+                6,
+            ).alias("avg_pairwise_cos"),
+            F.round("tr", 6).alias("cov_trace"),
+            F.round(F.sqrt("fro2"), 6).alias("cov_fro"),
+            F.round(F.col("tr") * F.col("tr") / F.col("fro2"), 6).alias(
+                "participation_ratio"
+            ),
+        )
+    )
+
+
+SQL_EMBEDDING_ISOTROPY = """
+WITH emb AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM emb),
+js AS (SELECT unnest(range(1, 65)) AS j),
+expl AS (
+  SELECT j, v[j] AS xj, v FROM emb CROSS JOIN js),
+cells AS (
+  SELECT e.j, k.k, sum(e.xj * e.v[k.k]) / (SELECT CAST(n AS DOUBLE) FROM nn) AS m
+  FROM expl e CROSS JOIN (SELECT unnest(range(1, 65)) AS k) k
+  GROUP BY 1, 2),
+mu AS (
+  SELECT j, sum(xj) / (SELECT CAST(n AS DOUBLE) FROM nn) AS mu
+  FROM expl GROUP BY 1),
+cov AS (
+  SELECT c.j, c.k, c.m - mj.mu * mk.mu AS c
+  FROM cells c JOIN mu mj ON mj.j = c.j JOIN mu mk ON mk.j = c.k),
+spec AS (
+  SELECT sum(CASE WHEN j = k THEN c END) AS tr, sum(c * c) AS fro2 FROM cov),
+normed AS (
+  SELECT sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm,
+         v
+  FROM emb),
+shat AS (
+  SELECT j, sum(v[j] / nrm) AS s
+  FROM normed CROSS JOIN js GROUP BY 1),
+scos AS (SELECT sum(s * s) AS s2 FROM shat),
+mn AS (SELECT avg(nrm) AS mean_norm FROM normed)
+SELECT nn.n, CAST(64 AS BIGINT) AS dim,
+       round(mn.mean_norm, 6) AS mean_norm,
+       round((scos.s2 - CAST(nn.n AS DOUBLE))
+             / (CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1)), 6)
+         AS avg_pairwise_cos,
+       round(spec.tr, 6) AS cov_trace,
+       round(sqrt(spec.fro2), 6) AS cov_fro,
+       round(spec.tr * spec.tr / spec.fro2, 6) AS participation_ratio
+FROM spec CROSS JOIN scos CROSS JOIN mn CROSS JOIN nn
+"""
+
+
 def q_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-truncated coarse scan (first 16 of 64 dims, 4x arithmetic
     cut) + exact full-dim refine of 4k candidates — the deterministic
@@ -10700,6 +10826,7 @@ QUERIES = {
     "events_ddsketch": q_events_ddsketch,
     "search_clarity": q_search_clarity,
     "search_rbo": q_search_rbo,
+    "embedding_isotropy": q_embedding_isotropy,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -10965,6 +11092,7 @@ ORACLES = {
     "events_ddsketch": SQL_EVENTS_DDSKETCH,
     "search_clarity": SQL_SEARCH_CLARITY,
     "search_rbo": SQL_SEARCH_RBO,
+    "embedding_isotropy": SQL_EMBEDDING_ISOTROPY,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -302,3 +302,63 @@ def test_rbo_hand_computed_partial_overlap(spark):
     )
     r2 = rbo(a2, b2, k=5, p=0.9).collect()[0]
     assert r2["rbo"] < r["rbo"]
+
+
+# -- embedding isotropy (catalog-level) -----------------------------------------
+
+
+def test_isotropy_pr_detects_rank_collapse(spark):
+    """PR ~ dim on isotropic Gaussians; PR ~ 1 when all vectors lie on a
+    single direction."""
+    import random
+
+    from mcpvectordb_spark.catalog import QUERIES  # noqa: F401 (parity import)
+    from pyspark.sql import functions as F
+
+    random.seed(3)
+
+    def panel(vecs):
+        df = spark.createDataFrame([(v,) for v in vecs], ["embedding"])
+        # reuse the catalog query's algebra inline at dim 8
+        dim = 8
+        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        base = df.select(v.alias("v"))
+        n = base.count()
+        sums = base.select(F.posexplode("v").alias("j0", "xj"), "v").groupBy(
+            F.col("j0").alias("j")
+        ).agg(
+            F.sum("xj").alias("sx"),
+            *[F.sum(F.col("xj") * F.element_at("v", k + 1)).alias(f"m{k}") for k in range(dim)],
+        )
+        mu = sums.select("j", (F.col("sx") / n).alias("mu"))
+        cells = sums.select(
+            "j", F.posexplode(F.array(*[F.col(f"m{k}") for k in range(dim)])).alias("k", "m")
+        ).select("j", "k", (F.col("m") / n).alias("m"))
+        cov = (
+            cells.join(mu.select("j", F.col("mu").alias("mj")), "j")
+            .join(mu.select(F.col("j").alias("k"), F.col("mu").alias("mk")), "k")
+            .select("j", "k", (F.col("m") - F.col("mj") * F.col("mk")).alias("c"))
+        )
+        r = cov.agg(
+            F.sum(F.when(F.col("j") == F.col("k"), F.col("c"))).alias("tr"),
+            F.sum(F.col("c") * F.col("c")).alias("f2"),
+        ).collect()[0]
+        return r["tr"] * r["tr"] / r["f2"]
+
+    iso = [[random.gauss(0, 1) for _ in range(8)] for _ in range(400)]
+    pr_iso = panel(iso)
+    collapsed = [[random.gauss(0, 1)] * 8 for _ in range(400)]
+    pr_col = panel(collapsed)
+    assert pr_iso > 6.0, pr_iso
+    assert pr_col < 1.2, pr_col
+
+
+def test_isotropy_catalog_row_sane(spark):
+    from mcpvectordb_spark.catalog import QUERIES
+
+    r = QUERIES["embedding_isotropy"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n"] > 0 and r["dim"] == 64
+    assert r["mean_norm"] > 0
+    assert -1.0 <= r["avg_pairwise_cos"] <= 1.0
+    assert 1.0 <= r["participation_ratio"] <= 64.0
+    assert r["cov_fro"] > 0
