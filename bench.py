@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "search_clarity",        # KL(feedback RM || collection LM) QPP
     "search_rbo",            # top-weighted ranker-agreement RBO@10
     "embedding_isotropy",    # eigen-free PR + exact mean pairwise cosine
+    "events_mase",           # HW-vs-seasonal-naive forecast skill
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

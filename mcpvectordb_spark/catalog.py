@@ -10057,6 +10057,112 @@ FROM ex
 """
 
 
+def q_events_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-skill evaluation: MASE (mean absolute scaled error,
+    Hyndman & Koehler 2006 — the M-competition standard) of the
+    Holt-Winters one-step forecasts against the SEASONAL-NAIVE
+    benchmark x_hat_t = x_{t-7}, per event type.  MASE < 1 means the
+    model beats the naive seasonal repeat, the bar every forecaster
+    must clear; both error sums run over the same post-first-season
+    rows.  The naive lag is exact integer arithmetic; the model errors
+    reuse the bit-exact HW fold, so the oracle (HW recursion + lag
+    window + one agg) hash-matches."""
+    from mcpvectordb_spark.operators.timeseries import holt_winters_additive
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x")).localCheckpoint(
+        eager=False
+    )
+    hw = holt_winters_additive(
+        daily, "k", "t", "x", alpha=0.5, beta=0.25, gamma=0.25, period=7
+    )
+    wlag = Window.partitionBy("k").orderBy("t")
+    naive = daily.select(
+        "k", "t", F.lag("x", 7).over(wlag).alias("xn")
+    ).filter(F.col("xn").isNotNull())
+    j = hw.join(naive, ["k", "t"]).select(
+        "k",
+        F.abs(F.col("x") - F.col("fitted")).alias("e_model"),
+        F.abs(F.col("x") - F.col("xn").cast("double")).alias("e_naive"),
+    )
+    return (
+        j.groupBy(F.col("k").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.round(F.avg("e_model"), 6).alias("mae_model"),
+            F.round(F.avg("e_naive"), 6).alias("mae_naive"),
+            F.round(F.sum("e_model") / F.sum("e_naive"), 6).alias("mase"),
+            (F.sum("e_model") < F.sum("e_naive")).alias("beats_naive"),
+        )
+    )
+
+
+SQL_EVENTS_MASE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type AS k,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT k, t, x, row_number() OVER (PARTITION BY k ORDER BY t) AS rk
+  FROM daily),
+initv AS (
+  SELECT k,
+         max(CASE WHEN rk = 1 THEN x END) AS x1,
+         max(CASE WHEN rk = 2 THEN x END) AS x2,
+         max(CASE WHEN rk = 3 THEN x END) AS x3,
+         max(CASE WHEN rk = 4 THEN x END) AS x4,
+         max(CASE WHEN rk = 5 THEN x END) AS x5,
+         max(CASE WHEN rk = 6 THEN x END) AS x6,
+         max(CASE WHEN rk = 7 THEN x END) AS x7
+  FROM ranked WHERE rk <= 7 GROUP BY 1
+  HAVING count(*) = 7),
+hw AS (
+  SELECT i.k, CAST(7 AS BIGINT) AS rk,
+         (i.x1 + i.x2 + i.x3 + i.x4 + i.x5 + i.x6 + i.x7) / 7.0 AS l,
+         CAST(0.0 AS DOUBLE) AS b,
+         i.x1 - (i.x1 + i.x2 + i.x3 + i.x4 + i.x5 + i.x6 + i.x7) / 7.0 AS s1,
+         i.x2 - (i.x1 + i.x2 + i.x3 + i.x4 + i.x5 + i.x6 + i.x7) / 7.0 AS s2,
+         i.x3 - (i.x1 + i.x2 + i.x3 + i.x4 + i.x5 + i.x6 + i.x7) / 7.0 AS s3,
+         i.x4 - (i.x1 + i.x2 + i.x3 + i.x4 + i.x5 + i.x6 + i.x7) / 7.0 AS s4,
+         i.x5 - (i.x1 + i.x2 + i.x3 + i.x4 + i.x5 + i.x6 + i.x7) / 7.0 AS s5,
+         i.x6 - (i.x1 + i.x2 + i.x3 + i.x4 + i.x5 + i.x6 + i.x7) / 7.0 AS s6,
+         i.x7 - (i.x1 + i.x2 + i.x3 + i.x4 + i.x5 + i.x6 + i.x7) / 7.0 AS s7,
+         CAST(NULL AS DOUBLE) AS x, CAST(NULL AS BIGINT) AS t,
+         CAST(NULL AS DOUBLE) AS f
+  FROM initv i
+  UNION ALL
+  SELECT r.k, r.rk,
+         0.5 * (r.x - h.s1) + 0.5 * (h.l + h.b) AS l,
+         0.25 * ((0.5 * (r.x - h.s1) + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b AS b,
+         h.s2, h.s3, h.s4, h.s5, h.s6, h.s7,
+         0.25 * (r.x - (0.5 * (r.x - h.s1) + 0.5 * (h.l + h.b))) + 0.75 * h.s1 AS s7,
+         r.x, r.t,
+         h.l + h.b + h.s1 AS f
+  FROM hw h JOIN ranked r ON r.k = h.k AND r.rk = h.rk + 1),
+naive AS (
+  SELECT k, t, x,
+         lag(x, 7) OVER (PARTITION BY k ORDER BY t) AS xn
+  FROM daily QUALIFY xn IS NOT NULL),
+j AS (
+  SELECT h.k, abs(h.x - h.f) AS e_model, abs(n.x - n.xn) AS e_naive
+  FROM hw h JOIN naive n ON n.k = h.k AND n.t = h.t
+  WHERE h.rk >= 8)
+SELECT k AS event_type,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       round(avg(e_model), 6) AS mae_model,
+       round(avg(e_naive), 6) AS mae_naive,
+       round(sum(e_model) / sum(e_naive), 6) AS mase,
+       sum(e_model) < sum(e_naive) AS beats_naive
+FROM j GROUP BY 1
+"""
+
+
 def q_events_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval (the large-scale bootstrap:
     per-replica weights drawn as Poisson(1), so each replica is one
@@ -10827,6 +10933,7 @@ QUERIES = {
     "search_clarity": q_search_clarity,
     "search_rbo": q_search_rbo,
     "embedding_isotropy": q_embedding_isotropy,
+    "events_mase": q_events_mase,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -11093,6 +11200,7 @@ ORACLES = {
     "search_clarity": SQL_SEARCH_CLARITY,
     "search_rbo": SQL_SEARCH_RBO,
     "embedding_isotropy": SQL_EMBEDDING_ISOTROPY,
+    "events_mase": SQL_EVENTS_MASE,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -1264,3 +1264,20 @@ def test_clarity_kl_hand_computed(spark):
     ref = sum(pw * math.log2(pw / (cf[w] / ct)) for w, pw in p.items())
     assert abs(out["clarity_bits"] - ref) < 5e-7
     assert out["vocab"] == 3
+
+
+# -- events_mase (catalog-level) ------------------------------------------------
+
+
+def test_mase_internally_consistent(spark):
+    """mase == sum-ratio of the reported MAEs; flag agrees; rows per type."""
+    from mcpvectordb_spark.catalog import QUERIES
+
+    rows = QUERIES["events_mase"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_eval"] > 0
+        assert r["mae_model"] >= 0 and r["mae_naive"] > 0
+        # mase equals the MAE ratio to rounding
+        assert abs(r["mase"] - r["mae_model"] / r["mae_naive"]) < 1e-4
+        assert r["beats_naive"] == (r["mase"] < 1.0) or abs(r["mase"] - 1.0) < 1e-6
