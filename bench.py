@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "search_rbo",            # top-weighted ranker-agreement RBO@10
     "embedding_isotropy",    # eigen-free PR + exact mean pairwise cosine
     "events_mase",           # HW-vs-seasonal-naive forecast skill
+    "events_attribution_ushaped",  # 40/20/40 multi-touch credits
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

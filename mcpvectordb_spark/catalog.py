@@ -7182,6 +7182,78 @@ GROUP BY 1
 """
 
 
+def q_events_attribution_ushaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based 40-20-40 attribution (analytics.py::
+    ushaped_attribution): purchase value split 40% first touch / 40%
+    last touch / 20% across the middle of the 7-day journey, rolled up
+    per channel — the multi-touch middle ground between last-touch
+    (events_attribution) and Markov removal effects
+    (events_attribution_markov), completing the attribution family.
+    One user-keyed join with the window predicate inside it (touchless
+    conversions keep their NULL row -> 'direct') and one per-conversion
+    rank window; credits are a codegen CASE.  The oracle replays the
+    join, ranks and weights."""
+    from mcpvectordb_spark.operators.analytics import ushaped_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    credits = ushaped_attribution(ev, "purchase", window_days=7)
+    return credits.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        F.countDistinct("ceid").alias("n_conversions"),
+        F.round(F.sum("credit"), 4).alias("total_credit"),
+        F.round(F.sum("credited_value"), 2).alias("attributed_value"),
+    )
+
+
+SQL_EVENTS_ATTRIBUTION_USHAPED = """
+WITH base AS (
+  SELECT user_id AS u, event_id AS eid,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+         event_type AS etype, value AS v
+  FROM events),
+conv AS (
+  SELECT u, eid AS ceid, t AS ct, v FROM base WHERE etype = 'purchase'),
+touch AS (
+  SELECT u, eid AS teid, t AS tt, etype AS channel
+  FROM base WHERE etype <> 'purchase'),
+j AS (
+  SELECT c.u, c.ceid, c.v,
+         t.teid, t.tt, t.channel
+  FROM conv c LEFT JOIN touch t
+    ON t.u = c.u AND t.tt < c.ct AND c.ct - t.tt <= 604800),
+ranked AS (
+  SELECT u, ceid, v,
+         COALESCE(channel, 'direct') AS channel,
+         CASE WHEN teid IS NOT NULL THEN
+           row_number() OVER (PARTITION BY u, ceid ORDER BY tt ASC, teid ASC)
+         END AS rk,
+         CASE WHEN teid IS NOT NULL THEN
+           count(*) OVER (PARTITION BY u, ceid)
+         END AS nt
+  FROM j),
+credited AS (
+  SELECT u, ceid, channel,
+         CAST(COALESCE(nt, 0) AS BIGINT) AS n_touches,
+         CASE WHEN rk IS NULL THEN 1.0
+              WHEN nt = 1 THEN 1.0
+              WHEN nt = 2 THEN 0.5
+              WHEN rk = 1 OR rk = nt THEN 0.4
+              ELSE 0.2 / (CAST(nt AS DOUBLE) - 2) END AS credit,
+         CASE WHEN rk IS NULL THEN 1.0
+              WHEN nt = 1 THEN 1.0
+              WHEN nt = 2 THEN 0.5
+              WHEN rk = 1 OR rk = nt THEN 0.4
+              ELSE 0.2 / (CAST(nt AS DOUBLE) - 2) END * v AS credited_value
+  FROM ranked)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(count(DISTINCT ceid) AS BIGINT) AS n_conversions,
+       round(sum(credit), 4) AS total_credit,
+       round(sum(credited_value), 2) AS attributed_value
+FROM credited GROUP BY 1
+"""
+
+
 def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle census of the co-purchase graph (graph.py::
     triangle_count — degree-ordered orientation, O(m^1.5) wedge fanout):
@@ -10934,6 +11006,7 @@ QUERIES = {
     "search_rbo": q_search_rbo,
     "embedding_isotropy": q_embedding_isotropy,
     "events_mase": q_events_mase,
+    "events_attribution_ushaped": q_events_attribution_ushaped,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -11201,6 +11274,7 @@ ORACLES = {
     "search_rbo": SQL_SEARCH_RBO,
     "embedding_isotropy": SQL_EMBEDDING_ISOTROPY,
     "events_mase": SQL_EVENTS_MASE,
+    "events_attribution_ushaped": SQL_EVENTS_ATTRIBUTION_USHAPED,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -8,7 +8,7 @@ driver state — so they scale as a handful of user_id-keyed shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -526,4 +526,78 @@ def markov_removal_attribution(
             F.sum("removal_effect").over(wall) > 0,
             F.col("removal_effect") / F.sum("removal_effect").over(wall),
         ),
+    )
+
+
+def ushaped_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    window_days: int = 7,
+) -> DataFrame:
+    """Position-based (U-shaped / 40-20-40) multi-touch attribution —
+    the middle ground between last-touch (all credit to the final
+    touch) and Markov removal effects (model-based): each conversion's
+    value splits 40% to the FIRST touch, 40% to the LAST, and 20%
+    spread evenly over the middle touches of the user's journey inside
+    the attribution window; 1-touch journeys take 100%, 2-touch
+    journeys 50/50, touchless conversions credit 'direct'.
+
+    Plan: conversions equi-join the user's prior touches (user-keyed
+    shuffle, range predicate filters to the window), one window per
+    conversion ranks touches (ties (t, event_id)), credits are a codegen
+    CASE — no per-conversion collect, no journey strings.  Returns one
+    row per (conversion, touch) with the credit weight and value share;
+    roll up by `channel` for the report.
+    """
+    base = events.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("eid"),
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("t"),
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("v"),
+    )
+    conv = base.filter(F.col("etype") == conversion_type).select(
+        "u", F.col("eid").alias("ceid"), F.col("t").alias("ct"), "v"
+    )
+    touch = base.filter(F.col("etype") != conversion_type).select(
+        "u", F.col("eid").alias("teid"), F.col("t").alias("tt"),
+        F.col("etype").alias("channel"),
+    )
+    win = int(window_days) * 86400
+    # window predicate INSIDE the left join: a conversion whose only
+    # touches fall outside the window must keep its NULL row (-> direct),
+    # not vanish in a post-join filter
+    j = conv.join(
+        touch,
+        (conv["u"] == touch["u"])
+        & (F.col("tt") < F.col("ct"))
+        & (F.col("ct") - F.col("tt") <= win),
+        "left",
+    ).drop(touch["u"])
+    wdesc = Window.partitionBy("u", "ceid").orderBy(
+        F.col("tt").asc(), F.col("teid").asc()
+    )
+    ranked = j.select(
+        "u", "ceid", "ct", "v",
+        F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+        F.when(F.col("teid").isNotNull(), F.row_number().over(wdesc)).alias("rk"),
+        F.when(
+            F.col("teid").isNotNull(),
+            F.count(F.lit(1)).over(Window.partitionBy("u", "ceid")),
+        ).alias("nt"),
+    )
+    w = (
+        F.when(F.col("rk").isNull(), F.lit(1.0))
+        .when(F.col("nt") == 1, F.lit(1.0))
+        .when(F.col("nt") == 2, F.lit(0.5))
+        .when((F.col("rk") == 1) | (F.col("rk") == F.col("nt")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("nt").cast("double") - 2))
+    )
+    return ranked.select(
+        "u",
+        "ceid",
+        "channel",
+        F.coalesce("nt", F.lit(0)).cast("long").alias("n_touches"),
+        w.alias("credit"),
+        (w * F.col("v")).alias("credited_value"),
     )

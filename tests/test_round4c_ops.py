@@ -1281,3 +1281,73 @@ def test_mase_internally_consistent(spark):
         # mase equals the MAE ratio to rounding
         assert abs(r["mase"] - r["mae_model"] / r["mae_naive"]) < 1e-4
         assert r["beats_naive"] == (r["mase"] < 1.0) or abs(r["mase"] - 1.0) < 1e-6
+
+
+# -- ushaped_attribution --------------------------------------------------------
+
+
+def test_ushaped_hand_journeys(spark):
+    """3-touch 40/20/40, 2-touch 50/50, 1-touch 100%, direct cases."""
+    import datetime as dt
+
+    from mcpvectordb_spark.operators.analytics import ushaped_attribution
+
+    T0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(mins):
+        return T0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        (1, 1, ts(0), "view", 0.0), (1, 2, ts(10), "click", 0.0),
+        (1, 3, ts(20), "signup", 0.0), (1, 4, ts(30), "purchase", 100.0),
+        (2, 5, ts(0), "click", 0.0), (2, 6, ts(5), "purchase", 50.0),
+        (3, 7, ts(0), "purchase", 80.0),
+        (4, 8, ts(-60 * 24 * 10), "view", 0.0), (4, 9, ts(0), "purchase", 10.0),
+        (5, 10, ts(0), "view", 0.0), (5, 11, ts(1), "error", 0.0),
+        (5, 12, ts(2), "purchase", 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+    per = {}
+    for r in ushaped_attribution(df).collect():
+        per.setdefault(r["ceid"], []).append(
+            (r["channel"], r["credit"], r["credited_value"])
+        )
+    assert sorted(per[4]) == [
+        ("click", 0.2, 20.0), ("signup", 0.4, 40.0), ("view", 0.4, 40.0)
+    ]
+    assert per[6] == [("click", 1.0, 50.0)]
+    assert per[7] == [("direct", 1.0, 80.0)]
+    # a touch OUTSIDE the 7-day window must not swallow the conversion
+    assert per[9] == [("direct", 1.0, 10.0)]
+    assert sorted(per[12]) == [("error", 0.5, 20.0), ("view", 0.5, 20.0)]
+
+
+def test_ushaped_credit_conservation(spark):
+    """Per-conversion credits always sum to exactly 1."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mcpvectordb_spark.operators.analytics import ushaped_attribution
+
+    T0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for u in range(1, 9):
+        for i in range(u):  # journeys of growing length
+            eid += 1
+            rows.append((u, eid, T0 + dt.timedelta(minutes=i), "view", 0.0))
+        eid += 1
+        rows.append((u, eid, T0 + dt.timedelta(minutes=99), "purchase", 10.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+    sums = (
+        ushaped_attribution(df)
+        .groupBy("ceid")
+        .agg(F.sum("credit").alias("s"))
+        .collect()
+    )
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
