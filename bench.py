@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "embedding_isotropy",    # eigen-free PR + exact mean pairwise cosine
     "events_mase",           # HW-vs-seasonal-naive forecast skill
     "events_attribution_ushaped",  # 40/20/40 multi-touch credits
+    "events_periodogram",    # direct DFT power at candidate periods
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

@@ -19,6 +19,8 @@ Parity rules (learned empirically, see .claude/skills/verify/SKILL.md):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -7254,6 +7256,114 @@ FROM credited GROUP BY 1
 """
 
 
+def q_events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted periodogram: spectral power of the hourly volume series
+    at candidate periods (6h, 12h, 24h, 168h) per event type — the
+    frequency-domain twin of events_acf, computed as the DIRECT DFT
+    projection (A = sum y~ cos(wt), B = sum y~ sin(wt), power =
+    (A^2+B^2)/n) rather than an FFT: candidate periods are known, the
+    projections are MAP-ONLY trig products + one agg per (type, period),
+    and there is no sequential dependency at all — embarrassingly
+    parallel at any scale.  Mean-centering uses the exact integer sums
+    (A = sum y cos - ybar sum cos).  Flags each type's dominant period
+    by power (deterministic (power desc, period asc) tie-break)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600)).cast("long").alias("t"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("t0", "t1")).alias("t")
+    )
+    dense = grid.join(hourly, ["event_type", "t"], "left").select(
+        "event_type", "t", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    per = dense.select(
+        "event_type",
+        "t",
+        "y",
+        F.explode(F.array(F.lit(6), F.lit(12), F.lit(24), F.lit(168))).alias(
+            "period"
+        ),
+    ).select(
+        "event_type",
+        "period",
+        "y",
+        (
+            F.lit(2.0) * F.lit(math.pi) * F.col("t").cast("double")
+            / F.col("period")
+        ).alias("w"),
+    )
+    agg = per.groupBy("event_type", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.cos("w")).alias("syc"),
+        F.sum(F.col("y") * F.sin("w")).alias("sys"),
+        F.sum(F.cos("w")).alias("sc"),
+        F.sum(F.sin("w")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    ybar = F.col("sy").cast("double") / nd
+    a = F.col("syc") - ybar * F.col("sc")
+    b = F.col("sys") - ybar * F.col("ss")
+    power = (a * a + b * b) / nd
+    scored = agg.select(
+        "event_type", "period", "n", power.alias("p_raw")
+    )
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("p_raw").desc(), F.col("period").asc()
+    )
+    return scored.select(
+        "event_type",
+        "period",
+        "n",
+        F.round("p_raw", 6).alias("power"),
+        (F.row_number().over(wd) == 1).alias("dominant"),
+    )
+
+
+SQL_EVENTS_PERIODOGRAM = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, min(t) AS t0, max(t) AS t1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(range(t0, t1 + 1)) AS t FROM bounds),
+dense AS (
+  SELECT g.event_type, g.t, COALESCE(h.y, 0) AS y
+  FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.t = g.t),
+per AS (
+  SELECT event_type, period, y,
+         2.0 * pi() * CAST(t AS DOUBLE) / period AS w
+  FROM dense CROSS JOIN (SELECT unnest([6, 12, 24, 168]) AS period) p),
+agg AS (
+  SELECT event_type, CAST(period AS INTEGER) AS period,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(y * cos(w)) AS syc, sum(y * sin(w)) AS sys,
+         sum(cos(w)) AS sc, sum(sin(w)) AS ss
+  FROM per GROUP BY 1, 2),
+scored AS (
+  SELECT event_type, period, n,
+         ((syc - (CAST(sy AS DOUBLE) / n) * sc)
+            * (syc - (CAST(sy AS DOUBLE) / n) * sc)
+          + (sys - (CAST(sy AS DOUBLE) / n) * ss)
+            * (sys - (CAST(sy AS DOUBLE) / n) * ss)) / CAST(n AS DOUBLE)
+           AS p_raw
+  FROM agg)
+SELECT event_type, period, n, round(p_raw, 6) AS power,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY p_raw DESC, period ASC) = 1 AS dominant
+FROM scored
+"""
+
+
 def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle census of the co-purchase graph (graph.py::
     triangle_count — degree-ordered orientation, O(m^1.5) wedge fanout):
@@ -11007,6 +11117,7 @@ QUERIES = {
     "embedding_isotropy": q_embedding_isotropy,
     "events_mase": q_events_mase,
     "events_attribution_ushaped": q_events_attribution_ushaped,
+    "events_periodogram": q_events_periodogram,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -11275,6 +11386,7 @@ ORACLES = {
     "embedding_isotropy": SQL_EMBEDDING_ISOTROPY,
     "events_mase": SQL_EVENTS_MASE,
     "events_attribution_ushaped": SQL_EVENTS_ATTRIBUTION_USHAPED,
+    "events_periodogram": SQL_EVENTS_PERIODOGRAM,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -1351,3 +1351,55 @@ def test_ushaped_credit_conservation(spark):
         .collect()
     )
     assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+
+
+# -- events_periodogram (catalog-level) ------------------------------------------
+
+
+def test_periodogram_planted_cycle_dominates(spark):
+    """A planted 24h cycle must dominate the candidate periods."""
+    from pyspark.sql import functions as F
+    import math
+
+    # reuse the catalog algebra on a synthetic hourly frame
+    hourly = spark.range(24 * 60).select(
+        F.lit("a").alias("event_type"),
+        F.col("id").alias("t"),
+        (
+            F.lit(100)
+            + (F.lit(40.0) * F.cos(F.lit(2 * math.pi / 24) * F.col("id"))).cast("long")
+            + F.pmod(F.xxhash64("id"), F.lit(7))
+        ).alias("y"),
+    )
+    per = hourly.select(
+        "event_type", "t", "y",
+        F.explode(F.array(F.lit(6), F.lit(12), F.lit(24), F.lit(168))).alias("period"),
+    ).select(
+        "event_type", "period", "y",
+        (F.lit(2.0) * F.lit(math.pi) * F.col("t").cast("double") / F.col("period")).alias("w"),
+    )
+    agg = per.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.cos("w")).alias("syc"),
+        F.sum(F.col("y") * F.sin("w")).alias("sys"),
+        F.sum(F.cos("w")).alias("sc"),
+        F.sum(F.sin("w")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    ybar = F.col("sy") / nd
+    a = F.col("syc") - ybar * F.col("sc")
+    b = F.col("sys") - ybar * F.col("ss")
+    rows = {r["period"]: r["p"] for r in agg.select(
+        "period", ((a * a + b * b) / nd).alias("p")).collect()}
+    assert rows[24] > 10 * max(rows[6], rows[12], rows[168]), rows
+
+
+def test_periodogram_catalog_shape(spark):
+    from mcpvectordb_spark.catalog import QUERIES
+
+    rows = QUERIES["events_periodogram"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20  # 5 types x 4 periods
+    doms = [r for r in rows if r["dominant"]]
+    assert len(doms) == 5  # exactly one dominant period per type
+    assert all(r["power"] >= 0 for r in rows)
