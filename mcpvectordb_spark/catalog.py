@@ -462,8 +462,8 @@ def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = 64
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    base = emb.select(
-        v.alias("v"), F.transform(v, lambda x: x / norm).alias("vh")
+    base = dd.fan_out(
+        emb.select(v.alias("v"), F.transform(v, lambda x: x / norm).alias("vh"))
     ).localCheckpoint(eager=False)
     nrow = base.count()
 

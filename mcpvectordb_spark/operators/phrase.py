@@ -27,10 +27,14 @@ from pyspark.sql import functions as F
 def phrase_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, pos, token) positional postings; pos is 1-based.  Tokens
     split on single spaces — mirror the corpus normalization (and the
-    oracle) rather than guessing at whitespace classes."""
-    return docs.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "token"),
+    oracle) rather than guessing at whitespace classes.  The compact doc
+    table is rebalanced first (fan_out): small-file scans are 1-2
+    partitions and would serialize the posexplode."""
+    from mcpvectordb_spark.operators.dedup import fan_out
+
+    return fan_out(docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))).select(
+        "doc",
+        F.posexplode(F.split(F.col("__t"), " ")).alias("pos0", "token"),
     ).select("doc", (F.col("pos0") + 1).alias("pos"), "token")
 
 
