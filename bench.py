@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "events_mase",           # HW-vs-seasonal-naive forecast skill
     "events_attribution_ushaped",  # 40/20/40 multi-touch credits
     "events_periodogram",    # direct DFT power at candidate periods
+    "events_ks",             # exact block-CDF two-sample KS test
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

@@ -7364,6 +7364,58 @@ FROM scored
 """
 
 
+def q_events_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test (stats.py::
+    ks_two_sample) of purchase vs view VALUE distributions in cents —
+    the shape-sensitive nonparametric twin of events_mannwhitney
+    (location): KS catches variance/shape drift a rank-sum test cannot.
+    D is a max over value-block CDF gaps — exact integer ratios, one
+    window over distinct cents, no raw-row sort — with the Smirnov 5%
+    bound on lambda = D*sqrt(nm/(n+m)).  The oracle replays the block
+    CDFs and the (diff desc, value asc) argmax."""
+    from mcpvectordb_spark.operators.stats import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return ks_two_sample(obs, "event_type", "cents", "purchase", "view")
+
+
+SQL_EVENTS_KS = """
+WITH obs AS (
+  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('purchase', 'view')),
+blocks AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM obs GROUP BY 1),
+cum AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+  FROM blocks),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM blocks),
+d AS (
+  SELECT v, na, nb,
+         abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb) AS diff
+  FROM cum CROSS JOIN tot),
+best AS (
+  SELECT *, row_number() OVER (ORDER BY diff DESC, v ASC) AS rk FROM d
+  QUALIFY rk = 1)
+SELECT na AS n_a, nb AS n_b,
+       round(diff, 6) AS d,
+       v AS d_at_value,
+       round(diff * sqrt(CAST(na AS DOUBLE) * nb / CAST(na + nb AS DOUBLE)), 6) AS lam,
+       diff * sqrt(CAST(na AS DOUBLE) * nb / CAST(na + nb AS DOUBLE)) > 1.358 AS reject_95
+FROM best
+"""
+
+
 def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle census of the co-purchase graph (graph.py::
     triangle_count — degree-ordered orientation, O(m^1.5) wedge fanout):
@@ -11118,6 +11170,7 @@ QUERIES = {
     "events_mase": q_events_mase,
     "events_attribution_ushaped": q_events_attribution_ushaped,
     "events_periodogram": q_events_periodogram,
+    "events_ks": q_events_ks,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -11387,6 +11440,7 @@ ORACLES = {
     "events_mase": SQL_EVENTS_MASE,
     "events_attribution_ushaped": SQL_EVENTS_ATTRIBUTION_USHAPED,
     "events_periodogram": SQL_EVENTS_PERIODOGRAM,
+    "events_ks": SQL_EVENTS_KS,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

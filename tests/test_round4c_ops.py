@@ -1403,3 +1403,56 @@ def test_periodogram_catalog_shape(spark):
     doms = [r for r in rows if r["dominant"]]
     assert len(doms) == 5  # exactly one dominant period per type
     assert all(r["power"] >= 0 for r in rows)
+
+
+# -- ks_two_sample --------------------------------------------------------------
+
+
+def test_ks_matches_definition(spark):
+    from mcpvectordb_spark.operators.stats import ks_two_sample
+
+    xa = [1, 2, 2, 3, 5, 8]
+    xb = [2, 3, 3, 4, 9]
+    rows = [("a", v) for v in xa] + [("b", v) for v in xb]
+    r = ks_two_sample(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b"
+    ).collect()[0]
+    vals = sorted(set(xa + xb))
+    dref = max(
+        abs(
+            sum(1 for x in xa if x <= v) / len(xa)
+            - sum(1 for x in xb if x <= v) / len(xb)
+        )
+        for v in vals
+    )
+    assert abs(r["d"] - dref) < 5e-7
+    assert r["n_a"] == 6 and r["n_b"] == 5
+
+
+def test_ks_detects_shape_not_location(spark):
+    """Same-mean different-spread: KS rejects where a location test has
+    nothing to find."""
+    import random
+
+    from mcpvectordb_spark.operators.stats import ks_two_sample
+
+    random.seed(2)
+    rows = [("a", round(random.gauss(100, 5))) for _ in range(4000)] + [
+        ("b", round(random.gauss(100, 20))) for _ in range(4000)
+    ]
+    r = ks_two_sample(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b"
+    ).collect()[0]
+    assert r["reject_95"]
+    assert r["d"] > 0.15
+
+
+def test_ks_identical_zero(spark):
+    from mcpvectordb_spark.operators.stats import ks_two_sample
+
+    xs = [1, 4, 4, 7, 9] * 20
+    rows = [("a", v) for v in xs] + [("b", v) for v in xs]
+    r = ks_two_sample(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b"
+    ).collect()[0]
+    assert r["d"] == 0.0 and not r["reject_95"]
