@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "events_attribution_ushaped",  # 40/20/40 multi-touch credits
     "events_periodogram",    # direct DFT power at candidate periods
     "events_ks",             # exact block-CDF two-sample KS test
+    "customers_eb_rates",    # beta-binomial shrinkage of noisy rates
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

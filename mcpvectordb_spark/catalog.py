@@ -7416,6 +7416,78 @@ FROM best
 """
 
 
+def q_customers_eb_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage (stats.py::eb_shrink_rates) of
+    per-customer fulfilled-order ('F') rates under a beta-binomial
+    prior — the batting-average fix for "this customer is 100% because
+    they ordered once": a method-of-moments Beta prior fits on
+    customers with >= 5 orders (binomial noise would otherwise inflate
+    the ensemble variance and collapse the prior) and every customer's
+    rate pulls toward the prior mean in proportion to evidence.  Output
+    pins the 20 most-shrunk customers (|raw - eb| desc, key asc) so the
+    gate checks exactly the rows shrinkage exists for.  One moment agg,
+    one broadcast prior row, codegen shrinkage."""
+    from mcpvectordb_spark.operators.stats import eb_shrink_rates
+
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("k"),
+    )
+    out = eb_shrink_rates(counts, "cust", "n", "k", min_n=5)
+    w = Window.orderBy(
+        F.abs(F.col("raw_rate") - F.col("eb_rate")).desc(), F.col("cust").asc()
+    )
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("cust").alias("o_custkey"),
+            "n",
+            "k",
+            "raw_rate",
+            "alpha",
+            "beta",
+            "eb_rate",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+SQL_CUSTOMERS_EB_RATES = """
+WITH counts AS (
+  SELECT o_custkey AS cust, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM orders GROUP BY 1),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS c,
+         sum(CAST(k AS DOUBLE) / n) AS sp,
+         sum((CAST(k AS DOUBLE) / n) * (CAST(k AS DOUBLE) / n)) AS spp
+  FROM counts WHERE n >= 5),
+prior AS (
+  SELECT CASE WHEN v > 0 AND scale > 0 THEN m * scale END AS alpha,
+         CASE WHEN v > 0 AND scale > 0 THEN (1.0 - m) * scale END AS beta
+  FROM (
+    SELECT m, v, m * (1.0 - m) / v - 1.0 AS scale
+    FROM (
+      SELECT sp / CAST(c AS DOUBLE) AS m,
+             spp / CAST(c AS DOUBLE)
+               - (sp / CAST(c AS DOUBLE)) * (sp / CAST(c AS DOUBLE)) AS v
+      FROM mom))),
+shrunk AS (
+  SELECT cust, n, k,
+         round(CAST(k AS DOUBLE) / n, 6) AS raw_rate,
+         round(alpha, 6) AS alpha, round(beta, 6) AS beta,
+         round((k + alpha) / (n + alpha + beta), 6) AS eb_rate
+  FROM counts CROSS JOIN prior)
+SELECT cust AS o_custkey, n, k, raw_rate, alpha, beta, eb_rate,
+       CAST(row_number() OVER (ORDER BY abs(raw_rate - eb_rate) DESC, cust ASC)
+            AS BIGINT) AS rk
+FROM shrunk
+QUALIFY rk <= 20
+"""
+
+
 def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle census of the co-purchase graph (graph.py::
     triangle_count — degree-ordered orientation, O(m^1.5) wedge fanout):
@@ -11171,6 +11243,7 @@ QUERIES = {
     "events_attribution_ushaped": q_events_attribution_ushaped,
     "events_periodogram": q_events_periodogram,
     "events_ks": q_events_ks,
+    "customers_eb_rates": q_customers_eb_rates,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -11441,6 +11514,7 @@ ORACLES = {
     "events_attribution_ushaped": SQL_EVENTS_ATTRIBUTION_USHAPED,
     "events_periodogram": SQL_EVENTS_PERIODOGRAM,
     "events_ks": SQL_EVENTS_KS,
+    "customers_eb_rates": SQL_CUSTOMERS_EB_RATES,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

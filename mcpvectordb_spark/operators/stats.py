@@ -667,3 +667,70 @@ def ks_two_sample(
         F.round(lam, 6).alias("lam"),
         (lam > 1.358).alias("reject_95"),
     )
+
+
+def eb_shrink_rates(
+    counts: DataFrame,
+    key_col: str,
+    n_col: str,
+    k_col: str,
+    min_n: int = 1,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-key success rates under a
+    beta-binomial model (the batting-average estimator): fit a Beta
+    prior to the ENSEMBLE of observed rates by method of moments,
+
+        a = m * (m(1-m)/v - 1),   b = (1-m) * (m(1-m)/v - 1)
+
+    with m / v the mean / population variance of the raw rates p_i =
+    k_i/n_i, then pull every key toward the prior mean in proportion to
+    its evidence:  eb_i = (k_i + a) / (n_i + a + b).  Small-n keys
+    shrink hard, large-n keys barely move — the fix for "this customer
+    is 100% because they ordered once".
+
+    ``min_n``: fit the prior only on keys with n >= min_n — raw-rate
+    variance includes binomial noise E[t(1-t)/n] on top of the true
+    prior variance, so low-evidence keys INFLATE v and collapse the
+    fitted prior (measured: beta(8,12) data with n=1 keys included fits
+    alpha+beta ~ 1.5 instead of ~20).  Shrinkage still applies to ALL
+    keys.
+
+    One pass computes the moment sums (count, sum p, sum p^2); the
+    prior is a broadcast scalar row; shrinkage is a codegen projection.
+    Degenerate ensembles (v = 0 or v >= m(1-m), where MoM gives a
+    non-positive prior) emit NULL eb — shrinking is undefined, not
+    silently skipped.  Returns (key, n, k, raw_rate, alpha, beta,
+    eb_rate).
+    """
+    a = counts.select(
+        F.col(key_col).alias("key"),
+        F.col(n_col).cast("long").alias("n"),
+        F.col(k_col).cast("long").alias("k"),
+    ).filter(F.col("n") > 0)
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    mom = a.filter(F.col("n") >= int(min_n)).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(p).alias("sp"),
+        F.sum(p * p).alias("spp"),
+    )
+    cd = F.col("c").cast("double")
+    m = F.col("sp") / cd
+    v = F.col("spp") / cd - (F.col("sp") / cd) * (F.col("sp") / cd)
+    scale = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    prior = mom.select(
+        F.when((v > 0) & (scale > 0), m * scale).alias("alpha"),
+        F.when((v > 0) & (scale > 0), (F.lit(1.0) - m) * scale).alias("beta"),
+    )
+    return a.crossJoin(F.broadcast(prior)).select(
+        F.col("key").alias(key_col),
+        "n",
+        "k",
+        F.round(p, 6).alias("raw_rate"),
+        F.round("alpha", 6).alias("alpha"),
+        F.round("beta", 6).alias("beta"),
+        F.round(
+            (F.col("k") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta")),
+            6,
+        ).alias("eb_rate"),
+    )

@@ -1456,3 +1456,48 @@ def test_ks_identical_zero(spark):
         spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b"
     ).collect()[0]
     assert r["d"] == 0.0 and not r["reject_95"]
+
+
+# -- eb_shrink_rates --------------------------------------------------------------
+
+
+def test_eb_recovers_planted_beta_prior(spark):
+    import random
+
+    from mcpvectordb_spark.operators.stats import eb_shrink_rates
+
+    random.seed(6)
+    rows = []
+    for i in range(800):
+        t = random.betavariate(8, 12)
+        n = random.choice([1, 2, 5, 20, 200])
+        k = sum(1 for _ in range(n) if random.random() < t)
+        rows.append((i, n, k))
+    df = spark.createDataFrame(rows, ["key", "n", "k"])
+    out = {r["key"]: r for r in eb_shrink_rates(df, "key", "n", "k", min_n=100).collect()}
+    r0 = next(iter(out.values()))
+    assert 4 < r0["alpha"] < 16 and 6 < r0["beta"] < 24
+    pm = r0["alpha"] / (r0["alpha"] + r0["beta"])
+    # eb always lies between the raw rate and the prior mean
+    for r in out.values():
+        lo, hi = sorted([r["raw_rate"], pm])
+        assert lo - 1e-6 <= r["eb_rate"] <= hi + 1e-6
+    # n = 1 perfect scores shrink almost to the prior; n = 200 barely move
+    ones = [r for r in out.values() if r["n"] == 1 and r["raw_rate"] == 1.0]
+    assert ones and all(abs(r["eb_rate"] - pm) < 0.15 for r in ones)
+    assert all(
+        abs(r["eb_rate"] - r["raw_rate"]) < 0.05
+        for r in out.values()
+        if r["n"] == 200
+    )
+
+
+def test_eb_degenerate_ensemble_null(spark):
+    """All keys share one rate -> v = 0 -> prior undefined -> NULL eb."""
+    from mcpvectordb_spark.operators.stats import eb_shrink_rates
+
+    rows = [(i, 10, 5) for i in range(50)]
+    out = eb_shrink_rates(
+        spark.createDataFrame(rows, ["key", "n", "k"]), "key", "n", "k"
+    ).collect()
+    assert all(r["eb_rate"] is None and r["alpha"] is None for r in out)
