@@ -1495,6 +1495,85 @@ SELECT s AS event_type, round(pi, 6) AS pi FROM p6
 SQL_EVENTS_MARKOV = _sql_events_markov()
 
 
+def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey next-event process: conditional
+    entropy H(next | current) of the empirical transition chain, the
+    marginal next-event entropy H(next), their difference (the mutual
+    information between consecutive events = how much knowing the
+    current event helps prediction), and conditional perplexity — the
+    information-theoretic ceiling for ANY next-event recommender on
+    this corpus (a model cannot beat 2^H_cond average branching).  Pure
+    count arithmetic over the (src, dst) transition table (the
+    events_markov lead() pairs) — exact BIGINT counts, per-cell log2
+    terms, no iteration.  The oracle replays the same cells."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cells = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    rowt = cells.groupBy("src").agg(F.sum("c").alias("t"))
+    colt = cells.groupBy("dst").agg(F.sum("c").alias("m"))
+    tot = cells.agg(F.sum("c").alias("cc"))
+    j = cells.join(F.broadcast(rowt), "src").crossJoin(F.broadcast(tot))
+    hcond = j.agg(
+        F.first("cc").alias("n_transitions"),
+        (
+            -F.sum(
+                F.col("c").cast("double")
+                / F.col("cc")
+                * F.log2(F.col("c").cast("double") / F.col("t"))
+            )
+        ).alias("h_cond"),
+    )
+    hmarg = colt.crossJoin(F.broadcast(tot)).agg(
+        (
+            -F.sum(
+                F.col("m").cast("double")
+                / F.col("cc")
+                * F.log2(F.col("m").cast("double") / F.col("cc"))
+            )
+        ).alias("h_marg")
+    )
+    return hcond.crossJoin(F.broadcast(hmarg)).select(
+        "n_transitions",
+        F.round("h_cond", 6).alias("h_cond_bits"),
+        F.round("h_marg", 6).alias("h_marg_bits"),
+        F.round(F.col("h_marg") - F.col("h_cond"), 6).alias("mi_bits"),
+        F.round(F.pow(F.lit(2.0), F.col("h_cond")), 6).alias("perplexity"),
+    )
+
+
+SQL_EVENTS_ENTROPY_RATE = """
+WITH trans AS (
+  SELECT src, dst FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events)
+  WHERE dst IS NOT NULL),
+cells AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM trans GROUP BY 1, 2),
+rowt AS (SELECT src, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+colt AS (SELECT dst, CAST(sum(c) AS BIGINT) AS m FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS cc FROM cells),
+hc AS (
+  SELECT any_value(cc) AS n_transitions,
+         -sum(CAST(c AS DOUBLE) / cc * log2(CAST(c AS DOUBLE) / t)) AS h_cond
+  FROM cells JOIN rowt USING(src) CROSS JOIN tot),
+hm AS (
+  SELECT -sum(CAST(m AS DOUBLE) / cc * log2(CAST(m AS DOUBLE) / cc)) AS h_marg
+  FROM colt CROSS JOIN tot)
+SELECT n_transitions,
+       round(h_cond, 6) AS h_cond_bits,
+       round(h_marg, 6) AS h_marg_bits,
+       round(h_marg - h_cond, 6) AS mi_bits,
+       round(power(2.0, h_cond), 6) AS perplexity
+FROM hc CROSS JOIN hm
+"""
+
+
 def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join/agg-key skew diagnostics (operators/skew.py::skew_report):
     top-10 heaviest l_suppkey values in lineitem with share / cumulative
@@ -11244,6 +11323,7 @@ QUERIES = {
     "events_periodogram": q_events_periodogram,
     "events_ks": q_events_ks,
     "customers_eb_rates": q_customers_eb_rates,
+    "events_entropy_rate": q_events_entropy_rate,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -11515,6 +11595,7 @@ ORACLES = {
     "events_periodogram": SQL_EVENTS_PERIODOGRAM,
     "events_ks": SQL_EVENTS_KS,
     "customers_eb_rates": SQL_CUSTOMERS_EB_RATES,
+    "events_entropy_rate": SQL_EVENTS_ENTROPY_RATE,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -1501,3 +1501,47 @@ def test_eb_degenerate_ensemble_null(spark):
         spark.createDataFrame(rows, ["key", "n", "k"]), "key", "n", "k"
     ).collect()
     assert all(r["eb_rate"] is None and r["alpha"] is None for r in out)
+
+
+# -- events_entropy_rate (catalog-level) --------------------------------------------
+
+
+def test_entropy_rate_bounds_and_consistency(spark):
+    """0 <= MI, H_cond <= H_marg <= log2(|states|), perplexity = 2^H_cond."""
+    from mcpvectordb_spark.catalog import QUERIES
+
+    r = QUERIES["events_entropy_rate"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_transitions"] > 0
+    assert 0 <= r["h_cond_bits"] <= r["h_marg_bits"] + 1e-9
+    assert r["h_marg_bits"] <= 2.3219282  # log2(5) for 5 event types
+    assert abs(r["mi_bits"] - (r["h_marg_bits"] - r["h_cond_bits"])) < 1e-5
+    assert abs(r["perplexity"] - 2 ** r["h_cond_bits"]) < 1e-3
+
+
+def test_entropy_rate_deterministic_chain(spark):
+    """A perfectly deterministic chain has H_cond = 0, perplexity 1."""
+    import datetime as dt
+
+    from pyspark.sql import Window, functions as F
+
+    T0 = dt.datetime(2024, 1, 1)
+    # every user cycles a -> b -> c -> a ...
+    rows = []
+    eid = 0
+    for u in range(5):
+        for i in range(12):
+            eid += 1
+            rows.append((u, eid, T0 + dt.timedelta(minutes=i), "abc"[i % 3]))
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cells = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    rowt = cells.groupBy("src").agg(F.sum("c").alias("t"))
+    tot = cells.agg(F.sum("c").alias("cc"))
+    h = cells.join(rowt, "src").crossJoin(tot).agg(
+        (-F.sum(F.col("c") / F.col("cc") * F.log2(F.col("c") / F.col("t")))).alias("h")
+    ).collect()[0]["h"]
+    assert abs(h) < 1e-12
