@@ -1574,6 +1574,78 @@ FROM hc CROSS JOIN hm
 """
 
 
+def q_vocab_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church-Gale): for the top-50 terms by collection
+    frequency, compare observed document frequency with the Poisson
+    expectation df_exp = N*(1 - exp(-cf/N)) — content words BURST
+    (df_obs << df_exp: occurrences clump in few docs) while function
+    words scatter Poisson-like.  The adaptation ratio df_obs/df_exp and
+    per-containing-doc mean cf/df are the classic lexical statistics
+    for stopword induction and keyword weighting, computed from the
+    SAME posting counts BM25 maintains: one groupBy, one broadcast
+    scalar, a codegen projection.  Deterministic (cf desc, term asc)
+    top-50."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(dd.normalize_text(F.col("text")), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    posting = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = posting.groupBy("term").agg(
+        F.sum("tf").alias("cf"), F.count(F.lit(1)).alias("df")
+    )
+    nn = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
+    top = (
+        stats.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .crossJoin(F.broadcast(nn))
+    )
+    nd = F.col("n_docs").cast("double")
+    df_exp = nd * (
+        F.lit(1.0) - F.exp(-(F.col("cf").cast("double") / nd))
+    )
+    return top.select(
+        "term",
+        "cf",
+        "df",
+        F.col("rk").cast("long").alias("rk"),
+        F.round(df_exp, 6).alias("df_expected"),
+        F.round(F.col("df").cast("double") / df_exp, 6).alias("adaptation"),
+        F.round(F.col("cf").cast("double") / F.col("df"), 6).alias(
+            "mean_tf_in_doc"
+        ),
+    )
+
+
+SQL_VOCAB_BURSTINESS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_words("text")}) AS term FROM documents),
+toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+posting AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks2 GROUP BY 1, 2),
+stats AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS cf, CAST(count(*) AS BIGINT) AS df
+  FROM posting GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+top AS (
+  SELECT term, cf, df,
+         row_number() OVER (ORDER BY cf DESC, term ASC) AS rk
+  FROM stats QUALIFY rk <= 50)
+SELECT term, cf, df, CAST(rk AS BIGINT) AS rk,
+       round(CAST(n_docs AS DOUBLE)
+             * (1.0 - exp(-(CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6)
+         AS df_expected,
+       round(CAST(df AS DOUBLE)
+             / (CAST(n_docs AS DOUBLE)
+                * (1.0 - exp(-(CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 6)
+         AS adaptation,
+       round(CAST(cf AS DOUBLE) / df, 6) AS mean_tf_in_doc
+FROM top CROSS JOIN nn
+"""
+
+
 def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join/agg-key skew diagnostics (operators/skew.py::skew_report):
     top-10 heaviest l_suppkey values in lineitem with share / cumulative
@@ -11324,6 +11396,7 @@ QUERIES = {
     "events_ks": q_events_ks,
     "customers_eb_rates": q_customers_eb_rates,
     "events_entropy_rate": q_events_entropy_rate,
+    "vocab_burstiness": q_vocab_burstiness,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -11596,6 +11669,7 @@ ORACLES = {
     "events_ks": SQL_EVENTS_KS,
     "customers_eb_rates": SQL_CUSTOMERS_EB_RATES,
     "events_entropy_rate": SQL_EVENTS_ENTROPY_RATE,
+    "vocab_burstiness": SQL_VOCAB_BURSTINESS,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -1545,3 +1545,47 @@ def test_entropy_rate_deterministic_chain(spark):
         (-F.sum(F.col("c") / F.col("cc") * F.log2(F.col("c") / F.col("t")))).alias("h")
     ).collect()[0]["h"]
     assert abs(h) < 1e-12
+
+
+# -- vocab_burstiness (catalog-level) -----------------------------------------------
+
+
+def test_burstiness_planted_bursty_vs_scattered(spark):
+    """A term that clumps in few docs adapts << 1; a scattered term ~ 1."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    # 100 docs; 'spread' once per doc (cf=100, df=100);
+    # 'burst' 10 times in each of 10 docs (cf=100, df=10)
+    docs = [
+        (i, "spread " + ("burst " * 10 if i < 10 else "filler "))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    stats = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")) \
+        .groupBy("term").agg(F.sum("tf").alias("cf"), F.count(F.lit(1)).alias("df"))
+    r = {x["term"]: x for x in stats.collect()}
+    n = 100
+    for term, want_adapt in (("spread", 1.58), ("burst", 0.158)):
+        cf, dfq = r[term]["cf"], r[term]["df"]
+        df_exp = n * (1 - math.exp(-cf / n))
+        adapt = dfq / df_exp
+        if term == "spread":
+            assert adapt > 1.5  # one-per-doc beats Poisson expectation
+        else:
+            assert adapt < 0.2  # bursty: far fewer docs than Poisson predicts
+
+
+def test_burstiness_catalog_shape(spark):
+    from mcpvectordb_spark.catalog import QUERIES
+
+    rows = QUERIES["vocab_burstiness"](spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert r["df"] <= r["cf"]
+        assert r["df_expected"] > 0 and r["adaptation"] > 0
+        assert r["mean_tf_in_doc"] >= 1.0
