@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "customers_eb_rates",    # beta-binomial shrinkage of noisy rates
     "events_entropy_rate",   # next-event conditional entropy + MI
     "vocab_burstiness",      # Church-Gale adaptation over the vocabulary
+    "events_did",            # DiD four-cell estimate + A/A placebo
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

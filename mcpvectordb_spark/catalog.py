@@ -1646,6 +1646,124 @@ FROM top CROSS JOIN nn
 """
 
 
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences harness, validated as an A/A placebo:
+    users hash-split into two arms (the ab_assign contract), the event
+    window split at its epoch midpoint, per-user-period purchase cents
+    aggregated, and DiD = (T_post - T_pre) - (C_post - C_pre) estimated
+    with the four-cell pooled standard error.  On a hash split with no
+    real intervention the estimate MUST sit inside its CI (the placebo
+    gate every DiD pipeline should ship with — a significant A/A DiD
+    means clustered or time-confounded errors).  Exact cents, exact
+    integer midpoint; cell moments are one groupBy over user-periods."""
+    from mcpvectordb_spark.operators.dedup import hexint48
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("t0"),
+        F.max(F.unix_timestamp("ts")).alias("t1"),
+    )
+    base = ev.crossJoin(F.broadcast(span)).select(
+        F.pmod(hexint48(F.col("user_id").cast("string")), F.lit(2)).alias("arm"),
+        (
+            F.unix_timestamp("ts")
+            >= ((F.col("t0") + F.col("t1")) / 2).cast("long")
+        ).cast("int").alias("post"),
+        "user_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100, 0).cast("long"),
+        ).otherwise(F.lit(0)).alias("cents"),
+    )
+    per_user = base.groupBy("arm", "post", "user_id").agg(
+        F.sum("cents").alias("y")
+    )
+    cells = per_user.groupBy("arm", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sy").cast("double") / nd
+    var = (nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")) / (
+        nd * (nd - 1)
+    )
+    m = cells.select(
+        "arm", "post", "n", mean.alias("m"), (var / nd).alias("vm")
+    )
+    wide = (
+        m.groupBy()
+        .pivot("arm", [0, 1])
+        .agg(
+            F.max(F.when(F.col("post") == 0, F.col("m"))).alias("pre"),
+            F.max(F.when(F.col("post") == 1, F.col("m"))).alias("post"),
+            F.sum("vm").alias("v"),
+        )
+    )
+    did = (F.col("1_post") - F.col("1_pre")) - (
+        F.col("0_post") - F.col("0_pre")
+    )
+    se = F.sqrt(F.col("0_v") + F.col("1_v"))
+    return wide.select(
+        F.round(F.col("0_pre") / 100, 4).alias("control_pre"),
+        F.round(F.col("0_post") / 100, 4).alias("control_post"),
+        F.round(F.col("1_pre") / 100, 4).alias("treat_pre"),
+        F.round(F.col("1_post") / 100, 4).alias("treat_post"),
+        F.round(did / 100, 4).alias("did"),
+        F.round(se / 100, 4).alias("se"),
+        F.round(did / se, 6).alias("t_stat"),
+        (F.abs(did / se) > 1.96).alias("significant"),
+    )
+
+
+SQL_EVENTS_DID = f"""
+WITH span AS (
+  SELECT CAST(min(epoch(date_trunc('second', ts))) AS BIGINT) AS t0,
+         CAST(max(epoch(date_trunc('second', ts))) AS BIGINT) AS t1
+  FROM events),
+base AS (
+  SELECT {_sql_hex48("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+              >= (t0 + t1) // 2 AS INT) AS post,
+         user_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+  FROM events CROSS JOIN span),
+per_user AS (
+  SELECT arm, post, user_id, CAST(sum(cents) AS BIGINT) AS y
+  FROM base GROUP BY 1, 2, 3),
+cells AS (
+  SELECT arm, post, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM per_user GROUP BY 1, 2),
+m AS (
+  SELECT arm, post, n,
+         CAST(sy AS DOUBLE) / n AS m,
+         ((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / n AS vm
+  FROM cells),
+wide AS (
+  SELECT
+    max(CASE WHEN arm = 0 AND post = 0 THEN m END) AS c_pre,
+    max(CASE WHEN arm = 0 AND post = 1 THEN m END) AS c_post,
+    max(CASE WHEN arm = 1 AND post = 0 THEN m END) AS t_pre,
+    max(CASE WHEN arm = 1 AND post = 1 THEN m END) AS t_post,
+    sum(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS v0,
+    sum(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS v1
+  FROM m)
+SELECT round(c_pre / 100, 4) AS control_pre,
+       round(c_post / 100, 4) AS control_post,
+       round(t_pre / 100, 4) AS treat_pre,
+       round(t_post / 100, 4) AS treat_post,
+       round(((t_post - t_pre) - (c_post - c_pre)) / 100, 4) AS did,
+       round(sqrt(v0 + v1) / 100, 4) AS se,
+       round(((t_post - t_pre) - (c_post - c_pre)) / sqrt(v0 + v1), 6) AS t_stat,
+       abs(((t_post - t_pre) - (c_post - c_pre)) / sqrt(v0 + v1)) > 1.96 AS significant
+FROM wide
+"""
+
+
 def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join/agg-key skew diagnostics (operators/skew.py::skew_report):
     top-10 heaviest l_suppkey values in lineitem with share / cumulative
@@ -11397,6 +11515,7 @@ QUERIES = {
     "customers_eb_rates": q_customers_eb_rates,
     "events_entropy_rate": q_events_entropy_rate,
     "vocab_burstiness": q_vocab_burstiness,
+    "events_did": q_events_did,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -11670,6 +11789,7 @@ ORACLES = {
     "customers_eb_rates": SQL_CUSTOMERS_EB_RATES,
     "events_entropy_rate": SQL_EVENTS_ENTROPY_RATE,
     "vocab_burstiness": SQL_VOCAB_BURSTINESS,
+    "events_did": SQL_EVENTS_DID,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -1589,3 +1589,22 @@ def test_burstiness_catalog_shape(spark):
         assert r["df"] <= r["cf"]
         assert r["df_expected"] > 0 and r["adaptation"] > 0
         assert r["mean_tf_in_doc"] >= 1.0
+
+
+# -- events_did (catalog-level) --------------------------------------------------
+
+
+def test_did_placebo_not_significant(spark):
+    """A/A hash split with no intervention: DiD inside its CI."""
+    from mcpvectordb_spark.catalog import QUERIES
+
+    r = QUERIES["events_did"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert not r["significant"], r
+    assert abs(r["t_stat"]) < 1.96
+    assert r["se"] > 0
+    # the four cell means exist and are plausible per-user totals
+    for c in ("control_pre", "control_post", "treat_pre", "treat_post"):
+        assert r[c] > 0
+    # internal consistency: did == (t_post - t_pre) - (c_post - c_pre)
+    ref = (r["treat_post"] - r["treat_pre"]) - (r["control_post"] - r["control_pre"])
+    assert abs(r["did"] - ref) < 1e-3
