@@ -298,3 +298,57 @@ def test_winnowing_one_shuffle(spark):
     q = QUERIES["winnowing_fp"](spark, SF)
     n = count_exchanges(q)
     assert n <= 3, n
+
+
+def test_phrase_search_broadcasts_phrase_terms(spark):
+    """The phrase/NEAR offset tables are tiny literals: the join against
+    postings must broadcast, never shuffle the postings by token."""
+    q = QUERIES["phrase_search"](spark, SF)
+    assert uses_broadcast_join(q)
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    assert "CartesianProduct" not in formatted_plan(q)
+
+
+def test_xcf_no_cartesian_and_broadcast_scalars(spark):
+    """Cross-correlation pair join is an equi-join on (t+lag); the
+    per-key scalar tables broadcast."""
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    q = QUERIES["events_xcorr"](spark, SF)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan
+    assert uses_broadcast_join(q)
+
+
+def test_ols_is_two_aggregates_no_join(spark):
+    """Sufficient-statistics OLS: scan -> partial agg -> final agg; no
+    join anywhere in the plan."""
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    q = QUERIES["parts_ols"](spark, SF)
+    plan = formatted_plan(q)
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_gini_windows_run_over_blocks_not_rows(spark):
+    """customers_gini: the only window inputs are the value-block tables
+    (asc + desc cum windows, each single-partition over blocks) — pin
+    the exchange count so a row-level sort can never sneak in."""
+    q = QUERIES["customers_gini"](spark, SF)
+    n = count_exchanges(q)
+    assert n <= 9, n
+
+
+def test_isotropy_single_gram_pass(spark):
+    """embedding_isotropy: the Gram matrix comes from ONE posexplode
+    pass (no n^2 self-join): no cartesian, and the moment table joins
+    are small-side."""
+    from mcpvectordb_spark.plans.explain import formatted_plan
+
+    q = QUERIES["embedding_isotropy"](spark, SF)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan
+    # nested-loop joins only for 1-row scalar assemblies
+    assert plan.count("Generate") >= 1  # the posexplode is present
