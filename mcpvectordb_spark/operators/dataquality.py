@@ -151,12 +151,13 @@ def fd_discovery(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
             )
         ).alias("p")
     ).select("p.lhs", "p.aval", "p.rhs", "p.bval")
-    # distinct-count on 64-bit hashes, not strings: the shuffle carries
-    # (pair, aval, hash) longs and the distinct set dedups integers
-    # (measured 5.4s -> ~3s at sf0.1 on the orders profile)
-    per_lhs = pairs.groupBy("lhs", "rhs", "aval").agg(
-        F.countDistinct(F.xxhash64("bval")).alias("nb")
-    )
+    # hash BOTH value columns before the shuffle: grouping keys and the
+    # distinct set travel as 64-bit longs instead of strings (same
+    # groups barring a ~2^-64 collision; the FD verdicts only need
+    # group identity, never the value text)
+    per_lhs = pairs.groupBy(
+        "lhs", "rhs", F.xxhash64("aval").alias("ah")
+    ).agg(F.countDistinct(F.xxhash64("bval")).alias("nb"))
     return per_lhs.groupBy("lhs", "rhs").agg(
         F.count(F.lit(1)).alias("n_lhs_values"),
         F.sum(F.when(F.col("nb") > 1, 1).otherwise(0)).alias("n_violating_lhs"),
