@@ -13,6 +13,7 @@ Usage: python tools/stress.py        # 20× workload (round-1/2 table)
 from __future__ import annotations
 
 import json
+import math
 import sys
 import time
 
@@ -2501,6 +2502,159 @@ def main_r4g() -> None:
     spark.stop()
 
 
+
+
+def main_r4h() -> None:
+    """Stress the causal/attribution/spectral tail of round 4 at
+    sf1-equivalent scale: U-shaped attribution over 6M events / 90k
+    users (journey join fan-out + credit conservation), the targeted
+    periodogram over a 2M-cell grid with a planted 24h cycle, and the
+    A/A DiD harness over 6M events (placebo must hold at scale)."""
+    spark = get_spark("stress-r4h")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {counts[name]}", file=sys.stderr)
+
+    # 6M events / 90k users over 30 days, ~1/5 purchases
+    n_ev, n_users = 6_000_000, 90_000
+    ev = spark.range(n_ev).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_users)).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(30 * 86400))
+        ).alias("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("signup"),
+                    F.lit("error"), F.lit("purchase")),
+            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(10000)) / 100.0).alias("value"),
+    ).repartition(64).localCheckpoint()
+    _ = ev.count()
+
+    def ushaped_stress():
+        from mcpvectordb_spark.operators.analytics import ushaped_attribution
+
+        out = ushaped_attribution(ev, "purchase", window_days=7).localCheckpoint()
+        n = out.count()
+        # credit conservation per conversion, across the WHOLE corpus
+        bad = (
+            out.groupBy("u", "ceid")
+            .agg(F.sum("credit").alias("s"))
+            .filter(F.abs(F.col("s") - 1.0) > 1e-9)
+            .count()
+        )
+        assert bad == 0, bad
+        convs = out.select("ceid").distinct().count()
+        notes["ushaped_6m"] = (
+            f"{n:,} credit rows across {convs:,} conversions from 6,000,000 "
+            "events; per-conversion credits sum to exactly 1 for EVERY "
+            "conversion; journey join fan-out bounded by touches/user-week"
+        )
+        return n
+
+    run("ushaped_6m", ushaped_stress)
+
+    def did_stress():
+        from mcpvectordb_spark.catalog import QUERIES  # noqa: F401
+        # replicate the catalog DiD on the synthetic frame via its algebra:
+        # hash-split arms, epoch-midpoint split, purchase cents
+        from mcpvectordb_spark.operators.dedup import hexint48
+
+        span = ev.agg(
+            F.min(F.unix_timestamp("ts")).alias("t0"),
+            F.max(F.unix_timestamp("ts")).alias("t1"),
+        )
+        base = ev.crossJoin(F.broadcast(span)).select(
+            F.pmod(hexint48(F.col("user_id").cast("string")), F.lit(2)).alias("arm"),
+            (F.unix_timestamp("ts") >= ((F.col("t0") + F.col("t1")) / 2).cast("long"))
+            .cast("int").alias("post"),
+            "user_id",
+            F.when(F.col("event_type") == "purchase",
+                   F.round(F.col("value") * 100, 0).cast("long"))
+            .otherwise(F.lit(0)).alias("cents"),
+        )
+        pu = base.groupBy("arm", "post", "user_id").agg(F.sum("cents").alias("y"))
+        cells = pu.groupBy("arm", "post").agg(
+            F.count(F.lit(1)).alias("n"), F.avg("y").alias("m"),
+            F.var_samp("y").alias("v"),
+        ).collect()
+        m = {(r["arm"], r["post"]): r for r in cells}
+        did = (m[(1, 1)]["m"] - m[(1, 0)]["m"]) - (m[(0, 1)]["m"] - m[(0, 0)]["m"])
+        se = sum(m[k]["v"] / m[k]["n"] for k in m) ** 0.5
+        t = did / se
+        assert abs(t) < 3.5, t  # A/A placebo holds at 6M scale
+        notes["did_6m"] = (
+            f"A/A DiD over 6,000,000 events / 4 cells of ~45k users: "
+            f"t = {t:.2f} (placebo holds); two shuffles total"
+        )
+        return int(sum(r["n"] for r in cells))
+
+    run("did_6m", did_stress)
+
+    def periodogram_stress():
+        hourly = spark.range(200 * 10_000).select(
+            (F.col("id") % 200).cast("string").alias("k"),
+            (F.col("id") / 200).cast("long").alias("t"),
+        ).select(
+            "k", "t",
+            (
+                F.lit(100)
+                + F.when((F.col("t") % 24) < 6, 60).otherwise(0)
+                + F.pmod(F.xxhash64("k", "t"), F.lit(15)) - 7
+            ).cast("long").alias("y"),
+        )
+        per = hourly.select(
+            "k", "t", "y",
+            F.explode(F.array(F.lit(6), F.lit(12), F.lit(24), F.lit(168))).alias("p"),
+        ).select(
+            "k", "p", "y",
+            (F.lit(2.0) * F.lit(math.pi) * F.col("t").cast("double") / F.col("p")).alias("w"),
+        )
+        agg = per.groupBy("k", "p").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"),
+            F.sum(F.col("y") * F.cos("w")).alias("syc"),
+            F.sum(F.col("y") * F.sin("w")).alias("sys"),
+            F.sum(F.cos("w")).alias("sc"), F.sum(F.sin("w")).alias("ss"),
+        )
+        nd = F.col("n").cast("double")
+        yb = F.col("sy") / nd
+        a = F.col("syc") - yb * F.col("sc")
+        b = F.col("sys") - yb * F.col("ss")
+        best = agg.select(
+            "k", "p", ((a * a + b * b) / nd).alias("pw")
+        ).withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("k").orderBy(F.col("pw").desc())),
+        ).filter(F.col("rk") == 1)
+        wrong = best.filter(F.col("p") != 24).count()
+        assert wrong == 0, wrong
+        notes["periodogram_2m"] = (
+            "planted 24h cycle dominates all 4 candidate periods for ALL "
+            "200 keys over a 2,000,000-cell grid; map-only trig + one agg"
+        )
+        return 200
+
+    run("periodogram_2m", periodogram_stress)
+
+    print(json.dumps({
+        "mode": "r4h",
+        "timings_s": timings,
+        "counts": counts,
+        "notes": notes,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "sf1" in sys.argv[1:]:
         main_sf1()
@@ -2522,6 +2676,8 @@ if __name__ == "__main__":
         main_r4f()
     elif "r4g" in sys.argv[1:]:
         main_r4g()
+    elif "r4h" in sys.argv[1:]:
+        main_r4h()
     elif "r4" in sys.argv[1:]:
         main_r4()
     else:
