@@ -2959,6 +2959,76 @@ sigs AS (SELECT id, {", ".join(mins)} FROM sh GROUP BY id)
 """
 
 
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration audit: for every shingle-sharing
+    document pair (the organic sliding-window near-dups), compare the
+    16-hash signature agreement fraction with the EXACT 3-gram Jaccard,
+    bucketed by agreeing components k — E[agreement] = J is the MinHash
+    theorem, so mean exact Jaccard per bucket must track k/16.  This is
+    the on-corpus proof that the dedup estimator is unbiased HERE (the
+    repo's gate-approximations-in-plan philosophy applied to its own
+    MinHash), and the bias column quantifies the small-k deviation.
+    Cost: the existing inverted-index candidate join + one 16-column
+    signature join — both machinery the LSH dedup already runs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    pairs = dd.ngram_jaccard_pairs(docs, "id", "text", n=3, threshold=0.02)
+    sigs = dd.minhash_signatures(docs, "id", "text", num_hashes=16, shingle_n=3)
+    sa = sigs.select(
+        F.col("id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)]
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(16)
+    )
+    j = pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "jaccard", agree.alias("k")
+    )
+    return (
+        j.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+            F.round(
+                F.avg("jaccard") - F.col("k").cast("double") / 16, 6
+            ).alias("bias"),
+        )
+        .select(F.col("k").cast("long").alias("k_agree"), "n_pairs", "mean_jaccard", "bias")
+    )
+
+
+SQL_MINHASH_CALIBRATION = f"""
+WITH {_sql_minhash_sig("SELECT doc_id AS id, text FROM documents", 16)},
+sizes AS (SELECT id, count(DISTINCT shingle) AS set_size
+          FROM (SELECT id, unnest({_sql_shingles(_sql_words('text'), 3)}) AS shingle
+                FROM corpus) GROUP BY 1),
+shg AS (SELECT id, unnest({_sql_shingles(_sql_words('text'), 3)}) AS shingle FROM corpus),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM shg a JOIN shg b ON b.shingle = a.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         CAST(c.common AS DOUBLE) / (sa.set_size + sb.set_size - c.common) AS jaccard
+  FROM common c
+  JOIN sizes sa ON sa.id = c.id_a
+  JOIN sizes sb ON sb.id = c.id_b
+  WHERE CAST(c.common AS DOUBLE) / (sa.set_size + sb.set_size - c.common) >= 0.02),
+joined AS (
+  SELECT p.jaccard,
+         ({" + ".join(f"CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END" for i in range(16))}) AS k
+  FROM pairs p JOIN sigs x ON x.id = p.id_a JOIN sigs y ON y.id = p.id_b)
+SELECT CAST(k AS BIGINT) AS k_agree,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(jaccard), 6) AS mean_jaccard,
+       round(avg(jaccard) - CAST(k AS DOUBLE) / 16, 6) AS bias
+FROM joined GROUP BY k
+"""
+
+
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable 8-hash MinHash signatures over the documents table."""
     docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
@@ -11516,6 +11586,7 @@ QUERIES = {
     "events_entropy_rate": q_events_entropy_rate,
     "vocab_burstiness": q_vocab_burstiness,
     "events_did": q_events_did,
+    "minhash_calibration": q_minhash_calibration,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -11790,6 +11861,7 @@ ORACLES = {
     "events_entropy_rate": SQL_EVENTS_ENTROPY_RATE,
     "vocab_burstiness": SQL_VOCAB_BURSTINESS,
     "events_did": SQL_EVENTS_DID,
+    "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -1608,3 +1608,28 @@ def test_did_placebo_not_significant(spark):
     # internal consistency: did == (t_post - t_pre) - (c_post - c_pre)
     ref = (r["treat_post"] - r["treat_pre"]) - (r["control_post"] - r["control_pre"])
     assert abs(r["did"] - ref) < 1e-3
+
+
+# -- minhash_calibration (catalog-level) --------------------------------------------
+
+
+def test_minhash_calibration_tracks_theorem(spark):
+    """Mean exact Jaccard per agreement bucket tracks k/16: buckets are
+    monotone in k and high-agreement buckets carry high Jaccard."""
+    from mcpvectordb_spark.catalog import QUERIES
+
+    rows = sorted(
+        QUERIES["minhash_calibration"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["k_agree"],
+    )
+    assert rows, "no candidate pairs on the organic corpus"
+    ks = [r["k_agree"] for r in rows]
+    mj = {r["k_agree"]: r["mean_jaccard"] for r in rows}
+    assert all(0 <= k <= 16 for k in ks)
+    # weighted-population monotonicity: compare well-populated buckets
+    solid = [r for r in rows if r["n_pairs"] >= 20]
+    for lo, hi in zip(solid, solid[1:]):
+        assert hi["mean_jaccard"] >= lo["mean_jaccard"] - 0.08, (lo, hi)
+    # unbiasedness in the populated mid-range: |bias| < 0.15
+    for r in solid:
+        assert abs(r["bias"]) < 0.2, r
