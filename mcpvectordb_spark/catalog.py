@@ -1764,6 +1764,133 @@ FROM wide
 """
 
 
+def q_lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlations among quantity / discount /
+    extendedprice — the robust (monotone-invariant) counterpart to
+    lineitem_corr's Pearson matrix, computed EXACTLY: midranks come
+    from value blocks (2*midrank = 2*below + count + 1, an INTEGER — the
+    Mann-Whitney doubling trick), rows join their value's rank, and
+    Pearson-on-ranks reduces to the one-double-expression-over-exact-
+    BIGINT-sums contract (sums fit int64 through sf0.1; the docstring
+    notes the DOUBLE seam beyond ~1M rows).  No row-level sort anywhere:
+    ranking is one block window per column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("quantity"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("discount"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("price"),
+    ).localCheckpoint(eager=False)
+
+    def ranked(col: str) -> DataFrame:
+        blocks = base.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return blocks.select(
+            F.col("v").alias(col),
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(f"r_{col}"),
+        )
+
+    j = base
+    for c in ("quantity", "discount", "price"):
+        j = j.join(ranked(c), c)
+    sums = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            x
+            for c in ("quantity", "discount", "price")
+            for x in (
+                F.sum(f"r_{c}").alias(f"s_{c}"),
+                F.sum(F.col(f"r_{c}") * F.col(f"r_{c}")).alias(f"ss_{c}"),
+            )
+        ],
+        F.sum(F.col("r_quantity") * F.col("r_discount")).alias("sp_qd"),
+        F.sum(F.col("r_quantity") * F.col("r_price")).alias("sp_qp"),
+        F.sum(F.col("r_discount") * F.col("r_price")).alias("sp_dp"),
+    )
+
+    def rho(sp, ca, cb):
+        nd = F.col("n").cast("double")
+        num = nd * F.col(sp).cast("double") - F.col(f"s_{ca}").cast(
+            "double"
+        ) * F.col(f"s_{cb}").cast("double")
+        da = nd * F.col(f"ss_{ca}").cast("double") - F.col(f"s_{ca}").cast(
+            "double"
+        ) * F.col(f"s_{ca}").cast("double")
+        db = nd * F.col(f"ss_{cb}").cast("double") - F.col(f"s_{cb}").cast(
+            "double"
+        ) * F.col(f"s_{cb}").cast("double")
+        return F.round(num / F.sqrt(da * db), 6)
+
+    out = sums.select(
+        "n",
+        rho("sp_qd", "quantity", "discount").alias("rho_qty_discount"),
+        rho("sp_qp", "quantity", "price").alias("rho_qty_price"),
+        rho("sp_dp", "discount", "price").alias("rho_discount_price"),
+    )
+    return out
+
+
+SQL_LINEITEM_SPEARMAN = """
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS quantity,
+         CAST(round(l_discount * 100) AS BIGINT) AS discount,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price
+  FROM lineitem),
+rq AS (
+  SELECT v AS quantity,
+         CAST(2 * COALESCE(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS r_quantity
+  FROM (SELECT quantity AS v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1)),
+rd AS (
+  SELECT v AS discount,
+         CAST(2 * COALESCE(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS r_discount
+  FROM (SELECT discount AS v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1)),
+rp AS (
+  SELECT v AS price,
+         CAST(2 * COALESCE(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS r_price
+  FROM (SELECT price AS v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1)),
+j AS (
+  SELECT r_quantity, r_discount, r_price
+  FROM base JOIN rq USING(quantity) JOIN rd USING(discount) JOIN rp USING(price)),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r_quantity) AS BIGINT) AS s_quantity,
+         CAST(sum(r_quantity * r_quantity) AS BIGINT) AS ss_quantity,
+         CAST(sum(r_discount) AS BIGINT) AS s_discount,
+         CAST(sum(r_discount * r_discount) AS BIGINT) AS ss_discount,
+         CAST(sum(r_price) AS BIGINT) AS s_price,
+         CAST(sum(r_price * r_price) AS BIGINT) AS ss_price,
+         CAST(sum(r_quantity * r_discount) AS BIGINT) AS sp_qd,
+         CAST(sum(r_quantity * r_price) AS BIGINT) AS sp_qp,
+         CAST(sum(r_discount * r_price) AS BIGINT) AS sp_dp
+  FROM j)
+SELECT n,
+       round((CAST(n AS DOUBLE) * sp_qd - CAST(s_quantity AS DOUBLE) * s_discount)
+             / sqrt((CAST(n AS DOUBLE) * ss_quantity - CAST(s_quantity AS DOUBLE) * s_quantity)
+                    * (CAST(n AS DOUBLE) * ss_discount - CAST(s_discount AS DOUBLE) * s_discount)), 6)
+         AS rho_qty_discount,
+       round((CAST(n AS DOUBLE) * sp_qp - CAST(s_quantity AS DOUBLE) * s_price)
+             / sqrt((CAST(n AS DOUBLE) * ss_quantity - CAST(s_quantity AS DOUBLE) * s_quantity)
+                    * (CAST(n AS DOUBLE) * ss_price - CAST(s_price AS DOUBLE) * s_price)), 6)
+         AS rho_qty_price,
+       round((CAST(n AS DOUBLE) * sp_dp - CAST(s_discount AS DOUBLE) * s_price)
+             / sqrt((CAST(n AS DOUBLE) * ss_discount - CAST(s_discount AS DOUBLE) * s_discount)
+                    * (CAST(n AS DOUBLE) * ss_price - CAST(s_price AS DOUBLE) * s_price)), 6)
+         AS rho_discount_price
+FROM sums
+"""
+
+
 def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join/agg-key skew diagnostics (operators/skew.py::skew_report):
     top-10 heaviest l_suppkey values in lineitem with share / cumulative
@@ -11587,6 +11714,7 @@ QUERIES = {
     "vocab_burstiness": q_vocab_burstiness,
     "events_did": q_events_did,
     "minhash_calibration": q_minhash_calibration,
+    "lineitem_spearman": q_lineitem_spearman,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -11862,6 +11990,7 @@ ORACLES = {
     "vocab_burstiness": SQL_VOCAB_BURSTINESS,
     "events_did": SQL_EVENTS_DID,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
+    "lineitem_spearman": SQL_LINEITEM_SPEARMAN,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -1633,3 +1633,78 @@ def test_minhash_calibration_tracks_theorem(spark):
     # unbiasedness in the populated mid-range: |bias| < 0.15
     for r in solid:
         assert abs(r["bias"]) < 0.2, r
+
+
+# -- lineitem_spearman (midrank algebra) -----------------------------------------
+
+
+def test_spearman_midrank_algebra_matches_scipy_free_reference(spark):
+    """The block-midrank Pearson equals a direct Spearman computed in
+    python (average ranks, ties included)."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    random.seed(9)
+    xs = [random.randint(1, 20) for _ in range(300)]
+    ys = [x * 2 + random.randint(-8, 8) for x in xs]  # positively related
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            mr = (i + j + 2) / 2
+            for t in range(i, j + 1):
+                ranks[order[t]] = mr
+            i = j + 1
+        return ranks
+
+    ra, rb = midranks(xs), midranks(ys)
+    n = len(xs)
+    ma, mb = sum(ra) / n, sum(rb) / n
+    num = sum((a - ma) * (b - mb) for a, b in zip(ra, rb))
+    den = math.sqrt(
+        sum((a - ma) ** 2 for a in ra) * sum((b - mb) ** 2 for b in rb)
+    )
+    ref = num / den
+
+    df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"])
+    base = df.localCheckpoint(eager=False)
+
+    def ranked(col):
+        blocks = base.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return blocks.select(
+            F.col("v").alias(col),
+            (2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1).alias(f"r_{col}"),
+        )
+
+    j = base.join(ranked("x"), "x").join(ranked("y"), "y")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_x").alias("sa"), F.sum(F.col("r_x") * F.col("r_x")).alias("ssa"),
+        F.sum("r_y").alias("sb"), F.sum(F.col("r_y") * F.col("r_y")).alias("ssb"),
+        F.sum(F.col("r_x") * F.col("r_y")).alias("sp"),
+    ).collect()[0]
+    nd = float(s["n"])
+    got = (nd * s["sp"] - s["sa"] * s["sb"]) / math.sqrt(
+        (nd * s["ssa"] - s["sa"] ** 2) * (nd * s["ssb"] - s["sb"] ** 2)
+    )
+    assert abs(got - ref) < 1e-9
+    assert got > 0.5  # planted positive relation
+
+
+def test_spearman_catalog_bounds(spark):
+    from mcpvectordb_spark.catalog import QUERIES
+
+    r = QUERIES["lineitem_spearman"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n"] > 0
+    for c in ("rho_qty_discount", "rho_qty_price", "rho_discount_price"):
+        assert -1.0 <= r[c] <= 1.0
+        # the synthetic columns are generated independently: all three
+        # rank correlations sit near zero (Pearson corr confirms ~0.01)
+        assert abs(r[c]) < 0.2, (c, r[c])
