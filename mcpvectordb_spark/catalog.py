@@ -1891,6 +1891,130 @@ FROM sums
 """
 
 
+def q_events_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel-Cox) comparing time-to-first-purchase
+    between two hash-assigned arms — the survival-analysis hypothesis
+    test that pairs with events_survival's KM curve, run as an A/A
+    placebo (hash arms share one survival law, so the test MUST accept;
+    the same gate discipline as events_did): at every distinct event
+    time, observed arm-A conversions vs the hypergeometric expectation
+    d*n_a/n with variance d*(n_a/n)*(1-n_a/n)*(n-d)/(n-1).  Risk sets
+    are descending cumulative INTEGER counts over the duration blocks
+    (the KM pattern), censoring at the stream horizon identical to
+    events_survival."""
+    from mcpvectordb_spark.operators.dedup import hexint48
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("cd"),
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    users = spans.crossJoin(F.broadcast(horizon)).select(
+        F.pmod(hexint48(F.col("user_id").cast("string")), F.lit(2)).alias("arm"),
+        F.when(F.col("cd").isNotNull(), F.datediff("cd", "fd"))
+        .otherwise(F.datediff("maxd", "fd"))
+        .alias("dur"),
+        F.col("cd").isNotNull().cast("long").alias("event"),
+    )
+    per = users.groupBy("dur").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("tot_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("tot_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("event")).otherwise(0)).alias("d_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("event")).otherwise(0)).alias("d_b"),
+    )
+    w_desc = Window.orderBy(F.col("dur").asc()).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    risk = per.select(
+        "dur",
+        "d_a",
+        "d_b",
+        F.sum("tot_a").over(w_desc).alias("n_a"),
+        F.sum("tot_b").over(w_desc).alias("n_b"),
+    ).filter((F.col("d_a") + F.col("d_b")) > 0)
+    nd = (F.col("n_a") + F.col("n_b")).cast("double")
+    dd_ = (F.col("d_a") + F.col("d_b")).cast("double")
+    fa = F.col("n_a").cast("double") / nd
+    e_a = dd_ * fa
+    v = F.when(
+        nd > 1,
+        dd_ * fa * (F.lit(1.0) - fa) * (nd - dd_) / (nd - 1),
+    ).otherwise(F.lit(0.0))
+    agg = risk.agg(
+        F.sum("d_a").alias("o_a"),
+        F.sum(e_a).alias("e_a"),
+        F.sum(v).alias("v"),
+    )
+    z = (F.col("o_a").cast("double") - F.col("e_a")) / F.sqrt("v")
+    tot = users.groupBy().pivot("arm", [0, 1]).count()
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("0").alias("n_users_a"),
+        F.col("1").alias("n_users_b"),
+        F.col("o_a").cast("long").alias("observed_a"),
+        F.round("e_a", 6).alias("expected_a"),
+        F.round("v", 6).alias("variance"),
+        F.round(z, 6).alias("z"),
+        F.round(z * z, 6).alias("chi2"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+SQL_EVENTS_LOGRANK = f"""
+WITH spans AS (
+  SELECT user_id,
+         min(CAST(ts AS DATE)) AS fd,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS cd
+  FROM events GROUP BY 1),
+horizon AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+users AS (
+  SELECT {_sql_hex48("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         CASE WHEN cd IS NOT NULL THEN cd - fd ELSE maxd - fd END AS dur,
+         CAST(cd IS NOT NULL AS BIGINT) AS event
+  FROM spans CROSS JOIN horizon),
+per AS (
+  SELECT dur,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tot_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tot_b,
+         CAST(sum(CASE WHEN arm = 0 THEN event ELSE 0 END) AS BIGINT) AS d_a,
+         CAST(sum(CASE WHEN arm = 1 THEN event ELSE 0 END) AS BIGINT) AS d_b
+  FROM users GROUP BY 1),
+risk AS (
+  SELECT dur, d_a, d_b,
+         CAST(sum(tot_a) OVER (ORDER BY dur ASC
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_a,
+         CAST(sum(tot_b) OVER (ORDER BY dur ASC
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_b
+  FROM per QUALIFY d_a + d_b > 0),
+agg AS (
+  SELECT CAST(sum(d_a) AS BIGINT) AS o_a,
+         sum(CAST(d_a + d_b AS DOUBLE) * (CAST(n_a AS DOUBLE) / (n_a + n_b))) AS e_a,
+         sum(CASE WHEN n_a + n_b > 1
+             THEN CAST(d_a + d_b AS DOUBLE)
+                  * (CAST(n_a AS DOUBLE) / (n_a + n_b))
+                  * (1.0 - CAST(n_a AS DOUBLE) / (n_a + n_b))
+                  * (CAST(n_a + n_b AS DOUBLE) - (d_a + d_b))
+                  / (CAST(n_a + n_b AS DOUBLE) - 1)
+             ELSE 0.0 END) AS v
+  FROM risk),
+tots AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM users)
+SELECT t.na AS n_users_a, t.nb AS n_users_b,
+       a.o_a AS observed_a,
+       round(a.e_a, 6) AS expected_a,
+       round(a.v, 6) AS variance,
+       round((CAST(a.o_a AS DOUBLE) - a.e_a) / sqrt(a.v), 6) AS z,
+       round(((CAST(a.o_a AS DOUBLE) - a.e_a) / sqrt(a.v))
+             * ((CAST(a.o_a AS DOUBLE) - a.e_a) / sqrt(a.v)), 6) AS chi2,
+       abs((CAST(a.o_a AS DOUBLE) - a.e_a) / sqrt(a.v)) > 1.96 AS significant
+FROM agg a CROSS JOIN tots t
+"""
+
+
 def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join/agg-key skew diagnostics (operators/skew.py::skew_report):
     top-10 heaviest l_suppkey values in lineitem with share / cumulative
@@ -11715,6 +11839,7 @@ QUERIES = {
     "events_did": q_events_did,
     "minhash_calibration": q_minhash_calibration,
     "lineitem_spearman": q_lineitem_spearman,
+    "events_logrank": q_events_logrank,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -11991,6 +12116,7 @@ ORACLES = {
     "events_did": SQL_EVENTS_DID,
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "lineitem_spearman": SQL_LINEITEM_SPEARMAN,
+    "events_logrank": SQL_EVENTS_LOGRANK,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -1708,3 +1708,21 @@ def test_spearman_catalog_bounds(spark):
         # the synthetic columns are generated independently: all three
         # rank correlations sit near zero (Pearson corr confirms ~0.01)
         assert abs(r[c]) < 0.2, (c, r[c])
+
+
+# -- events_logrank (catalog-level) ----------------------------------------------
+
+
+def test_logrank_aa_placebo_accepts(spark):
+    """Hash arms share one survival law: the log-rank must accept, O_a
+    near E_a, variance positive."""
+    from mcpvectordb_spark.catalog import QUERIES
+
+    r = QUERIES["events_logrank"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert not r["significant"], r
+    assert abs(r["z"]) < 1.96
+    assert r["variance"] > 0
+    assert r["observed_a"] <= r["n_users_a"]
+    assert abs(r["chi2"] - r["z"] ** 2) < 1e-4
+    # both arms populated by the hash split
+    assert r["n_users_a"] > 0 and r["n_users_b"] > 0
