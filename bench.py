@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "minhash_calibration",   # agreement-vs-exact-Jaccard estimator audit
     "lineitem_spearman",     # exact midrank-block Spearman matrix
     "events_logrank",        # Mantel-Cox O-E survival test, A/A gate
+    "events_coxph",          # Cox PH Newton fit on risk-set counts
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

@@ -2015,6 +2015,153 @@ FROM agg a CROSS JOIN tots t
 """
 
 
+def q_events_coxph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards fit (binary covariate = hash arm,
+    Breslow ties) for time-to-first-purchase — the regression upgrade
+    over events_logrank's test: 8 Newton steps on the partial
+    likelihood, where a BINARY covariate collapses every risk-set sum
+    to counts (sum e^(bx) over the risk set = n_b + n_a*e^b), so each
+    step is one agg over the ~30-row event-time table joined with the
+    1-row beta state:
+
+        U(b) = sum_t [d_a - d * p_t],  I(b) = sum_t d * p_t * (1 - p_t),
+        p_t = n_a e^b / (n_b + n_a e^b),  b <- b + U/I
+
+    On the A/A hash split the fitted hazard ratio must sit near 1 and
+    z inside +/-1.96 (the placebo-gate discipline).  The oracle unrolls
+    all 8 Newton steps as chained CTEs over the same MATERIALIZED risk
+    table."""
+    from mcpvectordb_spark.operators.dedup import hexint48
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("cd"),
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    users = spans.crossJoin(F.broadcast(horizon)).select(
+        F.pmod(hexint48(F.col("user_id").cast("string")), F.lit(2)).alias("arm"),
+        F.when(F.col("cd").isNotNull(), F.datediff("cd", "fd"))
+        .otherwise(F.datediff("maxd", "fd"))
+        .alias("dur"),
+        F.col("cd").isNotNull().cast("long").alias("event"),
+    )
+    per = users.groupBy("dur").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("tot_b0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("tot_a1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("event")).otherwise(0)).alias("d_a"),
+        F.sum(F.col("event")).alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("dur").asc()).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    risk = per.select(
+        "dur",
+        "d_a",
+        "d",
+        F.sum("tot_a1").over(w_desc).alias("n_a"),
+        F.sum("tot_b0").over(w_desc).alias("n_b"),
+    ).filter(F.col("d") > 0).localCheckpoint(eager=False)
+
+    beta = spark.range(1).select(F.lit(0.0).alias("b"))
+    for _ in range(8):
+        p = (
+            F.col("n_a").cast("double")
+            * F.exp(F.col("b"))
+            / (F.col("n_b").cast("double") + F.col("n_a").cast("double") * F.exp(F.col("b")))
+        )
+        step = risk.crossJoin(F.broadcast(beta)).agg(
+            F.first("b").alias("b0"),
+            F.sum(F.col("d_a").cast("double") - F.col("d").cast("double") * p).alias("u"),
+            F.sum(
+                F.col("d").cast("double") * p * (F.lit(1.0) - p)
+            ).alias("i"),
+        )
+        beta = step.select((F.col("b0") + F.col("u") / F.col("i")).alias("b"))
+    p = (
+        F.col("n_a").cast("double")
+        * F.exp(F.col("b"))
+        / (F.col("n_b").cast("double") + F.col("n_a").cast("double") * F.exp(F.col("b")))
+    )
+    fin = risk.crossJoin(F.broadcast(beta)).agg(
+        F.first("b").alias("beta"),
+        F.sum(F.col("d").cast("double") * p * (F.lit(1.0) - p)).alias("i"),
+    )
+    return fin.select(
+        F.round("beta", 6).alias("beta"),
+        F.round(F.exp("beta"), 6).alias("hazard_ratio"),
+        F.round(F.lit(1.0) / F.sqrt("i"), 6).alias("se"),
+        F.round(F.col("beta") / (F.lit(1.0) / F.sqrt("i")), 6).alias("z"),
+        (F.abs(F.col("beta") / (F.lit(1.0) / F.sqrt("i"))) > 1.96).alias(
+            "significant"
+        ),
+    )
+
+
+def _sql_coxph() -> str:
+    base = f"""
+WITH spans AS (
+  SELECT user_id,
+         min(CAST(ts AS DATE)) AS fd,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS cd
+  FROM events GROUP BY 1),
+horizon AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+users AS (
+  SELECT {_sql_hex48("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         CASE WHEN cd IS NOT NULL THEN cd - fd ELSE maxd - fd END AS dur,
+         CAST(cd IS NOT NULL AS BIGINT) AS event
+  FROM spans CROSS JOIN horizon),
+per AS (
+  SELECT dur,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tot_b0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tot_a1,
+         CAST(sum(CASE WHEN arm = 1 THEN event ELSE 0 END) AS BIGINT) AS d_a,
+         CAST(sum(event) AS BIGINT) AS d
+  FROM users GROUP BY 1),
+risk AS MATERIALIZED (
+  SELECT dur, d_a, d,
+         CAST(sum(tot_a1) OVER (ORDER BY dur ASC
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_a,
+         CAST(sum(tot_b0) OVER (ORDER BY dur ASC
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_b
+  FROM per QUALIFY d > 0),
+b0 AS (SELECT CAST(0.0 AS DOUBLE) AS b)"""
+    steps = []
+    for t in range(1, 9):
+        steps.append(f""",
+b{t} AS MATERIALIZED (
+  SELECT any_value(b) + sum(CAST(d_a AS DOUBLE)
+           - CAST(d AS DOUBLE) * (CAST(n_a AS DOUBLE) * exp(b)
+             / (CAST(n_b AS DOUBLE) + CAST(n_a AS DOUBLE) * exp(b))))
+         / sum(CAST(d AS DOUBLE)
+           * (CAST(n_a AS DOUBLE) * exp(b)
+              / (CAST(n_b AS DOUBLE) + CAST(n_a AS DOUBLE) * exp(b)))
+           * (1.0 - (CAST(n_a AS DOUBLE) * exp(b)
+              / (CAST(n_b AS DOUBLE) + CAST(n_a AS DOUBLE) * exp(b))))) AS b
+  FROM risk CROSS JOIN b{t-1})""")
+    tail = """,
+fin AS (
+  SELECT any_value(b) AS beta,
+         sum(CAST(d AS DOUBLE)
+           * (CAST(n_a AS DOUBLE) * exp(b)
+              / (CAST(n_b AS DOUBLE) + CAST(n_a AS DOUBLE) * exp(b)))
+           * (1.0 - (CAST(n_a AS DOUBLE) * exp(b)
+              / (CAST(n_b AS DOUBLE) + CAST(n_a AS DOUBLE) * exp(b))))) AS i
+  FROM risk CROSS JOIN b8)
+SELECT round(beta, 6) AS beta,
+       round(exp(beta), 6) AS hazard_ratio,
+       round(1.0 / sqrt(i), 6) AS se,
+       round(beta / (1.0 / sqrt(i)), 6) AS z,
+       abs(beta / (1.0 / sqrt(i))) > 1.96 AS significant
+FROM fin"""
+    return base + "".join(steps) + tail
+
+
+SQL_EVENTS_COXPH = _sql_coxph()
+
+
 def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join/agg-key skew diagnostics (operators/skew.py::skew_report):
     top-10 heaviest l_suppkey values in lineitem with share / cumulative
@@ -11840,6 +11987,7 @@ QUERIES = {
     "minhash_calibration": q_minhash_calibration,
     "lineitem_spearman": q_lineitem_spearman,
     "events_logrank": q_events_logrank,
+    "events_coxph": q_events_coxph,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -12117,6 +12265,7 @@ ORACLES = {
     "minhash_calibration": SQL_MINHASH_CALIBRATION,
     "lineitem_spearman": SQL_LINEITEM_SPEARMAN,
     "events_logrank": SQL_EVENTS_LOGRANK,
+    "events_coxph": SQL_EVENTS_COXPH,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,
