@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "lineitem_spearman",     # exact midrank-block Spearman matrix
     "events_logrank",        # Mantel-Cox O-E survival test, A/A gate
     "events_coxph",          # Cox PH Newton fit on risk-set counts
+    "events_interarrival",   # Goh-Barabasi gap burstiness + memory
     "events_bootstrap",      # Poisson bootstrap: 100 replicas, one scan
     "hard_negatives",        # DPR-style negatives off the BM25 ranker
     "events_psi",            # decile-bin PSI drift between stream halves

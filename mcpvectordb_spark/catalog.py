@@ -2162,6 +2162,103 @@ FROM fin"""
 SQL_EVENTS_COXPH = _sql_coxph()
 
 
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness and memory (Goh & Barabasi 2008) per
+    event type: B = (sigma - mu)/(sigma + mu) of the inter-event
+    intervals (B = -1 periodic, 0 Poisson, -> 1 bursty) and the memory
+    coefficient M = corr(delta_i, delta_{i+1}) — TOGETHER they separate
+    heavy-tailed gaps from correlated clustering, which the count-based
+    Fano factor (events_dispersion) cannot distinguish.  Intervals are
+    exact integer seconds from one ordered lead() per type; both
+    statistics are moment algebra over (delta, next_delta) pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    d2 = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("t"),
+        "event_id",
+    ).withColumn(
+        "dt", F.lead("t").over(Window.partitionBy("event_type").orderBy("t", "event_id")) - F.col("t")
+    ).withColumn(
+        "dt2",
+        F.lead("dt").over(Window.partitionBy("event_type").orderBy("t", "event_id")),
+    ).filter(F.col("dt").isNotNull())
+    mom = d2.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dt").alias("s"),
+        F.sum(F.col("dt") * F.col("dt")).alias("ss"),
+        F.count("dt2").alias("np"),
+        F.sum(F.when(F.col("dt2").isNotNull(), F.col("dt"))).alias("sa"),
+        F.sum(F.when(F.col("dt2").isNotNull(), F.col("dt") * F.col("dt"))).alias("saa"),
+        F.sum("dt2").alias("sb"),
+        F.sum(F.col("dt2") * F.col("dt2")).alias("sbb"),
+        F.sum(F.col("dt") * F.col("dt2")).alias("sab"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd
+    sig = F.sqrt(
+        (nd * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s"))
+        / (nd * (nd - 1))
+    )
+    b = (sig - mu) / (sig + mu)
+    npd = F.col("np").cast("double")
+    mnum = npd * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb")
+    mden = F.sqrt(
+        (npd * F.col("saa").cast("double") - F.col("sa").cast("double") * F.col("sa"))
+        * (npd * F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col("sb"))
+    )
+    return mom.select(
+        "event_type",
+        "n",
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sig, 6).alias("sd_gap_s"),
+        F.round(b, 6).alias("burstiness"),
+        F.round(mnum / mden, 6).alias("memory"),
+    )
+
+
+SQL_EVENTS_INTERARRIVAL = """
+WITH seq AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+         event_id
+  FROM events),
+d AS (
+  SELECT event_type,
+         lead(t) OVER w - t AS dt,
+         lead(t, 2) OVER w - lead(t) OVER w AS dt2
+  FROM seq
+  WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id)),
+d2 AS (SELECT * FROM d WHERE dt IS NOT NULL),
+mom AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dt) AS BIGINT) AS s,
+         CAST(sum(dt * dt) AS BIGINT) AS ss,
+         CAST(count(dt2) AS BIGINT) AS np,
+         CAST(sum(CASE WHEN dt2 IS NOT NULL THEN dt END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN dt2 IS NOT NULL THEN dt * dt END) AS BIGINT) AS saa,
+         CAST(sum(dt2) AS BIGINT) AS sb,
+         CAST(sum(dt2 * dt2) AS BIGINT) AS sbb,
+         CAST(sum(dt * dt2) AS BIGINT) AS sab
+  FROM d2 GROUP BY 1)
+SELECT event_type, n,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_gap_s,
+       round(sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS sd_gap_s,
+       round((sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+              - CAST(s AS DOUBLE) / n)
+             / (sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+                + CAST(s AS DOUBLE) / n), 6) AS burstiness,
+       round((CAST(np AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+             / sqrt((CAST(np AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                    * (CAST(np AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)
+         AS memory
+FROM mom
+"""
+
+
 def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join/agg-key skew diagnostics (operators/skew.py::skew_report):
     top-10 heaviest l_suppkey values in lineitem with share / cumulative
@@ -11988,6 +12085,7 @@ QUERIES = {
     "lineitem_spearman": q_lineitem_spearman,
     "events_logrank": q_events_logrank,
     "events_coxph": q_events_coxph,
+    "events_interarrival": q_events_interarrival,
     "hard_negatives": q_hard_negatives,
     "events_psi": q_events_psi,
     "parts_graph_metrics": q_parts_graph_metrics,
@@ -12266,6 +12364,7 @@ ORACLES = {
     "lineitem_spearman": SQL_LINEITEM_SPEARMAN,
     "events_logrank": SQL_EVENTS_LOGRANK,
     "events_coxph": SQL_EVENTS_COXPH,
+    "events_interarrival": SQL_EVENTS_INTERARRIVAL,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "events_psi": SQL_EVENTS_PSI,
     "parts_graph_metrics": SQL_PARTS_GRAPH_METRICS,

@@ -1794,3 +1794,60 @@ def test_coxph_newton_converged(spark):
         u += r["da"] - r["d"] * p
         i += r["d"] * p * (1 - p)
     assert abs(u / i) < 1e-5, u / i
+
+
+# -- events_interarrival (catalog-level) ----------------------------------------------
+
+
+def test_interarrival_poissonish_corpus(spark):
+    """Hash-uniform arrivals: B near 0 (exponential-ish gaps have
+    sigma ~ mu) and |memory| small; bounds hold."""
+    from mcpvectordb_spark.catalog import QUERIES
+
+    rows = QUERIES["events_interarrival"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert -1.0 <= r["burstiness"] <= 1.0
+        assert -1.0 <= r["memory"] <= 1.0
+        assert abs(r["burstiness"]) < 0.5, r
+        assert abs(r["memory"]) < 0.4, r
+        assert r["mean_gap_s"] > 0 and r["sd_gap_s"] > 0
+
+
+def test_interarrival_periodic_vs_bursty(spark):
+    """A metronome has B -> -1; clustered gaps push B toward +1."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    import math
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def frame(gaps, label):
+        t, rows, eid = 0, [], 0
+        for g in gaps:
+            t += g
+            eid += 1
+            rows.append((label, eid, T0 + dt.timedelta(seconds=t)))
+        return rows
+
+    metronome = frame([60] * 200, "tick")
+    bursty = frame(([1] * 9 + [3000]) * 20, "burst")
+    ev = spark.createDataFrame(
+        metronome + bursty, "event_type string, event_id long, ts timestamp"
+    )
+    w = F.window  # noqa: F841  (unused, keep imports minimal)
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        (F.lead(F.unix_timestamp("ts")).over(win) - F.unix_timestamp("ts")).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    mom = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dt").alias("mu"),
+        F.stddev_samp("dt").alias("sig"),
+    ).collect()
+    b = {r["event_type"]: (r["sig"] - r["mu"]) / (r["sig"] + r["mu"]) for r in mom}
+    assert b["tick"] == -1.0  # zero variance
+    assert b["burst"] > 0.45  # 9x1s + 3000s gaps: B = 0.4987 analytically
