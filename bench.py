@@ -240,13 +240,26 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s rows={n} (n={reps})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    summary = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    line = json.dumps(summary)
+    print(line)
+    # ALSO persist to a file: with 160 queries the stdout JSON line outgrew
+    # the round-4 driver's tail capture and BENCH_r04.json shipped with
+    # parsed:null, silently disabling the cross-round perf guard
+    # (tools/bench_compare.py).  The file copy makes the guard independent
+    # of any stdout capture limit; path overridable for ad-hoc runs.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+    )
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
     spark.stop()
 
 

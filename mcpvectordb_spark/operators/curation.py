@@ -184,11 +184,17 @@ def load_eval_index(spark, path: str, n: int) -> DataFrame:
     return out
 
 
-# (semanticHash(bloom plan), n_bits) → densified array-literal Column.
-# Column objects are immutable expression trees, so reusing one across
-# plans is safe; the cache turns repeated probes of the same bloom into
-# zero collect jobs and zero py4j literal transfers.
-_DENSE_BLOOM_CACHE: dict[tuple[int, int], Column] = {}
+# (id(bloom DataFrame), n_bits) → (bloom ref, densified array-literal
+# Column).  Column objects are immutable expression trees, so reusing one
+# across plans is safe; the cache turns repeated probes of the same bloom
+# into zero collect jobs and zero py4j literal transfers.  Keyed on object
+# identity — NOT semanticHash(), which is path-based for parquet scans and
+# collides when different content is rewritten at the same path (a rebuilt
+# bloom would silently serve the stale bitset).  ``load_bloom`` returns a
+# fresh DataFrame per (path, mtime), so identity tracks content; the bloom
+# reference stored in the value pins the object so its id cannot be
+# recycled by the allocator while the cache entry lives.
+_DENSE_BLOOM_CACHE: dict[tuple[int, int], tuple[DataFrame, Column]] = {}
 
 
 def _dense_bloom_literal(bloom: DataFrame, n_bits: int) -> Column:
@@ -197,16 +203,16 @@ def _dense_bloom_literal(bloom: DataFrame, n_bits: int) -> Column:
     JVM-side — F.lit on a 4096-long Python list costs ~2s of py4j element
     marshalling PER PLAN, which dwarfed the probe itself (r04 profiling);
     the expr string parses in ~20ms and is cached across calls."""
-    key = (bloom.semanticHash(), n_bits)
+    key = (id(bloom), n_bits)
     hit = _DENSE_BLOOM_CACHE.get(key)
     if hit is not None:
-        return hit
+        return hit[1]
     rows = bloom.collect()  # ≤ n_bits/64 rows of two longs — kilobytes
     words = [0] * (n_bits // 64)
     for r in rows:
         words[int(r["word_idx"])] = int(r["bits"])
     col = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
-    _DENSE_BLOOM_CACHE[key] = col
+    _DENSE_BLOOM_CACHE[key] = (bloom, col)
     return col
 
 

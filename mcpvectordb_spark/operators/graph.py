@@ -274,6 +274,10 @@ def hits_scores(
     cannot express on bipartite graphs (e.g. supplier→part: suppliers are
     ONLY hubs, parts ONLY authorities).
     """
+    if iters < 1:
+        # auth is first bound inside the loop — zero iterations has no
+        # defined score vector, so fail loudly instead of UnboundLocalError
+        raise ValueError(f"hits_scores requires iters >= 1, got {iters}")
     spark = edges.sparkSession
     eager = loop_partitions is not None
     # the edge build (often a corpus-scale aggregation) materializes at

@@ -53,25 +53,37 @@ def ab_test_ztest(
         .agg((F.sum("c") >= min_conversions).cast("int").alias("converted"))
         .withColumn("variant", ab_assign(F.col("u"), salt))
     )
-    per = users.groupBy("variant").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("converted").cast("long").alias("x"),
+    # one conditional global aggregation — a global agg ALWAYS yields one
+    # row, so a degenerate split (a hash variant with zero users, or an
+    # empty events table) surfaces as n=0/x=0 counts instead of silently
+    # vanishing the way a 1-row × 0-row crossJoin readout would
+    v0 = (F.col("variant") == 0).cast("long")
+    v1 = (F.col("variant") == 1).cast("long")
+    j = users.groupBy().agg(
+        F.coalesce(F.sum(v0), F.lit(0)).alias("n_a"),
+        F.coalesce(F.sum(v0 * F.col("converted")), F.lit(0)).alias("x_a"),
+        F.coalesce(F.sum(v1), F.lit(0)).alias("n_b"),
+        F.coalesce(F.sum(v1 * F.col("converted")), F.lit(0)).alias("x_b"),
     )
-    a = per.filter(F.col("variant") == 0).select(
-        F.col("n").alias("n_a"), F.col("x").alias("x_a")
+    # try_divide: a zero-user variant yields NULL (not an ANSI error) and
+    # the when(se > 0) guard then collapses z to 0.0
+    pa = F.try_divide(F.col("x_a"), F.col("n_a"))
+    pb = F.try_divide(F.col("x_b"), F.col("n_b"))
+    pool = F.try_divide(
+        F.col("x_a") + F.col("x_b"), F.col("n_a") + F.col("n_b")
     )
-    b = per.filter(F.col("variant") == 1).select(
-        F.col("n").alias("n_b"), F.col("x").alias("x_b")
+    se = F.sqrt(
+        pool
+        * (1 - pool)
+        * (
+            F.try_divide(F.lit(1.0), F.col("n_a"))
+            + F.try_divide(F.lit(1.0), F.col("n_b"))
+        )
     )
-    j = a.crossJoin(F.broadcast(b))  # two 1-row frames
-    pa = F.col("x_a") / F.col("n_a")
-    pb = F.col("x_b") / F.col("n_b")
-    pool = (F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b"))
-    se = F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
     return j.select(
         "n_a", "x_a", "n_b", "x_b",
-        pa.alias("rate_a"),
-        pb.alias("rate_b"),
+        F.coalesce(pa, F.lit(0.0)).alias("rate_a"),
+        F.coalesce(pb, F.lit(0.0)).alias("rate_b"),
         F.when(se > 0, (pa - pb) / se).otherwise(F.lit(0.0)).alias("z"),
     )
 

@@ -20,8 +20,40 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import statistics
 import sys
+
+
+def _recover_from_tail(doc: dict) -> dict | None:
+    """Salvage per-query timings from a driver BENCH file whose ``parsed``
+    is null because the summary JSON line outgrew the driver's stdout tail
+    capture (this is exactly what broke BENCH_r04.json — round 4 shipped
+    with the perf guard silently inoperative).  The tail still holds the
+    BACK of the queries dict, so a truncated artifact yields a partial but
+    real comparison set instead of a no-op."""
+    tail = doc.get("tail")
+    if not isinstance(tail, str):
+        return None
+    queries: dict[str, float] = {}
+    sf = None
+    # pairs look like \"name\": 1.234 inside the (escaped) JSON line
+    for m in re.finditer(r'\\?"([a-z][a-z0-9_]+)\\?":\s*([0-9]+(?:\.[0-9]+)?)', tail):
+        key, val = m.group(1), float(m.group(2))
+        if key == "sf":
+            sf = val
+        elif key not in ("value", "n", "rc", "cpus"):
+            queries[key] = val
+    if not queries:
+        return None
+    return {
+        "metric": "headline_queries_total (RECOVERED-PARTIAL)",
+        "value": None,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "recovered_partial": True,
+    }
 
 
 def load(path: str) -> dict:
@@ -31,6 +63,17 @@ def load(path: str) -> dict:
     # output is the line itself
     if "parsed" in doc and isinstance(doc["parsed"], dict):
         doc = doc["parsed"]
+    elif "parsed" in doc and doc["parsed"] is None:
+        rec = _recover_from_tail(doc)
+        if rec is None:
+            raise SystemExit(
+                f"{path}: parsed is null and no timings are recoverable from "
+                "its tail — no perf comparison is possible with this artifact"
+            )
+        n = len(rec["queries"])
+        print(f"  NOTE: {path} had parsed:null — recovered {n} per-query "
+              "timings from its truncated tail (partial set)")
+        doc = rec
     return doc
 
 
@@ -43,8 +86,12 @@ def main() -> int:
                     help="ignore regressions on queries faster than this (noise floor)")
     args = ap.parse_args()
 
-    old_q = load(args.old).get("queries", {})
-    new_q = load(args.new).get("queries", {})
+    old_doc, new_doc = load(args.old), load(args.new)
+    old_q = old_doc.get("queries", {})
+    new_q = new_doc.get("queries", {})
+    # a recovered-partial artifact lost the FRONT of its queries dict to
+    # tail truncation — absent queries are capture loss, not real drops
+    partial = bool(old_doc.get("recovered_partial") or new_doc.get("recovered_partial"))
 
     dropped = sorted(set(old_q) - set(new_q))
     added = sorted(set(new_q) - set(old_q))
@@ -72,13 +119,14 @@ def main() -> int:
     for name, o, n, r in sorted(regressed, key=lambda t: -t[3]):
         print(f"  REGRESS  {name}: {o:.3f}s -> {n:.3f}s ({r:.2f}x)")
     for name in dropped:
-        print(f"  DROPPED  {name} (was {old_q[name]:.3f}s)")
+        tag = "ABSENT   " if partial else "DROPPED  "
+        print(f"  {tag}{name} (was {old_q[name]:.3f}s)")
     if host_wide:
         print(f"  NOTE: median ratio {med:.2f} > {args.max_ratio} — uniform slowdown, "
               "likely host load (check uptime), not a code regression")
 
-    fail = bool(dropped) or (bool(regressed) and not host_wide)
-    ot, nt = load(args.old).get("value"), load(args.new).get("value")
+    fail = (bool(dropped) and not partial) or (bool(regressed) and not host_wide)
+    ot, nt = old_doc.get("value"), new_doc.get("value")
     print(f"  totals: {ot}s -> {nt}s; {'FAIL' if fail else 'OK'}")
     return 1 if fail else 0
 
