@@ -1,0 +1,212 @@
+"""Shared constants, portable-SQL helper fragments and planted corpora used by every catalog section.
+
+Split out of the original single-file catalog.py (round-5 refactor,
+round-4 verdict item #3).  Import order is load-bearing: later sections
+reference names from earlier ones via the wildcard chain below."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mcpvectordb_spark.io import load_table
+from mcpvectordb_spark.operators import curation as cu
+from mcpvectordb_spark.operators import dedup as dd
+from mcpvectordb_spark.operators import textstats as ts
+from mcpvectordb_spark.operators import weburl as wu
+from mcpvectordb_spark.operators import knn
+from mcpvectordb_spark.operators.bm25 import bm25_score, bm25_topk
+from mcpvectordb_spark.operators.hybrid import rrf_topk
+from mcpvectordb_spark.operators.knn import (
+    cosine,
+    ivf_assign,
+    ivf_topk,
+    knn_join,
+    knn_topk,
+    knn_topk_sq8,
+    knn_truncated_topk,
+    query_vec_lit,
+)
+from mcpvectordb_spark.tpch_ext import TPCH_EXT_ORACLES, TPCH_EXT_QUERIES
+
+# ---------------------------------------------------------------------------
+# shared constants
+
+SEARCH_QUERY = "window join spark batch"
+QUERY_VEC_ID = 0
+RRF_K0 = 60
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragment builders (mirrors of the Spark column expressions)
+
+def _sql_hex48(expr: str) -> str:
+    """int(md5(x)[:12], 16) — parity-tested against Spark conv()."""
+    return (
+        "list_reduce(list_transform(string_split(substr(md5(" + expr + "),1,12),''),"
+        " c -> CAST(strpos('0123456789abcdef', c)-1 AS BIGINT)), (a,b) -> a*16+b)"
+    )
+
+
+def _sql_norm(expr: str) -> str:
+    return rf"trim(regexp_replace(lower({expr}), '\s+', ' ', 'g'))"
+
+
+def _sql_words(expr: str) -> str:
+    return f"string_split({_sql_norm(expr)}, ' ')"
+
+
+def _sql_shingles(words: str, n: int) -> str:
+    return (
+        f"list_distinct(CASE WHEN len({words}) >= {n} THEN "
+        f"list_transform(range(1, len({words})-{n}+2), i -> array_to_string({words}[i:i+{n-1}], ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END)"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    """dot/(|a|·|b|) with the same operation structure as operators.knn."""
+    return (
+        f"(list_inner_product({a},{b}) / "
+        f"(sqrt(list_inner_product({a},{a})) * sqrt(list_inner_product({b},{b}))))"
+    )
+
+
+def _sql_sq8(v: str, s: str) -> str:
+    """Quantized code list: sign-split floor(|x|/s + 0.5) — the same IEEE
+    operation sequence as operators.knn._half_away, including the scale>0
+    zero-vector guard (sq8_quantize emits all-zero codes, never x/0)."""
+    return (
+        f"CASE WHEN {s} > 0 THEN "
+        f"list_transform({v}, x -> CASE WHEN x >= 0 THEN floor(x/{s} + 0.5) "
+        f"ELSE -floor(-x/{s} + 0.5) END) "
+        f"ELSE list_transform({v}, x -> 0.0) END"
+    )
+
+
+def _sql_lang_fragments() -> tuple[str, str]:
+    """(marker-score SELECT list, argmax CASE) — the SQL twin of
+    textstats.lang_id, shared by every oracle that classifies language."""
+    words = _sql_words("text")
+    selects = ", ".join(
+        f"len(list_filter({words}, t -> t IN ({', '.join(repr(m) for m in markers)}))) AS s_{lang}"
+        for lang, markers in ts.LANG_MARKERS.items()
+    )
+    cases = []
+    for lang in ts.LANG_MARKERS:
+        others = " AND ".join(f"s_{lang} > s_{o}" for o in ts.LANG_MARKERS if o != lang)
+        cases.append(f"WHEN s_{lang} > 0 AND {others} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return selects, case_sql
+
+
+def _sql_quality_cte(source: str) -> str:
+    """CTEs (f, q) computing the quality features/score of textstats
+    .quality_columns over ``source`` — shared by the quality and curation
+    oracles so the heuristic's constants live in exactly two places
+    (the Column expressions and this one SQL twin)."""
+    # COALESCE mirrors textstats.quality_columns: NULL text must score like
+    # empty text (without it DuckDB's least() skips the NULL and scores 0.7)
+    return rf"""
+f AS (
+  SELECT *,
+    CAST(length(COALESCE(text,'')) AS BIGINT) AS n_chars,
+    CAST(len(list_filter(regexp_split_to_array(trim(COALESCE(text,'')), '\s+'), t -> t <> '')) AS BIGINT) AS n_words,
+    CAST(length(COALESCE(text,'')) - length(regexp_replace(COALESCE(text,''), '[^\w\s]', '', 'g')) AS BIGINT) AS punct,
+    CAST(len(list_filter(list_transform(list_filter(regexp_split_to_array(trim(COALESCE(text,'')), '\s+'), t -> t <> ''), t -> lower(t)),
+             t -> t IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS stop
+  FROM {source}),
+q AS (
+  SELECT *,
+    round(CASE WHEN n_chars > 0 THEN punct/n_chars ELSE 0.0 END, 6) AS punct_ratio,
+    round(CASE WHEN n_words > 0 THEN stop/n_words ELSE 0.0 END, 6) AS stop_ratio,
+    round(0.4*least(n_words/200.0, 1.0)
+        + 0.3*(1.0 - CASE WHEN n_chars > 0 THEN punct/n_chars ELSE 0.0 END)
+        + 0.3*least((CASE WHEN n_words > 0 THEN stop/n_words ELSE 0.0 END)/0.05, 1.0), 6) AS quality_score
+  FROM f)
+"""
+
+
+def _q_vec(spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == vec_id).first()["embedding"])
+
+
+# planted-duplicate corpora (the raw synthetic corpus has no near-dups, so
+# dedup demos plant them deterministically — identically in Spark and SQL).
+# Plant-id offset is far beyond any scale factor's doc_id range (+10k would
+# collide with genuine ids at sf >= 0.2 and silently corrupt the corpus).
+_NEARDUP_SUFFIX = " zz9 qq8 extra suffix tokens"
+_PLANT_OFFSET = 10_000_000
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").alias("id"), "text").unionByName(
+        docs.filter(F.col("doc_id") < 50).select((F.col("doc_id") + _PLANT_OFFSET).alias("id"), "text")
+    )
+
+
+_SQL_EXACT_CORPUS = (
+    "SELECT doc_id AS id, text FROM documents "
+    f"UNION ALL SELECT doc_id+{_PLANT_OFFSET} AS id, text FROM documents WHERE doc_id < 50"
+)
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").alias("id"), "text").unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + _PLANT_OFFSET).alias("id"),
+            F.concat(F.col("text"), F.lit(_NEARDUP_SUFFIX)).alias("text"),
+        )
+    )
+
+
+_SQL_NEAR_CORPUS = (
+    "SELECT doc_id AS id, text FROM documents "
+    f"UNION ALL SELECT doc_id+{_PLANT_OFFSET} AS id, text || '{_NEARDUP_SUFFIX}' AS text "
+    "FROM documents WHERE doc_id < 50"
+)
+
+_SQL_JACCARD_ON = """
+jsh AS (SELECT id, unnest({shingles}) AS shingle FROM corpus),
+sizes AS (SELECT id, count(*) AS set_size FROM jsh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM jsh a JOIN jsh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2)
+"""
+
+
+def _sql_jaccard_cte() -> str:
+    return _SQL_JACCARD_ON.format(shingles=_sql_shingles(_sql_words("text"), 3))
+
+
+
+
+def _digest_gate(df: DataFrame) -> DataFrame:
+    """Collapse a fully-deterministic result to one (n_rows, digest) row,
+    computed in-plan: every row is rendered to a string (columns joined with
+    0x1f, NULL → 0x00), the row-strings are canonically sorted, and the md5
+    of their 0x1e-join is taken.  The matching oracle is a constant SELECT
+    of the golden (n_rows, digest) captured at sf0.01 — turning a
+    rows-only driver row into a real pass/fail value check for queries
+    whose computation (chunker/embedder/byte kernels) DuckDB cannot run.
+    Regenerate goldens with tools/regen_digests.py after any intended
+    behavior change."""
+    rowstr = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns]
+    )
+    return df.select(rowstr.alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.md5(F.concat_ws("\x1e", F.array_sort(F.collect_list("r")))).alias("digest"),
+    )
+
+
+def _sql_digest_gold(n_rows: int, digest: str) -> str:
+    return f"SELECT CAST({n_rows} AS BIGINT) AS n_rows, '{digest}' AS digest"
+
+# re-export everything (including underscore helpers) to later sections
+__all__ = [n for n in dir() if not n.startswith("__")]

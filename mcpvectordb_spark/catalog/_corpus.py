@@ -1,0 +1,1788 @@
+"""Store/metadata operators over the chunk store, the deduplication family, and text analysis.
+
+Split out of the original single-file catalog.py (round-5 refactor,
+round-4 verdict item #3).  Import order is load-bearing: later sections
+reference names from earlier ones via the wildcard chain below."""
+from __future__ import annotations
+
+from mcpvectordb_spark.catalog._common import *  # noqa: F401,F403
+from mcpvectordb_spark.catalog._search import *  # noqa: F401,F403
+
+# ===========================================================================
+# 3. Store / metadata operators (documents table as the corpus)
+# ===========================================================================
+
+def q_orders_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the 25 part pairs most often ordered
+    together.  Same sub-quadratic shape as the dedup inverted indexes —
+    pairs explode per order (bounded by items-per-order², ~tens), never
+    across the catalog; one keyed agg + distributed top-n.  Canonical
+    (a < b) ordering halves the pair space and makes output total-ordered."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "o").filter(F.col("pa") < F.col("pb"))
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("pa").asc(), F.col("pb").asc())
+        .limit(25)
+    )
+
+
+SQL_ORDERS_COPURCHASE = """
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_orders
+FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+GROUP BY a.p, b.p
+ORDER BY n_orders DESC, pa ASC, pb ASC LIMIT 25
+"""
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (analytics.py::assoc_rules):
+    support / confidence / lift for directed 2-itemset rules, top-50 by
+    lift with a confidence-then-ids total-order tiebreak."""
+    from mcpvectordb_spark.operators.analytics import assoc_rules
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    rules = assoc_rules(li, "l_orderkey", "l_partkey", min_pair_count=2, top_n=50)
+    return rules.select(
+        "antecedent", "consequent", "n_pair",
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    )
+
+
+SQL_ASSOC_RULES = """
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n_baskets FROM items),
+item_n AS (SELECT p, CAST(count(*) AS BIGINT) AS n_item FROM items GROUP BY p),
+pair_n AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_pair
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+directed AS (
+  SELECT pa AS antecedent, pb AS consequent, n_pair FROM pair_n
+  UNION ALL
+  SELECT pb AS antecedent, pa AS consequent, n_pair FROM pair_n),
+rules AS (
+  SELECT antecedent, consequent, n_pair,
+         n_pair / n_baskets AS support,
+         n_pair * 1.0 / na.n_item AS confidence,
+         n_pair * n_baskets / (na.n_item * nb.n_item) AS lift
+  FROM directed
+  JOIN item_n na ON na.p = antecedent
+  JOIN item_n nb ON nb.p = consequent, n)
+SELECT antecedent, consequent, n_pair,
+       round(support, 6) AS support,
+       round(confidence, 6) AS confidence,
+       round(lift, 6) AS lift
+FROM rules
+ORDER BY lift DESC, confidence DESC, antecedent ASC, consequent ASC LIMIT 50
+"""
+
+
+def q_parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (10 fixed iterations, d=0.85) over the symmetric
+    co-purchase graph of parts ordered together ≥2 times
+    (operators/graph.py) — the oracle unrolls the identical power
+    iteration as 10 chained CTEs."""
+    from mcpvectordb_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pair_n = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    edges = pair_n.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), F.col("n_pair").alias("w")
+    ).unionByName(
+        pair_n.select(
+            F.col("pb").alias("src"), F.col("pa").alias("dst"), F.col("n_pair").alias("w")
+        )
+    )
+    # loop_partitions=8: the co-purchase graph's rank vector is tiny, so
+    # the iteration pins a small fixed parallelism with AQE off (see
+    # graph.pagerank — 2.1x on this query; leave None at web scale)
+    pr = pagerank(edges, iterations=10, damping=0.85, weight_col="w", loop_partitions=8)
+    return (
+        pr.select("node", F.round("rank", 6).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def _sql_pagerank_unrolled(iters: int = 10, d: float = 0.85) -> tuple[str, str]:
+    steps = []
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""pr{i} AS (
+  SELECT nodes.node, (1-{d})/n_nodes + {d}*coalesce(im, 0.0) AS pr
+  FROM nodes LEFT JOIN (
+    SELECT dst AS node, sum(pr * p) AS im
+    FROM trans JOIN {prev} ON {prev}.node = trans.src GROUP BY dst
+  ) agg{i} USING(node), n)"""
+        )
+        prev = f"pr{i}"
+    return ",\n".join(steps), prev
+
+
+_PR_STEPS, _PR_LAST = _sql_pagerank_unrolled()
+
+SQL_PARTS_PAGERANK = f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pair_n AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_pair
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (
+  SELECT pa AS src, pb AS dst, CAST(n_pair AS DOUBLE) AS w FROM pair_n
+  UNION ALL
+  SELECT pb AS src, pa AS dst, CAST(n_pair AS DOUBLE) AS w FROM pair_n),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
+outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+trans AS (SELECT src, dst, w / out_w AS p FROM edges JOIN outw USING(src)),
+pr0 AS (SELECT node, 1.0 / n_nodes AS pr FROM nodes, n),
+{_PR_STEPS}
+SELECT node, round(pr, 6) AS pr FROM {_PR_LAST}
+ORDER BY round(pr, 6) DESC, node LIMIT 20
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (analytics.py::rfm_segments): quartile
+    scores from broadcast percentile_disc thresholds — no global ntile
+    window — rolled up per (r, f, m) segment."""
+    from mcpvectordb_spark.operators.analytics import rfm_segments
+
+    orders = load_table(spark, sf_dir, "orders")
+    seg = rfm_segments(orders)
+    return seg.select(
+        "r_score", "f_score", "m_score", "n_customers",
+        F.round("avg_monetary", 4).alias("avg_monetary"),
+    ).orderBy("r_score", "f_score", "m_score")
+
+
+SQL_RFM_SEGMENTS = """
+WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+per_cust AS (
+  SELECT o_custkey AS cust,
+         min(datediff('day', o_orderdate, a)) AS rec_days,
+         CAST(count(*) AS BIGINT) AS freq,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders, anchor GROUP BY 1, a),
+th AS (
+  SELECT quantile_disc(rec_days, 0.25) AS r0, quantile_disc(rec_days, 0.5) AS r1, quantile_disc(rec_days, 0.75) AS r2,
+         quantile_disc(freq, 0.25) AS f0, quantile_disc(freq, 0.5) AS f1, quantile_disc(freq, 0.75) AS f2,
+         quantile_disc(monetary, 0.25) AS m0, quantile_disc(monetary, 0.5) AS m1, quantile_disc(monetary, 0.75) AS m2
+  FROM per_cust),
+scored AS (
+  SELECT cust, monetary,
+         5 - (1 + (rec_days > r0)::INT + (rec_days > r1)::INT + (rec_days > r2)::INT) AS r_score,
+         1 + (freq > f0)::INT + (freq > f1)::INT + (freq > f2)::INT AS f_score,
+         1 + (monetary > m0)::INT + (monetary > m1)::INT + (monetary > m2)::INT AS m_score
+  FROM per_cust, th)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(monetary), 4) AS avg_monetary
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_orders_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit set-operation shapes (SURVEY §2.7): customers active in
+    1995 INTERSECT 1996, 1995 EXCEPT 1996, and the symmetric difference —
+    Spark's intersect/exceptAll-style plans vs plain SQL set ops."""
+    orders = load_table(spark, sf_dir, "orders")
+    year = F.year(F.col("o_orderdate"))
+    y95 = orders.filter(year == 1995).select("o_custkey").distinct()
+    y96 = orders.filter(year == 1996).select("o_custkey").distinct()
+    both = y95.intersect(y96)
+    only95 = y95.exceptAll(y96)
+    only96 = y96.exceptAll(y95)
+    rows = [
+        ("both_years", both), ("only_1995", only95), ("only_1996", only96),
+    ]
+    out = None
+    for name, df in rows:
+        r = df.agg(F.lit(name).alias("cohort"), F.count(F.lit(1)).cast("long").alias("n_customers"))
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("cohort")
+
+
+SQL_ORDERS_SETOPS = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT * FROM (
+  SELECT 'both_years' AS cohort, CAST(count(*) AS BIGINT) AS n_customers
+  FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+  UNION ALL
+  SELECT 'only_1995', CAST(count(*) AS BIGINT)
+  FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+  UNION ALL
+  SELECT 'only_1996', CAST(count(*) AS BIGINT)
+  FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+) ORDER BY cohort
+"""
+
+
+def q_list_libraries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-library rollup (reference list_libraries, SURVEY §2.4 A2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.col("lang").alias("library")).agg(
+        F.countDistinct("source").alias("document_count"),
+        F.count(F.lit(1)).alias("chunk_count"),
+    )
+
+
+SQL_LIST_LIBRARIES = """
+SELECT lang AS library,
+       CAST(count(DISTINCT source) AS BIGINT) AS document_count,
+       CAST(count(*) AS BIGINT) AS chunk_count
+FROM documents GROUP BY lang
+"""
+
+
+def q_list_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped listing + window pagination (reference list_documents,
+    SURVEY §2.4 A1 + §2.6 T2): rows 6..15 ordered by size desc."""
+    docs = load_table(spark, sf_dir, "documents")
+    grouped = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    w = Window.orderBy(F.desc("total_chars"), F.asc("source"))
+    return (
+        grouped.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") > 5) & (F.col("rank") <= 15))
+        .select("source", "doc_count", "total_chars", "rank")
+    )
+
+
+SQL_LIST_DOCUMENTS = """
+SELECT source, doc_count, total_chars, rank FROM (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(row_number() OVER (ORDER BY sum(n_chars) DESC, source) AS INT) AS rank
+  FROM documents GROUP BY source)
+WHERE rank > 5 AND rank <= 15
+"""
+
+
+def q_get_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document reconstruction: ordered concat of chunk texts (reference
+    get_document, SURVEY §2.4 A5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("source") == "src3")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n\n",
+            ).alias("content"),
+        )
+    )
+
+
+SQL_GET_DOCUMENT = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       string_agg(text, chr(10)||chr(10) ORDER BY doc_id) AS content
+FROM documents WHERE source = 'src3' GROUP BY source
+"""
+
+
+def q_semi_join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch find_existing: broadcast left-semi join of a probe set against
+    the corpus on (source, library) (reference store.py:206-235 → J1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = spark.createDataFrame(
+        [("src1", "en"), ("src5", "en"), ("src7", "en")], "source string, lang string"
+    )
+    return (
+        docs.join(F.broadcast(probe), ["source", "lang"], "left_semi")
+        .groupBy("source", F.col("lang").alias("library"))
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+    )
+
+
+SQL_SEMI_JOIN_LOOKUP = """
+SELECT source, lang AS library, CAST(count(*) AS BIGINT) AS n_chunks
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM (VALUES ('src1','en'),('src5','en'),('src7','en')) p(s, l)
+              WHERE p.s = d.source AND p.l = d.lang)
+GROUP BY source, lang
+"""
+
+
+def q_delete_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete as anti-join (reference delete_document → K2/J2): remaining
+    per-library counts after removing all docs with source='src3'."""
+    docs = load_table(spark, sf_dir, "documents")
+    victims = docs.filter(F.col("source") == "src3").select("doc_id")
+    return (
+        docs.join(victims, "doc_id", "left_anti")
+        .groupBy(F.col("lang").alias("library"))
+        .agg(F.count(F.lit(1)).alias("n_remaining"))
+    )
+
+
+SQL_DELETE_ANTIJOIN = """
+SELECT lang AS library, CAST(count(*) AS BIGINT) AS n_remaining
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM documents x WHERE x.source = 'src3' AND x.doc_id = d.doc_id)
+GROUP BY lang
+"""
+
+
+# ===========================================================================
+# 4. Deduplication family
+# ===========================================================================
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with 50 planted duplicates."""
+    corpus = _exact_corpus(spark, sf_dir)
+    groups = dd.exact_duplicates(corpus, "id", "text")
+    return groups.select(
+        "content_hash",
+        "dup_count",
+        F.element_at("ids", 1).alias("min_id"),
+        F.element_at("ids", -1).alias("max_id"),
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+WITH corpus AS ({_SQL_EXACT_CORPUS})
+SELECT md5({_sql_norm('text')}) AS content_hash,
+       CAST(count(*) AS BIGINT) AS dup_count,
+       min(id) AS min_id, max(id) AS max_id
+FROM corpus GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs ≥ 0.5 via shingle inverted index."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH corpus AS ({_SQL_NEAR_CORPUS}),
+{_sql_jaccard_cte()}
+SELECT id_a, id_b, round(common/(sa.set_size + sb.set_size - common), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE common/(sa.set_size + sb.set_size - common) >= 0.5
+"""
+
+
+def _sql_minhash_sig(corpus_sql: str, num_hashes: int) -> str:
+    """Kirsch–Mitzenmacher double hashing, mirroring operators.dedup:
+    h1/h2 = independent md5 hex slices, mh_i = min(h1 + i·h2)."""
+    hex_fold = (
+        "list_reduce(list_transform(string_split({sl},''),"
+        " c -> CAST(strpos('0123456789abcdef', c)-1 AS BIGINT)), (a,b) -> a*16+b)"
+    )
+    h1 = hex_fold.format(sl="substr(md5(shingle),1,12)")
+    h2 = hex_fold.format(sl="substr(md5(shingle),13,12)")
+    rng = 1 << 48
+    mins = [f"min((h1 + {i}*h2) % {rng}) AS mh{i}" for i in range(num_hashes)]
+    return f"""
+corpus AS ({corpus_sql}),
+sh AS (SELECT id, {h1} AS h1, {h2} AS h2
+       FROM (SELECT id, unnest({_sql_shingles(_sql_words('text'), 3)}) AS shingle FROM corpus)),
+sigs AS (SELECT id, {", ".join(mins)} FROM sh GROUP BY id)
+"""
+
+
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration audit: for every shingle-sharing
+    document pair (the organic sliding-window near-dups), compare the
+    16-hash signature agreement fraction with the EXACT 3-gram Jaccard,
+    bucketed by agreeing components k — E[agreement] = J is the MinHash
+    theorem, so mean exact Jaccard per bucket must track k/16.  This is
+    the on-corpus proof that the dedup estimator is unbiased HERE (the
+    repo's gate-approximations-in-plan philosophy applied to its own
+    MinHash), and the bias column quantifies the small-k deviation.
+    Cost: the existing inverted-index candidate join + one 16-column
+    signature join — both machinery the LSH dedup already runs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    pairs = dd.ngram_jaccard_pairs(docs, "id", "text", n=3, threshold=0.02)
+    sigs = dd.minhash_signatures(docs, "id", "text", num_hashes=16, shingle_n=3)
+    sa = sigs.select(
+        F.col("id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)]
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(16)
+    )
+    j = pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "jaccard", agree.alias("k")
+    )
+    return (
+        j.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+            F.round(
+                F.avg("jaccard") - F.col("k").cast("double") / 16, 6
+            ).alias("bias"),
+        )
+        .select(F.col("k").cast("long").alias("k_agree"), "n_pairs", "mean_jaccard", "bias")
+    )
+
+
+SQL_MINHASH_CALIBRATION = f"""
+WITH {_sql_minhash_sig("SELECT doc_id AS id, text FROM documents", 16)},
+sizes AS (SELECT id, count(DISTINCT shingle) AS set_size
+          FROM (SELECT id, unnest({_sql_shingles(_sql_words('text'), 3)}) AS shingle
+                FROM corpus) GROUP BY 1),
+shg AS (SELECT id, unnest({_sql_shingles(_sql_words('text'), 3)}) AS shingle FROM corpus),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM shg a JOIN shg b ON b.shingle = a.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         CAST(c.common AS DOUBLE) / (sa.set_size + sb.set_size - c.common) AS jaccard
+  FROM common c
+  JOIN sizes sa ON sa.id = c.id_a
+  JOIN sizes sb ON sb.id = c.id_b
+  WHERE CAST(c.common AS DOUBLE) / (sa.set_size + sb.set_size - c.common) >= 0.02),
+joined AS (
+  SELECT p.jaccard,
+         ({" + ".join(f"CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END" for i in range(16))}) AS k
+  FROM pairs p JOIN sigs x ON x.id = p.id_a JOIN sigs y ON y.id = p.id_b)
+SELECT CAST(k AS BIGINT) AS k_agree,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(jaccard), 6) AS mean_jaccard,
+       round(avg(jaccard) - CAST(k AS DOUBLE) / 16, 6) AS bias
+FROM joined GROUP BY k
+"""
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 8-hash MinHash signatures over the documents table."""
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
+    return dd.minhash_signatures(docs, "id", "text", num_hashes=8, shingle_n=3)
+
+
+SQL_DEDUP_MINHASH_SIG = f"""
+WITH {_sql_minhash_sig("SELECT doc_id AS id, text FROM documents", 8)}
+SELECT * FROM sigs
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH banding→verify pipeline (8 hashes, 4 bands of 2 —
+    P(candidate) = 1−(1−J²)⁴ ≈ 0.999 at J 0.9)."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(corpus, "id", "text", num_hashes=8, bands=4, shingle_n=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {_sql_minhash_sig(_SQL_NEAR_CORPUS, 8)},
+banded AS (
+  SELECT id, 0 AS band, concat_ws('_', mh0, mh1) AS bucket FROM sigs
+  UNION ALL SELECT id, 1 AS band, concat_ws('_', mh2, mh3) AS bucket FROM sigs
+  UNION ALL SELECT id, 2 AS band, concat_ws('_', mh4, mh5) AS bucket FROM sigs
+  UNION ALL SELECT id, 3 AS band, concat_ws('_', mh6, mh7) AS bucket FROM sigs),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+{_sql_jaccard_cte()}
+SELECT c.id_a, c.id_b, round(common/(sa.set_size + sb.set_size - common), 6) AS jaccard
+FROM cand c
+JOIN common ON common.id_a = c.id_a AND common.id_b = c.id_b
+JOIN sizes sa ON sa.id = c.id_a JOIN sizes sb ON sb.id = c.id_b
+WHERE common/(sa.set_size + sb.set_size - common) >= 0.5
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the Jaccard≥0.5 pair
+    graph of the planted corpus — every doc mapped to its canonical
+    representative (min reachable id).  Spark: iterative min-label
+    propagation; oracle: recursive CTE."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.5)
+    clusters = dd.dedup_clusters(corpus.select("id"), pairs, "id")
+    return clusters
+
+
+def q_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering through the web-scale path: alternating large-star /
+    small-star contraction (dedup.py::dedup_clusters_twostar, O(log²n)
+    rounds vs propagation's O(diameter)).  Oracle = the SAME recursive CTE
+    as dedup_clusters — the driver gate itself proves the two algorithms
+    agree on real pair graphs."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.5)
+    # loop_partitions=8: the planted pair graph is tiny — scoped small-graph
+    # fast path (see dedup.dedup_clusters_twostar; None at corpus scale)
+    return dd.dedup_clusters_twostar(corpus.select("id"), pairs, "id", loop_partitions=8)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE corpus AS ({_SQL_NEAR_CORPUS}),
+{_sql_jaccard_cte()}
+, jpairs AS (
+  SELECT id_a, id_b
+  FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE common/(sa.set_size + sb.set_size - common) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jpairs
+  UNION SELECT id_b, id_a FROM jpairs),
+reach(id, label) AS (
+  SELECT id, id FROM corpus
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+SELECT id, CAST(min(label) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment ≥0.9 (dedup.py::ngram_containment_pairs):
+    the planted suffix-extended copies CONTAIN their originals fully
+    (containment 1.0 in the original→copy direction) even where symmetric
+    Jaccard would dilute — the fragment/quotation detector."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dd.ngram_containment_pairs(corpus, "id", "text", n=3, threshold=0.9)
+    return pairs.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH corpus AS ({_SQL_NEAR_CORPUS}),
+{_sql_jaccard_cte()}
+, directed AS (
+  SELECT id_a, id_b, common FROM common
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b, common FROM common)
+SELECT id_a, id_b, round(common * 1.0 / s.set_size, 6) AS containment
+FROM directed JOIN sizes s ON s.id = id_a
+WHERE common * 1.0 / s.set_size >= 0.9
+"""
+
+
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus canonicalization: per multi-member near-dup cluster keep the
+    smallest id, report members dropped — the action step that turns the
+    cluster map into an actual deduped corpus."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.5)
+    clusters = dd.dedup_clusters(corpus.select("id"), pairs, "id")
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(
+            F.min("id").alias("keeper"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select("cluster_id", "keeper", "n_members")
+        .orderBy("cluster_id")
+    )
+
+
+SQL_DEDUP_KEEP_CANONICAL = f"""
+SELECT cluster_id, CAST(min(id) AS BIGINT) AS keeper, CAST(count(*) AS BIGINT) AS n_members
+FROM ({SQL_DEDUP_CLUSTERS}) clusters
+GROUP BY cluster_id HAVING count(*) > 1 ORDER BY cluster_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit tf-weighted SimHash fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
+    return dd.simhash(docs, "id", "text", bits=32)
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    sums = ", ".join(f"sum(tf * (((hh >> {b}) & 1)*2 - 1)) AS s{b}" for b in range(bits))
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH terms AS (
+  SELECT id, term, count(*) AS tf FROM (
+    SELECT doc_id AS id, unnest({_sql_words('text')}) AS term FROM documents)
+  GROUP BY 1, 2),
+h AS (SELECT id, tf, {_sql_hex48('term')} AS hh FROM terms),
+sums AS (SELECT id, {sums} FROM h GROUP BY id)
+SELECT id, {fp} AS simhash FROM sums
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash(32)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force exact baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_sql_cos('a.v', 'b.v')}, 6) AS cos_sim
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE {_sql_cos('a.v', 'b.v')} >= 0.35
+"""
+
+
+# k sizes the candidate cells: Σ|cell|² pair work needs |cell| ≈ n/k small,
+# so k scales with the corpus (64 keeps cells ≈300 rows at sf0.1's 20k
+# vectors; at 100 TB you'd set k ≈ n/1000 and refine with kmeans_refine).
+_SEMDEDUP_K, _SEMDEDUP_THR = 64, 0.8
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cells as
+    candidate buckets, within-cell cosine verification, drop-keeping-the-
+    lowest-id.  Planted exact copies of vec_id<40 are the ground truth —
+    every plant must be dropped against its original (sim 1.0), and at
+    threshold 0.8 the raw corpus contributes no pairs (max genuine cosine
+    is ≈0.4, see dedup_embedding_cosine).  Centroids are the 8 lowest-id
+    corpus vectors: trained-state-free and SQL-reproducible, so the oracle
+    re-runs the WHOLE pipeline including assignment tie-breaks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), "embedding").unionByName(
+        emb.filter(F.col("vec_id") < 40).select(
+            (F.col("vec_id") + _PLANT_OFFSET).alias("id"), "embedding"
+        )
+    )
+    dropped = dd.semdedup(corpus, "id", "embedding", k=_SEMDEDUP_K, threshold=_SEMDEDUP_THR)
+    return dropped.select("id", "cluster_id", F.round("max_sim", 6).alias("max_sim"))
+
+
+SQL_SEMDEDUP = f"""
+WITH raw AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_PLANT_OFFSET} AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 40),
+-- L2-normalize once (zero vectors out), same op structure as the operator
+corpus AS (
+  SELECT id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS v
+  FROM raw WHERE sqrt(list_inner_product(v, v)) > 0),
+cents AS (SELECT id AS cid, v AS cv FROM corpus ORDER BY id LIMIT {_SEMDEDUP_K}),
+assign AS (
+  SELECT id, v, cid,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY list_inner_product(v, cv) DESC, cid) AS rn
+  FROM corpus CROSS JOIN cents),
+clustered AS (SELECT id, v, cid AS cluster_id FROM assign WHERE rn = 1),
+pairs AS (
+  SELECT b.id AS id, b.cluster_id, list_inner_product(a.v, b.v) AS sim
+  FROM clustered a JOIN clustered b
+    ON a.cluster_id = b.cluster_id AND a.id < b.id
+  WHERE list_inner_product(a.v, b.v) >= {_SEMDEDUP_THR})
+SELECT id, cluster_id, round(max(sim), 6) AS max_sim
+FROM pairs GROUP BY id, cluster_id
+"""
+
+
+# ===========================================================================
+# 5. Text analysis
+# ===========================================================================
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BPE training (Sennrich et al. 2016), Spark-first: the ONE
+    corpus-scale pass is the distributed word histogram; the 40-merge loop
+    runs on the vocabulary-bounded histogram driver-side (operators/bpe.py).
+    Deterministic end-to-end (capped histogram ordered (count DESC, word
+    ASC); ties to the lexicographically smallest pair) → digest-gated.
+    The iterative merge loop is not SQL-expressible."""
+    from mcpvectordb_spark.operators.bpe import train_bpe, word_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(word_histogram(docs, "text"), 40)
+    out = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+    return _digest_gate(out)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the trained tokenizer: 40 merges learned from the corpus
+    histogram, then the corpus ENCODED with them (operators/bpe.py::
+    bpe_encode — Arrow kernel, per-batch word memoization).  Per-doc token
+    counts + token-stream md5, digest-gated (the greedy merge application
+    is not SQL-expressible)."""
+    from mcpvectordb_spark.operators.bpe import bpe_encode, train_bpe, word_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(word_histogram(docs, "text"), 40)
+    enc = bpe_encode(docs.select("doc_id", "text"), "text", merges)
+    per_doc = enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("tok_md5"),
+    )
+    return _digest_gate(per_doc)
+
+
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-level byte dedup via content-defined chunking (dedup.py::
+    cdc_chunk_stage — Gear rolling hash, FastCDC-style bounds).  Plants
+    PREFIX-SHIFTED copies of doc_id<50: fixed-size blocking would share
+    zero blocks with the originals, CDC boundaries resync after the edit
+    so most chunk digests dedup away — the summary's dedup_ratio is the
+    proof, gated by golden digest (rolling hash is not SQL-expressible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(F.col("doc_id").alias("id"), "text").unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + _PLANT_OFFSET).alias("id"),
+            F.concat(F.lit("EDITED-PREFIX: "), F.col("text")).alias("text"),
+        )
+    )
+    chunks = dd.cdc_chunk_stage(corpus, "id", "text", min_size=32, avg_size=128, max_size=512)
+    return _digest_gate(dd.cdc_dedup_stats(chunks))
+
+
+def q_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with Lloyd-REFINED centroids (dedup.py::kmeans_refine, two
+    spherical iterations from the lowest-id seed) — exercises the trained-
+    state path end-to-end on the same planted corpus as `semdedup`.
+    Iterative (per-round driver re-broadcast) → digest gate; centroids are
+    quantized to 6 decimals after renorm so the golden is stable against
+    float partial-sum ordering.  Same ground truth: every planted copy
+    shares its twin's cell (identical vectors), so all 40 must drop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), "embedding").unionByName(
+        emb.filter(F.col("vec_id") < 40).select(
+            (F.col("vec_id") + _PLANT_OFFSET).alias("id"), "embedding"
+        )
+    )
+    from mcpvectordb_spark.operators.knn import dot
+
+    nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    unit = corpus.filter(nrm > 0).select(
+        "id", F.transform("embedding", lambda x: x / nrm).alias("embedding")
+    )
+    seed = dd.lowest_id_centroids(unit, "id", "embedding", _SEMDEDUP_K)
+    cents = dd.kmeans_refine(unit, seed, "id", "embedding", iters=2, quantize_digits=6)
+    dropped = dd.semdedup(
+        corpus, "id", "embedding", k=_SEMDEDUP_K, threshold=_SEMDEDUP_THR,
+        centroids=cents,
+    )
+    return _digest_gate(
+        dropped.select("id", "cluster_id", F.round("max_sim", 6).alias("max_sim"))
+    )
+
+
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFD no-split sequence packing (curation.py::pack_bins_ffd): per-shard
+    first-fit-decreasing of whole documents into 512-token bins; summary =
+    per-shard bin count / token total / oversize count / padding fraction.
+    The greedy placement is sequential per shard → not SQL-expressible;
+    fully deterministic (sorted placement, hash shards) → digest gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = cu.pack_bins_ffd(
+        docs, "doc_id", ts.ws_token_count(F.col("text")), budget=512, num_shards=4
+    )
+    summary = packed.groupBy("shard").agg(
+        F.countDistinct("bin_id").cast("long").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("oversize").cast("long")).cast("long").alias("n_oversize"),
+    ).withColumn(
+        "padding_frac",
+        F.round(F.lit(1.0) - F.col("total_tokens") / (F.col("n_bins") * F.lit(512)), 6),
+    )
+    return _digest_gate(summary)
+
+
+def q_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classification, trained AND scored
+    on the corpus itself (operators/classify.py) — distributed ML as pure
+    aggregation: training is a (label, term) groupBy, scoring is a join +
+    per-(doc, class) sum, argmax over rounded log-posteriors.  The oracle
+    replays the entire train+classify pipeline in SQL."""
+    from mcpvectordb_spark.operators.classify import nb_classify, nb_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = nb_train(docs, "lang", "text")
+    out = nb_classify(docs, "doc_id", "text", model)
+    return out.select(F.col("id").alias("doc_id"), "predicted", "score")
+
+
+_SQL_NB_WORDS = f"list_filter({_sql_words('text')}, t -> t <> '')"
+
+SQL_NB_LANG_CLASSIFY = f"""
+WITH tok AS (
+  SELECT lang AS label, unnest({_SQL_NB_WORDS}) AS term FROM documents),
+cwc AS (SELECT label, term, CAST(count(*) AS BIGINT) AS ct FROM tok GROUP BY 1, 2),
+nc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_c FROM tok GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tok),
+dcnt AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS d_c FROM documents GROUP BY 1),
+dtot AS (SELECT CAST(count(*) AS BIGINT) AS d_t FROM documents),
+priors AS (SELECT label, ln(d_c / CAST(d_t AS DOUBLE)) AS log_prior FROM dcnt, dtot),
+liks AS (SELECT label, term, ln((ct + 1) / CAST(n_c + v AS DOUBLE)) AS log_lik
+         FROM cwc JOIN nc USING (label), v),
+unseen AS (SELECT label, ln(1.0 / CAST(n_c + v AS DOUBLE)) AS log_unseen FROM nc, v),
+vocab AS (SELECT DISTINCT term FROM tok),
+doc_tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_SQL_NB_WORDS}) AS term FROM documents)
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.doc_id, u.label, sum(d.tf * COALESCE(l.log_lik, u.log_unseen)) AS s
+  FROM doc_tf d
+  JOIN vocab USING (term)
+  CROSS JOIN unseen u
+  LEFT JOIN liks l ON l.label = u.label AND l.term = d.term
+  GROUP BY 1, 2),
+final AS (
+  SELECT s.doc_id, s.label, round(s.s + p.log_prior, 4) AS score
+  FROM scored s JOIN priors p ON p.label = s.label),
+ranked AS (
+  SELECT doc_id, label, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+  FROM final)
+SELECT doc_id, label AS predicted, score FROM ranked WHERE rn = 1
+"""
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex subword estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ts.ws_token_count(t).cast("long").alias("ws_tokens"),
+        ts.bpe_ish_token_count(t).alias("bpe_tokens"),
+    )
+
+
+SQL_TEXT_TOKENS = r"""
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+  CAST(list_sum(list_transform(
+        regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'),
+        t -> CASE WHEN regexp_full_match(t, '[A-Za-z]+') AND len(t) > 4
+                  THEN CAST(ceil(len(t)/4.0) AS BIGINT) ELSE 1 END)) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.quality_features(docs, "doc_id", "text").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "punct_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH {_sql_quality_cte('documents')}
+SELECT doc_id, n_chars, n_words,
+       punct_ratio, stop_ratio AS stopword_ratio, quality_score
+FROM q
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID, tallied against the true label."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_pred", ts.lang_id(F.col("text")))
+        .groupBy(F.col("lang").alias("lang_true"), "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_langid() -> str:
+    selects, case_sql = _sql_lang_fragments()
+    return f"""
+WITH scored AS (SELECT lang, {selects} FROM documents)
+SELECT lang AS lang_true, {case_sql} AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM scored GROUP BY 1, 2
+"""
+
+
+SQL_TEXT_LANGID = _sql_langid()
+
+
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (corpus-wide document
+    frequencies, smooth-idf).  operators/textstats.py::keywords_tfidf."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.keywords_tfidf(docs, "doc_id", "text", k=5, min_len=3)
+
+
+_KW_STOPS = ", ".join(f"'{w}'" for w in ts.KEYWORD_STOPWORDS)
+
+SQL_TEXT_KEYWORDS = f"""
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS t(term)
+  WHERE len(t.term) >= 3 AND t.term NOT IN ({_KW_STOPS})
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY doc_id, term
+),
+df_t AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df_t.df,
+         tf.tf * (ln((n.n_docs + 1) / (df_t.df + 1.0)) + 1.0) AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * (ln((n.n_docs + 1) / (df_t.df + 1.0)) + 1.0) DESC,
+                                     tf.term ASC) AS rank
+  FROM tf JOIN df_t USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, round(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= 5
+"""
+
+
+def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy: mean unigram log-probability of each
+    doc under the corpus's own unigram distribution, with one planted
+    word-salad doc that must land far below the real docs
+    (textstats.py::unigram_logprob)."""
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
+    salad = spark.range(1).select(
+        F.lit(_PLANT_OFFSET).cast("long").alias("id"),
+        F.lit("zxqv kjwp qmfg ybdn xxzz vvkk ppqq rrss").alias("text"),
+    )
+    return ts.unigram_logprob(docs.unionByName(salad), "id", "text").orderBy("id")
+
+
+SQL_TEXT_LOGPROB = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL SELECT {_PLANT_OFFSET} AS id, 'zxqv kjwp qmfg ybdn xxzz vvkk ppqq rrss' AS text
+),
+toks AS (
+  SELECT id, t.term
+  FROM (SELECT id, {_sql_words('text')} AS ws FROM corpus), UNNEST(ws) AS t(term)
+  WHERE t.term <> ''
+),
+freq AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+SELECT id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(c * 1.0 / n_total)), 6) AS avg_logprob
+FROM toks JOIN freq USING (term) CROSS JOIN n
+GROUP BY id ORDER BY id
+"""
+
+
+def q_text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-deflate compression-ratio quality signal per document
+    (textstats.py::deflate_ratio — whole-document repetitiveness that
+    n-gram fractions miss), with one planted template-spam doc that must
+    flag ``repetitive``.  Byte-level compression is not SQL-expressible →
+    golden-digest gate (deterministic: pinned zlib level, fixed plant)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    spam = spark.range(1).select(
+        F.lit(_PLANT_OFFSET).cast("long").alias("id"),
+        F.lit(("buy cheap meds now " * 60).strip()).alias("text"),
+    )
+    out = ts.deflate_ratio(docs.unionByName(spam), "id", "text")
+    return _digest_gate(out.withColumn("repetitive", F.col("deflate_ratio") < 0.3))
+
+
+_BLOCKLIST = ["casino", "lottery", "jackpot", "warez", "xxx"]
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style word-blocklist page gate (curation.py::blocklist_flags):
+    per-doc blocked-token count + page verdict over the corpus plus one
+    planted offender that must flag.  Map-only codegen array
+    intersection; the blocklist is a plan literal."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    plant = spark.range(1).select(
+        F.lit(_PLANT_OFFSET).cast("long").alias("id"),
+        F.lit("win the big lottery jackpot at our casino tonight").alias("text"),
+    )
+    return cu.blocklist_flags(
+        docs.unionByName(plant), "id", "text", _BLOCKLIST
+    ).orderBy("id")
+
+
+_SQL_BL = ", ".join(f"'{w}'" for w in sorted(set(_BLOCKLIST)))
+
+SQL_BLOCKLIST_FILTER = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL SELECT {_PLANT_OFFSET} AS id, 'win the big lottery jackpot at our casino tonight' AS text
+),
+scored AS (
+  SELECT id,
+         CAST(len(list_filter(list_filter({_sql_words('text')}, w -> w <> ''),
+                              w -> w IN ({_SQL_BL}))) AS BIGINT) AS n_blocked
+  FROM corpus
+)
+SELECT id, n_blocked, n_blocked > 0 AS blocked FROM scored ORDER BY id
+"""
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (textstats.py::
+    logprob_buckets): unigram log-prob scores split at discrete tercile
+    thresholds; the planted word-salad doc must land in ``tail``.  The
+    thresholds are a 1-row broadcast, assignment map-side."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    salad = spark.range(1).select(
+        F.lit(_PLANT_OFFSET).cast("long").alias("id"),
+        F.lit("zxqv kjwp qmfg ybdn xxzz vvkk ppqq rrss").alias("text"),
+    )
+    return ts.logprob_buckets(docs.unionByName(salad), "id", "text").orderBy("id")
+
+
+SQL_CCNET_BUCKETS = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL SELECT {_PLANT_OFFSET} AS id, 'zxqv kjwp qmfg ybdn xxzz vvkk ppqq rrss' AS text
+),
+toks AS (
+  SELECT id, t.term
+  FROM (SELECT id, {_sql_words('text')} AS ws FROM corpus), UNNEST(ws) AS t(term)
+  WHERE t.term <> ''
+),
+freq AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+scored AS (
+  SELECT id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(ln(c * 1.0 / n_total)), 6) AS avg_logprob
+  FROM toks JOIN freq USING (term) CROSS JOIN n
+  GROUP BY id
+),
+th AS (
+  SELECT quantile_disc(avg_logprob, 0.3333333333333333) AS t1,
+         quantile_disc(avg_logprob, 0.6666666666666666) AS t2
+  FROM scored
+)
+SELECT id, n_tokens, avg_logprob,
+       CASE WHEN avg_logprob > t2 THEN 'head'
+            WHEN avg_logprob > t1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored CROSS JOIN th ORDER BY id
+"""
+
+
+_WEB_DOMAIN_BLOCKLIST = ["example.org"]
+
+
+def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style web-filtering funnel: URL registered-domain blocklist
+    → language-ID gate → heuristic quality gate → word-blocklist gate,
+    reported as surviving-doc counts per stage.  Every gate reuses a
+    first-class operator (weburl.registered_domain, textstats.lang_id /
+    quality_columns, the C4 blocklist intersection) and all gates fuse
+    into ONE conditional aggregation over a single corpus scan — the
+    pipeline costs one pass regardless of stage count, then a 5-row
+    stack.  The oracle replays every gate from the shared SQL fragments."""
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.CO.UK:443/art/"), sid, F.lit("?utm_source=feed&b=2&a=1#frag")))
+        .when(m == 1, F.concat(F.lit("http://sub."), F.col("source"), F.lit(".example.com:8080/p/"), sid, F.lit("?gclid=x&z=9")))
+        .when(m == 2, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org")))
+        .otherwise(F.concat(F.lit("http://"), F.col("source"), F.lit(".github.io:80/?ref=rss&q="), sid))
+    )
+    dom = wu.registered_domain(wu.url_parts(url)["host"])
+    qcols = ts.quality_columns("text")
+    bl = F.array(*[F.lit(w) for w in sorted(set(_BLOCKLIST))])
+    toks = F.filter(F.split(dd.normalize_text(F.col("text")), " "), lambda t: t != "")
+    blocked = F.size(F.filter(toks, lambda t: F.array_contains(bl, t))) > 0
+    f1 = ~dom.isin(*_WEB_DOMAIN_BLOCKLIST)
+    f2 = f1 & (ts.lang_id(F.col("text")) == "en")
+    f3 = f2 & (qcols["quality_score"] >= 0.5)
+    f4 = f3 & ~blocked
+    one = F.lit(1).cast("long")
+    agg = docs.agg(
+        F.count(one).alias("n0"),
+        F.sum(F.when(f1, one).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(f2, one).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(f3, one).otherwise(0)).cast("long").alias("n3"),
+        F.sum(F.when(f4, one).otherwise(0)).cast("long").alias("n4"),
+    )
+    return agg.selectExpr(
+        "stack(5, 0, 'all', n0, 1, 'url_domain', n1, 2, 'langid', n2, "
+        "3, 'quality', n3, 4, 'blocklist', n4) AS (stage_idx, stage, n_docs)"
+    ).orderBy("stage_idx")
+
+
+def _sql_web_pipeline() -> str:
+    # call-time import: _SQL_URL_SUFFIXES lives in the curation section,
+    # which loads AFTER this module; the registry only calls this builder
+    # once every section is imported
+    from mcpvectordb_spark.catalog._curation import _SQL_URL_SUFFIXES
+
+    selects, case_sql = _sql_lang_fragments()
+    doms = ", ".join(f"'{d}'" for d in _WEB_DOMAIN_BLOCKLIST)
+    return f"""
+WITH u AS (
+  SELECT doc_id, text,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.CO.UK:443/art/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+      WHEN 1 THEN 'http://sub.' || source || '.example.com:8080/p/' || CAST(doc_id AS VARCHAR) || '?gclid=x&z=9'
+      WHEN 2 THEN 'https://' || source || '.example.org'
+      ELSE 'http://' || source || '.github.io:80/?ref=rss&q=' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents
+),
+hosted AS (
+  SELECT *, lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)) AS host
+  FROM u
+),
+dommed AS (
+  SELECT *, string_split(host, '.') AS labels FROM hosted
+),
+{_sql_quality_cte('''(
+  SELECT *, CASE WHEN len(labels) <= 2 THEN host
+       WHEN array_to_string(labels[-2:], '.') IN ({sfx}) AND len(labels) >= 3
+         THEN array_to_string(labels[-3:], '.')
+       ELSE array_to_string(labels[-2:], '.') END AS url_domain
+  FROM dommed)'''.format(sfx=_SQL_URL_SUFFIXES))},
+scored AS (
+  SELECT *, {selects},
+    CAST(len(list_filter(list_filter({_sql_words('text')}, w -> w <> ''),
+                         w -> w IN ({_SQL_BL}))) AS BIGINT) AS n_blocked
+  FROM q
+),
+flagged AS (
+  SELECT *,
+    url_domain NOT IN ({doms}) AS f1,
+    url_domain NOT IN ({doms}) AND ({case_sql}) = 'en' AS f2,
+    url_domain NOT IN ({doms}) AND ({case_sql}) = 'en' AND quality_score >= 0.5 AS f3,
+    url_domain NOT IN ({doms}) AND ({case_sql}) = 'en' AND quality_score >= 0.5 AND n_blocked = 0 AS f4
+  FROM scored
+),
+funnel AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM flagged
+)
+SELECT 0 AS stage_idx, 'all' AS stage, n0 AS n_docs FROM funnel
+UNION ALL SELECT 1, 'url_domain', n1 FROM funnel
+UNION ALL SELECT 2, 'langid', n2 FROM funnel
+UNION ALL SELECT 3, 'quality', n3 FROM funnel
+UNION ALL SELECT 4, 'blocklist', n4 FROM funnel
+ORDER BY stage_idx
+"""
+
+
+def q_text_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake / encoding-damage scan (textstats.py::encoding_artifacts)
+    over the corpus plus three planted casualties: a double-encoded
+    UTF-8-as-Latin-1 doc, a control-character doc, and a U+FFFD
+    replacement-character doc — each must flag ``damaged``."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    plants = spark.range(3).select(
+        (F.lit(_PLANT_OFFSET) + F.col("id")).alias("id"),
+        F.when(F.col("id") == 0, F.lit("the cafÃ© menu shows â€œspecialsâ€ and Ã¼ber prices Â every day"))
+        .when(F.col("id") == 1, F.concat(F.lit("bad"), F.expr("chr(1)"), F.lit("text"), F.expr("chr(2)"), F.lit("here")))
+        .otherwise(F.lit("lossy � decode � output"))
+        .alias("text"),
+    )
+    return ts.encoding_artifacts(docs.unionByName(plants), "id", "text").orderBy("id")
+
+
+SQL_TEXT_ENCODING = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL SELECT {_PLANT_OFFSET}, 'the cafÃ© menu shows â€œspecialsâ€ and Ã¼ber prices Â every day'
+  UNION ALL SELECT {_PLANT_OFFSET} + 1, 'bad' || chr(1) || 'text' || chr(2) || 'here'
+  UNION ALL SELECT {_PLANT_OFFSET} + 2, 'lossy � decode � output'
+),
+scored AS (
+  SELECT id,
+    CAST(len(regexp_extract_all(COALESCE(text, ''), 'Ã|â€|Â ')) AS BIGINT) AS n_mojibake,
+    CAST(len(regexp_extract_all(COALESCE(text, ''), '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS BIGINT) AS n_control,
+    CAST(len(regexp_extract_all(COALESCE(text, ''), '�')) AS BIGINT) AS n_replacement
+  FROM corpus
+)
+SELECT id, n_mojibake, n_control, n_replacement,
+       (n_mojibake >= 3 OR n_replacement > 0 OR n_control > 0) AS damaged
+FROM scored ORDER BY id
+"""
+
+
+_EQ_63 = ", ".join(["0.1"] * 63)
+_EQ_64Z = ", ".join(["0.0"] * 64)
+_EQ_32 = ", ".join(["0.2"] * 32)
+
+
+def q_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column validation gate (operators/knn.py::
+    embedding_quality): dim / non-finite / norm-band checks over the
+    corpus plus four planted offenders (NaN-poisoned, +Inf-poisoned,
+    all-zero, wrong-dim) that must each fail a distinct check.  Map-only
+    codegen; NaN norms propagate and fail, never hide."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tenth = [F.lit(0.1)] * 63
+    plants = [
+        (F.lit(_PLANT_OFFSET), F.array(*tenth, F.lit(float("nan")))),
+        (F.lit(_PLANT_OFFSET + 1), F.array(*tenth, F.lit(float("inf")))),
+        (F.lit(_PLANT_OFFSET + 2), F.array(*[F.lit(0.0)] * 64)),
+        (F.lit(_PLANT_OFFSET + 3), F.array(*[F.lit(0.2)] * 32)),
+    ]
+    planted = None
+    for vid, vec in plants:
+        row = spark.range(1).select(vid.cast("long").alias("vec_id"), vec.alias("embedding"))
+        planted = row if planted is None else planted.unionByName(row)
+    out = knn.embedding_quality(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(planted),
+        "vec_id",
+        "embedding",
+        expect_dim=64,
+    )
+    # non-finite norms (NaN/Inf) become NULL in the REPORT: the check
+    # verdict lives in finite_ok/norm_ok, and NULL round-trips through any
+    # comparator where NaN != NaN would false-fail the driver gate
+    return out.withColumn(
+        "norm", F.when(F.col("finite_ok"), F.col("norm"))
+    ).orderBy("vec_id")
+
+
+SQL_EMBEDDING_QUALITY = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL SELECT {_PLANT_OFFSET}, CAST([{_EQ_63}, 'NaN'::DOUBLE] AS DOUBLE[])
+  UNION ALL SELECT {_PLANT_OFFSET} + 1, CAST([{_EQ_63}, 'Infinity'::DOUBLE] AS DOUBLE[])
+  UNION ALL SELECT {_PLANT_OFFSET} + 2, CAST([{_EQ_64Z}] AS DOUBLE[])
+  UNION ALL SELECT {_PLANT_OFFSET} + 3, CAST([{_EQ_32}] AS DOUBLE[])
+),
+scored AS (
+  SELECT vec_id,
+    CAST(len(v) AS INT) AS dim,
+    CAST(len(list_filter(v, x -> isnan(x) OR abs(x) = 'Infinity'::DOUBLE)) AS INT) AS n_nonfinite,
+    CASE WHEN len(list_filter(v, x -> isnan(x) OR abs(x) = 'Infinity'::DOUBLE)) = 0
+         THEN round(sqrt(list_inner_product(v, v)), 6) END AS norm
+  FROM corpus
+)
+SELECT vec_id, dim, n_nonfinite, norm,
+       dim = 64 AS dim_ok,
+       n_nonfinite = 0 AS finite_ok,
+       (n_nonfinite = 0 AND norm >= 0.5 AND norm <= 2.0) AS norm_ok,
+       (dim = 64 AND n_nonfinite = 0 AND norm >= 0.5 AND norm <= 2.0) AS ok
+FROM scored ORDER BY vec_id
+"""
+
+
+def q_chat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT conversation prep (operators/chat.py::chat_stats): JSON
+    messages built deterministically from each doc's content hashes, with
+    six variant shapes — valid 2-turn, system-led 3-turn, unknown role,
+    broken alternation, malformed JSON, empty content — so every
+    validation branch is exercised and oracle-checked.  Parse/validate/
+    flatten are pure from_json + array codegen; no UDF, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    b = F.md5(F.concat(F.lit("b:"), F.coalesce(F.col("text"), F.lit(""))))
+    m = F.col("doc_id") % 6
+    turn = lambda role, c: F.concat(
+        F.lit('{"role":"' + role + '","content":"'), c, F.lit('"}')
+    )
+    j = (
+        F.when(m == 0, F.concat(F.lit("["), turn("user", a), F.lit(","), turn("assistant", b), F.lit("]")))
+        .when(m == 1, F.concat(F.lit("["), turn("system", a), F.lit(","), turn("user", b), F.lit(","), turn("assistant", a), F.lit("]")))
+        .when(m == 2, F.concat(F.lit("["), turn("bot", a), F.lit(","), turn("assistant", b), F.lit("]")))
+        .when(m == 3, F.concat(F.lit("["), turn("user", a), F.lit(","), turn("user", b), F.lit("]")))
+        .when(m == 4, F.concat(F.lit("["), turn("user", a)))  # truncated: malformed
+        .otherwise(F.concat(F.lit("["), turn("user", a), F.lit(',{"role":"assistant","content":""}]')))
+    )
+    from mcpvectordb_spark.operators.chat import chat_stats
+
+    return chat_stats(
+        docs.select(F.col("doc_id").alias("id"), j.alias("messages")), "id", "messages"
+    ).orderBy("id")
+
+
+SQL_CHAT_STATS = """
+WITH conv AS (
+  SELECT doc_id AS id,
+    CASE doc_id % 6
+      WHEN 0 THEN '[{"role":"user","content":"' || md5(COALESCE(text,'')) || '"},{"role":"assistant","content":"' || md5('b:' || COALESCE(text,'')) || '"}]'
+      WHEN 1 THEN '[{"role":"system","content":"' || md5(COALESCE(text,'')) || '"},{"role":"user","content":"' || md5('b:' || COALESCE(text,'')) || '"},{"role":"assistant","content":"' || md5(COALESCE(text,'')) || '"}]'
+      WHEN 2 THEN '[{"role":"bot","content":"' || md5(COALESCE(text,'')) || '"},{"role":"assistant","content":"' || md5('b:' || COALESCE(text,'')) || '"}]'
+      WHEN 3 THEN '[{"role":"user","content":"' || md5(COALESCE(text,'')) || '"},{"role":"user","content":"' || md5('b:' || COALESCE(text,'')) || '"}]'
+      WHEN 4 THEN '[{"role":"user","content":"' || md5(COALESCE(text,'')) || '"}'
+      ELSE '[{"role":"user","content":"' || md5(COALESCE(text,'')) || '"},{"role":"assistant","content":""}]'
+    END AS j
+  FROM documents
+),
+parsed AS (
+  SELECT id,
+    CASE WHEN json_valid(j) THEN
+      json_transform(j, '[{"role":"VARCHAR","content":"VARCHAR"}]')
+    END AS m
+  FROM conv
+),
+feat AS (
+  SELECT id, m,
+    m IS NOT NULL AS parsed_ok,
+    CASE WHEN m IS NOT NULL THEN list_transform(m, x -> x.role) END AS roles,
+    CASE WHEN m IS NOT NULL THEN list_transform(m, x -> x.content) END AS contents
+  FROM parsed
+),
+body AS (
+  SELECT *,
+    CASE WHEN parsed_ok AND len(roles) > 0 AND roles[1] = 'system'
+         THEN roles[2:] ELSE roles END AS br
+  FROM feat
+),
+checks AS (
+  SELECT id, m, parsed_ok, roles, contents, br,
+    COALESCE(parsed_ok AND len(list_filter(roles, r -> r IS NULL OR r NOT IN ('system','user','assistant'))) = 0, FALSE) AS roles_ok,
+    COALESCE(parsed_ok AND len(list_filter(contents, c -> c IS NULL OR length(trim(c)) = 0)) = 0, FALSE) AS contents_ok,
+    COALESCE(parsed_ok
+      AND len(br) > 0 AND br[1] = 'user' AND br[-1] = 'assistant'
+      AND br = list_transform(range(1, len(br) + 1),
+                              i -> CASE WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END),
+      FALSE) AS alternation_ok
+  FROM body
+)
+SELECT id,
+  CAST(COALESCE(len(m), -1) AS INT) AS n_turns,
+  roles_ok,
+  alternation_ok,
+  (parsed_ok AND roles_ok AND contents_ok AND alternation_ok) AS valid,
+  CAST(COALESCE(list_sum(list_transform(list_filter(m, x -> x.role = 'user'),
+                                        x -> COALESCE(length(x.content), 0))), 0) AS BIGINT) AS user_chars,
+  CAST(COALESCE(list_sum(list_transform(list_filter(m, x -> x.role = 'assistant'),
+                                        x -> COALESCE(length(x.content), 0))), 0) AS BIGINT) AS assistant_chars,
+  CASE WHEN parsed_ok AND roles_ok AND contents_ok AND alternation_ok THEN
+    array_to_string(list_transform(m, x -> '<|' || x.role || '|>' || x.content), '')
+  END AS flat_text
+FROM checks ORDER BY id
+"""
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (curation.py::assign_split),
+    keyed on ``source`` so every document of a domain lands in one split
+    — reported as per-split doc/domain counts with a coherence column
+    (domains spanning >1 split — must be 0 by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = cu.assign_split(docs, "source", val_bp=1500, test_bp=1500)
+    per_split = out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_domains"),
+    )
+    straddlers = (
+        out.select("source", "split").distinct()
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_straddling"))
+    )
+    return per_split.crossJoin(F.broadcast(straddlers)).orderBy("split")
+
+
+def _sql_train_split() -> str:
+    h = _sql_hex48("'split:' || source")
+    return f"""
+WITH assigned AS (
+  SELECT *, CASE WHEN ({h}) % 10000 < 1500 THEN 'val'
+                 WHEN ({h}) % 10000 < 3000 THEN 'test'
+                 ELSE 'train' END AS split
+  FROM documents
+),
+per_split AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_domains
+  FROM assigned GROUP BY split
+),
+straddle AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_straddling FROM (
+    SELECT source FROM (SELECT DISTINCT source, split FROM assigned)
+    GROUP BY source HAVING count(*) > 1
+  )
+)
+SELECT split, n_docs, n_domains, n_straddling
+FROM per_split CROSS JOIN straddle ORDER BY split
+"""
+
+
+def q_text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram-LM scoring of the corpus against itself
+    (operators/ngram_lm.py — the full KenLM-style quality filter of
+    CCNet/RefinedWeb; the unigram `text_logprob` is the cheap first
+    gate).  Plants REVERSED-token copies of doc_id<20: their unigram
+    distribution is identical to the originals — invisible to the unigram
+    filter — while every trigram statistic shifts, and the full score
+    table is oracle-checked.  (The rank-the-reversal-worse property needs
+    a corpus with real sequential structure; it is asserted on one in
+    test_textstats.py::test_ngram_lm_reversed_docs_rank_worse.)"""
+    from mcpvectordb_spark.operators.ngram_lm import ngram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
+    rev = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + _PLANT_OFFSET).alias("id"),
+            F.array_join(
+                F.reverse(
+                    F.filter(
+                        F.split(dd.normalize_text(F.col("text")), " "),
+                        lambda t: t != "",
+                    )
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return ngram_lm_score(docs.unionByName(rev), "id", "text").orderBy("id")
+
+
+SQL_TEXT_NGRAM_LM = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET} AS id,
+         array_to_string(list_reverse(list_filter({_sql_words('text')}, t -> t <> '')), ' ') AS text
+  FROM documents WHERE doc_id < 20),
+toks AS (SELECT id, list_filter({_sql_words('text')}, t -> t <> '') AS w FROM corpus),
+uni AS (SELECT id, unnest(w) AS t FROM toks),
+n_total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+-- grams join as 48-bit hashes, mirroring the operator
+uni_c AS (SELECT {_sql_hex48('t')} AS ku, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
+big_c AS (
+  SELECT {_sql_hex48("b1 || ' ' || b2")} AS kb, CAST(count(*) AS BIGINT) AS cb FROM (
+    SELECT w[r.i] AS b1, w[r.i+1] AS b2
+    FROM toks, UNNEST(range(1, len(w))) AS r(i) WHERE len(w) >= 2)
+  GROUP BY 1),
+occ AS (
+  SELECT id,
+         {_sql_hex48("w[r.i] || ' ' || w[r.i+1] || ' ' || w[r.i+2]")} AS k3,
+         {_sql_hex48("w[r.i] || ' ' || w[r.i+1]")} AS k12,
+         {_sql_hex48("w[r.i+1] || ' ' || w[r.i+2]")} AS k23,
+         {_sql_hex48('w[r.i+1]')} AS ku2,
+         {_sql_hex48('w[r.i+2]')} AS ku3
+  FROM toks, UNNEST(range(1, len(w)-1)) AS r(i) WHERE len(w) >= 3),
+tri_c AS (SELECT k3, CAST(count(*) AS BIGINT) AS c3 FROM occ GROUP BY 1),
+scored AS (
+  SELECT o.id, ln(0.5*t.c3/b12.cb + 0.3*b23.cb/u2.cu + 0.2*u3.cu/n.n) AS lp
+  FROM occ o
+  JOIN tri_c t ON t.k3 = o.k3
+  JOIN big_c b12 ON b12.kb = o.k12
+  JOIN big_c b23 ON b23.kb = o.k23
+  JOIN uni_c u2 ON u2.ku = o.ku2
+  JOIN uni_c u3 ON u3.ku = o.ku3
+  CROSS JOIN n_total n)
+SELECT id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(avg(lp), 6) AS avg_logp,
+       round(exp(-avg(lp)), 4) AS ppl
+FROM scored GROUP BY id ORDER BY id
+"""
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 adjacent-character pair frequencies — one BPE training
+    iteration's merge statistic (textstats.py::bpe_pair_counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.bpe_pair_counts(docs.select("text"), "text", top_n=40)
+
+
+SQL_BPE_PAIRS = f"""
+WITH words AS (
+  SELECT w FROM (SELECT {_sql_words('text')} AS ws FROM documents), UNNEST(ws) AS t(w)
+  WHERE len(t.w) >= 2
+),
+pairs AS (
+  SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair
+  FROM words, UNNEST(range(1, len(w))) AS r(i)
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 40
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: canonical md5 + polynomial rolling hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ts.md5_fingerprint(t).alias("md5_fp"),
+        ts.rolling_fingerprint(t).alias("rolling_fp"),
+    )
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+  md5({_sql_norm('text')}) AS md5_fp,
+  CASE WHEN text IS NULL THEN NULL ELSE
+    list_reduce(
+      list_concat([CAST(0 AS BIGINT)],
+                  list_transform(string_split({_sql_norm('text')}, ''), c -> CAST(ascii(c) AS BIGINT))),
+      (a, b) -> (a*31 + b) % 2147483647)
+  END AS rolling_fp
+FROM documents
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-line fraction, top-bigram
+    fraction, gated flag) per document; two planted degenerate docs
+    exercise the flag=true paths deterministically."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [
+            (_PLANT_OFFSET + 1, "spam line\nspam line\nspam line\none real line"),
+            (_PLANT_OFFSET + 2, " ".join(["buy now"] * 20)),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(planted)
+    cols = ts.repetition_columns("text")
+    return corpus.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+SQL_TEXT_REPETITION = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    ({_PLANT_OFFSET + 1}, 'spam line' || chr(10) || 'spam line' || chr(10) || 'spam line' || chr(10) || 'one real line'),
+    ({_PLANT_OFFSET + 2}, repeat('buy now ', 19) || 'buy now')) v(doc_id, text)),
+feat AS (
+  SELECT doc_id,
+    list_filter(string_split(COALESCE(text,''), chr(10)), l -> trim(l) <> '') AS lines,
+    list_filter(regexp_split_to_array(trim(lower(COALESCE(text,''))), '\s+'), t -> t <> '') AS words
+  FROM corpus),
+bg AS (
+  SELECT doc_id, lines,
+    CASE WHEN len(words) >= 2
+         THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+         ELSE CAST([] AS VARCHAR[]) END AS bigrams
+  FROM feat),
+m AS (
+  SELECT doc_id, len(lines) AS nl, len(bigrams) AS nb,
+    CASE WHEN len(lines) > 0 THEN 1.0 - len(list_distinct(lines))/len(lines) ELSE 0.0 END AS dlf,
+    CASE WHEN len(bigrams) > 0
+         THEN list_max(list_transform(list_distinct(bigrams), b -> len(list_filter(bigrams, x -> x = b))))/len(bigrams)
+         ELSE 0.0 END AS tbf
+  FROM bg)
+SELECT doc_id, round(dlf, 6) AS dup_line_frac, round(tbf, 6) AS top_bigram_frac,
+       ((nl >= 3 AND dlf > 0.30) OR (nb >= 10 AND tbf > 0.20)) AS repetitive_flag
+FROM m
+"""
+
+
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 signal composition: repetition (Gopher), unigram log-prob
+    (CCNet proxy, corpus-5th-percentile gate), and span-level cross-doc
+    duplication fused into one auditable verdict per document.  Three
+    planted offenders (looped banner, word salad, verbatim span copy) must
+    each draw their own reason; gates apply in fixed order so every doc
+    gets exactly one verdict."""
+    from mcpvectordb_spark.operators.dedup import dup_span_fraction
+    from mcpvectordb_spark.operators.textstats import repetition_features, unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
+    first_text = docs.orderBy("id").limit(1).select(F.col("text").alias("t0"))
+    plants = spark.range(1).crossJoin(F.broadcast(first_text)).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(_PLANT_OFFSET + 1).cast("long").alias("id"),
+                    F.lit("spam line\nspam line\nspam line\none real line").alias("text"),
+                ),
+                F.struct(
+                    F.lit(_PLANT_OFFSET + 2).cast("long").alias("id"),
+                    F.lit("zxqv kjwp qmfg ybdn xxzz vvkk ppqq rrss").alias("text"),
+                ),
+                F.struct(F.lit(_PLANT_OFFSET + 3).cast("long").alias("id"), F.col("t0").alias("text")),
+            )
+        ).alias("s")
+    ).select("s.id", "s.text")
+    corpus = docs.unionByName(plants)
+
+    rep = repetition_features(corpus, "id", "text").select("id", "repetitive_flag")
+    lp = unigram_logprob(corpus, "id", "text").select("id", "avg_logprob")
+    spans = dup_span_fraction(corpus, "id", "text", k=8).select("id", "dup_frac")
+    p05 = lp.agg(F.expr("percentile(avg_logprob, 0.05)").alias("p05"))
+
+    joined = (
+        corpus.select("id")
+        .join(rep, "id", "left")
+        .join(lp, "id", "left")
+        .join(spans, "id", "left")
+        .crossJoin(F.broadcast(p05))
+    )
+    verdict = (
+        F.when(F.col("repetitive_flag"), F.lit("repetitive"))
+        .when(F.col("avg_logprob") < F.col("p05"), F.lit("low_logprob"))
+        .when(F.coalesce(F.col("dup_frac"), F.lit(0.0)) >= 0.5, F.lit("span_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select("id", verdict.alias("verdict")).orderBy("id")
+
+
+_SQL_V2_CORPUS = f"""corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL SELECT {_PLANT_OFFSET + 1}, 'spam line' || chr(10) || 'spam line' || chr(10) || 'spam line' || chr(10) || 'one real line'
+  UNION ALL SELECT {_PLANT_OFFSET + 2}, 'zxqv kjwp qmfg ybdn xxzz vvkk ppqq rrss'
+  UNION ALL SELECT {_PLANT_OFFSET + 3}, (SELECT text FROM documents ORDER BY doc_id LIMIT 1)
+)"""
+
+SQL_CURATION_PIPELINE_V2 = rf"""
+WITH {_SQL_V2_CORPUS},
+feat AS (
+  SELECT id,
+    list_filter(string_split(COALESCE(text,''), chr(10)), l -> trim(l) <> '') AS lines,
+    list_filter(regexp_split_to_array(trim(lower(COALESCE(text,''))), '\s+'), t -> t <> '') AS words
+  FROM corpus),
+bg AS (
+  SELECT id, lines,
+    CASE WHEN len(words) >= 2
+         THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+         ELSE CAST([] AS VARCHAR[]) END AS bigrams
+  FROM feat),
+rep AS (
+  SELECT id,
+    ((len(lines) >= 3 AND 1.0 - len(list_distinct(lines))/len(lines) > 0.30)
+     OR (len(bigrams) >= 10 AND
+         list_max(list_transform(list_distinct(bigrams), b -> len(list_filter(bigrams, x -> x = b))))/len(bigrams) > 0.20))
+    AS repetitive_flag
+  FROM bg),
+toks AS (
+  SELECT id, t.term FROM (SELECT id, {_sql_words('text')} AS ws FROM corpus),
+  UNNEST(ws) AS t(term) WHERE t.term <> ''),
+freq AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+lp AS (
+  SELECT id, avg(ln(c * 1.0 / n_total)) AS avg_logprob
+  FROM toks JOIN freq USING (term) CROSS JOIN n GROUP BY id),
+p05 AS (SELECT quantile_cont(avg_logprob, 0.05) AS p05 FROM lp),
+wins AS (
+  SELECT id, {_sql_hex48('t.win')} AS w48
+  FROM (SELECT id, CASE WHEN len(ws) >= 8 THEN
+          list_transform(range(1, len(ws)-8+2), i -> array_to_string(ws[i:i+7], ' '))
+          ELSE CAST([] AS VARCHAR[]) END AS winlist
+        FROM (SELECT id, {_sql_words('text')} AS ws FROM corpus)),
+       UNNEST(winlist) AS t(win)),
+per_win AS (SELECT w48, count(DISTINCT id) AS nd FROM wins GROUP BY w48),
+spans AS (
+  SELECT id, sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*) AS dup_frac
+  FROM wins JOIN per_win USING (w48) GROUP BY id)
+SELECT c.id,
+  CASE WHEN rep.repetitive_flag THEN 'repetitive'
+       WHEN lp.avg_logprob < p05.p05 THEN 'low_logprob'
+       WHEN COALESCE(spans.dup_frac, 0.0) >= 0.5 THEN 'span_dup'
+       ELSE 'kept' END AS verdict
+FROM corpus c
+LEFT JOIN rep ON c.id = rep.id
+LEFT JOIN lp ON c.id = lp.id
+LEFT JOIN spans ON c.id = spans.id
+CROSS JOIN p05
+ORDER BY c.id
+"""
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdicts over the exact-dup-planted corpus:
+    quality + length + dedup gates with per-doc drop reasons (pipeline.py —
+    the composition query for the training-data use case)."""
+    from mcpvectordb_spark.pipeline import curate_corpus
+
+    corpus = _exact_corpus(spark, sf_dir)
+    out = curate_corpus(corpus, "id", "text", min_quality=0.5, min_words=10)
+    return out.select("id", "n_words", "quality_score", "lang_pred", "drop_reason")
+
+
+def _sql_curation() -> str:
+    """Oracle twin of pipeline.curate_corpus over the exact-dup corpus:
+    empty gate first, then length/quality, then survivors-first duplicate
+    ranking (passing copies rank before failing ones within a group)."""
+    selects, case_sql = _sql_lang_fragments()
+    return rf"""
+WITH corpus AS ({_SQL_EXACT_CORPUS}),
+{_sql_quality_cte('corpus')},
+l AS (SELECT id, {case_sql} AS lang_pred FROM (SELECT id, {selects} FROM corpus)),
+g AS (
+  SELECT q.id, q.text, q.n_words, q.quality_score,
+         (text IS NULL OR regexp_replace(text, '\s+', '', 'g') = '') AS is_empty,
+         (text IS NOT NULL AND regexp_replace(text, '\s+', '', 'g') <> ''
+          AND n_words >= 10 AND quality_score >= 0.5) AS pass
+  FROM q),
+d AS (
+  SELECT id, row_number() OVER (
+           PARTITION BY CASE WHEN is_empty THEN NULL ELSE md5({_sql_norm('text')}) END
+           ORDER BY (CASE WHEN pass THEN 0 ELSE 1 END), id) AS dup_rank
+  FROM g)
+SELECT g.id, g.n_words, g.quality_score, l.lang_pred,
+       CASE WHEN g.is_empty THEN 'empty'
+            WHEN g.n_words < 10 THEN 'too_short'
+            WHEN g.quality_score < 0.5 THEN 'low_quality'
+            WHEN d.dup_rank > 1 THEN 'duplicate'
+            ELSE NULL END AS drop_reason
+FROM g JOIN l ON l.id = g.id JOIN d ON d.id = g.id
+"""
+
+
+def q_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting per language (training-data planning numbers)."""
+    from mcpvectordb_spark.pipeline import corpus_token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_token_stats(docs, "text", "lang")
+    return out.select(
+        F.col("lang").alias("library"),
+        "n_docs",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "avg_tokens",
+        F.col("max_tokens").cast("long").alias("max_tokens"),
+    )
+
+
+SQL_CORPUS_TOKEN_STATS = r"""
+WITH t AS (
+  SELECT lang, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n
+  FROM documents)
+SELECT lang AS library,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       round(avg(n), 4) AS avg_tokens,
+       CAST(max(n) AS BIGINT) AS max_tokens
+FROM t GROUP BY lang
+"""
+
+
+
+
+# re-export everything (including underscore helpers) to later sections
+__all__ = [n for n in dir() if not n.startswith("__")]

@@ -1,0 +1,1466 @@
+"""Non-SQL-expressible operators (rows-only driver check) plus digest-gated pipelines.
+
+Split out of the original single-file catalog.py (round-5 refactor,
+round-4 verdict item #3).  Import order is load-bearing: later sections
+reference names from earlier ones via the wildcard chain below."""
+from __future__ import annotations
+
+from mcpvectordb_spark.catalog._common import *  # noqa: F401,F403
+from mcpvectordb_spark.catalog._search import *  # noqa: F401,F403
+from mcpvectordb_spark.catalog._corpus import *  # noqa: F401,F403
+from mcpvectordb_spark.catalog._curation import *  # noqa: F401,F403
+from mcpvectordb_spark.catalog._events import *  # noqa: F401,F403
+
+# ===========================================================================
+# 8. Non-SQL-expressible operators (rows-only driver check)
+# ===========================================================================
+
+def q_ingest_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ingest pipeline (convert→chunk→embed→store) over the documents
+    table; returns per-library doc/chunk counts.  The recursive chunker is
+    not SQL-expressible, but the output is deterministic (hash embedder,
+    content-hash doc ids) → golden-digest gate."""
+    import tempfile
+
+    from mcpvectordb_spark.config import TEST
+    from mcpvectordb_spark.ingest import ingest_batch
+    from mcpvectordb_spark.store import ChunkStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias("source"),
+        F.col("lang").alias("library"),
+        F.col("text").alias("content"),
+        F.lit(None).cast("string").alias("metadata"),
+    )
+    store = ChunkStore(spark, tempfile.mkdtemp(prefix="chunks_"), TEST)
+    ingest_batch(raw, store, TEST, created_at="2026-01-01T00:00:00+00:00")
+    counts = store.read().groupBy("library").agg(
+        F.countDistinct("doc_id").alias("document_count"),
+        F.count(F.lit(1)).alias("chunk_count"),
+    )
+    return _digest_gate(counts)
+
+
+def q_search_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end search over freshly-ingested chunks with the deterministic
+    hash embedder (the reference's §3.1 hot path)."""
+    import tempfile
+
+    from mcpvectordb_spark.config import TEST
+    from mcpvectordb_spark.embedder import HashEmbedder
+    from mcpvectordb_spark.ingest import ingest_batch
+    from mcpvectordb_spark.store import ChunkStore
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    raw = docs.select(
+        F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias("source"),
+        F.col("lang").alias("library"),
+        F.col("text").alias("content"),
+        F.lit(None).cast("string").alias("metadata"),
+    )
+    store = ChunkStore(spark, tempfile.mkdtemp(prefix="chunks_"), TEST)
+    ingest_batch(raw, store, TEST, created_at="2026-01-01T00:00:00+00:00")
+    qv = HashEmbedder(dim=TEST.embedding_dim, config=TEST).embed_query(SEARCH_QUERY)
+    hits = knn_topk(store.read(), list(map(float, qv)), 10, tie_col="id")
+    return _digest_gate(hits.select("id", "library", F.round("score", 6).alias("score")))
+
+
+def q_neardup_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed cosine near-dup (scale path; hyperplanes are
+    seeded literals — verified against the brute-force oracle in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # moderate-similarity regime → shallow planes + more tables for recall
+    pairs = dd.embedding_neardup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.35, num_planes=4, num_tables=8
+    )
+    return _digest_gate(pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode over synthesized media payloads: WAV audio bytes
+    are GENERATED deterministically per document (sine wave whose frequency/
+    length derive from doc_id), then decoded by the REAL RIFF/WAVE kernel
+    (header duration + per-window RMS/zero-crossing features from the
+    actual samples — sources/multimodal.py).  Byte synthesis and DSP are
+    not SQL-expressible → rows-only check."""
+    from mcpvectordb_spark.sources.multimodal import MEDIA_SCHEMA, extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(200)
+
+    def synth(batches):
+        import io
+        import math
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                rate, freq = 4000, 100 + int(doc_id) % 300
+                n = rate // 8 + int(doc_id) % 64
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(
+                        b"".join(
+                            struct.pack("<h", int(9000 * math.sin(2 * math.pi * freq * i / rate)))
+                            for i in range(n)
+                        )
+                    )
+                rows.append(
+                    (f"m{doc_id}", "audio", "audio/wav", buf.getvalue(), None)
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "mime_type", "payload", "meta"]
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = extract_audio_features(media, dim=8, fake=False)
+    return _digest_gate(
+        feats.select(
+            "media_id",
+            F.round("duration_s", 6).alias("duration_s"),
+            "n_bytes",
+            F.round(F.element_at("features", 1), 6).alias("rms_w1"),
+            F.round(F.element_at("features", 5), 6).alias("zcr_w1"),
+        )
+    )
+
+
+def q_multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (sources/multimodal.py::dhash64/
+    image_dhash_stage + dedup.py::hamming_neardup_pairs): 60 smooth-
+    gradient PNGs are synthesized — ids 30..59 repeat the gradient of
+    id−30 with a small patch perturbation — pixel-decoded by the REAL
+    codec kernels, dHashed, and paired by the pigeonhole Hamming-block
+    join (complete to dist ≤ 6).  Every (i, i+30) plant must meet at tiny
+    distance; the codec/hash kernels are not SQL-expressible → digest
+    gate (the pigeonhole join's completeness is brute-force-verified in
+    test_dedup.py)."""
+    from pyspark.sql import types as T
+
+    from mcpvectordb_spark.sources.multimodal import image_dhash_stage
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(60)
+
+    def synth(batches):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def png_bytes(rows_px):
+            raw = b""
+            for row in rows_px:
+                raw += b"\x00" + bytes(row)
+
+            def chunk(tag, data):
+                return (struct.pack(">I", len(data)) + tag + data
+                        + struct.pack(">I", zlib.crc32(tag + data)))
+
+            h, w = len(rows_px), len(rows_px[0]) // 3
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+        W = H = 48
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed = did % 30
+                # `or` guard: a zero slope would flatten the gradient (an
+                # all-equal-columns dHash collides across seeds)
+                ax, by = ((seed * 7) % 11 - 5) or 3, ((seed * 13) % 9 - 4) or 2
+                perturb = did >= 30
+                img = []
+                for y in range(H):
+                    row = []
+                    for x in range(W):
+                        v = (ax * x + by * y + seed * 29) % 256
+                        if perturb and 8 <= x < 12 and 8 <= y < 12:
+                            v = (v + 24) % 256
+                        row += [v, (v + seed) % 256, (v + 2 * seed) % 256]
+                    img.append(row)
+                rows.append((did, png_bytes(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(
+        synth,
+        schema=T.StructType(
+            [T.StructField("media_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+        ),
+    )
+    hashed = image_dhash_stage(media)
+    pairs = dd.hamming_neardup_pairs(hashed, "media_id", "dhash", bits=64, max_dist=6)
+    return _digest_gate(pairs.orderBy("id_a", "id_b"))
+
+
+def q_multimodal_video_framedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video SCENE dedup (sources/multimodal.py::
+    video_frame_dhash_stage + dedup.hamming_neardup_pairs): 8 synthesized
+    uncompressed-DIB AVIs — videos 4..7 replay the first three scenes of
+    video v−4 with a small patch perturbation — are frame-sampled on the
+    container clock by the REAL AVI decoder, each frame dHashed in the
+    kernel (only 8-byte hashes reach the plan), and near-identical frames
+    paired across videos; the per-video-pair rollup must find exactly the
+    3 shared scenes per planted pair.  Codec/hash kernels are not
+    SQL-expressible → digest gate."""
+    from pyspark.sql import types as T
+
+    from mcpvectordb_spark.sources.multimodal import video_frame_dhash_stage
+
+    vids = load_table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(8)
+
+    def synth(batches):
+        import struct
+
+        import pandas as pd
+
+        W = H = 24
+
+        def frame_rows(scene, perturb):
+            # md5-mixed block content (3×3-px blocks): gradients and
+            # affine block formulas are DEGENERATE for dHash (adjacent-
+            # cell DIFFERENCES cancel the scene term, every scene pair
+            # collides); proper mixing gives each scene ~random 64 bits
+            # while a small patch edit still flips only a few
+            import hashlib
+
+            def bv(bx, by_):
+                return hashlib.md5(f"{bx},{by_},{scene}".encode()).digest()[0]
+
+            rows = []
+            for y in range(H - 1, -1, -1):  # bottom-up
+                row = bytearray()
+                for x in range(W):
+                    v = bv(x // 3, y // 3)
+                    if perturb and 4 <= x < 7 and 4 <= y < 7:
+                        v = (v + 40) % 256
+                    row += bytes(((v + 2) % 256, (v + 1) % 256, v))  # BGR
+                rows.append(bytes(row))  # w*3 == 72, already 4-byte aligned
+            return b"".join(rows)
+
+        def avi(media_id):
+            scenes = (
+                [(media_id - 4) * 10 + i for i in range(3)]
+                + [media_id * 10 + i for i in range(3, 6)]
+                if media_id >= 4
+                else [media_id * 10 + i for i in range(6)]
+            )
+            chunks = b""
+            for s in scenes:
+                data = frame_rows(s, perturb=media_id >= 4)
+                chunks += b"00db" + struct.pack("<I", len(data)) + data
+            avih = (struct.pack("<IIIII", 1_000_000, 0, 0, 0, len(scenes))
+                    + bytes(12) + struct.pack("<II", W, H) + bytes(16))
+            hdrl = (b"LIST" + struct.pack("<I", 4 + 8 + len(avih))
+                    + b"hdrlavih" + struct.pack("<I", len(avih)) + avih)
+            movi = b"LIST" + struct.pack("<I", 4 + len(chunks)) + b"movi" + chunks
+            body = b"AVI " + hdrl + movi
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [(int(d), avi(int(d))) for d in pdf["doc_id"]],
+                columns=["media_id", "payload"],
+            )
+
+    media = vids.mapInPandas(
+        synth,
+        schema=T.StructType(
+            [T.StructField("media_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+        ),
+    )
+    hashed = video_frame_dhash_stage(media, every_s=1.0).select(
+        (F.col("media_id") * 100 + F.col("frame_index")).alias("fid"), "dhash"
+    )
+    pairs = dd.hamming_neardup_pairs(hashed, "fid", "dhash", bits=64, max_dist=6)
+    cross = pairs.filter((F.col("id_a") / 100).cast("long") != (F.col("id_b") / 100).cast("long"))
+    rollup = (
+        cross.groupBy(
+            (F.col("id_a") / 100).cast("long").alias("video_a"),
+            (F.col("id_b") / 100).cast("long").alias("video_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_frames"),
+            F.max("dist").cast("int").alias("max_dist"),
+        )
+        .orderBy("video_a", "video_b")
+    )
+    return _digest_gate(rollup)
+
+
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMAGE codec path under the driver gate: PNG (filter-0 RGB) and
+    24-bit BMP payloads are synthesized deterministically per doc_id, then
+    decoded by the REAL pixel kernels (sources/multimodal.py::
+    decode_image_pixels) — dimensions and features come from actual
+    pixels.  Byte synthesis/decode is not SQL-expressible → digest gate
+    (the audio twin is `multimodal_features`)."""
+    from mcpvectordb_spark.sources.multimodal import MEDIA_SCHEMA, decode_images
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(200)
+
+    def synth(batches):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def png(w, h, seed):
+            rows = b""
+            for y in range(h):
+                rows += b"\x00" + bytes(
+                    (seed * 31 + y * 17 + x * 7 + c * 3) % 256
+                    for x in range(w) for c in range(3)
+                )
+
+            def chunk(tag, data):
+                return (struct.pack(">I", len(data)) + tag + data
+                        + struct.pack(">I", zlib.crc32(tag + data)))
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
+
+        def bmp(w, h, seed):
+            row_size = (w * 3 + 3) & ~3
+            data = b""
+            for y in range(h - 1, -1, -1):
+                data += bytes(
+                    (seed * 13 + y * 11 + x * 5 + c * 2) % 256
+                    for x in range(w) for c in (2, 1, 0)
+                ) + b"\x00" * (row_size - w * 3)
+            info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+            return b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54) + info + data
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 6 + d % 7
+                if d % 2 == 0:
+                    rows.append((f"i{d}", "image", "image/png", png(w, h, d), None))
+                else:
+                    rows.append((f"i{d}", "image", "image/bmp", bmp(w, h, d), None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "mime_type", "payload", "meta"]
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = decode_images(media, dim=8, fake=False)
+    return _digest_gate(
+        feats.select(
+            "media_id", "width", "height", "format", "n_bytes",
+            F.round(F.element_at("features", 1), 6).alias("mean_r"),
+            F.round(F.element_at("features", 4), 6).alias("luma_std"),
+        )
+    )
+
+
+def q_multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction over synthesized camera JPEGs
+    (sources/multimodal.py::parse_exif — real APP1/TIFF IFD walk, both
+    byte orders): per doc_id the fixture varies endianness, orientation,
+    camera model, capture timestamp, and GPS presence; every 10th payload
+    is an EXIF-less JPEG and every 13th is corrupt bytes — both must
+    yield NULL rows, not task failures.  Byte parsing is not
+    SQL-expressible → golden-digest gate."""
+    from mcpvectordb_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        build_exif_jpeg,
+        exif_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(200)
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 10 == 0:
+                    payload = b"\xff\xd8\xff\xd9"  # JPEG, no EXIF
+                elif d % 13 == 0:
+                    payload = b"\xff\xd8\xff\xe1\x00\x08Exif"  # truncated APP1
+                else:
+                    payload = build_exif_jpeg(
+                        byte_order="II" if d % 2 == 0 else "MM",
+                        orientation=1 + d % 8,
+                        make=f"Maker{d % 5}",
+                        model=f"Cam-{d % 7}",
+                        dt_original=f"2024:0{1 + d % 9}:15 10:2{d % 10}:00",
+                        with_gps=d % 3 == 0,
+                    )
+                rows.append((f"x{d}", "image", "image/jpeg", payload, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "mime_type", "payload", "meta"]
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _digest_gate(exif_metadata(media))
+
+
+def q_ocr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image→text conversion through the REAL OCR path: each document's
+    head is rendered to a bitmap (a machine-generated 'screenshot of
+    text'), pushed through converter.convert_bytes('bmp', ...) — which
+    routes to the template-matching OCR kernel (mcpvectordb_spark/ocr.py)
+    — and compared against the expected charset projection.  Every 9th
+    payload is random noise that must take the error-row path, proving
+    the confidence gate separates rendered text from photographs.  Byte
+    render/decode is not SQL-expressible → golden-digest gate."""
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").limit(100)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("roundtrip_ok", T.BooleanType()),
+            T.StructField("text_md5", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import hashlib
+        import random
+        import struct
+
+        import pandas as pd
+
+        from mcpvectordb_spark.converter import convert_bytes
+        from mcpvectordb_spark.ocr import render_text_bmp, renderable
+
+        def noise_bmp(seed, w=40, h=40):
+            rng = random.Random(seed)
+            row_size = (w * 3 + 3) & ~3
+            data = b""
+            for _ in range(h):
+                data += bytes(rng.randrange(256) for _ in range(w * 3))
+                data += b"\x00" * (row_size - w * 3)
+            info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+            return b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54) + info + data
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                d = int(rec["doc_id"])
+                if d % 9 == 0:
+                    payload = noise_bmp(d)
+                    expected = None
+                else:
+                    head = (rec["text"] or "")[:32]
+                    payload = render_text_bmp(head)
+                    lines = [l.rstrip() for l in renderable(head).split("\n")]
+                    while lines and not lines[-1]:
+                        lines.pop()
+                    # whitespace-only heads render to no glyphs → the converter
+                    # takes the error-row path; expect None like asr/flac_ingest
+                    expected = "\n".join(lines).rstrip() or None
+                try:
+                    got = convert_bytes(payload, "bmp")
+                    status = "converted"
+                except NotImplementedError:
+                    got, status = None, "error_row"
+                ok = (got == expected) if expected is not None else (got is None)
+                md5 = hashlib.md5((got or "").encode()).hexdigest()
+                rows.append((d, status, bool(ok), md5))
+            yield pd.DataFrame(rows, columns=["doc_id", "status", "roundtrip_ok", "text_md5"])
+
+    return _digest_gate(docs.mapInPandas(run, schema=schema))
+
+
+def q_asr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio→text conversion through the REAL tone-ASR path (the audio
+    twin of `ocr_ingest`): each document's head is encoded as a tone
+    sequence, pushed through converter.convert_bytes('wav', ...) — which
+    routes to the zero-crossing decoder (mcpvectordb_spark/asr.py) — and
+    compared against the charset projection.  Every 9th payload is white
+    noise that must take the error-row path.  Byte synthesis/decode is
+    not SQL-expressible → golden-digest gate."""
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").limit(60)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("roundtrip_ok", T.BooleanType()),
+            T.StructField("text_md5", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import hashlib
+        import random
+        import struct
+
+        import pandas as pd
+
+        from mcpvectordb_spark.asr import render_text_wav, renderable
+        from mcpvectordb_spark.converter import convert_bytes
+
+        def noise_wav(seed, n=8000):
+            rng = random.Random(seed)
+            samples = [rng.randint(-12000, 12000) for _ in range(n)]
+            pcm = struct.pack("<%dh" % n, *samples)
+            return (
+                b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE" + b"fmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data" + struct.pack("<I", len(pcm)) + pcm
+            )
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                d = int(rec["doc_id"])
+                if d % 9 == 0:
+                    payload, expected = noise_wav(d), None
+                else:
+                    head = (rec["text"] or "")[:24]
+                    payload = render_text_wav(head)
+                    expected = renderable(head).rstrip() or None
+                try:
+                    got = convert_bytes(payload, "wav")
+                    status = "converted"
+                except NotImplementedError:
+                    got, status = None, "error_row"
+                ok = (got == expected) if expected is not None else (got is None)
+                md5 = hashlib.md5((got or "").encode()).hexdigest()
+                rows.append((d, status, bool(ok), md5))
+            yield pd.DataFrame(rows, columns=["doc_id", "status", "roundtrip_ok", "text_md5"])
+
+    return _digest_gate(docs.mapInPandas(run, schema=schema))
+
+
+def q_flac_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio→text conversion through the REAL FLAC codec
+    (mcpvectordb_spark/flac.py) + tone-ASR: each document's head is tone-
+    encoded, FLAC-compressed with a per-doc subframe mode (fixed0/1/2,
+    lpc2, verbatim — every decoder path), pushed through
+    converter.convert_bytes('flac', ...) and compared.  Every 9th payload
+    is a non-tonal FLAC (pure 440 Hz) that must take the error-row path.
+    Byte codec work is not SQL-expressible → golden-digest gate."""
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").limit(40)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mode", T.StringType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("roundtrip_ok", T.BooleanType()),
+            T.StructField("text_md5", T.StringType()),
+        ]
+    )
+    modes = ["fixed0", "fixed1", "fixed2", "lpc2", "verbatim"]
+
+    def run(batches):
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        from mcpvectordb_spark.asr import BASE_HZ, CHARSET, GAP_S, RATE, STEP_HZ, TONE_S, renderable
+        from mcpvectordb_spark.converter import convert_bytes
+        from mcpvectordb_spark.flac import encode_flac
+
+        def tone_pcm(text):
+            samples = []
+            for ch in renderable(text):
+                f = BASE_HZ + CHARSET.index(ch) * STEP_HZ
+                samples += [
+                    int(12000 * math.sin(2 * math.pi * f * i / RATE))
+                    for i in range(int(RATE * TONE_S))
+                ]
+                samples += [0] * int(RATE * GAP_S)
+            return samples
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                d = int(rec["doc_id"])
+                mode = modes[d % len(modes)]
+                if d % 9 == 0:
+                    pcm = [int(9000 * math.sin(2 * math.pi * 440 * i / RATE)) for i in range(RATE)]
+                    expected = None
+                else:
+                    head = (rec["text"] or "")[:12]
+                    pcm = tone_pcm(head)
+                    expected = renderable(head).rstrip() or None
+                payload = encode_flac([pcm], RATE, mode=mode) if pcm else b""
+                try:
+                    got = convert_bytes(payload, "flac")
+                    status = "converted"
+                except NotImplementedError:
+                    got, status = None, "error_row"
+                ok = (got == expected) if expected is not None else (got is None)
+                md5 = hashlib.md5((got or "").encode()).hexdigest()
+                rows.append((d, mode, status, bool(ok), md5))
+            yield pd.DataFrame(rows, columns=["doc_id", "mode", "status", "roundtrip_ok", "text_md5"])
+
+    return _digest_gate(docs.mapInPandas(run, schema=schema))
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-shaped ingestion: documents are packed into synthetic
+    multi-member-gzip WARC archives (64 docs per archive), then parsed back
+    by the real WARC source (sources/warc.py) and converted from HTML.
+    Byte synthesis/parse is not SQL-expressible → rows-only check."""
+    from mcpvectordb_spark.sources.warc import parse_warc_stage
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id").limit(256)
+    packed = docs.withColumn("archive_id", (F.col("doc_id") / 64).cast("long"))
+
+    def pack(key, pdf):
+        import gzip
+
+        import pandas as pd
+
+        members = []
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            body = f"<html><body><p>{row['text']}</p></body></html>".encode()
+            http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            hdr = (
+                "WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Record-ID: <urn:doc:{row['doc_id']}>\r\n"
+                f"WARC-Target-URI: http://corpus.test/{row['doc_id']}\r\n"
+                "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n"
+            ).encode()
+            members.append(gzip.compress(hdr + http + b"\r\n\r\n", compresslevel=1, mtime=0))
+        return pd.DataFrame(
+            {"archive": [f"synth-{key[0]:05d}.warc.gz"], "content": [b"".join(members)]}
+        )
+
+    archives = packed.groupBy("archive_id").applyInPandas(
+        pack, schema="archive string, content binary"
+    )
+    records = parse_warc_stage(archives)
+    per_archive = records.groupBy("archive").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("n_bytes").cast("long").alias("payload_bytes"),
+        F.count(F.when(F.col("http_status") == 200, 1)).cast("long").alias("n_ok"),
+    )
+    return _digest_gate(per_archive)
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level cross-document duplication signal (Lee et al. 2022
+    style): fraction of each doc's 8-token sliding windows appearing in
+    >=2 distinct docs (dedup.py::dup_span_fraction).  Planted near-dup
+    pairs share their source windows -> both members flag high; the clean
+    corpus has no cross-doc spans."""
+    corpus = _near_corpus(spark, sf_dir)
+    out = dd.dup_span_fraction(corpus, "id", "text", k=8)
+    return out.filter(F.col("dup_windows") > 0).select(
+        "id", "n_windows", "dup_windows", "dup_frac"
+    )
+
+
+_SQL_WINDOWS8 = (
+    "CASE WHEN len(w) >= 8 THEN "
+    "list_transform(range(1, len(w)-8+2), i -> array_to_string(w[i:i+7], ' ')) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+SQL_DEDUP_SPANS = f"""
+WITH corpus AS ({_SQL_NEAR_CORPUS}),
+wins AS (
+  SELECT id, {_sql_hex48('t.win')} AS w48
+  FROM (SELECT id, {_SQL_WINDOWS8.replace('w', '__W__').replace('__W__', 'ws')} AS winlist
+        FROM (SELECT id, {_sql_words('text')} AS ws FROM corpus)),
+       UNNEST(winlist) AS t(win)
+),
+per_win AS (SELECT w48, count(DISTINCT id) AS nd FROM wins GROUP BY w48)
+SELECT id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+       round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+FROM wins JOIN per_win USING (w48)
+GROUP BY id
+HAVING sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) > 0
+"""
+
+
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DESTRUCTIVE half of Lee et al. 2022 beside the `dedup_spans`
+    signal (dedup.py::remove_dup_spans): tokens covered by any 8-token
+    window occurring in ≥2 distinct docs are removed, survivors
+    reassemble in order.  Planted near-dup pairs lose their shared spans
+    from BOTH members (the plant's unique suffix survives); the clean
+    corpus is untouched.  The oracle replays the rewrite exactly —
+    cleaned text compared by md5."""
+    corpus = _near_corpus(spark, sf_dir)
+    out = dd.remove_dup_spans(corpus, "id", "text", k=8)
+    return out.select(
+        "id", "n_tokens", "n_removed", F.md5("cleaned_text").alias("cleaned_md5")
+    ).orderBy("id")
+
+
+SQL_DEDUP_SPAN_REMOVAL = f"""
+WITH corpus AS ({_SQL_NEAR_CORPUS}),
+base AS (SELECT id, {_sql_words('text')} AS w FROM corpus),
+wins AS (
+  SELECT id, r.i AS start,
+         {_sql_hex48("array_to_string(w[r.i:r.i+7], ' ')")} AS w48
+  FROM base, UNNEST(range(1, len(w)-8+2)) AS r(i) WHERE len(w) >= 8),
+dup48 AS (
+  SELECT w48 FROM (SELECT w48, count(DISTINCT id) AS nd FROM wins GROUP BY 1)
+  WHERE nd >= 2),
+covered AS (
+  SELECT DISTINCT wn.id, p.pos
+  FROM wins wn JOIN dup48 USING (w48), UNNEST(range(wn.start, wn.start+8)) AS p(pos)),
+kept AS (
+  SELECT b.id, t.pos, b.w[t.pos] AS tok
+  FROM base b, UNNEST(range(1, len(b.w)+1)) AS t(pos)
+  WHERE NOT EXISTS (SELECT 1 FROM covered c WHERE c.id = b.id AND c.pos = t.pos)),
+agg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+  FROM kept GROUP BY id)
+SELECT b.id, CAST(len(b.w) AS BIGINT) AS n_tokens,
+       CAST(len(b.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.h, md5('')) AS cleaned_md5
+FROM base b LEFT JOIN agg a USING (id)
+ORDER BY b.id
+"""
+
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation driven to completion
+    over the events file (real readStream → memory sink)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from mcpvectordb_spark.streaming.events import run_stream_to_memory
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="stream_in_")
+    ev.write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(d)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    name = "stream_hourly_out"
+    out = run_stream_to_memory(stream, name, spark)
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+def q_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming Holt smoothing (streaming/stateful.py::
+    holt_stream) driven to completion over the daily event-volume
+    series: per-key (level, trend) group state via
+    applyInPandasWithState, the live twin of events_holt's batch fold
+    (binary-exact 0.5/0.25 constants, identical op order) — the oracle
+    is the SAME recursive CTE as events_holt minus the forecast rows,
+    so this is a full-SQL-gated streaming query, not a rows-only one."""
+    import tempfile
+
+    from mcpvectordb_spark.streaming.events import run_stream_to_memory
+    from mcpvectordb_spark.streaming.stateful import holt_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    d = tempfile.mkdtemp(prefix="stream_holt_")
+    daily.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(daily.schema).parquet(d)
+    out = run_stream_to_memory(
+        holt_stream(stream), "stream_holt_out", spark
+    )
+    return out.select(
+        F.col("k").alias("event_type"),
+        "t",
+        F.col("x").cast("long").alias("n"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("fitted", 6).alias("fitted"),
+    )
+
+
+SQL_STREAM_HOLT = """
+WITH RECURSIVE daily AS (
+  SELECT event_type AS k,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT k, t, x, row_number() OVER (PARTITION BY k ORDER BY t) AS rk
+  FROM daily),
+holt AS (
+  SELECT k, rk, t, x, x AS l, CAST(0.0 AS DOUBLE) AS b, x AS fitted
+  FROM ranked WHERE rk = 1
+  UNION ALL
+  SELECT r.k, r.rk, r.t, r.x,
+         0.5 * r.x + 0.5 * (h.l + h.b) AS l,
+         0.25 * (0.5 * r.x + 0.5 * (h.l + h.b) - h.l) + 0.75 * h.b AS b,
+         h.l + h.b AS fitted
+  FROM holt h JOIN ranked r ON r.k = h.k AND r.rk = h.rk + 1)
+SELECT k AS event_type, t, CAST(x AS BIGINT) AS n,
+       round(l, 6) AS level, round(b, 6) AS trend, round(fitted, 6) AS fitted
+FROM holt
+"""
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sessionization via the built-in session_window
+    (streaming/events.py::sessionize_stream) driven to completion — the
+    streaming twin of events_sessions."""
+    import tempfile
+
+    from mcpvectordb_spark.streaming.events import run_stream_to_memory, sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="stream_sess_")
+    ev.write.mode("overwrite").parquet(d)
+    out = run_stream_to_memory(
+        sessionize_stream(spark, d, ev.schema, gap="30 minutes", watermark="4 hours"),
+        "stream_sessions_out",
+        spark,
+    )
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.col("n_events"),
+    ).orderBy("user_id", "session_start")
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cross-micro-batch exact dedup over a planted-duplicate document stream
+    (streaming/stateful.py::dedup_stream).  Each document is streamed
+    twice across separate files (= separate micro-batches in file order);
+    exactly one survivor per content hash must emerge."""
+    import tempfile
+
+    from mcpvectordb_spark.streaming.stateful import dedup_stream
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id"), F.md5(F.col("text")).alias("content_hash"))
+        .orderBy("doc_id")
+        .limit(500)
+    )
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    docs.write.mode("overwrite").parquet(f"{d}/b0")
+    docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).write.mode("overwrite").parquet(f"{d}/b1")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/b*")
+    )
+    survivors = dedup_stream(stream, "content_hash", order_cols=["doc_id"])
+    q = (
+        survivors.writeStream.format("memory")
+        .queryName("stream_dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table("stream_dedup_out")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_survivors"),
+            F.countDistinct("content_hash").cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("doc_id") < 1_000_000, 1).otherwise(0)).cast("long").alias("n_first_batch"),
+        )
+    )
+
+
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-touch attribution (streaming/stateful.py::
+    attribution_stream): events split into two time-ordered micro-batches,
+    per-user touch state carried across them, conversions credited to the
+    stored touch within 7 days.  Rolled up per channel IDENTICALLY to
+    events_attribution, so this stream query carries that query's full
+    SQL oracle — the strongest gate any stream here has."""
+    import tempfile
+
+    from mcpvectordb_spark.streaming.stateful import attribution_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").alias("user"),
+        F.col("event_id").alias("eid"),
+        F.unix_timestamp("ts").alias("t"),
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("v"),
+    )
+    split_t = base.agg(F.expr("percentile(t, 0.5)")).first()[0]
+    d = tempfile.mkdtemp(prefix="stream_attr_")
+    # one file per half: maxFilesPerTrigger=1 makes each file ONE
+    # micro-batch, and a user's rows must not straddle same-batch files
+    # (within-batch order is only restored per micro-batch)
+    base.filter(F.col("t") < split_t).coalesce(1).write.mode("overwrite").parquet(f"{d}/b0")
+    base.filter(F.col("t") >= split_t).coalesce(1).write.mode("overwrite").parquet(f"{d}/b1")
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/b*")
+    )
+    conv = attribution_stream(stream, "purchase")
+    q = (
+        conv.writeStream.format("memory")
+        .queryName("stream_attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table("stream_attr_out")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.round(F.sum("v"), 2).alias("attributed_value"),
+        )
+    )
+
+
+def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern (operators/sketches.py::rollup_partials/
+    rollup_merge): daily partial moments merged to per-type totals with
+    derived avg/variance — the merge touches only partial rows, so a
+    refresh appends one day of partials instead of rescanning history.
+    The oracle computes the same totals directly from the base table,
+    proving the partial/merge decomposition exact."""
+    from mcpvectordb_spark.operators.sketches import rollup_merge, rollup_partials
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = rollup_partials(
+        ev, [F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")], "value"
+    )
+    merged = rollup_merge(daily, ["event_type"])
+    return merged.select(
+        "event_type",
+        "n_rows",
+        F.round("sum_v", 4).alias("sum_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round("avg_v", 6).alias("avg_v"),
+        F.round("var_pop", 4).alias("var_pop"),
+    ).orderBy("event_type")
+
+
+SQL_EVENTS_INCREMENTAL_ROLLUP = """
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS n_rows,
+       round(sum(value), 4) AS sum_v,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v,
+       round(avg(value), 6) AS avg_v,
+       round(var_pop(value), 4) AS var_pop
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_orders_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction (operators/bloomjoin.py): orders (fact)
+    pre-pruned by a kilobyte bitset over the SELECTIVE customer key set
+    (one market segment, low balance) before the exact join — the
+    deterministic form of AQE's runtime bloom join.  The oracle is the
+    PLAIN join with no bloom anywhere, so the gate proves the prune is
+    lossless (no false negatives), not merely plausible."""
+    from mcpvectordb_spark.operators.bloomjoin import bloom_reduce_join
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") < 1000))
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    joined = bloom_reduce_join(orders, cust, "o_custkey", "c_custkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round("__rev", 2).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDERS_BLOOM_JOIN = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal < 1000
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_events_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates (sketches.py::cms_sketch/
+    cms_estimate): a (4 × 256) mergeable counter table over user_id, probed
+    for the 20 lowest users, each estimate emitted beside its exact count
+    with the CMS contract as in-plan booleans — est ≥ true (always) and
+    est ≤ true + ⌈e·N/width⌉ (the ε-bound).  Hashing is the portable
+    48-bit md5 fold, so the oracle replays the sketch EXACTLY — estimates,
+    not just bounds, must match."""
+    from mcpvectordb_spark.operators.sketches import cms_estimate, cms_sketch
+
+    DEPTH, WIDTH = 4, 256
+    ev = load_table(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "user_id", depth=DEPTH, width=WIDTH)
+    items = ev.select("user_id").filter(F.col("user_id") < 20).distinct()
+    est = cms_estimate(sk, items, "user_id", depth=DEPTH, width=WIDTH)
+    true_c = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy(F.col("user_id").cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_c"))
+    )
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        est.join(true_c, "item")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item",
+            "true_c",
+            "est",
+            (F.col("est") >= F.col("true_c")).alias("over_ok"),
+            (
+                F.col("est")
+                <= F.col("true_c")
+                + F.ceil(F.lit(2.718281828459045) * F.col("n") / WIDTH).cast("long")
+            ).alias("within_eps"),
+        )
+        .orderBy("item")
+    )
+
+
+_SQL_CMS_H = _sql_hex48("p.item || chr(31) || CAST(p.d AS VARCHAR)")
+
+SQL_EVENTS_CMS = f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+sk AS (
+  SELECT p.d, {_SQL_CMS_H} % 256 AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT item, r.d FROM ev, UNNEST(range(0, 4)) AS r(d)) p
+  GROUP BY 1, 2),
+items AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS item FROM events WHERE user_id < 20),
+probes AS (
+  SELECT p.item, p.d, {_SQL_CMS_H} % 256 AS bucket
+  FROM (SELECT item, r.d FROM items, UNNEST(range(0, 4)) AS r(d)) p),
+est AS (
+  SELECT p.item, CAST(min(coalesce(s.c, 0)) AS BIGINT) AS est
+  FROM probes p LEFT JOIN sk s ON s.d = p.d AND s.bucket = p.bucket
+  GROUP BY 1),
+truec AS (
+  SELECT CAST(user_id AS VARCHAR) AS item, CAST(count(*) AS BIGINT) AS true_c
+  FROM events WHERE user_id < 20 GROUP BY 1)
+SELECT e.item, t.true_c, e.est,
+       e.est >= t.true_c AS over_ok,
+       e.est <= t.true_c + CAST(ceil(2.718281828459045 * n.n / 256) AS BIGINT) AS within_eps
+FROM est e JOIN truec t USING (item) CROSS JOIN n
+ORDER BY e.item
+"""
+
+
+def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantiles (sketches.py::
+    histogram_partials/histogram_quantile): daily (type, bin) partials
+    merged to per-type p50/p95 estimates.  Like the HLL rollup, the
+    approximation quality is oracle-gated IN-PLAN: the emitted booleans
+    compare the estimate to the exact DISCRETE percentile within one bin
+    width; the oracle emits exact percentiles and literal TRUE, so
+    estimator drift fails the hash gate.
+
+    Why percentile_disc, not percentile_cont: the rank-q order statistic
+    always lies inside the bin the cumulative walk lands on, so
+    |est − disc| ≤ bin width is a THEOREM.  The interpolated cont
+    quantile sits between two order statistics that can straddle distant
+    bins in a sparse tail — at sf0.001 that gap exceeded any fixed
+    tolerance (caught by the cross-scale sweep)."""
+    from mcpvectordb_spark.operators.sketches import histogram_partials, histogram_quantile
+
+    LO, HI, BINS = 0.0, 640.0, 1280  # bin width 0.5
+    ev = load_table(spark, sf_dir, "events")
+    partials = histogram_partials(
+        ev, [F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")],
+        "value", LO, HI, BINS,
+    )
+    est = histogram_quantile(partials, ["event_type"], [0.5, 0.95], LO, HI, BINS)
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("x50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("x95"),
+    )
+    tol = (HI - LO) / BINS
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round("x50", 4).alias("p50"),
+            F.round("x95", 4).alias("p95"),
+            (F.abs(F.col("q_50") - F.col("x50")) <= tol).alias("p50_within_tol"),
+            (F.abs(F.col("q_95") - F.col("x95")) <= tol).alias("p95_within_tol"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_QUANTILE_SKETCH = """
+SELECT event_type,
+       round(quantile_disc(value, 0.5), 4) AS p50,
+       round(quantile_disc(value, 0.95), 4) AS p95,
+       TRUE AS p50_within_tol,
+       TRUE AS p95_within_tol
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed anomaly detection: hourly event counts per type scored as
+    z-scores against the trailing 24-hour window (current hour excluded —
+    a point must not normalize itself); |z| >= 3 flags.  Pure window
+    algebra over the pre-aggregated hourly table, so the expensive input
+    is one keyed agg and the scan never re-reads raw events per window."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_seconds(F.col("hour")))
+        .rangeBetween(-24 * 3600, -3600)
+    )
+    scored = (
+        hourly.withColumn("mu", F.avg("n").over(w))
+        .withColumn("sd", F.stddev_pop("n").over(w))
+        .withColumn("nw", F.count("n").over(w))
+        # need a full day of history and nonzero spread to score
+        .filter((F.col("nw") >= 24) & (F.col("sd") > 0))
+        .withColumn("z", (F.col("n") - F.col("mu")) / F.col("sd"))
+    )
+    return scored.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n",
+        F.round("z", 4).alias("z"),
+        (F.abs(F.col("z")) >= 3.0).alias("anomaly"),
+    ).orderBy("hour", "event_type")
+
+
+SQL_EVENTS_ANOMALIES = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT hour, event_type, n,
+         avg(n) OVER w AS mu,
+         stddev_pop(n) OVER w AS sd,
+         count(n) OVER w AS nw
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch(hour)
+               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)
+)
+SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n,
+       round((n - mu) / sd, 4) AS z,
+       (abs((n - mu) / sd) >= 3.0) AS anomaly
+FROM scored WHERE nw >= 24 AND sd > 0
+ORDER BY hour, event_type
+"""
+
+
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-path transition mining: the top-25 (event_type →
+    next_event_type) transitions with counts and the share of each source
+    type's outgoing traffic — the path-analysis primitive behind sankey /
+    next-action dashboards.  One lead() window per user (events already
+    cluster by user after the shuffle) + one keyed agg; ties broken by
+    transition name so top-25 is total-ordered."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    by_src = trans.groupBy("src").agg(F.count(F.lit(1)).alias("src_total"))
+    return (
+        trans.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .join(F.broadcast(by_src), "src")
+        .select("src", "dst", "n", F.round(F.col("n") / F.col("src_total"), 6).alias("share"))
+        .orderBy(F.desc("n"), "src", "dst")
+        .limit(25)
+    )
+
+
+SQL_EVENTS_PATHS = """
+WITH trans AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+t2 AS (SELECT src, dst FROM trans WHERE dst IS NOT NULL),
+by_src AS (SELECT src, count(*) AS src_total FROM t2 GROUP BY src)
+SELECT t.src, t.dst, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 / max(b.src_total), 6) AS share
+FROM t2 t JOIN by_src b USING (src)
+GROUP BY t.src, t.dst
+ORDER BY n DESC, t.src, t.dst
+LIMIT 25
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel (operators/analytics.py
+    ::funnel_counts): step i counts users converting with an event
+    strictly after their step i-1 conversion time."""
+    from mcpvectordb_spark.operators.analytics import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"]).orderBy("step")
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+) ORDER BY step
+"""
+
+
+def q_events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: each transition must convert within 1 hour of
+    the previous step (funnel_counts(within_s=3600)) — the 'converted
+    within the session' marketing variant of `events_funnel`."""
+    from mcpvectordb_spark.operators.analytics import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], within_s=3600
+    ).orderBy("step")
+
+
+SQL_EVENTS_FUNNEL_WINDOW = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'click' AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 3600 SECOND
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 3600 SECOND
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+) ORDER BY step
+"""
+
+
+def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transition conversion latency distribution (analytics.py::
+    funnel_latency): converting users' step-to-step delay in floored epoch
+    seconds, p50/p90 per transition."""
+    from mcpvectordb_spark.operators.analytics import funnel_latency
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_latency(ev, ["view", "click", "purchase"]).orderBy("step")
+
+
+SQL_EVENTS_FUNNEL_LATENCY = """
+WITH ev AS (
+  SELECT user_id AS u, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
+s1 AS (SELECT u, min(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY u),
+s2 AS (
+  SELECT e.u, min(e.ts) AS t2, min(s1.t) AS tp
+  FROM ev e JOIN s1 ON e.u = s1.u
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.u),
+s3 AS (
+  SELECT e.u, min(e.ts) AS t2, min(s2.t2) AS tp
+  FROM ev e JOIN s2 ON e.u = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.u)
+SELECT * FROM (
+  SELECT 2 AS step, 'click' AS step_name, CAST(count(*) AS BIGINT) AS n_users,
+         round(quantile_cont(t2 - tp, 0.5), 4) AS p50_s,
+         round(quantile_cont(t2 - tp, 0.9), 4) AS p90_s
+  FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+         round(quantile_cont(t2 - tp, 0.5), 4),
+         round(quantile_cont(t2 - tp, 0.9), 4)
+  FROM s3
+) ORDER BY step
+"""
+
+
+def q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention at d1/d7 (operators/analytics.py::
+    cohort_retention): users cohort on first active day; retained = any
+    activity exactly d days later."""
+    from mcpvectordb_spark.operators.analytics import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cohort_retention(ev, [1, 7])
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "n_new", "retained_d1", "retained_d7",
+    ).orderBy("cohort_day")
+
+
+SQL_EVENTS_COHORTS = """
+WITH activity AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day FROM events
+),
+cohorts AS (SELECT u, min(day) AS cohort_day FROM activity GROUP BY u),
+aged AS (
+  SELECT a.u, c.cohort_day, date_diff('day', c.cohort_day, a.day) AS age_days
+  FROM activity a JOIN cohorts c ON a.u = c.u
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(count(DISTINCT CASE WHEN age_days = 0 THEN u END) AS BIGINT) AS n_new,
+       CAST(count(DISTINCT CASE WHEN age_days = 1 THEN u END) AS BIGINT) AS retained_d1,
+       CAST(count(DISTINCT CASE WHEN age_days = 7 THEN u END) AS BIGINT) AS retained_d7
+FROM aged GROUP BY cohort_day ORDER BY cohort_day
+"""
+
+
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 users by event count via Misra–Gries candidates +
+    exact recount (operators/sketches.py::heavy_hitters) — the full-data
+    shuffle is replaced by a per-partition sketch whose output is bounded
+    by the sketch capacity, then a candidates-only keyed agg."""
+    from mcpvectordb_spark.operators.sketches import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    hh = heavy_hitters(ev, "user_id", k=20, capacity=2048)
+    return hh.select(F.col("key").cast("long").alias("user_id"), F.col("cnt").alias("n_events"), "rank")
+
+
+SQL_EVENTS_HEAVY_HITTERS = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, CAST(user_id AS VARCHAR) ASC) AS INT) AS rank
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+ORDER BY n_events DESC, CAST(user_id AS VARCHAR) ASC
+LIMIT 20
+"""
+
+
+def q_events_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup (operators/sketches.py): daily per-type
+    distinct-user sketches unioned to per-type totals, validated IN-PLAN
+    against the exact distinct count.  The oracle emits the exact count and
+    a literal TRUE — if the sketch union ever drifts past tolerance the
+    boolean flips and the value-hash gate fails, so the approximation
+    quality itself is oracle-checked."""
+    from mcpvectordb_spark.operators.sketches import merge_estimates, sketch_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketch_rollup(
+        ev, [F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")],
+        "user_id",
+    )
+    merged = merge_estimates(daily, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_events"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * 0.02 + 1
+        ).alias("sketch_within_2pct"),
+    )
+
+
+SQL_EVENTS_DISTINCT_ROLLUP = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS sketch_within_2pct
+FROM events GROUP BY event_type
+"""
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (purchase↔click within 1 hour per
+    user) driven to completion; per-user pair counts.  Streaming execution
+    is not ANSI-SQL-expressible → rows-only check (the batch twin's
+    equality with the stream is asserted in test_streaming.py)."""
+    import tempfile
+
+    from mcpvectordb_spark.streaming.events import (
+        purchase_click_pairs_stream,
+        run_stream_to_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="stream_join_in_")
+    ev.write.mode("overwrite").parquet(d)
+    stream = purchase_click_pairs_stream(spark, d, ev.schema, within_minutes=60)
+    out = run_stream_to_memory(stream, "stream_join_out", spark)
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.round(F.sum("p_value"), 4).alias("sum_value"),
+    )
+
+
+
+
+# re-export everything (including underscore helpers) to later sections
+__all__ = [n for n in dir() if not n.startswith("__")]

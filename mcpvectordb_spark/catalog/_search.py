@@ -1,0 +1,2869 @@
+"""Vector search (KNN/IVF/PQ/SQ8/PCA/Matryoshka/ANN-recall) and full-text + hybrid retrieval (BM25, RRF, LM, TF-IDF, textrank, recsys, graph BFS, event EWMA/markov/entropy).
+
+Split out of the original single-file catalog.py (round-5 refactor,
+round-4 verdict item #3).  Import order is load-bearing: later sections
+reference names from earlier ones via the wildcard chain below."""
+from __future__ import annotations
+
+from mcpvectordb_spark.catalog._common import *  # noqa: F401,F403
+
+# ===========================================================================
+# 1. Vector search
+# ===========================================================================
+
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine KNN top-10 (SURVEY §2.10 R1 + §2.6 T1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _q_vec(spark, sf_dir)
+    hits = knn_topk(emb.filter(F.col("vec_id") != QUERY_VEC_ID), qv, 10, tie_col="vec_id")
+    return hits.select("vec_id", F.round("score", 6).alias("score"))
+
+
+SQL_KNN_TOPK = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> {QUERY_VEC_ID})
+SELECT vec_id, round({_sql_cos('v', 'qv')}, 6) AS score
+FROM c, q ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 10
+"""
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN: top-3 neighbors for each of 5 query vectors (broadcast
+    query set × corpus, per-query window top-k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_join(
+        queries, emb, 3, corpus_id="vec_id",
+        pair_filter=F.col("vec_id") != F.col("query_id"),
+    )
+    return out.select("query_id", "vec_id", F.round("score", 6).alias("score"))
+
+
+SQL_KNN_BATCH = f"""
+WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT query_id, vec_id, {_sql_cos('v', 'qv')} AS cos_s,
+         row_number() OVER (PARTITION BY query_id ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id) AS rn
+  FROM c, qs WHERE vec_id <> query_id)
+SELECT query_id, vec_id, round(cos_s, 6) AS score FROM scored WHERE rn <= 3
+"""
+
+
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered KNN (metadata filter BEFORE ranking — SURVEY §2.2 P3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _q_vec(spark, sf_dir)
+    hits = knn_topk(
+        emb, qv, 5,
+        pre_filter=(F.col("label") == 2) & (F.col("vec_id") != QUERY_VEC_ID),
+        tie_col="vec_id",
+    )
+    return hits.select("vec_id", F.col("label").cast("int").alias("label"), F.round("score", 6).alias("score"))
+
+
+SQL_KNN_FILTERED = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE label = 2 AND vec_id <> {QUERY_VEC_ID})
+SELECT vec_id, CAST(label AS INT) AS label, round({_sql_cos('v', 'qv')}, 6) AS score
+FROM c, q ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 5
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse centroids (vectors 0..9), nprobe=3,
+    exact re-score within probed cells (reference refine semantics)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    assigned = ivf_assign(emb, centroids, corpus_id="vec_id")
+    qv = _q_vec(spark, sf_dir)
+    hits = ivf_topk(assigned, centroids, qv, 5, nprobe=3, corpus_id="vec_id")
+    return hits.select("vec_id", F.round("score", 6).alias("score"))
+
+
+SQL_IVF_TOPK = f"""
+WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 10),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY {_sql_cos('v', 'cv')} DESC, cid) AS rn
+    FROM corpus, cents) WHERE rn = 1),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (SELECT cid FROM cents, q ORDER BY {_sql_cos('cv', 'qv')} DESC, cid LIMIT 3)
+SELECT c.vec_id, round({_sql_cos('c.v', 'qv')}, 6) AS score
+FROM corpus c JOIN assign a ON a.vec_id = c.vec_id, q
+WHERE a.cid IN (SELECT cid FROM probe)
+ORDER BY {_sql_cos('c.v', 'qv')} DESC, c.vec_id LIMIT 5
+"""
+
+
+# ===========================================================================
+# 2. Full-text + hybrid search
+# ===========================================================================
+
+_SQL_BM25_CTES = rf"""
+toks AS (
+  SELECT doc_id AS doc, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS term
+  FROM documents),
+posting AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+-- lens over ALL docs (zero-token docs contribute dl=0 to avgdl), exactly
+-- like bm25.py building lens from the corpus rather than the posting list
+lens AS (
+  SELECT doc_id AS doc,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT) AS dl
+  FROM documents),
+dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM lens) AS avgdl),
+qterms AS (SELECT unnest(['batch','join','spark','window']) AS term),
+bm AS (
+  SELECT doc, sum( ln(1 + (n - df + 0.5)/(df + 0.5))
+                   * tf*(1.2+1)/(tf + 1.2*(1-0.75+0.75*dl/avgdl)) ) AS score
+  FROM posting JOIN qterms USING(term) JOIN dfreq USING(term) JOIN lens USING(doc), stats
+  GROUP BY doc)
+"""
+
+
+def q_search_clarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-performance prediction via the Clarity score
+    (operators/prf.py::clarity_score, Cronen-Townsend SIGIR'02): the KL
+    divergence between the top-10 feedback set's relevance model and the
+    collection LM, computed for the catalog's focused 4-term query AND
+    a deliberately vague single-stopword-ish query — the pre-retrieval
+    triage that flags queries likely to retrieve noise.  Reuses the BM25
+    posting machinery (rm3_topk's first half); the oracle replays both
+    query chains over the shared posting CTEs."""
+    from mcpvectordb_spark.operators.bm25 import Bm25Index, doc_lens, doc_terms
+    from mcpvectordb_spark.operators.prf import clarity_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    posting = doc_terms(docs, "doc_id", "text").localCheckpoint(eager=False)
+    idx = Bm25Index(posting, doc_lens(docs, "doc_id", "text"), cached=False)
+    focused = clarity_score(
+        docs, SEARCH_QUERY, "doc_id", "text", index=idx
+    ).select(F.lit("focused").alias("query_kind"), "*")
+    vague = clarity_score(docs, "data", "doc_id", "text", index=idx).select(
+        F.lit("vague").alias("query_kind"), "*"
+    )
+    return focused.unionByName(vague)
+
+
+def _sql_clarity_chain(label: str, terms: list[str]) -> str:
+    tl = ", ".join(f"'{t}'" for t in sorted(terms))
+    return f"""
+bm_{label} AS (
+  SELECT doc, sum( ln(1 + (n - df + 0.5)/(df + 0.5))
+                   * tf*(1.2+1)/(tf + 1.2*(1-0.75+0.75*dl/avgdl)) ) AS score
+  FROM posting JOIN (SELECT unnest([{tl}]) AS term) q_{label} USING(term)
+  JOIN dfreq USING(term) JOIN lens USING(doc), stats
+  GROUP BY doc),
+fb_{label} AS (SELECT doc FROM bm_{label} ORDER BY score DESC, doc LIMIT 10),
+rm1_{label} AS (
+  SELECT term, sum(CAST(tf AS DOUBLE) / dl) / 10.0 AS p_q
+  FROM posting JOIN fb_{label} USING(doc) JOIN lens USING(doc)
+  GROUP BY term),
+cl_{label} AS (
+  SELECT '{label}' AS query_kind,
+         CAST(10 AS BIGINT) AS n_feedback,
+         CAST(count(*) AS BIGINT) AS vocab,
+         round(sum(r.p_q * log2(r.p_q / (CAST(c.cf AS DOUBLE) / ct.ct))), 6)
+           AS clarity_bits
+  FROM rm1_{label} r JOIN coll c USING(term) CROSS JOIN ctot ct)"""
+
+
+SQL_SEARCH_CLARITY = (
+    "WITH "
+    + _SQL_BM25_CTES.split("WITH", 1)[-1].rsplit(",\nqterms", 1)[0].lstrip()
+    + """,
+coll AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM posting GROUP BY 1),
+ctot AS (SELECT CAST(sum(cf) AS DOUBLE) AS ct FROM coll),"""
+    + _sql_clarity_chain("focused", SEARCH_QUERY.split())
+    + ","
+    + _sql_clarity_chain("vague", ["data"])
+    + """
+SELECT * FROM cl_focused UNION ALL SELECT * FROM cl_vague
+"""
+)
+
+
+def q_search_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker agreement via rank-biased overlap (modeleval.py::rbo,
+    Webber TOIS'10): RBO@10 (p = 0.9) between the BM25 and Dirichlet-QLM
+    top-10 lists for the catalog query — the judgment-free regression
+    check run before swapping scorers ("how much did the ranking actually
+    move?").  Both runs come from the SAME posting list; the metric is a
+    join of two 10-row broadcast lists + one agg.  The oracle replays
+    both scorers and the depth-exploded RBO sum."""
+    from mcpvectordb_spark.operators.bm25 import (
+        Bm25Index,
+        bm25_topk,
+        doc_lens,
+        doc_terms,
+    )
+    from mcpvectordb_spark.operators.modeleval import rbo
+    from mcpvectordb_spark.operators.qlm import qlm_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    posting = doc_terms(docs, "doc_id", "text").localCheckpoint(eager=False)
+    idx = Bm25Index(posting, doc_lens(docs, "doc_id", "text"), cached=False)
+    wa = Window.orderBy(F.desc("score"), F.asc("doc"))
+    run_a = bm25_topk(docs, SEARCH_QUERY, 10, "doc_id", "text", index=idx).select(
+        "doc", F.row_number().over(wa).alias("rank")
+    )
+    run_b = qlm_topk(docs, SEARCH_QUERY, 10, "doc_id", "text", index=idx).select(
+        "doc", F.row_number().over(wa).alias("rank")
+    )
+    return rbo(run_a, run_b, k=10, p=0.9)
+
+
+SQL_SEARCH_RBO = (
+    "WITH "
+    + _SQL_BM25_CTES.split("WITH", 1)[-1].lstrip()
+    + """,
+ranked_a AS (
+  SELECT doc, row_number() OVER (ORDER BY score DESC, doc ASC) AS ra
+  FROM bm QUALIFY ra <= 10),
+cf AS (SELECT term, sum(tf) AS cf FROM posting GROUP BY 1),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM posting),
+hits AS (
+  SELECT doc, sum(1.0 * ln(1 + tf / (2000.0 * (cf / total)))) AS hit
+  FROM posting JOIN qterms USING(term) JOIN cf USING(term), tot
+  GROUP BY doc),
+qlm AS (
+  SELECT doc, coalesce(hit, 0.0) + 4.0 * ln(2000.0 / (dl + 2000.0)) AS score
+  FROM lens LEFT JOIN hits USING(doc)),
+ranked_b AS (
+  SELECT doc, row_number() OVER (ORDER BY score DESC, doc ASC) AS rb
+  FROM qlm QUALIFY rb <= 10),
+inboth AS (
+  SELECT a.doc, greatest(a.ra, b.rb) AS m
+  FROM ranked_a a JOIN ranked_b b ON b.doc = a.doc),
+contrib AS (
+  SELECT power(0.9, CAST(depth AS DOUBLE) - 1) / depth AS t
+  FROM inboth, unnest(range(m, 11)) AS dd(depth)),
+ov AS (SELECT CAST(count(*) AS BIGINT) AS overlap_at_k FROM inboth)
+SELECT CAST(10 AS BIGINT) AS k, CAST(0.9 AS DOUBLE) AS p,
+       ov.overlap_at_k,
+       COALESCE(round((1.0 - 0.9) * (SELECT sum(t) FROM contrib), 6), 0.0) AS rbo
+FROM ov
+"""
+)
+
+
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy panel — the geometry health check run
+    before trusting cosine similarity (anisotropic spaces make everything
+    look similar; Ethayarajh 2019): mean L2 norm, EXACT average pairwise
+    cosine of the normalized vectors via the identity
+    sum_{i<>j} x_i.x_j = ||S||^2 - n (no pair join ever), and the
+    participation ratio of the covariance spectrum WITHOUT an
+    eigendecomposition — PR = trace(C)^2 / ||C||_F^2, since
+    sum(lambda)^2 / sum(lambda^2) needs only the trace and the Frobenius
+    norm, both plain aggregates of the 64x64 moment matrix.  PR ~ dim
+    means isotropic; PR ~ 1 means rank-collapsed.  Plan: one
+    posexplode(dim) pass with 64 sum expressions builds the Gram rows
+    (n x 64 input rows, never n x 4096), then 64x64 arithmetic on the
+    tiny moment table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    base = dd.fan_out(
+        emb.select(v.alias("v"), F.transform(v, lambda x: x / norm).alias("vh"))
+    ).localCheckpoint(eager=False)
+    nrow = base.count()
+
+    sums = base.select(
+        F.posexplode("v").alias("j0", "xj"), F.col("v")
+    ).groupBy(F.col("j0").alias("j")).agg(
+        F.sum("xj").alias("sx"),
+        *[
+            F.sum(F.col("xj") * F.element_at("v", k + 1)).alias(f"m{k}")
+            for k in range(dim)
+        ],
+    )
+    mu = sums.select("j", (F.col("sx") / F.lit(float(nrow))).alias("mu"))
+    cells = sums.select(
+        "j",
+        F.posexplode(F.array(*[F.col(f"m{k}") for k in range(dim)])).alias(
+            "k", "m"
+        ),
+    ).select("j", "k", (F.col("m") / F.lit(float(nrow))).alias("m"))
+    cov = (
+        cells.join(mu.select(F.col("j"), F.col("mu").alias("mu_j")), "j")
+        .join(
+            mu.select(F.col("j").alias("k"), F.col("mu").alias("mu_k")), "k"
+        )
+        .select(
+            "j",
+            "k",
+            (F.col("m") - F.col("mu_j") * F.col("mu_k")).alias("c"),
+        )
+    )
+    spec = cov.agg(
+        F.sum(F.when(F.col("j") == F.col("k"), F.col("c"))).alias("tr"),
+        F.sum(F.col("c") * F.col("c")).alias("fro2"),
+    )
+    normstats = base.select(
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)).alias(
+            "nrm"
+        ),
+        F.col("vh"),
+    )
+    shat = normstats.select(
+        F.posexplode("vh").alias("j", "xh")
+    ).groupBy("j").agg(F.sum("xh").alias("s"))
+    scos = shat.agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+    mn = normstats.agg(F.avg("nrm").alias("mean_norm"))
+    return (
+        spec.crossJoin(F.broadcast(scos))
+        .crossJoin(F.broadcast(mn))
+        .select(
+            F.lit(nrow).cast("long").alias("n"),
+            F.lit(dim).cast("long").alias("dim"),
+            F.round("mean_norm", 6).alias("mean_norm"),
+            F.round(
+                (F.col("s2") - F.lit(float(nrow)))
+                / (F.lit(float(nrow)) * (F.lit(float(nrow)) - 1)),
+                6,
+            ).alias("avg_pairwise_cos"),
+            F.round("tr", 6).alias("cov_trace"),
+            F.round(F.sqrt("fro2"), 6).alias("cov_fro"),
+            F.round(F.col("tr") * F.col("tr") / F.col("fro2"), 6).alias(
+                "participation_ratio"
+            ),
+        )
+    )
+
+
+SQL_EMBEDDING_ISOTROPY = """
+WITH emb AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM emb),
+js AS (SELECT unnest(range(1, 65)) AS j),
+expl AS (
+  SELECT j, v[j] AS xj, v FROM emb CROSS JOIN js),
+cells AS (
+  SELECT e.j, k.k, sum(e.xj * e.v[k.k]) / (SELECT CAST(n AS DOUBLE) FROM nn) AS m
+  FROM expl e CROSS JOIN (SELECT unnest(range(1, 65)) AS k) k
+  GROUP BY 1, 2),
+mu AS (
+  SELECT j, sum(xj) / (SELECT CAST(n AS DOUBLE) FROM nn) AS mu
+  FROM expl GROUP BY 1),
+cov AS (
+  SELECT c.j, c.k, c.m - mj.mu * mk.mu AS c
+  FROM cells c JOIN mu mj ON mj.j = c.j JOIN mu mk ON mk.j = c.k),
+spec AS (
+  SELECT sum(CASE WHEN j = k THEN c END) AS tr, sum(c * c) AS fro2 FROM cov),
+normed AS (
+  SELECT sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm,
+         v
+  FROM emb),
+shat AS (
+  SELECT j, sum(v[j] / nrm) AS s
+  FROM normed CROSS JOIN js GROUP BY 1),
+scos AS (SELECT sum(s * s) AS s2 FROM shat),
+mn AS (SELECT avg(nrm) AS mean_norm FROM normed)
+SELECT nn.n, CAST(64 AS BIGINT) AS dim,
+       round(mn.mean_norm, 6) AS mean_norm,
+       round((scos.s2 - CAST(nn.n AS DOUBLE))
+             / (CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1)), 6)
+         AS avg_pairwise_cos,
+       round(spec.tr, 6) AS cov_trace,
+       round(sqrt(spec.fro2), 6) AS cov_fro,
+       round(spec.tr * spec.tr / spec.fro2, 6) AS participation_ratio
+FROM spec CROSS JOIN scos CROSS JOIN mn CROSS JOIN nn
+"""
+
+
+def q_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncated coarse scan (first 16 of 64 dims, 4x arithmetic
+    cut) + exact full-dim refine of 4k candidates — the deterministic
+    Matryoshka serving pattern (operators/knn.py::knn_truncated_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _q_vec(spark, sf_dir)
+    hits = knn_truncated_topk(
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID), qv, k=10, dims_coarse=16, refine=4
+    )
+    return hits.select("vec_id", F.round("score", 6).alias("score"))
+
+
+SQL_KNN_MATRYOSHKA = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}),
+cand AS (
+  SELECT vec_id, v, qv
+  FROM c, q
+  ORDER BY {_sql_cos('v[1:16]', 'qv[1:16]')} DESC, vec_id LIMIT 40
+)
+SELECT vec_id, round({_sql_cos('v', 'qv')}, 6) AS score
+FROM cand ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement as a first-class query: recall@10 of every
+    approximate method (IVF nprobe=3, Matryoshka 16/64 dims, SQ8 int8
+    coarse) against the exact top-10 — 'measure, don't guess' folded into
+    the correctness gate itself, since the oracle recomputes each method's
+    candidate set in SQL and must land on the same recall numbers."""
+    from mcpvectordb_spark.operators.knn import knn_truncated_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    qv = _q_vec(spark, sf_dir)
+    exact = {r["vec_id"] for r in knn_topk(corpus, qv, 10, tie_col="vec_id").select("vec_id").collect()}
+
+    centroids = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    assigned = ivf_assign(emb, centroids, corpus_id="vec_id").filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    methods = {
+        "ivf": ivf_topk(assigned, centroids, qv, 10, nprobe=3, corpus_id="vec_id"),
+        "matryoshka": knn_truncated_topk(corpus, qv, k=10, dims_coarse=16, refine=4),
+        "sq8": knn_topk_sq8(corpus, qv, 10, refine_factor=4, tie_col="vec_id"),
+    }
+    rows = []
+    for name, df in sorted(methods.items()):
+        got = {r["vec_id"] for r in df.select("vec_id").collect()}
+        hits = len(got & exact)
+        rows.append((name, hits, round(hits / 10.0, 2)))
+    return spark.createDataFrame(rows, "method string, hits bigint, recall_at_10 double")
+
+
+_SQL_EXACT10 = f"""
+SELECT vec_id FROM (
+  WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+  c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> {QUERY_VEC_ID})
+  SELECT vec_id FROM c, q ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 10)
+"""
+
+_SQL_IVF10 = f"""
+SELECT vec_id FROM (
+  WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 10),
+  corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  assign AS (
+    SELECT vec_id, cid FROM (
+      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY {_sql_cos('v', 'cv')} DESC, cid) AS rn
+      FROM corpus, cents) WHERE rn = 1),
+  q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+  probe AS (SELECT cid FROM cents, q ORDER BY {_sql_cos('cv', 'qv')} DESC, cid LIMIT 3)
+  SELECT c.vec_id
+  FROM corpus c JOIN assign a ON a.vec_id = c.vec_id, q
+  WHERE a.cid IN (SELECT cid FROM probe) AND c.vec_id <> {QUERY_VEC_ID}
+  ORDER BY {_sql_cos('c.v', 'qv')} DESC, c.vec_id LIMIT 10)
+"""
+
+_SQL_MAT10 = f"""
+SELECT vec_id FROM (
+  WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+  c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}),
+  cand AS (
+    SELECT vec_id, v, qv FROM c, q
+    ORDER BY {_sql_cos('v[1:16]', 'qv[1:16]')} DESC, vec_id LIMIT 40)
+  SELECT vec_id FROM cand ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 10)
+"""
+
+_SQL_SQ810 = f"""
+SELECT vec_id FROM (
+  WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+  qs AS (SELECT qv, list_max(list_transform(qv, x -> abs(x)))/127.0 AS qscale FROM q),
+  qc AS (SELECT qv, qscale, {_sql_sq8('qv', 'qscale')} AS qcodes FROM qs),
+  c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}),
+  cs AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x)))/127.0 AS s FROM c),
+  cc AS (SELECT vec_id, v, s, {_sql_sq8('v', 's')} AS codes FROM cs),
+  cand AS (
+    SELECT vec_id, v FROM cc, qc
+    ORDER BY s * qscale * list_inner_product(codes, qcodes) DESC, vec_id
+    LIMIT 40)
+  SELECT vec_id FROM cand, q ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 10)
+"""
+
+SQL_ANN_RECALL = f"""
+WITH ex AS ({_SQL_EXACT10}),
+iv AS ({_SQL_IVF10}), mt AS ({_SQL_MAT10}), sq AS ({_SQL_SQ810})
+SELECT * FROM (
+  SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS hits, round(count(*)/10.0, 2) AS recall_at_10
+  FROM iv WHERE vec_id IN (SELECT vec_id FROM ex)
+  UNION ALL
+  SELECT 'matryoshka', CAST(count(*) AS BIGINT), round(count(*)/10.0, 2)
+  FROM mt WHERE vec_id IN (SELECT vec_id FROM ex)
+  UNION ALL
+  SELECT 'sq8', CAST(count(*) AS BIGINT), round(count(*)/10.0, 2)
+  FROM sq WHERE vec_id IN (SELECT vec_id FROM ex)
+) ORDER BY method
+"""
+
+
+# PQ at 64-d: m=8 subspaces × 8 dims, ksub=32 codes → 8-byte codes (32×
+# compression); coarse ADC scan reads ONLY (id, codes), then k×refine
+# exact rescore.  Seed codebooks are the subvectors of the 32 lowest-id
+# corpus rows — trained-state-free, so the oracle replays the WHOLE
+# pipeline (codebook → argmin encode → ADC → refine) including tie-breaks.
+_PQ_M, _PQ_KSUB, _PQ_REFINE = 8, 32, 4
+
+
+def q_knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 (operators/pq.py — the PQ half of
+    the reference's IVF-PQ scale path, reference store.py:274): seeded
+    per-subspace codebooks, map-only codegen encode, literal-LUT ADC
+    coarse scan over 8-byte codes, exact inner-product refine of the
+    k×refine survivors."""
+    import math
+
+    from mcpvectordb_spark.operators import pq as pqm
+    from mcpvectordb_spark.operators.knn import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    corpus = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("__n", l2_norm(v))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.transform(v, lambda x: x / F.col("__n")).alias("embedding"),
+        )
+    )
+    q0 = _q_vec(spark, sf_dir)
+    qn = math.sqrt(sum(x * x for x in q0))
+    q = [x / qn for x in q0]
+    cb = pqm.seed_codebooks(corpus, _PQ_M, _PQ_KSUB)
+    # Arrow/BLAS encode (impl="pandas"): identical codes to the codegen
+    # fold (equality test-pinned in test_pq.py), ~5x faster at sf0.1 —
+    # the expression form remains the in-plan audit twin.
+    enc = pqm.pq_encode(corpus, cb, impl="pandas")
+    out = pqm.pq_topk(enc, cb, q, 10, refine=_PQ_REFINE)
+    return out.select(F.col("id").alias("vec_id"), F.round("score", 6).alias("score"))
+
+
+_PQ_DSUB = 8  # 64 // _PQ_M
+
+SQL_KNN_PQ_TOPK = f"""
+WITH raw AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings
+  WHERE vec_id <> {QUERY_VEC_ID}),
+corpus AS (
+  SELECT id, list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0))) AS v FROM raw),
+qraw AS (SELECT CAST(embedding AS DOUBLE[]) AS q0 FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+q AS (SELECT list_transform(q0, x -> x / sqrt(list_inner_product(q0, q0))) AS qv FROM qraw),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS code, v
+  FROM (SELECT id, v FROM corpus ORDER BY id LIMIT {_PQ_KSUB})),
+cb AS (
+  SELECT t.j, s.code, s.v[t.j*{_PQ_DSUB}+1 : t.j*{_PQ_DSUB}+{_PQ_DSUB}] AS cent
+  FROM seeds s CROSS JOIN (SELECT unnest(range({_PQ_M})) AS j) t),
+-- argmin-L2^2 encode; dist via |a|^2+|c|^2-2ac; ties -> lowest code
+enc AS (
+  SELECT id, j, code FROM (
+    SELECT c.id, cb.j, cb.code,
+           row_number() OVER (
+             PARTITION BY c.id, cb.j
+             ORDER BY list_inner_product(c.v[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}],
+                                         c.v[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}])
+                    + list_inner_product(cb.cent, cb.cent)
+                    - 2*list_inner_product(c.v[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}], cb.cent),
+                    cb.code) AS rn
+    FROM corpus c CROSS JOIN cb) WHERE rn = 1),
+lut AS (
+  SELECT cb.j, cb.code,
+         list_inner_product(cb.cent, q.qv[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}]) AS pd
+  FROM cb, q),
+adc AS (
+  SELECT e.id, sum(l.pd) AS adc
+  FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code GROUP BY e.id),
+cand AS (SELECT id FROM adc ORDER BY adc DESC, id LIMIT {10 * _PQ_REFINE})
+SELECT c.id AS vec_id, round(list_inner_product(c.v, q.qv), 6) AS score
+FROM corpus c JOIN cand USING (id), q
+ORDER BY list_inner_product(c.v, q.qv) DESC, c.id
+LIMIT 10
+"""
+
+
+def q_knn_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-state PQ path: 2 distributed Lloyd iterations refine the
+    seeded codebooks (operators/pq.py::pq_refine_codebooks — joint
+    joins+aggs across all m subspaces, (subspace, code) triples shuffle,
+    never vectors), then the same encode→ADC→refine search.  The iterative
+    centroid means are not SQL-expressible → golden-digest gate (centroids
+    quantized to 6 decimals for run-stability, like semdedup_refined)."""
+    import math
+
+    from mcpvectordb_spark.operators import pq as pqm
+    from mcpvectordb_spark.operators.knn import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    corpus = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("__n", l2_norm(v))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.transform(v, lambda x: x / F.col("__n")).alias("embedding"),
+        )
+    )
+    q0 = _q_vec(spark, sf_dir)
+    qn = math.sqrt(sum(x * x for x in q0))
+    q = [x / qn for x in q0]
+    cb = pqm.pq_refine_codebooks(corpus, pqm.seed_codebooks(corpus, _PQ_M, _PQ_KSUB), iters=2)
+    cb = [[[round(x, 6) for x in cent] for cent in sub] for sub in cb]
+    enc = pqm.pq_encode(corpus, cb, impl="pandas")
+    out = pqm.pq_topk(enc, cb, q, 10, refine=_PQ_REFINE)
+    return _digest_gate(
+        out.select(F.col("id").alias("vec_id"), F.round("score", 6).alias("score"))
+    )
+
+
+def q_knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END residual IVF-PQ — the reference's actual index type
+    (store.py:274) fully composed: coarse cells (the 9 lowest-id corpus
+    vectors as centroids, cosine assignment), PQ over RESIDUALS x−c with
+    seed codebooks from the 32 lowest-id rows' residuals, per-probed-cell
+    ADC lookup tables folded into one literal (score ≈ <q,c> + Σ lut),
+    k×refine exact rescore.  Every stage is trained-state-free, so the
+    oracle replays the WHOLE pipeline — assignment, residual encode, ADC,
+    refine — including tie-breaks."""
+    import math
+
+    from mcpvectordb_spark.operators import pq as pqm
+    from mcpvectordb_spark.operators.knn import ivf_assign, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    corpus = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("__n", l2_norm(v))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.transform(v, lambda x: x / F.col("__n")).alias("embedding"),
+        )
+    )
+    cents = corpus.filter(F.col("id") < 10).select(
+        F.col("id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    assigned = ivf_assign(corpus, cents, corpus_id="id")
+    cb = pqm.seed_residual_codebooks(assigned, cents, _PQ_M, _PQ_KSUB)
+    enc = pqm.ivfpq_encode(assigned, cents, cb, impl="pandas")
+    q0 = _q_vec(spark, sf_dir)
+    qn = math.sqrt(sum(x * x for x in q0))
+    q = [x / qn for x in q0]
+    out = pqm.ivfpq_topk(enc, cents, cb, q, 10, nprobe=3, refine=_PQ_REFINE)
+    return out.select(F.col("id").alias("vec_id"), F.round("score", 6).alias("score"))
+
+
+SQL_KNN_IVFPQ_TOPK = f"""
+WITH raw AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings
+  WHERE vec_id <> {QUERY_VEC_ID}),
+corpus AS (
+  SELECT id, list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0))) AS v FROM raw),
+qraw AS (SELECT CAST(embedding AS DOUBLE[]) AS q0 FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+qn AS (SELECT list_transform(q0, x -> x / sqrt(list_inner_product(q0, q0))) AS qv FROM qraw),
+cents AS (SELECT id AS cid, v AS cv FROM corpus WHERE id < 10),
+assign AS (
+  SELECT id, v, cid, cv FROM (
+    SELECT c.id, c.v, ct.cid, ct.cv,
+           row_number() OVER (PARTITION BY c.id
+                              ORDER BY {_sql_cos('c.v', 'ct.cv')} DESC, ct.cid) AS rn
+    FROM corpus c CROSS JOIN cents ct) WHERE rn = 1),
+resid AS (
+  SELECT id, cid, v, list_transform(range(1, len(v)+1), i -> v[i] - cv[i]) AS r
+  FROM assign),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS code, r
+  FROM (SELECT id, r FROM resid ORDER BY id LIMIT {_PQ_KSUB})),
+cb AS (
+  SELECT t.j, s.code, s.r[t.j*{_PQ_DSUB}+1 : t.j*{_PQ_DSUB}+{_PQ_DSUB}] AS cent
+  FROM seeds s CROSS JOIN (SELECT unnest(range({_PQ_M})) AS j) t),
+enc AS (
+  SELECT id, j, code FROM (
+    SELECT rs.id, cb.j, cb.code,
+           row_number() OVER (
+             PARTITION BY rs.id, cb.j
+             ORDER BY list_inner_product(rs.r[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}],
+                                         rs.r[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}])
+                    + list_inner_product(cb.cent, cb.cent)
+                    - 2*list_inner_product(rs.r[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}], cb.cent),
+                    cb.code) AS rn
+    FROM resid rs CROSS JOIN cb) WHERE rn = 1),
+probe AS (
+  SELECT ct.cid, ct.cv, list_inner_product(ct.cv, q.qv) AS off
+  FROM cents ct, qn q
+  ORDER BY list_inner_product(ct.cv, q.qv) DESC, ct.cid LIMIT 3),
+qres AS (
+  SELECT p.cid, p.off,
+         list_transform(range(1, len(q.qv)+1), i -> q.qv[i] - p.cv[i]) AS qr
+  FROM probe p, qn q),
+lut AS (
+  SELECT qr.cid, cb.j, cb.code,
+         list_inner_product(cb.cent, qr.qr[cb.j*{_PQ_DSUB}+1 : cb.j*{_PQ_DSUB}+{_PQ_DSUB}]) AS pd
+  FROM cb CROSS JOIN qres qr),
+adc AS (
+  SELECT e.id, max(q2.off) + sum(l.pd) AS adc
+  FROM enc e
+  JOIN assign a ON a.id = e.id
+  JOIN qres q2 ON q2.cid = a.cid
+  JOIN lut l ON l.cid = a.cid AND l.j = e.j AND l.code = e.code
+  GROUP BY e.id),
+cand AS (SELECT id FROM adc ORDER BY adc DESC, id LIMIT {10 * _PQ_REFINE})
+SELECT c.id AS vec_id, round(list_inner_product(c.v, q.qv), 6) AS score
+FROM corpus c JOIN cand USING (id), qn q
+ORDER BY list_inner_product(c.v, q.qv) DESC, c.id
+LIMIT 10
+"""
+
+
+def q_knn_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-projected ANN (knn.py::pca_components/knn_topk_pca): top-16
+    principal components (distributed Gramian + driver eigh via MLlib,
+    sign-fixed, 6-decimal quantized for run-stability), codegen'd
+    projection fold for the coarse scan, exact refine of k×4 candidates.
+    The learned-projection family member beside Matryoshka (no trained
+    state) and PQ (codebooks); eigendecomposition is not SQL-expressible
+    → golden-digest gate, with recall and exactness bounds pinned in
+    test_pq.py."""
+    import math
+
+    from mcpvectordb_spark.operators.knn import knn_topk_pca, l2_norm, pca_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    corpus = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("__n", l2_norm(v))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.transform(v, lambda x: x / F.col("__n")).alias("embedding"),
+        )
+    )
+    q0 = _q_vec(spark, sf_dir)
+    qn = math.sqrt(sum(x * x for x in q0))
+    q = [x / qn for x in q0]
+    comps = pca_components(corpus, 16)
+    out = knn_topk_pca(corpus, q, comps, k=10, refine=4, id_col="id")
+    return _digest_gate(
+        out.select(F.col("id").alias("vec_id"), F.round("score", 6).alias("score"))
+    )
+
+
+def q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document embedding mean-pooling (knn.py::
+    mean_pool_embeddings): groups of 4 vectors pool to one L2-normalized
+    doc vector, then exact top-5 against the query — doc-level retrieval
+    over a chunk-level index."""
+    from mcpvectordb_spark.operators.knn import mean_pool_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    chunks = emb.withColumn("doc", F.expr("vec_id div 4"))
+    pooled = mean_pool_embeddings(chunks, "doc", "embedding", "doc_embedding")
+    qv = _q_vec(spark, sf_dir)
+    hits = knn_topk(pooled, qv, 5, vec_col="doc_embedding", tie_col="doc")
+    return hits.select("doc", F.round("score", 6).alias("score"))
+
+
+SQL_DOC_EMBEDDINGS = f"""
+WITH c AS (
+  SELECT vec_id // 4 AS doc, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}
+),
+per_pos AS (
+  SELECT doc, t.i AS pos, avg(v[t.i]) AS m
+  FROM c, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY doc, t.i
+),
+pooled_raw AS (
+  SELECT doc, list(m ORDER BY pos) AS dv FROM per_pos GROUP BY doc
+),
+pooled AS (
+  SELECT doc, list_transform(dv, x -> x / sqrt(list_inner_product(dv, dv))) AS dv
+  FROM pooled_raw
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT doc, round({_sql_cos('dv', 'qv')}, 6) AS score
+FROM pooled, q
+ORDER BY {_sql_cos('dv', 'qv')} DESC, doc LIMIT 5
+"""
+
+
+def q_knn_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized KNN (scale path): int8 coarse scan (4x less
+    embedding IO than float32) -> exact re-score of k*refine candidates.
+    The coarse->refine contract is the reference's deferred IVF-PQ +
+    refine_factor (store.py:274,302,317); quantization uses portable
+    sign-split floor rounding so codes match the oracle bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _q_vec(spark, sf_dir)
+    hits = knn_topk_sq8(
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID), qv, 10,
+        refine_factor=4, tie_col="vec_id",
+    )
+    return hits.select("vec_id", F.round("score", 6).alias("score"))
+
+
+SQL_KNN_SQ8_TOPK = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+qs AS (SELECT qv, list_max(list_transform(qv, x -> abs(x)))/127.0 AS qscale FROM q),
+qc AS (SELECT qv, qscale, {_sql_sq8('qv', 'qscale')} AS qcodes FROM qs),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}),
+cs AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x)))/127.0 AS s FROM c),
+cc AS (SELECT vec_id, v, s, {_sql_sq8('v', 's')} AS codes FROM cs),
+cand AS (
+  SELECT vec_id, v FROM cc, qc
+  ORDER BY s * qscale * list_inner_product(codes, qcodes) DESC, vec_id
+  LIMIT 40)
+SELECT vec_id, round({_sql_cos('v', 'qv')}, 6) AS score
+FROM cand, q ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 10
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 (the custom FTS leg — SURVEY §2.10 R2 / §4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_topk(docs, SEARCH_QUERY, 10, "doc_id", "text")
+    return hits.select("doc", F.round("score", 6).alias("score"))
+
+
+SQL_BM25_TOPK = f"""
+WITH {_SQL_BM25_CTES}
+SELECT doc, round(score, 6) AS score FROM bm ORDER BY score DESC, doc LIMIT 10
+"""
+
+
+def q_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant BM25 (operators/bm25.py::bm25_topk_fuzzy): every query
+    term is misspelled at edit distance 1, the corpus vocabulary expands
+    them back (length pre-filter + Levenshtein ≤ 1), and the expanded set
+    scores through standard BM25.  The oracle replays the expansion with
+    DuckDB's levenshtein — both engines implement the same plain edit
+    distance."""
+    from mcpvectordb_spark.operators.bm25 import bm25_topk_fuzzy
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_topk_fuzzy(docs, "batc joins spark windoww", 10, "doc_id", "text")
+    return hits.select("doc", F.round("score", 6).alias("score"))
+
+
+SQL_BM25_FUZZY = f"""
+WITH {_SQL_BM25_CTES.replace("qterms AS (SELECT unnest(['batch','join','spark','window']) AS term),",
+'''vocab AS (SELECT DISTINCT term FROM posting),
+qraw AS (SELECT unnest(['batc','joins','spark','windoww']) AS qterm),
+qterms AS (
+  SELECT DISTINCT term FROM vocab, qraw
+  WHERE abs(length(term) - length(qterm)) <= 1
+    AND levenshtein(term, qterm) <= 1),''')}
+SELECT doc, round(score, 6) AS score FROM bm ORDER BY score DESC, doc LIMIT 10
+"""
+
+
+def q_search_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 with highlighted snippets (bm25.py::highlight_col):
+    ±40-char excerpt centred on the first query-term hit, every in-excerpt
+    occurrence wrapped in ** — pure codegen (locate/substr/regexp_replace),
+    replayed verbatim by the oracle (strpos/substring + RE2 'g')."""
+    from mcpvectordb_spark.operators.bm25 import highlight_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = bm25_topk(docs, SEARCH_QUERY, 10, "doc_id", "text")
+    joined = hits.join(docs.select(F.col("doc_id").alias("doc"), "text"), "doc")
+    return joined.select(
+        "doc",
+        F.round("score", 6).alias("score"),
+        highlight_col(F.col("text"), SEARCH_QUERY.split()).alias("snippet"),
+    )
+
+
+_HL_TERMS = SEARCH_QUERY.split()
+_HL_FIRST = "least(" + ", ".join(
+    f"CASE WHEN strpos(lower(text), '{t}') > 0 THEN strpos(lower(text), '{t}') "
+    "ELSE 2000000000 END" for t in _HL_TERMS
+) + ")"
+
+SQL_SEARCH_HIGHLIGHTS = f"""
+WITH {_SQL_BM25_CTES},
+top AS (SELECT doc, round(score, 6) AS score FROM bm ORDER BY score DESC, doc LIMIT 10),
+src AS (SELECT t.doc, t.score, d.text FROM top t JOIN documents d ON d.doc_id = t.doc),
+pos AS (SELECT doc, score, text, {_HL_FIRST} AS first FROM src),
+snip AS (
+  SELECT doc, score,
+         CASE WHEN first < 2000000000
+              THEN substring(text, greatest(first - 40, 1), 80)
+              ELSE substring(text, 1, 80) END AS raw
+  FROM pos)
+SELECT doc, score,
+       regexp_replace(raw, '(?i)({"|".join(_HL_TERMS)})', '**\\1**', 'g') AS snippet
+FROM snip
+"""
+
+
+def q_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood LM retrieval with Dirichlet smoothing (μ=2000) —
+    the second standard lexical scorer beside BM25 (operators/qlm.py;
+    Zhai & Lafferty 2001).  Every document scores (zero-hit docs rank by
+    the length normalizer), so the oracle replays the full decomposition
+    over the same posting list."""
+    from mcpvectordb_spark.operators.qlm import qlm_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = qlm_topk(docs, SEARCH_QUERY, 10, "doc_id", "text")
+    return hits.select("doc", F.round("score", 6).alias("score"))
+
+
+SQL_LM_DIRICHLET = rf"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS term
+  FROM documents),
+posting AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+lens AS (
+  SELECT doc_id AS doc,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT) AS dl
+  FROM documents),
+cf AS (SELECT term, sum(tf) AS cf FROM posting GROUP BY 1),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM posting),
+qterms AS (SELECT unnest(['batch','join','spark','window']) AS term, 1.0 AS qc),
+hits AS (
+  SELECT doc, sum(qc * ln(1 + tf / (2000.0 * (cf / total)))) AS hit
+  FROM posting JOIN qterms USING(term) JOIN cf USING(term), tot
+  GROUP BY doc),
+scored AS (
+  SELECT doc, coalesce(hit, 0.0) + 4.0 * ln(2000.0 / (dl + 2000.0)) AS score
+  FROM lens LEFT JOIN hits USING(doc))
+SELECT doc, round(score, 6) AS score FROM scored ORDER BY score DESC, doc LIMIT 10
+"""
+
+
+def q_tfidf_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine near-dup pairs ≥ 0.6 over the planted near-dup corpus
+    (operators/simjoin.py — inverted-index candidate join, max_df=100
+    stop-term cutoff)."""
+    from mcpvectordb_spark.operators.simjoin import tfidf_cosine_pairs
+
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = tfidf_cosine_pairs(corpus, "id", "text", threshold=0.6, max_df=100)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_TFIDF_SIMJOIN = rf"""
+WITH corpus AS ({_SQL_NEAR_CORPUS}),
+toks AS (
+  SELECT id AS doc, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS term
+  FROM corpus),
+posting AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM corpus),
+dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY 1 HAVING count(*) <= 100),
+w AS (
+  SELECT doc, term, df, tf * ln(n_docs / df) AS w
+  FROM posting JOIN dfreq USING(term), n),
+norms AS (SELECT doc, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc),
+pairs AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, sum(a.w * b.w) AS dot
+  FROM (SELECT * FROM w WHERE df >= 2) a
+  JOIN (SELECT * FROM w WHERE df >= 2) b ON a.term = b.term AND a.doc < b.doc
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(dot / (na.norm * nb.norm), 6) AS cosine
+FROM pairs JOIN norms na ON na.doc = id_a JOIN norms nb ON nb.doc = id_b
+WHERE dot / (na.norm * nb.norm) >= 0.6
+"""
+
+
+def q_ssjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard self-join >= 0.5 via AllPairs prefix
+    filtering (operators/simjoin.py::jaccard_ssjoin — rarest-first global
+    shingle order, prefix length |s|-ceil(t|s|)+1, length filter, exact
+    verify).  The oracle is the NAIVE all-pairs Jaccard over the same
+    shingle sets (the dedup_ngram_jaccard spec), so green parity proves
+    the prefix filter loses no pair.  Exact sibling of the probabilistic
+    dedup_minhash_lsh gate at the same (n=3, t=0.5) operating point."""
+    from mcpvectordb_spark.operators.simjoin import jaccard_ssjoin
+
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = jaccard_ssjoin(corpus, "id", "text", threshold=0.5, shingle_n=3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_SSJOIN_JACCARD = f"""
+WITH corpus AS ({_SQL_NEAR_CORPUS}),
+toks AS (
+  SELECT id AS doc, unnest({_sql_shingles(_sql_words("text"), 3)}) AS term
+  FROM corpus),
+sizes AS (SELECT doc, count(*) AS s FROM toks GROUP BY 1),
+common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.term = b.term AND a.doc < b.doc
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.s + sb.s - i), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc = id_a JOIN sizes sb ON sb.doc = id_b
+WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.5
+"""
+
+
+def q_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive summarization (operators/textrank.py): top-2
+    central sentences per document for doc_id < 100, 5 damped power
+    iterations over per-doc sentence-overlap graphs — all docs ranked in
+    ONE plan, no per-document loop.  The oracle unrolls the identical 5
+    iterations as chained CTEs."""
+    from mcpvectordb_spark.operators.textrank import textrank_sentences
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = textrank_sentences(docs, "doc_id", "text", top_k=2, iters=5)
+    return out.select("doc", "sent", F.round("rank", 6).alias("rank"))
+
+
+def _sql_textrank() -> str:
+    iters = "".join(
+        f""",
+r{i} AS (
+  SELECT s.doc, s.sent, 0.15 + 0.85 * coalesce(sum(ne.nw * p.r), 0.0) AS r
+  FROM sents s
+  LEFT JOIN ne ON ne.doc = s.doc AND ne.dst = s.sent
+  LEFT JOIN r{i - 1} p ON p.doc = ne.doc AND p.sent = ne.src
+  GROUP BY 1, 2)"""
+        for i in range(1, 6)
+    )
+    return rf"""
+WITH docs AS (SELECT doc_id AS doc, text FROM documents WHERE doc_id < 100),
+raw AS (SELECT doc, unnest(regexp_split_to_array(text, '\.\s+')) AS rs FROM docs),
+sents AS (SELECT DISTINCT doc, trim(rs) AS sent FROM raw WHERE trim(rs) <> ''),
+stoks AS (
+  SELECT DISTINCT doc, sent,
+         unnest(list_filter(regexp_split_to_array(lower(trim(sent)), '\s+'), t -> t <> '')) AS term
+  FROM sents),
+sizes AS (SELECT doc, sent, count(*) AS nt FROM stoks GROUP BY 1, 2),
+common AS (
+  SELECT a.doc AS doc, a.sent AS sa, b.sent AS sb, count(*) AS c
+  FROM stoks a JOIN stoks b ON a.doc = b.doc AND a.term = b.term AND a.sent < b.sent
+  GROUP BY 1, 2, 3),
+sim AS (
+  SELECT c.doc, sa, sb, c.c / (ln(na.nt + 1) + ln(nb.nt + 1)) AS w
+  FROM common c JOIN sizes na ON na.doc = c.doc AND na.sent = c.sa
+                JOIN sizes nb ON nb.doc = c.doc AND nb.sent = c.sb),
+edges AS (SELECT doc, sa AS src, sb AS dst, w FROM sim
+          UNION ALL SELECT doc, sb AS src, sa AS dst, w FROM sim),
+wout AS (SELECT doc, src, sum(w) AS wt FROM edges GROUP BY 1, 2),
+ne AS (SELECT e.doc, e.src, e.dst, e.w / wo.wt AS nw
+       FROM edges e JOIN wout wo ON wo.doc = e.doc AND wo.src = e.src),
+r0 AS (SELECT doc, sent, 1.0 AS r FROM sents){iters}
+SELECT doc, sent, round(r, 6) AS rank FROM r5
+QUALIFY row_number() OVER (PARTITION BY doc ORDER BY r DESC, sent ASC) <= 2
+"""
+
+
+SQL_TEXTRANK_SUMMARY = _sql_textrank()
+
+
+def q_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item collaborative filtering (operators/analytics.py::
+    item_item_cosine — within-basket pair mining, max_basket fanout bound,
+    cooc/sqrt(na·nb) cosine): top-5 recommendations for the 10 most-
+    ordered parts.  The oracle mines the same pairs naively."""
+    from mcpvectordb_spark.operators.analytics import item_item_cosine
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = item_item_cosine(li, "l_orderkey", "l_partkey", min_cooc=2, max_basket=50)
+    sym = pairs.select(
+        F.col("item_a").alias("seed"), F.col("item_b").alias("rec"), "cooc", "cos"
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("seed"), F.col("item_a").alias("rec"), "cooc", "cos"
+        )
+    )
+    seeds = (
+        li.distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+        .orderBy(F.col("n_ord").desc(), F.col("l_partkey").asc())
+        .limit(10)
+        .select(F.col("l_partkey").alias("seed"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("seed").orderBy(F.col("cos").desc(), F.col("rec").asc())
+    )
+    return (
+        sym.join(F.broadcast(seeds), "seed")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= 5)
+        .select("seed", "rec", "cooc", F.round("cos", 6).alias("cos"))
+    )
+
+
+SQL_ITEM_RECS = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+ok AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 50),
+bf AS (SELECT b.* FROM b JOIN ok USING(bk)),
+n AS (SELECT it, count(*) AS n FROM bf GROUP BY it),
+pairs AS (
+  SELECT a.it AS item_a, bb.it AS item_b, CAST(count(*) AS BIGINT) AS cooc
+  FROM bf a JOIN bf bb ON a.bk = bb.bk AND a.it < bb.it
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+cosed AS (
+  SELECT item_a, item_b, cooc, cooc / sqrt(na.n * nb.n) AS cos
+  FROM pairs JOIN n na ON na.it = item_a JOIN n nb ON nb.it = item_b),
+sym AS (SELECT item_a AS seed, item_b AS rec, cooc, cos FROM cosed
+        UNION ALL SELECT item_b AS seed, item_a AS rec, cooc, cos FROM cosed),
+seeds AS (
+  SELECT it AS seed FROM b GROUP BY it
+  ORDER BY count(*) DESC, it ASC LIMIT 10)
+SELECT seed, rec, cooc, round(cos, 6) AS cos
+FROM sym JOIN seeds USING(seed)
+QUALIFY row_number() OVER (PARTITION BY seed ORDER BY cos DESC, rec ASC) <= 5
+"""
+
+
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier of part (minimize retail price, maximize size)
+    via the sort-scan skyline (operators/skyline.py — one sort + two
+    RANGE-frame window maxima, no join).  The oracle is the naive
+    NOT-EXISTS dominance test, proving the window formulation exact."""
+    from mcpvectordb_spark.operators.skyline import skyline2d
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_c"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return skyline2d(p, "price_c", "p_size").select("p_partkey", "price_c", "p_size")
+
+
+SQL_PART_SKYLINE = """
+WITH p AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part)
+SELECT p_partkey, price_c, p_size FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+    AND (b.price_c < a.price_c OR b.p_size > a.p_size))
+"""
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (operators/graph.py::bfs_distances
+    — level-synchronous frontier expansion, anti-join dedup, checkpointed
+    frontiers) over the co-purchase graph (parts co-ordered >= 2), seeds =
+    parts with p_partkey < 25, depth 3.  The oracle unrolls the identical
+    3 level expansions as chained CTEs."""
+    from mcpvectordb_spark.operators.graph import bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    seeds = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 25).select(
+        F.col("p_partkey").alias("node")
+    )
+    out = bfs_distances(edges, seeds, max_depth=3)
+    return out.select("node", F.col("d").cast("long").alias("d"))
+
+
+def _sql_graph_bfs() -> str:
+    levels = "".join(
+        f""",
+n{i} AS (
+  SELECT DISTINCT e.t AS node FROM e JOIN f{i - 1} fr ON e.s = fr.node),
+d{i} AS (
+  SELECT node, d FROM d{i - 1}
+  UNION ALL
+  SELECT node, {i} AS d FROM n{i}
+  WHERE node NOT IN (SELECT node FROM d{i - 1})),
+f{i} AS (SELECT node FROM d{i} WHERE d = {i})"""
+        for i in range(1, 4)
+    )
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+raw AS (
+  SELECT a.p AS src, b.p AS dst
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS (SELECT src AS s, dst AS t FROM raw UNION SELECT dst AS s, src AS t FROM raw),
+d0 AS (SELECT p_partkey AS node, 0 AS d FROM part WHERE p_partkey < 25),
+f0 AS (SELECT node FROM d0){levels}
+SELECT node, CAST(d AS BIGINT) AS d FROM d3
+"""
+
+
+SQL_GRAPH_BFS = _sql_graph_bfs()
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-window EWMA smoothing of per-type hourly event counts
+    (operators/timeseries.py::ewma_trailing — block-bucketed trailing
+    window join, per-row fanout 2).  The oracle replays the identical
+    weighted sum with a bare range self-join."""
+    from mcpvectordb_spark.operators.timeseries import ewma_trailing
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    out = ewma_trailing(hourly, "event_type", "h", "n", alpha=0.3, window=24)
+    return out.select(
+        "event_type", "h",
+        F.col("n").cast("long").alias("n"),
+        F.round("ewma", 6).alias("ewma"),
+        F.round("dev", 6).alias("dev"),
+    )
+
+
+SQL_EVENTS_EWMA = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+j AS (
+  SELECT a.event_type, a.h, a.n,
+         sum(power(0.7, a.h - b.h) * b.n) AS num,
+         sum(power(0.7, a.h - b.h)) AS den
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND b.h <= a.h AND b.h > a.h - 24
+  GROUP BY 1, 2, 3)
+SELECT event_type, h, CAST(n AS BIGINT) AS n,
+       round(num / den, 6) AS ewma, round(n - num / den, 6) AS dev
+FROM j
+"""
+
+
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type transition
+    chain: row-normalized transition matrix from lead() pairs (the
+    events_paths transitions), then 6 in-plan power iterations from the
+    uniform vector — no driver loop state, the matrix stays a DataFrame.
+    The oracle unrolls the same 6 iterations as chained CTEs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    cnt = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("t"))
+    pmat = cnt.join(tot, "src").select("src", "dst", (F.col("c") / F.col("t")).alias("p"))
+    pmat = pmat.localCheckpoint(eager=False)
+
+    states = ev.select(F.col("event_type").alias("s")).distinct()
+    ns = states.agg(F.count(F.lit(1)).cast("double").alias("n_states"))
+    pi = states.crossJoin(F.broadcast(ns)).select(
+        F.col("s").alias("ps"), (F.lit(1.0) / F.col("n_states")).alias("pi")
+    )
+    for _ in range(6):
+        inflow = (
+            pmat.join(pi, pmat["src"] == pi["ps"])
+            .groupBy(F.col("dst").alias("s2"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("inflow"))
+        )
+        pi = (
+            states.join(inflow, states["s"] == inflow["s2"], "left")
+            .select(F.col("s").alias("ps"), F.coalesce("inflow", F.lit(0.0)).alias("pi"))
+            .localCheckpoint(eager=False)
+        )
+    return pi.select(F.col("ps").alias("event_type"), F.round("pi", 6).alias("pi"))
+
+
+def _sql_events_markov() -> str:
+    iters = "".join(
+        f""",
+p{i} AS (
+  SELECT st.s, coalesce(sum(pm.p * prev.pi), 0.0) AS pi
+  FROM states st
+  LEFT JOIN pmat pm ON pm.dst = st.s
+  LEFT JOIN p{i - 1} prev ON prev.s = pm.src
+  GROUP BY st.s)"""
+        for i in range(1, 7)
+    )
+    return f"""
+WITH trans AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+cnt AS (SELECT src, dst, count(*) AS c FROM trans WHERE dst IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT src, sum(c) AS t FROM cnt GROUP BY 1),
+pmat AS (SELECT cnt.src, cnt.dst, cnt.c * 1.0 / tot.t AS p FROM cnt JOIN tot USING (src)),
+states AS (SELECT DISTINCT event_type AS s FROM events),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS n_states FROM states),
+p0 AS (SELECT s, 1.0 / n_states AS pi FROM states, ns){iters}
+SELECT s AS event_type, round(pi, 6) AS pi FROM p6
+"""
+
+
+SQL_EVENTS_MARKOV = _sql_events_markov()
+
+
+def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey next-event process: conditional
+    entropy H(next | current) of the empirical transition chain, the
+    marginal next-event entropy H(next), their difference (the mutual
+    information between consecutive events = how much knowing the
+    current event helps prediction), and conditional perplexity — the
+    information-theoretic ceiling for ANY next-event recommender on
+    this corpus (a model cannot beat 2^H_cond average branching).  Pure
+    count arithmetic over the (src, dst) transition table (the
+    events_markov lead() pairs) — exact BIGINT counts, per-cell log2
+    terms, no iteration.  The oracle replays the same cells."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cells = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    rowt = cells.groupBy("src").agg(F.sum("c").alias("t"))
+    colt = cells.groupBy("dst").agg(F.sum("c").alias("m"))
+    tot = cells.agg(F.sum("c").alias("cc"))
+    j = cells.join(F.broadcast(rowt), "src").crossJoin(F.broadcast(tot))
+    hcond = j.agg(
+        F.first("cc").alias("n_transitions"),
+        (
+            -F.sum(
+                F.col("c").cast("double")
+                / F.col("cc")
+                * F.log2(F.col("c").cast("double") / F.col("t"))
+            )
+        ).alias("h_cond"),
+    )
+    hmarg = colt.crossJoin(F.broadcast(tot)).agg(
+        (
+            -F.sum(
+                F.col("m").cast("double")
+                / F.col("cc")
+                * F.log2(F.col("m").cast("double") / F.col("cc"))
+            )
+        ).alias("h_marg")
+    )
+    return hcond.crossJoin(F.broadcast(hmarg)).select(
+        "n_transitions",
+        F.round("h_cond", 6).alias("h_cond_bits"),
+        F.round("h_marg", 6).alias("h_marg_bits"),
+        F.round(F.col("h_marg") - F.col("h_cond"), 6).alias("mi_bits"),
+        F.round(F.pow(F.lit(2.0), F.col("h_cond")), 6).alias("perplexity"),
+    )
+
+
+SQL_EVENTS_ENTROPY_RATE = """
+WITH trans AS (
+  SELECT src, dst FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events)
+  WHERE dst IS NOT NULL),
+cells AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM trans GROUP BY 1, 2),
+rowt AS (SELECT src, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+colt AS (SELECT dst, CAST(sum(c) AS BIGINT) AS m FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS cc FROM cells),
+hc AS (
+  SELECT any_value(cc) AS n_transitions,
+         -sum(CAST(c AS DOUBLE) / cc * log2(CAST(c AS DOUBLE) / t)) AS h_cond
+  FROM cells JOIN rowt USING(src) CROSS JOIN tot),
+hm AS (
+  SELECT -sum(CAST(m AS DOUBLE) / cc * log2(CAST(m AS DOUBLE) / cc)) AS h_marg
+  FROM colt CROSS JOIN tot)
+SELECT n_transitions,
+       round(h_cond, 6) AS h_cond_bits,
+       round(h_marg, 6) AS h_marg_bits,
+       round(h_marg - h_cond, 6) AS mi_bits,
+       round(power(2.0, h_cond), 6) AS perplexity
+FROM hc CROSS JOIN hm
+"""
+
+
+def q_vocab_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church-Gale): for the top-50 terms by collection
+    frequency, compare observed document frequency with the Poisson
+    expectation df_exp = N*(1 - exp(-cf/N)) — content words BURST
+    (df_obs << df_exp: occurrences clump in few docs) while function
+    words scatter Poisson-like.  The adaptation ratio df_obs/df_exp and
+    per-containing-doc mean cf/df are the classic lexical statistics
+    for stopword induction and keyword weighting, computed from the
+    SAME posting counts BM25 maintains: one groupBy, one broadcast
+    scalar, a codegen projection.  Deterministic (cf desc, term asc)
+    top-50."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(dd.normalize_text(F.col("text")), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    posting = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = posting.groupBy("term").agg(
+        F.sum("tf").alias("cf"), F.count(F.lit(1)).alias("df")
+    )
+    nn = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
+    top = (
+        stats.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .crossJoin(F.broadcast(nn))
+    )
+    nd = F.col("n_docs").cast("double")
+    df_exp = nd * (
+        F.lit(1.0) - F.exp(-(F.col("cf").cast("double") / nd))
+    )
+    return top.select(
+        "term",
+        "cf",
+        "df",
+        F.col("rk").cast("long").alias("rk"),
+        F.round(df_exp, 6).alias("df_expected"),
+        F.round(F.col("df").cast("double") / df_exp, 6).alias("adaptation"),
+        F.round(F.col("cf").cast("double") / F.col("df"), 6).alias(
+            "mean_tf_in_doc"
+        ),
+    )
+
+
+SQL_VOCAB_BURSTINESS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_words("text")}) AS term FROM documents),
+toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+posting AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks2 GROUP BY 1, 2),
+stats AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS cf, CAST(count(*) AS BIGINT) AS df
+  FROM posting GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+top AS (
+  SELECT term, cf, df,
+         row_number() OVER (ORDER BY cf DESC, term ASC) AS rk
+  FROM stats QUALIFY rk <= 50)
+SELECT term, cf, df, CAST(rk AS BIGINT) AS rk,
+       round(CAST(n_docs AS DOUBLE)
+             * (1.0 - exp(-(CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6)
+         AS df_expected,
+       round(CAST(df AS DOUBLE)
+             / (CAST(n_docs AS DOUBLE)
+                * (1.0 - exp(-(CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 6)
+         AS adaptation,
+       round(CAST(cf AS DOUBLE) / df, 6) AS mean_tf_in_doc
+FROM top CROSS JOIN nn
+"""
+
+
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences harness, validated as an A/A placebo:
+    users hash-split into two arms (the ab_assign contract), the event
+    window split at its epoch midpoint, per-user-period purchase cents
+    aggregated, and DiD = (T_post - T_pre) - (C_post - C_pre) estimated
+    with the four-cell pooled standard error.  On a hash split with no
+    real intervention the estimate MUST sit inside its CI (the placebo
+    gate every DiD pipeline should ship with — a significant A/A DiD
+    means clustered or time-confounded errors).  Exact cents, exact
+    integer midpoint; cell moments are one groupBy over user-periods."""
+    from mcpvectordb_spark.operators.dedup import hexint48
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("t0"),
+        F.max(F.unix_timestamp("ts")).alias("t1"),
+    )
+    base = ev.crossJoin(F.broadcast(span)).select(
+        F.pmod(hexint48(F.col("user_id").cast("string")), F.lit(2)).alias("arm"),
+        (
+            F.unix_timestamp("ts")
+            >= ((F.col("t0") + F.col("t1")) / 2).cast("long")
+        ).cast("int").alias("post"),
+        "user_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100, 0).cast("long"),
+        ).otherwise(F.lit(0)).alias("cents"),
+    )
+    per_user = base.groupBy("arm", "post", "user_id").agg(
+        F.sum("cents").alias("y")
+    )
+    cells = per_user.groupBy("arm", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sy").cast("double") / nd
+    var = (nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")) / (
+        nd * (nd - 1)
+    )
+    m = cells.select(
+        "arm", "post", "n", mean.alias("m"), (var / nd).alias("vm")
+    )
+    wide = (
+        m.groupBy()
+        .pivot("arm", [0, 1])
+        .agg(
+            F.max(F.when(F.col("post") == 0, F.col("m"))).alias("pre"),
+            F.max(F.when(F.col("post") == 1, F.col("m"))).alias("post"),
+            F.sum("vm").alias("v"),
+        )
+    )
+    did = (F.col("1_post") - F.col("1_pre")) - (
+        F.col("0_post") - F.col("0_pre")
+    )
+    se = F.sqrt(F.col("0_v") + F.col("1_v"))
+    return wide.select(
+        F.round(F.col("0_pre") / 100, 4).alias("control_pre"),
+        F.round(F.col("0_post") / 100, 4).alias("control_post"),
+        F.round(F.col("1_pre") / 100, 4).alias("treat_pre"),
+        F.round(F.col("1_post") / 100, 4).alias("treat_post"),
+        F.round(did / 100, 4).alias("did"),
+        F.round(se / 100, 4).alias("se"),
+        F.round(did / se, 6).alias("t_stat"),
+        (F.abs(did / se) > 1.96).alias("significant"),
+    )
+
+
+SQL_EVENTS_DID = f"""
+WITH span AS (
+  SELECT CAST(min(epoch(date_trunc('second', ts))) AS BIGINT) AS t0,
+         CAST(max(epoch(date_trunc('second', ts))) AS BIGINT) AS t1
+  FROM events),
+base AS (
+  SELECT {_sql_hex48("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+              >= (t0 + t1) // 2 AS INT) AS post,
+         user_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+  FROM events CROSS JOIN span),
+per_user AS (
+  SELECT arm, post, user_id, CAST(sum(cents) AS BIGINT) AS y
+  FROM base GROUP BY 1, 2, 3),
+cells AS (
+  SELECT arm, post, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM per_user GROUP BY 1, 2),
+m AS (
+  SELECT arm, post, n,
+         CAST(sy AS DOUBLE) / n AS m,
+         ((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / n AS vm
+  FROM cells),
+wide AS (
+  SELECT
+    max(CASE WHEN arm = 0 AND post = 0 THEN m END) AS c_pre,
+    max(CASE WHEN arm = 0 AND post = 1 THEN m END) AS c_post,
+    max(CASE WHEN arm = 1 AND post = 0 THEN m END) AS t_pre,
+    max(CASE WHEN arm = 1 AND post = 1 THEN m END) AS t_post,
+    sum(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS v0,
+    sum(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS v1
+  FROM m)
+SELECT round(c_pre / 100, 4) AS control_pre,
+       round(c_post / 100, 4) AS control_post,
+       round(t_pre / 100, 4) AS treat_pre,
+       round(t_post / 100, 4) AS treat_post,
+       round(((t_post - t_pre) - (c_post - c_pre)) / 100, 4) AS did,
+       round(sqrt(v0 + v1) / 100, 4) AS se,
+       round(((t_post - t_pre) - (c_post - c_pre)) / sqrt(v0 + v1), 6) AS t_stat,
+       abs(((t_post - t_pre) - (c_post - c_pre)) / sqrt(v0 + v1)) > 1.96 AS significant
+FROM wide
+"""
+
+
+def q_lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlations among quantity / discount /
+    extendedprice — the robust (monotone-invariant) counterpart to
+    lineitem_corr's Pearson matrix, computed EXACTLY: midranks come
+    from value blocks (2*midrank = 2*below + count + 1, an INTEGER — the
+    Mann-Whitney doubling trick), rows join their value's rank, and
+    Pearson-on-ranks reduces to the one-double-expression-over-exact-
+    BIGINT-sums contract (sums fit int64 through sf0.1; the docstring
+    notes the DOUBLE seam beyond ~1M rows).  No row-level sort anywhere:
+    ranking is one block window per column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("quantity"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("discount"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("price"),
+    ).localCheckpoint(eager=False)
+
+    def ranked(col: str) -> DataFrame:
+        blocks = base.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return blocks.select(
+            F.col("v").alias(col),
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(f"r_{col}"),
+        )
+
+    j = base
+    for c in ("quantity", "discount", "price"):
+        j = j.join(ranked(c), c)
+    sums = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            x
+            for c in ("quantity", "discount", "price")
+            for x in (
+                F.sum(f"r_{c}").alias(f"s_{c}"),
+                F.sum(F.col(f"r_{c}") * F.col(f"r_{c}")).alias(f"ss_{c}"),
+            )
+        ],
+        F.sum(F.col("r_quantity") * F.col("r_discount")).alias("sp_qd"),
+        F.sum(F.col("r_quantity") * F.col("r_price")).alias("sp_qp"),
+        F.sum(F.col("r_discount") * F.col("r_price")).alias("sp_dp"),
+    )
+
+    def rho(sp, ca, cb):
+        nd = F.col("n").cast("double")
+        num = nd * F.col(sp).cast("double") - F.col(f"s_{ca}").cast(
+            "double"
+        ) * F.col(f"s_{cb}").cast("double")
+        da = nd * F.col(f"ss_{ca}").cast("double") - F.col(f"s_{ca}").cast(
+            "double"
+        ) * F.col(f"s_{ca}").cast("double")
+        db = nd * F.col(f"ss_{cb}").cast("double") - F.col(f"s_{cb}").cast(
+            "double"
+        ) * F.col(f"s_{cb}").cast("double")
+        return F.round(num / F.sqrt(da * db), 6)
+
+    out = sums.select(
+        "n",
+        rho("sp_qd", "quantity", "discount").alias("rho_qty_discount"),
+        rho("sp_qp", "quantity", "price").alias("rho_qty_price"),
+        rho("sp_dp", "discount", "price").alias("rho_discount_price"),
+    )
+    return out
+
+
+SQL_LINEITEM_SPEARMAN = """
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS quantity,
+         CAST(round(l_discount * 100) AS BIGINT) AS discount,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price
+  FROM lineitem),
+rq AS (
+  SELECT v AS quantity,
+         CAST(2 * COALESCE(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS r_quantity
+  FROM (SELECT quantity AS v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1)),
+rd AS (
+  SELECT v AS discount,
+         CAST(2 * COALESCE(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS r_discount
+  FROM (SELECT discount AS v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1)),
+rp AS (
+  SELECT v AS price,
+         CAST(2 * COALESCE(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS r_price
+  FROM (SELECT price AS v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1)),
+j AS (
+  SELECT r_quantity, r_discount, r_price
+  FROM base JOIN rq USING(quantity) JOIN rd USING(discount) JOIN rp USING(price)),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r_quantity) AS BIGINT) AS s_quantity,
+         CAST(sum(r_quantity * r_quantity) AS BIGINT) AS ss_quantity,
+         CAST(sum(r_discount) AS BIGINT) AS s_discount,
+         CAST(sum(r_discount * r_discount) AS BIGINT) AS ss_discount,
+         CAST(sum(r_price) AS BIGINT) AS s_price,
+         CAST(sum(r_price * r_price) AS BIGINT) AS ss_price,
+         CAST(sum(r_quantity * r_discount) AS BIGINT) AS sp_qd,
+         CAST(sum(r_quantity * r_price) AS BIGINT) AS sp_qp,
+         CAST(sum(r_discount * r_price) AS BIGINT) AS sp_dp
+  FROM j)
+SELECT n,
+       round((CAST(n AS DOUBLE) * sp_qd - CAST(s_quantity AS DOUBLE) * s_discount)
+             / sqrt((CAST(n AS DOUBLE) * ss_quantity - CAST(s_quantity AS DOUBLE) * s_quantity)
+                    * (CAST(n AS DOUBLE) * ss_discount - CAST(s_discount AS DOUBLE) * s_discount)), 6)
+         AS rho_qty_discount,
+       round((CAST(n AS DOUBLE) * sp_qp - CAST(s_quantity AS DOUBLE) * s_price)
+             / sqrt((CAST(n AS DOUBLE) * ss_quantity - CAST(s_quantity AS DOUBLE) * s_quantity)
+                    * (CAST(n AS DOUBLE) * ss_price - CAST(s_price AS DOUBLE) * s_price)), 6)
+         AS rho_qty_price,
+       round((CAST(n AS DOUBLE) * sp_dp - CAST(s_discount AS DOUBLE) * s_price)
+             / sqrt((CAST(n AS DOUBLE) * ss_discount - CAST(s_discount AS DOUBLE) * s_discount)
+                    * (CAST(n AS DOUBLE) * ss_price - CAST(s_price AS DOUBLE) * s_price)), 6)
+         AS rho_discount_price
+FROM sums
+"""
+
+
+def q_events_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel-Cox) comparing time-to-first-purchase
+    between two hash-assigned arms — the survival-analysis hypothesis
+    test that pairs with events_survival's KM curve, run as an A/A
+    placebo (hash arms share one survival law, so the test MUST accept;
+    the same gate discipline as events_did): at every distinct event
+    time, observed arm-A conversions vs the hypergeometric expectation
+    d*n_a/n with variance d*(n_a/n)*(1-n_a/n)*(n-d)/(n-1).  Risk sets
+    are descending cumulative INTEGER counts over the duration blocks
+    (the KM pattern), censoring at the stream horizon identical to
+    events_survival."""
+    from mcpvectordb_spark.operators.dedup import hexint48
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("cd"),
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    users = spans.crossJoin(F.broadcast(horizon)).select(
+        F.pmod(hexint48(F.col("user_id").cast("string")), F.lit(2)).alias("arm"),
+        F.when(F.col("cd").isNotNull(), F.datediff("cd", "fd"))
+        .otherwise(F.datediff("maxd", "fd"))
+        .alias("dur"),
+        F.col("cd").isNotNull().cast("long").alias("event"),
+    )
+    per = users.groupBy("dur").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("tot_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("tot_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("event")).otherwise(0)).alias("d_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("event")).otherwise(0)).alias("d_b"),
+    )
+    w_desc = Window.orderBy(F.col("dur").asc()).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    risk = per.select(
+        "dur",
+        "d_a",
+        "d_b",
+        F.sum("tot_a").over(w_desc).alias("n_a"),
+        F.sum("tot_b").over(w_desc).alias("n_b"),
+    ).filter((F.col("d_a") + F.col("d_b")) > 0)
+    nd = (F.col("n_a") + F.col("n_b")).cast("double")
+    dd_ = (F.col("d_a") + F.col("d_b")).cast("double")
+    fa = F.col("n_a").cast("double") / nd
+    e_a = dd_ * fa
+    v = F.when(
+        nd > 1,
+        dd_ * fa * (F.lit(1.0) - fa) * (nd - dd_) / (nd - 1),
+    ).otherwise(F.lit(0.0))
+    agg = risk.agg(
+        F.sum("d_a").alias("o_a"),
+        F.sum(e_a).alias("e_a"),
+        F.sum(v).alias("v"),
+    )
+    z = (F.col("o_a").cast("double") - F.col("e_a")) / F.sqrt("v")
+    tot = users.groupBy().pivot("arm", [0, 1]).count()
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("0").alias("n_users_a"),
+        F.col("1").alias("n_users_b"),
+        F.col("o_a").cast("long").alias("observed_a"),
+        F.round("e_a", 6).alias("expected_a"),
+        F.round("v", 6).alias("variance"),
+        F.round(z, 6).alias("z"),
+        F.round(z * z, 6).alias("chi2"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+SQL_EVENTS_LOGRANK = f"""
+WITH spans AS (
+  SELECT user_id,
+         min(CAST(ts AS DATE)) AS fd,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS cd
+  FROM events GROUP BY 1),
+horizon AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+users AS (
+  SELECT {_sql_hex48("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         CASE WHEN cd IS NOT NULL THEN cd - fd ELSE maxd - fd END AS dur,
+         CAST(cd IS NOT NULL AS BIGINT) AS event
+  FROM spans CROSS JOIN horizon),
+per AS (
+  SELECT dur,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tot_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tot_b,
+         CAST(sum(CASE WHEN arm = 0 THEN event ELSE 0 END) AS BIGINT) AS d_a,
+         CAST(sum(CASE WHEN arm = 1 THEN event ELSE 0 END) AS BIGINT) AS d_b
+  FROM users GROUP BY 1),
+risk AS (
+  SELECT dur, d_a, d_b,
+         CAST(sum(tot_a) OVER (ORDER BY dur ASC
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_a,
+         CAST(sum(tot_b) OVER (ORDER BY dur ASC
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_b
+  FROM per QUALIFY d_a + d_b > 0),
+agg AS (
+  SELECT CAST(sum(d_a) AS BIGINT) AS o_a,
+         sum(CAST(d_a + d_b AS DOUBLE) * (CAST(n_a AS DOUBLE) / (n_a + n_b))) AS e_a,
+         sum(CASE WHEN n_a + n_b > 1
+             THEN CAST(d_a + d_b AS DOUBLE)
+                  * (CAST(n_a AS DOUBLE) / (n_a + n_b))
+                  * (1.0 - CAST(n_a AS DOUBLE) / (n_a + n_b))
+                  * (CAST(n_a + n_b AS DOUBLE) - (d_a + d_b))
+                  / (CAST(n_a + n_b AS DOUBLE) - 1)
+             ELSE 0.0 END) AS v
+  FROM risk),
+tots AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM users)
+SELECT t.na AS n_users_a, t.nb AS n_users_b,
+       a.o_a AS observed_a,
+       round(a.e_a, 6) AS expected_a,
+       round(a.v, 6) AS variance,
+       round((CAST(a.o_a AS DOUBLE) - a.e_a) / sqrt(a.v), 6) AS z,
+       round(((CAST(a.o_a AS DOUBLE) - a.e_a) / sqrt(a.v))
+             * ((CAST(a.o_a AS DOUBLE) - a.e_a) / sqrt(a.v)), 6) AS chi2,
+       abs((CAST(a.o_a AS DOUBLE) - a.e_a) / sqrt(a.v)) > 1.96 AS significant
+FROM agg a CROSS JOIN tots t
+"""
+
+
+def q_events_coxph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards fit (binary covariate = hash arm,
+    Breslow ties) for time-to-first-purchase — the regression upgrade
+    over events_logrank's test: 8 Newton steps on the partial
+    likelihood, where a BINARY covariate collapses every risk-set sum
+    to counts (sum e^(bx) over the risk set = n_b + n_a*e^b), so each
+    step is one agg over the ~30-row event-time table joined with the
+    1-row beta state:
+
+        U(b) = sum_t [d_a - d * p_t],  I(b) = sum_t d * p_t * (1 - p_t),
+        p_t = n_a e^b / (n_b + n_a e^b),  b <- b + U/I
+
+    On the A/A hash split the fitted hazard ratio must sit near 1 and
+    z inside +/-1.96 (the placebo-gate discipline).  The oracle unrolls
+    all 8 Newton steps as chained CTEs over the same MATERIALIZED risk
+    table."""
+    from mcpvectordb_spark.operators.dedup import hexint48
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("cd"),
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    users = spans.crossJoin(F.broadcast(horizon)).select(
+        F.pmod(hexint48(F.col("user_id").cast("string")), F.lit(2)).alias("arm"),
+        F.when(F.col("cd").isNotNull(), F.datediff("cd", "fd"))
+        .otherwise(F.datediff("maxd", "fd"))
+        .alias("dur"),
+        F.col("cd").isNotNull().cast("long").alias("event"),
+    )
+    per = users.groupBy("dur").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("tot_b0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("tot_a1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("event")).otherwise(0)).alias("d_a"),
+        F.sum(F.col("event")).alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("dur").asc()).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    risk = per.select(
+        "dur",
+        "d_a",
+        "d",
+        F.sum("tot_a1").over(w_desc).alias("n_a"),
+        F.sum("tot_b0").over(w_desc).alias("n_b"),
+    ).filter(F.col("d") > 0).localCheckpoint(eager=False)
+
+    beta = spark.range(1).select(F.lit(0.0).alias("b"))
+    for _ in range(8):
+        p = (
+            F.col("n_a").cast("double")
+            * F.exp(F.col("b"))
+            / (F.col("n_b").cast("double") + F.col("n_a").cast("double") * F.exp(F.col("b")))
+        )
+        step = risk.crossJoin(F.broadcast(beta)).agg(
+            F.first("b").alias("b0"),
+            F.sum(F.col("d_a").cast("double") - F.col("d").cast("double") * p).alias("u"),
+            F.sum(
+                F.col("d").cast("double") * p * (F.lit(1.0) - p)
+            ).alias("i"),
+        )
+        beta = step.select((F.col("b0") + F.col("u") / F.col("i")).alias("b"))
+    p = (
+        F.col("n_a").cast("double")
+        * F.exp(F.col("b"))
+        / (F.col("n_b").cast("double") + F.col("n_a").cast("double") * F.exp(F.col("b")))
+    )
+    fin = risk.crossJoin(F.broadcast(beta)).agg(
+        F.first("b").alias("beta"),
+        F.sum(F.col("d").cast("double") * p * (F.lit(1.0) - p)).alias("i"),
+    )
+    return fin.select(
+        F.round("beta", 6).alias("beta"),
+        F.round(F.exp("beta"), 6).alias("hazard_ratio"),
+        F.round(F.lit(1.0) / F.sqrt("i"), 6).alias("se"),
+        F.round(F.col("beta") / (F.lit(1.0) / F.sqrt("i")), 6).alias("z"),
+        (F.abs(F.col("beta") / (F.lit(1.0) / F.sqrt("i"))) > 1.96).alias(
+            "significant"
+        ),
+    )
+
+
+def _sql_coxph() -> str:
+    base = f"""
+WITH spans AS (
+  SELECT user_id,
+         min(CAST(ts AS DATE)) AS fd,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS cd
+  FROM events GROUP BY 1),
+horizon AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+users AS (
+  SELECT {_sql_hex48("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         CASE WHEN cd IS NOT NULL THEN cd - fd ELSE maxd - fd END AS dur,
+         CAST(cd IS NOT NULL AS BIGINT) AS event
+  FROM spans CROSS JOIN horizon),
+per AS (
+  SELECT dur,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tot_b0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tot_a1,
+         CAST(sum(CASE WHEN arm = 1 THEN event ELSE 0 END) AS BIGINT) AS d_a,
+         CAST(sum(event) AS BIGINT) AS d
+  FROM users GROUP BY 1),
+risk AS MATERIALIZED (
+  SELECT dur, d_a, d,
+         CAST(sum(tot_a1) OVER (ORDER BY dur ASC
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_a,
+         CAST(sum(tot_b0) OVER (ORDER BY dur ASC
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_b
+  FROM per QUALIFY d > 0),
+b0 AS (SELECT CAST(0.0 AS DOUBLE) AS b)"""
+    steps = []
+    for t in range(1, 9):
+        steps.append(f""",
+b{t} AS MATERIALIZED (
+  SELECT any_value(b) + sum(CAST(d_a AS DOUBLE)
+           - CAST(d AS DOUBLE) * (CAST(n_a AS DOUBLE) * exp(b)
+             / (CAST(n_b AS DOUBLE) + CAST(n_a AS DOUBLE) * exp(b))))
+         / sum(CAST(d AS DOUBLE)
+           * (CAST(n_a AS DOUBLE) * exp(b)
+              / (CAST(n_b AS DOUBLE) + CAST(n_a AS DOUBLE) * exp(b)))
+           * (1.0 - (CAST(n_a AS DOUBLE) * exp(b)
+              / (CAST(n_b AS DOUBLE) + CAST(n_a AS DOUBLE) * exp(b))))) AS b
+  FROM risk CROSS JOIN b{t-1})""")
+    tail = """,
+fin AS (
+  SELECT any_value(b) AS beta,
+         sum(CAST(d AS DOUBLE)
+           * (CAST(n_a AS DOUBLE) * exp(b)
+              / (CAST(n_b AS DOUBLE) + CAST(n_a AS DOUBLE) * exp(b)))
+           * (1.0 - (CAST(n_a AS DOUBLE) * exp(b)
+              / (CAST(n_b AS DOUBLE) + CAST(n_a AS DOUBLE) * exp(b))))) AS i
+  FROM risk CROSS JOIN b8)
+SELECT round(beta, 6) AS beta,
+       round(exp(beta), 6) AS hazard_ratio,
+       round(1.0 / sqrt(i), 6) AS se,
+       round(beta / (1.0 / sqrt(i)), 6) AS z,
+       abs(beta / (1.0 / sqrt(i))) > 1.96 AS significant
+FROM fin"""
+    return base + "".join(steps) + tail
+
+
+SQL_EVENTS_COXPH = _sql_coxph()
+
+
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness and memory (Goh & Barabasi 2008) per
+    event type: B = (sigma - mu)/(sigma + mu) of the inter-event
+    intervals (B = -1 periodic, 0 Poisson, -> 1 bursty) and the memory
+    coefficient M = corr(delta_i, delta_{i+1}) — TOGETHER they separate
+    heavy-tailed gaps from correlated clustering, which the count-based
+    Fano factor (events_dispersion) cannot distinguish.  Intervals are
+    exact integer seconds from one ordered lead() per type; both
+    statistics are moment algebra over (delta, next_delta) pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    d2 = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("t"),
+        "event_id",
+    ).withColumn(
+        "dt", F.lead("t").over(Window.partitionBy("event_type").orderBy("t", "event_id")) - F.col("t")
+    ).withColumn(
+        "dt2",
+        F.lead("dt").over(Window.partitionBy("event_type").orderBy("t", "event_id")),
+    ).filter(F.col("dt").isNotNull())
+    mom = d2.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dt").alias("s"),
+        F.sum(F.col("dt") * F.col("dt")).alias("ss"),
+        F.count("dt2").alias("np"),
+        F.sum(F.when(F.col("dt2").isNotNull(), F.col("dt"))).alias("sa"),
+        F.sum(F.when(F.col("dt2").isNotNull(), F.col("dt") * F.col("dt"))).alias("saa"),
+        F.sum("dt2").alias("sb"),
+        F.sum(F.col("dt2") * F.col("dt2")).alias("sbb"),
+        F.sum(F.col("dt") * F.col("dt2")).alias("sab"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd
+    sig = F.sqrt(
+        (nd * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s"))
+        / (nd * (nd - 1))
+    )
+    b = (sig - mu) / (sig + mu)
+    npd = F.col("np").cast("double")
+    mnum = npd * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb")
+    mden = F.sqrt(
+        (npd * F.col("saa").cast("double") - F.col("sa").cast("double") * F.col("sa"))
+        * (npd * F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col("sb"))
+    )
+    return mom.select(
+        "event_type",
+        "n",
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sig, 6).alias("sd_gap_s"),
+        F.round(b, 6).alias("burstiness"),
+        F.round(mnum / mden, 6).alias("memory"),
+    )
+
+
+SQL_EVENTS_INTERARRIVAL = """
+WITH seq AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+         event_id
+  FROM events),
+d AS (
+  SELECT event_type,
+         lead(t) OVER w - t AS dt,
+         lead(t, 2) OVER w - lead(t) OVER w AS dt2
+  FROM seq
+  WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id)),
+d2 AS (SELECT * FROM d WHERE dt IS NOT NULL),
+mom AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dt) AS BIGINT) AS s,
+         CAST(sum(dt * dt) AS BIGINT) AS ss,
+         CAST(count(dt2) AS BIGINT) AS np,
+         CAST(sum(CASE WHEN dt2 IS NOT NULL THEN dt END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN dt2 IS NOT NULL THEN dt * dt END) AS BIGINT) AS saa,
+         CAST(sum(dt2) AS BIGINT) AS sb,
+         CAST(sum(dt2 * dt2) AS BIGINT) AS sbb,
+         CAST(sum(dt * dt2) AS BIGINT) AS sab
+  FROM d2 GROUP BY 1)
+SELECT event_type, n,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_gap_s,
+       round(sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS sd_gap_s,
+       round((sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+              - CAST(s AS DOUBLE) / n)
+             / (sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+                + CAST(s AS DOUBLE) / n), 6) AS burstiness,
+       round((CAST(np AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+             / sqrt((CAST(np AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                    * (CAST(np AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)
+         AS memory
+FROM mom
+"""
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostics (operators/skew.py::skew_report):
+    top-10 heaviest l_suppkey values in lineitem with share / cumulative
+    share plus the Gini coefficient of the full key distribution — the
+    measurement that decides between AQE skew-split and explicit salting.
+    The oracle replays the count + window arithmetic verbatim."""
+    from mcpvectordb_spark.operators.skew import skew_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = skew_report(li, "l_suppkey", top_k=10)
+    return out.select(
+        F.col("key").cast("long").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("share", 6).alias("share"),
+        F.round("cum_share", 6).alias("cum_share"),
+        F.round("gini", 6).alias("gini"),
+    )
+
+
+SQL_KEY_SKEW_REPORT = """
+WITH counts AS (SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS n_keys FROM counts),
+ranked AS (
+  SELECT key, n,
+         row_number() OVER (ORDER BY n ASC, key ASC) AS arank,
+         row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+  FROM counts),
+gini AS (
+  SELECT (2 * sum(arank * n) - (max(n_keys) + 1) * sum(n))
+         / (max(n_keys) * sum(n)) AS gini
+  FROM ranked, tot)
+SELECT CAST(key AS BIGINT) AS key, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank,
+       round(n / total, 6) AS share,
+       round(sum(n) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / total, 6) AS cum_share,
+       round(gini, 6) AS gini
+FROM ranked, tot, gini
+WHERE rank <= 10
+"""
+
+
+def q_parts_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-order clustering keys (operators/zorder.py::zorder_key —
+    pure column-expression bit interleave, the layout step behind
+    OPTIMIZE ZORDER) over (p_retailprice, p_size), 8 bits/dim.  The
+    oracle unrolls the identical bucketize + interleave arithmetic, so
+    the codegen'd F.aggregate fold is value-gated bit for bit."""
+    from mcpvectordb_spark.operators.zorder import zorder_key
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    z = zorder_key(
+        F.col("p_retailprice"), F.col("p_size"), (900.0, 1000.0), (1.0, 50.0), bits=8
+    )
+    return p.select("p_partkey", z.alias("zkey"))
+
+
+def _sql_parts_zorder() -> str:
+    ba = "least(greatest(CAST(round((p_retailprice - 900.0) / 100.0 * 255) AS BIGINT), 0), 255)"
+    bb = "least(greatest(CAST(round((p_size - 1.0) / 49.0 * 255) AS BIGINT), 0), 255)"
+    terms = " + ".join(
+        f"((ba >> {i}) & 1) * {1 << (2 * i)} + ((bb >> {i}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(8)
+    )
+    return f"""
+WITH b AS (SELECT p_partkey, {ba} AS ba, {bb} AS bb FROM part WHERE p_partkey < 200)
+SELECT p_partkey, CAST({terms} AS BIGINT) AS zkey FROM b
+"""
+
+
+SQL_PARTS_ZORDER = _sql_parts_zorder()
+
+
+def q_parts_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authorities (operators/graph.py::hits_scores — mutual hub/
+    authority reinforcement, L1-normalized, 4 iterations) on the directed
+    supplier→part shipment graph: which parts are the strongest
+    authorities given that good hubs (diversified suppliers) ship them.
+    Edges = RECURRING relationships (>= 2 shipments — one-off pairs are
+    noise and 66x the edge count); top-20 by (auth desc, node).  The
+    oracle unrolls all 4 iterations."""
+    from mcpvectordb_spark.operators.graph import hits_scores
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    out = hits_scores(li, iters=4, loop_partitions=8)
+    return (
+        out.orderBy(F.col("auth").desc(), F.col("node").asc())
+        .limit(20)
+        .select("node", F.round("auth", 9).alias("auth"))
+    )
+
+
+def _sql_parts_hits() -> str:
+    iters = "".join(
+        f""",
+a{i}r AS (SELECT t, sum(h) AS a_raw FROM e JOIN h{i - 1} USING (s) GROUP BY t),
+a{i} AS (SELECT t, a_raw / (SELECT sum(a_raw) FROM a{i}r) AS a FROM a{i}r),
+h{i}r AS (SELECT s, sum(a) AS h_raw FROM e JOIN a{i} USING (t) GROUP BY s),
+h{i} AS (SELECT s, h_raw / (SELECT sum(h_raw) FROM h{i}r) AS h FROM h{i}r)"""
+        for i in range(1, 5)
+    )
+    return f"""
+WITH e AS (SELECT l_suppkey AS s, l_partkey AS t FROM lineitem
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+h0 AS (SELECT DISTINCT s, 1.0 AS h FROM e){iters}
+SELECT t AS node, round(a, 9) AS auth FROM a4
+ORDER BY a DESC, t ASC LIMIT 20
+"""
+
+
+SQL_PARTS_HITS = _sql_parts_hits()
+
+
+def q_parts_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities
+    (operators/graph.py::label_propagation — most-frequent neighbor
+    label, min-label ties, 4 rounds) on the co-purchase graph; output is
+    the community-size histogram (communities with >= 3 members).  The
+    oracle unrolls the 4 argmax rounds."""
+    from mcpvectordb_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    labels = label_propagation(edges, rounds=4)
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .filter(F.col("n_members") >= 3)
+        .select(F.col("lbl").alias("community"), "n_members")
+    )
+
+
+def _sql_parts_communities() -> str:
+    rounds = "".join(
+        f""",
+c{i} AS (
+  SELECT e.t AS v, prev.lbl, count(*) AS c,
+         row_number() OVER (PARTITION BY e.t ORDER BY count(*) DESC, prev.lbl ASC) AS rn
+  FROM e JOIN l{i - 1} prev ON prev.v = e.s
+  GROUP BY e.t, prev.lbl),
+l{i} AS (SELECT v, lbl FROM c{i} WHERE rn = 1)"""
+        for i in range(1, 5)
+    )
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+raw AS (
+  SELECT a.p AS src, b.p AS dst
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS (SELECT src AS s, dst AS t FROM raw UNION SELECT dst AS s, src AS t FROM raw),
+l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM e){rounds}
+SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM l4 GROUP BY lbl HAVING count(*) >= 3
+"""
+
+
+SQL_PARTS_COMMUNITIES = _sql_parts_communities()
+
+
+def q_events_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: median pairwise slope over
+    hourly counts + median-residual intercept (breakdown point 29%, vs 0%
+    for OLS — one corrupted hour cannot move it).  Pairs build as an
+    equi-join on event_type with an in-key h<h' filter — bounded by
+    hours² per type; the documented web-scale variant windows the pair
+    set (repeated-median on a bounded lookback).  The oracle replays the
+    same pairs and quantile_cont medians."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    hourly = hourly.localCheckpoint(eager=False)
+
+    a = hourly.select("event_type", F.col("h").alias("h1"), F.col("n").alias("n1"))
+    b = hourly.select("event_type", F.col("h").alias("h2"), F.col("n").alias("n2"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("h1") < F.col("h2"))
+        .select(
+            "event_type",
+            ((F.col("n2") - F.col("n1")) / (F.col("h2") - F.col("h1"))).alias("slope"),
+        )
+    )
+    med = slopes.groupBy("event_type").agg(
+        F.percentile("slope", F.lit(0.5)).alias("slope")
+    )
+    resid = hourly.join(med, "event_type").groupBy("event_type").agg(
+        F.percentile(F.col("n") - F.col("slope") * F.col("h"), F.lit(0.5)).alias("intercept"),
+        F.first("slope").alias("slope"),
+    )
+    return resid.select(
+        "event_type", F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+SQL_EVENTS_THEILSEN = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+slopes AS (
+  SELECT a.event_type, (b.n - a.n) / (b.h - a.h) AS slope
+  FROM hourly a JOIN hourly b ON a.event_type = b.event_type AND a.h < b.h),
+med AS (SELECT event_type, quantile_cont(slope, 0.5) AS slope FROM slopes GROUP BY 1),
+resid AS (
+  SELECT h.event_type, quantile_cont(h.n - m.slope * h.h, 0.5) AS intercept,
+         max(m.slope) AS slope
+  FROM hourly h JOIN med m USING (event_type) GROUP BY 1)
+SELECT event_type, round(slope, 6) AS slope, round(intercept, 6) AS intercept
+FROM resid
+"""
+
+
+def q_orders_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the orders⋈customer join view
+    (operators/ivm.py::incremental_join_delta — counting-free delta
+    algebra, four delta-vs-base joins, NEVER recomputes the view) under a
+    CDC batch: orders with o_orderkey%97=0 get repriced ×1.1, customers
+    with c_custkey%89=0 get a segment change.  The oracle computes the
+    ground-truth delta the expensive way — (A'⋈B') EXCEPT (A⋈B) both
+    directions — so green parity proves the delta algebra exact."""
+    from mcpvectordb_spark.operators.ivm import incremental_join_delta
+
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    da = a.filter(F.col("o_orderkey") % 97 == 0)
+    ia = da.withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    b = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    db = b.filter(F.col("c_custkey") % 89 == 0)
+    ib = db.withColumn("c_mktsegment", F.concat("c_mktsegment", F.lit("*")))
+
+    delta = incremental_join_delta(
+        a, ia, da, b, ib, db, "o_custkey", "c_custkey", "o_orderkey", "c_custkey"
+    )
+    return delta.select(
+        "op", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"),
+        "c_custkey", "c_mktsegment",
+    )
+
+
+SQL_ORDERS_IVM = """
+WITH a AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+da AS (SELECT * FROM a WHERE o_orderkey % 97 = 0),
+ia AS (SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice FROM da),
+a2 AS (SELECT * FROM a WHERE o_orderkey % 97 <> 0 UNION ALL SELECT * FROM ia),
+b AS (SELECT c_custkey, c_mktsegment FROM customer),
+db AS (SELECT * FROM b WHERE c_custkey % 89 = 0),
+ib AS (SELECT c_custkey, c_mktsegment || '*' AS c_mktsegment FROM db),
+b2 AS (SELECT * FROM b WHERE c_custkey % 89 <> 0 UNION ALL SELECT * FROM ib),
+v  AS (SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_mktsegment
+       FROM a JOIN b ON o_custkey = c_custkey),
+v2 AS (SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_mktsegment
+       FROM a2 JOIN b2 ON o_custkey = c_custkey),
+ins AS (SELECT * FROM v2 EXCEPT SELECT * FROM v),
+del AS (SELECT * FROM v EXCEPT SELECT * FROM v2)
+SELECT 'ins' AS op, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       c_custkey, c_mktsegment FROM ins
+UNION ALL
+SELECT 'del' AS op, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       c_custkey, c_mktsegment FROM del
+"""
+
+
+def q_events_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE infinite-horizon EWMA (s_t = α·x_t + (1-α)·s_{t-1},
+    s_1 = x_1) per event type — a scan-with-carried-state computation SQL
+    cannot window directly.  Spark runs it as an O(L) higher-order
+    F.aggregate fold over the per-key sorted series (collect_list +
+    array_sort; per-key state bounded by series length, the same contract
+    as sessionization).  The oracle replays the O(L²) closed form
+    s_t = α·Σ_{i=2..t}(1-α)^{t-i}·x_i + (1-α)^{t-1}·x_1 with a rank
+    self-join, so the fold is value-proven against the definition."""
+    alpha = 0.3
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    arr = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "n"))).alias("xs")
+    )
+    fold = F.aggregate(
+        F.col("xs"),
+        F.array().cast("array<double>"),
+        lambda acc, e: F.when(F.size(acc) == 0, F.array(e["n"])).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.lit(alpha) * e["n"]
+                    + F.lit(1.0 - alpha) * F.element_at(acc, -1)
+                ),
+            )
+        ),
+    )
+    return (
+        arr.withColumn("sm", fold)
+        .select("event_type", F.posexplode(F.arrays_zip("xs", "sm")))
+        .select(
+            "event_type",
+            F.col("col.xs.h").alias("h"),
+            F.col("col.xs.n").cast("long").alias("n"),
+            F.round(F.col("col.sm"), 6).alias("ewma"),
+        )
+    )
+
+
+SQL_EVENTS_EWMA_RECURSIVE = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, h, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM hourly)
+SELECT a.event_type, a.h, CAST(a.n AS BIGINT) AS n,
+       round(sum(CASE WHEN b.rk = 1 THEN power(0.7, a.rk - 1) * b.n
+                      ELSE 0.3 * power(0.7, a.rk - b.rk) * b.n END), 6) AS ewma
+FROM ranked a JOIN ranked b
+  ON a.event_type = b.event_type AND b.rk <= a.rk
+GROUP BY a.event_type, a.h, a.n
+"""
+
+
+def q_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / random walk with restart (Haveliwala 2002;
+    operators/graph.py::pagerank(teleport=)) on the symmetrized recurring
+    supplier→part graph: teleport mass restarts at suppliers 1-4
+    (namespaced negative so supplier and part keys cannot collide), and
+    the top-15 PART nodes are the parts most proximate to those
+    suppliers — graph-proximity recommendations, complementing the
+    co-occurrence cosine of item_recs.  The oracle unrolls all 6
+    iterations with the same seed-concentrated teleport vector."""
+    from mcpvectordb_spark.operators.graph import pagerank
+
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            (-F.col("l_suppkey")).alias("s"), F.col("l_partkey").alias("t")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    edges = sp.select(F.col("s").alias("src"), F.col("t").alias("dst"), "n").unionByName(
+        sp.select(F.col("t").alias("src"), F.col("s").alias("dst"), "n")
+    )
+    seeds = spark.range(1, 5).select((-F.col("id")).alias("node"))
+    pr = pagerank(
+        edges, iterations=6, damping=0.85, weight_col="n",
+        loop_partitions=8, teleport=seeds,
+    )
+    return (
+        pr.filter(F.col("node") > 0)
+        .select("node", F.round("rank", 9).alias("ppr"))
+        .orderBy(F.col("ppr").desc(), F.col("node").asc())
+        .limit(15)
+    )
+
+
+def _sql_parts_ppr() -> str:
+    steps = []
+    prev = "pr0"
+    for i in range(1, 7):
+        steps.append(f""",
+pr{i} AS (
+  SELECT tp.node, 0.15 * tp.tp + 0.85 * coalesce(agg{i}.im, 0.0) AS pr
+  FROM tp LEFT JOIN (
+    SELECT dst AS node, sum(pr * p) AS im
+    FROM trans JOIN {prev} ON {prev}.node = trans.src GROUP BY dst
+  ) agg{i} USING (node))""")
+        prev = f"pr{i}"
+    return f"""
+WITH sp AS (
+  SELECT -l_suppkey AS s, l_partkey AS t, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS (SELECT s AS src, t AS dst, n FROM sp
+      UNION ALL SELECT t AS src, s AS dst, n FROM sp),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst AS node FROM e),
+seeds AS (SELECT node FROM nodes WHERE node IN (-1, -2, -3, -4)),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS n_seeds FROM seeds),
+tp AS (
+  SELECT nodes.node,
+         CASE WHEN seeds.node IS NOT NULL THEN 1.0 / n_seeds ELSE 0.0 END AS tp
+  FROM nodes LEFT JOIN seeds USING (node), ns),
+outw AS (SELECT src, sum(n) AS ow FROM e GROUP BY src),
+trans AS (SELECT e.src, e.dst, e.n * 1.0 / outw.ow AS p FROM e JOIN outw USING (src)),
+pr0 AS (SELECT node, tp AS pr FROM tp){"".join(steps)}
+SELECT node, round(pr, 9) AS ppr FROM {prev}
+WHERE node > 0 ORDER BY ppr DESC, node ASC LIMIT 15
+"""
+
+
+SQL_PARTS_PPR = _sql_parts_ppr()
+
+
+def q_orders_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the per-customer (count, sum) aggregate
+    view under the orders CDC batch (operators/ivm.py::
+    incremental_agg_delta — signed-delta aggregation over the DELTA only
+    + a keyed join into the old view; the base table is never rescanned
+    on refresh).  Emits the post-update rows for touched customers; the
+    oracle recomputes those rows from the full post-state the expensive
+    way.  Sums round at 4dp: the ×1.1 reprice makes 3-decimal values, so
+    4dp is exact and immune to half-boundary double drift between the
+    incremental and recomputed sums."""
+    from mcpvectordb_spark.operators.ivm import base_agg_view, incremental_agg_delta
+
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    da = a.filter(F.col("o_orderkey") % 97 == 0)
+    ia = da.withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    view = base_agg_view(a, ["o_custkey"], ["o_totalprice"])
+    out = incremental_agg_delta(view, ia, da, ["o_custkey"], ["o_totalprice"])
+    return out.select(
+        "o_custkey",
+        F.col("__cnt").cast("long").alias("cnt"),
+        F.round("sum_o_totalprice", 4).alias("sum_price"),
+    )
+
+
+SQL_ORDERS_AGG_IVM = """
+WITH a AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+da AS (SELECT * FROM a WHERE o_orderkey % 97 = 0),
+ia AS (SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice FROM da),
+a2 AS (SELECT * FROM a WHERE o_orderkey % 97 <> 0 UNION ALL SELECT * FROM ia),
+touched AS (SELECT DISTINCT o_custkey FROM da)
+SELECT a2.o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(o_totalprice), 4) AS sum_price
+FROM a2 JOIN touched USING (o_custkey)
+GROUP BY a2.o_custkey
+"""
+
+
+def q_parts_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the recurring supplier↔part graph (operators/graph.py::
+    kcore — 4 synchronous peeling rounds, deterministic): the maximal
+    subgraph where every node keeps >= 3 recurring trading partners.
+    Output = surviving PART nodes with their in-core degree.  The oracle
+    unrolls the identical 4 peel rounds."""
+    from mcpvectordb_spark.operators.graph import kcore
+
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy((-F.col("l_suppkey")).alias("src"), F.col("l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    out = kcore(sp, k=3, rounds=4)
+    return out.filter(F.col("node") > 0).select(
+        "node", F.col("deg").cast("long").alias("deg")
+    )
+
+
+def _sql_parts_kcore() -> str:
+    rounds = "".join(
+        f""",
+k{i} AS (SELECT s FROM e{i - 1} GROUP BY s HAVING count(*) >= 3),
+e{i} AS (
+  SELECT e.s, e.t FROM e{i - 1} e
+  JOIN k{i} a ON a.s = e.s JOIN k{i} b ON b.s = e.t)"""
+        for i in range(1, 5)
+    )
+    return f"""
+WITH sp AS (
+  SELECT -l_suppkey AS src, l_partkey AS dst
+  FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 2),
+e0 AS (SELECT src AS s, dst AS t FROM sp UNION SELECT dst AS s, src AS t FROM sp){rounds}
+SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
+FROM e4 WHERE s > 0 GROUP BY s
+"""
+
+
+SQL_PARTS_KCORE = _sql_parts_kcore()
+
+
+def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization + robust scaling of event values: clamp to
+    the exact [p05, p95] band, then scale by (median, IQR) — the standard
+    outlier-immune feature-engineering normalizer.  Two keyed exact
+    percentile aggregations + one broadcast join; at 100 TB swap the
+    exact percentiles for the mergeable histogram sketch
+    (sketches.histogram_quantiles), same as the MAD/WOE operators.
+    Output: per type, the clamp band and the scaled mean/min/max of the
+    transformed values (aggregate gate keeps the row count bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        (
+            F.percentile("value", F.lit(0.75)) - F.percentile("value", F.lit(0.25))
+        ).alias("iqr"),
+    )
+    w = ev.join(F.broadcast(bands), "event_type").select(
+        "event_type", "p05", "p95", "med", "iqr",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("wv"),
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.round(F.first("p05"), 6).alias("p05"),
+            F.round(F.first("p95"), 6).alias("p95"),
+            F.round(F.avg((F.col("wv") - F.col("med")) / F.col("iqr")), 6).alias("scaled_mean"),
+            F.round(F.min((F.col("wv") - F.col("med")) / F.col("iqr")), 6).alias("scaled_min"),
+            F.round(F.max((F.col("wv") - F.col("med")) / F.col("iqr")), 6).alias("scaled_max"),
+        )
+    )
+
+
+SQL_EVENTS_WINSORIZE = """
+WITH bands AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95,
+         quantile_cont(value, 0.5) AS med,
+         quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+  FROM events GROUP BY 1),
+w AS (
+  SELECT e.event_type, b.p05, b.p95, b.med, b.iqr,
+         least(greatest(e.value, b.p05), b.p95) AS wv
+  FROM events e JOIN bands b USING (event_type))
+SELECT event_type, round(max(p05), 6) AS p05, round(max(p95), 6) AS p95,
+       round(avg((wv - med) / iqr), 6) AS scaled_mean,
+       round(min((wv - med) / iqr), 6) AS scaled_min,
+       round(max((wv - med) / iqr), 6) AS scaled_max
+FROM w GROUP BY event_type
+"""
+
+
+def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-event curve (Kaplan & Meier 1958) for
+    time-to-first-purchase: duration = days from a user's first event to
+    their first 'purchase'; users who never purchase are CENSORED at the
+    stream horizon (their conversion time is only known to exceed the
+    observation — dropping them would bias conversion times short, the
+    whole point of the product-limit estimator over naive averages).
+    S(t) = Π_{tᵢ<=t} (1 − dᵢ/nᵢ) runs as exp(Σ ln·) over a cumulative
+    window — one pass over the per-duration risk table, no iteration.
+    Steps are the durations with 0 < d < n (declared spec; a d = n step
+    would drive S to exactly 0)."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("cd"),
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    users = spans.crossJoin(F.broadcast(horizon)).select(
+        F.when(F.col("cd").isNotNull(), F.datediff("cd", "fd"))
+        .otherwise(F.datediff("maxd", "fd"))
+        .alias("dur"),
+        F.col("cd").isNotNull().alias("converted"),
+    )
+    per_dur = users.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("converted").cast("long")).alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("dur").asc()).rowsBetween(0, Window.unboundedFollowing)
+    risk = per_dur.withColumn("n", F.sum("total").over(w_desc)).filter(
+        (F.col("d") > 0) & (F.col("d") < F.col("n"))
+    )
+    w_cum = Window.orderBy(F.col("dur").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    return risk.select(
+        F.col("dur").cast("long").alias("dur"),
+        F.col("d").cast("long").alias("d"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.exp(F.sum(F.log(1.0 - F.col("d") / F.col("n"))).over(w_cum)), 6
+        ).alias("survival"),
+    )
+
+
+SQL_EVENTS_SURVIVAL = """
+WITH spans AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS cd
+  FROM events GROUP BY 1),
+horizon AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+users AS (
+  SELECT CASE WHEN cd IS NOT NULL THEN datediff('day', fd, cd)
+              ELSE datediff('day', fd, maxd) END AS dur,
+         (cd IS NOT NULL) AS converted
+  FROM spans, horizon),
+per_dur AS (
+  SELECT dur, count(*) AS total,
+         CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM users GROUP BY 1),
+risk AS (
+  SELECT dur, d,
+         sum(total) OVER (ORDER BY dur ASC ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+  FROM per_dur)
+SELECT CAST(dur AS BIGINT) AS dur, d, CAST(n AS BIGINT) AS n,
+       round(exp(sum(ln(1.0 - d * 1.0 / n))
+                 OVER (ORDER BY dur ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+         AS survival
+FROM risk WHERE d > 0 AND d < n
+"""
+
+
+def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (operators/prf.py): BM25 top-10
+    feedback docs → RM1 relevance model → λ=0.5 interpolation with the
+    query MLE → weighted-BM25 second pass.  The oracle replays all four
+    stages over the same posting list."""
+    from mcpvectordb_spark.operators.prf import rm3_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = rm3_topk(docs, SEARCH_QUERY, 10, "doc_id", "text")
+    return hits.select("doc", F.round("score", 6).alias("score"))
+
+
+SQL_RM3_EXPANSION = f"""
+WITH {_SQL_BM25_CTES},
+feedback AS (SELECT doc FROM bm ORDER BY score DESC, doc LIMIT 10),
+rm1 AS (
+  SELECT term, sum(tf * 1.0 / dl) / 10.0 AS p_rm1
+  FROM posting JOIN feedback USING(doc) JOIN lens USING(doc)
+  GROUP BY term),
+top_e AS (SELECT term, p_rm1 FROM rm1 ORDER BY p_rm1 DESC, term LIMIT 10),
+qdist AS (SELECT unnest(['batch','join','spark','window']) AS term, 0.25 AS p_q),
+weights AS (
+  SELECT coalesce(q.term, e.term) AS term,
+         0.5 * coalesce(p_q, 0.0) + 0.5 * coalesce(p_rm1, 0.0) AS wt
+  FROM qdist q FULL OUTER JOIN top_e e ON q.term = e.term),
+scored AS (
+  SELECT doc, sum( wt * ln(1 + (n - df + 0.5)/(df + 0.5))
+                   * tf*(1.2+1)/(tf + 1.2*(1-0.75+0.75*dl/avgdl)) ) AS score
+  FROM posting JOIN weights USING(term) JOIN dfreq USING(term) JOIN lens USING(doc), stats
+  GROUP BY doc)
+SELECT doc, round(score, 6) AS score FROM scored ORDER BY score DESC, doc LIMIT 10
+"""
+
+
+def q_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 (operators/mmr.py): exact-KNN top-100
+    candidate pool, then the λ=0.7 greedy unrolled in-plan — the oracle
+    replays each selection step as a chained CTE."""
+    from mcpvectordb_spark.operators.mmr import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _q_vec(spark, sf_dir)
+    pool = knn_topk(
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID), qv, 100,
+        tie_col="vec_id", impl="expr",
+    )
+    out = mmr_rerank(pool, 10, lam=0.7, id_col="vec_id", vec_col="embedding", rel_col="score")
+    return out.select("step", F.col("id").alias("vec_id"), F.round("mmr", 6).alias("mmr"))
+
+
+def _sql_mmr_steps(k: int = 10, lam: float = 0.7) -> tuple[str, str]:
+    steps = []
+    prev = "s1"
+    for i in range(2, k + 1):
+        steps.append(
+            f"""p{i} AS (
+  SELECT {i} AS step, c.id, c.v,
+         {lam}*c.rel - {1.0 - lam:.1f}*max({_sql_cos('c.v', 's.v')}) AS mmr
+  FROM cands c, {prev} s
+  WHERE c.id NOT IN (SELECT id FROM {prev})
+  GROUP BY c.id, c.v, c.rel
+  ORDER BY mmr DESC, c.id LIMIT 1),
+s{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM p{i})"""
+        )
+        prev = f"s{i}"
+    return ",\n".join(steps), prev
+
+
+_MMR_STEPS, _MMR_LAST = _sql_mmr_steps()
+
+SQL_KNN_MMR = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cands AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, {_sql_cos('CAST(embedding AS DOUBLE[])', 'qv')} AS rel
+  FROM embeddings, q WHERE vec_id <> {QUERY_VEC_ID}
+  ORDER BY rel DESC, vec_id LIMIT 100),
+s1 AS (
+  SELECT 1 AS step, id, v, 0.7*rel AS mmr
+  FROM cands ORDER BY rel DESC, id LIMIT 1),
+{_MMR_STEPS}
+SELECT step, id AS vec_id, round(mmr, 6) AS mmr FROM {_MMR_LAST} ORDER BY step
+"""
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 leg + vector leg fused with RRF (k0=60) —
+    the reference's hybrid query (SURVEY §2.10 R2), fully re-expressed.
+
+    The vector leg is restricted to embeddings whose vec_id has a matching
+    document (semi-join): doc_id and vec_id are one id space only when the
+    tables are row-aligned — at sf0.1 there are 5000 docs but 2000
+    embeddings, so fusing unrestricted would mix id domains."""
+    docs = load_table(spark, sf_dir, "documents")
+    # reuse the SAME documents scan for the BM25 leg and the id-domain
+    # semi-join (r03 verdict item 5): one cached relation, not two reads
+    emb = load_table(spark, sf_dir, "embeddings").join(
+        docs.select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+        "left_semi",
+    )
+    qv = _q_vec(spark, sf_dir)
+    bm_leg = bm25_topk(docs, SEARCH_QUERY, 50, "doc_id", "text")
+    vec_leg = knn_topk(emb, qv, 50, tie_col="vec_id").select(
+        F.col("vec_id").alias("doc"), "score"
+    )
+    fused = rrf_topk([(bm_leg, "doc", "score"), (vec_leg, "doc", "score")], 10, k0=RRF_K0)
+    return fused.select("doc", F.round("rrf_score", 6).alias("rrf_score"))
+
+
+SQL_HYBRID_RRF = f"""
+WITH {_SQL_BM25_CTES},
+bmtop AS (SELECT doc, score FROM bm ORDER BY score DESC, doc LIMIT 50),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+vstop AS (
+  SELECT vec_id AS doc, {_sql_cos('CAST(embedding AS DOUBLE[])', 'qv')} AS score
+  FROM embeddings, q
+  WHERE vec_id IN (SELECT doc_id FROM documents)
+  ORDER BY score DESC, doc LIMIT 50),
+br AS (SELECT doc, row_number() OVER (ORDER BY score DESC, doc) AS r FROM bmtop),
+vr AS (SELECT doc, row_number() OVER (ORDER BY score DESC, doc) AS r FROM vstop)
+SELECT COALESCE(br.doc, vr.doc) AS doc,
+       round(COALESCE(1.0/({RRF_K0}+br.r), 0) + COALESCE(1.0/({RRF_K0}+vr.r), 0), 6) AS rrf_score
+FROM br FULL OUTER JOIN vr ON br.doc = vr.doc
+ORDER BY COALESCE(1.0/({RRF_K0}+br.r), 0) + COALESCE(1.0/({RRF_K0}+vr.r), 0) DESC,
+         COALESCE(br.doc, vr.doc) LIMIT 10
+"""
+
+
+def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search via convex score blending (α=0.6) over min-max
+    normalized legs — the linear-combination reranker beside RRF
+    (operators/hybrid.py::weighted_fuse_topk); same legs as hybrid_rrf."""
+    from mcpvectordb_spark.operators.hybrid import weighted_fuse_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    qv = _q_vec(spark, sf_dir)
+    bm_leg = bm25_topk(docs, SEARCH_QUERY, 50, "doc_id", "text")
+    vec_leg = knn_topk(emb, qv, 50, tie_col="vec_id").select(
+        F.col("vec_id").alias("doc"), "score"
+    )
+    fused = weighted_fuse_topk(
+        vec_leg, bm_leg, k=10, alpha=0.6,
+        id_cols=("doc", "doc"), score_cols=("score", "score"),
+    )
+    return fused.select("doc", F.round("blend_score", 6).alias("blend_score"))
+
+
+SQL_HYBRID_WEIGHTED = f"""
+WITH {_SQL_BM25_CTES},
+bmtop AS (SELECT doc, score FROM bm ORDER BY score DESC, doc LIMIT 50),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+vstop AS (
+  SELECT vec_id AS doc, {_sql_cos('CAST(embedding AS DOUBLE[])', 'qv')} AS score
+  FROM embeddings, q
+  WHERE vec_id IN (SELECT doc_id FROM documents)
+  ORDER BY score DESC, doc LIMIT 50),
+bn AS (SELECT doc, CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+                        ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ()) END AS ns
+       FROM bmtop),
+vn AS (SELECT doc, CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+                        ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ()) END AS ns
+       FROM vstop)
+SELECT COALESCE(vn.doc, bn.doc) AS doc,
+       round(0.6 * COALESCE(vn.ns, 0) + 0.4 * COALESCE(bn.ns, 0), 6) AS blend_score
+FROM vn FULL OUTER JOIN bn ON vn.doc = bn.doc
+ORDER BY 0.6 * COALESCE(vn.ns, 0) + 0.4 * COALESCE(bn.ns, 0) DESC, COALESCE(vn.doc, bn.doc)
+LIMIT 10
+"""
+
+
+
+
+# re-export everything (including underscore helpers) to later sections
+__all__ = [n for n in dir() if not n.startswith("__")]

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mcpvectordb_spark.operators.blocks import value_blocks
+
 # Resolution of the probability grid: p is snapped to multiples of
 # 1/QUANT before ranking/binning so Spark and any SQL replay agree on tie
 # structure bit-exactly.
@@ -37,14 +39,17 @@ QUANT = 1_000_000
 
 def _prob_blocks(scored: DataFrame, label_col: str, prob_col: str) -> DataFrame:
     """(pq, cnt, pos): per quantized-probability value, total rows and
-    positive-label rows.  This is the only corpus-sized pass."""
-    return (
-        scored.select(
-            F.round(F.col(prob_col) * QUANT).cast("long").alias("pq"),
-            F.col(label_col).cast("double").alias("y"),
-        )
-        .groupBy("pq")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"), F.sum("y").alias("pos"))
+    positive-label rows.  This is the only corpus-sized pass; the QUANT
+    grid keeps the block table under value_blocks' in-plan bound."""
+    return value_blocks(
+        scored,
+        prob_col,
+        scale=QUANT,
+        val_alias="pq",
+        counters={
+            "cnt": F.count(F.lit(1)).cast("long"),
+            "pos": F.sum(F.col(label_col).cast("double")),
+        },
     )
 
 
@@ -298,8 +303,12 @@ def isotonic_calibration(
         ).alias("qb"),
         "y",
     )
-    blocks = q.groupBy("qb").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    blocks = value_blocks(
+        q,
+        "qb",
+        val_alias="qb",
+        counters={"cnt": F.count(F.lit(1)), "pos": F.sum("y")},
+        max_blocks=n_blocks,  # tighter than the default by construction
     )
     w = Window.orderBy("qb")
     b = blocks.select(

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mcpvectordb_spark.operators.blocks import value_blocks
 from mcpvectordb_spark.operators.dedup import hexint48
 
 
@@ -143,9 +144,13 @@ def mann_whitney_u(
 
     Returns one row: n_a, n_b, u_a, z, rank_biserial.
     """
-    per_value = samples.groupBy(F.col(value_col).alias("v")).agg(
-        F.sum(F.when(F.col(variant_col) == 0, 1).otherwise(0)).alias("cnt_a"),
-        F.sum(F.when(F.col(variant_col) == 1, 1).otherwise(0)).alias("cnt_b"),
+    per_value = value_blocks(
+        samples,
+        value_col,
+        counters={
+            "cnt_a": F.sum(F.when(F.col(variant_col) == 0, 1).otherwise(0)),
+            "cnt_b": F.sum(F.when(F.col(variant_col) == 1, 1).otherwise(0)),
+        },
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = per_value.withColumn("cnt", F.col("cnt_a") + F.col("cnt_b")).withColumn(
@@ -384,7 +389,7 @@ def gini_concentration(df: DataFrame, val_col: str) -> DataFrame:
     input emits NULL gini.
     """
     a = df.select(F.col(val_col).cast("long").alias("v"))
-    blocks = a.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    blocks = value_blocks(a, "v")
     w_asc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     w_desc = Window.orderBy(F.col("v").desc()).rowsBetween(
         Window.unboundedPreceding, -1
@@ -582,13 +587,13 @@ def quantile_normalize(df: DataFrame, key_col: str, val_col: str) -> DataFrame:
     a = df.select(
         F.col(key_col).alias("k"), F.col(val_col).cast("long").alias("v")
     )
-    blocks = a.groupBy("k", "v").agg(F.count(F.lit(1)).alias("c"))
+    blocks = value_blocks(a, "v", group_cols=("k",))
     wk = Window.partitionBy("k").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )
     kb = blocks.select("k", "v", "c", F.sum("c").over(wk).alias("cumk"))
     nk = blocks.groupBy("k").agg(F.sum("c").alias("n_k"))
-    pooled = a.groupBy("v").agg(F.count(F.lit(1)).alias("pc"))
+    pooled = value_blocks(a, "v", counters={"pc": F.count(F.lit(1))})
     wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     pb = pooled.select(
         F.col("v").alias("pv"), F.sum("pc").over(wp).alias("cump")
@@ -638,9 +643,13 @@ def ks_two_sample(
     a = df.select(
         F.col(group_col).alias("g"), F.col(val_col).alias("v")
     ).filter(F.col("g").isin([group_a, group_b]))
-    blocks = a.groupBy("v").agg(
-        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"),
+    blocks = value_blocks(
+        a,
+        "v",
+        counters={
+            "ca": F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)),
+            "cb": F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)),
+        },
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = blocks.select(

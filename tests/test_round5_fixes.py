@@ -8,6 +8,81 @@ import pytest
 from pyspark.sql import functions as F
 
 
+def test_value_blocks_counts_partition_rows(spark):
+    """Block counters must partition the input exactly: sum of per-block
+    counts == row count, and conditional counters sum to their class
+    sizes, for arbitrary integer multisets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mcpvectordb_spark.operators.blocks import value_blocks
+
+    @settings(max_examples=6, deadline=None)
+    @given(vals=st.lists(st.tuples(st.integers(-50, 50), st.integers(0, 1)),
+                         min_size=1, max_size=80))
+    def prop(vals):
+        df = spark.createDataFrame(vals, "v long, g int")
+        blocks = value_blocks(
+            df,
+            "v",
+            counters={
+                "c": F.count(F.lit(1)),
+                "c0": F.sum(F.when(F.col("g") == 0, 1).otherwise(0)),
+            },
+        ).collect()
+        assert sum(b["c"] for b in blocks) == len(vals)
+        assert sum(b["c0"] for b in blocks) == sum(1 for _, g in vals if g == 0)
+        assert len(blocks) == len({v for v, _ in vals})
+        assert all(b["c"] == b["c0"] + sum(1 for v, g in vals
+                                           if v == b["v"] and g == 1)
+                   for b in blocks)
+
+    prop()
+
+
+def test_value_blocks_scale_quantizes(spark):
+    from mcpvectordb_spark.operators.blocks import value_blocks
+
+    df = spark.createDataFrame(
+        [(0.1234567,), (0.1234568,), (0.9999999,)], "p double"
+    )
+    blocks = {
+        b["pq"]: b["c"]
+        for b in value_blocks(df, "p", scale=1_000_000, val_alias="pq").collect()
+    }
+    # both 0.1234567 and 0.1234568 round to 123457 on the 1e-6 grid
+    assert blocks == {123457: 2, 1000000: 1}
+
+
+def test_value_blocks_guard_raises_over_bound(spark):
+    from mcpvectordb_spark.operators.blocks import value_blocks
+
+    df = spark.range(100).select(F.col("id").alias("v"))
+    ok = value_blocks(df, "v", max_blocks=100)
+    assert ok.count() == 100  # at the bound: passes
+    bad = value_blocks(df, "v", max_blocks=99)
+    with pytest.raises(Exception, match="max_blocks"):
+        bad.collect()
+
+
+def test_readme_counts_pinned_to_registry():
+    """README catalog counts are a GENERATED artifact (round-4 verdict #4):
+    tools/refresh_readme_counts.py --check must find them current, so a
+    query landing without a refresh fails the suite instead of shipping a
+    stale README."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(root / "tools/refresh_readme_counts.py"), "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
 def test_ab_test_ztest_degenerate_one_variant(spark):
     """A split where every user hashes to one variant must still return a
     single readout row with n=0 counts for the missing variant (ADVICE r4:
