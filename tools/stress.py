@@ -2655,6 +2655,217 @@ def main_r4h() -> None:
     spark.stop()
 
 
+def main_r5() -> None:
+    """Stress the survival trio (KM / log-rank / Cox PH) at sf1-equivalent
+    scale — 6M events / 90k users with a PLANTED geometric conversion law
+    written to a temp parquet dir so the REAL catalog queries
+    (q_events_survival/logrank/coxph) run their production code path —
+    plus Markov removal attribution at a 10x journey count (round-4
+    verdict item #5).  The risk-set windows are the untested-at-scale
+    shape: descending cumulative counts over duration blocks.
+
+    Ground truths: with every user's first event on day 0 and censoring
+    only at the horizon, the KM product TELESCOPES to the empirical
+    survivor function of the planted conversion times (exact, per step);
+    an A/A split must accept (|z| <= 3.3) and a planted hazard-ratio-2
+    arm must be detected with the right sign and magnitude."""
+    import tempfile
+
+    from mcpvectordb_spark.operators.dedup import hexint48
+
+    spark = get_spark("stress-r5")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {counts[name]}", file=sys.stderr)
+
+    n_users, horizon = 90_000, 60
+    # midnight-aligned (UTC container) so the +12h purchase offset stays
+    # inside calendar day g — the catalog queries bucket by to_date(ts)
+    base_epoch = 1_699_920_000
+    assert base_epoch % 86400 == 0 and time.gmtime(base_epoch).tm_hour == 0
+
+    def plant_corpus(p0: float, p1: float) -> tuple[str, DataFrame]:
+        """Write a 6M-row events.parquet where arm-0 users convert on day
+        g ~ Geometric(p0) and arm-1 on Geometric(p1) (censored at the
+        horizon); every user also gets one 'view' per day so first-event
+        date is day 0 and the stream horizon is day 59.  Arms use the
+        SAME hexint48(user_id)%2 assignment as the catalog queries, so
+        the plant controls what the pipelines will estimate."""
+        users = (
+            spark.range(n_users)
+            .select(
+                F.col("id").alias("user_id"),
+                F.pmod(hexint48(F.col("id").cast("string")), F.lit(2)).alias("arm"),
+                (
+                    (F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(1_000_000)) + 0.5)
+                    / 1_000_000.0
+                ).alias("u"),
+            )
+            .withColumn("p", F.when(F.col("arm") == 1, F.lit(p1)).otherwise(F.lit(p0)))
+            .withColumn(
+                "g",
+                F.floor(F.log(F.lit(1.0) - F.col("u")) / F.log(F.lit(1.0) - F.col("p"))).cast("long"),
+            )
+        )
+        views = spark.range(n_users * horizon).select(
+            (F.col("id") / horizon).cast("long").alias("user_id"),
+            F.pmod(F.col("id"), F.lit(horizon)).alias("day"),
+            F.lit("view").alias("event_type"),
+        )
+        purchases = users.filter(F.col("g") < horizon).select(
+            "user_id", F.col("g").alias("day"), F.lit("purchase").alias("event_type")
+        )
+        ev = views.unionByName(purchases).select(
+            F.xxhash64("user_id", "day", "event_type").alias("event_id"),
+            "user_id",
+            F.timestamp_seconds(
+                F.lit(base_epoch) + F.col("day") * 86400
+                + F.when(F.col("event_type") == "purchase", 43200).otherwise(0)
+            ).alias("ts"),
+            "event_type",
+            F.lit(1.0).alias("value"),
+        )
+        path = tempfile.mkdtemp(prefix="stress_r5_")
+        ev.repartition(64).write.mode("overwrite").parquet(f"{path}/events.parquet")
+        return path, users.localCheckpoint()
+
+    from mcpvectordb_spark.catalog import (
+        q_events_coxph,
+        q_events_logrank,
+        q_events_survival,
+    )
+
+    p0 = 0.02
+    p_eff = 1.0 - (1.0 - p0) ** 2  # discrete-time hazard ratio 2 plant
+    aa_dir, aa_users = plant_corpus(p0, p0)
+    eff_dir, _ = plant_corpus(p0, p_eff)
+    _ = spark.read.parquet(f"{aa_dir}/events.parquet").count()
+    _ = spark.read.parquet(f"{eff_dir}/events.parquet").count()
+
+    def km_stress():
+        km = q_events_survival(spark, aa_dir).orderBy("dur").collect()
+        # telescoping ground truth: S(t) == fraction of users whose planted
+        # conversion day exceeds t, for every step before the horizon
+        surv = {
+            r["t"]: r["s"]
+            for r in aa_users.groupBy(F.col("g").alias("t"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("t") < horizon - 1)
+            .select(
+                "t",
+                (
+                    F.lit(1.0)
+                    - F.sum("c").over(
+                        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+                    )
+                    / F.lit(float(n_users))
+                ).alias("s"),
+            )
+            .collect()
+        }
+        checked = 0
+        prev = 1.0
+        for r in km:
+            assert r["survival"] <= prev + 1e-12, (r, prev)
+            prev = r["survival"]
+            if r["dur"] in surv:
+                assert abs(r["survival"] - surv[r["dur"]]) <= 1e-6, (
+                    r["dur"], r["survival"], surv[r["dur"]],
+                )
+                checked += 1
+        assert checked >= 50, checked
+        notes["km_6m"] = (
+            f"{len(km)} KM steps from 6,000,000 events / 90,000 users; "
+            f"{checked} steps match the planted geometric law's empirical "
+            "survivor function to 1e-6 (telescoping identity); curve "
+            "monotone non-increasing"
+        )
+        return len(km)
+
+    def logrank_stress():
+        aa = q_events_logrank(spark, aa_dir).first()
+        assert abs(aa["z"]) <= 3.3, aa  # A/A placebo must accept
+        eff = q_events_logrank(spark, eff_dir).first()
+        # arm 1 has the doubled hazard -> arm 0 sees FEWER conversions than
+        # the hypergeometric expectation -> strongly negative z
+        assert eff["significant"] and eff["z"] < -5, eff
+        notes["logrank_6m"] = (
+            f"A/A placebo z={aa['z']:+.2f} accepts; planted hazard-ratio-2 "
+            f"arm rejected at z={eff['z']:+.1f} — risk-set windows hold at "
+            "60 duration blocks x 90k users"
+        )
+        return 2
+
+    def coxph_stress():
+        aa = q_events_coxph(spark, aa_dir).first()
+        assert abs(aa["z"]) <= 3.3 and 0.9 <= aa["hazard_ratio"] <= 1.1, aa
+        eff = q_events_coxph(spark, eff_dir).first()
+        assert eff["significant"] and 1.7 <= eff["hazard_ratio"] <= 2.3, eff
+        notes["coxph_6m"] = (
+            f"A/A fit HR={aa['hazard_ratio']:.3f} (z={aa['z']:+.2f}) accepts; "
+            f"planted HR=2 recovered as {eff['hazard_ratio']:.3f} "
+            f"(z={eff['z']:+.1f}) — 8 Newton steps on the count-collapsed "
+            "risk table, one agg per step"
+        )
+        return 2
+
+    run("km_6m", km_stress)
+    run("logrank_6m", logrank_stress)
+    run("coxph_6m", coxph_stress)
+
+    # Markov removal attribution at a 10x journey count: 6M events / 90k
+    # users of a 5-type stream (vs ~600k events at the sf0.1 bench scale)
+    def markov_stress():
+        from mcpvectordb_spark.operators.analytics import markov_removal_attribution
+
+        n_ev = 6_000_000
+        ev = spark.range(n_ev).select(
+            F.col("id").alias("event_id"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_users)).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(base_epoch)
+                + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(30 * 86400))
+            ).alias("ts"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("signup"),
+                        F.lit("error"), F.lit("purchase")),
+                (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)) + 1).cast("int"),
+            ).alias("event_type"),
+        ).repartition(64).localCheckpoint()
+        _ = ev.count()
+        out = markov_removal_attribution(ev, conv_value="purchase").collect()
+        assert len(out) >= 3, out
+        att = [r["attribution"] for r in out if r["attribution"] is not None]
+        assert abs(sum(att) - 1.0) <= 1e-9, sum(att)
+        for r in out:
+            assert 0.0 < r["p_conv_full"] < 1.0, r
+            assert 0.0 <= r["removal_effect"] <= 1.0 + 1e-12, r
+        notes["markov_6m"] = (
+            f"{len(out)} channels over 6,000,000 events / ~90k journeys "
+            "(10x the bench journey count); attributions sum to exactly 1, "
+            "all removal effects in [0,1]; 6 log-depth matrix squarings"
+        )
+        return len(out)
+
+    run("markov_6m", markov_stress)
+
+    print(json.dumps({
+        "mode": "r5",
+        "timings_s": timings,
+        "counts": counts,
+        "notes": notes,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "sf1" in sys.argv[1:]:
         main_sf1()
@@ -2678,6 +2889,8 @@ if __name__ == "__main__":
         main_r4g()
     elif "r4h" in sys.argv[1:]:
         main_r4h()
+    elif "r5" in sys.argv[1:]:
+        main_r5()
     elif "r4" in sys.argv[1:]:
         main_r4()
     else:
