@@ -186,6 +186,9 @@ BENCH_QUERIES = [
     "events_attribution_markov",  # removal-effect chains via 6 matrix squarings
     "feature_auc",           # univariate AUC screening, feature-partitioned ranks
     "lr_pr_curve",           # average precision + 11-point interpolated PR curve
+    "events_cuped",          # CUPED variance-reduced A/B readout, A/A gate
+    "events_synthctrl",      # synthetic-control donor fit + placebo gap
+    "documents_heaps",       # Heaps-law vocabulary growth over shingles
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

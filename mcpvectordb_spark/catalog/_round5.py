@@ -1,0 +1,530 @@
+"""Round-5 additions (capped at 3 per the round-4 verdict so the driver
+window stays backlog-first): CUPED variance reduction and a synthetic-
+control placebo harness (both named in verdict item #8, both shipping
+with the A/A-gate discipline), plus a Heaps-law vocabulary-growth fit
+for corpus analysis.
+
+Import order is load-bearing: this module references names from earlier
+sections via the wildcard chain below."""
+from __future__ import annotations
+
+from mcpvectordb_spark.catalog._common import *  # noqa: F401,F403
+from mcpvectordb_spark.catalog._search import *  # noqa: F401,F403
+from mcpvectordb_spark.catalog._corpus import *  # noqa: F401,F403
+from mcpvectordb_spark.catalog._events import *  # noqa: F401,F403
+
+
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013) on
+    the hash-arm A/B readout: the event window splits at its epoch
+    midpoint (the events_did contract), each user's PRE-period event
+    count is the covariate X, their POST-period purchase cents the
+    metric Y, and the adjusted metric is
+
+        Y_cuped = Y - theta * (X - mean(X)),   theta = cov(X, Y)/var(X)
+
+    with theta fit on the POOLED sample (unbiased under randomization —
+    the arm assignment is independent of X).  The readout reports the
+    raw and CUPED z-statistics side by side plus the realized variance
+    reduction.  A/A placebo gate (verdict item #8): on a hash split with
+    no intervention `significant` MUST be false — a significant CUPED
+    A/A means the covariate leaked post-assignment information.
+
+    Scale shape: one groupBy(user) with conditional sums, one 2-row arm
+    rollup; every moment is an exact BIGINT sum (counts x cents), the
+    doubles appear only in the final 1-row expression — the value-block
+    discipline of the stats family.  Reference parity: extends the A/B
+    harness the reference exposes via its metadata filters (store.py
+    WHERE builder) with the standard experimentation-platform readout.
+    """
+    from mcpvectordb_spark.operators.dedup import hexint48
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("t0"),
+        F.max(F.unix_timestamp("ts")).alias("t1"),
+    )
+    base = ev.crossJoin(F.broadcast(span)).select(
+        F.pmod(hexint48(F.col("user_id").cast("string")), F.lit(2)).alias("arm"),
+        (
+            F.unix_timestamp("ts")
+            >= ((F.col("t0") + F.col("t1")) / 2).cast("long")
+        ).cast("int").alias("post"),
+        "user_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100, 0).cast("long"),
+        ).otherwise(F.lit(0)).alias("cents"),
+    )
+    per_user = base.groupBy("arm", "user_id").agg(
+        F.sum(F.when(F.col("post") == 0, 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("post") == 1, F.col("cents")).otherwise(0)).alias("y"),
+    )
+    cells = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    pooled = cells.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxx").alias("psxx"),
+        F.sum("sxy").alias("psxy"),
+    )
+    wide = (
+        cells.groupBy()
+        .pivot("arm", [0, 1])
+        .agg(
+            F.max("n").alias("n"),
+            F.max("sx").alias("sx"),
+            F.max("sy").alias("sy"),
+            F.max("sxx").alias("sxx"),
+            F.max("sxy").alias("sxy"),
+            F.max("syy").alias("syy"),
+        )
+        .crossJoin(F.broadcast(pooled))
+    )
+    pnd = F.col("pn").cast("double")
+    theta = (pnd * F.col("psxy") - F.col("psx").cast("double") * F.col("psy")) / (
+        pnd * F.col("psxx") - F.col("psx").cast("double") * F.col("psx")
+    )
+    mean_x = F.col("psx").cast("double") / pnd
+
+    def arm(a: int):
+        nd = F.col(f"{a}_n").cast("double")
+        sxd = F.col(f"{a}_sx").cast("double")
+        syd = F.col(f"{a}_sy").cast("double")
+        my = syd / nd
+        mx = sxd / nd
+        var_y = (nd * F.col(f"{a}_syy") - syd * syd) / (nd * (nd - 1))
+        var_x = (nd * F.col(f"{a}_sxx") - sxd * sxd) / (nd * (nd - 1))
+        cov = (nd * F.col(f"{a}_sxy") - sxd * syd) / (nd * (nd - 1))
+        m_adj = my - theta * (mx - mean_x)
+        var_adj = var_y - 2 * theta * cov + theta * theta * var_x
+        return nd, my, var_y, m_adj, var_adj
+
+    n0, my0, vy0, ma0, va0 = arm(0)
+    n1, my1, vy1, ma1, va1 = arm(1)
+    diff_raw = my1 - my0
+    se_raw = F.sqrt(vy0 / n0 + vy1 / n1)
+    diff_adj = ma1 - ma0
+    se_adj = F.sqrt(va0 / n0 + va1 / n1)
+    return wide.select(
+        F.col("0_n").alias("n_control"),
+        F.col("1_n").alias("n_treat"),
+        F.round(theta / 100, 6).alias("theta"),
+        F.round(diff_raw / 100, 6).alias("diff_raw"),
+        F.round(se_raw / 100, 6).alias("se_raw"),
+        F.round(diff_raw / se_raw, 6).alias("z_raw"),
+        F.round(diff_adj / 100, 6).alias("diff_cuped"),
+        F.round(se_adj / 100, 6).alias("se_cuped"),
+        F.round(diff_adj / se_adj, 6).alias("z_cuped"),
+        F.round(1.0 - (va0 + va1) / (vy0 + vy1), 6).alias("var_reduction"),
+        (F.abs(diff_adj / se_adj) > 1.96).alias("significant"),
+    )
+
+
+SQL_EVENTS_CUPED = f"""
+WITH span AS (
+  SELECT CAST(min(epoch(date_trunc('second', ts))) AS BIGINT) AS t0,
+         CAST(max(epoch(date_trunc('second', ts))) AS BIGINT) AS t1
+  FROM events),
+base AS (
+  SELECT {_sql_hex48("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+              >= (t0 + t1) // 2 AS INT) AS post,
+         user_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+  FROM events CROSS JOIN span),
+per_user AS (
+  SELECT arm, user_id,
+         CAST(sum(CASE WHEN post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN post = 1 THEN cents ELSE 0 END) AS BIGINT) AS y
+  FROM base GROUP BY 1, 2),
+cells AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM per_user GROUP BY 1),
+wide AS (
+  SELECT
+    max(CASE WHEN arm = 0 THEN n END) AS n0, max(CASE WHEN arm = 1 THEN n END) AS n1,
+    max(CASE WHEN arm = 0 THEN sx END) AS sx0, max(CASE WHEN arm = 1 THEN sx END) AS sx1,
+    max(CASE WHEN arm = 0 THEN sy END) AS sy0, max(CASE WHEN arm = 1 THEN sy END) AS sy1,
+    max(CASE WHEN arm = 0 THEN sxx END) AS sxx0, max(CASE WHEN arm = 1 THEN sxx END) AS sxx1,
+    max(CASE WHEN arm = 0 THEN sxy END) AS sxy0, max(CASE WHEN arm = 1 THEN sxy END) AS sxy1,
+    max(CASE WHEN arm = 0 THEN syy END) AS syy0, max(CASE WHEN arm = 1 THEN syy END) AS syy1,
+    CAST(sum(n) AS BIGINT) AS pn, CAST(sum(sx) AS BIGINT) AS psx,
+    CAST(sum(sy) AS BIGINT) AS psy, CAST(sum(sxx) AS BIGINT) AS psxx,
+    CAST(sum(sxy) AS BIGINT) AS psxy
+  FROM cells),
+calc AS (
+  SELECT *,
+    (CAST(pn AS DOUBLE) * psxy - CAST(psx AS DOUBLE) * psy)
+      / (CAST(pn AS DOUBLE) * psxx - CAST(psx AS DOUBLE) * psx) AS theta,
+    CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE) AS mean_x
+  FROM wide),
+arms AS (
+  SELECT *,
+    CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS my0,
+    CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS my1,
+    (CAST(n0 AS DOUBLE) * syy0 - CAST(sy0 AS DOUBLE) * sy0)
+      / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1)) AS vy0,
+    (CAST(n1 AS DOUBLE) * syy1 - CAST(sy1 AS DOUBLE) * sy1)
+      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1)) AS vy1,
+    CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+      - theta * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) - mean_x) AS ma0,
+    CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      - theta * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) - mean_x) AS ma1,
+    (CAST(n0 AS DOUBLE) * syy0 - CAST(sy0 AS DOUBLE) * sy0)
+      / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1))
+      - 2 * theta * ((CAST(n0 AS DOUBLE) * sxy0 - CAST(sx0 AS DOUBLE) * sy0)
+                     / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1)))
+      + theta * theta * ((CAST(n0 AS DOUBLE) * sxx0 - CAST(sx0 AS DOUBLE) * sx0)
+                         / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1))) AS va0,
+    (CAST(n1 AS DOUBLE) * syy1 - CAST(sy1 AS DOUBLE) * sy1)
+      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1))
+      - 2 * theta * ((CAST(n1 AS DOUBLE) * sxy1 - CAST(sx1 AS DOUBLE) * sy1)
+                     / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1)))
+      + theta * theta * ((CAST(n1 AS DOUBLE) * sxx1 - CAST(sx1 AS DOUBLE) * sx1)
+                         / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1))) AS va1
+  FROM calc)
+SELECT n0 AS n_control, n1 AS n_treat,
+       round(theta / 100, 6) AS theta,
+       round((my1 - my0) / 100, 6) AS diff_raw,
+       round(sqrt(vy0 / CAST(n0 AS DOUBLE) + vy1 / CAST(n1 AS DOUBLE)) / 100, 6) AS se_raw,
+       round((my1 - my0) / sqrt(vy0 / CAST(n0 AS DOUBLE) + vy1 / CAST(n1 AS DOUBLE)), 6) AS z_raw,
+       round((ma1 - ma0) / 100, 6) AS diff_cuped,
+       round(sqrt(va0 / CAST(n0 AS DOUBLE) + va1 / CAST(n1 AS DOUBLE)) / 100, 6) AS se_cuped,
+       round((ma1 - ma0) / sqrt(va0 / CAST(n0 AS DOUBLE) + va1 / CAST(n1 AS DOUBLE)), 6) AS z_cuped,
+       round(1.0 - (va0 + va1) / (vy0 + vy1), 6) AS var_reduction,
+       abs((ma1 - ma0) / sqrt(va0 / CAST(n0 AS DOUBLE) + va1 / CAST(n1 AS DOUBLE))) > 1.96 AS significant
+FROM arms
+"""
+
+
+def q_events_synthctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-control placebo harness (Abadie, Diamond & Hainmueller
+    2010, the unconstrained-regression variant of Doudchenko & Imbens
+    2016): the daily 'purchase' count is the treated series, daily
+    'view' and 'click' counts the donor pool.  Donor weights (intercept
+    + two coefficients) are fit by least squares on the PRE window (the
+    first 2/3 of the day span, exact integer cutoff) by solving the 3x3
+    normal equations via Cramer's rule; the POST window reports the gap
+    between the actual series and its synthetic counterfactual.
+
+    Placebo gate (verdict item #8's discipline): there is NO
+    intervention in this stream, so the mean post-period gap must sit
+    within ~4 pre-RMSE-scaled standard errors of zero — `placebo_ok`
+    MUST be true.  A failed placebo means the donor fit does not
+    transfer across time and any real intervention estimate from this
+    harness would be confounded.
+
+    Scale shape: one day-level groupBy (panel bounded by days, never
+    events), one 2-row pre/post rollup; every moment is an exact BIGINT
+    sum of counts, and both the pre-RMSE and the post gap come from the
+    CLOSED FORMS SSE = Syy - (a*Sy + b1*S1y + b2*S2y) and
+    mean_gap = (Sy - a*n - b1*S1 - b2*S2)/n — no row-level double sums
+    anywhere, so the result is bit-deterministic under any partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).alias("day")
+    daily = ev.select(day, "event_type").groupBy("day").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x2"),
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    flagged = daily.crossJoin(F.broadcast(span)).withColumn(
+        "post",
+        (
+            F.col("day")
+            >= F.col("d0") + F.expr("div((d1 - d0 + 1) * 2, 3)")
+        ).cast("int"),
+    )
+    cells = flagged.groupBy("post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    wide = cells.groupBy().pivot("post", [0, 1]).agg(
+        F.max("n").alias("n"), F.max("sy").alias("sy"),
+        F.max("s1").alias("s1"), F.max("s2").alias("s2"),
+        F.max("s11").alias("s11"), F.max("s22").alias("s22"),
+        F.max("s12").alias("s12"), F.max("s1y").alias("s1y"),
+        F.max("s2y").alias("s2y"), F.max("syy").alias("syy"),
+    )
+    # pre-window sums as doubles (Cramer's rule runs in float64: the
+    # BIGINT determinant polynomial would overflow past ~sf100)
+    nd = F.col("0_n").cast("double")
+    sy = F.col("0_sy").cast("double")
+    s1 = F.col("0_s1").cast("double")
+    s2 = F.col("0_s2").cast("double")
+    s11 = F.col("0_s11").cast("double")
+    s22 = F.col("0_s22").cast("double")
+    s12 = F.col("0_s12").cast("double")
+    s1y = F.col("0_s1y").cast("double")
+    s2y = F.col("0_s2y").cast("double")
+    syy = F.col("0_syy").cast("double")
+    det = (
+        nd * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    a = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    ) / det
+    b1 = (
+        nd * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    ) / det
+    b2 = (
+        nd * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    ) / det
+    rmse_pre = F.sqrt((syy - (a * sy + b1 * s1y + b2 * s2y)) / nd)
+    npd = F.col("1_n").cast("double")
+    mean_gap = (
+        F.col("1_sy").cast("double")
+        - a * npd
+        - b1 * F.col("1_s1").cast("double")
+        - b2 * F.col("1_s2").cast("double")
+    ) / npd
+    gap_z = mean_gap / (rmse_pre / F.sqrt(npd))
+    return wide.select(
+        F.col("0_n").alias("n_pre"),
+        F.col("1_n").alias("n_post"),
+        F.round(a, 6).alias("w_intercept"),
+        F.round(b1, 6).alias("w_view"),
+        F.round(b2, 6).alias("w_click"),
+        F.round(rmse_pre, 6).alias("rmse_pre"),
+        F.round(mean_gap, 6).alias("mean_gap"),
+        F.round(gap_z, 6).alias("gap_z"),
+        (F.abs(gap_z) <= 4.0).alias("placebo_ok"),
+    )
+
+
+SQL_EVENTS_SYNTHCTRL = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x2
+  FROM events GROUP BY 1),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+flagged AS (
+  SELECT daily.*, CAST(day >= d0 + ((d1 - d0 + 1) * 2) // 3 AS INT) AS post
+  FROM daily CROSS JOIN span),
+cells AS (
+  SELECT post, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12, CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         CAST(sum(x2 * y) AS BIGINT) AS s2y, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM flagged GROUP BY 1),
+wide AS (
+  SELECT
+    max(CASE WHEN post = 0 THEN n END) AS n_pre,
+    max(CASE WHEN post = 1 THEN n END) AS n_post,
+    CAST(max(CASE WHEN post = 0 THEN n END) AS DOUBLE) AS nd,
+    CAST(max(CASE WHEN post = 0 THEN sy END) AS DOUBLE) AS sy,
+    CAST(max(CASE WHEN post = 0 THEN s1 END) AS DOUBLE) AS s1,
+    CAST(max(CASE WHEN post = 0 THEN s2 END) AS DOUBLE) AS s2,
+    CAST(max(CASE WHEN post = 0 THEN s11 END) AS DOUBLE) AS s11,
+    CAST(max(CASE WHEN post = 0 THEN s22 END) AS DOUBLE) AS s22,
+    CAST(max(CASE WHEN post = 0 THEN s12 END) AS DOUBLE) AS s12,
+    CAST(max(CASE WHEN post = 0 THEN s1y END) AS DOUBLE) AS s1y,
+    CAST(max(CASE WHEN post = 0 THEN s2y END) AS DOUBLE) AS s2y,
+    CAST(max(CASE WHEN post = 0 THEN syy END) AS DOUBLE) AS syy,
+    CAST(max(CASE WHEN post = 1 THEN n END) AS DOUBLE) AS npd,
+    CAST(max(CASE WHEN post = 1 THEN sy END) AS DOUBLE) AS psy,
+    CAST(max(CASE WHEN post = 1 THEN s1 END) AS DOUBLE) AS ps1,
+    CAST(max(CASE WHEN post = 1 THEN s2 END) AS DOUBLE) AS ps2
+  FROM cells),
+fit AS (
+  SELECT *,
+    (nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+     + s2 * (s1 * s12 - s11 * s2)) AS det
+  FROM wide),
+coefs AS (
+  SELECT *,
+    (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+     + s2 * (s1y * s12 - s11 * s2y)) / det AS a,
+    (nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+     + s2 * (s1 * s2y - s1y * s2)) / det AS b1,
+    (nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+     + sy * (s1 * s12 - s11 * s2)) / det AS b2
+  FROM fit),
+readout AS (
+  SELECT *,
+    sqrt((syy - (a * sy + b1 * s1y + b2 * s2y)) / nd) AS rmse_pre,
+    (psy - a * npd - b1 * ps1 - b2 * ps2) / npd AS mean_gap
+  FROM coefs)
+SELECT n_pre, n_post,
+       round(a, 6) AS w_intercept,
+       round(b1, 6) AS w_view,
+       round(b2, 6) AS w_click,
+       round(rmse_pre, 6) AS rmse_pre,
+       round(mean_gap, 6) AS mean_gap,
+       round(mean_gap / (rmse_pre / sqrt(npd)), 6) AS gap_z,
+       abs(mean_gap / (rmse_pre / sqrt(npd))) <= 4.0 AS placebo_ok
+FROM readout
+"""
+
+
+def q_documents_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth fit: V(N) ~ K * N^beta over the
+    corpus read in doc_id order, where N is the running count of 3-gram
+    shingle OCCURRENCES and V the running count of DISTINCT shingles
+    (Heaps 1978; the corpus-health twin of vocab_zipf — natural text
+    runs beta ~ 0.4-0.6, while this synthetic sliding-window corpus
+    saturates early, which is exactly what the diagnostic surfaces).
+    Terms are word 3-gram shingles (the dedup convention) because the
+    ~40-word unigram vocabulary saturates within a handful of docs.
+
+    The growth curve never materializes per-token rows: each shingle's
+    FIRST doc (one groupBy-min over the exploded distinct sets) is
+    re-aggregated to per-doc new-term counts, so the cumulative window
+    runs over the per-DOC table (bounded by corpus doc count; at 100 TB
+    you would fit over every k-th checkpoint — the OLS is invariant to
+    checkpoint thinning).  Frequencies are exact integer counts; the
+    ln/sum arithmetic is the 6-dp double contract proven by vocab_zipf.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(dd.normalize_text(F.col("text")), " ")
+    per_doc = docs.select(
+        "doc_id",
+        F.greatest(F.size(words) - 2, F.lit(0)).cast("long").alias("occ"),
+        dd.word_shingles(F.col("text"), 3).alias("sh"),
+    )
+    news = (
+        per_doc.select("doc_id", F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy("fd")
+        .agg(F.count(F.lit(1)).alias("v_new"))
+    )
+    tab = (
+        per_doc.select("doc_id", "occ")
+        .join(news, per_doc["doc_id"] == news["fd"], "left")
+        .select(
+            per_doc["doc_id"].alias("doc_id"),
+            "occ",
+            F.coalesce(F.col("v_new"), F.lit(0)).cast("long").alias("v_new"),
+        )
+    )
+    w_cum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        tab.select(
+            F.sum("occ").over(w_cum).alias("ncum"),
+            F.sum("v_new").over(w_cum).alias("vcum"),
+        )
+        .filter((F.col("ncum") > 0) & (F.col("vcum") > 0))
+        .select(
+            F.log(F.col("ncum").cast("double")).alias("x"),
+            F.log(F.col("vcum").cast("double")).alias("y"),
+        )
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tot = tab.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("occ").alias("total_shingles"),
+        F.sum("v_new").alias("vocab"),
+    )
+    nd = F.col("n").cast("double")
+    # degenerate corpora (<2 usable points) leave the OLS denominators at
+    # exactly 0: emit NULL fits instead of an ANSI DIVIDE_BY_ZERO
+    den = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den != 0, (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / den)
+    intercept = (F.col("sy") - slope * F.col("sx")) / nd
+    corr_num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr_den = F.sqrt(
+        den * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n_docs",
+        "total_shingles",
+        "vocab",
+        F.col("n").alias("fit_points"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(F.exp(intercept), 6).alias("heaps_k"),
+        F.round(
+            F.when(corr_den != 0, corr_num / corr_den), 6
+        ).alias("loglog_corr"),
+    )
+
+
+SQL_DOCUMENTS_HEAPS = f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST(greatest(len({_sql_words("text")}) - 2, 0) AS BIGINT) AS occ,
+         {_sql_shingles(_sql_words("text"), 3)} AS sh
+  FROM documents),
+firsts AS (
+  SELECT s, min(doc_id) AS fd
+  FROM (SELECT doc_id, unnest(sh) AS s FROM per_doc) GROUP BY 1),
+news AS (SELECT fd, CAST(count(*) AS BIGINT) AS v_new FROM firsts GROUP BY 1),
+tab AS (
+  SELECT p.doc_id, p.occ, CAST(COALESCE(n.v_new, 0) AS BIGINT) AS v_new
+  FROM per_doc p LEFT JOIN news n ON p.doc_id = n.fd),
+cum AS (
+  SELECT CAST(sum(occ) OVER (ORDER BY doc_id) AS BIGINT) AS ncum,
+         CAST(sum(v_new) OVER (ORDER BY doc_id) AS BIGINT) AS vcum
+  FROM tab),
+pts AS (
+  SELECT ln(CAST(ncum AS DOUBLE)) AS x, ln(CAST(vcum AS DOUBLE)) AS y
+  FROM cum WHERE ncum > 0 AND vcum > 0),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM pts),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(occ) AS BIGINT) AS total_shingles,
+         CAST(sum(v_new) AS BIGINT) AS vocab
+  FROM tab),
+guarded AS (
+  SELECT *,
+    CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) <> 0
+         THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+              / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+    sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+         * (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_den
+  FROM agg)
+SELECT n_docs, total_shingles, vocab,
+       n AS fit_points,
+       round(slope, 6) AS heaps_beta,
+       round(exp((sy - slope * sx) / CAST(n AS DOUBLE)), 6) AS heaps_k,
+       round(CASE WHEN corr_den <> 0
+                  THEN (CAST(n AS DOUBLE) * sxy - sx * sy) / corr_den END,
+             6) AS loglog_corr
+FROM guarded CROSS JOIN tot
+"""
+
+
+# re-export everything (including underscore helpers) to later sections
+__all__ = [n for n in dir() if not n.startswith("__")]
