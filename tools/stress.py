@@ -2866,6 +2866,201 @@ def main_r5() -> None:
     spark.stop()
 
 
+def main_r5b() -> None:
+    """Stress the ROUND-5 queries at sf1-equivalent scale with planted
+    ground truths, through the production catalog code paths:
+
+    - CUPED at ~5M events / 90k users: per-user activity level a drives
+      BOTH the pre-period covariate (10a views) and the post purchase
+      value (5a dollars + effect*arm + deterministic ±0.25 noise), so
+      theta must recover exactly 0.5 $/event, the covariate variance
+      must collapse (>0.99), the A/A plant must accept, and a planted
+      10-cent arm effect must be detected AND estimated to the cent.
+    - Synthetic control over a 365-day panel (~3.3M events): y = 200 +
+      x1/10 ± 1 with weekly donor cycles; the A/A plant must pass the
+      placebo and a planted +300/day post-period intervention must be
+      rejected with the gap recovered.
+    - Heaps law at 200k docs where EVERY shingle is globally unique:
+      V(N) = N exactly, so beta == 1.0, K == 1.0, corr == 1.0 at 6 dp —
+      an exact closed form, not a tolerance."""
+    import tempfile
+
+    from mcpvectordb_spark.catalog import (
+        q_documents_heaps,
+        q_events_cuped,
+        q_events_synthctrl,
+    )
+
+    spark = get_spark("stress-r5b")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {counts[name]}", file=sys.stderr)
+
+    base = 1_699_920_000  # midnight-aligned (UTC container)
+    n_users = 90_000
+
+    def plant_cuped(eff_dollars: float) -> str:
+        users = spark.range(n_users).select(
+            F.col("id").alias("user_id"),
+            (F.pmod(F.xxhash64("id", F.lit(11)), F.lit(10)) + 1).alias("a"),
+        )
+        views = users.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(1), F.col("a") * 10)).alias("j"),
+        ).select(
+            "user_id",
+            F.timestamp_seconds(
+                F.lit(base)
+                + F.pmod(F.xxhash64("user_id", "j"), F.lit(10 * 86400))
+            ).alias("ts"),
+            F.lit("view").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+        from mcpvectordb_spark.operators.dedup import hexint48
+
+        arm = F.pmod(hexint48(F.col("user_id").cast("string")), F.lit(2))
+        purchases = users.select(
+            "user_id",
+            F.timestamp_seconds(
+                F.lit(base + 20 * 86400)
+                + F.pmod(F.xxhash64("user_id", F.lit(5)), F.lit(9 * 86400))
+            ).alias("ts"),
+            F.lit("purchase").alias("event_type"),
+            (
+                5.0 * F.col("a")
+                + F.lit(eff_dollars) * arm.cast("double")
+                + (F.pmod(F.xxhash64("user_id", F.lit(99)), F.lit(2)).cast("double") * 0.5 - 0.25)
+            ).alias("value"),
+        )
+        ev = views.unionByName(purchases).select(
+            F.xxhash64("user_id", "ts", "event_type").alias("event_id"),
+            "ts", "user_id", "event_type", "value",
+        )
+        path = tempfile.mkdtemp(prefix="stress_r5b_")
+        ev.repartition(64).write.mode("overwrite").parquet(f"{path}/events.parquet")
+        return path
+
+    def cuped_stress():
+        aa = q_events_cuped(spark, plant_cuped(0.0)).first()
+        assert abs(aa["z_cuped"]) <= 3.3 and aa["significant"] is False, aa
+        assert abs(aa["theta"] - 0.5) < 0.01, aa
+        assert aa["var_reduction"] > 0.99, aa
+        eff = q_events_cuped(spark, plant_cuped(0.10)).first()
+        assert eff["significant"] and eff["z_cuped"] > 5, eff
+        assert abs(eff["diff_cuped"] - 0.10) < 0.01, eff
+        notes["cuped_5m"] = (
+            f"~5.0M events / 90k users: theta {aa['theta']:+.4f} recovers the "
+            f"planted 0.5 $/event exactly, var_reduction {aa['var_reduction']:.4f}; "
+            f"A/A z={aa['z_cuped']:+.2f} accepts; planted 10-cent effect "
+            f"estimated as {eff['diff_cuped']*100:.1f} cents (z={eff['z_cuped']:+.1f}) "
+            f"— raw z was {eff['z_raw']:+.1f}, the covariate supplies the power"
+        )
+        return 2
+
+    def plant_synth(shift: int) -> str:
+        days = spark.range(365).select(F.col("id").alias("t"))
+        day_counts = days.select(
+            "t",
+            (5000 + F.pmod(F.col("t"), F.lit(7)) * 100).alias("x1"),
+            (3000 + F.pmod(F.col("t"), F.lit(5)) * 80).alias("x2"),
+        ).withColumn(
+            "y",
+            200 + (F.col("x1") / 10).cast("long")
+            + (F.pmod(F.col("t"), F.lit(2)) * 2 - 1)
+            + F.when(F.col("t") >= F.lit(365 - 122), F.lit(shift)).otherwise(0),
+        )
+        # cutoff in the query: d0 + div((d1-d0+1)*2,3) = 243rd day → post
+        # window = last 122 days, matching the shift plant above
+        def blow(col, etype):
+            return day_counts.select(
+                "t", F.explode(F.sequence(F.lit(1), F.col(col))).alias("j")
+            ).select(
+                F.timestamp_seconds(F.lit(base) + F.col("t") * 86400 + F.col("j")).alias("ts"),
+                F.col("j").alias("user_id"),
+                F.lit(etype).alias("event_type"),
+                F.lit(0.0).alias("value"),
+            )
+
+        ev = (
+            blow("x1", "view")
+            .unionByName(blow("x2", "click"))
+            .unionByName(blow("y", "purchase"))
+            .select(
+                F.xxhash64("ts", "event_type", "user_id").alias("event_id"),
+                "ts", "user_id", "event_type", "value",
+            )
+        )
+        path = tempfile.mkdtemp(prefix="stress_r5b_")
+        ev.repartition(64).write.mode("overwrite").parquet(f"{path}/events.parquet")
+        return path
+
+    def synth_stress():
+        aa = q_events_synthctrl(spark, plant_synth(0)).first()
+        assert aa["n_pre"] == 243 and aa["n_post"] == 122, aa
+        assert aa["placebo_ok"] is True, aa
+        assert abs(aa["w_view"] - 0.1) < 0.02, aa
+        eff = q_events_synthctrl(spark, plant_synth(300)).first()
+        assert eff["placebo_ok"] is False and eff["gap_z"] > 10, eff
+        assert abs(eff["mean_gap"] - 300) < 5, eff
+        notes["synthctrl_3m"] = (
+            f"365-day panel from ~3.3M events: A/A gap_z={aa['gap_z']:+.2f} "
+            f"accepts with w_view={aa['w_view']:.3f} (planted 0.1); planted "
+            f"+300/day intervention recovered as {eff['mean_gap']:.1f} "
+            f"(gap_z={eff['gap_z']:+.0f})"
+        )
+        return 2
+
+    def heaps_stress():
+        n_docs, toks = 200_000, 20
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(toks - 1)),
+                    lambda j: F.concat(
+                        F.lit("d"), F.col("id").cast("string"),
+                        F.lit("t"), j.cast("string"),
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        path = tempfile.mkdtemp(prefix="stress_r5b_")
+        docs.repartition(32).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+        out = q_documents_heaps(spark, path).first()
+        expected = n_docs * (toks - 2)
+        assert out["n_docs"] == n_docs, out
+        assert out["total_shingles"] == expected and out["vocab"] == expected, out
+        assert out["heaps_beta"] == 1.0 and out["heaps_k"] == 1.0, out
+        assert out["loglog_corr"] == 1.0, out
+        notes["heaps_200k"] = (
+            f"200k docs / {expected:,} globally-unique shingles: V(N)=N "
+            "closed form recovered EXACTLY (beta=1, K=1, corr=1 at 6 dp); "
+            "cumulative window runs over the 200k-row per-doc table only"
+        )
+        return out["fit_points"]
+
+    run("cuped_5m", cuped_stress)
+    run("synthctrl_3m", synth_stress)
+    run("heaps_200k", heaps_stress)
+
+    print(json.dumps({
+        "mode": "r5b",
+        "timings_s": timings,
+        "counts": counts,
+        "notes": notes,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "sf1" in sys.argv[1:]:
         main_sf1()
@@ -2889,6 +3084,8 @@ if __name__ == "__main__":
         main_r4g()
     elif "r4h" in sys.argv[1:]:
         main_r4h()
+    elif "r5b" in sys.argv[1:]:
+        main_r5b()
     elif "r5" in sys.argv[1:]:
         main_r5()
     elif "r4" in sys.argv[1:]:
