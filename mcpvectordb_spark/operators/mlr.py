@@ -52,13 +52,19 @@ def standardized_features(
 
 
 def train_logistic_gd(
-    feats: DataFrame, n_features: int, iterations: int = 10, lr: float = 0.5
+    feats: DataFrame,
+    n_features: int,
+    iterations: int = 10,
+    lr: float = 0.5,
+    precached: bool = False,
 ) -> list[float]:
     """Full-batch GD on standardized features (y, x1..xk): returns
     [w0 (intercept), w1..wk].  One aggregation job per iteration; the
-    weight vector is the only driver state."""
+    weight vector is the only driver state.  Pass ``precached=True``
+    when ``feats`` is already checkpointed/cached so the 10 iteration
+    scans and the caller's scoring pass share ONE materialization."""
     names = [f"x{i + 1}" for i in range(n_features)]
-    cached = feats.localCheckpoint(eager=True)
+    cached = feats if precached else feats.localCheckpoint(eager=True)
     w = [0.0] * (n_features + 1)
     for _ in range(iterations):
         z = F.lit(w[0])
