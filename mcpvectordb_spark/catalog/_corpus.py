@@ -91,16 +91,7 @@ def q_parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration as 10 chained CTEs."""
     from mcpvectordb_spark.operators.graph import pagerank
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    pair_n = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
-        .filter(F.col("n_pair") >= 2)
-    )
+    pair_n = _copurchase_pairs(spark, sf_dir)
     edges = pair_n.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst"), F.col("n_pair").alias("w")
     ).unionByName(

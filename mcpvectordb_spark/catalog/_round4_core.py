@@ -497,16 +497,8 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented algorithm exact."""
     from mcpvectordb_spark.operators.graph import triangle_count
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    edges = _copurchase_pairs(spark, sf_dir).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
     )
     return triangle_count(edges)
 

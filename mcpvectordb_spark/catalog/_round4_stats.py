@@ -2155,17 +2155,8 @@ def q_parts_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_propagation, modularity, triangle_count,
     )
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .localCheckpoint(eager=False)
+    edges = _copurchase_pairs(spark, sf_dir).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
     )
     labels = label_propagation(edges, rounds=4)
     tri = triangle_count(edges)

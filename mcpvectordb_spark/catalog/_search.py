@@ -1150,16 +1150,8 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 level expansions as chained CTEs."""
     from mcpvectordb_spark.operators.graph import bfs_distances
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    edges = _copurchase_pairs(spark, sf_dir).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
     )
     seeds = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 25).select(
         F.col("p_partkey").alias("node")
@@ -2195,16 +2187,8 @@ def q_parts_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the 4 argmax rounds."""
     from mcpvectordb_spark.operators.graph import label_propagation
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    edges = _copurchase_pairs(spark, sf_dir).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
     )
     labels = label_propagation(edges, rounds=4)
     return (
