@@ -166,6 +166,32 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_n
 
 
+# Session-scoped BM25 index over the raw documents corpus: the retrieval
+# family (search_eval, hard_negatives, search_clarity, search_rbo, ...)
+# re-tokenized the same corpus per query.  Same freshness contract as
+# _COPURCHASE_CACHE: keyed by (applicationId, sf_dir), corpus immutable
+# within a session; ingest-backed corpora use Bm25Index.append, never this.
+_BM25_CACHE: dict[tuple[str, str], "object"] = {}
+
+
+def _shared_bm25_index(spark: SparkSession, sf_dir: str):
+    """Eagerly-checkpointed (posting, lens) Bm25Index over documents —
+    built once per (session, corpus), the reference's persistent FTS
+    index (store.py:197-202) realized as frozen shared state."""
+    from mcpvectordb_spark.operators.bm25 import Bm25Index, doc_lens, doc_terms
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BM25_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents")
+    posting = doc_terms(docs, "doc_id", "text").localCheckpoint(eager=True)
+    lens = doc_lens(docs, "doc_id", "text").localCheckpoint(eager=True)
+    idx = Bm25Index(posting, lens, cached=False)
+    _BM25_CACHE[key] = idx
+    return idx
+
+
 def _q_vec(spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     return list(emb.filter(F.col("vec_id") == vec_id).first()["embedding"])

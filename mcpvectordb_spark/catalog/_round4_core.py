@@ -1264,12 +1264,11 @@ def q_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     contains ALL the query's terms; per query reports hits@10, the first
     relevant rank, and reciprocal rank.  The oracle replays scoring,
     ranking, relevance and the metrics from the same query table."""
-    from mcpvectordb_spark.operators.bm25 import Bm25Index, bm25_multi_topk, doc_lens, doc_terms
+    from mcpvectordb_spark.operators.bm25 import bm25_multi_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    # ONE posting build feeds both the scorer and the relevance judge
-    posting = doc_terms(docs, "doc_id", "text").localCheckpoint(eager=False)
-    idx = Bm25Index(posting, doc_lens(docs, "doc_id", "text"), cached=False)
+    # ONE session-shared posting build feeds the scorer and the judge
+    idx = _shared_bm25_index(spark, sf_dir)
     ranked = bm25_multi_topk(docs, _EVAL_QUERIES, 10, "doc_id", "text", index=idx)
     rows = []
     for qid, q in sorted(_EVAL_QUERIES.items()):
@@ -1278,7 +1277,7 @@ def q_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = spark.createDataFrame(rows, "qid int, term string")
     nt = qterms.groupBy("qid").agg(F.count(F.lit(1)).alias("nt"))
     matches = (
-        posting
+        idx.posting
         .join(F.broadcast(qterms), "term")
         .groupBy("qid", "doc")
         .agg(F.countDistinct("term").alias("m"))

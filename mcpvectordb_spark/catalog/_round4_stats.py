@@ -1964,13 +1964,10 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     and judge; at 100 TB negatives mine per query-shard with the same
     broadcast (qid, term) table.  The oracle replays scoring, judging
     and the negative re-ranking."""
-    from mcpvectordb_spark.operators.bm25 import (
-        Bm25Index, bm25_multi_topk, doc_lens, doc_terms,
-    )
+    from mcpvectordb_spark.operators.bm25 import bm25_multi_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    posting = doc_terms(docs, "doc_id", "text").localCheckpoint(eager=False)
-    idx = Bm25Index(posting, doc_lens(docs, "doc_id", "text"), cached=False)
+    idx = _shared_bm25_index(spark, sf_dir)
     ranked = bm25_multi_topk(docs, _EVAL_QUERIES, 10, "doc_id", "text", index=idx)
     rows = []
     for qid, q in sorted(_EVAL_QUERIES.items()):
@@ -1979,7 +1976,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = spark.createDataFrame(rows, "qid int, term string")
     nt = qterms.groupBy("qid").agg(F.count(F.lit(1)).alias("nt"))
     m = (
-        posting.join(F.broadcast(qterms), "term")
+        idx.posting.join(F.broadcast(qterms), "term")
         .groupBy("qid", "doc")
         .agg(F.countDistinct("term").alias("mm"))
     )

@@ -137,12 +137,10 @@ def q_search_clarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     triage that flags queries likely to retrieve noise.  Reuses the BM25
     posting machinery (rm3_topk's first half); the oracle replays both
     query chains over the shared posting CTEs."""
-    from mcpvectordb_spark.operators.bm25 import Bm25Index, doc_lens, doc_terms
     from mcpvectordb_spark.operators.prf import clarity_score
 
     docs = load_table(spark, sf_dir, "documents")
-    posting = doc_terms(docs, "doc_id", "text").localCheckpoint(eager=False)
-    idx = Bm25Index(posting, doc_lens(docs, "doc_id", "text"), cached=False)
+    idx = _shared_bm25_index(spark, sf_dir)
     focused = clarity_score(
         docs, SEARCH_QUERY, "doc_id", "text", index=idx
     ).select(F.lit("focused").alias("query_kind"), "*")
@@ -198,18 +196,12 @@ def q_search_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     move?").  Both runs come from the SAME posting list; the metric is a
     join of two 10-row broadcast lists + one agg.  The oracle replays
     both scorers and the depth-exploded RBO sum."""
-    from mcpvectordb_spark.operators.bm25 import (
-        Bm25Index,
-        bm25_topk,
-        doc_lens,
-        doc_terms,
-    )
+    from mcpvectordb_spark.operators.bm25 import bm25_topk
     from mcpvectordb_spark.operators.modeleval import rbo
     from mcpvectordb_spark.operators.qlm import qlm_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    posting = doc_terms(docs, "doc_id", "text").localCheckpoint(eager=False)
-    idx = Bm25Index(posting, doc_lens(docs, "doc_id", "text"), cached=False)
+    idx = _shared_bm25_index(spark, sf_dir)
     wa = Window.orderBy(F.desc("score"), F.asc("doc"))
     run_a = bm25_topk(docs, SEARCH_QUERY, 10, "doc_id", "text", index=idx).select(
         "doc", F.row_number().over(wa).alias("rank")
@@ -909,7 +901,9 @@ def q_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcpvectordb_spark.operators.qlm import qlm_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    hits = qlm_topk(docs, SEARCH_QUERY, 10, "doc_id", "text")
+    hits = qlm_topk(
+        docs, SEARCH_QUERY, 10, "doc_id", "text", index=_shared_bm25_index(spark, sf_dir)
+    )
     return hits.select("doc", F.round("score", 6).alias("score"))
 
 
@@ -2682,7 +2676,9 @@ def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcpvectordb_spark.operators.prf import rm3_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    hits = rm3_topk(docs, SEARCH_QUERY, 10, "doc_id", "text")
+    hits = rm3_topk(
+        docs, SEARCH_QUERY, 10, "doc_id", "text", index=_shared_bm25_index(spark, sf_dir)
+    )
     return hits.select("doc", F.round("score", 6).alias("score"))
 
 
