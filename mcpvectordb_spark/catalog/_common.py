@@ -192,6 +192,31 @@ def _shared_bm25_index(spark: SparkSession, sf_dir: str):
     return idx
 
 
+# The supplier↔part recurring-shipment table (>= 2 lineitems) backs four
+# more graph queries (kcore / linkpred / ppr / hits) — same freshness
+# contract as the caches above.
+_SUPPART_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _supplier_part_recurring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(suppkey, partkey, n) pairs with >= 2 shipments — one groupBy over
+    lineitem, mined once per (session, corpus); callers namespace/weight
+    as their graph needs (negated supplier keys, directed vs symmetric)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SUPPART_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("suppkey"), F.col("l_partkey").alias("partkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= 2)
+        .localCheckpoint(eager=True)
+    )
+    _SUPPART_CACHE[key] = sp
+    return sp
+
+
 def _q_vec(spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     return list(emb.filter(F.col("vec_id") == vec_id).first()["embedding"])

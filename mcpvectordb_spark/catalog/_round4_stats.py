@@ -22,12 +22,8 @@ def q_parts_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the same wedge/degree/anti-join pipeline."""
     from mcpvectordb_spark.operators.graph import adamic_adar_linkpred
 
-    sp = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy((-F.col("l_suppkey")).alias("src"), F.col("l_partkey").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
+    sp = _supplier_part_recurring(spark, sf_dir).select(
+        (-F.col("suppkey")).alias("src"), F.col("partkey").alias("dst")
     )
     out = adamic_adar_linkpred(sp)
     return (

@@ -2138,11 +2138,8 @@ def q_parts_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls all 4 iterations."""
     from mcpvectordb_spark.operators.graph import hits_scores
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
+    li = _supplier_part_recurring(spark, sf_dir).select(
+        F.col("suppkey").alias("src"), F.col("partkey").alias("dst"), "n"
     )
     out = hits_scores(li, iters=4, loop_partitions=8)
     return (
@@ -2400,13 +2397,8 @@ def q_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations with the same seed-concentrated teleport vector."""
     from mcpvectordb_spark.operators.graph import pagerank
 
-    sp = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy(
-            (-F.col("l_suppkey")).alias("s"), F.col("l_partkey").alias("t")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .filter(F.col("n") >= 2)
+    sp = _supplier_part_recurring(spark, sf_dir).select(
+        (-F.col("suppkey")).alias("s"), F.col("partkey").alias("t"), "n"
     )
     edges = sp.select(F.col("s").alias("src"), F.col("t").alias("dst"), "n").unionByName(
         sp.select(F.col("t").alias("src"), F.col("s").alias("dst"), "n")
@@ -2508,12 +2500,8 @@ def q_parts_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the identical 4 peel rounds."""
     from mcpvectordb_spark.operators.graph import kcore
 
-    sp = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy((-F.col("l_suppkey")).alias("src"), F.col("l_partkey").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
+    sp = _supplier_part_recurring(spark, sf_dir).select(
+        (-F.col("suppkey")).alias("src"), F.col("partkey").alias("dst")
     )
     out = kcore(sp, k=3, rounds=4)
     return out.filter(F.col("node") > 0).select(
