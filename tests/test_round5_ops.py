@@ -154,3 +154,74 @@ def test_heaps_short_docs_yield_no_shingles(spark, tmp_path):
     assert out["total_shingles"] == 1
     assert out["vocab"] == 1
     assert out["fit_points"] == 1
+
+
+def test_cuped_shift_invariance(spark, tmp_path):
+    """Adding a constant to every post-period purchase value shifts both
+    arm means equally: diff/se/z (raw AND adjusted) and theta must be
+    unchanged — the location-invariance any A/B readout must satisfy."""
+    rows = []
+    for u in range(60):
+        x = (u % 5) + 1
+        for k in range(x):
+            rows.append({"ts": BASE + k, "user_id": u, "event_type": "view"})
+        rows.append(
+            {"ts": BASE + 20 * 86400, "user_id": u, "event_type": "purchase",
+             "value": 3.0 * x + (0.5 if u % 3 == 0 else -0.25)}
+        )
+    base_dir = _write_events(spark, tmp_path / "a", rows)
+    shifted = [
+        dict(r, value=r["value"] + 100.0) if r["event_type"] == "purchase" else r
+        for r in rows
+    ]
+    shift_dir = _write_events(spark, tmp_path / "b", shifted)
+    a = QUERIES["events_cuped"](spark, base_dir).first()
+    b = QUERIES["events_cuped"](spark, shift_dir).first()
+    for col in ["theta", "diff_raw", "se_raw", "z_raw",
+                "diff_cuped", "se_cuped", "z_cuped", "var_reduction"]:
+        assert abs(a[col] - b[col]) < 1e-6, (col, a[col], b[col])
+
+
+def test_synthctrl_gap_z_scale_invariance(spark, tmp_path):
+    """Doubling every daily count scales the fit (a, rmse, gap) by 2 but
+    leaves the donor coefficients and the standardized gap_z unchanged."""
+    a_dir = _write_events(spark, tmp_path / "a", _synth_rows(shift=0))
+    doubled = []
+    for t in range(30):
+        x1 = ((t % 5) + 10) * 2
+        x2 = ((t % 3) + 5) * 2
+        y = (3 + 2 * ((t % 5) + 10) + (1 if t % 2 else -1)) * 2
+        day = BASE + t * 86400
+        doubled += [{"ts": day + k, "user_id": k, "event_type": "view"} for k in range(x1)]
+        doubled += [{"ts": day + 500 + k, "user_id": k, "event_type": "click"} for k in range(x2)]
+        doubled += [{"ts": day + 1500 + k, "user_id": k, "event_type": "purchase"} for k in range(y)]
+    b_dir = _write_events(spark, tmp_path / "b", doubled)
+    a = QUERIES["events_synthctrl"](spark, a_dir).first()
+    b = QUERIES["events_synthctrl"](spark, b_dir).first()
+    assert abs(a["w_view"] - b["w_view"]) < 1e-6, (a, b)
+    assert abs(a["w_click"] - b["w_click"]) < 1e-6, (a, b)
+    assert abs(2 * a["w_intercept"] - b["w_intercept"]) < 1e-5, (a, b)
+    assert abs(2 * a["rmse_pre"] - b["rmse_pre"]) < 1e-5, (a, b)
+    assert abs(a["gap_z"] - b["gap_z"]) < 1e-6, (a, b)
+
+
+def test_heaps_totals_invariant_under_doc_relabeling(spark, tmp_path):
+    """Reversing the doc_id order changes the growth PATH (and so the
+    fit) but never the corpus totals: vocab and total_shingles are
+    order-free set/count quantities."""
+    from pyspark.sql import Row as R
+
+    texts = ["a b c d e", "c d e f", "f g h i j k", "a b c"]
+    fwd = spark.createDataFrame(
+        [R(doc_id=i + 1, text=t) for i, t in enumerate(texts)]
+    )
+    rev = spark.createDataFrame(
+        [R(doc_id=len(texts) - i, text=t) for i, t in enumerate(texts)]
+    )
+    fwd.write.mode("overwrite").parquet(str(tmp_path / "f" / "documents.parquet"))
+    rev.write.mode("overwrite").parquet(str(tmp_path / "r" / "documents.parquet"))
+    a = QUERIES["documents_heaps"](spark, str(tmp_path / "f")).first()
+    b = QUERIES["documents_heaps"](spark, str(tmp_path / "r")).first()
+    assert a["vocab"] == b["vocab"]
+    assert a["total_shingles"] == b["total_shingles"]
+    assert a["n_docs"] == b["n_docs"] == 4
