@@ -88,9 +88,14 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(pooled))
     )
+    # degenerate guards (ANSI mode: double division by zero THROWS): a
+    # constant covariate NULLs theta, an arm with n < 2 NULLs its moments,
+    # a zero pooled SE NULLs the z — mirrored CASEs in the oracle
     pnd = F.col("pn").cast("double")
-    theta = (pnd * F.col("psxy") - F.col("psx").cast("double") * F.col("psy")) / (
-        pnd * F.col("psxx") - F.col("psx").cast("double") * F.col("psx")
+    theta_den = pnd * F.col("psxx") - F.col("psx").cast("double") * F.col("psx")
+    theta = F.when(
+        theta_den != 0,
+        (pnd * F.col("psxy") - F.col("psx").cast("double") * F.col("psy")) / theta_den,
     )
     mean_x = F.col("psx").cast("double") / pnd
 
@@ -100,9 +105,10 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         syd = F.col(f"{a}_sy").cast("double")
         my = syd / nd
         mx = sxd / nd
-        var_y = (nd * F.col(f"{a}_syy") - syd * syd) / (nd * (nd - 1))
-        var_x = (nd * F.col(f"{a}_sxx") - sxd * sxd) / (nd * (nd - 1))
-        cov = (nd * F.col(f"{a}_sxy") - sxd * syd) / (nd * (nd - 1))
+        vd = nd * (nd - 1)
+        var_y = F.when(vd > 0, (nd * F.col(f"{a}_syy") - syd * syd) / vd)
+        var_x = F.when(vd > 0, (nd * F.col(f"{a}_sxx") - sxd * sxd) / vd)
+        cov = F.when(vd > 0, (nd * F.col(f"{a}_sxy") - sxd * syd) / vd)
         m_adj = my - theta * (mx - mean_x)
         var_adj = var_y - 2 * theta * cov + theta * theta * var_x
         return nd, my, var_y, m_adj, var_adj
@@ -113,18 +119,22 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     se_raw = F.sqrt(vy0 / n0 + vy1 / n1)
     diff_adj = ma1 - ma0
     se_adj = F.sqrt(va0 / n0 + va1 / n1)
+    z_raw = F.when(se_raw > 0, diff_raw / se_raw)
+    z_adj = F.when(se_adj > 0, diff_adj / se_adj)
     return wide.select(
         F.col("0_n").alias("n_control"),
         F.col("1_n").alias("n_treat"),
         F.round(theta / 100, 6).alias("theta"),
         F.round(diff_raw / 100, 6).alias("diff_raw"),
         F.round(se_raw / 100, 6).alias("se_raw"),
-        F.round(diff_raw / se_raw, 6).alias("z_raw"),
+        F.round(z_raw, 6).alias("z_raw"),
         F.round(diff_adj / 100, 6).alias("diff_cuped"),
         F.round(se_adj / 100, 6).alias("se_cuped"),
-        F.round(diff_adj / se_adj, 6).alias("z_cuped"),
-        F.round(1.0 - (va0 + va1) / (vy0 + vy1), 6).alias("var_reduction"),
-        (F.abs(diff_adj / se_adj) > 1.96).alias("significant"),
+        F.round(z_adj, 6).alias("z_cuped"),
+        F.round(
+            F.when(vy0 + vy1 > 0, 1.0 - (va0 + va1) / (vy0 + vy1)), 6
+        ).alias("var_reduction"),
+        (F.abs(z_adj) > 1.96).alias("significant"),
     )
 
 
@@ -166,46 +176,61 @@ wide AS (
   FROM cells),
 calc AS (
   SELECT *,
-    (CAST(pn AS DOUBLE) * psxy - CAST(psx AS DOUBLE) * psy)
-      / (CAST(pn AS DOUBLE) * psxx - CAST(psx AS DOUBLE) * psx) AS theta,
+    CASE WHEN (CAST(pn AS DOUBLE) * psxx - CAST(psx AS DOUBLE) * psx) <> 0
+         THEN (CAST(pn AS DOUBLE) * psxy - CAST(psx AS DOUBLE) * psy)
+              / (CAST(pn AS DOUBLE) * psxx - CAST(psx AS DOUBLE) * psx) END AS theta,
     CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE) AS mean_x
   FROM wide),
 arms AS (
   SELECT *,
     CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS my0,
     CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS my1,
-    (CAST(n0 AS DOUBLE) * syy0 - CAST(sy0 AS DOUBLE) * sy0)
-      / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1)) AS vy0,
-    (CAST(n1 AS DOUBLE) * syy1 - CAST(sy1 AS DOUBLE) * sy1)
-      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1)) AS vy1,
+    CASE WHEN CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1) > 0 THEN
+      (CAST(n0 AS DOUBLE) * syy0 - CAST(sy0 AS DOUBLE) * sy0)
+        / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1)) END AS vy0,
+    CASE WHEN CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1) > 0 THEN
+      (CAST(n1 AS DOUBLE) * syy1 - CAST(sy1 AS DOUBLE) * sy1)
+        / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1)) END AS vy1,
     CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
       - theta * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) - mean_x) AS ma0,
     CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
       - theta * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) - mean_x) AS ma1,
-    (CAST(n0 AS DOUBLE) * syy0 - CAST(sy0 AS DOUBLE) * sy0)
-      / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1))
-      - 2 * theta * ((CAST(n0 AS DOUBLE) * sxy0 - CAST(sx0 AS DOUBLE) * sy0)
-                     / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1)))
-      + theta * theta * ((CAST(n0 AS DOUBLE) * sxx0 - CAST(sx0 AS DOUBLE) * sx0)
-                         / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1))) AS va0,
-    (CAST(n1 AS DOUBLE) * syy1 - CAST(sy1 AS DOUBLE) * sy1)
-      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1))
-      - 2 * theta * ((CAST(n1 AS DOUBLE) * sxy1 - CAST(sx1 AS DOUBLE) * sy1)
-                     / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1)))
-      + theta * theta * ((CAST(n1 AS DOUBLE) * sxx1 - CAST(sx1 AS DOUBLE) * sx1)
-                         / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1))) AS va1
-  FROM calc)
+    CASE WHEN CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1) > 0 THEN
+      (CAST(n0 AS DOUBLE) * syy0 - CAST(sy0 AS DOUBLE) * sy0)
+        / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1)) END
+      - 2 * theta * (CASE WHEN CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1) > 0 THEN
+                       (CAST(n0 AS DOUBLE) * sxy0 - CAST(sx0 AS DOUBLE) * sy0)
+                         / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1)) END)
+      + theta * theta * (CASE WHEN CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1) > 0 THEN
+                           (CAST(n0 AS DOUBLE) * sxx0 - CAST(sx0 AS DOUBLE) * sx0)
+                             / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1)) END) AS va0,
+    CASE WHEN CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1) > 0 THEN
+      (CAST(n1 AS DOUBLE) * syy1 - CAST(sy1 AS DOUBLE) * sy1)
+        / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1)) END
+      - 2 * theta * (CASE WHEN CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1) > 0 THEN
+                       (CAST(n1 AS DOUBLE) * sxy1 - CAST(sx1 AS DOUBLE) * sy1)
+                         / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1)) END)
+      + theta * theta * (CASE WHEN CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1) > 0 THEN
+                           (CAST(n1 AS DOUBLE) * sxx1 - CAST(sx1 AS DOUBLE) * sx1)
+                             / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1)) END) AS va1
+  FROM calc),
+fin AS (
+  SELECT *,
+    sqrt(vy0 / CAST(n0 AS DOUBLE) + vy1 / CAST(n1 AS DOUBLE)) AS se_r,
+    sqrt(va0 / CAST(n0 AS DOUBLE) + va1 / CAST(n1 AS DOUBLE)) AS se_a
+  FROM arms)
 SELECT n0 AS n_control, n1 AS n_treat,
        round(theta / 100, 6) AS theta,
        round((my1 - my0) / 100, 6) AS diff_raw,
-       round(sqrt(vy0 / CAST(n0 AS DOUBLE) + vy1 / CAST(n1 AS DOUBLE)) / 100, 6) AS se_raw,
-       round((my1 - my0) / sqrt(vy0 / CAST(n0 AS DOUBLE) + vy1 / CAST(n1 AS DOUBLE)), 6) AS z_raw,
+       round(se_r / 100, 6) AS se_raw,
+       round(CASE WHEN se_r > 0 THEN (my1 - my0) / se_r END, 6) AS z_raw,
        round((ma1 - ma0) / 100, 6) AS diff_cuped,
-       round(sqrt(va0 / CAST(n0 AS DOUBLE) + va1 / CAST(n1 AS DOUBLE)) / 100, 6) AS se_cuped,
-       round((ma1 - ma0) / sqrt(va0 / CAST(n0 AS DOUBLE) + va1 / CAST(n1 AS DOUBLE)), 6) AS z_cuped,
-       round(1.0 - (va0 + va1) / (vy0 + vy1), 6) AS var_reduction,
-       abs((ma1 - ma0) / sqrt(va0 / CAST(n0 AS DOUBLE) + va1 / CAST(n1 AS DOUBLE))) > 1.96 AS significant
-FROM arms
+       round(se_a / 100, 6) AS se_cuped,
+       round(CASE WHEN se_a > 0 THEN (ma1 - ma0) / se_a END, 6) AS z_cuped,
+       round(CASE WHEN vy0 + vy1 > 0
+                  THEN 1.0 - (va0 + va1) / (vy0 + vy1) END, 6) AS var_reduction,
+       abs(CASE WHEN se_a > 0 THEN (ma1 - ma0) / se_a END) > 1.96 AS significant
+FROM fin
 """
 
 
@@ -279,27 +304,33 @@ def q_events_synthctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1y = F.col("0_s1y").cast("double")
     s2y = F.col("0_s2y").cast("double")
     syy = F.col("0_syy").cast("double")
+    # degenerate guards (ANSI): collinear donors NULL the fit; the
+    # closed-form SSE is clamped at 0 (float cancellation on near-exact
+    # fits would feed sqrt a -1e-9); an exact fit (rmse 0) NULLs gap_z
+    # and falls back to a direct zero-gap placebo test
     det = (
         nd * (s11 * s22 - s12 * s12)
         - s1 * (s1 * s22 - s12 * s2)
         + s2 * (s1 * s12 - s11 * s2)
     )
-    a = (
+    a = F.when(det != 0, (
         sy * (s11 * s22 - s12 * s12)
         - s1 * (s1y * s22 - s12 * s2y)
         + s2 * (s1y * s12 - s11 * s2y)
-    ) / det
-    b1 = (
+    ) / det)
+    b1 = F.when(det != 0, (
         nd * (s1y * s22 - s12 * s2y)
         - sy * (s1 * s22 - s12 * s2)
         + s2 * (s1 * s2y - s1y * s2)
-    ) / det
-    b2 = (
+    ) / det)
+    b2 = F.when(det != 0, (
         nd * (s11 * s2y - s1y * s12)
         - s1 * (s1 * s2y - s1y * s2)
         + sy * (s1 * s12 - s11 * s2)
-    ) / det
-    rmse_pre = F.sqrt((syy - (a * sy + b1 * s1y + b2 * s2y)) / nd)
+    ) / det)
+    rmse_pre = F.sqrt(
+        F.greatest(syy - (a * sy + b1 * s1y + b2 * s2y), F.lit(0.0)) / nd
+    )
     npd = F.col("1_n").cast("double")
     mean_gap = (
         F.col("1_sy").cast("double")
@@ -307,7 +338,7 @@ def q_events_synthctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
         - b1 * F.col("1_s1").cast("double")
         - b2 * F.col("1_s2").cast("double")
     ) / npd
-    gap_z = mean_gap / (rmse_pre / F.sqrt(npd))
+    gap_z = F.when(rmse_pre > 0, mean_gap / (rmse_pre / F.sqrt(npd)))
     return wide.select(
         F.col("0_n").alias("n_pre"),
         F.col("1_n").alias("n_post"),
@@ -317,7 +348,9 @@ def q_events_synthctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rmse_pre, 6).alias("rmse_pre"),
         F.round(mean_gap, 6).alias("mean_gap"),
         F.round(gap_z, 6).alias("gap_z"),
-        (F.abs(gap_z) <= 4.0).alias("placebo_ok"),
+        F.when(rmse_pre > 0, F.abs(gap_z) <= 4.0)
+        .otherwise(F.abs(mean_gap) == 0.0)
+        .alias("placebo_ok"),
     )
 
 
@@ -365,16 +398,19 @@ fit AS (
   FROM wide),
 coefs AS (
   SELECT *,
-    (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
-     + s2 * (s1y * s12 - s11 * s2y)) / det AS a,
-    (nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
-     + s2 * (s1 * s2y - s1y * s2)) / det AS b1,
-    (nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
-     + sy * (s1 * s12 - s11 * s2)) / det AS b2
+    CASE WHEN det <> 0 THEN
+      (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+       + s2 * (s1y * s12 - s11 * s2y)) / det END AS a,
+    CASE WHEN det <> 0 THEN
+      (nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+       + s2 * (s1 * s2y - s1y * s2)) / det END AS b1,
+    CASE WHEN det <> 0 THEN
+      (nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+       + sy * (s1 * s12 - s11 * s2)) / det END AS b2
   FROM fit),
 readout AS (
   SELECT *,
-    sqrt((syy - (a * sy + b1 * s1y + b2 * s2y)) / nd) AS rmse_pre,
+    sqrt(greatest(syy - (a * sy + b1 * s1y + b2 * s2y), 0.0) / nd) AS rmse_pre,
     (psy - a * npd - b1 * ps1 - b2 * ps2) / npd AS mean_gap
   FROM coefs)
 SELECT n_pre, n_post,
@@ -383,8 +419,11 @@ SELECT n_pre, n_post,
        round(b2, 6) AS w_click,
        round(rmse_pre, 6) AS rmse_pre,
        round(mean_gap, 6) AS mean_gap,
-       round(mean_gap / (rmse_pre / sqrt(npd)), 6) AS gap_z,
-       abs(mean_gap / (rmse_pre / sqrt(npd))) <= 4.0 AS placebo_ok
+       round(CASE WHEN rmse_pre > 0
+                  THEN mean_gap / (rmse_pre / sqrt(npd)) END, 6) AS gap_z,
+       CASE WHEN rmse_pre > 0
+            THEN abs(mean_gap / (rmse_pre / sqrt(npd))) <= 4.0
+            ELSE abs(mean_gap) = 0.0 END AS placebo_ok
 FROM readout
 """
 

@@ -225,3 +225,28 @@ def test_heaps_totals_invariant_under_doc_relabeling(spark, tmp_path):
     assert a["vocab"] == b["vocab"]
     assert a["total_shingles"] == b["total_shingles"]
     assert a["n_docs"] == b["n_docs"] == 4
+
+
+def test_cuped_and_synthctrl_survive_degenerate_corpora(spark, tmp_path):
+    """ANSI mode turns double division by zero into an error: constant
+    covariates, single-user arms, collinear donors and exact fits must
+    yield NULL readouts, never a crash."""
+    # every user identical: constant covariate, zero variance everywhere
+    rows = []
+    for u in range(4):
+        rows.append({"ts": BASE, "user_id": u, "event_type": "view"})
+        rows.append({"ts": BASE + 20 * 86400, "user_id": u,
+                     "event_type": "purchase", "value": 5.0})
+    d = _write_events(spark, tmp_path / "const", rows)
+    out = QUERIES["events_cuped"](spark, d).first()
+    assert out["theta"] is None and out["significant"] is None, out
+    # constant donors (collinear with the intercept): det = 0
+    rows2 = []
+    for t in range(30):
+        day = BASE + t * 86400
+        rows2 += [{"ts": day, "user_id": 0, "event_type": "view"},
+                  {"ts": day + 1, "user_id": 0, "event_type": "click"},
+                  {"ts": day + 2, "user_id": 0, "event_type": "purchase"}]
+    d2 = _write_events(spark, tmp_path / "flat", rows2)
+    out2 = QUERIES["events_synthctrl"](spark, d2).first()
+    assert out2["w_view"] is None and out2["gap_z"] is None, out2
