@@ -310,8 +310,13 @@ QUERIES = {
 
 def _rotate_stalest_first(queries: dict) -> dict:
     """Re-sort the registry so the driver's 50-slot CORRECTNESS window always
-    holds the stalest queries: never-driver-checked first (round -1), then
-    ascending by the most recent round that produced a CORRECTNESS row.
+    holds the queries that most need a driver check.  Sort key is
+    ``(ever_green, last_round)``: queries that have NEVER produced a green
+    CORRECTNESS row (including ones whose only row is an ``err`` such as the
+    r02 ``no_oracle`` stamps) precede every stale-but-green query, and within
+    each class the most recent round with ANY row breaks ties ascending
+    (round-5 verdict, What's wrong #1 — the old key sorted by last-row round
+    alone, so an erroneous row aged a never-green query out of the window).
     ``sorted`` is stable, so the hand-written dict order above breaks ties
     within a staleness class.  Reads CORRECTNESS_r*.json from the repo root;
     with no history files (fresh clone) the hand order is returned as-is."""
@@ -323,15 +328,25 @@ def _rotate_stalest_first(queries: dict) -> dict:
     # three levels up to the repo root
     root = _Path(__file__).resolve().parent.parent.parent
     last_round: dict[str, int] = {}
+    ever_green: set[str] = set()
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         rnum = int(_re.search(r"r(\d+)", path.name).group(1))
         try:
             rows = _json.loads(path.read_text())
         except (OSError, ValueError):
             continue
-        for name in rows:
+        for name, row in rows.items():
             last_round[name] = max(last_round.get(name, 0), rnum)
-    order = sorted(queries, key=lambda n: last_round.get(n, -1))
+            if (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+            ):
+                ever_green.add(name)
+    order = sorted(
+        queries, key=lambda n: (n in ever_green, last_round.get(n, -1))
+    )
     return {n: queries[n] for n in order}
 
 
@@ -579,8 +594,12 @@ ORACLES = {
     "tpch_q22": SQL_TPCH_Q22,
     **TPCH_EXT_ORACLES,
     "top_orders_per_priority": SQL_TOP_ORDERS_PER_PRIORITY,
-    # ingest_chunks / search_ingested / neardup_lsh_embeddings / stream_hourly /
-    # stream_join:
-    # intentionally no oracle (chunker recursion, seeded hyperplanes and
-    # streaming execution are not ANSI-SQL-expressible) → rows-only check.
+    # -- streaming value gates (round-6, round-5 verdict item 2): each stream
+    # -- runs to completion over the closed corpus, so its fixed point equals
+    # -- the batch twin's SQL; the windowed aggs additionally restrict to the
+    # -- deterministic watermark-closed subset (see the query docstrings).
+    "stream_hourly": SQL_STREAM_HOURLY,
+    "stream_sessions": SQL_STREAM_SESSIONS,
+    "stream_dedup": SQL_STREAM_DEDUP,
+    "stream_join": SQL_STREAM_JOIN,
 }

@@ -738,14 +738,23 @@ ORDER BY b.id
 
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window aggregation driven to completion
-    over the events file (real readStream → memory sink)."""
-    import tempfile
+    over the events file (real readStream → memory sink).
 
-    from pyspark.sql import types as T
+    Append mode only emits a window once the watermark passes its end, so
+    the raw emitted set is 'all windows except a trailing sliver whose exact
+    boundary depends on engine-internal ms truncation'.  To make the query
+    value-gatable (round-5 verdict item 2) the result is restricted to the
+    DETERMINISTIC closed set — windows ending strictly more than
+    watermark+1s before max(ts) — which is provably a subset of what the
+    engine emitted (final watermark = max event time − 2h, up to ms
+    truncation ≪ the 1s margin).  The oracle applies the identical cutoff
+    to the batch date_trunc twin, so stream == SQL exactly."""
+    import tempfile
 
     from mcpvectordb_spark.streaming.events import run_stream_to_memory
 
     ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
     d = tempfile.mkdtemp(prefix="stream_in_")
     ev.write.mode("overwrite").parquet(d)
     stream = (
@@ -756,10 +765,26 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "stream_hourly_out"
     out = run_stream_to_memory(stream, name, spark)
-    return out.select(
+    return out.filter(
+        F.col("window.end")
+        < F.lit(max_ts) - F.expr("INTERVAL 2 HOURS") - F.expr("INTERVAL 1 SECOND")
+    ).select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type", "n_events", "sum_value",
     )
+
+
+SQL_STREAM_HOURLY = """
+WITH m AS (SELECT max(ts) AS mx FROM events)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events, m
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      < mx - INTERVAL 2 HOUR - INTERVAL 1 SECOND
+GROUP BY 1, 2
+"""
 
 
 def q_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,12 +850,23 @@ FROM holt
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming sessionization via the built-in session_window
     (streaming/events.py::sessionize_stream) driven to completion — the
-    streaming twin of events_sessions."""
+    streaming twin of events_sessions.
+
+    Value-gated (round-5 verdict item 2) by the same deterministic-closed-set
+    device as q_stream_hourly: append mode withholds sessions until the
+    watermark passes their end (last ts + gap), so the result keeps only
+    sessions ending > watermark+1s before max(ts) — provably emitted — and
+    the oracle replays session_window's merge rule in SQL.  NOTE the merge
+    rule differs from the lag-based events_sessions batch twin at exact-gap
+    boundaries: session_window windows are half-open [ts, ts+gap), so a gap
+    of EXACTLY 30 min starts a new session (oracle breaks on ``>=``), while
+    sessionize_batch breaks on ``>``."""
     import tempfile
 
     from mcpvectordb_spark.streaming.events import run_stream_to_memory, sessionize_stream
 
     ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
     d = tempfile.mkdtemp(prefix="stream_sess_")
     ev.write.mode("overwrite").parquet(d)
     out = run_stream_to_memory(
@@ -838,11 +874,39 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_sessions_out",
         spark,
     )
-    return out.select(
-        "user_id",
-        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        F.col("n_events"),
-    ).orderBy("user_id", "session_start")
+    return (
+        out.filter(
+            F.col("session_window.end")
+            < F.lit(max_ts) - F.expr("INTERVAL 4 HOURS") - F.expr("INTERVAL 1 SECOND")
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.col("n_events"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SQL_STREAM_SESSIONS = """
+WITH m AS (SELECT max(ts) AS mx FROM events),
+l AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seq
+  FROM l)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s, m
+GROUP BY user_id, seq, mx
+HAVING max(ts) + INTERVAL 30 MINUTE < mx - INTERVAL 4 HOUR - INTERVAL 1 SECOND
+ORDER BY user_id, session_start
+"""
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -887,6 +951,22 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("doc_id") < 1_000_000, 1).otherwise(0)).cast("long").alias("n_first_batch"),
         )
     )
+
+
+# Fixed point of the stateful dedup over the closed planted corpus: exactly
+# one survivor per distinct md5, and — because every hash is first seen in a
+# b0 file (b0 written before b1, the file source processes oldest-first) —
+# every survivor comes from the first copy, i.e. doc_id < 1_000_000.  The
+# oracle asserts all three invariants as values, not just row counts.
+SQL_STREAM_DEDUP = """
+WITH docs AS (
+  SELECT md5(text) AS h
+  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 500))
+SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_survivors,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_first_batch
+FROM docs
+"""
 
 
 def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1438,9 +1518,13 @@ FROM events GROUP BY event_type
 
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream join (purchase↔click within 1 hour per
-    user) driven to completion; per-user pair counts.  Streaming execution
-    is not ANSI-SQL-expressible → rows-only check (the batch twin's
-    equality with the stream is asserted in test_streaming.py)."""
+    user) driven to completion; per-user pair counts.  Unlike the windowed
+    aggregations, an INNER stream-stream join emits each pair as soon as it
+    matches (the watermark only bounds buffered state, it never withholds
+    inner-join output), so over a closed corpus the emitted set is total and
+    the batch twin's SQL gates the values exactly
+    (test_streaming.py::test_stream_stream_join_matches_batch pins the
+    pair-level equality)."""
     import tempfile
 
     from mcpvectordb_spark.streaming.events import (
@@ -1458,6 +1542,26 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("p_id").alias("n_purchases"),
         F.round(F.sum("p_value"), 4).alias("sum_value"),
     )
+
+
+SQL_STREAM_JOIN = """
+WITH p AS (
+  SELECT user_id, event_id AS p_id, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, event_id AS c_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'),
+pairs AS (
+  SELECT p.user_id, p.p_id, p.p_value
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.c_ts <= p.p_ts
+   AND c.c_ts >= p.p_ts - INTERVAL 60 MINUTE)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+       round(sum(p_value), 4) AS sum_value
+FROM pairs GROUP BY user_id
+"""
 
 
 

@@ -23,16 +23,10 @@ def test_queries_and_oracles_consistent():
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    # every oracle-less query is one of the documented non-SQL-expressible ops
-    # (the five deterministic kernels became golden-digest gated — COVERAGE.md;
-    # only the micro-batch streaming queries remain rows-only)
+    # round 6: the last rows-only holdouts (the micro-batch stream quartet)
+    # gained batch-twin value gates — EVERY query now has an oracle
     rows_only = set(qs) - set(os_)
-    assert rows_only == {
-        "stream_hourly",
-        "stream_join",
-        "stream_sessions",
-        "stream_dedup",
-    }
+    assert rows_only == set()
 
 
 def test_range_frame_key_parity(spark):
@@ -79,27 +73,45 @@ def test_sample_parity_at_sf0001(spark):
 
 
 def test_stalest_queries_fill_driver_window():
-    """Rotation policy (round-1 verdict, re-affirmed round 2 item 1): the
-    driver re-verifies the FIRST 50 registry slots each round, so those slots
-    must hold the stalest queries — never-driver-checked first, then the ones
-    whose most recent CORRECTNESS row is oldest.  Invariant: no query inside
-    the window was verified more recently than any query outside it."""
+    """Rotation policy (round-1 verdict, tightened by the round-5 verdict
+    What's wrong #1): the driver re-verifies the FIRST 50 registry slots each
+    round, so those slots must hold (a) every query that has NEVER had a green
+    CORRECTNESS row — an ``err`` row such as r02's ``no_oracle`` does NOT
+    count as checked — then (b) the stalest green queries.  Invariant: no
+    never-green query sits outside the window while a green one is inside,
+    and within the green class no query inside the window was verified more
+    recently than any query outside it."""
     import json
     import re as _re
 
     rounds: dict[str, int] = {}
+    green: set[str] = set()
     for path in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")):
         rnum = int(_re.search(r"r(\d+)", path.name).group(1))
-        for name in json.loads(path.read_text()):
+        for name, row in json.loads(path.read_text()).items():
             rounds[name] = max(rounds.get(name, 0), rnum)
+            if (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+            ):
+                green.add(name)
 
     names = list(entrymod.queries())
-    inside = [rounds.get(n, -1) for n in names[:50]]
-    outside = [rounds.get(n, -1) for n in names[50:]]
-    assert max(inside) <= min(outside), (
-        f"window holds a fresher query (round {max(inside)}) than one outside "
-        f"(round {min(outside)}) — rotate the QUERIES registry"
+    inside, outside = names[:50], names[50:]
+    never_green_outside = [n for n in outside if n not in green]
+    assert not never_green_outside, (
+        f"never-green queries outside the 50-slot window: {never_green_outside}"
     )
+    inside_green = [rounds.get(n, -1) for n in inside if n in green]
+    outside_green = [rounds.get(n, -1) for n in outside if n in green]
+    if inside_green and outside_green:
+        assert max(inside_green) <= min(outside_green), (
+            f"window holds a fresher green query (round {max(inside_green)}) "
+            f"than one outside (round {min(outside_green)}) — rotate the "
+            "QUERIES registry"
+        )
 
 
 def test_register_views_sql_surface(spark):
