@@ -541,13 +541,17 @@ def q_w2v_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # artifact of a real pipeline (same steady-state pattern as the IVF
     # index and the decontamination bloom) — repeat queries only pay the
     # embed + search
-    wq = _W2V_CACHE.get(sf_dir)
+    # keyed (applicationId, sf_dir) like every other session cache (round-5
+    # ADVICE): a localCheckpoint belongs to ONE SparkContext, so an sf_dir-
+    # only key would serve a dead context's checkpoint after a session restart
+    key = (spark.sparkContext.applicationId, sf_dir)
+    wq = _W2V_CACHE.get(key)
     if wq is None:
         wv = train_word_vectors(docs, "doc_id", "text", dim=dim, vocab_size=300, window=2)
         wq = wv.select(
             "term", "tid", F.transform("vector", lambda x: F.round(x, 6)).alias("vector")
         ).localCheckpoint(eager=True)
-        _W2V_CACHE[sf_dir] = wq
+        _W2V_CACHE[key] = wq
     emb = embed_documents_df(docs, "doc_id", "text", wq, dim)
     probe = emb.filter(F.col("id") == 0).first()
     qv = [float(x) for x in probe["embedding"]]

@@ -96,30 +96,61 @@ def save_bloom(bloom: DataFrame, path: str, n_bits: int, k: int) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
-# (path, params, artifact mtime) → validated DataFrame; skips the re-read +
-# validation first() job on repeat loads within a session.  Keyed on the
-# _SUCCESS mtime so a rebuilt artifact at the same path re-validates.
+# (path, params, content fingerprint) → validated DataFrame; skips the
+# re-read + validation first() jobs on repeat loads within a session.
+# Bounded FIFO (round-5 ADVICE: unbounded entries pin plans for the life of
+# a serving session).
 _LOAD_CACHE: dict[tuple, DataFrame] = {}
+_LOAD_CACHE_MAX = 32
 
 
-def _artifact_mtime(path: str) -> float:
+def _cache_put(cache: dict, key, value, max_entries: int) -> None:
+    """FIFO-bounded insert (dicts preserve insertion order)."""
+    while len(cache) >= max_entries:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+
+
+def _artifact_stat(path: str) -> tuple:
+    """(mtime_ns, total byte size) over the artifact's data files — a
+    rebuild at the same path within coarse-mtime resolution still changes
+    the ns stat or the byte size in practice; the bloom loader additionally
+    content-fingerprints (below) so even a stat-identical rewrite cannot
+    serve a stale bitset."""
     import os
 
+    mt, size = -1, -1
     try:
-        return os.path.getmtime(os.path.join(path, "_SUCCESS"))
+        for name in os.listdir(path):
+            st = os.stat(os.path.join(path, name))
+            mt = max(mt, st.st_mtime_ns)
+            size += st.st_size
     except OSError:
-        return -1.0
+        pass
+    return (mt, size)
 
 
 def load_bloom(spark, path: str, n_bits: int, k: int) -> DataFrame:
     """Load a persisted Bloom, validating that its embedded parameters match
     the probe parameters — probing with a different (n_bits, k) than the
     build silently loses the no-false-negative guarantee, so mismatch is an
-    error, not a fallback."""
-    ck = ("bloom", path, n_bits, k, _artifact_mtime(path))
+    error, not a fallback.
+
+    The session cache is keyed on a CONTENT fingerprint (one xxhash64-sum
+    job over the ≤ n_bits/64-row table, round-5 ADVICE) rather than mtime:
+    a bloom rebuilt at the same path within filesystem mtime resolution
+    must get a fresh entry, and the fingerprint job is the cheapest read
+    that can prove content identity."""
+    df = spark.read.parquet(path)
+    # wrap each hash to 2^48 before summing: ANSI long sum of raw xxhash64
+    # values overflows; ≤ n_bits/64 rows × 2^48 stays far under 2^63
+    fp_row = df.agg(
+        F.sum(F.pmod(F.xxhash64("word_idx", "bits"), F.lit(1 << 48))).alias("fp"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    ck = ("bloom", path, n_bits, k, fp_row["fp"], fp_row["n"])
     if ck in _LOAD_CACHE:
         return _LOAD_CACHE[ck]
-    df = spark.read.parquet(path)
     scheme = BLOOM_SCHEME if "scheme" in df.columns else "<pre-scheme>"
     meta = df.select("n_bits", "k").first()
     if "scheme" in df.columns:
@@ -135,7 +166,7 @@ def load_bloom(spark, path: str, n_bits: int, k: int) -> DataFrame:
             f"{(n_bits, k, BLOOM_SCHEME)}"
         )
     out = df.select("word_idx", "bits")
-    _LOAD_CACHE[ck] = out
+    _cache_put(_LOAD_CACHE, ck, out, _LOAD_CACHE_MAX)
     return out
 
 
@@ -171,7 +202,7 @@ def load_eval_index(spark, path: str, n: int) -> DataFrame:
     """Load a persisted eval index, validating the shingle width — probing
     3-gram hashes against a 13-gram index silently finds nothing, so a
     mismatch is an error, not a fallback."""
-    ck = ("evalidx", path, n, _artifact_mtime(path))
+    ck = ("evalidx", path, n, _artifact_stat(path))
     if ck in _LOAD_CACHE:
         return _LOAD_CACHE[ck]
     df = spark.read.parquet(path)
@@ -180,7 +211,7 @@ def load_eval_index(spark, path: str, n: int) -> DataFrame:
         got = None if meta is None else meta["n"]
         raise ValueError(f"eval index at {path} was built with n={got}, probe wants n={n}")
     out = df.select("h1", "eval_id")
-    _LOAD_CACHE[ck] = out
+    _cache_put(_LOAD_CACHE, ck, out, _LOAD_CACHE_MAX)
     return out
 
 
@@ -193,8 +224,12 @@ def load_eval_index(spark, path: str, n: int) -> DataFrame:
 # bloom would silently serve the stale bitset).  ``load_bloom`` returns a
 # fresh DataFrame per (path, mtime), so identity tracks content; the bloom
 # reference stored in the value pins the object so its id cannot be
-# recycled by the allocator while the cache entry lives.
+# recycled by the allocator while the cache entry lives.  FIFO-bounded
+# (round-5 ADVICE): each densified literal embeds up to 512 KB of longs in
+# its expr string, so an unbounded dict leaks per rebuilt bloom in a
+# long-lived serving session.
 _DENSE_BLOOM_CACHE: dict[tuple[int, int], tuple[DataFrame, Column]] = {}
+_DENSE_BLOOM_CACHE_MAX = 8
 
 
 def _dense_bloom_literal(bloom: DataFrame, n_bits: int) -> Column:
@@ -212,7 +247,7 @@ def _dense_bloom_literal(bloom: DataFrame, n_bits: int) -> Column:
     for r in rows:
         words[int(r["word_idx"])] = int(r["bits"])
     col = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
-    _DENSE_BLOOM_CACHE[key] = (bloom, col)
+    _cache_put(_DENSE_BLOOM_CACHE, key, (bloom, col), _DENSE_BLOOM_CACHE_MAX)
     return col
 
 

@@ -37,6 +37,11 @@ def get_spark(app_name: str = "mcpvectordb_spark", shuffle_partitions: int | Non
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # \r-terminated stage-progress bars flooded the round-5 driver's
+        # bench tail capture (BENCH_r05.json parsed:null) — silence them;
+        # bench.py prints its one-line JSON summary LAST so any tail window
+        # retains it.
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

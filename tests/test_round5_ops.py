@@ -239,7 +239,10 @@ def test_cuped_and_synthctrl_survive_degenerate_corpora(spark, tmp_path):
                      "event_type": "purchase", "value": 5.0})
     d = _write_events(spark, tmp_path / "const", rows)
     out = QUERIES["events_cuped"](spark, d).first()
-    assert out["theta"] is None and out["significant"] is None, out
+    # the numeric readouts are NULL ("not evaluable"), but the GATE must be
+    # a definite boolean — round-5 ADVICE: downstream truthiness on NULL is
+    # silent, so not-evaluable coalesces to false
+    assert out["theta"] is None and out["significant"] is False, out
     # constant donors (collinear with the intercept): det = 0
     rows2 = []
     for t in range(30):
@@ -250,3 +253,4 @@ def test_cuped_and_synthctrl_survive_degenerate_corpora(spark, tmp_path):
     d2 = _write_events(spark, tmp_path / "flat", rows2)
     out2 = QUERIES["events_synthctrl"](spark, d2).first()
     assert out2["w_view"] is None and out2["gap_z"] is None, out2
+    assert out2["placebo_ok"] is False, out2

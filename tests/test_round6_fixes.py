@@ -1,0 +1,202 @@
+"""Round-6 verdict/ADVICE fixes: the two-level bucketed cumulative sum
+(documents_heaps scale fix), the scalar-aggregate value_blocks guard, the
+never-green-first rotation, and the stream-quartet value gates' closed-set
+filters."""
+
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _global_cumsum(rows, key, cols):
+    out, run = {}, {c: 0 for c in cols}
+    for r in sorted(rows, key=lambda r: r[key]):
+        for c in cols:
+            run[c] += r[c] or 0
+        out[r[key]] = tuple(run[c] for c in cols)
+    return out
+
+
+def test_bucketed_cumsum_matches_global_window(spark):
+    """The two-level sum must equal the single global window exactly —
+    including sparse, negative, and clustered key domains (range bucketing
+    must not assume dense ids)."""
+    from mcpvectordb_spark.operators.blocks import bucketed_cumsum
+
+    rows = [
+        (k, k % 7, (k * 13) % 5)
+        for k in [-1000, -3, 0, 1, 2, 5, 999, 10_000, 10_001, 123_456_789]
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, a long, b long")
+    got = {
+        r["doc_id"]: (r["cum_a"], r["cum_b"])
+        for r in bucketed_cumsum(df, "doc_id", ["a", "b"], n_buckets=4).collect()
+    }
+    want = _global_cumsum(
+        [{"doc_id": k, "a": a, "b": b} for k, a, b in rows], "doc_id", ["a", "b"]
+    )
+    assert got == want
+
+
+def test_bucketed_cumsum_null_and_single_bucket(spark):
+    from mcpvectordb_spark.operators.blocks import bucketed_cumsum
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7)], "doc_id long, a long"
+    )
+    got = {
+        r["doc_id"]: r["cum_a"]
+        for r in bucketed_cumsum(df, "doc_id", ["a"], n_buckets=1).collect()
+    }
+    assert got == {1: 5, 2: 5, 3: 12}
+
+
+def test_bucketed_cumsum_empty(spark):
+    from mcpvectordb_spark.operators.blocks import bucketed_cumsum
+
+    df = spark.createDataFrame([], "doc_id long, a long")
+    out = bucketed_cumsum(df, "doc_id", ["a"])
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "a", "cum_a"]
+
+
+def test_bucketed_cumsum_plan_has_no_unpartitioned_window(spark):
+    """The scale contract itself: the physical plan's window operators all
+    carry a partition spec (the whole point of the two-level rewrite)."""
+    from mcpvectordb_spark.operators.blocks import bucketed_cumsum
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("a")
+    )
+    out = bucketed_cumsum(df, "doc_id", ["a"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "partitionBy" not in line  # formatting guard only
+    # authoritative check: Spark logs/compiles unpartitioned windows as
+    # 'Window [..], [ordercol ASC ...]' with NO partition column list —
+    # assert every Window mentions _b as its partition key
+    win_lines = [l for l in plan.splitlines() if l.strip().startswith(("Window", "+- Window", ": +- Window")) or "Window [" in l]
+    assert win_lines, plan
+    for l in win_lines:
+        assert "[_b" in l.split("windowspecdefinition")[-1] or "_b#" in l, l
+
+
+def test_value_blocks_guard_is_scalar_not_window(spark):
+    """Round-5 ADVICE: the max_blocks guard must not itself run an
+    unpartitioned window over the block table (the failure mode would be
+    the corpus-sized single-partition shuffle it guards against).  The
+    guarded plan must contain NO Window operator at all, and the guard
+    still raises past the bound."""
+    from mcpvectordb_spark.operators.blocks import value_blocks
+
+    df = spark.range(0, 500).select(F.col("id").alias("v"))
+    blocks = value_blocks(df, "v", max_blocks=1000)
+    plan = blocks._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert blocks.count() == 500
+    bad = value_blocks(df, "v", max_blocks=499)
+    with pytest.raises(Exception, match="max_blocks"):
+        bad.agg(F.sum("c")).collect()
+
+
+def test_rotation_prefers_never_green():
+    """A query whose only CORRECTNESS row is an err (the r02 no_oracle
+    stamps) must sort BEFORE every stale-green query.  Verified against the
+    REAL repo history: every never-green name must precede every green name
+    in the rotated registry order."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    green, seen = set(), set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(p.read_text()).items():
+            seen.add(name)
+            if row.get("err") is None and row.get("rows_match") and row.get("schema_match"):
+                green.add(name)
+    import mcpvectordb_spark.catalog as cat
+
+    order = list(cat.QUERIES)
+    pos = {n: i for i, n in enumerate(order)}
+    never = [n for n in order if n in seen and n not in green]
+    if never and green:
+        assert max(pos[n] for n in never) < min(
+            pos[n] for n in order if n in green
+        ), "a never-green query sorts after a green one"
+
+
+def test_stream_hourly_closed_set_is_deterministic(spark):
+    """The emitted-and-kept window set must equal the batch twin restricted
+    to windows ending > watermark+1s before max(ts) — i.e. the Spark result
+    is exactly reproducible from batch data, which is what lets the DuckDB
+    oracle value-gate a stream."""
+    from mcpvectordb_spark.catalog import QUERIES
+    from mcpvectordb_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in QUERIES["stream_hourly"](spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .filter(
+            F.col("w") + F.expr("INTERVAL 1 HOUR")
+            < F.lit(max_ts) - F.expr("INTERVAL 2 HOURS") - F.expr("INTERVAL 1 SECOND")
+        )
+    )
+    want = {
+        (r["w"].strftime("%Y-%m-%d %H:%M:%S"), r["event_type"]): (r["n"], r["s"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 10
+
+
+def test_ingest_path_never_reads_session_caches(spark, tmp_path):
+    """The session-shared frozen-state caches (_BM25_CACHE & friends) assume
+    the corpus under sf_dir is IMMUTABLE within a session — a mutating
+    ingest-backed corpus must never route through them (the contract stated
+    at catalog/_common.py; round-5 verdict item 7).  Two pins:
+
+    1. static — no ingest-path module references any session cache;
+    2. behavioral — a full ingest + hybrid search leaves _BM25_CACHE
+       untouched (the API tokenizes its own store, Bm25Index.append is the
+       incremental path).
+    """
+    from pathlib import Path
+
+    import mcpvectordb_spark.catalog._common as common
+    from mcpvectordb_spark.api import VectorDB
+    from mcpvectordb_spark.config import TEST
+
+    pkg = Path(common.__file__).resolve().parent.parent
+    ingest_path_modules = [
+        pkg / "api.py", pkg / "ingest.py", pkg / "store.py",
+        pkg / "server.py", pkg / "pipeline.py",
+        pkg / "operators" / "bm25.py", pkg / "operators" / "hybrid.py",
+    ]
+    cache_names = [
+        "_shared_bm25_index", "_BM25_CACHE", "_COPURCHASE_CACHE",
+        "_SUPPART_CACHE", "_copurchase_pairs", "_supplier_part_recurring",
+    ]
+    for mod in ingest_path_modules:
+        src = mod.read_text()
+        for name in cache_names:
+            assert name not in src, f"{mod.name} references session cache {name}"
+
+    before = dict(common._BM25_CACHE)
+    db = VectorDB(spark, str(tmp_path / "store"), TEST)
+    db.ingest_content("the mutable corpus gains a xylophone document " * 8,
+                      source="a.md", library="l")
+    db.ingest_content("and then a second tuba document arrives " * 8,
+                      source="b.md", library="l")
+    hits = db.search("xylophone", top_k=3)
+    assert hits["status"] == "ok" and hits["results"]
+    assert common._BM25_CACHE == before, (
+        "an ingest-backed search populated the immutable-corpus BM25 cache"
+    )
