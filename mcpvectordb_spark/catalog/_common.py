@@ -192,6 +192,87 @@ def _shared_bm25_index(spark: SparkSession, sf_dir: str):
     return idx
 
 
+# Session-scoped shingle inverted indexes: the dedup/similarity family
+# (ngram_jaccard, minhash sig/lsh/calibration, ssjoin, clusters) re-exploded
+# the same corpus into (id, shingle) rows per query — the dominant cost of
+# each.  Two corpus variants exist: "raw" (the documents table verbatim)
+# and "near" (_near_corpus's planted-duplicate union).  Same freshness
+# contract as the caches above: keyed (applicationId, sf_dir, corpus, n);
+# ingest-backed mutating corpora never route through catalog sf_dir queries.
+_SHINGLE_CACHE: dict[tuple[str, str, str, int], DataFrame] = {}
+
+
+def _shared_shingles(
+    spark: SparkSession, sf_dir: str, corpus: str = "raw", n: int = 3
+) -> DataFrame:
+    """Eagerly-checkpointed (id, shingle) inverted index over the chosen
+    corpus variant — built once per (session, corpus), the frozen artifact
+    every shingle-set operator runs against (the 100 TB shape: you shingle
+    the corpus once, then run the whole dedup suite on the index)."""
+    key = (spark.sparkContext.applicationId, sf_dir, corpus, n)
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if corpus == "raw":
+        base = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("id"), "text"
+        )
+    elif corpus == "near":
+        base = _near_corpus(spark, sf_dir)
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown corpus variant: {corpus!r}")
+    idx = dd._shingle_index(base, "id", "text", n).localCheckpoint(eager=True)
+    _SHINGLE_CACHE[key] = idx
+    return idx
+
+
+# Session-scoped AllPairs/PPJoin positional postings (doc, term, s, pos)
+# over a corpus variant — the threshold-independent exact-similarity-join
+# index (operators/simjoin.py::ssjoin_postings), built on top of the shared
+# shingles and frozen once per session.
+_SSJOIN_POSTINGS_CACHE: dict[tuple[str, str, str, int], DataFrame] = {}
+
+
+def _shared_ssjoin_postings(
+    spark: SparkSession, sf_dir: str, corpus: str = "near", n: int = 3
+) -> DataFrame:
+    from mcpvectordb_spark.operators.simjoin import ssjoin_postings
+
+    key = (spark.sparkContext.applicationId, sf_dir, corpus, n)
+    hit = _SSJOIN_POSTINGS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    ranked = ssjoin_postings(
+        None, "id", "text", n, shingles=_shared_shingles(spark, sf_dir, corpus, n)
+    ).localCheckpoint(eager=True)
+    _SSJOIN_POSTINGS_CACHE[key] = ranked
+    return ranked
+
+
+# Session-scoped MinHash signature table over the RAW corpus.  Built at 16
+# hashes: mh_i depends only on (h1, h2, i), so the first K columns ARE the
+# K-hash signatures — one table serves the 8-hash dedup_minhash_sig and the
+# 16-hash calibration audit.
+_MINHASH_SIG_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+
+
+def _shared_minhash_sigs(
+    spark: SparkSession, sf_dir: str, num_hashes: int = 16, n: int = 3
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, num_hashes, n)
+    hit = _MINHASH_SIG_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    sigs = dd.minhash_signatures(
+        docs, "id", "text", num_hashes, n, shingles=_shared_shingles(spark, sf_dir, "raw", n)
+    ).localCheckpoint(eager=True)
+    _MINHASH_SIG_CACHE[key] = sigs
+    return sigs
+
+
 # The supplier↔part recurring-shipment table (>= 2 lineitems) backs four
 # more graph queries (kcore / linkpred / ppr / hits) — same freshness
 # contract as the caches above.

@@ -368,7 +368,10 @@ FROM corpus GROUP BY 1 HAVING count(*) >= 2
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup pairs ≥ 0.5 via shingle inverted index."""
     corpus = _near_corpus(spark, sf_dir)
-    pairs = dd.ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.5)
+    pairs = dd.ngram_jaccard_pairs(
+        corpus, "id", "text", n=3, threshold=0.5,
+        shingles=_shared_shingles(spark, sf_dir, "near"),
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -414,8 +417,11 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), "text"
     )
-    pairs = dd.ngram_jaccard_pairs(docs, "id", "text", n=3, threshold=0.02)
-    sigs = dd.minhash_signatures(docs, "id", "text", num_hashes=16, shingle_n=3)
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "id", "text", n=3, threshold=0.02,
+        shingles=_shared_shingles(spark, sf_dir, "raw"),
+    )
+    sigs = _shared_minhash_sigs(spark, sf_dir, 16)
     sa = sigs.select(
         F.col("id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)]
     )
@@ -472,8 +478,8 @@ FROM joined GROUP BY k
 
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable 8-hash MinHash signatures over the documents table."""
-    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "text")
-    return dd.minhash_signatures(docs, "id", "text", num_hashes=8, shingle_n=3)
+    sigs = _shared_minhash_sigs(spark, sf_dir, 16)
+    return sigs.select("id", *[f"mh{i}" for i in range(8)])
 
 
 SQL_DEDUP_MINHASH_SIG = f"""
@@ -486,7 +492,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash→LSH banding→verify pipeline (8 hashes, 4 bands of 2 —
     P(candidate) = 1−(1−J²)⁴ ≈ 0.999 at J 0.9)."""
     corpus = _near_corpus(spark, sf_dir)
-    pairs = dd.minhash_lsh_pairs(corpus, "id", "text", num_hashes=8, bands=4, shingle_n=3, threshold=0.5)
+    pairs = dd.minhash_lsh_pairs(
+        corpus, "id", "text", num_hashes=8, bands=4, shingle_n=3, threshold=0.5,
+        shingles=_shared_shingles(spark, sf_dir, "near"),
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -515,7 +524,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative (min reachable id).  Spark: iterative min-label
     propagation; oracle: recursive CTE."""
     corpus = _near_corpus(spark, sf_dir)
-    pairs = dd.ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.5)
+    pairs = dd.ngram_jaccard_pairs(
+        corpus, "id", "text", n=3, threshold=0.5,
+        shingles=_shared_shingles(spark, sf_dir, "near"),
+    )
     clusters = dd.dedup_clusters(corpus.select("id"), pairs, "id")
     return clusters
 
@@ -527,7 +539,10 @@ def q_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     as dedup_clusters — the driver gate itself proves the two algorithms
     agree on real pair graphs."""
     corpus = _near_corpus(spark, sf_dir)
-    pairs = dd.ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.5)
+    pairs = dd.ngram_jaccard_pairs(
+        corpus, "id", "text", n=3, threshold=0.5,
+        shingles=_shared_shingles(spark, sf_dir, "near"),
+    )
     # loop_partitions=8: the planted pair graph is tiny — scoped small-graph
     # fast path (see dedup.dedup_clusters_twostar; None at corpus scale)
     return dd.dedup_clusters_twostar(corpus.select("id"), pairs, "id", loop_partitions=8)
@@ -557,7 +572,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (containment 1.0 in the original→copy direction) even where symmetric
     Jaccard would dilute — the fragment/quotation detector."""
     corpus = _near_corpus(spark, sf_dir)
-    pairs = dd.ngram_containment_pairs(corpus, "id", "text", n=3, threshold=0.9)
+    pairs = dd.ngram_containment_pairs(
+        corpus, "id", "text", n=3, threshold=0.9,
+        shingles=_shared_shingles(spark, sf_dir, "near"),
+    )
     return pairs.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
 
 
@@ -579,7 +597,10 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest id, report members dropped — the action step that turns the
     cluster map into an actual deduped corpus."""
     corpus = _near_corpus(spark, sf_dir)
-    pairs = dd.ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.5)
+    pairs = dd.ngram_jaccard_pairs(
+        corpus, "id", "text", n=3, threshold=0.5,
+        shingles=_shared_shingles(spark, sf_dir, "near"),
+    )
     clusters = dd.dedup_clusters(corpus.select("id"), pairs, "id")
     return (
         clusters.groupBy("cluster_id")

@@ -975,7 +975,10 @@ def q_ssjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcpvectordb_spark.operators.simjoin import jaccard_ssjoin
 
     corpus = _near_corpus(spark, sf_dir)
-    pairs = jaccard_ssjoin(corpus, "id", "text", threshold=0.5, shingle_n=3)
+    pairs = jaccard_ssjoin(
+        corpus, "id", "text", threshold=0.5, shingle_n=3,
+        postings=_shared_ssjoin_postings(spark, sf_dir, "near"),
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -36,12 +36,63 @@ from pyspark.sql import functions as F
 from mcpvectordb_spark.operators.bm25 import doc_terms
 
 
+def ssjoin_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """The threshold-INDEPENDENT AllPairs/PPJoin index: (doc, term, s, pos)
+    where term is the xxhash64'd shingle, s the doc's set size, and pos the
+    token's rarest-first rank within its doc (global (df, term) order).
+
+    Split out of :func:`jaccard_ssjoin` so the index can be built once and
+    frozen (catalog/_common.py session cache; at 100 TB, a persisted
+    table): every threshold's join is then prefix-filter + candidate join +
+    verify over the same postings.  ``shingles``: optional precomputed
+    (id, shingle) index — skips the corpus explode too.
+    """
+    from pyspark.sql import Window
+
+    from mcpvectordb_spark.operators.dedup import fan_out, word_shingles
+
+    if shingles is not None:
+        exploded = shingles.select(F.col("id").alias("doc"), F.col("shingle").alias("sh"))
+    else:
+        exploded = fan_out(df).select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+        )
+    toks = (
+        exploded
+        # shingles shuffle as 64-bit hashes end to end: candidate and
+        # verify rows are 16 bytes, not strings (collision probability
+        # ~ n_shingles²/2^64 — nil at any real corpus size, and a
+        # collision can only ever MERGE two shingles, biasing J up by
+        # <= 1/|set|)
+        .select("doc", F.xxhash64(F.col("sh")).alias("term"))
+        # referenced by the rank build AND both verify sides — pin one
+        # materialization of the shingle explode
+        .localCheckpoint(eager=False)
+    )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("s"))
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ordered = toks.join(dfreq, "term").join(sizes, "doc")
+    pos = F.row_number().over(
+        Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("term").asc())
+    )
+    return ordered.withColumn("pos", pos).select("doc", "term", "s", "pos")
+
+
 def jaccard_ssjoin(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard self-join via AllPairs prefix filtering
     (Bayardo, Ma, Srikant, WWW 2007).
@@ -64,36 +115,16 @@ def jaccard_ssjoin(
     by pair.  The verify step rejoins full postings only for surviving
     candidate pairs.
     """
-    from mcpvectordb_spark.operators.dedup import fan_out, word_shingles
-
-    toks = (
-        fan_out(df)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-        )
-        # shingles shuffle as 64-bit hashes end to end: candidate and
-        # verify rows are 16 bytes, not strings (collision probability
-        # ~ n_shingles²/2^64 — nil at any real corpus size, and a
-        # collision can only ever MERGE two shingles, biasing J up by
-        # <= 1/|set|)
-        .select("doc", F.xxhash64(F.col("sh")).alias("term"))
-        # referenced by the prefix build AND both verify sides — pin one
-        # materialization of the shingle explode
-        .localCheckpoint(eager=False)
+    ranked = (
+        postings
+        if postings is not None
+        else ssjoin_postings(df, id_col, text_col, shingle_n, shingles=shingles)
     )
-    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("s"))
-    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    toks = ranked.select("doc", "term")
 
-    # rarest-first position of each token within its doc (global order by
-    # (df, term)); 1e-9 guards ceil against binary-float excess in t·|s|
-    from pyspark.sql import Window
-
-    ordered = toks.join(dfreq, "term").join(sizes, "doc")
-    pos = F.row_number().over(
-        Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("term").asc())
-    )
-    prefix = ordered.withColumn("pos", pos).filter(
+    # prefix filter: |s| − ceil(t·|s|) + 1 rarest-first elements; 1e-9
+    # guards ceil against binary-float excess in t·|s|
+    prefix = ranked.filter(
         F.col("pos")
         <= F.col("s") - F.ceil(F.lit(threshold) * F.col("s") - F.lit(1e-9)) + 1
     )

@@ -200,3 +200,63 @@ def test_ingest_path_never_reads_session_caches(spark, tmp_path):
     assert common._BM25_CACHE == before, (
         "an ingest-backed search populated the immutable-corpus BM25 cache"
     )
+
+
+def test_minhash_sig_prefix_property(spark):
+    """The session-shared 16-hash signature table's first 8 columns must BE
+    the 8-hash signatures (mh_i depends only on (h1, h2, i)) — the property
+    that lets one frozen table serve every signature consumer."""
+    from mcpvectordb_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i} tail words here") for i in range(20)],
+        "id long, text string",
+    )
+    s16 = minhash_signatures(df, "id", "text", num_hashes=16).select(
+        "id", *[f"mh{i}" for i in range(8)]
+    )
+    s8 = minhash_signatures(df, "id", "text", num_hashes=8)
+    assert sorted(map(tuple, s16.collect())) == sorted(map(tuple, s8.collect()))
+
+
+def test_shared_shingles_and_postings_match_direct(spark):
+    """Injecting the session-shared shingle index / ssjoin postings must not
+    change any operator's output (same values, frozen input)."""
+    from mcpvectordb_spark.catalog._common import (
+        _shared_shingles,
+        _shared_ssjoin_postings,
+    )
+    from mcpvectordb_spark.operators import dedup as dd
+    from mcpvectordb_spark.operators.simjoin import jaccard_ssjoin
+
+    sf = "/root/testdata/sf0.001"
+    from mcpvectordb_spark.io import load_table
+
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    direct = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dd.ngram_jaccard_pairs(docs, "id", "text", n=3, threshold=0.5).collect()
+    )
+    shared = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dd.ngram_jaccard_pairs(
+            docs, "id", "text", n=3, threshold=0.5,
+            shingles=_shared_shingles(spark, sf, "raw"),
+        ).collect()
+    )
+    assert direct == shared and len(direct) > 0
+
+    d2 = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in jaccard_ssjoin(docs, "id", "text", threshold=0.5).collect()
+    )
+    s2 = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in jaccard_ssjoin(
+            docs, "id", "text", threshold=0.5,
+            postings=_shared_ssjoin_postings(spark, sf, "raw"),
+        ).collect()
+    )
+    assert d2 == s2 == direct
