@@ -3061,8 +3061,92 @@ def main_r5b() -> None:
     spark.stop()
 
 
+def main_r6() -> None:
+    """Round-6 stress: the documents_heaps TWO-LEVEL cumulative sum at
+    >= 2M docs (the round-5 verdict's scale-killer fix).  Every shingle is
+    globally unique so V(N) = N exactly — beta == K == corr == 1.0 at 6 dp,
+    a closed form, not a tolerance — and the plan must contain NO
+    unpartitioned window (asserted on the physical plan of the bucketed
+    cumsum itself, which is what replaced the global Window.orderBy)."""
+    import tempfile
+
+    from mcpvectordb_spark.catalog import q_documents_heaps
+    from mcpvectordb_spark.operators.blocks import bucketed_cumsum
+
+    spark = get_spark("stress-r6")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {counts[name]}", file=sys.stderr)
+
+    def heaps_2m():
+        n_docs, toks = 2_000_000, 10
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(toks - 1)),
+                    lambda j: F.concat(
+                        F.lit("d"), F.col("id").cast("string"),
+                        F.lit("t"), j.cast("string"),
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        path = tempfile.mkdtemp(prefix="stress_r6_")
+        docs.repartition(64).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+        out = q_documents_heaps(spark, path).first()
+        expected = n_docs * (toks - 2)
+        assert out["n_docs"] == n_docs, out
+        assert out["total_shingles"] == expected and out["vocab"] == expected, out
+        assert out["heaps_beta"] == 1.0 and out["heaps_k"] == 1.0, out
+        assert out["loglog_corr"] == 1.0, out
+        # the scale contract: the cumsum plan that replaced the global
+        # window carries a partition spec on every Window operator
+        panel = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.lit(8).alias("occ"),
+            F.lit(8).alias("v_new"),
+        )
+        plan = (
+            bucketed_cumsum(panel, "doc_id", ["occ", "v_new"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line:
+                assert "_b#" in line, line
+        notes["heaps_2m"] = (
+            f"2M docs / {expected:,} globally-unique shingles through the "
+            "two-level bucketed cumsum (4096 range buckets, driver offsets, "
+            "per-bucket windows): V(N)=N closed form recovered EXACTLY "
+            "(beta=1, K=1, corr=1 at 6 dp); every Window in the plan is "
+            "partitioned — no single-partition stage at 400x the bench panel"
+        )
+        return out["fit_points"]
+
+    run("heaps_2m", heaps_2m)
+
+    print(json.dumps({
+        "mode": "r6",
+        "timings_s": timings,
+        "counts": counts,
+        "notes": notes,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "sf1" in sys.argv[1:]:
+    if "r6" in sys.argv[1:]:
+        main_r6()
+    elif "sf1" in sys.argv[1:]:
         main_sf1()
     elif "r3" in sys.argv[1:]:
         main_r3()
