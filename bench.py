@@ -189,6 +189,10 @@ BENCH_QUERIES = [
     "events_cuped",          # CUPED variance-reduced A/B readout, A/A gate
     "events_synthctrl",      # synthetic-control donor fit + placebo gap
     "documents_heaps",       # Heaps-law vocabulary growth over shingles
+    "events_bh_fdr",         # BH-FDR across per-type A/B Welch z-tests
+    "events_anova",          # one-way ANOVA F / eta^2 across event types
+    "lineitem_kendall",      # exact Kendall tau-b via 2-D value blocks
+    "copurchase_rules",      # association rules off the shared co-purchase graph
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

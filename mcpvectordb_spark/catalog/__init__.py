@@ -27,6 +27,7 @@ from mcpvectordb_spark.catalog._nonsql import *  # noqa: F401,F403
 from mcpvectordb_spark.catalog._round4_core import *  # noqa: F401,F403
 from mcpvectordb_spark.catalog._round4_stats import *  # noqa: F401,F403
 from mcpvectordb_spark.catalog._round5 import *  # noqa: F401,F403
+from mcpvectordb_spark.catalog._round6 import *  # noqa: F401,F403
 
 # ===========================================================================
 # registry
@@ -46,6 +47,14 @@ from mcpvectordb_spark.catalog._round5 import *  # noqa: F401,F403
 # the rotation-policy test (tests/test_entry.py) can no longer go stale
 # between rounds.
 QUERIES = {
+    # -- round-6 additions (the (ever_green, last_round) rotation key puts
+    # -- these AND the 9 never-green backlog queries in the first 13 of the
+    # -- 50 driver slots together — additions can no longer displace the
+    # -- backlog; window membership pinned in tests/test_entry.py) --
+    "events_bh_fdr": q_events_bh_fdr,
+    "events_anova": q_events_anova,
+    "lineitem_kendall": q_lineitem_kendall,
+    "copurchase_rules": q_copurchase_rules,
     # -- round-5 additions (capped at 3: verdict item #1 freezes catalog
     # -- growth so the 50-slot driver window drains the 47-query backlog) --
     "events_cuped": q_events_cuped,
@@ -353,6 +362,11 @@ def _rotate_stalest_first(queries: dict) -> dict:
 QUERIES = _rotate_stalest_first(QUERIES)
 
 ORACLES = {
+    # -- round-6 --
+    "events_bh_fdr": SQL_EVENTS_BH_FDR,
+    "events_anova": SQL_EVENTS_ANOVA,
+    "lineitem_kendall": SQL_LINEITEM_KENDALL,
+    "copurchase_rules": SQL_COPURCHASE_RULES,
     # -- round-5 --
     "events_cuped": SQL_EVENTS_CUPED,
     "events_synthctrl": SQL_EVENTS_SYNTHCTRL,

@@ -1,0 +1,287 @@
+"""Round-6 additions (4 queries).  The round-5 verdict froze catalog growth
+until the 9 never-green queries reach the driver window; the round-6
+rotation fix sorts by (ever_green, last_round), so brand-new queries (no
+CORRECTNESS row) and the 9 never-green ones TOGETHER occupy the first 13
+of the 50 driver slots — additions can no longer displace the backlog
+(pinned by tests/test_entry.py::test_stalest_queries_fill_driver_window
+and tests/test_round6_fixes.py::test_rotation_prefers_never_green).
+
+The four close real gaps in the stats/analytics surface:
+- events_bh_fdr    — Benjamini–Hochberg FDR across per-event-type A/B
+                     Welch z-tests (multiple-testing control, the missing
+                     piece of the A/B family; normal CDF via the Zelen &
+                     Severo polynomial mirrored bit-for-bit in SQL);
+- events_anova     — one-way ANOVA F / eta² across event types;
+- lineitem_kendall — exact Kendall tau-b with tie corrections via the
+                     2-D value-block table (the rank-correlation sibling
+                     of lineitem_spearman);
+- copurchase_rules — association rules (support / confidence / lift)
+                     over the session-shared co-purchase graph.
+
+Import order is load-bearing: this module references names from earlier
+sections via the wildcard chain below."""
+from __future__ import annotations
+
+from mcpvectordb_spark.catalog._common import *  # noqa: F401,F403
+from mcpvectordb_spark.catalog._search import *  # noqa: F401,F403
+from mcpvectordb_spark.catalog._corpus import *  # noqa: F401,F403
+from mcpvectordb_spark.catalog._events import *  # noqa: F401,F403
+
+
+def q_events_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type A/B Welch z-tests with Benjamini–Hochberg FDR
+    correction (operators/stats.py::group_welch_bh): users hash into two
+    arms (portable md5, oracle-replayable), each event type's value-cents
+    metric is z-tested between arms from exact BIGINT moments, and the m
+    p-values are BH-adjusted (q_i = min_{j>=i} p_(j)·m/j).  On this A/A
+    split (no intervention) EVERY q should accept — the multiple-testing
+    twin of the events_ab_test/events_cuped placebo discipline: with ~5
+    metrics at per-test alpha=0.05, uncorrected testing false-alarms on
+    ~1 in 4 A/A runs, which is exactly what BH exists to cap.
+
+    Scale: one (type, arm) groupBy over the corpus; every later window
+    runs over ONE ROW PER EVENT TYPE (a bounded enum domain).  The normal
+    CDF uses the Zelen & Severo 26.2.17 polynomial (|err| < 7.5e-8, well
+    under the 6-dp gate), mirrored character-for-character in the oracle.
+    """
+    from mcpvectordb_spark.operators.stats import group_welch_bh
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return group_welch_bh(
+        ev, "event_type", "user_id", cents, salt="fdr", alpha=0.05
+    ).orderBy("event_type")
+
+
+_SQL_ZS_POLY = (
+    "t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 + "
+    "t * (-1.821255978 + t * 1.330274429))))"
+)
+
+SQL_EVENTS_BH_FDR = f"""
+WITH base AS (
+  SELECT event_type AS g, user_id,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events),
+cells AS (
+  SELECT g, ({_sql_hex48("'fdr:' || CAST(user_id AS VARCHAR)")}) % 2 AS arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS ss
+  FROM base GROUP BY 1, 2),
+wide AS (
+  SELECT g,
+    CAST(coalesce(max(CASE WHEN arm = 0 THEN n END), 0) AS DOUBLE) AS n0,
+    CAST(coalesce(max(CASE WHEN arm = 0 THEN s END), 0) AS DOUBLE) AS s0,
+    CAST(coalesce(max(CASE WHEN arm = 0 THEN ss END), 0) AS DOUBLE) AS ss0,
+    CAST(coalesce(max(CASE WHEN arm = 1 THEN n END), 0) AS DOUBLE) AS n1,
+    CAST(coalesce(max(CASE WHEN arm = 1 THEN s END), 0) AS DOUBLE) AS s1,
+    CAST(coalesce(max(CASE WHEN arm = 1 THEN ss END), 0) AS DOUBLE) AS ss1
+  FROM cells GROUP BY g),
+zs AS (
+  SELECT g,
+    CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+    CASE WHEN se > 0 THEN (m1 - m0) / se END AS z
+  FROM (
+    SELECT *,
+      sqrt(v0 / n0 + v1 / n1) AS se,
+      CASE WHEN n0 > 0 THEN s0 / n0 END AS m0,
+      CASE WHEN n1 > 0 THEN s1 / n1 END AS m1
+    FROM (
+      SELECT *,
+        CASE WHEN n0 > 1 THEN (n0 * ss0 - s0 * s0) / (n0 * (n0 - 1.0)) END AS v0,
+        CASE WHEN n1 > 1 THEN (n1 * ss1 - s1 * s1) / (n1 * (n1 - 1.0)) END AS v1
+      FROM wide))),
+scored AS (
+  SELECT g, n_a, n_b, z,
+    CASE WHEN z IS NOT NULL THEN
+      2.0 * (0.3989422804014327 * exp(-abs(z) * abs(z) / 2.0))
+          * ({_SQL_ZS_POLY})
+    END AS p
+  FROM (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zs)),
+ranked AS (
+  SELECT g, p,
+         row_number() OVER (ORDER BY p, g) AS rank,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM scored WHERE p IS NOT NULL),
+qq AS (
+  SELECT g,
+         least(min(p * m / rank)
+                 OVER (ORDER BY rank DESC ROWS UNBOUNDED PRECEDING),
+               1.0) AS q
+  FROM ranked)
+SELECT s.g AS event_type, s.n_a, s.n_b,
+       round(s.z, 6) AS z, round(s.p, 6) AS p, round(qq.q, 6) AS q_bh,
+       coalesce(qq.q <= 0.05, false) AS rejected
+FROM scored s LEFT JOIN qq ON qq.g = s.g
+ORDER BY s.g
+"""
+
+
+def q_events_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types on value cents (operators/
+    stats.py::anova_oneway): between/within sums of squares from exact
+    per-group BIGINT moments, F and eta² as one final double expression.
+    SS columns are reported in DOLLARS² (cents² / 1e4) so their ~1e13
+    cents² magnitudes sit far above double-ulp noise at the 4-dp gate
+    (the per-group s²/n terms are each exactly rounded doubles; their
+    k-term sum is order-independent to well under the output rounding).
+    """
+    from mcpvectordb_spark.operators.stats import anova_oneway
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = anova_oneway(ev, "event_type", cents)
+    return out.select(
+        "k_groups",
+        "n",
+        F.round(F.col("ss_between") / 1e4, 4).alias("ssb_dollars2"),
+        F.round(F.col("ss_within") / 1e4, 4).alias("ssw_dollars2"),
+        "f_stat",
+        "eta_sq",
+    )
+
+
+SQL_EVENTS_ANOVA = """
+WITH g AS (
+  SELECT event_type AS g,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS ss
+  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events)
+  GROUP BY 1),
+roll AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(s) AS BIGINT) AS gs,
+         CAST(sum(ss) AS BIGINT) AS gss,
+         sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS sb
+  FROM g),
+x AS (
+  SELECT k, nn,
+    sb - CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE) / CAST(nn AS DOUBLE) AS ssb,
+    CAST(gss AS DOUBLE) - sb AS ssw
+  FROM roll)
+SELECT k AS k_groups, nn AS n,
+       round(round(ssb, 4) / 1e4, 4) AS ssb_dollars2,
+       round(round(ssw, 4) / 1e4, 4) AS ssw_dollars2,
+       round(CASE WHEN k > 1 AND nn > k AND ssw > 0
+                  THEN (ssb / (CAST(k AS DOUBLE) - 1.0))
+                       / (ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) END,
+             6) AS f_stat,
+       round(CASE WHEN ssb + ssw > 0 THEN ssb / (ssb + ssw) END, 6) AS eta_sq
+FROM x
+"""
+
+
+def q_lineitem_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-b between l_quantity and l_discount (operators/
+    stats.py::kendall_tau_b): the corpus collapses to one block per
+    distinct (quantity, discount-cents) cell — ≤ 50×11 blocks on TPC-H
+    domains — and concordant/discordant pair masses come from the block
+    table's tiny self-join, with exact BIGINT tie corrections.  The
+    rank-correlation sibling of lineitem_spearman: tau-b's tie handling
+    is principled where midranks approximate."""
+    from mcpvectordb_spark.operators.stats import kendall_tau_b
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kendall_tau_b(
+        li,
+        F.col("l_quantity").cast("long"),
+        F.round(F.col("l_discount") * 100).cast("long"),
+    )
+
+
+SQL_LINEITEM_KENDALL = """
+WITH blocks AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2),
+cd AS (
+  SELECT CAST(sum(CASE WHEN a.y < b.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN a.y > b.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d
+  FROM blocks a JOIN blocks b ON a.x < b.x),
+tx AS (SELECT CAST(sum(t * (t - 1) / 2) AS BIGINT) AS tx
+       FROM (SELECT sum(n) AS t FROM blocks GROUP BY x)),
+ty AS (SELECT CAST(sum(t * (t - 1) / 2) AS BIGINT) AS ty
+       FROM (SELECT sum(n) AS t FROM blocks GROUP BY y)),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM blocks),
+j AS (
+  SELECT n, c, d, tx, ty,
+         CAST(n * (n - 1) / 2 AS BIGINT) AS n0
+  FROM cd, tx, ty, tot)
+SELECT n, c AS concordant, d AS discordant, tx AS ties_x, ty AS ties_y,
+       round(CASE WHEN sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)) > 0
+                  THEN CAST(c - d AS DOUBLE)
+                       / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)) END,
+             6) AS tau_b
+FROM j
+"""
+
+
+def q_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over the co-purchase graph: for
+    every part pair co-ordered in >= 2 orders (the session-shared edge set
+    of catalog/_common.py::_copurchase_pairs — the graph suite's frozen
+    state reused as the rule miner's candidate set), exact support,
+    both direction confidences, and lift from BIGINT counts:
+
+        lift(a,b) = N · n_ab / (n_a · n_b)
+
+    with N = distinct orders and n_p = distinct orders containing p.
+    Scale: the pair table is checkpointed once per session; the two count
+    tables are one distinct + groupBy over lineitem's (order, part)
+    projection.  Rules with lift > 1 co-occur MORE than independence —
+    the actionable output of a recommender's counting stage."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = li.select("o").distinct().count()
+    part_n = li.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_p"))
+    pairs = _copurchase_pairs(spark, sf_dir)
+    nd = F.lit(float(n_orders))
+    out = (
+        pairs.join(part_n.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a")), "pa")
+        .join(part_n.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b")), "pb")
+    )
+    npair = F.col("n_pair").cast("double")
+    return out.select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        "n_pair",
+        "n_a",
+        "n_b",
+        F.round(npair / nd, 9).alias("support"),
+        F.round(npair / F.col("n_a").cast("double"), 9).alias("conf_ab"),
+        F.round(npair / F.col("n_b").cast("double"), 9).alias("conf_ba"),
+        F.round(
+            nd * npair / (F.col("n_a").cast("double") * F.col("n_b").cast("double")), 6
+        ).alias("lift"),
+    )
+
+
+SQL_COPURCHASE_RULES = """
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+tot AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS nd FROM items),
+part_n AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM items GROUP BY p),
+e AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_pair
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT e.pa AS part_a, e.pb AS part_b, e.n_pair,
+       na.n_p AS n_a, nb.n_p AS n_b,
+       round(CAST(e.n_pair AS DOUBLE) / nd, 9) AS support,
+       round(CAST(e.n_pair AS DOUBLE) / CAST(na.n_p AS DOUBLE), 9) AS conf_ab,
+       round(CAST(e.n_pair AS DOUBLE) / CAST(nb.n_p AS DOUBLE), 9) AS conf_ba,
+       round(nd * CAST(e.n_pair AS DOUBLE)
+             / (CAST(na.n_p AS DOUBLE) * CAST(nb.n_p AS DOUBLE)), 6) AS lift
+FROM e
+JOIN part_n na ON na.p = e.pa
+JOIN part_n nb ON nb.p = e.pb
+CROSS JOIN tot
+"""
+
+
+# re-export everything (including underscore helpers) to later sections
+__all__ = [n for n in dir() if not n.startswith("__")]

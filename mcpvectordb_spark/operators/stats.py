@@ -755,3 +755,229 @@ def eb_shrink_rates(
             6,
         ).alias("eb_rate"),
     )
+
+
+# Zelen & Severo 26.2.17 (Handbook of Mathematical Functions): the standard
+# 5-term polynomial approximation of the normal CDF tail, |error| < 7.5e-8 —
+# well inside the 6-dp oracle rounding.  Written in nested Horner form and
+# mirrored CHARACTER-FOR-CHARACTER by the SQL twin so both engines evaluate
+# the identical expression tree (the exact-moments-then-one-double-expression
+# discipline extended to a transcendental).
+_ZS_P = 0.2316419
+_ZS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def normal_p_two_sided(z: Column) -> Column:
+    """Two-sided p-value of a standard-normal statistic: 2·(1−Φ(|z|))."""
+    az = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ZS_P) * az)
+    b1, b2, b3, b4, b5 = (F.lit(b) for b in _ZS_B)
+    poly = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+    phi = F.lit(_INV_SQRT_2PI) * F.exp(-az * az / F.lit(2.0))
+    return F.lit(2.0) * phi * poly
+
+
+def group_welch_bh(
+    df: DataFrame,
+    group_col: str,
+    user_col: str,
+    val_col: Column,
+    salt: str = "fdr",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Per-group Welch z-tests between hash-assigned arms, corrected for
+    multiple testing with Benjamini–Hochberg (1995) step-up FDR control —
+    the guardrail a metrics platform needs the moment it tests more than
+    one metric per experiment (per-group alpha=0.05 over m groups yields
+    ~0.05·m false discoveries on A/A data; BH caps the EXPECTED false
+    discovery RATE at alpha).
+
+    ``val_col`` must be an integer-quantized Column (cents): every moment
+    (n, Σx, Σx²) aggregates as exact BIGINT per (group, arm), so the z
+    statistics are bit-deterministic; p-values come from
+    :func:`normal_p_two_sided`.
+
+    q_i = min_{j>=i}(p_(j)·m/j) via a reversed running min — the windows
+    run over ONE ROW PER GROUP (the hypothesis list, bounded by the group
+    domain, e.g. event types), never corpus rows.
+
+    Degenerate arms (n<2 or zero variance) get NULL z/p and are EXCLUDED
+    from m (BH is defined over computed p-values); their ``rejected`` is
+    coalesced to false — the round-5 gate discipline (a NULL verdict is
+    not a verdict).
+    """
+    arm = ab_assign(F.col(user_col).cast("string"), salt=salt)
+    cells = (
+        df.select(F.col(group_col).alias("g"), arm.alias("arm"), val_col.alias("v"))
+        .groupBy("g", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+        )
+    )
+    wide = (
+        cells.groupBy("g")
+        .pivot("arm", [0, 1])
+        .agg(F.first("n").alias("n"), F.first("s").alias("s"), F.first("ss").alias("ss"))
+    )
+
+    def arm_stats(a: int):
+        n = F.coalesce(F.col(f"{a}_n"), F.lit(0)).cast("double")
+        s = F.coalesce(F.col(f"{a}_s"), F.lit(0)).cast("double")
+        ss = F.coalesce(F.col(f"{a}_ss"), F.lit(0)).cast("double")
+        mean = F.when(n > 0, s / n)
+        var = F.when(n > 1, (n * ss - s * s) / (n * (n - F.lit(1.0))))
+        return n, mean, var
+
+    n0, m0, v0 = arm_stats(0)
+    n1, m1, v1 = arm_stats(1)
+    se = F.sqrt(v0 / n0 + v1 / n1)
+    z = F.when(se > 0, (m1 - m0) / se)
+    p = F.when(z.isNotNull(), normal_p_two_sided(z))
+    scored = wide.select(
+        F.col("g"),
+        n0.cast("long").alias("n_a"),
+        n1.cast("long").alias("n_b"),
+        z.alias("z"),
+        p.alias("p"),
+    )
+    # BH over the COMPUTED p-values only; windows span one row per group
+    w_rank = Window.orderBy("p", "g")
+    w_m = Window.partitionBy()
+    w_revmin = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tested = (
+        scored.filter(F.col("p").isNotNull())
+        .withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("m", F.count(F.lit(1)).over(w_m))
+        .withColumn(
+            "q",
+            F.least(
+                F.min(F.col("p") * F.col("m") / F.col("rank")).over(w_revmin),
+                F.lit(1.0),
+            ),
+        )
+    )
+    out = scored.join(tested.select("g", "q"), "g", "left")
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_a",
+        "n_b",
+        F.round("z", 6).alias("z"),
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q_bh"),
+        F.coalesce(F.col("q") <= F.lit(alpha), F.lit(False)).alias("rejected"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame, x_col: Column, y_col: Column
+) -> DataFrame:
+    """Exact Kendall τ-b between two INTEGER-QUANTIZED columns via the
+    joint frequency table — the rank-correlation sibling of the Spearman
+    query, with the tie corrections Spearman's midranks blur.
+
+    The corpus collapses to one block per distinct (x, y) cell (one
+    map-side-combinable groupBy — the value_blocks discipline applied in
+    two dimensions); concordant/discordant pair MASSES then come from the
+    block table's self-join on x1 < x2 (bounded by |X|·|Y| blocks², never
+    corpus rows²).  All pair counts are exact BIGINTs:
+
+        τ_b = (C − D) / sqrt((n0 − t_x)(n0 − t_y)),  n0 = n(n−1)/2
+
+    with t_x/t_y the marginal tie-pair counts.  Returns one row.
+    """
+    blocks = (
+        df.select(x_col.alias("x"), y_col.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        (F.col("a.n") * F.col("b.n")).alias("m"),
+        (F.col("a.y") < F.col("b.y")).alias("conc"),
+        (F.col("a.y") > F.col("b.y")).alias("disc"),
+    )
+    cd = pairs.agg(
+        F.sum(F.when(F.col("conc"), F.col("m")).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("disc"), F.col("m")).otherwise(0)).alias("d"),
+    )
+    tx = (
+        blocks.groupBy("x")
+        .agg(F.sum("n").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("tx"))
+    )
+    ty = (
+        blocks.groupBy("y")
+        .agg(F.sum("n").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("ty"))
+    )
+    tot = blocks.agg(F.sum("n").alias("n"))
+    j = (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(tot))
+    )
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    den = F.sqrt(
+        (n0 - F.col("tx")).cast("double") * (n0 - F.col("ty")).cast("double")
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.col("tx").alias("ties_x"),
+        F.col("ty").alias("ties_y"),
+        F.round(
+            F.when(den > 0, (F.col("c") - F.col("d")).cast("double") / den), 6
+        ).alias("tau_b"),
+    )
+
+
+def anova_oneway(df: DataFrame, group_col: str, val_col: Column) -> DataFrame:
+    """One-way ANOVA over an INTEGER-QUANTIZED value column: between/within
+    sums of squares from exact per-group BIGINT moments (n, Σx, Σx²), one
+    double expression at the end — the events_did/CUPED readout shape.
+
+    Degenerate inputs (k < 2 groups, or zero within-group variance) leave
+    f_stat NULL rather than raising under ANSI division.
+    """
+    g = (
+        df.select(F.col(group_col).alias("g"), val_col.alias("v"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+        )
+    )
+    roll = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("gs"),
+        F.sum("ss").alias("gss"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        ).alias("sb"),
+    )
+    nn = F.col("nn").cast("double")
+    ssb = F.col("sb") - F.col("gs").cast("double") * F.col("gs").cast("double") / nn
+    ssw = F.col("gss").cast("double") - F.col("sb")
+    sst = ssb + ssw
+    kd = F.col("k").cast("double")
+    f = F.when(
+        (F.col("k") > 1) & (F.col("nn") > F.col("k")) & (ssw > 0),
+        (ssb / (kd - F.lit(1.0))) / (ssw / (nn - kd)),
+    )
+    return roll.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(f, 6).alias("f_stat"),
+        F.round(F.when(sst > 0, ssb / sst), 6).alias("eta_sq"),
+    )

@@ -1,0 +1,228 @@
+"""Round-6 operators: BH-FDR across group z-tests, one-way ANOVA, Kendall
+tau-b, association rules.  Each is checked against an independent
+hand/pandas computation or an analytic closed form, plus the
+degenerate-corpus smoke the round-5 discipline requires (single arm,
+single group, constant values)."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b
+
+
+def _kendall_brute(xy):
+    n = len(xy)
+    c = d = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = xy[i][0] - xy[j][0]
+            dy = xy[i][1] - xy[j][1]
+            if dx == 0 and dy == 0:
+                tx += 1
+                ty += 1
+            elif dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif (dx > 0) == (dy > 0):
+                c += 1
+            else:
+                d += 1
+    n0 = n * (n - 1) // 2
+    den = math.sqrt((n0 - tx) * (n0 - ty))
+    return c, d, (c - d) / den if den > 0 else None
+
+
+def test_kendall_matches_bruteforce(spark):
+    from mcpvectordb_spark.operators.stats import kendall_tau_b
+
+    xy = [(i % 7, (i * 13 + i * i) % 5) for i in range(60)]
+    df = spark.createDataFrame(xy, "x long, y long")
+    out = kendall_tau_b(df, F.col("x"), F.col("y")).first()
+    c, d, tau = _kendall_brute(xy)
+    assert out["concordant"] == c and out["discordant"] == d
+    assert out["tau_b"] == pytest.approx(tau, abs=1e-6)
+
+
+def test_kendall_perfect_and_reversed(spark):
+    from mcpvectordb_spark.operators.stats import kendall_tau_b
+
+    up = spark.createDataFrame([(i, 2 * i + 1) for i in range(30)], "x long, y long")
+    assert kendall_tau_b(up, F.col("x"), F.col("y")).first()["tau_b"] == 1.0
+    down = spark.createDataFrame([(i, -i) for i in range(30)], "x long, y long")
+    assert kendall_tau_b(down, F.col("x"), F.col("y")).first()["tau_b"] == -1.0
+
+
+def test_kendall_degenerate_constant(spark):
+    from mcpvectordb_spark.operators.stats import kendall_tau_b
+
+    const = spark.createDataFrame([(1, i) for i in range(10)], "x long, y long")
+    out = kendall_tau_b(const, F.col("x"), F.col("y")).first()
+    assert out["tau_b"] is None  # all pairs tied on x → undefined, not a crash
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA
+
+
+def test_anova_matches_hand_computation(spark):
+    from mcpvectordb_spark.operators.stats import anova_oneway
+
+    groups = {"a": [10, 12, 11, 13], "b": [20, 22, 19, 21], "c": [15, 14, 16, 15]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = anova_oneway(df, "g", F.col("v")).first()
+    allv = [v for vs in groups.values() for v in vs]
+    grand = sum(allv) / len(allv)
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2 for vs in groups.values())
+    ssw = sum((v - sum(vs) / len(vs)) ** 2 for vs in groups.values() for v in vs)
+    k, n = len(groups), len(allv)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out["k_groups"] == 3 and out["n"] == 12
+    assert out["ss_between"] == pytest.approx(ssb, abs=1e-3)
+    assert out["ss_within"] == pytest.approx(ssw, abs=1e-3)
+    assert out["f_stat"] == pytest.approx(f, abs=1e-5)
+    assert out["eta_sq"] == pytest.approx(ssb / (ssb + ssw), abs=1e-6)
+
+
+def test_anova_degenerate(spark):
+    from mcpvectordb_spark.operators.stats import anova_oneway
+
+    one_group = spark.createDataFrame([("a", v) for v in (1, 2, 3)], "g string, v long")
+    r = anova_oneway(one_group, "g", F.col("v")).first()
+    assert r["k_groups"] == 1 and r["f_stat"] is None
+    constant = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5), ("b", 5)], "g string, v long"
+    )
+    r2 = anova_oneway(constant, "g", F.col("v")).first()
+    assert r2["f_stat"] is None  # zero within-group variance → not evaluable
+
+
+# ---------------------------------------------------------------------------
+# Welch z + Benjamini–Hochberg
+
+
+def test_normal_p_two_sided_accuracy(spark):
+    """The Zelen–Severo polynomial must agree with math.erfc to < 1.5e-7
+    (its published bound is 7.5e-8 on Phi)."""
+    from mcpvectordb_spark.operators.stats import normal_p_two_sided
+
+    zs = [0.0, 0.5, 1.0, 1.645, 1.96, 2.5, 3.0, 4.0, -1.96, -3.2]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {r["z"]: r["p"] for r in df.select("z", normal_p_two_sided(F.col("z")).alias("p")).collect()}
+    for z in zs:
+        exact = math.erfc(abs(z) / math.sqrt(2.0))
+        assert abs(got[z] - exact) < 1.5e-7, (z, got[z], exact)
+
+
+def _bh_reference(pvals, alpha=0.05):
+    m = len(pvals)
+    order = sorted(range(m), key=lambda i: pvals[i])
+    q = [0.0] * m
+    running = 1.0
+    for rank_from_end, idx in enumerate(reversed(order)):
+        rank = m - rank_from_end
+        running = min(running, pvals[idx] * m / rank)
+        q[idx] = running
+    return q
+
+
+def test_group_welch_bh_planted_effect(spark):
+    """Five groups, one with a planted arm shift: BH must reject exactly
+    that group; on the A/A twin every q must accept.  q-values must match
+    an independent Python BH over the same p-values."""
+    from mcpvectordb_spark.operators.stats import group_welch_bh
+
+    def corpus(shift_group):
+        rows = []
+        for g in range(5):
+            for u in range(400):
+                uid = g * 1000 + u
+                # deterministic ±1 noise around 100, arm-balanced
+                base = 100 + (uid * 7919) % 3 - 1
+                rows.append((f"g{g}", uid, base))
+        df = spark.createDataFrame(rows, "event_type string, user_id long, v long")
+        if shift_group is None:
+            return df
+        from mcpvectordb_spark.operators.stats import ab_assign
+
+        arm = ab_assign(F.col("user_id").cast("string"), salt="fdr")
+        return df.withColumn(
+            "v",
+            F.when(
+                (F.col("event_type") == shift_group) & (arm == 1),
+                F.col("v") + 50,
+            ).otherwise(F.col("v")),
+        )
+
+    hit = {
+        r["event_type"]: r
+        for r in group_welch_bh(
+            corpus("g2"), "event_type", "user_id", F.col("v"), salt="fdr"
+        ).collect()
+    }
+    assert hit["g2"]["rejected"] is True and hit["g2"]["q_bh"] < 0.001
+    assert all(not hit[f"g{g}"]["rejected"] for g in (0, 1, 3, 4))
+
+    aa = group_welch_bh(
+        corpus(None), "event_type", "user_id", F.col("v"), salt="fdr"
+    ).collect()
+    assert all(r["rejected"] is False for r in aa)
+
+    # q-values replicate an independent BH implementation
+    ps = {r["event_type"]: r["p"] for r in aa}
+    keys = sorted(ps)
+    qref = _bh_reference([ps[k] for k in keys])
+    for k, qr in zip(keys, qref):
+        got = {r["event_type"]: r["q_bh"] for r in aa}[k]
+        assert got == pytest.approx(qr, abs=1e-6), k
+
+
+def test_group_welch_bh_degenerate(spark):
+    """Constant values (zero variance) and a single-user group must yield
+    NULL z / p, be excluded from m, and read rejected=False — never NULL,
+    never an ANSI divide error."""
+    from mcpvectordb_spark.operators.stats import group_welch_bh
+
+    rows = [("const", u, 7) for u in range(100)] + [("solo", 1, 5)]
+    rows += [("ok", u, 50 + u % 5) for u in range(200)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, v long")
+    out = {r["event_type"]: r for r in group_welch_bh(df, "event_type", "user_id", F.col("v")).collect()}
+    assert out["const"]["z"] is None and out["const"]["rejected"] is False
+    assert out["solo"]["p"] is None and out["solo"]["rejected"] is False
+    assert out["ok"]["p"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Association rules
+
+
+def test_copurchase_rules_hand_counts(spark, tmp_path):
+    """Four hand-built orders: rule counts, support, confidence, and lift
+    must equal the textbook definitions exactly."""
+    from mcpvectordb_spark.catalog import QUERIES
+
+    # orders: {1,2} x2 (recurring pair), {1,3}, {2} alone
+    li = [
+        (10, 1), (10, 2),
+        (11, 1), (11, 2),
+        (12, 1), (12, 3),
+        (13, 2),
+    ]
+    df = spark.createDataFrame(li, "l_orderkey long, l_partkey long")
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/lineitem.parquet")
+    out = QUERIES["copurchase_rules"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["part_a"], r["part_b"], r["n_pair"]) == (1, 2, 2)
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["support"] == pytest.approx(2 / 4, abs=1e-9)
+    assert r["conf_ab"] == pytest.approx(2 / 3, abs=1e-9)
+    assert r["conf_ba"] == pytest.approx(2 / 3, abs=1e-9)
+    assert r["lift"] == pytest.approx(4 * 2 / (3 * 3), abs=1e-6)
