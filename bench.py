@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "events_anova",          # one-way ANOVA F / eta^2 across event types
     "lineitem_kendall",      # exact Kendall tau-b via 2-D value blocks
     "copurchase_rules",      # association rules off the shared co-purchase graph
+    "customers_rfm",         # RFM quartile segmentation, block-based boundaries
+    "documents_lexdiv",      # TTR / hapax / Simpson per source
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -52,6 +52,8 @@ QUERIES = {
     # -- 50 driver slots together — additions can no longer displace the
     # -- backlog; window membership pinned in tests/test_entry.py) --
     "events_bh_fdr": q_events_bh_fdr,
+    "customers_rfm": q_customers_rfm,
+    "documents_lexdiv": q_documents_lexdiv,
     "events_anova": q_events_anova,
     "lineitem_kendall": q_lineitem_kendall,
     "copurchase_rules": q_copurchase_rules,
@@ -364,6 +366,8 @@ QUERIES = _rotate_stalest_first(QUERIES)
 ORACLES = {
     # -- round-6 --
     "events_bh_fdr": SQL_EVENTS_BH_FDR,
+    "customers_rfm": SQL_CUSTOMERS_RFM,
+    "documents_lexdiv": SQL_DOCUMENTS_LEXDIV,
     "events_anova": SQL_EVENTS_ANOVA,
     "lineitem_kendall": SQL_LINEITEM_KENDALL,
     "copurchase_rules": SQL_COPURCHASE_RULES,

@@ -524,10 +524,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative (min reachable id).  Spark: iterative min-label
     propagation; oracle: recursive CTE."""
     corpus = _near_corpus(spark, sf_dir)
-    pairs = dd.ngram_jaccard_pairs(
-        corpus, "id", "text", n=3, threshold=0.5,
-        shingles=_shared_shingles(spark, sf_dir, "near"),
-    )
+    pairs = _shared_neardup_pairs(spark, sf_dir)
     clusters = dd.dedup_clusters(corpus.select("id"), pairs, "id")
     return clusters
 
@@ -539,10 +536,7 @@ def q_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     as dedup_clusters — the driver gate itself proves the two algorithms
     agree on real pair graphs."""
     corpus = _near_corpus(spark, sf_dir)
-    pairs = dd.ngram_jaccard_pairs(
-        corpus, "id", "text", n=3, threshold=0.5,
-        shingles=_shared_shingles(spark, sf_dir, "near"),
-    )
+    pairs = _shared_neardup_pairs(spark, sf_dir)
     # loop_partitions=8: the planted pair graph is tiny — scoped small-graph
     # fast path (see dedup.dedup_clusters_twostar; None at corpus scale)
     return dd.dedup_clusters_twostar(corpus.select("id"), pairs, "id", loop_partitions=8)
@@ -597,10 +591,7 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest id, report members dropped — the action step that turns the
     cluster map into an actual deduped corpus."""
     corpus = _near_corpus(spark, sf_dir)
-    pairs = dd.ngram_jaccard_pairs(
-        corpus, "id", "text", n=3, threshold=0.5,
-        shingles=_shared_shingles(spark, sf_dir, "near"),
-    )
+    pairs = _shared_neardup_pairs(spark, sf_dir)
     clusters = dd.dedup_clusters(corpus.select("id"), pairs, "id")
     return (
         clusters.groupBy("cluster_id")

@@ -283,5 +283,176 @@ CROSS JOIN tot
 """
 
 
+def q_customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary), the classic
+    customer-analytics rollup: per customer, days since last order,
+    order count, and lifetime dollars; each scored 1-4 against EXACT
+    quartile boundaries and rolled up per (r, f, m) segment.
+
+    Quartiles are NOT an NTILE over customers (a corpus-sized
+    single-partition sort): each metric collapses to value BLOCKS
+    (bounded by its DOMAIN — day counts, order counts, whole dollars),
+    the boundary b_q = min v with cumulative count >= ceil(q·N) comes
+    from a window over blocks only, and scoring is a broadcast of three
+    longs per metric — the value_blocks discipline.  ceil(q·N) is exact
+    integer math ((N+3)//4 etc.), so both engines pick identical
+    boundaries; scores are then pure integer comparisons.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    max_d = orders.agg(F.max(F.to_date("o_orderdate"))).first()[0]
+    # five actions read the per-customer rollup (count, three boundary
+    # pulls, the final segmentation) — pin one materialization
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(max_d), F.max(F.to_date("o_orderdate"))).cast("long").alias("r"),
+        F.count(F.lit(1)).alias("f"),
+        # cents summed exactly, floored to whole dollars (a bounded domain)
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100))
+        .cast("long")
+        .alias("m"),
+    ).localCheckpoint(eager=True)
+    n = cust.count()
+    ranks = [(n + 3) // 4, (n + 1) // 2, (3 * n + 3) // 4]
+
+    def boundaries(col: str) -> list[int]:
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        blocks = (
+            cust.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(col, F.sum("c").over(w).alias("cum"))
+        )
+        row = blocks.agg(
+            *[F.min(F.when(F.col("cum") >= F.lit(r), F.col(col))).alias(f"b{i}")
+              for i, r in enumerate(ranks)]
+        ).first()
+        return [row[f"b{i}"] for i in range(3)]
+
+    br, bf, bm = boundaries("r"), boundaries("f"), boundaries("m")
+
+    def up_score(col: str, bs) -> Column:
+        return (
+            F.lit(1)
+            + (F.col(col) > F.lit(bs[0])).cast("int")
+            + (F.col(col) > F.lit(bs[1])).cast("int")
+            + (F.col(col) > F.lit(bs[2])).cast("int")
+        )
+
+    scored = cust.select(
+        "m",
+        # recency: FEWER days since last order is better -> invert
+        (F.lit(5) - up_score("r", br)).alias("r_score"),
+        up_score("f", bf).alias("f_score"),
+        up_score("m", bm).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.avg("m"), 4).alias("avg_dollars"),
+    )
+
+
+SQL_CUSTOMERS_RFM = """
+WITH maxd AS (SELECT max(CAST(o_orderdate AS DATE)) AS d FROM orders),
+cust AS (
+  SELECT o_custkey,
+         CAST(d - max(CAST(o_orderdate AS DATE)) AS BIGINT) AS r,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS m
+  FROM orders CROSS JOIN maxd GROUP BY o_custkey, d),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+rk AS (SELECT (n + 3) // 4 AS r1, (n + 1) // 2 AS r2, (3 * n + 3) // 4 AS r3 FROM n),
+rb AS (SELECT min(CASE WHEN cum >= r1 THEN v END) AS b1,
+              min(CASE WHEN cum >= r2 THEN v END) AS b2,
+              min(CASE WHEN cum >= r3 THEN v END) AS b3
+       FROM (SELECT r AS v, sum(count(*)) OVER (ORDER BY r) AS cum FROM cust GROUP BY r), rk),
+fb AS (SELECT min(CASE WHEN cum >= r1 THEN v END) AS b1,
+              min(CASE WHEN cum >= r2 THEN v END) AS b2,
+              min(CASE WHEN cum >= r3 THEN v END) AS b3
+       FROM (SELECT f AS v, sum(count(*)) OVER (ORDER BY f) AS cum FROM cust GROUP BY f), rk),
+mb AS (SELECT min(CASE WHEN cum >= r1 THEN v END) AS b1,
+              min(CASE WHEN cum >= r2 THEN v END) AS b2,
+              min(CASE WHEN cum >= r3 THEN v END) AS b3
+       FROM (SELECT m AS v, sum(count(*)) OVER (ORDER BY m) AS cum FROM cust GROUP BY m), rk),
+scored AS (
+  SELECT m,
+    5 - (1 + CAST(r > rb.b1 AS INT) + CAST(r > rb.b2 AS INT) + CAST(r > rb.b3 AS INT)) AS r_score,
+    1 + CAST(f > fb.b1 AS INT) + CAST(f > fb.b2 AS INT) + CAST(f > fb.b3 AS INT) AS f_score,
+    1 + CAST(m > mb.b1 AS INT) + CAST(m > mb.b2 AS INT) + CAST(m > mb.b3 AS INT) AS m_score
+  FROM cust, rb, fb, mb)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(m), 4) AS avg_dollars
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+def q_documents_lexdiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity scorecard per source: type-token ratio, hapax
+    rate, and Simpson's diversity index from the per-source term counts —
+    the corpus-health companions of vocab_zipf/vocab_burstiness/
+    documents_heaps, and the standard quick screens for boilerplate-heavy
+    or template-generated sources in a training-data pipeline (a source
+    whose TTR/hapax collapse is near-duplicated or machine-repeated).
+
+        simpson = sum_t n_t(n_t-1) / (N(N-1))   (repeat probability)
+
+    All counts are exact BIGINTs from two groupBys (term counts, then the
+    per-source rollup); the final ratios are one double expression each.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(dd.normalize_text(F.col("text")), " ")
+    toks = dd.fan_out(docs).select(
+        "source", F.explode(words).alias("t")
+    ).filter(F.col("t") != "")
+    counts = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    roll = counts.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("rep2"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return roll.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("hapax").cast("long").alias("n_hapax"),
+        F.round(F.col("n_types").cast("double") / nt, 6).alias("ttr"),
+        F.round(
+            F.col("hapax").cast("double") / F.col("n_types").cast("double"), 6
+        ).alias("hapax_rate"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 1,
+                F.col("rep2").cast("double") / (nt * (nt - F.lit(1.0))),
+            ),
+            6,
+        ).alias("simpson"),
+    )
+
+
+SQL_DOCUMENTS_LEXDIV = f"""
+WITH toks AS (
+  SELECT source, t
+  FROM (SELECT source, unnest({_sql_words('text')}) AS t FROM documents)
+  WHERE t <> ''),
+counts AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+roll AS (
+  SELECT source,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         CAST(sum(n * (n - 1)) AS BIGINT) AS rep2
+  FROM counts GROUP BY source)
+SELECT source, n_tokens, n_types, n_hapax,
+       round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_rate,
+       round(CASE WHEN n_tokens > 1
+                  THEN CAST(rep2 AS DOUBLE)
+                       / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)) END,
+             6) AS simpson
+FROM roll
+"""
+
+
 # re-export everything (including underscore helpers) to later sections
 __all__ = [n for n in dir() if not n.startswith("__")]

@@ -64,33 +64,58 @@ def value_blocks(
     blocks = df.groupBy(*group_cols, v.alias(val_alias)).agg(*aggs)
     if max_blocks is None:
         return blocks
-    # In-plan bound: a SCALAR count of the block table, broadcast back via
-    # a 1-row crossJoin, threaded through the FIRST counter column (which
-    # every downstream aggregate reads — so column pruning cannot drop it).
-    # The count must NOT be an unpartitioned window (round-5 ADVICE): when
-    # the guard trips — billions of distinct values — that window would
-    # itself funnel the corpus-sized block table through one partition and
-    # the failure mode becomes the spill/OOM it exists to prevent.  The
-    # scalar aggregate stays distributed in the failure mode, and in the
-    # normal mode Catalyst's ReuseExchange dedups the groupBy shuffle that
-    # ``blocks`` appears to compute twice.
+    # In-plan bound, two stages (round-5 ADVICE: the guard's own failure
+    # mode must not be the corpus-sized single-partition shuffle it exists
+    # to prevent — and the obvious fix, a scalar aggregate crossJoined
+    # back, re-runs the ENTIRE block groupBy a second time because Spark
+    # does not reuse the exchange across the two references; measured +50%
+    # on a 20M-row input).
+    #
+    # Stage 1 — distributed pre-guard: count blocks per 4096-way hash
+    # bucket of the value (one hash-partitioned window, never a single
+    # partition) and FAIL IN THE FILTER when any bucket exceeds
+    # 2·max_blocks/4096.  Deterministic pigeonhole: total > 2·max_blocks
+    # forces some bucket over the cap, so a runaway block table raises in
+    # this distributed stage, before any global shuffle.  The filter
+    # (unlike a projection expression) executes in stage 1, so it BOUNDS
+    # what stage 2 can receive: at most ~2·max_blocks rows.
+    #
+    # Stage 2 — exact guard: the unpartitioned count window now runs over
+    # a provably bounded input (≤ ~2·max_blocks block rows — the same
+    # class of single-partition-over-blocks window every consumer runs)
+    # and enforces the exact threshold, threaded through the FIRST counter
+    # column so column pruning cannot drop it.
     first = next(iter(counters))
-    cnt = blocks.agg(F.count(F.lit(1)).alias("_vb_n_blocks"))
-    guarded = F.when(
-        F.col("_vb_n_blocks") <= F.lit(max_blocks), F.col(first)
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                f"value_blocks: block count exceeds max_blocks={max_blocks} "
-                "— quantize the value column (scale=...) before windowing"
+    msg = (
+        f"value_blocks: block count exceeds max_blocks={max_blocks} "
+        "— quantize the value column (scale=...) before windowing"
+    )
+    bkt = F.pmod(F.xxhash64(F.col(val_alias)), F.lit(4096))
+    # +64 slack absorbs balls-in-bins variance at small max_blocks (without
+    # it, a 500-block table under max_blocks=1000 could false-trip on a
+    # 2-block bucket); the pigeonhole bound then guarantees stage 2 sees at
+    # most 2·max_blocks + 4096·64 ≈ 2·max_blocks rows.
+    cap = (2 * max_blocks) // 4096 + 64
+    cb = F.count(F.lit(1)).over(Window.partitionBy(bkt))
+    # window functions cannot appear in a WHERE clause — materialize the
+    # per-bucket count as a column, then filter on it (the filter still
+    # evaluates in the window's stage, before the next exchange)
+    pre = (
+        blocks.withColumn("_vb_cb", cb)
+        .filter(
+            F.when(F.col("_vb_cb") <= F.lit(cap), F.lit(True)).otherwise(
+                F.raise_error(
+                    F.lit(msg + " (distributed pre-guard)")
+                ).cast("boolean")
             )
-        ).cast(blocks.schema[first].dataType)
+        )
+        .drop("_vb_cb")
     )
-    return (
-        blocks.crossJoin(F.broadcast(cnt))
-        .withColumn(first, guarded)
-        .drop("_vb_n_blocks")
+    n_blocks = F.count(F.lit(1)).over(Window.partitionBy())
+    guarded = F.when(n_blocks <= F.lit(max_blocks), F.col(first)).otherwise(
+        F.raise_error(F.lit(msg)).cast(blocks.schema[first].dataType)
     )
+    return pre.withColumn(first, guarded)
 
 
 def bucketed_cumsum(

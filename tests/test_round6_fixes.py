@@ -83,22 +83,36 @@ def test_bucketed_cumsum_plan_has_no_unpartitioned_window(spark):
         assert "[_b" in l.split("windowspecdefinition")[-1] or "_b#" in l, l
 
 
-def test_value_blocks_guard_is_scalar_not_window(spark):
-    """Round-5 ADVICE: the max_blocks guard must not itself run an
-    unpartitioned window over the block table (the failure mode would be
-    the corpus-sized single-partition shuffle it guards against).  The
-    guarded plan must contain NO Window operator at all, and the guard
-    still raises past the bound."""
+def test_value_blocks_guard_failure_mode_is_distributed(spark):
+    """Round-5 ADVICE: the max_blocks guard's FAILURE mode must not be a
+    corpus-sized single-partition shuffle.  Design under test: a
+    distributed per-bucket pre-guard (hash-partitioned window + filter)
+    raises FIRST when the block table explodes — pigeonhole-bounded so the
+    exact unpartitioned count window can only ever see ~2·max_blocks rows.
+    Pins: (a) a runaway block table fails in the pre-guard (its message is
+    tagged), i.e. before any global shuffle; (b) the corpus aggregation is
+    NOT duplicated (the scalar-agg alternative re-ran the groupBy: +50%
+    measured); (c) exact threshold semantics at the boundary hold."""
     from mcpvectordb_spark.operators.blocks import value_blocks
 
     df = spark.range(0, 500).select(F.col("id").alias("v"))
     blocks = value_blocks(df, "v", max_blocks=1000)
     plan = blocks._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan, plan
+    # one partial+final pair only — the groupBy is not computed twice
+    assert plan.count("HashAggregate") == 2, plan
     assert blocks.count() == 500
     bad = value_blocks(df, "v", max_blocks=499)
     with pytest.raises(Exception, match="max_blocks"):
         bad.agg(F.sum("c")).collect()
+    # runaway table: 200k blocks against max_blocks=1000 must die in the
+    # DISTRIBUTED stage (the tagged pre-guard), not the global window
+    runaway = value_blocks(
+        spark.range(0, 200_000).select(F.col("id").alias("v")),
+        "v",
+        max_blocks=1000,
+    )
+    with pytest.raises(Exception, match="distributed pre-guard"):
+        runaway.agg(F.sum("c")).collect()
 
 
 def test_rotation_prefers_never_green():

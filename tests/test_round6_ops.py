@@ -226,3 +226,70 @@ def test_copurchase_rules_hand_counts(spark, tmp_path):
     assert r["conf_ab"] == pytest.approx(2 / 3, abs=1e-9)
     assert r["conf_ba"] == pytest.approx(2 / 3, abs=1e-9)
     assert r["lift"] == pytest.approx(4 * 2 / (3 * 3), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+
+
+def test_customers_rfm_hand_quartiles(spark, tmp_path):
+    """Eight hand-built customers with known quartile boundaries: segment
+    scores must follow the b_q = min v with cum >= ceil(q*N) rule, the
+    recency score must INVERT (recent = high), and segment sizes must
+    partition the customers."""
+    from datetime import datetime
+
+    from mcpvectordb_spark.catalog import QUERIES
+
+    rows = []
+    # customer i: last order (i) days before max date, i+1 orders, total 100*(i+1)
+    for i in range(8):
+        for j in range(i + 1):
+            rows.append(
+                (i * 100 + j, i, datetime(2024, 1, 31 - i), 100.0)
+            )
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/orders.parquet")
+    out = QUERIES["customers_rfm"](spark, d).collect()
+    assert sum(r["n_customers"] for r in out) == 8
+    seg = {
+        (r["r_score"], r["f_score"], r["m_score"]): (r["n_customers"], r["avg_dollars"])
+        for r in out
+    }
+    # N=8 -> ranks ceil(.25N)=2, ceil(.5N)=4, ceil(.75N)=6; f values 1..8 ->
+    # boundaries f=2,4,6 -> scores: f in {1,2}->1, {3,4}->2, {5,6}->3,
+    # {7,8}->4.  r days 0..7 split identically but INVERTED (recent=4);
+    # m = 100*f dollars tracks f.  Customers pair up 2-per-quartile and the
+    # most-frequent pair is also the OLDEST (r_score 1):
+    assert seg == {
+        (1, 4, 4): (2, 750.0),   # customers 6,7: f 7,8 -> avg m (700+800)/2
+        (2, 3, 3): (2, 550.0),
+        (3, 2, 2): (2, 350.0),
+        (4, 1, 1): (2, 150.0),   # customers 0,1: most recent, 1-2 orders
+    }
+
+
+def test_documents_lexdiv_hand_counts(spark, tmp_path):
+    """Two sources with known token multisets: TTR, hapax rate, and
+    Simpson's repeat probability must equal the textbook formulas."""
+    from mcpvectordb_spark.catalog import QUERIES
+
+    docs = [
+        (1, "a a b c", "s1"),
+        (2, "a d", "s1"),
+        (3, "x x x x", "s2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {r["source"]: r for r in QUERIES["documents_lexdiv"](spark, d).collect()}
+    s1 = out["s1"]  # tokens a,a,b,c,a,d -> N=6, types {a:3,b:1,c:1,d:1}
+    assert s1["n_tokens"] == 6 and s1["n_types"] == 4 and s1["n_hapax"] == 3
+    assert s1["ttr"] == pytest.approx(4 / 6, abs=1e-6)
+    assert s1["hapax_rate"] == pytest.approx(3 / 4, abs=1e-6)
+    assert s1["simpson"] == pytest.approx((3 * 2) / (6 * 5), abs=1e-6)
+    s2 = out["s2"]  # x x x x -> N=4, one type, no hapax, simpson = 12/12 = 1
+    assert s2["simpson"] == 1.0 and s2["ttr"] == 0.25 and s2["n_hapax"] == 0
