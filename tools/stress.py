@@ -3132,7 +3132,97 @@ def main_r6() -> None:
         )
         return out["fit_points"]
 
+    def kendall_20m():
+        # 20M rows, x uniform on 0..49, y = x + deterministic noise in {0,1,2}
+        # with ties everywhere — tau-b must equal the EXACT brute-force value
+        # computed from the 50x52 joint-frequency table in plain Python
+        # (the operator's own block algebra, reimplemented independently).
+        from mcpvectordb_spark.operators.stats import kendall_tau_b
+
+        n = 20_000_000
+        df = spark.range(n).select(
+            (F.col("id") % 50).alias("x"),
+            ((F.col("id") % 50) + F.pmod(F.xxhash64("id"), F.lit(3))).alias("y"),
+        )
+        out = kendall_tau_b(df, F.col("x"), F.col("y")).first()
+        # independent ground truth from the exact joint distribution
+        from collections import Counter
+
+        cells = Counter()
+        # xxhash64 % 3 is uniform enough that we must COUNT it exactly —
+        # recompute the same hash on the driver via Spark (one tiny agg)
+        hist = (
+            df.groupBy("x", "y").count().collect()
+        )
+        for r in hist:
+            cells[(r["x"], r["y"])] = r["count"]
+        cs = ds = 0
+        items = list(cells.items())
+        for i, ((x1, y1), n1) in enumerate(items):
+            for (x2, y2), n2 in items[i + 1:]:
+                if x1 == x2 or y1 == y2:
+                    continue
+                if (x1 < x2) == (y1 < y2):
+                    cs += n1 * n2
+                else:
+                    ds += n1 * n2
+        assert out["concordant"] == cs and out["discordant"] == ds, out
+        n0 = n * (n - 1) // 2
+        tmarg = Counter()
+        for (x, _), c in cells.items():
+            tmarg[x] += c
+        tx = sum(t * (t - 1) // 2 for t in tmarg.values())
+        umarg = Counter()
+        for (_, y), c in cells.items():
+            umarg[y] += c
+        ty = sum(t * (t - 1) // 2 for t in umarg.values())
+        import math as _math
+
+        tau = (cs - ds) / _math.sqrt((n0 - tx) * (n0 - ty))
+        assert abs(out["tau_b"] - tau) < 1e-6, (out["tau_b"], tau)
+        notes["kendall_20m"] = (
+            f"20M rows / 150 joint blocks: C/D pair masses exact-match an "
+            f"independent Python recount of the joint distribution; "
+            f"tau_b={out['tau_b']:+.4f} (strong planted monotone signal) — "
+            "the corpus appears in ONE groupBy, pairs come from the 150-row "
+            "block self-join"
+        )
+        return out["n"]
+
+    def bh_20m():
+        # 8 groups x 2.5M rows; arm shift planted in g3 ONLY.  BH must
+        # reject exactly g3 and accept the other 7 (which are A/A by
+        # construction), at 100x the bench corpus.
+        from mcpvectordb_spark.operators.stats import ab_assign, group_welch_bh
+
+        n = 20_000_000
+        base = spark.range(n).select(
+            F.concat(F.lit("g"), (F.col("id") % 8).cast("string")).alias("g"),
+            (F.col("id") / 8).cast("long").alias("user_id"),
+            (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(5)) + 100).alias("v"),
+        )
+        arm = ab_assign(F.col("user_id").cast("string"), salt="fdr")
+        df = base.withColumn(
+            "v",
+            F.when((F.col("g") == "g3") & (arm == 1), F.col("v") + 1).otherwise(
+                F.col("v")
+            ),
+        )
+        out = {r["g"]: r for r in group_welch_bh(df, "g", "user_id", F.col("v"), salt="fdr").collect()}
+        assert out["g3"]["rejected"] is True and out["g3"]["q_bh"] < 1e-6, out["g3"]
+        others = [out[f"g{i}"] for i in range(8) if i != 3]
+        assert all(r["rejected"] is False for r in others), others
+        notes["bh_20m"] = (
+            f"20M rows / 8 hypotheses: planted +1-cent arm effect in g3 "
+            f"rejected at q={out['g3']['q_bh']:.2e}; all 7 A/A groups accept "
+            "after BH — one (group, arm) corpus agg, everything downstream "
+            "is 8 rows"
+        )
+        return len(out)
+
     run("heaps_2m", heaps_2m)
+    run("kendall_20m", kendall_20m)
+    run("bh_20m", bh_20m)
 
     print(json.dumps({
         "mode": "r6",
