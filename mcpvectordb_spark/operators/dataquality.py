@@ -122,9 +122,21 @@ def fd_discovery(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     """
     from mcpvectordb_spark.operators.dedup import fan_out
 
+    # hash each canonical value ONCE per (row, attribute) — BEFORE the
+    # |cols|^2 explode — and carry attribute IDs as ints: the exploded
+    # pair rows shuffle as four fixed-width ints (two 1-digit ids + two
+    # 64-bit hashes) instead of four strings, and the hash count drops
+    # from 2·|cols|^2 per row to |cols| per row (same groups barring a
+    # ~2^-64 collision; the FD verdicts only need group identity, never
+    # the value text).  Attribute names rejoin at the very end from a
+    # |cols|-element array literal.
+    names = list(cols)
     named = [
-        F.struct(F.lit(name).alias("attr"), expr.cast("string").alias("val"))
-        for name, expr in cols.items()
+        F.struct(
+            F.lit(i).cast("int").alias("attr"),
+            F.xxhash64(expr.cast("string")).alias("val"),
+        )
+        for i, expr in enumerate(cols.values())
     ]
     # fan_out BEFORE the |cols|^2 explode: a small-file scan yields 1-2
     # partitions and would serialize the whole fan-out on one core
@@ -139,28 +151,36 @@ def fd_discovery(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
                         F.transform(
                             "vals",
                             lambda b: F.struct(
-                                a["attr"].alias("lhs"),
-                                a["val"].alias("aval"),
-                                b["attr"].alias("rhs"),
-                                b["val"].alias("bval"),
+                                a["attr"].alias("lhs_i"),
+                                a["val"].alias("ah"),
+                                b["attr"].alias("rhs_i"),
+                                b["val"].alias("bh"),
                             ),
                         ),
-                        lambda s: s["lhs"] != s["rhs"],
+                        lambda s: s["lhs_i"] != s["rhs_i"],
                     ),
                 )
             )
         ).alias("p")
-    ).select("p.lhs", "p.aval", "p.rhs", "p.bval")
-    # hash BOTH value columns before the shuffle: grouping keys and the
-    # distinct set travel as 64-bit longs instead of strings (same
-    # groups barring a ~2^-64 collision; the FD verdicts only need
-    # group identity, never the value text)
-    per_lhs = pairs.groupBy(
-        "lhs", "rhs", F.xxhash64("aval").alias("ah")
-    ).agg(F.countDistinct(F.xxhash64("bval")).alias("nb"))
-    return per_lhs.groupBy("lhs", "rhs").agg(
-        F.count(F.lit(1)).alias("n_lhs_values"),
-        F.sum(F.when(F.col("nb") > 1, 1).otherwise(0)).alias("n_violating_lhs"),
-        F.sum(F.col("nb") - 1).alias("extra_rhs_values"),
-        (F.max("nb") == 1).alias("holds"),
+    ).select("p.lhs_i", "p.ah", "p.rhs_i", "p.bh")
+    per_lhs = pairs.groupBy("lhs_i", "rhs_i", "ah").agg(
+        F.countDistinct("bh").alias("nb")
+    )
+    name_arr = F.array(*[F.lit(n) for n in names])
+    return (
+        per_lhs.groupBy("lhs_i", "rhs_i")
+        .agg(
+            F.count(F.lit(1)).alias("n_lhs_values"),
+            F.sum(F.when(F.col("nb") > 1, 1).otherwise(0)).alias("n_violating_lhs"),
+            F.sum(F.col("nb") - 1).alias("extra_rhs_values"),
+            (F.max("nb") == 1).alias("holds"),
+        )
+        .select(
+            F.element_at(name_arr, F.col("lhs_i") + 1).alias("lhs"),
+            F.element_at(name_arr, F.col("rhs_i") + 1).alias("rhs"),
+            "n_lhs_values",
+            "n_violating_lhs",
+            "extra_rhs_values",
+            "holds",
+        )
     )
