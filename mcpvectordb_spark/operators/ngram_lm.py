@@ -59,7 +59,13 @@ def ngram_lm_score(
     the short ones), scores exist for trigram-bearing docs only."""
     l3, l2, l1 = (float(x) for x in lambdas)
     toks = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
-    base = df.select(F.col(id_col).alias("id"), toks.alias("w"))
+    # base feeds THREE gram explodes (uni/bi/tri) and tri_occ feeds both
+    # its own count table and the scoring join — without pins each
+    # reference re-tokenizes/re-explodes the corpus (a DataFrame used N
+    # times recomputes N times; the textrank/BFS lesson)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("w")).localCheckpoint(
+        eager=False
+    )
 
     # Grams shuffle and join as 48-bit hashes, never strings (the
     # windows-as-hashes convention): every count table is keyed by one
@@ -87,7 +93,7 @@ def ngram_lm_score(
         hexint48(F.concat_ws(" ", "w2", "w3")).alias("k23"),
         hexint48(F.col("w2")).alias("ku2"),
         hexint48(F.col("w3")).alias("ku3"),
-    )
+    ).localCheckpoint(eager=False)
     tri_c = tri_occ.groupBy("k3").agg(F.count(F.lit(1)).cast("long").alias("c3"))
 
     p = (
