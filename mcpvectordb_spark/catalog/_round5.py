@@ -472,18 +472,18 @@ def q_documents_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = docs.select(
         "doc_id",
         F.greatest(F.size(words) - 2, F.lit(0)).cast("long").alias("occ"),
-        dd.word_shingles(F.col("text"), 3).alias("sh"),
     )
+    # first-seen doc per shingle off the SESSION-SHARED (id, shingle) index
+    # (round-6: the dedup family's frozen artifact — no per-query explode)
     news = (
-        per_doc.select("doc_id", F.explode("sh").alias("s"))
-        .groupBy("s")
-        .agg(F.min("doc_id").alias("fd"))
+        _shared_shingles(spark, sf_dir, "raw", 3)
+        .groupBy("shingle")
+        .agg(F.min("id").alias("fd"))
         .groupBy("fd")
         .agg(F.count(F.lit(1)).alias("v_new"))
     )
     tab = (
-        per_doc.select("doc_id", "occ")
-        .join(news, per_doc["doc_id"] == news["fd"], "left")
+        per_doc.join(news, per_doc["doc_id"] == news["fd"], "left")
         .select(
             per_doc["doc_id"].alias("doc_id"),
             "occ",
