@@ -52,6 +52,8 @@ QUERIES = {
     # -- 50 driver slots together — additions can no longer displace the
     # -- backlog; window membership pinned in tests/test_entry.py) --
     "events_bh_fdr": q_events_bh_fdr,
+    "stream_cms": q_stream_cms,
+    "stream_drift": q_stream_drift,
     "customers_rfm": q_customers_rfm,
     "documents_lexdiv": q_documents_lexdiv,
     "events_anova": q_events_anova,
@@ -366,6 +368,8 @@ QUERIES = _rotate_stalest_first(QUERIES)
 ORACLES = {
     # -- round-6 --
     "events_bh_fdr": SQL_EVENTS_BH_FDR,
+    "stream_cms": SQL_EVENTS_CMS,
+    "stream_drift": SQL_STREAM_DRIFT,
     "customers_rfm": SQL_CUSTOMERS_RFM,
     "documents_lexdiv": SQL_DOCUMENTS_LEXDIV,
     "events_anova": SQL_EVENTS_ANOVA,

@@ -454,5 +454,123 @@ FROM roll
 """
 
 
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min sketch: the SAME cms_sketch plan as events_cms
+    runs over a readStream under complete-mode aggregation (mergeable
+    counters need no custom stateful operator), and after availableNow the
+    materialized sketch is probed exactly like the batch query — so the
+    batch oracle (SQL_EVENTS_CMS) gates the stream verbatim, estimates
+    included, the stream_attribution device.  The stream==batch sketch
+    equality is additionally pinned counter-for-counter in
+    test_streaming.py::test_cms_is_streaming_native."""
+    import tempfile
+
+    from mcpvectordb_spark.operators.sketches import cms_estimate, cms_sketch
+
+    DEPTH, WIDTH = 4, 256
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="stream_cms_")
+    ev.select("user_id").write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema("user_id long").parquet(d)
+    q = (
+        cms_sketch(stream, "user_id", depth=DEPTH, width=WIDTH)
+        .writeStream.format("memory")
+        .queryName("stream_cms_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sk = spark.table("stream_cms_out")
+    items = ev.select("user_id").filter(F.col("user_id") < 20).distinct()
+    est = cms_estimate(sk, items, "user_id", depth=DEPTH, width=WIDTH)
+    true_c = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy(F.col("user_id").cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_c"))
+    )
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        est.join(true_c, "item")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item",
+            "true_c",
+            "est",
+            (F.col("est") >= F.col("true_c")).alias("over_ok"),
+            (
+                F.col("est")
+                <= F.col("true_c")
+                + F.ceil(F.lit(2.718281828459045) * F.col("n") / WIDTH).cast("long")
+            ).alias("within_eps"),
+        )
+        .orderBy("item")
+    )
+
+
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift-monitor bins (streaming/events.py::
+    drift_bins_stream): hourly per-type decile-bin counts of the value
+    distribution against FROZEN full-corpus reference deciles — the raw
+    material of a production PSI monitor, emitted per closed window.
+    Value-gated by the stream-quartet device: output restricted to the
+    deterministic watermark-closed window set (end > watermark+1s before
+    max(ts)), so the batch date_trunc twin's SQL gates it exactly; the
+    reference edges replay via quantile_cont (the events_psi percentile
+    parity convention)."""
+    import tempfile
+
+    from mcpvectordb_spark.streaming.events import drift_bins_stream, run_stream_to_memory
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    edges = ev.groupBy("event_type").agg(
+        *[F.percentile("value", F.lit(i / 10.0)).alias(f"e{i}") for i in range(1, 10)]
+    )
+    d = tempfile.mkdtemp(prefix="stream_drift_")
+    ev.write.mode("overwrite").parquet(d)
+    out = run_stream_to_memory(
+        drift_bins_stream(spark, d, ev.schema, edges, window="1 hour", watermark="2 hours"),
+        "stream_drift_out",
+        spark,
+    )
+    return (
+        out.filter(
+            F.col("window.end")
+            < F.lit(max_ts) - F.expr("INTERVAL 2 HOURS") - F.expr("INTERVAL 1 SECOND")
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+SQL_STREAM_DRIFT = """
+WITH m AS (SELECT max(ts) AS mx FROM events),
+edges AS (
+  SELECT event_type AS et,
+         quantile_cont(value, 0.1) AS e1, quantile_cont(value, 0.2) AS e2,
+         quantile_cont(value, 0.3) AS e3, quantile_cont(value, 0.4) AS e4,
+         quantile_cont(value, 0.5) AS e5, quantile_cont(value, 0.6) AS e6,
+         quantile_cont(value, 0.7) AS e7, quantile_cont(value, 0.8) AS e8,
+         quantile_cont(value, 0.9) AS e9
+  FROM events GROUP BY 1)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(CAST(value >= e1 AS INT) + CAST(value >= e2 AS INT) + CAST(value >= e3 AS INT)
+            + CAST(value >= e4 AS INT) + CAST(value >= e5 AS INT) + CAST(value >= e6 AS INT)
+            + CAST(value >= e7 AS INT) + CAST(value >= e8 AS INT) + CAST(value >= e9 AS INT)
+            AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events JOIN edges ON event_type = et CROSS JOIN m
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      < mx - INTERVAL 2 HOUR - INTERVAL 1 SECOND
+GROUP BY 1, 2, 3
+"""
+
+
 # re-export everything (including underscore helpers) to later sections
 __all__ = [n for n in dir() if not n.startswith("__")]
