@@ -192,7 +192,6 @@ BENCH_QUERIES = [
     "events_bh_fdr",         # BH-FDR across per-type A/B Welch z-tests
     "events_anova",          # one-way ANOVA F / eta^2 across event types
     "lineitem_kendall",      # exact Kendall tau-b via 2-D value blocks
-    "copurchase_rules",      # association rules off the shared co-purchase graph
     "customers_rfm",         # RFM quartile segmentation, block-based boundaries
     "documents_lexdiv",      # TTR / hapax / Simpson per source
     # (stream_* queries stay out of bench by policy: they time Structured

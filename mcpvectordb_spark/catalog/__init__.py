@@ -58,7 +58,6 @@ QUERIES = {
     "documents_lexdiv": q_documents_lexdiv,
     "events_anova": q_events_anova,
     "lineitem_kendall": q_lineitem_kendall,
-    "copurchase_rules": q_copurchase_rules,
     # -- round-5 additions (capped at 3: verdict item #1 freezes catalog
     # -- growth so the 50-slot driver window drains the 47-query backlog) --
     "events_cuped": q_events_cuped,
@@ -374,7 +373,6 @@ ORACLES = {
     "documents_lexdiv": SQL_DOCUMENTS_LEXDIV,
     "events_anova": SQL_EVENTS_ANOVA,
     "lineitem_kendall": SQL_LINEITEM_KENDALL,
-    "copurchase_rules": SQL_COPURCHASE_RULES,
     # -- round-5 --
     "events_cuped": SQL_EVENTS_CUPED,
     "events_synthctrl": SQL_EVENTS_SYNTHCTRL,

@@ -46,7 +46,10 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcpvectordb_spark.operators.analytics import assoc_rules
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    rules = assoc_rules(li, "l_orderkey", "l_partkey", min_pair_count=2, top_n=50)
+    rules = assoc_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=2, top_n=50,
+        pairs=_copurchase_pairs(spark, sf_dir),
+    )
     return rules.select(
         "antecedent", "consequent", "n_pair",
         F.round("support", 6).alias("support"),

@@ -6,7 +6,7 @@ of the 50 driver slots — additions can no longer displace the backlog
 (pinned by tests/test_entry.py::test_stalest_queries_fill_driver_window
 and tests/test_round6_fixes.py::test_rotation_prefers_never_green).
 
-The four close real gaps in the stats/analytics surface:
+The additions close real gaps in the stats/analytics surface:
 - events_bh_fdr    — Benjamini–Hochberg FDR across per-event-type A/B
                      Welch z-tests (multiple-testing control, the missing
                      piece of the A/B family; normal CDF via the Zelen &
@@ -15,8 +15,11 @@ The four close real gaps in the stats/analytics surface:
 - lineitem_kendall — exact Kendall tau-b with tie corrections via the
                      2-D value-block table (the rank-correlation sibling
                      of lineitem_spearman);
-- copurchase_rules — association rules (support / confidence / lift)
-                     over the session-shared co-purchase graph.
+- customers_rfm / documents_lexdiv / stream_cms / stream_drift —
+                     see each docstring.  (An association-rules variant was
+                     folded into the EXISTING assoc_rules query instead,
+                     which now consumes the session-shared co-purchase
+                     edge set rather than re-mining pairs.)
 
 Import order is load-bearing: this module references names from earlier
 sections via the wildcard chain below."""
@@ -217,69 +220,6 @@ SELECT n, c AS concordant, d AS discordant, tx AS ties_x, ty AS ties_y,
                        / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)) END,
              6) AS tau_b
 FROM j
-"""
-
-
-def q_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket association rules over the co-purchase graph: for
-    every part pair co-ordered in >= 2 orders (the session-shared edge set
-    of catalog/_common.py::_copurchase_pairs — the graph suite's frozen
-    state reused as the rule miner's candidate set), exact support,
-    both direction confidences, and lift from BIGINT counts:
-
-        lift(a,b) = N · n_ab / (n_a · n_b)
-
-    with N = distinct orders and n_p = distinct orders containing p.
-    Scale: the pair table is checkpointed once per session; the two count
-    tables are one distinct + groupBy over lineitem's (order, part)
-    projection.  Rules with lift > 1 co-occur MORE than independence —
-    the actionable output of a recommender's counting stage."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    n_orders = li.select("o").distinct().count()
-    part_n = li.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_p"))
-    pairs = _copurchase_pairs(spark, sf_dir)
-    nd = F.lit(float(n_orders))
-    out = (
-        pairs.join(part_n.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a")), "pa")
-        .join(part_n.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b")), "pb")
-    )
-    npair = F.col("n_pair").cast("double")
-    return out.select(
-        F.col("pa").alias("part_a"),
-        F.col("pb").alias("part_b"),
-        "n_pair",
-        "n_a",
-        "n_b",
-        F.round(npair / nd, 9).alias("support"),
-        F.round(npair / F.col("n_a").cast("double"), 9).alias("conf_ab"),
-        F.round(npair / F.col("n_b").cast("double"), 9).alias("conf_ba"),
-        F.round(
-            nd * npair / (F.col("n_a").cast("double") * F.col("n_b").cast("double")), 6
-        ).alias("lift"),
-    )
-
-
-SQL_COPURCHASE_RULES = """
-WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-tot AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS nd FROM items),
-part_n AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM items GROUP BY p),
-e AS (
-  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_pair
-  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
-  GROUP BY 1, 2 HAVING count(*) >= 2)
-SELECT e.pa AS part_a, e.pb AS part_b, e.n_pair,
-       na.n_p AS n_a, nb.n_p AS n_b,
-       round(CAST(e.n_pair AS DOUBLE) / nd, 9) AS support,
-       round(CAST(e.n_pair AS DOUBLE) / CAST(na.n_p AS DOUBLE), 9) AS conf_ab,
-       round(CAST(e.n_pair AS DOUBLE) / CAST(nb.n_p AS DOUBLE), 9) AS conf_ba,
-       round(nd * CAST(e.n_pair AS DOUBLE)
-             / (CAST(na.n_p AS DOUBLE) * CAST(nb.n_p AS DOUBLE)), 6) AS lift
-FROM e
-JOIN part_n na ON na.p = e.pa
-JOIN part_n nb ON nb.p = e.pb
-CROSS JOIN tot
 """
 
 

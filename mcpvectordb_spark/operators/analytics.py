@@ -106,6 +106,7 @@ def assoc_rules(
     item_col: str,
     min_pair_count: int = 2,
     top_n: int = 50,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Association rules from co-occurrence pairs (Agrawal & Srikant
     1994's measures over 2-itemsets): for each directed rule a -> b with
@@ -122,6 +123,11 @@ def assoc_rules(
     Scale shape: same inverted-index pair explode as the co-purchase
     top-n (bounded by items-per-basket², never catalog²); item counts are
     a broadcast; min_pair_count prunes the rule space before ranking.
+
+    ``pairs``: a precomputed (pa < pb, n_pair >= min_pair_count) edge
+    table — the session-shared co-purchase graph the clustering/graph
+    suite already freezes — so the rule algebra reuses the mined edges
+    instead of re-exploding the baskets.
     """
     items = baskets.select(
         F.col(basket_col).alias("o"), F.col(item_col).alias("p")
@@ -131,15 +137,18 @@ def assoc_rules(
     )
     item_n = items.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
 
-    a = items.select(F.col("o"), F.col("p").alias("pa"))
-    b = items.select(F.col("o"), F.col("p").alias("pb"))
-    pair_n = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
-        .filter(F.col("n_pair") >= min_pair_count)
-    )
+    if pairs is not None:
+        pair_n = pairs.filter(F.col("n_pair") >= min_pair_count)
+    else:
+        a = items.select(F.col("o"), F.col("p").alias("pa"))
+        b = items.select(F.col("o"), F.col("p").alias("pb"))
+        pair_n = (
+            a.join(b, "o")
+            .filter(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+            .filter(F.col("n_pair") >= min_pair_count)
+        )
     # both rule directions from the canonical pair
     directed = pair_n.select(
         F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_pair"

@@ -1,5 +1,5 @@
 """Round-6 operators: BH-FDR across group z-tests, one-way ANOVA, Kendall
-tau-b, association rules.  Each is checked against an independent
+tau-b, RFM segmentation, lexical diversity, shared-pair association rules.  Each is checked against an independent
 hand/pandas computation or an analytic closed form, plus the
 degenerate-corpus smoke the round-5 discipline requires (single arm,
 single group, constant values)."""
@@ -202,32 +202,6 @@ def test_group_welch_bh_degenerate(spark):
 # Association rules
 
 
-def test_copurchase_rules_hand_counts(spark, tmp_path):
-    """Four hand-built orders: rule counts, support, confidence, and lift
-    must equal the textbook definitions exactly."""
-    from mcpvectordb_spark.catalog import QUERIES
-
-    # orders: {1,2} x2 (recurring pair), {1,3}, {2} alone
-    li = [
-        (10, 1), (10, 2),
-        (11, 1), (11, 2),
-        (12, 1), (12, 3),
-        (13, 2),
-    ]
-    df = spark.createDataFrame(li, "l_orderkey long, l_partkey long")
-    d = str(tmp_path / "sf")
-    df.write.parquet(f"{d}/lineitem.parquet")
-    out = QUERIES["copurchase_rules"](spark, d).collect()
-    assert len(out) == 1
-    r = out[0]
-    assert (r["part_a"], r["part_b"], r["n_pair"]) == (1, 2, 2)
-    assert (r["n_a"], r["n_b"]) == (3, 3)
-    assert r["support"] == pytest.approx(2 / 4, abs=1e-9)
-    assert r["conf_ab"] == pytest.approx(2 / 3, abs=1e-9)
-    assert r["conf_ba"] == pytest.approx(2 / 3, abs=1e-9)
-    assert r["lift"] == pytest.approx(4 * 2 / (3 * 3), abs=1e-6)
-
-
 # ---------------------------------------------------------------------------
 # RFM segmentation
 
@@ -293,3 +267,36 @@ def test_documents_lexdiv_hand_counts(spark, tmp_path):
     assert s1["simpson"] == pytest.approx((3 * 2) / (6 * 5), abs=1e-6)
     s2 = out["s2"]  # x x x x -> N=4, one type, no hapax, simpson = 12/12 = 1
     assert s2["simpson"] == 1.0 and s2["ttr"] == 0.25 and s2["n_hapax"] == 0
+
+
+def test_assoc_rules_shared_pairs_hand_counts(spark, tmp_path):
+    """assoc_rules consuming the session-shared co-purchase edge table
+    must equal the textbook definitions on four hand-built orders —
+    and equal its own self-mined form."""
+    from mcpvectordb_spark.catalog import QUERIES
+    from mcpvectordb_spark.operators.analytics import assoc_rules
+
+    li = [
+        (10, 1), (10, 2),
+        (11, 1), (11, 2),
+        (12, 1), (12, 3),
+        (13, 2),
+    ]
+    df = spark.createDataFrame(li, "l_orderkey long, l_partkey long")
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/lineitem.parquet")
+    out = QUERIES["assoc_rules"](spark, d).collect()
+    assert len(out) == 2  # both directions of the one recurring pair
+    by_dir = {(r["antecedent"], r["consequent"]): r for r in out}
+    r = by_dir[(1, 2)]
+    assert r["n_pair"] == 2
+    assert r["support"] == pytest.approx(2 / 4, abs=1e-6)
+    assert r["confidence"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["lift"] == pytest.approx((2 / 3) / (3 / 4), abs=1e-6)
+    # identical to the self-mined form
+    direct = sorted(
+        (r["antecedent"], r["consequent"], r["n_pair"])
+        for r in assoc_rules(df, "l_orderkey", "l_partkey").collect()
+    )
+    shared = sorted((r["antecedent"], r["consequent"], r["n_pair"]) for r in out)
+    assert direct == shared
