@@ -191,7 +191,10 @@ def tfidf_cosine_pairs(
     max_df: int = 100,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with filtered-TF-IDF cosine >= threshold."""
-    posting = doc_terms(df, id_col, text_col)
+    # posting feeds dfreq AND the weight table; w feeds the norms AND both
+    # self-join sides — pin each once or every reference re-tokenizes the
+    # corpus (a DataFrame used N times recomputes N times)
+    posting = doc_terms(df, id_col, text_col).localCheckpoint(eager=False)
     n_docs = F.broadcast(df.agg(F.count(F.lit(1)).cast("double").alias("__n")))
     dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
@@ -202,6 +205,7 @@ def tfidf_cosine_pairs(
             "doc", "term", "df",
             (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("w"),
         )
+        .localCheckpoint(eager=False)
     )
     norms = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     wj = w.filter(F.col("df") >= 2).select("doc", "term", "w")
