@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "events_anova",          # one-way ANOVA F / eta^2 across event types
     "lineitem_kendall",      # exact Kendall tau-b via 2-D value blocks
     "customers_rfm",         # RFM quartile segmentation, block-based boundaries
+    "events_mann_kendall",   # per-type MK trend test, day-panel pair join
     "documents_lexdiv",      # TTR / hapax / Simpson per source
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)

@@ -52,6 +52,7 @@ QUERIES = {
     # -- 50 driver slots together — additions can no longer displace the
     # -- backlog; window membership pinned in tests/test_entry.py) --
     "events_bh_fdr": q_events_bh_fdr,
+    "events_mann_kendall": q_events_mann_kendall,
     "stream_cms": q_stream_cms,
     "stream_drift": q_stream_drift,
     "customers_rfm": q_customers_rfm,
@@ -367,6 +368,7 @@ QUERIES = _rotate_stalest_first(QUERIES)
 ORACLES = {
     # -- round-6 --
     "events_bh_fdr": SQL_EVENTS_BH_FDR,
+    "events_mann_kendall": SQL_EVENTS_MANN_KENDALL,
     "stream_cms": SQL_EVENTS_CMS,
     "stream_drift": SQL_STREAM_DRIFT,
     "customers_rfm": SQL_CUSTOMERS_RFM,

@@ -512,5 +512,57 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Mann–Kendall trend test over the daily event-count series
+    (operators/stats.py::mann_kendall) — the SIGNIFICANCE companion the
+    trend family was missing: events_changepoint localizes a shift,
+    parts_ols/Theil–Sen estimate a slope, MK answers "is there a monotone
+    trend at all" nonparametrically, with exact tie-corrected variance.
+    S and the tie terms are exact BIGINTs from the ≤ days-per-type² pair
+    join over the DAY panel (the corpus appears in one groupBy); ``trend``
+    is a definite verdict (constant series coalesce to 'none')."""
+    from mcpvectordb_spark.operators.stats import mann_kendall
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+    return mann_kendall(ev, "event_type", t, F.lit(1)).orderBy("event_type")
+
+
+SQL_EVENTS_MANN_KENDALL = """
+WITH pts AS (
+  SELECT event_type AS g,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+s_tab AS (
+  SELECT a.g,
+         CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM pts a JOIN pts b ON a.g = b.g AND a.t < b.t GROUP BY 1),
+npts AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1),
+ties AS (
+  SELECT g, CAST(sum(tp * (tp - 1) * (2 * tp + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS tp FROM pts GROUP BY 1, 2)
+  GROUP BY 1),
+j AS (
+  SELECT s_tab.g, s, n, tie_term,
+    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+     - CAST(tie_term AS DOUBLE)) / 18.0 AS var_s
+  FROM s_tab JOIN npts ON npts.g = s_tab.g JOIN ties ON ties.g = s_tab.g)
+SELECT g AS event_type, n AS n_points, s AS mk_s,
+       round(var_s, 4) AS var_s,
+       round(CASE WHEN var_s > 0 THEN
+               CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+                    WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+                    ELSE 0.0 END END, 6) AS z,
+       CASE WHEN var_s <= 0 THEN 'none'
+            WHEN abs(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+                          WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+                          ELSE 0.0 END) <= 1.96 THEN 'none'
+            WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
+FROM j ORDER BY g
+"""
+
+
 # re-export everything (including underscore helpers) to later sections
 __all__ = [n for n in dir() if not n.startswith("__")]

@@ -300,3 +300,58 @@ def test_assoc_rules_shared_pairs_hand_counts(spark, tmp_path):
     )
     shared = sorted((r["antecedent"], r["consequent"], r["n_pair"]) for r in out)
     assert direct == shared
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend
+
+
+def _mk_brute(series):
+    import math
+
+    n = len(series)
+    s = sum(
+        (series[j] > series[i]) - (series[j] < series[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = sum(t * (t - 1) * (2 * t + 5) for t in Counter(series).values())
+    var = (n * (n - 1) * (2 * n + 5) - ties) / 18.0
+    if var <= 0:
+        return s, var, None
+    z = (s - 1) / math.sqrt(var) if s > 0 else (s + 1) / math.sqrt(var) if s < 0 else 0.0
+    return s, var, z
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    from mcpvectordb_spark.operators.stats import mann_kendall
+
+    series = {"up": [1, 3, 2, 4, 6, 5, 8, 9, 11, 10],
+              "flat": [5, 6, 5, 6, 5, 6, 5, 6, 5, 6],
+              "down": [20, 18, 19, 15, 14, 16, 10, 9, 8, 5]}
+    rows = [(g, t, v) for g, vs in series.items() for t, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    out = {
+        r["g"]: r
+        for r in mann_kendall(df, "g", F.col("t"), F.col("x")).collect()
+    }
+    for g, vs in series.items():
+        s, var, z = _mk_brute(vs)
+        assert out[g]["mk_s"] == s, g
+        assert out[g]["var_s"] == pytest.approx(var, abs=1e-4), g
+        assert out[g]["z"] == pytest.approx(z, abs=1e-6), g
+    assert out["up"]["trend"] == "increasing"
+    assert out["down"]["trend"] == "decreasing"
+    assert out["flat"]["trend"] == "none"
+
+
+def test_mann_kendall_degenerate_constant(spark):
+    """A constant series has Var(S)=0 — the verdict must be the definite
+    string 'none', never NULL."""
+    from mcpvectordb_spark.operators.stats import mann_kendall
+
+    df = spark.createDataFrame([("c", t, 7) for t in range(10)], "g string, t long, x long")
+    r = mann_kendall(df, "g", F.col("t"), F.col("x")).first()
+    assert r["mk_s"] == 0 and r["z"] is None and r["trend"] == "none"
