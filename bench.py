@@ -195,6 +195,10 @@ BENCH_QUERIES = [
     "customers_rfm",         # RFM quartile segmentation, block-based boundaries
     "events_mann_kendall",   # per-type MK trend test, day-panel pair join
     "documents_lexdiv",      # TTR / hapax / Simpson per source
+    "events_shapley",        # exact Shapley credit over coalition blocks
+    "documents_stump",       # CART Gini stump over feature value blocks
+    "text_chi2_terms",       # chi-square term selection per language
+    "embeddings_kmeans",     # replayable 2-iter Lloyd, broadcast assignment
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

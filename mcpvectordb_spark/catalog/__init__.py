@@ -51,6 +51,10 @@ QUERIES = {
     # -- these AND the 9 never-green backlog queries in the first 13 of the
     # -- 50 driver slots together — additions can no longer displace the
     # -- backlog; window membership pinned in tests/test_entry.py) --
+    "events_shapley": q_events_shapley,
+    "documents_stump": q_documents_stump,
+    "text_chi2_terms": q_text_chi2_terms,
+    "embeddings_kmeans": q_embeddings_kmeans,
     "events_bh_fdr": q_events_bh_fdr,
     "events_mann_kendall": q_events_mann_kendall,
     "stream_cms": q_stream_cms,
@@ -367,6 +371,10 @@ QUERIES = _rotate_stalest_first(QUERIES)
 
 ORACLES = {
     # -- round-6 --
+    "events_shapley": SQL_EVENTS_SHAPLEY,
+    "documents_stump": SQL_DOCUMENTS_STUMP,
+    "text_chi2_terms": SQL_TEXT_CHI2_TERMS,
+    "embeddings_kmeans": SQL_EMBEDDINGS_KMEANS,
     "events_bh_fdr": SQL_EVENTS_BH_FDR,
     "events_mann_kendall": SQL_EVENTS_MANN_KENDALL,
     "stream_cms": SQL_EVENTS_CMS,

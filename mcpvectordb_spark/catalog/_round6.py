@@ -564,5 +564,255 @@ FROM j ORDER BY g
 """
 
 
+def q_events_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value channel attribution (operators/analytics.py::
+    shapley_attribution): conversion credit per channel as the average
+    marginal contribution over all coalitions of the 4-channel enum —
+    the axiomatic completion of the attribution family (last-touch /
+    U-shaped are positional heuristics, Markov is a removal effect;
+    Shapley is the unique credit satisfying efficiency + symmetry).
+    Journeys collapse to <= 2^4 mask blocks, v(S) is a BIGINT subset-sum,
+    and phi's numerator is an exact BIGINT (only the final /4! is float),
+    so the gate is bit-exact at any corpus size."""
+    from mcpvectordb_spark.operators.analytics import shapley_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return shapley_attribution(
+        ev, channels=["click", "error", "signup", "view"], conversion="purchase"
+    )
+
+
+SQL_EVENTS_SHAPLEY = """
+WITH pu AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b0,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b1,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS b2,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b3,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id),
+blocks AS (
+  SELECT CAST(b0 + 2 * b1 + 4 * b2 + 8 * b3 AS BIGINT) AS mask,
+         CAST(sum(conv) AS BIGINT) AS c
+  FROM pu GROUP BY 1),
+coal AS (SELECT CAST(range AS BIGINT) AS s FROM range(16)),
+v AS (
+  SELECT s, CAST(coalesce(sum(c), 0) AS BIGINT) AS v
+  FROM coal LEFT JOIN blocks ON (mask & s) = mask GROUP BY s),
+ch AS (SELECT * FROM (VALUES (0, 'click'), (1, 'error'), (2, 'signup'), (3, 'view'))
+       AS t(i, channel)),
+pairs AS (
+  SELECT ch.channel,
+         CASE ((v.s >> 0) & 1) + ((v.s >> 1) & 1) + ((v.s >> 2) & 1) + ((v.s >> 3) & 1)
+              WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END AS wnum,
+         v.v AS v0, v2.v AS v1
+  FROM ch JOIN v ON ((v.s >> ch.i) & 1) = 0
+  JOIN v v2 ON v2.s = (v.s | (1 << ch.i))),
+num AS (SELECT channel, CAST(sum(wnum * (v1 - v0)) AS BIGINT) AS num
+        FROM pairs GROUP BY 1),
+tot AS (SELECT CAST(sum(num) AS BIGINT) AS tot FROM num)
+SELECT channel, num AS shapley_num,
+       round(CAST(num AS DOUBLE) / 24.0, 6) AS shapley,
+       round(coalesce(CASE WHEN tot <> 0
+                           THEN CAST(num AS DOUBLE) / CAST(tot AS DOUBLE) END, 0.0),
+             6) AS share
+FROM num CROSS JOIN tot ORDER BY channel
+"""
+
+
+def q_documents_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CART decision stump over the documents table (operators/
+    classify.py::gini_stump): best single (feature, threshold) split of
+    the is-English label across two integer features (n_chars, word
+    count) by weighted Gini impurity — the one-split baseline the
+    lr_quality classifier must beat, trained distributed and replayed
+    as chained CTEs by the oracle.  Gini (not entropy) keeps every gain
+    inside +,-,*,/ so both engines rank candidates bit-identically; the
+    argmax carries a (feature, split) tiebreak."""
+    from mcpvectordb_spark.operators.classify import gini_stump
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.filter(
+            F.split(dd.normalize_text(F.col("text")), " "), lambda t: t != ""
+        )
+    )
+    return gini_stump(
+        docs,
+        {"n_chars": F.col("n_chars"), "n_words": n_words},
+        F.col("lang") == "en",
+    )
+
+
+def _sql_gini_mass(n: str, p: str) -> str:
+    nd, pd = f"CAST({n} AS DOUBLE)", f"CAST({p} AS DOUBLE)"
+    return (
+        f"({nd} - ({pd} * {pd} + ({nd} - {pd}) * ({nd} - {pd})) / {nd})"
+    )
+
+
+SQL_DOCUMENTS_STUMP = f"""
+WITH feats AS (
+  SELECT 'n_chars' AS feature, CAST(n_chars AS BIGINT) AS x,
+         CAST(lang = 'en' AS INT) AS y
+  FROM documents
+  UNION ALL
+  SELECT 'n_words' AS feature,
+         CAST(len(list_filter({_sql_words('text')}, t -> t <> '')) AS BIGINT) AS x,
+         CAST(lang = 'en' AS INT) AS y
+  FROM documents),
+blocks AS (
+  SELECT feature, x, CAST(count(*) AS BIGINT) AS bn, CAST(sum(y) AS BIGINT) AS bpos
+  FROM feats GROUP BY 1, 2),
+cum AS (
+  SELECT feature, x,
+         CAST(sum(bn) OVER (PARTITION BY feature ORDER BY x) AS BIGINT) AS nl,
+         CAST(sum(bpos) OVER (PARTITION BY feature ORDER BY x) AS BIGINT) AS pl
+  FROM blocks),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CAST(lang = 'en' AS INT)) AS BIGINT) AS p_total
+  FROM documents),
+scored AS (
+  SELECT feature, x, nl, pl, n_total - nl AS nr, p_total - pl AS pr,
+         n_total, p_total,
+         {_sql_gini_mass('n_total', 'p_total')} / CAST(n_total AS DOUBLE) AS root,
+         {_sql_gini_mass('n_total', 'p_total')} / CAST(n_total AS DOUBLE)
+           - ({_sql_gini_mass('nl', 'pl')}
+              + {_sql_gini_mass('n_total - nl', 'p_total - pl')})
+             / CAST(n_total AS DOUBLE) AS gain
+  FROM cum CROSS JOIN tot WHERE nl < n_total)
+SELECT feature, x AS split_x, nl AS n_left, pl AS pos_left,
+       nr AS n_right, pr AS pos_right,
+       round(root, 6) AS gini_root, round(gain, 6) AS gain,
+       CAST(greatest(pl, nl - pl) + greatest(pr, nr - pr) AS BIGINT) AS n_correct,
+       n_total AS n
+FROM scored ORDER BY gain DESC, feature, x LIMIT 1
+"""
+
+
+def q_text_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised chi-square term selection (operators/textstats.py::
+    chi2_terms): top-10 class-discriminative terms per language by the
+    one-vs-rest 2x2 document-presence chi-square (Yang & Pedersen 1997)
+    — the supervised sibling of text_keywords' unsupervised TF-IDF, and
+    the standard screen for domain markers / template boilerplate in
+    corpus curation.  All contingency cells are exact BIGINTs from
+    vocab-bounded groupBys; chi2 is *,-,/ only, so ranking is
+    engine-exact with a term-string tiebreak."""
+    from mcpvectordb_spark.operators.textstats import chi2_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi2_terms(docs, "lang", min_df=5, top_k=10).withColumnRenamed(
+        "cls", "lang"
+    )
+
+
+SQL_TEXT_CHI2_TERMS = f"""
+WITH pres AS (
+  SELECT DISTINCT lang AS cls, doc_id AS d, t
+  FROM (SELECT lang, doc_id, unnest({_sql_words('text')}) AS t FROM documents)
+  WHERE t <> ''),
+a_tab AS (SELECT t, cls, CAST(count(*) AS BIGINT) AS a FROM pres GROUP BY 1, 2),
+t_tot AS (SELECT t, CAST(sum(a) AS BIGINT) AS df_t FROM a_tab GROUP BY 1),
+c_tot AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_c
+          FROM documents GROUP BY 1),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+j AS (
+  SELECT a_tab.cls, a_tab.t, a, df_t, n_c, n_docs,
+         CAST(df_t - a AS DOUBLE) AS bb,
+         CAST(n_c - a AS DOUBLE) AS cc,
+         CAST(n_docs - n_c AS DOUBLE) - CAST(df_t - a AS DOUBLE) AS dd
+  FROM a_tab JOIN t_tot USING (t) JOIN c_tot USING (cls) CROSS JOIN n_tot
+  WHERE df_t >= 5 AND n_c < n_docs AND df_t < n_docs),
+scored AS (
+  SELECT cls, t, a AS df_class,
+         (CAST(n_docs AS DOUBLE)
+            * (CAST(a AS DOUBLE) * dd - bb * cc)
+            * (CAST(a AS DOUBLE) * dd - bb * cc))
+         / ((CAST(a AS DOUBLE) + bb) * (cc + dd)
+            * (CAST(a AS DOUBLE) + cc) * (bb + dd)) AS chi2
+  FROM j),
+ranked AS (
+  SELECT cls, t, df_class, chi2,
+         row_number() OVER (PARTITION BY cls ORDER BY chi2 DESC, t) AS rank
+  FROM scored)
+SELECT cls AS lang, CAST(rank AS BIGINT) AS rank, t AS term, df_class,
+       round(chi2, 4) AS chi2
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding corpus (operators/
+    knn.py::lloyd_kmeans_replayable): k=8 seeds = the lowest-vec_id
+    vectors (the semdedup centroid convention), 2 Lloyd iterations with
+    round(avg, 9)-quantized centroid updates, final per-cluster sizes +
+    inertia.  The oracle replays the ENTIRE trajectory as chained CTEs
+    (the lr_quality replay discipline applied to clustering), proving
+    the distributed trainer — broadcast assignment expression, one
+    map-side-combinable groupBy per iteration, k*dim driver codebook
+    pulls — equals a single-node run.  Emptied clusters keep their
+    previous centroid on both engines."""
+    from mcpvectordb_spark.operators.knn import lloyd_kmeans_replayable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = lloyd_kmeans_replayable(
+        emb, "vec_id", "embedding", k=8, iters=2, dim=64
+    )
+    return (
+        assigned.groupBy(F.col("cid").cast("long").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(F.sum("dist2"), 4).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_SQL_KM_D = (
+    "list_reduce(list_transform(range(1, 65),"
+    " i -> (v[i] - cv[i]) * (v[i] - cv[i])), (x, y) -> x + y)"
+)
+
+
+def _sql_km_iter(prev: str, a: str, u: str, cn: str, c: str) -> str:
+    """One Lloyd iteration as CTE text: assign against {prev}, update,
+    coalesce emptied clusters back to {prev}."""
+    return f"""
+{a} AS (
+  SELECT id, v, cid, d FROM (
+    SELECT id, v, cid, d,
+           row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+    FROM (SELECT e.id, e.v, {prev}.cid, {_SQL_KM_D} AS d
+          FROM e CROSS JOIN {prev}))
+  WHERE rn = 1),
+{u} AS (
+  SELECT cid, i, round(avg(v[i]), 9) AS coord
+  FROM {a} CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+{cn} AS (SELECT cid, list(coord ORDER BY i) AS cv FROM {u} GROUP BY cid),
+{c} AS (SELECT {prev}.cid, coalesce({cn}.cv, {prev}.cv) AS cv
+        FROM {prev} LEFT JOIN {cn} USING (cid))"""
+
+
+SQL_EMBEDDINGS_KMEANS = f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, v AS cv
+  FROM e ORDER BY id LIMIT 8),{_sql_km_iter('c0', 'a0', 'u1', 'c1n', 'c1')},{_sql_km_iter('c1', 'a1', 'u2', 'c2n', 'c2')},
+af AS (
+  SELECT id, cid, d FROM (
+    SELECT id, cid, d,
+           row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+    FROM (SELECT e.id, c2.cid, {_SQL_KM_D} AS d FROM e CROSS JOIN c2))
+  WHERE rn = 1)
+SELECT CAST(cid AS BIGINT) AS cluster_id, CAST(count(*) AS BIGINT) AS n_points,
+       round(sum(d), 4) AS inertia
+FROM af GROUP BY 1 ORDER BY 1
+"""
+
+
 # re-export everything (including underscore helpers) to later sections
 __all__ = [n for n in dir() if not n.startswith("__")]

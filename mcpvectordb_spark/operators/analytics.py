@@ -610,3 +610,114 @@ def ushaped_attribution(
         w.alias("credit"),
         (w * F.col("v")).alias("credited_value"),
     )
+
+
+def shapley_attribution(
+    events: DataFrame,
+    channels: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    conversion: str = "purchase",
+) -> DataFrame:
+    """Exact Shapley-value channel attribution (Shapley 1953, applied to
+    marketing touch data as in Dalessandro et al. 2012): the conversion
+    credit of channel i is its average marginal contribution across all
+    orderings of the channel set,
+
+        phi_i = sum_{S subseteq C\\{i}}  |S|!(k-1-|S|)!/k! * (v(S+i) - v(S))
+
+    with the coalition value v(S) = number of converted users whose
+    touched-channel set is contained in S ("conversions reachable using
+    only the channels in S").  The axiomatic sibling of the heuristic
+    U-shaped credit and the Markov removal effect already in this module:
+    efficiency guarantees sum_i phi_i = v(C) - v(empty) exactly.
+
+    Exactness discipline: user journeys collapse to at most 2^k mask
+    blocks (k = len(channels), a bounded enum domain), v is a BIGINT
+    subset-sum over those blocks, and phi's numerator is the BIGINT
+    sum_S |S|!(k-1-|S|)! * (v(S+i)-v(S)) — only the final division by k!
+    is floating point, so both engines agree bit-for-bit at any corpus
+    size (the lineitem_kendall block discipline applied to coalitions).
+
+    Scale shape: ONE user-keyed agg over the corpus; everything after
+    runs on <= 2^k-row tables joined broadcast-style.  k is capped at 12
+    (4096 coalitions) — channel taxonomies are enum-sized by design.
+
+    Returns one row per channel: (channel, shapley_num BIGINT — the exact
+    k!-scaled numerator, shapley = num/k!, share = num/sum(num), both
+    rounded 6dp; share coalesces to 0.0 when no conversions separate the
+    coalitions so downstream gates always see a definite number).
+    """
+    import math
+
+    k = len(channels)
+    if not 1 <= k <= 12:
+        raise ValueError(f"channels must have 1..12 entries, got {k}")
+    spark = events.sparkSession
+
+    per_user = events.groupBy(user_col).agg(
+        *[
+            F.max((F.col(type_col) == c).cast("int")).alias(f"__b{i}")
+            for i, c in enumerate(channels)
+        ],
+        F.max((F.col(type_col) == conversion).cast("int")).alias("__conv"),
+    )
+    mask = F.lit(0).cast("long")
+    for i in range(k):
+        mask = mask + F.col(f"__b{i}").cast("long") * F.lit(1 << i)
+    blocks = (
+        per_user.select(mask.alias("mask"), "__conv")
+        .groupBy("mask")
+        .agg(F.sum("__conv").cast("long").alias("c"))
+    )
+    coal = spark.range(1 << k).select(F.col("id").cast("long").alias("s"))
+    v = (
+        coal.join(blocks, F.expr("(mask & s) = mask"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
+    )
+
+    ch = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(channels)], "i long, channel string"
+    )
+    popcount = " + ".join(f"((s >> {j}) & 1)" for j in range(k))
+    wnum = F.lit(None).cast("long")
+    expr = None
+    for s_size in range(k):
+        w = math.factorial(s_size) * math.factorial(k - 1 - s_size)
+        cond = F.expr(popcount) == F.lit(s_size)
+        expr = F.when(cond, F.lit(w)) if expr is None else expr.when(cond, F.lit(w))
+    wnum = expr.cast("long")
+
+    pairs = (
+        ch.join(v, F.expr("((s >> i) & 1) = 0"))
+        .withColumn("wnum", wnum)
+        .join(
+            v.select(F.col("s").alias("s2"), F.col("v").alias("v2")),
+            F.expr("s2 = (s | (CAST(1 AS BIGINT) << i))"),
+        )
+    )
+    num = pairs.groupBy("channel").agg(
+        F.sum(F.col("wnum") * (F.col("v2") - F.col("v"))).cast("long").alias("num")
+    )
+    tot = num.agg(F.sum("num").cast("long").alias("__tot"))
+    kfact = float(math.factorial(k))
+    return (
+        num.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.col("num").alias("shapley_num"),
+            F.round(F.col("num") / F.lit(kfact), 6).alias("shapley"),
+            F.round(
+                F.coalesce(
+                    F.when(
+                        F.col("__tot") != 0,
+                        F.col("num").cast("double") / F.col("__tot").cast("double"),
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )

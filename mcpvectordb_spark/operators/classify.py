@@ -108,3 +108,91 @@ def nb_classify(
         .filter(F.col("rn") == 1)
         .select("id", F.col("label").alias("predicted"), "score")
     )
+
+
+def gini_stump(df: DataFrame, features: dict, label) -> DataFrame:
+    """CART decision stump (Breiman et al. 1984, depth-1): over a set of
+    integer-quantized candidate features, find the single (feature,
+    threshold) split x <= t that minimizes weighted Gini impurity of a
+    binary label — the one-split baseline every quality-classifier
+    pipeline should beat, and the exact building block a distributed
+    boosted-stumps trainer iterates.
+
+    Gini instead of entropy is deliberate cross-engine discipline: the
+    impurity mass of a side is  n - (pos^2 + neg^2)/n  — counts flow
+    through +,-,*,/ only (all IEEE-exact given equal inputs), so Spark
+    and the SQL oracle compute bit-identical gains, where ln() from two
+    different libms could disagree in the last ulp and flip an argmax.
+
+    Scale shape (the mann_whitney_u value-blocks discipline, one block
+    table per feature): each feature collapses to its distinct-value
+    blocks (bounded by the feature's DOMAIN, not the corpus), cumulative
+    class counts run in a window PARTITIONED by feature over blocks
+    only, and the argmax is a TakeOrderedAndProject over the block
+    table.  The corpus appears in exactly one groupBy per feature.
+
+    ``features``: {name: integer Column}; ``label``: boolean/0-1 Column.
+    Returns ONE row: (feature, split_x, n_left, pos_left, n_right,
+    pos_right, gini_root, gain 6dp, n_correct, n) with ties broken by
+    (feature, split_x) so the winner is total-ordered.
+    """
+    blk = None
+    for name, col in sorted(features.items()):
+        b = df.select(
+            F.lit(name).alias("feature"),
+            col.cast("long").alias("x"),
+            label.cast("int").alias("y"),
+        )
+        blk = b if blk is None else blk.unionByName(b)
+    blocks = blk.groupBy("feature", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("bn"),
+        F.sum("y").cast("long").alias("bpos"),
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = blocks.select(
+        "feature",
+        "x",
+        F.sum("bn").over(w).alias("nl"),
+        F.sum("bpos").over(w).alias("pl"),
+    )
+    tot = df.select(label.cast("int").alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("y").cast("long").alias("p_total"),
+    )
+    cand = cum.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n_total"))
+
+    def gini_mass(n, p):
+        nd, pd = n.cast("double"), p.cast("double")
+        qd = nd - pd
+        return nd - (pd * pd + qd * qd) / nd
+
+    nl, pl = F.col("nl"), F.col("pl")
+    nr = F.col("n_total") - nl
+    pr = F.col("p_total") - pl
+    ntd = F.col("n_total").cast("double")
+    root = gini_mass(F.col("n_total"), F.col("p_total")) / ntd
+    gain = root - (gini_mass(nl, pl) + gini_mass(nr, pr)) / ntd
+    return (
+        cand.select(
+            "feature",
+            F.col("x").alias("split_x"),
+            nl.alias("n_left"),
+            pl.alias("pos_left"),
+            nr.alias("n_right"),
+            pr.alias("pos_right"),
+            F.round(root, 6).alias("gini_root"),
+            F.round(gain, 6).alias("gain"),
+            (
+                F.greatest(pl, nl - pl) + F.greatest(pr, nr - pr)
+            ).alias("n_correct"),
+            F.col("n_total").alias("n"),
+            gain.alias("__g"),
+        )
+        .orderBy(F.col("__g").desc(), "feature", "split_x")
+        .limit(1)
+        .drop("__g")
+    )

@@ -691,3 +691,95 @@ def embedding_quality(
         norm_ok.alias("norm_ok"),
         (dim_ok & norm_ok).alias("ok"),
     )
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a left fold — same op structure as dot()
+    above, so a SQL list_reduce over the same element order replays it
+    bit-for-bit (0.0 + t1 + t2 + ... == t1 + t2 + ... exactly)."""
+    return F.aggregate(
+        F.zip_with(
+            a.cast("array<double>"),
+            b.cast("array<double>"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lloyd_kmeans_replayable(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    quant: int = 9,
+) -> DataFrame:
+    """Lloyd's k-means with a fixed iteration count and a fully
+    SQL-replayable trajectory — the oracle-gated sibling of
+    build_centroids_kmeans above (which uses MLlib and serves the IVF
+    build, but whose internals no SQL engine can replay).  Three
+    determinism devices make the distributed trainer equal a single-node
+    CTE replay bit-for-bit:
+
+    - seeds are the k lowest-id corpus vectors (trained-state-free, the
+      semdedup centroid convention — catalog/_corpus.py);
+    - assignment breaks distance ties by lowest centroid id via a
+      struct-min over (dist, cid), and distances are left folds with
+      identical element order on both engines;
+    - updated centroid coordinates are round(avg, quant)-quantized, so
+      the one order-sensitive float reduction per iteration (the per-dim
+      mean) is pinned far above both engines' summation-order noise
+      (~1e-15 relative vs 1e-9 grid).
+
+    An EMPTIED cluster keeps its previous centroid (both engines
+    coalesce to the prior table).  Scale shape: per iteration, the k*dim
+    centroid table is a driver codebook pull (the RFM-boundary /
+    BPE-merge bounded-driver-state pattern), assignment is a broadcast
+    map-only expression, and the update is ONE map-side-combinable
+    groupBy — nothing corpus-sized ever sits on one node.
+
+    Returns the final assignment: (id, cid, dist2) — callers roll up
+    sizes/inertia or join back for cluster-balanced sampling (the
+    SemDeDup curation shape).
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).localCheckpoint(eager=True)
+    cents = [
+        [float(x) for x in r.v]
+        for r in base.orderBy("id").limit(k).collect()
+    ]
+
+    def assign(cent_list):
+        # one SQL string instead of k*dim F.lit() py4j round-trips; the
+        # CAST('repr' AS DOUBLE) literals are exact (repr round-trips and
+        # string->double conversion is correctly rounded), and the
+        # aggregate/zip_with fold is op-for-op the sqdist() shape above
+        structs = []
+        for ci, c in enumerate(cent_list):
+            arr = ", ".join(f"CAST('{repr(x)}' AS DOUBLE)" for x in c)
+            d = (
+                f"aggregate(zip_with(v, array({arr}),"
+                " (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+            )
+            structs.append(f"named_struct('d', {d}, 'cid', {ci})")
+        best = F.expr(f"array_min(array({', '.join(structs)}))")
+        return base.select(
+            "id", "v", best["cid"].alias("cid"), best["d"].alias("dist2")
+        )
+
+    for _ in range(iters):
+        rows = (
+            assign(cents)
+            .groupBy("cid")
+            .agg(*[F.round(F.avg(F.col("v")[i]), quant).alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        new = {r["cid"]: [r[f"d{i}"] for i in range(dim)] for r in rows}
+        cents = [new.get(ci, cents[ci]) for ci in range(k)]
+
+    return assign(cents).select("id", "cid", "dist2")

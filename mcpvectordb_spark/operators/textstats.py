@@ -520,3 +520,90 @@ def winnowing_fingerprints(
         (F.lit((1 << 16) - 1) - F.pmod(F.col("_sel"), F.lit(1 << 16))).alias("fp_pos"),
         F.expr(f"_sel div {1 << 16}").alias("h40"),
     )
+
+
+def chi2_terms(
+    docs: DataFrame,
+    class_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """Supervised chi-square term selection (the classic feature-selection
+    screen of Yang & Pedersen 1997): for every (term, class) pair, the
+    one-vs-rest 2x2 document-presence contingency
+
+        a = class docs containing t      b = other docs containing t
+        c = class docs without t         d = other docs without t
+
+    scores  chi2 = N(ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)),  and the top_k
+    terms per class are reported — the supervised sibling of the
+    unsupervised keywords_tfidf above, and the standard first screen for
+    class-discriminative vocabulary (domain markers, template
+    boilerplate) in a corpus-curation pipeline.
+
+    Exactness: a/b/c/d are exact BIGINTs from two vocab-bounded groupBys;
+    chi2 flows through *,-,/ on doubles only (no libm calls), so both
+    engines rank identically, with ties broken by the term string.
+
+    Scale shape: presence dedups per (doc, term) — one distinct over the
+    posting explosion — then every later table is vocab x classes, never
+    corpus-sized; the per-class ranking window runs over the min_df-
+    filtered vocab partitioned by class.  Classes are an enum domain;
+    class totals broadcast.
+    """
+    from mcpvectordb_spark.operators.dedup import fan_out
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    pres = (
+        fan_out(docs)
+        .select(
+            F.col(class_col).alias("cls"),
+            F.col(id_col).alias("d"),
+            F.explode(words).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    a_tab = pres.groupBy("t", "cls").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    t_tot = a_tab.groupBy("t").agg(F.sum("a").cast("long").alias("df_t"))
+    c_tot = docs.groupBy(class_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    ).withColumnRenamed(class_col, "cls")
+    n_tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    j = (
+        a_tab.join(t_tot, "t")
+        .join(F.broadcast(c_tot), "cls")
+        .crossJoin(F.broadcast(n_tot))
+        # df_t == n_docs would zero the (c+d) margin — a term present in
+        # EVERY document carries no class signal and is dropped, which
+        # also keeps the chi2 division total under ANSI mode
+        .filter(
+            (F.col("df_t") >= min_df)
+            & (F.col("n_c") < F.col("n_docs"))
+            & (F.col("df_t") < F.col("n_docs"))
+        )
+    )
+    ad = F.col("a").cast("double")
+    bd = (F.col("df_t") - F.col("a")).cast("double")
+    cd = (F.col("n_c") - F.col("a")).cast("double")
+    dd_ = (F.col("n_docs") - F.col("n_c") - bd).cast("double")
+    nd = F.col("n_docs").cast("double")
+    num = nd * (ad * dd_ - bd * cd) * (ad * dd_ - bd * cd)
+    den = (ad + bd) * (cd + dd_) * (ad + cd) * (bd + dd_)
+    scored = j.select(
+        "cls", "t", F.col("a").alias("df_class"), (num / den).alias("__chi2")
+    )
+    w = Window.partitionBy("cls").orderBy(F.col("__chi2").desc(), "t")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("cls"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("t").alias("term"),
+            "df_class",
+            F.round("__chi2", 4).alias("chi2"),
+        )
+    )

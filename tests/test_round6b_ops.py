@@ -1,0 +1,356 @@
+"""Round-6 second-batch operator tests: Shapley attribution, Gini stump,
+chi-square term selection, replayable Lloyd k-means.
+
+Each operator gets (a) a planted-fixture assertion where the ground
+truth is computed analytically or by brute force in Python, and (b) the
+degenerate-corpus discipline from round 5: constant labels, single
+classes, no conversions — every readout stays definite (no NULL verdict
+columns) and no query crashes."""
+
+import itertools
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# shapley_attribution
+# ---------------------------------------------------------------------------
+
+
+def _events_df(spark, journeys):
+    """journeys: list of (user_id, [event_type, ...])."""
+    rows = []
+    i = 0
+    for uid, types in journeys:
+        for t in types:
+            rows.append(Row(user_id=uid, event_type=t))
+            i += 1
+    return spark.createDataFrame(rows)
+
+
+def _brute_shapley(journeys, channels, conversion="purchase"):
+    """Exact Shapley by enumerating all coalitions in pure Python."""
+    k = len(channels)
+    users = {}
+    for uid, types in journeys:
+        m, conv = users.get(uid, (0, 0))
+        for t in types:
+            if t in channels:
+                m |= 1 << channels.index(t)
+            if t == conversion:
+                conv = 1
+        users[uid] = (m, conv)
+
+    def v(s):
+        return sum(conv for m, conv in users.values() if m & ~s == 0)
+
+    phi = {}
+    for i, c in enumerate(channels):
+        total = 0.0
+        for s in range(1 << k):
+            if s & (1 << i):
+                continue
+            size = bin(s).count("1")
+            w = (
+                math.factorial(size)
+                * math.factorial(k - 1 - size)
+                / math.factorial(k)
+            )
+            total += w * (v(s | (1 << i)) - v(s))
+        phi[c] = total
+    return phi
+
+
+def test_shapley_matches_bruteforce_enumeration(spark):
+    from mcpvectordb_spark.operators.analytics import shapley_attribution
+
+    channels = ["click", "error", "signup", "view"]
+    journeys = [
+        (1, ["view", "click", "purchase"]),
+        (2, ["view", "purchase"]),
+        (3, ["click", "signup"]),
+        (4, ["error", "view", "click", "purchase"]),
+        (5, ["signup", "purchase"]),
+        (6, ["view"]),
+        (7, ["purchase"]),  # converts with the empty coalition
+    ]
+    out = {
+        r["channel"]: r
+        for r in shapley_attribution(
+            _events_df(spark, journeys), channels
+        ).collect()
+    }
+    expected = _brute_shapley(journeys, channels)
+    for c in channels:
+        assert out[c]["shapley"] == pytest.approx(expected[c], abs=1e-6)
+    # efficiency: sum(phi) == v(C) - v(empty) == 4 converters reachable
+    # with all channels minus the 1 bare-purchase user
+    assert sum(r["shapley_num"] for r in out.values()) == 24 * (5 - 1)
+
+
+def test_shapley_symmetric_channels_get_equal_credit(spark):
+    """Two channels that appear in exactly the same journeys must receive
+    identical credit (the symmetry axiom — heuristics like U-shaped break
+    it under reordering, Shapley cannot)."""
+    from mcpvectordb_spark.operators.analytics import shapley_attribution
+
+    journeys = [
+        (1, ["view", "click", "purchase"]),
+        (2, ["view", "click", "purchase"]),
+        (3, ["signup"]),
+    ]
+    out = {
+        r["channel"]: r["shapley_num"]
+        for r in shapley_attribution(
+            _events_df(spark, journeys), ["click", "signup", "view"]
+        ).collect()
+    }
+    assert out["view"] == out["click"]
+    assert out["signup"] == 0
+
+
+def test_shapley_no_conversions_definite_zero_share(spark):
+    """Degenerate corpus: zero conversions anywhere -> every phi is 0 and
+    share coalesces to 0.0 (definite, never NULL)."""
+    from mcpvectordb_spark.operators.analytics import shapley_attribution
+
+    journeys = [(1, ["view", "click"]), (2, ["signup"])]
+    rows = shapley_attribution(
+        _events_df(spark, journeys), ["click", "signup", "view"]
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["shapley_num"] == 0
+        assert r["shapley"] == 0.0
+        assert r["share"] == 0.0  # not None
+
+
+def test_shapley_rejects_oversized_channel_set(spark):
+    from mcpvectordb_spark.operators.analytics import shapley_attribution
+
+    with pytest.raises(ValueError):
+        shapley_attribution(
+            _events_df(spark, [(1, ["a"])]), [f"c{i}" for i in range(13)]
+        )
+
+
+# ---------------------------------------------------------------------------
+# gini_stump
+# ---------------------------------------------------------------------------
+
+
+def test_stump_finds_planted_perfect_split(spark):
+    """Label is exactly (x <= 10): the stump must pick feature 'x' at
+    split 10 with gain == gini_root and 100% training accuracy."""
+    from mcpvectordb_spark.operators.classify import gini_stump
+
+    rows = [Row(x=i, z=i % 3, y=(i <= 10)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows)
+    out = gini_stump(
+        df, {"x": F.col("x"), "z": F.col("z")}, F.col("y")
+    ).collect()[0]
+    assert out["feature"] == "x"
+    assert out["split_x"] == 10
+    assert out["n_correct"] == out["n"] == 20
+    assert out["gain"] == pytest.approx(out["gini_root"], abs=1e-9)
+
+
+def test_stump_constant_label_zero_gain_definite(spark):
+    """Degenerate corpus: constant label -> gini_root == 0, every gain is
+    0, output is still exactly one definite row (tiebreak picks the first
+    (feature, x) candidate)."""
+    from mcpvectordb_spark.operators.classify import gini_stump
+
+    df = spark.createDataFrame([Row(x=i, y=True) for i in range(5)])
+    out = gini_stump(df, {"x": F.col("x")}, F.col("y")).collect()
+    assert len(out) == 1
+    assert out[0]["gini_root"] == 0.0
+    assert out[0]["gain"] == 0.0
+    assert out[0]["n_correct"] == 5
+
+
+def test_stump_prefers_higher_gain_feature(spark):
+    """x separates perfectly, z is noise: brute-force the best weighted
+    Gini over all candidates in Python and compare."""
+    from mcpvectordb_spark.operators.classify import gini_stump
+
+    rows = [Row(x=i, z=(i * 7) % 5, y=(i % 4 == 0)) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    out = gini_stump(df, {"x": F.col("x"), "z": F.col("z")}, F.col("y")).collect()[0]
+
+    data = [(r.x, r.z, int(r.y)) for r in rows]
+    n = len(data)
+    p = sum(y for _, _, y in data)
+
+    def mass(nn, pp):
+        if nn == 0:
+            return 0.0
+        q = nn - pp
+        return nn - (pp * pp + q * q) / nn
+
+    root = mass(n, p) / n
+    best = None
+    for feat, idx in (("x", 0), ("z", 1)):
+        for t in sorted({d[idx] for d in data}):
+            nl = sum(1 for d in data if d[idx] <= t)
+            if nl == n:
+                continue
+            pl = sum(d[2] for d in data if d[idx] <= t)
+            gain = root - (mass(nl, pl) + mass(n - nl, p - pl)) / n
+            key = (-gain, feat, t)
+            if best is None or key < best:
+                best = key
+    assert out["feature"] == best[1]
+    assert out["split_x"] == best[2]
+    assert out["gain"] == pytest.approx(-best[0], abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# chi2_terms
+# ---------------------------------------------------------------------------
+
+
+def _docs_df(spark, docs):
+    return spark.createDataFrame(
+        [Row(doc_id=i, lang=lang, text=text) for i, (lang, text) in enumerate(docs)]
+    )
+
+
+def test_chi2_planted_marker_term_ranks_first(spark):
+    """'zebra' appears in every 'en' doc and no 'fr' doc -> it must be
+    the top-ranked en term, and its chi2 must equal the hand formula."""
+    from mcpvectordb_spark.operators.textstats import chi2_terms
+
+    docs = [("en", f"zebra common{i % 3} filler") for i in range(10)] + [
+        ("fr", f"cheval common{i % 3} filler") for i in range(10)
+    ]
+    out = chi2_terms(
+        _docs_df(spark, docs), "lang", min_df=5, top_k=3
+    ).collect()
+    en = [r for r in out if r["cls"] == "en"]
+    top = min(en, key=lambda r: r["rank"])
+    assert top["term"] == "zebra"
+    # hand 2x2: a=10 b=0 c=0 d=10, N=20 -> chi2 = 20*(100)^2/(10*10*10*10) = 20
+    assert top["chi2"] == pytest.approx(20.0, abs=1e-9)
+    # symmetric marker on the fr side
+    fr_top = min(
+        (r for r in out if r["cls"] == "fr"), key=lambda r: r["rank"]
+    )
+    assert fr_top["term"] == "cheval"
+
+
+def test_chi2_single_class_returns_empty(spark):
+    """Degenerate corpus: one class only -> the one-vs-rest contingency is
+    undefined (n_c == N), and the operator returns zero rows rather than
+    NULL/NaN scores."""
+    from mcpvectordb_spark.operators.textstats import chi2_terms
+
+    docs = [("en", f"word{i % 4} zebra text") for i in range(12)]
+    assert chi2_terms(_docs_df(spark, docs), "lang", min_df=2).count() == 0
+
+
+def test_chi2_min_df_filters_rare_terms(spark):
+    from mcpvectordb_spark.operators.textstats import chi2_terms
+
+    docs = [("en", "rareword" if i == 0 else "stuffing text") for i in range(6)] + [
+        ("fr", "autre chose") for _ in range(6)
+    ]
+    out = chi2_terms(_docs_df(spark, docs), "lang", min_df=5, top_k=10).collect()
+    assert all(r["term"] != "rareword" for r in out)
+
+
+# ---------------------------------------------------------------------------
+# lloyd_kmeans_replayable
+# ---------------------------------------------------------------------------
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+
+
+def test_kmeans_separated_blobs_recover_planted_clusters(spark):
+    """Two tight blobs far apart, k=2: after 2 Lloyd iterations every
+    point must sit with its blob-mates and inertia must be tiny relative
+    to the blob separation."""
+    from mcpvectordb_spark.operators.knn import lloyd_kmeans_replayable
+
+    dim = 4
+    blob_a = [[0.0 + 0.01 * j] * dim for j in range(5)]
+    blob_b = [[10.0 + 0.01 * j] * dim for j in range(5)]
+    df = _emb_df(spark, blob_a + blob_b)
+    out = lloyd_kmeans_replayable(df, "vec_id", "embedding", k=2, iters=2, dim=dim)
+    rows = out.collect()
+    by_cid = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], set()).add(r["id"])
+    assert sorted(len(v) for v in by_cid.values()) == [5, 5]
+    assert {frozenset(v) for v in by_cid.values()} == {
+        frozenset(range(5)),
+        frozenset(range(5, 10)),
+    }
+    assert sum(r["dist2"] for r in rows) < 0.1
+
+
+def test_kmeans_iterations_do_not_increase_inertia(spark):
+    """Lloyd monotonicity (up to the 1e-9 centroid quantization): total
+    inertia after 2 iterations <= after 0 iterations + epsilon."""
+    from mcpvectordb_spark.operators.knn import lloyd_kmeans_replayable
+
+    dim = 8
+    vecs = [
+        [((i * 37 + j * 11) % 97) / 97.0 for j in range(dim)] for i in range(40)
+    ]
+    df = _emb_df(spark, vecs)
+
+    def inertia(iters):
+        rows = lloyd_kmeans_replayable(
+            df, "vec_id", "embedding", k=4, iters=iters, dim=dim
+        ).collect()
+        return sum(r["dist2"] for r in rows)
+
+    assert inertia(2) <= inertia(0) + 1e-6
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """k == n with duplicate points: the duplicate seed's cluster empties
+    (ties break to the lower cid) but the run still returns k-partition
+    assignments without crashing, and every point keeps dist2 == 0."""
+    from mcpvectordb_spark.operators.knn import lloyd_kmeans_replayable
+
+    dim = 3
+    vecs = [[1.0, 2.0, 3.0], [1.0, 2.0, 3.0], [5.0, 5.0, 5.0]]
+    df = _emb_df(spark, vecs)
+    rows = lloyd_kmeans_replayable(
+        df, "vec_id", "embedding", k=3, iters=2, dim=dim
+    ).collect()
+    assert len(rows) == 3
+    assert all(r["dist2"] == 0.0 for r in rows)
+    # the two duplicates share the lower centroid id
+    cids = {r["id"]: r["cid"] for r in rows}
+    assert cids[0] == cids[1] == 0
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    from mcpvectordb_spark.operators.knn import lloyd_kmeans_replayable
+
+    dim = 6
+    vecs = [
+        [math.sin(i * 1.7 + j) for j in range(dim)] for i in range(30)
+    ]
+    df = _emb_df(spark, vecs)
+    a = sorted(
+        lloyd_kmeans_replayable(df, "vec_id", "embedding", k=3, iters=2, dim=dim)
+        .collect(),
+        key=lambda r: r["id"],
+    )
+    b = sorted(
+        lloyd_kmeans_replayable(df, "vec_id", "embedding", k=3, iters=2, dim=dim)
+        .collect(),
+        key=lambda r: r["id"],
+    )
+    assert [(r["cid"], r["dist2"]) for r in a] == [(r["cid"], r["dist2"]) for r in b]
