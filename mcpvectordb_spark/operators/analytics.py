@@ -665,23 +665,40 @@ def shapley_attribution(
     mask = F.lit(0).cast("long")
     for i in range(k):
         mask = mask + F.col(f"__b{i}").cast("long") * F.lit(1 << i)
+    # pin the <= 2^k-row block table: four downstream consumers (v twice,
+    # the numerator, the share total) would otherwise each re-scan the
+    # corpus — after this checkpoint the corpus appears in EXACTLY one
+    # groupBy regardless of how the coalition algebra fans out
     blocks = (
         per_user.select(mask.alias("mask"), "__conv")
         .groupBy("mask")
         .agg(F.sum("__conv").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
+    # v(S) by exploding each mask block to its supersets (every join below
+    # is an equi-join or a 1-row scalar broadcast — no nested loops; the
+    # explode fan-out is <= 3^k rows total, a constant):
+    # S = mask | t over all submasks t of the complement of mask
+    sup = blocks.select(
+        "c",
+        F.explode(
+            F.expr(
+                f"filter(sequence(CAST(0 AS BIGINT), {(1 << k) - 1}),"
+                " t -> (t & mask) = 0)"
+            )
+        ).alias("t"),
+        F.col("mask"),
+    ).select((F.col("mask") + F.col("t")).alias("s"), "c")
     coal = spark.range(1 << k).select(F.col("id").cast("long").alias("s"))
     v = (
-        coal.join(blocks, F.expr("(mask & s) = mask"), "left")
-        .groupBy("s")
-        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
+        coal.join(sup.groupBy("s").agg(F.sum("c").alias("vc")), "s", "left")
+        .select("s", F.coalesce(F.col("vc"), F.lit(0)).cast("long").alias("v"))
     )
 
     ch = spark.createDataFrame(
         [(i, c) for i, c in enumerate(channels)], "i long, channel string"
     )
     popcount = " + ".join(f"((s >> {j}) & 1)" for j in range(k))
-    wnum = F.lit(None).cast("long")
     expr = None
     for s_size in range(k):
         w = math.factorial(s_size) * math.factorial(k - 1 - s_size)
@@ -690,11 +707,21 @@ def shapley_attribution(
     wnum = expr.cast("long")
 
     pairs = (
-        ch.join(v, F.expr("((s >> i) & 1) = 0"))
+        v.withColumn(
+            "i",
+            F.explode(
+                F.expr(
+                    f"filter(sequence(CAST(0 AS BIGINT), {k - 1}),"
+                    " i -> ((s >> i) & 1) = 0)"
+                )
+            ),
+        )
         .withColumn("wnum", wnum)
+        .withColumn("s2", F.expr("s | (CAST(1 AS BIGINT) << i)"))
+        .join(F.broadcast(ch), "i")
         .join(
-            v.select(F.col("s").alias("s2"), F.col("v").alias("v2")),
-            F.expr("s2 = (s | (CAST(1 AS BIGINT) << i))"),
+            F.broadcast(v.select(F.col("s").alias("s2"), F.col("v").alias("v2"))),
+            "s2",
         )
     )
     num = pairs.groupBy("channel").agg(

@@ -3233,8 +3233,207 @@ def main_r6() -> None:
     spark.stop()
 
 
+def main_r6b() -> None:
+    """Round-6 second-batch stress: Shapley attribution, Gini stump,
+    chi-square term selection, and replayable Lloyd k-means — each at
+    sf1-equivalent scale with a PLANTED closed-form ground truth:
+
+    - Shapley at 4.8M users (~11M events): conversion depends only on the
+      user's channel-set mask, so the exact BIGINT numerators are
+      recomputable from the 16 planted block counts by brute-force
+      coalition enumeration in plain Python — the match must be EXACT
+      (the whole point of keeping phi's numerator integral);
+    - stump at 20M rows: label == (x <= 499) exactly, so the stump must
+      recover ('x', 499) with gain == gini_root and 100% accuracy;
+    - chi2 at 2M docs: a marker term present in EVERY class-a doc and NO
+      class-b doc has chi2 == N exactly (perfect association);
+    - k-means at 400k x 64-dim vectors around 8 planted centers with
+      jitter << separation: the 8 lowest-id seeds are one-per-center by
+      construction, so after 2 Lloyd iterations every cluster must hold
+      exactly n/8 points."""
+    import math as _math
+    import tempfile
+
+    from mcpvectordb_spark.operators.analytics import shapley_attribution
+    from mcpvectordb_spark.operators.classify import gini_stump
+    from mcpvectordb_spark.operators.knn import lloyd_kmeans_replayable
+    from mcpvectordb_spark.operators.textstats import chi2_terms
+
+    spark = get_spark("stress-r6b")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {counts[name]}", file=sys.stderr)
+
+    CH = ["click", "error", "signup", "view"]
+
+    def shapley_5m():
+        n_users = 4_800_000  # multiple of 48 = lcm(16 masks, 3 conv cycle)
+        users = spark.range(n_users).select(
+            F.col("id").alias("user_id"),
+            (F.col("id") % 16).alias("mask"),
+            (F.col("id") % 3 == 0).cast("int").alias("conv"),
+        )
+        types = F.array_compact(
+            F.array(
+                *[
+                    F.when(F.expr(f"(mask >> {i}) & 1 = 1"), F.lit(c))
+                    for i, c in enumerate(CH)
+                ],
+                F.when(F.col("conv") == 1, F.lit("purchase")),
+            )
+        )
+        ev = users.select("user_id", F.explode(types).alias("event_type"))
+        out = {
+            r["channel"]: r["shapley_num"]
+            for r in shapley_attribution(ev, CH).collect()
+        }
+        # independent brute force from the planted block law: every mask
+        # holds n/16 users, every third user converts, and n % 48 == 0
+        # makes the joint count exact per mask
+        c = {m: n_users // 48 for m in range(16)}
+
+        def v(s):
+            return sum(cnt for m, cnt in c.items() if m & ~s == 0)
+
+        for i, ch in enumerate(CH):
+            num = 0
+            for s in range(16):
+                if s & (1 << i):
+                    continue
+                sz = bin(s).count("1")
+                num += (
+                    _math.factorial(sz)
+                    * _math.factorial(3 - sz)
+                    * (v(s | (1 << i)) - v(s))
+                )
+            assert out[ch] == num, (ch, out[ch], num)
+        # symmetry: all four channels are exchangeable under this law
+        assert len(set(out.values())) == 1, out
+        notes["shapley_5m"] = (
+            f"4.8M users / ~11M events: exact BIGINT numerators match the "
+            "brute-force coalition enumeration over the planted 16-block "
+            "law EXACTLY (and all 4 exchangeable channels get identical "
+            "credit) — one user-keyed corpus agg, everything after is "
+            "<= 16-row tables"
+        )
+        return len(out)
+
+    def stump_20m():
+        n = 20_000_000
+        df = spark.range(n).select(
+            (F.col("id") % 1000).alias("x"),
+            ((F.col("id") * 7) % 23).alias("z"),
+            (F.col("id") % 1000 <= 499).alias("y"),
+        )
+        out = gini_stump(
+            df, {"x": F.col("x"), "z": F.col("z")}, F.col("y")
+        ).collect()[0]
+        assert out["feature"] == "x" and out["split_x"] == 499, out
+        assert out["n_correct"] == out["n"] == n, out
+        assert abs(out["gain"] - out["gini_root"]) < 1e-9, out
+        notes["stump_20m"] = (
+            "20M rows, label == (x <= 499) planted: stump recovers "
+            "('x', 499) with gain == gini_root and 20M/20M training "
+            "accuracy; candidate table is 1,023 blocks (the two feature "
+            "domains), corpus appears in one groupBy per feature"
+        )
+        return out["split_x"]
+
+    def chi2_2m():
+        n_docs = 2_000_000
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("lang"),
+            F.concat(
+                F.when(F.col("id") % 2 == 0, F.lit("alpha ")).otherwise(
+                    F.lit("beta ")
+                ),
+                F.lit("w"),
+                (F.col("id") % 50).cast("string"),
+                F.lit(" filler_common"),
+            ).alias("text"),
+        )
+        out = chi2_terms(docs, "lang", min_df=5, top_k=3).collect()
+        top = {
+            cls: min((r for r in out if r["cls"] == cls), key=lambda r: r["rank"])
+            for cls in ("a", "b")
+        }
+        # perfect association: a=N/2, b=0, c=0, d=N/2 -> chi2 == N exactly
+        assert top["a"]["term"] == "alpha", top
+        assert top["b"]["term"] == "beta", top
+        assert top["a"]["chi2"] == float(n_docs), top
+        assert top["b"]["chi2"] == float(n_docs), top
+        notes["chi2_2m"] = (
+            "2M docs: planted one-class marker terms score chi2 == N "
+            "(perfect 2x2 association, an exact closed form) and rank "
+            "first in both classes; the universal filler term is dropped "
+            "by the df_t < n_docs margin guard — all tables after the "
+            "presence dedup are vocab x classes (52 terms)"
+        )
+        return len(out)
+
+    def kmeans_400k():
+        n, dim, k = 400_000, 64, 8
+        vecs = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (
+                    (F.col("id") % k).cast("double") * 10.0
+                    + F.pmod(F.xxhash64(F.col("id"), j), F.lit(100)).cast(
+                        "double"
+                    )
+                    / 1000.0
+                ),
+            ).alias("embedding"),
+        )
+        assigned = lloyd_kmeans_replayable(
+            vecs, "vec_id", "embedding", k=k, iters=2, dim=dim
+        )
+        roll = (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dist2").alias("inertia"))
+            .collect()
+        )
+        assert len(roll) == k, roll
+        assert all(r["n"] == n // k for r in roll), roll
+        # jitter is uniform on [0, 0.1) per dim: per-point dist2 < 64*0.01
+        assert all(r["inertia"] < (n // k) * dim * 0.01 for r in roll), roll
+        notes["kmeans_400k"] = (
+            "400k x 64-dim vectors around 8 planted centers (separation "
+            "10/dim, jitter < 0.1): ids 0..7 seed one-per-center, 2 Lloyd "
+            "iterations keep every cluster at exactly 50k points with "
+            "inertia bounded by the jitter law; assignment is a broadcast "
+            "map-only expression, each update ONE map-side-combinable agg"
+        )
+        return len(roll)
+
+    run("shapley_5m", shapley_5m)
+    run("stump_20m", stump_20m)
+    run("chi2_2m", chi2_2m)
+    run("kmeans_400k", kmeans_400k)
+
+    print(json.dumps({
+        "mode": "r6b",
+        "timings_s": timings,
+        "counts": counts,
+        "notes": notes,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "r6" in sys.argv[1:]:
+    if "r6b" in sys.argv[1:]:
+        main_r6b()
+    elif "r6" in sys.argv[1:]:
         main_r6()
     elif "sf1" in sys.argv[1:]:
         main_sf1()
