@@ -354,3 +354,102 @@ def test_kmeans_deterministic_across_runs(spark):
         key=lambda r: r["id"],
     )
     assert [(r["cid"], r["dist2"]) for r in a] == [(r["cid"], r["dist2"]) for r in b]
+
+
+# ---------------------------------------------------------------------------
+# invariance properties (the round-5 discipline: each new readout gets an
+# algebraic invariance its algorithm must satisfy exactly)
+# ---------------------------------------------------------------------------
+
+
+def test_shapley_duplication_doubles_numerators_exactly(spark):
+    """Replicating every journey under fresh user ids doubles every
+    coalition value v(S), hence every EXACT numerator, bit-for-bit —
+    linearity of the Shapley operator in the block counts."""
+    from mcpvectordb_spark.operators.analytics import shapley_attribution
+
+    channels = ["click", "signup", "view"]
+    journeys = [
+        (1, ["view", "click", "purchase"]),
+        (2, ["view", "purchase"]),
+        (3, ["click", "signup"]),
+        (4, ["signup", "purchase"]),
+    ]
+    doubled = journeys + [(uid + 100, t) for uid, t in journeys]
+    one = {
+        r["channel"]: r["shapley_num"]
+        for r in shapley_attribution(_events_df(spark, journeys), channels).collect()
+    }
+    two = {
+        r["channel"]: r["shapley_num"]
+        for r in shapley_attribution(_events_df(spark, doubled), channels).collect()
+    }
+    assert two == {c: 2 * n for c, n in one.items()}
+
+
+def test_stump_label_complement_invariance(spark):
+    """Gini impurity is symmetric in the two classes: flipping the label
+    must leave the chosen (feature, split, gain) unchanged and complement
+    the class counts."""
+    from mcpvectordb_spark.operators.classify import gini_stump
+
+    rows = [Row(x=i % 7, y=(i % 3 == 0)) for i in range(60)]
+    df = spark.createDataFrame(rows)
+    a = gini_stump(df, {"x": F.col("x")}, F.col("y")).collect()[0]
+    b = gini_stump(df, {"x": F.col("x")}, ~F.col("y")).collect()[0]
+    assert (a["feature"], a["split_x"]) == (b["feature"], b["split_x"])
+    assert a["gain"] == b["gain"] and a["gini_root"] == b["gini_root"]
+    assert b["pos_left"] == a["n_left"] - a["pos_left"]
+    assert a["n_correct"] == b["n_correct"]
+
+
+def test_chi2_binary_class_symmetry(spark):
+    """With two classes the 2x2 chi-square is symmetric under swapping the
+    class labels: every (term, score) pair must appear with identical chi2
+    under the opposite class."""
+    from mcpvectordb_spark.operators.textstats import chi2_terms
+
+    docs = [("en", f"zebra w{i % 4} tail") for i in range(8)] + [
+        ("fr", f"cheval w{i % 4} tail") for i in range(8)
+    ]
+    swapped = [("fr" if l == "en" else "en", t) for l, t in docs]
+    a = {
+        (r["cls"], r["term"]): r["chi2"]
+        for r in chi2_terms(_docs_df(spark, docs), "lang", min_df=2, top_k=20).collect()
+    }
+    b = {
+        (r["cls"], r["term"]): r["chi2"]
+        for r in chi2_terms(
+            _docs_df(spark, swapped), "lang", min_df=2, top_k=20
+        ).collect()
+    }
+    assert a == {("fr" if c == "en" else "en", t): v for (c, t), v in b.items()}
+
+
+def test_kmeans_dimension_permutation_invariance(spark):
+    """Reversing every vector's dimensions permutes centroids identically,
+    so assignments and per-point distances are EXACTLY unchanged (all
+    arithmetic is elementwise; the fold order changes but each term is
+    identical and summation of the reversed list hits the same total only
+    up to ulps — so distances are compared at 1e-9)."""
+    from mcpvectordb_spark.operators.knn import lloyd_kmeans_replayable
+
+    dim = 6
+    vecs = [[math.cos(i * 2.3 + j * 0.7) for j in range(dim)] for i in range(24)]
+    rev = [list(reversed(v)) for v in vecs]
+    a = {
+        r["id"]: (r["cid"], r["dist2"])
+        for r in lloyd_kmeans_replayable(
+            _emb_df(spark, vecs), "vec_id", "embedding", k=3, iters=2, dim=dim
+        ).collect()
+    }
+    b = {
+        r["id"]: (r["cid"], r["dist2"])
+        for r in lloyd_kmeans_replayable(
+            _emb_df(spark, rev), "vec_id", "embedding", k=3, iters=2, dim=dim
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for i in a:
+        assert a[i][0] == b[i][0]
+        assert a[i][1] == pytest.approx(b[i][1], abs=1e-9)
