@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "documents_stump",       # CART Gini stump over feature value blocks
     "text_chi2_terms",       # chi-square term selection per language
     "embeddings_kmeans",     # replayable 2-iter Lloyd, broadcast assignment
+    "embeddings_silhouette", # O(n*k) simplified silhouette on the same fit
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -55,6 +55,7 @@ QUERIES = {
     "documents_stump": q_documents_stump,
     "text_chi2_terms": q_text_chi2_terms,
     "embeddings_kmeans": q_embeddings_kmeans,
+    "embeddings_silhouette": q_embeddings_silhouette,
     "events_bh_fdr": q_events_bh_fdr,
     "events_mann_kendall": q_events_mann_kendall,
     "stream_cms": q_stream_cms,
@@ -375,6 +376,7 @@ ORACLES = {
     "documents_stump": SQL_DOCUMENTS_STUMP,
     "text_chi2_terms": SQL_TEXT_CHI2_TERMS,
     "embeddings_kmeans": SQL_EMBEDDINGS_KMEANS,
+    "embeddings_silhouette": SQL_EMBEDDINGS_SILHOUETTE,
     "events_bh_fdr": SQL_EVENTS_BH_FDR,
     "events_mann_kendall": SQL_EVENTS_MANN_KENDALL,
     "stream_cms": SQL_EVENTS_CMS,

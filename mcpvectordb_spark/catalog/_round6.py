@@ -814,5 +814,52 @@ FROM af GROUP BY 1 ORDER BY 1
 """
 
 
+def q_embeddings_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per cluster (operators/knn.py::
+    silhouette_simplified) against the SAME deterministic Lloyd
+    trajectory as embeddings_kmeans — the cluster-quality readout that
+    replaces the O(n²) full silhouette with the O(n·k) centroid form at
+    corpus scale.  a/b come from positions 1-2 of the sorted per-centroid
+    distance array (the assignment argmin's own structs), sqrt is
+    IEEE-exact, and coincident-centroid points score a definite 0.0, so
+    the oracle's rn<=2 replay gates values exactly."""
+    from mcpvectordb_spark.operators.knn import silhouette_simplified
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = silhouette_simplified(emb, "vec_id", "embedding", k=8, iters=2, dim=64)
+    return out.select(
+        F.col("cid").cast("long").alias("cluster_id"),
+        F.col("n").alias("n_points"),
+        "silhouette",
+    ).orderBy("cluster_id")
+
+
+SQL_EMBEDDINGS_SILHOUETTE = f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, v AS cv
+  FROM e ORDER BY id LIMIT 8),{_sql_km_iter('c0', 'a0', 'u1', 'c1n', 'c1')},{_sql_km_iter('c1', 'a1', 'u2', 'c2n', 'c2')},
+af2 AS (
+  SELECT id, cid, d, rn FROM (
+    SELECT id, cid, d,
+           row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+    FROM (SELECT e.id, c2.cid, {_SQL_KM_D} AS d FROM e CROSS JOIN c2))
+  WHERE rn <= 2),
+sc AS (
+  SELECT max(CASE WHEN rn = 1 THEN cid END) AS cid,
+         sqrt(max(CASE WHEN rn = 1 THEN d END)) AS a,
+         sqrt(max(CASE WHEN rn = 2 THEN d END)) AS b
+  FROM af2 GROUP BY id)
+SELECT CAST(cid AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(avg(CASE WHEN greatest(a, b) > 0
+                      THEN (b - a) / greatest(a, b) ELSE 0.0 END),
+             6) AS silhouette
+FROM sc GROUP BY 1 ORDER BY 1
+"""
+
+
 # re-export everything (including underscore helpers) to later sections
 __all__ = [n for n in dir() if not n.startswith("__")]

@@ -745,6 +745,36 @@ def lloyd_kmeans_replayable(
     sizes/inertia or join back for cluster-balanced sampling (the
     SemDeDup curation shape).
     """
+    base, cents = _lloyd_train(df, id_col, vec_col, k, iters, dim, quant)
+    return _lloyd_assign(base, cents).select("id", "cid", "dist2")
+
+
+def _lloyd_dist_structs(cent_list) -> str:
+    """The per-centroid (dist, cid) struct array as ONE SQL string — a
+    single py4j round-trip instead of k*dim F.lit() calls.  The
+    CAST('repr' AS DOUBLE) literals are exact (repr round-trips and
+    string->double conversion is correctly rounded), and the
+    aggregate/zip_with fold is op-for-op the sqdist() shape above."""
+    structs = []
+    for ci, c in enumerate(cent_list):
+        arr = ", ".join(f"CAST('{repr(x)}' AS DOUBLE)" for x in c)
+        d = (
+            f"aggregate(zip_with(v, array({arr}),"
+            " (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+        )
+        structs.append(f"named_struct('d', {d}, 'cid', {ci})")
+    return f"array({', '.join(structs)})"
+
+
+def _lloyd_assign(base: DataFrame, cent_list) -> DataFrame:
+    best = F.expr(f"array_min({_lloyd_dist_structs(cent_list)})")
+    return base.select(
+        "id", "v", best["cid"].alias("cid"), best["d"].alias("dist2")
+    )
+
+
+def _lloyd_train(df, id_col, vec_col, k, iters, dim, quant):
+    """Shared Lloyd trajectory: returns (pinned base, final centroids)."""
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -753,33 +783,60 @@ def lloyd_kmeans_replayable(
         [float(x) for x in r.v]
         for r in base.orderBy("id").limit(k).collect()
     ]
-
-    def assign(cent_list):
-        # one SQL string instead of k*dim F.lit() py4j round-trips; the
-        # CAST('repr' AS DOUBLE) literals are exact (repr round-trips and
-        # string->double conversion is correctly rounded), and the
-        # aggregate/zip_with fold is op-for-op the sqdist() shape above
-        structs = []
-        for ci, c in enumerate(cent_list):
-            arr = ", ".join(f"CAST('{repr(x)}' AS DOUBLE)" for x in c)
-            d = (
-                f"aggregate(zip_with(v, array({arr}),"
-                " (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
-            )
-            structs.append(f"named_struct('d', {d}, 'cid', {ci})")
-        best = F.expr(f"array_min(array({', '.join(structs)}))")
-        return base.select(
-            "id", "v", best["cid"].alias("cid"), best["d"].alias("dist2")
-        )
-
     for _ in range(iters):
         rows = (
-            assign(cents)
+            _lloyd_assign(base, cents)
             .groupBy("cid")
             .agg(*[F.round(F.avg(F.col("v")[i]), quant).alias(f"d{i}") for i in range(dim)])
             .collect()
         )
         new = {r["cid"]: [r[f"d{i}"] for i in range(dim)] for r in rows}
         cents = [new.get(ci, cents[ci]) for ci in range(k)]
+    return base, cents
 
-    return assign(cents).select("id", "cid", "dist2")
+
+def silhouette_simplified(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    quant: int = 9,
+) -> DataFrame:
+    """Simplified silhouette (Hruschka et al. 2004) against the SAME
+    replayable Lloyd trajectory as lloyd_kmeans_replayable: per point,
+    a = euclidean distance to its own centroid, b = distance to the
+    nearest OTHER centroid,  s = (b - a) / max(a, b)  — the O(n*k)
+    cluster-quality readout that replaces the O(n^2) full silhouette at
+    corpus scale (the full form is a pairwise self-join; this form reuses
+    the k distances the assignment already computes).
+
+    Both distances come from sorting the same per-centroid struct array
+    the assignment argmin uses (positions 1 and 2 of array_sort), so the
+    oracle's rn <= 2 window replay is term-for-term identical; sqrt is
+    IEEE-exact, keeping the score engine-exact before the final rounded
+    mean.  A point coincident with two centroids (a == b == 0) scores a
+    DEFINITE 0.0, never a 0/0 NULL.
+
+    Returns one row per cluster: (cid, n, silhouette = round(avg s, 6)).
+    """
+    base, cents = _lloyd_train(df, id_col, vec_col, k, iters, dim, quant)
+    two = F.expr(f"slice(array_sort({_lloyd_dist_structs(cents)}), 1, 2)")
+    scored = base.select(
+        two[0]["cid"].alias("cid"),
+        F.sqrt(two[0]["d"]).alias("a"),
+        F.sqrt(two[1]["d"]).alias("b"),
+    ).select(
+        "cid",
+        F.when(
+            F.greatest("a", "b") > 0,
+            (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("s"),
+    )
+    return scored.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("s"), 6).alias("silhouette"),
+    )

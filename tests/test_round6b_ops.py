@@ -453,3 +453,44 @@ def test_kmeans_dimension_permutation_invariance(spark):
     for i in a:
         assert a[i][0] == b[i][0]
         assert a[i][1] == pytest.approx(b[i][1], abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# silhouette_simplified
+# ---------------------------------------------------------------------------
+
+
+def test_silhouette_separated_blobs_near_one(spark):
+    """Tight blobs far apart: every point's own-centroid distance is tiny
+    vs the other centroid -> per-cluster silhouette > 0.99, and cluster
+    sizes match the k-means partition."""
+    from mcpvectordb_spark.operators.knn import silhouette_simplified
+
+    dim = 4
+    vecs = [[0.0 + 0.01 * j] * dim for j in range(5)] + [
+        [10.0 + 0.01 * j] * dim for j in range(5)
+    ]
+    rows = silhouette_simplified(
+        _emb_df(spark, vecs), "vec_id", "embedding", k=2, iters=2, dim=dim
+    ).collect()
+    assert sorted(r["n"] for r in rows) == [5, 5]
+    assert all(r["silhouette"] > 0.99 for r in rows)
+
+
+def test_silhouette_bounded_and_duplicate_centroids_score_zero(spark):
+    """Silhouette is in [-1, 1] by construction; with k == n and two
+    duplicate points the duplicate's a == b == 0 path must yield a
+    DEFINITE 0-contribution (never a 0/0 NULL)."""
+    from mcpvectordb_spark.operators.knn import silhouette_simplified
+
+    vecs = [[1.0, 2.0], [1.0, 2.0], [5.0, 5.0]]
+    rows = silhouette_simplified(
+        _emb_df(spark, vecs), "vec_id", "embedding", k=3, iters=1, dim=2
+    ).collect()
+    for r in rows:
+        assert r["silhouette"] is not None
+        assert -1.0 <= r["silhouette"] <= 1.0
+    # the duplicate pair lands on a centroid coincident with another ->
+    # its cluster's mean silhouette is exactly 0
+    by_n = {r["n"]: r["silhouette"] for r in rows}
+    assert by_n[2] == 0.0
