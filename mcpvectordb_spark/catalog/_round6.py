@@ -743,6 +743,27 @@ FROM ranked WHERE rank <= 10
 """
 
 
+# Session-shared Lloyd trajectory: embeddings_kmeans and
+# embeddings_silhouette run against ONE trained (base, centroids) pair —
+# the frozen-state contract of catalog/_common.py (keyed by
+# (applicationId, sf_dir); a new SparkSession gets a fresh applicationId,
+# so stopped-session checkpoints are never reused; catalog sf_dir corpora
+# are immutable within a session).
+_LLOYD_CACHE: dict = {}
+
+
+def _shared_lloyd(spark: SparkSession, sf_dir: str):
+    from mcpvectordb_spark.operators.knn import _lloyd_train
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _LLOYD_CACHE.get(key)
+    if hit is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        hit = _lloyd_train(emb, "vec_id", "embedding", 8, 2, 64, 9)
+        _LLOYD_CACHE[key] = hit
+    return hit
+
+
 def q_embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding corpus (operators/
     knn.py::lloyd_kmeans_replayable): k=8 seeds = the lowest-vec_id
@@ -758,7 +779,8 @@ def q_embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = lloyd_kmeans_replayable(
-        emb, "vec_id", "embedding", k=8, iters=2, dim=64
+        emb, "vec_id", "embedding", k=8, iters=2, dim=64,
+        precached=_shared_lloyd(spark, sf_dir),
     )
     return (
         assigned.groupBy(F.col("cid").cast("long").alias("cluster_id"))
@@ -826,7 +848,10 @@ def q_embeddings_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcpvectordb_spark.operators.knn import silhouette_simplified
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = silhouette_simplified(emb, "vec_id", "embedding", k=8, iters=2, dim=64)
+    out = silhouette_simplified(
+        emb, "vec_id", "embedding", k=8, iters=2, dim=64,
+        precached=_shared_lloyd(spark, sf_dir),
+    )
     return out.select(
         F.col("cid").cast("long").alias("cluster_id"),
         F.col("n").alias("n_points"),

@@ -716,6 +716,7 @@ def lloyd_kmeans_replayable(
     iters: int = 2,
     dim: int = 64,
     quant: int = 9,
+    precached: tuple | None = None,
 ) -> DataFrame:
     """Lloyd's k-means with a fixed iteration count and a fully
     SQL-replayable trajectory — the oracle-gated sibling of
@@ -745,7 +746,9 @@ def lloyd_kmeans_replayable(
     sizes/inertia or join back for cluster-balanced sampling (the
     SemDeDup curation shape).
     """
-    base, cents = _lloyd_train(df, id_col, vec_col, k, iters, dim, quant)
+    base, cents = precached or _lloyd_train(
+        df, id_col, vec_col, k, iters, dim, quant
+    )
     return _lloyd_assign(base, cents).select("id", "cid", "dist2")
 
 
@@ -803,6 +806,7 @@ def silhouette_simplified(
     iters: int = 2,
     dim: int = 64,
     quant: int = 9,
+    precached: tuple | None = None,
 ) -> DataFrame:
     """Simplified silhouette (Hruschka et al. 2004) against the SAME
     replayable Lloyd trajectory as lloyd_kmeans_replayable: per point,
@@ -820,8 +824,14 @@ def silhouette_simplified(
     DEFINITE 0.0, never a 0/0 NULL.
 
     Returns one row per cluster: (cid, n, silhouette = round(avg s, 6)).
+
+    ``precached``: an already-trained (base, centroids) pair — the
+    catalog session-shares one trajectory between the kmeans and
+    silhouette queries (the operators/mlr.py precached seam).
     """
-    base, cents = _lloyd_train(df, id_col, vec_col, k, iters, dim, quant)
+    base, cents = precached or _lloyd_train(
+        df, id_col, vec_col, k, iters, dim, quant
+    )
     two = F.expr(f"slice(array_sort({_lloyd_dist_structs(cents)}), 1, 2)")
     scored = base.select(
         two[0]["cid"].alias("cid"),
