@@ -549,9 +549,10 @@ def chi2_terms(
 
     Scale shape: presence dedups per (doc, term) — one distinct over the
     posting explosion — then every later table is vocab x classes, never
-    corpus-sized; the per-class ranking window runs over the min_df-
-    filtered vocab partitioned by class.  Classes are an enum domain;
-    class totals broadcast.
+    corpus-sized; the per-class ranking is TWO-PHASE (top_k within
+    (class, hash-bucket), then top_k over the <= 32*top_k survivors) so
+    no window partition is ever vocab-sized.  Classes are an enum
+    domain; class totals broadcast.
     """
     from mcpvectordb_spark.operators.dedup import fan_out
 
@@ -595,9 +596,20 @@ def chi2_terms(
     scored = j.select(
         "cls", "t", F.col("a").alias("df_class"), (num / den).alias("__chi2")
     )
+    # two-phase top-k so no window partition is ever vocab-sized: rank
+    # within (class, hash-bucket) first — the global top_k is a subset of
+    # the union of per-bucket top_ks — then rank the <= 32*top_k
+    # survivors per class.  Classes are an enum; buckets bound the big
+    # window's partitions at vocab/32.
+    wb = Window.partitionBy("cls", F.pmod(F.xxhash64("t"), F.lit(32))).orderBy(
+        F.col("__chi2").desc(), "t"
+    )
+    cand = scored.withColumn("__r", F.row_number().over(wb)).filter(
+        F.col("__r") <= top_k
+    )
     w = Window.partitionBy("cls").orderBy(F.col("__chi2").desc(), "t")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select(
             F.col("cls"),
