@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "text_chi2_terms",       # chi-square term selection per language
     "embeddings_kmeans",     # replayable 2-iter Lloyd, broadcast assignment
     "embeddings_silhouette", # O(n*k) simplified silhouette on the same fit
+    "events_power_mde",      # per-type MDE from exact pooled moments
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

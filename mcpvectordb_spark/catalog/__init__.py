@@ -56,6 +56,7 @@ QUERIES = {
     "text_chi2_terms": q_text_chi2_terms,
     "embeddings_kmeans": q_embeddings_kmeans,
     "embeddings_silhouette": q_embeddings_silhouette,
+    "events_power_mde": q_events_power_mde,
     "events_bh_fdr": q_events_bh_fdr,
     "events_mann_kendall": q_events_mann_kendall,
     "stream_cms": q_stream_cms,
@@ -377,6 +378,7 @@ ORACLES = {
     "text_chi2_terms": SQL_TEXT_CHI2_TERMS,
     "embeddings_kmeans": SQL_EMBEDDINGS_KMEANS,
     "embeddings_silhouette": SQL_EMBEDDINGS_SILHOUETTE,
+    "events_power_mde": SQL_EVENTS_POWER_MDE,
     "events_bh_fdr": SQL_EVENTS_BH_FDR,
     "events_mann_kendall": SQL_EVENTS_MANN_KENDALL,
     "stream_cms": SQL_EVENTS_CMS,

@@ -886,5 +886,67 @@ FROM sc GROUP BY 1 ORDER BY 1
 """
 
 
+def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type minimum detectable effect at alpha=0.05 / power=0.8
+    (operators/stats.py::power_mde) — the DESIGN-side companion the A/B
+    family (ab_test, cuped, bh_fdr) was missing: before reading a flat
+    readout as "no effect", check whether the current arm sizes could
+    have detected one.  Same one-pass exact-BIGINT moment aggregation as
+    group_welch_bh; the (z_0.975 + z_0.8) quantile sum is folded to one
+    literal so neither engine adds the constants separately."""
+    from mcpvectordb_spark.operators.stats import power_mde
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = power_mde(ev, "event_type", "user_id", cents, salt="fdr")
+    return out.withColumnRenamed("g", "event_type").orderBy("event_type")
+
+
+SQL_EVENTS_POWER_MDE = f"""
+WITH base AS (
+  SELECT event_type AS g, user_id,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events),
+cells AS (
+  SELECT g, ({_sql_hex48("'fdr:' || CAST(user_id AS VARCHAR)")}) % 2 AS arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS ss
+  FROM base GROUP BY 1, 2),
+wide AS (
+  SELECT g,
+    CAST(coalesce(max(CASE WHEN arm = 0 THEN n END), 0) AS DOUBLE) AS n0,
+    CAST(coalesce(max(CASE WHEN arm = 0 THEN s END), 0) AS DOUBLE) AS s0,
+    CAST(coalesce(max(CASE WHEN arm = 0 THEN ss END), 0) AS DOUBLE) AS ss0,
+    CAST(coalesce(max(CASE WHEN arm = 1 THEN n END), 0) AS DOUBLE) AS n1,
+    CAST(coalesce(max(CASE WHEN arm = 1 THEN s END), 0) AS DOUBLE) AS s1,
+    CAST(coalesce(max(CASE WHEN arm = 1 THEN ss END), 0) AS DOUBLE) AS ss1
+  FROM cells GROUP BY g),
+x AS (
+  SELECT g, n0, n1, s0, s1,
+    CASE WHEN n0 > 1 THEN (n0 * ss0 - s0 * s0) / (n0 * (n0 - 1.0)) END AS v0,
+    CASE WHEN n1 > 1 THEN (n1 * ss1 - s1 * s1) / (n1 * (n1 - 1.0)) END AS v1
+  FROM wide),
+y AS (
+  SELECT g, n0, n1,
+    CASE WHEN n0 + n1 > 2
+         THEN ((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2.0) END AS var_p,
+    CASE WHEN n0 + n1 > 0 THEN (s0 + s1) / (n0 + n1) END AS mean,
+    CASE WHEN n0 > 1 AND n1 > 1 THEN 1 ELSE 0 END AS both_arms
+  FROM x)
+SELECT g AS event_type, CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+  round(mean, 6) AS mean_v,
+  round(CASE WHEN var_p > 0 THEN sqrt(var_p) END, 6) AS sd_v,
+  round(CASE WHEN var_p > 0 AND both_arms = 1
+             THEN 2.801585219 * sqrt(var_p * (1 / n0 + 1 / n1)) END,
+        4) AS mde_abs,
+  round(CASE WHEN mean > 0 THEN
+          CASE WHEN var_p > 0 AND both_arms = 1
+               THEN 2.801585219 * sqrt(var_p * (1 / n0 + 1 / n1)) END / mean
+        END, 6) AS mde_rel
+FROM y ORDER BY 1
+"""
+
+
 # re-export everything (including underscore helpers) to later sections
 __all__ = [n for n in dir() if not n.startswith("__")]

@@ -1049,3 +1049,77 @@ def mann_kendall(df: DataFrame, group_col: str, t_col: Column, val_col: Column) 
         .otherwise(F.lit("decreasing"))
         .alias("trend"),
     )
+
+
+def power_mde(
+    df: DataFrame,
+    group_col: str,
+    user_col: str,
+    val_col: Column,
+    salt: str = "fdr",
+) -> DataFrame:
+    """Per-group minimum detectable effect at alpha=0.05 (two-sided) /
+    power=0.8 from the CURRENT arm sizes and pooled variance — the
+    design-side companion of ab_test_ztest/group_welch_bh: before acting
+    on a flat readout, a metrics platform must know whether the
+    experiment could have detected anything ("no significant lift" on an
+    MDE of 40% is silence, not evidence).
+
+        mde_abs = (z_{0.975} + z_{0.8}) * sqrt(var_p * (1/n0 + 1/n1))
+
+    with the constant folded to ONE literal (2.801585219) so neither
+    engine sums the two quantiles separately, and var_p the pooled
+    two-arm variance from exact BIGINT moments (the group_welch_bh
+    one-pass conditional aggregation — the corpus appears in one
+    groupBy; everything downstream is one row per group).
+
+    ``val_col`` must be integer-quantized (cents).  Degenerate groups
+    (an arm with n<2, zero pooled variance) report NULL mde columns —
+    numeric not-evaluable, distinct from the boolean-gate discipline.
+
+    Returns one row per group: (g, n_a, n_b, mean_v 6dp, sd_v 6dp,
+    mde_abs 4dp, mde_rel 6dp when the mean is positive).
+    """
+    arm = ab_assign(F.col(user_col).cast("string"), salt=salt)
+    base = df.select(
+        F.col(group_col).alias("g"), arm.alias("arm"), val_col.alias("v")
+    )
+    wide = base.groupBy("g").agg(
+        *[
+            agg.alias(f"{a}_{name}")
+            for a in (0, 1)
+            for name, agg in {
+                "n": F.count(F.when(F.col("arm") == a, F.lit(1))),
+                "s": F.sum(F.when(F.col("arm") == a, F.col("v"))),
+                "ss": F.sum(F.when(F.col("arm") == a, F.col("v") * F.col("v"))),
+            }.items()
+        ]
+    )
+
+    def arm_stats(a: int):
+        n = F.coalesce(F.col(f"{a}_n"), F.lit(0)).cast("double")
+        s = F.coalesce(F.col(f"{a}_s"), F.lit(0)).cast("double")
+        ss = F.coalesce(F.col(f"{a}_ss"), F.lit(0)).cast("double")
+        var = F.when(n > 1, (n * ss - s * s) / (n * (n - F.lit(1.0))))
+        return n, s, var
+
+    n0, s0, v0 = arm_stats(0)
+    n1, s1, v1 = arm_stats(1)
+    var_p = F.when(
+        n0 + n1 > 2,
+        ((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - F.lit(2.0)),
+    )
+    mean = F.when(n0 + n1 > 0, (s0 + s1) / (n0 + n1))
+    mde = F.when(
+        (var_p > 0) & (n0 > 1) & (n1 > 1),
+        F.lit(2.801585219) * F.sqrt(var_p * (1 / n0 + 1 / n1)),
+    )
+    return wide.select(
+        "g",
+        n0.cast("long").alias("n_a"),
+        n1.cast("long").alias("n_b"),
+        F.round(mean, 6).alias("mean_v"),
+        F.round(F.when(var_p > 0, F.sqrt(var_p)), 6).alias("sd_v"),
+        F.round(mde, 4).alias("mde_abs"),
+        F.round(F.when(mean > 0, mde / mean), 6).alias("mde_rel"),
+    )

@@ -494,3 +494,70 @@ def test_silhouette_bounded_and_duplicate_centroids_score_zero(spark):
     # its cluster's mean silhouette is exactly 0
     by_n = {r["n"]: r["silhouette"] for r in rows}
     assert by_n[2] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# power_mde
+# ---------------------------------------------------------------------------
+
+
+def test_power_mde_matches_closed_form(spark):
+    """Hand-check against the textbook formula: recompute the pooled
+    variance and (z_0.975+z_0.8)*se in Python from the same hash
+    assignment and match to output rounding."""
+    from mcpvectordb_spark.operators.stats import ab_assign, power_mde
+    import hashlib
+
+    rows = [Row(g="m", user_id=u, v=(u * 13) % 40) for u in range(400)]
+    df = spark.createDataFrame(rows)
+    out = power_mde(df, "g", "user_id", F.col("v"), salt="fdr").collect()[0]
+
+    def arm(u):
+        return int(hashlib.md5(f"fdr:{u}".encode()).hexdigest()[:12], 16) % 2
+
+    vals = {0: [], 1: []}
+    for u in range(400):
+        vals[arm(u)].append((u * 13) % 40)
+    n0, n1 = len(vals[0]), len(vals[1])
+
+    def var(xs):
+        n = len(xs)
+        s, ss = sum(xs), sum(x * x for x in xs)
+        return (n * ss - s * s) / (n * (n - 1.0))
+
+    var_p = ((n0 - 1) * var(vals[0]) + (n1 - 1) * var(vals[1])) / (n0 + n1 - 2.0)
+    mde = 2.801585219 * math.sqrt(var_p * (1 / n0 + 1 / n1))
+    assert out["n_a"] == n0 and out["n_b"] == n1
+    assert out["mde_abs"] == pytest.approx(mde, abs=1e-3)
+    mean = sum(vals[0] + vals[1]) / 400.0
+    assert out["mde_rel"] == pytest.approx(mde / mean, abs=1e-5)
+
+
+def test_power_mde_shrinks_with_sample_size(spark):
+    """Quadrupling n halves the MDE (1/sqrt(n) law) for the same value
+    distribution."""
+    from mcpvectordb_spark.operators.stats import power_mde
+
+    def mde(n):
+        df = spark.createDataFrame([Row(g="m", user_id=u, v=u % 10) for u in range(n)])
+        return power_mde(df, "g", "user_id", F.col("v")).collect()[0]["mde_abs"]
+
+    small, large = mde(500), mde(2000)
+    assert large == pytest.approx(small / 2, rel=0.1)
+
+
+def test_power_mde_degenerate_groups_null_not_crash(spark):
+    """Constant values (zero variance) and a single-user group emit NULL
+    mde columns — numeric not-evaluable — without an ANSI division or
+    sqrt error."""
+    from mcpvectordb_spark.operators.stats import power_mde
+
+    rows = [Row(g="const", user_id=u, v=7) for u in range(50)] + [
+        Row(g="solo", user_id=1, v=3)
+    ]
+    out = {r["g"]: r for r in power_mde(
+        spark.createDataFrame(rows), "g", "user_id", F.col("v")
+    ).collect()}
+    assert out["const"]["mde_abs"] is None and out["const"]["sd_v"] is None
+    assert out["solo"]["mde_abs"] is None
+    assert out["const"]["mean_v"] == 7.0
