@@ -1,10 +1,10 @@
-"""Round-6 additions (4 queries).  The round-5 verdict froze catalog growth
-until the 9 never-green queries reach the driver window; the round-6
-rotation fix sorts by (ever_green, last_round), so brand-new queries (no
-CORRECTNESS row) and the 9 never-green ones TOGETHER occupy the first 13
-of the 50 driver slots — additions can no longer displace the backlog
-(pinned by tests/test_entry.py::test_stalest_queries_fill_driver_window
-and tests/test_round6_fixes.py::test_rotation_prefers_never_green).
+"""Round-6 additions.  The round-5 verdict froze catalog growth until the
+9 never-green queries reach the driver window; the round-6 rotation fix
+sorts by (ever_green, last_round), so brand-new queries (no CORRECTNESS
+row) and the 9 never-green ones TOGETHER occupy the head of the 50
+driver slots — additions can no longer displace the backlog (pinned by
+tests/test_entry.py::test_stalest_queries_fill_driver_window and
+tests/test_round6_fixes.py::test_rotation_prefers_never_green).
 
 The additions close real gaps in the stats/analytics surface:
 - events_bh_fdr    — Benjamini–Hochberg FDR across per-event-type A/B
@@ -20,6 +20,13 @@ The additions close real gaps in the stats/analytics surface:
                      folded into the EXISTING assoc_rules query instead,
                      which now consumes the session-shared co-purchase
                      edge set rather than re-mining pairs.)
+
+Second batch (same round, later session): events_shapley (axiomatic
+attribution over coalition blocks), documents_stump (CART Gini stump),
+text_chi2_terms (Yang–Pedersen supervised term selection),
+embeddings_kmeans + embeddings_silhouette (replayable Lloyd trajectory,
+session-shared, with the O(n·k) cluster-quality readout), and
+events_power_mde (design-side MDE for the A/B family).
 
 Import order is load-bearing: this module references names from earlier
 sections via the wildcard chain below."""

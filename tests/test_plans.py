@@ -357,3 +357,61 @@ def test_isotropy_single_gram_pass(spark):
     assert "CartesianProduct" not in plan
     # nested-loop joins only for 1-row scalar assemblies
     assert plan.count("Generate") >= 1  # the posexplode is present
+
+
+def test_shapley_plan_is_scan_free_and_loop_free(spark):
+    """events_shapley pins its block table eagerly: the returned plan
+    must contain NO corpus scan (the corpus appears only in the
+    checkpointed groupBy) and no nested-loop join beyond the 1-row
+    scalar share total."""
+    plan = (
+        QUERIES["events_shapley"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan parquet" not in plan, "coalition algebra re-scans the corpus"
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stump_argmax_is_take_ordered_and_window_partitioned(spark):
+    """documents_stump: the candidate argmax compiles to
+    TakeOrderedAndProject, and every cumulative window is PARTITIONED
+    (by feature) — no single-partition stage."""
+    q = QUERIES["documents_stump"](spark, SF)
+    assert uses_take_ordered(q)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "feature#" in line, line
+
+
+def test_chi2_windows_are_partitioned(spark):
+    """text_chi2_terms: both ranking windows carry partition keys (class
+    + hash bucket first, then class over the bounded survivor set) —
+    the vocab never funnels through one partition."""
+    plan = (
+        QUERIES["text_chi2_terms"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "cls#" in line, line
+
+
+def test_silhouette_plan_is_join_free(spark):
+    """embeddings_silhouette scores against broadcast centroid literals:
+    no join of any kind in the plan — assignment and scoring are one
+    map-only expression over the pinned base."""
+    plan = (
+        QUERIES["embeddings_silhouette"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for kind in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert kind not in plan, kind
