@@ -219,6 +219,13 @@ REPS = {
     # n=1 — both run-to-run noise, not regressions; median-of-5 them
     "dedup_clusters_twostar": 5,
     "knn_batch": 5,
+    # round-6 second batch: all sub-2s once their session-shared state is
+    # warm — median-of-5 so host blips don't read as regressions
+    "documents_stump": 5,
+    "embeddings_kmeans": 5,
+    "embeddings_silhouette": 5,
+    "events_power_mde": 5,
+    "events_shapley": 5,
 }
 
 

@@ -125,28 +125,43 @@ def gini_stump(df: DataFrame, features: dict, label) -> DataFrame:
     different libms could disagree in the last ulp and flip an argmax.
 
     Scale shape (the mann_whitney_u value-blocks discipline, one block
-    table per feature): each feature collapses to its distinct-value
-    blocks (bounded by the feature's DOMAIN, not the corpus), cumulative
-    class counts run in a window PARTITIONED by feature over blocks
-    only, and the argmax is a TakeOrderedAndProject over the block
-    table.  The corpus appears in exactly one groupBy per feature.
+    table per feature): each row explodes to its (feature, x) pairs so
+    the corpus appears in exactly ONE groupBy regardless of feature
+    count; the resulting block table (bounded by the feature DOMAINS,
+    not the corpus) is pinned, the totals and cumulative class counts
+    derive from it (window PARTITIONED by feature), and the argmax is a
+    TakeOrderedAndProject over blocks.
 
     ``features``: {name: integer Column}; ``label``: boolean/0-1 Column.
     Returns ONE row: (feature, split_x, n_left, pos_left, n_right,
     pos_right, gini_root, gain 6dp, n_correct, n) with ties broken by
     (feature, split_x) so the winner is total-ordered.
     """
-    blk = None
-    for name, col in sorted(features.items()):
-        b = df.select(
-            F.lit(name).alias("feature"),
-            col.cast("long").alias("x"),
-            label.cast("int").alias("y"),
+    # ONE corpus scan for every feature: each row explodes to its
+    # (feature, x) pairs, and the domain-bounded block table is pinned so
+    # the cumulative pass and the total derive from it, not the corpus
+    names = sorted(features)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("feature"),
+                    features[n].cast("long").alias("x"),
+                )
+                for n in names
+            ]
         )
-        blk = b if blk is None else blk.unionByName(b)
-    blocks = blk.groupBy("feature", "x").agg(
-        F.count(F.lit(1)).cast("long").alias("bn"),
-        F.sum("y").cast("long").alias("bpos"),
+    )
+    blk = df.select(pairs.alias("p"), label.cast("int").alias("y")).select(
+        F.col("p.feature").alias("feature"), F.col("p.x").alias("x"), "y"
+    )
+    blocks = (
+        blk.groupBy("feature", "x")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bn"),
+            F.sum("y").cast("long").alias("bpos"),
+        )
+        .localCheckpoint(eager=True)
     )
     w = (
         Window.partitionBy("feature")
@@ -159,9 +174,9 @@ def gini_stump(df: DataFrame, features: dict, label) -> DataFrame:
         F.sum("bn").over(w).alias("nl"),
         F.sum("bpos").over(w).alias("pl"),
     )
-    tot = df.select(label.cast("int").alias("y")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_total"),
-        F.sum("y").cast("long").alias("p_total"),
+    tot = blocks.filter(F.col("feature") == names[0]).agg(
+        F.sum("bn").cast("long").alias("n_total"),
+        F.sum("bpos").cast("long").alias("p_total"),
     )
     cand = cum.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n_total"))
 

@@ -385,6 +385,9 @@ def test_stump_argmax_is_take_ordered_and_window_partitioned(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "feature#" in line, line
+    # the pinned block table feeds both the totals and the cumulative
+    # pass: the corpus appears only in the checkpointed groupBy
+    assert "Scan parquet" not in plan, "stump re-scans the corpus"
 
 
 def test_chi2_windows_are_partitioned(spark):
