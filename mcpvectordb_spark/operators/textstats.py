@@ -569,10 +569,15 @@ def chi2_terms(
     )
     a_tab = pres.groupBy("t", "cls").agg(F.count(F.lit(1)).cast("long").alias("a"))
     t_tot = a_tab.groupBy("t").agg(F.sum("a").cast("long").alias("df_t"))
-    c_tot = docs.groupBy(class_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_c")
-    ).withColumnRenamed(class_col, "cls")
-    n_tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # class totals pinned (enum-sized); the corpus total derives from
+    # them, so documents is scanned once for presence + once for counts
+    c_tot = (
+        docs.groupBy(class_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_c"))
+        .withColumnRenamed(class_col, "cls")
+        .localCheckpoint(eager=True)
+    )
+    n_tot = c_tot.agg(F.sum("n_c").cast("long").alias("n_docs"))
     j = (
         a_tab.join(t_tot, "t")
         .join(F.broadcast(c_tot), "cls")
