@@ -3343,7 +3343,8 @@ def main_r6b() -> None:
             "20M rows, label == (x <= 499) planted: stump recovers "
             "('x', 499) with gain == gini_root and 20M/20M training "
             "accuracy; candidate table is 1,023 blocks (the two feature "
-            "domains), corpus appears in one groupBy per feature"
+            "domains); rows explode to (feature, x) pairs so the corpus "
+            "appears in ONE groupBy total"
         )
         return out["split_x"]
 
