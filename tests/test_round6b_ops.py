@@ -7,7 +7,6 @@ degenerate-corpus discipline from round 5: constant labels, single
 classes, no conversions — every readout stays definite (no NULL verdict
 columns) and no query crashes."""
 
-import itertools
 import math
 
 import pytest
