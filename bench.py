@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "embeddings_kmeans",     # replayable 2-iter Lloyd, broadcast assignment
     "embeddings_silhouette", # O(n*k) simplified silhouette on the same fit
     "events_power_mde",      # per-type MDE from exact pooled moments
+    "sources_overlap",       # source-pair shingle Jaccard on the shared index
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -955,5 +955,82 @@ FROM y ORDER BY 1
 """
 
 
+def q_sources_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair shingle-overlap matrix: for every pair of sources, the
+    distinct-3-gram intersection with Jaccard and containment — the
+    DATASET-level dedup planner (dedup_containment answers "which DOCS
+    overlap"; this answers "which SOURCES are near-copies of each other",
+    the first question before mixing corpora into a training run).
+
+    Runs on the session-shared shingle index (catalog/_common.py::
+    _shared_shingles — the corpus is shingled once per session): one
+    equi-join tags shingles with their source, the pair masses come from
+    a per-shingle self-join whose fan-out is bounded by |sources|² per
+    shingle (sources are an enum), and every later table is
+    |sources|²-sized.  Pairs with an empty intersection are omitted on
+    both engines (inner-join semantics).  Divisions are total: a pair
+    exists only when both sides hold shingles."""
+    idx = _shared_shingles(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = docs.select(F.col("doc_id").alias("id"), "source")
+    ss = idx.join(srcs, "id").select("source", "shingle").distinct()
+    per = ss.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    a = ss.select(F.col("source").alias("sa"), "shingle")
+    b = ss.select(F.col("source").alias("sb"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    na, nb, iv = F.col("na"), F.col("nb"), F.col("n_inter")
+    return (
+        inter.join(
+            F.broadcast(
+                per.select(F.col("source").alias("sa"), F.col("n_sh").alias("na"))
+            ),
+            "sa",
+        )
+        .join(
+            F.broadcast(
+                per.select(F.col("source").alias("sb"), F.col("n_sh").alias("nb"))
+            ),
+            "sb",
+        )
+        .select(
+            "sa",
+            "sb",
+            "na",
+            "nb",
+            "n_inter",
+            F.round(iv / (na + nb - iv), 6).alias("jaccard"),
+            F.round(iv / F.least(na, nb), 6).alias("containment"),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+SQL_SOURCES_OVERLAP = f"""
+WITH sh AS (
+  SELECT DISTINCT source, shingle
+  FROM (SELECT source, unnest({_sql_shingles(_sql_words('text'), 3)}) AS shingle
+        FROM documents)),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT sa, sb, pa.n_sh AS na, pb.n_sh AS nb, n_inter,
+       round(n_inter / (pa.n_sh + pb.n_sh - n_inter), 6) AS jaccard,
+       round(n_inter / least(pa.n_sh, pb.n_sh), 6) AS containment
+FROM inter
+JOIN per pa ON pa.source = sa
+JOIN per pb ON pb.source = sb
+ORDER BY sa, sb
+"""
+
+
 # re-export everything (including underscore helpers) to later sections
 __all__ = [n for n in dir() if not n.startswith("__")]

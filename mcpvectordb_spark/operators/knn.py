@@ -829,6 +829,8 @@ def silhouette_simplified(
     catalog session-shares one trajectory between the kmeans and
     silhouette queries (the operators/mlr.py precached seam).
     """
+    if k < 2:
+        raise ValueError("silhouette needs k >= 2 (no 'other' centroid at k=1)")
     base, cents = precached or _lloyd_train(
         df, id_col, vec_col, k, iters, dim, quant
     )

@@ -560,3 +560,60 @@ def test_power_mde_degenerate_groups_null_not_crash(spark):
     assert out["const"]["mde_abs"] is None and out["const"]["sd_v"] is None
     assert out["solo"]["mde_abs"] is None
     assert out["const"]["mean_v"] == 7.0
+
+
+# ---------------------------------------------------------------------------
+# sources_overlap (catalog composition — runs the real query on tmp parquet)
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(spark, tmp_path, docs):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source=s, n_chars=len(t))
+            for i, (s, t) in enumerate(docs)
+        ]
+    )
+    df.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_sources_overlap_planted_counts_exact(spark, tmp_path):
+    """Source A and B share exactly the shingles of one common sentence;
+    each also has a private sentence.  The intersection / union counts
+    are hand-computable from the 3-gram definition."""
+    from mcpvectordb_spark.catalog import q_sources_overlap
+
+    common = "alpha beta gamma delta"        # 2 distinct 3-grams
+    pa = "one two three four five"           # 3 distinct 3-grams
+    pb = "six seven eight nine"               # 2 distinct 3-grams
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [("A", common), ("A", pa), ("B", common), ("B", pb)],
+    )
+    rows = q_sources_overlap(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["sa"], r["sb"]) == ("A", "B")
+    assert r["n_inter"] == 2 and r["na"] == 5 and r["nb"] == 4
+    assert r["jaccard"] == round(2 / (5 + 4 - 2), 6)
+    assert r["containment"] == round(2 / 4, 6)
+
+
+def test_sources_overlap_disjoint_sources_emit_no_row(spark, tmp_path):
+    from mcpvectordb_spark.catalog import q_sources_overlap
+
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [("A", "one two three four"), ("B", "five six seven eight")],
+    )
+    assert q_sources_overlap(spark, d).count() == 0
+
+
+def test_sources_overlap_single_source_empty(spark, tmp_path):
+    from mcpvectordb_spark.catalog import q_sources_overlap
+
+    d = _write_docs(spark, tmp_path, [("A", "one two three four five six")])
+    assert q_sources_overlap(spark, d).count() == 0
