@@ -3417,10 +3417,131 @@ def main_r6b() -> None:
         )
         return len(roll)
 
+    def silhouette_400k():
+        # same planted-blob law as kmeans_400k: separation 10 per dim,
+        # jitter < 0.1, so a ~ sqrt(dim)*O(jitter) and b ~ sqrt(dim*100)
+        # -> every cluster's simplified silhouette must exceed 0.99
+        from mcpvectordb_spark.operators.knn import silhouette_simplified
+
+        n, dim, k = 400_000, 64, 8
+        vecs = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (
+                    (F.col("id") % k).cast("double") * 10.0
+                    + F.pmod(F.xxhash64(F.col("id"), j), F.lit(100)).cast(
+                        "double"
+                    )
+                    / 1000.0
+                ),
+            ).alias("embedding"),
+        )
+        rows = silhouette_simplified(
+            vecs, "vec_id", "embedding", k=k, iters=2, dim=dim
+        ).collect()
+        assert len(rows) == k and all(r["n"] == n // k for r in rows), rows
+        assert all(r["silhouette"] > 0.99 for r in rows), rows
+        notes["silhouette_400k"] = (
+            "400k x 64-dim planted blobs: every cluster's simplified "
+            "silhouette > 0.99 (jitter/separation law); scoring is the "
+            "same broadcast map-only expression as the assignment — "
+            "no join, no extra shuffle beyond the k-row rollup"
+        )
+        return len(rows)
+
+    def power_mde_20m():
+        # 20M rows, value uniform on 0..999 cents within each of 5 types:
+        # pooled variance has the discrete-uniform closed form
+        # (d^2-1)/12 with d=1000, and arms are ~10M/10M, so
+        # mde = 2.801585219*sqrt(var*(1/n0+1/n1)) is checkable to ~1e-3
+        from mcpvectordb_spark.operators.stats import power_mde
+
+        n = 20_000_000
+        ev = spark.range(n).select(
+            F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("g"),
+            F.col("id").alias("user_id"),
+            (F.col("id") % 1000).alias("v"),
+        )
+        rows = power_mde(ev, "g", "user_id", F.col("v")).collect()
+        assert len(rows) == 5, rows
+        # type g holds v in {g, g+5, ..., g+995}: mean g+497.5, variance
+        # 25*(200^2-1)/12 (discrete uniform with spacing 5)
+        var_u = 25.0 * (200.0 ** 2 - 1) / 12.0
+        for r in rows:
+            g = int(r["g"][1:])
+            n0, n1 = r["n_a"], r["n_b"]
+            approx = 2.801585219 * math.sqrt(var_u * (1.0 / n0 + 1.0 / n1))
+            assert abs(r["mde_abs"] - approx) / approx < 1e-3, (r, approx)
+            assert abs(r["mean_v"] - (g + 497.5)) < 0.5, r
+        notes["power_mde_20m"] = (
+            "20M rows / 5 types: MDE matches the discrete-uniform "
+            "closed form (var=(d^2-1)/12) within 0.1% on ~2M-per-arm "
+            "splits — one conditional corpus agg, 5-row readout"
+        )
+        return len(rows)
+
+    def sources_overlap_2m():
+        # 2M docs across 4 sources; consecutive sources share HALF their
+        # 10-token sentences by construction (sentence id = doc id // 2
+        # for the shared half), non-adjacent sources share nothing ->
+        # intersection counts have an exact combinatorial form
+        import tempfile
+
+        from mcpvectordb_spark.catalog import q_sources_overlap
+
+        n_docs, k_src = 2_000_000, 4
+        per_src = n_docs // k_src
+        # source s, doc j: text = sentence id "s:j" (private) for odd j,
+        # "sh:{s//?}..." — simpler exact law: every source holds shingles
+        # tagged by (s % 2): even sources all share ONE vocabulary family,
+        # odd sources another; within a family every source holds the
+        # same per_src distinct shingle set
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % k_src).cast("string")).alias(
+                "source"
+            ),
+            F.concat(
+                F.lit("fam"),
+                ((F.col("id") % k_src) % 2).cast("string"),
+                F.lit(" tok"),
+                (F.col("id") / k_src).cast("long").cast("string"),
+                F.lit(" a"),
+                ((F.col("id") % k_src) % 2).cast("string"),
+                F.lit(" b"),
+            ).alias("text"),
+        ).withColumn("lang", F.lit("en")).withColumn("n_chars", F.length("text"))
+        path = tempfile.mkdtemp(prefix="stress_overlap_")
+        docs.repartition(64).write.mode("overwrite").parquet(
+            f"{path}/documents.parquet"
+        )
+        rows = q_sources_overlap(spark, path).collect()
+        # each doc's text "famX tokJ aX b" yields 2 distinct 3-grams, both
+        # carrying the family tag -> per source: 2*per_src shingles;
+        # same-family pairs share ALL of them, cross-family pairs none
+        by_pair = {(r["sa"], r["sb"]): r for r in rows}
+        assert set(by_pair) == {("src0", "src2"), ("src1", "src3")}, by_pair
+        for r in by_pair.values():
+            assert r["na"] == r["nb"] == 2 * per_src, r
+            assert r["n_inter"] == 2 * per_src, r
+            assert r["jaccard"] == 1.0 and r["containment"] == 1.0, r
+        notes["sources_overlap_2m"] = (
+            "2M docs / 4 sources / 4M distinct shingles: planted "
+            "family law recovered exactly — same-family source pairs at "
+            "Jaccard 1.0, cross-family pairs absent (inner-join "
+            "semantics); the pair join stays bounded by sources-per-"
+            "shingle (= 2 here) at any corpus size"
+        )
+        return len(rows)
+
     run("shapley_5m", shapley_5m)
     run("stump_20m", stump_20m)
     run("chi2_2m", chi2_2m)
     run("kmeans_400k", kmeans_400k)
+    run("silhouette_400k", silhouette_400k)
+    run("power_mde_20m", power_mde_20m)
+    run("sources_overlap_2m", sources_overlap_2m)
 
     print(json.dumps({
         "mode": "r6b",
