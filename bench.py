@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "embeddings_silhouette", # O(n*k) simplified silhouette on the same fit
     "events_power_mde",      # per-type MDE from exact pooled moments
     "sources_overlap",       # source-pair shingle Jaccard on the shared index
+    "parts_abc",             # Pareto revenue classes via bucketed cumsum
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -58,6 +58,7 @@ QUERIES = {
     "embeddings_silhouette": q_embeddings_silhouette,
     "events_power_mde": q_events_power_mde,
     "sources_overlap": q_sources_overlap,
+    "parts_abc": q_parts_abc,
     "events_bh_fdr": q_events_bh_fdr,
     "events_mann_kendall": q_events_mann_kendall,
     "stream_cms": q_stream_cms,
@@ -381,6 +382,7 @@ ORACLES = {
     "embeddings_silhouette": SQL_EMBEDDINGS_SILHOUETTE,
     "events_power_mde": SQL_EVENTS_POWER_MDE,
     "sources_overlap": SQL_SOURCES_OVERLAP,
+    "parts_abc": SQL_PARTS_ABC,
     "events_bh_fdr": SQL_EVENTS_BH_FDR,
     "events_mann_kendall": SQL_EVENTS_MANN_KENDALL,
     "stream_cms": SQL_EVENTS_CMS,

@@ -1032,5 +1032,108 @@ ORDER BY sa, sb
 """
 
 
+def q_parts_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto revenue classification of parts (the inventory-
+    management classic: A = parts covering the first 80% of revenue,
+    B = the next 15%, C = the tail) — the categorical companion of
+    customers_gini's concentration index.
+
+    Scale discipline: classification is VALUE-based (every part whose
+    revenue crosses the cut shares its class), so the cumulative pass
+    runs over distinct-revenue blocks through operators/blocks.py::
+    bucketed_cumsum — the round-6 two-level cumsum, no single-partition
+    window even when revenues are corpus-distinct.  Cuts are exact
+    integer thresholds (ceil(4T/5), ceil(19T/20) in BIGINT cents), so
+    both engines pick identical cut values; the readout is a 3-row
+    rollup."""
+    from mcpvectordb_spark.operators.blocks import bucketed_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(cents).cast("long").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    blocks = per_part.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("bn")
+    ).select(
+        "r",
+        (-F.col("r")).alias("ord"),
+        (F.col("r") * F.col("bn")).cast("long").alias("mass"),
+    )
+    cum = bucketed_cumsum(blocks, "ord", ["mass"])
+    tot = blocks.agg(F.sum("mass").cast("long").alias("t"))
+    cuts = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("cum_mass") >= F.expr("(4 * t + 4) div 5"), F.col("r")
+                )
+            ).alias("r80"),
+            F.max(
+                F.when(
+                    F.col("cum_mass") >= F.expr("(19 * t + 19) div 20"),
+                    F.col("r"),
+                )
+            ).alias("r95"),
+        )
+    )
+    cls = per_part.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("r") >= F.col("r80"), "A")
+        .when(F.col("r") >= F.col("r95"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "r",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("r").cast("long") / 100.0, 2).alias("revenue_dollars"),
+            F.sum("r").cast("long").alias("__rc"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class",
+            "n_parts",
+            "revenue_dollars",
+            F.round(
+                F.col("__rc").cast("double") / F.col("t").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+SQL_PARTS_ABC = """
+WITH pp AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem GROUP BY 1),
+blocks AS (
+  SELECT r, CAST(r * count(*) AS BIGINT) AS mass FROM pp GROUP BY r),
+cum AS (SELECT r, sum(mass) OVER (ORDER BY r DESC) AS cum_mass FROM blocks),
+tot AS (SELECT CAST(sum(mass) AS BIGINT) AS t FROM blocks),
+cuts AS (
+  SELECT max(CASE WHEN cum_mass >= (4 * t + 4) // 5 THEN r END) AS r80,
+         max(CASE WHEN cum_mass >= (19 * t + 19) // 20 THEN r END) AS r95
+  FROM cum, tot),
+cls AS (
+  SELECT CASE WHEN r >= r80 THEN 'A'
+              WHEN r >= r95 THEN 'B'
+              ELSE 'C' END AS abc_class, r
+  FROM pp, cuts)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(r) AS BIGINT) / 100.0, 2) AS revenue_dollars,
+       round(CAST(sum(r) AS DOUBLE) / CAST(t AS DOUBLE), 6) AS revenue_share
+FROM cls, tot GROUP BY 1, t ORDER BY 1
+"""
+
+
 # re-export everything (including underscore helpers) to later sections
 __all__ = [n for n in dir() if not n.startswith("__")]

@@ -617,3 +617,70 @@ def test_sources_overlap_single_source_empty(spark, tmp_path):
 
     d = _write_docs(spark, tmp_path, [("A", "one two three four five six")])
     assert q_sources_overlap(spark, d).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# parts_abc (catalog composition — runs the real query on tmp parquet)
+# ---------------------------------------------------------------------------
+
+
+def _write_lineitem(spark, tmp_path, rows):
+    """rows: list of (partkey, price_dollars)."""
+    df = spark.createDataFrame(
+        [
+            Row(l_partkey=p, l_extendedprice=float(v), l_discount=0.0)
+            for p, v in rows
+        ]
+    )
+    df.coalesce(2).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_parts_abc_planted_pareto(spark, tmp_path):
+    """One whale part holds 80% of revenue exactly, one mid part the next
+    15%, three tail parts the rest: the value-based cuts must classify
+    them A / B / C with exact shares."""
+    from mcpvectordb_spark.catalog import q_parts_abc
+
+    rows = [(1, 800.0), (2, 150.0), (3, 20.0), (4, 20.0), (5, 10.0)]
+    d = _write_lineitem(spark, tmp_path, rows)
+    out = {r["abc_class"]: r for r in q_parts_abc(spark, d).collect()}
+    assert out["A"]["n_parts"] == 1 and out["A"]["revenue_dollars"] == 800.0
+    assert out["B"]["n_parts"] == 1 and out["B"]["revenue_dollars"] == 150.0
+    assert out["C"]["n_parts"] == 3 and out["C"]["revenue_dollars"] == 50.0
+    assert out["A"]["revenue_share"] == 0.8
+    assert out["B"]["revenue_share"] == 0.15
+    assert out["C"]["revenue_share"] == 0.05
+
+
+def test_parts_abc_constant_revenue_all_A_definite(spark, tmp_path):
+    """Degenerate corpus: every part has identical revenue — the first
+    (only) block crosses both cuts, so everything is class A and the
+    readout is one definite row."""
+    from mcpvectordb_spark.catalog import q_parts_abc
+
+    d = _write_lineitem(spark, tmp_path, [(p, 100.0) for p in range(1, 9)])
+    rows = q_parts_abc(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0]["abc_class"] == "A"
+    assert rows[0]["n_parts"] == 8
+    assert rows[0]["revenue_share"] == 1.0
+
+
+def test_parts_abc_scale_invariance(spark, tmp_path):
+    """Multiplying every price by 10 leaves classes, part counts, and
+    shares unchanged (the cuts are proportional)."""
+    from mcpvectordb_spark.catalog import q_parts_abc
+
+    rows = [(p, float(((p * 37) % 90) + 10)) for p in range(1, 40)]
+    a_dir = _write_lineitem(spark, tmp_path / "a", rows)
+    b_dir = _write_lineitem(
+        spark, tmp_path / "b", [(p, v * 10) for p, v in rows]
+    )
+    a = {(r["abc_class"]): (r["n_parts"], r["revenue_share"])
+         for r in q_parts_abc(spark, a_dir).collect()}
+    b = {(r["abc_class"]): (r["n_parts"], r["revenue_share"])
+         for r in q_parts_abc(spark, b_dir).collect()}
+    assert a == b
