@@ -670,16 +670,16 @@ WITH feats AS (
   FROM documents),
 blocks AS (
   SELECT feature, x, CAST(count(*) AS BIGINT) AS bn, CAST(sum(y) AS BIGINT) AS bpos
-  FROM feats GROUP BY 1, 2),
+  FROM feats WHERE x IS NOT NULL GROUP BY 1, 2),
 cum AS (
   SELECT feature, x,
          CAST(sum(bn) OVER (PARTITION BY feature ORDER BY x) AS BIGINT) AS nl,
          CAST(sum(bpos) OVER (PARTITION BY feature ORDER BY x) AS BIGINT) AS pl
   FROM blocks),
 tot AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_total,
-         CAST(sum(CAST(lang = 'en' AS INT)) AS BIGINT) AS p_total
-  FROM documents),
+  SELECT feature, CAST(sum(bn) AS BIGINT) AS n_total,
+         CAST(sum(bpos) AS BIGINT) AS p_total
+  FROM blocks GROUP BY 1),
 scored AS (
   SELECT feature, x, nl, pl, n_total - nl AS nr, p_total - pl AS pr,
          n_total, p_total,
@@ -687,14 +687,14 @@ scored AS (
          {_sql_gini_mass('n_total', 'p_total')} / CAST(n_total AS DOUBLE)
            - ({_sql_gini_mass('nl', 'pl')}
               + {_sql_gini_mass('n_total - nl', 'p_total - pl')})
-             / CAST(n_total AS DOUBLE) AS gain
-  FROM cum CROSS JOIN tot WHERE nl < n_total)
+             / CAST(n_total AS DOUBLE) AS gain_raw
+  FROM cum JOIN tot USING (feature) WHERE nl < n_total)
 SELECT feature, x AS split_x, nl AS n_left, pl AS pos_left,
        nr AS n_right, pr AS pos_right,
-       round(root, 6) AS gini_root, round(gain, 6) AS gain,
+       round(root, 6) AS gini_root, round(gain_raw, 6) AS gain,
        CAST(greatest(pl, nl - pl) + greatest(pr, nr - pr) AS BIGINT) AS n_correct,
        n_total AS n
-FROM scored ORDER BY gain DESC, feature, x LIMIT 1
+FROM scored ORDER BY gain_raw DESC, feature, x LIMIT 1
 """
 
 

@@ -136,6 +136,14 @@ def gini_stump(df: DataFrame, features: dict, label) -> DataFrame:
     Returns ONE row: (feature, split_x, n_left, pos_left, n_right,
     pos_right, gini_root, gain 6dp, n_correct, n) with ties broken by
     (feature, split_x) so the winner is total-ordered.
+
+    NULL feature values are DROPPED per feature before blocking (and the
+    totals are per-feature, over that feature's non-NULL rows) — Spark
+    windows sort NULLs FIRST while DuckDB's default is NULLS LAST, so a
+    NULL reaching the cumulative pass would shift every count and
+    diverge the engines; filtering on both sides removes the ordering
+    question entirely (mirrors the NULL-text COALESCE in
+    _sql_quality_cte).
     """
     # ONE corpus scan for every feature: each row explodes to its
     # (feature, x) pairs, and the domain-bounded block table is pinned so
@@ -152,8 +160,12 @@ def gini_stump(df: DataFrame, features: dict, label) -> DataFrame:
             ]
         )
     )
-    blk = df.select(pairs.alias("p"), label.cast("int").alias("y")).select(
-        F.col("p.feature").alias("feature"), F.col("p.x").alias("x"), "y"
+    blk = (
+        df.select(pairs.alias("p"), label.cast("int").alias("y"))
+        .select(
+            F.col("p.feature").alias("feature"), F.col("p.x").alias("x"), "y"
+        )
+        .filter(F.col("x").isNotNull())
     )
     blocks = (
         blk.groupBy("feature", "x")
@@ -174,11 +186,13 @@ def gini_stump(df: DataFrame, features: dict, label) -> DataFrame:
         F.sum("bn").over(w).alias("nl"),
         F.sum("bpos").over(w).alias("pl"),
     )
-    tot = blocks.filter(F.col("feature") == names[0]).agg(
+    tot = blocks.groupBy("feature").agg(
         F.sum("bn").cast("long").alias("n_total"),
         F.sum("bpos").cast("long").alias("p_total"),
     )
-    cand = cum.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n_total"))
+    cand = cum.join(F.broadcast(tot), "feature").filter(
+        F.col("nl") < F.col("n_total")
+    )
 
     def gini_mass(n, p):
         nd, pd = n.cast("double"), p.cast("double")

@@ -786,6 +786,13 @@ def _lloyd_train(df, id_col, vec_col, k, iters, dim, quant):
         [float(x) for x in r.v]
         for r in base.orderBy("id").limit(k).collect()
     ]
+    if len(cents) < k:
+        # Without this the empty-cluster fallback cents[ci] would raise a
+        # bare IndexError while the SQL twin silently seeds fewer
+        # centroids — fail loudly and identically on both entry points.
+        raise ValueError(
+            f"k-means needs at least k={k} vectors; corpus has {len(cents)}"
+        )
     for _ in range(iters):
         rows = (
             _lloyd_assign(base, cents)
@@ -828,6 +835,16 @@ def silhouette_simplified(
     ``precached``: an already-trained (base, centroids) pair — the
     catalog session-shares one trajectory between the kmeans and
     silhouette queries (the operators/mlr.py precached seam).
+
+    Exactness caveat (same argument as the centroid-update quantization
+    note in lloyd_kmeans_replayable, applied to the READOUT): the final
+    round(avg(s), 6) averages doubles whose summation order differs
+    between Spark's partial aggregation and DuckDB's sequential scan, so
+    a mean landing within ~1 ulp of a 6dp rounding boundary could round
+    differently per engine.  The gate is therefore probabilistically
+    safe (boundary measure ~1e-10 per cluster), not bit-guaranteed —
+    unlike the integer counts and the per-point s values, which ARE
+    engine-exact.
     """
     if k < 2:
         raise ValueError("silhouette needs k >= 2 (no 'other' centroid at k=1)")

@@ -1,0 +1,163 @@
+"""Round-7 ADVICE fixes: stump oracle argmax on the unrounded gain,
+gini_stump NULL-feature filtering (Spark NULLS-FIRST vs DuckDB NULLS-LAST
+windows), _lloyd_train corpus-size validation, and the silhouette readout
+rounding caveat being documented rather than claimed exact."""
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_stump_oracle_orders_by_unrounded_gain():
+    """ADVICE r7 #1: DuckDB binds ORDER BY gain to the rounded output
+    alias; the oracle must sort on the raw scored gain so both engines
+    share the argmax key when two candidates round to the same 6dp."""
+    from mcpvectordb_spark.catalog._round6 import SQL_DOCUMENTS_STUMP
+
+    assert "ORDER BY gain_raw DESC" in SQL_DOCUMENTS_STUMP
+    assert "round(gain_raw, 6) AS gain" in SQL_DOCUMENTS_STUMP
+
+
+def test_stump_oracle_argmax_survives_6dp_tie():
+    """Two candidates whose unrounded gains differ only past the 6th
+    decimal must yield the truly-higher one, not the alphabetical-tiebreak
+    winner.  'zgood' splits 4M rows perfectly; 'abad' misplaces one row
+    (gain lower by ~2/n = 5e-7, so both round to the same 6dp).  The old
+    'ORDER BY gain' (DuckDB binds it to the rounded alias) fell through
+    to the feature tiebreak and picked 'abad'; ordering by gain_raw picks
+    'zgood'."""
+    con = duckdb.connect()
+    n = 4_000_000
+    con.execute(
+        f"""
+        CREATE TABLE t AS
+        SELECT CAST(i < {n // 2} AS INT) AS y,
+               CASE WHEN i < {n // 2} THEN 0 ELSE 1 END AS zgood,
+               CASE WHEN i < {n // 2 + 1} THEN 0 ELSE 1 END AS abad
+        FROM range({n}) r(i)
+        """
+    )
+    q = """
+    WITH feats AS (
+      SELECT 'zgood' AS feature, CAST(zgood AS BIGINT) AS x, y FROM t
+      UNION ALL
+      SELECT 'abad' AS feature, CAST(abad AS BIGINT) AS x, y FROM t),
+    blocks AS (
+      SELECT feature, x, CAST(count(*) AS BIGINT) AS bn,
+             CAST(sum(y) AS BIGINT) AS bpos
+      FROM feats WHERE x IS NOT NULL GROUP BY 1, 2),
+    cum AS (
+      SELECT feature, x,
+             CAST(sum(bn) OVER (PARTITION BY feature ORDER BY x) AS BIGINT) AS nl,
+             CAST(sum(bpos) OVER (PARTITION BY feature ORDER BY x) AS BIGINT) AS pl
+      FROM blocks),
+    tot AS (
+      SELECT feature, CAST(sum(bn) AS BIGINT) AS n_total,
+             CAST(sum(bpos) AS BIGINT) AS p_total
+      FROM blocks GROUP BY 1),
+    scored AS (
+      SELECT feature, x, nl, pl,
+             (CAST(n_total AS DOUBLE)
+               - (CAST(p_total AS DOUBLE) * p_total
+                  + CAST(n_total - p_total AS DOUBLE) * (n_total - p_total))
+                 / n_total) / n_total
+             - ((CAST(nl AS DOUBLE)
+                  - (CAST(pl AS DOUBLE) * pl
+                     + CAST(nl - pl AS DOUBLE) * (nl - pl)) / nl)
+                + (CAST(n_total - nl AS DOUBLE)
+                  - (CAST(p_total - pl AS DOUBLE) * (p_total - pl)
+                     + CAST((n_total - nl) - (p_total - pl) AS DOUBLE)
+                       * ((n_total - nl) - (p_total - pl)))
+                    / (n_total - nl))) / n_total AS gain_raw
+      FROM cum JOIN tot USING (feature) WHERE nl < n_total)
+    SELECT feature, round(gain_raw, 6) AS gain
+    FROM scored ORDER BY {key} DESC, feature, x LIMIT 1
+    """
+    # Precondition: the two best gains really do round to the same 6dp
+    both = con.execute(
+        q.replace(
+            "SELECT feature, round(gain_raw, 6) AS gain",
+            "SELECT feature, max(gain_raw) AS g",
+        ).replace("ORDER BY {key} DESC, feature, x LIMIT 1", "GROUP BY 1")
+    ).fetchall()
+    raws = dict(both)
+    assert round(raws["zgood"], 6) == round(raws["abad"], 6)
+    assert raws["zgood"] > raws["abad"]
+    # Old sort key (rounded alias): alphabetical tiebreak picks the worse
+    old_winner = con.execute(q.replace("{key}", "gain")).fetchone()[0]
+    assert old_winner == "abad"
+    # Fixed sort key: raw gain picks the strictly-better feature
+    new_winner = con.execute(q.replace("{key}", "gain_raw")).fetchone()[0]
+    assert new_winner == "zgood"
+
+
+def test_gini_stump_null_features_filtered(spark):
+    """ADVICE r7 #2: NULL feature values are dropped per feature with
+    per-feature totals, so a nullable feature cannot shift the cumulative
+    counts (Spark would sort the NULL block FIRST, DuckDB LAST)."""
+    from mcpvectordb_spark.operators.classify import gini_stump
+
+    rows = [Row(x=i, z=(None if i % 3 == 0 else i), y=(i <= 10)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows)
+    out = gini_stump(df, {"x": F.col("x"), "z": F.col("z")}, F.col("y")).collect()[0]
+    # x splits perfectly over all 20 rows; z (with NULLs dropped) covers
+    # only 13 rows and cannot beat a perfect split
+    assert out["feature"] == "x"
+    assert out["split_x"] == 10
+    assert out["n"] == 20
+    assert out["n_correct"] == 20
+
+
+def test_gini_stump_all_null_feature_still_returns_winner(spark):
+    from mcpvectordb_spark.operators.classify import gini_stump
+
+    rows = [Row(x=i, z=None, y=(i < 3)) for i in range(6)]
+    df = spark.createDataFrame(rows, "x long, z long, y boolean")
+    out = gini_stump(df, {"x": F.col("x"), "z": F.col("z")}, F.col("y")).collect()
+    assert len(out) == 1
+    assert out[0]["feature"] == "x"
+
+
+def test_gini_stump_null_totals_are_per_feature(spark):
+    """A feature with NULLs gets ITS OWN non-null total, not the global
+    corpus count — otherwise nr/pr go negative for the null-bearing
+    feature's last block."""
+    from mcpvectordb_spark.operators.classify import gini_stump
+
+    # Only feature z exists; half its values are NULL.  n must equal the
+    # non-null count (5), not the corpus count (10).
+    rows = [Row(z=(i if i % 2 == 0 else None), y=(i < 4)) for i in range(10)]
+    df = spark.createDataFrame(rows, "z long, y boolean")
+    out = gini_stump(df, {"z": F.col("z")}, F.col("y")).collect()[0]
+    assert out["n"] == 5
+    assert out["n_left"] + out["n_right"] == 5
+
+
+def test_lloyd_train_corpus_smaller_than_k_raises(spark):
+    """ADVICE r7 #3: fewer than k corpus vectors must be a clear
+    ValueError from both entry points, not an IndexError from the
+    empty-cluster fallback."""
+    from mcpvectordb_spark.operators.knn import (
+        lloyd_kmeans_replayable,
+        silhouette_simplified,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id=i, v=[float(i), 0.0]) for i in range(3)]
+    )
+    with pytest.raises(ValueError, match="at least k=8"):
+        lloyd_kmeans_replayable(df, "id", "v", k=8, iters=1, dim=2)
+    with pytest.raises(ValueError, match="at least k=8"):
+        silhouette_simplified(df, "id", "v", k=8, iters=1, dim=2)
+
+
+def test_silhouette_docstring_documents_rounding_boundary():
+    """ADVICE r7 #4: the readout-level rounding-boundary risk must be
+    documented (probabilistically safe, not bit-guaranteed)."""
+    from mcpvectordb_spark.operators.knn import silhouette_simplified
+
+    doc = " ".join(silhouette_simplified.__doc__.split())
+    assert "rounding boundary" in doc
+    assert "probabilistically safe" in doc
+    assert "not bit-guaranteed" in doc
