@@ -77,11 +77,52 @@ def load(path: str) -> dict:
     return doc
 
 
+def compare(old_q: dict, new_q: dict, max_ratio: float, min_sec: float,
+            partial: bool, label: str, fail_on_drop: bool = True) -> bool:
+    """Diff one per-query timing map; returns True when the gate fails."""
+    dropped = sorted(set(old_q) - set(new_q))
+    added = sorted(set(new_q) - set(old_q))
+    common = sorted(set(old_q) & set(new_q))
+
+    ratios = {}
+    for name in common:
+        o, n = old_q[name], new_q[name]
+        ratios[name] = (n / o) if o > 0 else float("inf")
+
+    med = statistics.median(ratios.values()) if ratios else 1.0
+    host_wide = med > max_ratio
+
+    regressed = [
+        (name, old_q[name], new_q[name], ratios[name])
+        for name in common
+        if ratios[name] > max_ratio and max(old_q[name], new_q[name]) >= min_sec
+    ]
+
+    print(f"{label}: {len(common)} common, {len(added)} added, "
+          f"{len(dropped)} dropped, median ratio {med:.2f}")
+    for name in added:
+        print(f"  NEW      {name}: {new_q[name]:.3f}s")
+    for name, o, n, r in sorted(regressed, key=lambda t: -t[3]):
+        print(f"  REGRESS  {name}: {o:.3f}s -> {n:.3f}s ({r:.2f}x)")
+    for name in dropped:
+        tag = "ABSENT   " if partial else "DROPPED  "
+        print(f"  {tag}{name} (was {old_q[name]:.3f}s)")
+    if host_wide:
+        print(f"  NOTE: median ratio {med:.2f} > {max_ratio} — uniform slowdown, "
+              "likely host load (check uptime), not a code regression")
+
+    return (bool(dropped) and not partial and fail_on_drop) or (
+        bool(regressed) and not host_wide
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
     ap.add_argument("new")
     ap.add_argument("--max-ratio", type=float, default=1.5)
+    ap.add_argument("--max-ratio-all", type=float, default=2.0,
+                    help="threshold for the full-registry queries_all lane")
     ap.add_argument("--min-sec", type=float, default=0.3,
                     help="ignore regressions on queries faster than this (noise floor)")
     args = ap.parse_args()
@@ -93,39 +134,25 @@ def main() -> int:
     # tail truncation — absent queries are capture loss, not real drops
     partial = bool(old_doc.get("recovered_partial") or new_doc.get("recovered_partial"))
 
-    dropped = sorted(set(old_q) - set(new_q))
-    added = sorted(set(new_q) - set(old_q))
-    common = sorted(set(old_q) & set(new_q))
+    fail = compare(old_q, new_q, args.max_ratio, args.min_sec, partial,
+                   f"bench_compare {args.old} -> {args.new}")
 
-    ratios = {}
-    for name in common:
-        o, n = old_q[name], new_q[name]
-        ratios[name] = (n / o) if o > 0 else float("inf")
+    # Full-registry lane (round-7 item 2): every catalog query, timed at
+    # sf0.01 with a single rep — noisier, so the threshold is looser and a
+    # missing lane on either side is reported, never a failure (the lane is
+    # opt-in via SPARK_GRAFT_BENCH_ALL).
+    old_all = old_doc.get("queries_all") or {}
+    new_all = new_doc.get("queries_all") or {}
+    if old_all and new_all:
+        fail |= compare(old_all, new_all, args.max_ratio_all, args.min_sec,
+                        partial,
+                        f"bench_compare[ALL] {args.old} -> {args.new}",
+                        fail_on_drop=False)
+    elif old_all or new_all:
+        side = "old" if old_all else "new"
+        print(f"  NOTE: only the {side} artifact has a queries_all lane — "
+              "full-registry comparison skipped")
 
-    med = statistics.median(ratios.values()) if ratios else 1.0
-    host_wide = med > args.max_ratio
-
-    regressed = [
-        (name, old_q[name], new_q[name], ratios[name])
-        for name in common
-        if ratios[name] > args.max_ratio and max(old_q[name], new_q[name]) >= args.min_sec
-    ]
-
-    print(f"bench_compare {args.old} -> {args.new}: "
-          f"{len(common)} common, {len(added)} added, {len(dropped)} dropped, "
-          f"median ratio {med:.2f}")
-    for name in added:
-        print(f"  NEW      {name}: {new_q[name]:.3f}s")
-    for name, o, n, r in sorted(regressed, key=lambda t: -t[3]):
-        print(f"  REGRESS  {name}: {o:.3f}s -> {n:.3f}s ({r:.2f}x)")
-    for name in dropped:
-        tag = "ABSENT   " if partial else "DROPPED  "
-        print(f"  {tag}{name} (was {old_q[name]:.3f}s)")
-    if host_wide:
-        print(f"  NOTE: median ratio {med:.2f} > {args.max_ratio} — uniform slowdown, "
-              "likely host load (check uptime), not a code regression")
-
-    fail = (bool(dropped) and not partial) or (bool(regressed) and not host_wide)
     ot, nt = old_doc.get("value"), new_doc.get("value")
     print(f"  totals: {ot}s -> {nt}s; {'FAIL' if fail else 'OK'}")
     return 1 if fail else 0
