@@ -257,19 +257,29 @@ def _shared_ssjoin_postings(
 # persisted output of the dedup pass that the canonicalization jobs read).
 # dedup_ngram_jaccard itself still COMPUTES the pairs (they are its
 # answer); only the downstream consumers read the frozen table.
-_NEARDUP_PAIRS_CACHE: dict[tuple[str, str, int, float], DataFrame] = {}
+_NEARDUP_PAIRS_CACHE: dict[tuple[str, str, str, int, float], DataFrame] = {}
 
 
 def _shared_neardup_pairs(
-    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    corpus: str = "near",
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, n, threshold)
+    key = (spark.sparkContext.applicationId, sf_dir, corpus, n, threshold)
     hit = _NEARDUP_PAIRS_CACHE.get(key)
     if hit is not None:
         return hit
+    if corpus == "raw":
+        base = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("id"), "text"
+        )
+    else:
+        base = _near_corpus(spark, sf_dir)
     pairs = dd.ngram_jaccard_pairs(
-        _near_corpus(spark, sf_dir), "id", "text", n=n, threshold=threshold,
-        shingles=_shared_shingles(spark, sf_dir, "near", n),
+        base, "id", "text", n=n, threshold=threshold,
+        shingles=_shared_shingles(spark, sf_dir, corpus, n),
     ).localCheckpoint(eager=True)
     _NEARDUP_PAIRS_CACHE[key] = pairs
     return pairs

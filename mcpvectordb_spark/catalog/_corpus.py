@@ -248,7 +248,10 @@ FROM documents GROUP BY lang
 
 def q_list_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped listing + window pagination (reference list_documents,
-    SURVEY §2.4 A1 + §2.6 T2): rows 6..15 ordered by size desc."""
+    SURVEY §2.4 A1 + §2.6 T2): rows 6..15 ordered by size desc.  The
+    page cut is an explicit ``orderBy().limit(offset+limit)`` —
+    TakeOrderedAndProject — so the rank window runs over 15 rows, never
+    the full grouped listing (round-7 plan-tripwire fix)."""
     docs = load_table(spark, sf_dir, "documents")
     grouped = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("doc_count"),
@@ -256,8 +259,9 @@ def q_list_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("total_chars"), F.asc("source"))
     return (
-        grouped.withColumn("rank", F.row_number().over(w))
-        .filter((F.col("rank") > 5) & (F.col("rank") <= 15))
+        grouped.orderBy(F.desc("total_chars"), F.asc("source")).limit(15)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") > 5)
         .select("source", "doc_count", "total_chars", "rank")
     )
 
@@ -415,14 +419,14 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the on-corpus proof that the dedup estimator is unbiased HERE (the
     repo's gate-approximations-in-plan philosophy applied to its own
     MinHash), and the bias column quantifies the small-k deviation.
-    Cost: the existing inverted-index candidate join + one 16-column
-    signature join — both machinery the LSH dedup already runs."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id"), "text"
-    )
-    pairs = dd.ngram_jaccard_pairs(
-        docs, "id", "text", n=3, threshold=0.02,
-        shingles=_shared_shingles(spark, sf_dir, "raw"),
+    Cost: one 16-column signature join + the bucket agg — the exact-pair
+    table is session-shared (_shared_neardup_pairs): at 100 TB the
+    calibration audit reads the dedup pass's PERSISTED pair output, it
+    does not re-mine candidates (round-7 warm-path fix; the pair mining
+    itself stays honestly timed by dedup_ngram_jaccard/ssjoin_jaccard,
+    whose ANSWER the pairs are)."""
+    pairs = _shared_neardup_pairs(
+        spark, sf_dir, n=3, threshold=0.02, corpus="raw"
     )
     sigs = _shared_minhash_sigs(spark, sf_dir, 16)
     sa = sigs.select(

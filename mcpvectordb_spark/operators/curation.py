@@ -1087,17 +1087,22 @@ def dsir_select(
     The ranking key rounds to 6 decimals BEFORE ranking (with an id
     tiebreak) so the global order is well-defined under floating-point
     summation-order noise.  Output: the k selected docs with their weight,
-    key, and selection rank.  The final rank is a TakeOrderedAndProject at
-    scale when followed by the filter — never a global sort of the corpus."""
+    key, and selection rank.  The corpus is cut to k by an EXPLICIT
+    ``orderBy().limit(k)`` — a TakeOrderedAndProject, per-partition top-k
+    then a k-row merge — before the rank window, so the unpartitioned
+    window only ever sees k rows (round-7 plan-tripwire fix: the previous
+    rank-then-filter shape relied on an optimizer group-limit rewrite
+    that the physical plan showed NOT firing, sorting the whole corpus
+    through one task)."""
     w = dsir_weights(df, id_col, text_col, is_target, n_buckets, alpha)
     u = (
         hexint48(F.concat(F.lit(salt + ":"), F.col("id").cast("string"))) + F.lit(0.5)
     ) / F.lit(float(1 << 48))
     keyed = w.withColumn("key", F.round(F.col("logw") - F.log(-F.log(u)), 6))
+    top = keyed.orderBy(F.col("key").desc(), F.col("id").asc()).limit(k)
     rank_w = Window.orderBy(F.col("key").desc(), F.col("id").asc())
     return (
-        keyed.withColumn("rank", F.row_number().over(rank_w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(rank_w))
         .select("id", "n_feats", "logw", "key", "rank")
     )
 

@@ -263,13 +263,18 @@ class ChunkStore:
         limit = self.config.list_limit_default if limit is None else limit
         if not (1 <= limit <= self.config.list_limit_max) or offset < 0:
             raise ValueError("limit must be in [1, %d], offset >= 0" % self.config.list_limit_max)
-        # Recency sort + pagination (reference store.py:399-401): the window
-        # row_number idiom is exact OFFSET/LIMIT and shuffles once.
+        # Recency sort + pagination (reference store.py:399-401): cut to
+        # the page end with an explicit orderBy().limit(offset+limit) —
+        # TakeOrderedAndProject, per-partition top-k then a bounded merge —
+        # so the row_number window only ever sees offset+limit rows
+        # instead of single-partitioning the whole doc listing.
         w = Window.orderBy(F.desc("created_at"), F.asc("doc_id"))
         page = (
             self.documents_df(library)
+            .orderBy(F.desc("created_at"), F.asc("doc_id"))
+            .limit(offset + limit)
             .withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+            .filter(F.col("_rn") > offset)
             .drop("_rn")
         )
         return [r.asDict() for r in page.collect()]

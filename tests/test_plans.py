@@ -418,3 +418,62 @@ def test_silhouette_plan_is_join_free(spark):
     for kind in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert kind not in plan, kind
+
+
+# ---------------------------------------------------------------------------
+# round-7 plan tripwires: unpartitioned windows + single-partition exchanges
+# (tools/plan_report.py::audit_plan; verdict item 3)
+# ---------------------------------------------------------------------------
+
+
+def _audit():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import plan_report
+
+    return plan_report
+
+
+def test_audit_plan_flags_unpartitioned_window(spark):
+    from pyspark.sql import Window
+
+    pr = _audit()
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+    part = df.withColumn(
+        "s", F.sum("id").over(Window.partitionBy("g").orderBy("id"))
+    )._jdf.queryExecution().executedPlan().toString()
+    unpart = df.withColumn(
+        "s", F.sum("id").over(Window.orderBy("id"))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert pr.audit_plan(part) == (0, 0)
+    uwin, onep = pr.audit_plan(unpart)
+    assert uwin == 1
+    # the global window also forces an Exchange SinglePartition whose
+    # consumer is a Sort, not a final aggregate — both tripwires fire
+    assert onep >= 1
+
+
+def test_audit_plan_global_agg_single_partition_is_benign(spark):
+    pr = _audit()
+    plan = (
+        spark.range(1000)
+        .agg(F.sum("id").alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # partial+final scalar agg: the SinglePartition exchange moves one
+    # combined row per task — the benign shape must NOT be flagged
+    assert pr.audit_plan(plan) == (0, 0)
+
+
+def test_plan_report_allowlist_is_valid():
+    """Every ALLOW_BOUNDED entry must name a real catalog query and carry
+    a non-empty justification; the allowlist may never silently grow to
+    cover queries that do not exist."""
+    pr = _audit()
+    for name, reason in pr.ALLOW_BOUNDED.items():
+        assert name in QUERIES, f"allowlisted unknown query {name}"
+        assert reason.strip(), f"empty justification for {name}"
