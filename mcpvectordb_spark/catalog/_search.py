@@ -971,7 +971,15 @@ def q_ssjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify).  The oracle is the NAIVE all-pairs Jaccard over the same
     shingle sets (the dedup_ngram_jaccard spec), so green parity proves
     the prefix filter loses no pair.  Exact sibling of the probabilistic
-    dedup_minhash_lsh gate at the same (n=3, t=0.5) operating point."""
+    dedup_minhash_lsh gate at the same (n=3, t=0.5) operating point.
+
+    Warm-path cost note (round-7 decision on the r5/r6 verdicts' ~1.5s
+    target): the postings index is session-shared, so the timed work is
+    the prefix-filtered candidate join + exact verify — which IS this
+    query's answer.  Unlike minhash_calibration (whose pair table is
+    reusable dedup OUTPUT and is therefore session-shared), caching the
+    pairs here would reduce the benchmark to reading its own result;
+    the ~2s at sf0.1 is accepted as the operator's inherent cost."""
     from mcpvectordb_spark.operators.simjoin import jaccard_ssjoin
 
     corpus = _near_corpus(spark, sf_dir)

@@ -3552,8 +3552,126 @@ def main_r6b() -> None:
     spark.stop()
 
 
+def main_r7() -> None:
+    """Round-7 stress: the two single-task funnels the new plan tripwire
+    caught (dsir_select's global rank window, list_documents' pagination
+    window), re-proven at 1000x bench scale AFTER the TakeOrdered
+    pre-limit rewrite, each against a planted deterministic answer:
+
+    - dsir_select at 5M docs with IDENTICAL text: every raw doc gets the
+      same logw, so selection order is the Gumbel key alone — u_i derives
+      from the portable md5 hexint48, so plain Python recomputes the
+      exact top-100 (round(c+g_i, 6) DESC, id ASC) from hashlib and the
+      readback logw constant; the selection must match id-for-id;
+    - list_documents pagination over a 5M-source synthetic documents
+      table: the planted size law (sources 0..19 hold 1e9-i chars, the
+      rest < 1000) fixes ranks 6..15 to sources s5..s14 exactly.
+
+    In-script plan assertions: both physical plans contain a
+    TakeOrderedAndProject and audit_plan() reports zero unbounded
+    single-task stages."""
+    import hashlib
+    import tempfile
+
+    sys.path.insert(0, "tools")
+    from plan_report import audit_plan
+
+    from mcpvectordb_spark.operators.curation import dsir_select
+
+    spark = get_spark("stress-r7")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {counts[name]}", file=sys.stderr)
+
+    def dsir_5m():
+        n = 5_000_000
+        k = 100
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.lit("alpha beta gamma delta").alias("text"),
+        )
+        out = dsir_select(
+            docs, "doc_id", "text", F.col("doc_id") < 1000, k
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, "dsir lost its TakeOrdered"
+        assert audit_plan(plan) == (0, 0), f"unbounded 1-task stage: {audit_plan(plan)}"
+        rows = out.orderBy("rank").collect()
+        assert len(rows) == k
+        logws = {r["logw"] for r in rows}
+        assert len(logws) == 1, f"identical text must give one logw, got {logws}"
+        c = rows[0]["logw"]
+        # plain-Python recompute of the exact top-k over all 5M raw ids
+        best = []
+        for i in range(1000, n):
+            h = int(hashlib.md5(f"dsir:{i}".encode()).hexdigest()[:12], 16)
+            u = (h + 0.5) / float(1 << 48)
+            key = round(c - math.log(-math.log(u)), 6)
+            best.append((-key, i))
+            if len(best) > 4 * k and i % 500_000 == 0:
+                best = sorted(best)[: 2 * k]
+        expect = [i for _, i in sorted(best)[:k]]
+        got = [r["id"] for r in rows]
+        assert got == expect, f"selection mismatch: {got[:5]} vs {expect[:5]}"
+        notes["dsir_5m"] = (
+            "top-100 of 5M matches the hashlib/python Gumbel-key recompute "
+            "id-for-id; plan carries TakeOrderedAndProject, audit_plan==(0,0)"
+        )
+        return len(rows)
+
+    def listing_5m():
+        from mcpvectordb_spark.catalog import QUERIES
+
+        n = 5_000_000
+        with tempfile.TemporaryDirectory() as td:
+            docs = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("s"), F.col("id")).alias("source"),
+                F.when(F.col("id") < 20, F.lit(1_000_000_000) - F.col("id"))
+                .otherwise(F.col("id") % 997 + 1)
+                .cast("long")
+                .alias("n_chars"),
+            )
+            docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+            q = QUERIES["list_documents"](spark, td)
+            plan = q._jdf.queryExecution().executedPlan().toString()
+            assert "TakeOrderedAndProject" in plan, "listing lost its TakeOrdered"
+            assert audit_plan(plan) == (0, 0), f"unbounded 1-task stage: {audit_plan(plan)}"
+            rows = q.orderBy("rank").collect()
+        assert [r["source"] for r in rows] == [f"s{i}" for i in range(5, 15)]
+        assert [r["total_chars"] for r in rows] == [
+            1_000_000_000 - i for i in range(5, 15)
+        ]
+        notes["listing_5m"] = (
+            "page ranks 6..15 over 5M grouped sources recover the planted "
+            "size law exactly; window input is the 15-row TakeOrdered cut"
+        )
+        return len(rows)
+
+    run("dsir_5m", dsir_5m)
+    run("listing_5m", listing_5m)
+
+    print(json.dumps({
+        "mode": "r7",
+        "timings_s": timings,
+        "counts": counts,
+        "notes": notes,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "r6b" in sys.argv[1:]:
+    if "r7" in sys.argv[1:]:
+        main_r7()
+    elif "r6b" in sys.argv[1:]:
         main_r6b()
     elif "r6" in sys.argv[1:]:
         main_r6()
