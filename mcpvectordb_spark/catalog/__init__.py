@@ -329,6 +329,30 @@ QUERIES = {
 }
 
 
+# Queries whose Spark-side code or oracle SQL changed in the CURRENT round
+# (maintained each round alongside the changes; validity-pinned in
+# tests/test_entry.py).  The rotation sorts these right after the
+# never-green class so the driver's 50-slot window re-verifies exactly the
+# code that moved — implementing clause (b) of the registry contract
+# above, which the pure (ever_green, last_round) key could not: a query
+# green in the PREVIOUS round is the freshest green there is, so churn on
+# it would otherwise wait ~5 rounds for external re-verification.
+#
+# Round 7: documents_stump (oracle sort key + NULL filtering + per-feature
+# totals), dsir_select (TakeOrdered pre-limit rewrite), list_documents
+# (same rewrite), minhash_calibration (session-shared pair table),
+# embeddings_kmeans + embeddings_silhouette (_lloyd_train corpus-size
+# validation on their shared trajectory).
+ROUND_CHURN: frozenset[str] = frozenset({
+    "documents_stump",
+    "dsir_select",
+    "list_documents",
+    "minhash_calibration",
+    "embeddings_kmeans",
+    "embeddings_silhouette",
+})
+
+
 def _rotate_stalest_first(queries: dict) -> dict:
     """Re-sort the registry so the driver's 50-slot CORRECTNESS window always
     holds the queries that most need a driver check.  Sort key is
@@ -366,7 +390,14 @@ def _rotate_stalest_first(queries: dict) -> dict:
             ):
                 ever_green.add(name)
     order = sorted(
-        queries, key=lambda n: (n in ever_green, last_round.get(n, -1))
+        queries,
+        key=lambda n: (
+            n in ever_green,
+            # within the green class: this round's churn first (clause (b)),
+            # then stalest-first
+            n in ever_green and n not in ROUND_CHURN,
+            last_round.get(n, -1),
+        ),
     )
     return {n: queries[n] for n in order}
 
