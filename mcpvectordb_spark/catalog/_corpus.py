@@ -83,7 +83,7 @@ SELECT antecedent, consequent, n_pair,
        round(confidence, 6) AS confidence,
        round(lift, 6) AS lift
 FROM rules
-ORDER BY lift DESC, confidence DESC, antecedent ASC, consequent ASC LIMIT 50
+ORDER BY rules.lift DESC, rules.confidence DESC, antecedent ASC, consequent ASC LIMIT 50
 """
 
 

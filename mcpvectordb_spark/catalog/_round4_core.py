@@ -1348,7 +1348,8 @@ bm AS (
   FROM posting JOIN qterms USING(term) JOIN dfreq USING(term) JOIN lens USING(doc), stats
   GROUP BY qid, doc),
 ranked AS (
-  SELECT qid, doc, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank
+  SELECT qid, doc,
+         row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, doc) AS rank
   FROM bm QUALIFY rank <= 10),
 nt AS (SELECT qid, count(*) AS n_terms FROM qterms GROUP BY qid),
 m AS (SELECT qid, doc, count(DISTINCT term) AS mm FROM posting JOIN qterms USING(term) GROUP BY 1, 2),

@@ -1982,7 +1982,10 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     negs = ranked.join(rel, ["qid", "doc"], "left_anti").withColumn(
         "neg_rank",
         F.row_number().over(
-            Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc").asc())
+            # 6dp-rounded key, same as bm25_multi_topk's rank window
+            Window.partitionBy("qid").orderBy(
+                F.round(F.col("score"), 6).desc(), F.col("doc").asc()
+            )
         ),
     ).filter(F.col("neg_rank") <= 3)
     return negs.join(m, ["qid", "doc"], "left").select(
@@ -2019,14 +2022,15 @@ bm AS (
   FROM posting JOIN qterms USING(term) JOIN dfreq USING(term) JOIN lens USING(doc), stats
   GROUP BY qid, doc),
 ranked AS (
-  SELECT qid, doc, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank
+  SELECT qid, doc, score,
+         row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, doc) AS rank
   FROM bm QUALIFY rank <= 10),
 nt AS (SELECT qid, count(*) AS n_terms FROM qterms GROUP BY qid),
 m AS (SELECT qid, doc, count(DISTINCT term) AS mm FROM posting JOIN qterms USING(term) GROUP BY 1, 2),
 rel AS (SELECT m.qid, m.doc FROM m JOIN nt USING(qid) WHERE m.mm = nt.n_terms),
 negs AS (
   SELECT r.qid, r.doc, r.rank, r.score,
-         row_number() OVER (PARTITION BY r.qid ORDER BY r.score DESC, r.doc ASC) AS neg_rank
+         row_number() OVER (PARTITION BY r.qid ORDER BY round(r.score, 6) DESC, r.doc ASC) AS neg_rank
   FROM ranked r LEFT JOIN rel ON r.qid = rel.qid AND r.doc = rel.doc
   WHERE rel.doc IS NULL
   QUALIFY neg_rank <= 3)

@@ -111,7 +111,7 @@ scored AS (
   FROM (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zs)),
 ranked AS (
   SELECT g, p,
-         row_number() OVER (ORDER BY p, g) AS rank,
+         row_number() OVER (ORDER BY round(p, 12), g) AS rank,
          CAST(count(*) OVER () AS BIGINT) AS m
   FROM scored WHERE p IS NOT NULL),
 qq AS (

@@ -159,7 +159,7 @@ bm_{label} AS (
   FROM posting JOIN (SELECT unnest([{tl}]) AS term) q_{label} USING(term)
   JOIN dfreq USING(term) JOIN lens USING(doc), stats
   GROUP BY doc),
-fb_{label} AS (SELECT doc FROM bm_{label} ORDER BY score DESC, doc LIMIT 10),
+fb_{label} AS (SELECT doc FROM bm_{label} ORDER BY round(score, 6) DESC, doc LIMIT 10),
 rm1_{label} AS (
   SELECT term, sum(CAST(tf AS DOUBLE) / dl) / 10.0 AS p_q
   FROM posting JOIN fb_{label} USING(doc) JOIN lens USING(doc)
@@ -202,7 +202,9 @@ def q_search_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     idx = _shared_bm25_index(spark, sf_dir)
-    wa = Window.orderBy(F.desc("score"), F.asc("doc"))
+    # rank on the 6dp-rounded score — same key as the topk cuts and the
+    # oracle windows (round-7 ranked-cut discipline)
+    wa = Window.orderBy(F.round(F.col("score"), 6).desc(), F.asc("doc"))
     run_a = bm25_topk(docs, SEARCH_QUERY, 10, "doc_id", "text", index=idx).select(
         "doc", F.row_number().over(wa).alias("rank")
     )
@@ -217,7 +219,7 @@ SQL_SEARCH_RBO = (
     + _SQL_BM25_CTES.split("WITH", 1)[-1].lstrip()
     + """,
 ranked_a AS (
-  SELECT doc, row_number() OVER (ORDER BY score DESC, doc ASC) AS ra
+  SELECT doc, row_number() OVER (ORDER BY round(score, 6) DESC, doc ASC) AS ra
   FROM bm QUALIFY ra <= 10),
 cf AS (SELECT term, sum(tf) AS cf FROM posting GROUP BY 1),
 tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM posting),
@@ -229,7 +231,7 @@ qlm AS (
   SELECT doc, coalesce(hit, 0.0) + 4.0 * ln(2000.0 / (dl + 2000.0)) AS score
   FROM lens LEFT JOIN hits USING(doc)),
 ranked_b AS (
-  SELECT doc, row_number() OVER (ORDER BY score DESC, doc ASC) AS rb
+  SELECT doc, row_number() OVER (ORDER BY round(score, 6) DESC, doc ASC) AS rb
   FROM qlm QUALIFY rb <= 10),
 inboth AS (
   SELECT a.doc, greatest(a.ra, b.rb) AS m
@@ -1115,7 +1117,7 @@ seeds AS (
   ORDER BY count(*) DESC, it ASC LIMIT 10)
 SELECT seed, rec, cooc, round(cos, 6) AS cos
 FROM sym JOIN seeds USING(seed)
-QUALIFY row_number() OVER (PARTITION BY seed ORDER BY cos DESC, rec ASC) <= 5
+QUALIFY row_number() OVER (PARTITION BY seed ORDER BY sym.cos DESC, rec ASC) <= 5
 """
 
 
@@ -2683,12 +2685,12 @@ def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_RM3_EXPANSION = f"""
 WITH {_SQL_BM25_CTES},
-feedback AS (SELECT doc FROM bm ORDER BY score DESC, doc LIMIT 10),
+feedback AS (SELECT doc FROM bm ORDER BY round(score, 6) DESC, doc LIMIT 10),
 rm1 AS (
   SELECT term, sum(tf * 1.0 / dl) / 10.0 AS p_rm1
   FROM posting JOIN feedback USING(doc) JOIN lens USING(doc)
   GROUP BY term),
-top_e AS (SELECT term, p_rm1 FROM rm1 ORDER BY p_rm1 DESC, term LIMIT 10),
+top_e AS (SELECT term, p_rm1 FROM rm1 ORDER BY round(p_rm1, 9) DESC, term LIMIT 10),
 qdist AS (SELECT unnest(['batch','join','spark','window']) AS term, 0.25 AS p_q),
 weights AS (
   SELECT coalesce(q.term, e.term) AS term,
@@ -2780,15 +2782,15 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HYBRID_RRF = f"""
 WITH {_SQL_BM25_CTES},
-bmtop AS (SELECT doc, score FROM bm ORDER BY score DESC, doc LIMIT 50),
+bmtop AS (SELECT doc, score FROM bm ORDER BY round(score, 6) DESC, doc LIMIT 50),
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 vstop AS (
   SELECT vec_id AS doc, {_sql_cos('CAST(embedding AS DOUBLE[])', 'qv')} AS score
   FROM embeddings, q
   WHERE vec_id IN (SELECT doc_id FROM documents)
   ORDER BY score DESC, doc LIMIT 50),
-br AS (SELECT doc, row_number() OVER (ORDER BY score DESC, doc) AS r FROM bmtop),
-vr AS (SELECT doc, row_number() OVER (ORDER BY score DESC, doc) AS r FROM vstop)
+br AS (SELECT doc, row_number() OVER (ORDER BY round(score, 6) DESC, doc) AS r FROM bmtop),
+vr AS (SELECT doc, row_number() OVER (ORDER BY round(score, 6) DESC, doc) AS r FROM vstop)
 SELECT COALESCE(br.doc, vr.doc) AS doc,
        round(COALESCE(1.0/({RRF_K0}+br.r), 0) + COALESCE(1.0/({RRF_K0}+vr.r), 0), 6) AS rrf_score
 FROM br FULL OUTER JOIN vr ON br.doc = vr.doc
@@ -2821,7 +2823,7 @@ def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HYBRID_WEIGHTED = f"""
 WITH {_SQL_BM25_CTES},
-bmtop AS (SELECT doc, score FROM bm ORDER BY score DESC, doc LIMIT 50),
+bmtop AS (SELECT doc, score FROM bm ORDER BY round(score, 6) DESC, doc LIMIT 50),
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 vstop AS (
   SELECT vec_id AS doc, {_sql_cos('CAST(embedding AS DOUBLE[])', 'qv')} AS score
@@ -2837,7 +2839,8 @@ vn AS (SELECT doc, CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
 SELECT COALESCE(vn.doc, bn.doc) AS doc,
        round(0.6 * COALESCE(vn.ns, 0) + 0.4 * COALESCE(bn.ns, 0), 6) AS blend_score
 FROM vn FULL OUTER JOIN bn ON vn.doc = bn.doc
-ORDER BY 0.6 * COALESCE(vn.ns, 0) + 0.4 * COALESCE(bn.ns, 0) DESC, COALESCE(vn.doc, bn.doc)
+ORDER BY round(0.6 * COALESCE(vn.ns, 0) + 0.4 * COALESCE(bn.ns, 0), 6) DESC,
+         COALESCE(vn.doc, bn.doc)
 LIMIT 10
 """
 

@@ -192,7 +192,16 @@ def bm25_topk(
     index: Bm25Index | None = None,
 ) -> DataFrame:
     scored = bm25_score(df, query, id_col, text_col, k1, b, score_col, index)
-    return scored.orderBy(F.desc(score_col), F.asc("doc")).limit(k)
+    # Rank by the score ROUNDED to 6dp (with the doc-id tiebreak), not the
+    # raw double: BM25 carries ln() (idf) plus a summation-order-dependent
+    # Σw, so raw scores are NOT bit-identical across engines — the rounded
+    # key is the only cross-engine-stable sort, and it is what the SQL
+    # oracle's ORDER BY binds to (the output alias round(score, 6)).
+    # Round-7 discipline (inverse of the stump fix: there the gain was
+    # +,-,*,/-exact, so both sides sort UNROUNDED; here neither side can).
+    return scored.orderBy(
+        F.round(F.col(score_col), 6).desc(), F.asc("doc")
+    ).limit(k)
 
 
 def fuzzy_terms(
@@ -336,10 +345,16 @@ def bm25_multi_topk(
         .groupBy("qid", "doc")
         .agg(F.sum("w").alias("score"))
     )
+    # rank on the 6dp-ROUNDED score (doc tiebreak): the per-doc score is a
+    # float SUM over terms, so partial-aggregation order makes raw values
+    # differ from a sequential engine in the last ulp — the rounded key is
+    # the cross-engine-stable ranking (round-7 ranked-cut discipline)
     ranked = scored.withColumn(
         "rank",
         F.row_number().over(
-            Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc").asc())
+            Window.partitionBy("qid").orderBy(
+                F.round(F.col("score"), 6).desc(), F.col("doc").asc()
+            )
         ),
     )
     return ranked.filter(F.col("rank") <= k)

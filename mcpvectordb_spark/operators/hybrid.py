@@ -25,8 +25,11 @@ from pyspark.sql import functions as F
 
 
 def rank_by_score(df: DataFrame, id_col: str, score_col: str, rank_col: str) -> DataFrame:
-    """Dense 1-based rank, score DESC, id ASC tiebreak (deterministic)."""
-    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    """Dense 1-based rank, 6dp-ROUNDED score DESC, id ASC tiebreak —
+    deterministic AND cross-engine-stable (round-7 ranked-cut discipline:
+    an FTS leg's float-sum scores differ from a sequential engine in the
+    last ulp; ranks feed RRF directly, so a rank flip changes values)."""
+    w = Window.orderBy(F.round(F.col(score_col), 6).desc(), F.asc(id_col))
     return df.select(F.col(id_col), F.row_number().over(w).alias(rank_col))
 
 
@@ -116,4 +119,8 @@ def weighted_fuse_topk(
         )
         .drop("__nv", "__nf")
     )
-    return blended.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+    # 6dp-rounded cut key: the FTS leg's scores carry summation-order ulp
+    # noise that survives min-max normalization (round-7 discipline)
+    return blended.orderBy(
+        F.round(F.col(score_col), 6).desc(), F.asc(id_col)
+    ).limit(k)

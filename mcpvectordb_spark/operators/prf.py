@@ -82,8 +82,14 @@ def rm3_topk(
         .groupBy("doc")
         .agg(F.sum("w").alias("s1"))
     )
+    # every ranked cut keys on a ROUNDED score (round-7 discipline): the
+    # BM25/RM1 sums are partial-aggregation-order-dependent floats, so the
+    # raw values differ cross-engine in the last ulp; 6dp (scores O(1-30))
+    # and 9dp (p_rm1 probabilities O(1e-3)) sit far above ulp noise and
+    # exactly match the oracle's CTE sort keys
     feedback = F.broadcast(
-        first.orderBy(F.desc("s1"), F.asc("doc")).limit(fb_docs).select("doc")
+        first.orderBy(F.round(F.col("s1"), 6).desc(), F.asc("doc"))
+        .limit(fb_docs).select("doc")
     )
 
     # ---- RM1 over the feedback docs (uniform doc weights) ----
@@ -94,7 +100,7 @@ def rm3_topk(
         .agg((F.sum(F.col("tf") / F.col("dl")) / F.lit(float(fb_docs))).alias("p_rm1"))
     )
     top_e = F.broadcast(
-        rm1.orderBy(F.desc("p_rm1"), F.asc("term")).limit(fb_terms)
+        rm1.orderBy(F.round(F.col("p_rm1"), 9).desc(), F.asc("term")).limit(fb_terms)
     )
 
     # ---- RM3 interpolation over q-terms ∪ expansion terms ----
@@ -123,7 +129,9 @@ def rm3_topk(
         .groupBy("doc")
         .agg(F.sum("w").alias(score_col))
     )
-    return scored.orderBy(F.desc(score_col), F.asc("doc")).limit(k)
+    return scored.orderBy(
+        F.round(F.col(score_col), 6).desc(), F.asc("doc")
+    ).limit(k)
 
 
 def clarity_score(
@@ -187,7 +195,8 @@ def clarity_score(
         .agg(F.sum("w").alias("s1"))
     )
     feedback = F.broadcast(
-        first.orderBy(F.desc("s1"), F.asc("doc")).limit(fb_docs).select("doc")
+        first.orderBy(F.round(F.col("s1"), 6).desc(), F.asc("doc"))
+        .limit(fb_docs).select("doc")
     )
     rm1 = (
         posting.join(feedback, "doc")

@@ -118,4 +118,8 @@ def qlm_topk(
 ) -> DataFrame:
     """Top-k by Dirichlet QL score (TakeOrderedAndProject, doc tiebreak)."""
     scored = qlm_score(df, query, id_col, text_col, mu, score_col, index)
-    return scored.orderBy(F.desc(score_col), F.asc("doc")).limit(k)
+    # 6dp-rounded ranking key — ln()-bearing score, round-7 ranked-cut
+    # discipline (matches the oracle's alias-bound round(score, 6) sort)
+    return scored.orderBy(
+        F.round(F.col(score_col), 6).desc(), F.asc("doc")
+    ).limit(k)

@@ -846,8 +846,11 @@ def group_welch_bh(
         z.alias("z"),
         p.alias("p"),
     )
-    # BH over the COMPUTED p-values only; windows span one row per group
-    w_rank = Window.orderBy("p", "g")
+    # BH over the COMPUTED p-values only; windows span one row per group.
+    # The rank keys on the 12dp-ROUNDED p (group tiebreak): p carries
+    # exp()/summation-order ulp noise, and the BH rank feeds the rejection
+    # threshold directly (round-7 ranked-cut discipline; 12dp >> ulp)
+    w_rank = Window.orderBy(F.round(F.col("p"), 12), "g")
     w_m = Window.partitionBy()
     w_revmin = Window.orderBy(F.col("rank").desc()).rowsBetween(
         Window.unboundedPreceding, 0

@@ -369,7 +369,12 @@ def doc_pmi_pairs(
         "term_a", "term_b", "n_pair",
         F.log(F.col("n_pair") * F.col("__n") / (F.col("df_a") * F.col("df_b"))).alias("pmi"),
     )
-    return scored.orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b")).limit(top_n)
+    # 6dp-rounded ranking key — ln() differs across engine libms in the
+    # last ulp (round-7 ranked-cut discipline; oracle sorts the rounded
+    # output alias)
+    return scored.orderBy(
+        F.round(F.col("pmi"), 6).desc(), F.asc("term_a"), F.asc("term_b")
+    ).limit(top_n)
 
 
 def deflate_ratio(df: DataFrame, id_col: str, text_col: str, level: int = 6) -> DataFrame:

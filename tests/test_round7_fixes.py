@@ -161,3 +161,84 @@ def test_silhouette_docstring_documents_rounding_boundary():
     assert "rounding boundary" in doc
     assert "probabilistically safe" in doc
     assert "not bit-guaranteed" in doc
+
+
+# ---------------------------------------------------------------------------
+# round-7 ranked-cut discipline: every row-selecting cut keyed on a float
+# aggregate (ln()-bearing or summation-order-dependent) sorts the ROUNDED
+# value on BOTH engines; IEEE-exact keys sort the raw value on both.
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_topk_ranks_on_rounded_score(spark):
+    """The physical top-k must key on round(score, 6) — raw BM25 sums
+    differ from a sequential engine in the last ulp."""
+    from mcpvectordb_spark.operators.bm25 import bm25_topk
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"spark batch join window filler{i}") for i in range(20)]
+    )
+    q = bm25_topk(docs, "spark batch", 5, "doc_id", "text")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "round(score" in plan, "top-k cut lost its rounded sort key"
+
+
+def test_rank_by_score_uses_rounded_key(spark):
+    from mcpvectordb_spark.operators.hybrid import rank_by_score
+
+    df = spark.createDataFrame([Row(doc=1, s=1.0000001), Row(doc=2, s=1.0000004)])
+    ranked = {r["doc"]: r["r"] for r in rank_by_score(df, "doc", "s", "r").collect()}
+    # 6dp-equal scores tie; the id tiebreak (not the raw ulp difference)
+    # decides — matching what the oracle's rounded window key does
+    assert ranked == {1: 1, 2: 2}
+
+
+def test_oracle_cut_keys_are_rounded():
+    """String-pin the oracle CTE sort keys fixed this round: a bare alias
+    reference in DuckDB binds the ROUNDED output column, so every ranked
+    cut must either round its key explicitly or qualify the raw column."""
+    from mcpvectordb_spark.catalog import ORACLES
+
+    sql = ORACLES["rm3_expansion"]
+    assert "ORDER BY round(score, 6) DESC, doc LIMIT 10" in sql  # feedback
+    assert "ORDER BY round(p_rm1, 9) DESC, term LIMIT 10" in sql  # top_e
+    sql = ORACLES["hybrid_rrf"]
+    assert sql.count("ORDER BY round(score, 6) DESC, doc") >= 3  # cut + 2 ranks
+    sql = ORACLES["search_clarity"]
+    assert sql.count("ORDER BY round(score, 6) DESC, doc LIMIT 10") == 2
+    sql = ORACLES["hard_negatives"]
+    assert sql.count("ORDER BY round(score, 6) DESC, doc") == 1
+    assert sql.count("ORDER BY round(r.score, 6) DESC, r.doc") == 1
+    sql = ORACLES["search_eval"]
+    assert "ORDER BY round(score, 6) DESC, doc" in sql
+    sql = ORACLES["search_rbo"]
+    assert sql.count("ORDER BY round(score, 6) DESC, doc ASC") == 2
+    sql = ORACLES["events_bh_fdr"]
+    assert "ORDER BY round(p, 12), g" in sql
+    # IEEE-exact keys: the oracle must bypass the rounded alias instead
+    assert "ORDER BY rules.lift DESC, rules.confidence DESC" in ORACLES["assoc_rules"]
+    assert "ORDER BY sym.cos DESC, rec ASC" in ORACLES["item_recs"]
+
+
+def test_duckdb_alias_binding_assumption():
+    """The premise of the discipline: DuckDB binds a bare ORDER BY name to
+    the output alias (rounded), while a qualified name reaches the raw
+    source column.  If an engine upgrade changes this, every oracle sort
+    key needs re-auditing."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE, id INT)")
+    con.execute("INSERT INTO t VALUES (1.0000001, 1), (1.0000004, 2)")
+    alias_bound = con.execute(
+        "SELECT id FROM t ORDER BY x DESC, id LIMIT 1",
+    ).fetchone()[0]  # raw would pick 2; this binds... the source (no alias here)
+    assert alias_bound == 2
+    shadowed = con.execute(
+        "SELECT id, round(x, 6) AS x FROM t ORDER BY x DESC, id LIMIT 1"
+    ).fetchone()[0]
+    assert shadowed == 1  # rounded tie -> id tiebreak
+    qualified = con.execute(
+        "WITH s AS (SELECT * FROM t) "
+        "SELECT id, round(x,6) AS x FROM s ORDER BY s.x DESC, id LIMIT 1"
+    ).fetchone()[0]
+    assert qualified == 2  # raw value wins
