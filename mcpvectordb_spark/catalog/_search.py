@@ -962,7 +962,7 @@ pairs AS (
   GROUP BY 1, 2)
 SELECT id_a, id_b, round(dot / (na.norm * nb.norm), 6) AS cosine
 FROM pairs JOIN norms na ON na.doc = id_a JOIN norms nb ON nb.doc = id_b
-WHERE dot / (na.norm * nb.norm) >= 0.6
+WHERE round(dot / (na.norm * nb.norm), 9) >= 0.6
 """
 
 

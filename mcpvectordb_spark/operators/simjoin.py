@@ -220,5 +220,10 @@ def tfidf_cosine_pairs(
         pairs.join(norms.select(F.col("doc").alias("id_a"), F.col("norm").alias("na")), "id_a")
         .join(norms.select(F.col("doc").alias("id_b"), F.col("norm").alias("nb")), "id_b")
         .select("id_a", "id_b", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        # threshold on the 9dp-ROUNDED cosine: dot and the norms are
+        # cross-term float sums (aggregation-order ulp noise) over
+        # ln()-bearing tf-idf weights, so a pair within an ulp of the
+        # threshold could pass one engine and fail the other (round-7
+        # ranked-cut discipline applied to float-threshold filters)
+        .filter(F.round(F.col("cosine"), 9) >= threshold)
     )
