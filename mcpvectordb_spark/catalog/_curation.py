@@ -196,7 +196,7 @@ WITH keyed AS (
   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
 )
 SELECT doc_id, weight, round(k, 9) AS sample_key
-FROM keyed ORDER BY k DESC, doc_id ASC LIMIT 120
+FROM keyed ORDER BY round(k, 9) DESC, doc_id ASC LIMIT 120
 """
 
 

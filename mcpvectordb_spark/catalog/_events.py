@@ -576,7 +576,14 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # revenue in EXACT decimal arithmetic (the tpch_ext.py::_rev_dec
+    # discipline, back-ported round 7): the money columns are 2dp
+    # quantized, so the decimal sum is partitioning-order independent and
+    # the top-10 cut key is bit-identical to the oracle's decimal sum —
+    # double sums over enough rows can straddle a boundary between engines
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -588,7 +595,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_orderpriority",
-            F.round("_rev", 2).alias("revenue"),
+            F.round("_rev", 2).cast("double").alias("revenue"),
         )
     )
 
@@ -597,7 +604,7 @@ SQL_TPCH_Q3 = """
 SELECT o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -605,7 +612,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
   AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
 GROUP BY o_orderkey, o_orderdate, o_orderpriority
-ORDER BY sum(l_extendedprice*(1-l_discount)) DESC, o_orderkey
+ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, o_orderkey
 LIMIT 10
 """
 

@@ -314,8 +314,10 @@ def q_events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = agg.select(
         "event_type", "period", "n", power.alias("p_raw")
     )
+    # dominant-flag key on the 6dp-ROUNDED power: the DFT projections are
+    # cross-row trig sums (round-7 ranked-cut discipline)
     wd = Window.partitionBy("event_type").orderBy(
-        F.col("p_raw").desc(), F.col("period").asc()
+        F.round(F.col("p_raw"), 6).desc(), F.col("period").asc()
     )
     return scored.select(
         "event_type",
@@ -360,7 +362,7 @@ scored AS (
   FROM agg)
 SELECT event_type, period, n, round(p_raw, 6) AS power,
        row_number() OVER (PARTITION BY event_type
-                          ORDER BY p_raw DESC, period ASC) = 1 AS dominant
+                          ORDER BY round(p_raw, 6) DESC, period ASC) = 1 AS dominant
 FROM scored
 """
 

@@ -1056,7 +1056,7 @@ ne AS (SELECT e.doc, e.src, e.dst, e.w / wo.wt AS nw
        FROM edges e JOIN wout wo ON wo.doc = e.doc AND wo.src = e.src),
 r0 AS (SELECT doc, sent, 1.0 AS r FROM sents){iters}
 SELECT doc, sent, round(r, 6) AS rank FROM r5
-QUALIFY row_number() OVER (PARTITION BY doc ORDER BY r DESC, sent ASC) <= 2
+QUALIFY row_number() OVER (PARTITION BY doc ORDER BY round(r, 6) DESC, sent ASC) <= 2
 """
 
 
@@ -2155,8 +2155,10 @@ def q_parts_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("suppkey").alias("src"), F.col("partkey").alias("dst"), "n"
     )
     out = hits_scores(li, iters=4, loop_partitions=8)
+    # 9dp-rounded cut key — iterative L1-normalized float sums carry
+    # aggregation-order ulp noise (round-7 ranked-cut discipline)
     return (
-        out.orderBy(F.col("auth").desc(), F.col("node").asc())
+        out.orderBy(F.round(F.col("auth"), 9).desc(), F.col("node").asc())
         .limit(20)
         .select("node", F.round("auth", 9).alias("auth"))
     )
@@ -2176,7 +2178,7 @@ WITH e AS (SELECT l_suppkey AS s, l_partkey AS t FROM lineitem
            GROUP BY 1, 2 HAVING count(*) >= 2),
 h0 AS (SELECT DISTINCT s, 1.0 AS h FROM e){iters}
 SELECT t AS node, round(a, 9) AS auth FROM a4
-ORDER BY a DESC, t ASC LIMIT 20
+ORDER BY round(a, 9) DESC, t ASC LIMIT 20
 """
 
 

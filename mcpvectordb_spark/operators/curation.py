@@ -905,7 +905,9 @@ def weighted_sample(
         .withColumn("_aes_key", F.pow(u, 1.0 / F.col(weight_col)))
     )
     return (
-        keyed.orderBy(F.col("_aes_key").desc(), F.col(id_col).asc())
+        # 9dp-rounded cut key: pow() is a libm call whose last ulp can
+        # differ between engines (round-7 ranked-cut discipline)
+        keyed.orderBy(F.round(F.col("_aes_key"), 9).desc(), F.col(id_col).asc())
         .limit(n)
         .withColumn("sample_key", F.round("_aes_key", 9))
         .drop("_aes_key")

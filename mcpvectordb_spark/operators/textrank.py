@@ -113,8 +113,12 @@ def textrank_sentences(
         )
         ranks = ranks.localCheckpoint(eager=False)
 
+    # 6dp-rounded rank key — power-iteration scores are cross-row float
+    # sums (round-7 ranked-cut discipline)
     top = F.row_number().over(
-        Window.partitionBy("doc").orderBy(F.col("r").desc(), F.col("sent").asc())
+        Window.partitionBy("doc").orderBy(
+            F.round(F.col("r"), 6).desc(), F.col("sent").asc()
+        )
     )
     return (
         ranks.withColumn("rn", top)

@@ -216,6 +216,15 @@ def test_oracle_cut_keys_are_rounded():
     assert sql.count("ORDER BY round(score, 6) DESC, doc ASC") == 2
     sql = ORACLES["events_bh_fdr"]
     assert "ORDER BY round(p, 12), g" in sql
+    sql = ORACLES["events_periodogram"]
+    assert "ORDER BY round(p_raw, 6) DESC, period ASC" in sql
+    assert "ORDER BY round(a, 9) DESC, t ASC LIMIT 20" in ORACLES["parts_hits"]
+    assert "ORDER BY round(r, 6) DESC, sent ASC" in ORACLES["textrank_summary"]
+    assert "ORDER BY round(k, 9) DESC, doc_id ASC" in ORACLES["weighted_sample"]
+    assert "round(dot / (na.norm * nb.norm), 9) >= 0.6" in ORACLES["tfidf_simjoin"]
+    # money cuts ride EXACT decimal sums on both engines (tpch_ext's
+    # _rev_dec discipline, back-ported to the core q3 this round)
+    assert "ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2))" in ORACLES["tpch_q3"]
     # IEEE-exact keys: the oracle must bypass the rounded alias instead
     assert "ORDER BY rules.lift DESC, rules.confidence DESC" in ORACLES["assoc_rules"]
     assert "ORDER BY sym.cos DESC, rec ASC" in ORACLES["item_recs"]
