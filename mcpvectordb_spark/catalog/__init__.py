@@ -342,7 +342,11 @@ QUERIES = {
 # totals), dsir_select (TakeOrdered pre-limit rewrite), list_documents
 # (same rewrite), minhash_calibration (session-shared pair table),
 # embeddings_kmeans + embeddings_silhouette (_lloyd_train corpus-size
-# validation on their shared trajectory).
+# validation on their shared trajectory), plus the two most central
+# carriers of the round-7 ranked-cut discipline (rounded sort keys on
+# both engines): bm25_topk and the flagship hybrid_rrf.  The other ~20
+# discipline-touched queries are locally parity-verified and rotate in
+# on the normal stalest-first schedule (churn slots are capped at 8).
 ROUND_CHURN: frozenset[str] = frozenset({
     "documents_stump",
     "dsir_select",
@@ -350,6 +354,8 @@ ROUND_CHURN: frozenset[str] = frozenset({
     "minhash_calibration",
     "embeddings_kmeans",
     "embeddings_silhouette",
+    "bm25_topk",
+    "hybrid_rrf",
 })
 
 
