@@ -331,8 +331,11 @@ def main() -> None:
             merged[name] = min(t, merged.get(name, t))
         doc[qkey] = merged
         doc["load_remeasure" if bench_all else "load"] = load
-        if qkey == "queries":
-            doc["value"] = round(sum(merged.values()), 3)
+        # keep the lane total in sync with its merged map (r8 ADVICE: the
+        # ALL+ONLY path used to update queries_all but leave value_all stale)
+        doc["value_all" if bench_all else "value"] = round(
+            sum(merged.values()), 3
+        )
     elif bench_all:
         doc.update(
             {"queries_all": timings, "sf_all": sf, "load_all": load,

@@ -338,24 +338,19 @@ QUERIES = {
 # green in the PREVIOUS round is the freshest green there is, so churn on
 # it would otherwise wait ~5 rounds for external re-verification.
 #
-# Round 7: documents_stump (oracle sort key + NULL filtering + per-feature
-# totals), dsir_select (TakeOrdered pre-limit rewrite), list_documents
-# (same rewrite), minhash_calibration (session-shared pair table),
-# embeddings_kmeans + embeddings_silhouette (_lloyd_train corpus-size
-# validation on their shared trajectory), plus the two most central
-# carriers of the round-7 ranked-cut discipline (rounded sort keys on
-# both engines): bm25_topk and the flagship hybrid_rrf.  The other ~20
-# discipline-touched queries are locally parity-verified and rotate in
-# on the normal stalest-first schedule (churn slots are capped at 8).
+# The set is tagged with the round it was written for (r8 ADVICE: a
+# stale set from a past round used to silently consume promoted slots;
+# now the rotation only honors a set whose tag matches the CURRENT round
+# — max CORRECTNESS_r*.json round + 1 — and tests/test_entry.py fails
+# loudly on a mismatch, forcing the hand-rotation each round).
+ROUND_CHURN_ROUND: int = 8
+# Round 8: embeddings_silhouette (avg-silhouette/inertia readouts moved
+# to the 9dp guard-band digest gate — ADVICE r7 #4 closed), and
+# minhash_calibration (warm-path claim corrected; semantics unchanged
+# but the query body was touched).  Further round-8 churn appends here.
 ROUND_CHURN: frozenset[str] = frozenset({
-    "documents_stump",
-    "dsir_select",
-    "list_documents",
-    "minhash_calibration",
-    "embeddings_kmeans",
     "embeddings_silhouette",
-    "bm25_topk",
-    "hybrid_rrf",
+    "minhash_calibration",
 })
 
 
@@ -395,13 +390,23 @@ def _rotate_stalest_first(queries: dict) -> dict:
                 and row.get("schema_match")
             ):
                 ever_green.add(name)
+    # honor the churn promotion only when its tag names the CURRENT round
+    # (one past the newest CORRECTNESS file); a stale set from an earlier
+    # round degrades gracefully to the pure stalest-first rotation here,
+    # and the freshness test pins the tag so the staleness is also LOUD
+    current_round = max(
+        (int(_re.search(r"r(\d+)", p.name).group(1))
+         for p in root.glob("CORRECTNESS_r*.json")),
+        default=0,
+    ) + 1
+    churn = ROUND_CHURN if ROUND_CHURN_ROUND == current_round else frozenset()
     order = sorted(
         queries,
         key=lambda n: (
             n in ever_green,
             # within the green class: this round's churn first (clause (b)),
             # then stalest-first
-            n in ever_green and n not in ROUND_CHURN,
+            n in ever_green and n not in churn,
             last_round.get(n, -1),
         ),
     )

@@ -419,12 +419,17 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the on-corpus proof that the dedup estimator is unbiased HERE (the
     repo's gate-approximations-in-plan philosophy applied to its own
     MinHash), and the bias column quantifies the small-k deviation.
-    Cost: one 16-column signature join + the bucket agg — the exact-pair
-    table is session-shared (_shared_neardup_pairs): at 100 TB the
-    calibration audit reads the dedup pass's PERSISTED pair output, it
-    does not re-mine candidates (round-7 warm-path fix; the pair mining
-    itself stays honestly timed by dedup_ngram_jaccard/ssjoin_jaccard,
-    whose ANSWER the pairs are)."""
+    Cost: one 16-column signature join + the bucket agg on a WARM pair
+    table.  Precisely: the (raw, n=3, threshold=0.02) pair table is
+    session-cached by _shared_neardup_pairs, but its cache key is
+    DISJOINT from the dedup queries' (near, 3, 0.5) table — a
+    0.5-threshold dedup output cannot serve a 0.02-threshold calibration
+    sweep, so the FIRST execution in a session mines its own pairs; the
+    sharing is self-sharing across this query's warm-up/timed reps.  The
+    reported bench time therefore excludes first-run pair mining (paid in
+    the untimed warm rep), which is the honest steady-state cost: a
+    recurring calibration job would keep its low-threshold pair table
+    persisted just like the dedup pass keeps its own."""
     pairs = _shared_neardup_pairs(
         spark, sf_dir, n=3, threshold=0.02, corpus="raw"
     )

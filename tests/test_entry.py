@@ -124,6 +124,28 @@ def test_stalest_queries_fill_driver_window():
         )
 
 
+def test_round_churn_tag_is_current():
+    """r8 ADVICE: ROUND_CHURN must be hand-rotated every round — the tag
+    pins the round it was written for, and the current round is always
+    (newest CORRECTNESS_r*.json) + 1.  A stale set no longer silently
+    consumes promoted window slots (the rotation ignores it), and this
+    test makes the staleness loud so it gets rotated, not ignored."""
+    import re as _re
+
+    from mcpvectordb_spark.catalog import ROUND_CHURN_ROUND
+
+    rounds = [
+        int(_re.search(r"r(\d+)", p.name).group(1))
+        for p in Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")
+    ]
+    current = max(rounds, default=0) + 1
+    assert ROUND_CHURN_ROUND == current, (
+        f"ROUND_CHURN is tagged r{ROUND_CHURN_ROUND} but this is round "
+        f"r{current} — rewrite the churn set for the queries touched THIS "
+        "round and bump ROUND_CHURN_ROUND"
+    )
+
+
 def test_register_views_sql_surface(spark):
     from mcpvectordb_spark.io import register_views
 

@@ -455,6 +455,37 @@ def test_audit_plan_flags_unpartitioned_window(spark):
     assert onep >= 1
 
 
+def test_audit_plan_flags_expression_keyed_unpartitioned_window(spark):
+    """r8 ADVICE regression: an unpartitioned window whose first sort key
+    prints as an inline expression (inner comma, e.g. `round(x#1, 6)
+    DESC`) must still be flagged — the old regex required `,`/`)` right
+    after one paren group and silently skipped it."""
+    from pyspark.sql import Window
+
+    pr = _audit()
+    # raw-string pin of the exact shape from the advice finding
+    raw = (
+        "Window [row_number() windowspecdefinition(round(x#1, 6) DESC "
+        "NULLS LAST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS rn#9], [round(x#1, 6) DESC NULLS LAST]"
+    )
+    assert pr._spec_is_unpartitioned(raw)
+    # and a partitioned window with the same expression key must NOT flag
+    raw_part = raw.replace(
+        "windowspecdefinition(round(x#1, 6) DESC NULLS LAST",
+        "windowspecdefinition(g#2, round(x#1, 6) DESC NULLS LAST",
+    )
+    assert not pr._spec_is_unpartitioned(raw_part)
+    # live-plan version: Spark usually projects complex keys into _w0, but
+    # the audit must hold regardless of how the key prints
+    df = spark.range(10).withColumn("x", F.col("id") / 3.0)
+    unpart = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.round("x", 6).desc()))
+    )._jdf.queryExecution().executedPlan().toString()
+    uwin, _ = pr.audit_plan(unpart)
+    assert uwin == 1
+
+
 def test_audit_plan_global_agg_single_partition_is_benign(spark):
     pr = _audit()
     plan = (

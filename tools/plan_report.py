@@ -74,14 +74,37 @@ def _indent(line: str) -> int:
     return len(re.match(r"^[\s:+\-*!()0-9]*", line).group(0))
 
 
+def _first_spec_args(line: str) -> list[str]:
+    """First top-level argument of every windowspecdefinition call on the
+    line, extracted by paren-depth counting.  (r8 ADVICE fix: the old
+    single-regex extraction required `,` or `)` right after one optional
+    paren group, so an expression-valued first argument such as
+    `round(x#1, 6) DESC NULLS LAST` — whose inner comma breaks that
+    shape — was silently never matched and the window escaped the audit.)"""
+    firsts = []
+    for m in re.finditer(r"windowspecdefinition\(", line):
+        depth, buf = 1, []
+        for ch in line[m.end():]:
+            if ch == "," and depth == 1:
+                break
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            buf.append(ch)
+        firsts.append("".join(buf).strip())
+    return firsts
+
+
 def _spec_is_unpartitioned(line: str) -> bool:
     """A windowspecdefinition lists partition columns (bare, no sort
     marker), then order columns (`col ASC/DESC NULLS ...`), then the
     frame.  Unpartitioned <=> the FIRST argument already carries a sort
     direction or is the frame itself (counting top-level bracket groups
     misreads partition-only windows, e.g. tpch_q2's min-over-partkey)."""
-    for m in re.finditer(r"windowspecdefinition\(([^,()]+(?:\([^)]*\))?)[,)]", line):
-        first = m.group(1).strip()
+    for first in _first_spec_args(line):
         if first.startswith("specifiedwindowframe") or re.search(
             r"\s(?:ASC|DESC)\b", first
         ):
