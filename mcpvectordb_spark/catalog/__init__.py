@@ -344,12 +344,14 @@ QUERIES = {
 # — max CORRECTNESS_r*.json round + 1 — and tests/test_entry.py fails
 # loudly on a mismatch, forcing the hand-rotation each round).
 ROUND_CHURN_ROUND: int = 8
-# Round 8: embeddings_silhouette (avg-silhouette/inertia readouts moved
-# to the 9dp guard-band digest gate — ADVICE r7 #4 closed), and
+# Round 8: embeddings_silhouette + embeddings_kmeans (the avg-silhouette
+# and inertia readouts moved to exact-integer quantized sums — ADVICE r7
+# #4 / verdict item 4 closed; both oracles changed to match), and
 # minhash_calibration (warm-path claim corrected; semantics unchanged
 # but the query body was touched).  Further round-8 churn appends here.
 ROUND_CHURN: frozenset[str] = frozenset({
     "embeddings_silhouette",
+    "embeddings_kmeans",
     "minhash_calibration",
 })
 

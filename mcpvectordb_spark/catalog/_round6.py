@@ -789,11 +789,18 @@ def q_embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", k=8, iters=2, dim=64,
         precached=_shared_lloyd(spark, sf_dir),
     )
+    # inertia = sum of 1e-8-quantized squared distances (r8 exact-integer
+    # readout, mirroring the 9dp-quantized centroid updates): per-row
+    # dist2 is engine-exact, the BIGINT sum is order-independent, so the
+    # 4dp readout is bit-guaranteed instead of summation-order-dependent.
+    # Headroom: dist2*1e8 ~ 1e10/row -> overflow past ~9e8 rows/cluster,
+    # where ANSI sum(long) fails loudly (switch to decimal(38,0) there).
+    qd = F.round(F.col("dist2") * 1e8).cast("long")
     return (
         assigned.groupBy(F.col("cid").cast("long").alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_points"),
-            F.round(F.sum("dist2"), 4).alias("inertia"),
+            F.round(F.sum(qd) / F.lit(1e8), 4).alias("inertia"),
         )
         .orderBy("cluster_id")
     )
@@ -838,7 +845,8 @@ af AS (
     FROM (SELECT e.id, c2.cid, {_SQL_KM_D} AS d FROM e CROSS JOIN c2))
   WHERE rn = 1)
 SELECT CAST(cid AS BIGINT) AS cluster_id, CAST(count(*) AS BIGINT) AS n_points,
-       round(sum(d), 4) AS inertia
+       round(CAST(sum(CAST(round(d * 1e8) AS BIGINT)) AS DOUBLE) / 1e8, 4)
+         AS inertia
 FROM af GROUP BY 1 ORDER BY 1
 """
 
@@ -886,8 +894,10 @@ sc AS (
   FROM af2 GROUP BY id)
 SELECT CAST(cid AS BIGINT) AS cluster_id,
        CAST(count(*) AS BIGINT) AS n_points,
-       round(avg(CASE WHEN greatest(a, b) > 0
-                      THEN (b - a) / greatest(a, b) ELSE 0.0 END),
+       round(CAST(sum(CAST(round(
+               CASE WHEN greatest(a, b) > 0
+                    THEN (b - a) / greatest(a, b) ELSE 0.0 END * 1e9)
+             AS BIGINT)) AS DOUBLE) / (count(*) * 1e9),
              6) AS silhouette
 FROM sc GROUP BY 1 ORDER BY 1
 """

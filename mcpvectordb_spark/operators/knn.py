@@ -836,15 +836,13 @@ def silhouette_simplified(
     catalog session-shares one trajectory between the kmeans and
     silhouette queries (the operators/mlr.py precached seam).
 
-    Exactness caveat (same argument as the centroid-update quantization
-    note in lloyd_kmeans_replayable, applied to the READOUT): the final
-    round(avg(s), 6) averages doubles whose summation order differs
-    between Spark's partial aggregation and DuckDB's sequential scan, so
-    a mean landing within ~1 ulp of a 6dp rounding boundary could round
-    differently per engine.  The gate is therefore probabilistically
-    safe (boundary measure ~1e-10 per cluster), not bit-guaranteed —
-    unlike the integer counts and the per-point s values, which ARE
-    engine-exact.
+    Exactness (r8; the r7 caveat is closed): the readout is the mean of
+    9dp-QUANTIZED scores — round(s, 9dp-units) per point (engine-exact,
+    a single multiply + round of an engine-exact double), summed as
+    BIGINT (order-independent), divided once.  No step depends on
+    float-summation order, so the 6dp readout is bit-guaranteed on both
+    engines; the 9dp quantum perturbs the mean by < 5e-10, three decades
+    under the readout's 5e-7 half-step.
     """
     if k < 2:
         raise ValueError("silhouette needs k >= 2 (no 'other' centroid at k=1)")
@@ -865,7 +863,21 @@ def silhouette_simplified(
         .otherwise(F.lit(0.0))
         .alias("s"),
     )
+    # Exact-integer readout (r8, closing the r7 probabilistic-gate caveat):
+    # each per-point s is engine-exact, so quantize it to 9dp integer
+    # units FIRST — the BIGINT sum is order-independent, so the final
+    # round(sum / (n*1e9), 6) is one deterministic double division + round
+    # on identical integer inputs, bit-guaranteed on both engines (the
+    # old round(avg(s), 6) averaged doubles whose summation ORDER differed
+    # between Spark partial aggregation and a sequential scan).  The 9dp
+    # quantum biases the mean by < 5e-10, three decades under the 6dp
+    # readout's half-step; |s| <= 1 so the sum overflows BIGINT only past
+    # ~9e9 points per cluster (ANSI mode then fails loudly — switch the
+    # sum to decimal(38,0) at that scale).
+    qs = F.round(F.col("s") * 1e9).cast("long")
     return scored.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.avg("s"), 6).alias("silhouette"),
+        F.round(
+            F.sum(qs) / (F.count(F.lit(1)) * F.lit(1e9)), 6
+        ).alias("silhouette"),
     )
