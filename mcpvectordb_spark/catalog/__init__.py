@@ -346,13 +346,23 @@ QUERIES = {
 ROUND_CHURN_ROUND: int = 8
 # Round 8: embeddings_silhouette + embeddings_kmeans (the avg-silhouette
 # and inertia readouts moved to exact-integer quantized sums — ADVICE r7
-# #4 / verdict item 4 closed; both oracles changed to match), and
+# #4 / verdict item 4 closed; both oracles changed to match);
 # minhash_calibration (warm-path claim corrected; semantics unchanged
-# but the query body was touched).  Further round-8 churn appends here.
+# but the query body was touched); and the queries the NEW mechanized
+# ranked-cut tripwire (tools/rankkey_report.py, verdict item 1) caught
+# with raw float cut keys, now rounded on both engines: text_keywords
+# (libm tf-idf rank), doc_embeddings (9dp-quantized mean pooling),
+# events_psi (9dp drifted-bin contribution), events_cusum (9dp h=5 cut),
+# plus w2v_search (9dp-quantized doc-embedding means, digest lane).
 ROUND_CHURN: frozenset[str] = frozenset({
     "embeddings_silhouette",
     "embeddings_kmeans",
     "minhash_calibration",
+    "text_keywords",
+    "doc_embeddings",
+    "events_psi",
+    "events_cusum",
+    "w2v_search",
 })
 
 

@@ -966,7 +966,7 @@ scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, df_t.df,
          tf.tf * (ln((n.n_docs + 1) / (df_t.df + 1.0)) + 1.0) AS score,
          row_number() OVER (PARTITION BY tf.doc_id
-                            ORDER BY tf.tf * (ln((n.n_docs + 1) / (df_t.df + 1.0)) + 1.0) DESC,
+                            ORDER BY round(tf.tf * (ln((n.n_docs + 1) / (df_t.df + 1.0)) + 1.0), 6) DESC,
                                      tf.term ASC) AS rank
   FROM tf JOIN df_t USING (term) CROSS JOIN n
 )

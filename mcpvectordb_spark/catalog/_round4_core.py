@@ -1046,7 +1046,12 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cus = r.withColumn(
         "cusum", F.col("rsum") - F.least(F.min("rsum").over(w), F.lit(0.0))
     )
-    return cus.filter(F.col("cusum") >= 5.0).select(
+    # ranked-cut discipline (r8 rankkey_report): the running sum's
+    # accumulation strategy may differ cross-engine (sequential fold vs
+    # segment tree), so the h=5 decision cut compares the 9dp-rounded
+    # statistic on both sides; the value readout already carries the
+    # +0.5001 floor guard-band
+    return cus.filter(F.round(F.col("cusum"), 9) >= 5.0).select(
         "event_type",
         "bucket",
         F.col("n").cast("long").alias("n"),
@@ -1079,7 +1084,7 @@ c AS (
   WINDOW w2 AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
        CAST(floor((rsum - minr) * 10000 + 0.5001) AS BIGINT) AS cusum_e4
-FROM c WHERE rsum - minr >= 5.0
+FROM c WHERE round(rsum - minr, 9) >= 5.0
 """
 
 

@@ -2088,7 +2088,12 @@ def q_events_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("na") / F.col("ta"), F.lit(1e-6)).alias("p"),
         F.greatest(F.col("nb") / F.col("tb"), F.lit(1e-6)).alias("q"),
     )
-    contrib = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    # ranked-cut discipline: ln() is libm, so the drifted-bin THRESHOLD
+    # compares the 9dp-rounded contribution on both engines (the psi sum
+    # itself is a 6dp VALUE readout, not a row cut) — rankkey_report r8
+    contrib = F.round(
+        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 9
+    )
     return (
         pq.groupBy("event_type")
         .agg(
@@ -2133,8 +2138,8 @@ pq AS (
          greatest(CAST(nb AS DOUBLE) / tb, 1e-6) AS q
   FROM counts JOIN tot ON event_type = et2)
 SELECT event_type,
-       round(sum((p - q) * ln(p / q)), 6) AS psi,
-       CAST(sum(CASE WHEN (p - q) * ln(p / q) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted_bins
+       round(sum(round((p - q) * ln(p / q), 9)), 6) AS psi,
+       CAST(sum(CASE WHEN round((p - q) * ln(p / q), 9) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted_bins
 FROM pq GROUP BY event_type ORDER BY event_type
 """
 

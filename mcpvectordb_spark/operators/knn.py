@@ -459,14 +459,20 @@ def mean_pool_embeddings(
     against pooled vectors keeps unit-norm semantics.
 
     Portable shape: posexplode → (group, position)-keyed avg → ordered
-    array_agg; every step mirrors in SQL, so pooled vectors are
-    oracle-comparable bit-for-bit.  Shuffles are keyed on
-    (group, position) then group — no collect, no UDF."""
+    array_agg; every step mirrors in SQL.  The per-position mean is
+    9dp-QUANTIZED (the centroid-update discipline of
+    lloyd_kmeans_replayable): a raw avg's summation order differs between
+    engines, so downstream cosines over raw pools could flip a top-k cut
+    at a near-tie — rounding at 9dp (three decades under any real score
+    gap) makes the pooled vectors engine-identical, and every downstream
+    per-row fold stays exact.  Caught by tools/rankkey_report.py (r8).
+    Shuffles are keyed on (group, position) then group — no collect, no
+    UDF."""
     exploded = df.select(
         F.col(group_col).alias("grp"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
     )
-    per_pos = exploded.groupBy("grp", "pos").agg(F.avg("v").alias("m"))
+    per_pos = exploded.groupBy("grp", "pos").agg(F.round(F.avg("v"), 9).alias("m"))
     pooled = (
         per_pos.groupBy("grp")
         .agg(

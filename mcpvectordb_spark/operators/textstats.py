@@ -247,7 +247,12 @@ def keywords_tfidf(
             F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1.0),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    # ranked-cut discipline: the smooth-idf ln() is a libm call whose last
+    # ulp may differ between engines — rank on the 6dp-rounded score on
+    # BOTH sides (caught by tools/rankkey_report.py, r8)
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("term").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -141,10 +141,18 @@ def embed_documents_df(
     )
     j = toks.join(F.broadcast(word_vectors.select("term", "vector")), "term")
     sums = j.groupBy("id").agg(
-        F.array(*[F.sum(F.col("vector")[i]) for i in range(dim)]).alias("_s"),
+        *[F.sum(F.col("vector")[i]).alias(f"_s{i}") for i in range(dim)],
         F.count(F.lit(1)).alias("_n"),
     )
-    mean = F.transform("_s", lambda x: x / F.col("_n"))
+    # 9dp-quantized mean (the mean_pool_embeddings discipline): the sum's
+    # partial-aggregation order is not deterministic, so a raw mean could
+    # flip a downstream cosine top-k at a near-tie; the quantum sits three
+    # decades under any real score gap (caught by rankkey_report, r8).
+    # round() wraps each summed coordinate directly so the audit sees the
+    # discipline in the resolved sort key.
+    mean = F.array(
+        *[F.round(F.col(f"_s{i}") / F.col("_n"), 9) for i in range(dim)]
+    )
     nrm = F.sqrt(F.aggregate(mean, F.lit(0.0), lambda a, x: a + x * x))
     unit = F.when(nrm > 0, F.transform(mean, lambda x: x / nrm)).otherwise(mean)
     out = sums.select("id", unit.alias("embedding"))
