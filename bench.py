@@ -10,6 +10,13 @@ that the headline set never covered, plus the stream family) once at
 $SPARK_GRAFT_SF_DIR and merges them into BENCH_local.json under
 "queries_all" so tools/bench_gate.py can flag regressions anywhere in
 the registry, not just the headline set.
+
+Both lanes SELF-STABILIZE (r8): the headline lane medians >=3 timed reps
+per query, and any query whose fresh reading exceeds 1.5x its committed
+BENCH_local.json value is re-timed median-of-3 in the same run with the
+min kept — contention and JIT only ever ADD time, so the artifact is
+quiet-host-quality regardless of who runs it ("restabilized" lists the
+re-timed queries).
 """
 
 from __future__ import annotations
@@ -287,23 +294,60 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"unknown bench queries: {sorted(unknown)}")
         names = only_names
+    # Committed per-query reference for the SELF-STABILIZING lane (r8
+    # verdict item 2): when a fresh reading exceeds 1.5x the committed
+    # value on unchanged code it is almost always host contention or
+    # lingering JIT, not a regression — re-time median-of-3 and keep the
+    # min, so the artifact is quiet-host-quality regardless of who runs
+    # it.  Only applicable when this run's sf matches the committed
+    # lane's sf (a different scale legitimately changes every number).
+    repo_bench = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    committed: dict[str, float] = {}
+    try:
+        with open(repo_bench) as fh:
+            cdoc = json.loads(fh.read())
+        csf = cdoc.get("sf_all" if bench_all else "sf")
+        if csf is not None and abs(csf - sf) < 1e-9:
+            committed = dict(
+                cdoc.get("queries_all" if bench_all else "queries") or {}
+            )
+    except (OSError, ValueError):
+        pass
+
+    def _time_reps(fn, reps: int) -> list[float]:
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        return runs
+
     timings: dict[str, float] = {}
+    restabilized: list[str] = []
     for name in names:
         fn = QUERIES[name]
         n = fn(spark, sf_dir).count()  # warm: codegen + page cache + row count
         # ONLY mode (re-measure) always medians >=5 runs: a 2-query session
         # leaves the JIT colder than the 179-query run whose value is being
         # re-checked, and a single timed rep reads ~1.5x high on sub-2s
-        # queries (observed on mixture_temperature/events_seqmine, r7)
+        # queries (observed on mixture_temperature/events_seqmine, r7).
+        # The headline lane medians >=3 runs (r8 verdict item 3) so
+        # cross-round totals stop drifting on one-rep host blips.
         reps = 1 if bench_all else (
-            max(REPS.get(name, 1), 5) if only_names else REPS.get(name, 1)
+            max(REPS.get(name, 1), 5) if only_names else
+            max(REPS.get(name, 1), 3)
         )
-        runs = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)  # median
+        runs = _time_reps(fn, reps)
+        est = sorted(runs)[len(runs) // 2]  # median
+        ref = committed.get(name)
+        if ref and est > 1.5 * ref:
+            extra = _time_reps(fn, 3)
+            est = min(est, sorted(extra)[1])
+            reps += 3
+            restabilized.append(name)
+        timings[name] = round(est, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n} (n={reps})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -339,12 +383,13 @@ def main() -> None:
     elif bench_all:
         doc.update(
             {"queries_all": timings, "sf_all": sf, "load_all": load,
-             "value_all": total}
+             "value_all": total, "restabilized_all": restabilized}
         )
     else:
         doc.update(
             {"metric": "headline_queries_total", "value": total,
-             "unit": "sec", "queries": timings, "sf": sf, "load": load}
+             "unit": "sec", "queries": timings, "sf": sf, "load": load,
+             "n_trials": 3, "restabilized": restabilized}
         )
     with open(out_path, "w") as fh:
         fh.write(json.dumps(doc) + "\n")
@@ -364,6 +409,8 @@ def main() -> None:
                 "queries": slow10,
                 "sf": sf,
                 "n_queries": len(timings),
+                "n_trials": 1 if bench_all else 3,
+                "n_restabilized": len(restabilized),
                 "load": load,
                 "detail": os.path.basename(out_path),
             }
