@@ -152,15 +152,17 @@ def test_lloyd_train_corpus_smaller_than_k_raises(spark):
         silhouette_simplified(df, "id", "v", k=8, iters=1, dim=2)
 
 
-def test_silhouette_docstring_documents_rounding_boundary():
-    """ADVICE r7 #4: the readout-level rounding-boundary risk must be
-    documented (probabilistically safe, not bit-guaranteed)."""
+def test_silhouette_docstring_documents_exact_readout():
+    """ADVICE r7 #4 CLOSED in r8: the readout is now the exact-integer
+    quantized mean (9dp units summed as BIGINT), so the docstring must
+    document the bit-guarantee that replaced the old probabilistic
+    caveat — and the caveat itself must be gone."""
     from mcpvectordb_spark.operators.knn import silhouette_simplified
 
     doc = " ".join(silhouette_simplified.__doc__.split())
-    assert "rounding boundary" in doc
-    assert "probabilistically safe" in doc
-    assert "not bit-guaranteed" in doc
+    assert "bit-guaranteed" in doc
+    assert "BIGINT" in doc
+    assert "probabilistically safe" not in doc
 
 
 # ---------------------------------------------------------------------------
