@@ -219,6 +219,10 @@ BENCH_QUERIES = [
     "events_power_mde",      # per-type MDE from exact pooled moments
     "sources_overlap",       # source-pair shingle Jaccard on the shared index
     "parts_abc",             # Pareto revenue classes via bucketed cumsum
+    # round-8 additions
+    "tokenizer_fertility",   # per-lang subword fertility, one-scan lang agg
+    "doc_novelty",           # corpus-unique shingle share on the shared index
+    "dataset_datasheet",     # per-source datasheet rollup (3 keyed aggs)
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -28,6 +28,7 @@ from mcpvectordb_spark.catalog._round4_core import *  # noqa: F401,F403
 from mcpvectordb_spark.catalog._round4_stats import *  # noqa: F401,F403
 from mcpvectordb_spark.catalog._round5 import *  # noqa: F401,F403
 from mcpvectordb_spark.catalog._round6 import *  # noqa: F401,F403
+from mcpvectordb_spark.catalog._round8 import *  # noqa: F401,F403
 
 # ===========================================================================
 # registry
@@ -47,6 +48,10 @@ from mcpvectordb_spark.catalog._round6 import *  # noqa: F401,F403
 # the rotation-policy test (tests/test_entry.py) can no longer go stale
 # between rounds.
 QUERIES = {
+    # -- round-8 additions (never-green, so the rotation fronts them) --
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "doc_novelty": q_doc_novelty,
+    "dataset_datasheet": q_dataset_datasheet,
     # -- round-6 additions (the (ever_green, last_round) rotation key puts
     # -- these AND the 9 never-green backlog queries in the first 13 of the
     # -- 50 driver slots together — additions can no longer displace the
@@ -428,6 +433,10 @@ def _rotate_stalest_first(queries: dict) -> dict:
 QUERIES = _rotate_stalest_first(QUERIES)
 
 ORACLES = {
+    # -- round-8 --
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+    "doc_novelty": SQL_DOC_NOVELTY,
+    "dataset_datasheet": SQL_DATASET_DATASHEET,
     # -- round-6 --
     "events_shapley": SQL_EVENTS_SHAPLEY,
     "documents_stump": SQL_DOCUMENTS_STUMP,
