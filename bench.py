@@ -17,6 +17,14 @@ BENCH_local.json value is re-timed median-of-3 in the same run with the
 min kept — contention and JIT only ever ADD time, so the artifact is
 quiet-host-quality regardless of who runs it ("restabilized" lists the
 re-timed queries).
+
+ONLY-mode protocol (r8, learned on supplier_bt): a 1-2 query session
+leaves Spark's scheduler/JIT so cold that ITERATIVE queries (driver
+loops issuing 10+ small jobs) read ~2x high even on a quiet host —
+supplier_bt read 6.9-7.8s alone but 3.27s when preceded by three other
+iterative queries in the same ONLY list.  Re-measure suspected outliers
+with 2-3 warm-up companions in the list; the min-merge keeps whichever
+reading is lowest.
 """
 
 from __future__ import annotations

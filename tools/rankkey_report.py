@@ -632,6 +632,39 @@ def main() -> None:
     bad = []
     for name, fn in QUERIES.items():
         if name in SKIP:
+            # build-time-executing / streaming queries: the Spark plan is
+            # not worth driver work here (plan_report's rationale), but
+            # their ORACLE SQL is pure text — scan that side so a raw
+            # float cut in a digest-gold or stream-twin oracle still trips
+            oracle = ORACLES.get(name)
+            if not oracle:
+                continue
+            flat = _sql_flat(oracle)
+            sdefs = _sql_defs(flat)
+            rows = [
+                ("oracle", site, key, *_sql_classify(key, sdefs,
+                                                     _parquet_types(), pos=pos))
+                for site, key, pos in find_sql_cuts(flat)
+            ]
+            risky = [r for r in rows if r[3] == "risky"]
+            if risky and name not in ALLOW_RAW:
+                detail = "; ".join(f"oracle/{r[1]}: {r[4] or r[2][:60]}"
+                                   for r in risky[:3])
+                bad.append((name, detail))
+                lines.append(
+                    f"| {name} (oracle only) | {len(rows)} | "
+                    f"{sum(1 for r in rows if r[3] == 'rounded')} | "
+                    f"{sum(1 for r in rows if r[3] == 'exact')} | "
+                    f"{len(risky)} | ✗ RAW-FLOAT-CUT {detail} |"
+                )
+            else:
+                lines.append(
+                    f"| {name} (oracle only) | {len(rows)} | "
+                    f"{sum(1 for r in rows if r[3] == 'rounded')} | "
+                    f"{sum(1 for r in rows if r[3] == 'exact')} | "
+                    f"{len(risky)} | "
+                    f"{'raw-ok: ' + ALLOW_RAW[name] if risky else ''} |"
+                )
             continue
         oracle = ORACLES.get(name)
         try:
@@ -659,7 +692,14 @@ def main() -> None:
             f"| {name} | {len(rows)} | {n_round} | {n_exact} | {len(risky)} |"
             f" {'; '.join(flags)} |"
         )
-    lines += ["", f"Skipped (execute at build time): {', '.join(sorted(SKIP))}.", ""]
+    lines += [
+        "",
+        "Rows marked `(oracle only)` are the build-time-executing /",
+        "streaming queries whose Spark plan is skipped (plan_report's",
+        f"SKIP rationale) but whose oracle SQL is still scanned: "
+        f"{', '.join(sorted(SKIP))}.",
+        "",
+    ]
     with open("RANKKEYS.md", "w") as f:
         f.write("\n".join(lines))
     print(f"wrote RANKKEYS.md ({len(lines)} lines); flags: {bad if bad else 'none'}")

@@ -3668,8 +3668,122 @@ def main_r7() -> None:
     spark.stop()
 
 
+def main_r8() -> None:
+    """Round-8 stress: the two new corpus-shaped queries at 1000x+ bench
+    scale, each against a planted closed-form answer:
+
+    - doc_novelty at 2M docs: the first half get id-embedded words (every
+      3-gram shingle unique to its doc -> novelty exactly 1.0), the
+      second half share ONE text (every shingle in 1M docs -> novelty
+      exactly 0.0).  The per-class counts and a sampled per-doc readback
+      must match; audit_plan must report zero unbounded 1-task stages.
+    - dataset_datasheet at 2M docs / 100 sources: within each source,
+      ids with (id div 100) even share one digest (dup_rate exactly 0.5),
+      all docs are one language (entropy exactly 0.0, n_langs 1)."""
+    import tempfile
+
+    sys.path.insert(0, "tools")
+    from plan_report import audit_plan
+
+    spark = get_spark("stress-r8")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {counts[name]}", file=sys.stderr)
+
+    def novelty_2m():
+        from mcpvectordb_spark.catalog import QUERIES
+
+        n = 2_000_000
+        half = n // 2
+        with tempfile.TemporaryDirectory() as td:
+            docs = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.when(
+                    F.col("id") < half,
+                    F.concat(
+                        F.lit("u"), F.col("id"), F.lit(" v"), F.col("id"),
+                        F.lit(" w"), F.col("id"), F.lit(" x"), F.col("id"),
+                    ),
+                )
+                .otherwise(F.lit("alpha beta gamma delta"))
+                .alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("s").alias("source"),
+                F.lit(30).cast("long").alias("n_chars"),
+            )
+            docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+            q = QUERIES["doc_novelty"](spark, td)
+            plan = q._jdf.queryExecution().executedPlan().toString()
+            assert audit_plan(plan) == (0, 0), f"1-task stage: {audit_plan(plan)}"
+            byn = {
+                r["novelty"]: r["cnt"]
+                for r in q.groupBy("novelty").agg(
+                    F.count(F.lit(1)).alias("cnt")
+                ).collect()
+            }
+            assert byn == {1.0: half, 0.0: half}, f"novelty classes: {byn}"
+            # sampled per-doc readback: 4 id-embedded words -> 2 shingles,
+            # every one df=1 for the unique half, df=1M for the shared half
+            sample = {r["doc_id"]: r for r in q.filter(
+                F.col("doc_id").isin([0, 7, half, n - 1])
+            ).collect()}
+            assert sample[0]["n_shingles"] == 2 and sample[0]["n_novel"] == 2
+            assert sample[half]["n_shingles"] == 2 and sample[half]["n_novel"] == 0
+            notes["novelty_2m"] = (
+                "1M planted-unique docs scored exactly 1.0 and 1M verbatim "
+                "copies exactly 0.0 at 2M docs / ~4M shingles; audit_plan==(0,0)"
+            )
+            return sum(byn.values())
+
+    def datasheet_2m():
+        from mcpvectordb_spark.catalog import QUERIES
+
+        n = 2_000_000
+        with tempfile.TemporaryDirectory() as td:
+            docs = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.when(
+                    ((F.col("id") / 100).cast("long") % 2) == 0,
+                    F.lit("the shared duplicate body"),
+                )
+                .otherwise(F.concat(F.lit("unique t"), F.col("id")))
+                .alias("text"),
+                F.lit("en").alias("lang"),
+                F.concat(F.lit("s"), F.col("id") % 100).alias("source"),
+                F.lit(25).cast("long").alias("n_chars"),
+            )
+            docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+            rows = QUERIES["dataset_datasheet"](spark, td).collect()
+            assert len(rows) == 100
+            for r in rows:
+                assert r["n_docs"] == 20_000
+                assert r["dup_rate"] == 0.5, r
+                assert r["n_langs"] == 1 and r["lang_entropy"] == 0.0
+            notes["datasheet_2m"] = (
+                "100 sources x 20k docs: dup_rate exactly 0.5 and entropy "
+                "exactly 0.0 (never -0.0) on every source row"
+            )
+            return len(rows)
+
+    run("novelty_2m", novelty_2m)
+    run("datasheet_2m", datasheet_2m)
+    print(json.dumps({"stress": "r8", "timings": timings, "counts": counts,
+                      "notes": notes}))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "r7" in sys.argv[1:]:
+    if "r8" in sys.argv[1:]:
+        main_r8()
+    elif "r7" in sys.argv[1:]:
         main_r7()
     elif "r6b" in sys.argv[1:]:
         main_r6b()
