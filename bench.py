@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "tokenizer_fertility",   # per-lang subword fertility, one-scan lang agg
     "doc_novelty",           # corpus-unique shingle share on the shared index
     "dataset_datasheet",     # per-source datasheet rollup (3 keyed aggs)
+    "source_leakage",        # cross-source near-dup matrix on the 0.02 pairs
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -52,6 +52,7 @@ QUERIES = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "doc_novelty": q_doc_novelty,
     "dataset_datasheet": q_dataset_datasheet,
+    "source_leakage": q_source_leakage,
     # -- round-6 additions (the (ever_green, last_round) rotation key puts
     # -- these AND the 9 never-green backlog queries in the first 13 of the
     # -- 50 driver slots together — additions can no longer displace the
@@ -437,6 +438,7 @@ ORACLES = {
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "doc_novelty": SQL_DOC_NOVELTY,
     "dataset_datasheet": SQL_DATASET_DATASHEET,
+    "source_leakage": SQL_SOURCE_LEAKAGE,
     # -- round-6 --
     "events_shapley": SQL_EVENTS_SHAPLEY,
     "documents_stump": SQL_DOCUMENTS_STUMP,

@@ -425,11 +425,13 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISJOINT from the dedup queries' (near, 3, 0.5) table — a
     0.5-threshold dedup output cannot serve a 0.02-threshold calibration
     sweep, so the FIRST execution in a session mines its own pairs; the
-    sharing is self-sharing across this query's warm-up/timed reps.  The
+    sharing within this query is across its warm-up/timed reps.  The
     reported bench time therefore excludes first-run pair mining (paid in
     the untimed warm rep), which is the honest steady-state cost: a
     recurring calibration job would keep its low-threshold pair table
-    persisted just like the dedup pass keeps its own."""
+    persisted just like the dedup pass keeps its own.  Since r8 the
+    (raw, 3, 0.02) table has a genuine second consumer — the
+    source_leakage matrix reads the same cached artifact."""
     pairs = _shared_neardup_pairs(
         spark, sf_dir, n=3, threshold=0.02, corpus="raw"
     )

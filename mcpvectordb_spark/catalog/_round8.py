@@ -249,4 +249,81 @@ ORDER BY t.source
 """
 
 
+def q_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate leakage matrix: for every (unordered)
+    source pair, the number of document pairs sharing 3-gram content at
+    Jaccard >= 0.02 and their mean overlap — the audit a curation team
+    runs to find one source republishing another (web scrape vs books
+    mirror) BEFORE those near-dups leak the same text into two mixture
+    buckets.  Complements sources_overlap (aggregate shingle-set overlap)
+    with the per-document-pair view: a high mean here means whole
+    documents travel between sources, not just shared vocabulary.
+
+    Scale shape: reads the session-shared low-threshold pair table
+    (_shared_neardup_pairs (raw, 3, 0.02) — the SAME artifact the
+    minhash_calibration audit consumes, so the mining cost is paid once
+    per session), joins the |docs|-row (id, source) projection twice,
+    and aggregates on the |sources|^2-bounded key.  The 0.02 threshold
+    is a per-row exact integer ratio on both engines; mean_jaccard uses
+    the exact-integer readout idiom (9dp-quantized BIGINT sums), so
+    every output value is bit-guaranteed."""
+    from mcpvectordb_spark.catalog._common import _shared_neardup_pairs
+
+    pairs = _shared_neardup_pairs(spark, sf_dir, n=3, threshold=0.02, corpus="raw")
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "source"
+    )
+    tagged = (
+        pairs.join(src.withColumnsRenamed({"id": "id_a", "source": "src_a"}), "id_a")
+        .join(src.withColumnsRenamed({"id": "id_b", "source": "src_b"}), "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+    )
+    qj = F.round(F.col("jaccard") * 1e9).cast("long")
+    return (
+        tagged.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.sum(qj) / (F.count(F.lit(1)) * F.lit(1e9)), 6)
+            .alias("mean_jaccard"),
+            F.round(F.max(qj) / F.lit(1e9), 6).alias("max_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SQL_SOURCE_LEAKAGE = f"""
+WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+sizes AS (SELECT id, count(DISTINCT shingle) AS set_size
+          FROM (SELECT id, unnest({_sql_shingles(_sql_words('text'), 3)}) AS shingle
+                FROM corpus) GROUP BY 1),
+shg AS (SELECT id, unnest({_sql_shingles(_sql_words('text'), 3)}) AS shingle FROM corpus),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM shg a JOIN shg b ON b.shingle = a.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         CAST(c.common AS DOUBLE) / (sa.set_size + sb.set_size - c.common) AS jaccard
+  FROM common c
+  JOIN sizes sa ON sa.id = c.id_a
+  JOIN sizes sb ON sb.id = c.id_b
+  WHERE CAST(c.common AS DOUBLE) / (sa.set_size + sb.set_size - c.common) >= 0.02),
+tagged AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         CAST(round(jaccard * 1e9) AS BIGINT) AS qj
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(qj) AS DOUBLE) / (count(*) * 1e9), 6) AS mean_jaccard,
+       round(CAST(max(qj) AS DOUBLE) / 1e9, 6) AS max_jaccard
+FROM tagged GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 __all__ = [n for n in dir() if not n.startswith("__")]

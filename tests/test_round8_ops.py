@@ -129,6 +129,43 @@ def test_datasheet_closed_form(spark, tmp_path):
     assert b["lang_entropy"] == 0.0 and not str(b["lang_entropy"]).startswith("-")
 
 
+# ---------------------------------------------------------------------------
+# source_leakage
+# ---------------------------------------------------------------------------
+
+
+def test_source_leakage_closed_form(spark, tmp_path):
+    """Planted three-source corpus: source a's doc 0 reappears verbatim
+    in source b (Jaccard exactly 1.0, unordered pair (a,b)); source c
+    shares nothing above the 0.02 floor -> it appears in NO pair row."""
+    from mcpvectordb_spark.catalog._round8 import q_source_leakage
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, shared, "en", "a", 10),
+        (1, shared, "en", "b", 10),
+        (2, "iota kappa lambda mu nu xi omicron pi", "en", "c", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = q_source_leakage(spark, str(tmp_path)).collect()
+    assert [(r["source_a"], r["source_b"]) for r in out] == [("a", "b")]
+    r = out[0]
+    assert r["n_pairs"] == 1
+    assert r["mean_jaccard"] == 1.0 and r["max_jaccard"] == 1.0
+
+
+def test_source_leakage_unordered_pairs_on_testdata(spark):
+    from mcpvectordb_spark.catalog._round8 import q_source_leakage
+
+    rows = q_source_leakage(spark, SF).collect()
+    for r in rows:
+        assert r["source_a"] <= r["source_b"], "pairs must be unordered-normalized"
+        assert 0.02 <= r["mean_jaccard"] <= 1.0 + 1e-9
+        assert r["max_jaccard"] >= r["mean_jaccard"] - 1e-9
+
+
 def test_datasheet_runs_on_testdata(spark):
     from mcpvectordb_spark.catalog._round8 import q_dataset_datasheet
 
