@@ -18,13 +18,14 @@ min kept — contention and JIT only ever ADD time, so the artifact is
 quiet-host-quality regardless of who runs it ("restabilized" lists the
 re-timed queries).
 
-ONLY-mode protocol (r8, learned on supplier_bt): a 1-2 query session
-leaves Spark's scheduler/JIT so cold that ITERATIVE queries (driver
-loops issuing 10+ small jobs) read ~2x high even on a quiet host —
-supplier_bt read 6.9-7.8s alone but 3.27s when preceded by three other
-iterative queries in the same ONLY list.  Re-measure suspected outliers
-with 2-3 warm-up companions in the list; the min-merge keeps whichever
-reading is lowest.
+ONLY-mode cold-JIT guard (r8, learned on supplier_bt): a 1-2 query
+session leaves Spark's scheduler/JIT so cold that ITERATIVE queries
+(driver loops issuing 10+ small jobs) read ~2x high even on a quiet
+host — supplier_bt read 6.9-7.8s alone but 3.27s after iterative
+companions.  Every ONLY session therefore drives two iterative warm-up
+queries UNTIMED before timing the targets (verified: bare
+ONLY=supplier_bt reads 3.69s with the guard); the min-merge keeps the
+lowest honest reading either way.
 """
 
 from __future__ import annotations
@@ -307,6 +308,15 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"unknown bench queries: {sorted(unknown)}")
         names = only_names
+        # Cold-JIT guard (r8, learned on supplier_bt): a 1-2 query
+        # session reads ~2x high on ITERATIVE queries, so every ONLY
+        # session first drives two iterative warm-up queries UNTIMED —
+        # the operator no longer has to remember to add companions.
+        for wname in ("parts_pagerank", "events_holt"):
+            if wname in QUERIES and wname not in only_names:
+                QUERIES[wname](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
     # Committed per-query reference for the SELF-STABILIZING lane (r8
     # verdict item 2): when a fresh reading exceeds 1.5x the committed
     # value on unchanged code it is almost always host contention or
