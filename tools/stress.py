@@ -3773,8 +3773,61 @@ def main_r8() -> None:
             )
             return len(rows)
 
+    def leakage_1m():
+        from mcpvectordb_spark.catalog import QUERIES
+
+        n = 1_000_000
+        k = 500  # planted cross-source verbatim copies
+        with tempfile.TemporaryDirectory() as td:
+            # ids 0..k-1 live in source a; ids n..n+k-1 are their verbatim
+            # copies in source b; everyone else gets id-embedded words
+            # (no shared shingle anywhere -> the 0.02 pair table holds
+            # EXACTLY the k planted pairs)
+            base = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.when(
+                    F.col("id") < k,
+                    # every word carries the id, so a planted doc shares
+                    # shingles ONLY with its own verbatim copy
+                    F.concat(
+                        F.lit("p"), F.col("id"), F.lit(" q"), F.col("id"),
+                        F.lit(" r"), F.col("id"), F.lit(" s"), F.col("id"),
+                        F.lit(" t"), F.col("id"),
+                    ),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("u"), F.col("id"), F.lit(" v"), F.col("id"),
+                        F.lit(" w"), F.col("id"), F.lit(" x"), F.col("id"),
+                    )
+                )
+                .alias("text"),
+                F.lit("en").alias("lang"),
+                F.when(F.col("id") < k, F.lit("a")).otherwise(F.lit("z")).alias("source"),
+                F.lit(30).cast("long").alias("n_chars"),
+            )
+            copies = base.filter(F.col("doc_id") < k).select(
+                (F.col("doc_id") + n).alias("doc_id"), "text", "lang",
+                F.lit("b").alias("source"), "n_chars",
+            )
+            base.unionByName(copies).write.mode("overwrite").parquet(
+                f"{td}/documents.parquet"
+            )
+            rows = QUERIES["source_leakage"](spark, td).collect()
+            assert [(r["source_a"], r["source_b"]) for r in rows] == [("a", "b")], rows
+            r = rows[0]
+            assert r["n_pairs"] == k, r
+            assert r["mean_jaccard"] == 1.0 and r["max_jaccard"] == 1.0
+            notes["leakage_1m"] = (
+                f"1M+{k} docs: the matrix holds exactly the planted (a,b) row "
+                f"with {k} pairs at Jaccard exactly 1.0; the 999.5k unique "
+                "docs contribute zero candidates (id-embedded shingles)"
+            )
+            return len(rows)
+
     run("novelty_2m", novelty_2m)
     run("datasheet_2m", datasheet_2m)
+    run("leakage_1m", leakage_1m)
     print(json.dumps({"stress": "r8", "timings": timings, "counts": counts,
                       "notes": notes}))
     spark.stop()
