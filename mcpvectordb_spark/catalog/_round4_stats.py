@@ -2088,17 +2088,20 @@ def q_events_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("na") / F.col("ta"), F.lit(1e-6)).alias("p"),
         F.greatest(F.col("nb") / F.col("tb"), F.lit(1e-6)).alias("q"),
     )
-    # ranked-cut discipline: ln() is libm, so the drifted-bin THRESHOLD
-    # compares the 9dp-rounded contribution on both engines (the psi sum
-    # itself is a 6dp VALUE readout, not a row cut) — rankkey_report r8
-    contrib = F.round(
-        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 9
-    )
+    # ranked-cut + exact-readout discipline (r8 ADVICE #2): ln() is libm,
+    # so each (p−q)·ln(p/q) contribution is quantized ONCE to integer
+    # nano-units — the drifted-bin threshold becomes an exact integer
+    # compare (qc > 1e7 ≡ contribution > 0.01) and the psi sum runs in
+    # BIGINT, making the 6dp readout bit-guaranteed on any summation
+    # order instead of probabilistically stable.
+    qc = F.round(
+        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")) * F.lit(1e9)
+    ).cast("long")
     return (
         pq.groupBy("event_type")
         .agg(
-            F.round(F.sum(contrib), 6).alias("psi"),
-            F.sum((contrib > 0.01).cast("int")).cast("long").alias("n_drifted_bins"),
+            F.round(F.sum(qc) / F.lit(1e9), 6).alias("psi"),
+            F.sum((qc > 10_000_000).cast("int")).cast("long").alias("n_drifted_bins"),
         )
         .orderBy("event_type")
     )
@@ -2138,8 +2141,8 @@ pq AS (
          greatest(CAST(nb AS DOUBLE) / tb, 1e-6) AS q
   FROM counts JOIN tot ON event_type = et2)
 SELECT event_type,
-       round(sum(round((p - q) * ln(p / q), 9)), 6) AS psi,
-       CAST(sum(CASE WHEN round((p - q) * ln(p / q), 9) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted_bins
+       round(CAST(sum(CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS psi,
+       CAST(sum(CASE WHEN CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT) > 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted_bins
 FROM pq GROUP BY event_type ORDER BY event_type
 """
 

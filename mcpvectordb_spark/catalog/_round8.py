@@ -17,8 +17,9 @@ Ranked-cut discipline (tools/rankkey_report.py): every output sorts on
 exact keys (lang / doc_id / source strings and integers); the only float
 outputs are single divisions of exact BIGINTs (fertility, novelty,
 dup_rate — engine-exact, rounded only for display) and the language
-entropy, whose ln() terms are 9dp-quantized before the bounded per-source
-sum (the events_psi idiom).
+entropy, whose ln() terms are quantized to integer nano-units and summed
+as BIGINT (the silhouette/inertia exact-readout idiom — r8 ADVICE #2),
+so the readout is bit-guaranteed, not summation-order-dependent.
 """
 
 from __future__ import annotations
@@ -44,14 +45,21 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers, so both engines emit identical values before the
     display rounding.  At 100 TB this is the cheapest query in the
     curation suite — no join, no window, no shuffle beyond |langs| rows.
+
+    NULL-text convention (r8 ADVICE #1): NULL text counts as the empty
+    string on BOTH engines — the repo-wide _sql_quality_cte rule.  The
+    Spark side previously fed raw ``text`` to the counters, so a lang
+    whose docs were ALL NULL read ws/bpe = NULL here vs 0 on the oracle
+    (invisible at the driver scale because testdata has no NULL texts;
+    pinned by tests/test_round8_ops.py::test_fertility_null_text_parity).
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
+    t = F.coalesce(F.col("text"), F.lit(""))
     per = docs.select(
         "lang",
         ts.ws_token_count(t).cast("long").alias("ws"),
         ts.bpe_ish_token_count(t).alias("bpe"),
-        F.octet_length(F.coalesce(t, F.lit(""))).cast("long").alias("nbytes"),
+        F.octet_length(t).cast("long").alias("nbytes"),
     )
     agg = per.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -79,7 +87,7 @@ _SQL_BPE_COUNT = r"""CAST(list_sum(list_transform(
 SQL_TOKENIZER_FERTILITY = rf"""
 WITH per AS (
   SELECT lang,
-    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS ws,
+    CAST(len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'), t -> t <> '')) AS BIGINT) AS ws,
     coalesce({_SQL_BPE_COUNT}, 0) AS bpe,
     CAST(strlen(coalesce(text, '')) AS BIGINT) AS nbytes
   FROM documents),
@@ -157,14 +165,20 @@ def q_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     for dup counts, (source, lang) for the mix, source for totals — all
     map-side combinable, joined on the |sources|-row key.  dup_rate is
     an integer ratio (engine-exact); the entropy's -p·ln(p) terms are
-    9dp-quantized before the per-source sum over |langs| rows (the
-    events_psi libm discipline), so the rounded readout is stable."""
+    quantized to integer nano-units and summed as BIGINT (the r8
+    silhouette/inertia exact-readout idiom, applied here per r8 ADVICE
+    #2), so the readout is BIT-GUARANTEED given the quantized terms —
+    not merely summation-order-stable with high probability.  NULL text
+    counts as empty for the ws tokens (ADVICE #1; the digest already
+    coalesced)."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "source",
         "lang",
         F.col("n_chars").cast("long").alias("nc"),
-        ts.ws_token_count(F.col("text")).cast("long").alias("ws"),
+        ts.ws_token_count(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long")
+        .alias("ws"),
         F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("dig"),
     )
     totals = base.groupBy("source").agg(
@@ -190,15 +204,19 @@ def q_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_langs"),
     )
     p = F.col("nl") / F.col("nt")
+    # exact-integer readout: each -p*ln(p) term is quantized to integer
+    # nano-units (one libm rounding point, shared by the oracle), the
+    # per-source sum runs in BIGINT, and the division back is a single
+    # exact-input float op — bit-identical on any summation order.
+    # cast("long") maps the single-language -0.0 edge (p=1 -> -1*ln(1))
+    # to 0 identically on both engines.
+    qterm = F.round(-p * F.log(p) * F.lit(1e9)).cast("long")
     entropy = (
         lang_counts.join(lang_tot, "source")
         .groupBy("source")
         .agg(
             F.max("n_langs").alias("n_langs"),
-            # abs() maps the single-language -0.0 edge (p=1 -> -1*ln(1))
-            # to +0.0 identically on both engines
-            F.round(F.abs(F.sum(F.round(-p * F.log(p), 9))), 6)
-            .alias("lang_entropy"),
+            F.round(F.sum(qterm) / F.lit(1e9), 6).alias("lang_entropy"),
         )
     )
     return (
@@ -220,7 +238,7 @@ def q_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DATASET_DATASHEET = r"""
 WITH base AS (
   SELECT source, lang, CAST(n_chars AS BIGINT) AS nc,
-         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS ws,
+         CAST(len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'), t -> t <> '')) AS BIGINT) AS ws,
          md5(coalesce(text, '')) AS dig
   FROM documents),
 totals AS (
@@ -239,7 +257,7 @@ lt AS (SELECT source, CAST(sum(nl) AS BIGINT) AS nt,
        FROM lc GROUP BY 1),
 ent AS (
   SELECT lc.source, max(n_langs) AS n_langs,
-         round(abs(sum(round(-(CAST(nl AS DOUBLE) / nt) * ln(CAST(nl AS DOUBLE) / nt), 9))), 6)
+         round(CAST(sum(CAST(round(-(CAST(nl AS DOUBLE) / nt) * ln(CAST(nl AS DOUBLE) / nt) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6)
            AS lang_entropy
   FROM lc JOIN lt ON lc.source = lt.source GROUP BY 1)
 SELECT t.source, n_docs, n_langs, lang_entropy, total_chars, ws_tokens,
