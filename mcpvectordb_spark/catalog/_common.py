@@ -38,6 +38,21 @@ SEARCH_QUERY = "window join spark batch"
 QUERY_VEC_ID = 0
 RRF_K0 = 60
 
+# One-off build costs of session-cached artifacts (trained PQ codebooks,
+# the shared Bm25Index, ...), recorded at cache-miss time keyed by a
+# human-readable artifact name.  bench.py surfaces this ledger in its
+# output (r8 ADVICE #3): session-caching moves a build into the UNTIMED
+# warm rep, so without this record the cost would appear in no benchmark
+# number at all.
+SESSION_BUILD_SECONDS: dict[str, float] = {}
+
+
+def _record_build(name: str, seconds: float) -> None:
+    # keep the MAX across (sf_dir, session) variants: the ledger answers
+    # "what does a cold consumer of this artifact pay", not "how many
+    # times was it built"
+    SESSION_BUILD_SECONDS[name] = max(SESSION_BUILD_SECONDS.get(name, 0.0), seconds)
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL fragment builders (mirrors of the Spark column expressions)
 
@@ -184,10 +199,14 @@ def _shared_bm25_index(spark: SparkSession, sf_dir: str):
     hit = _BM25_CACHE.get(key)
     if hit is not None:
         return hit
+    import time as _time
+
+    t0 = _time.perf_counter()
     docs = load_table(spark, sf_dir, "documents")
     posting = doc_terms(docs, "doc_id", "text").localCheckpoint(eager=True)
     lens = doc_lens(docs, "doc_id", "text").localCheckpoint(eager=True)
     idx = Bm25Index(posting, lens, cached=False)
+    _record_build("bm25_index", _time.perf_counter() - t0)
     _BM25_CACHE[key] = idx
     return idx
 
@@ -221,7 +240,11 @@ def _shared_shingles(
         base = _near_corpus(spark, sf_dir)
     else:  # pragma: no cover - caller bug
         raise ValueError(f"unknown corpus variant: {corpus!r}")
+    import time as _time
+
+    t0 = _time.perf_counter()
     idx = dd._shingle_index(base, "id", "text", n).localCheckpoint(eager=True)
+    _record_build(f"shingle_index_{corpus}_{n}", _time.perf_counter() - t0)
     _SHINGLE_CACHE[key] = idx
     return idx
 
@@ -277,10 +300,16 @@ def _shared_neardup_pairs(
         )
     else:
         base = _near_corpus(spark, sf_dir)
+    import time as _time
+
+    t0 = _time.perf_counter()
     pairs = dd.ngram_jaccard_pairs(
         base, "id", "text", n=n, threshold=threshold,
         shingles=_shared_shingles(spark, sf_dir, corpus, n),
     ).localCheckpoint(eager=True)
+    _record_build(
+        f"neardup_pairs_{corpus}_{n}_{threshold}", _time.perf_counter() - t0
+    )
     _NEARDUP_PAIRS_CACHE[key] = pairs
     return pairs
 

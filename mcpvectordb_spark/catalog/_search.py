@@ -596,9 +596,12 @@ def q_knn_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2v/IVF/bloom steady-state pattern: a recurring search workload reads
     its persisted trained index, it does not re-run Lloyd per query.
     (r8 verdict item 5: the query was the slowest registry entry at 9.3s
-    because every bench rep re-trained; profiled 4-6s refine vs ~1s
-    warm encode+search — the training stays honestly timed by the first
-    execution and the session-cache is the 100 TB shape.)"""
+    because every bench rep re-trained; profiled 4-6s refine vs ~1s warm
+    encode+search.  In the BENCH lane the train lands in the untimed
+    warm rep, so the cache-miss branch records its duration in the
+    session build ledger and bench.py surfaces it as
+    "session_build_secs" — the cost is visible, just not attributed to
+    the per-query steady state it no longer belongs to; r8 ADVICE #3.)"""
     import math
 
     from mcpvectordb_spark.operators import pq as pqm
@@ -622,10 +625,19 @@ def q_knn_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cb = _PQ_CB_CACHE.get(key)
     if cb is None:
+        # r8 ADVICE #3: session-caching moved this train into bench's
+        # UNTIMED warm rep, so its 4-6s stopped appearing in any number;
+        # the build ledger (bench.py "session_build_secs") records it.
+        import time as _time
+
+        t0 = _time.perf_counter()
         cb = pqm.pq_refine_codebooks(
             corpus, pqm.seed_codebooks(corpus, _PQ_M, _PQ_KSUB), iters=2
         )
         cb = [[[round(x, 6) for x in cent] for cent in sub] for sub in cb]
+        from mcpvectordb_spark.catalog._common import _record_build
+
+        _record_build("pq_refined_codebooks", _time.perf_counter() - t0)
         _PQ_CB_CACHE[key] = cb
     enc = pqm.pq_encode(corpus, cb, impl="pandas")
     out = pqm.pq_topk(enc, cb, q, 10, refine=_PQ_REFINE)
