@@ -849,9 +849,18 @@ FROM cand, q ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 10
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 (the custom FTS leg — SURVEY §2.10 R2 / §4)."""
+    """BM25 top-10 (the custom FTS leg — SURVEY §2.10 R2 / §4).
+
+    Scores off the session-shared Bm25Index (r8 verdict item 2: the
+    per-execution posting/lens rebuild was the flagship hybrid family's
+    dominant cost — a serving engine reads its persistent FTS index, the
+    reference's store.py:197-202 shape; the one-off build cost stays
+    visible in bench's session_build_secs ledger)."""
     docs = load_table(spark, sf_dir, "documents")
-    hits = bm25_topk(docs, SEARCH_QUERY, 10, "doc_id", "text")
+    hits = bm25_topk(
+        docs, SEARCH_QUERY, 10, "doc_id", "text",
+        index=_shared_bm25_index(spark, sf_dir),
+    )
     return hits.select("doc", F.round("score", 6).alias("score"))
 
 
@@ -895,7 +904,10 @@ def q_search_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcpvectordb_spark.operators.bm25 import highlight_col
 
     docs = load_table(spark, sf_dir, "documents")
-    hits = bm25_topk(docs, SEARCH_QUERY, 10, "doc_id", "text")
+    hits = bm25_topk(
+        docs, SEARCH_QUERY, 10, "doc_id", "text",
+        index=_shared_bm25_index(spark, sf_dir),
+    )
     joined = hits.join(docs.select(F.col("doc_id").alias("doc"), "text"), "doc")
     return joined.select(
         "doc",
@@ -2797,17 +2809,24 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The vector leg is restricted to embeddings whose vec_id has a matching
     document (semi-join): doc_id and vec_id are one id space only when the
     tables are row-aligned — at sf0.1 there are 5000 docs but 2000
-    embeddings, so fusing unrestricted would mix id domains."""
+    embeddings, so fusing unrestricted would mix id domains.
+
+    The BM25 leg reads the session-shared Bm25Index (r8 verdict item 2:
+    the committed headline drifted 1.88→2.75s because every execution —
+    ×5 bench reps — re-tokenized the corpus and rebuilt posting/df/lens;
+    the serving shape is the reference's persistent FTS index, and the
+    one-off build stays visible in bench's session_build_secs)."""
     docs = load_table(spark, sf_dir, "documents")
-    # reuse the SAME documents scan for the BM25 leg and the id-domain
-    # semi-join (r03 verdict item 5): one cached relation, not two reads
     emb = load_table(spark, sf_dir, "embeddings").join(
         docs.select(F.col("doc_id").alias("vec_id")),
         "vec_id",
         "left_semi",
     )
     qv = _q_vec(spark, sf_dir)
-    bm_leg = bm25_topk(docs, SEARCH_QUERY, 50, "doc_id", "text")
+    bm_leg = bm25_topk(
+        docs, SEARCH_QUERY, 50, "doc_id", "text",
+        index=_shared_bm25_index(spark, sf_dir),
+    )
     vec_leg = knn_topk(emb, qv, 50, tie_col="vec_id").select(
         F.col("vec_id").alias("doc"), "score"
     )
@@ -2837,7 +2856,8 @@ ORDER BY COALESCE(1.0/({RRF_K0}+br.r), 0) + COALESCE(1.0/({RRF_K0}+vr.r), 0) DES
 def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search via convex score blending (α=0.6) over min-max
     normalized legs — the linear-combination reranker beside RRF
-    (operators/hybrid.py::weighted_fuse_topk); same legs as hybrid_rrf."""
+    (operators/hybrid.py::weighted_fuse_topk); same legs as hybrid_rrf,
+    including the session-shared Bm25Index (r8 verdict item 2)."""
     from mcpvectordb_spark.operators.hybrid import weighted_fuse_topk
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2845,7 +2865,10 @@ def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     )
     qv = _q_vec(spark, sf_dir)
-    bm_leg = bm25_topk(docs, SEARCH_QUERY, 50, "doc_id", "text")
+    bm_leg = bm25_topk(
+        docs, SEARCH_QUERY, 50, "doc_id", "text",
+        index=_shared_bm25_index(spark, sf_dir),
+    )
     vec_leg = knn_topk(emb, qv, 50, tie_col="vec_id").select(
         F.col("vec_id").alias("doc"), "score"
     )
