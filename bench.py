@@ -243,6 +243,11 @@ BENCH_QUERIES = [
     "doc_novelty",           # corpus-unique shingle share on the shared index
     "dataset_datasheet",     # per-source datasheet rollup (3 keyed aggs)
     "source_leakage",        # cross-source near-dup matrix on the 0.02 pairs
+    # round-9 additions
+    "dup_cluster_sizes",     # exact-dup cluster histogram (2 digest aggs)
+    "dedup_survivors",       # keep-one per-source savings + cross-source loss
+    "ngram_coverage",        # top-100 shingle concentration curve
+    "near_dup_rate_by_source",  # per-source exposure on the shared pair table
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

@@ -29,6 +29,7 @@ from mcpvectordb_spark.catalog._round4_stats import *  # noqa: F401,F403
 from mcpvectordb_spark.catalog._round5 import *  # noqa: F401,F403
 from mcpvectordb_spark.catalog._round6 import *  # noqa: F401,F403
 from mcpvectordb_spark.catalog._round8 import *  # noqa: F401,F403
+from mcpvectordb_spark.catalog._round9 import *  # noqa: F401,F403
 
 # ===========================================================================
 # registry
@@ -48,7 +49,12 @@ from mcpvectordb_spark.catalog._round8 import *  # noqa: F401,F403
 # the rotation-policy test (tests/test_entry.py) can no longer go stale
 # between rounds.
 QUERIES = {
-    # -- round-8 additions (never-green, so the rotation fronts them) --
+    # -- round-9 additions (never-green, so the rotation fronts them) --
+    "dup_cluster_sizes": q_dup_cluster_sizes,
+    "dedup_survivors": q_dedup_survivors,
+    "ngram_coverage": q_ngram_coverage,
+    "near_dup_rate_by_source": q_near_dup_rate_by_source,
+    # -- round-8 additions --
     "tokenizer_fertility": q_tokenizer_fertility,
     "doc_novelty": q_doc_novelty,
     "dataset_datasheet": q_dataset_datasheet,
@@ -453,6 +459,11 @@ def _rotate_stalest_first(queries: dict) -> dict:
 QUERIES = _rotate_stalest_first(QUERIES)
 
 ORACLES = {
+    # -- round-9 --
+    "dup_cluster_sizes": SQL_DUP_CLUSTER_SIZES,
+    "dedup_survivors": SQL_DEDUP_SURVIVORS,
+    "ngram_coverage": SQL_NGRAM_COVERAGE,
+    "near_dup_rate_by_source": SQL_NEAR_DUP_RATE_BY_SOURCE,
     # -- round-8 --
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "doc_novelty": SQL_DOC_NOVELTY,

@@ -3833,8 +3833,184 @@ def main_r8() -> None:
     spark.stop()
 
 
+def main_r9() -> None:
+    """Round-9 stress: the dedup-accounting readouts at 1000x+ bench
+    scale, each against a planted closed-form answer:
+
+    - dup_cluster_sizes + dedup_survivors at 2M docs / 100 sources:
+      consecutive ids (2k, 2k+1) share one fixed-width 8-byte text, so
+      the corpus is EXACTLY 1M clusters of size 2; the keep-one rule
+      keeps every even id, and because consecutive ids always land in
+      different (id mod 100) sources, every removal is a cross-source
+      loss — every per-source row and every histogram cell has an
+      analytic value.
+    - ngram_coverage at 2M docs / ~4M shingles: every doc leads with
+      one global shingle and carries two id-embedded ones, so rank 1
+      is the global shingle at share exactly 1/3 and the cumulative
+      top-100 share is exactly (2M + 99) / 6M.
+    - near_dup_rate_by_source at 1M+500 docs: the source_leakage plant
+      law (500 verbatim cross-source copies, everyone else id-embedded)
+      read through the per-source exposure view — a:1.0, b:1.0,
+      z:0.0 exactly, off the SAME session-shared pair table."""
+    import tempfile
+
+    sys.path.insert(0, "tools")
+
+    spark = get_spark("stress-r9")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    notes: dict[str, str] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"# {name}: {timings[name]}s -> {counts[name]}", file=sys.stderr)
+
+    def dedup_accounting_2m():
+        from mcpvectordb_spark.catalog import QUERIES
+
+        n = 2_000_000
+        with tempfile.TemporaryDirectory() as td:
+            docs = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                # pair law: (2k, 2k+1) share text "c" + zero-padded k
+                # (8 bytes always — exact byte accounting)
+                F.concat(
+                    F.lit("c"),
+                    F.lpad((F.col("id") / 2).cast("long").cast("string"), 7, "0"),
+                ).alias("text"),
+                F.lit("en").alias("lang"),
+                F.concat(F.lit("s"), F.col("id") % 100).alias("source"),
+                F.lit(8).cast("long").alias("n_chars"),
+            )
+            docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+
+            hist = QUERIES["dup_cluster_sizes"](spark, td).collect()
+            assert len(hist) == 1 and hist[0]["cluster_size"] == 2, hist
+            assert tuple(hist[0])[1:] == (1_000_000, 2_000_000, 1_000_000,
+                                          8_000_000), hist
+
+            rows = QUERIES["dedup_survivors"](spark, td).collect()
+            assert len(rows) == 100
+            for r in rows:
+                # id = s + 100j keeps s's parity, so a source is ALL
+                # winners (even s) or ALL losers (odd s) — the sharpest
+                # possible mix-shift: keep-one erases every odd source
+                s = int(r["source"][1:])
+                assert r["n_docs"] == 20_000
+                if s % 2 == 0:
+                    assert (r["n_kept"], r["n_removed"]) == (20_000, 0), r
+                    assert r["bytes_removed"] == 0
+                    assert r["n_lost_cross_source"] == 0
+                    assert r["removed_rate"] == 0.0
+                else:
+                    assert (r["n_kept"], r["n_removed"]) == (0, 20_000), r
+                    assert r["bytes_removed"] == 160_000
+                    assert r["n_lost_cross_source"] == 20_000, (
+                        f"every winner lives in source s{s - 1}: {r}"
+                    )
+                    assert r["removed_rate"] == 1.0
+            notes["dedup_accounting_2m"] = (
+                "1M planted size-2 clusters at 2M docs / 100 sources: the "
+                "histogram cell is exact, and keep-one provably ERASES the "
+                "50 odd sources (100% cross-source loss) while keeping the "
+                "50 even ones whole — the mix-shift warning at its extreme"
+            )
+            return len(rows)
+
+    def coverage_2m():
+        from mcpvectordb_spark.catalog import QUERIES
+
+        n = 2_000_000
+        with tempfile.TemporaryDirectory() as td:
+            docs = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit("top one two u"), F.col("id"), F.lit(" v"), F.col("id")
+                ).alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("s").alias("source"),
+                F.lit(30).cast("long").alias("n_chars"),
+            )
+            docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+            rows = QUERIES["ngram_coverage"](spark, td).collect()
+            assert len(rows) == 100
+            assert rows[0]["shingle"] == "top one two" and rows[0]["df"] == n
+            assert rows[0]["share"] == round(n / (3 * n), 6)
+            assert all(r["df"] == 1 for r in rows[1:]), "tail shingles are unique"
+            assert rows[-1]["cum_share"] == round((n + 99) / (3 * n), 6)
+            notes["coverage_2m"] = (
+                "2M docs / ~4M distinct shingles: rank-1 share exactly 1/3 "
+                "(the planted global shingle) and cumulative top-100 share "
+                "exactly (2M+99)/6M; the rank window sees only the 100-row "
+                "TakeOrdered cut"
+            )
+            return len(rows)
+
+    def exposure_1m():
+        from mcpvectordb_spark.catalog import QUERIES
+
+        n = 1_000_000
+        k = 500
+        with tempfile.TemporaryDirectory() as td:
+            base = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.when(
+                    F.col("id") < k,
+                    F.concat(
+                        F.lit("p"), F.col("id"), F.lit(" q"), F.col("id"),
+                        F.lit(" r"), F.col("id"), F.lit(" s"), F.col("id"),
+                        F.lit(" t"), F.col("id"),
+                    ),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("u"), F.col("id"), F.lit(" v"), F.col("id"),
+                        F.lit(" w"), F.col("id"), F.lit(" x"), F.col("id"),
+                    )
+                )
+                .alias("text"),
+                F.lit("en").alias("lang"),
+                F.when(F.col("id") < k, F.lit("a")).otherwise(F.lit("z")).alias("source"),
+                F.lit(30).cast("long").alias("n_chars"),
+            )
+            copies = base.filter(F.col("doc_id") < k).select(
+                (F.col("doc_id") + n).alias("doc_id"), "text", "lang",
+                F.lit("b").alias("source"), "n_chars",
+            )
+            base.unionByName(copies).write.mode("overwrite").parquet(
+                f"{td}/documents.parquet"
+            )
+            rows = {r["source"]: r for r in
+                    QUERIES["near_dup_rate_by_source"](spark, td).collect()}
+            assert set(rows) == {"a", "b", "z"}
+            assert (rows["a"]["n_neardup"], rows["a"]["neardup_rate"]) == (k, 1.0)
+            assert (rows["b"]["n_neardup"], rows["b"]["neardup_rate"]) == (k, 1.0)
+            assert (rows["z"]["n_docs"], rows["z"]["n_neardup"]) == (n - k, 0)
+            assert rows["z"]["neardup_rate"] == 0.0
+            notes["exposure_1m"] = (
+                f"1M+{k} docs: per-source exposure reads exactly a=1.0, "
+                "b=1.0, z=0.0 — the pair table holds only the planted "
+                "copies, so the flagged-id set stays bounded by true "
+                "duplication at any corpus size"
+            )
+            return len(rows)
+
+    run("dedup_accounting_2m", dedup_accounting_2m)
+    run("coverage_2m", coverage_2m)
+    run("exposure_1m", exposure_1m)
+    print(json.dumps({"stress": "r9", "timings": timings, "counts": counts,
+                      "notes": notes}))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "r8" in sys.argv[1:]:
+    if "r9" in sys.argv[1:]:
+        main_r9()
+    elif "r8" in sys.argv[1:]:
         main_r8()
     elif "r7" in sys.argv[1:]:
         main_r7()
