@@ -1,19 +1,25 @@
 """Pre-training-cut curation audit — the seventh example pipeline: the
-four readouts a data lead reviews BEFORE freezing a training mixture,
-composed from the round-8 catalog operators over one documents corpus.
+readouts a data lead reviews BEFORE freezing a training mixture,
+composed from the round-8/9 catalog operators over one documents corpus.
 
     documents ─┬─ dataset_datasheet    (per-source docs / lang mix /
                │                        entropy / exact-dup rate)
                ├─ tokenizer_fertility  (per-lang subword tax + bytes/token)
                ├─ doc_novelty          (memorization / boilerplate proxy)
-               └─ source_leakage       (cross-source near-dup matrix)
+               ├─ source_leakage       (cross-source near-dup matrix)
+               └─ dedup accounting (r9): dup_cluster_sizes (what exact
+                  dedup reclaims), dedup_survivors (who loses docs to
+                  keep-one, incl. cross-source), near_dup_rate_by_source
+                  (per-source fuzzy exposure)
 
 Reading order matters: the datasheet says WHAT each source contributes;
 fertility says what each language will COST in tokens; novelty flags the
 documents that are assembled from corpus-common n-grams (candidates for
 down-weighting); the leakage matrix finds source pairs that would
-double-count the same text into two mixture buckets.  A mix decision
-made without all four is guessing on at least one axis.
+double-count the same text into two mixture buckets; the dedup
+accounting says what the dedup pass will actually DO to the mix before
+anyone runs it.  A mix decision made without these is guessing on at
+least one axis.
 
 Cross-readout invariants asserted by the smoke test
 (tests/test_curation_audit_example.py):
@@ -22,7 +28,11 @@ Cross-readout invariants asserted by the smoke test
     knows, with source_a <= source_b (unordered normalization);
   - mean novelty over all docs is a weighted average of the per-doc
     readout (recomputed independently);
-  - fertility >= 1 for every language (a word costs >= 1 subword).
+  - fertility >= 1 for every language (a word costs >= 1 subword);
+  - total excess docs in the cluster histogram == total keep-one
+    removals in the survivor table (two independent computations of the
+    same quantity), and survivor n_docs reconciles with the datasheet
+    per source.
 
 Run: python examples/curation_audit_pipeline.py [sf_dir]
 """
@@ -99,6 +109,40 @@ def main(sf_dir: str, spark=None) -> dict:
         .limit(10)
         .collect()
     ]
+
+    # 5. dedup accounting (round-9): what the dedup pass will do to the
+    # mix — reclaimable exact-dup mass, who loses docs under keep-one
+    # (and to whom), and each source's fuzzy-dup exposure
+    from mcpvectordb_spark.catalog._round9 import (
+        q_dedup_survivors,
+        q_dup_cluster_sizes,
+        q_near_dup_rate_by_source,
+    )
+
+    out["dup_clusters"] = {
+        int(r["cluster_size"]): {
+            "n_clusters": r["n_clusters"],
+            "n_excess_docs": r["n_excess_docs"],
+            "excess_bytes": r["excess_bytes"],
+        }
+        for r in q_dup_cluster_sizes(spark, sf_dir).collect()
+    }
+    out["survivors"] = {
+        r["source"]: {
+            "n_docs": r["n_docs"],
+            "n_removed": r["n_removed"],
+            "n_lost_cross_source": r["n_lost_cross_source"],
+            "removed_rate": float(r["removed_rate"]),
+        }
+        for r in q_dedup_survivors(spark, sf_dir).collect()
+    }
+    out["neardup_exposure"] = {
+        r["source"]: {
+            "n_neardup": r["n_neardup"],
+            "neardup_rate": float(r["neardup_rate"]),
+        }
+        for r in q_near_dup_rate_by_source(spark, sf_dir).collect()
+    }
 
     print(json.dumps(out))
     if stop_session:

@@ -42,3 +42,20 @@ def test_curation_audit_invariants(spark):
     mean = float(nov.agg(F.avg("novelty")).first()[0])
     assert out["novelty"]["mean"] == pytest.approx(mean, abs=1e-4)
     assert 0 <= out["novelty"]["n_below_half"] <= out["novelty"]["n_docs"]
+
+    # r9 dedup accounting: the cluster histogram's total excess docs and
+    # the survivor table's total removals are two INDEPENDENT
+    # computations of the same keep-one quantity — they must agree
+    # exactly; survivor n_docs reconciles with the datasheet per source
+    total_excess = sum(c["n_excess_docs"] for c in out["dup_clusters"].values())
+    total_removed = sum(s["n_removed"] for s in out["survivors"].values())
+    assert total_excess == total_removed
+    assert set(out["survivors"]) == set(out["datasheet"])
+    for src, s in out["survivors"].items():
+        assert s["n_docs"] == out["datasheet"][src]["n_docs"]
+        assert s["n_lost_cross_source"] <= s["n_removed"]
+
+    # fuzzy exposure names every source, bounded rates
+    assert set(out["neardup_exposure"]) == set(out["datasheet"])
+    for src, e in out["neardup_exposure"].items():
+        assert 0.0 <= e["neardup_rate"] <= 1.0
