@@ -102,6 +102,23 @@ def test_entropy_and_psi_readouts_use_exact_integer_sums():
     assert "> 10000000" in SQL_EVENTS_PSI
 
 
+def test_session_cache_miss_records_build_seconds(spark):
+    """r8 ADVICE #3: every session-cached artifact must leave its one-off
+    build cost in the ledger bench.py surfaces — a cache hit must not
+    re-record (the ledger answers 'what does a cold consumer pay')."""
+    from mcpvectordb_spark.catalog._common import (
+        SESSION_BUILD_SECONDS,
+        _shared_bm25_index,
+    )
+
+    idx1 = _shared_bm25_index(spark, "/root/testdata/sf0.001")
+    assert SESSION_BUILD_SECONDS.get("bm25_index", 0) > 0
+    recorded = SESSION_BUILD_SECONDS["bm25_index"]
+    idx2 = _shared_bm25_index(spark, "/root/testdata/sf0.001")
+    assert idx2 is idx1, "second call must hit the session cache"
+    assert SESSION_BUILD_SECONDS["bm25_index"] == recorded
+
+
 def test_psi_parity_on_testdata(spark):
     """Full engine-vs-oracle replay of events_psi at sf0.001 after the
     exact-integer rewrite (the driver window re-checks at sf0.01; this
