@@ -410,7 +410,14 @@ def main() -> None:
         # session reads ~2x high on ITERATIVE queries, so every ONLY
         # session first drives two iterative warm-up queries UNTIMED —
         # the operator no longer has to remember to add companions.
-        for wname in ("parts_pagerank", "events_holt"):
+        # r9, learned on stream_dedup (3.3s warm, 7.4-10.5s in a cold
+        # session): the iterative warm-ups do NOT warm Structured
+        # Streaming's machinery (state store, micro-batch scheduler), so
+        # a stream_* target additionally drives one streaming warm-up.
+        warmups = ["parts_pagerank", "events_holt"]
+        if any(n.startswith("stream_") for n in only_names):
+            warmups.append("stream_hourly")
+        for wname in warmups:
             if wname in QUERIES and wname not in only_names:
                 QUERIES[wname](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
