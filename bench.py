@@ -248,6 +248,10 @@ BENCH_QUERIES = [
     "dedup_survivors",       # keep-one per-source savings + cross-source loss
     "ngram_coverage",        # top-100 shingle concentration curve
     "near_dup_rate_by_source",  # per-source exposure on the shared pair table
+    "contamination_by_source",  # decontaminate gate rolled up per source
+    "lang_confusion",        # NB label-noise confusion matrix
+    "length_profile_by_source", # per-source p10/p50/p90 + short-doc share
+    "pair_jaccard_histogram",   # pair-similarity deciles on the shared pairs
     # (stream_* queries stay out of bench by policy: they time Structured
     # Streaming harness startup, not operator cost)
 ]

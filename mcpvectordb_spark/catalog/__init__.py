@@ -54,6 +54,10 @@ QUERIES = {
     "dedup_survivors": q_dedup_survivors,
     "ngram_coverage": q_ngram_coverage,
     "near_dup_rate_by_source": q_near_dup_rate_by_source,
+    "contamination_by_source": q_contamination_by_source,
+    "lang_confusion": q_lang_confusion,
+    "length_profile_by_source": q_length_profile_by_source,
+    "pair_jaccard_histogram": q_pair_jaccard_histogram,
     # -- round-8 additions --
     "tokenizer_fertility": q_tokenizer_fertility,
     "doc_novelty": q_doc_novelty,
@@ -464,6 +468,10 @@ ORACLES = {
     "dedup_survivors": SQL_DEDUP_SURVIVORS,
     "ngram_coverage": SQL_NGRAM_COVERAGE,
     "near_dup_rate_by_source": SQL_NEAR_DUP_RATE_BY_SOURCE,
+    "contamination_by_source": SQL_CONTAMINATION_BY_SOURCE,
+    "lang_confusion": SQL_LANG_CONFUSION,
+    "length_profile_by_source": SQL_LENGTH_PROFILE_BY_SOURCE,
+    "pair_jaccard_histogram": SQL_PAIR_JACCARD_HISTOGRAM,
     # -- round-8 --
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "doc_novelty": SQL_DOC_NOVELTY,

@@ -306,4 +306,257 @@ ORDER BY t.source
 """
 
 
+# ---------------------------------------------------------------------------
+# second batch: contamination rollup, label-noise audit, length profile,
+# pair-similarity histogram
+# ---------------------------------------------------------------------------
+
+
+def q_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source eval-set contamination rate: the decontaminate gate
+    (same planted eval/train construction as q_decontaminate — eval =
+    docs 0-49, train = the rest plus mutated eval copies at +10M ids)
+    rolled up to the readout a mix owner acts on: of MY source's
+    training docs, how many would the ≥50%-shingle-overlap gate
+    subtract?  The planted mutants inherit their eval doc's source, so
+    every source with low ids shows a non-zero rate by construction.
+
+    Scale shape: the eval shingle index is broadcast (benchmarks are
+    tiny relative to training corpora), overlap is a map-side join —
+    the decontaminate operator's stress-proven shape — and the rollup
+    adds one |sources|-row agg over a left semi-style flag join."""
+    from mcpvectordb_spark.catalog._common import _NEARDUP_SUFFIX, _PLANT_OFFSET
+    from mcpvectordb_spark.operators import curation as cu
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") >= 50).select(
+        F.col("doc_id").alias("id"), "text", "source"
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + _PLANT_OFFSET).alias("id"),
+            F.concat(F.col("text"), F.lit(_NEARDUP_SUFFIX)).alias("text"),
+            "source",
+        )
+    )
+    flagged = cu.decontaminate(
+        train.select("id", "text"), eval_df, "id", "text", n=3, threshold=0.5
+    ).select("id", F.lit(1).alias("__hit"))
+    return (
+        train.join(flagged, "id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long")
+            .alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_rate",
+            F.round(F.col("n_contaminated") / F.col("n_train_docs"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_contamination_by_source() -> str:
+    from mcpvectordb_spark.catalog._common import (
+        _NEARDUP_SUFFIX,
+        _PLANT_OFFSET,
+        _sql_hex48,
+    )
+
+    shingles = _sql_shingles(_sql_words("text"), 3)
+    h48 = _sql_hex48("shingle")
+    return rf"""
+WITH eval_set AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 50),
+train AS (
+  SELECT doc_id AS id, text, source FROM documents WHERE doc_id >= 50
+  UNION ALL
+  SELECT doc_id+{_PLANT_OFFSET} AS id, text || '{_NEARDUP_SUFFIX}' AS text, source
+  FROM documents WHERE doc_id < 50),
+tsh AS (SELECT id, {h48} AS h FROM (SELECT id, unnest({shingles}) AS shingle FROM train)),
+esh AS (SELECT DISTINCT {h48} AS h, id AS eval_id
+        FROM (SELECT id, unnest({shingles}) AS shingle FROM eval_set)),
+sizes AS (SELECT id, count(*) AS set_size FROM tsh GROUP BY id),
+common AS (
+  SELECT t.id, e.eval_id, count(*) AS common
+  FROM tsh t JOIN esh e ON t.h = e.h
+  GROUP BY 1, 2),
+per_doc AS (SELECT id, max(common) AS max_common FROM common GROUP BY id),
+flagged AS (
+  SELECT p.id FROM per_doc p JOIN sizes s ON p.id = s.id
+  WHERE p.max_common / s.set_size >= 0.5)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_train_docs,
+       CAST(sum(CASE WHEN f.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       round(CAST(sum(CASE WHEN f.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS contamination_rate
+FROM train t LEFT JOIN flagged f ON t.id = f.id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL_CONTAMINATION_BY_SOURCE = _sql_contamination_by_source()
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: the (labeled lang × NB-predicted lang)
+    confusion matrix with per-label shares — the table that finds
+    mislabeled language metadata before a per-language mixture decision
+    trusts it.  Self-training on the corpus (the nb_lang_classify
+    model) makes the diagonal the self-consistency score; off-diagonal
+    mass at high share = a label the classifier cannot reproduce from
+    the text itself.
+
+    Scale shape: NB training is a (label, term) groupBy, scoring a
+    broadcast-model join + per-(doc, class) sum (classify.py's
+    stress-proven shape); the confusion rollup adds one
+    |langs|²-bounded agg, and the per-label share comes from a
+    lang-PARTITIONED window over that tiny relation — a share join
+    against a re-aggregation would re-execute the whole NB pipeline
+    (observed: 5.4s vs 2.8s; the conf relation would appear twice in
+    the plan)."""
+    from mcpvectordb_spark.operators.classify import nb_classify, nb_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = nb_train(docs, "lang", "text")
+    pred = nb_classify(docs, "doc_id", "text", model).select(
+        F.col("id").alias("doc_id"), "predicted"
+    )
+    conf = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    n_lang = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return conf.select(
+        "lang",
+        "predicted",
+        "n_docs",
+        F.round(F.col("n_docs") / n_lang, 6).alias("share"),
+    ).orderBy("lang", "predicted")
+
+
+def _sql_lang_confusion() -> str:
+    from mcpvectordb_spark.catalog._corpus import SQL_NB_LANG_CLASSIFY
+
+    return f"""
+WITH pred AS ({SQL_NB_LANG_CLASSIFY}),
+conf AS (
+  SELECT d.lang, p.predicted, CAST(count(*) AS BIGINT) AS n_docs
+  FROM pred p JOIN documents d USING (doc_id) GROUP BY 1, 2)
+SELECT lang, predicted, n_docs,
+       round(CAST(n_docs AS DOUBLE)
+             / CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT), 6) AS share
+FROM conf ORDER BY lang, predicted
+"""
+
+
+SQL_LANG_CONFUSION = _sql_lang_confusion()
+
+
+def q_length_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length profile: p10/p50/p90 of n_chars plus
+    the short-doc share (< 200 chars — the C4-style length-gate
+    candidates) — the datasheet adjunct that catches a source whose
+    'documents' are actually snippets before they flood a mixture.
+
+    Scale shape: one scan, one source-keyed agg; exact percentiles at
+    driver scale swap for the mergeable histogram sketch at 100 TB
+    (the events_psi / MAD / WOE caveat, documented there).  Both
+    engines interpolate percentiles with the same (1−g)·a + g·b rule
+    (Spark percentile == DuckDB quantile_cont, the proven events_psi
+    edge parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nc = F.col("n_chars").cast("double")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.percentile(nc, F.lit(0.1)), 6).alias("p10_chars"),
+            F.round(F.percentile(nc, F.lit(0.5)), 6).alias("p50_chars"),
+            F.round(F.percentile(nc, F.lit(0.9)), 6).alias("p90_chars"),
+            F.sum((F.col("n_chars") < 200).cast("long")).cast("long")
+            .alias("n_short"),
+        )
+        .withColumn("short_share", F.round(F.col("n_short") / F.col("n_docs"), 6))
+        .orderBy("source")
+    )
+
+
+SQL_LENGTH_PROFILE_BY_SOURCE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.1), 6) AS p10_chars,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_chars,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90_chars,
+       CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       round(CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS short_share
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_pair_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile histogram of near-dup pair similarities: how much of the
+    pair table sits at borderline (0.0x) vs verbatim (0.9-1.0) overlap
+    — the chart that picks the fuzzy-dedup threshold (a mass near the
+    current cut means the threshold choice is load-bearing; a bimodal
+    split means it is safe).
+
+    Scale shape: FIFTH consumer of the session-shared (raw, 3, 0.02)
+    pair table; one |bins|-bounded agg.  The bin key derives from the
+    1e9-quantized integer Jaccard by INTEGER division (qj // 1e8,
+    capped at 9), so the cut is exact on both engines; mean per bin
+    uses the exact-integer BIGINT-sum readout."""
+    pairs = _shared_neardup_pairs(spark, sf_dir, n=3, threshold=0.02, corpus="raw")
+    qj = F.round(F.col("jaccard") * 1e9).cast("long")
+    binned = pairs.select(
+        F.least(F.expr("CAST(round(jaccard * 1e9) AS BIGINT) div 100000000"),
+                F.lit(9)).cast("long").alias("bin"),
+        qj.alias("qj"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.sum("qj") / (F.count(F.lit(1)) * F.lit(1e9)), 6)
+            .alias("mean_jaccard"),
+        )
+        .withColumn("bin_lo", F.round(F.col("bin") / F.lit(10.0), 1))
+        .select("bin", "bin_lo", "n_pairs", "mean_jaccard")
+        .orderBy("bin")
+    )
+
+
+SQL_PAIR_JACCARD_HISTOGRAM = f"""
+WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+sizes AS (SELECT id, count(DISTINCT shingle) AS set_size
+          FROM (SELECT id, unnest({_sql_shingles(_sql_words('text'), 3)}) AS shingle
+                FROM corpus) GROUP BY 1),
+shg AS (SELECT id, unnest({_sql_shingles(_sql_words('text'), 3)}) AS shingle FROM corpus),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM shg a JOIN shg b ON b.shingle = a.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT CAST(c.common AS DOUBLE) / (sa.set_size + sb.set_size - c.common) AS jaccard
+  FROM common c
+  JOIN sizes sa ON sa.id = c.id_a
+  JOIN sizes sb ON sb.id = c.id_b
+  WHERE CAST(c.common AS DOUBLE) / (sa.set_size + sb.set_size - c.common) >= 0.02),
+binned AS (
+  SELECT least(CAST(round(jaccard * 1e9) AS BIGINT) // 100000000, 9) AS bin,
+         CAST(round(jaccard * 1e9) AS BIGINT) AS qj
+  FROM pairs)
+SELECT bin, round(bin / 10.0, 1) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(qj) AS DOUBLE) / (count(*) * 1e9), 6) AS mean_jaccard
+FROM binned GROUP BY 1 ORDER BY 1
+"""
+
+
 __all__ = [n for n in dir() if not n.startswith("__")]

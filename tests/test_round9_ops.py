@@ -184,3 +184,167 @@ def test_near_dup_rate_bounds_on_testdata(spark):
     for r in rows:
         assert 0 <= r["n_neardup"] <= r["n_docs"]
         assert 0.0 <= r["neardup_rate"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# contamination_by_source
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_by_source_closed_form(spark, tmp_path):
+    """Eval docs 0/1 (sources a/b) are planted back as +10M mutants that
+    keep 10 of their 15 shingles (12-word text + 5-word suffix ->
+    10/15 = 0.667 >= 0.5, flagged); doc 50 is clean train in source a.
+    So a: 2 train docs, 1 contaminated; b: 1 train doc, 1 contaminated."""
+    from mcpvectordb_spark.catalog._round9 import q_contamination_by_source
+
+    w12_a = " ".join(f"ea{i}" for i in range(12))
+    w12_b = " ".join(f"eb{i}" for i in range(12))
+    _plant(
+        spark,
+        tmp_path,
+        [
+            (0, w12_a, "en", "a", 60),
+            (1, w12_b, "en", "b", 60),
+            (50, "totally clean unrelated training words here", "en", "a", 44),
+        ],
+    )
+    rows = {r["source"]: r for r in
+            q_contamination_by_source(spark, str(tmp_path)).collect()}
+    a, b = rows["a"], rows["b"]
+    assert (a["n_train_docs"], a["n_contaminated"]) == (2, 1)
+    assert a["contamination_rate"] == 0.5
+    assert (b["n_train_docs"], b["n_contaminated"]) == (1, 1)
+    assert b["contamination_rate"] == 1.0
+
+
+def test_contamination_by_source_on_testdata(spark):
+    """Every planted mutant is contaminated by construction, so overall
+    contamination count >= 50; rates bounded."""
+    from mcpvectordb_spark.catalog._round9 import q_contamination_by_source
+
+    rows = q_contamination_by_source(spark, SF).collect()
+    assert sum(r["n_contaminated"] for r in rows) >= 50
+    for r in rows:
+        assert 0 <= r["n_contaminated"] <= r["n_train_docs"]
+        assert 0.0 <= r["contamination_rate"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# lang_confusion
+# ---------------------------------------------------------------------------
+
+
+def test_lang_confusion_closed_form(spark, tmp_path):
+    """Disjoint vocab per language except one mislabeled doc: fr doc 4
+    carries en tokens, and its own contribution to the fr class is not
+    enough to win (hand-computed NB posteriors: en -6.80 vs fr -8.03),
+    so it lands in the (fr, en) cell with share exactly 1/3."""
+    from mcpvectordb_spark.catalog._round9 import q_lang_confusion
+
+    _plant(
+        spark,
+        tmp_path,
+        [
+            (0, "aaa bbb", "en", "s", 7),
+            (1, "aaa bbb", "en", "s", 7),
+            (2, "ccc ddd", "fr", "s", 7),
+            (3, "ccc ddd", "fr", "s", 7),
+            (4, "aaa bbb aaa bbb aaa bbb", "fr", "s", 23),
+        ],
+    )
+    cells = {(r["lang"], r["predicted"]): r for r in
+             q_lang_confusion(spark, str(tmp_path)).collect()}
+    assert cells[("en", "en")]["n_docs"] == 2
+    assert cells[("en", "en")]["share"] == 1.0
+    assert cells[("fr", "en")]["n_docs"] == 1
+    assert cells[("fr", "en")]["share"] == round(1 / 3, 6)
+    assert cells[("fr", "fr")]["n_docs"] == 2
+    assert cells[("fr", "fr")]["share"] == round(2 / 3, 6)
+    assert ("en", "fr") not in cells
+
+
+def test_lang_confusion_shares_sum_on_testdata(spark):
+    from collections import defaultdict
+
+    from mcpvectordb_spark.catalog._round9 import q_lang_confusion
+
+    rows = q_lang_confusion(spark, SF).collect()
+    per_lang = defaultdict(float)
+    for r in rows:
+        per_lang[r["lang"]] += r["share"]
+    for lang, s in per_lang.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
+
+
+# ---------------------------------------------------------------------------
+# length_profile_by_source
+# ---------------------------------------------------------------------------
+
+
+def test_length_profile_closed_form(spark, tmp_path):
+    """Three docs of 100/200/300 chars: p10 = 120, p50 = 200, p90 = 280
+    under the shared (1-g)*a + g*b interpolation; exactly one short doc."""
+    from mcpvectordb_spark.catalog._round9 import q_length_profile_by_source
+
+    _plant(
+        spark,
+        tmp_path,
+        [
+            (0, "x" * 100, "en", "s", 100),
+            (1, "y" * 200, "en", "s", 200),
+            (2, "z" * 300, "en", "s", 300),
+        ],
+    )
+    r = q_length_profile_by_source(spark, str(tmp_path)).collect()[0]
+    assert (r["p10_chars"], r["p50_chars"], r["p90_chars"]) == (120.0, 200.0, 280.0)
+    assert r["n_short"] == 1 and r["short_share"] == round(1 / 3, 6)
+
+
+def test_length_profile_monotone_on_testdata(spark):
+    from mcpvectordb_spark.catalog._round9 import q_length_profile_by_source
+
+    for r in q_length_profile_by_source(spark, SF).collect():
+        assert r["p10_chars"] <= r["p50_chars"] <= r["p90_chars"]
+        assert 0.0 <= r["short_share"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# pair_jaccard_histogram
+# ---------------------------------------------------------------------------
+
+
+def test_pair_jaccard_histogram_closed_form(spark, tmp_path):
+    """One verbatim pair (J = 1.0 -> capped bin 9) and one engineered
+    J = 0.5 pair (5 shared words -> 3 shared shingles of B's 6 ->
+    3/(3+6-3)) -> exactly two cells with exact means."""
+    from mcpvectordb_spark.catalog._round9 import q_pair_jaccard_histogram
+
+    verbatim = "alpha beta gamma delta epsilon zeta"
+    five = "one two three four five"
+    _plant(
+        spark,
+        tmp_path,
+        [
+            (0, verbatim, "en", "s", 10),
+            (1, verbatim, "en", "s", 10),
+            (2, five, "en", "s", 10),
+            (3, five + " six seven eight", "en", "s", 10),
+        ],
+    )
+    rows = {r["bin"]: r for r in q_pair_jaccard_histogram(spark, str(tmp_path)).collect()}
+    assert set(rows) == {5, 9}
+    assert rows[9]["n_pairs"] == 1 and rows[9]["mean_jaccard"] == 1.0
+    assert rows[9]["bin_lo"] == 0.9
+    assert rows[5]["n_pairs"] == 1 and rows[5]["mean_jaccard"] == 0.5
+
+
+def test_pair_jaccard_histogram_bounds_on_testdata(spark):
+    from mcpvectordb_spark.catalog._round9 import q_pair_jaccard_histogram
+
+    rows = q_pair_jaccard_histogram(spark, SF).collect()
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        lo = r["bin"] / 10.0
+        hi = 1.0 if r["bin"] == 9 else lo + 0.1
+        assert lo - 1e-9 <= r["mean_jaccard"] <= hi + 1e-9

@@ -3999,9 +3999,88 @@ def main_r9() -> None:
             )
             return len(rows)
 
+    def contamination_1m():
+        from mcpvectordb_spark.catalog import QUERIES
+
+        n = 1_000_000
+        with tempfile.TemporaryDirectory() as td:
+            # eval = ids 0-49 (the query's fixed eval window), landing in
+            # sources s0..s49 via id mod 100; every id >= 50 gets
+            # id-embedded words (zero overlap with anything).  The
+            # query's own +10M planted mutants are then the ONLY
+            # contamination: sources s0-s49 read exactly 1 contaminated
+            # of 10_000 train docs, s50-s99 exactly 0 of 10_000.
+            docs = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit("u"), F.col("id"), F.lit(" v"), F.col("id"),
+                    F.lit(" w"), F.col("id"), F.lit(" x"), F.col("id"),
+                    F.lit(" y"), F.col("id"), F.lit(" z"), F.col("id"),
+                    F.lit(" u"), F.col("id"), F.lit(" v"), F.col("id"),
+                    F.lit(" w"), F.col("id"), F.lit(" x"), F.col("id"),
+                    F.lit(" y"), F.col("id"), F.lit(" z"), F.col("id"),
+                ).alias("text"),
+                F.lit("en").alias("lang"),
+                F.concat(F.lit("s"), F.col("id") % 100).alias("source"),
+                F.lit(60).cast("long").alias("n_chars"),
+            )
+            docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+            rows = QUERIES["contamination_by_source"](spark, td).collect()
+            assert len(rows) == 100
+            for r in rows:
+                k = int(r["source"][1:])
+                assert r["n_train_docs"] == 10_000, r
+                assert r["n_contaminated"] == (1 if k < 50 else 0), r
+            notes["contamination_1m"] = (
+                "1M docs / 100 sources: the broadcast-eval decontaminate "
+                "gate flags EXACTLY the 50 planted mutants (one per low "
+                "source, 12-word texts keep 22/27 shingles >= 0.5) and "
+                "nothing else; the rollup is one |sources|-row agg"
+            )
+            return len(rows)
+
+    def confusion_1m():
+        from mcpvectordb_spark.catalog import QUERIES
+
+        n = 1_000_000
+        k = 1_000  # mislabeled fr docs carrying en tokens
+        with tempfile.TemporaryDirectory() as td:
+            docs = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.when(F.col("id") < k, F.lit("aaa bbb aaa bbb aaa bbb"))
+                .when(F.col("id") % 2 == 0, F.lit("aaa bbb"))
+                .otherwise(F.lit("ccc ddd"))
+                .alias("text"),
+                F.when(F.col("id") % 2 == 0, F.lit("en"))
+                .otherwise(F.lit("fr"))
+                .alias("lang"),
+                F.lit("s").alias("source"),
+                F.lit(10).cast("long").alias("n_chars"),
+            )
+            docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+            rows = {(r["lang"], r["predicted"]): r["n_docs"]
+                    for r in QUERIES["lang_confusion"](spark, td).collect()}
+            # ids < k split ~evenly: even ids are TRUE en (correctly en-
+            # predicted either way); odd ids are mislabeled fr docs whose
+            # en tokens dominate their own class contribution
+            n_mis = k // 2
+            assert rows[("fr", "en")] == n_mis, rows
+            assert rows[("en", "en")] == n // 2
+            assert rows[("fr", "fr")] == n // 2 - n_mis
+            assert ("en", "fr") not in rows
+            notes["confusion_1m"] = (
+                f"1M docs, 4-term vocab, {n_mis} planted mislabels: the "
+                "confusion matrix holds exactly the planted (fr, en) cell "
+                "— NB stays a (label, term) agg + broadcast-model join at "
+                "any corpus size"
+            )
+            return len(rows)
+
     run("dedup_accounting_2m", dedup_accounting_2m)
     run("coverage_2m", coverage_2m)
     run("exposure_1m", exposure_1m)
+    run("contamination_1m", contamination_1m)
+    run("confusion_1m", confusion_1m)
     print(json.dumps({"stress": "r9", "timings": timings, "counts": counts,
                       "notes": notes}))
     spark.stop()
