@@ -229,3 +229,27 @@ def test_rotation_staleness_bound():
         assert max(gaps) <= bound, (
             f"{q} went {max(gaps)} rounds unchecked (> bound {bound})"
         )
+
+
+def test_every_oracle_parses_and_binds_in_duckdb():
+    """Fast full-catalog oracle dry-run: execute all 277 oracle SQL
+    strings against LIMIT-0 views of the real table schemas.  Catches
+    syntax rot, bad column references, and alias drift in seconds —
+    the full value gate (tools/check_parity.py, ~25 min) stays the
+    authority on values; this keeps the edit loop honest between runs."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet') LIMIT 0"
+        )
+    failures = []
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(sql).fetchall()
+        except Exception as exc:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:160]}")
+    assert not failures, "\n".join(failures)
