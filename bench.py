@@ -380,6 +380,12 @@ def main() -> None:
     # this bench's own local[32] usage (~20+) every time.
     load = round(os.getloadavg()[0], 2)
     spark = get_spark("bench")
+    # The driver's capture window mixes stderr into its tail: round-8's
+    # BENCH artifact tail was 100% `WARN WindowExec` spam (the allowlisted
+    # k-bounded global windows fire one line per execution) and the JSON
+    # stdout line risks being pushed out.  Benches run at ERROR; the WARN
+    # surface stays on everywhere else (tests, parity, ad-hoc sessions).
+    spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen paths and materialize tables distributed across
     # all cores (the single-row-group testdata files are unsplittable — a

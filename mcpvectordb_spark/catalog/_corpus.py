@@ -1649,13 +1649,24 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(plants)
 
     rep = repetition_features(corpus, "id", "text").select("id", "repetitive_flag")
-    lp = unigram_logprob(corpus, "id", "text").select("id", "avg_logprob")
+    # r9 optimization: lp feeds BOTH the p05 gate and the per-doc join —
+    # the lazy pin materializes the (id, avg_logprob) table once instead of
+    # re-running the logprob pipeline in each subtree (at 100 TB this IS
+    # the two-pass shape: you cannot threshold on a percentile of a score
+    # without materializing the scores first).
+    lp = (
+        unigram_logprob(corpus, "id", "text")
+        .select("id", "avg_logprob")
+        .localCheckpoint(eager=False)
+    )
     spans = dup_span_fraction(corpus, "id", "text", k=8).select("id", "dup_frac")
     p05 = lp.agg(F.expr("percentile(avg_logprob, 0.05)").alias("p05"))
 
+    # rep is a map-only total projection of corpus (one row per doc), so it
+    # IS the id spine — joining corpus.select("id") back onto it was a
+    # redundant corpus self-join (guide §2.4), dropped r9.
     joined = (
-        corpus.select("id")
-        .join(rep, "id", "left")
+        rep
         .join(lp, "id", "left")
         .join(spans, "id", "left")
         .crossJoin(F.broadcast(p05))

@@ -749,14 +749,14 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine emitted (final watermark = max event time − 2h, up to ms
     truncation ≪ the 1s margin).  The oracle applies the identical cutoff
     to the batch date_trunc twin, so stream == SQL exactly."""
-    import tempfile
-
     from mcpvectordb_spark.streaming.events import run_stream_to_memory
 
     ev = load_table(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).first()[0]
-    d = tempfile.mkdtemp(prefix="stream_in_")
-    ev.write.mode("overwrite").parquet(d)
+    d = _stream_input_dir(
+        spark, sf_dir, "events",
+        lambda p: ev.write.mode("overwrite").parquet(p),
+    )
     stream = (
         spark.readStream.schema(ev.schema).parquet(d)
         .withWatermark("ts", "2 hours")
@@ -795,8 +795,6 @@ def q_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (binary-exact 0.5/0.25 constants, identical op order) — the oracle
     is the SAME recursive CTE as events_holt minus the forecast rows,
     so this is a full-SQL-gated streaming query, not a rows-only one."""
-    import tempfile
-
     from mcpvectordb_spark.streaming.events import run_stream_to_memory
     from mcpvectordb_spark.streaming.stateful import holt_stream
 
@@ -807,8 +805,10 @@ def q_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("t"),
     ).agg(F.count(F.lit(1)).cast("double").alias("x"))
-    d = tempfile.mkdtemp(prefix="stream_holt_")
-    daily.write.mode("overwrite").parquet(d)
+    d = _stream_input_dir(
+        spark, sf_dir, "holt_daily",
+        lambda p: daily.write.mode("overwrite").parquet(p),
+    )
     stream = spark.readStream.schema(daily.schema).parquet(d)
     out = run_stream_to_memory(
         holt_stream(stream), "stream_holt_out", spark
@@ -861,14 +861,14 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries: session_window windows are half-open [ts, ts+gap), so a gap
     of EXACTLY 30 min starts a new session (oracle breaks on ``>=``), while
     sessionize_batch breaks on ``>``."""
-    import tempfile
-
     from mcpvectordb_spark.streaming.events import run_stream_to_memory, sessionize_stream
 
     ev = load_table(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).first()[0]
-    d = tempfile.mkdtemp(prefix="stream_sess_")
-    ev.write.mode("overwrite").parquet(d)
+    d = _stream_input_dir(
+        spark, sf_dir, "events",
+        lambda p: ev.write.mode("overwrite").parquet(p),
+    )
     out = run_stream_to_memory(
         sessionize_stream(spark, d, ev.schema, gap="30 minutes", watermark="4 hours"),
         "stream_sessions_out",
@@ -915,7 +915,6 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/stateful.py::dedup_stream).  Each document is streamed
     twice across separate files (= separate micro-batches in file order);
     exactly one survivor per content hash must emerge."""
-    import tempfile
 
     from mcpvectordb_spark.streaming.stateful import dedup_stream
 
@@ -925,9 +924,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(500)
     )
-    d = tempfile.mkdtemp(prefix="stream_dedup_")
-    docs.write.mode("overwrite").parquet(f"{d}/b0")
-    docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).write.mode("overwrite").parquet(f"{d}/b1")
+    def _write_batches(p: str) -> None:
+        docs.write.mode("overwrite").parquet(f"{p}/b0")
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).write.mode(
+            "overwrite"
+        ).parquet(f"{p}/b1")
+
+    d = _stream_input_dir(spark, sf_dir, "dedup_batches", _write_batches)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -976,7 +979,6 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored touch within 7 days.  Rolled up per channel IDENTICALLY to
     events_attribution, so this stream query carries that query's full
     SQL oracle — the strongest gate any stream here has."""
-    import tempfile
 
     from mcpvectordb_spark.streaming.stateful import attribution_stream
 
@@ -989,12 +991,19 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("v"),
     )
     split_t = base.agg(F.expr("percentile(t, 0.5)")).first()[0]
-    d = tempfile.mkdtemp(prefix="stream_attr_")
+
     # one file per half: maxFilesPerTrigger=1 makes each file ONE
     # micro-batch, and a user's rows must not straddle same-batch files
     # (within-batch order is only restored per micro-batch)
-    base.filter(F.col("t") < split_t).coalesce(1).write.mode("overwrite").parquet(f"{d}/b0")
-    base.filter(F.col("t") >= split_t).coalesce(1).write.mode("overwrite").parquet(f"{d}/b1")
+    def _write_halves(p: str) -> None:
+        base.filter(F.col("t") < split_t).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{p}/b0")
+        base.filter(F.col("t") >= split_t).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{p}/b1")
+
+    d = _stream_input_dir(spark, sf_dir, "attr_halves", _write_halves)
     stream = (
         spark.readStream.schema(base.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1525,7 +1534,6 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch twin's SQL gates the values exactly
     (test_streaming.py::test_stream_stream_join_matches_batch pins the
     pair-level equality)."""
-    import tempfile
 
     from mcpvectordb_spark.streaming.events import (
         purchase_click_pairs_stream,
@@ -1533,8 +1541,10 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="stream_join_in_")
-    ev.write.mode("overwrite").parquet(d)
+    d = _stream_input_dir(
+        spark, sf_dir, "events",
+        lambda p: ev.write.mode("overwrite").parquet(p),
+    )
     stream = purchase_click_pairs_stream(spark, d, ev.schema, within_minutes=60)
     out = run_stream_to_memory(stream, "stream_join_out", spark)
     return out.groupBy("user_id").agg(

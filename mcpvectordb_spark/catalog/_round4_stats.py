@@ -1411,7 +1411,14 @@ def q_mix_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcpvectordb_spark.operators.curation import ipf_rake
 
     docs = load_table(spark, sf_dir, "documents")
-    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    # r9 optimization: cells feeds tot, rt, ct AND the 16-step IPF chain —
+    # without the lazy pin each branch re-ran the corpus scan + groupBy
+    # (10 scans / 58 exchanges in the before plan).  The ~|langs|·|sources|
+    # contingency is exactly the table a raking pass materializes first.
+    cells = (
+        docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     tot = cells.agg(
         F.sum("n").alias("nn"),
         F.countDistinct("lang").alias("nl"),

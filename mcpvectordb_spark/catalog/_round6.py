@@ -410,14 +410,15 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     included, the stream_attribution device.  The stream==batch sketch
     equality is additionally pinned counter-for-counter in
     test_streaming.py::test_cms_is_streaming_native."""
-    import tempfile
 
     from mcpvectordb_spark.operators.sketches import cms_estimate, cms_sketch
 
     DEPTH, WIDTH = 4, 256
     ev = load_table(spark, sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="stream_cms_")
-    ev.select("user_id").write.mode("overwrite").parquet(d)
+    d = _stream_input_dir(
+        spark, sf_dir, "cms_userid",
+        lambda p: ev.select("user_id").write.mode("overwrite").parquet(p),
+    )
     stream = spark.readStream.schema("user_id long").parquet(d)
     q = (
         cms_sketch(stream, "user_id", depth=DEPTH, width=WIDTH)
@@ -465,7 +466,6 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(ts)), so the batch date_trunc twin's SQL gates it exactly; the
     reference edges replay via quantile_cont (the events_psi percentile
     parity convention)."""
-    import tempfile
 
     from mcpvectordb_spark.streaming.events import drift_bins_stream, run_stream_to_memory
 
@@ -474,8 +474,10 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ev.groupBy("event_type").agg(
         *[F.percentile("value", F.lit(i / 10.0)).alias(f"e{i}") for i in range(1, 10)]
     )
-    d = tempfile.mkdtemp(prefix="stream_drift_")
-    ev.write.mode("overwrite").parquet(d)
+    d = _stream_input_dir(
+        spark, sf_dir, "events",
+        lambda p: ev.write.mode("overwrite").parquet(p),
+    )
     out = run_stream_to_memory(
         drift_bins_stream(spark, d, ev.schema, edges, window="1 hour", watermark="2 hours"),
         "stream_drift_out",
@@ -983,7 +985,16 @@ def q_sources_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _shared_shingles(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     srcs = docs.select(F.col("doc_id").alias("id"), "source")
-    ss = idx.join(srcs, "id").select("source", "shingle").distinct()
+    # r9 optimization: ss feeds four plan branches (per ×2 via na/nb, and
+    # both sides of the intersection self-join) — without the lazy pin each
+    # branch re-ran the index⋈source join + distinct (4 scans of the
+    # shingle index in the physical plan, 8 exchanges).  The pinned table
+    # is the per-source shingle-df relation a real pipeline materializes
+    # before any cross-source comparison.
+    ss = (
+        idx.join(srcs, "id").select("source", "shingle").distinct()
+        .localCheckpoint(eager=False)
+    )
     per = ss.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_sh")
     )

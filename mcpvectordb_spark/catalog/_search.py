@@ -1116,7 +1116,12 @@ def q_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcpvectordb_spark.operators.analytics import item_item_cosine
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = item_item_cosine(li, "l_orderkey", "l_partkey", min_cooc=2, max_basket=50)
+    # r9 optimization: the symmetrization union consumes `pairs` twice —
+    # without the lazy pin the whole basket pair-mining pipeline ran once
+    # per branch.  The mined pair table is tiny (recurring pairs only).
+    pairs = item_item_cosine(
+        li, "l_orderkey", "l_partkey", min_cooc=2, max_basket=50
+    ).localCheckpoint(eager=False)
     sym = pairs.select(
         F.col("item_a").alias("seed"), F.col("item_b").alias("rec"), "cooc", "cos"
     ).unionByName(

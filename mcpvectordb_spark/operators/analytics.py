@@ -421,10 +421,12 @@ def markov_removal_attribution(
     (src, dst) count aggregation; everything after operates on the tiny
     (removal, src, dst) matrix (|channels|+1 chains x <=
     (|channels|+3)^2 cells).  Absorption probabilities come from
-    ``squarings`` matrix self-joins — P^(2^k) by repeated squaring, so 6
-    squarings give the exact 64-step mass, log-depth instead of 64
-    chained iterations; each squaring is localCheckpointed so the
-    self-join plan stays O(1) deep (the two-star-CC discipline).
+    ``squarings`` matrix squarings — P^(2^k), so 6 squarings give the
+    exact 64-step mass, log-depth instead of 64 chained iterations; each
+    chain's matrix is densified to ONE row holding a K×K array over the
+    global state list, so the squarings are map-only array expressions
+    (one groupBy shuffle total) instead of per-squaring self-join +
+    re-aggregation jobs (r9).
 
     Returns one row per channel: (channel, p_conv_full, p_conv_removed,
     removal_effect, attribution) where attribution is the effect
@@ -491,23 +493,71 @@ def markov_removal_attribution(
     )
     mat = mat.unionByName(absorb.select("rm", "src", "dst", "p")).localCheckpoint(eager=False)
 
-    for _ in range(squarings):
-        mat = (
-            mat.alias("a")
-            .join(
-                mat.alias("b"),
-                (F.col("a.rm") == F.col("b.rm")) & (F.col("a.dst") == F.col("b.src")),
-            )
-            .groupBy(F.col("a.rm").alias("rm"), F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
-            .agg(F.sum(F.col("a.p") * F.col("b.p")).alias("p"))
-            .localCheckpoint(eager=False)
+    # r9 optimization (guide §2.4 / §1.2 "fix the distributed algorithm"):
+    # the per-chain matrix is tiny (≤ (|channels|+3)² cells), so the
+    # squarings no longer run as `squarings` sequential self-join +
+    # re-aggregation shuffle jobs.  Each chain's matrix is densified into
+    # ONE row holding a K×K double array over the global state list
+    # (every event type + the three specials — a SUPERSET of any chain's
+    # states; absent cells are exact 0.0, and 0.0 contributions leave every
+    # float sum value unchanged), after which each squaring is a map-only
+    # array expression: new[i,j] = Σ_k m[i,k]·m[k,j].  One groupBy shuffle
+    # replaces 6 join+agg shuffles; the 64-step absorption mass read out of
+    # the final array equals the sparse cell (or 0.0 where no path existed,
+    # exactly the zero-fill the sparse path applied).  The event-type
+    # domain is a bounded enum — pulling it to the driver is the same
+    # bounded-small-pull class as the stream fixtures' max_ts.
+    etypes = sorted(
+        r[0]
+        for r in events.select(F.col(type_col).cast("string")).distinct().collect()
+        if r[0] is not None
+    )
+    states = etypes + ["(start)", "(conv)", "(null)"]
+    K = len(states)
+    st_idx = {s: i for i, s in enumerate(states)}
+    idx_expr = F.create_map(
+        *[x for s, i in st_idx.items() for x in (F.lit(s), F.lit(i))]
+    )
+    cellkey = (
+        F.element_at(idx_expr, F.col("src")) * K
+        + F.element_at(idx_expr, F.col("dst"))
+    )
+    dense = (
+        mat.groupBy("rm")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(cellkey.alias("k"), F.col("p").alias("v")))
+            ).alias("mp")
+        )
+        .select(
+            "rm",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(K * K - 1)),
+                lambda x: F.coalesce(F.element_at(F.col("mp"), x), F.lit(0.0)),
+            ).alias("m"),
+        )
+    )
+
+    def _square(a):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(K * K - 1)),
+            lambda x: F.aggregate(
+                F.sequence(F.lit(0), F.lit(K - 1)),
+                F.lit(0.0),
+                lambda acc, kk: acc
+                + F.element_at(a, (x - x % K) + kk + 1)
+                * F.element_at(a, kk * K + (x % K) + 1),
+            ),
         )
 
-    # the matrix is sparse: a chain with NO start->conv path simply has no
-    # cell, so rejoin against the channel list (zero-filled) and aggregate
-    # the full-chain mass so "nobody converts" still yields one row
-    conv = mat.filter((F.col("src") == "(start)") & (F.col("dst") == "(conv)")).select(
-        "rm", F.col("p").alias("p_conv")
+    for _ in range(squarings):
+        dense = dense.select("rm", _square(F.col("m")).alias("m"))
+
+    conv = dense.select(
+        "rm",
+        F.element_at(
+            "m", F.lit(st_idx["(start)"] * K + st_idx["(conv)"] + 1)
+        ).alias("p_conv"),
     )
     full = F.broadcast(
         conv.filter(F.col("rm") == "(none)").agg(

@@ -52,8 +52,17 @@ def nb_train(df: DataFrame, label_col: str, text_col: str) -> NBModel:
         F.col(label_col).alias("label"), F.explode(_terms(text_col)).alias("term")
     )
     cwc = tok.groupBy("label", "term").agg(F.count(F.lit(1)).cast("long").alias("ct"))
-    nc = tok.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_c"))
-    v = tok.select(F.countDistinct("term").cast("long").alias("v"))
+    # n_c / V / vocab all derive from the (label, term, ct) table instead of
+    # re-aggregating `tok` directly (r9 optimization, guide §2.4): every
+    # consumer now shares ONE corpus tokenize→explode→Exchange(label, term)
+    # subtree (ReuseExchange dedupes it in-plan), where the previous
+    # formulation re-ran the explode once per aggregate — 7 Generate nodes
+    # over 7 corpus scans in nb_lang_classify's physical plan, now 2.
+    # Values are identical: count(tok) per label == sum(ct), and the
+    # distinct terms of cwc ARE the distinct terms of tok.
+    nc = cwc.groupBy("label").agg(F.sum("ct").cast("long").alias("n_c"))
+    vocab = cwc.select("term").distinct()
+    v = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
     dcnt = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).cast("long").alias("d_c")
     )
@@ -72,7 +81,7 @@ def nb_train(df: DataFrame, label_col: str, text_col: str) -> NBModel:
     unseen = nc.crossJoin(F.broadcast(v)).select(
         "label", F.log(F.lit(1.0) / (F.col("n_c") + F.col("v"))).alias("log_unseen")
     )
-    return NBModel(priors, liks, unseen, tok.select("term").distinct())
+    return NBModel(priors, liks, unseen, vocab)
 
 
 def nb_classify(

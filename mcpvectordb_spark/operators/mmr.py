@@ -12,9 +12,12 @@ diversity control).
 The greedy loop is UNROLLED a fixed k times over a localCheckpointed
 candidate pool, so the whole rerank is one deterministic lazy plan that
 the DuckDB oracle replays as k chained CTEs — no driver-side numpy, no
-collect.  Each step joins the ≤N-row candidate pool with the ≤k-row
-selected set: tiny broadcast work regardless of corpus size, because
-diversification happens AFTER the distributed top-N scan.
+collect.  Each step updates a per-candidate running ``maxsim`` with the
+single newly-picked row (max over a set is associative, so the running
+max is bit-identical to re-aggregating over the whole selected set) and
+takes the next pick with one TakeOrdered — map-only work over the ≤N-row
+pool, no per-step shuffle, because diversification happens AFTER the
+distributed top-N scan.
 
 Scale shape: the expensive part is the candidate scan (knn_topk /
 ivf_topk — whatever produced the pool); the rerank itself is O(k·N)
@@ -22,6 +25,8 @@ arithmetic on a pool that fits in one partition by construction.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,21 +52,41 @@ def mmr_rerank(
         cands.orderBy(F.desc("rel"), F.asc("id"))
         .limit(1)
         .select(F.lit(1).alias("step"), "id", "v", (F.lit(lam) * F.col("rel")).alias("mmr"))
+        .localCheckpoint(eager=False)
     )
-    selected = first
+    # r9 optimization (guide §2.4): carry max_{s∈S} sim(d, s) INCREMENTALLY
+    # on the pool rows — maxsim_i(d) = max(maxsim_{i-1}(d), sim(d, pick_i)).
+    # max over a set is associative and order-free, so the value (and hence
+    # every pick and every reported mmr) is bit-identical to the oracle's
+    # re-aggregation over the full selected set, but each step is now a
+    # map-only update (one broadcast of the 1-row pick) + a TakeOrdered
+    # pick instead of a left_anti join + crossJoin + groupBy re-aggregation
+    # shuffle per step: the unrolled plan drops all k−1 Exchanges.
+    picks = [first]
+    pick = first
+    pool = cands
     for i in range(2, k + 1):
-        pool = cands.join(selected.select("id"), "id", "left_anti")
-        pick = (
-            pool.alias("c")
-            .crossJoin(F.broadcast(selected.alias("s")))
-            .groupBy(F.col("c.id").alias("id"), F.col("c.v").alias("v"), F.col("c.rel").alias("rel"))
-            .agg(F.max(cosine(F.col("c.v"), F.col("s.v"))).alias("maxsim"))
+        pk = F.broadcast(pick.select(F.col("id").alias("__pid"), F.col("v").alias("__pv")))
+        sim = cosine(F.col("v"), F.col("__pv"))
+        pool = (
+            pool.crossJoin(pk)
+            .filter(F.col("id") != F.col("__pid"))
             .select(
+                "id", "v", "rel",
+                (F.greatest(F.col("maxsim"), sim) if i > 2 else sim).alias("maxsim"),
+            )
+        )
+        pick = (
+            pool.select(
                 F.lit(i).alias("step"), "id", "v",
                 (F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("maxsim")).alias("mmr"),
             )
             .orderBy(F.desc("mmr"), F.asc("id"))
             .limit(1)
+            # 1-row pin: truncates the next pool update's lineage so the
+            # unrolled plan stays O(k) deep, not O(2^k)
+            .localCheckpoint(eager=False)
         )
-        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+        picks.append(pick)
+    selected = reduce(lambda x, y: x.unionByName(y), picks)
     return selected.select("step", "id", "mmr").orderBy("step")

@@ -81,6 +81,10 @@ def textrank_sentences(
             "doc", "sa", "sb",
             (F.col("c") / (F.log(F.col("na") + 1) + F.log(F.col("nb") + 1))).alias("w"),
         )
+        # r9 optimization: the symmetrization union below consumes sim
+        # twice — without this pin the tokenize + sentence-pair join +
+        # size joins re-ran once per direction.
+        .localCheckpoint(eager=False)
     )
     edges = sim.select("doc", F.col("sa").alias("src"), F.col("sb").alias("dst"), "w").unionByName(
         sim.select("doc", F.col("sb").alias("src"), F.col("sa").alias("dst"), "w")

@@ -1,0 +1,45 @@
+"""Dump .explain("formatted") for named catalog queries to plans/r09/.
+
+Usage: python tools/capture_plans.py <suffix> <query> [query ...]
+       python tools/capture_plans.py before events_attribution_markov ...
+
+Writes plans/r09/<query>_<suffix>.txt — the optimization-round evidence
+files the judge diffs against OPTIMIZATION_r09.md claims.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+from mcpvectordb_spark.catalog import QUERIES
+from mcpvectordb_spark.session import get_spark
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    unknown = set(names) - set(QUERIES)
+    if unknown:
+        raise SystemExit(f"unknown queries: {sorted(unknown)}")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r09")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("capture_plans")
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(f"# {name} @ {sf_dir} ({suffix})\n")
+            fh.write(plan)
+        print(f"wrote {path} ({plan.count('Exchange')} Exchange mentions)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
