@@ -1280,6 +1280,11 @@ def q_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # ONE session-shared posting build feeds the scorer and the judge
     idx = _shared_bm25_index(spark, sf_dir)
+    # r9 note: `ranked` and `matches` each feed multiple plan branches, but
+    # BOTH derive from the session-pinned posting index via broadcast joins
+    # — a measured A/B (ONLY-mode, both orders) showed localCheckpoint pins
+    # here cost ~15% (the extra materialization job outweighs recompute-
+    # from-pinned), so the branches deliberately recompute.
     ranked = bm25_multi_topk(docs, _EVAL_QUERIES, 10, "doc_id", "text", index=idx)
     rows = []
     for qid, q in sorted(_EVAL_QUERIES.items()):

@@ -1978,6 +1978,9 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((qid, t))
     qterms = spark.createDataFrame(rows, "qid int, term string")
     nt = qterms.groupBy("qid").agg(F.count(F.lit(1)).alias("nt"))
+    # r9 note: m feeds two branches, but it derives from the session-pinned
+    # posting via a broadcast join — a measured A/B showed a pin here costs
+    # ~10% (materialization job > recompute-from-pinned), so no pin.
     m = (
         idx.posting.join(F.broadcast(qterms), "term")
         .groupBy("qid", "doc")

@@ -1301,12 +1301,24 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dst").isNotNull())
     )
-    cnt = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    # r9 optimization: cnt feeds tot AND the row-normalization join — the
+    # pin stops the events scan + per-user lead window + agg from running
+    # twice.  states feeds ns, the pi seed, and all six per-round left
+    # joins (8 consumers) — pinned, the events scan+distinct runs once.
+    cnt = (
+        trans.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     tot = cnt.groupBy("src").agg(F.sum("c").alias("t"))
     pmat = cnt.join(tot, "src").select("src", "dst", (F.col("c") / F.col("t")).alias("p"))
     pmat = pmat.localCheckpoint(eager=False)
 
-    states = ev.select(F.col("event_type").alias("s")).distinct()
+    states = (
+        ev.select(F.col("event_type").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     ns = states.agg(F.count(F.lit(1)).cast("double").alias("n_states"))
     pi = states.crossJoin(F.broadcast(ns)).select(
         F.col("s").alias("ps"), (F.lit(1.0) / F.col("n_states")).alias("pi")
@@ -1372,7 +1384,15 @@ def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("src"),
         F.lead("event_type").over(w).alias("dst"),
     ).filter(F.col("dst").isNotNull())
-    cells = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    # r9 optimization: cells feeds FOUR plan branches (rowt, colt, tot, j)
+    # — without the pin each branch re-ran the events scan + per-user lead
+    # window + agg.  The |event_types|²-row cell table is the artifact an
+    # entropy computation materializes first.
+    cells = (
+        trans.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     rowt = cells.groupBy("src").agg(F.sum("c").alias("t"))
     colt = cells.groupBy("dst").agg(F.sum("c").alias("m"))
     tot = cells.agg(F.sum("c").alias("cc"))

@@ -487,7 +487,14 @@ def modularity(
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    lv = labels.select(F.col(node_col).alias("v"), "lbl")
+    # r9 optimization: lv feeds THREE plan branches (dl, la, lb) — when the
+    # caller hands in an unpinned iterative labeling (label_propagation's
+    # 4-round join+agg+window chain), each branch would recompile and
+    # re-run the whole chain.  The pin materializes the (node, lbl) vector
+    # once; LP is deterministic, so replay and pin are value-identical.
+    lv = labels.select(F.col(node_col).alias("v"), "lbl").localCheckpoint(
+        eager=False
+    )
     dl = lv.join(deg, "v").groupBy("lbl").agg(F.sum("deg").alias("d_c"))
     la = lv.select(F.col("v").alias("a"), F.col("lbl").alias("lbl_a"))
     lb = lv.select(F.col("v").alias("b"), F.col("lbl").alias("lbl_b"))

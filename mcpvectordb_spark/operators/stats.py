@@ -394,12 +394,14 @@ def gini_concentration(df: DataFrame, val_col: str) -> DataFrame:
     w_desc = Window.orderBy(F.col("v").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # r9 optimization: b feeds tot AND topk — the pin stops the input scan
+    # + block agg + both cumulative windows from running twice.
     b = blocks.select(
         "v",
         "c",
         F.coalesce(F.sum("c").over(w_asc), F.lit(0)).alias("below"),
         F.coalesce(F.sum("c").over(w_desc), F.lit(0)).alias("above"),
-    )
+    ).localCheckpoint(eager=False)
     tot = b.agg(
         F.sum("c").alias("n"),
         F.sum(F.col("v") * F.col("c")).alias("s"),
@@ -587,13 +589,21 @@ def quantile_normalize(df: DataFrame, key_col: str, val_col: str) -> DataFrame:
     a = df.select(
         F.col(key_col).alias("k"), F.col(val_col).cast("long").alias("v")
     )
-    blocks = value_blocks(a, "v", group_cols=("k",))
+    # r9 optimization: blocks feeds kb, nk AND (via the derivation below)
+    # the pooled distribution — the pin materializes the (k, v) block
+    # table once instead of re-running the input scan + agg per branch.
+    blocks = value_blocks(a, "v", group_cols=("k",)).localCheckpoint(
+        eager=False
+    )
     wk = Window.partitionBy("k").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )
     kb = blocks.select("k", "v", "c", F.sum("c").over(wk).alias("cumk"))
     nk = blocks.groupBy("k").agg(F.sum("c").alias("n_k"))
-    pooled = value_blocks(a, "v", counters={"pc": F.count(F.lit(1))})
+    # pooled derives from the (k, v) blocks — sum of per-group counts per
+    # value IS the pooled row count per value (exact integers), so the
+    # pooled pass never rescans the input (r9: input scans 2 -> 1).
+    pooled = blocks.groupBy("v").agg(F.sum("c").alias("pc"))
     wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     pb = pooled.select(
         F.col("v").alias("pv"), F.sum("pc").over(wp).alias("cump")

@@ -351,9 +351,15 @@ def doc_pmi_pairs(
     """
     from mcpvectordb_spark.operators.bm25 import tokens_col
 
+    # r9 optimization: words feeds dfreq AND the band probe, and wb feeds
+    # BOTH sides of the pair self-join — without the pins the corpus
+    # explode+distinct ran three times per execution.  The pinned tables
+    # are exactly the (doc, term) index and its band slice a collocation
+    # miner materializes before pair mining.
     words = (
         df.select(F.col(id_col).alias("doc"), F.explode(tokens_col(F.col(text_col))).alias("term"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_docs = F.broadcast(df.agg(F.count(F.lit(1)).cast("double").alias("__n")))
     dfreq = words.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -365,7 +371,9 @@ def doc_pmi_pairs(
         )
         .select("term", "df")
     )
-    wb = words.join(band, "term").select("doc", "term", "df")
+    wb = words.join(band, "term").select("doc", "term", "df").localCheckpoint(
+        eager=False
+    )
     a = wb.select("doc", F.col("term").alias("term_a"), F.col("df").alias("df_a"))
     b = wb.select("doc", F.col("term").alias("term_b"), F.col("df").alias("df_b"))
     pairs = (
@@ -582,7 +590,14 @@ def chi2_terms(
         .filter(F.col("t") != "")
         .distinct()
     )
-    a_tab = pres.groupBy("t", "cls").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    # r9 optimization: a_tab feeds t_tot AND the chi2 join — the pin stops
+    # the corpus explode+distinct+agg (the expensive pass) from running
+    # twice; a_tab itself is vocab x classes, cheap to hold.
+    a_tab = (
+        pres.groupBy("t", "cls")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+        .localCheckpoint(eager=False)
+    )
     t_tot = a_tab.groupBy("t").agg(F.sum("a").cast("long").alias("df_t"))
     # class totals pinned (enum-sized); the corpus total derives from
     # them, so documents is scanned once for presence + once for counts
