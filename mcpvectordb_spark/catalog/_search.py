@@ -1116,12 +1116,11 @@ def q_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcpvectordb_spark.operators.analytics import item_item_cosine
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # r9 optimization: the symmetrization union consumes `pairs` twice —
-    # without the lazy pin the whole basket pair-mining pipeline ran once
-    # per branch.  The mined pair table is tiny (recurring pairs only).
-    pairs = item_item_cosine(
-        li, "l_orderkey", "l_partkey", min_cooc=2, max_basket=50
-    ).localCheckpoint(eager=False)
+    # r9 note: the symmetrization union consumes `pairs` twice, but a
+    # paired A/B measured a lazy pin here NEUTRAL at sf0.1 (AQE reuses the
+    # mining exchanges), and the pin makes the rank-window cos key opaque
+    # to tools/rankkey_report.py — so the branches deliberately recompute.
+    pairs = item_item_cosine(li, "l_orderkey", "l_partkey", min_cooc=2, max_basket=50)
     sym = pairs.select(
         F.col("item_a").alias("seed"), F.col("item_b").alias("rec"), "cooc", "cos"
     ).unionByName(

@@ -279,12 +279,13 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     exploded = df.select(F.col(id_col).alias("id"), F.explode(terms).alias("term"))
     freq = exploded.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    # r9 optimization (guide §2.4): N derives from the vocab-bounded freq
-    # table (sum of counts == token count, exactly), not a third corpus
-    # explode; and freq is explicitly broadcast — it is vocabulary-sized,
-    # so the scoring join becomes map-side and the exploded corpus never
-    # shuffles by term.  Corpus passes: 3 → 2 (probe + freq build).
-    n_total = freq.agg(F.sum("c").cast("long").alias("n_total"))
+    # r9 optimization (guide §3.1): freq is vocabulary-sized, so the
+    # scoring join is explicitly broadcast and the exploded corpus never
+    # shuffles by term.  N stays a bare count over the explode — deriving
+    # it from freq was tried and measured SLOWER (BroadcastExchange and
+    # shuffle Exchange don't reuse, so freq's agg ran twice; a codegen
+    # count of the explode is cheaper than a second full groupBy).
+    n_total = exploded.select(F.count(F.lit(1)).cast("long").alias("n_total"))
     return (
         exploded.join(F.broadcast(freq), "term")
         .crossJoin(F.broadcast(n_total))
