@@ -51,7 +51,20 @@ def nb_train(df: DataFrame, label_col: str, text_col: str) -> NBModel:
     tok = df.select(
         F.col(label_col).alias("label"), F.explode(_terms(text_col)).alias("term")
     )
-    cwc = tok.groupBy("label", "term").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    # r10 optimization (guide §2.4 + the r9 broadcast-vs-shuffle lesson):
+    # the model tables (liks, unseen, priors, vocab) are each BROADCAST at
+    # scoring time, and broadcast exchanges never reuse each other's (or a
+    # shuffle exchange's) subtree — profiled at sf0.1, every broadcast
+    # build re-ran the corpus tokenize→explode→groupBy independently
+    # (~6 corpus explodes per execution; lang_confusion spent 67 s of task
+    # time on 14 s of CPU).  cwc is the vocabulary×|labels| model statistic
+    # — bounded, tiny — so pin it: training runs the corpus explode ONCE
+    # and every downstream model table derives from the materialized pin.
+    cwc = (
+        tok.groupBy("label", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+        .localCheckpoint(eager=False)
+    )
     # n_c / V / vocab all derive from the (label, term, ct) table instead of
     # re-aggregating `tok` directly (r9 optimization, guide §2.4): every
     # consumer now shares ONE corpus tokenize→explode→Exchange(label, term)

@@ -9,15 +9,30 @@ diversity control).
     mmr(d | S) = λ · rel(d) − (1−λ) · max_{s∈S} sim(d, s)
     pick argmax (ties → smallest id);  step 1 scores λ·rel (S = ∅)
 
-The greedy loop is UNROLLED a fixed k times over a localCheckpointed
-candidate pool, so the whole rerank is one deterministic lazy plan that
-the DuckDB oracle replays as k chained CTEs — no driver-side numpy, no
+The greedy loop is UNROLLED a fixed k times as ONE lazy plan that the
+DuckDB oracle replays as k chained CTEs — no driver-side numpy, no
 collect.  Each step updates a per-candidate running ``maxsim`` with the
 single newly-picked row (max over a set is associative, so the running
 max is bit-identical to re-aggregating over the whole selected set) and
-takes the next pick with one TakeOrdered — map-only work over the ≤N-row
-pool, no per-step shuffle, because diversification happens AFTER the
+identifies the next pick with a global-window argmax — map-only work
+over the ≤N-row pool, because diversification happens AFTER the
 distributed top-N scan.
+
+r10 optimization (guide §1.2 "the distributed algorithm" / r9 verdict
+item 4 — the 1.0–2.5 s iterative band is driver-job-submission bound,
+not data bound): the r9 shape still paid ~2 driver jobs per step (a
+broadcast build of the pinned 1-row pick + a TakeOrdered pick job, k−1
+times).  Each pick is an argmax over the pool, so it is now computed
+IN-PLAN with a global window max over struct(mmr, -id) (the pool is a
+≤N-row top-N result — the same k-bounded global-window class as topk.py)
+and picked rows are FLAGGED (step column) instead of removed and
+re-unioned.  The whole rerank — all k picks — is one job with zero
+localCheckpoint pins and zero per-step broadcasts; picks, mmr values and
+tie-breaks (highest mmr, then lowest id) are expression-for-expression
+identical to the r9 shape, so the result is bit-identical.
+
+Candidate ids must be NON-NULL (they are primary keys in every caller);
+a null id can never be picked (the argmax equality comparison is null).
 
 Scale shape: the expensive part is the candidate scan (knn_topk /
 ivf_topk — whatever produced the pool); the rerank itself is O(k·N)
@@ -26,9 +41,7 @@ arithmetic on a pool that fits in one partition by construction.
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mcpvectordb_spark.operators.knn import cosine
@@ -44,49 +57,50 @@ def mmr_rerank(
 ) -> DataFrame:
     """Greedy MMR over a (id, vec, rel) candidate pool; returns
     (step, id, mmr) with step = 1-based selection order."""
-    cands = candidates.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(rel_col).alias("rel")
-    ).localCheckpoint(eager=False)
-
-    first = (
-        cands.orderBy(F.desc("rel"), F.asc("id"))
-        .limit(1)
-        .select(F.lit(1).alias("step"), "id", "v", (F.lit(lam) * F.col("rel")).alias("mmr"))
-        .localCheckpoint(eager=False)
+    w = Window.partitionBy()
+    pool = candidates.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(rel_col).alias("rel"),
+        F.lit(None).cast("int").alias("step"),
+        F.lit(None).cast("double").alias("mmr"),
+        F.lit(None).cast("double").alias("maxsim"),
     )
-    # r9 optimization (guide §2.4): carry max_{s∈S} sim(d, s) INCREMENTALLY
-    # on the pool rows — maxsim_i(d) = max(maxsim_{i-1}(d), sim(d, pick_i)).
-    # max over a set is associative and order-free, so the value (and hence
-    # every pick and every reported mmr) is bit-identical to the oracle's
-    # re-aggregation over the full selected set, but each step is now a
-    # map-only update (one broadcast of the 1-row pick) + a TakeOrdered
-    # pick instead of a left_anti join + crossJoin + groupBy re-aggregation
-    # shuffle per step: the unrolled plan drops all k−1 Exchanges.
-    picks = [first]
-    pick = first
-    pool = cands
-    for i in range(2, k + 1):
-        pk = F.broadcast(pick.select(F.col("id").alias("__pid"), F.col("v").alias("__pv")))
-        sim = cosine(F.col("v"), F.col("__pv"))
-        pool = (
-            pool.crossJoin(pk)
-            .filter(F.col("id") != F.col("__pid"))
-            .select(
-                "id", "v", "rel",
-                (F.greatest(F.col("maxsim"), sim) if i > 2 else sim).alias("maxsim"),
-            )
+    for i in range(1, k + 1):
+        # mmr_i over the not-yet-picked rows; step 1 has S = ∅ (no penalty)
+        mmr_i = (
+            F.lit(lam) * F.col("rel")
+            if i == 1
+            else F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("maxsim")
         )
-        pick = (
-            pool.select(
-                F.lit(i).alias("step"), "id", "v",
-                (F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("maxsim")).alias("mmr"),
+        unpicked = F.col("step").isNull()
+        # argmax among unpicked rows: struct max compares the sort key
+        # first, then -id — exactly orderBy(desc key, asc id).limit(1);
+        # picked rows wrap to NULL, which max() ignores.  Step 1 sorts by
+        # rel itself (the r9 shape did orderBy(desc rel) — identical to
+        # sorting by lam·rel only when lam > 0, so keep rel as the key) but
+        # still REPORTS mmr = lam·rel.
+        key_i = F.col("rel") if i == 1 else mmr_i
+        best = F.max(
+            F.when(
+                unpicked,
+                F.struct(
+                    key_i.alias("key"),
+                    (-F.col("id")).alias("nid"),
+                    F.col("v").alias("bv"),
+                    mmr_i.alias("mmr"),
+                ),
             )
-            .orderBy(F.desc("mmr"), F.asc("id"))
-            .limit(1)
-            # 1-row pin: truncates the next pool update's lineage so the
-            # unrolled plan stays O(k) deep, not O(2^k)
-            .localCheckpoint(eager=False)
+        ).over(w)
+        is_pick = unpicked & (F.col("id") == -best["nid"])
+        sim = cosine(F.col("v"), best["bv"])
+        pool = pool.select(
+            "id",
+            "v",
+            "rel",
+            F.when(is_pick, F.lit(i)).otherwise(F.col("step")).alias("step"),
+            F.when(is_pick, best["mmr"]).otherwise(F.col("mmr")).alias("mmr"),
+            # running max_{s∈S} sim(d, s), updated with the newest pick only
+            (F.greatest(F.col("maxsim"), sim) if i > 1 else sim).alias("maxsim"),
         )
-        picks.append(pick)
-    selected = reduce(lambda x, y: x.unionByName(y), picks)
-    return selected.select("step", "id", "mmr").orderBy("step")
+    return pool.filter(F.col("step").isNotNull()).select("step", "id", "mmr").orderBy("step")

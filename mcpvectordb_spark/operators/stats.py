@@ -527,7 +527,17 @@ def _bt_inner(
     # broadcast both strength-vector references: the K-row table is
     # driver-sized by construction, and shuffle joins here measured
     # SLOWER (5.5s vs 4.1s for 10 rounds) — two tiny broadcasts beat two
-    # exchanges per round even with the loop parallelism pinned
+    # exchanges per round even with the loop parallelism pinned.
+    # r10 notes, both measured and reverted: (a) a full densification to
+    # one row of arrays (the markov template) ABANDONED — K here is the
+    # entity count (1000 suppliers / 690k distinct pairs at sf0.1, grows
+    # with the data, unlike markov's bounded event-type enum), and
+    # Spark's map element_at is a linear scan, so the dense iteration
+    # went quadratic and hung at sf0.1; densify only over
+    # data-independent enums.  (b) aliasing both broadcasts onto one
+    # canonical subtree for ReuseExchange profiled byte-identical (36
+    # jobs either way) — the per-round work (pairs agg re-read ≈ 90 MB
+    # cached) is real MM work, not exchange duplication.
     for _ in range(int(iterations)):
         d = (
             pairs.join(F.broadcast(pi.select(F.col("i"), F.col("pi"))), "i")

@@ -163,9 +163,15 @@ def repetition_columns(text_col: str) -> dict[str, Column]:
       top_bigram_frac > 0.20 over ≥10 bigrams (short texts trivially have
       1/n-high fractions; Gopher's filters likewise apply to long docs).
 
-    Pure column expressions (no UDF, no shuffle); the top-bigram count is
-    O(distinct·total) per document — bounded by document length, executed
-    inside codegen, and trivially parallel across the corpus."""
+    Pure column expressions (no UDF, no shuffle).  r10 optimization (guide
+    §1.2 step 2 "per-task work"): the top-bigram count was
+    O(distinct·total) string comparisons per document
+    (transform(array_distinct(bg), b -> size(filter(bg, x = b))) — a
+    nested codegen loop that dominated the registry lane at 4.2 s); the
+    max frequency of any element equals the longest run in the SORTED
+    array, so one array_sort (O(n log n)) + one linear fold replaces the
+    quadratic scan.  Same integer count, same division, same rounding —
+    value-identical by construction."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
     n_lines = F.size(lines)
@@ -181,16 +187,25 @@ def repetition_columns(text_col: str) -> dict[str, Column]:
             lambda w, i: F.concat_ws(" ", w, F.element_at(words, i + 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    top_bg = F.when(
-        n_bg > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(bigrams),
-                lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
-            )
-        )
-        / n_bg,
-    ).otherwise(F.lit(0.0))
+    # longest run in the sorted bigram array == max occurrence count of any
+    # bigram (bigrams are non-empty strings — "w1 w2" — so the "" init
+    # sentinel never matches a real element)
+    top_count = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    top_bg = F.when(n_bg > 0, top_count / n_bg).otherwise(F.lit(0.0))
     return {
         "dup_line_frac": F.round(dup_line, 6),
         "top_bigram_frac": F.round(top_bg, 6),

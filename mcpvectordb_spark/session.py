@@ -36,7 +36,12 @@ def get_spark(app_name: str = "mcpvectordb_spark", shuffle_partitions: int | Non
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off for bench/test runs (allocating the HTTP server costs
+        # startup time and the port can collide across parallel sessions);
+        # profiling sessions opt in via SPARK_GRAFT_UI=1 so
+        # tools/profile_query.py can read per-stage task metrics from the
+        # REST API (guide §1.1/§7.1).
+        .config("spark.ui.enabled", "true" if os.environ.get("SPARK_GRAFT_UI") else "false")
         # \r-terminated stage-progress bars flooded the round-5 driver's
         # bench tail capture (BENCH_r05.json parsed:null) — silence them;
         # bench.py prints its one-line JSON summary LAST so any tail window

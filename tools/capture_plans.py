@@ -1,10 +1,14 @@
-"""Dump .explain("formatted") for named catalog queries to plans/r09/.
+"""Dump .explain("formatted") for named catalog queries to plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> <query> [query ...]
        python tools/capture_plans.py before events_attribution_markov ...
 
-Writes plans/r09/<query>_<suffix>.txt — the optimization-round evidence
-files the judge diffs against OPTIMIZATION_r09.md claims.
+Writes plans/r10/<query>_<suffix>.txt (override the round dir with
+SPARK_GRAFT_PLAN_ROUND) — the optimization-round evidence files the judge
+diffs against OPTIMIZATION_r10.md claims.  Static-plan caveat (r9 verdict
+item 2): localCheckpoint-pinned subtrees print as `Scan ExistingRDD`, so
+fully-pinned queries look trivial here; tools/profile_query.py captures
+the runtime job/stage/shuffle evidence those queries need instead.
 """
 
 from __future__ import annotations
@@ -25,7 +29,8 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown queries: {sorted(unknown)}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r09")
+    rnd = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r10")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
     for name in names:
