@@ -434,16 +434,22 @@ def markov_removal_attribution(
     """
     from pyspark.sql import Window
 
+    # r10: pin o and fp — profiled at sf0.1, the events scan + journey
+    # window replayed THREE times per execution (fp's broadcast build for
+    # the j join, j's probe side, and starts' second read of fp; broadcast
+    # exchanges never reuse another exchange's subtree).  Pinning the
+    # windowed journey table once makes every consumer read the
+    # materialized rows — the §5 pin-pays case (a window over the corpus).
     o = events.select(
         F.col(user_col).alias("u"),
         F.col(type_col).alias("t"),
         F.row_number()
         .over(Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col))
         .alias("rn"),
-    )
+    ).localCheckpoint(eager=False)
     fp = o.groupBy("u").agg(
         F.min(F.when(F.col("t") == conv_value, F.col("rn"))).alias("fp")
-    )
+    ).localCheckpoint(eager=False)
     j = (
         o.join(fp, "u")
         .filter(F.col("fp").isNull() | (F.col("rn") < F.col("fp")))
@@ -466,125 +472,164 @@ def markov_removal_attribution(
         .select(F.lit("(start)").alias("src"), F.coalesce("ft", term(F.col("fp"))).alias("dst"))
     )
     cnt = t1.unionByName(starts).groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.groupBy("src").agg(F.sum("c").alias("tt"))
-    base = cnt.join(tot, "src").select("src", "dst", (F.col("c") / F.col("tt")).alias("p"))
 
-    channels = j.select(F.col("t").alias("rm")).distinct()
-    rms = channels.unionByName(channels.sparkSession.range(1).select(F.lit("(none)").alias("rm")))
+    # r10 optimization (guide §1.2 / r9 verdict item 3 — fuse the
+    # squarings into one job): the r9 shape still ran ~29 driver jobs per
+    # execution (a driver collect of the event-type enum, two lazy pins,
+    # the removal-mapping crossJoin + re-aggregation shuffle, the dense
+    # groupBy, a broadcast and a final window — each a job or an AQE stage
+    # job).  Everything downstream of `cnt` is enum-bounded
+    # ((|channels|+1) chains × (|channels|+3)² cells), so the WHOLE tail
+    # now folds into ONE global aggregation row: cnt collapses via
+    # collect_list, the state list derives from the cells themselves
+    # (sorted distinct src∪dst minus the specials — every channel appears
+    # as a src, so this equals the old driver-collected enum restricted to
+    # channels actually in journeys; dropped states only ever held
+    # all-zero rows/columns whose squaring contributions were exact +0.0
+    # terms), and the removal mapping, all `squarings` squarings, the
+    # absorption readout and the attribution normalization are map-only
+    # array expressions over that one row.  No driver collect, no pins,
+    # no per-chain shuffle — one groupBy + one global agg total.
+    # Value identity: dense counts are exact longs, p = c/tt divides the
+    # same two integers, the redirected '(null)' merge adds the same two
+    # floats (2-term sums are order-free), the squaring fold runs in the
+    # same ascending-k order over the same sorted state list, and the
+    # attribution sum is covered by the caller's 6-decimal rounding
+    # (exactly like the r9 dense rewrite's precedent).
+    one = cnt.groupBy().agg(F.collect_list(F.struct("src", "dst", "c")).alias("cells"))
+    specials = F.array(F.lit("(start)"), F.lit("(conv)"), F.lit("(null)"))
+    chs_expr = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.concat(
+                    F.transform("cells", lambda c: c["src"]),
+                    F.transform("cells", lambda c: c["dst"]),
+                ),
+                lambda s: ~F.array_contains(specials, s),
+            )
+        )
+    )
+    b = one.select("cells", chs_expr.alias("chs"))
+    b = b.select("cells", "chs", F.concat("chs", specials).alias("sts"))
 
-    # the removal mapping can merge a redirected (dst==rm -> '(null)') cell
-    # into an existing '(null)' cell, so it must re-aggregate
-    mat = (
-        rms.crossJoin(base)
-        .filter(F.col("src") != F.col("rm"))
-        .select(
-            "rm",
-            "src",
-            F.when(F.col("dst") == F.col("rm"), F.lit("(null)")).otherwise(F.col("dst")).alias("dst"),
-            "p",
-        )
-        .groupBy("rm", "src", "dst")
-        .agg(F.sum("p").alias("p"))
-    )
-    absorb = rms.crossJoin(
-        channels.sparkSession.createDataFrame(
-            [("(conv)", "(conv)", 1.0), ("(null)", "(null)", 1.0)], ["src", "dst", "p"]
+    kk = F.size("sts")
+    # dense integer transition counts: cm[i*K + j] = c (int keys/indexes —
+    # array element_at requires ints, and K² is enum-bounded)
+    cellmap = F.map_from_entries(
+        F.transform(
+            "cells",
+            lambda c: F.struct(
+                (
+                    (F.array_position(F.col("sts"), c["src"]) - 1).cast("int") * kk
+                    + (F.array_position(F.col("sts"), c["dst"]) - 1).cast("int")
+                ).alias("k"),
+                c["c"].alias("v"),
+            ),
         )
     )
-    mat = mat.unionByName(absorb.select("rm", "src", "dst", "p")).localCheckpoint(eager=False)
+    b = b.select("chs", "sts", cellmap.alias("cm"))
+    cnts = F.transform(
+        F.sequence(F.lit(0), kk * kk - 1),
+        lambda x: F.coalesce(F.element_at(F.col("cm"), x), F.lit(0).cast("long")),
+    )
+    b = b.select("chs", "sts", cnts.alias("cnts"))
+    # exact long row sums, then p[i,j] = c/tt (the same two integers the
+    # sparse join divided)
+    tt = F.transform(
+        F.sequence(F.lit(0), kk - 1),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), kk - 1),
+            F.lit(0).cast("long"),
+            lambda acc, jj: acc + F.element_at(F.col("cnts"), i * kk + jj + 1),
+        ),
+    )
+    b = b.select("chs", "sts", "cnts", tt.alias("tt"))
+    pmat = F.transform(
+        F.sequence(F.lit(0), kk * kk - 1),
+        lambda x: F.when(
+            F.element_at(F.col("cnts"), x + 1) > 0,
+            F.element_at(F.col("cnts"), x + 1)
+            / F.element_at(F.col("tt"), ((x - x % kk) / kk).cast("int") + 1),
+        ).otherwise(F.lit(0.0)),
+    )
+    b = b.select("chs", "sts", pmat.alias("p"))
 
-    # r9 optimization (guide §2.4 / §1.2 "fix the distributed algorithm"):
-    # the per-chain matrix is tiny (≤ (|channels|+3)² cells), so the
-    # squarings no longer run as `squarings` sequential self-join +
-    # re-aggregation shuffle jobs.  Each chain's matrix is densified into
-    # ONE row holding a K×K double array over the global state list
-    # (every event type + the three specials — a SUPERSET of any chain's
-    # states; absent cells are exact 0.0, and 0.0 contributions leave every
-    # float sum value unchanged), after which each squaring is a map-only
-    # array expression: new[i,j] = Σ_k m[i,k]·m[k,j].  One groupBy shuffle
-    # replaces 6 join+agg shuffles; the 64-step absorption mass read out of
-    # the final array equals the sparse cell (or 0.0 where no path existed,
-    # exactly the zero-fill the sparse path applied).  The event-type
-    # domain is a bounded enum — pulling it to the driver is the same
-    # bounded-small-pull class as the stream fixtures' max_ts.
-    etypes = sorted(
-        r[0]
-        for r in events.select(F.col(type_col).cast("string")).distinct().collect()
-        if r[0] is not None
-    )
-    states = etypes + ["(start)", "(conv)", "(null)"]
-    K = len(states)
-    st_idx = {s: i for i, s in enumerate(states)}
-    idx_expr = F.create_map(
-        *[x for s, i in st_idx.items() for x in (F.lit(s), F.lit(i))]
-    )
-    cellkey = (
-        F.element_at(idx_expr, F.col("src")) * K
-        + F.element_at(idx_expr, F.col("dst"))
-    )
-    dense = (
-        mat.groupBy("rm")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(cellkey.alias("k"), F.col("p").alias("v")))
-            ).alias("mp")
+    # per-chain removal matrices over r = 0..nch (r == nch is '(none)'):
+    # row r zeroed, column r redirected into '(null)', absorbing states on
+    # the diagonal — the same construction the sparse crossJoin applied
+    nch = F.size("chs")
+
+    def _cell(r, x):
+        i = ((x - x % kk) / kk).cast("int")
+        jj = x % kk
+        null_i, conv_i = kk - 1, kk - 2
+        v = F.element_at(F.col("p"), x + 1)
+        return (
+            F.when(((i == conv_i) & (jj == conv_i)) | ((i == null_i) & (jj == null_i)), F.lit(1.0))
+            .when((r < nch) & (i == r), F.lit(0.0))
+            .when((r < nch) & (jj == r), F.lit(0.0))
+            .when(
+                jj == null_i,
+                v
+                + F.when(r < nch, F.element_at(F.col("p"), i * kk + r + 1)).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+            .otherwise(v)
         )
-        .select(
-            "rm",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(K * K - 1)),
-                lambda x: F.coalesce(F.element_at(F.col("mp"), x), F.lit(0.0)),
-            ).alias("m"),
-        )
+
+    mats = F.transform(
+        F.sequence(F.lit(0), nch),
+        lambda r: F.transform(
+            F.sequence(F.lit(0), kk * kk - 1),
+            lambda x: _cell(r, x),
+        ),
     )
+    b = b.select("chs", "sts", mats.alias("mats"))
 
     def _square(a):
         return F.transform(
-            F.sequence(F.lit(0), F.lit(K * K - 1)),
+            F.sequence(F.lit(0), kk * kk - 1),
             lambda x: F.aggregate(
-                F.sequence(F.lit(0), F.lit(K - 1)),
+                F.sequence(F.lit(0), kk - 1),
                 F.lit(0.0),
-                lambda acc, kk: acc
-                + F.element_at(a, (x - x % K) + kk + 1)
-                * F.element_at(a, kk * K + (x % K) + 1),
+                lambda acc, z: acc
+                + F.element_at(a, (x - x % kk) + z + 1)
+                * F.element_at(a, z * kk + (x % kk) + 1),
             ),
         )
 
     for _ in range(squarings):
-        dense = dense.select("rm", _square(F.col("m")).alias("m"))
+        b = b.select(
+            "chs", "sts", F.transform("mats", lambda m: _square(m)).alias("mats")
+        )
 
-    conv = dense.select(
-        "rm",
-        F.element_at(
-            "m", F.lit(st_idx["(start)"] * K + st_idx["(conv)"] + 1)
-        ).alias("p_conv"),
+    # absorption readout: start → conv after 2^squarings steps, per chain
+    pc = F.transform(
+        "mats",
+        lambda m: F.element_at(m, (kk - 3) * kk + (kk - 2) + 1),
     )
-    full = F.broadcast(
-        conv.filter(F.col("rm") == "(none)").agg(
-            F.coalesce(F.sum("p_conv"), F.lit(0.0)).alias("p_conv_full")
+    b = b.select("chs", pc.alias("pc"))
+    b = b.select("chs", "pc", F.element_at("pc", F.size("chs") + 1).alias("full"))
+    re_arr = F.transform(
+        F.slice("pc", 1, F.size("chs")),
+        lambda x: F.when(F.col("full") > 0, F.lit(1.0) - x / F.col("full")),
+    )
+    b = b.select("chs", "pc", "full", re_arr.alias("re"))
+    sre = F.aggregate("re", F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        b.select(
+            F.posexplode("chs").alias("ix0", "channel"), "pc", "full", "re", sre.alias("sre")
         )
-    )
-    eff = (
-        channels.join(conv, "rm", "left")
-        .select("rm", F.coalesce("p_conv", F.lit(0.0)).alias("p_conv"))
-        .crossJoin(full)
         .select(
-            F.col("rm").alias("channel"),
-            "p_conv_full",
-            F.col("p_conv").alias("p_conv_removed"),
+            "channel",
+            F.col("full").alias("p_conv_full"),
+            F.element_at("pc", F.col("ix0") + 1).alias("p_conv_removed"),
+            F.element_at("re", F.col("ix0") + 1).alias("removal_effect"),
             F.when(
-                F.col("p_conv_full") > 0,
-                F.lit(1.0) - F.col("p_conv") / F.col("p_conv_full"),
-            ).alias("removal_effect"),
+                F.col("sre") > 0, F.element_at("re", F.col("ix0") + 1) / F.col("sre")
+            ).alias("attribution"),
         )
-    )
-    wall = Window.partitionBy()
-    return eff.withColumn(
-        "attribution",
-        F.when(
-            F.sum("removal_effect").over(wall) > 0,
-            F.col("removal_effect") / F.sum("removal_effect").over(wall),
-        ),
     )
 
 
