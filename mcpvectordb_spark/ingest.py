@@ -147,6 +147,19 @@ def ingest_batch(
     gated = dedup_gate(prepared, store).localCheckpoint(eager=True)
 
     to_write = gated.filter(F.col("status").isin("indexed", "replaced"))
+    # r10 optimization (guide §2.5 input skew / §1.2): AQE coalesces the
+    # tiny (source, library) dedup-rank exchange, so the checkpointed gate
+    # lands in ONE partition at bench scale — profiled: the whole
+    # chunk→embed→append kernel chain ran on a single core (ingest_chunks'
+    # 8→32-core scaling ratio of 1.2 was partition collapse, not Arrow
+    # overhead).  Fan the write set back out before the CPU-heavy per-row
+    # stages; skipped when the gate already carries enough partitions, so
+    # at real scale this adds no shuffle.  Chunking/embedding are per-row
+    # and the downstream counts/digests are content-keyed, so placement
+    # does not affect any result.
+    sc = raw_docs.sparkSession.sparkContext
+    if gated.rdd.getNumPartitions() < sc.defaultParallelism:
+        to_write = to_write.repartition(sc.defaultParallelism)
     chunked = chunk_documents(to_write, "content", config, token_counter)
     embedded = embed_documents_stage(
         chunked, "content", "embedding", config.embedding_dim, config, embedder_factory
