@@ -1645,7 +1645,11 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.lit(_PLANT_OFFSET + 3).cast("long").alias("id"), F.col("t0").alias("text")),
             )
         ).alias("s")
-    ).select("s.id", "s.text")
+    # r10: pin the 3 planted rows — every consumer of `corpus` otherwise
+    # re-evaluates the plants' crossJoin and re-broadcasts first_text
+    # (profiled: ~5 broadcast builds per execution re-scanning documents
+    # + orderBy limit 1).  Three rows, zero scale cost.
+    ).select("s.id", "s.text").localCheckpoint(eager=False)
     corpus = docs.unionByName(plants)
 
     rep = repetition_features(corpus, "id", "text").select("id", "repetitive_flag")

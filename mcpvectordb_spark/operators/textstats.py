@@ -293,14 +293,24 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
     )
     exploded = df.select(F.col(id_col).alias("id"), F.explode(terms).alias("term"))
-    freq = exploded.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    # r9 optimization (guide §3.1): freq is vocabulary-sized, so the
-    # scoring join is explicitly broadcast and the exploded corpus never
-    # shuffles by term.  N stays a bare count over the explode — deriving
-    # it from freq was tried and measured SLOWER (BroadcastExchange and
-    # shuffle Exchange don't reuse, so freq's agg ran twice; a codegen
-    # count of the explode is cheaper than a second full groupBy).
-    n_total = exploded.select(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # r9 (guide §3.1): freq is vocabulary-sized, so the scoring join is
+    # explicitly broadcast and the exploded corpus never shuffles by term.
+    # r10: freq is additionally PINNED — profiled, the freq broadcast
+    # build and the bare n_total count each re-ran the corpus
+    # tokenize→explode independently (broadcast exchanges never share
+    # subtrees), i.e. three full corpus explodes per execution.  With the
+    # vocabulary-sized model statistic materialized once, N derives from
+    # the pin as Σc (the exact same long the explode count produced) and
+    # the explode runs twice (model pass + scoring pass) — the CCNet
+    # two-pass floor.  This is the r9 "derive N from freq" idea made
+    # correct: it lost THEN because both derivations replayed the agg;
+    # the pin is what makes sharing actually share.
+    freq = (
+        exploded.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n_total = freq.agg(F.sum("c").cast("long").alias("n_total"))
     return (
         exploded.join(F.broadcast(freq), "term")
         .crossJoin(F.broadcast(n_total))
